@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Dev-only pre-check harness (mirrors the driver's DuckDB compare).
+
+NOT part of the library. Runs each oracle SQL from oracle_sql.json in
+DuckDB against the same parquet tables, loads the Spark result parquet,
+sorts columns by name, and compares values.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # row order should be pinned by ORDER BY, but sort for robustness
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for name in ("region nation customer supplier part orders lineitem "
+                 "events documents embeddings").split():
+        p = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for qname, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{qname}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {qname}: no spark output"); n_fail += 1; continue
+        try:
+            got = norm(con.execute(
+                f"SELECT * FROM read_parquet({spark_files!r})").fetchdf())
+            want = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {qname}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {qname}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {qname}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+        try:
+            pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                          check_exact=False, rtol=0, atol=1e-9)
+            print(f"PASS {qname} ({len(got)} rows)"); n_pass += 1
+        except AssertionError as e:
+            print(f"FAIL {qname}: {str(e).splitlines()[-1] if str(e) else e}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
