@@ -30,6 +30,22 @@ object Queries {
     Tables.load(s, dir, name)
 
   // ---------------------------------------------------------------------
+  // q0_flagship_pipeline — the full core engine end-to-end (Pointy DSL →
+  // stage graph → runner → conditional + sink), semantics oracled as plain
+  // SQL. Exercises SURVEY §2.1 dataflow + §2.3 filter DSL + §2.5 agg.
+  register(
+    "q0_flagship_pipeline",
+    """SELECT event_type,
+      |       count(*)              AS n_events,
+      |       round(sum(value), 2)  AS total_value,
+      |       round(avg(value), 4)  AS avg_value
+      |FROM events
+      |WHERE event_type IS NOT NULL AND value >= 0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) => Flagship.run(s, dir) }
+
+  // ---------------------------------------------------------------------
   // q1_agg — TPC-H Q1-style pricing summary: group-agg with map-side
   // partial aggregation; the canonical "does groupBy shuffle correctly"
   // probe. Mirrors the reference's fixed-function rollups

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session defaults shared by Verify / Bench / tests.
+  *
+  * These mirror what a production deployment would set cluster-wide:
+  * AQE on (runtime re-planning, skew-join handling), shuffle partitions
+  * sized to the executor count instead of the 200 default, UTC session
+  * time, and the legacy nanos conf so TIMESTAMP(NANOS) parquet (the
+  * events table) loads as Long instead of erroring.
+  */
+object Sessions {
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  def local(cpus: String, appName: String): SparkSession = {
+    val s = tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,122 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import graft.dsl.{StageGraph, StageNode}
+
+/** Declarative typed input on a pipeline — the analog of InputDataField
+  * (nexus/fields.py:234-362): optional Spark DataType (None = untyped,
+  * the UNKNOWN sentinel), required-ness, default value.
+  */
+final case class InputField(
+    name: String,
+    dataType: Option[DataType] = None,
+    required: Boolean = false,
+    default: Option[Any] = None,
+    batchSize: Option[Int] = None) {
+
+  def toStructField: StructField =
+    StructField(name, dataType.getOrElse(org.apache.spark.sql.types.BinaryType),
+      nullable = !required)
+}
+
+/** A named, composed dataflow pipeline: Pointy source parsed once at
+  * construction (the metaclass-parse analog, nexus/pipeline.py:150-202),
+  * inputs validated against declared fields (nexus/pipeline.py:235-281),
+  * then executed stage-by-stage over Spark by PipelineRunner.
+  */
+final class Pipeline(
+    val name: String,
+    val pointy: String,
+    val registry: EventRegistry,
+    val fields: Seq[InputField] = Nil) {
+
+  /** Parsed once; BadPipelineError analog surfaces as the parser's
+    * IllegalArgumentException with line/col context. */
+  val root: StageNode = StageGraph.build(pointy)
+
+  // analysis: every referenced event must resolve (reference resolves
+  // lazily at execution, nexus/task.py:809-826; we fail fast)
+  locally {
+    def walk(n: StageNode, seen: Set[String]): Set[String] =
+      if (seen.contains(n.id)) seen
+      else n.children.foldLeft(seen + n.id)((s, c) => walk(c, s))
+    def names(n: StageNode, acc: Set[StageNode]): Set[StageNode] =
+      if (acc.contains(n)) acc
+      else n.children.foldLeft(acc + n)((s, c) => names(c, s))
+    val missing = names(root, Set.empty).map(_.event)
+      .filterNot(registry.contains)
+    if (missing.nonEmpty) throw EventDoesNotExist(missing.mkString(", "))
+  }
+
+  def inputSchema: StructType = StructType(fields.map(_.toStructField))
+
+  /** Validate + default-fill inputs (nexus/fields.py:334-351). */
+  def bind(inputs: Map[String, Any]): Map[String, Any] = {
+    val withDefaults = fields.flatMap { f =>
+      inputs.get(f.name).orElse(f.default).map(f.name -> _)
+    }.toMap ++ (inputs -- fields.map(_.name))
+    val missing = fields.filter(f => f.required && !withDefaults.contains(f.name))
+    if (missing.nonEmpty)
+      throw ImproperlyConfigured(
+        s"Required input(s) not provided: ${missing.map(_.name).mkString(", ")}")
+    withDefaults
+  }
+
+  @volatile private var runner: Option[PipelineRunner] = None
+  @volatile private var executed = false
+
+  /** Run the pipeline. `forceRerun=false` + already ran → error, the
+    * EventDone guard (nexus/pipeline.py:304-337). */
+  def start(
+      spark: SparkSession,
+      inputs: Map[String, Any] = Map.empty,
+      forceRerun: Boolean = false): ExecutionLineage = synchronized {
+    if (executed && !forceRerun)
+      throw ImproperlyConfigured(s"Pipeline '$name' already executed (EventDone)")
+    executed = true
+    val r = new PipelineRunner(spark, registry, bind(inputs))
+    runner = Some(r)
+    r.run(root)
+  }
+
+  /** Cooperative stop: takes effect before the next stage dispatch
+    * (nexus/pipeline.py:362-382). */
+  def stop(): Unit = runner.foreach(_.requestStop())
+
+  /** ASCII DAG, the draw_ascii_graph analog (nexus/pipeline.py:414-496). */
+  def treeString: String = root.treeString
+
+  /** Graphviz dot output (nexus/translator/dot.py:27-114). */
+  def toDot: String = {
+    val sb = new StringBuilder(s"digraph ${name.replaceAll("\\W", "_")} {\n")
+    def esc(n: StageNode) = s""""${n.event}_${n.id}" [label="${n.event}"]"""
+    val seen = scala.collection.mutable.Set.empty[String]
+    def walk(n: StageNode): Unit = {
+      if (seen.add(n.id)) {
+        sb.append("  ").append(esc(n)).append('\n')
+        def edge(c: StageNode, lbl: String): Unit = {
+          sb.append(s"""  "${n.event}_${n.id}" -> "${c.event}_${c.id}" [label="$lbl"]""")
+            .append('\n')
+          walk(c)
+        }
+        n.onFailure.foreach(edge(_, "0"))
+        n.onSuccess.foreach(c => edge(c,
+          if (n.isConditional) "1" else n.onSuccessPipe.map(_.token).getOrElse("")))
+        n.extraDescriptors.foreach { case (d, (_, c)) => edge(c, d.toString) }
+        n.sink.foreach(edge(_, "sink"))
+      }
+    }
+    walk(root)
+    sb.append("}\n").result()
+  }
+}
+
+object Pipeline {
+  def fromPointy(
+      name: String,
+      pointy: String,
+      registry: EventRegistry,
+      fields: Seq[InputField] = Nil): Pipeline =
+    new Pipeline(name, pointy, registry, fields)
+}
