@@ -76,4 +76,358 @@ object Queries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
+
+  // ---------------------------------------------------------------------
+  // q2_filter_project — the ResultSet filter DSL (SURVEY §2.3) compiled to
+  // Catalyst predicates over a real scan; the filters + projection should
+  // reach the parquet reader (PushedFilters / ReadSchema).
+  register(
+    "q2_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_quantity >= 30 AND l_linestatus LIKE 'F%'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    graft.query.ResultSet.filterDf(li,
+        "l_returnflag" -> "R",
+        "l_quantity__gte" -> 30,
+        "l_linestatus__startswith" -> "F")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---------------------------------------------------------------------
+  // q3_join — TPC-H Q3-style 3-way join + group agg. The orders⋈lineitem
+  // join shuffles on orderkey; customer is joined first so its filter
+  // prunes the build side. At cluster scale AQE picks broadcast for the
+  // filtered customer side automatically.
+  register(
+    "q3_join",
+    """SELECT l_orderkey,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       o_orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |              JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 1000.0
+      |ORDER BY l_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val cut = lit("1995-03-15 00:00:00").cast("timestamp")
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders").filter(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem").filter(col("l_shipdate") > cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .filter(col("revenue") > 1000.0)
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy("l_orderkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // q4_broadcast_join — star join through small dims; the dims are
+  // explicitly broadcast (no shuffle of the fact table for them).
+  register(
+    "q4_broadcast_join",
+    """SELECT n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation   ON s_nationkey = n_nationkey
+      |  JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // q5_window — ranking + running aggregate. Explicit ROWS frame and a
+  // unique (l_shipdate, l_orderkey, l_linenumber) order key so both
+  // engines agree on ties; one shuffle on l_suppkey, both window
+  // functions share it.
+  register(
+    "q5_window",
+    """SELECT * FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |         row_number() OVER w AS rn,
+      |         round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |) WHERE rn <= 3
+      |ORDER BY l_suppkey, rn""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        round(sum("l_quantity").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .filter(col("rn") <= 3)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "running_qty")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // q6_topk — global top-k: Spark runs TakeOrderedAndProject (per-partition
+  // top-k then merge — no full sort at scale). Raw-column order key with
+  // unique tie-break keeps both engines' k-boundary identical.
+  register(
+    "q6_topk",
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 25""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  // ---------------------------------------------------------------------
+  // q7_setops — union / intersect / except (SURVEY §2.6: ResultSet is a
+  // MutableSet; add=union, discard=except). Distinct semantics like SQL.
+  register(
+    "q7_setops",
+    """SELECT c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    val c = t(s, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = c.filter(col("c_acctbal") > 9000).select("c_custkey")
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+    building.union(rich).distinct().exceptAll(machinery.distinct())
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // q8_distinct_agg — exact distinct aggregates (count + sum distinct).
+  register(
+    "q8_distinct_agg",
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey)            AS distinct_parts,
+      |       count(DISTINCT l_suppkey)            AS distinct_supps,
+      |       round(sum(DISTINCT l_quantity), 2)   AS sum_distinct_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        round(sum_distinct(col("l_quantity")), 2).as("sum_distinct_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------------
+  // q9_rollup — hierarchical aggregates with grouping indicators. The
+  // grouping id columns disambiguate the NULL rows; explicit NULLS FIRST
+  // aligns DuckDB's default (NULLS LAST) with Spark's (NULLS FIRST).
+  register(
+    "q9_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |       grouping(l_returnflag) AS g_flag,
+      |       grouping(l_linestatus) AS g_status,
+      |       count(*) AS n,
+      |       round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"),
+        count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_price")
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  // ---------------------------------------------------------------------
+  // q10_events_hourly — event-time tumbling window over the events stream
+  // table (batch view of the streaming agg; SURVEY §2.11 extension).
+  // date_trunc on BOTH sides dodges the ns-vs-µs parquet gap.
+  register(
+    "q10_events_hourly",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |       count(*)             AS n,
+      |       round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // q11_sessionize — gap-based sessionization (30 min) via lag + running
+  // sum of session starts: the classic two-window formulation, one
+  // shuffle on user_id. Microsecond epochs on both sides (DuckDB
+  // epoch_us floors its ns exactly like Spark's read).
+  register(
+    "q11_sessionize",
+    """WITH marked AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+      |), sessions AS (
+      |  SELECT user_id, ts_us,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       max(ts_us) - min(ts_us) AS duration_us
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L, 1)
+          .when(lag("ts_us", 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("ts_us") - min("ts_us")).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q12_semi_anti — left-semi (EXISTS) and left-anti (NOT EXISTS) in one
+  // result: customers with orders but no high-value orders.
+  register(
+    "q12_semi_anti",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(o.filter(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // q13_case_agg — TPC-H Q12-style conditional aggregation (CASE WHEN
+  // inside sums; map-side combinable).
+  register(
+    "q13_case_agg",
+    """SELECT l_linestatus,
+      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+      |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1994-01-01 00:00:00").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1).otherwise(0)).as("high_count"),
+        sum(when(!high, 1).otherwise(0)).as("low_count"))
+      .orderBy("l_linestatus")
+  }
+
+  // ---------------------------------------------------------------------
+  // q14_scalar_fns — scalar function parity probe: string / date / math
+  // functions that must behave identically in both engines.
+  register(
+    "q14_scalar_fns",
+    """SELECT p_partkey,
+      |       upper(p_brand)                       AS brand_upper,
+      |       substring(p_name, 1, 8)              AS name_prefix,
+      |       length(p_name)                       AS name_len,
+      |       concat(p_brand, ':', p_type)         AS brand_type,
+      |       abs(p_size - 25)                     AS size_dist,
+      |       p_size % 7                           AS size_mod,
+      |       round(p_retailprice * 1.1, 2)        AS marked_up
+      |FROM part
+      |WHERE p_size > 40
+      |ORDER BY p_partkey""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "part")
+      .filter(col("p_size") > 40)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        abs(col("p_size") - 25).as("size_dist"),
+        (col("p_size") % 7).as("size_mod"),
+        round(col("p_retailprice") * 1.1, 2).as("marked_up"))
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // q15_date_fns — date/time extraction over order dates.
+  register(
+    "q15_date_fns",
+    """SELECT year(o_orderdate)    AS y,
+      |       month(o_orderdate)   AS m,
+      |       count(*)             AS n_orders,
+      |       round(avg(o_totalprice), 2) AS avg_price
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg("o_totalprice"), 2).as("avg_price"))
+      .orderBy("y", "m")
+  }
 }
