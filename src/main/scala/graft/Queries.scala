@@ -430,4 +430,265 @@ object Queries {
         round(avg("o_totalprice"), 2).as("avg_price"))
       .orderBy("y", "m")
   }
+
+  // =====================================================================
+  // Text analysis over the documents corpus (LLM-data-pipeline operators,
+  // BASELINE.json north star). All built-in expressions — codegen'd,
+  // no UDFs, embarrassingly parallel per document at any scale.
+  // =====================================================================
+  import graft.functions.TextFunctions._
+
+  // tq1_token_stats — whitespace + BPE-ish regex token counting.
+  register(
+    "tq1_token_stats",
+    """SELECT doc_id,
+      |       len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
+      |       len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS n_bpeish,
+      |       length(text) AS n_chars,
+      |       round(CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) = 0 THEN 0.0
+      |             ELSE list_sum(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0), x -> len(x)::double))
+      |                  / len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) END, 4) AS mean_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeishTokenCount(col("text")).as("n_bpeish"),
+      length(col("text")).as("n_chars"),
+      round(meanTokenLen(col("text")), 4).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  // tq2_quality — C4/Gopher-style quality scoring: stopword ratio, token
+  // length sanity, punctuation/digit noise. Formula duplicated verbatim
+  // in the oracle.
+  register(
+    "tq2_quality",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         length(text)::double AS n_chars,
+      |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+      |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, n_chars, n_punct, n_digit,
+      |         CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','that','it'], x)))::double / len(toks) END AS stop_ratio,
+      |         CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE list_sum(list_transform(toks, x -> len(x)::double)) / len(toks) END AS mtl
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |       round(stop_ratio, 4) AS stop_ratio,
+      |       round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END, 4) AS punct_ratio,
+      |       round(greatest(0.0, least(1.0,
+      |         0.4 * least(stop_ratio * 5, 1.0)
+      |         + 0.3 * (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.0 END)
+      |         + 0.3 * (1.0 - least(((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END)
+      |                              + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_digit / n_chars END)) * 5, 1.0)))), 4) AS quality
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val txt = col("text")
+    val len = length(txt).cast("double")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      round(wordRatio(txt, stopwords("en")), 4).as("stop_ratio"),
+      round(when(len === 0, 0.0).otherwise(punctCount(txt) / len), 4)
+        .as("punct_ratio"),
+      round(qualityScore(txt), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // tq3_langid — stopword-vote language identification; ties break to the
+  // alphabetically-first language, zero hits → 'und'.
+  register(
+    "tq3_langid",
+    """WITH t AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |         list_distinct(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, labeled_lang,
+      |         len(list_filter(toks, x -> list_contains(['der','die','das','und','in','den','von','zu','mit','ist'], x))) AS s_de,
+      |         len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','that','it'], x))) AS s_en,
+      |         len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','una','los','es'], x))) AS s_es,
+      |         len(list_filter(toks, x -> list_contains(['le','la','de','et','un','une','les','en','est','que'], x))) AS s_fr,
+      |         len(list_filter(toks, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo','ta','zhe'], x))) AS s_zh
+      |  FROM t
+      |)
+      |SELECT doc_id, labeled_lang,
+      |       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+      |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+      |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+      |            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+      |            ELSE 'zh' END AS detected_lang
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      langId(col("text")).as("detected_lang"))
+      .orderBy("doc_id")
+  }
+
+  // tq4_fingerprint — md5 content fingerprint over normalized text: the
+  // exact-dedup key. Per-source duplicate stats exercise it as a grouping
+  // column.
+  register(
+    "tq4_fingerprint",
+    """SELECT source,
+      |       count(*)                                               AS n_docs,
+      |       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique,
+      |       count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_dups
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(fingerprint(col("text"))).as("n_unique"),
+        (count(lit(1)) - countDistinct(fingerprint(col("text")))).as("n_dups"))
+      .orderBy("source")
+  }
+
+  // =====================================================================
+  // Deduplication + similarity search (graft.operators.Dedup/Similarity)
+  // =====================================================================
+  import graft.operators.{Dedup, Similarity}
+
+  /** Shared oracle fragment: exact word-3-gram Jaccard pairs >= t via
+    * inverted index (the ground truth both dedup paths must reproduce). */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS tk
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+       |  FROM toks WHERE len(tk) >= 3
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b,
+       |       round(inter::double / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM pairs
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE round(inter::double / (sa.n + sb.n - inter), 4) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // dq1_exact_dedup — canonical marking by content fingerprint: one
+  // shuffle on the fingerprint, survivor = lowest doc_id.
+  register(
+    "dq1_exact_dedup",
+    """SELECT doc_id,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |       (row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |                           ORDER BY doc_id) = 1) AS is_canonical
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "fingerprint", "is_canonical")
+      .orderBy("doc_id")
+  }
+
+  // dq2_minhash_lsh — MinHash (64 hashes) + 16-band LSH + exact-Jaccard
+  // verification; with these parameters recall at J>=0.8 is ~1-1e-4, so
+  // the verified output equals the exact similarity join (the oracle).
+  register("dq2_minhash_lsh", jaccardOracle(0.8)) { (s, dir) =>
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
+  // dq3_ngram_jaccard — the exact inverted-index similarity join itself,
+  // tighter threshold.
+  register("dq3_ngram_jaccard", jaccardOracle(0.9)) { (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  // dq4_simhash_pairs — 64-bit SimHash near-dup pairs via banded Hamming
+  // search. xxhash64 has no DuckDB twin → rows-only check; semantics
+  // pinned by DedupSpec instead.
+  register("dq4_simhash_pairs") { (s, dir) =>
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 3, chunks = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  // dq5_embedding_neardup — all-pairs cosine >= 0.45 in double precision.
+  register(
+    "dq5_embedding_neardup",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+      |             / (a.nrm * b.nrm), 4) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+      |            / (a.nrm * b.nrm), 4) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      .orderBy("id_a", "id_b")
+  }
+
+  // sq1_knn_bruteforce — exact cosine top-5 for the 10 lowest-id query
+  // vectors: broadcast queries over the corpus, per-query top-k window.
+  register(
+    "sq1_knn_bruteforce",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |)
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |       round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+      |             / (q.nrm * c.nrm), 4) AS cosine,
+      |       row_number() OVER (
+      |         PARTITION BY q.vec_id
+      |         ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+      |                        / (q.nrm * c.nrm), 4) DESC, c.vec_id) AS rank
+      |FROM n q JOIN n c ON q.vec_id != c.vec_id
+      |WHERE q.vec_id < 10
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // sq2_ivf_ann — ANN through the IVF index (16 cells, probe 4):
+  // approximate by design → rows-only check; SimilaritySpec pins recall
+  // against the brute-force baseline.
+  register("sq2_ivf_ann") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", numCells = 16)
+    Similarity.ivfTopK(index, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", numCells = 16, nProbe = 4, k = 5)
+      .orderBy("query_id", "rank")
+  }
 }

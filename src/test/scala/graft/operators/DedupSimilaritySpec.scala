@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  private def docs = graft.Tables.load(spark, sf, "documents")
+  private def emb = graft.Tables.load(spark, sf, "embeddings")
+
+  test("exact dedup marks every duplicate group with one canonical") {
+    val d = Seq((1L, "hello world"), (2L, "Hello   WORLD"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d, "doc_id", "text").orderBy("doc_id").collect()
+    // normalization: lower + collapse whitespace → 1 and 2 same group
+    assert(out.map(_.getAs[Boolean]("is_canonical")).toSeq ==
+      Seq(true, false, true))
+    assert(out(0).getAs[String]("fingerprint") ==
+      out(1).getAs[String]("fingerprint"))
+  }
+
+  test("simhash64 is deterministic and near for near-identical docs") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different words about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val sigs = d.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val sigs2 = d.select(Dedup.simhash64(col("text")).as("sig"))
+      .orderBy(col("sig")).collect().map(_.getLong(0))
+    assert(sigs.toSet == sigs2.toSet) // deterministic across plans
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(0), sigs(1)) < hamming(sigs(0), sigs(2)))
+  }
+
+  test("simhashPairs finds identical docs at distance 0") {
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated content entirely different")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 0)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("minhash LSH matches the exact jaccard join on real documents") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // the corpus does contain near-dups
+  }
+
+  test("ngramJaccardPairs df-cap keeps exact results when pairs share rare shingles") {
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.8, maxShingleDf = Some(1000))
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+    assert(capped.collect().toSet == exact.collect().toSet)
+  }
+
+  test("cosine is 1 for identical vectors, 0 for orthogonal") {
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val c = d.as("a").crossJoin(d.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(c((1L, 2L)) == 1.0)
+    assert(c((1L, 3L)) == 0.0)
+  }
+
+  test("IVF ANN has decent recall vs brute force on real embeddings") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", 16)
+    val ann = Similarity.ivfTopK(index, queries, "vec_id", "embedding", 16, 4, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ann).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+    assert(ann.size == bf.size) // same k returned
+  }
+
+  test("every vector lands in exactly one IVF cell") {
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", 16)
+    assert(index.count() == emb.count())
+    assert(index.select("cell_id").distinct().count() <= 16)
+  }
+}
