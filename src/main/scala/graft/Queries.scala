@@ -681,6 +681,36 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // st1_stream_hourly — the q10 hourly aggregation run through Structured
+  // Streaming (file source → windowed groupBy → memory sink, complete
+  // mode) instead of batch: proves stream/batch parity on the SAME DuckDB
+  // oracle. AvailableNow drains the parquet in bounded micro-batches.
+  register(
+    "st1_stream_hourly",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |       count(*)             AS n,
+      |       round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val stream = graft.streaming.StreamRunner
+      .parquetStream(s, s"$dir/events.parquet", maxFilesPerTrigger = 1)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val agg = stream
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    val qn = s"st1_out_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn).orderBy("hour", "event_type")
+  }
+
   // sq2_ivf_ann — ANN through the IVF index (16 cells, probe 4):
   // approximate by design → rows-only check; SimilaritySpec pins recall
   // against the brute-force baseline.

@@ -147,7 +147,8 @@ final class EventRegistry {
   * classes (or all when unlisted); MaxRetryError when exhausted.
   */
 object Retry {
-  def run[T](policy: Option[RetryPolicy])(fn: => T): T = policy match {
+  def run[T](policy: Option[RetryPolicy], onRetry: Int => Unit = _ => ())(
+      fn: => T): T = policy match {
     case None => fn
     case Some(p) =>
       var retryCount = 0
@@ -164,6 +165,7 @@ object Retry {
           case e: StopProcessingError => throw e
           case scala.util.control.NonFatal(e) if p.isRetryable(e) =>
             if (firstCause == null) firstCause = e
+            onRetry(retryCount)
             val backoff = p.backoffTime(retryCount)
             if (backoff > 0) Thread.sleep((backoff * 1000).toLong)
         }

@@ -75,9 +75,19 @@ final class Pipeline(
     if (executed && !forceRerun)
       throw ImproperlyConfigured(s"Pipeline '$name' already executed (EventDone)")
     executed = true
+    graft.telemetry.Signals.emit("pipeline_execution_start",
+      Map("pipeline" -> name))
     val r = new PipelineRunner(spark, registry, bind(inputs))
     runner = Some(r)
-    r.run(root)
+    val lineage = r.run(root)
+    val endSignal = lineage.finalState match {
+      case ExecutionState.Cancelled => "pipeline_stop"
+      case ExecutionState.Aborted   => "pipeline_shutdown"
+      case _                        => "pipeline_execution_end"
+    }
+    graft.telemetry.Signals.emit(endSignal,
+      Map("pipeline" -> name, "state" -> lineage.finalState.toString))
+    lineage
   }
 
   /** Cooperative stop: takes effect before the next stage dispatch

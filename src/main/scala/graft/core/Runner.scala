@@ -179,6 +179,9 @@ final class PipelineRunner(
 
     ctx.taskProfiles.foreach { profile =>
       val event = registry.resolve(profile.event)
+      graft.telemetry.Signals.emit("event_execution_start",
+        Map("event_name" -> profile.event, "task_id" -> profile.id))
+      var endError: Option[String] = None
 
       // `|->` hands the previous step's ResultSet to the handler; for a
       // `||` chain the pipe type is read off the chain head's incoming
@@ -210,7 +213,10 @@ final class PipelineRunner(
               error = false, profile.event, profile.id, Some(data),
               message = Some("bypassed")))
           case None =>
-            val (status, content) = Retry.run(policy)(event.process(callCtx))
+            val (status, content) = Retry.run(policy, onRetry = n =>
+              graft.telemetry.Signals.emit("event_execution_retry",
+                Map("event_name" -> profile.event, "task_id" -> profile.id,
+                  "retry_count" -> n)))(event.process(callCtx))
             if (status) {
               ctx.addResult(EventResult(
                 error = false, profile.event, profile.id, Option(content)))
@@ -222,6 +228,7 @@ final class PipelineRunner(
               ctx.addResult(r)
               ctx.addError(PipelineError(
                 s"event returned failure", profile.event, profile.id))
+              endError = Some("event returned failure")
               if (event.stopOnError)
                 throw StopProcessingError(s"stop_on_error: ${profile.event}")
             }
@@ -248,12 +255,19 @@ final class PipelineRunner(
             message = Some(stop.getMessage)))
           ctx.addError(PipelineError(stop.getMessage, profile.event, profile.id,
             Some(stop)))
+          endError = Some(stop.getMessage)
+          graft.telemetry.Signals.emit("event_execution_cancelled",
+            Map("event_name" -> profile.event, "task_id" -> profile.id))
         case scala.util.control.NonFatal(e) =>
           ctx.addResult(EventResult(
             error = true, profile.event, profile.id, None,
             message = Some(e.toString)))
           ctx.addError(PipelineError(e.toString, profile.event, profile.id, Some(e)))
+          endError = Some(e.toString)
       }
+      graft.telemetry.Signals.emit("event_execution_end",
+        Map("event_name" -> profile.event, "task_id" -> profile.id) ++
+          endError.map("error" -> _))
     }
 
     if (ctx.state == ExecutionState.Executing)

@@ -1,0 +1,103 @@
+package graft.telemetry
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+/** Lifecycle signal bus — the analog of the reference's SoftSignal
+  * observer framework (nexus/signal/signals.py:16-285) with the same
+  * signal names. Listeners are plain functions; `connect` returns a
+  * handle for disconnect. Thread-safe: foreachBatch workers emit from
+  * executor-side driver threads.
+  */
+object Signals {
+  type Payload = Map[String, Any]
+  type Listener = Payload => Unit
+
+  /** The reference's named lifecycle signals
+    * (nexus/signal/signals.py:213-285). */
+  val names: Seq[String] = Seq(
+    "pipeline_pre_init", "pipeline_post_init", "pipeline_execution_start",
+    "pipeline_execution_end", "pipeline_stop", "pipeline_shutdown",
+    "event_init", "event_execution_init", "event_execution_start",
+    "event_execution_end", "event_execution_retry",
+    "event_execution_retry_done", "event_execution_cancelled",
+    "event_execution_aborted")
+
+  private val listeners =
+    TrieMap.empty[String, mutable.Buffer[(Long, Listener)]]
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  def connect(signal: String, fn: Listener): Long = {
+    val id = counter.incrementAndGet()
+    listeners.getOrElseUpdate(signal, mutable.Buffer.empty).synchronized {
+      listeners(signal) += ((id, fn))
+    }
+    id
+  }
+
+  def disconnect(signal: String, id: Long): Unit =
+    listeners.get(signal).foreach(b => b.synchronized {
+      val i = b.indexWhere(_._1 == id); if (i >= 0) b.remove(i)
+    })
+
+  def emit(signal: String, payload: Payload): Unit =
+    listeners.get(signal).foreach(b => b.synchronized(b.toList).foreach {
+      case (_, fn) => try fn(payload) catch { case _: Throwable => () }
+    })
+}
+
+/** Per-event execution metrics — the EventMetrics dataclass
+  * (nexus/telemetry/logger.py:22-60). */
+final case class EventMetrics(
+    eventName: String,
+    taskId: String,
+    startMs: Long,
+    endMs: Long,
+    status: String, // "completed" | "failed"
+    error: Option[String],
+    retryCount: Int) {
+  def durationSec: Double = (endMs - startMs) / 1000.0
+}
+
+/** Collects EventMetrics off the signal bus and answers the reference's
+  * telemetry rollups (nexus/telemetry/reporter.py:38-60): failed events,
+  * slow events, retry stats.
+  */
+final class MetricsCollector {
+  private val buf = mutable.Buffer.empty[EventMetrics]
+  private val starts = TrieMap.empty[String, Long]
+  private val retries = TrieMap.empty[String, Int]
+
+  private val h1 = Signals.connect("event_execution_start", { p =>
+    starts.put(p("task_id").toString, System.currentTimeMillis())
+  })
+  private val h2 = Signals.connect("event_execution_retry", { p =>
+    retries.updateWith(p("task_id").toString)(c => Some(c.getOrElse(0) + 1))
+  })
+  private val h3 = Signals.connect("event_execution_end", { p =>
+    val tid = p("task_id").toString
+    val err = p.get("error").collect { case s: String => s }
+    buf.synchronized {
+      buf += EventMetrics(
+        eventName = p("event_name").toString,
+        taskId = tid,
+        startMs = starts.getOrElse(tid, System.currentTimeMillis()),
+        endMs = System.currentTimeMillis(),
+        status = if (err.isDefined) "failed" else "completed",
+        error = err,
+        retryCount = retries.getOrElse(tid, 0))
+    }
+  })
+
+  def metrics: Seq[EventMetrics] = buf.synchronized(buf.toSeq)
+  def failedEvents: Seq[EventMetrics] = metrics.filter(_.status == "failed")
+  def slowEvents(thresholdSec: Double): Seq[EventMetrics] =
+    metrics.filter(_.durationSec > thresholdSec)
+  def totalRetries: Int = metrics.map(_.retryCount).sum
+
+  def close(): Unit = {
+    Signals.disconnect("event_execution_start", h1)
+    Signals.disconnect("event_execution_retry", h2)
+    Signals.disconnect("event_execution_end", h3)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.core._
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("batch chunking: range(10) size 3 -> [3,3,3,1] (reference semantics)") {
+    val batches = BatchProcessors.listBatch((0 until 10).toSeq, 3).toSeq
+    assert(batches.map(_.toList) ==
+      Seq(List(0, 1, 2), List(3, 4, 5), List(6, 7, 8), List(9)))
+  }
+
+  test("byte chunks: fixed-size slices of a stream") {
+    val in = new java.io.ByteArrayInputStream("abcdefghijk".getBytes)
+    val chunks = BatchProcessors.byteChunks(in, 5).map(new String(_)).toSeq
+    assert(chunks == Seq("abcde", "fghij", "k"))
+  }
+
+  test("BatchPipeline round-robin zips fields that exhaust independently") {
+    val reg = new EventRegistry
+    val seen = scala.collection.mutable.Buffer.empty[(Any, Any)]
+    reg.register("Consume") { ctx =>
+      seen += ((ctx.inputs.get("xs"), ctx.inputs.get("ys")))
+      (true, ctx.spark.emptyDataFrame)
+    }
+    val bp = new BatchPipeline(() => Pipeline.fromPointy("bt", "Consume", reg,
+      fields = Seq(
+        InputField("xs", batchSize = Some(2)),
+        InputField("ys", batchSize = Some(3)))))
+    val out = bp.execute(spark, Map(
+      "xs" -> Seq(1, 2, 3, 4, 5, 6), "ys" -> Seq("a", "b", "c", "d")))
+    // xs → 3 batches of 2; ys → 2 batches of 3; round-robin: 3 tuples,
+    // ys absent in the 3rd (None fill semantics)
+    assert(out.metrics.total == 3)
+    assert(out.metrics.succeeded == 3)
+    assert(seen.size == 3)
+    assert(seen(0) == (Some(Seq(1, 2)), Some(Seq("a", "b", "c"))))
+    assert(seen(1) == (Some(Seq(3, 4)), Some(Seq("d"))))
+    assert(seen(2) == (Some(Seq(5, 6)), None))
+  }
+
+  test("BatchPipeline with no batched fields runs the template once") {
+    val reg = new EventRegistry
+    reg.registerTransform("One")(_ => Seq(1).toDF("v"))
+    val bp = new BatchPipeline(() => Pipeline.fromPointy("bt1", "One", reg))
+    val out = bp.execute(spark)
+    assert(out.metrics.total == 1 && out.metrics.successRate == 1.0)
+  }
+
+  test("windowed agg over a stream equals the batch aggregation") {
+    val stream = StreamRunner
+      .parquetStream(spark, s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val agg = StreamRunner.windowedAgg(stream, "ts", "1 hour", "1 hour", None,
+      Seq("event_type"), Seq(count(lit(1)).as("n")))
+    val qn = s"win_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(qn)
+      .select(col("window.start").as("h"), col("event_type"), col("n"))
+    val batch = graft.Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("session windows produce gap-separated sessions") {
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 02:00:00"), (2L, "2024-01-01 00:00:00"))
+      .toDF("user_id", "s").withColumn("ts", col("s").cast("timestamp"))
+    val stream = {
+      // memory-source-free path: run session_window in batch mode (the
+      // expression works identically; stateful eviction is the streaming
+      // difference, not the window assignment)
+      rows.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val out = stream.select("user_id", "n").orderBy("user_id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("foreachBatch runs the pipeline per micro-batch with batch input") {
+    val reg = new EventRegistry
+    val batchCounts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    reg.register("PerBatch") { ctx =>
+      val df = ctx.input[org.apache.spark.sql.DataFrame]("batch")
+      batchCounts.add(df.count())
+      (true, df)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val stream = StreamRunner.parquetStream(spark, s"$sf/events.parquet")
+    val q = StreamRunner.runPipelinePerBatch(stream,
+      () => Pipeline.fromPointy("sb", "PerBatch", reg), tmp)
+    q.awaitTermination()
+    val total = batchCounts.toArray(Array.empty[java.lang.Long]).map(_.toLong).sum
+    assert(total == graft.Tables.load(spark, sf, "events").count())
+  }
+
+  test("metrics collector sees event lifecycle signals incl. retries") {
+    val collector = new graft.telemetry.MetricsCollector
+    try {
+      val reg = new EventRegistry
+      var calls = 0
+      reg.register("Shaky", retry = Some(RetryPolicy(maxAttempts = 3, backoffFactor = 0))) { ctx =>
+        calls += 1
+        if (calls < 2) throw new RuntimeException("once")
+        (true, Seq(1).toDF("v"))
+      }
+      reg.register("Dies") { ctx => throw new RuntimeException("always") }
+      Pipeline.fromPointy("tm", "Shaky -> Dies", reg).start(spark)
+      val m = collector.metrics
+      assert(m.size == 2)
+      assert(collector.totalRetries == 1)
+      assert(collector.failedEvents.map(_.eventName) == Seq("Dies"))
+    } finally collector.close()
+  }
+
+  test("scheduler fires interval jobs") {
+    val sched = new Scheduler
+    try {
+      val hits = new java.util.concurrent.CountDownLatch(2)
+      sched.every(1)(hits.countDown())
+      assert(hits.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    } finally sched.shutdown()
+  }
+}
