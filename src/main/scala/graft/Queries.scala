@@ -721,4 +721,44 @@ object Queries {
         "vec_id", "embedding", numCells = 16, nProbe = 4, k = 5)
       .orderBy("query_id", "rank")
   }
+
+  // =====================================================================
+  // Multimodal binary columns (graft.multimodal)
+  // =====================================================================
+
+  // mm1_media_stats — binary payload + typed metadata plumbing, checked
+  // with built-ins only (octet lengths, content hashes) so DuckDB can
+  // oracle it; the media table derives deterministically from documents.
+  register(
+    "mm1_media_stats",
+    """SELECT ['image','audio','video'][(doc_id % 3)::int + 1] AS kind,
+      |       count(*) AS n,
+      |       sum(octet_length(encode(text))) AS total_bytes,
+      |       count(DISTINCT md5(text)) AS n_unique
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    graft.multimodal.Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("bytes"))).as("total_bytes"),
+        countDistinct(md5(col("bytes"))).as("n_unique"))
+      .orderBy("kind")
+  }
+
+  // mm2_media_features — the full decode→feature-extract pipeline through
+  // the batched mapPartitions kernel (stub codec; real partition/batch
+  // plumbing) feeding cosine top-k. Not SQL-expressible → rows-only;
+  // MultimodalSpec pins determinism.
+  register("mm2_media_features") { (s, dir) =>
+    val media = graft.multimodal.Multimodal
+      .mediaFromDocuments(t(s, dir, "documents"))
+    val feats = graft.multimodal.Multimodal.extractFeatures(media, dim = 64)
+      .toDF()
+    Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 5),
+        "media_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
 }
