@@ -529,10 +529,10 @@ object Queries {
       |FROM s
       |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      col("lang").as("labeled_lang"),
-      langId(col("text")).as("detected_lang"))
+    graft.operators.TextAnalysis.langIdByVote(
+        t(s, dir, "documents").withColumnRenamed("lang", "labeled_lang"),
+        "doc_id", "text", carryCols = Seq("labeled_lang"))
+      .select("doc_id", "labeled_lang", "detected_lang")
       .orderBy("doc_id")
   }
 

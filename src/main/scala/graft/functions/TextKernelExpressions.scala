@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernel expressions for the text-dedup hot path.
+  *
+  * Spark's higher-order functions (transform / filter / aggregate /
+  * zip_with) are CodegenFallback AND interpret their lambda per element —
+  * a shingle+minhash pipeline composed from them costs milliseconds per
+  * document. These expressions do the same work in one compiled Scala
+  * loop per row (a single virtual call per row; the loop itself is JIT
+  * compiled), which is what makes minhash over billions of documents
+  * tractable.
+  *
+  * Tokenization semantics match TextFunctions.wsTokens / the DuckDB
+  * oracle exactly: lower-case, split on `\s+` ([ \t\n\x0B\f\r]), drop
+  * empties; shingles are n consecutive tokens joined by a single space,
+  * de-duplicated.
+  */
+object TextKernelExpressions {
+
+  private[functions] def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+
+  /** Tokenize + n-gram shingle + distinct, one pass. */
+  private[functions] def shingleSet(text: String, n: Int): Array[UTF8String] = {
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) toks.add(text.substring(start, i).toLowerCase)
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return Array.empty
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    var j = 0
+    val sb = new java.lang.StringBuilder
+    while (j < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(j + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val out = new Array[UTF8String](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    out
+  }
+
+  /** array<string> of distinct word n-gram shingles of lower(text). */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(
+        shingleSet(input.asInstanceOf[UTF8String].toString, n)
+          .asInstanceOf[Array[Any]])
+    override protected def withNewChildInternal(c: Expression): WordShingles =
+      copy(child = c)
+  }
+
+  /** MinHash signature (array<long>, length k) of an array<string>:
+    * sig[i] = min over elements of xxhash64(element, seed = i). */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val sig = Array.fill(k)(Long.MaxValue)
+      var e = 0
+      while (e < n) {
+        val s = arr.getUTF8String(e)
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes()
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashUnsafeBytes(base, off, len, i.toLong)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        e += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig =
+      copy(child = c)
+  }
+
+  /** 64-bit SimHash of lower(text)'s whitespace tokens: per-bit vote of
+    * each token's xxhash64 (seed 42, matching functions.xxhash64). */
+  case class SimHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val votes = new Array[Int](64)
+      var i = 0
+      val len = text.length
+      while (i < len) {
+        while (i < len && isWs(text.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(text.charAt(i))) i += 1
+        if (i > start) {
+          val tok = UTF8String.fromString(
+            text.substring(start, i).toLowerCase)
+          val h = XXH64.hashUnsafeBytes(
+            tok.getBaseObject, tok.getBaseOffset, tok.numBytes(), 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash =
+      copy(child = c)
+  }
+
+  def word_shingles(text: Column, n: Int): Column =
+    GraftSqlBridge.toColumn(WordShingles(GraftSqlBridge.toExpression(text), n))
+
+  def minhash_sig(shingles: Column, k: Int): Column =
+    GraftSqlBridge.toColumn(MinHashSig(GraftSqlBridge.toExpression(shingles), k))
+
+  def simhash(text: Column): Column =
+    GraftSqlBridge.toColumn(SimHash(GraftSqlBridge.toExpression(text)))
+}

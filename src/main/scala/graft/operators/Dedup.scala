@@ -40,17 +40,17 @@ object Dedup {
       .drop("__fp")
   }
 
-  /** Word-shingle set (distinct n-grams, lower-cased). */
+  /** Word-shingle set (distinct n-grams, lower-cased). Native kernel —
+    * one compiled pass per document (the composable HOF version costs
+    * ~2ms/doc interpreted; see TextKernelExpressions). */
   def shingleSet(text: Column, n: Int): Column =
-    array_distinct(TextFunctions.shingles(text, n))
+    graft.functions.TextKernelExpressions.word_shingles(text, n)
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the minimum xxhash64 over the shingle set. Null when the document
     * has no shingles (shorter than n tokens). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    when(size(shingles) === 0, lit(null)).otherwise(
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(shingles, s => xxhash64(i, s)))))
+    graft.functions.TextKernelExpressions.minhash_sig(shingles, numHashes)
 
   /** Candidate pairs via banded LSH over minhash signatures, verified
     * with exact Jaccard. With numHashes=64, bands=16 (r=4) the miss
@@ -69,34 +69,42 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
-    val withSig = df
+    val docs = df
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .filter(col("sig").isNotNull)
+      .filter(size(col("sh")) > 0)
 
-    // one row per (doc, band): band key = the band's r signature values
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)),
-          v => v.cast("string"))))))
+    // one THIN row per (doc, band) — the shingle arrays stay out of the
+    // bucket join and the pair dedup shuffle; they are joined back only
+    // for the (few) surviving candidates
+    val banded = docs
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)),
+            v => v.cast("string"))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
 
-    val a = banded.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-
-    // bucket join; distinct collapses multi-band collisions of one pair
-    val candidates = a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    verifyJaccard(candidates, docs, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * the full shingle sets. */
+  private def verifyJaccard(
+      candidates: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     candidates
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(inter / uni, 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -116,54 +124,49 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
     val docs = df.select(col(idCol).as("id"),
       shingleSet(col(textCol), shingleN).as("sh"))
-    val sizes = docs.select(col("id"), size(col("sh")).as("n"))
+      .filter(size(col("sh")) > 0)
 
-    var inverted = docs.select(col("id"), explode(col("sh")).as("shingle"))
+    var inverted = docs.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
     maxShingleDf.foreach { cap =>
-      import org.apache.spark.sql.expressions.Window
       val dfCount = Window.partitionBy("shingle")
       inverted = inverted
         .withColumn("__df", count(lit(1)).over(dfCount))
         .filter(col("__df") <= cap).drop("__df")
     }
 
-    val pairs = inverted.as("x")
-      .join(inverted.as("y"), col("x.shingle") === col("y.shingle"))
-      .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    // PPJoin-style prefix filtering (Xiao et al., WWW'08): order each
+    // document's shingles by ascending global frequency; if
+    // J(A,B) >= t then |A∩B| >= ceil(t·|A|), so any qualifying partner
+    // shares at least one of A's first (|A| - ceil(t·|A|) + 1) shingles.
+    // Only prefixes enter the pair-generation join — candidate volume
+    // drops ~(1-t)² while staying EXACT (verification uses full sets).
+    val freq = inverted.groupBy("shingle").agg(count(lit(1)).as("__freq"))
+    val wDoc = Window.partitionBy("id").orderBy(col("__freq"), col("shingle"))
+    val prefix = inverted
+      .join(freq, "shingle")
+      .withColumn("__rk", row_number().over(wDoc))
+      .filter(col("__rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("id", "shingle")
 
-    pairs
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), "id_b")
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val candidates = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    verifyJaccard(candidates, docs, threshold)
   }
 
   /** 64-bit SimHash from whitespace tokens: per-bit vote of each token's
-    * xxhash64, bit set iff the vote is positive. Pure built-in
-    * expressions: fold the token-hash array into a 64-long vote vector,
-    * then assemble the bits. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextFunctions.wsTokens(lower(text)),
-      t => xxhash64(t))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (v, bit) => v +
-          when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * xxhash64 (seed 42), bit set iff the vote is positive. Native kernel
+    * (TextKernelExpressions.SimHash) — one compiled pass per document. */
+  def simhash64(text: Column): Column =
+    graft.functions.TextKernelExpressions.simhash(text)
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, found by the
     * pigeonhole trick: split the 64-bit signature into `chunks` bands —

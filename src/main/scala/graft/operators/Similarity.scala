@@ -23,19 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sum of a double array column (left-to-right, deterministic). */
-  private def arraySum(c: Column): Column =
-    aggregate(c, lit(0.0), (acc, x) => acc + x)
-
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = arraySum(zip_with(ad, bd, (x, y) => x * y))
-    val na = sqrt(arraySum(transform(ad, x => x * x)))
-    val nb = sqrt(arraySum(transform(bd, x => x * x)))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Uses the native codegen expressions (graft.functions
+    * .VectorExpressions) — a tight primitive loop instead of per-pair
+    * array materialization; same left-to-right double accumulation as
+    * the composable form, so oracle parity is unchanged. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.float_cosine(a, b)
 
   /** Exact top-k neighbors for each query vector. `queries` should be
     * small (it is broadcast); `corpus` can be arbitrarily large. Self
@@ -47,12 +41,17 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.{float_dot, float_norm}
+    // norms computed once per side, not per pair
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      float_norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      float_norm(col(vecCol)).as("cn"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("cosine",
+        round(float_dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -70,11 +69,15 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    import graft.functions.VectorExpressions.{float_dot, float_norm}
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      float_norm(col(vecCol)).as("na"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      float_norm(col(vecCol)).as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cosine",
+        round(float_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
