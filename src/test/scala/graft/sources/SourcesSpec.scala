@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+case class KV(k: Long, v: String)
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-store").toString
+
+  test("result store: insert / read / count / exists") {
+    val store = new ResultStore(spark, tmpDir())
+    store.insert("results", Seq(KV(1, "a"), KV(2, "b")).toDF())
+    assert(store.count("results") == 2)
+    assert(store.exists("results", "k", 1L))
+    assert(!store.exists("results", "k", 99L))
+  }
+
+  test("result store: filter DSL reads push down predicates") {
+    val store = new ResultStore(spark, tmpDir())
+    store.insert("r", Seq(KV(1, "alpha"), KV(2, "beta"), KV(3, "gamma")).toDF())
+    val out = store.filterRecords("r", "v__startswith" -> "a")
+    assert(out.collect().map(_.getAs[Long]("k")).toSeq == Seq(1L))
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("StringStartsWith(v,a)"))
+  }
+
+  test("result store: get enforces exactly-one") {
+    val store = new ResultStore(spark, tmpDir())
+    store.insert("g", Seq(KV(1, "x"), KV(2, "x")).toDF())
+    assert(store.get("g", "k" -> 1L).getAs[String]("v") == "x")
+    intercept[NoSuchElementException](store.get("g", "k" -> 42L))
+    intercept[graft.core.MultiValueError](store.get("g", "v" -> "x"))
+  }
+
+  test("result store: upsert replaces rows by key, keeps others") {
+    val store = new ResultStore(spark, tmpDir())
+    store.insert("u", Seq(KV(1, "old"), KV(2, "keep")).toDF())
+    store.upsert("u", Seq(KV(1, "new"), KV(3, "add")).toDF(), "k")
+    val got = store.read("u").orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(got == Seq((1L, "new"), (2L, "keep"), (3L, "add")))
+  }
+
+  test("result store: delete by predicate") {
+    val store = new ResultStore(spark, tmpDir())
+    store.insert("d", Seq(KV(1, "a"), KV(2, "b"), KV(3, "ab")).toDF())
+    store.delete("d", "v__contains" -> "a")
+    assert(store.read("d").collect().map(_.getAs[Long]("k")).toSeq == Seq(2L))
+  }
+
+  test("streaming upsert drains a stream into the store") {
+    val store = new ResultStore(spark, tmpDir())
+    val src = graft.streaming.StreamRunner
+      .parquetStream(spark, "/root/testdata/sf0.001/region.parquet")
+    val q = store.streamingUpsert(src, "regions", "r_regionkey", tmpDir())
+    q.awaitTermination()
+    assert(store.count("regions") ==
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "region").count())
+  }
+
+  test("csv/json/text round trips") {
+    val dir = tmpDir()
+    val df = Seq(KV(1, "a"), KV(2, "b")).toDF()
+    df.write.option("header", "true").csv(s"$dir/c")
+    df.write.json(s"$dir/j")
+    assert(Sources.csv(spark, s"$dir/c").count() == 2)
+    assert(Sources.json(spark, s"$dir/j").count() == 2)
+    assert(Sources.fromRows(spark, Seq(KV(1, "a"))).count() == 1)
+  }
+
+  test("binary files + fixed-size chunking (FileProxy semantics)") {
+    val dir = tmpDir()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/blob.bin"),
+      ("abcde" * 3).getBytes) // 15 bytes
+    val files = Sources.binaryFiles(spark, s"$dir/*.bin")
+    assert(files.count() == 1)
+    val chunks = Sources.binaryChunks(spark, s"$dir/*.bin", chunkSize = 4)
+      .orderBy("chunk_no").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("chunk")))
+    assert(chunks.toSeq == Seq("abcd", "eabc", "deab", "cde"))
+  }
+}
