@@ -228,6 +228,25 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // q16_intersect — INTERSECT completes the set-op family (q7 covers
+  // UNION/EXCEPT): customers that are both high-balance and hold orders
+  // over 50k, via intersect of key sets.
+  register(
+    "q16_intersect",
+    """SELECT c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |  INTERSECT
+      |  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000
+      |)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "customer").filter(col("c_acctbal") > 5000).select("c_custkey")
+      .intersect(t(s, dir, "orders").filter(col("o_totalprice") > 50000)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------------
   // q8_distinct_agg — exact distinct aggregates (count + sum distinct).
   register(
     "q8_distinct_agg",

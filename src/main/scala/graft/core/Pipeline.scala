@@ -38,15 +38,19 @@ final class Pipeline(
   // analysis: every referenced event must resolve (reference resolves
   // lazily at execution, nexus/task.py:809-826; we fail fast)
   locally {
-    def walk(n: StageNode, seen: Set[String]): Set[String] =
-      if (seen.contains(n.id)) seen
-      else n.children.foldLeft(seen + n.id)((s, c) => walk(c, s))
-    def names(n: StageNode, acc: Set[StageNode]): Set[StageNode] =
-      if (acc.contains(n)) acc
-      else n.children.foldLeft(acc + n)((s, c) => names(c, s))
-    val missing = names(root, Set.empty).map(_.event)
-      .filterNot(registry.contains)
-    if (missing.nonEmpty) throw EventDoesNotExist(missing.mkString(", "))
+    val seen = scala.collection.mutable.Set.empty[String]
+    val missing = scala.collection.mutable.Set.empty[String]
+    var work: List[StageNode] = List(root)
+    while (work.nonEmpty) {
+      val n = work.head
+      work = work.tail
+      if (seen.add(n.id)) {
+        if (!registry.contains(n.event)) missing += n.event
+        work = n.children.toList ++ work
+      }
+    }
+    if (missing.nonEmpty)
+      throw EventDoesNotExist(missing.toSeq.sorted.mkString(", "))
   }
 
   def inputSchema: StructType = StructType(fields.map(_.toStructField))

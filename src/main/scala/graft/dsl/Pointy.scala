@@ -70,27 +70,35 @@ object Pointy {
   /** Validate number placement exactly like the reference grammar:
     * descriptors 0..9 left of `->`/`|->`; retry factors >= 2 beside `*`;
     * numbers illegal anywhere else (grammar.py:41-94). */
-  private def validate(ast: PointyAst): Unit = ast match {
-    case BinOpA("*", NumberA(n), r) =>
-      if (n < 2) fail(s"Task cannot be retried less than 2 times. Offending token: $n")
-      validate(r)
-    case BinOpA("*", l, NumberA(n)) =>
-      if (n < 2) fail(s"Task cannot be retried less than 2 times. Offending token: $n")
-      validate(l)
-    case BinOpA("*", _, _) =>
-      fail("Retry operator '*' requires a numeric factor on one side")
-    case BinOpA(op, NumberA(n), r) if op == "->" || op == "|->" =>
-      if (n < 0 || n > 9)
-        fail(s"Descriptors cannot be either greater 9 or less than 0. Offending token: $n")
-      validate(r)
-    case BinOpA(_, _, NumberA(n)) =>
-      fail(s"Unexpected number '$n' on the right of an operator")
-    case BinOpA("||", NumberA(n), _) =>
-      fail(s"Unexpected number '$n' beside '||'")
-    case BinOpA(_, l, r) => validate(l); validate(r)
-    case CondA(_, exprs) => exprs.foreach(validate)
-    case NumberA(n)      => fail(s"A bare number '$n' is not a pipeline expression")
-    case TaskNameA(_)    => ()
+  private def validate(root: PointyAst): Unit = {
+    // worklist, not recursion: left-deep spines go thousands deep
+    var work: List[PointyAst] = List(root)
+    while (work.nonEmpty) {
+      val ast = work.head
+      work = work.tail
+      ast match {
+        case BinOpA("*", NumberA(n), r) =>
+          if (n < 2) fail(s"Task cannot be retried less than 2 times. Offending token: $n")
+          work = r :: work
+        case BinOpA("*", l, NumberA(n)) =>
+          if (n < 2) fail(s"Task cannot be retried less than 2 times. Offending token: $n")
+          work = l :: work
+        case BinOpA("*", _, _) =>
+          fail("Retry operator '*' requires a numeric factor on one side")
+        case BinOpA(op, NumberA(n), r) if op == "->" || op == "|->" =>
+          if (n < 0 || n > 9)
+            fail(s"Descriptors cannot be either greater 9 or less than 0. Offending token: $n")
+          work = r :: work
+        case BinOpA(_, _, NumberA(n)) =>
+          fail(s"Unexpected number '$n' on the right of an operator")
+        case BinOpA("||", NumberA(n), _) =>
+          fail(s"Unexpected number '$n' beside '||'")
+        case BinOpA(_, l, r) => work = l :: r :: work
+        case CondA(_, exprs) => work = exprs ++: work
+        case NumberA(n) => fail(s"A bare number '$n' is not a pipeline expression")
+        case TaskNameA(_) => ()
+      }
+    }
   }
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)

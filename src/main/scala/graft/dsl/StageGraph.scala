@@ -44,9 +44,10 @@ final class StageNode(val event: String) {
   def isSink: Boolean =
     parent.exists(p => !isDescriptorTask && p.sink.contains(this))
 
-  def getRoot: StageNode = parent match {
-    case Some(p) => p.getRoot
-    case None    => this
+  def getRoot: StageNode = {
+    var cur = this
+    while (cur.parent.isDefined) cur = cur.parent.get
+    cur
   }
 
   /** Pipe type on the edge arriving at this node (nexus/task.py:763-781). */
@@ -73,7 +74,17 @@ final class StageNode(val event: String) {
     case _ => extraDescriptors.get(d).map(_._2)
   }
 
-  def count: Int = 1 + children.map(_.count).sum
+  def count: Int = {
+    // iterative: chains can be thousands of stages deep
+    var n = 0
+    var stack = List(this)
+    while (stack.nonEmpty) {
+      val cur = stack.head
+      stack = cur.children.toList ++ stack.tail
+      n += 1
+    }
+    n
+  }
 
   /** ASCII rendering of the tree (analog of nexus/pipeline.py:414-496). */
   def treeString: String = {
@@ -119,25 +130,24 @@ object StageGraph {
   def lower(ast: PointyAst): StageNode = ast match {
     case TaskNameA(name) => new StageNode(name)
 
-    case BinOpA(op, l, r) =>
-      (lowerOperand(l), lowerOperand(r)) match {
-        case (Left(leftNode), Left(rightNode)) =>
-          val pipe = PipeType.fromToken(op)
-          if (leftNode.isConditional) {
-            leftNode.sink = Some(rightNode)
-            leftNode.sinkPipe = Some(pipe)
-          } else {
-            leftNode.onSuccess = Some(rightNode)
-            leftNode.onSuccessPipe = Some(pipe)
-          }
-          rightNode.parent = Some(leftNode)
-          rightNode
-
-        // number on one side: retry factor or descriptor head
-        case (Left(node), Right(n)) => applyNumber(op, node, n)
-        case (Right(n), Left(node)) => applyNumber(op, node, n)
-        case (Right(_), Right(_)) =>
-          throw new IllegalArgumentException(s"AST is malformed: $ast")
+    case b: BinOpA =>
+      // left-deep spines get thousands of levels deep ("A -> B -> ...");
+      // unroll iteratively, then fold left-to-right
+      var spine = List.empty[(String, PointyAst)]
+      var cur: PointyAst = b
+      while (cur.isInstanceOf[BinOpA]) {
+        val bin = cur.asInstanceOf[BinOpA]
+        spine = (bin.op, bin.right) :: spine
+        cur = bin.left
+      }
+      var acc = lowerOperand(cur)
+      spine.foreach { case (op, rhs) =>
+        acc = Left(combine(op, acc, lowerOperand(rhs)))
+      }
+      acc match {
+        case Left(node) => node
+        case Right(n) =>
+          throw new IllegalArgumentException(s"dangling number '$n' in $ast")
       }
 
     case CondA(parentName, exprs) =>
@@ -179,6 +189,29 @@ object StageGraph {
   private def lowerOperand(ast: PointyAst): Either[StageNode, Int] = ast match {
     case NumberA(n) => Right(n)
     case other      => Left(lower(other))
+  }
+
+  /** One binary-op step (nexus/task.py:873-917): node∘node chains or
+    * sinks; number∘node is a retry factor or descriptor head. */
+  private def combine(
+      op: String,
+      l: Either[StageNode, Int],
+      r: Either[StageNode, Int]): StageNode = (l, r) match {
+    case (Left(leftNode), Left(rightNode)) =>
+      val pipe = PipeType.fromToken(op)
+      if (leftNode.isConditional) {
+        leftNode.sink = Some(rightNode)
+        leftNode.sinkPipe = Some(pipe)
+      } else {
+        leftNode.onSuccess = Some(rightNode)
+        leftNode.onSuccessPipe = Some(pipe)
+      }
+      rightNode.parent = Some(leftNode)
+      rightNode
+    case (Left(node), Right(n)) => applyNumber(op, node, n)
+    case (Right(n), Left(node)) => applyNumber(op, node, n)
+    case (Right(a), Right(b)) =>
+      throw new IllegalArgumentException(s"AST is malformed: $a $op $b")
   }
 
   /** `A * n` sets the retry factor; `n -> A` marks A's root as the head of
