@@ -450,6 +450,56 @@ object Queries {
       .orderBy("y", "m")
   }
 
+  // ---------------------------------------------------------------------
+  // q17_outer_join — full outer join with null-completion semantics:
+  // nations vs customer counts (some nations have no customers at small
+  // SF). coalesce pins the null side deterministically.
+  register(
+    "q17_outer_join",
+    """SELECT n.n_name,
+      |       coalesce(c.n_customers, 0) AS n_customers
+      |FROM nation n
+      |FULL OUTER JOIN (
+      |  SELECT c_nationkey, count(*) AS n_customers
+      |  FROM customer GROUP BY c_nationkey
+      |) c ON n.n_nationkey = c.c_nationkey
+      |ORDER BY n.n_name""".stripMargin
+  ) { (s, dir) =>
+    val counts = t(s, dir, "customer")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))
+    t(s, dir, "nation")
+      .join(counts, col("n_nationkey") === col("c_nationkey"), "full_outer")
+      .select(col("n_name"),
+        coalesce(col("n_customers"), lit(0)).as("n_customers"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // q18_cube — CUBE over two dimensions with grouping ids.
+  register(
+    "q18_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       grouping(o_orderstatus)  AS g_status,
+      |       grouping(o_orderpriority) AS g_prio,
+      |       count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_prio"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "total")
+      .orderBy(col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
   // =====================================================================
   // Text analysis over the documents corpus (LLM-data-pipeline operators,
   // BASELINE.json north star). All built-in expressions — codegen'd,

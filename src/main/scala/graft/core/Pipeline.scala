@@ -133,4 +133,30 @@ object Pipeline {
       registry: EventRegistry,
       fields: Seq[InputField] = Nil): Pipeline =
     new Pipeline(name, pointy, registry, fields)
+
+  /** Load the Pointy source from a `.pty` file — the `Meta.file` path of
+    * the reference (nexus/pipeline.py:166-187). */
+  def fromPointyFile(
+      name: String,
+      path: String,
+      registry: EventRegistry,
+      fields: Seq[InputField] = Nil): Pipeline =
+    new Pipeline(name,
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8),
+      registry, fields)
+
+  /** Directory search for `<name>.pty`, case-insensitive — the metaclass
+    * file-discovery path (nexus/pipeline.py:204-219). */
+  def discover(
+      name: String,
+      dir: String,
+      registry: EventRegistry,
+      fields: Seq[InputField] = Nil): Pipeline = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    val hit = files.find(f => f.getName.equalsIgnoreCase(s"$name.pty"))
+      .getOrElse(throw ImproperlyConfigured(
+        s"No pointy file '$name.pty' found in $dir"))
+    fromPointyFile(name, hit.getPath, registry, fields)
+  }
 }

@@ -176,6 +176,17 @@ class RunnerSpec extends AnyFunSuite {
     p.start(spark, forceRerun = true)
   }
 
+  test("pipelines load from .pty files with case-insensitive discovery") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pty").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/MyEtl.pty"), "Load |-> Double")
+    val p = Pipeline.discover("myetl", dir, freshRegistry())
+    assert(p.root.event == "Load")
+    assert(p.root.onSuccess.get.event == "Double")
+    intercept[ImproperlyConfigured](
+      Pipeline.discover("missing", dir, freshRegistry()))
+  }
+
   test("required input fields are enforced and defaults fill in") {
     val reg = freshRegistry()
     val p = Pipeline.fromPointy("fields", "Load", reg,
