@@ -72,6 +72,7 @@ object Dedup {
     val docs = df
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one THIN row per (doc, band) — the shingle arrays stay out of the
     // bucket join and the pair dedup shuffle; they are joined back only
@@ -126,9 +127,12 @@ object Dedup {
       maxShingleDf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
+    // cached: the shingle kernel would otherwise re-run for the inverted
+    // index, the frequency count, and both verification joins
     val docs = df.select(col(idCol).as("id"),
       shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var inverted = docs.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
@@ -151,6 +155,10 @@ object Dedup {
       .join(freq, "shingle")
       .withColumn("__rk", row_number().over(wDoc))
       .filter(col("__rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      // a globally-unique shingle cannot be shared, so it generates no
+      // candidates — drop AFTER ranking (order must include it) for a
+      // typically large, still-exact cut
+      .filter(col("__freq") > 1)
       .select("id", "shingle")
 
     val candidates = prefix.as("x")

@@ -101,3 +101,67 @@ final class MetricsCollector {
     Signals.disconnect("event_execution_end", h3)
   }
 }
+
+/** Metrics publishers — the pluggable publisher surface
+  * (nexus/telemetry/publisher.py: Elasticsearch / Prometheus / Grafana
+  * / Composite). This environment has zero egress, so the concrete
+  * transports are local (console, JSONL file, in-memory buffer); a
+  * network publisher implements the same one-method trait. Composite
+  * fans out and isolates per-publisher failures, like the reference.
+  */
+trait MetricsPublisher {
+  def publish(m: EventMetrics): Unit
+}
+
+final class ConsolePublisher extends MetricsPublisher {
+  def publish(m: EventMetrics): Unit =
+    println(s"[metrics] ${m.eventName} ${m.status} ${m.durationSec}s " +
+      s"retries=${m.retryCount}${m.error.map(e => s" error=$e").getOrElse("")}")
+}
+
+/** Append-only JSONL file — the shape a log shipper would tail. */
+final class JsonFilePublisher(path: String) extends MetricsPublisher {
+  private def esc(s: String) =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+  def publish(m: EventMetrics): Unit = synchronized {
+    val line =
+      s"""{"event":"${esc(m.eventName)}","task_id":"${esc(m.taskId)}",""" +
+        s""""status":"${m.status}","duration_sec":${m.durationSec},""" +
+        s""""retries":${m.retryCount}""" +
+        m.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+}
+
+final class BufferPublisher extends MetricsPublisher {
+  private val buf = scala.collection.mutable.Buffer.empty[EventMetrics]
+  def publish(m: EventMetrics): Unit = synchronized { buf += m }
+  def published: Seq[EventMetrics] = synchronized(buf.toSeq)
+}
+
+/** Fan-out with per-target failure isolation
+  * (nexus/telemetry/publisher.py CompositePublisher). */
+final class CompositePublisher(targets: Seq[MetricsPublisher])
+    extends MetricsPublisher {
+  def publish(m: EventMetrics): Unit =
+    targets.foreach(t => try t.publish(m) catch { case _: Throwable => () })
+}
+
+/** Bridges the signal bus to publishers: every completed event metric is
+  * published as it happens. */
+final class PublishingCollector(publisher: MetricsPublisher)
+    extends AutoCloseable {
+  private val inner = new MetricsCollector
+  private val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val h = Signals.connect("event_execution_end", { _ =>
+    val ms = inner.metrics
+    var i = seen.get()
+    while (i < ms.size) { publisher.publish(ms(i)); i += 1 }
+    seen.set(ms.size)
+  })
+  def metrics: Seq[EventMetrics] = inner.metrics
+  def close(): Unit = { Signals.disconnect("event_execution_end", h); inner.close() }
+}
