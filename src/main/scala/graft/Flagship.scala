@@ -47,9 +47,9 @@ object Flagship {
     }
 
     reg.registerTransform("Alert") { ctx =>
-      ctx.spark.createDataFrame(
-        java.util.List.of[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Nil))
+      import ctx.spark.implicits._
+      Seq(("aggregate_failed", System.currentTimeMillis() / 1000))
+        .toDF("alert", "at_epoch_s")
     }
 
     reg

@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.functions._
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("16", "graft-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    def dup(k: Int) = (0 until k).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"STRESS $name ${(System.nanoTime()-t0)/1e9}%.1f s ($n rows)")
+    }
+    time("jaccard_1x")(operators.Dedup.ngramJaccardPairs(dup(1), "doc_id", "text", threshold = 0.8).count())
+    time("jaccard_4x")(operators.Dedup.ngramJaccardPairs(dup(4), "doc_id", "text", threshold = 0.8).count())
+    time("lsh_1x")(operators.Dedup.minhashLshPairs(dup(1), "doc_id", "text", threshold = 0.8).count())
+    time("lsh_4x")(operators.Dedup.minhashLshPairs(dup(4), "doc_id", "text", threshold = 0.8).count())
+    time("simhash_4x")(operators.Dedup.simhashPairs(dup(4), "doc_id", "text").count())
+    spark.stop()
+  }
+}
