@@ -792,6 +792,136 @@ object Queries {
   }
 
   // =====================================================================
+  // As-of / range joins, deterministic splits, TF-IDF
+  // =====================================================================
+
+  // aq1_asof_join — most-recent-prior join: each purchase event picks up
+  // the user's latest click at-or-before it. One shuffle on user_id via
+  // the union-sort formulation (operators.AsOf); oracled with DuckDB's
+  // native ASOF JOIN.
+  register(
+    "aq1_asof_join",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, event_type
+      |  FROM events
+      |)
+      |SELECT l.event_id, l.user_id, l.ts_us, l.value,
+      |       r.prior_click_id, r.prior_value
+      |FROM (SELECT event_id, user_id, ts_us, value FROM e
+      |      WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT user_id, ts_us, event_id AS prior_click_id,
+      |                       value AS prior_value
+      |                FROM e WHERE event_type = 'click') r
+      |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+      |ORDER BY l.event_id""".stripMargin
+  ) { (s, dir) =>
+    val e = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val l = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val r = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("prior_click_id"), col("value").as("prior_value"))
+    graft.operators.AsOf.asOfJoin(l, r, "user_id", "ts_us",
+        Seq("prior_click_id", "prior_value"), prefix = "")
+      .orderBy("event_id")
+  }
+
+  // aq2_range_join — non-equi band join: event values into static value
+  // bands, bands broadcast (fact side unshuffled until the agg).
+  register(
+    "aq2_range_join",
+    """SELECT band, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+      |             ('high', 150.0, 300.0), ('extreme', 300.0, 1000.0))
+      |     AS bands(band, lo, hi)
+      |  ON value >= lo AND value < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+  ) { (s, dir) =>
+    val bands = s.createDataFrame(Seq(
+      ("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+      ("high", 150.0, 300.0), ("extreme", 300.0, 1000.0)))
+      .toDF("band", "lo", "hi")
+    graft.operators.AsOf.rangeJoin(
+        t(s, dir, "events"), bands, "value", "lo", "hi")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("band")
+  }
+
+  // aq3_split — reproducible train/val/test assignment from a content
+  // hash (900/50/50 per mille): the split itself is engine-portable, so
+  // DuckDB recomputes the identical assignment.
+  register(
+    "aq3_split",
+    """SELECT CASE WHEN b < 900 THEN 'train'
+      |            WHEN b < 950 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n_docs
+      |FROM (SELECT (('0x' || substr(md5('graft' || doc_id::varchar), 1, 8))::bigint
+      |              % 1000)::int AS b
+      |      FROM documents)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Sampling
+      .split(t(s, dir, "documents"), "doc_id", "graft", 900, 50)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+  }
+
+  // aq4_tfidf — corpus TF-IDF, top-3 terms per document (tf * ln(N/df),
+  // deterministic term tie-break). Purely relational: one explode, two
+  // aggregations, one window.
+  register(
+    "aq4_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS token
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+      |), df_ AS (
+      |  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+      |), n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, token,
+      |       round(tf * ln(n.n::double / df), 4) AS tfidf,
+      |       rnk
+      |FROM (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df_.df,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |           ORDER BY tf.tf * ln((SELECT n FROM n)::double / df_.df) DESC,
+      |                    tf.token) AS rnk
+      |  FROM tf JOIN df_ USING (token)
+      |) ranked, n
+      |WHERE rnk <= 3 AND doc_id < 200
+      |ORDER BY doc_id, rnk""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
+        .as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_raw").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_raw",
+        col("tf") * log(col("n").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3 && col("doc_id") < 200)
+      .select(col("doc_id"), col("token"),
+        round(col("tfidf_raw"), 4).as("tfidf"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  // =====================================================================
   // Multimodal binary columns (graft.multimodal)
   // =====================================================================
 

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting.
+  *
+  * Training-data pipelines need REPRODUCIBLE splits: the same row must
+  * land in the same split on every engine, every run, every cluster
+  * size. RNG-based sampling (`df.sample`) is none of those. Instead the
+  * split key is a content hash: md5 of (salt, id), whose first 8 hex
+  * chars give a uniform 32-bit bucket — identical in Spark and DuckDB,
+  * so the assignment itself is oracle-checkable. Narrow (no shuffle),
+  * trivially parallel at any scale.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from md5(salt || id). */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+    (conv(substring(md5(concat(lit(salt), id.cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long") % buckets).cast("int")
+
+  /** Assign train/val/test by per-mille thresholds (e.g. 900/50/50). */
+  def split(
+      df: DataFrame,
+      idCol: String,
+      salt: String,
+      trainPerMille: Int,
+      valPerMille: Int): DataFrame = {
+    val b = hashBucket(col(idCol), salt, 1000)
+    df.withColumn("split",
+      when(b < trainPerMille, "train")
+        .when(b < trainPerMille + valPerMille, "val")
+        .otherwise("test"))
+  }
+
+  /** Keep ~perMille/1000 of rows, deterministically. */
+  def deterministicSample(
+      df: DataFrame, idCol: String, salt: String, perMille: Int): DataFrame =
+    df.filter(hashBucket(col(idCol), salt, 1000) < perMille)
+}

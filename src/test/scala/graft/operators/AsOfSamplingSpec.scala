@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class AsOfSamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("asOfJoin picks the latest right row at-or-before each left row") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 9L, 90.0))
+      .toDF("k", "t", "rv")
+    val out = AsOf.asOfJoin(left, right, "k", "t", Seq("rv"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getAs[String]("ev"), Option(r.getAs[Any]("asof_rv"))))
+    // p1 at t=10 sees the simultaneous right row (<= semantics);
+    // p2 at t=20 sees t=15; p3 at t=5 has no prior right row
+    assert(out.toSeq == Seq(
+      ("p1", Some(100.0)), ("p2", Some(150.0)), ("p3", None)))
+  }
+
+  test("rangeJoin assigns each value to its [lo, hi) band") {
+    val facts = Seq(0.0, 49.9, 50.0, 299.9).toDF("v")
+    val bands = Seq(("a", 0.0, 50.0), ("b", 50.0, 300.0))
+      .toDF("band", "lo", "hi")
+    val got = AsOf.rangeJoin(facts, bands, "v", "lo", "hi")
+      .orderBy("v").collect().map(_.getAs[String]("band")).toSeq
+    assert(got == Seq("a", "a", "b", "b"))
+  }
+
+  test("hash split is deterministic, disjoint, exhaustive, and ~proportional") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val s1 = Sampling.split(docs, "doc_id", "graft", 900, 50)
+    val s2 = Sampling.split(docs.repartition(13), "doc_id", "graft", 900, 50)
+    val m1 = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m2 = s2.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1 == m2) // partitioning-independent
+    assert(m1.values.sum == docs.count())
+    val trainFrac = m1("train").toDouble / docs.count()
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"train frac $trainFrac")
+    // per-row assignment stability
+    val a1 = s1.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a2 = s2.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a1 == a2)
+  }
+
+  test("deterministicSample keeps a stable ~perMille subset") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val s = Sampling.deterministicSample(docs, "doc_id", "salt1", 100)
+    val n = s.count()
+    assert(n > 20 && n < 100, s"expected ~50 of 500, got $n")
+    assert(s.count() == Sampling.deterministicSample(
+      docs.repartition(7), "doc_id", "salt1", 100).count())
+    // different salt → different subset
+    val other = Sampling.deterministicSample(docs, "doc_id", "salt2", 100)
+    assert(other.select("doc_id").collect().toSet !=
+      s.select("doc_id").collect().toSet)
+  }
+}
