@@ -921,6 +921,89 @@ object Queries {
       .orderBy("doc_id", "rnk")
   }
 
+  // aq5_json — JSON column access (§2.7 JSON mapping): parse the events
+  // props payload, bucket by the extracted field.
+  register(
+    "aq5_json",
+    """SELECT (json_extract(props, '$.k')::int // 10) * 10 AS k_bucket,
+      |       count(*) AS n,
+      |       round(avg(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(((col("k") / 10).cast("int") * 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("k_bucket")
+  }
+
+  // aq6_percentile — exact interpolated percentiles (Spark `percentile`
+  // == DuckDB `quantile_cont`).
+  register(
+    "aq6_percentile",
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      |       round(quantile_cont(l_quantity, 0.5), 4)  AS p50,
+      |       round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+      |       round(quantile_cont(l_extendedprice, 0.9), 2) AS price_p90
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 2).as("price_p90"))
+      .orderBy("l_returnflag")
+  }
+
+  // aq7_pivot — pivot wide by line status (conditional-agg oracle).
+  register(
+    "aq7_pivot",
+    """SELECT l_returnflag,
+      |       count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+      |       count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy("l_returnflag")
+  }
+
+  // aq8_stats — sample stddev/variance and correlation/covariance.
+  register(
+    "aq8_stats",
+    """SELECT l_returnflag,
+      |       round(stddev_samp(l_quantity), 4)                    AS qty_std,
+      |       round(var_samp(l_quantity), 4)                       AS qty_var,
+      |       round(corr(l_quantity, l_extendedprice), 4)          AS qty_price_corr,
+      |       round(min(l_quantity), 2)                            AS qty_min,
+      |       round(max(l_quantity), 2)                            AS qty_max
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("qty_std"),
+        round(var_samp(col("l_quantity")), 4).as("qty_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("qty_price_corr"),
+        round(min(col("l_quantity")), 2).as("qty_min"),
+        round(max(col("l_quantity")), 2).as("qty_max"))
+      .orderBy("l_returnflag")
+  }
+
   // =====================================================================
   // Multimodal binary columns (graft.multimodal)
   // =====================================================================
