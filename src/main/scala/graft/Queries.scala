@@ -1004,6 +1004,27 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // aq9_array_agg — collection aggregates: array_agg with pinned
+  // ordering, projected through string_agg so the compared output stays
+  // scalar (array-typed result columns don't hash portably).
+  register(
+    "aq9_array_agg",
+    """SELECT n_regionkey,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+      |       count(*) AS n
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "nation")
+      .groupBy("n_regionkey")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("n_name"))))
+          .as("nations_csv"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+  }
+
   // =====================================================================
   // Multimodal binary columns (graft.multimodal)
   // =====================================================================
