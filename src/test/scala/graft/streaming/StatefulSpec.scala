@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Stateful streaming semantics. Batch separation is forced by running
+  * two sequential AvailableNow queries over a shared checkpoint (a
+  * single AvailableNow run may fold all files into one micro-batch, and
+  * the watermark only advances BETWEEN batches). File sink — the memory
+  * sink cannot resume from a checkpoint. */
+class StatefulSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val gapUs = 30L * 60 * 1000000 // 30 min
+  // 2024-01-01 00:00 UTC in µs — NEVER use epoch-0 event times: they sit
+  // at the initial watermark and get dropped as late
+  val t0 = 1704067200L * 1000000
+  val minute = 60L * 1000000
+
+  private def drainSessionize(in: String, out: String, ckpt: String): Unit = {
+    val schema = Seq(StatefulOps.EventIn(0L, 0L, 0.0)).toDF().schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$in/*").as[StatefulOps.EventIn]
+    val q = StatefulOps.sessionizeStream(stream, gapUs).toDF()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("streaming sessionization (flatMapGroupsWithState) with event-time timeouts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+
+    Seq(
+      StatefulOps.EventIn(1L, t0, 1.0),
+      StatefulOps.EventIn(1L, t0 + 10 * minute, 2.0),
+      StatefulOps.EventIn(2L, t0 + 5 * minute, 5.0))
+      .toDF().coalesce(1).write.parquet(s"$in/b1")
+    drainSessionize(in, out, ckpt) // batch 1: all sessions open, none emitted
+
+    Seq(
+      StatefulOps.EventIn(1L, t0 + 200 * minute, 3.0),
+      StatefulOps.EventIn(3L, t0 + 210 * minute, 7.0))
+      .toDF().coalesce(1).write.parquet(s"$in/b2")
+    drainSessionize(in, out, ckpt) // batch 2: watermark → 180min
+
+    val got = spark.read.parquet(out)
+      .select("user_id", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // u1's first session closes by gap on the 200min event (n=2, 3.0);
+    // u2's lone session times out once the watermark (180min) passes
+    // last+gap=35min (n=1, 5.0); the 200/210min sessions remain open.
+    assert(got == Set((1L, 2L, 3.0), (2L, 1L, 5.0)))
+  }
+
+  test("batch reference implementation agrees with q11-style sessionization") {
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    val ref = StatefulOps.sessionizeBatch(events, gapUs)
+    val q11 = graft.SparkEntry.queries("q11_sessionize")(
+      spark, "/root/testdata/sf0.001")
+    assert(ref.count() == q11.count())
+    val a = ref.groupBy("user_id").count().orderBy("user_id").collect().toSeq
+    val b = q11.groupBy("user_id").count().orderBy("user_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("watermark drops late data beyond the threshold in windowed aggs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+
+    def drain(): Unit = {
+      val schema = Seq((1L, ts(0), 1.0)).toDF("user_id", "ts", "value").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$in/*")
+      val agg = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(sum("value").as("total"))
+      val q = agg.select(col("window.start").as("win_start"), col("total"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // batch 1 pushes the watermark to 19:50 (600min - 10min)
+    Seq((1L, ts(0), 1.0), (2L, ts(600), 1.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.parquet(s"$in/b1")
+    drain()
+    // batch 2 arrives hours behind the watermark → must be dropped
+    Seq((3L, ts(5), 99.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.parquet(s"$in/b2")
+    drain()
+
+    val finalized = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toMap
+    // the 10:00 window finalized with ONLY the on-time row; the late
+    // 99.0 was discarded, not merged
+    assert(finalized.get("2024-01-01 10:00:00.0").contains(1.0),
+      s"got $finalized")
+  }
+}
