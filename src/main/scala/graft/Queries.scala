@@ -780,14 +780,16 @@ object Queries {
     s.table(qn).orderBy("hour", "event_type")
   }
 
-  // sq2_ivf_ann — ANN through the IVF index (16 cells, probe 4):
-  // approximate by design → rows-only check; SimilaritySpec pins recall
-  // against the brute-force baseline.
+  // sq2_ivf_ann — ANN through the k-means IVF index (16 cells fit with
+  // spark.ml KMeans seed 42, probe 4): approximate by design → rows-only
+  // check; DedupSimilaritySpec pins recall against brute force.
   register("sq2_ivf_ann") { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", numCells = 16)
-    Similarity.ivfTopK(index, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", numCells = 16, nProbe = 4, k = 5)
+    val (indexed, centroids) =
+      Similarity.ivfIndexKMeans(emb, "vec_id", "embedding", numCells = 16)
+    Similarity.ivfKMeansTopK(indexed, centroids,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        nProbe = 4, k = 5)
       .orderBy("query_id", "rank")
   }
 

@@ -82,6 +82,66 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** IVF index with k-means-fitted centroids (spark.ml KMeans, fixed
+    * seed): returns (vector rows with cell_id, centroid table). Cluster
+    * quality beats seed-vector centroids, so probes recall more for the
+    * same nProbe. The fit is one pass over a sampled/bounded corpus in
+    * production; assignment is a broadcast nearest-centroid scan. */
+  def ivfIndexKMeans(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val withVec = corpus.withColumn("__features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans()
+      .setK(numCells).setSeed(seed).setFeaturesCol("__features")
+      .setPredictionCol("cell_id")
+      .fit(withVec)
+    val indexed = model.transform(withVec).drop("__features")
+    val centroids = corpus.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toSeq).toDF("cell_id", "centroid")
+    (indexed, centroids)
+  }
+
+  /** ANN top-k through a k-means IVF index. */
+  def ivfKMeansTopK(
+      indexed: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.{float_dot, float_norm}
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      float_norm(col(vecCol)).as("qn"))
+    val wProbe = Window.partitionBy("query_id").orderBy(
+      col("csim").desc, col("cell_id"))
+    val probes = broadcast(q.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(cosine(col("qv"), col("centroid")), 4))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "qv", "qn", "cell_id"))
+
+    val wRank = Window.partitionBy("query_id").orderBy(
+      col("cosine").desc, col("neighbor_id"))
+    probes.join(indexed.withColumnRenamed(idCol, "neighbor_id"), "cell_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(
+        float_dot(col("qv"), col(vecCol)) /
+          (col("qn") * float_norm(col(vecCol))), 4))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Assign every corpus vector to its nearest centroid cell.
     * Deterministic seed centroids: the `numCells` lowest-id vectors. */
   def ivfIndex(

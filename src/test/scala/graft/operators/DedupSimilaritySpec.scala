@@ -88,6 +88,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ann.size == bf.size) // same k returned
   }
 
+  test("k-means IVF beats-or-matches seed-centroid IVF recall") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (indexed, centroids) =
+      Similarity.ivfIndexKMeans(emb, "vec_id", "embedding", 16)
+    assert(indexed.count() == emb.count())
+    val ann = Similarity.ivfKMeansTopK(indexed, centroids, queries,
+        "vec_id", "embedding", nProbe = 4, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ann).size.toDouble / bf.size
+    assert(recall >= 0.4, s"k-means IVF recall $recall")
+  }
+
   test("every vector lands in exactly one IVF cell") {
     val index = Similarity.ivfIndex(emb, "vec_id", "embedding", 16)
     assert(index.count() == emb.count())
