@@ -55,7 +55,10 @@ final class Pipeline(
 
   def inputSchema: StructType = StructType(fields.map(_.toStructField))
 
-  /** Validate + default-fill inputs (nexus/fields.py:334-351). */
+  /** Validate + default-fill inputs (nexus/fields.py:334-351): required
+    * fields must be present, and values must match the declared Spark
+    * type when one is set (the reference's assignment-time type check,
+    * fields.py:334-343; None dataType = the UNKNOWN untyped sentinel). */
   def bind(inputs: Map[String, Any]): Map[String, Any] = {
     val withDefaults = fields.flatMap { f =>
       inputs.get(f.name).orElse(f.default).map(f.name -> _)
@@ -64,7 +67,30 @@ final class Pipeline(
     if (missing.nonEmpty)
       throw ImproperlyConfigured(
         s"Required input(s) not provided: ${missing.map(_.name).mkString(", ")}")
+    fields.foreach { f =>
+      for (dt <- f.dataType; v <- withDefaults.get(f.name))
+        if (!typeMatches(dt, v))
+          throw ImproperlyConfigured(
+            s"Input '${f.name}' expects ${dt.simpleString}, got " +
+              s"${v.getClass.getSimpleName} ($v)")
+    }
     withDefaults
+  }
+
+  private def typeMatches(dt: DataType, v: Any): Boolean = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (StringType, _: String)               => true
+      case (IntegerType, _: Int)                 => true
+      case (LongType, _: Long | _: Int)          => true
+      case (DoubleType, _: Double | _: Float)    => true
+      case (BooleanType, _: Boolean)             => true
+      case (BinaryType, _: Array[Byte])          => true
+      case (_: ArrayType, _: Seq[_] | _: Array[_]) => true
+      case (_: MapType, _: Map[_, _])            => true
+      case (_: StructType, _: org.apache.spark.sql.Row) => true
+      case _ => false
+    }
   }
 
   @volatile private var runner: Option[PipelineRunner] = None

@@ -197,4 +197,19 @@ class RunnerSpec extends AnyFunSuite {
     val bound = p.bind(Map("path" -> "/tmp/x"))
     assert(bound("limit") == 10)
   }
+
+  test("typed input fields reject mismatched values") {
+    import org.apache.spark.sql.types._
+    val p = Pipeline.fromPointy("typed", "Load", freshRegistry(),
+      fields = Seq(
+        InputField("path", dataType = Some(StringType)),
+        InputField("limit", dataType = Some(IntegerType)),
+        InputField("tags", dataType = Some(ArrayType(StringType)))))
+    // matching values bind
+    val ok = p.bind(Map("path" -> "/x", "limit" -> 3, "tags" -> Seq("a")))
+    assert(ok("limit") == 3)
+    // wrong runtime types are rejected (fields.py:334-343 semantics)
+    intercept[ImproperlyConfigured](p.bind(Map("limit" -> "not-a-number")))
+    intercept[ImproperlyConfigured](p.bind(Map("path" -> 42)))
+  }
 }
