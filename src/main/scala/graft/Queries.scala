@@ -1006,6 +1006,23 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // aq10_approx_distinct — HLL++ approximate distinct counts beside the
+  // exact ones. The sketch is engine-specific → rows-only check; the
+  // relative-error bound (HLL++ rsd 5% default, asserted at <10%) is
+  // pinned in ApproxSpec, and the exact columns give the driver a sane
+  // row/schema check.
+  register("aq10_approx_distinct") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01)
+          .as("approx_supps_1pct"))
+      .orderBy("l_returnflag")
+  }
+
   // aq9_array_agg — collection aggregates: array_agg with pinned
   // ordering, projected through string_agg so the compared output stays
   // scalar (array-typed result columns don't hash portably).
