@@ -1006,6 +1006,88 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // q19_window_fns — the rest of the window-function family: rank,
+  // dense_rank, ntile, lead/lag with defaults, first_value over an
+  // explicit frame. Unique order key pins ties.
+  register(
+    "q19_window_fns",
+    """SELECT * FROM (
+      |  SELECT s_nationkey, s_suppkey,
+      |         rank()       OVER w AS rnk,
+      |         dense_rank() OVER w AS drnk,
+      |         ntile(3)     OVER w AS tile,
+      |         lead(s_suppkey, 1, -1) OVER w AS next_supp,
+      |         lag(s_suppkey, 1, -1)  OVER w AS prev_supp,
+      |         first_value(s_suppkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_supp,
+      |         row_number() OVER w AS rn
+      |  FROM supplier
+      |  WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+      |) WHERE rn <= 4
+      |ORDER BY s_nationkey, rn""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    t(s, dir, "supplier")
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("tile", ntile(3).over(w))
+      .withColumn("next_supp", lead("s_suppkey", 1, -1).over(w))
+      .withColumn("prev_supp", lag("s_suppkey", 1, -1).over(w))
+      .withColumn("first_supp", first("s_suppkey").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .select("s_nationkey", "s_suppkey", "rnk", "drnk", "tile",
+        "next_supp", "prev_supp", "first_supp", "rn")
+      .orderBy("s_nationkey", "rn")
+  }
+
+  // q20_curation_pipeline — the full curation story through the Pointy
+  // DSL: dedup |-> quality gate (conditional) |-> reproducible split |->
+  // summary. The oracle replays every stage in SQL.
+  register(
+    "q20_curation_pipeline",
+    """WITH canon AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |           row_number() OVER (
+      |             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |             ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1
+      |), scored AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','that','it'], x)))::double / len(toks) END AS stop_ratio,
+      |         CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE list_sum(list_transform(toks, x -> len(x)::double)) / len(toks) END AS mtl,
+      |         n_chars, n_punct, n_digit
+      |  FROM (
+      |    SELECT doc_id, text,
+      |           length(text)::double AS n_chars,
+      |           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+      |           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+      |           list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS toks
+      |    FROM canon)
+      |), kept AS (
+      |  SELECT doc_id, text FROM scored
+      |  WHERE greatest(0.0, least(1.0,
+      |          0.4 * least(stop_ratio * 5, 1.0)
+      |          + 0.3 * (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.0 END)
+      |          + 0.3 * (1.0 - least(((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END)
+      |                               + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_digit / n_chars END)) * 5, 1.0)))) >= 0.3
+      |), labeled AS (
+      |  SELECT CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+      |              ELSE 'test' END AS split, text
+      |  FROM (SELECT text, (('0x' || substr(md5('graft' || doc_id::varchar), 1, 8))::bigint % 1000)::int AS b
+      |        FROM kept)
+      |)
+      |SELECT split, count(*) AS n_docs, round(avg(length(text)), 2) AS avg_chars
+      |FROM labeled
+      |GROUP BY split
+      |ORDER BY split""".stripMargin
+  ) { (s, dir) => CurationPipeline.run(s, dir) }
+
   // aq10_approx_distinct — HLL++ approximate distinct counts beside the
   // exact ones. The sketch is engine-specific → rows-only check; the
   // relative-error bound (HLL++ rsd 5% default, asserted at <10%) is
