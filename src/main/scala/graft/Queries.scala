@@ -37,7 +37,7 @@ object Queries {
     "q0_flagship_pipeline",
     """SELECT event_type,
       |       count(*)              AS n_events,
-      |       round(sum(value), 2)  AS total_value,
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double  AS total_value,
       |       round(avg(value), 4)  AS avg_value
       |FROM events
       |WHERE event_type IS NOT NULL AND value >= 0
@@ -54,9 +54,9 @@ object Queries {
   register(
     "q1_agg",
     """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 2)                                   AS sum_qty,
-      |       round(sum(l_extendedprice), 2)                              AS sum_base_price,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+      |       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::double      AS sum_qty,
+      |       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::double AS sum_base_price,
+      |       round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::double AS sum_disc_price,
       |       round(avg(l_quantity), 4)                                   AS avg_qty,
       |       count(*)                                                    AS count_order
       |FROM lineitem
@@ -68,10 +68,13 @@ object Queries {
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_base_price"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))), 2)
+          .cast("double").as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -105,7 +108,7 @@ object Queries {
   register(
     "q3_join",
     """SELECT l_orderkey,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::double AS revenue,
       |       o_orderdate
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |              JOIN lineitem ON l_orderkey = o_orderkey
@@ -113,7 +116,7 @@ object Queries {
       |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
       |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
       |GROUP BY l_orderkey, o_orderdate
-      |HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 1000.0
+      |HAVING round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) > 1000.0
       |ORDER BY l_orderkey""".stripMargin
   ) { (s, dir) =>
     val cut = lit("1995-03-15 00:00:00").cast("timestamp")
@@ -123,8 +126,9 @@ object Queries {
       .join(t(s, dir, "lineitem").filter(col("l_shipdate") > cut),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))), 2)
+        .cast("double").as("revenue"))
       .filter(col("revenue") > 1000.0)
       .select("l_orderkey", "revenue", "o_orderdate")
       .orderBy("l_orderkey")
@@ -136,7 +140,7 @@ object Queries {
   register(
     "q4_broadcast_join",
     """SELECT n_name,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::double AS revenue,
       |       count(*) AS n_lines
       |FROM lineitem
       |  JOIN supplier ON l_suppkey = s_suppkey
@@ -153,8 +157,9 @@ object Queries {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))), 2)
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("n_name")
   }
@@ -169,7 +174,7 @@ object Queries {
     """SELECT * FROM (
       |  SELECT l_suppkey, l_orderkey, l_linenumber,
       |         row_number() OVER w AS rn,
-      |         round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+      |         round(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::double AS running_qty
       |  FROM lineitem
       |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
       |) WHERE rn <= 3
@@ -181,8 +186,9 @@ object Queries {
     t(s, dir, "lineitem")
       .withColumn("rn", row_number().over(w))
       .withColumn("running_qty",
-        round(sum("l_quantity").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        round(sum(col("l_quantity").cast("decimal(18,4)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .cast("double"))
       .filter(col("rn") <= 3)
       .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "running_qty")
       .orderBy("l_suppkey", "rn")
@@ -253,7 +259,7 @@ object Queries {
     """SELECT l_returnflag,
       |       count(DISTINCT l_partkey)            AS distinct_parts,
       |       count(DISTINCT l_suppkey)            AS distinct_supps,
-      |       round(sum(DISTINCT l_quantity), 2)   AS sum_distinct_qty
+      |       round(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,4))), 2)::double AS sum_distinct_qty
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
@@ -263,7 +269,8 @@ object Queries {
       .agg(
         countDistinct(col("l_partkey")).as("distinct_parts"),
         countDistinct(col("l_suppkey")).as("distinct_supps"),
-        round(sum_distinct(col("l_quantity")), 2).as("sum_distinct_qty"))
+        round(sum_distinct(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_distinct_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -277,7 +284,7 @@ object Queries {
       |       grouping(l_returnflag) AS g_flag,
       |       grouping(l_linestatus) AS g_status,
       |       count(*) AS n,
-      |       round(sum(l_extendedprice), 2) AS sum_price
+      |       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::double AS sum_price
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
@@ -288,7 +295,8 @@ object Queries {
         grouping(col("l_returnflag")).as("g_flag"),
         grouping(col("l_linestatus")).as("g_status"),
         count(lit(1)).as("n"),
-        round(sum("l_extendedprice"), 2).as("sum_price"))
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_price"))
       .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_price")
       .orderBy(col("g_flag"), col("g_status"),
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -302,14 +310,16 @@ object Queries {
     "q10_events_hourly",
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |       count(*)             AS n,
-      |       round(sum(value), 2) AS total_value
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
   ) { (s, dir) =>
     t(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_value"))
       .orderBy("hour", "event_type")
   }
 
@@ -482,7 +492,7 @@ object Queries {
       |       grouping(o_orderstatus)  AS g_status,
       |       grouping(o_orderpriority) AS g_prio,
       |       count(*) AS n,
-      |       round(sum(o_totalprice), 2) AS total
+      |       round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::double AS total
       |FROM orders
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
@@ -493,7 +503,8 @@ object Queries {
         grouping(col("o_orderstatus")).as("g_status"),
         grouping(col("o_orderpriority")).as("g_prio"),
         count(lit(1)).as("n"),
-        round(sum("o_totalprice"), 2).as("total"))
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("total"))
       .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "total")
       .orderBy(col("g_status"), col("g_prio"),
         col("o_orderstatus").asc_nulls_first,
@@ -758,7 +769,7 @@ object Queries {
     "st1_stream_hourly",
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |       count(*)             AS n,
-      |       round(sum(value), 2) AS total_value
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
@@ -832,7 +843,7 @@ object Queries {
   // bands, bands broadcast (fact side unshuffled until the agg).
   register(
     "aq2_range_join",
-    """SELECT band, count(*) AS n, round(sum(value), 2) AS total_value
+    """SELECT band, count(*) AS n, round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS total_value
       |FROM events
       |JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
       |             ('high', 150.0, 300.0), ('extreme', 300.0, 1000.0))
@@ -848,7 +859,9 @@ object Queries {
     graft.operators.AsOf.rangeJoin(
         t(s, dir, "events"), bands, "value", "lo", "hi")
       .groupBy("band")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_value"))
       .orderBy("band")
   }
 

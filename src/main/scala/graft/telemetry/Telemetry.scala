@@ -95,6 +95,18 @@ final class MetricsCollector {
     metrics.filter(_.durationSec > thresholdSec)
   def totalRetries: Int = metrics.map(_.retryCount).sum
 
+  /** Metrics as a Dataset — the reference's telemetry rollups
+    * (failed/slow/retry stats) become plain DataFrame queries, and the
+    * collection writes to any sink like any other table. */
+  def toDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = metrics.map(m => (m.eventName, m.taskId, m.startMs, m.endMs,
+      m.durationSec, m.status, m.error.orNull, m.retryCount))
+    spark.createDataFrame(rows).toDF(
+      "event_name", "task_id", "start_ms", "end_ms", "duration_sec",
+      "status", "error", "retry_count")
+  }
+
   def close(): Unit = {
     Signals.disconnect("event_execution_start", h1)
     Signals.disconnect("event_execution_retry", h2)

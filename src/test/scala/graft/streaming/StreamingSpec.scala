@@ -123,6 +123,10 @@ class StreamingSpec extends AnyFunSuite {
       assert(m.size == 2)
       assert(collector.totalRetries == 1)
       assert(collector.failedEvents.map(_.eventName) == Seq("Dies"))
+      // metrics as a queryable Dataset (telemetry rollups as DataFrames)
+      val df = collector.toDF(spark)
+      assert(df.filter(col("status") === "failed").count() == 1)
+      assert(df.filter(col("retry_count") > 0).count() == 1)
     } finally collector.close()
   }
 
