@@ -67,7 +67,8 @@ object CurationPipeline {
         .groupBy("split")
         .agg(
           count(lit(1)).as("n_docs"),
-          round(avg(length(col("text"))), 2).as("avg_chars"))
+          round(sum(length(col("text"))).cast("double")
+            / count(lit(1)), 2).as("avg_chars"))
         .orderBy("split")
     }
 

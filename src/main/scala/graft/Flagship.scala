@@ -37,8 +37,10 @@ object Flagship {
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("total_value"),
-          round(avg("value"), 4).as("avg_value"))
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("total_value"),
+          round(sum(col("value").cast("decimal(18,4)")).cast("double")
+            / count(lit(1)), 4).as("avg_value"))
         .orderBy("event_type")
     }
 

@@ -38,7 +38,7 @@ object Queries {
     """SELECT event_type,
       |       count(*)              AS n_events,
       |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double  AS total_value,
-      |       round(avg(value), 4)  AS avg_value
+      |       round(sum(CAST(value AS DECIMAL(18,4)))::double / count(*), 4)  AS avg_value
       |FROM events
       |WHERE event_type IS NOT NULL AND value >= 0
       |GROUP BY event_type
@@ -57,7 +57,7 @@ object Queries {
       |       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::double      AS sum_qty,
       |       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::double AS sum_base_price,
       |       round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::double AS sum_disc_price,
-      |       round(avg(l_quantity), 4)                                   AS avg_qty,
+      |       round(sum(CAST(l_quantity AS DECIMAL(18,4)))::double / count(*), 4) AS avg_qty,
       |       count(*)                                                    AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -75,7 +75,8 @@ object Queries {
         round(sum(col("l_extendedprice").cast("decimal(18,4)") *
           (lit(1) - col("l_discount").cast("decimal(18,4)"))), 2)
           .cast("double").as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -448,7 +449,7 @@ object Queries {
     """SELECT year(o_orderdate)    AS y,
       |       month(o_orderdate)   AS m,
       |       count(*)             AS n_orders,
-      |       round(avg(o_totalprice), 2) AS avg_price
+      |       round(sum(CAST(o_totalprice AS DECIMAL(18,4)))::double / count(*), 2) AS avg_price
       |FROM orders
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
@@ -456,7 +457,8 @@ object Queries {
     t(s, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
       .agg(count(lit(1)).as("n_orders"),
-        round(avg("o_totalprice"), 2).as("avg_price"))
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 2).as("avg_price"))
       .orderBy("y", "m")
   }
 
@@ -942,7 +944,7 @@ object Queries {
     "aq5_json",
     """SELECT (json_extract(props, '$.k')::int // 10) * 10 AS k_bucket,
       |       count(*) AS n,
-      |       round(avg(value), 4) AS avg_value
+      |       round(sum(CAST(value AS DECIMAL(18,4)))::double / count(*), 4) AS avg_value
       |FROM events
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
@@ -950,7 +952,9 @@ object Queries {
     t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(((col("k") / 10).cast("int") * 10).as("k_bucket"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 4).as("avg_value"))
       .orderBy("k_bucket")
   }
 
@@ -1095,7 +1099,7 @@ object Queries {
       |  FROM (SELECT text, (('0x' || substr(md5('graft' || doc_id::varchar), 1, 8))::bigint % 1000)::int AS b
       |        FROM kept)
       |)
-      |SELECT split, count(*) AS n_docs, round(avg(length(text)), 2) AS avg_chars
+      |SELECT split, count(*) AS n_docs, round(sum(length(text))::double / count(*), 2) AS avg_chars
       |FROM labeled
       |GROUP BY split
       |ORDER BY split""".stripMargin
