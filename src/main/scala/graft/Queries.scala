@@ -998,28 +998,60 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
-  // aq8_stats — sample stddev/variance and correlation/covariance.
+  // aq8_stats — sample stddev/variance and correlation, computed from
+  // EXACT decimal moment sums (Σx, Σx², Σxy) with the final arithmetic
+  // in double: bit-identical across engines, unlike the built-in
+  // streaming estimators whose accumulation order differs.
   register(
     "aq8_stats",
-    """SELECT l_returnflag,
-      |       round(stddev_samp(l_quantity), 4)                    AS qty_std,
-      |       round(var_samp(l_quantity), 4)                       AS qty_var,
-      |       round(corr(l_quantity, l_extendedprice), 4)          AS qty_price_corr,
-      |       round(min(l_quantity), 2)                            AS qty_min,
-      |       round(max(l_quantity), 2)                            AS qty_max
-      |FROM lineitem
-      |GROUP BY l_returnflag
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |         count(*) AS n,
+      |         sum(CAST(l_quantity AS DECIMAL(24,4)))::double AS sx,
+      |         sum(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_quantity AS DECIMAL(24,4)))::double AS sxx,
+      |         sum(CAST(l_extendedprice AS DECIMAL(24,4)))::double AS sy,
+      |         sum(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(24,4)))::double AS syy,
+      |         sum(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(24,4)))::double AS sxy,
+      |         min(l_quantity) AS qty_min,
+      |         max(l_quantity) AS qty_max
+      |  FROM lineitem
+      |  GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag,
+      |       round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS qty_std,
+      |       round((sxx - sx * sx / n) / (n - 1), 4)       AS qty_var,
+      |       round((sxy - sx * sy / n)
+      |             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS qty_price_corr,
+      |       round(qty_min, 2) AS qty_min,
+      |       round(qty_max, 2) AS qty_max
+      |FROM m
       |ORDER BY l_returnflag""".stripMargin
   ) { (s, dir) =>
-    t(s, dir, "lineitem")
+    val qd = col("l_quantity").cast("decimal(18,4)")
+    val pd = col("l_extendedprice").cast("decimal(18,4)")
+    val m = t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        round(stddev_samp(col("l_quantity")), 4).as("qty_std"),
-        round(var_samp(col("l_quantity")), 4).as("qty_var"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
-          .as("qty_price_corr"),
-        round(min(col("l_quantity")), 2).as("qty_min"),
-        round(max(col("l_quantity")), 2).as("qty_max"))
+        count(lit(1)).as("n"),
+        sum(qd).cast("double").as("sx"),
+        sum(qd * qd).cast("double").as("sxx"),
+        sum(pd).cast("double").as("sy"),
+        sum(pd * pd).cast("double").as("syy"),
+        sum(qd * pd).cast("double").as("sxy"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"))
+    m.select(
+      col("l_returnflag"),
+      round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4)
+        .as("qty_std"),
+      round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 4)
+        .as("qty_var"),
+      round((col("sxy") - col("sx") * col("sy") / col("n")) /
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+          (col("syy") - col("sy") * col("sy") / col("n"))), 4)
+        .as("qty_price_corr"),
+      round(col("qmin"), 2).as("qty_min"),
+      round(col("qmax"), 2).as("qty_max"))
       .orderBy("l_returnflag")
   }
 
