@@ -306,10 +306,12 @@ object Queries {
   // ---------------------------------------------------------------------
   // q10_events_hourly — event-time tumbling window over the events stream
   // table (batch view of the streaming agg; SURVEY §2.11 extension).
-  // date_trunc on BOTH sides dodges the ns-vs-µs parquet gap.
+  // The bucket is exported as µs-epoch bigint: Spark parquet timestamps
+  // are UTC-adjusted µs while the DuckDB oracle's are naive, so a raw
+  // timestamp column schema-mismatches even when the instants agree.
   register(
     "q10_events_hourly",
-    """SELECT date_trunc('hour', ts) AS hour, event_type,
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
       |       count(*)             AS n,
       |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS total_value
       |FROM events
@@ -317,11 +319,12 @@ object Queries {
       |ORDER BY 1, 2""".stripMargin
   ) { (s, dir) =>
     t(s, dir, "events")
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(18,4)")), 2)
           .cast("double").as("total_value"))
-      .orderBy("hour", "event_type")
+      .orderBy("hour_us", "event_type")
   }
 
   // ---------------------------------------------------------------------
@@ -340,7 +343,7 @@ object Queries {
       |), sessions AS (
       |  SELECT user_id, ts_us,
       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS session_id
       |  FROM marked
       |)
       |SELECT user_id, session_id, count(*) AS n_events,
@@ -392,8 +395,8 @@ object Queries {
   register(
     "q13_case_agg",
     """SELECT l_linestatus,
-      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-      |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::bigint AS high_count,
+      |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::bigint AS low_count
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
       |GROUP BY l_linestatus
@@ -769,7 +772,7 @@ object Queries {
   // oracle. AvailableNow drains the parquet in bounded micro-batches.
   register(
     "st1_stream_hourly",
-    """SELECT date_trunc('hour', ts) AS hour, event_type,
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
       |       count(*)             AS n,
       |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS total_value
       |FROM events
@@ -780,8 +783,11 @@ object Queries {
       .parquetStream(s, s"$dir/events.parquet", maxFilesPerTrigger = 1)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     val agg = stream
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_value"))
     val qn = s"st1_out_${System.nanoTime()}"
     val q = agg.writeStream
       .outputMode("complete")
@@ -790,7 +796,7 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(qn).orderBy("hour", "event_type")
+    s.table(qn).orderBy("hour_us", "event_type")
   }
 
   // sq2_ivf_ann — ANN through the k-means IVF index (16 cells fit with
@@ -1186,7 +1192,7 @@ object Queries {
     "mm1_media_stats",
     """SELECT ['image','audio','video'][(doc_id % 3)::int + 1] AS kind,
       |       count(*) AS n,
-      |       sum(octet_length(encode(text))) AS total_bytes,
+      |       sum(octet_length(encode(text)))::bigint AS total_bytes,
       |       count(DISTINCT md5(text)) AS n_unique
       |FROM documents
       |GROUP BY 1
