@@ -44,11 +44,19 @@ object CurationPipeline {
     }
 
     reg.register("QualityFilter") { ctx =>
+      // persist the deduped corpus: the health probe forces it now, and
+      // downstream evaluation (split/summary) restarts from the cache
+      // instead of replaying the dedup window
       val in = ctx.previousContent.get
-      val kept = in.filter(TextFunctions.qualityScore(col("text")) >= 0.3)
-      // driver-side health flag: collapsed corpus → failure branch
-      val total = in.count()
-      val surviving = kept.count()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keep = TextFunctions.qualityScore(col("text")) >= 0.3
+      val kept = in.filter(keep)
+      // driver-side health flag: collapsed corpus → failure branch.
+      // One aggregate action computes total and survivors together.
+      val probe = in.agg(
+        count(lit(1)).as("total"),
+        count(when(keep, 1)).as("surviving")).head()
+      val (total, surviving) = (probe.getLong(0), probe.getLong(1))
       (total == 0 || surviving.toDouble / total >= 0.5, kept)
     }
 

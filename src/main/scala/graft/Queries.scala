@@ -928,17 +928,22 @@ object Queries {
       explode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
         .as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy("token")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // tf is already distinct per (doc, token), so document frequency is a
+    // plain count over it — no second tokenize pass, no countDistinct
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf_raw").desc, col("token"))
-    tf.join(dfreq, "token")
+    // rnk partitions by doc_id, so the doc_id predicate commutes with the
+    // window: restrict BEFORE ranking (df/n still come from the full
+    // corpus). The filtered branch's re-tokenize prunes at the scan.
+    tf.filter(col("doc_id") < 200)
+      .join(dfreq, "token")
       .crossJoin(broadcast(n))
       .withColumn("tfidf_raw",
         col("tf") * log(col("n").cast("double") / col("df")))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3 && col("doc_id") < 200)
+      .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("token"),
         round(col("tfidf_raw"), 4).as("tfidf"), col("rnk"))
       .orderBy("doc_id", "rnk")

@@ -97,10 +97,15 @@ object Similarity {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val withVec = corpus.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
+    // random init (one job) instead of k-means|| (initSteps distributed
+    // sampling rounds), bounded iterations: centroid quality for IVF
+    // probing converges long before the default 20 — at production scale
+    // the fit would also run on a bounded SAMPLE of the corpus
     val model = new KMeans()
       .setK(numCells).setSeed(seed).setFeaturesCol("__features")
       .setPredictionCol("cell_id")
-      .fit(withVec)
+      .setInitMode("random").setMaxIter(10)
+      .fit(withVec.coalesce(8))
     val indexed = model.transform(withVec).drop("__features")
     val centroids = corpus.sparkSession.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (c, i) =>
