@@ -648,10 +648,11 @@ object Queries {
   // =====================================================================
   import graft.operators.{Dedup, Similarity}
 
-  /** Shared oracle fragment: exact word-3-gram Jaccard pairs >= t via
-    * inverted index (the ground truth both dedup paths must reproduce). */
-  private def jaccardOracle(threshold: Double): String =
-    s"""WITH toks AS (
+  /** Shared oracle CTE body: exact word-3-gram Jaccard pairs >= t via
+    * inverted index (the ground truth both dedup paths must reproduce).
+    * Exposes a final `dup(id_a, id_b, jaccard)` CTE. */
+  private def jaccardPairsCtes(threshold: Double): String =
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS tk
        |  FROM documents
        |), sh AS (
@@ -664,13 +665,18 @@ object Queries {
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
-       |)
-       |SELECT id_a, id_b,
-       |       round(inter::double / (sa.n + sb.n - inter), 4) AS jaccard
-       |FROM pairs
-       |  JOIN sizes sa ON id_a = sa.doc_id
-       |  JOIN sizes sb ON id_b = sb.doc_id
-       |WHERE round(inter::double / (sa.n + sb.n - inter), 4) >= $threshold
+       |), dup AS (
+       |  SELECT id_a, id_b,
+       |         round(inter::double / (sa.n + sb.n - inter), 4) AS jaccard
+       |  FROM pairs
+       |    JOIN sizes sa ON id_a = sa.doc_id
+       |    JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE round(inter::double / (sa.n + sb.n - inter), 4) >= $threshold
+       |)""".stripMargin
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH ${jaccardPairsCtes(threshold)}
+       |SELECT id_a, id_b, jaccard FROM dup
        |ORDER BY id_a, id_b""".stripMargin
 
   // dq1_exact_dedup — canonical marking by content fingerprint: one
@@ -735,6 +741,33 @@ object Queries {
   ) { (s, dir) =>
     Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
       .orderBy("id_a", "id_b")
+  }
+
+  // dq6_dup_clusters — duplicate GROUPS, not just pairs: connected
+  // components over the LSH near-dup graph (min-label propagation;
+  // Kiveris et al. SoCC'14 for the planet-scale variant). Oracle:
+  // recursive-CTE transitive closure over the exact-Jaccard pair set.
+  register(
+    "dq6_dup_clusters",
+    s"""WITH RECURSIVE ${jaccardPairsCtes(0.8)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM dup
+       |  UNION ALL SELECT id_b, id_a FROM dup
+       |), reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+       |), comp AS (
+       |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT id AS doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    Dedup.duplicateClusters(pairs).orderBy("doc_id")
   }
 
   // sq1_knn_bruteforce — exact cosine top-5 for the 10 lowest-id query
@@ -1224,5 +1257,132 @@ object Queries {
     Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 5),
         "media_id", "embedding", k = 3)
       .orderBy("query_id", "rank")
+  }
+
+  // =====================================================================
+  // Round 2 additions: subqueries, grouping sets, array functions,
+  // sliding-window streaming parity
+  // =====================================================================
+
+  // q21_subqueries — correlated EXISTS + uncorrelated scalar subqueries
+  // through the spark.sql entry point (Catalyst rewrites EXISTS to a
+  // left-semi join and broadcasts the scalar). The above-average test is
+  // cross-multiplied (bal·count > sum) so the comparison stays in exact
+  // decimal/integer arithmetic on both engines.
+  private val q21Sql =
+    """SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier s
+      |WHERE CAST(s_acctbal AS DECIMAL(18,4)) * (SELECT count(*) FROM supplier)
+      |      > (SELECT sum(CAST(s_acctbal AS DECIMAL(18,4))) FROM supplier)
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+      |ORDER BY s_suppkey""".stripMargin
+  register("q21_subqueries", q21Sql) { (s, dir) =>
+    t(s, dir, "supplier").createOrReplaceTempView("supplier")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q21Sql)
+  }
+
+  // aq11_grouping_sets — explicit GROUPING SETS beyond rollup/cube
+  // (q9/q18): an asymmetric set list plus grouping() markers. NULLS FIRST
+  // pins the engines' opposite null-ordering defaults.
+  register(
+    "aq11_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::double AS sum_qty,
+      |       grouping(l_returnflag)::bigint AS g_rf,
+      |       grouping(l_linestatus)::bigint AS g_ls
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+      |                        (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_qty"),
+        grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
+        grouping(col("l_linestatus")).cast("bigint").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  // aq12_array_fns — array/collection function surface (§2.7): build an
+  // ordered distinct array per group, then slice/reverse/membership/
+  // element access, projected through scalars so the compare is portable.
+  register(
+    "aq12_array_fns",
+    """WITH g AS (
+      |  SELECT l_returnflag, list_sort(list_distinct(list(l_linenumber))) AS arr
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag,
+      |       array_to_string(arr, ',')                AS all_csv,
+      |       len(arr)::bigint                         AS n_distinct,
+      |       array_to_string(arr[1:3], ',')           AS first3,
+      |       array_to_string(list_reverse(arr), ',')  AS rev_csv,
+      |       list_contains(arr, 5)                    AS has5,
+      |       arr[-1]::bigint                          AS last_el
+      |FROM g
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sort_array(collect_set(col("l_linenumber"))).as("arr"))
+      .select(col("l_returnflag"),
+        concat_ws(",", col("arr")).as("all_csv"),
+        size(col("arr")).cast("bigint").as("n_distinct"),
+        concat_ws(",", slice(col("arr"), 1, 3)).as("first3"),
+        concat_ws(",", reverse(col("arr"))).as("rev_csv"),
+        array_contains(col("arr"), 5).as("has5"),
+        element_at(col("arr"), -1).cast("bigint").as("last_el"))
+      .orderBy("l_returnflag")
+  }
+
+  // st2_stream_sliding — sliding event-time windows (1h window / 30m
+  // slide) through Structured Streaming; every event lands in exactly two
+  // windows. The oracle replays the window assignment with µs-epoch
+  // arithmetic (windows align to the epoch in both engines).
+  register(
+    "st2_stream_sliding",
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS tus, event_type, value FROM events
+      |), w AS (
+      |  SELECT unnest([(tus // 1800000000) * 1800000000,
+      |                 (tus // 1800000000) * 1800000000 - 1800000000]) AS ws_us,
+      |         event_type, value
+      |  FROM e
+      |)
+      |SELECT ws_us, event_type, count(*) AS n,
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS total_value
+      |FROM w
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val stream = graft.streaming.StreamRunner
+      .parquetStream(s, s"$dir/events.parquet", maxFilesPerTrigger = 1)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_value"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+        col("n"), col("total_value"))
+    val qn = s"st2_out_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn).orderBy("ws_us", "event_type")
   }
 }

@@ -62,6 +62,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.collect().toSet == exact.collect().toSet)
   }
 
+  test("duplicateClusters labels components with min id and sizes") {
+    // chain 1-2-3 (transitive, NOT a clique) + isolated pair 10-11
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
+  test("duplicateClusters converges on a long path graph") {
+    // path 0-1-...-9: worst case for label propagation (diameter 9)
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(1) == 0L))
+    assert(out.forall(_.getLong(2) == 10L))
+  }
+
   test("cosine is 1 for identical vectors, 0 for orthogonal") {
     val d = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
