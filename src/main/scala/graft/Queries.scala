@@ -1259,6 +1259,63 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // q22_skew_salted — the skew toolkit doing real work: a salted join
+  // (events ⋈ nation on a deliberately low-cardinality key — every row
+  // of a 100 TB fact table hitting 25 keys is the pathological shape)
+  // plus a two-phase salted aggregation. The oracle is the PLAIN join +
+  // aggregate: salting must be invisible in the result.
+  register(
+    "q22_skew_salted",
+    """SELECT n_name, count(*) AS n,
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS total_value
+      |FROM events JOIN nation ON user_id % 25 = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").withColumn("nkey", col("user_id") % 25)
+    val joined = graft.operators.Skew.saltedJoin(
+      ev, t(s, dir, "nation").withColumnRenamed("n_nationkey", "nkey"),
+      key = "nkey", saltFactor = 8, saltFrom = Seq("event_id"))
+    graft.operators.Skew.twoPhaseAgg(
+      joined, keys = Seq("n_name"), saltFactor = 8,
+      saltFrom = Seq("event_id"),
+      partials = Seq(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,4)")).as("pv")),
+      finals = Seq(sum(col("pn")).as("n"),
+        round(sum(col("pv")), 2).cast("double").as("total_value")))
+      .select("n_name", "n", "total_value")
+      .orderBy("n_name")
+  }
+
+  // mm3_frame_sample — video frame sampling (flatMap explode fan-out
+  // through the typed Dataset kernel): every 4th 256-byte chunk becomes a
+  // frame. The corpus is ASCII, so the DuckDB oracle replays the byte
+  // slicing with char-based substring and hashes the same frame content.
+  register(
+    "mm3_frame_sample",
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+      |), f AS (
+      |  SELECT media_id, unnest(range(0, (length(text) + 255) // 256)) AS fn, text
+      |  FROM v
+      |)
+      |SELECT media_id, fn::int AS frame_no,
+      |       length(substring(text, (fn * 256 + 1)::int, 256))::bigint AS frame_len,
+      |       md5(substring(text, (fn * 256 + 1)::int, 256)) AS frame_md5
+      |FROM f
+      |WHERE fn % 4 = 0
+      |ORDER BY media_id, frame_no""".stripMargin
+  ) { (s, dir) =>
+    val media = graft.multimodal.Multimodal
+      .mediaFromDocuments(t(s, dir, "documents"))
+    graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 256, stride = 4)
+      .toDF()
+      .select(col("media_id"), col("frame_no"),
+        length(col("frame_bytes")).cast("bigint").as("frame_len"),
+        md5(col("frame_bytes")).as("frame_md5"))
+      .orderBy("media_id", "frame_no")
+  }
+
   // =====================================================================
   // Round 2 additions: subqueries, grouping sets, array functions,
   // sliding-window streaming parity
@@ -1384,5 +1441,49 @@ object Queries {
       .start()
     q.awaitTermination()
     s.table(qn).orderBy("ws_us", "event_type")
+  }
+
+  // st3_stream_join — stream-stream self-join: each purchase attributed
+  // to the same user's clicks in the preceding 30 minutes. Inner
+  // stream-stream equi-join with a time-range condition (append mode);
+  // comparisons run on µs-truncated event time on BOTH engines so the
+  // ns-precision parquet can't flip a boundary. In production the range
+  // condition plus watermarks bounds the join state; with a bounded
+  // AvailableNow drain the inner join is complete without one.
+  register(
+    "st3_stream_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND epoch_us(p.ts) >= epoch_us(c.ts)
+      | AND epoch_us(p.ts) < epoch_us(c.ts) + 1800000000
+      |ORDER BY click_id, purchase_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = graft.streaming.StreamRunner
+      .parquetStream(s, s"$dir/events.parquet", maxFilesPerTrigger = 1)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("pts"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr("interval 30 minutes"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+    val qn = s"st3_out_${System.nanoTime()}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn).orderBy("click_id", "purchase_id")
   }
 }
