@@ -29,6 +29,18 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Stateful streaming queries allocate one state store per shuffle
+    * partition per stateful operator; for the single-file local source
+    * that is pure checkpoint overhead. Size the stream's partitioning to
+    * the source (a real deployment sizes it to the cluster) and restore
+    * the session default afterwards. */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
+
   // ---------------------------------------------------------------------
   // q0_flagship_pipeline — the full core engine end-to-end (Pointy DSL →
   // stage graph → runner → conditional + sink), semantics oracled as plain
@@ -811,7 +823,7 @@ object Queries {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
-  ) { (s, dir) =>
+  ) { (s, dir) => withStreamPartitions(s, 8) {
     val stream = graft.streaming.StreamRunner
       .parquetStream(s, s"$dir/events.parquet", maxFilesPerTrigger = 1)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
@@ -830,7 +842,7 @@ object Queries {
       .start()
     q.awaitTermination()
     s.table(qn).orderBy("hour_us", "event_type")
-  }
+  }}
 
   // sq2_ivf_ann — ANN through the k-means IVF index (16 cells fit with
   // spark.ml KMeans seed 42, probe 4): approximate by design → rows-only
@@ -1420,7 +1432,7 @@ object Queries {
       |FROM w
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
-  ) { (s, dir) =>
+  ) { (s, dir) => withStreamPartitions(s, 8) {
     val stream = graft.streaming.StreamRunner
       .parquetStream(s, s"$dir/events.parquet", maxFilesPerTrigger = 1)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
@@ -1441,7 +1453,7 @@ object Queries {
       .start()
     q.awaitTermination()
     s.table(qn).orderBy("ws_us", "event_type")
-  }
+  }}
 
   // st3_stream_join — stream-stream self-join: each purchase attributed
   // to the same user's clicks in the preceding 30 minutes. Inner
@@ -1460,7 +1472,7 @@ object Queries {
       | AND epoch_us(p.ts) >= epoch_us(c.ts)
       | AND epoch_us(p.ts) < epoch_us(c.ts) + 1800000000
       |ORDER BY click_id, purchase_id""".stripMargin
-  ) { (s, dir) =>
+  ) { (s, dir) => withStreamPartitions(s, 8) {
     val ev = graft.streaming.StreamRunner
       .parquetStream(s, s"$dir/events.parquet", maxFilesPerTrigger = 1)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
@@ -1485,5 +1497,76 @@ object Queries {
       .start()
     q.awaitTermination()
     s.table(qn).orderBy("click_id", "purchase_id")
-  }
+  }}
+
+  // st4_stateful_sessions — the custom per-key state machine
+  // (flatMapGroupsWithState, event-time timeouts) producing COMPLETE
+  // session summaries, oracled against the batch sessionization SQL.
+  // Two checkpointed AvailableNow runs force a watermark advance (it
+  // only moves between batches); a far-future sentinel event then closes
+  // every real session via timeout, so the append-mode stream emits the
+  // exact batch result. Values ride as exact 1e-4-scaled integers (in
+  // doubles, < 2^53) so the streaming state's running sum is
+  // order-independent and engine-exact.
+  register(
+    "st4_stateful_sessions",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |         (CAST(value AS DECIMAL(18,4)) * 10000)::bigint AS v
+      |  FROM events
+      |), marked AS (
+      |  SELECT user_id, ts_us, v,
+      |         CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+      |              OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+      |), sessions AS (
+      |  SELECT user_id, ts_us, v,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked
+      |)
+      |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |       count(*) AS n_events, sum(v)::bigint AS total_u4
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    import graft.streaming.StatefulOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st4").toString
+    val (in, out, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    val gapUs = 1800000000L
+
+    def drain(): Unit = {
+      import s.implicits._
+      val schema = Seq(StatefulOps.EventIn(0L, 0L, 0.0)).toDF().schema
+      val stream = s.readStream.schema(schema)
+        .parquet(s"$in/*").as[StatefulOps.EventIn]
+      val q = StatefulOps.sessionizeStream(stream, gapUs).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 1: the real corpus, shaped into EventIn (value scaled to an
+    // exact integer in a double)
+    t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast("decimal(18,4)") * 10000)
+          .cast("long").cast("double").as("value"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+    drain()
+    // batch 2: sentinel at 2030-01-01 closes every real session
+    import s.implicits._
+    Seq(StatefulOps.EventIn(-1L, 1893456000L * 1000000L, 0.0))
+      .toDF().coalesce(1).write.parquet(s"$in/b2")
+    drain()
+
+    s.read.parquet(out).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("total_value").cast("long").as("total_u4"))
+      .orderBy("user_id", "start_us")
+  }}
 }
