@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape assertions: correctness says WHAT came out,
+  * these pin HOW — the properties that decide whether a plan survives a
+  * 100× scale-up (broadcast vs shuffle, scan-level pushdown, top-k
+  * instead of full sort, partial aggregation). Plans are inspected
+  * AFTER execution so AQE's final (re-optimized) plan is what's judged.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Execute, then render the AQE-final physical plan. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    val p = exec.collectFirst { case a: AdaptiveSparkPlanExec => a }
+      .map(_.executedPlan.toString).getOrElse(exec.toString)
+    p + "\n" + exec.toString
+  }
+
+  /** Every node of the executed plan, descending into AQE query stages
+    * (QueryStageExec is a leaf whose real subtree hangs off `.plan`). */
+  private def deepNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => deepNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: deepNodes(q.plan)
+      case n => Seq(n)
+    }
+
+  /** Untruncated scan metadata (PushedFilters / ReadSchema) of every
+    * parquet scan in the executed plan. */
+  private def scanMeta(df: DataFrame): Seq[Map[String, String]] = {
+    df.collect()
+    deepNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata
+    }
+  }
+
+  private def plan(name: String): String =
+    finalPlan(SparkEntry.queries(name)(spark, sf))
+
+  test("q4 star join broadcasts every dimension — no shuffle join") {
+    val p = plan("q4_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q2 filters and projection reach the parquet scan") {
+    val metas = scanMeta(SparkEntry.queries("q2_filter_project")(spark, sf))
+    assert(metas.nonEmpty)
+    val pushed = metas.map(_("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(l_returnflag,R)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,30"), pushed)
+    assert(pushed.contains("StringStartsWith(l_linestatus,F)"), pushed)
+    // column pruning: the scan schema carries no unprojected column
+    val readSchema = metas.map(_("ReadSchema")).mkString
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q6 global top-k runs TakeOrderedAndProject, not a full sort") {
+    val p = plan("q6_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q1 aggregation is two-phase (map-side partial before shuffle)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+  }
+
+  test("sq1 brute-force ANN broadcasts the query side") {
+    val p = plan("sq1_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q21 EXISTS compiles to a semi join, not a cartesian") {
+    val p = plan("q21_subqueries")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q12 semi/anti stay semi/anti joins end-to-end") {
+    val p = plan("q12_semi_anti")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("dq1 exact dedup is one shuffle on the fingerprint") {
+    val p = plan("dq1_exact_dedup")
+    // a single window over the fingerprint partitioning: exactly one
+    // exchange hashing on the fingerprint column, no join anywhere
+    assert(!p.contains("Join"), p)
+  }
+
+  test("whole-stage codegen covers the q1 hot path") {
+    // the tree string marks codegen stages with "*(n)"
+    val p = plan("q1_agg")
+    assert(p.contains("*("), p)
+  }
+}
