@@ -1299,6 +1299,79 @@ object Queries {
       .orderBy("n_name")
   }
 
+  // q23_partitioned_sink — partitioned parquet sink + partition-pruned
+  // read-back: the write lays data out by l_returnflag, the read scans
+  // ONE partition (PlanShapeSpec asserts the PartitionFilters + zero
+  // data filters). At 100 TB this layout turns a full-table scan into a
+  // directory listing.
+  register(
+    "q23_partitioned_sink",
+    """SELECT l_linestatus, count(*) AS n,
+      |       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::double AS sum_qty
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q23").toString
+    t(s, dir, "lineitem").write.mode("overwrite")
+      .partitionBy("l_returnflag").parquet(tmp)
+    s.read.parquet(tmp).filter(col("l_returnflag") === "R")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_qty"))
+      .orderBy("l_linestatus")
+  }
+
+  // q24_bucketed_join — co-located join through bucketed managed tables:
+  // both sides bucketed (and sorted) on the join key, so the sort-merge
+  // join runs with NO shuffle on either side (PlanShapeSpec asserts no
+  // exchange under the join). This is the 100 TB answer for a fact-fact
+  // join that repeats every run: pay the shuffle once at write time.
+  register(
+    "q24_bucketed_join",
+    """SELECT o_orderpriority, count(*) AS n,
+      |       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::double AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  ) { (s, dir) => bucketedJoin(s, dir) }
+
+  /** Drop a managed table AND its warehouse directory — a previous JVM's
+    * directory survives the (in-memory) catalog and blocks re-creation. */
+  private def dropManaged(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = java.nio.file.Paths.get(wh, table)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    dropManaged(s, "graft_q24_orders")
+    dropManaged(s, "graft_q24_lineitem")
+    t(s, dir, "orders").write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_q24_orders")
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity").write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_q24_lineitem")
+    s.table("graft_q24_orders")
+      .join(s.table("graft_q24_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   // mm3_frame_sample — video frame sampling (flatMap explode fan-out
   // through the typed Dataset kernel): every 4th 256-byte chunk becomes a
   // frame. The corpus is ASCII, so the DuckDB oracle replays the byte

@@ -98,6 +98,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q23 read-back scan is partition-pruned to one partition") {
+    val metas = scanMeta(SparkEntry.queries("q23_partitioned_sink")(spark, sf))
+    assert(metas.nonEmpty)
+    val pf = metas.map(_.getOrElse("PartitionFilters", "")).mkString
+    assert(pf.contains("l_returnflag"), pf)
+    // the predicate is fully answered by the layout — no data filter left
+    val pushed = metas.map(_.getOrElse("PushedFilters", "")).mkString
+    assert(!pushed.contains("l_returnflag"), pushed)
+  }
+
+  test("q24 bucketed join shuffles neither side") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // at this sf AQE would broadcast the tiny side (also shuffle-free,
+    // but not the property under test) — force the shuffle-join path to
+    // prove the bucket layout is what eliminates the exchanges
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val df = SparkEntry.queries("q24_bucketed_join")(spark, sf)
+      df.collect()
+      val nodes = deepNodes(df.queryExecution.executedPlan)
+      val smj = nodes.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, nodes.map(_.nodeName).mkString(", "))
+      assert(deepNodes(smj.get).forall(!_.isInstanceOf[ShuffleExchangeLike]),
+        smj.get.toString)
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // the tree string marks codegen stages with "*(n)"
     val p = plan("q1_agg")
