@@ -1314,7 +1314,9 @@ object Queries {
       |ORDER BY l_linestatus""".stripMargin
   ) { (s, dir) =>
     val tmp = java.nio.file.Files.createTempDirectory("graft-q23").toString
-    t(s, dir, "lineitem").write.mode("overwrite")
+    t(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .write.mode("overwrite")
       .partitionBy("l_returnflag").parquet(tmp)
     s.read.parquet(tmp).filter(col("l_returnflag") === "R")
       .groupBy("l_linestatus")
@@ -1354,7 +1356,9 @@ object Queries {
   private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     dropManaged(s, "graft_q24_orders")
     dropManaged(s, "graft_q24_lineitem")
-    t(s, dir, "orders").write.mode("overwrite").format("parquet")
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_q24_orders")
     t(s, dir, "lineitem")
