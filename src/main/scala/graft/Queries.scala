@@ -1490,6 +1490,66 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // aq13_map_fns — map-typed columns (§2.7): JSON props parsed into a
+  // map<string,int>, then key access / size / key-set ops. The oracle
+  // replays the same values through DuckDB's JSON functions.
+  register(
+    "aq13_map_fns",
+    """SELECT event_type,
+      |       sum(json_extract(props, '$.k')::int)::bigint AS sum_k,
+      |       max(len(json_keys(props)))::bigint AS max_msize,
+      |       min(array_to_string(json_keys(props), ',')) AS keys_csv,
+      |       count(*) FILTER (WHERE json_extract(props, '$.k')::int > 50) AS n_high
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), lit("map<string,int>")).as("m"))
+      .groupBy("event_type")
+      .agg(
+        sum(element_at(col("m"), "k")).cast("bigint").as("sum_k"),
+        max(size(col("m"))).cast("bigint").as("max_msize"),
+        min(concat_ws(",", map_keys(col("m")))).as("keys_csv"),
+        count(when(element_at(col("m"), "k") > 50, 1)).as("n_high"))
+      .orderBy("event_type")
+  }
+
+  // q25_multiformat_source — JSON-lines and CSV sources inside the
+  // correctness gate (SURVEY §2.2 FileProxy formats): the events table is
+  // exported to both formats, read back with explicit schemas, unioned,
+  // and aggregated; the oracle reads the parquet twice. Exercises schema
+  // application + type coercion on text-based sources, where silent
+  // parse drift would corrupt values.
+  register(
+    "q25_multiformat_source",
+    """WITH both_reads AS (
+      |  SELECT event_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT event_id, event_type, value FROM events
+      |)
+      |SELECT event_type, count(*) AS n,
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS total_value
+      |FROM both_reads
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q25").toString
+    val base = t(s, dir, "events").select("event_id", "event_type", "value")
+    base.write.mode("overwrite").json(s"$tmp/json")
+    base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    val schema = "event_id bigint, event_type string, value double"
+    val fromJson = s.read.schema(schema).json(s"$tmp/json")
+    val fromCsv = s.read.schema(schema).option("header", "true").csv(s"$tmp/csv")
+    fromJson.unionByName(fromCsv)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
   // st2_stream_sliding — sliding event-time windows (1h window / 30m
   // slide) through Structured Streaming; every event lands in exactly two
   // windows. The oracle replays the window assignment with µs-epoch

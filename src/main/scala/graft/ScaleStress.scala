@@ -17,6 +17,13 @@ object ScaleStress {
     time("lsh_1x")(operators.Dedup.minhashLshPairs(dup(1), "doc_id", "text", threshold = 0.8).count())
     time("lsh_4x")(operators.Dedup.minhashLshPairs(dup(4), "doc_id", "text", threshold = 0.8).count())
     time("simhash_4x")(operators.Dedup.simhashPairs(dup(4), "doc_id", "text").count())
+    // connected components over the 4x pair graph: cross-replica
+    // identical docs chain the replicas together, so cluster count and
+    // membership decompose predictably
+    time("clusters_1x")(operators.Dedup.duplicateClusters(
+      operators.Dedup.minhashLshPairs(dup(1), "doc_id", "text", threshold = 0.8)).count())
+    time("clusters_4x")(operators.Dedup.duplicateClusters(
+      operators.Dedup.minhashLshPairs(dup(4), "doc_id", "text", threshold = 0.8)).count())
     spark.stop()
   }
 }
