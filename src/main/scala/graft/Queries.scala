@@ -1550,6 +1550,82 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // q26_correlated_min — correlated scalar-AGGREGATE subquery (TPC-H
+  // Q2/Q17 shape): Catalyst decorrelates it into an aggregate + join
+  // instead of a per-row re-scan. Equality on the raw double is safe —
+  // both engines compare the same stored values.
+  private val q26Sql =
+    """SELECT l_partkey, l_suppkey, l_extendedprice
+      |FROM lineitem l1
+      |WHERE l_partkey < 500
+      |  AND l_extendedprice = (SELECT min(l_extendedprice)
+      |                         FROM lineitem l2
+      |                         WHERE l2.l_partkey = l1.l_partkey)
+      |ORDER BY l_partkey, l_suppkey, l_extendedprice""".stripMargin
+  register("q26_correlated_min", q26Sql) { (s, dir) =>
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q26Sql)
+  }
+
+  // aq14_range_frame — RANGE window frame (value-based, not row-based):
+  // the frame is defined by quantity offsets, so tied order keys get
+  // identical frames and the result is deterministic without a unique
+  // tie-break.
+  register(
+    "aq14_range_frame",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |       sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+      |         PARTITION BY l_returnflag ORDER BY l_quantity
+      |         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)::double AS qty_band_sum
+      |FROM lineitem
+      |WHERE l_orderkey < 400
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      .rangeBetween(-5, Window.currentRow)
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 400)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        sum(col("l_quantity").cast("decimal(18,4)")).over(w)
+          .cast("double").as("qty_band_sum"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // q27_sql_kernels — the native Catalyst kernels through their SQL
+  // registration (GraftExtensions): shingle and signature arities land in
+  // plain SQL text. The oracle recomputes shingle counts relationally;
+  // signature lengths are structural.
+  register(
+    "q27_sql_kernels",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       greatest(len(tk) - 2, 0)::int AS n_shingles_with_dups,
+      |       len(list_distinct(list_transform(
+      |         range(greatest(len(tk) - 2, 0)),
+      |         i -> array_to_string(tk[i+1:i+3], ' '))))::int AS n_shingles,
+      |       CASE WHEN len(tk) >= 3 THEN 64 ELSE 0 END AS sig_len
+      |FROM toks
+      |WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    GraftExtensions.register(s)
+    t(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(
+      """SELECT doc_id,
+        |       greatest(size(split(trim(lower(text)), '\\s+')) - 2, 0) AS n_shingles_with_dups,
+        |       size(word_shingles(text, 3)) AS n_shingles,
+        |       CASE WHEN size(word_shingles(text, 3)) > 0
+        |            THEN size(minhash_sig(word_shingles(text, 3), 64))
+        |            ELSE 0 END AS sig_len
+        |FROM documents
+        |WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   // st2_stream_sliding — sliding event-time windows (1h window / 30m
   // slide) through Structured Streaming; every event lands in exactly two
   // windows. The oracle replays the window assignment with µs-epoch
