@@ -1712,6 +1712,42 @@ object Queries {
     s.table(qn).orderBy("click_id", "purchase_id")
   }}
 
+  // st5_stream_dedup — streaming dropDuplicates (the exactly-once
+  // ingestion guard): the events stream is read TWICE (union) so every
+  // event arrives duplicated, then deduplicated on event_id before a
+  // complete-mode aggregation. The oracle aggregates the events table
+  // once. In production the dedup state is bounded by a watermark
+  // (dropDuplicatesWithinWatermark); the bounded drain here keeps full
+  // state.
+  register(
+    "st5_stream_dedup",
+    """SELECT event_type, count(*) AS n,
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    def read() = graft.streaming.StreamRunner
+      .parquetStream(s, s"$dir/events.parquet", maxFilesPerTrigger = 1)
+      .select("event_id", "event_type", "value")
+    val doubled = read().union(read())
+    val agg = doubled
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_value"))
+    val qn = s"st5_out_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn).orderBy("event_type")
+  }}
+
   // st4_stateful_sessions — the custom per-key state machine
   // (flatMapGroupsWithState, event-time timeouts) producing COMPLETE
   // session summaries, oracled against the batch sessionization SQL.
