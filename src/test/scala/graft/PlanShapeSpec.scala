@@ -132,6 +132,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("aq1 as-of join is a single shuffle (union-sort formulation)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("aq1_asof_join")(spark, sf)
+    df.collect()
+    val shuffles = deepNodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    // one shuffle on user_id for the as-of itself + the output sort
+    assert(shuffles <= 2, s"as-of join plan has $shuffles shuffles")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // the tree string marks codegen stages with "*(n)"
     val p = plan("q1_agg")

@@ -80,6 +80,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) == 10L))
   }
 
+  test("banded simhash search finds EVERY pair within maxDist (seeded differential)") {
+    // seeded corpus of near-duplicate sentences: base phrases + small
+    // perturbations so signatures cluster at assorted Hamming distances
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0 until 8).map(_ =>
+      Vector.fill(12)(words(rnd.nextInt(words.size))))
+    val docs = (0 until 120).map { i =>
+      val b = base(rnd.nextInt(base.size)).toArray
+      // perturb 0-2 positions
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = words(rnd.nextInt(words.size))
+      }
+      (i.toLong, b.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val maxDist = 3
+    val got = Dedup.simhashPairs(df, "doc_id", "text", maxDist = maxDist)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // local brute force over the same signatures
+    val sigs = df.select(col("doc_id"), Dedup.simhash64(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= maxDist
+    } yield (sigs(i)._1, sigs(j)._1)).toSet
+    assert(want.nonEmpty, "test corpus produced no near pairs")
+    assert(got == want)
+  }
+
   test("cosine is 1 for identical vectors, 0 for orthogonal") {
     val d = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
