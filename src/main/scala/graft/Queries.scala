@@ -1790,6 +1790,7 @@ object Queries {
       import s.implicits._
       val schema = Seq(StatefulOps.EventIn(0L, 0L, 0.0)).toDF().schema
       val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
         .parquet(s"$in/*").as[StatefulOps.EventIn]
       val q = StatefulOps.sessionizeStream(stream, gapUs).toDF()
         .writeStream.outputMode("append").format("parquet")
@@ -1800,17 +1801,29 @@ object Queries {
     }
 
     // batch 1: the real corpus, shaped into EventIn (value scaled to an
-    // exact integer in a double)
+    // exact integer in a double); batch 2: a sentinel at 2030-01-01 that
+    // closes every real session. Both staged up-front — maxFilesPerTrigger
+    // =1 splits them into ordered micro-batches (FileStreamSource orders
+    // by modification time, pinned explicitly), the watermark advances
+    // between them, and the engine's final flush batch emits the
+    // timed-out sessions — ONE query lifecycle instead of two.
     t(s, dir, "events").select(col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
         (col("value").cast("decimal(18,4)") * 10000)
           .cast("long").cast("double").as("value"))
       .coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
-    drain()
-    // batch 2: sentinel at 2030-01-01 closes every real session
     import s.implicits._
     Seq(StatefulOps.EventIn(-1L, 1893456000L * 1000000L, 0.0))
       .toDF().coalesce(1).write.parquet(s"$in/b2")
+    val now = System.currentTimeMillis()
+    def touch(d: String, t: Long): Unit = {
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.walk(p).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(t)))
+    }
+    touch(s"$in/b1", now - 60000)
+    touch(s"$in/b2", now)
     drain()
 
     s.read.parquet(out).filter(col("user_id") >= 0)
