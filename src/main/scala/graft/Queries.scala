@@ -1748,6 +1748,53 @@ object Queries {
     s.table(qn).orderBy("event_type")
   }}
 
+  // st6_stream_pipeline — the Pointy DSL running per micro-batch
+  // (StreamRunner.runPipelinePerBatch = the reference's BatchPipeline at
+  // cluster scale): the corpus is split into 3 files → 3 micro-batches,
+  // each runs Clean |-> Summarize |-> Save, partial per-batch aggregates
+  // land in a parquet sink and are combined — the classic partial/final
+  // shape, so the result equals the one-shot batch oracle exactly
+  // (counts and DECIMAL sums are associative).
+  register(
+    "st6_stream_pipeline",
+    """SELECT event_type, count(*) AS n,
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS total_value
+      |FROM events
+      |WHERE value >= 0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    import graft.core._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st6").toString
+    t(s, dir, "events").select("event_type", "value")
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val outDir = s"$tmp/out"
+    val reg = new EventRegistry
+    reg.registerTransform("Clean") { ctx =>
+      ctx.input[DataFrame]("batch").filter(col("value") >= 0)
+    }
+    reg.registerTransform("Summarize") { ctx =>
+      ctx.previousContent.get.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("sv"))
+    }
+    reg.registerTransform("Save") { ctx =>
+      val d = ctx.previousContent.get
+      d.write.mode("append").parquet(outDir)
+      d
+    }
+    val stream = graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1)
+    val q = graft.streaming.StreamRunner.runPipelinePerBatch(stream,
+      () => Pipeline.fromPointy("st6", "Clean |-> Summarize |-> Save", reg),
+      s"$tmp/ckpt")
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .groupBy("event_type")
+      .agg(sum("n").cast("bigint").as("n"),
+        round(sum("sv"), 2).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }}
+
   // st4_stateful_sessions — the custom per-key state machine
   // (flatMapGroupsWithState, event-time timeouts) producing COMPLETE
   // session summaries, oracled against the batch sessionization SQL.
