@@ -29,6 +29,26 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Scratch space for queries that stage data (partitioned/bucketed
+    * sinks, stream inputs): one root per JVM, deleted on exit so
+    * repeated Verify/Bench runs don't accumulate table copies in /tmp. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f =>
+            try java.nio.file.Files.delete(f)
+            catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    }))
+    p
+  }
+
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   /** Stateful streaming queries allocate one state store per shuffle
     * partition per stateful operator; for the single-file local source
     * that is pure checkpoint overhead. Size the stream's partitioning to
@@ -1313,7 +1333,7 @@ object Queries {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
   ) { (s, dir) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q23").toString
+    val tmp = scratchDir("q23")
     t(s, dir, "lineitem")
       .select("l_returnflag", "l_linestatus", "l_quantity")
       .write.mode("overwrite")
@@ -1509,10 +1529,12 @@ object Queries {
         from_json(col("props"), lit("map<string,int>")).as("m"))
       .groupBy("event_type")
       .agg(
-        sum(element_at(col("m"), "k")).cast("bigint").as("sum_k"),
+        // try_element_at: ANSI mode makes plain element_at THROW on an
+        // absent key; the oracle's json_extract yields NULL instead
+        sum(try_element_at(col("m"), lit("k"))).cast("bigint").as("sum_k"),
         max(size(col("m"))).cast("bigint").as("max_msize"),
         min(concat_ws(",", map_keys(col("m")))).as("keys_csv"),
-        count(when(element_at(col("m"), "k") > 50, 1)).as("n_high"))
+        count(when(try_element_at(col("m"), lit("k")) > 50, 1)).as("n_high"))
       .orderBy("event_type")
   }
 
@@ -1535,7 +1557,7 @@ object Queries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
   ) { (s, dir) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q25").toString
+    val tmp = scratchDir("q25")
     val base = t(s, dir, "events").select("event_id", "event_type", "value")
     base.write.mode("overwrite").json(s"$tmp/json")
     base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
@@ -1765,7 +1787,7 @@ object Queries {
       |ORDER BY event_type""".stripMargin
   ) { (s, dir) => withStreamPartitions(s, 8) {
     import graft.core._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-st6").toString
+    val tmp = scratchDir("st6")
     t(s, dir, "events").select("event_type", "value")
       .repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
     val outDir = s"$tmp/out"
@@ -1829,7 +1851,7 @@ object Queries {
       |ORDER BY user_id, start_us""".stripMargin
   ) { (s, dir) => withStreamPartitions(s, 8) {
     import graft.streaming.StatefulOps
-    val tmp = java.nio.file.Files.createTempDirectory("graft-st4").toString
+    val tmp = scratchDir("st4")
     val (in, out, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
     val gapUs = 1800000000L
 

@@ -80,6 +80,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) == 10L))
   }
 
+  test("oversized LSH buckets fall back to the spillable self-join with identical pairs") {
+    // 30 near-identical docs all landing in the same buckets: cap=4
+    // forces the big-bucket self-join path; results must not change
+    val d = (0 until 30).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val inMem = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val spilled = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3,
+        maxBucketInMemory = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inMem == spilled)
+    assert(inMem.size == 30 * 29 / 2) // identical docs: every pair at dist 0
+  }
+
+  test("duplicateClusters refuses a non-converged result") {
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(pairs, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("banded simhash search finds EVERY pair within maxDist (seeded differential)") {
     // seeded corpus of near-duplicate sentences: base phrases + small
     // perturbations so signatures cluster at assorted Hamming distances
