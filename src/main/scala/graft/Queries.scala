@@ -1572,6 +1572,107 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // aq15_stratified_sample — deterministic PER-GROUP sampling rates
+  // (downsample overrepresented classes, keep rare ones): the same
+  // md5-bucket machinery as aq3_split, with the rate chosen by group.
+  // Reproducible on any engine/cluster — the oracle recomputes the
+  // assignment, not just the counts.
+  register(
+    "aq15_stratified_sample",
+    """WITH s AS (
+      |  SELECT l_returnflag, l_quantity,
+      |         ('0x' || substr(md5('strat' || (l_orderkey * 10 + l_linenumber)::varchar), 1, 8))::bigint % 1000 AS b,
+      |         CASE l_returnflag WHEN 'R' THEN 200 WHEN 'A' THEN 500 ELSE 800 END AS rate
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag, count(*) AS n,
+      |       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::double AS sum_qty
+      |FROM s WHERE b < rate
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    val id = col("l_orderkey") * 10 + col("l_linenumber")
+    val b = graft.operators.Sampling.hashBucket(id, "strat", 1000)
+    val rate = when(col("l_returnflag") === "R", 200)
+      .when(col("l_returnflag") === "A", 500).otherwise(800)
+    t(s, dir, "lineitem")
+      .filter(b < rate)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // aq16_asof_tolerance — as-of join with a max-gap tolerance, composed
+  // from the base operator (the right-side event time rides along as a
+  // value column; gaps beyond the tolerance null out). Oracle: correlated
+  // max-subquery + the same CASE.
+  register(
+    "aq16_asof_tolerance",
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'
+      |), j AS (
+      |  SELECT p.event_id, p.user_id, p.ts_us,
+      |         (SELECT max(c.ts_us) FROM c
+      |          WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us) AS last_click_us
+      |  FROM p
+      |)
+      |SELECT event_id, user_id, ts_us,
+      |       CASE WHEN last_click_us IS NOT NULL AND ts_us - last_click_us <= 600000000
+      |            THEN ts_us - last_click_us END AS gap_us
+      |FROM j
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("ts_us").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    graft.operators.AsOf.asOfJoin(purchases, clicks,
+        "user_id", "ts_us", Seq("c_ts"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("asof_c_ts").isNotNull &&
+          col("ts_us") - col("asof_c_ts") <= 600000000L,
+          col("ts_us") - col("asof_c_ts")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  // tq5_ngram_topk — corpus-level top-k bigrams (vocabulary/contamination
+  // probes): sliding bigrams via two array slices zipped (codegen, no
+  // interpreted lambda), global count, rank with lexicographic tie-break.
+  register(
+    "tq5_ngram_topk",
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), bg AS (
+      |  SELECT unnest(list_transform(range(len(tk) - 1),
+      |    i -> tk[i+1] || ' ' || tk[i+2])) AS bigram
+      |  FROM toks WHERE len(tk) >= 2
+      |)
+      |SELECT bigram, count(*) AS n
+      |FROM bg
+      |GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val tk = graft.functions.TextFunctions.wsTokens(lower(col("text")))
+    t(s, dir, "documents")
+      .select(tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("z"))
+      .select(concat_ws(" ", col("z.0"), col("z.1")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
   // q26_correlated_min — correlated scalar-AGGREGATE subquery (TPC-H
   // Q2/Q17 shape): Catalyst decorrelates it into an aggregate + join
   // instead of a per-row re-scan. Equality on the raw double is safe —
