@@ -1572,6 +1572,43 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // q28_retry_pipeline — §2.8 reliability in the oracle gate: the Fetch
+  // stage throws on its first attempt every run and is healed by the
+  // DSL's `* 3` retry factor (zero backoff so the heal is free); the
+  // final result must be indistinguishable from a run that never failed.
+  register(
+    "q28_retry_pipeline",
+    """SELECT event_type, count(*) AS n,
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS total_value
+      |FROM events
+      |WHERE value > 90
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import graft.core._
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reg = new EventRegistry
+    reg.register("Fetch",
+        retry = Some(RetryPolicy(maxAttempts = 3, backoffFactor = 0))) { ctx =>
+      if (attempts.getAndIncrement() == 0)
+        throw new RuntimeException("transient fetch failure (deliberate)")
+      (true, t(ctx.spark, dir, "events"))
+    }
+    reg.registerTransform("HighValue") { ctx =>
+      ctx.previousContent.get.filter(col("value") > 90)
+    }
+    reg.registerTransform("Summarize") { ctx =>
+      ctx.previousContent.get.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("total_value"))
+        .orderBy("event_type")
+    }
+    Pipeline.fromPointy("q28", "Fetch * 3 |-> HighValue |-> Summarize", reg)
+      .start(s).finalResult.content
+      .getOrElse(sys.error("retry pipeline produced no content"))
+  }
+
   // aq15_stratified_sample — deterministic PER-GROUP sampling rates
   // (downsample overrepresented classes, keep rare ones): the same
   // md5-bucket machinery as aq3_split, with the rate chosen by group.
