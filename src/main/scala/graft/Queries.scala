@@ -802,6 +802,40 @@ object Queries {
     Dedup.duplicateClusters(pairs).orderBy("doc_id")
   }
 
+  // dq7_neardup_survivors — the end of the near-dup story: keep one
+  // canonical doc per cluster (the min id) and everything unclustered,
+  // then summarize the surviving corpus. Composes LSH pairs → connected
+  // components → anti-join; the oracle replays it with the recursive
+  // closure.
+  register(
+    "dq7_neardup_survivors",
+    s"""WITH RECURSIVE ${jaccardPairsCtes(0.8)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM dup
+       |  UNION ALL SELECT id_b, id_a FROM dup
+       |), reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+       |), comp AS (
+       |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT count(*) AS n_docs_kept,
+       |       sum(length(text))::bigint AS total_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != cluster_id)""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    val losers = Dedup.duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(length(col("text"))).cast("bigint").as("total_chars"))
+  }
+
   // sq1_knn_bruteforce — exact cosine top-5 for the 10 lowest-id query
   // vectors: broadcast queries over the corpus, per-query top-k window.
   register(
