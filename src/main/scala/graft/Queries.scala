@@ -802,6 +802,34 @@ object Queries {
     Dedup.duplicateClusters(pairs).orderBy("doc_id")
   }
 
+  // dq8_containment — directional near-containment (|A∩B|/|A| >= 0.9):
+  // the excerpt-of-larger-doc duplicates symmetric Jaccard misses.
+  register(
+    "dq8_containment",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, round(inter::double / sa.n, 4) AS containment
+      |FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+      |WHERE round(inter::double / sa.n, 4) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
   // dq7_neardup_survivors — the end of the near-dup story: keep one
   // canonical doc per cluster (the min id) and everything unclustered,
   // then summarize the surviving corpus. Composes LSH pairs → connected

@@ -62,6 +62,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.collect().toSet == exact.collect().toSet)
   }
 
+  test("containmentPairs catches an excerpt inside a larger doc that Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = small + " " + (1 to 40).map(i => s"filler$i word$i extra$i").mkString(" ")
+    val d = Seq((1L, small), (2L, big), (3L, "completely unrelated text here now"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont.contains((1L, 2L)))    // the excerpt IS contained
+    assert(!cont.contains((2L, 1L)))   // the container is not
+    val jac = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))    // symmetric Jaccard misses it
+  }
+
   test("duplicateClusters labels components with min id and sizes") {
     // chain 1-2-3 (transitive, NOT a clique) + isolated pair 10-11
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
