@@ -18,7 +18,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // context for reading `total` across rounds: the query set GROWS with
+    // coverage, so per-query stats are the comparable signal
+    val sorted = results.map(_._2).sorted
+    def pct(p: Double): Double =
+      if (sorted.isEmpty) 0.0 else sorted(((sorted.size - 1) * p).toInt)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""n_queries":${results.size},"median_sec":${pct(0.5)},""" +
+      s""""p90_sec":${pct(0.9)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
