@@ -1634,6 +1634,42 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // q29_resultset_setops — ResultSet union-by-id / discard-by-id at
+  // DataFrame scale (§2.6 set ops): high-value ∪ urgent orders merged by
+  // key (right wins — same source rows, so OR semantics for the oracle),
+  // then finished high-value orders discarded.
+  register(
+    "q29_resultset_setops",
+    """WITH merged AS (
+      |  SELECT * FROM orders
+      |  WHERE o_totalprice > 150000 OR o_orderpriority = '1-URGENT'
+      |), final AS (
+      |  SELECT * FROM merged WHERE o_orderkey NOT IN (
+      |    SELECT o_orderkey FROM orders
+      |    WHERE o_orderstatus = 'F' AND o_totalprice > 150000)
+      |)
+      |SELECT o_orderpriority, count(*) AS n,
+      |       round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::double AS total_price
+      |FROM final
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  ) { (s, dir) =>
+    import graft.query.ResultSet
+    val orders = t(s, dir, "orders")
+    val high = orders.filter(col("o_totalprice") > 150000)
+    val urgent = ResultSet.filterDf(orders, "o_orderpriority" -> "1-URGENT")
+    val gone = orders.filter(col("o_orderstatus") === "F" &&
+      col("o_totalprice") > 150000)
+    ResultSet.discardById(
+        ResultSet.unionById(high, urgent, Seq("o_orderkey")),
+        gone, Seq("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
   // q28_retry_pipeline — §2.8 reliability in the oracle gate: the Fetch
   // stage throws on its first attempt every run and is healed by the
   // DSL's `* 3` retry factor (zero backoff so the heal is free); the

@@ -105,6 +105,21 @@ object ResultSet {
   def filterDf(df: DataFrame, filters: (String, Any)*): DataFrame =
     df.filter(FilterDsl.compileAll(df, filters))
 
+  /** DataFrame analog of `ResultSet.add`: union by id, RIGHT side wins
+    * on collisions (dict.update semantics, nexus/result.py:210-221).
+    * One anti-join + union — the winning side never passes through a
+    * dedup shuffle. */
+  def unionById(left: DataFrame, right: DataFrame,
+      idCols: Seq[String]): DataFrame =
+    left.join(right.select(idCols.map(col): _*), idCols, "left_anti")
+      .unionByName(right)
+
+  /** DataFrame analog of `ResultSet.discard(other)`: drop rows whose id
+    * appears in `gone` (nexus/result.py:228-238). */
+  def discardById(df: DataFrame, gone: DataFrame,
+      idCols: Seq[String]): DataFrame =
+    df.join(gone.select(idCols.map(col): _*), idCols, "left_anti")
+
   def filterColumn(df: DataFrame, filters: (String, Any)*): Column =
     FilterDsl.compileAll(df, filters)
 }

@@ -80,4 +80,17 @@ class FilterDslSpec extends AnyFunSuite {
     assert(rs.add(r1).size == 2) // id-merge, no dup
     assert(rs.filterByEvent("e2").size == 1) // case-insensitive
   }
+
+  test("unionById: right wins on id collision; discardById removes by key") {
+    import spark.implicits._
+    val a = Seq((1, "a1"), (2, "a2")).toDF("id", "v")
+    val b = Seq((2, "b2"), (3, "b3")).toDF("id", "v")
+    val u = ResultSet.unionById(a, b, Seq("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(u == Map(1 -> "a1", 2 -> "b2", 3 -> "b3")) // dict.update: b wins
+    val d = ResultSet.discardById(ResultSet.unionById(a, b, Seq("id")),
+        Seq(Tuple1(2)).toDF("id"), Seq("id"))
+      .collect().map(_.getInt(0)).toSet
+    assert(d == Set(1, 3))
+  }
 }
