@@ -1634,6 +1634,42 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // q30_session_window — Spark's BUILT-IN session_window (gap-merged
+  // event-time sessions) in batch mode, against the same manual
+  // lag/cumsum sessionization SQL that oracles q11/st4. Sessions with
+  // boundary events exactly 30min apart stay merged on both sides
+  // (gap comparison is strict > on the oracle, <= gap merges here).
+  register(
+    "q30_session_window",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |), marked AS (
+      |  SELECT user_id, ts_us,
+      |         CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+      |              OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+      |), sessions AS (
+      |  SELECT user_id, ts_us,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked
+      |)
+      |SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(unix_micros(col("ts"))))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
   // q29_resultset_setops — ResultSet union-by-id / discard-by-id at
   // DataFrame scale (§2.6 set ops): high-value ∪ urgent orders merged by
   // key (right wins — same source rows, so OR semantics for the oracle),
