@@ -939,6 +939,38 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // sq3_mean_pool — element-wise mean pooling (centroid per group) as a
+  // pure relational plan: posexplode to (group, dim, value), two-level
+  // aggregate, norm of the pooled vector. The shape that computes class
+  // centroids / mean embeddings at any scale without ever holding a
+  // vector-of-vectors in one buffer. avg/norm are double (residual
+  // rounding-boundary risk accepted, as with aq8).
+  register(
+    "sq3_mean_pool",
+    """WITH e AS (
+      |  SELECT vec_id % 10 AS g, unnest(embedding) AS v,
+      |         generate_subscripts(embedding, 1) - 1 AS dim
+      |  FROM embeddings
+      |), mean_d AS (
+      |  SELECT g, dim, avg(v::double) AS m, count(*) AS n
+      |  FROM e GROUP BY g, dim
+      |)
+      |SELECT g, min(n)::bigint AS n_vecs,
+      |       round(sqrt(sum(m * m)), 4) AS mean_norm
+      |FROM mean_d
+      |GROUP BY g
+      |ORDER BY g""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "embeddings")
+      .select((col("vec_id") % 10).as("g"), posexplode(col("embedding")))
+      .groupBy(col("g"), col("pos").as("dim"))
+      .agg(avg(col("col").cast("double")).as("m"), count(lit(1)).as("n"))
+      .groupBy("g")
+      .agg(min(col("n")).cast("bigint").as("n_vecs"),
+        round(sqrt(sum(col("m") * col("m"))), 4).as("mean_norm"))
+      .orderBy("g")
+  }
+
   // =====================================================================
   // As-of / range joins, deterministic splits, TF-IDF
   // =====================================================================
