@@ -71,7 +71,11 @@ object CurationPipeline {
     }
 
     reg.registerTransform("Finalize") { ctx =>
-      ctx.previousContent.get
+      val in = ctx.previousContent.get
+      // the sink runs after EITHER branch: a rejected run's "summary"
+      // is the alert itself, not a split rollup
+      if (in.columns.contains("alert")) in
+      else in
         .groupBy("split")
         .agg(
           count(lit(1)).as("n_docs"),
