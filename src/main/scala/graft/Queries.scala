@@ -1519,6 +1519,43 @@ object Queries {
       .orderBy("media_id", "frame_no")
   }
 
+  // mm4_audio_envelope — the audio modality in the gate: per-chunk mean
+  // amplitude envelopes from the batched kernel, replayed by the oracle
+  // as chunk-means over the ASCII byte values (the corpus is ASCII, so
+  // char codes ARE the payload bytes). Frames beyond the payload stay 0.
+  register(
+    "mm4_audio_envelope",
+    """WITH a AS (
+      |  SELECT doc_id AS media_id, text,
+      |         greatest(length(text) // 32, 1) AS w
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), ch AS (
+      |  SELECT media_id, w, unnest(range(0, length(text))) AS i, text
+      |  FROM a
+      |), b AS (
+      |  SELECT media_id, (i // w)::int AS frame_no,
+      |         ascii(substring(text, (i + 1)::int, 1)) AS v
+      |  FROM ch WHERE i // w < 32
+      |), frames AS (
+      |  SELECT media_id, unnest(range(0, 32))::int AS frame_no FROM a
+      |)
+      |SELECT f.media_id, f.frame_no,
+      |       round(coalesce(avg(b.v), 0.0), 4) AS amp
+      |FROM frames f LEFT JOIN b
+      |  ON f.media_id = b.media_id AND f.frame_no = b.frame_no
+      |GROUP BY f.media_id, f.frame_no
+      |ORDER BY f.media_id, f.frame_no""".stripMargin
+  ) { (s, dir) =>
+    val media = graft.multimodal.Multimodal
+      .mediaFromDocuments(t(s, dir, "documents"))
+    graft.multimodal.Multimodal.resampleAudio(media, frames = 32)
+      .toDF()
+      .select(col("media_id"), posexplode(col("envelope")))
+      .select(col("media_id"), col("pos").as("frame_no"),
+        round(col("col"), 4).as("amp"))
+      .orderBy("media_id", "frame_no")
+  }
+
   // =====================================================================
   // Round 2 additions: subqueries, grouping sets, array functions,
   // sliding-window streaming parity

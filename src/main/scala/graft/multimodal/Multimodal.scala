@@ -162,6 +162,29 @@ object Multimodal {
       }
   }
 
+  final case class AudioEnvelope(media_id: Long, sample_rate: Int,
+      envelope: Array[Double])
+
+  /** Audio resample: each audio row becomes a fixed-width amplitude
+    * envelope (stub decode, real batched-kernel plumbing). Output feeds
+    * fixed-width downstream ops (similarity, quality gates) directly. */
+  def resampleAudio(media: DataFrame, frames: Int = 32): Dataset[AudioEnvelope] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("bytes"),
+        col("meta.sample_rate").as("sample_rate"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        mapBatches(it, KernelBatchSize) { batch =>
+          batch.iterator.map { case (id, bytes, sr) =>
+            AudioEnvelope(id, sr,
+              FakeCodec.decodeAudio(Option(bytes).getOrElse(Array.empty), frames))
+          }
+        }
+      }
+  }
+
   /** Frame sampling for video rows: every `stride`-th fixed-size chunk of
     * the payload becomes a frame (flatMap — one row in, many out). */
   def sampleFrames(

@@ -69,4 +69,19 @@ class MultimodalSpec extends AnyFunSuite {
     val vids = media.filter(col("kind") === "video").count()
     assert(byId.size.toLong == vids)
   }
+
+  test("audio resample yields one fixed-width envelope per audio row") {
+    val env = Multimodal.resampleAudio(media, frames = 32).collect()
+    assert(env.length ==
+      media.filter(col("kind") === "audio").count())
+    env.take(10).foreach { e =>
+      assert(e.envelope.length == 32)
+      assert(e.envelope.forall(v => v >= 0.0 && v <= 255.0))
+      assert(e.sample_rate == 16000)
+    }
+    // deterministic across partitionings
+    val env2 = Multimodal.resampleAudio(media.repartition(7), frames = 32)
+      .collect().map(e => e.media_id -> e.envelope.toSeq).toMap
+    assert(env.forall(e => env2(e.media_id) == e.envelope.toSeq))
+  }
 }
