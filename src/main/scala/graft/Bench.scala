@@ -10,7 +10,12 @@ object Bench {
     // tiny end-to-end action through parquet + agg + shuffle machinery
     Tables.load(spark, sfDir, "region").groupBy("r_name").count().count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only filter for targeted profiling: SPARK_GRAFT_ONLY=dq6,dq7
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -21,8 +26,11 @@ object Bench {
     // context for reading `total` across rounds: the query set GROWS with
     // coverage, so per-query stats are the comparable signal
     val sorted = results.map(_._2).sorted
+    // nearest-rank with rounding (a floored index reports ~p89 for p90
+    // at n=73 and biases the median low on even n)
     def pct(p: Double): Double =
-      if (sorted.isEmpty) 0.0 else sorted(((sorted.size - 1) * p).toInt)
+      if (sorted.isEmpty) 0.0
+      else sorted(math.round((sorted.size - 1) * p).toInt)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"median_sec":${pct(0.5)},""" +
       s""""p90_sec":${pct(0.9)},"sf":"$sfDir"}""")

@@ -85,6 +85,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("duplicateClusters of an empty pair set is an empty cluster set") {
+    // a perfectly clean corpus produces zero pairs — must not NPE on
+    // the null decimal sum of an empty labels frame
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
+    assert(out.count() == 0L)
+  }
+
   test("duplicateClusters converges on a long path graph") {
     // path 0-1-...-9: worst case for label propagation (diameter 9)
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
