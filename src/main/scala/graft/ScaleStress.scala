@@ -24,6 +24,20 @@ object ScaleStress {
       operators.Dedup.minhashLshPairs(dup(1), "doc_id", "text", threshold = 0.8)).count())
     time("clusters_4x")(operators.Dedup.duplicateClusters(
       operators.Dedup.minhashLshPairs(dup(4), "doc_id", "text", threshold = 0.8)).count())
+    // skewed-shingle containment stress: corpus + a 2000-copy template
+    // family (every family shingle df>=2000 → uncapped candidate volume
+    // quadratic in family size). The df cap must keep time flat relative
+    // to the clean corpus; the family's pairs are exact dups that the
+    // upstream exact-dedup stage owns.
+    val template = spark.range(2000).select(
+      (col("id") + 9000000L).as("doc_id"),
+      lit("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua").as("text"))
+    time("containment_clean")(operators.Dedup.containmentPairs(
+      dup(1), "doc_id", "text", threshold = 0.9).count())
+    time("containment_skew_capped")(operators.Dedup.containmentPairs(
+      dup(1).union(template), "doc_id", "text", threshold = 0.9,
+      maxShingleDf = Some(1000)).count())
     spark.stop()
   }
 }

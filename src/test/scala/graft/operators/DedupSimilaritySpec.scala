@@ -85,6 +85,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("containmentPairs df cap bounds a boilerplate family without losing rare-shingle pairs") {
+    // 30 byte-identical template docs (every shingle df=30) + an
+    // excerpt genuinely contained in a larger unique doc. cap=10:
+    // the template family's quadratic, non-discriminative pairs are
+    // dropped (exact dedup upstream owns those); the rare pair stays.
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    val base = "unique alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((1 to 30).map(i => (100L + i, template)) ++
+      Seq((1L, base), (2L, base + " extra trailing context words here")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.9, maxShingleDf = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)))
+    assert(capped.forall { case (a, b) => a < 100L && b < 100L })
+    val uncapped = Dedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.9, maxShingleDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)))
+    // template family: all 30*29 directed pairs present without the cap
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } == 30 * 29)
+  }
+
   test("duplicateClusters of an empty pair set is an empty cluster set") {
     // a perfectly clean corpus produces zero pairs — must not NPE on
     // the null decimal sum of an empty labels frame
