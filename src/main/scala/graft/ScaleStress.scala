@@ -38,6 +38,31 @@ object ScaleStress {
     time("containment_skew_capped")(operators.Dedup.containmentPairs(
       dup(1).union(template), "doc_id", "text", threshold = 0.9,
       maxShingleDf = Some(1000)).count())
+    // embedding LSH scaling: replicas of the corpus with one 16-element
+    // block negated per replica (cross-replica cosine ~0.5 — below the
+    // 0.9 threshold) plus a near-identical perturbed copy per vector.
+    // Qualifying pairs grow LINEARLY with corpus size, so time and
+    // output growth measure LSH candidate discrimination, not output.
+    val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select("vec_id", "embedding")
+    def edup(k: Int) = (0 until k).map { i =>
+      val flipped = if (i == 0) col("embedding") else
+        concat(
+          slice(col("embedding"), 1, (i - 1) * 16),
+          transform(slice(col("embedding"), (i - 1) * 16 + 1, 16),
+            x => (-x).cast("float")),
+          slice(col("embedding"), i * 16 + 1, 10000))
+      emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        flipped.as("embedding"))
+    }.reduce(_ unionByName _)
+    def withPert(df: org.apache.spark.sql.DataFrame) =
+      df.unionByName(df.select((col("vec_id") + lit(100000000L)).as("vec_id"),
+        concat(array((element_at(col("embedding"), 1) * lit(1.5)).cast("float")),
+          slice(col("embedding"), 2, 10000)).as("embedding")))
+    time("embed_lsh_1x")(operators.Similarity.nearDupPairs(
+      withPert(edup(1)), "vec_id", "embedding", 0.9, rowsPerBand = 16).count())
+    time("embed_lsh_4x")(operators.Similarity.nearDupPairs(
+      withPert(edup(4)), "vec_id", "embedding", 0.9, rowsPerBand = 16).count())
     spark.stop()
   }
 }

@@ -107,6 +107,97 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Banded signed-random-projection signature: for band b, a key whose
+    * j-th bit is sign(v · plane[b*rowsPerBand + j]). `planes` is the
+    * flattened row-major [numPlanes][dim] hyperplane matrix, carried as
+    * a plan reference (a production deployment would broadcast it; at a
+    * few MB per task binary this is acceptable and keeps the expression
+    * a pure function of its inputs). One compiled pass per row — the
+    * HOF route would interpret numPlanes*dim lambda calls per vector. */
+  case class RhpBands(
+      child: Expression,
+      planes: Array[Float],
+      dim: Int,
+      bands: Int,
+      rowsPerBand: Int) extends UnaryExpression {
+    require(planes.length == bands * rowsPerBand * dim,
+      s"planes length ${planes.length} != $bands*$rowsPerBand*$dim")
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+    override def nullSafeEval(a: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val n = math.min(xs.numElements(), dim)
+      val out = new Array[Long](bands)
+      var k = 0
+      var b = 0
+      while (b < bands) {
+        var key = 0L
+        var j = 0
+        while (j < rowsPerBand) {
+          var s = 0.0
+          val base = k * dim
+          var i = 0
+          while (i < n) {
+            s += xs.getFloat(i).toDouble * planes(base + i)
+            i += 1
+          }
+          if (s >= 0) key |= (1L << j)
+          k += 1
+          j += 1
+        }
+        out(b) = key
+        b += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val p = ctx.addReferenceObj("rhpPlanes", planes, "float[]")
+        val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val b = ctx.freshName("b")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val k = ctx.freshName("k")
+        val s = ctx.freshName("s")
+        val key = ctx.freshName("key")
+        val base = ctx.freshName("base")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $dim);
+           |long[] $out = new long[$bands];
+           |int $k = 0;
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $key = 0L;
+           |  for (int $j = 0; $j < $rowsPerBand; $j++) {
+           |    double $s = 0.0;
+           |    int $base = $k * $dim;
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      $s += ((double) $a.getFloat($i)) * $p[$base + $i];
+           |    }
+           |    if ($s >= 0) $key |= (1L << $j);
+           |    $k++;
+           |  }
+           |  $out[$b] = $key;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): RhpBands =
+      copy(child = newChild)
+  }
+
+  def float_rhp_bands(
+      vec: Column, planes: Array[Float], dim: Int,
+      bands: Int, rowsPerBand: Int): Column =
+    GraftSqlBridge.toColumn(RhpBands(
+      GraftSqlBridge.toExpression(vec), planes, dim, bands, rowsPerBand))
+
   def float_dot(a: Column, b: Column): Column =
     GraftSqlBridge.toColumn(FloatDot(
       GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))

@@ -60,11 +60,98 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** All pairs with cosine >= threshold. Brute force (all-pairs) — exact
-    * and oracle-able; for planet-scale corpora swap the candidate
-    * generation for `Dedup.simhashPairs`-style LSH bucketing and keep
-    * the same verification. */
+  /** All pairs with cosine >= threshold, via signed-random-projection
+    * LSH candidate generation + exact-cosine verification.
+    *
+    * Candidate generation: `bands` bands of `rowsPerBand` hyperplane
+    * sign bits (Goemans–Williamson: P[sign match] = 1 - θ/π); a pair
+    * collides when some band's bits all match, and candidates come from
+    * an equi-join on (band, key) — never a cartesian. Verification
+    * computes the exact cosine on the surviving pairs, so precision
+    * is 1; recall is controlled by the band count.
+    *
+    * Bands auto-derive from (threshold, rowsPerBand, missProb): with
+    * p = 1 - arccos(t)/π, a pair AT the threshold is missed with
+    * probability (1-p^r)^b <= missProb; pairs above t are exponentially
+    * safer. r should sit near log2(corpus/bucket-target): more bits
+    * sharpen buckets but multiply the bands needed for the same recall.
+    *
+    * Threshold regime matters. LSH's discrimination is the gap between
+    * p(t) and p(background): at t=0.9 vs background cos<=0.5, r=16
+    * needs only ~138 bands for 1e-5 miss and background pairs collide
+    * with ~0.6% probability — the intended regime for semantic dedup
+    * (near-identical embeddings). At t=0.45 over a corpus whose
+    * background mass sits at cos 0.3-0.4, NO (r, b) separates them
+    * with near-1 recall: p(0.45)/p(0.30) = 0.649/0.597, so driving
+    * sub-threshold collisions to 0.1 needs r≈53 and b≈1e11 — the
+    * candidate set degenerates toward all-pairs (measured: ~50% of all
+    * pairs at sf0.1). For exact low-threshold sweeps use
+    * [[nearDupPairsBrute]]; it is also the differential baseline in
+    * DedupSimilaritySpec. */
   def nearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      rowsPerBand: Int = 11,
+      missProb: Double = 1e-5,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorExpressions.{float_dot, float_norm, float_rhp_bands}
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    val first = corpus.select(size(col(vecCol))).limit(1).collect()
+    if (first.isEmpty)
+      return corpus.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cosine")).limit(0)
+    val dim = first.head.getInt(0)
+
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    val bands = math.ceil(
+      math.log(1.0 / missProb) / math.pow(p1, rowsPerBand)).toInt
+    // deterministic Gaussian hyperplanes (java.util.Random is
+    // algorithmically pinned, so signatures replay across JVMs)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands * rowsPerBand * dim)(rnd.nextGaussian().toFloat)
+
+    // the signature projection is compute-bound (b·r·dim flops per row):
+    // a small parquet corpus arrives as a handful of input splits, which
+    // would serialize the kernel on a few threads — rebalance first.
+    // (A large corpus already has >= defaultParallelism splits and skips
+    // the extra shuffle.)
+    val spark = corpus.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val src = if (corpus.rdd.getNumPartitions < target)
+      corpus.repartition(target) else corpus
+
+    val sigs = src.select(col(idCol).as("id"), col(vecCol).as("v"),
+      float_norm(col(vecCol)).as("nrm"),
+      float_rhp_bands(col(vecCol), planes, dim, bands, rowsPerBand).as("keys"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // thin (id, band, key) rows into the bucket join — vectors rejoin
+    // only for surviving candidates
+    val banded = sigs.select(col("id"), posexplode(col("keys")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
+
+    val cand = Dedup.bucketPairs(banded, Seq("band", "key"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("cosine",
+        round(float_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** All pairs with cosine >= threshold by brute force — O(n²), exact,
+    * oracle-able; the differential baseline for [[nearDupPairs]] and
+    * the right plan only when the corpus is small. */
+  def nearDupPairsBrute(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,

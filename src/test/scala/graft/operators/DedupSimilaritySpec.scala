@@ -85,6 +85,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("embedding LSH near-dup matches brute force on real embeddings (both SFs)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = graft.Tables.load(spark, dir, "embeddings")
+      val lsh = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = Similarity.nearDupPairsBrute(e, "vec_id", "embedding", 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(lsh == brute, s"LSH != brute at $dir")
+      assert(brute.nonEmpty)
+    }
+  }
+
+  test("embedding LSH near-dup of an empty corpus is empty") {
+    val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.nearDupPairs(e, "vec_id", "embedding", 0.45).count() == 0L)
+  }
+
   test("containmentPairs df cap bounds a boilerplate family without losing rare-shingle pairs") {
     // 30 byte-identical template docs (every shingle df=30) + an
     // excerpt genuinely contained in a larger unique doc. cap=10:
