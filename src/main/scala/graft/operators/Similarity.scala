@@ -179,20 +179,27 @@ object Similarity {
       idCol: String,
       vecCol: String,
       numCells: Int,
-      seed: Long = 42L): (DataFrame, DataFrame) = {
+      seed: Long = 42L,
+      fitFraction: Double = 1.0): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val withVec = corpus.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
     // random init (one job) instead of k-means|| (initSteps distributed
     // sampling rounds), bounded iterations: centroid quality for IVF
-    // probing converges long before the default 20 — at production scale
-    // the fit would also run on a bounded SAMPLE of the corpus
+    // probing converges long before the default 20. The fit reads a
+    // bounded SAMPLE at full parallelism — the earlier coalesce(8)
+    // capped the fit job's upstream parallelism to 8 partitions, which
+    // throttles every fit pass at scale.
+    val fitInput =
+      if (fitFraction < 1.0) withVec.sample(withReplacement = false,
+        fitFraction, seed)
+      else withVec
     val model = new KMeans()
       .setK(numCells).setSeed(seed).setFeaturesCol("__features")
       .setPredictionCol("cell_id")
       .setInitMode("random").setMaxIter(10)
-      .fit(withVec.coalesce(8))
+      .fit(fitInput)
     val indexed = model.transform(withVec).drop("__features")
     val centroids = corpus.sparkSession.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -235,24 +242,35 @@ object Similarity {
   }
 
   /** Assign every corpus vector to its nearest centroid cell.
-    * Deterministic seed centroids: the `numCells` lowest-id vectors. */
+    * Deterministic seed centroids: the `numCells` lowest-id vectors.
+    *
+    * The centroid table is tiny by construction, so it is collected to
+    * the driver and the assignment is ONE map-side projection — an
+    * inline argmax over K cosine kernels per row. No crossJoin, no
+    * shuffle, no window: the previous plan (crossJoin x K then
+    * row_number over id) shuffled K x corpus rows just to pick a max.
+    * Ties resolve to the lowest cell id on equal round(sim, 4), same
+    * as the window ordering it replaces. */
   def ivfIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       numCells: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = broadcast(
-      corpus.orderBy(col(idCol)).limit(numCells)
-        .select(col(idCol).as("cell_id"), col(vecCol).as("centroid")))
-    val w = Window.partitionBy(col(idCol)).orderBy(
-      col("sim").desc, col("cell_id"))
-    corpus.select(col(idCol), col(vecCol))
-      .crossJoin(centroids)
-      .withColumn("sim", round(cosine(col(vecCol), col("centroid")), 4))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+    val seeds = corpus.orderBy(col(idCol)).limit(numCells)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    if (seeds.isEmpty)
+      return corpus.select(col(idCol), col(vecCol),
+        lit(null).cast("long").as("cell_id")).limit(0)
+    // max over (sim, -cell) structs == highest sim, lowest cell on tie
+    val scored = seeds.map { case (cid, cvec) =>
+      struct(
+        round(cosine(col(vecCol), typedLit(cvec)), 4).as("sim"),
+        lit(-cid).as("neg_cell"))
+    }
+    corpus.select(col(idCol), col(vecCol),
+      (-array_max(array(scored: _*)).getField("neg_cell")).as("cell_id"))
   }
 
   /** ANN top-k through the IVF index: each query probes its `nProbe`

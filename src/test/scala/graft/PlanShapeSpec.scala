@@ -142,6 +142,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"as-of join plan has $shuffles shuffles")
   }
 
+  test("IVF seed-centroid assignment is a shuffle-free, window-free projection") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val df = graft.operators.Similarity.ivfIndex(emb, "vec_id", "embedding", 8)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      nodes.map(_.nodeName).mkString(", "))
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // the tree string marks codegen stages with "*(n)"
     val p = plan("q1_agg")

@@ -237,6 +237,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ann).size.toDouble / bf.size
     assert(recall >= 0.4, s"k-means IVF recall $recall")
+    // a sample-based fit (the at-scale path) must not crater recall
+    val (idx2, cents2) = Similarity.ivfIndexKMeans(
+      emb, "vec_id", "embedding", 16, fitFraction = 0.5)
+    val ann2 = Similarity.ivfKMeansTopK(idx2, cents2, queries,
+        "vec_id", "embedding", nProbe = 4, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = (bf & ann2).size.toDouble / bf.size
+    assert(recall2 >= 0.3, s"sampled-fit k-means IVF recall $recall2")
   }
 
   test("every vector lands in exactly one IVF cell") {
