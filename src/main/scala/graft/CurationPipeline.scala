@@ -44,11 +44,14 @@ object CurationPipeline {
     }
 
     reg.register("QualityFilter") { ctx =>
-      // persist the deduped corpus: the health probe forces it now, and
-      // downstream evaluation (split/summary) restarts from the cache
-      // instead of replaying the dedup window
+      // lazily checkpoint the deduped corpus: the health probe forces it
+      // now, downstream evaluation (split/summary) restarts from the
+      // stored blocks instead of replaying the dedup window, and —
+      // unlike persist — the blocks are GC-released after the run, so
+      // per-micro-batch executions (StreamRunner.runPipelinePerBatch)
+      // cannot accumulate pinned cache entries
       val in = ctx.previousContent.get
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       val keep = TextFunctions.qualityScore(col("text")) >= 0.3
       val kept = in.filter(keep)
       // driver-side health flag: collapsed corpus → failure branch.
