@@ -2263,4 +2263,33 @@ object Queries {
         col("n_events"), col("total_value").cast("long").as("total_u4"))
       .orderBy("user_id", "start_us")
   }}
+
+  // q31_jdbc_store — the external-database store in the gate (SURVEY
+  // §2.2 KV backends; nexus/backends/stores/sqlite_store.py): a per-
+  // nation customer rollup is written to embedded Derby through the
+  // JDBC sink, then read back through the filter DSL, whose predicate
+  // must execute inside the database (SourcesSpec asserts PushedFilters
+  // on the JDBC scan). The oracle replays the rollup + filter on the
+  // parquet directly, so any JDBC round-trip corruption (type mapping,
+  // predicate translation) hash-fails.
+  register(
+    "q31_jdbc_store",
+    """SELECT c_nationkey, count(*) AS n_cust,
+      |       min(c_custkey) AS min_cust, max(c_custkey) AS max_cust
+      |FROM customer
+      |GROUP BY c_nationkey
+      |HAVING count(*) >= 10
+      |ORDER BY c_nationkey""".stripMargin
+  ) { (s, dir) =>
+    val store = new graft.sources.JdbcResultStore(s,
+      s"jdbc:derby:${scratchDir("q31")}/db;create=true",
+      connProps = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    val rollup = t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        min("c_custkey").as("min_cust"), max("c_custkey").as("max_cust"))
+    store.overwrite("cust_stats", rollup)
+    store.filterRecords("cust_stats", "n_cust__gte" -> 10)
+      .orderBy("c_nationkey")
+  }
 }

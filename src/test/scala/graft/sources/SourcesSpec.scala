@@ -88,4 +88,58 @@ class SourcesSpec extends AnyFunSuite {
       .map(r => new String(r.getAs[Array[Byte]]("chunk")))
     assert(chunks.toSeq == Seq("abcd", "eabc", "deab", "cde"))
   }
+
+  private def derbyStore(): JdbcResultStore = {
+    val db = tmpDir() + "/derby"
+    new JdbcResultStore(spark, s"jdbc:derby:$db;create=true",
+      connProps = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
+      // Derby maps StringType to CLOB, which cannot be compared or
+      // LIKE'd — pin the column to VARCHAR like a real deployment would
+      writeOptions = Map("createTableColumnTypes" -> "v VARCHAR(64)"))
+  }
+
+  test("jdbc store: insert / read / count / exists round trip (Derby)") {
+    val store = derbyStore()
+    store.insert("results", Seq(KV(1, "a"), KV(2, "b")).toDF())
+    assert(store.count("results") == 2)
+    assert(store.exists("results", "k", 1L))
+    assert(!store.exists("results", "k", 99L))
+    store.insert("results", Seq(KV(3, "c")).toDF())
+    assert(store.count("results") == 3)
+  }
+
+  test("jdbc store: filter DSL pushes predicates into the database") {
+    val store = derbyStore()
+    store.insert("r", Seq(KV(1, "alpha"), KV(2, "beta"), KV(3, "gamma")).toDF())
+    val out = store.filterRecords("r", "v__startswith" -> "a")
+    assert(out.collect().map(_.getAs[Long]("k")).toSeq == Seq(1L))
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    // the LIKE must reach the JDBC relation, not run as a Spark filter
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+        .toLowerCase.contains("startswith"), plan)
+    val gt = store.filterRecords("r", "k__gte" -> 2)
+    assert(gt.count() == 2)
+  }
+
+  test("jdbc store: upsert merges by key; delete removes by predicate") {
+    val store = derbyStore()
+    store.insert("u", Seq(KV(1, "old"), KV(2, "keep")).toDF())
+    store.upsert("u", Seq(KV(1, "new"), KV(3, "add")).toDF(), "k")
+    val rows = store.read("u").orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(rows == Seq((1L, "new"), (2L, "keep"), (3L, "add")))
+    store.delete("u", "v__contains" -> "e")   // new, keep deleted
+    assert(store.read("u").collect().map(_.getAs[Long]("k")).toSeq == Seq(3L))
+    assert(store.get("u", "k" -> 3).getAs[String]("v") == "add")
+  }
+
+  test("jdbc store: partitioned read shards the table") {
+    val store = derbyStore()
+    store.insert("p", (1L to 100L).map(i => KV(i, s"v$$i")).toDF())
+    val df = store.readPartitioned("p", "k", 1, 100, 4)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100)
+  }
 }
