@@ -105,9 +105,11 @@ object StreamRunner {
 }
 
 /** Thin driver-side scheduler for the reference's cron/interval/date
-  * triggers (nexus/mixins/schedule.py:46-131). Spark has no cron
+  * trigger triad (nexus/mixins/schedule.py:46-131). Spark has no cron
   * trigger; production deployments schedule externally — this stays
-  * deliberately minimal (SURVEY §7.4 risk 7, non-core).
+  * deliberately minimal (SURVEY §7.4 risk 7, non-core). Cron parsing
+  * and next-fire computation live in [[Cron]] as pure, fake-clock-
+  * testable functions; the scheduler only turns them into delays.
   */
 final class Scheduler {
   private val exec =
@@ -125,6 +127,36 @@ final class Scheduler {
     exec.schedule(new Runnable { def run(): Unit = fn },
       math.max(0, epochMs - System.currentTimeMillis()),
       java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  /** Cancel handle for a self-rescheduling cron job. */
+  final class CronJob private[Scheduler] () {
+    @volatile private[Scheduler] var current:
+        java.util.concurrent.ScheduledFuture[_] = _
+    @volatile private[Scheduler] var cancelled = false
+    def cancel(): Unit = {
+      cancelled = true
+      val c = current
+      if (c != null) c.cancel(false)
+    }
+  }
+
+  /** Run `fn` on a classic 5-field cron expression. Each firing
+    * schedules the next from the post-run clock, so a run longer than
+    * the gap skips the missed slots instead of piling up. */
+  def cron(expr: String)(fn: => Unit): CronJob = {
+    val c = Cron.parse(expr)
+    val job = new CronJob
+    def scheduleNext(): Unit = if (!job.cancelled) {
+      val now = java.time.LocalDateTime.now()
+      val delayMs = java.time.Duration.between(now, c.next(now)).toMillis
+      job.current = exec.schedule(new Runnable {
+        def run(): Unit =
+          if (!job.cancelled) { try fn finally scheduleNext() }
+      }, math.max(0, delayMs), java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+    scheduleNext()
+    job
+  }
 
   def shutdown(): Unit = exec.shutdownNow()
 }
