@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core._
+
+/** Local stub server (JDK built-in) driving the HTTP-source pattern:
+  * status classification, retry-on-transient-error through the event
+  * retry machinery, and the fetch feeding a Pointy pipeline — the
+  * user_posts_etl example end to end. */
+class HttpSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def withServer[A](routes: (String, HttpExchange => Unit)*)(
+      f: String => A): A = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, h) =>
+      server.createContext(path, (ex: HttpExchange) => h(ex))
+    }
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  private def reply(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private val posts =
+    """[{"userId": 1, "id": 1, "title": "a"},
+      | {"userId": 1, "id": 2, "title": "b"},
+      | {"userId": 2, "id": 3, "title": "c"}]""".stripMargin
+
+  test("fetchJson turns a JSON array endpoint into rows") {
+    withServer("/posts" -> (reply(_, 200, posts))) { base =>
+      val df = HttpSource.fetchJson(spark, s"$base/posts")
+      assert(df.count() == 3)
+      assert(df.columns.sorted.toSeq == Seq("id", "title", "userId"))
+    }
+  }
+
+  test("status codes classify into the typed exceptions") {
+    withServer(
+      "/bad" -> (reply(_, 400, "")),
+      "/missing" -> (reply(_, 404, "")),
+      "/boom" -> (reply(_, 503, ""))) { base =>
+      intercept[HttpSource.BadRequestException](
+        HttpSource.fetchString(s"$base/bad"))
+      intercept[HttpSource.NotFoundException](
+        HttpSource.fetchString(s"$base/missing"))
+      val e = intercept[HttpSource.ServerErrorException](
+        HttpSource.fetchString(s"$base/boom"))
+      assert(e.status == 503)
+    }
+  }
+
+  test("transient 500s are retried away by the event retry policy; 404 is not") {
+    val flaky = new AtomicInteger(0)
+    withServer(
+      "/flaky" -> { ex =>
+        if (flaky.incrementAndGet() <= 2) reply(ex, 500, "")
+        else reply(ex, 200, posts)
+      },
+      "/gone" -> (reply(_, 404, ""))) { base =>
+      val policy = RetryPolicy(maxAttempts = 5, backoffFactor = 0.001,
+        retryOnExceptions = Seq(classOf[HttpSource.ServerErrorException]))
+      val out = Retry.run(Some(policy))(
+        HttpSource.fetchJson(spark, s"$base/flaky"))
+      assert(out.count() == 3)
+      assert(flaky.get() == 3) // 2 failures + 1 success
+      intercept[HttpSource.NotFoundException] {
+        Retry.run(Some(policy))(HttpSource.fetchJson(spark, s"$base/gone"))
+      }
+    }
+  }
+
+  test("HTTP fetch feeds a Pointy pipeline (user_posts_etl shape)") {
+    withServer("/posts" -> (reply(_, 200, posts))) { base =>
+      val reg = new EventRegistry
+      reg.register("LoadData",
+        retry = Some(RetryPolicy(maxAttempts = 3, backoffFactor = 0.001,
+          retryOnExceptions = Seq(classOf[HttpSource.ServerErrorException])))) {
+        ctx => (true, HttpSource.fetchJson(ctx.spark, ctx.input[String]("url")))
+      }
+      reg.registerTransform("ProcessData") { ctx =>
+        ctx.previousContent.get
+          .groupBy("userId").agg(count(lit(1)).as("n_posts"))
+      }
+      reg.registerTransform("SaveToDb") { ctx =>
+        ctx.previousContent.get.orderBy("userId")
+      }
+      val lineage = Pipeline
+        .fromPointy("etl", "LoadData |-> ProcessData |-> SaveToDb", reg)
+        .start(spark, Map("url" -> s"$base/posts"))
+      val rows = lineage.finalResult.content.get.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 2L), (2L, 1L)))
+    }
+  }
+}
