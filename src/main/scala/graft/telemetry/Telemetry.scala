@@ -162,6 +162,86 @@ final class CompositePublisher(targets: Seq[MetricsPublisher])
     targets.foreach(t => try t.publish(m) catch { case _: Throwable => () })
 }
 
+/** Prometheus publisher (nexus/telemetry/publisher.py
+  * PrometheusPublisher): the same two instruments — an
+  * `event_duration_seconds` histogram labeled (event_name, status) and
+  * an `event_retries_total` counter labeled (event_name) — rendered in
+  * the text exposition format and servable from a scrape endpoint.
+  * No client library in the image, so the registry is implemented
+  * directly: cumulative histogram buckets, `+Inf` bound, label-value
+  * escaping per the exposition spec. `render` is pure for tests and
+  * file export; `serve` binds GET /metrics on the JDK HttpServer. */
+final class PrometheusPublisher(
+    buckets: Seq[Double] = Seq(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5,
+      1.0, 2.5, 5.0, 10.0)) extends MetricsPublisher with AutoCloseable {
+
+  private val sorted = buckets.sorted
+  // (event, status) -> (per-bucket counts, count, sum)
+  private val durations = scala.collection.mutable.LinkedHashMap
+    .empty[(String, String), (Array[Long], Long, Double)]
+  private val retries =
+    scala.collection.mutable.LinkedHashMap.empty[String, Long]
+  private var server: Option[com.sun.net.httpserver.HttpServer] = None
+
+  def publish(m: EventMetrics): Unit = synchronized {
+    val key = (m.eventName, m.status)
+    val (bs, n, s) = durations.getOrElseUpdate(key,
+      (new Array[Long](sorted.size), 0L, 0.0))
+    sorted.indices.foreach(i => if (m.durationSec <= sorted(i)) bs(i) += 1)
+    durations(key) = (bs, n + 1, s + m.durationSec)
+    if (m.retryCount > 0)
+      retries(m.eventName) = retries.getOrElse(m.eventName, 0L) + m.retryCount
+  }
+
+  private def esc(v: String): String = v.flatMap {
+    case '\\' => "\\\\"; case '"' => "\\\""; case '\n' => "\\n"
+    case c => c.toString
+  }
+  private def num(d: Double): String =
+    if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+
+  /** Text exposition format (the body a Prometheus scrape reads). */
+  def render: String = synchronized {
+    val sb = new StringBuilder
+    sb.append("# HELP event_duration_seconds Duration of event execution\n")
+    sb.append("# TYPE event_duration_seconds histogram\n")
+    durations.foreach { case ((event, status), (bs, n, sum)) =>
+      val base = s"""event_name="${esc(event)}",status="${esc(status)}""""
+      sorted.indices.foreach { i =>
+        sb.append(s"""event_duration_seconds_bucket{$base,le="${num(sorted(i))}"} ${bs(i)}\n""")
+      }
+      sb.append(s"""event_duration_seconds_bucket{$base,le="+Inf"} $n\n""")
+      sb.append(s"""event_duration_seconds_sum{$base} $sum\n""")
+      sb.append(s"""event_duration_seconds_count{$base} $n\n""")
+    }
+    sb.append("# HELP event_retries_total Number of event retries\n")
+    sb.append("# TYPE event_retries_total counter\n")
+    retries.foreach { case (event, n) =>
+      sb.append(s"""event_retries_total{event_name="${esc(event)}"} $n\n""")
+    }
+    sb.toString
+  }
+
+  /** Bind a scrape endpoint; returns the bound port (0 = ephemeral). */
+  def serve(port: Int = 0): Int = synchronized {
+    val s = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    s.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = render.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    s.start()
+    server = Some(s)
+    s.getAddress.getPort
+  }
+
+  def close(): Unit = synchronized { server.foreach(_.stop(0)); server = None }
+}
+
 /** Bridges the signal bus to publishers: every completed event metric is
   * published as it happens. */
 final class PublishingCollector(publisher: MetricsPublisher)

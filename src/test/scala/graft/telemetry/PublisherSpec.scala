@@ -34,4 +34,42 @@ class PublisherSpec extends AnyFunSuite {
       assert(lines.get(1).contains("\"event\":\"Boom\""))
     } finally collector.close()
   }
+
+  test("prometheus publisher renders the text exposition format") {
+    val pub = new PrometheusPublisher(buckets = Seq(0.1, 1.0))
+    def m(name: String, status: String, durMs: Long, retries: Int) =
+      EventMetrics(name, "t1", 1000, 1000 + durMs, status, None, retries)
+    pub.publish(m("Fetch", "completed", 50, 0))    // <= 0.1
+    pub.publish(m("Fetch", "completed", 500, 2))   // <= 1.0
+    pub.publish(m("Fetch", "failed", 5000, 1))     // > all buckets
+    pub.publish(m("Odd\"name\\x", "completed", 10, 0))
+    val out = pub.render
+    assert(out.contains("# HELP event_duration_seconds"))
+    assert(out.contains("# TYPE event_duration_seconds histogram"))
+    // cumulative buckets: 1 under 0.1, 2 under 1.0, 2 under +Inf
+    assert(out.contains(
+      """event_duration_seconds_bucket{event_name="Fetch",status="completed",le="0.1"} 1"""))
+    assert(out.contains(
+      """event_duration_seconds_bucket{event_name="Fetch",status="completed",le="1"} 2"""))
+    assert(out.contains(
+      """event_duration_seconds_bucket{event_name="Fetch",status="completed",le="+Inf"} 2"""))
+    assert(out.contains(
+      """event_duration_seconds_count{event_name="Fetch",status="failed"} 1"""))
+    // retries accumulate across publishes
+    assert(out.contains("""event_retries_total{event_name="Fetch"} 3"""))
+    // label escaping per the exposition spec
+    assert(out.contains("""event_name="Odd\"name\\x""""))
+  }
+
+  test("prometheus publisher serves GET /metrics") {
+    val pub = new PrometheusPublisher()
+    try {
+      pub.publish(EventMetrics("E", "t", 0, 100, "completed", None, 0))
+      val port = pub.serve()
+      val body = graft.sources.HttpSource.fetchString(
+        s"http://127.0.0.1:$port/metrics")
+      assert(body.contains(
+        """event_duration_seconds_count{event_name="E",status="completed"} 1"""))
+    } finally pub.close()
+  }
 }
