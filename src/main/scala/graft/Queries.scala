@@ -745,11 +745,49 @@ object Queries {
   }
 
   // dq4_simhash_pairs — 64-bit SimHash near-dup pairs via banded Hamming
-  // search. xxhash64 has no DuckDB twin → rows-only check; semantics
-  // pinned by DedupSpec instead.
-  register("dq4_simhash_pairs") { (s, dir) =>
-    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxDist = 3, chunks = 4)
+  // search, on the md5-token-hash signature variant so DuckDB can replay
+  // the signature bit-for-bit (xxhash64 of the fast kernel has no SQL
+  // twin; the kernel path is pinned by the DedupSimilaritySpec
+  // differential instead). The oracle is the brute-force Hamming join:
+  // with maxDist=3 < 4 bands the pigeonhole guarantee makes the banded
+  // search exact, so banded-Spark vs all-pairs-DuckDB is precisely the
+  // property under test.
+  register(
+    "dq4_simhash_pairs", {
+      val vl = (0 until 32).map(j =>
+        s"sum(case when (lo >> $j) & 1 = 1 then 1 else -1 end) AS vl$j")
+      val vh = (0 until 32).map(j =>
+        s"sum(case when (hi >> $j) & 1 = 1 then 1 else -1 end) AS vh$j")
+      val sigLo = (0 until 32).map(j =>
+        s"(case when vl$j > 0 then ${1L << j} else 0 end)").mkString(" + ")
+      val sigHi = (0 until 32).map(j =>
+        s"(case when vh$j > 0 then ${1L << j} else 0 end)").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id,
+         |         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                            x -> len(x) > 0)) AS tok
+         |  FROM documents
+         |), hashed AS (
+         |  SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         |             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+         |  FROM toks
+         |), votes AS (
+         |  SELECT id, ${(vl ++ vh).mkString(", ")}
+         |  FROM hashed GROUP BY id
+         |), sigs AS (
+         |  SELECT id, $sigHi AS sig_hi, $sigLo AS sig_lo FROM votes
+         |)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       (bit_count(xor(a.sig_hi, b.sig_hi)) +
+         |        bit_count(xor(a.sig_lo, b.sig_lo)))::BIGINT AS hamming
+         |FROM sigs a JOIN sigs b ON a.id < b.id
+         |WHERE bit_count(xor(a.sig_hi, b.sig_hi)) +
+         |      bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }
+  ) { (s, dir) =>
+    Dedup.simhashPairsMd5(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 3)
       .orderBy("id_a", "id_b")
   }
 

@@ -165,6 +165,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("md5 simhash variant: banded search equals the brute-force Hamming join") {
+    val sigs = Dedup.simhashMd5Sigs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) if h <= 3
+    } yield (a._1, b._1, h.toLong)).toSet
+    val banded = Dedup.simhashPairsMd5(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // the corpus does contain near-identical docs
+    // signature halves stay inside unsigned-32 range (no sign surprises)
+    assert(sigs.forall(s => s._2 >= 0 && s._2 < (1L << 32) &&
+      s._3 >= 0 && s._3 < (1L << 32)))
+  }
+
   test("banded simhash search finds EVERY pair within maxDist (seeded differential)") {
     // seeded corpus of near-duplicate sentences: base phrases + small
     // perturbations so signatures cluster at assorted Hamming distances
