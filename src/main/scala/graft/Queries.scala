@@ -1433,9 +1433,64 @@ object Queries {
 
   // mm2_media_features — the full decode→feature-extract pipeline through
   // the batched mapPartitions kernel (stub codec; real partition/batch
-  // plumbing) feeding cosine top-k. Not SQL-expressible → rows-only;
-  // MultimodalSpec pins determinism.
-  register("mm2_media_features") { (s, dir) =>
+  // plumbing) feeding cosine top-k. The stub codec is deterministic, so
+  // DuckDB CAN replay it: the per-dim rolling hash
+  // h_d = fold(h*31+byte) from seed_d decomposes as
+  // h_d = (seed_d * 31^len + S) mod 2^64 with S = fold(0) shared by all
+  // dims — two HUGEINT list_reduce passes per document, then 64 closed
+  // -form dims, float32 normalization (exact: pre-norm values are k/1024
+  // with exact double squares; FLOAT/FLOAT division is single-precision
+  // in both engines), and the sq1 cosine replay. MultimodalSpec pins
+  // determinism; this oracle pins the whole pipeline.
+  register(
+    "mm2_media_features",
+    """WITH chars AS (
+      |  SELECT doc_id AS media_id,
+      |         list_transform(split(text, ''), c -> ascii(c)::HUGEINT) AS bs
+      |  FROM documents
+      |), acc AS (
+      |  SELECT media_id,
+      |         list_reduce([0::HUGEINT] || bs,
+      |           (a,b) -> (a*31+b) % 18446744073709551616::HUGEINT) AS s,
+      |         list_reduce([1::HUGEINT] || list_transform(bs, b -> 31::HUGEINT),
+      |           (a,b) -> (a*b) % 18446744073709551616::HUGEINT) AS p
+      |  FROM chars
+      |), pre AS (
+      |  SELECT media_id,
+      |         list_transform(range(64), d ->
+      |           CAST((((1125899906842597::HUGEINT + d*2654435761::HUGEINT) * p + s)
+      |                 % 18446744073709551616::HUGEINT // 2048) % 2048 AS DOUBLE)
+      |           / 1024 - 1) AS xs
+      |  FROM acc
+      |), nf AS (
+      |  SELECT media_id, xs,
+      |         CAST(sqrt(list_sum(list_transform(xs, x -> x*x))) AS FLOAT) AS fn
+      |  FROM pre
+      |), emb AS (
+      |  SELECT media_id,
+      |         list_transform(
+      |           CASE WHEN fn > 0
+      |                THEN list_transform(xs, x -> CAST(x AS FLOAT) / fn)
+      |                ELSE list_transform(xs, x -> CAST(x AS FLOAT)) END,
+      |           x -> x::double) AS v
+      |  FROM nf
+      |), n AS (
+      |  SELECT media_id, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM emb
+      |)
+      |SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+      |       round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+      |             / (q.nrm * c.nrm), 4) AS cosine,
+      |       row_number() OVER (
+      |         PARTITION BY q.media_id
+      |         ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+      |                        / (q.nrm * c.nrm), 4) DESC, c.media_id) AS rank
+      |FROM n q JOIN n c ON q.media_id != c.media_id
+      |WHERE q.media_id < 5
+      |QUALIFY rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, dir) =>
     val media = graft.multimodal.Multimodal
       .mediaFromDocuments(t(s, dir, "documents"))
     val feats = graft.multimodal.Multimodal.extractFeatures(media, dim = 64)
