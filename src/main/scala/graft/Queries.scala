@@ -2028,6 +2028,48 @@ object Queries {
       .limit(20)
   }
 
+  // tq6_repetition — Gopher/RefinedWeb repetition quality gates per doc:
+  // duplicate-token fraction + fraction of chars covered by the most
+  // frequent bigram. Spark side aggregates with min_by (no per-doc sort
+  // window); the oracle replays with a row_number window — same result,
+  // different plan, which is the point of the oracle.
+  register(
+    "tq6_repetition",
+    """WITH t AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, n_chars, len(tk) AS n_tokens,
+      |         len(list_distinct(tk)) AS n_distinct, tk
+      |  FROM t
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(tk) - 1),
+      |    i -> tk[i+1] || ' ' || tk[i+2])) AS bigram
+      |  FROM s WHERE len(tk) >= 2
+      |), bc AS (
+      |  SELECT doc_id, bigram, count(*) AS bn
+      |  FROM bg GROUP BY 1, 2
+      |), top AS (
+      |  SELECT doc_id, bigram, bn
+      |  FROM bc
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY bn DESC, bigram) = 1
+      |)
+      |SELECT s.doc_id, n_tokens,
+      |       round(CASE WHEN n_tokens = 0 THEN 0.0
+      |                  ELSE 1.0 - n_distinct::double / n_tokens END, 4) AS dup_token_frac,
+      |       coalesce(top.bigram, '') AS top_bigram,
+      |       coalesce(top.bn, 0) AS top_bigram_n,
+      |       round(CASE WHEN n_chars = 0 OR top.bn IS NULL THEN 0.0
+      |                  ELSE top.bn * len(top.bigram)::double / n_chars END, 4) AS top_bigram_frac
+      |FROM s LEFT JOIN top ON s.doc_id = top.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.repetitionSignals(
+        t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // q26_correlated_min — correlated scalar-AGGREGATE subquery (TPC-H
   // Q2/Q17 shape): Catalyst decorrelates it into an aggregate + join
   // instead of a per-row re-scan. Equality on the raw double is safe —

@@ -46,4 +46,60 @@ object TextAnalysis {
     scored.select(keyCols :+
       when(mx === 0, "und").otherwise(winner).as("detected_lang"): _*)
   }
+
+  /** Gopher/RefinedWeb-style repetition signals per document
+    * (cf. reference `nexus/` has no text analytics; this is a
+    * training-data-pipeline extension): duplicate-token fraction and the
+    * fraction of characters covered by the most frequent word bigram —
+    * the standard boilerplate/repetition quality gates.
+    *
+    * Scale shape: token stats are pure array expressions (codegen, no
+    * shuffle); the top-bigram needs per-(doc,bigram) counts, aggregated
+    * with map-side partials, then a `min_by` on (-count, bigram) per doc
+    * — an aggregation, NOT a row_number window, so there is no per-doc
+    * sort and both shuffles partial-aggregate. Ties break to the
+    * lexicographically smallest bigram.
+    */
+  def repetitionSignals(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val base = df.select(
+      col(idCol),
+      length(col(textCol)).as("__n_chars"),
+      TextFunctions.wsTokens(lower(col(textCol))).as("__tk"))
+
+    val stats = base.select(
+      col(idCol),
+      col("__n_chars"),
+      size(col("__tk")).as("n_tokens"),
+      size(array_distinct(col("__tk"))).as("__n_distinct"))
+
+    val top = base
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1))).as("z"))
+      .select(col(idCol), concat_ws(" ", col("z.0"), col("z.1")).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("bn"))
+      .groupBy(col(idCol))
+      .agg(min_by(
+        struct(col("bigram"), col("bn")),
+        struct((-col("bn")).as("neg_bn"), col("bigram"))).as("top"))
+      .select(col(idCol), col("top.bigram").as("__top_bigram"),
+        col("top.bn").as("__top_n"))
+
+    stats.join(top, Seq(idCol), "left").select(
+      col(idCol),
+      col("n_tokens"),
+      round(when(col("n_tokens") === 0, 0.0).otherwise(
+        lit(1.0) - col("__n_distinct").cast("double") / col("n_tokens")), 4)
+        .as("dup_token_frac"),
+      coalesce(col("__top_bigram"), lit("")).as("top_bigram"),
+      coalesce(col("__top_n"), lit(0L)).as("top_bigram_n"),
+      round(when(col("__n_chars") === 0 || col("__top_n").isNull, 0.0)
+        .otherwise(col("__top_n") * length(col("__top_bigram")).cast("double")
+          / col("__n_chars")), 4).as("top_bigram_frac"))
+  }
 }

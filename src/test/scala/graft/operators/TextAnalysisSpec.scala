@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("repetitionSignals computes exact known values") {
+    val docs = Seq(
+      // 6 tokens, 3 distinct -> dup 0.5; top bigram "a b" x2 of
+      // 11 chars -> 2*3/11
+      (1L, "a b a b c c"),
+      // all distinct -> dup 0.0; every bigram count 1, tie breaks to
+      // the lexicographically smallest: "one two"
+      (2L, "one two three"),
+      // single token: no bigram row -> empty top, zero fracs
+      (3L, "solo"),
+      // case folding: "X x" tokenizes to [x, x]
+      (4L, "X x")
+    ).toDF("doc_id", "text")
+
+    val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getDouble(2),
+        x.getString(3), x.getLong(4), x.getDouble(5)))
+
+    assert(r(0) == ((1L, 6, 0.5, "a b", 2L,
+      math.rint(2 * 3.0 / 11 * 10000) / 10000)))
+    assert(r(1) == ((2L, 3, 0.0, "one two", 1L,
+      math.rint(1 * 7.0 / 13 * 10000) / 10000)))
+    assert(r(2) == ((3L, 1, 0.0, "", 0L, 0.0)))
+    assert(r(3) == ((4L, 2, 0.5, "x x", 1L,
+      math.rint(1 * 3.0 / 3 * 10000) / 10000)))
+  }
+
+  test("repetitionSignals tie-break is the smallest bigram, not plan order") {
+    // "b a b a": bigrams [b a, a b, b a] -> "b a" wins on count;
+    // "c d c d e c d": "c d" x3 beats "d c" x2 and "d e"/"e c" x1
+    val docs = Seq((1L, "b a b a"), (2L, "c d c d e c d"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(3) == "b a" && r(0).getLong(4) == 2L)
+    assert(r(1).getString(3) == "c d" && r(1).getLong(4) == 3L)
+  }
+}
