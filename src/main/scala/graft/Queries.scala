@@ -2070,6 +2070,62 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // tq7_pii_redact — PII scrub over the corpus. The synthetic documents
+  // carry no real PII, so BOTH sides deterministically splice emails /
+  // phones / IPs derived from doc_id into the text first; the md5 of the
+  // redacted text then pins the whole redaction byte-for-byte.
+  register(
+    "tq7_pii_redact",
+    """WITH a AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 2 = 0
+      |            THEN ' reach user' || doc_id::varchar || '@example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 3 = 0
+      |            THEN ' or admin@test.org and root@test.org' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0
+      |            THEN ' call 555-' || lpad((doc_id % 1000)::varchar, 3, '0') || '-0199' ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0
+      |            THEN ' from 10.0.' || (doc_id % 256)::varchar || '.1' ELSE '' END AS t
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, t,
+      |         regexp_replace(regexp_replace(regexp_replace(t,
+      |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS red
+      |  FROM a
+      |)
+      |SELECT doc_id,
+      |       len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+      |       len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+      |       len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+      |       length(red) AS redacted_len,
+      |       md5(red) AS redacted_md5
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.TextFunctions._
+    val aug = concat(col("text"),
+      when(col("doc_id") % 2 === 0, concat(lit(" reach user"),
+        col("doc_id").cast("string"), lit("@example.com"))).otherwise(""),
+      when(col("doc_id") % 3 === 0,
+        lit(" or admin@test.org and root@test.org")).otherwise(""),
+      when(col("doc_id") % 5 === 0, concat(lit(" call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-0199"))).otherwise(""),
+      when(col("doc_id") % 7 === 0, concat(lit(" from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".1"))).otherwise(""))
+    t(s, dir, "documents")
+      .select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        piiCount(col("t"), emailPattern).as("n_emails"),
+        piiCount(col("t"), phonePattern).as("n_phones"),
+        piiCount(col("t"), ipv4Pattern).as("n_ips"),
+        length(redactPii(col("t"))).as("redacted_len"),
+        md5(redactPii(col("t")).cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   // q26_correlated_min — correlated scalar-AGGREGATE subquery (TPC-H
   // Q2/Q17 shape): Catalyst decorrelates it into an aggregate + join
   // instead of a per-row re-scan. Equality on the raw double is safe —

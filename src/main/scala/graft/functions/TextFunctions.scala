@@ -114,4 +114,29 @@ object TextFunctions {
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  // -------------------------------------------------------------------
+  // PII scrubbing — the standard training-data redaction pass. Patterns
+  // are deliberately restricted to syntax that behaves identically under
+  // Java regex (Spark codegen) and RE2 (DuckDB oracle): character
+  // classes, bounded repetition, and ASCII \b word boundaries only.
+  // -------------------------------------------------------------------
+  val emailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern: String = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Occurrences of one PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact all PII with typed placeholders. Order matters and is fixed:
+    * emails first (their local part may contain digits), then IPs, then
+    * phones (an IP octet sequence must not be half-eaten by the looser
+    * phone pattern). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
 }

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def redactOne(s: String): String =
+    Seq(s).toDF("t")
+      .select(TextFunctions.redactPii(col("t")).as("r"))
+      .head().getString(0)
+
+  test("redactPii replaces emails, IPs, and phones with typed tags") {
+    assert(redactOne("mail a.b+c@sub.example.co.uk now") == "mail <EMAIL> now")
+    assert(redactOne("host 192.168.001.1 up") == "host <IP> up")
+    assert(redactOne("call 555-123-4567 or 555.123.4567") ==
+      "call <PHONE> or <PHONE>")
+    assert(redactOne("x user1@a.io y 10.0.0.1 z 111-222-3333 w") ==
+      "x <EMAIL> y <IP> z <PHONE> w")
+  }
+
+  test("redactPii leaves near-misses alone") {
+    // no TLD, letters in octets, 2-3-4 digit grouping
+    assert(redactOne("a@b plain 1.2.3 text 12-345-6789") ==
+      "a@b plain 1.2.3 text 12-345-6789")
+  }
+
+  test("piiCount counts matches per pattern") {
+    val r = Seq("a@b.co and c@d.io at 1.2.3.4").toDF("t").select(
+      TextFunctions.piiCount(col("t"), TextFunctions.emailPattern).as("e"),
+      TextFunctions.piiCount(col("t"), TextFunctions.ipv4Pattern).as("i"))
+      .head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1)
+  }
+}
