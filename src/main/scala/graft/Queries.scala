@@ -2126,6 +2126,38 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // pq1_seq_packing — concat-then-chunk sequence packing for pretraining
+  // exports: every doc's global token offset and 512-token context-window
+  // id in doc_id layout order. Spark computes the global cumsum as a
+  // distributed prefix sum (range partition + broadcast offsets — no
+  // single-partition window); the oracle is the plain ordered window.
+  register(
+    "pq1_seq_packing",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))::bigint AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |         coalesce(sum(n_tokens) OVER (
+      |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS start_offset
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens, start_offset,
+      |       start_offset // 512 AS bin_id,
+      |       (start_offset // 512) !=
+      |         ((start_offset + greatest(n_tokens, 1) - 1) // 512) AS spans_boundary
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.bpeishTokenCount(col("text"))
+        .as("n_tokens"))
+    graft.operators.Packing.packSequences(toks, "doc_id", "n_tokens",
+        budget = 512L)
+      .orderBy("doc_id")
+  }
+
   // q26_correlated_min — correlated scalar-AGGREGATE subquery (TPC-H
   // Q2/Q17 shape): Catalyst decorrelates it into an aggregate + join
   // instead of a per-row re-scan. Equality on the raw double is safe —

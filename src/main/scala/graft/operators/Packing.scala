@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining exports: documents are laid out
+  * as one concatenated token stream in a deterministic order and chunked
+  * into fixed-size context windows ("concat-then-chunk" packing). Each
+  * document gets its global token offset, its context-window id, and a
+  * flag for straddling a window boundary.
+  *
+  * Scale shape: the naive plan is `sum() OVER (ORDER BY id)` — a GLOBAL
+  * ordered window, which Spark executes in ONE partition (the classic
+  * scale-killer). Instead this runs the textbook distributed prefix sum:
+  * range-partition by id, local cumsum per partition (each partition
+  * sorts independently), collect ONE row per partition (the per-
+  * partition token totals — bounded driver metadata, same shape Spark's
+  * own range partitioner collects), and broadcast-join the partition
+  * prefix offsets back. No stage touches more than its own partition's
+  * rows.
+  */
+object Packing {
+
+  /** Assign each row a global token offset and context-window id.
+    *
+    * @param df        input with a unique orderable id and a token count
+    * @param idCol     deterministic layout order (and output key)
+    * @param tokensCol per-document token count (>= 0)
+    * @param budget    context window size in tokens
+    * @param numParts  layout partitions (defaults to the session's
+    *                  shuffle parallelism)
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      numParts: Option[Int] = None): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val parts = numParts.getOrElse(spark.sessionState.conf.numShufflePartitions)
+
+    // localCheckpoint (lazy): the partition-totals collect and the final
+    // plan both consume this shuffle — checkpoint so the range partition
+    // + sort runs once, and blocks GC-release with the plan.
+    val sorted = df
+      .select(col(idCol), col(tokensCol).cast("long").as("__tok"))
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(idCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+
+    // one row per partition -> exclusive prefix offsets, broadcast back
+    val partTotals = sorted.groupBy(col("__pid"))
+      .agg(sum(col("__tok")).as("__ptotal"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = partTotals.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, tot)) => (pid, acc + tot)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val offsetDf = spark.createDataFrame(offsets)
+      .toDF("__pid", "__offset")
+
+    // local exclusive cumsum inside each range partition + its offset
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted
+      .withColumn("__local_excl", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .select(
+        col(idCol),
+        col("__tok").as("n_tokens"),
+        (col("__local_excl") + col("__offset")).as("start_offset"))
+      .withColumn("bin_id", expr(s"start_offset div $budget"))
+      .withColumn("spans_boundary",
+        col("bin_id") =!=
+          expr(s"(start_offset + greatest(n_tokens, 1L) - 1L) div $budget"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("packSequences assigns exact offsets, bins, and boundary flags") {
+    // budget 10: offsets 0,4,9,15,22 -> bins 0,0,0,1,2
+    val df = Seq((1L, 4L), (2L, 5L), (3L, 6L), (4L, 7L), (5L, 3L))
+      .toDF("doc_id", "n_tokens")
+    val r = Packing.packSequences(df, "doc_id", "n_tokens", budget = 10L)
+      .orderBy("doc_id")
+      .select("doc_id", "start_offset", "bin_id", "spans_boundary")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq(
+      (1L, 0L, 0L, false),   // [0,4)
+      (2L, 4L, 0L, false),   // [4,9)
+      (3L, 9L, 0L, true),    // [9,15) crosses 10
+      (4L, 15L, 1L, true),   // [15,22) crosses 20
+      (5L, 22L, 2L, false))) // [22,25)
+  }
+
+  test("packSequences matches the single-window oracle on any partitioning") {
+    val df = (1 to 500).map(i => (i.toLong, (i * 7 % 23 + 1).toLong))
+      .toDF("doc_id", "n_tokens")
+    for (parts <- Seq(1, 3, 16)) {
+      val got = Packing.packSequences(df, "doc_id", "n_tokens",
+          budget = 64L, numParts = Some(parts))
+        .orderBy("doc_id").select("doc_id", "start_offset").as[(Long, Long)]
+        .collect().toSeq
+      val want = df.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+        .scanLeft((0L, 0L)) { case ((_, acc), (id, n)) => (id, acc + n) }
+        .sliding(2).map { case Seq((_, acc), (id, _)) => (id, acc) }.toSeq
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("packSequences handles zero-token docs without boundary confusion") {
+    val df = Seq((1L, 10L), (2L, 0L), (3L, 5L)).toDF("doc_id", "n_tokens")
+    val r = Packing.packSequences(df, "doc_id", "n_tokens", budget = 10L)
+      .orderBy("doc_id")
+      .select("doc_id", "start_offset", "bin_id", "spans_boundary")
+      .collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    // doc 2 sits exactly on the boundary with zero width: bin 1, no span
+    assert(r.toSeq == Seq((1L, 0L, 0L, false), (2L, 10L, 1L, false),
+      (3L, 10L, 1L, false)))
+  }
+}
