@@ -953,6 +953,44 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // sq4_quantized_knn — top-5 by int8-quantized dot product: the int8
+  // grid (floor(x*scale + 0.5)) is deterministic, so unlike most ANN
+  // this approximation is exactly DuckDB-oracle-able end to end.
+  register(
+    "sq4_quantized_knn",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+      |         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+      |              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+      |              ELSE 1.0 END AS sc
+      |  FROM e
+      |), qq AS (
+      |  SELECT vec_id, nrm, sc,
+      |         list_transform(v, x -> floor(x * sc + 0.5)::bigint) AS qv
+      |  FROM s
+      |)
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |       round(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2]))::double
+      |             / (q.sc * c.sc * q.nrm * c.nrm), 4) AS qcosine,
+      |       row_number() OVER (
+      |         PARTITION BY q.vec_id
+      |         ORDER BY round(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2]))::double
+      |                        / (q.sc * c.sc * q.nrm * c.nrm), 4) DESC, c.vec_id) AS rank
+      |FROM qq q JOIN qq c ON q.vec_id != c.vec_id
+      |WHERE q.vec_id < 10
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   // st1_stream_hourly — the q10 hourly aggregation run through Structured
   // Streaming (file source → windowed groupBy → memory sink, complete
   // mode) instead of batch: proves stream/batch parity on the SAME DuckDB

@@ -192,6 +192,155 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** max |a_i| over an array<float> column (0.0 for empty) — the scale
+    * basis for symmetric int8 quantization. */
+  case class FloatMaxAbs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      var m = 0.0
+      var i = 0
+      while (i < xs.numElements()) {
+        val v = math.abs(xs.getFloat(i).toDouble)
+        if (v > m) m = v
+        i += 1
+      }
+      m
+    }
+
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val m = ctx.freshName("m")
+        val v = ctx.freshName("v")
+        s"""
+           |double $m = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
+           |  if ($v > $m) $m = $v;
+           |}
+           |${ev.value} = $m;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): FloatMaxAbs = copy(child = newChild)
+  }
+
+  /** Symmetric int8 quantization of an array<float>: scale =
+    * 127/max|x| (1.0 for the zero vector), q_i = floor(x_i*scale + 0.5)
+    * — floor-plus-half instead of a rounding-mode-dependent round() so
+    * the DuckDB oracle replays bit-for-bit. Emitted as array<int> (the
+    * values fit int8; int storage keeps the codegen accessors simple). */
+  case class Int8Quantize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+    override def nullSafeEval(a: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val n = xs.numElements()
+      var m = 0.0
+      var i = 0
+      while (i < n) {
+        val v = math.abs(xs.getFloat(i).toDouble)
+        if (v > m) m = v
+        i += 1
+      }
+      val scale = if (m > 0) 127.0 / m else 1.0
+      val out = new Array[Int](n)
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(xs.getFloat(i).toDouble * scale + 0.5).toInt
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val m = ctx.freshName("m")
+        val v = ctx.freshName("v")
+        val sc = ctx.freshName("sc")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = $a.numElements();
+           |double $m = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
+           |  if ($v > $m) $m = $v;
+           |}
+           |double $sc = $m > 0 ? 127.0 / $m : 1.0;
+           |int[] $out = new int[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = (int) java.lang.Math.floor(
+           |    ((double) $a.getFloat($i)) * $sc + 0.5);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |  .UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Int8Quantize = copy(child = newChild)
+  }
+
+  /** dot(a, b) over two array<int> columns, accumulated in long — the
+    * inner loop of quantized similarity search. */
+  case class IntDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+        case _                                                    => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int_dot expects array<int> inputs, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      val n = math.min(xs.numElements(), ys.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += xs.getInt(i).toLong * ys.getInt(i)
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ((long) $a.getInt($i)) * $b.getInt($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): IntDot =
+      copy(left = newLeft, right = newRight)
+  }
+
   def float_rhp_bands(
       vec: Column, planes: Array[Float], dim: Int,
       bands: Int, rowsPerBand: Int): Column =
@@ -208,4 +357,14 @@ object VectorExpressions {
   /** Cosine via the native expressions: dot / (||a|| * ||b||). */
   def float_cosine(a: Column, b: Column): Column =
     float_dot(a, b) / (float_norm(a) * float_norm(b))
+
+  def float_maxabs(a: Column): Column =
+    GraftSqlBridge.toColumn(FloatMaxAbs(GraftSqlBridge.toExpression(a)))
+
+  def int8_quantize(a: Column): Column =
+    GraftSqlBridge.toColumn(Int8Quantize(GraftSqlBridge.toExpression(a)))
+
+  def int_dot(a: Column, b: Column): Column =
+    GraftSqlBridge.toColumn(IntDot(
+      GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
 }

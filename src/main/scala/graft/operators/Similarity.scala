@@ -60,6 +60,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Top-k with symmetric int8-quantized vectors: the inner loop is an
+    * integer dot product (4× less memory traffic than float32, and the
+    * shape that hardware-accelerates on a real cluster); the score
+    * rescales by both sides' quantization scales and exact float norms:
+    * qcosine = int_dot(qa, qb) / (sa * sb * ||a|| * ||b||).
+    *
+    * Quantization is deterministic (floor(x*scale + 0.5)), so results
+    * are exactly reproducible and DuckDB-oracle-able — the approximation
+    * vs exact cosine is bounded by the int8 grid, pinned in spec. */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.{float_maxabs, float_norm, int8_quantize, int_dot}
+    def side(df: DataFrame, idAs: String, pre: String): DataFrame =
+      df.select(
+        col(idCol).as(idAs),
+        int8_quantize(col(vecCol)).as(s"${pre}qv"),
+        when(float_maxabs(col(vecCol)) > 0,
+          lit(127.0) / float_maxabs(col(vecCol))).otherwise(1.0)
+          .as(s"${pre}sc"),
+        float_norm(col(vecCol)).as(s"${pre}n"))
+    val q = broadcast(side(queries, "query_id", "q"))
+    val c = side(corpus, "neighbor_id", "c")
+    val score = round(
+      int_dot(col("qqv"), col("cqv")) /
+        (col("qsc") * col("csc") * col("qn") * col("cn")), 4)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcosine").desc, col("neighbor_id"))
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcosine", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "qcosine", "rank")
+  }
+
   /** All pairs with cosine >= threshold, via signed-random-projection
     * LSH candidate generation + exact-cosine verification.
     *

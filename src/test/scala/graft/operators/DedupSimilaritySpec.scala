@@ -270,4 +270,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(index.count() == emb.count())
     assert(index.select("cell_id").distinct().count() <= 16)
   }
+
+  test("int8 quantization is exact on representative values") {
+    import graft.functions.VectorExpressions._
+    val d = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)), // scale 127: 64, -127, 32
+      (2L, Array(0.0f, 0.0f, 0.0f))    // zero vector: scale 1, all 0
+    ).toDF("id", "v")
+    val r = d.select(col("id"), int8_quantize(col("v")).as("q"),
+        float_maxabs(col("v")).as("m"))
+      .orderBy("id").collect()
+    assert(r(0).getSeq[Int](1) == Seq(64, -127, 32))
+    assert(r(0).getDouble(2) == 1.0)
+    assert(r(1).getSeq[Int](1) == Seq(0, 0, 0))
+    assert(r(1).getDouble(2) == 0.0)
+    // int_dot over the quantized arrays
+    val dot = d.filter(col("id") === 1)
+      .select(int_dot(int8_quantize(col("v")), int8_quantize(col("v"))))
+      .head().getLong(0)
+    assert(dot == 64L * 64 + 127L * 127 + 32L * 32)
+  }
+
+  test("quantized top-k closely tracks exact cosine top-k") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qk = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(qk.size == bf.size)
+    val overlap = (bf & qk).size.toDouble / bf.size
+    assert(overlap >= 0.8, s"int8 top-k overlap $overlap vs exact")
+  }
 }
