@@ -744,6 +744,42 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // dq9_split_leakage — train/val/test contamination check: near-dup
+  // pairs (exact Jaccard >= 0.8) that CROSS the deterministic split
+  // boundary. Composes the inverted-index similarity join with the
+  // md5-bucket split as a pure column function of each pair side — no
+  // split join, the labels cost two hash evaluations per surviving pair.
+  register(
+    "dq9_split_leakage",
+    s"""WITH ${jaccardPairsCtes(0.8)}, lab AS (
+       |  SELECT id_a, id_b, jaccard,
+       |         CASE WHEN ba < 900 THEN 'train' WHEN ba < 950 THEN 'val'
+       |              ELSE 'test' END AS split_a,
+       |         CASE WHEN bb < 900 THEN 'train' WHEN bb < 950 THEN 'val'
+       |              ELSE 'test' END AS split_b
+       |  FROM (SELECT id_a, id_b, jaccard,
+       |          (('0x' || substr(md5('graft' || id_a::varchar), 1, 8))::bigint
+       |           % 1000)::int AS ba,
+       |          (('0x' || substr(md5('graft' || id_b::varchar), 1, 8))::bigint
+       |           % 1000)::int AS bb
+       |        FROM dup)
+       |)
+       |SELECT id_a, id_b, jaccard, split_a, split_b
+       |FROM lab
+       |WHERE split_a != split_b
+       |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    val lbl = (id: org.apache.spark.sql.Column) =>
+      graft.operators.Sampling.splitLabel(id, "graft", 900, 50)
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .withColumn("split_a", lbl(col("id_a")))
+      .withColumn("split_b", lbl(col("id_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+      .orderBy("id_a", "id_b")
+  }
+
   // dq4_simhash_pairs — 64-bit SimHash near-dup pairs via banded Hamming
   // search, on the md5-token-hash signature variant so DuckDB can replay
   // the signature bit-for-bit (xxhash64 of the fast kernel has no SQL

@@ -20,19 +20,28 @@ object Sampling {
     (conv(substring(md5(concat(lit(salt), id.cast("string")).cast("binary")),
       1, 8), 16, 10).cast("long") % buckets).cast("int")
 
+  /** train/val/test label for one id — a pure Column function, usable on
+    * any id-bearing column (e.g. both sides of a pair) without a join. */
+  def splitLabel(
+      id: Column,
+      salt: String,
+      trainPerMille: Int,
+      valPerMille: Int): Column = {
+    val b = hashBucket(id, salt, 1000)
+    when(b < trainPerMille, "train")
+      .when(b < trainPerMille + valPerMille, "val")
+      .otherwise("test")
+  }
+
   /** Assign train/val/test by per-mille thresholds (e.g. 900/50/50). */
   def split(
       df: DataFrame,
       idCol: String,
       salt: String,
       trainPerMille: Int,
-      valPerMille: Int): DataFrame = {
-    val b = hashBucket(col(idCol), salt, 1000)
+      valPerMille: Int): DataFrame =
     df.withColumn("split",
-      when(b < trainPerMille, "train")
-        .when(b < trainPerMille + valPerMille, "val")
-        .otherwise("test"))
-  }
+      splitLabel(col(idCol), salt, trainPerMille, valPerMille))
 
   /** Keep ~perMille/1000 of rows, deterministically. */
   def deterministicSample(
