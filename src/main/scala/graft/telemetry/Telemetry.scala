@@ -242,6 +242,60 @@ final class PrometheusPublisher(
   def close(): Unit = synchronized { server.foreach(_.stop(0)); server = None }
 }
 
+/** Elasticsearch-style bulk publisher (nexus/telemetry/publisher.py
+  * ElasticsearchPublisher): metrics accumulate into an NDJSON bulk body
+  * — an `{"index":{"_index":...}}` action line followed by the document
+  * — and POST to the endpoint once `batchSize` is reached (plus an
+  * explicit `flush`, and flush-on-close). Transport failures are
+  * swallowed after `flush` returns false: telemetry must never take
+  * down the pipeline (same isolation contract as CompositePublisher).
+  */
+final class BulkHttpPublisher(
+    endpoint: String,
+    index: String = "graft-metrics",
+    batchSize: Int = 50) extends MetricsPublisher with AutoCloseable {
+  require(batchSize > 0, "batchSize must be positive")
+  private val pending = scala.collection.mutable.Buffer.empty[String]
+  private def esc(s: String) =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+
+  private def doc(m: EventMetrics): String =
+    s"""{"event":"${esc(m.eventName)}","task_id":"${esc(m.taskId)}",""" +
+      s""""status":"${m.status}","duration_sec":${m.durationSec},""" +
+      s""""start_ms":${m.startMs},"retries":${m.retryCount}""" +
+      m.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
+
+  def publish(m: EventMetrics): Unit = synchronized {
+    pending += s"""{"index":{"_index":"${esc(index)}"}}\n${doc(m)}"""
+    if (pending.size >= batchSize) flush()
+  }
+
+  /** POST the pending batch; true when the endpoint accepted it. The
+    * batch is dropped either way — a lossy-but-bounded buffer, never an
+    * unbounded retry queue inside a worker. */
+  def flush(): Boolean = synchronized {
+    if (pending.isEmpty) return true
+    val body = pending.mkString("\n") + "\n"
+    pending.clear()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofSeconds(10))
+        .header("Content-Type", "application/x-ndjson")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.discarding())
+      resp.statusCode() >= 200 && resp.statusCode() < 300
+    } catch { case _: Throwable => false }
+  }
+
+  def pendingCount: Int = synchronized(pending.size)
+  def close(): Unit = flush()
+}
+
 /** Bridges the signal bus to publishers: every completed event metric is
   * published as it happens. */
 final class PublishingCollector(publisher: MetricsPublisher)

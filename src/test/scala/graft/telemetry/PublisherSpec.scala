@@ -72,4 +72,43 @@ class PublisherSpec extends AnyFunSuite {
         """event_duration_seconds_count{event_name="E",status="completed"} 1"""))
     } finally pub.close()
   }
+
+  test("bulk publisher posts NDJSON batches and flushes on close") {
+    val received = scala.collection.mutable.Buffer.empty[String]
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_bulk", (ex: com.sun.net.httpserver.HttpExchange) => {
+      received.synchronized {
+        received += new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      }
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/_bulk"
+      val pub = new BulkHttpPublisher(url, index = "m", batchSize = 2)
+      pub.publish(EventMetrics("A", "t1", 0, 100, "completed", None, 0))
+      assert(pub.pendingCount == 1 && received.isEmpty) // below batch size
+      pub.publish(EventMetrics("B", "t2", 0, 250, "failed", Some("x"), 2))
+      assert(pub.pendingCount == 0 && received.size == 1) // batch fired
+      val lines = received.head.trim.split("\n")
+      assert(lines.length == 4) // action+doc per metric
+      assert(lines(0) == """{"index":{"_index":"m"}}""")
+      assert(lines(1).contains(""""event":"A"""") &&
+        lines(1).contains(""""status":"completed""""))
+      assert(lines(3).contains(""""error":"x"""") &&
+        lines(3).contains(""""retries":2"""))
+      pub.publish(EventMetrics("C", "t3", 0, 50, "completed", None, 0))
+      pub.close() // flush-on-close delivers the partial batch
+      assert(received.size == 2 && received(1).contains(""""event":"C""""))
+    } finally server.stop(0)
+  }
+
+  test("bulk publisher swallows transport failures") {
+    // nothing listens on this port: publish/flush must not throw
+    val pub = new BulkHttpPublisher("http://127.0.0.1:1/_bulk", batchSize = 1)
+    pub.publish(EventMetrics("A", "t", 0, 100, "completed", None, 0))
+    assert(!pub.flush() || pub.pendingCount == 0)
+    pub.close()
+  }
 }
