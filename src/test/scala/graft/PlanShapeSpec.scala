@@ -160,4 +160,38 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q1_agg")
     assert(p.contains("*("), p)
   }
+
+  test("pq1 packing cumsum never runs a global-ordered window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .tokenCount(col("text")).as("n_tokens"))
+    val df = graft.operators.Packing.packSequences(
+      docs, "doc_id", "n_tokens", budget = 512L)
+    df.collect()
+    val windows = deepNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    // the only window is partitioned by __pid — a global ordered window
+    // has an empty partitionBy, which is the single-partition scale-killer
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      windows.map(_.toString).mkString("\n"))
+  }
+
+  test("sq4 quantized ANN broadcasts the query side") {
+    val p = plan("sq4_quantized_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("tq6 top-bigram pick aggregates — no per-doc sort window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.TextAnalysis.repetitionSignals(
+      graft.Tables.load(spark, sf, "documents"), "doc_id", "text")
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      nodes.map(_.nodeName).mkString(", "))
+  }
 }
