@@ -2232,6 +2232,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // pq2_export_shuffle — the deterministic global shuffle a pretraining
+  // export needs: shuffle position = global rank by a salted content
+  // hash, reproducible on any engine and any cluster size. Spark
+  // computes the rank scale-out (distributed prefix sum, no global
+  // window); the oracle is the plain ordered row_number.
+  register(
+    "pq2_export_shuffle",
+    """SELECT doc_id,
+      |       row_number() OVER (ORDER BY md5('shuf' || doc_id::varchar))::bigint
+      |         AS shuffle_rank
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val hashed = t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(concat(lit("shuf"), col("doc_id").cast("string")).cast("binary"))
+        .as("__h"))
+    graft.operators.Packing.globalRank(hashed, "__h", Seq("doc_id"))
+      .select(col("doc_id"), col("rank").as("shuffle_rank"))
+      .orderBy("doc_id")
+  }
+
   // q26_correlated_min — correlated scalar-AGGREGATE subquery (TPC-H
   // Q2/Q17 shape): Catalyst decorrelates it into an aggregate + join
   // instead of a per-row re-scan. Equality on the raw double is safe —

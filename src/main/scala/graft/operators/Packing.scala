@@ -78,4 +78,48 @@ object Packing {
         col("bin_id") =!=
           expr(s"(start_offset + greatest(n_tokens, 1L) - 1L) div $budget"))
   }
+
+  /** Global 1-based rank by `orderCol` without a global-ordered window —
+    * the same distributed prefix sum as packSequences, counting rows
+    * instead of tokens: range partition on the order key, local
+    * row_number, plus each partition's broadcast row-count offset.
+    *
+    * The canonical use is the deterministic EXPORT SHUFFLE of a training
+    * corpus: order by a salted content hash and the rank is a
+    * reproducible global shuffle position, computed scale-out.
+    *
+    * Precondition: `orderCol` values are unique (a hash with the id
+    * mixed in) — equal keys may split across range-partition boundaries,
+    * which would make their relative ranks partition-dependent. */
+  def globalRank(
+      df: DataFrame,
+      orderCol: String,
+      carryCols: Seq[String],
+      numParts: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = numParts.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val sorted = df
+      .select((orderCol +: carryCols).map(col): _*)
+      .repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+
+    val counts = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, n)) => (pid, acc + n)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val offsetDf = spark.createDataFrame(offsets).toDF("__pid", "__offset")
+
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    sorted
+      .withColumn("__local_rank", row_number().over(w).cast("long"))
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .select((orderCol +: carryCols).map(col) :+
+        (col("__local_rank") + col("__offset")).as("rank"): _*)
+  }
 }

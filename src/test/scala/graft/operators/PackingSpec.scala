@@ -40,6 +40,19 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRank equals the single-window rank on any partitioning") {
+    val df = (1 to 300).map(i => (i.toLong, f"k${(i * 37) % 1000}%03d-$i"))
+      .toDF("id", "key")
+    val want = df.orderBy("key").select("id").as[Long].collect().toSeq
+      .zipWithIndex.map { case (id, i) => (id, i + 1L) }.sortBy(_._1)
+    for (parts <- Seq(1, 4, 11)) {
+      val got = Packing.globalRank(df, "key", Seq("id"),
+          numParts = Some(parts))
+        .select("id", "rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("packSequences handles zero-token docs without boundary confusion") {
     val df = Seq((1L, 10L), (2L, 0L), (3L, 5L)).toDF("doc_id", "n_tokens")
     val r = Packing.packSequences(df, "doc_id", "n_tokens", budget = 10L)
