@@ -1188,6 +1188,27 @@ object Queries {
       .orderBy("split")
   }
 
+  // aq17_source_cap — per-domain frequency capping: at most 10 docs per
+  // source, chosen by salted hash order (an unbiased reproducible draw,
+  // not storage order). One shuffle on the group key; output is O(cap)
+  // per group no matter how hot the domain.
+  register(
+    "aq17_source_cap",
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY ('0x' || substr(md5('cap' || doc_id::varchar), 1, 8))::bigint
+      |                      % 1073741824, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Sampling.capPerGroup(
+        t(s, dir, "documents").select("doc_id", "source"),
+        groupCol = "source", idCol = "doc_id", salt = "cap", cap = 10)
+      .orderBy("doc_id")
+  }
+
   // aq4_tfidf — corpus TF-IDF, top-3 terms per document (tf * ln(N/df),
   // deterministic term tie-break). Purely relational: one explode, two
   // aggregations, one window.

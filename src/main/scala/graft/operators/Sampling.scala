@@ -43,6 +43,27 @@ object Sampling {
     df.withColumn("split",
       splitLabel(col(idCol), salt, trainPerMille, valPerMille))
 
+  /** Per-group quota cap (domain frequency capping): keep at most `cap`
+    * rows per group, preferring rows by salted content hash so the kept
+    * subset is an unbiased, reproducible draw — not "first N in storage
+    * order". One shuffle on the group key; hot groups are bounded by the
+    * window's own spilling and AQE skew handling, and the cap means the
+    * output per group is O(cap) regardless of group size. */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      salt: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(hashBucket(col(idCol), salt, 1 << 30), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** Keep ~perMille/1000 of rows, deterministically. */
   def deterministicSample(
       df: DataFrame, idCol: String, salt: String, perMille: Int): DataFrame =

@@ -61,4 +61,21 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assert(other.select("doc_id").collect().toSet !=
       s.select("doc_id").collect().toSet)
   }
+
+  test("capPerGroup keeps at most cap rows per group, hash-chosen") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "source")
+    val capped = Sampling.capPerGroup(docs, "source", "doc_id", "cap", 10)
+    val sizes = capped.groupBy("source").count().collect()
+      .map(_.getLong(1))
+    assert(sizes.forall(_ <= 10) && sizes.max == 10)
+    // deterministic across partitioning
+    val again = Sampling.capPerGroup(
+      docs.repartition(7), "source", "doc_id", "cap", 10)
+    assert(capped.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a cap above the group size keeps everything
+    assert(Sampling.capPerGroup(docs, "source", "doc_id", "cap", 1000)
+      .count() == docs.count())
+  }
 }
