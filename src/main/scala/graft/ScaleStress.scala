@@ -63,6 +63,24 @@ object ScaleStress {
       withPert(edup(1)), "vec_id", "embedding", 0.9, rowsPerBand = 16).count())
     time("embed_lsh_4x")(operators.Similarity.nearDupPairs(
       withPert(edup(4)), "vec_id", "embedding", 0.9, rowsPerBand = 16).count())
+    // prefix-sum family: packing + export rank over replicated corpora.
+    // Time should grow ~linearly (the collect is one row per partition
+    // regardless of data size); the final offset equals total tokens,
+    // checked implicitly by count() (all rows assigned).
+    def toks(k: Int) = dup(k).select(col("doc_id"),
+      functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    time("packing_1x")(operators.Packing.packSequences(
+      toks(1), "doc_id", "n_tokens", budget = 512L).count())
+    time("packing_4x")(operators.Packing.packSequences(
+      toks(4), "doc_id", "n_tokens", budget = 512L).count())
+    time("export_rank_4x")(operators.Packing.globalRank(
+      dup(4).select(col("doc_id"), md5(concat(lit("shuf"),
+        col("doc_id").cast("string")).cast("binary")).as("h")),
+      "h", Seq("doc_id")).count())
+    // quantized ANN: corpus scan cost per query batch
+    time("quantized_knn_4x")(operators.Similarity.quantizedTopK(
+      withPert(edup(4)), emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5).count())
     spark.stop()
   }
 }
