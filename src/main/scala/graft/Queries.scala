@@ -2275,6 +2275,54 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // q32_training_export — the export pipeline through the Pointy DSL:
+  // dedup |-> repetition gate (conditional) |-> sequence packing |->
+  // per-split export summary. The oracle replays every stage in SQL —
+  // the composite proves the operators agree when CHAINED, not just
+  // one at a time.
+  register(
+    "q32_training_export",
+    """WITH canon AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |           row_number() OVER (
+      |             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |             ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1
+      |), rep AS (
+      |  SELECT doc_id, text,
+      |         round(CASE WHEN len(tk) = 0 THEN 0.0
+      |               ELSE 1.0 - len(list_distinct(tk))::double / len(tk) END, 4) AS dup_frac
+      |  FROM (SELECT doc_id, text,
+      |          list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |        FROM canon)
+      |), kept AS (
+      |  SELECT doc_id,
+      |         len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))::bigint AS n_tokens
+      |  FROM rep WHERE dup_frac < 0.65
+      |), packed AS (
+      |  SELECT doc_id, n_tokens,
+      |         coalesce(sum(n_tokens) OVER (
+      |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS so
+      |  FROM kept
+      |), labeled AS (
+      |  SELECT CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+      |              ELSE 'test' END AS split,
+      |         n_tokens, so // 512 AS bin_id,
+      |         (so // 512) != ((so + greatest(n_tokens, 1) - 1) // 512) AS spans
+      |  FROM (SELECT doc_id, n_tokens, so,
+      |          (('0x' || substr(md5('graft' || doc_id::varchar), 1, 8))::bigint % 1000)::int AS b
+      |        FROM packed)
+      |)
+      |SELECT split, count(*) AS n_docs,
+      |       sum(n_tokens)::bigint AS total_tokens,
+      |       count(DISTINCT bin_id) AS n_bins,
+      |       count(CASE WHEN spans THEN 1 END) AS n_boundary_docs
+      |FROM labeled
+      |GROUP BY split
+      |ORDER BY split""".stripMargin
+  ) { (s, dir) => ExportPipeline.run(s, dir) }
+
   // q26_correlated_min — correlated scalar-AGGREGATE subquery (TPC-H
   // Q2/Q17 shape): Catalyst decorrelates it into an aggregate + join
   // instead of a per-row re-scan. Equality on the raw double is safe —
