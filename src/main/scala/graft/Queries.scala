@@ -1209,6 +1209,51 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // aq18_weighted_sample — quality-weighted importance sampling: each
+  // doc survives with probability equal to its (rounded) quality score,
+  // decided by salted hash instead of an RNG so the draw is exactly
+  // reproducible — and exactly oracle-able, which no rand()-based
+  // sample is. High-quality docs oversampled, junk downsampled.
+  register(
+    "aq18_weighted_sample",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         length(text)::double AS n_chars,
+      |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+      |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, source, n_chars, n_punct, n_digit,
+      |         CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','that','it'], x)))::double / len(toks) END AS stop_ratio,
+      |         CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE list_sum(list_transform(toks, x -> len(x)::double)) / len(toks) END AS mtl
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id, source,
+      |         round(greatest(0.0, least(1.0,
+      |           0.4 * least(stop_ratio * 5, 1.0)
+      |           + 0.3 * (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.0 END)
+      |           + 0.3 * (1.0 - least(((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END)
+      |                                + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_digit / n_chars END)) * 5, 1.0)))), 4) AS quality
+      |  FROM m
+      |)
+      |SELECT doc_id, source, quality
+      |FROM q
+      |WHERE (('0x' || substr(md5('wsamp' || doc_id::varchar), 1, 8))::bigint
+      |        % 1000000)::double / 1e6 < quality
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.TextFunctions.qualityScore
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      round(qualityScore(col("text")), 4).as("quality"))
+    graft.operators.Sampling.weightedSample(
+        scored, "doc_id", "wsamp", col("quality"))
+      .orderBy("doc_id")
+  }
+
   // aq4_tfidf — corpus TF-IDF, top-3 terms per document (tf * ln(N/df),
   // deterministic term tie-break). Purely relational: one explode, two
   // aggregations, one window.

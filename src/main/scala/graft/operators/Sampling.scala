@@ -64,6 +64,18 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic weighted (importance) sampling: keep a row with
+    * probability `weight` (in [0,1], e.g. a quality score) — but decided
+    * by the salted content hash, not an RNG, so the draw is reproducible
+    * on any engine/cluster/run. Narrow, no shuffle. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      salt: String,
+      weight: Column): DataFrame =
+    df.filter(
+      hashBucket(col(idCol), salt, 1000000).cast("double") / 1e6 < weight)
+
   /** Keep ~perMille/1000 of rows, deterministically. */
   def deterministicSample(
       df: DataFrame, idCol: String, salt: String, perMille: Int): DataFrame =

@@ -62,6 +62,18 @@ class AsOfSamplingSpec extends AnyFunSuite {
       s.select("doc_id").collect().toSet)
   }
 
+  test("weightedSample keeps ~weight fraction, reproducibly") {
+    val df = spark.range(4000).toDF("id")
+    val keepHalf = Sampling.weightedSample(df, "id", "w", lit(0.5))
+    val n = keepHalf.count()
+    assert(n > 1700 && n < 2300, s"~2000 expected, got $n")
+    assert(keepHalf.collect().toSet ==
+      Sampling.weightedSample(df.repartition(9), "id", "w", lit(0.5))
+        .collect().toSet)
+    assert(Sampling.weightedSample(df, "id", "w", lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(df, "id", "w", lit(1.0)).count() == 4000)
+  }
+
   test("capPerGroup keeps at most cap rows per group, hash-chosen") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
       .select("doc_id", "source")
