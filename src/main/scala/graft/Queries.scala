@@ -2368,6 +2368,33 @@ object Queries {
       |ORDER BY split""".stripMargin
   ) { (s, dir) => ExportPipeline.run(s, dir) }
 
+  // tq8_unigram_surprisal — CCNet-style LM quality signal: per-doc
+  // cross-entropy under a unigram LM trained on the corpus itself.
+  // Per-token surprisals round to 6dp and sum as DECIMAL so the result
+  // is summation-order independent across engines.
+  register(
+    "tq8_unigram_surprisal",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+      |), n AS (
+      |  SELECT sum(c)::bigint AS n_total FROM c
+      |)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round((sum(round(ln(n_total) - ln(c), 6)::decimal(18,6)))::double
+      |             / count(*), 2) AS surprisal
+      |FROM toks JOIN c USING (tok) CROSS JOIN n
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.unigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // q26_correlated_min — correlated scalar-AGGREGATE subquery (TPC-H
   // Q2/Q17 shape): Catalyst decorrelates it into an aggregate + join
   // instead of a per-row re-scan. Equality on the raw double is safe —

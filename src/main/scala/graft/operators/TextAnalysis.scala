@@ -47,6 +47,42 @@ object TextAnalysis {
       when(mx === 0, "und").otherwise(winner).as("detected_lang"): _*)
   }
 
+  /** CCNet-style language-model quality signal: per-document cross-
+    * entropy under a unigram LM trained on the corpus itself. Junk docs
+    * (rare-token soup) score high; boilerplate scores low. No external
+    * model: the "training" is one token-frequency aggregation, so the
+    * whole signal is deterministic and oracle-able.
+    *
+    * surprisal(d) = avg over tokens of ln(N) - ln(c(tok)), where c is
+    * the corpus count and N the corpus token total. Per-token surprisals
+    * are rounded to 6dp and summed as DECIMAL so the per-doc result is
+    * independent of summation order (float sums are not associative —
+    * the engines would disagree in the last ulp otherwise).
+    *
+    * Scale shape: one explode, one vocab aggregation (map-side
+    * combined), one join back by token (shuffle on the token key —
+    * broadcast it instead if the vocab fits), one per-doc aggregation.
+    */
+  def unigramSurprisal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__tok"))
+    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__n_total"))
+    toks
+      .join(counts, "__tok")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(col("__n_total")) - log(col("__c")), 6)
+          .cast("decimal(18,6)").as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__s")).cast("double") / count(lit(1)), 2)
+          .as("surprisal"))
+  }
+
   /** Gopher/RefinedWeb-style repetition signals per document
     * (cf. reference `nexus/` has no text analytics; this is a
     * training-data-pipeline extension): duplicate-token fraction and the

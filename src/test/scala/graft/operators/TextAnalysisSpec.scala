@@ -36,6 +36,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       math.rint(1 * 3.0 / 3 * 10000) / 10000)))
   }
 
+  test("unigramSurprisal ranks rare-token soup above common text") {
+    // "the the the ..." tokens dominate the corpus -> low surprisal;
+    // doc 3's tokens are unique -> ln(N/1) each, the maximum possible
+    val docs = Seq(
+      (1L, "the the the the the the"),
+      (2L, "the the the cat"),
+      (3L, "zq1 zq2 zq3")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val n = 13.0 // corpus tokens
+    assert(r(0)._2 == 6 && r(1)._2 == 4 && r(2)._2 == 3)
+    // doc 1: all "the" (c=9): ln(13/9)
+    assert(math.abs(r(0)._3 - math.rint(math.log(n / 9) * 100) / 100) < 1e-9)
+    // doc 3: three singletons: ln(13)
+    assert(math.abs(r(2)._3 - math.rint(math.log(n) * 100) / 100) < 0.011)
+    assert(r(2)._3 > r(1)._3 && r(1)._3 > r(0)._3)
+  }
+
   test("repetitionSignals tie-break is the smallest bigram, not plan order") {
     // "b a b a": bigrams [b a, a b, b a] -> "b a" wins on count;
     // "c d c d e c d": "c d" x3 beats "d c" x2 and "d e"/"e c" x1
