@@ -31,6 +31,12 @@ object GraftExtensions {
       exprs => TK.MinHashSig(exprs(0), ext.lit(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("simhash",
       exprs => TK.SimHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("float_maxabs",
+      exprs => VE.FloatMaxAbs(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("int8_quantize",
+      exprs => VE.Int8Quantize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("int_dot",
+      exprs => VE.IntDot(exprs(0), exprs(1)), "scala_udf")
   }
 }
 
@@ -64,5 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash"),
       info("simhash", "simhash(text) - 64-bit simhash of whitespace tokens"),
       (exprs: Seq[Expression]) => TK.SimHash(exprs(0))))
+    e.injectFunction((FunctionIdentifier("float_maxabs"),
+      info("float_maxabs", "float_maxabs(a) - max absolute value of a float array (double)"),
+      (exprs: Seq[Expression]) => VE.FloatMaxAbs(exprs(0))))
+    e.injectFunction((FunctionIdentifier("int8_quantize"),
+      info("int8_quantize", "int8_quantize(a) - symmetric int8 quantization of a float array"),
+      (exprs: Seq[Expression]) => VE.Int8Quantize(exprs(0))))
+    e.injectFunction((FunctionIdentifier("int_dot"),
+      info("int_dot", "int_dot(a, b) - dot product of two int arrays (long)"),
+      (exprs: Seq[Expression]) => VE.IntDot(exprs(0), exprs(1))))
   }
 }

@@ -43,6 +43,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sh") == viaColumn)
   }
 
+  test("quantization kernels callable from SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  float_maxabs(array(cast(-2.0 as float), cast(1.0 as float))) AS m,
+        |  int8_quantize(array(cast(0.5 as float), cast(-1.0 as float))) AS q,
+        |  int_dot(array(3, 4), array(5, 6)) AS d
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Double]("m") == 2.0)
+    assert(row.getSeq[Int](1) == Seq(64, -127))
+    assert(row.getAs[Long]("d") == 39L)
+  }
+
   test("SQL simhash agrees with Dedup.simhash64 over documents") {
     Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .createOrReplaceTempView("docs_ext")
