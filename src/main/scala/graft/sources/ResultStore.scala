@@ -74,6 +74,43 @@ final class ResultStore(spark: SparkSession, root: String) {
     new java.io.File(tmp).renameTo(dst)
   }
 
+  /** MERGE INTO semantics over the copy-on-write store (the Delta/
+    * Iceberg `MERGE` shape, which this parquet store emulates — swap the
+    * body for a real `MERGE INTO` when a transactional format is on the
+    * classpath): source rows matching by key UPDATE the stored row
+    * (source wins), optionally DELETE it instead when `deleteWhen`
+    * holds on the source row, and non-matching source rows INSERT.
+    * One anti-join + one filtered union, single rewrite. */
+  def merge(
+      schema: String,
+      source: DataFrame,
+      keyCol: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Unit = {
+    if (!exists0(schema)) {
+      val insert = deleteWhen.map(c => source.filter(!c)).getOrElse(source)
+      overwrite(schema, insert)
+      return
+    }
+    // stored rows keyed by ANY source row drop out (anti-join); the
+    // update/insert rows re-enter unless delete-marked — so a matched-
+    // and-marked key disappears entirely, exactly MERGE's DELETE arm
+    val stored = read(schema)
+    val survivors = stored.join(source.select(keyCol), Seq(keyCol), "left_anti")
+    val incoming = deleteWhen.map(c => source.filter(!c)).getOrElse(source)
+    val merged = survivors.unionByName(incoming, allowMissingColumns = true)
+    val tmp = path(schema) + "__tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dst = new java.io.File(path(schema))
+    if (dst.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dst)
+    }
+    new java.io.File(tmp).renameTo(dst)
+  }
+
   /** Delete by predicate (copy-on-write). */
   def delete(schema: String, filters: (String, Any)*): Unit = {
     val df = read(schema)

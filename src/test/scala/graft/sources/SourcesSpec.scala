@@ -49,6 +49,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == Seq((1L, "new"), (2L, "keep"), (3L, "add")))
   }
 
+  test("result store: merge updates matched, inserts new, deletes marked") {
+    import org.apache.spark.sql.functions.col
+    val store = new ResultStore(spark, tmpDir())
+    store.insert("m", Seq(KV(1, "old"), KV(2, "keep"), KV(3, "drop")).toDF())
+    // 1 matched -> update; 3 matched + marked -> delete; 4 unmatched ->
+    // insert; 5 unmatched + marked -> no-op (MERGE's conditional arms)
+    store.merge("m",
+      Seq(KV(1, "new"), KV(3, "DEL"), KV(4, "add"), KV(5, "DEL")).toDF(),
+      "k", deleteWhen = Some(col("v") === "DEL"))
+    val got = store.read("m").orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(got == Seq((1L, "new"), (2L, "keep"), (4L, "add")))
+    // merge into an absent schema inserts the non-marked rows
+    store.merge("m2", Seq(KV(1, "a"), KV(2, "DEL")).toDF(), "k",
+      deleteWhen = Some(col("v") === "DEL"))
+    assert(store.read("m2").collect().map(_.getAs[Long]("k")).toSeq == Seq(1L))
+  }
+
   test("result store: delete by predicate") {
     val store = new ResultStore(spark, tmpDir())
     store.insert("d", Seq(KV(1, "a"), KV(2, "b"), KV(3, "ab")).toDF())
