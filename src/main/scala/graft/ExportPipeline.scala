@@ -43,12 +43,18 @@ object ExportPipeline {
       val in = ctx.previousContent.get.localCheckpoint(false)
       val signals = TextAnalysis.repetitionSignals(in, "doc_id", "text")
         .select(col("doc_id"), col("dup_token_frac"))
-      val kept = in.join(signals, Seq("doc_id"))
-        .filter(col("dup_token_frac") < 0.65)
-        .drop("dup_token_frac")
-      val probe = kept.agg(count(lit(1))).head().getLong(0)
-      val total = in.count()
-      (total == 0 || probe.toDouble / total >= 0.1, kept)
+      // checkpoint the annotated corpus: the health probe forces it and
+      // the downstream packing restarts from the stored blocks instead
+      // of replaying the signals join
+      val annotated = in.join(signals, Seq("doc_id")).localCheckpoint(false)
+      val keep = col("dup_token_frac") < 0.65
+      // one aggregate action computes total and survivors together
+      val probe = annotated.agg(
+        count(lit(1)).as("total"),
+        count(when(keep, 1)).as("surviving")).head()
+      val (total, surviving) = (probe.getLong(0), probe.getLong(1))
+      val kept = annotated.filter(keep).drop("dup_token_frac")
+      (total == 0 || surviving.toDouble / total >= 0.1, kept)
     }
 
     reg.registerTransform("Pack") { ctx =>
