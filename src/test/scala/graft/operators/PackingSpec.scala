@@ -53,6 +53,13 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("empty inputs produce empty outputs, not exceptions") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(Packing.packSequences(empty, "doc_id", "n_tokens", 10L).count() == 0)
+    val emptyK = Seq.empty[(Long, String)].toDF("id", "key")
+    assert(Packing.globalRank(emptyK, "key", Seq("id")).count() == 0)
+  }
+
   test("packSequences handles zero-token docs without boundary confusion") {
     val df = Seq((1L, 10L), (2L, 0L), (3L, 5L)).toDF("doc_id", "n_tokens")
     val r = Packing.packSequences(df, "doc_id", "n_tokens", budget = 10L)
