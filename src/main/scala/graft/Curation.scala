@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
+
+/** Fluent corpus-curation facade: the LLM-data operators as one lazy,
+  * chainable API over any (id, text) DataFrame. Each step returns a new
+  * `Curation` wrapping a transformed plan — nothing executes until an
+  * action, so Catalyst fuses the whole chain. The DSL pipelines
+  * (CurationPipeline, ExportPipeline) compose the same operators with
+  * control flow; this facade is the programmatic one-liner:
+  *
+  * {{{
+  * Curation(docs)
+  *   .dedupExact()
+  *   .dropNearDups(threshold = 0.8)
+  *   .filterQuality(0.3)
+  *   .filterRepetition(maxDupTokenFrac = 0.65)
+  *   .scrubPii()
+  *   .capPerGroup("source", cap = 10000)
+  *   .split()
+  *   .df
+  * }}}
+  */
+final case class Curation(
+    df: DataFrame,
+    idCol: String = "doc_id",
+    textCol: String = "text") {
+
+  private def next(d: DataFrame): Curation = copy(df = d)
+
+  /** Keep the canonical (lowest-id) doc per content fingerprint. */
+  def dedupExact(): Curation = next(
+    Dedup.exact(df, idCol, textCol)
+      .filter(col("is_canonical"))
+      .drop("is_canonical", "fingerprint"))
+
+  /** Drop near-duplicates: MinHash-LSH pairs → connected components →
+    * keep only cluster canonicals and unclustered docs. */
+  def dropNearDups(threshold: Double = 0.8): Curation = {
+    val pairs = Dedup.minhashLshPairs(df, idCol, textCol,
+      threshold = threshold)
+    val losers = Dedup.duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    next(df.join(losers, Seq(idCol), "left_anti"))
+  }
+
+  /** Keep docs with quality score >= min (C4/Gopher-style). */
+  def filterQuality(min: Double): Curation =
+    next(df.filter(TextFunctions.qualityScore(col(textCol)) >= min))
+
+  /** Drop boilerplate: duplicate-token fraction must stay below the cap. */
+  def filterRepetition(maxDupTokenFrac: Double): Curation = {
+    val signals = TextAnalysis.repetitionSignals(df, idCol, textCol)
+      .select(col(idCol), col("dup_token_frac"))
+    next(df.join(signals, Seq(idCol))
+      .filter(col("dup_token_frac") < maxDupTokenFrac)
+      .drop("dup_token_frac"))
+  }
+
+  /** Redact emails / IPs / phone numbers in place. */
+  def scrubPii(): Curation =
+    next(df.withColumn(textCol, TextFunctions.redactPii(col(textCol))))
+
+  /** At most `cap` docs per group, hash-chosen (unbiased draw). */
+  def capPerGroup(groupCol: String, cap: Int, salt: String = "cap"): Curation =
+    next(Sampling.capPerGroup(df, groupCol, idCol, salt, cap))
+
+  /** Keep each doc with probability `weight` (deterministic hash draw). */
+  def sampleWeighted(weight: Column, salt: String = "wsamp"): Curation =
+    next(Sampling.weightedSample(df, idCol, salt, weight))
+
+  /** Add a reproducible train/val/test column. */
+  def split(salt: String = "graft", trainPerMille: Int = 900,
+      valPerMille: Int = 50): Curation =
+    next(Sampling.split(df, idCol, salt, trainPerMille, valPerMille))
+
+  /** Terminal: context-window layout (global offset, bin, boundary flag)
+    * for the surviving docs, BPE-ish token counts. */
+  def pack(budget: Long = 4096L): DataFrame =
+    Packing.packSequences(
+      df.select(col(idCol),
+        TextFunctions.bpeishTokenCount(col(textCol)).as("n_tokens")),
+      idCol, "n_tokens", budget)
+
+  /** Terminal: deterministic export-shuffle rank per surviving doc. */
+  def exportShuffled(salt: String = "shuf"): DataFrame =
+    Packing.globalRank(
+      df.withColumn("__h",
+        md5(concat(lit(salt), col(idCol).cast("string")).cast("binary"))),
+      "__h", Seq(idCol))
+      .select(col(idCol), col("rank").as("shuffle_rank"))
+}
