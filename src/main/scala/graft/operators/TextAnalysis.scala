@@ -59,27 +59,34 @@ object TextAnalysis {
     * independent of summation order (float sums are not associative —
     * the engines would disagree in the last ulp otherwise).
     *
-    * Scale shape: one explode, one vocab aggregation (map-side
-    * combined), one join back by token (shuffle on the token key —
-    * broadcast it instead if the vocab fits), one per-doc aggregation.
+    * Scale shape: one explode collapsed immediately to distinct
+    * (doc, token, tf) triples (map-side combined — the join input
+    * shrinks from total-token to distinct-pair cardinality, which is
+    * what survives a stopword-skewed 100 TB corpus), one vocab
+    * aggregation, one join back by token (AQE splits residual hot
+    * tokens; broadcast the vocab instead when it fits), one per-doc
+    * aggregation. tf * surprisal stays DECIMAL-exact, so collapsing
+    * multiplicity changes nothing in the result.
     */
   def unigramSurprisal(
       df: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
+    val tf = df.select(col(idCol),
       explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__tok"))
-    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val counts = tf.groupBy("__tok").agg(sum(col("__tf")).as("__c"))
     val total = counts.agg(sum(col("__c")).as("__n_total"))
-    toks
+    tf
       .join(counts, "__tok")
       .crossJoin(broadcast(total))
-      .select(col(idCol),
-        round(log(col("__n_total")) - log(col("__c")), 6)
-          .cast("decimal(18,6)").as("__s"))
+      .select(col(idCol), col("__tf"),
+        (round(log(col("__n_total")) - log(col("__c")), 6)
+          .cast("decimal(18,6)") * col("__tf")).as("__s"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("__s")).cast("double") / count(lit(1)), 2)
+      .agg(sum(col("__tf")).as("n_tokens"),
+        round(sum(col("__s")).cast("double") / sum(col("__tf")), 2)
           .as("surprisal"))
   }
 
