@@ -271,6 +271,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(index.select("cell_id").distinct().count() <= 16)
   }
 
+  test("ngramJaccardPairs equals brute force on random corpora (seeded)") {
+    // random near-dup families: the prefix + length filters must not
+    // drop ANY qualifying pair, at thresholds around the rounding edge
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def sentence(n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = Seq.fill(30)(sentence(8 + rnd.nextInt(8)))
+    val docs = bases.zipWithIndex.flatMap { case (b, i) =>
+      val toks = b.split(" ")
+      val mutated = toks.updated(rnd.nextInt(toks.length),
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      Seq((i * 2L, b), (i * 2L + 1, mutated))
+    }.toDF("doc_id", "text")
+
+    def shingles(t: String): Set[String] = {
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+      val want = (for {
+        (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+        sa = shingles(ta); sb = shingles(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        j = (sa & sb).size.toDouble / (sa | sb).size
+        if math.rint(j * 10000) / 10000 >= t
+      } yield (ia, ib)).toSet
+      assert(got == want, s"t=$t diff=${(got diff want, want diff got)}")
+    }
+  }
+
   test("int8 quantization is exact on representative values") {
     import graft.functions.VectorExpressions._
     val d = Seq(
