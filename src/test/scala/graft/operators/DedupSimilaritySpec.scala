@@ -309,6 +309,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs equals brute force on random excerpt corpora") {
+    // excerpts of longer docs: directional containment must find every
+    // (excerpt, host) pair, ordered pairs, no prefix-filter loss
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("red", "blue", "green", "cyan", "teal", "plum",
+      "gold", "jade", "rust", "sand")
+    val docs = (0 until 25).flatMap { i =>
+      val host = Seq.fill(12 + rnd.nextInt(6))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val toks = host.split(" ")
+      val off = rnd.nextInt(toks.length - 6)
+      val excerpt = toks.slice(off, off + 6).mkString(" ")
+      Seq((i * 2L, host), (i * 2L + 1, excerpt))
+    }.toDF("doc_id", "text")
+
+    def shingles(t: String): Set[String] = {
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val want = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia != ib
+      sa = shingles(ta); sb = shingles(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      c = (sa & sb).size.toDouble / sa.size
+      if math.rint(c * 10000) / 10000 >= 0.9
+    } yield (ia, ib)).toSet
+    assert(got == want, s"diff=${(got diff want, want diff got)}")
+    assert(want.nonEmpty) // the corpus genuinely contains excerpts
+  }
+
   test("int8 quantization is exact on representative values") {
     import graft.functions.VectorExpressions._
     val d = Seq(
