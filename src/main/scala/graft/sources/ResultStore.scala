@@ -139,4 +139,20 @@ final class ResultStore(spark: SparkSession, root: String) {
         upsert(schema, batch, keyCol)
       }
       .start()
+
+  /** Streaming MERGE sink: each micro-batch applies the full
+    * update/insert/delete arms — a change-data-capture stream (upserts
+    * + tombstones) lands in the store with one foreachBatch. */
+  def streamingMerge(
+      stream: DataFrame, schema: String, keyCol: String,
+      checkpoint: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        merge(schema, batch, keyCol, deleteWhen)
+      }
+      .start()
 }

@@ -84,6 +84,23 @@ class SourcesSpec extends AnyFunSuite {
       graft.Tables.load(spark, "/root/testdata/sf0.001", "region").count())
   }
 
+  test("streaming merge applies CDC arms per micro-batch") {
+    val store = new ResultStore(spark, tmpDir())
+    store.insert("cdc", Seq(KV(1, "old"), KV(2, "keep"), KV(3, "gone")).toDF())
+    // a CDC batch: update 1, tombstone 3, insert 4
+    val srcDir = tmpDir()
+    Seq(KV(1, "new"), KV(3, "DEL"), KV(4, "add")).toDF()
+      .write.mode("overwrite").parquet(s"$srcDir/batch.parquet")
+    val stream = graft.streaming.StreamRunner
+      .parquetStream(spark, s"$srcDir/batch.parquet")
+    val q = store.streamingMerge(stream, "cdc", "k", tmpDir(),
+      deleteWhen = Some(col("v") === "DEL"))
+    q.awaitTermination()
+    val got = store.read("cdc").orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(got == Seq((1L, "new"), (2L, "keep"), (4L, "add")))
+  }
+
   test("csv/json/text round trips") {
     val dir = tmpDir()
     val df = Seq(KV(1, "a"), KV(2, "b")).toDF()
