@@ -345,6 +345,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(want.nonEmpty) // the corpus genuinely contains excerpts
   }
 
+  test("star-contraction clusters equal label propagation on real pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      threshold = 0.8)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaProp = asSet(Dedup.duplicateClusters(pairs)
+      .select("doc_id", "cluster_id", "cluster_size"))
+    val viaStar = asSet(Dedup.duplicateClustersStar(pairs)
+      .select("doc_id", "cluster_id", "cluster_size"))
+    assert(viaStar == viaProp && viaStar.nonEmpty)
+  }
+
+  test("star contraction handles a chain component beyond label-prop reach") {
+    // a 400-node path has diameter 399: min-label propagation moves one
+    // hop per round and would blow its round budget; star contraction
+    // needs O(log n) rounds
+    val chain = (0L until 399L).map(i => (i, i + 1))
+      .toDF("id_a", "id_b")
+    val r = Dedup.duplicateClustersStar(chain).collect()
+    assert(r.length == 400)
+    assert(r.forall(_.getAs[Long]("cluster_id") == 0L))
+    assert(r.forall(_.getAs[Long]("cluster_size") == 400L))
+  }
+
   test("int8 quantization is exact on representative values") {
     import graft.functions.VectorExpressions._
     val d = Seq(
