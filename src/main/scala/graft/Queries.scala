@@ -898,6 +898,33 @@ object Queries {
     Dedup.duplicateClusters(pairs).orderBy("doc_id")
   }
 
+  // dq10_star_clusters — the SAME components through the O(log n)
+  // large-star/small-star contraction (the planet-scale path for
+  // chain-shaped components), against the SAME recursive-CTE oracle as
+  // dq6: two independent algorithms, one closure, one hash.
+  register(
+    "dq10_star_clusters",
+    s"""WITH RECURSIVE ${jaccardPairsCtes(0.8)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM dup
+       |  UNION ALL SELECT id_b, id_a FROM dup
+       |), reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+       |), comp AS (
+       |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT id AS doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    Dedup.duplicateClustersStar(pairs).orderBy("doc_id")
+  }
+
   // dq8_containment — directional near-containment (|A∩B|/|A| >= 0.9):
   // the excerpt-of-larger-doc duplicates symmetric Jaccard misses.
   register(
