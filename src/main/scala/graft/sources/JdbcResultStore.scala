@@ -17,15 +17,28 @@ import graft.query.FilterDsl
   * into the JDBC source's pushed filters and execute INSIDE the
   * database (the scan's `PushedFilters` — asserted in SourcesSpec);
   * `readPartitioned` shards a large table across executors on a numeric
-  * column, which is the scale path for bulk loads. Writes use Spark's
-  * JDBC sink; upsert/delete are read-merge-swap via a temp table and a
-  * transactional-enough DROP+RENAME (swap to a MERGE statement on
-  * engines that support it — same caveat as the parquet store's
-  * copy-on-write).
+  * column, which is the scale path for bulk loads.
+  *
+  * Upsert is a real `MERGE INTO` on dialects that support it (Derby
+  * 10.11+, Postgres 15+, Oracle, SQL Server, DB2, H2 — auto-detected
+  * from the URL, overridable via `useMerge`): the source lands in a
+  * staging table, one atomic MERGE applies the update/insert arms to
+  * the live table — which is never dropped, so concurrent readers and
+  * crashes both see a complete table — and the staging table is
+  * dropped. On other dialects it falls back to read-merge-swap via a
+  * temp table, with DROP + RENAME executed in a single transaction
+  * where the engine allows transactional DDL (Derby, Postgres); engines
+  * that auto-commit DDL (MySQL) keep a small non-atomic window there —
+  * documented, and exactly why the MERGE path is the default.
+  *
+  * Table names are validated against `[A-Za-z_][A-Za-z0-9_]*` before
+  * entering any DDL string (no identifier injection); column names in
+  * generated MERGE SQL are double-quoted with the DataFrame's exact
+  * case, matching how Spark's JDBC writer creates them.
   *
   * Tested against embedded Derby (the only JDBC engine in the image);
   * `renameSql` is a dialect hook because table-rename DDL is the one
-  * non-portable statement this class needs (Derby/MySQL
+  * non-portable statement the fallback needs (Derby/MySQL
   * `RENAME TABLE a TO b`, Postgres `ALTER TABLE a RENAME TO b`).
   */
 final class JdbcResultStore(
@@ -34,7 +47,17 @@ final class JdbcResultStore(
     connProps: Map[String, String] = Map.empty,
     writeOptions: Map[String, String] = Map.empty,
     renameSql: (String, String) => String =
-      (a, b) => s"RENAME TABLE $a TO $b") {
+      (a, b) => s"RENAME TABLE $a TO $b",
+    useMerge: Option[Boolean] = None) {
+
+  private val mergeEnabled =
+    useMerge.getOrElse(JdbcResultStore.dialectSupportsMerge(url))
+
+  private def checkIdent(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"illegal table identifier: '$name'")
+    name
+  }
 
   private def jprops: Properties = {
     val p = new Properties()
@@ -59,11 +82,11 @@ final class JdbcResultStore(
 
   def insert(schema: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).options(writeOptions)
-      .jdbc(url, schema, jprops)
+      .jdbc(url, checkIdent(schema), jprops)
 
   def overwrite(schema: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).options(writeOptions)
-      .jdbc(url, schema, jprops)
+      .jdbc(url, checkIdent(schema), jprops)
 
   def read(schema: String): DataFrame = spark.read.jdbc(url, schema, jprops)
 
@@ -98,15 +121,46 @@ final class JdbcResultStore(
 
   def count(schema: String): Long = read(schema).count()
 
-  /** Upsert by key: new rows win over stored rows. Read-merge into a
-    * temp table, then swap via DROP + RENAME so the source table is
-    * never read and truncated in the same plan. */
+  /** Upsert by key: new rows win over stored rows. MERGE INTO where the
+    * dialect supports it; read-merge-swap fallback otherwise. */
   def upsert(schema: String, df: DataFrame, keyCol: String): Unit = {
+    checkIdent(schema)
     if (!tableExists(schema)) { insert(schema, df); return }
-    val merged = read(schema)
-      .join(df.select(keyCol), Seq(keyCol), "left_anti")
-      .unionByName(df, allowMissingColumns = true)
-    swapIn(schema, merged)
+    if (mergeEnabled) mergeUpsert(schema, df, keyCol)
+    else {
+      val merged = read(schema)
+        .join(df.select(keyCol), Seq(keyCol), "left_anti")
+        .unionByName(df, allowMissingColumns = true)
+      swapIn(schema, merged)
+    }
+  }
+
+  /** Atomic MERGE INTO upsert: stage the source rows, apply both arms in
+    * one statement (atomic in the database — the live table is never
+    * dropped or truncated), drop the staging table. */
+  private def mergeUpsert(schema: String, df: DataFrame, keyCol: String): Unit = {
+    val stage = checkIdent(schema + "__stage")
+    df.write.mode(SaveMode.Overwrite).options(writeOptions)
+      .jdbc(url, stage, jprops)
+    def q(c: String) = "\"" + c.replace("\"", "\"\"") + "\""
+    val cols = df.columns
+    val setCols = cols.filterNot(_ == keyCol)
+    val matchedArm =
+      if (setCols.isEmpty) ""
+      else "WHEN MATCHED THEN UPDATE SET " +
+        setCols.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + " "
+    val sql =
+      s"MERGE INTO $schema t USING $stage s ON t.${q(keyCol)} = s.${q(keyCol)} " +
+      matchedArm +
+      s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+    withConn { c =>
+      val st = c.createStatement()
+      try {
+        st.executeUpdate(sql)
+        st.execute(s"DROP TABLE $stage")
+      } finally st.close()
+    }
   }
 
   /** Delete by predicate (read-filter-swap). */
@@ -115,15 +169,23 @@ final class JdbcResultStore(
     swapIn(schema, df.filter(!FilterDsl.compileAll(df, filters)))
   }
 
+  /** Swap-in fallback: write the replacement rows to a temp table, then
+    * DROP + RENAME in one transaction (rolled back together on failure
+    * where the dialect supports transactional DDL). */
   private def swapIn(schema: String, rows: DataFrame): Unit = {
-    val tmp = schema + "__tmp"
+    checkIdent(schema)
+    val tmp = checkIdent(schema + "__tmp")
     rows.write.mode(SaveMode.Overwrite).options(writeOptions)
       .jdbc(url, tmp, jprops)
     withConn { c =>
+      c.setAutoCommit(false)
       val st = c.createStatement()
       try {
         st.execute(s"DROP TABLE $schema")
         st.execute(renameSql(tmp, schema))
+        c.commit()
+      } catch {
+        case e: Throwable => c.rollback(); throw e
       } finally st.close()
     }
   }
@@ -139,4 +201,14 @@ final class JdbcResultStore(
         upsert(schema, batch, keyCol)
       }
       .start()
+}
+
+object JdbcResultStore {
+  /** Dialects with a standard `MERGE INTO` (Derby since 10.11, Postgres
+    * since 15, Oracle, SQL Server, DB2, H2). MySQL/SQLite use
+    * non-standard upsert syntax and take the swap fallback. */
+  def dialectSupportsMerge(url: String): Boolean =
+    Seq("jdbc:derby:", "jdbc:postgresql:", "jdbc:oracle:",
+      "jdbc:sqlserver:", "jdbc:db2:", "jdbc:h2:")
+      .exists(url.startsWith)
 }

@@ -13,24 +13,104 @@ import graft.query.FilterDsl
   * format-agnostic). Point reads and filter reads compile the same
   * Django-style DSL as ResultSet (§2.3) into pushdown predicates, so a
   * `filterRecords` over 100 TB reads only the row groups the predicate
-  * admits. Upsert is copy-on-write merge by key — the parquet analog of
-  * the reference's per-key UPDATE; swap to MERGE INTO on a table format
-  * for transactional upserts at scale.
+  * admits.
+  *
+  * Rewrites (upsert / merge / delete / overwrite) use a versioned-directory
+  * commit, matching the reference's atomic per-record store contract
+  * (nexus/backends/stores/sqlite_store.py:112-160) at table granularity:
+  *
+  *   root/<schema>/v00000001/  ... parquet ...
+  *   root/<schema>/v00000002/  ... parquet ...
+  *   root/<schema>/_CURRENT    -> "v00000002"   (pointer file)
+  *
+  * A rewrite lands the new table in a fresh version directory, then flips
+  * the `_CURRENT` pointer with a single atomic rename (write `_CURRENT.tmp`,
+  * `ATOMIC_MOVE` over `_CURRENT`). A crash at any point leaves either the
+  * old pointer (old table fully intact) or the new pointer (new table fully
+  * intact) — there is no window where the table is missing or partial.
+  * Superseded version directories are garbage-collected after the flip;
+  * GC failure is harmless (orphan dirs are re-collected on the next commit).
+  * This is the same commit shape Delta/Iceberg use (log-pointer-flip), so
+  * swapping the format string upgrades it to row-level transactions.
   */
-final class ResultStore(spark: SparkSession, root: String) {
+class ResultStore(spark: SparkSession, root: String) {
 
-  private def path(schema: String) = s"$root/$schema"
+  private def schemaDir(schema: String) = new java.io.File(s"$root/$schema")
+  private def pointerFile(schema: String) =
+    new java.io.File(schemaDir(schema), "_CURRENT")
+
+  /** The committed version name, if any. */
+  private def currentVersion(schema: String): Option[String] = {
+    val p = pointerFile(schema)
+    if (!p.exists()) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(p.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim)
+  }
+
+  private def dataPath(schema: String): String = {
+    val v = currentVersion(schema).getOrElse(
+      throw new NoSuchElementException(s"No committed data for schema '$schema'"))
+    s"$root/$schema/$v"
+  }
+
+  private def nextVersion(schema: String): String = {
+    val dir = schemaDir(schema)
+    val existing =
+      if (!dir.exists()) Array.empty[String]
+      else dir.list((_, n) => n.matches("v\\d{8}"))
+    val max = existing.map(_.drop(1).toLong).foldLeft(0L)(math.max)
+    f"v${max + 1}%08d"
+  }
+
+  /** Test seam: invoked after the new version is fully written but before
+    * the pointer flip. A crash here (spec overrides this to throw) must
+    * leave the previously committed table fully readable. */
+  protected def beforeSwapHook(): Unit = ()
+
+  /** Atomically commit `df` as the new contents of `schema`. */
+  private def commit(schema: String, df: DataFrame): Unit = {
+    val version = nextVersion(schema)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$schema/$version")
+    beforeSwapHook()
+    val tmp = new java.io.File(schemaDir(schema), "_CURRENT.tmp").toPath
+    java.nio.file.Files.write(tmp,
+      version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, pointerFile(schema).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    gc(schema, keep = version)
+  }
+
+  /** Best-effort removal of superseded version directories. */
+  private def gc(schema: String, keep: String): Unit = {
+    val dir = schemaDir(schema)
+    Option(dir.listFiles((_, n) => n.matches("v\\d{8}") && n != keep))
+      .getOrElse(Array.empty)
+      .foreach { stale =>
+        try rmTree(stale) catch { case _: java.io.IOException => () }
+      }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
 
   private def exists0(schema: String): Boolean =
-    new java.io.File(path(schema)).exists()
+    currentVersion(schema).isDefined
 
+  /** Append rows. Spark's file-commit protocol stages task output under
+    * `_temporary`, so a failed append never surfaces partial files. */
   def insert(schema: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).parquet(path(schema))
+    currentVersion(schema) match {
+      case Some(v) => df.write.mode(SaveMode.Append).parquet(s"$root/$schema/$v")
+      case None    => commit(schema, df)
+    }
 
-  def overwrite(schema: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path(schema))
+  def overwrite(schema: String, df: DataFrame): Unit = commit(schema, df)
 
-  def read(schema: String): DataFrame = spark.read.parquet(path(schema))
+  def read(schema: String): DataFrame = spark.read.parquet(dataPath(schema))
 
   def exists(schema: String, keyCol: String, key: Any): Boolean =
     exists0(schema) && !read(schema).filter(col(keyCol) === lit(key)).isEmpty
@@ -60,35 +140,26 @@ final class ResultStore(spark: SparkSession, root: String) {
       if (!exists0(schema)) df
       else read(schema).join(df.select(keyCol), Seq(keyCol), "left_anti")
         .unionByName(df, allowMissingColumns = true)
-    // write via temp dir then swap, since the source is also the sink
-    val tmp = path(schema) + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dst = new java.io.File(path(schema))
-    if (dst.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(dst)
-    }
-    new java.io.File(tmp).renameTo(dst)
+    commit(schema, merged)
   }
 
   /** MERGE INTO semantics over the copy-on-write store (the Delta/
-    * Iceberg `MERGE` shape, which this parquet store emulates — swap the
-    * body for a real `MERGE INTO` when a transactional format is on the
-    * classpath): source rows matching by key UPDATE the stored row
-    * (source wins), optionally DELETE it instead when `deleteWhen`
-    * holds on the source row, and non-matching source rows INSERT.
-    * One anti-join + one filtered union, single rewrite. */
+    * Iceberg `MERGE` shape): source rows matching by key UPDATE the
+    * stored row (source wins), optionally DELETE it instead when
+    * `deleteWhen` holds on the source row, and non-matching source rows
+    * INSERT. One anti-join + one filtered union, single rewrite.
+    * A NULL `deleteWhen` evaluation means "not delete-marked" (SQL
+    * MERGE's WHEN ... AND <cond> arms treat UNKNOWN as false), hence
+    * the coalesce. */
   def merge(
       schema: String,
       source: DataFrame,
       keyCol: String,
       deleteWhen: Option[org.apache.spark.sql.Column] = None): Unit = {
+    def notMarked(df: DataFrame) =
+      deleteWhen.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
     if (!exists0(schema)) {
-      val insert = deleteWhen.map(c => source.filter(!c)).getOrElse(source)
-      overwrite(schema, insert)
+      commit(schema, notMarked(source))
       return
     }
     // stored rows keyed by ANY source row drop out (anti-join); the
@@ -96,34 +167,14 @@ final class ResultStore(spark: SparkSession, root: String) {
     // and-marked key disappears entirely, exactly MERGE's DELETE arm
     val stored = read(schema)
     val survivors = stored.join(source.select(keyCol), Seq(keyCol), "left_anti")
-    val incoming = deleteWhen.map(c => source.filter(!c)).getOrElse(source)
-    val merged = survivors.unionByName(incoming, allowMissingColumns = true)
-    val tmp = path(schema) + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dst = new java.io.File(path(schema))
-    if (dst.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(dst)
-    }
-    new java.io.File(tmp).renameTo(dst)
+    val merged = survivors.unionByName(notMarked(source), allowMissingColumns = true)
+    commit(schema, merged)
   }
 
   /** Delete by predicate (copy-on-write). */
   def delete(schema: String, filters: (String, Any)*): Unit = {
     val df = read(schema)
-    val keep = df.filter(!FilterDsl.compileAll(df, filters))
-    val tmp = path(schema) + "__tmp"
-    keep.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dst = new java.io.File(path(schema))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(dst)
-    new java.io.File(tmp).renameTo(dst)
+    commit(schema, df.filter(!FilterDsl.compileAll(df, filters)))
   }
 
   /** Streaming upsert sink: foreachBatch → upsert per micro-batch

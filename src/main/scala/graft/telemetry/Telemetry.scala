@@ -266,20 +266,40 @@ final class BulkHttpPublisher(
       s""""start_ms":${m.startMs},"retries":${m.retryCount}""" +
       m.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
 
-  def publish(m: EventMetrics): Unit = synchronized {
-    pending += s"""{"index":{"_index":"${esc(index)}"}}\n${doc(m)}"""
-    if (pending.size >= batchSize) flush()
+  // one client for the publisher's lifetime — HttpClient pools
+  // connections; building one per flush leaked a thread pool per call
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  def publish(m: EventMetrics): Unit = {
+    val toSend = synchronized {
+      pending += s"""{"index":{"_index":"${esc(index)}"}}\n${doc(m)}"""
+      if (pending.size >= batchSize) drain() else None
+    }
+    toSend.foreach(post)
   }
 
   /** POST the pending batch; true when the endpoint accepted it. The
     * batch is dropped either way — a lossy-but-bounded buffer, never an
-    * unbounded retry queue inside a worker. */
-  def flush(): Boolean = synchronized {
-    if (pending.isEmpty) return true
-    val body = pending.mkString("\n") + "\n"
-    pending.clear()
+    * unbounded retry queue inside a worker. The buffer is snapshot-and-
+    * cleared UNDER the monitor but the POST runs OUTSIDE it, so a slow
+    * endpoint (10s timeout) never stalls concurrent publishers or a
+    * CompositePublisher fan-out on the hot path. */
+  def flush(): Boolean = synchronized(drain()) match {
+    case None       => true
+    case Some(body) => post(body)
+  }
+
+  /** Must hold the monitor. Snapshot the pending batch and clear it. */
+  private def drain(): Option[String] =
+    if (pending.isEmpty) None
+    else {
+      val body = pending.mkString("\n") + "\n"
+      pending.clear()
+      Some(body)
+    }
+
+  private def post(body: String): Boolean =
     try {
-      val client = java.net.http.HttpClient.newHttpClient()
       val req = java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(endpoint))
         .timeout(java.time.Duration.ofSeconds(10))
@@ -290,7 +310,6 @@ final class BulkHttpPublisher(
         java.net.http.HttpResponse.BodyHandlers.discarding())
       resp.statusCode() >= 200 && resp.statusCode() < 300
     } catch { case _: Throwable => false }
-  }
 
   def pendingCount: Int = synchronized(pending.size)
   def close(): Unit = flush()

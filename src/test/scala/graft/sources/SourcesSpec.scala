@@ -67,6 +67,58 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.read("m2").collect().map(_.getAs[Long]("k")).toSeq == Seq(1L))
   }
 
+  test("result store: merge treats a NULL delete condition as not-marked") {
+    val store = new ResultStore(spark, tmpDir())
+    store.insert("mn", Seq(KV(1, "old"), KV(2, "keep")).toDF())
+    // source rows carry a nullable tombstone column; NULL must mean
+    // "update", not "delete" (SQL MERGE: UNKNOWN arm condition = false)
+    val src = Seq((1L, "new", null.asInstanceOf[java.lang.Boolean]),
+                  (3L, "add", null.asInstanceOf[java.lang.Boolean]),
+                  (2L, "x", java.lang.Boolean.TRUE))
+      .toDF("k", "v", "dead")
+    store.merge("mn", src, "k", deleteWhen = Some(col("dead")))
+    val got = store.read("mn").orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(got == Seq((1L, "new"), (3L, "add")))
+    // same contract on the table-absent branch
+    store.merge("mn2", src, "k", deleteWhen = Some(col("dead")))
+    assert(store.read("mn2").collect().map(_.getAs[Long]("k")).toSet ==
+      Set(1L, 3L))
+  }
+
+  test("result store: a crash before the pointer flip never loses the table") {
+    val dir = tmpDir()
+    var crash = true
+    val store = new ResultStore(spark, dir) {
+      override protected def beforeSwapHook(): Unit =
+        if (crash) throw new RuntimeException("injected crash")
+    }
+    crash = false
+    store.insert("t", Seq(KV(1, "a"), KV(2, "b")).toDF())
+    crash = true
+    // the rewrite dies after writing the new version, before the flip
+    intercept[RuntimeException] {
+      store.upsert("t", Seq(KV(1, "NEW"), KV(3, "c")).toDF(), "k")
+    }
+    // old table fully intact — no missing/partial window
+    val got = store.read("t").orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+    // retry succeeds and garbage-collects the stranded version dir
+    crash = false
+    store.upsert("t", Seq(KV(1, "NEW"), KV(3, "c")).toDF(), "k")
+    val after = store.read("t").orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(after == Seq((1L, "NEW"), (2L, "b"), (3L, "c")))
+    val versions = new java.io.File(s"$dir/t")
+      .list((_, n) => n.matches("v\\d{8}")).toSeq
+    assert(versions.size == 1)
+    // same guarantee on delete
+    crash = true
+    intercept[RuntimeException](store.delete("t", "k" -> 1L))
+    assert(store.count("t") == 3)
+  }
+
   test("result store: delete by predicate") {
     val store = new ResultStore(spark, tmpDir())
     store.insert("d", Seq(KV(1, "a"), KV(2, "b"), KV(3, "ab")).toDF())
@@ -158,8 +210,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(gt.count() == 2)
   }
 
+  test("jdbc store: MERGE INTO upsert round trip (Derby supports MERGE)") {
+    val store = derbyStore()   // jdbc:derby → MERGE path auto-detected
+    store.insert("mg", Seq(KV(1, "old"), KV(2, "keep")).toDF())
+    store.upsert("mg", Seq(KV(1, "new"), KV(3, "add")).toDF(), "k")
+    val rows = store.read("mg").orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(rows == Seq((1L, "new"), (2L, "keep"), (3L, "add")))
+    // a second merge over the merged state (idempotence of the arms)
+    store.upsert("mg", Seq(KV(3, "newer")).toDF(), "k")
+    assert(store.get("mg", "k" -> 3).getAs[String]("v") == "newer")
+    // the staging table is dropped after the merge
+    assert(!store.tableExists("mg__stage"))
+    // identifiers are validated before entering DDL
+    intercept[IllegalArgumentException](
+      store.upsert("bad; DROP TABLE mg", Seq(KV(1, "x")).toDF(), "k"))
+  }
+
   test("jdbc store: upsert merges by key; delete removes by predicate") {
-    val store = derbyStore()
+    // force the swap fallback so the non-MERGE dialect path stays covered
+    val db = tmpDir() + "/derby"
+    val store = new JdbcResultStore(spark, s"jdbc:derby:$db;create=true",
+      connProps = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
+      writeOptions = Map("createTableColumnTypes" -> "v VARCHAR(64)"),
+      useMerge = Some(false))
     store.insert("u", Seq(KV(1, "old"), KV(2, "keep")).toDF())
     store.upsert("u", Seq(KV(1, "new"), KV(3, "add")).toDF(), "k")
     val rows = store.read("u").orderBy("k").collect()
