@@ -18,7 +18,19 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release per-query executor state deterministically: operators
+      // localCheckpoint intermediates, and those blocks are otherwise
+      // freed only when the ContextCleaner notices the RDD is
+      // unreachable (GC-driven). Across 85 queries in one session the
+      // stragglers accumulate and tax late-sorted queries under memory
+      // pressure — each query should be billed for its own plan only.
+      // blocking: async removal would race the NEXT query's execution
+      // and bill cleanup to the wrong timer
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
