@@ -81,6 +81,24 @@ object ScaleStress {
     time("quantized_knn_4x")(operators.Similarity.quantizedTopK(
       withPert(edup(4)), emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5).count())
+    // IVF ANN recall at 4x: the perturbed copies give every query a
+    // planted near-dup family (the regime IVF serves), so recall at a
+    // 25% scan (4 of 16 cells) must hold up as the corpus quadruples
+    val corpus4 = withPert(edup(4)).localCheckpoint()
+    val q4 = corpus4.filter(col("vec_id") < 10)
+    val t0 = System.nanoTime()
+    val bf4 = operators.Similarity.bruteForceTopK(
+        corpus4, q4, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (idx4, cents4) = operators.Similarity.ivfIndexKMeans(
+      corpus4, "vec_id", "embedding", numCells = 16)
+    val ann4 = operators.Similarity.ivfKMeansTopK(idx4, cents4, q4,
+        "vec_id", "embedding", nProbe = 4, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"STRESS ivf_recall_4x ${(System.nanoTime()-t0)/1e9}%.1f s " +
+      f"(recall@5 ${(bf4 & ann4).size.toDouble / bf4.size}%.2f over ${corpus4.count()} vectors)")
     spark.stop()
   }
 }

@@ -210,10 +210,32 @@ object Similarity {
   }
 
   /** IVF index with k-means-fitted centroids (spark.ml KMeans, fixed
-    * seed): returns (vector rows with cell_id, centroid table). Cluster
-    * quality beats seed-vector centroids, so probes recall more for the
-    * same nProbe. The fit is one pass over a sampled/bounded corpus in
-    * production; assignment is a broadcast nearest-centroid scan. */
+    * seed): returns (vector rows with cell_id, centroid table).
+    *
+    * Metric consistency: probing ranks cells by COSINE to the centroid,
+    * so the fit runs on L2-NORMALIZED vectors (euclidean k-means on the
+    * unit sphere = spherical k-means, monotone in cosine) and the
+    * assignment uses the SAME cosine argmax as the probe. (On an
+    * already-unit-norm corpus the earlier euclidean `model.transform`
+    * assignment coincides almost everywhere — measured identical recall
+    * in tools/ProfileIvf — but on unnormalized corpora the two metrics
+    * partition differently and the probe would look in the wrong cell.)
+    *
+    * Recall regime (measured, tools/ProfileIvf): IVF recall@k is the
+    * probability the true neighbors' cells are probed. For neighbors
+    * from near-dup FAMILIES (cosine ≥0.9 — the semantic-dedup /
+    * retrieval regime ANN exists for) the family shares a cell and
+    * recall is ~1 at any nProbe. For BACKGROUND neighbors (a uniform
+    * sphere's top-k sits at cosine ~0.3) no partition beats chance:
+    * recall ≈ scanned fraction (nProbe/cells), information-
+    * theoretically — measured 0.56-0.64 at 25-50% scan, 0.88-0.90 at
+    * 75%. Pick (cells, nProbe) from the target scan fraction;
+    * DedupSimilaritySpec pins ≥0.8 at a 25% scan on a structured
+    * corpus and ≥0.8 at a 75% scan on the uniform one.
+    *
+    * The fit is one pass over a sampled/bounded corpus in production;
+    * assignment is one map-side projection (inline argmax over K cosine
+    * kernels — no crossJoin, no shuffle). */
   def ivfIndexKMeans(
       corpus: DataFrame,
       idCol: String,
@@ -222,8 +244,9 @@ object Similarity {
       seed: Long = 42L,
       fitFraction: Double = 1.0): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val withVec = corpus.withColumn("__features",
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.feature.Normalizer
+    val withVec = corpus.withColumn("__raw",
       array_to_vector(col(vecCol).cast("array<double>")))
     // random init (one job) instead of k-means|| (initSteps distributed
     // sampling rounds), bounded iterations: centroid quality for IVF
@@ -231,21 +254,43 @@ object Similarity {
     // bounded SAMPLE at full parallelism — the earlier coalesce(8)
     // capped the fit job's upstream parallelism to 8 partitions, which
     // throttles every fit pass at scale.
-    val fitInput =
-      if (fitFraction < 1.0) withVec.sample(withReplacement = false,
-        fitFraction, seed)
-      else withVec
+    val fitInput = {
+      val base =
+        if (fitFraction < 1.0) withVec.sample(withReplacement = false,
+          fitFraction, seed)
+        else withVec
+      new Normalizer().setInputCol("__raw").setOutputCol("__features")
+        .setP(2.0).transform(base)
+    }
     val model = new KMeans()
       .setK(numCells).setSeed(seed).setFeaturesCol("__features")
-      .setPredictionCol("cell_id")
+      .setPredictionCol("__cell")
       .setInitMode("random").setMaxIter(10)
       .fit(fitInput)
-    val indexed = model.transform(withVec).drop("__features")
-    val centroids = corpus.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat))
-      }.toSeq).toDF("cell_id", "centroid")
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.map(_.toFloat))
+    }.toSeq
+    val indexed = corpus.withColumn("cell_id",
+      cosineArgmaxCell(col(vecCol), cents))
+    val centroids = corpus.sparkSession.createDataFrame(cents)
+      .toDF("cell_id", "centroid")
     (indexed, centroids)
+  }
+
+  /** Nearest-centroid cell by cosine — the shared assignment kernel for
+    * both IVF variants, and the same metric + rounding + tie-break
+    * (highest round(sim,4), lowest cell id) the probe side uses.
+    * One inline argmax over K codegen cosine kernels per row: no
+    * crossJoin, no shuffle, no window. */
+  private def cosineArgmaxCell(
+      vec: Column, centroids: Seq[(Long, Array[Float])]): Column = {
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(
+        round(cosine(vec, typedLit(cvec)), 4).as("sim"),
+        lit(-cid).as("neg_cell"))
+    }
+    // max over (sim, -cell) structs == highest sim, lowest cell on tie
+    -array_max(array(scored: _*)).getField("neg_cell")
   }
 
   /** ANN top-k through a k-means IVF index. */
@@ -303,14 +348,8 @@ object Similarity {
     if (seeds.isEmpty)
       return corpus.select(col(idCol), col(vecCol),
         lit(null).cast("long").as("cell_id")).limit(0)
-    // max over (sim, -cell) structs == highest sim, lowest cell on tie
-    val scored = seeds.map { case (cid, cvec) =>
-      struct(
-        round(cosine(col(vecCol), typedLit(cvec)), 4).as("sim"),
-        lit(-cid).as("neg_cell"))
-    }
     corpus.select(col(idCol), col(vecCol),
-      (-array_max(array(scored: _*)).getField("neg_cell")).as("cell_id"))
+      cosineArgmaxCell(col(vecCol), seeds.toSeq).as("cell_id"))
   }
 
   /** ANN top-k through the IVF index: each query probes its `nProbe`
