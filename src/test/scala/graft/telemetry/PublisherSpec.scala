@@ -104,6 +104,60 @@ class PublisherSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  private def awaitCond(timeoutMs: Long = 15000)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    cond
+  }
+
+  test("spark listener bridge publishes engine metrics for a batch query") {
+    val buf = new BufferPublisher
+    val bridge = SparkTelemetryBridge.attach(spark, buf)
+    try {
+      val n = graft.Tables.load(spark, "/root/testdata/sf0.001", "region")
+        .filter(org.apache.spark.sql.functions.col("r_regionkey") >= 0)
+        .count()
+      assert(n > 0)
+      // listener delivery is async on the bus thread
+      assert(awaitCond()(bridge.metrics.exists(_.name.startsWith("spark:"))),
+        "no listener-sourced batch metric arrived")
+      val m = bridge.metrics.find(m =>
+        m.name.startsWith("spark:") && m.rowsRead >= n).get
+      assert(m.status == "completed" && m.error.isEmpty)
+      assert(m.durationSec > 0)
+      assert(m.bytesRead > 0, "scan bytes not captured")
+      // the same metric reached the publisher as an EventMetrics
+      assert(awaitCond()(buf.published.exists(_.eventName == m.name)))
+    } finally bridge.close()
+  }
+
+  test("spark listener bridge publishes engine metrics per micro-batch") {
+    val buf = new BufferPublisher
+    val bridge = SparkTelemetryBridge.attach(spark, buf)
+    val sink = java.nio.file.Files.createTempDirectory("graft-listener").toString
+    try {
+      val src = graft.streaming.StreamRunner
+        .parquetStream(spark, "/root/testdata/sf0.001/region.parquet")
+      val q = src.writeStream
+        .queryName("listener_probe")
+        .format("parquet")
+        .option("path", s"$sink/out")
+        .option("checkpointLocation", s"$sink/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(awaitCond()(bridge.metrics.exists(m =>
+        m.name == "stream:listener_probe" && m.rowsRead > 0)),
+        "no listener-sourced micro-batch metric arrived")
+      val m = bridge.metrics
+        .find(m => m.name == "stream:listener_probe" && m.rowsRead > 0).get
+      assert(m.status == "completed")
+      assert(m.queryId.contains("#")) // (stream id, batch id) identity
+      assert(awaitCond()(buf.published.exists(
+        _.eventName == "stream:listener_probe")))
+    } finally bridge.close()
+  }
+
   test("bulk publisher swallows transport failures") {
     // nothing listens on this port: publish/flush must not throw
     val pub = new BulkHttpPublisher("http://127.0.0.1:1/_bulk", batchSize = 1)
