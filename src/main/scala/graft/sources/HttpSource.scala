@@ -12,12 +12,16 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   * typed exceptions so a RetryPolicy can target exactly the transient
   * ones, parse the JSON body, and hand rows to Spark.
   *
-  * The fetch is driver-side by design: an external API is one
-  * rate-limited endpoint, not a partitioned dataset — the data becomes
-  * distributed the moment it lands in a DataFrame. When an API exposes
-  * keyed pagination, distribute the PAGE fetches instead: build a
-  * Dataset of page cursors and fetch inside mapPartitions, keeping
-  * this status-classification logic per request.
+  * Single-document fetches are driver-side by design: an external API
+  * is one rate-limited endpoint, not a partitioned dataset — the data
+  * becomes distributed the moment it lands in a DataFrame. When an API
+  * exposes keyed pagination, [[fetchDistributed]] distributes the PAGE
+  * fetches instead: a Dataset of page URLs fans out across executors,
+  * each partition opens ONE connection-pooled client inside
+  * mapPartitions and applies the same status-classification per
+  * request (the reference's worker-pool fetch,
+  * examples/user_posts_etl/events.py:14-59, re-expressed as a
+  * partitioned Spark job).
   */
 object HttpSource {
 
@@ -31,16 +35,17 @@ object HttpSource {
   final class ServerErrorException(s: Int, u: String)
       extends HttpStatusException(s, u)
 
-  private lazy val client: HttpClient = HttpClient.newBuilder()
+  private def newClient(): HttpClient = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NORMAL)
     .connectTimeout(Duration.ofSeconds(10))
     .build()
 
-  /** GET a body as a string, raising the typed status exceptions. */
-  def fetchString(url: String, timeoutMs: Long = 30000): String = {
+  private lazy val client: HttpClient = newClient()
+
+  private def fetchWith(c: HttpClient, url: String, timeoutMs: Long): String = {
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(timeoutMs)).GET().build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val resp = c.send(req, HttpResponse.BodyHandlers.ofString())
     resp.statusCode() match {
       case 400                      => throw new BadRequestException(url)
       case 404                      => throw new NotFoundException(url)
@@ -48,6 +53,52 @@ object HttpSource {
       case s if s < 200 || s >= 300 => throw new HttpStatusException(s, url)
       case _                        => resp.body()
     }
+  }
+
+  /** GET a body as a string, raising the typed status exceptions. */
+  def fetchString(url: String, timeoutMs: Long = 30000): String =
+    fetchWith(client, url, timeoutMs)
+
+  /** Executor-side fan-out over page cursors: each partition of `urls`
+    * builds one client (clients are connection-pooled and NOT
+    * serializable — construct inside the partition, never capture) and
+    * fetches its URLs through it, yielding (url, body) rows. Status
+    * classification matches [[fetchString]], so a typed failure on any
+    * executor fails the job with the same exception a retry policy
+    * targets. Partition count = concurrent connections: size `urls`
+    * with `repartition(n)` to the API's rate budget. */
+  def fetchDistributed(
+      urls: org.apache.spark.sql.Dataset[String],
+      timeoutMs: Long = 30000): DataFrame = {
+    import urls.sparkSession.implicits._
+    urls.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val c = newClient()
+        it.map(u => (u, fetchWith(c, u, timeoutMs)))
+      }
+    }.toDF("url", "body")
+  }
+
+  /** Distributed paged-JSON ingest: fan the page URLs out with
+    * [[fetchDistributed]], then parse every page body (a JSON object or
+    * array per page; for JSON-lines pages split the body first) into
+    * rows with one schema-inferring pass. */
+  def fetchJsonPages(
+      spark: SparkSession,
+      urls: Seq[String],
+      numPartitions: Int = 0,
+      timeoutMs: Long = 30000): DataFrame = {
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions
+      else math.min(urls.size, spark.sparkContext.defaultParallelism)
+    val ds = spark.createDataset(urls).repartition(parts)
+    // materialize the pages ONCE: the JSON reader's schema-inference
+    // pass and every downstream action would otherwise re-execute the
+    // fetch against the external API (lazy plans re-run their source)
+    val bodies = fetchDistributed(ds, timeoutMs).select("body").as[String]
+      .localCheckpoint()
+    spark.read.option("multiLine", "true").json(bodies)
   }
 
   /** GET a JSON document (object or array) as a DataFrame: the body

@@ -83,6 +83,49 @@ class HttpSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("executor-side fetch fans page cursors out with per-partition clients") {
+    val hits = new AtomicInteger(0)
+    // 6 cursor pages, each its own JSON array slice
+    withServer("/page" -> { ex =>
+      hits.incrementAndGet()
+      val cursor = ex.getRequestURI.getQuery.stripPrefix("c=").toInt
+      reply(ex, 200,
+        s"""[{"id": ${cursor * 2}, "page": $cursor},
+           | {"id": ${cursor * 2 + 1}, "page": $cursor}]""".stripMargin)
+    }) { base =>
+      import spark.implicits._
+      val urls = spark.createDataset((0 until 6).map(c => s"$base/page?c=$c"))
+        .repartition(3) // 3 partitions = 3 pooled clients
+      val pages = HttpSource.fetchDistributed(urls)
+      assert(pages.rdd.getNumPartitions == 3)
+      val got = pages.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got.size == 6 && hits.get() == 6) // every cursor fetched once
+      assert(got(s"$base/page?c=4").contains("\"id\": 8"))
+
+      // the parsed variant: all pages land as one schema-inferred table
+      hits.set(0)
+      val df = HttpSource.fetchJsonPages(spark,
+        (0 until 6).map(c => s"$base/page?c=$c"), numPartitions = 3)
+      assert(df.count() == 12 && hits.get() == 6)
+      assert(df.select(sum("id")).head().getLong(0) == (0 until 12).sum)
+    }
+  }
+
+  test("a typed status failure on an executor fails the distributed fetch") {
+    withServer(
+      "/page" -> (reply(_, 200, """{"ok": 1}""")),
+      "/gone" -> (reply(_, 404, ""))) { base =>
+      import spark.implicits._
+      val urls = spark.createDataset(Seq(s"$base/page", s"$base/gone"))
+      val e = intercept[org.apache.spark.SparkException] {
+        HttpSource.fetchDistributed(urls).count()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(e).exists(_.isInstanceOf[HttpSource.NotFoundException]))
+    }
+  }
+
   test("HTTP fetch feeds a Pointy pipeline (user_posts_etl shape)") {
     withServer("/posts" -> (reply(_, 200, posts))) { base =>
       val reg = new EventRegistry
