@@ -99,6 +99,28 @@ object ScaleStress {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     println(f"STRESS ivf_recall_4x ${(System.nanoTime()-t0)/1e9}%.1f s " +
       f"(recall@5 ${(bf4 & ann4).size.toDouble / bf4.size}%.2f over ${corpus4.count()} vectors)")
+    // chain-diameter CC: a 200k-node containment chain (A⊂B⊂C⊂... —
+    // each doc near-contained in the next, so containmentPairs yields
+    // consecutive pairs only). Diameter 199,999: min-label propagation
+    // moves one hop per round and MUST refuse its 50-round budget;
+    // star contraction converges in O(log n) rounds regardless.
+    val chainN = 200000L
+    val chain = spark.range(chainN - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val t1 = System.nanoTime()
+    val (chainClusters, starRounds) =
+      operators.Dedup.duplicateClustersStarWithRounds(chain)
+    val nNodes = chainClusters.count()
+    println(f"STRESS chain_cc_star ${(System.nanoTime()-t1)/1e9}%.1f s " +
+      f"($nNodes nodes, diameter ${chainN - 1}, $starRounds rounds)")
+    require(nNodes == chainN && starRounds <= 20,
+      s"star contraction: $nNodes nodes in $starRounds rounds")
+    val labelPropRefused =
+      try { operators.Dedup.duplicateClusters(chain, maxRounds = 20).count(); false }
+      catch { case _: IllegalStateException => true }
+    println(s"STRESS chain_cc_labelprop refused=$labelPropRefused " +
+      "(O(diameter) rounds, correctly rejects the 20-round budget)")
+    require(labelPropRefused)
     spark.stop()
   }
 }

@@ -396,14 +396,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("star contraction handles a chain component beyond label-prop reach") {
     // a 400-node path has diameter 399: min-label propagation moves one
-    // hop per round and would blow its round budget; star contraction
-    // needs O(log n) rounds
+    // hop per round — it MUST blow a sub-diameter round budget — while
+    // star contraction halves component height per round and must land
+    // well under log-bound rounds
     val chain = (0L until 399L).map(i => (i, i + 1))
       .toDF("id_a", "id_b")
-    val r = Dedup.duplicateClustersStar(chain).collect()
+    val (clusters, rounds) = Dedup.duplicateClustersStarWithRounds(chain)
+    val r = clusters.collect()
     assert(r.length == 400)
     assert(r.forall(_.getAs[Long]("cluster_id") == 0L))
     assert(r.forall(_.getAs[Long]("cluster_size") == 400L))
+    // O(log n): log2(400) ≈ 8.6; the alternating large/small-star pair
+    // counts as one round here, allow slack but stay far below diameter
+    assert(rounds <= 12, s"star contraction took $rounds rounds")
+    // the same chain exhausts label propagation's 25-round budget
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxRounds = 25).collect()
+    }
+    // and on a clique-like component label prop is 1-2 rounds
+    val clique = (for { a <- 0L until 20L; b <- (a + 1) until 20L }
+      yield (a, b)).toDF("id_a", "id_b")
+    val (_, lpRounds) = Dedup.duplicateClustersWithRounds(clique)
+    assert(lpRounds <= 2, s"label prop took $lpRounds rounds on a clique")
   }
 
   test("int8 quantization is exact on representative values") {
