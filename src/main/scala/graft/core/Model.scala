@@ -150,6 +150,14 @@ final case class TaskSwitchingError(message: String)
 final case class MultiValueError(message: String)
     extends RuntimeException(message)
 
+/** Insert hit an existing key (nexus/exceptions.py ObjectExistError). */
+final case class ObjectExistError(message: String)
+    extends RuntimeException(message)
+
+/** Update/delete/get missed (nexus/exceptions.py ObjectDoesNotExist). */
+final case class ObjectDoesNotExist(message: String)
+    extends RuntimeException(message)
+
 /** Pipeline misconfiguration (nexus/exceptions.py ImproperlyConfigured). */
 final case class ImproperlyConfigured(message: String)
     extends RuntimeException(message)

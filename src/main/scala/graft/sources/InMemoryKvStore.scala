@@ -1,0 +1,122 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.core.{ObjectDoesNotExist, ObjectExistError}
+import graft.query.FilterDsl
+
+/** In-process KV store — the Redis-analog member of the store family
+  * (nexus/backends/stores/redis_store.py:9-120: one hash per schema,
+  * hexists/hlen/hset/hdel, with insert refusing existing keys and
+  * update/delete refusing missing ones). This environment has zero
+  * egress, so the transport is a process-local concurrent hash playing
+  * the same role Redis plays beside the bulk columnar stores:
+  * low-latency point reads/writes of SMALL state (pipeline metadata,
+  * offsets, dedup registers) — never bulk data, which belongs in the
+  * parquet/JDBC stores. A networked deployment swaps the map for a
+  * Redis client behind this same surface; every method here maps 1:1
+  * onto a Redis hash command (noted per method).
+  *
+  * Spark interop: `read` exposes a schema's records as a DataFrame
+  * (driver-local state, so `createDataFrame` is correct, not a
+  * scale problem), `filterRecords` applies the same Django-style
+  * filter DSL as every other store, and `streamingUpsert` drains a
+  * stream's micro-batches into the hash via foreachBatch.
+  */
+final class InMemoryKvStore(spark: SparkSession) {
+
+  // schema name -> (row schema, key -> row)
+  private val schemas =
+    TrieMap.empty[String, (StructType, TrieMap[String, Row])]
+
+  private def table(schema: String, rowSchema: StructType)
+      : TrieMap[String, Row] =
+    schemas.getOrElseUpdate(schema, (rowSchema, TrieMap.empty))._2
+
+  private def existing(schema: String): TrieMap[String, Row] =
+    schemas.getOrElse(schema,
+      throw ObjectDoesNotExist(s"No schema '$schema'"))._2
+
+  /** HEXISTS. */
+  def exists(schema: String, key: Any): Boolean =
+    schemas.get(schema).exists(_._2.contains(key.toString))
+
+  /** HLEN. */
+  def count(schema: String): Long =
+    schemas.get(schema).map(_._2.size.toLong).getOrElse(0L)
+
+  /** HSET with NX semantics per record: refuses keys that already
+    * exist (insert_record, redis_store.py:24-38). */
+  def insert(schema: String, df: DataFrame, keyCol: String): Unit = {
+    val rows = df.collect()
+    val t = table(schema, df.schema)
+    rows.foreach { r =>
+      val k = r.getAs[Any](keyCol).toString
+      if (t.putIfAbsent(k, r).isDefined)
+        throw ObjectExistError(
+          s"Record '$k' already exists in schema '$schema'")
+    }
+  }
+
+  /** HSET only over existing fields (update_record, redis_store.py:40-54). */
+  def update(schema: String, df: DataFrame, keyCol: String): Unit = {
+    val t = existing(schema)
+    df.collect().foreach { r =>
+      val k = r.getAs[Any](keyCol).toString
+      if (!t.contains(k))
+        throw ObjectDoesNotExist(
+          s"Record '$k' does not exist in schema '$schema'")
+      t.put(k, r)
+    }
+  }
+
+  /** Unconditional HSET — the upsert arm streaming sinks want. */
+  def upsert(schema: String, df: DataFrame, keyCol: String): Unit = {
+    val t = table(schema, df.schema)
+    df.collect().foreach(r => t.put(r.getAs[Any](keyCol).toString, r))
+  }
+
+  /** HDEL (delete_record, redis_store.py:56-63). */
+  def deleteRecord(schema: String, key: Any): Unit = {
+    val t = existing(schema)
+    if (t.remove(key.toString).isEmpty)
+      throw ObjectDoesNotExist(
+        s"Record '$key' does not exist in schema '$schema'")
+  }
+
+  /** HGET (get_record, redis_store.py:81-96). */
+  def get(schema: String, key: Any): Row =
+    existing(schema).getOrElse(key.toString,
+      throw ObjectDoesNotExist(
+        s"Record '$key' does not exist in schema '$schema'"))
+
+  /** All records of a schema as a DataFrame (HSCAN → rows). */
+  def read(schema: String): DataFrame = {
+    val (rowSchema, t) = schemas.getOrElse(schema,
+      throw ObjectDoesNotExist(s"No schema '$schema'"))
+    spark.createDataFrame(
+      java.util.Arrays.asList(t.values.toArray: _*), rowSchema)
+  }
+
+  /** Filter-DSL read over the scanned records (filter_record,
+    * redis_store.py:98-120) — same `field__op` compiler as the parquet
+    * and JDBC stores, evaluated by Spark over the driver-local rows. */
+  def filterRecords(schema: String, filters: (String, Any)*): DataFrame = {
+    val df = read(schema)
+    df.filter(FilterDsl.compileAll(df, filters))
+  }
+
+  /** Streaming upsert sink: foreachBatch → HSET per micro-batch. */
+  def streamingUpsert(
+      stream: DataFrame, schema: String, keyCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsert(schema, batch, keyCol)
+      }
+      .start()
+}

@@ -315,6 +315,49 @@ final class BulkHttpPublisher(
   def close(): Unit = flush()
 }
 
+/** Grafana-Cloud-style publisher (nexus/telemetry/publisher.py
+  * GrafanaCloudPublisher:183-227): one authenticated JSON POST per
+  * metric to `{baseUrl}/{orgSlug}/events` with a Bearer token — the
+  * reference session's `Authorization` header and URL layout, on the
+  * shared JDK HttpClient. Failures are swallowed and counted
+  * (`failureCount`): telemetry must never take down the pipeline. In
+  * production `baseUrl` is
+  * `https://grafana-<region>.grafana.net/api/v1/metrics`; specs point
+  * it at a local stub. */
+final class GrafanaCloudPublisher(
+    baseUrl: String,
+    apiKey: String,
+    orgSlug: String) extends MetricsPublisher {
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+  private val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def esc(s: String) =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+
+  def failureCount: Int = failures.get()
+
+  def publish(m: EventMetrics): Unit = {
+    val body =
+      s"""{"event":"${esc(m.eventName)}","task_id":"${esc(m.taskId)}",""" +
+        s""""status":"${m.status}","duration_sec":${m.durationSec},""" +
+        s""""start_ms":${m.startMs},"retries":${m.retryCount}""" +
+        m.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
+    try {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"$baseUrl/$orgSlug/events"))
+        .timeout(java.time.Duration.ofSeconds(10))
+        .header("Authorization", s"Bearer $apiKey")
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.discarding())
+      if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+        failures.incrementAndGet()
+    } catch { case _: Throwable => failures.incrementAndGet() }
+  }
+}
+
 /** Bridges the signal bus to publishers: every completed event metric is
   * published as it happens. */
 final class PublishingCollector(publisher: MetricsPublisher)

@@ -153,6 +153,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == Seq((1L, "new"), (2L, "keep"), (4L, "add")))
   }
 
+  test("in-memory KV store: redis hash semantics + filter DSL + streaming") {
+    val store = new InMemoryKvStore(spark)
+    store.insert("s", Seq(KV(1, "alpha"), KV(2, "beta")).toDF(), "k")
+    assert(store.count("s") == 2 && store.exists("s", 1L) && !store.exists("s", 9L))
+    // insert refuses an existing key (redis_store insert_record)
+    intercept[graft.core.ObjectExistError](
+      store.insert("s", Seq(KV(1, "dup")).toDF(), "k"))
+    // update refuses a missing key; upsert takes either arm
+    intercept[graft.core.ObjectDoesNotExist](
+      store.update("s", Seq(KV(9, "x")).toDF(), "k"))
+    store.update("s", Seq(KV(1, "ALPHA")).toDF(), "k")
+    store.upsert("s", Seq(KV(3, "gamma")).toDF(), "k")
+    assert(store.get("s", 1L).getAs[String]("v") == "ALPHA")
+    // filter DSL matches the other stores' compiler
+    assert(store.filterRecords("s", "v__contains" -> "a")
+      .collect().map(_.getAs[Long]("k")).toSet == Set(2L, 3L))
+    store.deleteRecord("s", 2L)
+    intercept[graft.core.ObjectDoesNotExist](store.deleteRecord("s", 2L))
+    assert(store.read("s").count() == 2)
+    // micro-batches drain into the hash
+    val src = graft.streaming.StreamRunner
+      .parquetStream(spark, "/root/testdata/sf0.001/region.parquet")
+    store.streamingUpsert(src, "regions", "r_regionkey", tmpDir())
+      .awaitTermination()
+    assert(store.count("regions") == 5)
+  }
+
   test("csv/json/text round trips") {
     val dir = tmpDir()
     val df = Seq(KV(1, "a"), KV(2, "b")).toDF()

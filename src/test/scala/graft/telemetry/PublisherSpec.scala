@@ -158,6 +158,38 @@ class PublisherSpec extends AnyFunSuite {
     } finally bridge.close()
   }
 
+  test("grafana-cloud publisher posts authed JSON per metric") {
+    val seen = scala.collection.mutable.Buffer.empty[(String, String, String)]
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v1/metrics",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        seen.synchronized {
+          seen += ((ex.getRequestURI.getPath,
+            ex.getRequestHeaders.getFirst("Authorization"),
+            new String(ex.getRequestBody.readAllBytes(), "UTF-8")))
+        }
+        ex.sendResponseHeaders(200, -1); ex.close()
+      })
+    server.start()
+    try {
+      val base =
+        s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/metrics"
+      val pub = new GrafanaCloudPublisher(base, "sekret", "acme")
+      pub.publish(EventMetrics("Fetch", "t1", 0, 120, "completed", None, 1))
+      assert(seen.size == 1 && pub.failureCount == 0)
+      val (path, auth, body) = seen.head
+      assert(path == "/api/v1/metrics/acme/events")
+      assert(auth == "Bearer sekret")
+      assert(body.contains("\"event\":\"Fetch\"") &&
+        body.contains("\"retries\":1"))
+      // failures are swallowed and counted, never thrown
+      val dead = new GrafanaCloudPublisher("http://127.0.0.1:1", "k", "o")
+      dead.publish(EventMetrics("X", "t", 0, 1, "completed", None, 0))
+      assert(dead.failureCount == 1)
+    } finally server.stop(0)
+  }
+
   test("bulk publisher swallows transport failures") {
     // nothing listens on this port: publish/flush must not throw
     val pub = new BulkHttpPublisher("http://127.0.0.1:1/_bulk", batchSize = 1)
