@@ -953,6 +953,41 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // dq11_decontamination — cross-corpus contamination: training docs
+  // that near-contain a benchmark item (every 47th doc plays the
+  // benchmark). The benchmark's inverted index broadcasts; the corpus
+  // never shuffles. Exact — the oracle replays the shingle join.
+  register(
+    "dq11_decontamination",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3
+      |), bench AS (
+      |  SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 47 = 0
+      |), bsizes AS (
+      |  SELECT bench_id, count(*) AS bn FROM bench GROUP BY 1
+      |), pairs AS (
+      |  SELECT c.doc_id, b.bench_id, count(*) AS inter
+      |  FROM sh c JOIN bench b ON c.shingle = b.shingle
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id, bench_id, round(inter::double / bn, 4) AS contamination
+      |FROM pairs JOIN bsizes USING (bench_id)
+      |WHERE round(inter::double / bn, 4) >= 0.8
+      |ORDER BY doc_id, bench_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Dedup.crossContainmentPairs(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 47 === 0), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .orderBy("doc_id", "bench_id")
+  }
+
   // dq7_neardup_survivors — the end of the near-dup story: keep one
   // canonical doc per cluster (the min id) and everything unclustered,
   // then summarize the surviving corpus. Composes LSH pairs → connected
@@ -1014,6 +1049,48 @@ object Queries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
+  }
+
+  // sq5_diversity_sample — semantic diversity sampling: IVF cells
+  // (deterministic seed centroids = 16 lowest ids) + at most 20 kept
+  // per cell by salted hash. Every step is deterministic, so the
+  // approximate-flavored operator is exactly DuckDB-oracle-able.
+  register(
+    "sq5_diversity_sample",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), seeds AS (
+      |  SELECT vec_id AS cell_id, v AS sv, nrm AS snrm
+      |  FROM n ORDER BY vec_id LIMIT 16
+      |), scored AS (
+      |  SELECT n.vec_id, s.cell_id,
+      |         round(list_sum(list_transform(list_zip(n.v, s.sv), p -> p[1] * p[2]))
+      |               / (n.nrm * s.snrm), 4) AS sim
+      |  FROM n CROSS JOIN seeds s
+      |), assigned AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rk
+      |  FROM scored
+      |), cells AS (
+      |  SELECT vec_id, cell_id FROM assigned WHERE rk = 1
+      |), keep AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY cell_id
+      |           ORDER BY ('0x' || substr(md5('divs' || vec_id::varchar), 1, 8))::bigint % 1073741824,
+      |                    vec_id) AS qrk
+      |  FROM cells
+      |)
+      |SELECT vec_id, cell_id FROM keep WHERE qrk <= 20
+      |ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    Similarity.diversitySample(t(s, dir, "embeddings"),
+        "vec_id", "embedding", numCells = 16, cap = 20, salt = "divs")
+      .select("vec_id", "cell_id")
+      .orderBy("vec_id")
   }
 
   // sq4_quantized_knn — top-5 by int8-quantized dot product: the int8
@@ -1278,6 +1355,33 @@ object Queries {
       round(qualityScore(col("text")), 4).as("quality"))
     graft.operators.Sampling.weightedSample(
         scored, "doc_id", "wsamp", col("quality"))
+      .orderBy("doc_id")
+  }
+
+  // aq19_domain_mixture — rebalance the corpus toward a uniform source
+  // mixture: over-represented domains downsample by salted hash,
+  // under-represented ones stay whole. The rate arithmetic is ordered
+  // identically on both engines ((1/nsrc)*total/n) so the IEEE doubles
+  // — and therefore the kept set — match exactly.
+  register(
+    "aq19_domain_mixture",
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT sum(n)::double AS total, count(*)::double AS nsrc FROM counts
+      |), rates AS (
+      |  SELECT source, least(1.0, (1.0 / nsrc) * total / n) AS rate
+      |  FROM counts, tot
+      |)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN rates r USING (source)
+      |WHERE (('0x' || substr(md5('mix' || d.doc_id::varchar), 1, 8))::bigint
+      |        % 1000000)::double / 1e6 < r.rate
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Sampling.mixtureResample(
+        t(s, dir, "documents"), "source", "doc_id", "mix")
+      .select("doc_id", "source")
       .orderBy("doc_id")
   }
 

@@ -80,4 +80,38 @@ object Sampling {
   def deterministicSample(
       df: DataFrame, idCol: String, salt: String, perMille: Int): DataFrame =
     df.filter(hashBucket(col(idCol), salt, 1000) < perMille)
+
+  /** Resample a corpus toward a target group mixture (domain
+    * rebalancing): each group's keep-rate is
+    * min(1, targetShare·total / groupCount) — downsample
+    * over-represented domains, keep under-represented ones whole
+    * (upsampling is a policy decision left to the caller) — decided per
+    * row by the salted content hash, so the draw is exactly
+    * reproducible. `targetShares` defaults to uniform across the
+    * observed groups. Scale shape: one cheap groupBy-count (rows =
+    * number of domains), rates broadcast back, then a narrow map-side
+    * filter — the corpus itself is never shuffled. */
+  def mixtureResample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      salt: String,
+      targetShares: Map[String, Double] = Map.empty): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val groups = counts.collect()
+      .map(r => r.getAs[Any](0).toString -> r.getAs[Long]("__n")).toMap
+    val total = groups.values.sum.toDouble
+    val shares =
+      if (targetShares.nonEmpty) targetShares
+      else groups.keys.map(_ -> 1.0 / groups.size).toMap
+    val rate = shares.toSeq
+      .collect { case (g, share) if groups.contains(g) => (g, share) }
+      .foldLeft(lit(0.0)) { case (acc, (g, share)) =>
+        when(col(groupCol).cast("string") === g,
+          least(lit(1.0), lit(share * total / groups(g).toDouble)))
+          .otherwise(acc)
+      }
+    df.filter(
+      hashBucket(col(idCol), salt, 1000000).cast("double") / 1e6 < rate)
+  }
 }

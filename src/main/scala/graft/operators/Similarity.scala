@@ -352,6 +352,26 @@ object Similarity {
       cosineArgmaxCell(col(vecCol), seeds.toSeq).as("cell_id"))
   }
 
+  /** Semantic diversity sampling: partition the corpus into IVF cells
+    * (deterministic seed centroids) and keep at most `cap` vectors per
+    * cell, chosen by salted content hash — an unbiased, reproducible
+    * draw per semantic region. The standard curation move for capping
+    * over-represented content clusters (boilerplate regions, scraped
+    * mirror families) while keeping coverage of the embedding space.
+    * One broadcast-argmax projection + one windowed quota — the same
+    * shapes as ivfIndex and Sampling.capPerGroup, shuffling once on
+    * cell_id. */
+  def diversitySample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      cap: Int,
+      salt: String): DataFrame =
+    Sampling.capPerGroup(
+      ivfIndex(corpus, idCol, vecCol, numCells),
+      "cell_id", idCol, salt, cap)
+
   /** ANN top-k through the IVF index: each query probes its `nProbe`
     * nearest cells and ranks only vectors in those cells. */
   def ivfTopK(

@@ -90,4 +90,53 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assert(Sampling.capPerGroup(docs, "source", "doc_id", "cap", 1000)
       .count() == docs.count())
   }
+
+  test("mixtureResample rebalances toward the target domain mixture") {
+    // skewed corpus: 900 of "web", 60 of "books", 40 of "code"
+    val docs = ((1 to 900).map(i => (i.toLong, "web")) ++
+      (1001 to 1060).map(i => (i.toLong, "books")) ++
+      (2001 to 2040).map(i => (i.toLong, "code"))).toDF("doc_id", "source")
+    val out = Sampling.mixtureResample(docs, "source", "doc_id", "mix19")
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // uniform target = 1000/3 ≈ 333 per domain: web downsamples to
+    // ~333 (hash-Bernoulli, allow sampling noise), small domains keep
+    // EVERY row (rate clamps at 1 — no upsampling)
+    assert(kept("books") == 60L && kept("code") == 40L)
+    assert(kept("web") > 260 && kept("web") < 400, s"web kept ${kept("web")}")
+    // reproducible: same salt, same kept set, any partitioning
+    val again = Sampling.mixtureResample(
+      docs.repartition(7), "source", "doc_id", "mix19")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // explicit shares steer the mixture; shares for absent groups are
+    // ignored rather than erroring
+    val tilted = Sampling.mixtureResample(docs, "source", "doc_id", "mix19",
+      targetShares = Map("web" -> 0.05, "books" -> 0.95, "ghost" -> 1.0))
+    val tk = tilted.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tk("books") == 60L) // 0.95*1000 > 60 → clamp keeps all
+    assert(tk("web") < 100, s"web kept ${tk("web")} at 5% share")
+    assert(!tk.contains("code")) // no share → rate 0
+  }
+
+  test("diversitySample caps every semantic cell and stays deterministic") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.diversitySample(
+      emb, "vec_id", "embedding", numCells = 16, cap = 5, salt = "divs")
+    val perCell = out.groupBy("cell_id").count().collect().map(_.getLong(1))
+    assert(perCell.forall(_ <= 5) && perCell.max == 5)
+    assert(out.count() < emb.count()) // something was actually capped
+    // kept rows are a subset of the corpus with their true cell labels
+    val cells = Similarity.ivfIndex(emb, "vec_id", "embedding", 16)
+      .select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.select("vec_id", "cell_id").collect().foreach { r =>
+      assert(cells(r.getLong(0)) == r.getLong(1))
+    }
+    val again = Similarity.diversitySample(
+      emb.repartition(5), "vec_id", "embedding", 16, 5, "divs")
+    assert(out.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      again.select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
 }

@@ -76,6 +76,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!jac.contains((1L, 2L)))    // symmetric Jaccard misses it
   }
 
+  test("crossContainmentPairs catches planted benchmark text, broadcasts the index") {
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated benchmark question about spark internals"))
+      .toDF("bench_id", "text")
+    val corpus = Seq(
+      // doc 10 embeds benchmark 1 verbatim inside a larger doc
+      (10L, "intro words before the quick brown fox jumps over the lazy " +
+        "dog tonight and plenty of trailing context after the quote"),
+      // doc 11 shares nothing 3-gram-sized with either benchmark
+      (11L, "totally different content with no shared trigrams anywhere"),
+      // doc 12 lightly edited copy of benchmark 2 (one word changed at
+      // the edge still leaves >=80% of its trigrams intact? no — keep
+      // it verbatim to pin the exact-containment arithmetic)
+      (12L, "completely unrelated benchmark question about spark internals"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossContainmentPairs(
+      corpus, "doc_id", "text", bench, "bench_id", "text", threshold = 0.8)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((10L, 1L, 1.0), (12L, 2L, 1.0)))
+    // the benchmark inverted index must broadcast — the corpus side
+    // joining without a shuffle is the whole scale story
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark index not broadcast:\n$plan")
+  }
+
   test("duplicateClusters labels components with min id and sizes") {
     // chain 1-2-3 (transitive, NOT a clique) + isolated pair 10-11
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
