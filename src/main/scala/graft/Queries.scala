@@ -1385,6 +1385,52 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // aq20_quality_quantile — "keep the top 30% of every domain by
+  // quality": percent_rank per source with an id tie-break, so the cut
+  // is deterministic and the rank arithmetic ((rank-1)/(n-1)) is
+  // integer-derived — exactly reproducible across engines.
+  register(
+    "aq20_quality_quantile",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         length(text)::double AS n_chars,
+      |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+      |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, source, n_chars, n_punct, n_digit,
+      |         CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','that','it'], x)))::double / len(toks) END AS stop_ratio,
+      |         CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE list_sum(list_transform(toks, x -> len(x)::double)) / len(toks) END AS mtl
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id, source,
+      |         round(greatest(0.0, least(1.0,
+      |           0.4 * least(stop_ratio * 5, 1.0)
+      |           + 0.3 * (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.0 END)
+      |           + 0.3 * (1.0 - least(((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END)
+      |                                + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_digit / n_chars END)) * 5, 1.0)))), 4) AS quality
+      |  FROM m
+      |), r AS (
+      |  SELECT doc_id, source, quality,
+      |         percent_rank() OVER (PARTITION BY source
+      |                              ORDER BY quality DESC, doc_id) AS pr
+      |  FROM q
+      |)
+      |SELECT doc_id, source, quality FROM r WHERE pr <= 0.30
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.TextFunctions.qualityScore
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      round(qualityScore(col("text")), 4).as("quality"))
+    graft.operators.Sampling.topQuantilePerGroup(
+        scored, "source", col("quality"), "doc_id", 0.30)
+      .orderBy("doc_id")
+  }
+
   // aq4_tfidf — corpus TF-IDF, top-3 terms per document (tf * ln(N/df),
   // deterministic term tie-break). Purely relational: one explode, two
   // aggregations, one window.
@@ -2526,6 +2572,33 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // tq9_shingle_novelty — fraction of each doc's distinct word 3-grams
+  // that exist nowhere else in the corpus (global df == 1): original
+  // content scores high, boilerplate assemblies score ~0. The avg is
+  // over exact 0/1 doubles, so no decimal machinery is needed.
+  register(
+    "tq9_shingle_novelty",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3
+      |), f AS (
+      |  SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+      |)
+      |SELECT s.doc_id, count(*) AS n_shingles,
+      |       round(avg(CASE WHEN f.df = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+      |FROM sh s JOIN f USING (shingle)
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.shingleNovelty(
+        t(s, dir, "documents"), "doc_id", "text", shingleN = 3)
+      .orderBy("doc_id")
+  }
+
   // q26_correlated_min — correlated scalar-AGGREGATE subquery (TPC-H
   // Q2/Q17 shape): Catalyst decorrelates it into an aggregate + join
   // instead of a per-row re-scan. Equality on the raw double is safe —
@@ -2769,6 +2842,31 @@ object Queries {
       .agg(sum("n").cast("bigint").as("n"),
         round(sum("sv"), 2).cast("double").as("total_value"))
       .orderBy("event_type")
+  }}
+
+  // st7_incremental_dedup — continuous-ingestion dedup: the corpus
+  // arrives in 3 micro-batches, each merged into a persisted
+  // (fingerprint → min doc_id) registry with an atomic store commit.
+  // The min-merge makes the registry equal a one-shot batch dedup
+  // regardless of batch boundaries/order — which is exactly what the
+  // oracle computes.
+  register(
+    "st7_incremental_dedup",
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |       min(doc_id) AS doc_id
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    val tmp = scratchDir("st7")
+    t(s, dir, "documents").select("doc_id", "text")
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    val stream = graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1)
+    graft.operators.Dedup.incrementalDedup(
+      stream, "doc_id", "text", store, "registry", s"$tmp/ckpt")
+      .awaitTermination()
+    store.read("registry").orderBy("doc_id")
   }}
 
   // st4_stateful_sessions — the custom per-key state machine

@@ -81,6 +81,27 @@ object Sampling {
       df: DataFrame, idCol: String, salt: String, perMille: Int): DataFrame =
     df.filter(hashBucket(col(idCol), salt, 1000) < perMille)
 
+  /** Keep each group's top `frac` quantile by score (per-domain quality
+    * filtering: "top 30% of every domain"): percent_rank over
+    * (score desc, id) per group, kept while <= frac. The id tie-break
+    * makes the cut deterministic on any engine; the rank arithmetic
+    * ((rank-1)/(count-1)) is integer-derived, so the kept set is
+    * exactly reproducible. One shuffle on the group key. */
+  def topQuantilePerGroup(
+      df: DataFrame,
+      groupCol: String,
+      score: Column,
+      idCol: String,
+      frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0,1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(score.desc, col(idCol))
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") <= frac)
+      .drop("__pr")
+  }
+
   /** Resample a corpus toward a target group mixture (domain
     * rebalancing): each group's keep-rate is
     * min(1, targetShare·total / groupCount) — downsample

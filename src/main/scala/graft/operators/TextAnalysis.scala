@@ -68,6 +68,31 @@ object TextAnalysis {
     * aggregation. tf * surprisal stays DECIMAL-exact, so collapsing
     * multiplicity changes nothing in the result.
     */
+  /** Per-document shingle novelty: the fraction of a doc's distinct
+    * word n-grams that appear NOWHERE else in the corpus (global
+    * df == 1). High novelty = original content; near-zero = assembled
+    * from boilerplate the corpus already has everywhere — a cheap,
+    * exactly-reproducible counterpart to the LM surprisal signal.
+    * Shapes: one explode, one df aggregate, one join riding the same
+    * shingle hash partitioning, one per-doc aggregate. The avg is over
+    * exact 0/1 doubles (integer-valued sums), so it is
+    * engine-portable without decimal machinery. */
+  def shingleNovelty(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingleSet(col(textCol), shingleN)).as("shingle"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    sh.join(freq, "shingle")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        round(avg(when(col("__df") === 1, 1.0).otherwise(0.0)), 4)
+          .as("novelty"))
+  }
+
   def unigramSurprisal(
       df: DataFrame,
       idCol: String,

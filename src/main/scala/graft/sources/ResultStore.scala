@@ -100,6 +100,9 @@ class ResultStore(spark: SparkSession, root: String) {
   private def exists0(schema: String): Boolean =
     currentVersion(schema).isDefined
 
+  /** Whether the schema has any committed data. */
+  def hasSchema(schema: String): Boolean = exists0(schema)
+
   /** Append rows. Spark's file-commit protocol stages task output under
     * `_temporary`, so a failed append never surfaces partial files. */
   def insert(schema: String, df: DataFrame): Unit =

@@ -120,6 +120,24 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assert(!tk.contains("code")) // no share → rate 0
   }
 
+  test("topQuantilePerGroup cuts each group at the score quantile, ties by id") {
+    val docs = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.7), (4L, "a", 0.7),
+      (5L, "a", 0.5), (6L, "a", 0.4), (7L, "a", 0.3), (8L, "a", 0.2),
+      (9L, "a", 0.1), (10L, "a", 0.05),
+      (11L, "b", 0.6), (12L, "b", 0.4))
+      .toDF("doc_id", "source", "q")
+    val out = Sampling.topQuantilePerGroup(docs, "source", col("q"), "doc_id", 0.30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // group a (n=10): percent_rank = (rank-1)/9 <= 0.3 -> ranks 1..3
+    // (docs 1,2,3 — doc 3 beats the tied doc 4 on id); group b (n=2):
+    // ranks at pr 0 and 1 -> only doc 11
+    assert(out == Set(1L, 2L, 3L, 11L))
+    // frac = 1 keeps everything
+    assert(Sampling.topQuantilePerGroup(docs, "source", col("q"), "doc_id", 1.0)
+      .count() == 12)
+  }
+
   test("diversitySample caps every semantic cell and stays deterministic") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val out = Similarity.diversitySample(

@@ -104,6 +104,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"benchmark index not broadcast:\n$plan")
   }
 
+  test("incrementalDedup registry equals one-shot dedup for any batch split") {
+    val docs = Seq(
+      (10L, "same text here okay"), (3L, "same text here okay"),
+      (20L, "same text here okay"), (7L, "a unique document entirely"),
+      (5L, "another unique doc text")).toDF("doc_id", "text")
+    def run(nFiles: Int): Map[String, Long] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+      docs.repartition(nFiles).write.mode("overwrite").parquet(s"$tmp/in")
+      val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+      graft.operators.Dedup.incrementalDedup(
+        graft.streaming.StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "doc_id", "text", store, "reg", s"$tmp/ckpt")
+        .awaitTermination()
+      store.read("reg").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val oneBatch = run(1)
+    val manyBatches = run(4)
+    // min-merge: the canonical id per fingerprint is the global min no
+    // matter how the corpus is split into micro-batches
+    assert(oneBatch == manyBatches)
+    assert(oneBatch.size == 3)
+    assert(oneBatch.values.toSet == Set(3L, 7L, 5L)) // 3 beats 10/20
+  }
+
   test("duplicateClusters labels components with min id and sizes") {
     // chain 1-2-3 (transitive, NOT a clique) + isolated pair 10-11
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")

@@ -56,6 +56,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2)._3 > r(1)._3 && r(1)._3 > r(0)._3)
   }
 
+  test("shingleNovelty scores unique content 1, shared boilerplate 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),       // all trigrams unique
+      (2L, "shared boilerplate words here exactly"),
+      (3L, "shared boilerplate words here exactly"), // verbatim copy of 2
+      // half borrowed from doc 2's trigrams, half original
+      (4L, "shared boilerplate words here exactly plus fresh original tail"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.shingleNovelty(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toList
+    assert(r(0) == (1L, 3L, 1.0))       // 3 trigrams, all df=1
+    assert(r(1)._3 == 0.0 && r(2)._3 == 0.0) // copies: every trigram df>=2
+    // doc 4: 7 trigrams, the 3 borrowed ones have df=3, the 4 with new
+    // words are unique -> novelty 4/7
+    assert(r(3)._2 == 7L && math.abs(r(3)._3 - math.rint(4.0 / 7 * 10000) / 10000) < 1e-9)
+  }
+
   test("repetitionSignals tie-break is the smallest bigram, not plan order") {
     // "b a b a": bigrams [b a, a b, b a] -> "b a" wins on count;
     // "c d c d e c d": "c d" x3 beats "d c" x2 and "d e"/"e c" x1
