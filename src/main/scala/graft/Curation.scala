@@ -52,6 +52,31 @@ final case class Curation(
   def filterQuality(min: Double): Curation =
     next(df.filter(TextFunctions.qualityScore(col(textCol)) >= min))
 
+  /** Drop docs contaminated by a benchmark set: any doc near-containing
+    * a benchmark item's shingles (GPT-3-style decontamination). The
+    * benchmark side broadcasts — the corpus never shuffles. */
+  def decontaminate(
+      benchmark: DataFrame, benchId: String = "bench_id",
+      benchText: String = "text", threshold: Double = 0.8): Curation = {
+    val hits = Dedup.crossContainmentPairs(
+        df, idCol, textCol, benchmark, benchId, benchText,
+        threshold = threshold)
+      .select(col("doc_id").as(idCol)).distinct()
+    next(df.join(hits, Seq(idCol), "left_anti"))
+  }
+
+  /** Keep each group's top `frac` quantile by quality score. */
+  def topQualityQuantile(groupCol: String, frac: Double): Curation =
+    next(Sampling.topQuantilePerGroup(
+      df.withColumn("__q", TextFunctions.qualityScore(col(textCol))),
+      groupCol, col("__q"), idCol, frac).drop("__q"))
+
+  /** Resample toward a target group mixture (uniform by default). */
+  def rebalance(groupCol: String,
+      targetShares: Map[String, Double] = Map.empty,
+      salt: String = "mix"): Curation =
+    next(Sampling.mixtureResample(df, groupCol, idCol, salt, targetShares))
+
   /** Drop boilerplate: duplicate-token fraction must stay below the cap. */
   def filterRepetition(maxDupTokenFrac: Double): Curation = {
     val signals = TextAnalysis.repetitionSignals(df, idCol, textCol)
@@ -59,6 +84,16 @@ final case class Curation(
     next(df.join(signals, Seq(idCol))
       .filter(col("dup_token_frac") < maxDupTokenFrac)
       .drop("dup_token_frac"))
+  }
+
+  /** Keep docs whose shingle novelty (fraction of corpus-unique
+    * n-grams) is at least `min` — drops boilerplate assemblies. */
+  def filterNovelty(min: Double): Curation = {
+    val nov = TextAnalysis.shingleNovelty(df, idCol, textCol)
+      .select(col("doc_id").as(idCol), col("novelty"))
+    next(df.join(nov, Seq(idCol))
+      .filter(col("novelty") >= min)
+      .drop("novelty"))
   }
 
   /** Redact emails / IPs / phone numbers in place. */

@@ -38,6 +38,20 @@ object ScaleStress {
     time("containment_skew_capped")(operators.Dedup.containmentPairs(
       dup(1).union(template), "doc_id", "text", threshold = 0.9,
       maxShingleDf = Some(1000)).count())
+    // decontamination at 4x: the benchmark (500 items) broadcasts, so
+    // quadrupling the corpus only widens the map side — time should
+    // grow ~linearly and the hit count exactly 4x (every replica of a
+    // contaminated doc is contaminated)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    time("decontam_1x")(operators.Dedup.crossContainmentPairs(
+      dup(1), "doc_id", "text", bench, "bench_id", "text").count())
+    time("decontam_4x")(operators.Dedup.crossContainmentPairs(
+      dup(4), "doc_id", "text", bench, "bench_id", "text").count())
+    // mixture resample at 4x: one tiny groupBy-count + a narrow filter
+    time("mixture_4x")(operators.Sampling.mixtureResample(
+      dup(4).withColumn("source", (col("doc_id") % 7).cast("string")),
+      "source", "doc_id", "mixstress").count())
     // embedding LSH scaling: replicas of the corpus with one 16-element
     // block negated per replica (cross-replica cosine ~0.5 — below the
     // 0.9 threshold) plus a near-identical perturbed copy per vector.

@@ -43,4 +43,32 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(viaFacade == direct)
   }
+
+  test("decontaminate / rebalance / quantile / novelty steps compose") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val n0 = docs.count()
+    // benchmark = every 47th doc's text: those docs (and their verbatim
+    // twins) must vanish; the corpus shrinks but stays non-empty
+    val bench = docs.filter(col("doc_id") % 47 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val clean = Curation(docs).decontaminate(bench)
+    val cleanIds = clean.df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!cleanIds.exists(_ % 47 == 0))
+    assert(cleanIds.nonEmpty && cleanIds.size < n0)
+    // re-running decontamination is a fixpoint
+    assert(clean.decontaminate(bench).df.count() == cleanIds.size)
+
+    val rebalanced = Curation(docs).rebalance("source")
+    val kept = rebalanced.df.groupBy("source").count().collect()
+      .map(_.getLong(1))
+    assert(kept.forall(_ > 0) && rebalanced.df.count() <= n0)
+
+    val top = Curation(docs).topQualityQuantile("source", 0.3)
+    assert(top.df.count() < n0 && top.df.count() > 0)
+    assert(top.df.columns.toSeq == docs.columns.toSeq) // helper col dropped
+
+    val novel = Curation(docs).filterNovelty(0.05)
+    assert(novel.df.count() > 0 && novel.df.count() <= n0)
+    assert(novel.df.columns.toSeq == docs.columns.toSeq)
+  }
 }
