@@ -2869,6 +2869,62 @@ object Queries {
     store.read("registry").orderBy("doc_id")
   }}
 
+  // st8_stream_decontam — streaming decontamination: docs arrive in
+  // micro-batches, each anti-joined against the (broadcast) benchmark
+  // containment hits before landing in the clean sink. Per-doc
+  // filtering is batch-local, so the drained sink equals the one-shot
+  // batch anti-join exactly.
+  register(
+    "st8_stream_decontam",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3
+      |), bench AS (
+      |  SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 47 = 0
+      |), bsizes AS (
+      |  SELECT bench_id, count(*) AS bn FROM bench GROUP BY 1
+      |), hits AS (
+      |  SELECT c.doc_id, b.bench_id, count(*) AS inter
+      |  FROM sh c JOIN bench b ON c.shingle = b.shingle
+      |  GROUP BY 1, 2
+      |), dirty AS (
+      |  SELECT DISTINCT doc_id FROM hits JOIN bsizes USING (bench_id)
+      |  WHERE round(inter::double / bn, 4) >= 0.8
+      |)
+      |SELECT d.doc_id, d.source
+      |FROM documents d ANTI JOIN dirty USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    val tmp = scratchDir("st8")
+    t(s, dir, "documents").select("doc_id", "source", "text")
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val bench = t(s, dir, "documents")
+      .filter(col("doc_id") % 47 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+      .localCheckpoint()
+    val outDir = s"$tmp/clean"
+    val stream = graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dirty = graft.operators.Dedup.crossContainmentPairs(
+            batch, "doc_id", "text", bench, "bench_id", "text",
+            threshold = 0.8)
+          .select("doc_id").distinct()
+        batch.join(dirty, Seq("doc_id"), "left_anti")
+          .select("doc_id", "source")
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).orderBy("doc_id")
+  }}
+
   // st4_stateful_sessions — the custom per-key state machine
   // (flatMapGroupsWithState, event-time timeouts) producing COMPLETE
   // session summaries, oracled against the batch sessionization SQL.

@@ -194,4 +194,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[WindowExec]),
       nodes.map(_.nodeName).mkString(", "))
   }
+
+  test("dq11 decontamination broadcasts the benchmark — corpus side never shuffles pre-join") {
+    val p = plan("dq11_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("aq19 mixture resample is a narrow filter — the corpus never shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val df = graft.operators.Sampling.mixtureResample(
+      docs, "source", "doc_id", "mixplan")
+    df.collect()
+    // the rate lookup is a literal CASE built from the (tiny) collected
+    // counts — the kept-rows plan itself must contain no exchange
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("sq5 diversity sample shuffles once — on the cell quota window only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val df = graft.operators.Similarity.diversitySample(
+      emb, "vec_id", "embedding", numCells = 8, cap = 5, salt = "plan")
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    // cell assignment is a projection; the only shuffle + window is the
+    // per-cell quota
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) <= 1,
+      nodes.map(_.nodeName).mkString(", "))
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.size == 1 && windows.forall(_.partitionSpec.nonEmpty),
+      windows.map(_.toString).mkString("\n"))
+  }
 }

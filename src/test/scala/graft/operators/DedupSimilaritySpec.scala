@@ -447,6 +447,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaStar == viaProp && viaStar.nonEmpty)
   }
 
+  test("star contraction equals label propagation on random graphs (seeded)") {
+    // the r4 convergence change (order-independent edge-content hash)
+    // must terminate at the TRUE fixpoint on arbitrary topologies, not
+    // just the gate corpora — differential over seeded random graphs
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 4) {
+      val n = 40 + rnd.nextInt(120)
+      val m = n + rnd.nextInt(2 * n)
+      val edges = (0 until m).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("id_a", "id_b")
+        def toMap(r: Array[org.apache.spark.sql.Row]) =
+          r.map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+        val star = toMap(Dedup.duplicateClustersStar(df).collect())
+        val prop = toMap(Dedup.duplicateClusters(df, maxRounds = 300).collect())
+        assert(star == prop, s"trial $trial (n=$n, m=${edges.size})")
+      }
+    }
+  }
+
   test("star contraction handles a chain component beyond label-prop reach") {
     // a 400-node path has diameter 399: min-label propagation moves one
     // hop per round — it MUST blow a sub-diameter round budget — while
