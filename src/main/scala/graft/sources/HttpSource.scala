@@ -65,17 +65,23 @@ object HttpSource {
     * fetches its URLs through it, yielding (url, body) rows. Status
     * classification matches [[fetchString]], so a typed failure on any
     * executor fails the job with the same exception a retry policy
-    * targets. Partition count = concurrent connections: size `urls`
-    * with `repartition(n)` to the API's rate budget. */
+    * targets. `retry` applies the event retry machinery PER REQUEST
+    * inside the partition — a transient 500 on one page retries that
+    * page with backoff instead of failing (and re-running) the whole
+    * task, which would refetch every other page in the partition.
+    * Partition count = concurrent connections: size `urls` with
+    * `repartition(n)` to the API's rate budget. */
   def fetchDistributed(
       urls: org.apache.spark.sql.Dataset[String],
-      timeoutMs: Long = 30000): DataFrame = {
+      timeoutMs: Long = 30000,
+      retry: Option[graft.core.RetryPolicy] = None): DataFrame = {
     import urls.sparkSession.implicits._
     urls.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
         val c = newClient()
-        it.map(u => (u, fetchWith(c, u, timeoutMs)))
+        it.map(u =>
+          (u, graft.core.Retry.run(retry)(fetchWith(c, u, timeoutMs))))
       }
     }.toDF("url", "body")
   }

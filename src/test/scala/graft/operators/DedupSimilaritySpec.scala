@@ -104,6 +104,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"benchmark index not broadcast:\n$plan")
   }
 
+  test("round-4 operators accept empty inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // empty corpus, empty benchmark, and both
+    assert(Dedup.crossContainmentPairs(emptyDocs, "doc_id", "text",
+      someDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.crossContainmentPairs(someDocs, "doc_id", "text",
+      emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.crossContainmentPairs(emptyDocs, "doc_id", "text",
+      emptyDocs, "doc_id", "text").count() == 0)
+    // empty embedding corpus through diversity sampling
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.diversitySample(
+      emptyEmb, "vec_id", "embedding", 8, 5, "s").count() == 0)
+    // empty corpus through mixture resampling and quantile cut
+    val emptySrc = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(Sampling.mixtureResample(
+      emptySrc, "source", "doc_id", "m").count() == 0)
+    assert(Sampling.topQuantilePerGroup(
+      emptySrc, "source", col("doc_id"), "doc_id", 0.5).count() == 0)
+    assert(TextAnalysis.shingleNovelty(emptyDocs, "doc_id", "text")
+      .count() == 0)
+  }
+
   test("incrementalDedup registry equals one-shot dedup for any batch split") {
     val docs = Seq(
       (10L, "same text here okay"), (3L, "same text here okay"),

@@ -111,6 +111,30 @@ class HttpSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("per-request retry inside a partition survives transient 500s") {
+    val flaky = new AtomicInteger(0)
+    val total = new AtomicInteger(0)
+    withServer("/page" -> { ex =>
+      total.incrementAndGet()
+      val cursor = ex.getRequestURI.getQuery.stripPrefix("c=").toInt
+      // cursor 2 fails twice before succeeding; others succeed at once
+      if (cursor == 2 && flaky.incrementAndGet() <= 2) reply(ex, 503, "")
+      else reply(ex, 200, s"""{"c": $cursor}""")
+    }) { base =>
+      import spark.implicits._
+      val urls = spark.createDataset((0 until 4).map(c => s"$base/page?c=$c"))
+        .repartition(2)
+      val policy = RetryPolicy(maxAttempts = 5, backoffFactor = 0.001,
+        retryOnExceptions = Seq(classOf[HttpSource.ServerErrorException]))
+      val got = HttpSource.fetchDistributed(urls, retry = Some(policy))
+        .collect().map(_.getString(1)).toSet
+      assert(got == (0 until 4).map(c => s"""{"c": $c}""").toSet)
+      // 4 pages + 2 retried failures — the healthy pages fetched ONCE
+      // (a task-level retry would have refetched the whole partition)
+      assert(total.get() == 6 && flaky.get() == 3)
+    }
+  }
+
   test("a typed status failure on an executor fails the distributed fetch") {
     withServer(
       "/page" -> (reply(_, 200, """{"ok": 1}""")),
