@@ -63,6 +63,17 @@ final class SparkTelemetryBridge private (
     * cooperation) — the queryable counterpart of MetricsCollector. */
   def metrics: Seq[QueryMetrics] = collected.synchronized(collected.toSeq)
 
+  /** Metrics as a DataFrame — engine telemetry lands in any sink like
+    * any other table (same contract as MetricsCollector.toDF). */
+  def toDF: org.apache.spark.sql.DataFrame = {
+    val rows = metrics.map(m => (m.name, m.queryId, m.durationSec,
+      m.status, m.error.orNull, m.rowsRead, m.bytesRead,
+      m.rowsOut.map(java.lang.Long.valueOf).orNull))
+    spark.createDataFrame(rows).toDF(
+      "name", "query_id", "duration_sec", "status", "error",
+      "rows_read", "bytes_read", "rows_out")
+  }
+
   /** Flatten the executed plan through the adaptive wrappers: under AQE
     * the root is an AdaptiveSparkPlanExec LEAF whose real plan hangs off
     * `executedPlan`, and materialized stages hide behind QueryStageExec

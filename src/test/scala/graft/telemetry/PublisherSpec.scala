@@ -128,6 +128,12 @@ class PublisherSpec extends AnyFunSuite {
       assert(m.bytesRead > 0, "scan bytes not captured")
       // the same metric reached the publisher as an EventMetrics
       assert(awaitCond()(buf.published.exists(_.eventName == m.name)))
+      // and the collected metrics sink as a DataFrame
+      val mdf = bridge.toDF
+      assert(mdf.columns.toSeq == Seq("name", "query_id", "duration_sec",
+        "status", "error", "rows_read", "bytes_read", "rows_out"))
+      assert(mdf.filter(org.apache.spark.sql.functions.col("rows_read") >= n)
+        .count() >= 1)
     } finally bridge.close()
   }
 
