@@ -87,12 +87,16 @@ final case class Curation(
   }
 
   /** Keep docs whose shingle novelty (fraction of corpus-unique
-    * n-grams) is at least `min` — drops boilerplate assemblies. */
+    * n-grams) is at least `min` — drops boilerplate assemblies. Docs
+    * too short to carry a shingle have no signal and are KEPT (same
+    * no-evidence-keeps contract as decontaminate), hence the outer
+    * join + coalesce rather than an inner join that would silently
+    * drop them even at min = 0. */
   def filterNovelty(min: Double): Curation = {
     val nov = TextAnalysis.shingleNovelty(df, idCol, textCol)
       .select(col("doc_id").as(idCol), col("novelty"))
-    next(df.join(nov, Seq(idCol))
-      .filter(col("novelty") >= min)
+    next(df.join(nov, Seq(idCol), "left_outer")
+      .filter(coalesce(col("novelty"), lit(1.0)) >= min)
       .drop("novelty"))
   }
 

@@ -119,17 +119,23 @@ object Sampling {
       salt: String,
       targetShares: Map[String, Double] = Map.empty): DataFrame = {
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    // a NULL group key (unlabeled domain) is its own group — keyed by
+    // None so it can neither NPE here nor collide with a real value
     val groups = counts.collect()
-      .map(r => r.getAs[Any](0).toString -> r.getAs[Long]("__n")).toMap
+      .map(r => Option(r.get(0)).map(_.toString) -> r.getAs[Long]("__n"))
+      .toMap
     val total = groups.values.sum.toDouble
-    val shares =
-      if (targetShares.nonEmpty) targetShares
+    val shares: Map[Option[String], Double] =
+      if (targetShares.nonEmpty) targetShares.map { case (k, v) => (Option(k): Option[String]) -> v }
       else groups.keys.map(_ -> 1.0 / groups.size).toMap
     val rate = shares.toSeq
       .collect { case (g, share) if groups.contains(g) => (g, share) }
       .foldLeft(lit(0.0)) { case (acc, (g, share)) =>
-        when(col(groupCol).cast("string") === g,
-          least(lit(1.0), lit(share * total / groups(g).toDouble)))
+        val cond = g match {
+          case Some(v) => col(groupCol).cast("string") === v
+          case None    => col(groupCol).isNull
+        }
+        when(cond, least(lit(1.0), lit(share * total / groups(g).toDouble)))
           .otherwise(acc)
       }
     df.filter(

@@ -96,8 +96,11 @@ object HttpSource {
       numPartitions: Int = 0,
       timeoutMs: Long = 30000): DataFrame = {
     import spark.implicits._
+    // zero pages (an empty result window) is a valid request: no
+    // bodies to infer a schema from, so the empty frame is columnless
+    if (urls.isEmpty) return spark.emptyDataFrame
     val parts = if (numPartitions > 0) numPartitions
-      else math.min(urls.size, spark.sparkContext.defaultParallelism)
+      else math.max(1, math.min(urls.size, spark.sparkContext.defaultParallelism))
     val ds = spark.createDataset(urls).repartition(parts)
     // materialize the pages ONCE: the JSON reader's schema-inference
     // pass and every downstream action would otherwise re-execute the

@@ -31,9 +31,22 @@ final class InMemoryKvStore(spark: SparkSession) {
   private val schemas =
     TrieMap.empty[String, (StructType, TrieMap[String, Row])]
 
-  private def table(schema: String, rowSchema: StructType)
-      : TrieMap[String, Row] =
-    schemas.getOrElseUpdate(schema, (rowSchema, TrieMap.empty))._2
+  /** Resolve (or create) a schema's table, aligning the incoming frame
+    * to the stored row schema: same column set in any order reorders;
+    * a different set is refused. Without this, rows written under a
+    * reordered/widened schema would be read back positionally under
+    * the original StructType — transposed values or cast errors. */
+  private def aligned(schema: String, df: DataFrame)
+      : (DataFrame, TrieMap[String, Row]) =
+    schemas.get(schema) match {
+      case None =>
+        (df, schemas.getOrElseUpdate(schema, (df.schema, TrieMap.empty))._2)
+      case Some((stored, t)) =>
+        require(df.columns.toSet == stored.fieldNames.toSet,
+          s"schema mismatch for '$schema': stored ${stored.fieldNames.toSeq}" +
+            s", got ${df.columns.toSeq}")
+        (df.select(stored.fieldNames.map(org.apache.spark.sql.functions.col): _*), t)
+    }
 
   private def existing(schema: String): TrieMap[String, Row] =
     schemas.getOrElse(schema,
@@ -48,34 +61,36 @@ final class InMemoryKvStore(spark: SparkSession) {
     schemas.get(schema).map(_._2.size.toLong).getOrElse(0L)
 
   /** HSET with NX semantics per record: refuses keys that already
-    * exist (insert_record, redis_store.py:24-38). */
+    * exist (insert_record, redis_store.py:24-38). Validates the WHOLE
+    * batch (intra-batch and against the store) before mutating, so a
+    * refused insert leaves the store exactly as it was. */
   def insert(schema: String, df: DataFrame, keyCol: String): Unit = {
-    val rows = df.collect()
-    val t = table(schema, df.schema)
-    rows.foreach { r =>
-      val k = r.getAs[Any](keyCol).toString
-      if (t.putIfAbsent(k, r).isDefined)
-        throw ObjectExistError(
-          s"Record '$k' already exists in schema '$schema'")
-    }
+    val (adf, t) = aligned(schema, df)
+    val rows = adf.collect()
+    val keys = rows.map(_.getAs[Any](keyCol).toString)
+    val dup = keys.diff(keys.distinct).headOption
+      .orElse(keys.find(t.contains))
+    dup.foreach(k => throw ObjectExistError(
+      s"Record '$k' already exists in schema '$schema'"))
+    rows.zip(keys).foreach { case (r, k) => t.put(k, r) }
   }
 
-  /** HSET only over existing fields (update_record, redis_store.py:40-54). */
+  /** HSET only over existing fields (update_record, redis_store.py:40-54).
+    * Same all-or-nothing contract as insert. */
   def update(schema: String, df: DataFrame, keyCol: String): Unit = {
-    val t = existing(schema)
-    df.collect().foreach { r =>
-      val k = r.getAs[Any](keyCol).toString
-      if (!t.contains(k))
-        throw ObjectDoesNotExist(
-          s"Record '$k' does not exist in schema '$schema'")
-      t.put(k, r)
-    }
+    existing(schema)
+    val (adf, t) = aligned(schema, df)
+    val rows = adf.collect()
+    val keys = rows.map(_.getAs[Any](keyCol).toString)
+    keys.find(k => !t.contains(k)).foreach(k => throw ObjectDoesNotExist(
+      s"Record '$k' does not exist in schema '$schema'"))
+    rows.zip(keys).foreach { case (r, k) => t.put(k, r) }
   }
 
   /** Unconditional HSET — the upsert arm streaming sinks want. */
   def upsert(schema: String, df: DataFrame, keyCol: String): Unit = {
-    val t = table(schema, df.schema)
-    df.collect().foreach(r => t.put(r.getAs[Any](keyCol).toString, r))
+    val (adf, t) = aligned(schema, df)
+    adf.collect().foreach(r => t.put(r.getAs[Any](keyCol).toString, r))
   }
 
   /** HDEL (delete_record, redis_store.py:56-63). */

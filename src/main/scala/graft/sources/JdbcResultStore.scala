@@ -122,25 +122,52 @@ final class JdbcResultStore(
   def count(schema: String): Long = read(schema).count()
 
   /** Upsert by key: new rows win over stored rows. MERGE INTO where the
-    * dialect supports it; read-merge-swap fallback otherwise. */
+    * dialect supports it; read-merge-swap fallback otherwise. The MERGE
+    * path requires the DataFrame's columns to be a subset of the live
+    * table's — schema WIDENING (new columns) needs a table rewrite, so
+    * it routes to the swap fallback automatically, as does a dialect
+    * whose server rejects MERGE at runtime (e.g. Postgres < 15 behind a
+    * jdbc:postgresql URL — detection is by URL prefix, the server's
+    * word is final). */
   def upsert(schema: String, df: DataFrame, keyCol: String): Unit = {
     checkIdent(schema)
     if (!tableExists(schema)) { insert(schema, df); return }
-    if (mergeEnabled) mergeUpsert(schema, df, keyCol)
-    else {
-      val merged = read(schema)
-        .join(df.select(keyCol), Seq(keyCol), "left_anti")
-        .unionByName(df, allowMissingColumns = true)
-      swapIn(schema, merged)
+    val widens = {
+      val existing = read(schema).columns.map(_.toLowerCase).toSet
+      df.columns.exists(c => !existing.contains(c.toLowerCase))
     }
+    if (mergeEnabled && !widens) {
+      try { mergeUpsert(schema, df, keyCol); return }
+      catch {
+        case _: java.sql.SQLException =>
+          // server refused MERGE (version/dialect) — fall back for good
+          mergeRuntimeDisabled = true
+      }
+    }
+    val merged = read(schema)
+      .join(df.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(df, allowMissingColumns = true)
+    swapIn(schema, merged)
   }
+
+  @volatile private var mergeRuntimeDisabled = false
 
   /** Atomic MERGE INTO upsert: stage the source rows, apply both arms in
     * one statement (atomic in the database — the live table is never
-    * dropped or truncated), drop the staging table. */
+    * dropped or truncated), drop the staging table. Source rows are
+    * deduplicated per key first (deterministically, by row-content
+    * hash) — SQL MERGE raises a cardinality violation when two source
+    * rows match one target row, a routine shape in CDC micro-batches. */
   private def mergeUpsert(schema: String, df: DataFrame, keyCol: String): Unit = {
+    if (mergeRuntimeDisabled) throw new java.sql.SQLException("merge disabled")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(xxhash64(df.columns.map(col): _*))
+    val deduped = df.withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     val stage = checkIdent(schema + "__stage")
-    df.write.mode(SaveMode.Overwrite).options(writeOptions)
+    deduped.write.mode(SaveMode.Overwrite).options(writeOptions)
       .jdbc(url, stage, jprops)
     def q(c: String) = "\"" + c.replace("\"", "\"\"") + "\""
     val cols = df.columns
@@ -158,8 +185,11 @@ final class JdbcResultStore(
       val st = c.createStatement()
       try {
         st.executeUpdate(sql)
-        st.execute(s"DROP TABLE $stage")
-      } finally st.close()
+      } finally {
+        try st.execute(s"DROP TABLE $stage")
+        catch { case _: java.sql.SQLException => () }
+        st.close()
+      }
     }
   }
 

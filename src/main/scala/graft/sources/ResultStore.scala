@@ -28,8 +28,11 @@ import graft.query.FilterDsl
   * `ATOMIC_MOVE` over `_CURRENT`). A crash at any point leaves either the
   * old pointer (old table fully intact) or the new pointer (new table fully
   * intact) — there is no window where the table is missing or partial.
-  * Superseded version directories are garbage-collected after the flip;
-  * GC failure is harmless (orphan dirs are re-collected on the next commit).
+  * Superseded version directories are garbage-collected after the flip —
+  * except the immediately-previous committed version, kept one more
+  * commit so lazy `read()` handles taken before a rewrite still scan
+  * intact files after it; GC failure is harmless (orphan dirs are
+  * re-collected on the next commit).
   * This is the same commit shape Delta/Iceberg use (log-pointer-flip), so
   * swapping the format string upgrades it to row-level transactions.
   */
@@ -71,6 +74,7 @@ class ResultStore(spark: SparkSession, root: String) {
   /** Atomically commit `df` as the new contents of `schema`. */
   private def commit(schema: String, df: DataFrame): Unit = {
     val version = nextVersion(schema)
+    val previous = currentVersion(schema)
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$schema/$version")
     beforeSwapHook()
     val tmp = new java.io.File(schemaDir(schema), "_CURRENT.tmp").toPath
@@ -79,13 +83,18 @@ class ResultStore(spark: SparkSession, root: String) {
     java.nio.file.Files.move(tmp, pointerFile(schema).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    gc(schema, keep = version)
+    gc(schema, keep = Set(version) ++ previous)
   }
 
-  /** Best-effort removal of superseded version directories. */
-  private def gc(schema: String, keep: String): Unit = {
+  /** Best-effort removal of superseded version directories. The
+    * previously COMMITTED version survives one more commit, so a lazy
+    * `read()` handle taken before a rewrite still scans intact files
+    * after it (stranded never-committed versions are collected
+    * immediately). Older generations go; a reader more than one
+    * commit behind must re-resolve. */
+  private def gc(schema: String, keep: Set[String]): Unit = {
     val dir = schemaDir(schema)
-    Option(dir.listFiles((_, n) => n.matches("v\\d{8}") && n != keep))
+    Option(dir.listFiles((_, n) => n.matches("v\\d{8}") && !keep.contains(n)))
       .getOrElse(Array.empty)
       .foreach { stale =>
         try rmTree(stale) catch { case _: java.io.IOException => () }

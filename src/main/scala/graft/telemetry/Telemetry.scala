@@ -125,6 +125,22 @@ trait MetricsPublisher {
   def publish(m: EventMetrics): Unit
 }
 
+/** One JSON rendering of EventMetrics shared by every JSON-speaking
+  * publisher (file, bulk-NDJSON, Grafana) — a field added to
+  * EventMetrics lands in all sinks at once instead of silently
+  * diverging across hand-rolled copies. */
+private[telemetry] object MetricsJson {
+  def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+
+  def render(m: EventMetrics): String =
+    s"""{"event":"${esc(m.eventName)}","task_id":"${esc(m.taskId)}",""" +
+      s""""status":"${m.status}","duration_sec":${m.durationSec},""" +
+      s""""start_ms":${m.startMs},"retries":${m.retryCount}""" +
+      m.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
+}
+
 final class ConsolePublisher extends MetricsPublisher {
   def publish(m: EventMetrics): Unit =
     println(s"[metrics] ${m.eventName} ${m.status} ${m.durationSec}s " +
@@ -133,16 +149,9 @@ final class ConsolePublisher extends MetricsPublisher {
 
 /** Append-only JSONL file — the shape a log shipper would tail. */
 final class JsonFilePublisher(path: String) extends MetricsPublisher {
-  private def esc(s: String) =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
   def publish(m: EventMetrics): Unit = synchronized {
-    val line =
-      s"""{"event":"${esc(m.eventName)}","task_id":"${esc(m.taskId)}",""" +
-        s""""status":"${m.status}","duration_sec":${m.durationSec},""" +
-        s""""retries":${m.retryCount}""" +
-        m.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}\n"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line,
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      MetricsJson.render(m) + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
   }
@@ -256,15 +265,6 @@ final class BulkHttpPublisher(
     batchSize: Int = 50) extends MetricsPublisher with AutoCloseable {
   require(batchSize > 0, "batchSize must be positive")
   private val pending = scala.collection.mutable.Buffer.empty[String]
-  private def esc(s: String) =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-
-  private def doc(m: EventMetrics): String =
-    s"""{"event":"${esc(m.eventName)}","task_id":"${esc(m.taskId)}",""" +
-      s""""status":"${m.status}","duration_sec":${m.durationSec},""" +
-      s""""start_ms":${m.startMs},"retries":${m.retryCount}""" +
-      m.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
 
   // one client for the publisher's lifetime — HttpClient pools
   // connections; building one per flush leaked a thread pool per call
@@ -272,7 +272,8 @@ final class BulkHttpPublisher(
 
   def publish(m: EventMetrics): Unit = {
     val toSend = synchronized {
-      pending += s"""{"index":{"_index":"${esc(index)}"}}\n${doc(m)}"""
+      pending +=
+        s"""{"index":{"_index":"${MetricsJson.esc(index)}"}}\n${MetricsJson.render(m)}"""
       if (pending.size >= batchSize) drain() else None
     }
     toSend.foreach(post)
@@ -330,18 +331,11 @@ final class GrafanaCloudPublisher(
     orgSlug: String) extends MetricsPublisher {
   private lazy val client = java.net.http.HttpClient.newHttpClient()
   private val failures = new java.util.concurrent.atomic.AtomicInteger(0)
-  private def esc(s: String) =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
 
   def failureCount: Int = failures.get()
 
   def publish(m: EventMetrics): Unit = {
-    val body =
-      s"""{"event":"${esc(m.eventName)}","task_id":"${esc(m.taskId)}",""" +
-        s""""status":"${m.status}","duration_sec":${m.durationSec},""" +
-        s""""start_ms":${m.startMs},"retries":${m.retryCount}""" +
-        m.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
+    val body = MetricsJson.render(m)
     try {
       val req = java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(s"$baseUrl/$orgSlug/events"))

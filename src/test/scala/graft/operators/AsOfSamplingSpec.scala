@@ -118,6 +118,12 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assert(tk("books") == 60L) // 0.95*1000 > 60 → clamp keeps all
     assert(tk("web") < 100, s"web kept ${tk("web")} at 5% share")
     assert(!tk.contains("code")) // no share → rate 0
+    // a NULL group key (unlabeled domain) is its own group, not an NPE
+    val withNull = docs.withColumn("source",
+      when(col("doc_id") <= 20, lit(null).cast("string"))
+        .otherwise(col("source")))
+    val nullKept = Sampling.mixtureResample(withNull, "source", "doc_id", "mix19")
+    assert(nullKept.filter(col("source").isNull).count() == 20) // 250-share clamps
   }
 
   test("topQuantilePerGroup cuts each group at the score quantile, ties by id") {

@@ -104,15 +104,19 @@ class SourcesSpec extends AnyFunSuite {
     val got = store.read("t").orderBy("k").collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
     assert(got == Seq((1L, "a"), (2L, "b")))
-    // retry succeeds and garbage-collects the stranded version dir
+    // retry succeeds; the stranded (never-committed) version dir is
+    // collected, while the previous COMMITTED version survives one
+    // commit so in-flight lazy readers keep scanning intact files
     crash = false
+    val snapshot = store.read("t") // lazy handle bound to the old version
     store.upsert("t", Seq(KV(1, "NEW"), KV(3, "c")).toDF(), "k")
     val after = store.read("t").orderBy("k").collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
     assert(after == Seq((1L, "NEW"), (2L, "b"), (3L, "c")))
+    assert(snapshot.count() == 2) // pre-rewrite handle still whole
     val versions = new java.io.File(s"$dir/t")
-      .list((_, n) => n.matches("v\\d{8}")).toSeq
-    assert(versions.size == 1)
+      .list((_, n) => n.matches("v\\d{8}")).toSeq.sorted
+    assert(versions.size == 2, versions.toString) // current + previous
     // same guarantee on delete
     crash = true
     intercept[RuntimeException](store.delete("t", "k" -> 1L))
@@ -157,9 +161,16 @@ class SourcesSpec extends AnyFunSuite {
     val store = new InMemoryKvStore(spark)
     store.insert("s", Seq(KV(1, "alpha"), KV(2, "beta")).toDF(), "k")
     assert(store.count("s") == 2 && store.exists("s", 1L) && !store.exists("s", 9L))
-    // insert refuses an existing key (redis_store insert_record)
+    // insert refuses an existing key (redis_store insert_record) and
+    // leaves the store untouched — validation precedes any mutation
     intercept[graft.core.ObjectExistError](
-      store.insert("s", Seq(KV(1, "dup")).toDF(), "k"))
+      store.insert("s", Seq(KV(9, "new"), KV(1, "dup")).toDF(), "k"))
+    assert(store.count("s") == 2 && !store.exists("s", 9L))
+    // a reordered-column frame aligns; a different column set refuses
+    store.upsert("s", Seq(("gamma2", 3L)).toDF("v", "k"), "k")
+    assert(store.get("s", 3L).getAs[String]("v") == "gamma2")
+    intercept[IllegalArgumentException](
+      store.upsert("s", Seq((4L, "x", "y")).toDF("k", "v", "w"), "k"))
     // update refuses a missing key; upsert takes either arm
     intercept[graft.core.ObjectDoesNotExist](
       store.update("s", Seq(KV(9, "x")).toDF(), "k"))
@@ -252,6 +263,17 @@ class SourcesSpec extends AnyFunSuite {
     // identifiers are validated before entering DDL
     intercept[IllegalArgumentException](
       store.upsert("bad; DROP TABLE mg", Seq(KV(1, "x")).toDF(), "k"))
+    // a CDC-shaped batch with two rows for one key must not trip
+    // MERGE's cardinality violation — it dedups per key first
+    store.upsert("mg", Seq(KV(7, "first"), KV(7, "second")).toDF(), "k")
+    assert(store.read("mg").filter(col("k") === 7L).count() == 1)
+    // schema WIDENING routes to the swap fallback instead of a broken
+    // MERGE referencing columns the live table lacks
+    store.upsert("mg",
+      Seq((2L, "keep2", "extra")).toDF("k", "v", "w"), "k")
+    val widened = store.read("mg")
+    assert(widened.columns.map(_.toLowerCase).toSet == Set("k", "v", "w"))
+    assert(widened.filter(col("k") === 2L).head().getAs[String]("v") == "keep2")
   }
 
   test("jdbc store: upsert merges by key; delete removes by predicate") {
