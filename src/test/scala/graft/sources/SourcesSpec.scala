@@ -123,6 +123,64 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.count("t") == 3)
   }
 
+  test("result store: randomized crash injection never diverges from the model") {
+    // property form of the crash-safety contract: a random sequence of
+    // rewrites, ~1/3 of them crashing between write and pointer flip,
+    // must leave the store equal to an in-memory model that only
+    // applies the operations that COMMITTED. Any torn/partial/missing
+    // state diverges immediately.
+    val rnd = new scala.util.Random(20260814)
+    var crash = false
+    val store = new ResultStore(spark, tmpDir()) {
+      override protected def beforeSwapHook(): Unit =
+        if (crash) throw new RuntimeException("injected crash")
+    }
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    var committed = false // schema exists in the model
+    def df(rows: Seq[(Long, String)]) = rows.map(KV.tupled).toDF()
+    // one row per key: the store's upsert/merge contracts are keyed
+    def randRows() = (1 to 1 + rnd.nextInt(4)).map(_ =>
+      (rnd.nextInt(10).toLong, "v" + rnd.nextInt(5)))
+      .groupBy(_._1).map(_._2.head).toSeq
+
+    for (step <- 1 to 25) {
+      val rows = randRows()
+      crash = rnd.nextInt(3) == 0
+      val op = rnd.nextInt(4)
+      def attempt(f: => Unit)(applyModel: => Unit): Unit =
+        if (crash) intercept[RuntimeException](f)
+        else { f; applyModel; committed = true }
+      op match {
+        case 0 => attempt(store.upsert("p", df(rows), "k")) {
+          rows.foreach { case (k, v) => model(k) = v }
+        }
+        case 1 =>
+          val marked = rows.map { case (k, v) =>
+            (k, if (rnd.nextBoolean()) "DEL" else v) }
+          attempt(store.merge("p", df(marked), "k",
+            deleteWhen = Some(col("v") === "DEL"))) {
+            marked.foreach {
+              case (k, "DEL") => model.remove(k)
+              case (k, v)     => model(k) = v
+            }
+          }
+        case 2 if committed =>
+          val cut = rnd.nextInt(10).toLong
+          attempt(store.delete("p", "k__lte" -> cut)) {
+            model.keys.filter(_ <= cut).toSeq.foreach(model.remove)
+          }
+        case _ => attempt(store.overwrite("p", df(rows))) {
+          model.clear(); rows.foreach { case (k, v) => model(k) = v }
+        }
+      }
+      if (committed) {
+        val got = store.read("p").collect()
+          .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+        assert(got == model.toMap, s"diverged at step $step (crash=$crash)")
+      }
+    }
+  }
+
   test("result store: delete by predicate") {
     val store = new ResultStore(spark, tmpDir())
     store.insert("d", Seq(KV(1, "a"), KV(2, "b"), KV(3, "ab")).toDF())
