@@ -1385,6 +1385,56 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // aq21_grouped_split — site-level split assignment: the label hashes
+  // the SOURCE, so every doc of a domain shares a split and near-dups
+  // within a domain cannot straddle train/test (dq9's leakage mode,
+  // prevented at assignment).
+  register(
+    "aq21_grouped_split",
+    """SELECT doc_id, source,
+      |       CASE WHEN b < 900 THEN 'train'
+      |            WHEN b < 950 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM (SELECT doc_id, source,
+      |             (('0x' || substr(md5('gsplit' || source), 1, 8))::bigint
+      |              % 1000)::int AS b
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Sampling.groupedSplit(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "source", "gsplit", 900, 50)
+      .orderBy("doc_id")
+  }
+
+  // aq22_token_budget — "~2000 tokens per domain": greedy hash-ordered
+  // prefix under a per-group cumulative token cap. The mixture-building
+  // primitive stated in tokens, not documents; the monotone cumsum
+  // makes the kept set exactly reproducible.
+  register(
+    "aq22_token_budget",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY source
+      |           ORDER BY ('0x' || substr(md5('tb' || doc_id::varchar), 1, 8))::bigint % 1073741824,
+      |                    doc_id) AS cum
+      |  FROM t
+      |)
+      |SELECT doc_id, source, n_tokens FROM r WHERE cum <= 2000
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.TextFunctions.tokenCount
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+    graft.operators.Sampling.tokenBudgetSelect(
+        docs, "source", "doc_id", "n_tokens", "tb", budget = 2000L)
+      .orderBy("doc_id")
+  }
+
   // aq20_quality_quantile — "keep the top 30% of every domain by
   // quality": percent_rank per source with an id tie-break, so the cut
   // is deterministic and the rank arithmetic ((rank-1)/(n-1)) is

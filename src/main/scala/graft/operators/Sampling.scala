@@ -81,6 +81,42 @@ object Sampling {
       df: DataFrame, idCol: String, salt: String, perMille: Int): DataFrame =
     df.filter(hashBucket(col(idCol), salt, 1000) < perMille)
 
+  /** Group-aware split: the label hashes the GROUP key, so every row
+    * of a group (site, domain, dedup cluster) lands in the SAME split —
+    * near-identical members of one group cannot straddle train/test.
+    * This prevents dq9's cross-split-leakage failure mode at assignment
+    * time rather than detecting it afterwards. Narrow projection, no
+    * shuffle. */
+  def groupedSplit(
+      df: DataFrame,
+      groupCol: String,
+      salt: String,
+      trainPerMille: Int,
+      valPerMille: Int): DataFrame =
+    df.withColumn("split",
+      splitLabel(col(groupCol), salt, trainPerMille, valPerMille))
+
+  /** Token-budget selection: keep each group's docs in salted-hash
+    * order until the cumulative token count passes `budget` — "give me
+    * ~N tokens per domain", the mixture-building primitive stated in
+    * tokens rather than documents. The cumulative sum is monotone
+    * (token counts are non-negative), so the kept set is exactly the
+    * greedy hash-ordered prefix; one shuffle on the group key. */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokensCol: String,
+      salt: String,
+      budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(hashBucket(col(idCol), salt, 1 << 30), col(idCol))
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Keep each group's top `frac` quantile by score (per-domain quality
     * filtering: "top 30% of every domain"): percent_rank over
     * (score desc, id) per group, kept while <= frac. The id tie-break

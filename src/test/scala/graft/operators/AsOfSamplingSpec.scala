@@ -144,6 +144,49 @@ class AsOfSamplingSpec extends AnyFunSuite {
       .count() == 12)
   }
 
+  test("groupedSplit keeps every group in one split") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "source")
+    val out = Sampling.groupedSplit(docs, "source", "gs", 900, 50)
+    val perGroup = out.groupBy("source")
+      .agg(countDistinct(col("split")).as("n")).collect().map(_.getLong(1))
+    assert(perGroup.forall(_ == 1L)) // no group straddles splits
+    assert(out.count() == docs.count())
+    // same salt → same assignment under any partitioning
+    val again = Sampling.groupedSplit(docs.repartition(7), "source", "gs", 900, 50)
+    assert(out.select("doc_id", "split").collect().toSet ==
+      again.select("doc_id", "split").collect().toSet)
+  }
+
+  test("tokenBudgetSelect keeps the maximal hash-ordered prefix per group") {
+    val docs = Seq(
+      (1L, "a", 500L), (2L, "a", 700L), (3L, "a", 400L), (4L, "a", 900L),
+      (5L, "b", 3000L), (6L, "b", 100L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.tokenBudgetSelect(
+      docs, "source", "doc_id", "n_tokens", "tbs", budget = 1500L)
+    val kept = out.collect()
+      .map(r => r.getString(1) -> (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // every group stays within budget
+    assert(kept.values.forall(_.map(_._2).sum <= 1500L))
+    // maximality: the next doc in hash order would overshoot — verify
+    // against the same ordering the operator uses
+    val orderA = Sampling.hashBucket(col("doc_id"), "tbs", 1 << 30)
+    val hashOrder = docs.filter(col("source") === "a")
+      .orderBy(orderA, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val keptA = kept.getOrElse("a", Array.empty).map(_._1).toSet
+    var cum = 0L
+    hashOrder.foreach { case (id, n) =>
+      cum += n
+      assert(keptA.contains(id) == (cum <= 1500L), s"doc $id at cum $cum")
+    }
+    // group b: the 3000-token doc blocks everything after it in hash
+    // order (monotone cumsum — greedy prefix, not knapsack)
+    assert(kept.getOrElse("b", Array.empty).map(_._2).sum <= 1500L)
+  }
+
   test("diversitySample caps every semantic cell and stays deterministic") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val out = Similarity.diversitySample(
