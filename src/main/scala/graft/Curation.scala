@@ -117,6 +117,21 @@ final case class Curation(
       valPerMille: Int = 50): Curation =
     next(Sampling.split(df, idCol, salt, trainPerMille, valPerMille))
 
+  /** Group-aware split: every row of a group shares one split label —
+    * near-dups inside a site/domain can't straddle train/test. */
+  def splitByGroup(groupCol: String, salt: String = "graft",
+      trainPerMille: Int = 900, valPerMille: Int = 50): Curation =
+    next(Sampling.groupedSplit(df, groupCol, salt, trainPerMille, valPerMille))
+
+  /** Keep ~`budget` tokens per group (greedy hash-ordered prefix). */
+  def tokenBudgetPerGroup(groupCol: String, budget: Long,
+      salt: String = "tb"): Curation = {
+    val counted = df.withColumn("__nt",
+      TextFunctions.tokenCount(col(textCol)).cast("long"))
+    next(Sampling.tokenBudgetSelect(
+      counted, groupCol, idCol, "__nt", salt, budget).drop("__nt"))
+  }
+
   /** Terminal: context-window layout (global offset, bin, boundary flag)
     * for the surviving docs, BPE-ish token counts. */
   def pack(budget: Long = 4096L): DataFrame =

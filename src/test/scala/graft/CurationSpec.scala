@@ -70,5 +70,14 @@ class CurationSpec extends AnyFunSuite {
     val novel = Curation(docs).filterNovelty(0.05)
     assert(novel.df.count() > 0 && novel.df.count() <= n0)
     assert(novel.df.columns.toSeq == docs.columns.toSeq)
+
+    val grouped = Curation(docs).splitByGroup("source").df
+    assert(grouped.groupBy("source")
+      .agg(countDistinct(col("split")).as("n"))
+      .collect().forall(_.getLong(1) == 1L))
+
+    val budgeted = Curation(docs).tokenBudgetPerGroup("source", 500L)
+    assert(budgeted.df.count() > 0 && budgeted.df.count() < n0)
+    assert(budgeted.df.columns.toSeq == docs.columns.toSeq) // helper dropped
   }
 }
