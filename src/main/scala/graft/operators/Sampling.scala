@@ -109,6 +109,7 @@ object Sampling {
       tokensCol: String,
       salt: String,
       budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
       .orderBy(hashBucket(col(idCol), salt, 1 << 30), col(idCol))

@@ -31,22 +31,43 @@ final class InMemoryKvStore(spark: SparkSession) {
   private val schemas =
     TrieMap.empty[String, (StructType, TrieMap[String, Row])]
 
-  /** Resolve (or create) a schema's table, aligning the incoming frame
-    * to the stored row schema: same column set in any order reorders;
-    * a different set is refused. Without this, rows written under a
-    * reordered/widened schema would be read back positionally under
-    * the original StructType — transposed values or cast errors. */
-  private def aligned(schema: String, df: DataFrame)
-      : (DataFrame, TrieMap[String, Row]) =
+  /** Resolve (or create) a schema's table and align already-collected
+    * rows to the stored row schema: the same (name, type) set in any
+    * order reorders IN MEMORY (no Spark job under the lock); a
+    * different column set or drifted types refuse. Without this, rows
+    * written under a reordered/widened/retyped schema would be read
+    * back positionally under the original StructType — transposed
+    * values or cast errors at a distance from the bad write. Callers
+    * hold the store monitor (see [[writeLock]]), which also closes the
+    * two-first-writers race on schema creation. */
+  private def aligned(schema: String, dfSchema: StructType, rows: Array[Row])
+      : (Array[Row], TrieMap[String, Row], StructType) =
     schemas.get(schema) match {
       case None =>
-        (df, schemas.getOrElseUpdate(schema, (df.schema, TrieMap.empty))._2)
+        val t = schemas.getOrElseUpdate(schema, (dfSchema, TrieMap.empty))._2
+        (rows, t, dfSchema)
       case Some((stored, t)) =>
-        require(df.columns.toSet == stored.fieldNames.toSet,
-          s"schema mismatch for '$schema': stored ${stored.fieldNames.toSeq}" +
-            s", got ${df.columns.toSeq}")
-        (df.select(stored.fieldNames.map(org.apache.spark.sql.functions.col): _*), t)
+        def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSet
+        require(sig(dfSchema) == sig(stored),
+          s"schema mismatch for '$schema': stored ${stored.simpleString}" +
+            s", got ${dfSchema.simpleString}")
+        if (stored.fieldNames.sameElements(dfSchema.fieldNames)) (rows, t, stored)
+        else {
+          val perm = stored.fieldNames.map(dfSchema.fieldIndex)
+          val re = rows.map(r =>
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              perm.map(i => r.get(i)), stored): Row)
+          (re, t, stored)
+        }
     }
+
+  /** All batch mutations serialize on the store monitor: validation and
+    * mutation are one atomic step (a refused batch cannot interleave
+    * with a concurrent writer and both succeed — the HSETNX contract),
+    * and schema creation is race-free. Reads stay lock-free on the
+    * TrieMap. Driver-local small state; a coarse lock is the right
+    * trade — and no Spark action ever runs under it. */
+  private def writeLock[A](f: => A): A = synchronized(f)
 
   private def existing(schema: String): TrieMap[String, Row] =
     schemas.getOrElse(schema,
@@ -65,32 +86,42 @@ final class InMemoryKvStore(spark: SparkSession) {
     * batch (intra-batch and against the store) before mutating, so a
     * refused insert leaves the store exactly as it was. */
   def insert(schema: String, df: DataFrame, keyCol: String): Unit = {
-    val (adf, t) = aligned(schema, df)
-    val rows = adf.collect()
-    val keys = rows.map(_.getAs[Any](keyCol).toString)
-    val dup = keys.diff(keys.distinct).headOption
-      .orElse(keys.find(t.contains))
-    dup.foreach(k => throw ObjectExistError(
-      s"Record '$k' already exists in schema '$schema'"))
-    rows.zip(keys).foreach { case (r, k) => t.put(k, r) }
+    val collected = df.collect() // Spark action OUTSIDE the lock
+    writeLock {
+      val (rows, t, stored) = aligned(schema, df.schema, collected)
+      val ki = stored.fieldIndex(keyCol)
+      val keys = rows.map(_.get(ki).toString)
+      val dup = keys.diff(keys.distinct).headOption
+        .orElse(keys.find(t.contains))
+      dup.foreach(k => throw ObjectExistError(
+        s"Record '$k' already exists in schema '$schema'"))
+      rows.zip(keys).foreach { case (r, k) => t.put(k, r) }
+    }
   }
 
   /** HSET only over existing fields (update_record, redis_store.py:40-54).
     * Same all-or-nothing contract as insert. */
   def update(schema: String, df: DataFrame, keyCol: String): Unit = {
     existing(schema)
-    val (adf, t) = aligned(schema, df)
-    val rows = adf.collect()
-    val keys = rows.map(_.getAs[Any](keyCol).toString)
-    keys.find(k => !t.contains(k)).foreach(k => throw ObjectDoesNotExist(
-      s"Record '$k' does not exist in schema '$schema'"))
-    rows.zip(keys).foreach { case (r, k) => t.put(k, r) }
+    val collected = df.collect()
+    writeLock {
+      val (rows, t, stored) = aligned(schema, df.schema, collected)
+      val ki = stored.fieldIndex(keyCol)
+      val keys = rows.map(_.get(ki).toString)
+      keys.find(k => !t.contains(k)).foreach(k => throw ObjectDoesNotExist(
+        s"Record '$k' does not exist in schema '$schema'"))
+      rows.zip(keys).foreach { case (r, k) => t.put(k, r) }
+    }
   }
 
   /** Unconditional HSET — the upsert arm streaming sinks want. */
   def upsert(schema: String, df: DataFrame, keyCol: String): Unit = {
-    val (adf, t) = aligned(schema, df)
-    adf.collect().foreach(r => t.put(r.getAs[Any](keyCol).toString, r))
+    val collected = df.collect()
+    writeLock {
+      val (rows, t, stored) = aligned(schema, df.schema, collected)
+      val ki = stored.fieldIndex(keyCol)
+      rows.foreach(r => t.put(r.get(ki).toString, r))
+    }
   }
 
   /** HDEL (delete_record, redis_store.py:56-63). */

@@ -126,48 +126,68 @@ final class JdbcResultStore(
     * path requires the DataFrame's columns to be a subset of the live
     * table's — schema WIDENING (new columns) needs a table rewrite, so
     * it routes to the swap fallback automatically, as does a dialect
-    * whose server rejects MERGE at runtime (e.g. Postgres < 15 behind a
-    * jdbc:postgresql URL — detection is by URL prefix, the server's
-    * word is final). */
+    * whose server rejects MERGE with a syntax error at runtime (e.g.
+    * Postgres < 15 behind a jdbc:postgresql URL — detection is by URL
+    * prefix, the server's word is final).
+    *
+    * Within-batch key conflicts resolve to ONE row per key on every
+    * dialect, chosen deterministically by row-content hash — a
+    * DataFrame carries no row order, so "last event wins" is not
+    * expressible here; ordered CDC should reduce on its sequence
+    * column (max_by) before calling upsert. */
   def upsert(schema: String, df: DataFrame, keyCol: String): Unit = {
     checkIdent(schema)
     if (!tableExists(schema)) { insert(schema, df); return }
-    val widens = {
-      val existing = read(schema).columns.map(_.toLowerCase).toSet
-      df.columns.exists(c => !existing.contains(c.toLowerCase))
-    }
-    if (mergeEnabled && !widens) {
-      try { mergeUpsert(schema, df, keyCol); return }
-      catch {
-        case _: java.sql.SQLException =>
-          // server refused MERGE (version/dialect) — fall back for good
-          mergeRuntimeDisabled = true
+    // a keyed upsert stores ONE row per key on every dialect: dedup
+    // within-batch conflicts up front (deterministically, by content
+    // hash — DataFrames carry no row order, so "last event wins" needs
+    // a sequence column reduced by the CALLER; see scaladoc) so the
+    // MERGE and swap paths agree instead of MERGE raising a
+    // cardinality violation while the fallback stored both rows
+    val deduped = dedupByKey(df, keyCol)
+    if (mergeEnabled && !mergeRuntimeDisabled) {
+      val widens = {
+        val existing = read(schema).columns.map(_.toLowerCase).toSet
+        df.columns.exists(c => !existing.contains(c.toLowerCase))
+      }
+      if (!widens) {
+        try { mergeUpsert(schema, deduped, keyCol); return }
+        catch {
+          // SQLState 42xxx = syntax/access violation: the SERVER has no
+          // MERGE (e.g. Postgres < 15 behind a jdbc:postgresql URL) —
+          // fall back for good. Anything else (deadlock, timeout,
+          // connection drop) is transient and must surface, not
+          // silently downgrade every future upsert to the swap path.
+          case e: java.sql.SQLException
+              if Option(e.getSQLState).exists(_.startsWith("42")) =>
+            mergeRuntimeDisabled = true
+        }
       }
     }
     val merged = read(schema)
-      .join(df.select(keyCol), Seq(keyCol), "left_anti")
-      .unionByName(df, allowMissingColumns = true)
+      .join(deduped.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(deduped, allowMissingColumns = true)
     swapIn(schema, merged)
   }
 
   @volatile private var mergeRuntimeDisabled = false
 
-  /** Atomic MERGE INTO upsert: stage the source rows, apply both arms in
-    * one statement (atomic in the database — the live table is never
-    * dropped or truncated), drop the staging table. Source rows are
-    * deduplicated per key first (deterministically, by row-content
-    * hash) — SQL MERGE raises a cardinality violation when two source
-    * rows match one target row, a routine shape in CDC micro-batches. */
-  private def mergeUpsert(schema: String, df: DataFrame, keyCol: String): Unit = {
-    if (mergeRuntimeDisabled) throw new java.sql.SQLException("merge disabled")
+  /** One row per key, chosen deterministically by row-content hash. */
+  private def dedupByKey(df: DataFrame, keyCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol)
       .orderBy(xxhash64(df.columns.map(col): _*))
-    val deduped = df.withColumn("__rn",
-        org.apache.spark.sql.functions.row_number().over(w))
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Atomic MERGE INTO upsert: stage the (already key-deduped) source
+    * rows, apply both arms in one statement (atomic in the database —
+    * the live table is never dropped or truncated), drop the staging
+    * table. */
+  private def mergeUpsert(schema: String, df: DataFrame, keyCol: String): Unit = {
     val stage = checkIdent(schema + "__stage")
-    deduped.write.mode(SaveMode.Overwrite).options(writeOptions)
+    df.write.mode(SaveMode.Overwrite).options(writeOptions)
       .jdbc(url, stage, jprops)
     def q(c: String) = "\"" + c.replace("\"", "\"\"") + "\""
     val cols = df.columns

@@ -224,11 +224,14 @@ class SourcesSpec extends AnyFunSuite {
     intercept[graft.core.ObjectExistError](
       store.insert("s", Seq(KV(9, "new"), KV(1, "dup")).toDF(), "k"))
     assert(store.count("s") == 2 && !store.exists("s", 9L))
-    // a reordered-column frame aligns; a different column set refuses
+    // a reordered-column frame aligns; a different column set or a
+    // drifted TYPE under the same names refuses
     store.upsert("s", Seq(("gamma2", 3L)).toDF("v", "k"), "k")
     assert(store.get("s", 3L).getAs[String]("v") == "gamma2")
     intercept[IllegalArgumentException](
       store.upsert("s", Seq((4L, "x", "y")).toDF("k", "v", "w"), "k"))
+    intercept[IllegalArgumentException](
+      store.upsert("s", Seq(("4", "x")).toDF("k", "v"), "k"))
     // update refuses a missing key; upsert takes either arm
     intercept[graft.core.ObjectDoesNotExist](
       store.update("s", Seq(KV(9, "x")).toDF(), "k"))
@@ -346,8 +349,13 @@ class SourcesSpec extends AnyFunSuite {
     val rows = store.read("u").orderBy("k").collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
     assert(rows == Seq((1L, "new"), (2L, "keep"), (3L, "add")))
+    // the swap fallback holds the same one-row-per-key contract as the
+    // MERGE path for a duplicate-keyed CDC batch
+    store.upsert("u", Seq(KV(5, "a"), KV(5, "b")).toDF(), "k")
+    assert(store.read("u").filter(col("k") === 5L).count() == 1)
     store.delete("u", "v__contains" -> "e")   // new, keep deleted
-    assert(store.read("u").collect().map(_.getAs[Long]("k")).toSeq == Seq(3L))
+    assert(store.read("u").collect().map(_.getAs[Long]("k")).toSet ==
+      Set(3L, 5L))
     assert(store.get("u", "k" -> 3).getAs[String]("v") == "add")
   }
 
