@@ -1093,6 +1093,62 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  // sq6_hybrid_search — two-stage retrieval: TF-IDF lexical recall over
+  // the query terms (filter-before-aggregate, global top-50 via
+  // TakeOrdered), exact cosine rerank of the candidates against the
+  // query vector. Per-term scores decimal-sum for order independence;
+  // every stage is deterministic, so the full hybrid stack oracles.
+  register(
+    "sq6_hybrid_search",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS token
+      |  FROM documents
+      |), qt AS (
+      |  SELECT doc_id, token FROM toks
+      |  WHERE token IN ('spark', 'query', 'table')
+      |), tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2
+      |), df_ AS (
+      |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (SELECT count(*) AS n FROM documents),
+      |lex AS (
+      |  SELECT doc_id,
+      |         round((sum(round(tf * ln((SELECT n FROM n)::double / df), 6)::decimal(18,6)))::double, 4) AS lex_score
+      |  FROM tf JOIN df_ USING (token)
+      |  GROUP BY doc_id
+      |  ORDER BY lex_score DESC, doc_id
+      |  LIMIT 50
+      |), qv AS (
+      |  SELECT list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings WHERE vec_id = 0
+      |), cand AS (
+      |  SELECT l.doc_id, l.lex_score,
+      |         round(list_sum(list_transform(list_zip(e.ev, qv.v), p -> p[1] * p[2]))
+      |               / (sqrt(list_sum(list_transform(e.ev, x -> x * x)))
+      |                  * sqrt(list_sum(list_transform(qv.v, x -> x * x)))), 4) AS cosine
+      |  FROM lex l
+      |  JOIN (SELECT vec_id, list_transform(embedding, x -> x::double) AS ev
+      |        FROM embeddings) e
+      |    ON l.doc_id = e.vec_id
+      |  CROSS JOIN qv
+      |)
+      |SELECT doc_id, lex_score, cosine,
+      |       row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+      |FROM cand
+      |QUALIFY rank <= 10
+      |ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Similarity.hybridSearch(
+        t(s, dir, "documents"), "doc_id", "text",
+        emb, "vec_id", "embedding",
+        Seq("spark", "query", "table"), qv, lexTopK = 50, k = 10)
+      .orderBy("rank")
+  }
+
   // sq4_quantized_knn — top-5 by int8-quantized dot product: the int8
   // grid (floor(x*scale + 0.5)) is deterministic, so unlike most ANN
   // this approximation is exactly DuckDB-oracle-able end to end.

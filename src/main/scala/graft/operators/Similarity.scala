@@ -352,6 +352,61 @@ object Similarity {
       cosineArgmaxCell(col(vecCol), seeds.toSeq).as("cell_id"))
   }
 
+  /** Hybrid retrieval: lexical TF-IDF candidate generation over the
+    * text corpus, then exact cosine rerank of the candidates against a
+    * query vector — the classic two-stage retrieval shape (BM25-ish
+    * recall, vector precision) used to mine training data.
+    *
+    * Scale shape: tokenization filters to the query terms BEFORE any
+    * aggregation, so only matching (doc, term) rows exist; the global
+    * top-`lexTopK` runs as TakeOrderedAndProject (no full sort); and
+    * the rerank joins `embeddings` against a candidate set of
+    * `lexTopK` rows — broadcast, never a corpus shuffle. Per-term
+    * scores round to 6dp and sum as DECIMAL so the lexical score is
+    * summation-order independent (engine-portable). */
+  def hybridSearch(
+      docs: DataFrame,
+      docId: String,
+      textCol: String,
+      embeddings: DataFrame,
+      vecId: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryVec: Array[Float],
+      lexTopK: Int = 50,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.{float_dot, float_norm}
+    require(queryTerms.nonEmpty && queryVec.nonEmpty)
+    val n = docs.count() // one cheap scalar: corpus size for IDF
+    val toks = docs.select(col(docId).as("doc_id"),
+      explode(graft.functions.TextFunctions.wsTokens(lower(col(textCol))))
+        .as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val lex = tf.join(broadcast(df_), "token")
+      .withColumn("__term",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("__term")).cast("double"), 4).as("lex_score"))
+      .orderBy(col("lex_score").desc, col("doc_id"))
+      .limit(lexTopK)
+    val qn = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+    val reranked = broadcast(lex)
+      .join(embeddings.select(col(vecId).as("doc_id"), col(vecCol).as("__v")),
+        "doc_id")
+      .withColumn("cosine", round(
+        float_dot(col("__v"), typedLit(queryVec)) /
+          (float_norm(col("__v")) * lit(qn)), 4))
+    val w = Window.orderBy(col("cosine").desc, col("doc_id"))
+    reranked
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "lex_score", "cosine", "rank")
+  }
+
   /** Semantic diversity sampling: partition the corpus into IVF cells
     * (deterministic seed centroids) and keep at most `cap` vectors per
     * cell, chosen by salted content hash — an unbiased, reproducible

@@ -104,6 +104,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"benchmark index not broadcast:\n$plan")
   }
 
+  test("hybridSearch recalls lexically, ranks by vector, and respects both cutoffs") {
+    val docs = Seq(
+      (1L, "spark spark spark table"),   // strong lexical match
+      (2L, "spark query"),               // weaker lexical match
+      (3L, "query table words here"),    // weak lexical match
+      (4L, "nothing relevant at all"),   // no query terms → no candidate
+      (5L, "spark table query spark"))   // strong lexical match
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(0.0f, 1.0f)),   // orthogonal to query vector
+      (2L, Array(1.0f, 0.0f)),   // identical to query vector
+      (3L, Array(0.6f, 0.8f)),
+      (4L, Array(1.0f, 0.0f)),   // perfect cosine but lexically absent
+      (5L, Array(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hybridSearch(docs, "doc_id", "text",
+      emb, "vec_id", "embedding",
+      Seq("spark", "query", "table"), Array(1.0f, 0.0f),
+      lexTopK = 3, k = 2)
+    val got = out.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toSeq
+    // lexical stage keeps docs 1, 5, 2 (top-3 by tf-idf); rerank by
+    // cosine puts 2 (cos 1.0) over 5 (cos 0.8) over 1 (cos 0) and cuts
+    // at k=2. Doc 4's perfect cosine is irrelevant — it never recalled.
+    assert(got == Seq((2L, 1), (5L, 2)))
+    assert(!out.collect().map(_.getLong(0)).contains(4L))
+  }
+
   test("round-4 operators accept empty inputs") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val someDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")

@@ -252,6 +252,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.count("regions") == 5)
   }
 
+  test("in-memory KV store: concurrent inserts of one key admit exactly one") {
+    val store = new InMemoryKvStore(spark)
+    store.insert("race", Seq(KV(0, "seed")).toDF(), "k")
+    val df = Seq(KV(42, "w")).toDF()
+    df.count() // materialize the plan before the threads race
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map(_ => new Thread(() =>
+      try { store.insert("race", df, "k"); wins.incrementAndGet() }
+      catch { case _: graft.core.ObjectExistError => losses.incrementAndGet() }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // HSETNX under concurrency: one winner, three refusals, no lost
+    // updates and no double-success
+    assert(wins.get() == 1 && losses.get() == 3)
+    assert(store.count("race") == 2)
+  }
+
   test("csv/json/text round trips") {
     val dir = tmpDir()
     val df = Seq(KV(1, "a"), KV(2, "b")).toDF()
