@@ -1093,6 +1093,62 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  // sq7_hard_negatives — contrastive-training data mining: per anchor,
+  // the lexically-confusable candidates (top-20 shared trigrams,
+  // anchor index broadcast — corpus never shuffles) that sit farthest
+  // in embedding space (bottom-5 cosine). Deterministic end to end.
+  register(
+    "sq7_hard_negatives",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3
+      |), anchors AS (
+      |  SELECT doc_id AS query_id, shingle FROM sh WHERE doc_id < 3
+      |), shared AS (
+      |  SELECT a.query_id, c.doc_id AS neighbor_id, count(*) AS shared
+      |  FROM sh c JOIN anchors a USING (shingle)
+      |  WHERE c.doc_id != a.query_id
+      |  GROUP BY 1, 2
+      |), lex AS (
+      |  SELECT query_id, neighbor_id, shared,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY shared DESC, neighbor_id) AS lr
+      |  FROM shared
+      |), e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e0
+      |), scored AS (
+      |  SELECT l.query_id, l.neighbor_id, l.shared,
+      |         round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+      |               / (q.nrm * c.nrm), 4) AS cosine
+      |  FROM lex l
+      |  JOIN e q ON l.query_id = q.vec_id
+      |  JOIN e c ON l.neighbor_id = c.vec_id
+      |  WHERE l.lr <= 20
+      |)
+      |SELECT query_id, neighbor_id, shared, cosine,
+      |       row_number() OVER (PARTITION BY query_id
+      |                          ORDER BY cosine ASC, neighbor_id) AS rank
+      |FROM scored
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Similarity.hardNegatives(
+        docs, "doc_id", "text",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        anchors = docs.filter(col("doc_id") < 3),
+        shingleN = 3, lexTopM = 20, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   // sq6_hybrid_search — two-stage retrieval: TF-IDF lexical recall over
   // the query terms (filter-before-aggregate, global top-50 via
   // TakeOrdered), exact cosine rerank of the candidates against the

@@ -407,6 +407,61 @@ object Similarity {
       .select("doc_id", "lex_score", "cosine", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * doc, candidates that look LEXICALLY similar (top-`lexTopM` by
+    * shared word-shingle count — the confusable surface forms) but sit
+    * SEMANTICALLY far (bottom-`k` by embedding cosine among those
+    * candidates). Exactly the negatives an embedding model learns the
+    * most from.
+    *
+    * Scale shape: the anchor set is small by nature — its exploded
+    * shingle index BROADCASTS, the corpus joins map-side (never
+    * shuffled for candidates, same shape as crossContainmentPairs),
+    * and both windows partition by anchor over at most `lexTopM` rows
+    * each. */
+  def hardNegatives(
+      docs: DataFrame,
+      docId: String,
+      textCol: String,
+      embeddings: DataFrame,
+      vecId: String,
+      vecCol: String,
+      anchors: DataFrame,
+      shingleN: Int = 3,
+      lexTopM: Int = 20,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.{float_dot, float_norm}
+    val aSh = broadcast(anchors
+      .select(col(docId).as("query_id"),
+        explode(Dedup.shingleSet(col(textCol), shingleN)).as("shingle")))
+    val cSh = docs.select(col(docId).as("neighbor_id"),
+      explode(Dedup.shingleSet(col(textCol), shingleN)).as("shingle"))
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("shared").desc, col("neighbor_id"))
+    val candidates = cSh.join(aSh, "shingle")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("__lr", row_number().over(wLex))
+      .filter(col("__lr") <= lexTopM)
+      .drop("__lr")
+    val vec = (side: String) => embeddings.select(
+      col(vecId).as(side), col(vecCol).as(s"__v_$side"),
+      float_norm(col(vecCol)).as(s"__n_$side"))
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cosine").asc, col("neighbor_id"))
+    broadcast(candidates)
+      .join(vec("query_id"), "query_id")
+      .join(vec("neighbor_id"), "neighbor_id")
+      .withColumn("cosine", round(
+        float_dot(col("__v_query_id"), col("__v_neighbor_id")) /
+          (col("__n_query_id") * col("__n_neighbor_id")), 4))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "shared", "cosine", "rank")
+  }
+
   /** Semantic diversity sampling: partition the corpus into IVF cells
     * (deterministic seed centroids) and keep at most `cap` vectors per
     * cell, chosen by salted content hash — an unbiased, reproducible

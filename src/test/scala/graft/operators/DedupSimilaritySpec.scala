@@ -132,6 +132,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!out.collect().map(_.getLong(0)).contains(4L))
   }
 
+  test("hardNegatives mines lexically-confusable, semantically-far docs") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the sleepy cat"),  // confusable
+      (2L, "the quick brown fox jumps over a tall fence"),    // confusable
+      (3L, "completely unrelated text with zero shared trigrams"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.4359f)),  // near the anchor
+      (2L, Array(0.0f, 1.0f)),     // far from the anchor
+      (3L, Array(-1.0f, 0.0f)))    // farthest, but lexically absent
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(docs, "doc_id", "text",
+      emb, "vec_id", "embedding",
+      anchors = docs.filter(col("doc_id") === 0), lexTopM = 10, k = 2)
+    val got = out.orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(4))).toSeq
+    // candidates are 1 and 2 (share trigrams with the anchor); the
+    // HARDER negative is 2 (cosine 0 < 0.9) → rank 1. Doc 3's extreme
+    // distance is irrelevant — no lexical overlap, never a candidate.
+    assert(got == Seq((2L, 1), (1L, 2)))
+    assert(!out.collect().map(_.getLong(1)).contains(3L))
+  }
+
   test("round-4 operators accept empty inputs") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val someDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
