@@ -95,6 +95,21 @@ object ScaleStress {
     time("quantized_knn_4x")(operators.Similarity.quantizedTopK(
       withPert(edup(4)), emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5).count())
+    // retrieval ops at 4x: both are broadcast-shaped (query terms /
+    // anchor shingle index), so the corpus quadrupling should cost
+    // ~linear map-side work and no new shuffles
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    def embDup(k: Int) = (0 until k).map(i =>
+      emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        col("embedding")))
+      .reduce(_ unionByName _)
+    time("hybrid_search_4x")(operators.Similarity.hybridSearch(
+      dup(4), "doc_id", "text", embDup(4), "vec_id", "embedding",
+      Seq("spark", "query", "table"), qvec, lexTopK = 50, k = 10).count())
+    time("hard_negatives_4x")(operators.Similarity.hardNegatives(
+      dup(4), "doc_id", "text", embDup(4), "vec_id", "embedding",
+      anchors = docs.filter(col("doc_id") < 3), lexTopM = 20, k = 5).count())
     // IVF ANN recall at 4x: the perturbed copies give every query a
     // planted near-dup family (the regime IVF serves), so recall at a
     // 25% scan (4 of 16 cells) must hold up as the corpus quadruples

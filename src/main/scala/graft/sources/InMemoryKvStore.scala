@@ -110,17 +110,27 @@ final class InMemoryKvStore(spark: SparkSession) {
       val keys = rows.map(_.get(ki).toString)
       keys.find(k => !t.contains(k)).foreach(k => throw ObjectDoesNotExist(
         s"Record '$k' does not exist in schema '$schema'"))
-      rows.zip(keys).foreach { case (r, k) => t.put(k, r) }
+      // same deterministic within-batch conflict rule as upsert
+      rows.groupBy(_.get(ki).toString).foreach { case (k, rs) =>
+        t.put(k, rs.minBy(_.toString))
+      }
     }
   }
 
-  /** Unconditional HSET — the upsert arm streaming sinks want. */
+  /** Unconditional HSET — the upsert arm streaming sinks want.
+    * Within-batch duplicate keys reduce to ONE row chosen
+    * deterministically by row content (collect order depends on
+    * partitioning, so "last put wins" would make a replayed micro-batch
+    * store a different value under different parallelism — the same
+    * contract JdbcResultStore.upsert pins). */
   def upsert(schema: String, df: DataFrame, keyCol: String): Unit = {
     val collected = df.collect()
     writeLock {
       val (rows, t, stored) = aligned(schema, df.schema, collected)
       val ki = stored.fieldIndex(keyCol)
-      rows.foreach(r => t.put(r.get(ki).toString, r))
+      rows.groupBy(_.get(ki).toString).foreach { case (k, rs) =>
+        t.put(k, rs.minBy(_.toString))
+      }
     }
   }
 

@@ -59,6 +59,21 @@ final class JdbcResultStore(
     name
   }
 
+  /** Write options with the `createTableColumnTypes` hint pruned to the
+    * columns the frame actually carries — a narrowing batch (or a
+    * staging table for one) must not fail because the store-wide hint
+    * names a column absent from this particular write. */
+  private def optionsFor(df: DataFrame): Map[String, String] =
+    writeOptions.get("createTableColumnTypes") match {
+      case Some(spec) =>
+        val cols = df.columns.map(_.toLowerCase).toSet
+        val kept = spec.split(",").map(_.trim)
+          .filter(e => cols.contains(e.split("\\s+")(0).toLowerCase))
+        if (kept.isEmpty) writeOptions - "createTableColumnTypes"
+        else writeOptions + ("createTableColumnTypes" -> kept.mkString(", "))
+      case None => writeOptions
+    }
+
   private def jprops: Properties = {
     val p = new Properties()
     connProps.foreach { case (k, v) => p.setProperty(k, v) }
@@ -81,11 +96,11 @@ final class JdbcResultStore(
   }
 
   def insert(schema: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).options(writeOptions)
+    df.write.mode(SaveMode.Append).options(optionsFor(df))
       .jdbc(url, checkIdent(schema), jprops)
 
   def overwrite(schema: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Overwrite).options(writeOptions)
+    df.write.mode(SaveMode.Overwrite).options(optionsFor(df))
       .jdbc(url, checkIdent(schema), jprops)
 
   def read(schema: String): DataFrame = spark.read.jdbc(url, schema, jprops)
@@ -137,14 +152,15 @@ final class JdbcResultStore(
     * column (max_by) before calling upsert. */
   def upsert(schema: String, df: DataFrame, keyCol: String): Unit = {
     checkIdent(schema)
-    if (!tableExists(schema)) { insert(schema, df); return }
-    // a keyed upsert stores ONE row per key on every dialect: dedup
-    // within-batch conflicts up front (deterministically, by content
-    // hash — DataFrames carry no row order, so "last event wins" needs
-    // a sequence column reduced by the CALLER; see scaladoc) so the
-    // MERGE and swap paths agree instead of MERGE raising a
-    // cardinality violation while the fallback stored both rows
+    // a keyed upsert stores ONE row per key on every dialect and on
+    // the very first batch: dedup within-batch conflicts up front
+    // (deterministically, by content hash — DataFrames carry no row
+    // order, so "last event wins" needs a sequence column reduced by
+    // the CALLER; see scaladoc) so the MERGE and swap paths agree
+    // instead of MERGE raising a cardinality violation while the
+    // fallback stored both rows
     val deduped = dedupByKey(df, keyCol)
+    if (!tableExists(schema)) { insert(schema, deduped); return }
     if (mergeEnabled && !mergeRuntimeDisabled) {
       val widens = {
         val existing = read(schema).columns.map(_.toLowerCase).toSet
@@ -164,10 +180,35 @@ final class JdbcResultStore(
         }
       }
     }
-    val merged = read(schema)
-      .join(deduped.select(keyCol), Seq(keyCol), "left_anti")
-      .unionByName(deduped, allowMissingColumns = true)
-    swapIn(schema, merged)
+    swapIn(schema, mergeColumns(read(schema), deduped, keyCol))
+  }
+
+  /** MERGE column semantics for the swap fallback: matched rows take
+    * the SOURCE value for columns the source carries and KEEP the
+    * stored value otherwise (a narrowing batch must not null-out
+    * untouched columns — MERGE's UPDATE arm never does); source-only
+    * columns widen the table with NULL for unmatched stored rows. The
+    * result is identical to what the MERGE path stores, so the dialect
+    * choice is invisible in the data. */
+  private def mergeColumns(
+      stored: DataFrame, source: DataFrame, keyCol: String): DataFrame = {
+    val storedCols = stored.columns.filterNot(_ == keyCol)
+    val sourceCols = source.columns.filterNot(_ == keyCol)
+    val allCols = (storedCols ++ sourceCols.filterNot(storedCols.contains)).toSeq
+    val t = stored.as("t")
+    val s = source.as("s")
+    def sel(has: String => Boolean, side: String) =
+      col(keyCol) +: allCols.map(c =>
+        if (has(c)) col(s"$side.$c").as(c) else lit(null).as(c))
+    val survivors = t.join(s.select(keyCol), Seq(keyCol), "left_anti")
+      .select(sel(storedCols.contains, "t"): _*)
+    val matched = t.join(s, Seq(keyCol))
+      .select(col(keyCol) +: allCols.map(c =>
+        if (sourceCols.contains(c)) col(s"s.$c").as(c)
+        else col(s"t.$c").as(c)): _*)
+    val inserts = s.join(t.select(keyCol), Seq(keyCol), "left_anti")
+      .select(sel(sourceCols.contains, "s"): _*)
+    survivors.unionByName(matched).unionByName(inserts)
   }
 
   @volatile private var mergeRuntimeDisabled = false
@@ -187,7 +228,7 @@ final class JdbcResultStore(
     * table. */
   private def mergeUpsert(schema: String, df: DataFrame, keyCol: String): Unit = {
     val stage = checkIdent(schema + "__stage")
-    df.write.mode(SaveMode.Overwrite).options(writeOptions)
+    df.write.mode(SaveMode.Overwrite).options(optionsFor(df))
       .jdbc(url, stage, jprops)
     def q(c: String) = "\"" + c.replace("\"", "\"\"") + "\""
     val cols = df.columns
@@ -225,7 +266,7 @@ final class JdbcResultStore(
   private def swapIn(schema: String, rows: DataFrame): Unit = {
     checkIdent(schema)
     val tmp = checkIdent(schema + "__tmp")
-    rows.write.mode(SaveMode.Overwrite).options(writeOptions)
+    rows.write.mode(SaveMode.Overwrite).options(optionsFor(rows))
       .jdbc(url, tmp, jprops)
     withConn { c =>
       c.setAutoCommit(false)

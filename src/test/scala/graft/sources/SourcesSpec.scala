@@ -352,6 +352,30 @@ class SourcesSpec extends AnyFunSuite {
     val widened = store.read("mg")
     assert(widened.columns.map(_.toLowerCase).toSet == Set("k", "v", "w"))
     assert(widened.filter(col("k") === 2L).head().getAs[String]("v") == "keep2")
+    // the very first batch into a fresh table holds the same
+    // one-row-per-key contract as every later one
+    store.upsert("fresh", Seq(KV(5, "a"), KV(5, "b")).toDF(), "k")
+    assert(store.read("fresh").count() == 1)
+  }
+
+  test("jdbc store: a narrowing batch preserves untouched columns on both paths") {
+    // MERGE's UPDATE arm only sets the columns the source carries; the
+    // swap fallback must match, not null-out the rest
+    def narrowing(useMergePath: Boolean): (String, String) = {
+      val db = tmpDir() + "/derby"
+      val store = new JdbcResultStore(spark, s"jdbc:derby:$db;create=true",
+        connProps = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
+        writeOptions = Map(
+          "createTableColumnTypes" -> "v VARCHAR(64), w VARCHAR(64)"),
+        useMerge = Some(useMergePath))
+      store.insert("n",
+        Seq((1L, "v1", "w1"), (2L, "v2", "w2")).toDF("k", "v", "w"))
+      store.upsert("n", Seq((1L, "V1NEW")).toDF("k", "v"), "k")
+      val r = store.read("n").filter(col("k") === 1L).head()
+      (r.getAs[String]("v"), r.getAs[String]("w"))
+    }
+    assert(narrowing(useMergePath = true) == ("V1NEW", "w1"))
+    assert(narrowing(useMergePath = false) == ("V1NEW", "w1"))
   }
 
   test("jdbc store: upsert merges by key; delete removes by predicate") {
