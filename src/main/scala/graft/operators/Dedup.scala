@@ -28,6 +28,18 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Cut lineage on an iterative frame: a RELIABLE checkpoint (HDFS/
+    * object-store write) when the session has a checkpoint dir
+    * configured — on a real cluster a lost executor must not kill a
+    * multi-hour iterative job, because localCheckpoint blocks die with
+    * their executor — and a localCheckpoint otherwise (local mode,
+    * tests: no storage round-trip). Lineage must be CUT either way:
+    * iterative self-reference doubles the logical plan per round. */
+  private def cutLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** Survivor marking for exact dedup: canonical = lowest id per
     * normalized-content fingerprint (deterministic at any parallelism). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -425,9 +437,8 @@ object Dedup {
     // level once this was a checkpoint). localCheckpoint (not persist):
     // a cache entry still carries the full logical plan; the lineage
     // must be CUT so round-over-round plans stay constant-size.
-    val e = pairs.select(col(idA).cast("long").as("src"),
-      col(idB).cast("long").as("dst"))
-      .localCheckpoint()
+    val e = cutLineage(pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst")))
     // A clean corpus is a valid input: zero pairs → zero clusters (the
     // seed aggregation would otherwise produce an empty labels frame
     // whose decimal sum is NULL and NPE the convergence compare).
@@ -445,9 +456,8 @@ object Dedup {
     // lost executor can't kill a multi-hour job.
     // Seed with min(id, neighbors) directly — for the clique-like
     // components near-dup graphs produce, that alone is often converged.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(first(col("src")), min(col("dst"))).as("label"))
-      .localCheckpoint()
+    var labels = cutLineage(edges.groupBy(col("src").as("id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("label")))
     // labels only ever decrease, so sum(label) is strictly monotone and
     // equality means convergence — no per-round join against the old
     // labels just to count changes
@@ -460,9 +470,8 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+      val next = cutLineage(labels.union(prop)
+        .groupBy("id").agg(min("label").as("label")))
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -517,10 +526,9 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxRounds: Int = 50): (DataFrame, Int) = {
-    val e0 = pairs
+    val e0 = cutLineage(pairs
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .localCheckpoint()
+      .filter(col("u") =!= col("v")))
     if (e0.isEmpty) {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -556,12 +564,12 @@ object Dedup {
       (r.getLong(0), r.getDecimal(1))
     }
 
-    var edges = smallStar(largeStar(e0)).localCheckpoint()
+    var edges = cutLineage(smallStar(largeStar(e0)))
     var prev = checksum(edges)
     var round = 1
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = cutLineage(smallStar(largeStar(edges)))
       val s = checksum(next)
       converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
       prev = s

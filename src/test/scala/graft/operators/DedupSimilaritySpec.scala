@@ -546,6 +546,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("CC operators use reliable checkpoints when a checkpoint dir is set") {
+    // at cluster scale localCheckpoint blocks die with their executor —
+    // with a checkpoint dir configured, the iterative operators must
+    // route lineage cuts through reliable checkpoints and still produce
+    // identical clusters
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = Dedup.duplicateClustersStar(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    sc.setCheckpointDir(dir)
+    try {
+      val withReliable = Dedup.duplicateClustersStar(chain).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(withReliable == before)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable checkpoint files written")
+      val labelProp = Dedup.duplicateClusters(chain, maxRounds = 100).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labelProp == before)
+    } finally {
+      // restore the shared session's local-checkpoint behavior
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("star contraction handles a chain component beyond label-prop reach") {
     // a 400-node path has diameter 399: min-label propagation moves one
     // hop per round — it MUST blow a sub-diameter round budget — while
