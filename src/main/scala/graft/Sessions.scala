@@ -17,6 +17,9 @@ object Sessions {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // iterative operators checkpoint per round when a checkpoint dir is
+    // configured; let the ContextCleaner delete superseded round files
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
 
   def local(cpus: String, appName: String): SparkSession = {
     val s = tune(SparkSession.builder()

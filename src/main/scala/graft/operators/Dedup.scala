@@ -34,11 +34,22 @@ object Dedup {
     * multi-hour iterative job, because localCheckpoint blocks die with
     * their executor — and a localCheckpoint otherwise (local mode,
     * tests: no storage round-trip). Lineage must be CUT either way:
-    * iterative self-reference doubles the logical plan per round. */
+    * iterative self-reference doubles the logical plan per round.
+    *
+    * The reliable path persists BEFORE checkpointing (an unpersisted
+    * reliable checkpoint recomputes the round's whole plan for the
+    * write job — documented Spark behavior) and unpersists after;
+    * superseded per-round checkpoint files are GC-collected when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on
+    * (Sessions.tune sets it). */
   private def cutLineage(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cut = cached.checkpoint()
+      cached.unpersist(blocking = false)
+      cut
+    } else df.localCheckpoint()
 
   /** Survivor marking for exact dedup: canonical = lowest id per
     * normalized-content fingerprint (deterministic at any parallelism). */

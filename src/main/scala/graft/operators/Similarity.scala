@@ -451,8 +451,11 @@ object Similarity {
       float_norm(col(vecCol)).as(s"__n_$side"))
     val wCos = Window.partitionBy("query_id")
       .orderBy(col("cosine").asc, col("neighbor_id"))
-    broadcast(candidates)
-      .join(vec("query_id"), "query_id")
+    // BOTH embedding joins keep the small side broadcast: the first
+    // joins the candidate list, the second joins its (still tiny)
+    // result — without the outer hint Catalyst has no size estimate
+    // for the intermediate and could plan a full-corpus SMJ
+    broadcast(broadcast(candidates).join(vec("query_id"), "query_id"))
       .join(vec("neighbor_id"), "neighbor_id")
       .withColumn("cosine", round(
         float_dot(col("__v_query_id"), col("__v_neighbor_id")) /

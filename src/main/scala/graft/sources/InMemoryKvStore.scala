@@ -31,35 +31,58 @@ final class InMemoryKvStore(spark: SparkSession) {
   private val schemas =
     TrieMap.empty[String, (StructType, TrieMap[String, Row])]
 
-  /** Resolve (or create) a schema's table and align already-collected
-    * rows to the stored row schema: the same (name, type) set in any
-    * order reorders IN MEMORY (no Spark job under the lock); a
-    * different column set or drifted types refuse. Without this, rows
-    * written under a reordered/widened/retyped schema would be read
-    * back positionally under the original StructType — transposed
-    * values or cast errors at a distance from the bad write. Callers
-    * hold the store monitor (see [[writeLock]]), which also closes the
-    * two-first-writers race on schema creation. */
-  private def aligned(schema: String, dfSchema: StructType, rows: Array[Row])
-      : (Array[Row], TrieMap[String, Row], StructType) =
+  /** Validate + align already-collected rows to the stored row schema
+    * WITHOUT creating the schema entry — a refused batch must leave a
+    * fresh store truly untouched (no empty table registered under the
+    * refused batch's schema); registration happens separately, after
+    * validation succeeds. The same (name, type) set in any order
+    * reorders IN MEMORY (no Spark job under the lock); a different
+    * column set or drifted types refuse — rows written under a
+    * reordered/widened/retyped schema would otherwise read back
+    * positionally under the original StructType. Callers hold the
+    * store monitor (see [[writeLock]]). */
+  private def alignOnly(schema: String, dfSchema: StructType, rows: Array[Row])
+      : (Array[Row], Option[TrieMap[String, Row]], StructType) =
     schemas.get(schema) match {
-      case None =>
-        val t = schemas.getOrElseUpdate(schema, (dfSchema, TrieMap.empty))._2
-        (rows, t, dfSchema)
+      case None => (rows, None, dfSchema)
       case Some((stored, t)) =>
         def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSet
         require(sig(dfSchema) == sig(stored),
           s"schema mismatch for '$schema': stored ${stored.simpleString}" +
             s", got ${dfSchema.simpleString}")
-        if (stored.fieldNames.sameElements(dfSchema.fieldNames)) (rows, t, stored)
+        if (stored.fieldNames.sameElements(dfSchema.fieldNames))
+          (rows, Some(t), stored)
         else {
           val perm = stored.fieldNames.map(dfSchema.fieldIndex)
           val re = rows.map(r =>
             new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
               perm.map(i => r.get(i)), stored): Row)
-          (re, t, stored)
+          (re, Some(t), stored)
         }
     }
+
+  private def register(schema: String, dfSchema: StructType)
+      : TrieMap[String, Row] =
+    schemas.getOrElseUpdate(schema, (dfSchema, TrieMap.empty))._2
+
+  private def aligned(schema: String, dfSchema: StructType, rows: Array[Row])
+      : (Array[Row], TrieMap[String, Row], StructType) = {
+    val (r, tOpt, stored) = alignOnly(schema, dfSchema, rows)
+    (r, tOpt.getOrElse(register(schema, dfSchema)), stored)
+  }
+
+  /** Deterministic content rendering for within-batch conflict
+    * resolution: Row.toString on a binary column prints the array's
+    * identity hash, which differs per JVM allocation — render arrays by
+    * value so a replayed micro-batch always keeps the same row. */
+  private def stableKey(r: Row): String =
+    (0 until r.length).map { i =>
+      r.get(i) match {
+        case b: Array[Byte] => java.util.Arrays.toString(b)
+        case a: Array[_]    => a.mkString("[", ",", "]")
+        case v              => String.valueOf(v)
+      }
+    }.mkString("")
 
   /** All batch mutations serialize on the store monitor: validation and
     * mutation are one atomic step (a refused batch cannot interleave
@@ -88,13 +111,15 @@ final class InMemoryKvStore(spark: SparkSession) {
   def insert(schema: String, df: DataFrame, keyCol: String): Unit = {
     val collected = df.collect() // Spark action OUTSIDE the lock
     writeLock {
-      val (rows, t, stored) = aligned(schema, df.schema, collected)
+      val (rows, tOpt, stored) = alignOnly(schema, df.schema, collected)
       val ki = stored.fieldIndex(keyCol)
       val keys = rows.map(_.get(ki).toString)
       val dup = keys.diff(keys.distinct).headOption
-        .orElse(keys.find(t.contains))
+        .orElse(keys.find(k => tOpt.exists(_.contains(k))))
       dup.foreach(k => throw ObjectExistError(
         s"Record '$k' already exists in schema '$schema'"))
+      // only a VALID batch registers a fresh schema
+      val t = tOpt.getOrElse(register(schema, df.schema))
       rows.zip(keys).foreach { case (r, k) => t.put(k, r) }
     }
   }
@@ -112,7 +137,7 @@ final class InMemoryKvStore(spark: SparkSession) {
         s"Record '$k' does not exist in schema '$schema'"))
       // same deterministic within-batch conflict rule as upsert
       rows.groupBy(_.get(ki).toString).foreach { case (k, rs) =>
-        t.put(k, rs.minBy(_.toString))
+        t.put(k, rs.minBy(stableKey))
       }
     }
   }
@@ -129,7 +154,7 @@ final class InMemoryKvStore(spark: SparkSession) {
       val (rows, t, stored) = aligned(schema, df.schema, collected)
       val ki = stored.fieldIndex(keyCol)
       rows.groupBy(_.get(ki).toString).foreach { case (k, rs) =>
-        t.put(k, rs.minBy(_.toString))
+        t.put(k, rs.minBy(stableKey))
       }
     }
   }

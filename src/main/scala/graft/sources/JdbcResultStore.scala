@@ -67,7 +67,22 @@ final class JdbcResultStore(
     writeOptions.get("createTableColumnTypes") match {
       case Some(spec) =>
         val cols = df.columns.map(_.toLowerCase).toSet
-        val kept = spec.split(",").map(_.trim)
+        // split on TOP-LEVEL commas only — "amount DECIMAL(18,6)" is one
+        // entry, not two
+        val entries = {
+          val out = scala.collection.mutable.Buffer.empty[String]
+          val sb = new StringBuilder
+          var depth = 0
+          spec.foreach {
+            case '(' => depth += 1; sb.append('(')
+            case ')' => depth -= 1; sb.append(')')
+            case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+            case c => sb.append(c)
+          }
+          if (sb.nonEmpty) out += sb.toString.trim
+          out.toSeq
+        }
+        val kept = entries
           .filter(e => cols.contains(e.split("\\s+")(0).toLowerCase))
         if (kept.isEmpty) writeOptions - "createTableColumnTypes"
         else writeOptions + ("createTableColumnTypes" -> kept.mkString(", "))
@@ -191,7 +206,15 @@ final class JdbcResultStore(
     * result is identical to what the MERGE path stores, so the dialect
     * choice is invisible in the data. */
   private def mergeColumns(
-      stored: DataFrame, source: DataFrame, keyCol: String): DataFrame = {
+      stored: DataFrame, source0: DataFrame, keyCol0: String): DataFrame = {
+    // canonicalize to the stored table's column CASE (Derby/Oracle fold
+    // unquoted DDL to uppercase) — a case-only difference is the same
+    // column, not a widening; otherwise the swap would materialize both
+    // a "V" and a "v" and later reads die on ambiguous references
+    val storedByLc = stored.columns.map(c => c.toLowerCase -> c).toMap
+    val source = source0.select(source0.columns.map(c =>
+      col(c).as(storedByLc.getOrElse(c.toLowerCase, c))): _*)
+    val keyCol = storedByLc.getOrElse(keyCol0.toLowerCase, keyCol0)
     val storedCols = stored.columns.filterNot(_ == keyCol)
     val sourceCols = source.columns.filterNot(_ == keyCol)
     val allCols = (storedCols ++ sourceCols.filterNot(storedCols.contains)).toSeq

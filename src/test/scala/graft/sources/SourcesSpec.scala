@@ -252,6 +252,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.count("regions") == 5)
   }
 
+  test("in-memory KV store: a refused first insert registers no schema") {
+    val store = new InMemoryKvStore(spark)
+    intercept[graft.core.ObjectExistError](
+      store.insert("ghost", Seq(KV(1, "a"), KV(1, "b")).toDF(), "k"))
+    // the store is truly untouched: no empty table under 'ghost'
+    intercept[graft.core.ObjectDoesNotExist](store.read("ghost"))
+    assert(store.count("ghost") == 0)
+    // and a later insert with a DIFFERENT schema is fine
+    store.insert("ghost", Seq((1L, "a", 7L)).toDF("k", "v", "extra"), "k")
+    assert(store.count("ghost") == 1)
+  }
+
+  test("jdbc store: parameterized type hints survive narrowing writes") {
+    // DECIMAL(18,6) carries a comma INSIDE the type — the per-frame
+    // hint pruning must split on top-level commas only
+    val db = tmpDir() + "/derby"
+    val store = new JdbcResultStore(spark, s"jdbc:derby:$db;create=true",
+      connProps = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
+      writeOptions = Map("createTableColumnTypes" ->
+        "v DECIMAL(18,6), w VARCHAR(64)"))
+    store.insert("d",
+      Seq((1L, BigDecimal("1.5"), "w1"), (2L, BigDecimal("2.5"), "w2"))
+        .toDF("k", "v", "w"))
+    // narrowing write: only (k, v) — the w entry prunes away, the
+    // DECIMAL(18,6) entry stays intact
+    store.upsert("d", Seq((1L, BigDecimal("9.25"))).toDF("k", "v"), "k")
+    val r = store.read("d").filter(col("k") === 1L).head()
+    assert(r.getAs[java.math.BigDecimal]("v").doubleValue() == 9.25)
+    assert(r.getAs[String]("w") == "w1") // untouched column preserved
+  }
+
   test("in-memory KV store: concurrent inserts of one key admit exactly one") {
     val store = new InMemoryKvStore(spark)
     store.insert("race", Seq(KV(0, "seed")).toDF(), "k")
