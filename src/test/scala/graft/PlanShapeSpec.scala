@@ -214,6 +214,19 @@ class PlanShapeSpec extends AnyFunSuite {
       nodes.map(_.nodeName).mkString(", "))
   }
 
+  test("sq6 hybrid search: TakeOrdered lexical top-k, broadcast rerank, no SMJ") {
+    val p = plan("sq6_hybrid_search")
+    assert(p.contains("TakeOrderedAndProject"), p) // no full sort for top-50
+    assert(p.contains("BroadcastHashJoin"), p)     // candidates broadcast
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sq7 hard negatives: both embedding joins stay broadcast") {
+    val p = plan("sq7_hard_negatives")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // corpus never shuffled to join
+  }
+
   test("sq5 diversity sample shuffles once — on the cell quota window only") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
