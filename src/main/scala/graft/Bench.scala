@@ -15,25 +15,45 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release per-query executor state deterministically: operators
-      // localCheckpoint intermediates, and those blocks are otherwise
-      // freed only when the ContextCleaner notices the RDD is
-      // unreachable (GC-driven). Across 85 queries in one session the
-      // stragglers accumulate and tax late-sorted queries under memory
-      // pressure — each query should be billed for its own plan only.
-      // blocking: async removal would race the NEXT query's execution
-      // and bill cleanup to the wrong timer
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      name -> dt
+    // Single-shot per-query timings on a contended box carry ±2-3x tail
+    // noise (measured: identical-code consecutive full-bench runs swung
+    // sq2 1.87→6.42→1.99s). Each query therefore runs N times and the
+    // reported number is the per-query MEDIAN — the only statistic that
+    // survived four rounds of cross-run comparison. first_run is kept
+    // separately because it carries the one-time Janino/whole-stage
+    // codegen compile cost, which is real signal about plan complexity.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n == 0) 0.0
+      else if (n % 2 == 1) s(n / 2)
+      else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release per-query executor state deterministically: operators
+        // localCheckpoint intermediates, and those blocks are otherwise
+        // freed only when the ContextCleaner notices the RDD is
+        // unreachable (GC-driven). Across ~100 queries × N runs in one
+        // session the stragglers accumulate and tax late-sorted queries
+        // under memory pressure — each run should be billed for its own
+        // plan only. blocking: async removal would race the NEXT run's
+        // execution and bill cleanup to the wrong timer
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        dt
+      }
+      (name, median(times), times.head)
+    }
+    def jsonMap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonMap(results.map(r => (r._1, r._2)))
+    val firstRuns = jsonMap(results.map(r => (r._1, r._3)))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // context for reading `total` across rounds: the query set GROWS with
     // coverage, so per-query stats are the comparable signal
@@ -44,6 +64,7 @@ object Bench {
       if (sorted.isEmpty) 0.0
       else sorted(math.round((sorted.size - 1) * p).toInt)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""first_run":$firstRuns,"runs_per_query":$runs,""" +
       s""""n_queries":${results.size},"median_sec":${pct(0.5)},""" +
       s""""p90_sec":${pct(0.9)},"sf":"$sfDir"}""")
     spark.stop()
