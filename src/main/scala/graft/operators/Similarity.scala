@@ -363,7 +363,16 @@ object Similarity {
     * the rerank joins `embeddings` against a candidate set of
     * `lexTopK` rows — broadcast, never a corpus shuffle. Per-term
     * scores round to 6dp and sum as DECIMAL so the lexical score is
-    * summation-order independent (engine-portable). */
+    * summation-order independent (engine-portable).
+    *
+    * The corpus size for IDF is a lazy 1-row aggregate broadcast into
+    * the score projection — constructing the frame launches NO job and
+    * the count rides the query's own action (its scan prunes to zero
+    * columns, a metadata-only parquet pass). Folding it into the `df_`
+    * aggregation instead was considered and rejected: keeping every
+    * doc visible through the (doc, token) shuffle needs a null-token
+    * row per non-matching doc, i.e. a doc-count-sized shuffle where
+    * the current one carries only query-term matches. */
   def hybridSearch(
       docs: DataFrame,
       docId: String,
@@ -378,7 +387,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorExpressions.{float_dot, float_norm}
     require(queryTerms.nonEmpty && queryVec.nonEmpty)
-    val n = docs.count() // one cheap scalar: corpus size for IDF
+    val nRow = broadcast(docs.agg(count(lit(1)).cast("double").as("__n")))
     val toks = docs.select(col(docId).as("doc_id"),
       explode(graft.functions.TextFunctions.wsTokens(lower(col(textCol))))
         .as("token"))
@@ -386,8 +395,9 @@ object Similarity {
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val lex = tf.join(broadcast(df_), "token")
+      .crossJoin(nRow)
       .withColumn("__term",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+        round(col("tf") * log(col("__n") / col("df")), 6)
           .cast("decimal(18,6)"))
       .groupBy("doc_id")
       .agg(round(sum(col("__term")).cast("double"), 4).as("lex_score"))

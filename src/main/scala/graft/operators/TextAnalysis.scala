@@ -47,6 +47,35 @@ object TextAnalysis {
       when(mx === 0, "und").otherwise(winner).as("detected_lang"): _*)
   }
 
+  /** Per-document shingle novelty: the fraction of a doc's distinct
+    * word n-grams that appear NOWHERE else in the corpus (global
+    * df == 1). High novelty = original content; near-zero = assembled
+    * from boilerplate the corpus already has everywhere — a cheap,
+    * exactly-reproducible counterpart to the LM surprisal signal.
+    * Shapes: one explode, one df aggregate, one join riding the same
+    * shingle hash partitioning, one per-doc aggregate. The avg is over
+    * exact 0/1 doubles (integer-valued sums), so it is
+    * engine-portable without decimal machinery. The exploded frame
+    * feeds BOTH the df aggregate and the join probe, so its lineage is
+    * cut once (localCheckpoint) — without the cut the tokenize+explode
+    * pass over the whole corpus runs twice. */
+  def shingleNovelty(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingleSet(col(textCol), shingleN)).as("shingle"))
+      .localCheckpoint(false)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    sh.join(freq, "shingle")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        round(avg(when(col("__df") === 1, 1.0).otherwise(0.0)), 4)
+          .as("novelty"))
+  }
+
   /** CCNet-style language-model quality signal: per-document cross-
     * entropy under a unigram LM trained on the corpus itself. Junk docs
     * (rare-token soup) score high; boilerplate scores low. No external
@@ -66,33 +95,11 @@ object TextAnalysis {
     * aggregation, one join back by token (AQE splits residual hot
     * tokens; broadcast the vocab instead when it fits), one per-doc
     * aggregation. tf * surprisal stays DECIMAL-exact, so collapsing
-    * multiplicity changes nothing in the result.
+    * multiplicity changes nothing in the result. The (doc, token, tf)
+    * frame feeds the vocab aggregate, the corpus total, AND the join
+    * probe — its lineage is cut once (localCheckpoint) so the
+    * explode+aggregate pass runs once, not three times.
     */
-  /** Per-document shingle novelty: the fraction of a doc's distinct
-    * word n-grams that appear NOWHERE else in the corpus (global
-    * df == 1). High novelty = original content; near-zero = assembled
-    * from boilerplate the corpus already has everywhere — a cheap,
-    * exactly-reproducible counterpart to the LM surprisal signal.
-    * Shapes: one explode, one df aggregate, one join riding the same
-    * shingle hash partitioning, one per-doc aggregate. The avg is over
-    * exact 0/1 doubles (integer-valued sums), so it is
-    * engine-portable without decimal machinery. */
-  def shingleNovelty(
-      df: org.apache.spark.sql.DataFrame,
-      idCol: String,
-      textCol: String,
-      shingleN: Int = 3): org.apache.spark.sql.DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-      explode(Dedup.shingleSet(col(textCol), shingleN)).as("shingle"))
-    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-    sh.join(freq, "shingle")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        round(avg(when(col("__df") === 1, 1.0).otherwise(0.0)), 4)
-          .as("novelty"))
-  }
-
   def unigramSurprisal(
       df: DataFrame,
       idCol: String,
@@ -101,6 +108,7 @@ object TextAnalysis {
       explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__tok"))
       .groupBy(col(idCol), col("__tok"))
       .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(false)
     val counts = tf.groupBy("__tok").agg(sum(col("__tf")).as("__c"))
     val total = counts.agg(sum(col("__c")).as("__n_total"))
     tf

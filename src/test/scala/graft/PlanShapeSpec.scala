@@ -221,6 +221,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("sq6 hybridSearch construction launches no job (IDF count is lazy)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // a source whose ANY evaluation throws: if construction ran the old
+    // eager docs.count() for IDF, this test would blow up with "eager"
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("text", StringType)))
+    val poisoned = spark.sparkContext.parallelize(Seq(0), 1)
+      .map[Row](_ => throw new RuntimeException("eager corpus action"))
+    val docs = spark.createDataFrame(poisoned, schema)
+    val emb = spark.createDataFrame(poisoned, StructType(Seq(
+      StructField("vec_id", StringType),
+      StructField("embedding", ArrayType(FloatType)))))
+    graft.operators.Similarity.hybridSearch(
+      docs, "doc_id", "text", emb, "vec_id", "embedding",
+      Seq("alpha"), Array(1.0f)) // construction only — must not act
+  }
+
   test("sq7 hard negatives: both embedding joins stay broadcast") {
     val p = plan("sq7_hard_negatives")
     assert(p.contains("BroadcastHashJoin"), p)
