@@ -25,11 +25,38 @@ import graft.query.FilterDsl
   * filter DSL as every other store, and `streamingUpsert` drains a
   * stream's micro-batches into the hash via foreachBatch.
   */
-final class InMemoryKvStore(spark: SparkSession) {
+final class InMemoryKvStore(
+    spark: SparkSession,
+    maxRecordsPerSchema: Int = InMemoryKvStore.DefaultMaxRecordsPerSchema) {
 
   // schema name -> (row schema, key -> row)
   private val schemas =
     TrieMap.empty[String, (StructType, TrieMap[String, Row])]
+
+  /** Driver-memory guard: this is a CONTROL-PLANE store (metadata,
+    * offsets, dedup registers) and every write collects onto the
+    * driver — someone pointing a corpus at it must fail loudly, not
+    * OOM the driver. The bound is enforced BEFORE materializing the
+    * batch (`limit(cap+1)` caps the collect itself) and again on the
+    * post-merge schema size. */
+  private def collectBounded(schema: String, df: DataFrame): Array[Row] = {
+    val rows = df.limit(maxRecordsPerSchema + 1).collect()
+    if (rows.length > maxRecordsPerSchema) throw new IllegalStateException(
+      s"InMemoryKvStore batch for schema '$schema' exceeds " +
+        s"$maxRecordsPerSchema records — this store is driver-local " +
+        "control-plane state; bulk data belongs in the parquet/JDBC stores")
+    rows
+  }
+
+  /** Callers hold the store monitor. */
+  private def checkCapacity(
+      schema: String, t: TrieMap[String, Row], newKeys: Int): Unit = {
+    if (t.size + newKeys > maxRecordsPerSchema) throw new IllegalStateException(
+      s"InMemoryKvStore schema '$schema' would grow to " +
+        s"${t.size + newKeys} records (cap $maxRecordsPerSchema) — " +
+        "this store is driver-local control-plane state; bulk data " +
+        "belongs in the parquet/JDBC stores")
+  }
 
   /** Validate + align already-collected rows to the stored row schema
     * WITHOUT creating the schema entry — a refused batch must leave a
@@ -74,15 +101,19 @@ final class InMemoryKvStore(spark: SparkSession) {
   /** Deterministic content rendering for within-batch conflict
     * resolution: Row.toString on a binary column prints the array's
     * identity hash, which differs per JVM allocation — render arrays by
-    * value so a replayed micro-batch always keeps the same row. */
+    * value so a replayed micro-batch always keeps the same row. Each
+    * field rendering is LENGTH-PREFIXED so distinct rows always render
+    * distinctly — a separator alone stays ambiguous when a string value
+    * contains the separator character itself. */
   private def stableKey(r: Row): String =
     (0 until r.length).map { i =>
-      r.get(i) match {
+      val s = r.get(i) match {
         case b: Array[Byte] => java.util.Arrays.toString(b)
         case a: Array[_]    => a.mkString("[", ",", "]")
         case v              => String.valueOf(v)
       }
-    }.mkString("")
+      s"${s.length}:$s"
+    }.mkString("|")
 
   /** All batch mutations serialize on the store monitor: validation and
     * mutation are one atomic step (a refused batch cannot interleave
@@ -109,7 +140,7 @@ final class InMemoryKvStore(spark: SparkSession) {
     * batch (intra-batch and against the store) before mutating, so a
     * refused insert leaves the store exactly as it was. */
   def insert(schema: String, df: DataFrame, keyCol: String): Unit = {
-    val collected = df.collect() // Spark action OUTSIDE the lock
+    val collected = collectBounded(schema, df) // Spark action OUTSIDE the lock
     writeLock {
       val (rows, tOpt, stored) = alignOnly(schema, df.schema, collected)
       val ki = stored.fieldIndex(keyCol)
@@ -118,6 +149,7 @@ final class InMemoryKvStore(spark: SparkSession) {
         .orElse(keys.find(k => tOpt.exists(_.contains(k))))
       dup.foreach(k => throw ObjectExistError(
         s"Record '$k' already exists in schema '$schema'"))
+      tOpt.foreach(t => checkCapacity(schema, t, keys.length))
       // only a VALID batch registers a fresh schema
       val t = tOpt.getOrElse(register(schema, df.schema))
       rows.zip(keys).foreach { case (r, k) => t.put(k, r) }
@@ -128,7 +160,7 @@ final class InMemoryKvStore(spark: SparkSession) {
     * Same all-or-nothing contract as insert. */
   def update(schema: String, df: DataFrame, keyCol: String): Unit = {
     existing(schema)
-    val collected = df.collect()
+    val collected = collectBounded(schema, df)
     writeLock {
       val (rows, t, stored) = aligned(schema, df.schema, collected)
       val ki = stored.fieldIndex(keyCol)
@@ -149,11 +181,13 @@ final class InMemoryKvStore(spark: SparkSession) {
     * store a different value under different parallelism — the same
     * contract JdbcResultStore.upsert pins). */
   def upsert(schema: String, df: DataFrame, keyCol: String): Unit = {
-    val collected = df.collect()
+    val collected = collectBounded(schema, df)
     writeLock {
       val (rows, t, stored) = aligned(schema, df.schema, collected)
       val ki = stored.fieldIndex(keyCol)
-      rows.groupBy(_.get(ki).toString).foreach { case (k, rs) =>
+      val byKey = rows.groupBy(_.get(ki).toString)
+      checkCapacity(schema, t, byKey.keysIterator.count(!t.contains(_)))
+      byKey.foreach { case (k, rs) =>
         t.put(k, rs.minBy(stableKey))
       }
     }
@@ -200,4 +234,10 @@ final class InMemoryKvStore(spark: SparkSession) {
         upsert(schema, batch, keyCol)
       }
       .start()
+}
+
+object InMemoryKvStore {
+  /** Generous for control-plane state (offsets, registers, metadata),
+    * far below anything that dents a driver heap; constructor-tunable. */
+  val DefaultMaxRecordsPerSchema: Int = 1000000
 }

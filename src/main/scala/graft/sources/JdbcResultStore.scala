@@ -236,6 +236,16 @@ final class JdbcResultStore(
 
   @volatile private var mergeRuntimeDisabled = false
 
+  /** Per-invocation staging suffix: two concurrent upserts to the same
+    * schema must not share one staging table (each would overwrite the
+    * other's staged rows mid-MERGE). The random token makes the name
+    * unique across store instances and processes, the counter within
+    * one; the stage is dropped in the same `finally`, so a stranded
+    * table only survives a hard crash (and is clobbered by no one). */
+  private val stageToken =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+  private val stageCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** One row per key, chosen deterministically by row-content hash. */
   private def dedupByKey(df: DataFrame, keyCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -250,7 +260,8 @@ final class JdbcResultStore(
     * the live table is never dropped or truncated), drop the staging
     * table. */
   private def mergeUpsert(schema: String, df: DataFrame, keyCol: String): Unit = {
-    val stage = checkIdent(schema + "__stage")
+    val stage = checkIdent(
+      schema + "__stage_" + stageToken + "_" + stageCounter.incrementAndGet())
     df.write.mode(SaveMode.Overwrite).options(optionsFor(df))
       .jdbc(url, stage, jprops)
     def q(c: String) = "\"" + c.replace("\"", "\"\"") + "\""

@@ -15,7 +15,9 @@ import graft.query.FilterDsl
   * `filterRecords` over 100 TB reads only the row groups the predicate
   * admits.
   *
-  * Rewrites (upsert / merge / delete / overwrite) use a versioned-directory
+  * Every mutation — rewrites (upsert / merge / delete / overwrite) AND
+  * appends (insert, which hard-links prior data files into the new
+  * version) — goes through a versioned-directory
   * commit, matching the reference's atomic per-record store contract
   * (nexus/backends/stores/sqlite_store.py:112-160) at table granularity:
   *
@@ -77,13 +79,20 @@ class ResultStore(spark: SparkSession, root: String) {
     val previous = currentVersion(schema)
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$schema/$version")
     beforeSwapHook()
+    flipPointer(schema, version, keepPrevious = previous)
+  }
+
+  /** Atomic pointer flip (write `_CURRENT.tmp`, ATOMIC_MOVE over
+    * `_CURRENT`), then GC of superseded versions. */
+  private def flipPointer(
+      schema: String, version: String, keepPrevious: Option[String]): Unit = {
     val tmp = new java.io.File(schemaDir(schema), "_CURRENT.tmp").toPath
     java.nio.file.Files.write(tmp,
       version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, pointerFile(schema).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    gc(schema, keep = Set(version) ++ previous)
+    gc(schema, keep = Set(version) ++ keepPrevious)
   }
 
   /** Best-effort removal of superseded version directories. The
@@ -112,12 +121,36 @@ class ResultStore(spark: SparkSession, root: String) {
   /** Whether the schema has any committed data. */
   def hasSchema(schema: String): Boolean = exists0(schema)
 
-  /** Append rows. Spark's file-commit protocol stages task output under
-    * `_temporary`, so a failed append never surfaces partial files. */
+  /** Append rows — through the SAME versioned commit as rewrites, so
+    * the class-level atomicity claim holds for appends too: the new
+    * rows land in a fresh version directory, the previous version's
+    * data files are HARD-LINKED in (O(files) metadata ops, no data
+    * copy or re-read — the local-FS analog of a Delta/Iceberg commit
+    * that re-lists prior files in the new snapshot), and the pointer
+    * flips atomically. A crash at any point leaves the old version
+    * fully intact and readable, and lazy readers taken before the
+    * append still scan exactly the files they resolved (links keep
+    * the old directory's files alive through one GC generation). */
   def insert(schema: String, df: DataFrame): Unit =
     currentVersion(schema) match {
-      case Some(v) => df.write.mode(SaveMode.Append).parquet(s"$root/$schema/$v")
-      case None    => commit(schema, df)
+      case Some(prev) =>
+        val version = nextVersion(schema)
+        val newDir = new java.io.File(schemaDir(schema), version)
+        df.write.mode(SaveMode.Overwrite).parquet(newDir.getPath)
+        val prevDir = new java.io.File(schemaDir(schema), prev)
+        Option(prevDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .foreach { f =>
+            // part-file names carry a per-job UUID, so collisions with
+            // the fresh write don't occur; guard anyway
+            val target = new java.io.File(newDir, f.getName)
+            if (!target.exists())
+              java.nio.file.Files.createLink(target.toPath, f.toPath)
+          }
+        beforeSwapHook()
+        flipPointer(schema, version, keepPrevious = Some(prev))
+      case None => commit(schema, df)
     }
 
   def overwrite(schema: String, df: DataFrame): Unit = commit(schema, df)

@@ -123,6 +123,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.count("t") == 3)
   }
 
+  test("result store: append commits atomically and isolates lazy readers") {
+    val dir = tmpDir()
+    var crash = false
+    val store = new ResultStore(spark, dir) {
+      override protected def beforeSwapHook(): Unit =
+        if (crash) throw new RuntimeException("injected crash")
+    }
+    store.insert("a", Seq(KV(1, "a")).toDF())
+    val snapshot = store.read("a") // lazy handle bound to the pre-append version
+    crash = true
+    // the append dies after staging the new version, before the flip
+    intercept[RuntimeException](store.insert("a", Seq(KV(2, "b")).toDF()))
+    assert(store.read("a").collect().map(_.getAs[Long]("k")).toSeq == Seq(1L))
+    crash = false
+    store.insert("a", Seq(KV(2, "b")).toDF())
+    assert(store.read("a").orderBy("k").collect()
+      .map(_.getAs[Long]("k")).toSeq == Seq(1L, 2L))
+    // the lazy pre-append handle scans exactly the files it resolved
+    assert(snapshot.count() == 1)
+    // appends compound across versions (hard-linked prior files)
+    store.insert("a", Seq(KV(3, "c")).toDF())
+    assert(store.count("a") == 3)
+  }
+
+  test("in-memory KV store: over-cap writes fail loudly, store untouched") {
+    val store = new InMemoryKvStore(spark, maxRecordsPerSchema = 3)
+    store.insert("s", Seq(KV(1, "a")).toDF(), "k")
+    // an oversized batch is refused BEFORE it can displace anything
+    intercept[IllegalStateException] {
+      store.upsert("s", (2L to 5L).map(i => KV(i, "x")).toDF(), "k")
+    }
+    assert(store.count("s") == 1)
+    // growth to exactly the cap is fine...
+    store.upsert("s", Seq(KV(2, "b"), KV(3, "c")).toDF(), "k")
+    assert(store.count("s") == 3)
+    // ...one more new key is not
+    intercept[IllegalStateException](
+      store.insert("s", Seq(KV(4, "d")).toDF(), "k"))
+    // overwriting existing keys at the cap stays legal (no growth)
+    store.upsert("s", Seq(KV(3, "c2")).toDF(), "k")
+    assert(store.get("s", 3L).getAs[String]("v") == "c2")
+  }
+
   test("result store: randomized crash injection never diverges from the model") {
     // property form of the crash-safety contract: a random sequence of
     // rewrites, ~1/3 of them crashing between write and pointer flip,
