@@ -105,66 +105,85 @@ final class PipelineRunner(
     cur
   }
 
-  /** nexus/task.py:1050-1165 — faithful recursion including the LIFO sink
-    * drain and switch-routing with the *previous* context. */
+  /** nexus/task.py:1050-1165 — the reference's recursion (one frame per
+    * stage, which is why it raises the interpreter recursion limit,
+    * nexus/utils.py:35-56) lowered to a WORK-LIST LOOP: every recursive
+    * call there is a tail call, so (task, previous) becomes loop state
+    * and a 100k-stage chain runs in constant stack. The LIFO sink drain
+    * and switch-routing with the *previous* context are preserved
+    * exactly, including the unwinding semantics of the original `return`
+    * on cancel/abort: before any sink drain has begun it ends the run
+    * with queued sinks dropped (the recursive form unwound every
+    * tail-call frame to the top); once draining, it abandons only the
+    * current chain and the drain continues with the remaining sinks
+    * (the unwind stopped at the drain loop's frame). */
   private def executeTask(
       taskOpt: Option[StageNode],
-      previous: Option[StepContext],
-      sinkQueue: mutable.Stack[StageNode]): Unit = taskOpt match {
+      previousStart: Option[StepContext],
+      sinkQueue: mutable.Stack[StageNode]): Unit = {
+    var task: Option[StageNode] = taskOpt
+    var previous: Option[StepContext] = previousStart
+    var draining = false
+    var done = false
 
-    case None =>
-      while (sinkQueue.nonEmpty) {
-        val sinkTask = sinkQueue.pop()
-        executeTask(Some(sinkTask), latestContext, sinkQueue)
-      }
+    while (!done) task match {
+      case None =>
+        if (sinkQueue.isEmpty) done = true
+        else {
+          draining = true
+          task = Some(sinkQueue.pop())
+          previous = latestContext
+        }
 
-    case Some(task0) =>
-      // Queue this node's sink for after the conditional region. The
-      // reference skips this (and parallel-chain collection) for the ROOT
-      // node (nexus/task.py:1073-1100 runs both only under
-      // `previous_context is not None`) — an asymmetry we deliberately
-      // remove: a root conditional's sink runs, a root `||` chain merges.
-      task0.sink.foreach(sinkQueue.push)
+      case Some(task0) =>
+        // Queue this node's sink for after the conditional region. The
+        // reference skips this (and parallel-chain collection) for the ROOT
+        // node (nexus/task.py:1073-1100 runs both only under
+        // `previous_context is not None`) — an asymmetry we deliberately
+        // remove: a root conditional's sink runs, a root `||` chain merges.
+        task0.sink.foreach(sinkQueue.push)
 
-      // collect the `||` chain (nexus/task.py:1080-1096)
-      val profiles = mutable.Buffer.empty[StageNode]
-      var t: StageNode = task0
-      while (t != null && t.onSuccessPipe.contains(PipeType.Parallelism)) {
-        profiles += t
-        t = t.onSuccess.orNull
-      }
-      val (taskForRouting, ctxProfiles) =
-        if (profiles.nonEmpty) { profiles += t; (t, profiles.toSeq) }
-        else (task0, Seq(task0))
+        // collect the `||` chain (nexus/task.py:1080-1096)
+        val profiles = mutable.Buffer.empty[StageNode]
+        var t: StageNode = task0
+        while (t != null && t.onSuccessPipe.contains(PipeType.Parallelism)) {
+          profiles += t
+          t = t.onSuccess.orNull
+        }
+        val (taskForRouting, ctxProfiles) =
+          if (profiles.nonEmpty) { profiles += t; (t, profiles.toSeq) }
+          else (task0, Seq(task0))
 
-      val ctx = new StepContext(ctxProfiles, registry)
-      previous match {
-        case Some(p) => ctx.previous = Some(p); p.next = Some(ctx)
-        case None    => headContext = Some(ctx)
-      }
+        val ctx = new StepContext(ctxProfiles, registry)
+        previous match {
+          case Some(p) => ctx.previous = Some(p); p.next = Some(ctx)
+          case None    => headContext = Some(ctx)
+        }
 
-      val switchRequest = dispatch(ctx)
+        val switchRequest = dispatch(ctx)
 
-      if (ctx.state == ExecutionState.Cancelled ||
-          ctx.state == ExecutionState.Aborted) return
-
-      switchRequest match {
-        case Some(sw) =>
-          val target = taskForRouting.getDescriptor(sw.descriptor)
-          if (target.isEmpty)
-            throw TaskSwitchingError(
-              s"Task cannot switch to task using the descriptor ${sw.descriptor}.")
-          // switch branch sees the SAME previous context as the switching
-          // task (nexus/task.py:1126-1131)
-          executeTask(target, previous, sinkQueue)
-        case None =>
-          val nextTask =
-            if (taskForRouting.isConditional) {
-              if (ctx.executionFailed) taskForRouting.onFailure
-              else taskForRouting.onSuccess
-            } else taskForRouting.onSuccess
-          executeTask(nextTask, Some(ctx), sinkQueue)
-      }
+        if (ctx.state == ExecutionState.Cancelled ||
+            ctx.state == ExecutionState.Aborted) {
+          if (draining) task = None // abandon this chain, keep draining
+          else done = true          // pre-drain: run ends, queued sinks drop
+        } else switchRequest match {
+          case Some(sw) =>
+            val target = taskForRouting.getDescriptor(sw.descriptor)
+            if (target.isEmpty)
+              throw TaskSwitchingError(
+                s"Task cannot switch to task using the descriptor ${sw.descriptor}.")
+            // switch branch sees the SAME previous context as the switching
+            // task (nexus/task.py:1126-1131)
+            task = target
+          case None =>
+            task =
+              if (taskForRouting.isConditional) {
+                if (ctx.executionFailed) taskForRouting.onFailure
+                else taskForRouting.onSuccess
+              } else taskForRouting.onSuccess
+            previous = Some(ctx)
+        }
+    }
   }
 
   /** Execute every task profile of the step (nexus/task.py:281-535).

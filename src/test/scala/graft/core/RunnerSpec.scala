@@ -212,4 +212,19 @@ class RunnerSpec extends AnyFunSuite {
     intercept[ImproperlyConfigured](p.bind(Map("limit" -> "not-a-number")))
     intercept[ImproperlyConfigured](p.bind(Map("path" -> 42)))
   }
+
+  test("a 100k-stage chain executes end-to-end in constant stack") {
+    // the reference raises the interpreter recursion limit for deep
+    // chains (nexus/utils.py:35-56); the runner's work-list loop needs
+    // no -Xss tuning — one StepContext per stage, zero frames per stage
+    val reg = new EventRegistry
+    val one = Seq(1).toDF("v") // one shared plan: the chain itself is
+                               // under test, not 100k plan builds
+    reg.registerTransform("E")(_ => one)
+    val code = Array.fill(100000)("E").mkString(" -> ")
+    val lineage = Pipeline.fromPointy("deep", code, reg).start(spark)
+    assert(lineage.finalState == ExecutionState.Finished)
+    assert(lineage.steps.size == 100000)
+    assert(lineage.finalResult.nonEmpty)
+  }
 }
