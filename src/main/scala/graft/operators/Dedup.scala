@@ -51,6 +51,18 @@ object Dedup {
       cut
     } else df.localCheckpoint()
 
+  /** [[cutLineage]] for the inside of an iterative loop whose very next
+    * statement is an aggregate over the frame (convergence checksum /
+    * label sum): the LAZY local checkpoint materializes during that
+    * aggregate's own action, so each round costs ONE job instead of two
+    * (eager-checkpoint job + aggregate job) — at test scale the rounds
+    * are all fixed job overhead, so this halves the loop's wall time.
+    * The reliable-checkpoint path stays eager: a lost-executor-safe
+    * write should not be deferred into whatever action happens next. */
+  private def cutLineageLazy(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) cutLineage(df)
+    else df.localCheckpoint(false)
+
   /** Survivor marking for exact dedup: canonical = lowest id per
     * normalized-content fingerprint (deterministic at any parallelism). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -467,7 +479,7 @@ object Dedup {
     // lost executor can't kill a multi-hour job.
     // Seed with min(id, neighbors) directly — for the clique-like
     // components near-dup graphs produce, that alone is often converged.
-    var labels = cutLineage(edges.groupBy(col("src").as("id"))
+    var labels = cutLineageLazy(edges.groupBy(col("src").as("id"))
       .agg(least(first(col("src")), min(col("dst"))).as("label")))
     // labels only ever decrease, so sum(label) is strictly monotone and
     // equality means convergence — no per-round join against the old
@@ -481,7 +493,7 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val next = cutLineage(labels.union(prop)
+      val next = cutLineageLazy(labels.union(prop)
         .groupBy("id").agg(min("label").as("label")))
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
@@ -558,13 +570,19 @@ object Dedup {
     }
 
     def smallStar(edges: DataFrame): DataFrame = {
-      // after largeStar every edge is (child u, parent v) with u > v
+      // after largeStar every edge is (child u, parent v) with u > v.
+      // No dedup here: each input edge emits at most one row (+one per
+      // node from `mins`), so the output is bounded by edges + nodes
+      // with or without it — duplicates cost one bounded-multiplicity
+      // round-trip and largeStar's own dropDuplicates renormalizes next
+      // round, which is cheaper than an extra (u,v) shuffle every round.
+      // At the fixpoint every node carries exactly one (node, min) row,
+      // so the multiset checksum still detects convergence exactly.
       val mins = edges.groupBy("u").agg(min(col("v")).as("m"))
       val e = edges.join(mins, "u")
       e.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("u"), col("m").as("v")))
-        .dropDuplicates("u", "v")
     }
 
     def checksum(edges: DataFrame): (Long, java.math.BigDecimal) = {
@@ -575,12 +593,12 @@ object Dedup {
       (r.getLong(0), r.getDecimal(1))
     }
 
-    var edges = cutLineage(smallStar(largeStar(e0)))
+    var edges = cutLineageLazy(smallStar(largeStar(e0)))
     var prev = checksum(edges)
     var round = 1
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = cutLineage(smallStar(largeStar(edges)))
+      val next = cutLineageLazy(smallStar(largeStar(edges)))
       val s = checksum(next)
       converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
       prev = s
