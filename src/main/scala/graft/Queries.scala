@@ -1276,16 +1276,66 @@ object Queries {
     s.table(qn).orderBy("hour_us", "event_type")
   }}
 
-  // sq2_ivf_ann — ANN through the k-means IVF index (16 cells fit with
-  // spark.ml KMeans seed 42, probe 4): approximate by design → rows-only
-  // check; DedupSimilaritySpec pins recall against brute force.
-  register("sq2_ivf_ann") { (s, dir) =>
+  // sq2_ivf_ann — ANN through the seed-IVF index (deterministic
+  // centroids = 16 lowest-id vectors, probe 4): the same probe/rerank
+  // machinery as the k-means variant, but every step is deterministic,
+  // so the whole ANN path is exactly DuckDB-oracle-able (sq5 proved the
+  // cell assignment; this adds the probe + rerank). The k-means-fitted
+  // variant stays available (ivfIndexKMeans/ivfKMeansTopK) with its
+  // recall pinned against brute force in DedupSimilaritySpec — an
+  // ML-fitted index can't have a SQL twin, a seeded one can.
+  register(
+    "sq2_ivf_ann",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), seeds AS (
+      |  SELECT vec_id AS cell_id, v AS sv, nrm AS snrm
+      |  FROM n ORDER BY vec_id LIMIT 16
+      |), scored AS (
+      |  SELECT n.vec_id, s.cell_id,
+      |         round(list_sum(list_transform(list_zip(n.v, s.sv), p -> p[1] * p[2]))
+      |               / (n.nrm * s.snrm), 4) AS sim
+      |  FROM n CROSS JOIN seeds s
+      |), assigned AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rk
+      |  FROM scored
+      |), cells AS (
+      |  SELECT vec_id, cell_id FROM assigned WHERE rk = 1
+      |), probes AS (
+      |  SELECT q.vec_id AS query_id, s.cell_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_sum(list_transform(list_zip(q.v, s.sv), p -> p[1] * p[2]))
+      |                          / (q.nrm * s.snrm), 4) DESC, s.cell_id) AS pr
+      |  FROM n q CROSS JOIN seeds s
+      |  WHERE q.vec_id < 10
+      |), cand AS (
+      |  SELECT p.query_id, c.vec_id AS neighbor_id
+      |  FROM probes p JOIN cells c USING (cell_id)
+      |  WHERE p.pr <= 4 AND c.vec_id != p.query_id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+      |               / (q.nrm * c.nrm), 4) AS cosine
+      |  FROM cand
+      |  JOIN n q ON cand.query_id = q.vec_id
+      |  JOIN n c ON cand.neighbor_id = c.vec_id
+      |)
+      |SELECT query_id, neighbor_id, cosine,
+      |       row_number() OVER (PARTITION BY query_id
+      |                          ORDER BY cosine DESC, neighbor_id) AS rank
+      |FROM ranked
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-    val (indexed, centroids) =
-      Similarity.ivfIndexKMeans(emb, "vec_id", "embedding", numCells = 16)
-    Similarity.ivfKMeansTopK(indexed, centroids,
-        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        nProbe = 4, k = 5)
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", numCells = 16)
+    Similarity.ivfTopK(index, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", numCells = 16, nProbe = 4, k = 5)
       .orderBy("query_id", "rank")
   }
 
@@ -1977,6 +2027,41 @@ object Queries {
     Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 5),
         "media_id", "embedding", k = 3)
       .orderBy("query_id", "rank")
+  }
+
+  // mm5_image_decode — REAL image decode in the gate: stripe-pattern
+  // PNGs (pixel column x of image id has luma g = (id*7 + x*11) % 256)
+  // are ENCODED on executors with javax.imageio, DECODED back with the
+  // real ImageIO reader, integer-luma'd (BT.601) and box-filtered to an
+  // 8x8 grid — all through the batched partition kernel. The oracle
+  // replays the CLOSED FORM of the pattern, not the codec: a defect
+  // anywhere in the real encode→decode→luma→box-filter chain breaks
+  // the hash match. Each 8x8 cell covers 4 columns x 2 rows of the
+  // 32x16 image, so gray = floor(2*(g0+g1+g2+g3) / 8).
+  register(
+    "mm5_image_decode",
+    """WITH img AS (
+      |  SELECT doc_id AS media_id FROM documents
+      |  WHERE doc_id % 3 = 0 AND doc_id < 90
+      |), cells AS (
+      |  SELECT media_id, cy.range::int AS cy, cx.range::int AS cx
+      |  FROM img, range(8) cy, range(8) cx
+      |)
+      |SELECT media_id, 32 AS width, 16 AS height, cy, cx,
+      |       ((  (media_id*7 + (cx*4+0)*11) % 256
+      |         + (media_id*7 + (cx*4+1)*11) % 256
+      |         + (media_id*7 + (cx*4+2)*11) % 256
+      |         + (media_id*7 + (cx*4+3)*11) % 256) * 2 // 8)::int AS gray
+      |FROM cells
+      |ORDER BY media_id, cy, cx""".stripMargin
+  ) { (s, dir) =>
+    val ids = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < 90)
+      .select(col("doc_id").as("media_id"))
+    val media = graft.multimodal.Multimodal.stripeImages(ids, "media_id", 32, 16)
+    graft.multimodal.Multimodal.decodeImageGrid(media, gridW = 8, gridH = 8)
+      .toDF()
+      .orderBy("media_id", "cy", "cx")
   }
 
   // q22_skew_salted — the skew toolkit doing real work: a salted join

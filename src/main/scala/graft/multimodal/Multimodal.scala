@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing is real and tested — schemas, partitioning,
   * the `mapPartitions` kernel signature, and the batch shape (kernels
   * consume fixed-size row batches, the JVM analog of Arrow record
-  * batches under `mapInPandas`). The actual codec work is STUBBED with
-  * deterministic fakes (this container ships no image/audio libraries):
-  * `FakeCodec` derives pixel/sample data from the bytes themselves, so
-  * every downstream op (resize, frame sampling, feature extraction) is
-  * reproducible and assertable. Swapping in a real codec changes ONE
-  * function and no plumbing.
+  * batches under `mapInPandas`). IMAGES decode for REAL via
+  * [[ImageIoCodec]] (javax.imageio — pure JVM, ships in the JDK:
+  * PNG/JPEG/GIF/BMP). Audio/video codec work stays STUBBED with
+  * deterministic fakes (`FakeCodec` — the container ships no
+  * audio/video libraries): pixel/sample data derives from the bytes
+  * themselves, so every downstream op (resize, frame sampling, feature
+  * extraction) is reproducible and assertable. Swapping in a real
+  * audio/video codec changes ONE function and no plumbing, exactly as
+  * the image path demonstrates.
   *
   * Scale notes: kernels are embarrassingly parallel per partition; media
   * bytes never hit the driver; feature extraction emits fixed-width
@@ -115,6 +118,125 @@ object Multimodal {
       val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
       if (norm > 0) v.map(_ / norm) else v
     }
+  }
+
+  // -------------------------------------------------------------------
+  // REAL IMAGE CODEC — javax.imageio (pure JVM, ships in the JDK).
+  // Images are the one modality this environment can decode for real;
+  // audio/video keep the documented FakeCodec boundary (no codec libs
+  // in the container).
+  // -------------------------------------------------------------------
+  object ImageIoCodec {
+    import java.awt.image.BufferedImage
+
+    /** Deterministic test/gate image: a column-stripe pattern where
+      * every pixel in column x has gray g(id, x) = (id*7 + x*11) mod 256
+      * stored as r=g=b (TYPE_INT_RGB → PNG is a lossless byte-exact
+      * round trip; TYPE_BYTE_GRAY would gamma-convert under getRGB).
+      * Because g has a closed form in (id, x), a SQL oracle can replay
+      * the full real encode→decode→box-filter chain without decoding
+      * anything itself. */
+    def stripePng(mediaId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        val g = (((mediaId * 7 + x * 11) % 256 + 256) % 256).toInt
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+        x += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Real decode; None for bytes no installed reader accepts — a
+      * 100 TB corpus always contains corrupt media, and one bad file
+      * must drop, not kill the job. */
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Integer luma (ITU-R BT.601 weights, floor division) — exact and
+      * engine-portable, unlike float luma. */
+    def luma(rgb: Int): Int = {
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+
+    /** Box-filter downsample of the luma plane to a gw x gh grid:
+      * cell value = floor(mean of covered pixels). Explicit integer
+      * loop, not Graphics2D scaling — deterministic on every JVM. */
+    def grayGrid(img: BufferedImage, gw: Int, gh: Int): Array[Int] = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Int](gw * gh)
+      var cy = 0
+      while (cy < gh) {
+        val y0 = cy * h / gh; val y1 = math.max(y0 + 1, (cy + 1) * h / gh)
+        var cx = 0
+        while (cx < gw) {
+          val x0 = cx * w / gw; val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
+          var s = 0L; var n = 0
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) { s += luma(img.getRGB(x, y)); n += 1; x += 1 }
+            y += 1
+          }
+          out(cy * gw + cx) = (s / n).toInt
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+  }
+
+  final case class GridCell(media_id: Long, width: Int, height: Int,
+      cy: Int, cx: Int, gray: Int)
+
+  /** Deterministic REAL-PNG media table: one stripe-pattern PNG per id,
+    * encoded on the executors through the batched kernel (media bytes
+    * never touch the driver). Pairs with [[decodeImageGrid]] for an
+    * end-to-end real encode→decode gate whose expected values have a
+    * closed form in (id, x). */
+  def stripeImages(ids: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        mapBatches(it, KernelBatchSize) { batch =>
+          batch.iterator.map(id => (id, ImageIoCodec.stripePng(id, w, h)))
+        }
+      }
+      .toDF("media_id", "bytes")
+  }
+
+  /** REAL image decode + box-filter resize through the same batched
+    * partition kernel as the stub paths: PNG/JPEG bytes → luma grid
+    * cells, one row per cell. Undecodable payloads drop (flatMap), so a
+    * corrupt file costs one row, never the job. */
+  def decodeImageGrid(
+      media: DataFrame, gridW: Int = 8, gridH: Int = 8): Dataset[GridCell] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        mapBatches(it, KernelBatchSize) { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            ImageIoCodec.decode(Option(bytes).getOrElse(Array.empty)).iterator
+              .flatMap { img =>
+                val grid = ImageIoCodec.grayGrid(img, gridW, gridH)
+                (0 until gridH).iterator.flatMap(cy => (0 until gridW).map(cx =>
+                  GridCell(id, img.getWidth, img.getHeight, cy, cx,
+                    grid(cy * gridW + cx))))
+              }
+          }
+        }
+      }
   }
 
   final case class MediaFeature(media_id: Long, kind: String, embedding: Array[Float])

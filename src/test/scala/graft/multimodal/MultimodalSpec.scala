@@ -84,4 +84,43 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(e => e.media_id -> e.envelope.toSeq).toMap
     assert(env.forall(e => env2(e.media_id) == e.envelope.toSeq))
   }
+
+  test("REAL image codec: PNG encode→decode round-trips byte-exact") {
+    // TYPE_INT_RGB + PNG is lossless: decoded luma of the stripe
+    // pattern must equal the closed form g(id, x) = (id*7 + x*11) % 256
+    val bytes = Multimodal.ImageIoCodec.stripePng(5L, 32, 16)
+    val img = Multimodal.ImageIoCodec.decode(bytes).get
+    assert(img.getWidth == 32 && img.getHeight == 16)
+    for (x <- 0 until 32; y <- Seq(0, 7, 15)) {
+      val expected = ((5L * 7 + x * 11) % 256).toInt
+      assert(Multimodal.ImageIoCodec.luma(img.getRGB(x, y)) == expected,
+        s"pixel ($x,$y)")
+    }
+    // box filter: each 8x8 cell of the 32x16 image covers 4 cols x 2
+    // rows → floor(2*(g0+g1+g2+g3)/8), independent of cy
+    val grid = Multimodal.ImageIoCodec.grayGrid(img, 8, 8)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val s = (0 until 4).map(i => ((5L * 7 + (cx * 4 + i) * 11) % 256)).sum
+      assert(grid(cy * 8 + cx) == (s * 2 / 8).toInt, s"cell ($cy,$cx)")
+    }
+    // non-divisible dims still cover every cell with >= 1 pixel
+    val odd = Multimodal.ImageIoCodec.decode(
+      Multimodal.ImageIoCodec.stripePng(9L, 13, 7)).get
+    val g2 = Multimodal.ImageIoCodec.grayGrid(odd, 8, 8)
+    assert(g2.length == 64 && g2.forall(v => v >= 0 && v <= 255))
+  }
+
+  test("REAL image decode pipeline drops corrupt payloads, keeps the rest") {
+    val good = Multimodal.stripeImages(
+      Seq(1L, 2L, 3L).toDF("media_id"), "media_id", 32, 16)
+    val corrupt = Seq((99L, Array[Byte](1, 2, 3, 4)),
+      (98L, Array.empty[Byte])).toDF("media_id", "bytes")
+    val out = Multimodal.decodeImageGrid(
+      good.unionByName(corrupt).repartition(5), gridW = 8, gridH = 8)
+    val byId = out.collect().groupBy(_.media_id)
+    // 64 cells per decodable image; corrupt rows vanish, job survives
+    assert(byId.keySet == Set(1L, 2L, 3L))
+    assert(byId.values.forall(_.length == 64))
+    assert(byId(2L).forall(c => c.width == 32 && c.height == 16))
+  }
 }
