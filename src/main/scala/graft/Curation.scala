@@ -104,6 +104,17 @@ final case class Curation(
   def scrubPii(): Curation =
     next(df.withColumn(textCol, TextFunctions.redactPii(col(textCol))))
 
+  /** Strip lines occurring in more than `maxDf` docs (CCNet-style
+    * boilerplate removal); the text column is rewritten in place and
+    * fully-boilerplate docs keep an empty string. */
+  def removeBoilerplate(maxDf: Long = 1, sep: String = "\n"): Curation = {
+    val cleaned = TextAnalysis
+      .removeBoilerplateLines(df, idCol, textCol, maxDf, sep)
+      .select(col(idCol), col("clean_text"))
+    next(df.drop(textCol).join(cleaned, Seq(idCol), "inner")
+      .withColumnRenamed("clean_text", textCol))
+  }
+
   /** At most `cap` docs per group, hash-chosen (unbiased draw). */
   def capPerGroup(groupCol: String, cap: Int, salt: String = "cap"): Curation =
     next(Sampling.capPerGroup(df, groupCol, idCol, salt, cap))

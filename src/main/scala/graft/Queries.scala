@@ -2064,6 +2064,62 @@ object Queries {
       .orderBy("media_id", "cy", "cx")
   }
 
+  // mm6_image_phash — perceptual-hash image dedup over the REAL codec:
+  // ids 0..99 form 50 twin groups (pattern = id/2); odd groups are
+  // byte-identical twins, even groups differ by +1 brightness (dHash is
+  // gradient-based, so a brightness shift moves nothing except at mod-
+  // wrap columns — exactly the invariance a perceptual hash is for).
+  // Every group gets its own stripe frequency (xSlope = 3 + pat), so
+  // non-twin images hash far apart. Images are really PNG-encoded,
+  // really decoded, dHashed (8x8 horizontal gradients over a 9x8
+  // box-filtered luma grid), and paired by pigeonhole-banded Hamming
+  // join (never a cartesian). The oracle replays the closed-form pixel
+  // pattern through the same box filter and gradient bits, brute-
+  // forcing all pairs — the pigeonhole guarantee (maxDist < chunks)
+  // makes the banded result exactly equal.
+  register(
+    "mm6_image_phash",
+    """WITH img AS (
+      |  SELECT doc_id AS media_id, doc_id // 2 AS pat,
+      |         CASE WHEN doc_id % 2 = 1 AND (doc_id // 2) % 2 = 0
+      |              THEN 1 ELSE 0 END AS off
+      |  FROM documents WHERE doc_id < 100
+      |), px AS (
+      |  SELECT media_id, x.range AS x, y.range AS y,
+      |         (pat*7 + x.range*(3 + pat) + y.range*5 + off) % 256 AS g
+      |  FROM img, range(36) x, range(16) y
+      |), cells AS (
+      |  SELECT media_id, (y // 2)::int AS cy, (x // 4)::int AS cx,
+      |         sum(g) // 8 AS gray
+      |  FROM px GROUP BY 1, 2, 3
+      |), bits AS (
+      |  SELECT a.media_id, a.cy, a.cx, (b.gray > a.gray) AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.media_id = b.media_id AND a.cy = b.cy AND b.cx = a.cx + 1
+      |), ham AS (
+      |  SELECT x.media_id AS id_a, y.media_id AS id_b,
+      |         count(*) FILTER (x.bit != y.bit)::bigint AS hamming
+      |  FROM bits x JOIN bits y
+      |    ON x.cy = y.cy AND x.cx = y.cx AND x.media_id < y.media_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id").as("media_id"))
+    val offset = when(col("media_id") % 2 === 1 &&
+        expr("media_id DIV 2") % 2 === 0, lit(1L)).otherwise(lit(0L))
+    val media = graft.multimodal.Multimodal.stripeImages(
+      ids, "media_id", 36, 16,
+      pattern = Some(expr("media_id DIV 2")), offset = Some(offset),
+      ySlope = 5, xSlope = Some(expr("3 + media_id DIV 2")))
+    val hashes = graft.multimodal.Multimodal.imageDHash(media, gw = 8, gh = 8)
+      .toDF()
+    Dedup.hammingPairs64(hashes, "media_id", "dhash", maxDist = 3, chunks = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   // q22_skew_salted — the skew toolkit doing real work: a salted join
   // (events ⋈ nation on a deliberately low-cardinality key — every row
   // of a 100 TB fact table hitting 25 keys is the pathological shape)
@@ -2843,6 +2899,50 @@ object Queries {
   ) { (s, dir) =>
     graft.operators.TextAnalysis.shingleNovelty(
         t(s, dir, "documents"), "doc_id", "text", shingleN = 3)
+      .orderBy("doc_id")
+  }
+
+  // tq10_line_dedup — CCNet-style boilerplate line removal: drop every
+  // line occurring in >1 distinct documents, reassemble the survivors
+  // in order. The corpus has no newlines, so the gate first synthesizes
+  // deterministic 8-token lines (replayed identically in the oracle) —
+  // the duplicated documents the dedup queries find guarantee a
+  // non-trivial boilerplate set (328 of 3609 lines drop at sf0.01).
+  register(
+    "tq10_line_dedup",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), lines AS (
+      |  SELECT doc_id, i AS pos, array_to_string(tk[(i*8+1):(i*8+8)], ' ') AS line
+      |  FROM toks, unnest(range((len(tk)+7)//8)) AS t(i)
+      |  WHERE len(tk) > 0
+      |), f AS (
+      |  SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1
+      |), flagged AS (
+      |  SELECT l.doc_id, l.pos, l.line, (d.df > 1) AS dropped
+      |  FROM lines l JOIN f d USING (line)
+      |)
+      |SELECT doc_id,
+      |       coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+      |                           chr(10) ORDER BY pos), '') AS clean_text,
+      |       count(*) FILTER (NOT dropped)::bigint AS n_lines_kept,
+      |       count(*) FILTER (dropped)::bigint AS n_lines_dropped
+      |FROM flagged
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val tk = graft.functions.TextFunctions.wsTokens(col("text"))
+    val nChunks = ((size(col("__tk")) + 7) / 8).cast("int")
+    val multiline = t(s, dir, "documents")
+      .select(col("doc_id"), tk.as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col("doc_id"), array_join(
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("__tk"), i * 8 + 1, lit(8)), " ")),
+        "\n").as("text"))
+    graft.operators.TextAnalysis.removeBoilerplateLines(
+        multiline, "doc_id", "text", maxDf = 1)
       .orderBy("doc_id")
   }
 

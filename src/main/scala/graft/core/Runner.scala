@@ -87,6 +87,9 @@ final class PipelineRunner(
     val inputs: Map[String, Any] = Map.empty) {
 
   private var headContext: Option[StepContext] = None
+  // tail pointer: sink drains read the latest context once per pop, and
+  // walking the list from head would be O(stages) per sink on deep chains
+  private var tailContext: Option[StepContext] = None
   @volatile private var stopRequested = false
 
   /** External cancellation (pipeline.stop analog, nexus/pipeline.py:362-382). */
@@ -94,16 +97,13 @@ final class PipelineRunner(
 
   def run(root: StageNode): ExecutionLineage = {
     headContext = None
+    tailContext = None
     val sinkQueue = mutable.Stack.empty[StageNode]
     executeTask(Option(root), None, sinkQueue)
     new ExecutionLineage(headContext)
   }
 
-  private def latestContext: Option[StepContext] = {
-    var cur = headContext
-    while (cur.exists(_.next.isDefined)) cur = cur.get.next
-    cur
-  }
+  private def latestContext: Option[StepContext] = tailContext
 
   /** nexus/task.py:1050-1165 — the reference's recursion (one frame per
     * stage, which is why it raises the interpreter recursion limit,
@@ -159,6 +159,7 @@ final class PipelineRunner(
           case Some(p) => ctx.previous = Some(p); p.next = Some(ctx)
           case None    => headContext = Some(ctx)
         }
+        tailContext = Some(ctx)
 
         val switchRequest = dispatch(ctx)
 

@@ -129,21 +129,28 @@ object Multimodal {
   object ImageIoCodec {
     import java.awt.image.BufferedImage
 
-    /** Deterministic test/gate image: a column-stripe pattern where
-      * every pixel in column x has gray g(id, x) = (id*7 + x*11) mod 256
+    /** Deterministic test/gate image: a gradient pattern where pixel
+      * (x, y) has gray g = (id*7 + x*11 + y*ySlope + offset) mod 256
       * stored as r=g=b (TYPE_INT_RGB → PNG is a lossless byte-exact
       * round trip; TYPE_BYTE_GRAY would gamma-convert under getRGB).
-      * Because g has a closed form in (id, x), a SQL oracle can replay
-      * the full real encode→decode→box-filter chain without decoding
-      * anything itself. */
-    def stripePng(mediaId: Long, w: Int, h: Int): Array[Byte] = {
+      * Because g has a closed form in (id, x, y), a SQL oracle can
+      * replay the full real encode→decode→box-filter chain without
+      * decoding anything itself. `offset` shifts brightness (the
+      * near-duplicate knob for perceptual-hash gates); ySlope=0 keeps
+      * the mm5 column-stripe form. */
+    def stripePng(mediaId: Long, w: Int, h: Int,
+        offset: Long = 0L, ySlope: Int = 0,
+        xSlope: Long = 11L): Array[Byte] = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       var x = 0
       while (x < w) {
-        val g = (((mediaId * 7 + x * 11) % 256 + 256) % 256).toInt
-        val rgb = (g << 16) | (g << 8) | g
         var y = 0
-        while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+        while (y < h) {
+          val g = (((mediaId * 7 + x * xSlope + y.toLong * ySlope + offset)
+            % 256 + 256) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          y += 1
+        }
         x += 1
       }
       val out = new java.io.ByteArrayOutputStream()
@@ -202,16 +209,66 @@ object Multimodal {
     * never touch the driver). Pairs with [[decodeImageGrid]] for an
     * end-to-end real encode→decode gate whose expected values have a
     * closed form in (id, x). */
-  def stripeImages(ids: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+  def stripeImages(
+      ids: DataFrame, idCol: String, w: Int, h: Int,
+      pattern: Option[org.apache.spark.sql.Column] = None,
+      offset: Option[org.apache.spark.sql.Column] = None,
+      ySlope: Int = 0,
+      xSlope: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
+    ids.select(col(idCol).cast("long"),
+        pattern.getOrElse(col(idCol)).cast("long"),
+        offset.getOrElse(lit(0L)).cast("long"),
+        xSlope.getOrElse(lit(11L)).cast("long"))
+      .as[(Long, Long, Long, Long)]
       .mapPartitions { it =>
         mapBatches(it, KernelBatchSize) { batch =>
-          batch.iterator.map(id => (id, ImageIoCodec.stripePng(id, w, h)))
+          batch.iterator.map { case (id, pat, off, xs) =>
+            (id, ImageIoCodec.stripePng(pat, w, h, off, ySlope, xs))
+          }
         }
       }
       .toDF("media_id", "bytes")
+  }
+
+  final case class ImageHash(media_id: Long, dhash: Long)
+
+  /** Perceptual image hash (dHash): REAL decode, box-filter the luma
+    * plane to a (gw+1) x gh grid, one bit per horizontal gradient —
+    * bit (r*gw + c) set iff cell(r, c+1) > cell(r, c). Brightness and
+    * contrast shifts preserve gradients, so near-identical images land
+    * within a small Hamming distance; pair them with
+    * `Dedup.hammingPairs64` (pigeonhole banding — never a cartesian).
+    * The image analog of SimHash for text: the dedup operator a
+    * multimodal training corpus needs. Undecodable payloads drop. */
+  def imageDHash(media: DataFrame, gw: Int = 8, gh: Int = 8): Dataset[ImageHash] = {
+    require(gw * gh <= 64, "dHash must fit in 64 bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        mapBatches(it, KernelBatchSize) { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            ImageIoCodec.decode(Option(bytes).getOrElse(Array.empty)).map { img =>
+              val grid = ImageIoCodec.grayGrid(img, gw + 1, gh)
+              var h = 0L
+              var r = 0
+              while (r < gh) {
+                var c = 0
+                while (c < gw) {
+                  if (grid(r * (gw + 1) + c + 1) > grid(r * (gw + 1) + c))
+                    h |= 1L << (r * gw + c)
+                  c += 1
+                }
+                r += 1
+              }
+              ImageHash(id, h)
+            }
+          }
+        }
+      }
   }
 
   /** REAL image decode + box-filter resize through the same batched

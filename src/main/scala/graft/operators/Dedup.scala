@@ -685,23 +685,38 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** Near-dup pairs by SimHash Hamming distance <= maxDist, found by the
-    * pigeonhole trick: split the 64-bit signature into `chunks` bands —
-    * any pair within maxDist (< chunks) collides on at least one intact
-    * band, so candidate generation is again an equi-join on (band,
-    * 16-bit chunk), never a cartesian. */
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist — see
+    * [[hammingPairs64]] for the pigeonhole machinery. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
       chunks: Int = 4,
-      maxBucketInMemory: Int = 10000): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash64(col(textCol)).as("sig"))
+      maxBucketInMemory: Int = 10000): DataFrame =
+    hammingPairs64(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig")),
+      "id", "sig", maxDist, chunks, maxBucketInMemory)
 
+  /** Near-dup pairs over ANY precomputed 64-bit signature column
+    * (SimHash for text, dHash for images, any locality-preserving
+    * fingerprint) by Hamming distance <= maxDist, found by the
+    * pigeonhole trick: split the signature into `chunks` bands — any
+    * pair within maxDist (< chunks) collides on at least one intact
+    * band, so candidate generation is an equi-join on (band, chunk),
+    * never a cartesian. */
+  def hammingPairs64(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxDist: Int = 3,
+      chunks: Int = 4,
+      maxBucketInMemory: Int = 10000): DataFrame = {
+    require(maxDist < chunks,
+      s"pigeonhole needs maxDist < chunks (got $maxDist >= $chunks)")
+    val s0 = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
     val width = 64 / chunks
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = s0.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("sig"), c * width)
           .bitwiseAND(lit((1L << width) - 1)))))
@@ -714,7 +729,7 @@ object Dedup {
     bucketPairs(banded, Seq("band", "chunk"), extraCols = Seq("sig"),
         maxBucketInMemory = maxBucketInMemory)
       .withColumn("hamming",
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
       .dropDuplicates("id_a", "id_b")

@@ -123,6 +123,49 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** CCNet-style boilerplate line removal: drop every line that occurs
+    * in more than `maxDf` distinct documents (navigation chrome, cookie
+    * banners, footers — the lines a crawl repeats everywhere), and
+    * reassemble each document from its surviving lines in original
+    * order. The standard pre-dedup cleanup pass for web corpora.
+    *
+    * Scale shape: one narrow posexplode (lineage cut once — the frame
+    * feeds both the frequency aggregate and the join probe), one
+    * (doc,line)-distinct + per-line aggregate for document frequency,
+    * and a BROADCAST flag join — the boilerplate set is small by
+    * construction (at most total_lines / maxDf distinct lines can
+    * exceed the cap), so the corpus never shuffles for the join. The
+    * per-doc reassembly sorts (pos, line) structs inside the
+    * aggregation buffer (array_sort of a collected list, native
+    * expressions only) — a per-document cost, same contract as any
+    * per-doc text op. Documents whose every line is boilerplate come
+    * back with empty `clean_text`, not silently missing. */
+  def removeBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Long = 1,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep), -1)).as(Seq("__pos", "__line")))
+      .localCheckpoint(false)
+    val boiler = lines.select(col(idCol), col("__line")).distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__line"), lit(true).as("__boiler"))
+    lines.join(broadcast(boiler), Seq("__line"), "left")
+      .withColumn("__drop", coalesce(col("__boiler"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          sort_array(collect_list(when(!col("__drop"),
+            struct(col("__pos"), col("__line"))))).getField("__line"),
+          sep).as("clean_text"),
+        count(when(!col("__drop"), 1)).as("n_lines_kept"),
+        count(when(col("__drop"), 1)).as("n_lines_dropped"))
+  }
+
   /** Gopher/RefinedWeb-style repetition signals per document
     * (cf. reference `nexus/` has no text analytics; this is a
     * training-data-pipeline extension): duplicate-token fraction and the

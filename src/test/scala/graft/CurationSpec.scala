@@ -44,6 +44,17 @@ class CurationSpec extends AnyFunSuite {
     assert(viaFacade == direct)
   }
 
+  test("removeBoilerplate rewrites text in place and keeps other columns") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "keep me\nSHARED", "web"),
+      (2L, "SHARED\nme too", "web")).toDF("doc_id", "text", "source")
+    val out = Curation(docs).removeBoilerplate().df.orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("source")))
+    assert(out.toSeq == Seq((1L, "keep me", "web"), (2L, "me too", "web")))
+  }
+
   test("decontaminate / rebalance / quantile / novelty steps compose") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val n0 = docs.count()

@@ -110,6 +110,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g2.length == 64 && g2.forall(v => v >= 0 && v <= 255))
   }
 
+  test("dHash is brightness-invariant away from wrap columns, order-stable") {
+    // same pattern, +4 brightness: every gradient survives unless a
+    // pixel wraps mod 256 — pick a pattern whose values stay below 252
+    // in the sampled grid? Simpler: exact twins must hash identically,
+    // and hashes must not depend on partitioning.
+    val ids = (0L until 20L).map(i => Tuple1(i))
+    val df = spark.createDataFrame(ids).toDF("media_id")
+    val media = Multimodal.stripeImages(df, "media_id", 36, 16,
+      pattern = Some(expr("media_id DIV 2")), ySlope = 5,
+      xSlope = Some(expr("3 + media_id DIV 2")))
+    val h1 = Multimodal.imageDHash(media).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    // exact twins (same pattern, zero offset) hash identically
+    (0L until 20L by 2).foreach(i => assert(h1(i) == h1(i + 1), s"twins $i"))
+    // different patterns hash apart (Hamming > 3 for at least most)
+    val far = (0L until 18L by 2).count(i =>
+      java.lang.Long.bitCount(h1(i) ^ h1(i + 2)) > 3)
+    assert(far >= 7, s"only $far of 9 non-twin neighbors hash apart")
+    // deterministic across partitionings
+    val h2 = Multimodal.imageDHash(media.repartition(7)).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    assert(h1 == h2)
+    // pure brightness shift with no wrap in any sampled pixel: pattern
+    // id 0 (xSlope 3, ySlope 5) peaks at 3*35+5*15 = 180 < 251, so a
+    // +4 offset wraps nothing and the dHash is bit-identical
+    val base = Multimodal.stripeImages(df.limit(1), "media_id", 36, 16,
+      pattern = Some(lit(0L)), ySlope = 5, xSlope = Some(lit(3L)))
+    val bright = Multimodal.stripeImages(df.limit(1), "media_id", 36, 16,
+      pattern = Some(lit(0L)), offset = Some(lit(4L)), ySlope = 5,
+      xSlope = Some(lit(3L)))
+    assert(Multimodal.imageDHash(base).head().dhash ==
+      Multimodal.imageDHash(bright).head().dhash)
+  }
+
   test("REAL image decode pipeline drops corrupt payloads, keeps the rest") {
     val good = Multimodal.stripeImages(
       Seq(1L, 2L, 3L).toDF("media_id"), "media_id", 32, 16)

@@ -84,4 +84,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(0).getString(3) == "b a" && r(0).getLong(4) == 2L)
     assert(r(1).getString(3) == "c d" && r(1).getLong(4) == 3L)
   }
+
+  test("removeBoilerplateLines drops cross-doc lines, keeps order") {
+    val docs = Seq(
+      (1L, "unique one\nCOOKIE BANNER\nunique two"),
+      (2L, "COOKIE BANNER\nother content\nFOOTER\nother content"),
+      (3L, "FOOTER\nCOOKIE BANNER"), // all boilerplate -> empty, not missing
+      (4L, "solo line")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "unique one\nunique two", 2L, 1L)))
+    // within-doc duplicate of a line no OTHER doc has is KEPT twice,
+    // in original positions (df counts distinct docs, not occurrences)
+    assert(out(1) == ((2L, "other content\nother content", 2L, 2L)))
+    assert(out(2) == ((3L, "", 0L, 2L)))
+    assert(out(3) == ((4L, "solo line", 1L, 0L)))
+    // deterministic across partitionings
+    val again = TextAnalysis.removeBoilerplateLines(
+      docs.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+    // a higher df cap keeps lines under it
+    val relaxed = TextAnalysis.removeBoilerplateLines(
+      docs, "doc_id", "text", maxDf = 2)
+      .orderBy("doc_id").collect()
+    assert(relaxed(2).getString(1) == "FOOTER") // df=2 survives maxDf=2
+  }
 }
