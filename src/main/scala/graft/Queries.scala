@@ -2120,6 +2120,55 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // mm7_image_quality — the dark/flat-image quality gate over the REAL
+  // codec: full-resolution luma sums (integer-exact) per decoded image,
+  // mean derived with SQL rounding, keep = mid-brightness AND enough
+  // min-max contrast. Every 9th image is flat (zero stripe slope —
+  // constant color, zero contrast), so the gate exercises BOTH arms:
+  // flat images reject on contrast, and constant colors outside
+  // [60, 200] reject on brightness too.
+  register(
+    "mm7_image_quality",
+    """WITH img AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 11 END AS slope
+      |  FROM documents
+      |  WHERE doc_id % 3 = 0 AND doc_id < 90
+      |), px AS (
+      |  SELECT media_id, (media_id*7 + x.range*slope) % 256 AS g
+      |  FROM img, range(32) x, range(16) y
+      |), stats AS (
+      |  SELECT media_id,
+      |         sum(g)::bigint AS luma_sum,
+      |         sum(g*g)::bigint AS luma_sumsq,
+      |         min(g)::int AS luma_min,
+      |         max(g)::int AS luma_max
+      |  FROM px GROUP BY 1
+      |)
+      |SELECT media_id, 32 AS width, 16 AS height,
+      |       round(luma_sum / 512.0, 4) AS luma_mean,
+      |       luma_sum, luma_sumsq, luma_min, luma_max,
+      |       (luma_sum / 512.0 BETWEEN 60 AND 200
+      |        AND luma_max - luma_min >= 32) AS keep
+      |FROM stats
+      |ORDER BY media_id""".stripMargin
+  ) { (s, dir) =>
+    val ids = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < 90)
+      .select(col("doc_id").as("media_id"))
+    val media = graft.multimodal.Multimodal.stripeImages(ids, "media_id", 32, 16,
+      xSlope = Some(when(col("media_id") % 9 === 0, 0L).otherwise(11L)))
+    graft.multimodal.Multimodal.imageStats(media).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("luma_sum") / (col("width") * col("height")).cast("double"), 4)
+          .as("luma_mean"),
+        col("luma_sum"), col("luma_sumsq"), col("luma_min"), col("luma_max"),
+        ((col("luma_sum") / (col("width") * col("height")).cast("double"))
+          .between(60, 200) &&
+          col("luma_max") - col("luma_min") >= 32).as("keep"))
+      .orderBy("media_id")
+  }
+
   // q22_skew_salted — the skew toolkit doing real work: a salted join
   // (events ⋈ nation on a deliberately low-cardinality key — every row
   // of a 100 TB fact table hitting 25 keys is the pathological shape)

@@ -129,6 +129,10 @@ object Multimodal {
   object ImageIoCodec {
     import java.awt.image.BufferedImage
 
+    // ImageIO defaults to a DISK-backed stream cache: one temp file per
+    // decode, pure churn for byte-array payloads on a busy executor
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Deterministic test/gate image: a gradient pattern where pixel
       * (x, y) has gray g = (id*7 + x*11 + y*ySlope + offset) mod 256
       * stored as r=g=b (TYPE_INT_RGB → PNG is a lossless byte-exact
@@ -291,6 +295,47 @@ object Multimodal {
                   GridCell(id, img.getWidth, img.getHeight, cy, cx,
                     grid(cy * gridW + cx))))
               }
+          }
+        }
+      }
+  }
+
+  final case class ImageStats(media_id: Long, width: Int, height: Int,
+      luma_sum: Long, luma_sumsq: Long, luma_min: Int, luma_max: Int)
+
+  /** Full-resolution luma statistics per image over the REAL codec —
+    * the standard dark/flat-image quality gate for a multimodal corpus
+    * (filter on mean brightness and min-max contrast before paying for
+    * feature extraction). All outputs are integer-EXACT (sums, not
+    * means — callers derive mean/variance with their own rounding
+    * policy), so they replay bit-for-bit in any engine. Undecodable
+    * payloads drop. */
+  def imageStats(media: DataFrame): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        mapBatches(it, KernelBatchSize) { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            ImageIoCodec.decode(Option(bytes).getOrElse(Array.empty)).map { img =>
+              val w = img.getWidth; val h = img.getHeight
+              var s = 0L; var ss = 0L
+              var mn = 255; var mx = 0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val g = ImageIoCodec.luma(img.getRGB(x, y))
+                  s += g; ss += g.toLong * g
+                  if (g < mn) mn = g
+                  if (g > mx) mx = g
+                  x += 1
+                }
+                y += 1
+              }
+              ImageStats(id, w, h, s, ss, mn, mx)
+            }
           }
         }
       }

@@ -143,10 +143,16 @@ class ResultStore(spark: SparkSession, root: String) {
             !f.getName.startsWith("."))
           .foreach { f =>
             // part-file names carry a per-job UUID, so collisions with
-            // the fresh write don't occur; guard anyway
-            val target = new java.io.File(newDir, f.getName)
-            if (!target.exists())
-              java.nio.file.Files.createLink(target.toPath, f.toPath)
+            // the fresh write don't occur; if one ever does, link under
+            // an alternate name (parquet reads every data file in the
+            // dir regardless of name) — silently skipping would drop
+            // the previous version's rows, and a double collision
+            // fails the commit loudly with the old table intact
+            val target0 = new java.io.File(newDir, f.getName)
+            val target =
+              if (target0.exists()) new java.io.File(newDir, "prev-" + f.getName)
+              else target0
+            java.nio.file.Files.createLink(target.toPath, f.toPath)
           }
         beforeSwapHook()
         flipPointer(schema, version, keepPrevious = Some(prev))

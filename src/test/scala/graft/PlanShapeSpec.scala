@@ -221,6 +221,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("tq10 line dedup: boilerplate flag join broadcasts, corpus never SMJs") {
+    val p = plan("tq10_line_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mm6 image phash: banded Hamming pairs, never a cartesian") {
+    val p = plan("mm6_image_phash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sq6 hybridSearch construction launches no job (IDF count is lazy)") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row

@@ -144,6 +144,17 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.imageDHash(bright).head().dhash)
   }
 
+  test("imageStats is integer-exact: constant image has known sums") {
+    // constant color c = (5*7) % 256 = 35 over 32x16 = 512 px
+    val flat = Multimodal.stripeImages(Seq(Tuple1(5L)).toDF("media_id"),
+      "media_id", 32, 16, xSlope = Some(lit(0L)))
+    val s = Multimodal.imageStats(flat).head()
+    assert(s.luma_sum == 35L * 512)
+    assert(s.luma_sumsq == 35L * 35 * 512)
+    assert(s.luma_min == 35 && s.luma_max == 35)
+    assert(s.width == 32 && s.height == 16)
+  }
+
   test("REAL image decode pipeline drops corrupt payloads, keeps the rest") {
     val good = Multimodal.stripeImages(
       Seq(1L, 2L, 3L).toDF("media_id"), "media_id", 32, 16)
