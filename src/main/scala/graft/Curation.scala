@@ -145,6 +145,11 @@ final case class Curation(
 
   /** Terminal: context-window layout (global offset, bin, boundary flag)
     * for the surviving docs, BPE-ish token counts. */
+  /** Terminal: overlapping context-window chunks (window/stride in
+    * tokens) — the long-document training layout. */
+  def chunk(window: Int, stride: Int): DataFrame =
+    Packing.chunkByTokens(df, idCol, textCol, window, stride)
+
   def pack(budget: Long = 4096L): DataFrame =
     Packing.packSequences(
       df.select(col(idCol),

@@ -2849,6 +2849,31 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // pq3_context_chunks — overlapping context-window chunking (window 64,
+  // stride 48): the long-document training shape where every token is
+  // covered and consecutive windows overlap by window - stride. Pure
+  // projection + explode, zero shuffles (PlanShapeSpec-pinned).
+  register(
+    "pq3_context_chunks",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, k.range::int AS chunk_no,
+      |         array_to_string(tk[(k.range*48+1):(k.range*48+64)], ' ') AS chunk_text,
+      |         least(64, len(tk) - k.range*48)::int AS n_tokens
+      |  FROM toks, unnest(range((len(tk)-1)//48 + 1)) AS k(range)
+      |  WHERE len(tk) > 0
+      |)
+      |SELECT doc_id, chunk_no, chunk_text, n_tokens
+      |FROM c
+      |ORDER BY doc_id, chunk_no""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Packing.chunkByTokens(
+        t(s, dir, "documents"), "doc_id", "text", window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_no")
+  }
+
   // q32_training_export — the export pipeline through the Pointy DSL:
   // dedup |-> repetition gate (conditional) |-> sequence packing |->
   // per-split export summary. The oracle replays every stage in SQL —

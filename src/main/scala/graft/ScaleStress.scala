@@ -150,6 +150,29 @@ object ScaleStress {
     println(s"STRESS chain_cc_labelprop refused=$labelPropRefused " +
       "(O(diameter) rounds, correctly rejects the 20-round budget)")
     require(labelPropRefused)
+    // line-level boilerplate removal at 4x: the cross-replica duplicate
+    // docs make every replicated line boilerplate, so the broadcast
+    // flag-join path carries a large drop set
+    def withLines(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), regexp_replace(col("text"),
+        "((\\S+\\s+){7}\\S+)\\s+", "$1\n").as("text"))
+    time("line_dedup_1x")(operators.TextAnalysis.removeBoilerplateLines(
+      withLines(dup(1)), "doc_id", "text").count())
+    time("line_dedup_4x")(operators.TextAnalysis.removeBoilerplateLines(
+      withLines(dup(4)), "doc_id", "text").count())
+    // perceptual image dedup over 2000 real PNG decodes: twins by
+    // construction (pattern = id/2), banded Hamming join
+    val imgIds = spark.range(2000).select(col("id").as("media_id"))
+    val media2k = multimodal.Multimodal.stripeImages(
+      imgIds, "media_id", 36, 16,
+      pattern = Some(expr("media_id DIV 2")), ySlope = 5,
+      xSlope = Some(expr("3 + media_id DIV 2")))
+    time("image_phash_2k")(operators.Dedup.hammingPairs64(
+      multimodal.Multimodal.imageDHash(media2k).toDF(),
+      "media_id", "dhash", maxDist = 3, chunks = 4).count())
+    // context chunking at 4x: zero-shuffle projection must scale flat
+    time("chunking_4x")(operators.Packing.chunkByTokens(
+      dup(4), "doc_id", "text", window = 64, stride = 48).count())
     spark.stop()
   }
 }

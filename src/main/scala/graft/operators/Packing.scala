@@ -91,6 +91,39 @@ object Packing {
     * Precondition: `orderCol` values are unique (a hash with the id
     * mixed in) — equal keys may split across range-partition boundaries,
     * which would make their relative ranks partition-dependent. */
+  /** Overlapping context-window chunking: split each document's token
+    * stream into windows of `window` tokens starting every `stride`
+    * tokens (stride < window → overlap, the standard long-document
+    * training shape). One row in, ceil(n/stride) rows out.
+    *
+    * Scale shape: a pure projection + explode — ZERO shuffles, no
+    * state, embarrassingly parallel (PlanShapeSpec pins the
+    * no-exchange plan). Chunk k of a doc with n tokens covers tokens
+    * [k*stride, min(k*stride + window, n)); every token is covered and
+    * the final partial window is kept. Empty documents produce no
+    * chunks. */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window (got window=$window stride=$stride)")
+    val tk = graft.functions.TextFunctions.wsTokens(col(textCol))
+    df.select(col(idCol), tk.as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col(idCol), col("__tk"),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("__tk")) - 1) / stride).cast("int")),
+          k => array_join(slice(col("__tk"), k * stride + 1, lit(window)), " "))))
+      .select(col(idCol),
+        col("pos").as("chunk_no"),
+        col("col").as("chunk_text"),
+        least(lit(window), size(col("__tk")) - col("pos") * stride)
+          .as("n_tokens"))
+  }
+
   def globalRank(
       df: DataFrame,
       orderCol: String,

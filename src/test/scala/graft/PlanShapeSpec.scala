@@ -221,6 +221,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("pq3 context chunking is a pure projection — zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val df = graft.operators.Packing.chunkByTokens(
+      docs, "doc_id", "text", window = 64, stride = 48)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
   test("tq10 line dedup: boilerplate flag join broadcasts, corpus never SMJs") {
     val p = plan("tq10_line_dedup")
     assert(p.contains("BroadcastHashJoin"), p)

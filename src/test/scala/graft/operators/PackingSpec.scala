@@ -71,4 +71,25 @@ class PackingSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, 0L, 0L, false), (2L, 10L, 1L, false),
       (3L, 10L, 1L, false)))
   }
+
+  test("chunkByTokens covers every token with the documented overlap") {
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6,9: sizes 4,4,4,1
+    val doc = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Packing.chunkByTokens(doc, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("chunk_no")
+      .collect().map(x => (x.getInt(1), x.getString(2), x.getInt(3)))
+    assert(r.toSeq == Seq(
+      (0, "t0 t1 t2 t3", 4),
+      (1, "t3 t4 t5 t6", 4),
+      (2, "t6 t7 t8 t9", 4),
+      (3, "t9", 1)))
+    // empty docs produce no chunks; stride == window means no overlap
+    val two = Seq((1L, ""), (2L, "a b c d")).toDF("doc_id", "text")
+    val r2 = Packing.chunkByTokens(two, "doc_id", "text", 2, 2)
+      .collect().map(x => (x.getLong(0), x.getString(2)))
+    assert(r2.toSeq == Seq((2L, "a b"), (2L, "c d")))
+    intercept[IllegalArgumentException](
+      Packing.chunkByTokens(two, "doc_id", "text", window = 2, stride = 3))
+  }
 }
