@@ -2169,6 +2169,46 @@ object Queries {
       .orderBy("media_id")
   }
 
+  // q33_media_curation — the multimodal pipeline composed through the
+  // Pointy DSL: real PNG encode → decode-based quality gate (contrast)
+  // → perceptual-hash dedup → lowest-id survivors. The oracle replays
+  // the closed-form pixels through the same gate, box filter, gradient
+  // bits, and brute-force pairing — the full chain, not one stage.
+  register(
+    "q33_media_curation",
+    """WITH img AS (
+      |  SELECT doc_id AS media_id, doc_id // 2 AS pat,
+      |         CASE WHEN doc_id % 2 = 1 AND (doc_id // 2) % 2 = 0
+      |              THEN 1 ELSE 0 END AS off,
+      |         CASE WHEN (doc_id // 2) % 5 = 0 THEN 0
+      |              ELSE 3 + doc_id // 2 END AS slope
+      |  FROM documents WHERE doc_id < 100
+      |), px AS (
+      |  SELECT media_id, x.range AS x, y.range AS y,
+      |         (pat*7 + x.range*slope + y.range*5 + off) % 256 AS g
+      |  FROM img, range(36) x, range(16) y
+      |), kept AS (
+      |  SELECT media_id FROM px GROUP BY 1 HAVING max(g) - min(g) >= 100
+      |), cells AS (
+      |  SELECT p.media_id, (y // 2)::int AS cy, (x // 4)::int AS cx,
+      |         sum(g) // 8 AS gray
+      |  FROM px p JOIN kept k USING (media_id) GROUP BY 1, 2, 3
+      |), bits AS (
+      |  SELECT a.media_id, a.cy, a.cx, (b.gray > a.gray) AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.media_id = b.media_id AND a.cy = b.cy AND b.cx = a.cx + 1
+      |), pairs AS (
+      |  SELECT x.media_id AS id_a, y.media_id AS id_b
+      |  FROM bits x JOIN bits y
+      |    ON x.cy = y.cy AND x.cx = y.cx AND x.media_id < y.media_id
+      |  GROUP BY 1, 2
+      |  HAVING count(*) FILTER (x.bit != y.bit) <= 3
+      |)
+      |SELECT media_id FROM kept
+      |WHERE media_id NOT IN (SELECT id_b FROM pairs)
+      |ORDER BY media_id""".stripMargin
+  ) { (s, dir) => MediaPipeline.run(s, dir) }
+
   // q22_skew_salted — the skew toolkit doing real work: a salted join
   // (events ⋈ nation on a deliberately low-cardinality key — every row
   // of a 100 TB fact table hitting 25 keys is the pathological shape)
