@@ -92,4 +92,27 @@ class PackingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Packing.chunkByTokens(two, "doc_id", "text", window = 2, stride = 3))
   }
+
+  test("chunkByTokens covers every token exactly, any doc length") {
+    // docs of every length 1..60 in one pass; chunk k of an n-token doc
+    // must cover exactly tokens [k*stride, min(k*stride + window, n))
+    val docs = (1 to 60).map(n =>
+      (n.toLong, (0 until n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Packing
+      .chunkByTokens(docs, "doc_id", "text", window = 7, stride = 5)
+      .collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    for (n <- 1 to 60) {
+      val cs = byDoc(n.toLong).sortBy(_.getInt(1))
+      assert(cs.length == (n - 1) / 5 + 1, s"chunk count for n=$n")
+      cs.foreach { r =>
+        val k = r.getInt(1)
+        val lo = 5 * k; val hi = math.min(5 * k + 7, n)
+        assert(r.getString(2).split(" ").toSeq ==
+          (lo until hi).map(i => s"w$i"), s"doc $n chunk $k")
+        assert(r.getInt(3) == hi - lo)
+      }
+    }
+  }
 }
