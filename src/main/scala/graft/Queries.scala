@@ -953,6 +953,32 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // dq12_exact_substring — token-sequence substring duplicates (quoted
+  // articles, pages embedded in crawls): candidates from the prefix-
+  // filtered shingle containment index (set containment 1.0 is
+  // NECESSARY for a substring), exact contiguity verified on sentinel-
+  // padded case-folded token streams for candidates only. The oracle
+  // is the brute-force SPECIFICATION — every pair whose normalized
+  // token stream contains the other's, both docs >= 3 tokens — so the
+  // candidate pruning is proven lossless, not just fast.
+  register(
+    "dq12_exact_substring",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id, ' ' || array_to_string(tk, ' ') || ' ' AS s
+      |  FROM toks WHERE len(tk) >= 3
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM n a JOIN n b ON a.doc_id != b.doc_id AND contains(b.s, a.s)
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    Dedup.substringPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   // dq11_decontamination — cross-corpus contamination: training docs
   // that near-contain a benchmark item (every 47th doc plays the
   // benchmark). The benchmark's inverted index broadcasts; the corpus

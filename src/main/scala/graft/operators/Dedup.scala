@@ -344,6 +344,39 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** EXACT substring duplicates: pairs (id_a, id_b) where A's token
+    * sequence appears CONTIGUOUSLY inside B's — quoted articles, pages
+    * embedded in crawls, prompt+completion pairs sharing the prompt.
+    * Shingle-set containment of 1.0 is NECESSARY for a token-substring
+    * (every word n-gram of A occurs in B), so candidates come from the
+    * same prefix-filtered containment index as [[containmentPairs]] and
+    * only surviving candidates ever rejoin their text — the exact
+    * contiguity check never touches the corpus cross-product. The
+    * comparison runs on case-folded, space-normalized token streams
+    * with sentinel padding — the SAME normalization the shingle
+    * candidates use — so token boundaries are respected ("a b" is not
+    * inside "aa bb"). Docs with fewer than `shingleN` tokens have no
+    * shingles and are not detected (same floor as every shingle
+    * operator). */
+  def substringPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val cands = containmentPairs(df, idCol, textCol, shingleN,
+      threshold = 1.0, maxShingleDf = maxShingleDf)
+    val norm = df.select(col(idCol), concat(lit(" "),
+      array_join(
+        graft.functions.TextFunctions.wsTokens(lower(col(textCol))), " "),
+      lit(" ")).as("__norm"))
+    cands
+      .join(norm.select(col(idCol).as("id_a"), col("__norm").as("__na")), "id_a")
+      .join(norm.select(col(idCol).as("id_b"), col("__norm").as("__nb")), "id_b")
+      .filter(col("__nb").contains(col("__na")))
+      .select("id_a", "id_b")
+  }
+
   /** Incremental (streaming) exact dedup against a persisted registry:
     * each micro-batch fingerprints its documents, merges them into the
     * store's (fingerprint → canonical doc_id) table keeping the MINIMUM

@@ -76,6 +76,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!jac.contains((1L, 2L)))    // symmetric Jaccard misses it
   }
 
+  test("substringPairs verifies contiguity — scattered shingles are filtered") {
+    val d = Seq(
+      (1L, "x y z"),                  // contiguous inside 2 (and == 4 lowered)
+      (2L, "a b x y z c d"),
+      (3L, "p q r s"),                // ALL of 3's shingles occur in 5...
+      (5L, "p q r x q r s"),          // ...but never contiguously
+      (4L, "X Y Z"),                  // case-folds to 1's stream
+      (6L, "one two")                 // under the 3-token shingle floor
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // containment candidates include (3,5); contiguity kills it
+    assert(!pairs.contains((3L, 5L)))
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((2L, 1L)))
+    // identical-after-folding docs substring each other both ways
+    assert(pairs.contains((1L, 4L)) && pairs.contains((4L, 1L)))
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+    // sanity: the candidate stage alone would have kept (3,5)
+    val cands = Dedup.containmentPairs(d, "doc_id", "text", threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((3L, 5L)))
+  }
+
   test("crossContainmentPairs catches planted benchmark text, broadcasts the index") {
     val bench = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
