@@ -173,6 +173,11 @@ object ScaleStress {
     // context chunking at 4x: zero-shuffle projection must scale flat
     time("chunking_4x")(operators.Packing.chunkByTokens(
       dup(4), "doc_id", "text", window = 64, stride = 48).count())
+    // exact substring dedup at 4x: cross-replica identical docs are
+    // substrings both ways, so output grows ~quadratically in replicas
+    // while the candidate join stays prefix-pruned
+    time("substring_4x")(operators.Dedup.substringPairs(
+      dup(4), "doc_id", "text").count())
     spark.stop()
   }
 }
