@@ -979,6 +979,44 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // dq13_snapshot_diff — incremental corpus refresh: diff two snapshot
+  // versions by content checksum, emit only the added/removed/changed
+  // work-list. The gate synthesizes old (drops doc_id%10=0), new (drops
+  // %13=0, mutates text for %7=0) from the same table; md5 checksums
+  // replay identically in the oracle (the dq4 fast-vs-oracle
+  // discipline — production uses xxhash64).
+  register(
+    "dq13_snapshot_diff",
+    """WITH o AS (
+      |  SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS ck
+      |  FROM documents WHERE doc_id % 10 != 0
+      |), n AS (
+      |  SELECT doc_id, md5(concat_ws(chr(1),
+      |           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END,
+      |           lang, source)) AS ck
+      |  FROM documents WHERE doc_id % 13 != 0
+      |)
+      |SELECT * FROM (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |         CASE WHEN o.doc_id IS NULL THEN 'added'
+      |              WHEN n.doc_id IS NULL THEN 'removed'
+      |              WHEN o.ck != n.ck THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |) WHERE status != 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val ck = md5(concat_ws("\u0001", col("text"), col("lang"), col("source")))
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val neu = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    graft.operators.Snapshot.diff(old, neu, "doc_id", ck)
+      .orderBy("doc_id")
+  }
+
   // dq11_decontamination — cross-corpus contamination: training docs
   // that near-contain a benchmark item (every 47th doc plays the
   // benchmark). The benchmark's inverted index broadcasts; the corpus
@@ -3084,6 +3122,77 @@ object Queries {
     graft.operators.TextAnalysis.removeBoilerplateLines(
         multiline, "doc_id", "text", maxDf = 1)
       .orderBy("doc_id")
+  }
+
+  // tq11_zipf_profile — corpus-health gate per source: least-squares
+  // Zipf slope over the top-100 token ranks plus type-token ratio.
+  // Ranks tie-break on token; per-rank log terms round to 10dp and
+  // decimal-sum (order-independent); the slope's closed form runs in
+  // double with the operation order written identically on both
+  // engines (the tq8/aq23 discipline).
+  register(
+    "tq11_zipf_profile",
+    """WITH tok AS (
+      |  SELECT source AS grp, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS tok
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT grp, tok, count(*) AS c FROM tok GROUP BY 1, 2
+      |), ttr AS (
+      |  SELECT grp, count(*)::bigint AS n_types, sum(c)::bigint AS n_tokens
+      |  FROM cnt GROUP BY 1
+      |), ranked AS (
+      |  SELECT grp, round(ln(r::double), 10) AS x, round(ln(c::double), 10) AS y
+      |  FROM (SELECT grp, c,
+      |          row_number() OVER (PARTITION BY grp ORDER BY c DESC, tok ASC) AS r
+      |        FROM cnt)
+      |  WHERE r <= 100
+      |), sums AS (
+      |  SELECT grp, count(*)::double AS n,
+      |         round(sum(round(x, 10)::decimal(28,10))::double, 8) AS sx,
+      |         round(sum(round(y, 10)::decimal(28,10))::double, 8) AS sy,
+      |         round(sum(round(x*y, 10)::decimal(28,10))::double, 8) AS sxy,
+      |         round(sum(round(x*x, 10)::decimal(28,10))::double, 8) AS sxx
+      |  FROM ranked GROUP BY 1
+      |)
+      |SELECT s.grp AS source,
+      |       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+      |       t.n_types, t.n_tokens,
+      |       round(t.n_types::double / t.n_tokens, 6) AS ttr
+      |FROM sums s JOIN ttr t USING (grp)
+      |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.zipfProfile(
+        t(s, dir, "documents"), "source", "text", topN = 100)
+      .orderBy("source")
+  }
+
+  // aq23_sample_drift — distribution-drift diagnostic: KL divergence
+  // between a deterministic sample's token distribution and the full
+  // corpus — the check that a curation step did not skew the data.
+  // Per-token terms round to 10dp and decimal-sum (order-independent);
+  // the formula's operation order is written identically on both
+  // engines.
+  register(
+    "aq23_sample_drift",
+    """WITH tp AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS tok
+      |  FROM documents WHERE doc_id % 7 = 0
+      |), tq AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS tok
+      |  FROM documents
+      |), cp AS (SELECT tok, count(*) AS c FROM tp GROUP BY 1),
+      |cq AS (SELECT tok, count(*) AS cq FROM tq GROUP BY 1),
+      |np AS (SELECT sum(c) AS np FROM cp),
+      |nq AS (SELECT sum(cq) AS nq FROM cq)
+      |SELECT round(sum(round((c::double / np) * ln((c::double * nq) / (cq::double * np)), 10)::decimal(28,10))::double, 6) AS kl_nats,
+      |       min(np)::bigint AS n_tokens_p,
+      |       min(nq)::bigint AS n_tokens_q,
+      |       count(*) AS shared_vocab
+      |FROM cp JOIN cq USING (tok) CROSS JOIN np CROSS JOIN nq""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    graft.operators.TextAnalysis.tokenKlDivergence(
+      docs.filter(col("doc_id") % 7 === 0), docs, "text")
   }
 
   // q26_correlated_min — correlated scalar-AGGREGATE subquery (TPC-H

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot lifecycle: diff two versions of a table by content
+  * checksum — the primitive behind incremental corpus refresh (recrawl
+  * vs last snapshot: process only what changed, re-run dedup/curation
+  * incrementally instead of from scratch).
+  *
+  * The reference (`nexus/`) has no snapshot machinery; this is a
+  * training-data-pipeline extension in the spirit of its result-store
+  * versioning (cf. graft.sources.ResultStore's versioned-dir commits,
+  * which give you the two snapshots to diff).
+  */
+object Snapshot {
+
+  /** Row-level diff of two corpus snapshots keyed by `idCol`: emits one
+    * row per id whose membership or content changed — `added` (id only
+    * in `newDf`), `removed` (only in `oldDf`), `changed` (both, but the
+    * content checksum differs). Unchanged ids are filtered out, so the
+    * output is the incremental work-list, not a full copy.
+    *
+    * Scale shape: each side is projected to thin (id, checksum) rows
+    * BEFORE the full-outer join, so the shuffle carries two columns per
+    * row regardless of document width — at 100 TB the join moves ids
+    * and 16-byte hashes, not text. The checksum is computed map-side in
+    * the scan projection (codegen'd, no extra pass). One shuffle per
+    * side, hash-join on id; with both snapshots bucketed by id (the
+    * ResultStore layout) the exchange disappears entirely.
+    *
+    * `checksum` is any deterministic Column over the content columns —
+    * xxhash64(...) for production (fastest, 8 bytes), md5(concat_ws(...))
+    * when the result must be replayable by an external engine (the
+    * dq4 SimHash fast-vs-oracle discipline, Dedup.scala:606).
+    */
+  def diff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      checksum: Column): DataFrame = {
+    val o = oldDf.select(col(idCol), checksum.as("__old_ck"))
+    val n = newDf.select(col(idCol), checksum.as("__new_ck"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__old_ck").isNull, lit("added"))
+          .when(col("__new_ck").isNull, lit("removed"))
+          .when(col("__old_ck") =!= col("__new_ck"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -164,6 +164,113 @@ object TextAnalysis {
           sep).as("clean_text"),
         count(when(!col("__drop"), 1)).as("n_lines_kept"),
         count(when(col("__drop"), 1)).as("n_lines_dropped"))
+  }
+
+  /** Distribution-drift diagnostic: KL(P || Q) between the unigram
+    * token distributions of two corpora — the standard check that a
+    * sampling/filtering step did not skew the data (P = the sample,
+    * Q = the source). Vocabulary is restricted to P's tokens (for a
+    * sample of Q every P-token exists in Q, so no smoothing is needed;
+    * tokens of Q absent from P contribute zero to KL by definition).
+    *
+    * Scale shape: two token-count aggregations (map-side combined,
+    * vocab-sized outputs), their totals as lazy broadcast 1-row
+    * aggregates (no driver action), one vocab-sized join. Each count
+    * frame feeds its total AND the join, so both are lineage-cut once
+    * — vocab-sized, bounded materialization. Per-token terms round to
+    * 10dp and sum as DECIMAL, so the scalar is summation-order
+    * independent and engine-portable (the tq8 discipline).
+    *
+    * Returns one row: (kl_nats, n_tokens_p, n_tokens_q, shared_vocab). */
+  def tokenKlDivergence(
+      p: DataFrame,
+      q: DataFrame,
+      textCol: String): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(TextFunctions.wsTokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val cp = counts(p)
+    val cq = counts(q)
+    val np = broadcast(cp.agg(sum(col("c")).as("np")))
+    val nq = broadcast(cq.agg(sum(col("c")).as("nq")))
+    cp.join(cq.select(col("tok"), col("c").as("cq")), "tok")
+      .crossJoin(np).crossJoin(nq)
+      .select(
+        // operation order matches the SQL oracle exactly — IEEE double
+        // arithmetic is order-sensitive in the last ulp
+        round((col("c").cast("double") / col("np")) *
+          log((col("c").cast("double") * col("nq")) /
+            (col("cq").cast("double") * col("np"))), 10)
+          .cast("decimal(28,10)").as("__term"),
+        col("c"), col("np"), col("nq"))
+      .agg(
+        round(sum(col("__term")).cast("double"), 6).as("kl_nats"),
+        first(col("np")).as("n_tokens_p"),
+        first(col("nq")).as("n_tokens_q"),
+        count(lit(1)).as("shared_vocab"))
+  }
+
+  /** Corpus-health profile per group: Zipf slope and type-token ratio.
+    * A natural-language corpus follows Zipf's law — log(freq) vs
+    * log(rank) is near-linear with slope ≈ −1; machine-generated or
+    * template-heavy slices deviate sharply, so the slope (fitted by
+    * least squares over the top `topN` tokens) plus the type-token
+    * ratio is the standard "does this slice look like language" gate.
+    *
+    * Scale shape: one (group, token)-count aggregation (map-side
+    * combined, vocab-sized), lineage-cut once because it feeds both the
+    * rank window and the TTR aggregate. The row_number window partitions
+    * by group over the vocab-sized frame — never over the corpus — and
+    * the final join is group-cardinality rows on both sides (broadcast).
+    * Determinism discipline (the tq8/aq23 pattern): ranks tie-break on
+    * token; per-row log terms round to 10dp and sum as DECIMAL (exact,
+    * order-independent); the slope formula then runs in double with an
+    * operation order written identically in the SQL oracle.
+    *
+    * Returns one row per group:
+    * (groupCol, zipf_slope, n_types, n_tokens, ttr). */
+  def zipfProfile(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df
+      .select(col(groupCol).as("__grp"),
+        explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__tok"))
+      .groupBy("__grp", "__tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val ttr = cnt.groupBy("__grp").agg(
+      count(lit(1)).as("n_types"),
+      sum(col("__c")).as("n_tokens"))
+    val dec = (c: Column) => round(c, 10).cast("decimal(28,10)")
+    val ranked = cnt
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("__grp")
+          .orderBy(col("__c").desc, col("__tok").asc)))
+      .filter(col("__r") <= topN)
+      .select(col("__grp"),
+        round(log(col("__r").cast("double")), 10).as("__x"),
+        round(log(col("__c").cast("double")), 10).as("__y"))
+    // exact decimal sums of the rounded per-token terms, then the
+    // closed-form least-squares slope in double — operation order
+    // matches the SQL oracle exactly
+    val sums = ranked.groupBy("__grp").agg(
+      count(lit(1)).cast("double").as("__n"),
+      round(sum(dec(col("__x"))).cast("double"), 8).as("__sx"),
+      round(sum(dec(col("__y"))).cast("double"), 8).as("__sy"),
+      round(sum(dec(col("__x") * col("__y"))).cast("double"), 8).as("__sxy"),
+      round(sum(dec(col("__x") * col("__x"))).cast("double"), 8).as("__sxx"))
+    sums
+      .select(col("__grp"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("zipf_slope"))
+      .join(broadcast(ttr), "__grp")
+      .select(col("__grp").as(groupCol), col("zipf_slope"),
+        col("n_types"), col("n_tokens"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
   }
 
   /** Gopher/RefinedWeb-style repetition signals per document

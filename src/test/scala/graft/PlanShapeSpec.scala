@@ -284,4 +284,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.size == 1 && windows.forall(_.partitionSpec.nonEmpty),
       windows.map(_.toString).mkString("\n"))
   }
+
+  test("dq13 snapshot diff shuffles thin (id, checksum) rows — never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val df = graft.operators.Snapshot.diff(
+      docs, docs.withColumn("text", col("text")), "doc_id",
+      xxhash64(col("text"), col("lang"), col("source")))
+    df.collect()
+    val exchanges = deepNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.nonEmpty) // full-outer join does shuffle...
+    // ...but every exchange carries exactly (id, checksum) — the
+    // checksum collapses map-side, document text never moves
+    exchanges.foreach { e =>
+      assert(e.output.length == 2, e.output.mkString(", "))
+      assert(!e.output.exists(_.name == "text"), e.output.mkString(", "))
+    }
+  }
 }

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("diff classifies added/removed/changed and drops unchanged") {
+    val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val neu = Seq((2L, "y"), (3L, "zz"), (4L, "w")).toDF("id", "v")
+    val r = Snapshot.diff(old, neu, "id", xxhash64(col("v")))
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSeq == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+
+  test("diff of a snapshot against itself is empty") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    assert(Snapshot.diff(df, df, "id", xxhash64(col("v"))).isEmpty)
+  }
+
+  test("multi-column checksum sees a change in any content column") {
+    val old = Seq((1L, "x", "en")).toDF("id", "v", "lang")
+    val neu = Seq((1L, "x", "fr")).toDF("id", "v", "lang")
+    val ck = xxhash64(col("v"), col("lang"))
+    val r = Snapshot.diff(old, neu, "id", ck).collect()
+    assert(r.length == 1 && r(0).getString(1) == "changed")
+  }
+}

@@ -85,6 +85,56 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1).getString(3) == "c d" && r(1).getLong(4) == 3L)
   }
 
+  test("tokenKlDivergence: exactly zero on self, known value on a split") {
+    val docs = Seq((1L, "a a b"), (2L, "a b b c")).toDF("doc_id", "text")
+    val self = TextAnalysis.tokenKlDivergence(docs, docs, "text").head()
+    // ln(1) terms round to exact zero — no float residue
+    assert(self.getDouble(0) == 0.0)
+    assert(self.getLong(1) == 7L && self.getLong(2) == 7L &&
+      self.getLong(3) == 3L)
+    // P = doc 1: p(a)=2/3, p(b)=1/3; Q: counts a=3, b=3, c=1 over 7
+    val kl = TextAnalysis.tokenKlDivergence(
+      docs.filter($"doc_id" === 1), docs, "text").head()
+    val expected = (2.0 / 3) * math.log(2.0 * 7 / (3 * 3)) +
+      (1.0 / 3) * math.log(1.0 * 7 / (3 * 3))
+    assert(math.abs(kl.getDouble(0) - expected) < 1e-5, kl.getDouble(0))
+    assert(kl.getLong(1) == 3L && kl.getLong(2) == 7L && kl.getLong(3) == 2L)
+  }
+
+  test("zipfProfile: exact slope and TTR on a known distribution") {
+    // one group, counts a=4 b=2 c=1 -> ranks 1,2,3
+    val docs = Seq((1L, "s1", "a a b c"), (2L, "s1", "a a b"))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.zipfProfile(docs, "source", "text").head()
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getString(0) == "s1")
+    assert(math.abs(r.getDouble(1) - slope) < 1e-5, r.getDouble(1))
+    assert(r.getLong(2) == 3L && r.getLong(3) == 7L)
+    assert(math.abs(r.getDouble(4) - 3.0 / 7) < 1e-5)
+  }
+
+  test("zipfProfile: topN cuts the fit, groups stay independent") {
+    val docs = Seq(
+      (1L, "s1", "a a a a b b c"), // fit over top-2: a(4),b(2)
+      (2L, "s2", "x y")            // uniform counts, tie-break on token
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.zipfProfile(docs, "source", "text", topN = 2)
+      .orderBy("source").collect()
+    // s1 slope over (ln1,ln4),(ln2,ln2): exact two-point slope
+    val s1 = (math.log(2) - math.log(4)) / (math.log(2) - math.log(1))
+    assert(math.abs(r(0).getDouble(1) - s1) < 1e-5)
+    assert(r(0).getLong(2) == 3L && r(0).getLong(3) == 7L)
+    // s2: both counts 1 -> ys all 0 -> slope 0; ttr = 2/2
+    assert(r(1).getDouble(1) == 0.0)
+    assert(r(1).getDouble(4) == 1.0)
+  }
+
   test("removeBoilerplateLines drops cross-doc lines, keeps order") {
     val docs = Seq(
       (1L, "unique one\nCOOKIE BANNER\nunique two"),
