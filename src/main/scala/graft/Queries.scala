@@ -2978,6 +2978,41 @@ object Queries {
       .orderBy("doc_id", "chunk_no")
   }
 
+  // pq4_length_buckets — length-bucketed batching profile: smallest
+  // power-of-two-ish cap holding each doc, per-bucket padding waste and
+  // truncation counts. All-integer until the final rounded ratio; the
+  // only shuffle is the bucket-key aggregate (cardinality = #caps).
+  register(
+    "pq4_length_buckets",
+    """WITH n AS (
+      |  SELECT len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n
+      |  FROM documents
+      |), b0 AS (
+      |  SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+      |                 WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+      |                 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+      |                 ELSE 1024 END AS bucket_cap
+      |  FROM n WHERE n > 0
+      |), b AS (
+      |  SELECT bucket_cap, least(n, bucket_cap) AS kept,
+      |         greatest(n - bucket_cap, 0) AS cut
+      |  FROM b0
+      |)
+      |SELECT bucket_cap,
+      |       count(*)::bigint AS n_docs,
+      |       sum(kept)::bigint AS n_tokens,
+      |       sum(bucket_cap - kept)::bigint AS n_pad,
+      |       round(sum(bucket_cap - kept)::double /
+      |             (count(*)::double * bucket_cap::double), 6) AS pad_frac,
+      |       count(*) FILTER (cut > 0)::bigint AS n_docs_truncated,
+      |       sum(cut)::bigint AS n_tokens_truncated
+      |FROM b GROUP BY bucket_cap
+      |ORDER BY bucket_cap""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Packing.lengthBuckets(t(s, dir, "documents"), "text")
+      .orderBy("bucket_cap")
+  }
+
   // q32_training_export — the export pipeline through the Pointy DSL:
   // dedup |-> repetition gate (conditional) |-> sequence packing |->
   // per-split export summary. The oracle replays every stage in SQL —
@@ -3164,6 +3199,38 @@ object Queries {
     graft.operators.TextAnalysis.zipfProfile(
         t(s, dir, "documents"), "source", "text", topN = 100)
       .orderBy("source")
+  }
+
+  // tq12_vocab_coverage — tokenizer-prep: top-100 vocabulary with each
+  // token's cumulative corpus coverage. Top-N is orderBy+limit
+  // (TakeOrderedAndProject, no global vocab sort); the cumulative
+  // window runs over the 100 selected rows only. Integer-exact until
+  // the final division.
+  register(
+    "tq12_vocab_coverage",
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS token
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT token, count(*) AS n_occurrences FROM tok GROUP BY 1
+      |), tot AS (SELECT sum(n_occurrences) AS total FROM cnt),
+      |top AS (
+      |  SELECT * FROM (
+      |    SELECT token, n_occurrences,
+      |           row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+      |    FROM cnt)
+      |  WHERE rank <= 100
+      |)
+      |SELECT rank, token, n_occurrences,
+      |       round((sum(n_occurrences) OVER (ORDER BY rank
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::double
+      |             / total, 6) AS cum_coverage
+      |FROM top CROSS JOIN tot
+      |ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.vocabCoverage(
+        t(s, dir, "documents"), "text", topN = 100)
+      .orderBy("rank")
   }
 
   // aq23_sample_drift — distribution-drift diagnostic: KL divergence

@@ -124,6 +124,48 @@ object Packing {
           .as("n_tokens"))
   }
 
+  /** Length-bucketed batching profile: assign each document to the
+    * smallest capacity bucket that holds its token count, and report
+    * per-bucket padding economics — the standard pre-flight for bucketed
+    * (pad-to-bucket) training/inference batching, where padding waste is
+    * compute burned on pad tokens. Documents longer than the largest cap
+    * land in that cap's bucket truncated (tokens beyond the cap counted
+    * as `n_tokens_truncated`); empty documents are excluded (a batcher
+    * never schedules them).
+    *
+    * Scale shape: the token count and bucket are per-row projections
+    * (codegen'd, no data movement); the only shuffle is the final
+    * aggregate on the bucket key — cardinality = number of caps, with
+    * map-side partials. All-integer arithmetic until the final rounded
+    * ratios, so the result is engine-exact. */
+  def lengthBuckets(
+      df: DataFrame,
+      textCol: String,
+      caps: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024)): DataFrame = {
+    require(caps.nonEmpty && caps == caps.sorted && caps == caps.distinct,
+      s"caps must be ascending and distinct (got $caps)")
+    val n = size(graft.functions.TextFunctions.wsTokens(col(textCol)))
+    val bucket = caps.init.foldRight(lit(caps.last)) { (cap, rest) =>
+      when(col("__n") <= cap, lit(cap)).otherwise(rest)
+    }
+    df.select(n.as("__n"))
+      .filter(col("__n") > 0)
+      .select(bucket.as("bucket_cap"), col("__n"))
+      .select(col("bucket_cap"),
+        least(col("__n"), col("bucket_cap")).as("__kept"),
+        greatest(col("__n") - col("bucket_cap"), lit(0)).as("__cut"))
+      .groupBy("bucket_cap")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__kept")).as("n_tokens"),
+        sum(col("bucket_cap") - col("__kept")).as("n_pad"),
+        round(sum(col("bucket_cap") - col("__kept")).cast("double") /
+          (count(lit(1)) * col("bucket_cap").cast("double")).cast("double"), 6)
+          .as("pad_frac"),
+        count(when(col("__cut") > 0, 1)).as("n_docs_truncated"),
+        sum(col("__cut")).as("n_tokens_truncated"))
+  }
+
   def globalRank(
       df: DataFrame,
       orderCol: String,

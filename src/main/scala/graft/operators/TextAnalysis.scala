@@ -273,6 +273,48 @@ object TextAnalysis {
         round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
   }
 
+  /** Tokenizer-training pre-flight: the top-`topN` vocabulary by corpus
+    * frequency with each token's cumulative corpus coverage — "how much
+    * of the corpus does an N-token vocab explain" is the curve that
+    * sizes a tokenizer's vocab (and flags template-heavy corpora, where
+    * a tiny vocab covers nearly everything).
+    *
+    * Scale shape: one (token)-count aggregation (map-side combined,
+    * vocab-sized), lineage-cut once because it feeds both the corpus
+    * total and the top-N selection. The top-N is orderBy+limit —
+    * Spark plans TakeOrderedAndProject (per-partition heaps + merge),
+    * NOT a global sort of the vocabulary. The unpartitioned cumulative
+    * window then runs over the ≤topN selected rows only — a bounded
+    * frame, same contract as any driver-sized result. Counts stay
+    * integer-exact until the single final division.
+    *
+    * Returns (rank, token, n_occurrences, cum_coverage), rank 1..topN
+    * tie-broken on token. */
+  def vocabCoverage(
+      df: DataFrame,
+      textCol: String,
+      topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df
+      .select(explode(TextFunctions.wsTokens(lower(col(textCol))))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .localCheckpoint(false)
+    val total = broadcast(cnt.agg(sum(col("n_occurrences")).as("__total")))
+    val top = cnt
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(topN)
+    val w = Window.orderBy(col("n_occurrences").desc, col("token").asc)
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("n_occurrences"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(total)
+      .select(col("rank"), col("token"), col("n_occurrences"),
+        round(col("__cum").cast("double") / col("__total"), 6)
+          .as("cum_coverage"))
+  }
+
   /** Gopher/RefinedWeb-style repetition signals per document
     * (cf. reference `nexus/` has no text analytics; this is a
     * training-data-pipeline extension): duplicate-token fraction and the

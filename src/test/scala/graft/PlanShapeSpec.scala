@@ -285,6 +285,11 @@ class PlanShapeSpec extends AnyFunSuite {
       windows.map(_.toString).mkString("\n"))
   }
 
+  test("tq12 vocab top-N is TakeOrderedAndProject — no global vocab sort") {
+    val p = plan("tq12_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("dq13 snapshot diff shuffles thin (id, checksum) rows — never text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.functions.{col, xxhash64}

@@ -115,4 +115,33 @@ class PackingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("lengthBuckets: exact padding economics, truncation, empty-doc drop") {
+    def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10)),   // bucket 16, pad 6
+      (2L, words(16)),   // bucket 16, pad 0 (boundary stays in-cap)
+      (3L, words(40)),   // bucket 64, pad 24
+      (4L, words(2000)), // bucket 1024, truncated 976
+      (5L, "")           // empty: excluded entirely
+    ).toDF("doc_id", "text")
+    val r = Packing.lengthBuckets(docs, "text").orderBy("bucket_cap")
+      .collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getLong(5), x.getLong(6)))
+    assert(r.toSeq == Seq(
+      (16, 2L, 26L, 6L, 6.0 / 32, 0L, 0L),
+      (64, 1L, 40L, 24L, 0.375, 0L, 0L),
+      (1024, 1L, 1024L, 0L, 0.0, 1L, 976L)))
+  }
+
+  test("lengthBuckets rejects unsorted or duplicate caps") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Packing.lengthBuckets(docs, "text", caps = Seq(32, 16))
+    }
+    intercept[IllegalArgumentException] {
+      Packing.lengthBuckets(docs, "text", caps = Seq(16, 16))
+    }
+  }
 }

@@ -135,6 +135,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1).getDouble(4) == 1.0)
   }
 
+  test("vocabCoverage: exact ranks, counts, cumulative coverage") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c A")).toDF("doc_id", "text")
+    // case-folded counts: a=4, b=2, c=1; total 7
+    val r = TextAnalysis.vocabCoverage(docs, "text", topN = 2)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (1L, "a", 4L, math.rint(4.0 / 7 * 1e6) / 1e6),
+      (2L, "b", 2L, math.rint(6.0 / 7 * 1e6) / 1e6)))
+  }
+
   test("removeBoilerplateLines drops cross-doc lines, keeps order") {
     val docs = Seq(
       (1L, "unique one\nCOOKIE BANNER\nunique two"),
