@@ -683,10 +683,11 @@ object Queries {
   /** Shared oracle CTE body: exact word-3-gram Jaccard pairs >= t via
     * inverted index (the ground truth both dedup paths must reproduce).
     * Exposes a final `dup(id_a, id_b, jaccard)` CTE. */
-  private def jaccardPairsCtes(threshold: Double): String =
+  private def jaccardPairsCtes(
+      threshold: Double, docsWhere: String = ""): String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS tk
-       |  FROM documents
+       |  FROM documents $docsWhere
        |), sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
@@ -1015,6 +1016,29 @@ object Queries {
           .otherwise(col("text")))
     graft.operators.Snapshot.diff(old, neu, "doc_id", ck)
       .orderBy("doc_id")
+  }
+
+  // dq14_jaccard_histogram — threshold-calibration curve: the histogram
+  // of exact pairwise Jaccard at J >= 0.7 that picks a dedup threshold,
+  // computed over a deterministic half-sample — exactly how a 100 TB
+  // run calibrates (the curve's shape is what matters; a hash-sample
+  // preserves it at a fraction of the candidate volume). Bucket =
+  // floor(10*J + 1e-6) on the 4dp-rounded J (the epsilon only absorbs
+  // binary representation error); the pair set collapses to a
+  // <=11-row histogram, never collected.
+  register(
+    "dq14_jaccard_histogram",
+    s"""WITH ${jaccardPairsCtes(0.7, "WHERE doc_id % 2 = 0")}
+       |SELECT (floor(jaccard * 10 + 0.000001)::int / 10.0) AS bucket_lo,
+       |       count(*) AS n_pairs
+       |FROM dup
+       |GROUP BY 1
+       |ORDER BY bucket_lo""".stripMargin
+  ) { (s, dir) =>
+    Dedup.jaccardHistogram(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", shingleN = 3, minJaccard = 0.7)
+      .orderBy("bucket_lo")
   }
 
   // dq11_decontamination — cross-corpus contamination: training docs
@@ -3231,6 +3255,48 @@ object Queries {
     graft.operators.TextAnalysis.vocabCoverage(
         t(s, dir, "documents"), "text", topN = 100)
       .orderBy("rank")
+  }
+
+  // tq13_quality_model — model-based quality filtering: fixed linear
+  // model over the tq2 feature set, sigmoid score, keep-gate at 0.5 —
+  // the fastText-classifier stage as a pure codegen projection. Logit
+  // rounds to 10dp pre-sigmoid, score to 6dp; mean token length to 6dp
+  // before entering the logit; the logit's operation order is written
+  // identically on both engines.
+  register(
+    "tq13_quality_model",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         length(text)::double AS n_chars,
+      |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+      |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ltoks,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(ltoks) = 0 THEN 0.0
+      |              ELSE len(list_filter(ltoks, x -> list_contains(['the','a','an','of','to','and','in','is','that','it'], x)))::double / len(ltoks) END AS stop_ratio,
+      |         round(CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE list_sum(list_transform(toks, x -> len(x)::double)) / len(toks) END, 6) AS mtl,
+      |         CASE WHEN n_chars = 0 THEN 0.0
+      |              ELSE (n_punct + n_digit)::double / n_chars END AS noise,
+      |         ln(1.0 + len(toks)::double) AS log_len
+      |  FROM t
+      |), z AS (
+      |  SELECT doc_id,
+      |         round(-2.0 + 4.0*stop_ratio + 0.6*log_len - 6.0*noise + 0.15*mtl, 10) AS zz
+      |  FROM f
+      |), s AS (
+      |  SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS model_score FROM z
+      |)
+      |SELECT doc_id, model_score, model_score >= 0.5 AS keep
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.modelQualityScore(
+        t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
   }
 
   // aq23_sample_drift — distribution-drift diagnostic: KL divergence

@@ -178,6 +178,26 @@ object ScaleStress {
     // while the candidate join stays prefix-pruned
     time("substring_4x")(operators.Dedup.substringPairs(
       dup(4), "doc_id", "text").count())
+    // snapshot diff at 4x: old = 4x corpus, new = same minus every 10th
+    // id, every 7th id's text mutated, plus a fresh 1x replica — the
+    // shuffle carries thin (id, checksum) rows, so time should track the
+    // scan cost, and the delta counts decompose exactly
+    val old4 = dup(4)
+    val new4 = old4.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .union(docs.select((col("doc_id") + lit(9500000)).as("doc_id"),
+        col("text")))
+    time("snapshot_diff_4x")(operators.Snapshot.diff(
+      old4, new4, "doc_id", xxhash64(col("text"))).count())
+    // vocab/zipf at 4x: replication multiplies every token count by 4,
+    // so the coverage curve and slope are replica-invariant while the
+    // count aggregation quadruples — time should grow ~linearly
+    time("vocab_coverage_4x")(operators.TextAnalysis.vocabCoverage(
+      dup(4), "text", topN = 100).count())
+    time("zipf_4x")(operators.TextAnalysis.zipfProfile(
+      dup(4).withColumn("source", (col("doc_id") % 7).cast("string")),
+      "source", "text").count())
     spark.stop()
   }
 }

@@ -262,6 +262,32 @@ object Dedup {
     verifyJaccard(sized, docs, threshold)
   }
 
+  /** Threshold-calibration curve: histogram of exact n-gram Jaccard over
+    * all candidate pairs with J >= `minJaccard` — the distribution a
+    * curation run inspects to PICK its dedup threshold before committing
+    * to one (a cliff in the histogram separates near-dup families from
+    * background similarity). Buckets are [b/10, (b+1)/10) lower bounds;
+    * J = 1.0 lands in its own 1.0 bucket.
+    *
+    * Scale shape: inherits [[ngramJaccardPairs]]'s prefix+length-filtered
+    * candidate generation (lower thresholds prune less — that is
+    * inherent to asking a wider question), then collapses to a ≤11-row
+    * histogram with map-side partial aggregation — the pair set never
+    * collects. The bucket index floors `10*J + 1e-6`: J is already
+    * rounded to 4dp, so the epsilon only absorbs binary representation
+    * error and cannot lift a true 0.X999 into the next bucket. */
+  def jaccardHistogram(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minJaccard: Double = 0.5,
+      maxShingleDf: Option[Int] = None): DataFrame =
+    ngramJaccardPairs(df, idCol, textCol, shingleN, minJaccard, maxShingleDf)
+      .select(floor(col("jaccard") * 10 + 1e-6).cast("int").as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("n_pairs"))
+      .select((col("__b") / 10.0).as("bucket_lo"), col("n_pairs"))
+
   /** Directional containment join: pairs (a, b) where a's shingle set is
     * (near-)contained in b's — |A∩B| / |A| >= t. Catches the
     * quote-with-boilerplate and excerpt-of-larger-doc duplicates that

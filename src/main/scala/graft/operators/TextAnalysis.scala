@@ -315,6 +315,46 @@ object TextAnalysis {
           .as("cum_coverage"))
   }
 
+  /** Model-based quality scoring: a fixed linear model over the
+    * engineered quality features (stopword ratio, log token count,
+    * punctuation+digit noise, mean token length) squashed through a
+    * sigmoid — the relational form of the fastText-classifier filtering
+    * stage every LLM data pipeline runs (GPT-3/LLaMA-style quality
+    * classifiers). Swap the weights for trained ones; the plan shape is
+    * weight-independent.
+    *
+    * Scale shape: a pure per-row projection — no shuffle, no UDF, all
+    * codegen'd built-ins; at 100 TB this is a map-only pass fused into
+    * whatever scan feeds it. Engine-portability discipline: the logit
+    * rounds to 10dp before the sigmoid and the score to 6dp after
+    * (mean token length to 6dp before entering the logit — its list
+    * fold is the one input whose summation order an external engine
+    * could conceivably differ on). */
+  def modelQualityScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bias: Double = -2.0,
+      wStop: Double = 4.0,
+      wLogLen: Double = 0.6,
+      wNoise: Double = -6.0,
+      wMtl: Double = 0.15,
+      keepAt: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions._
+    val txt = col(textCol)
+    val nChars = length(txt).cast("double")
+    val noise = when(nChars === 0, 0.0)
+      .otherwise((punctCount(txt) + digitCount(txt)).cast("double") / nChars)
+    val z = round(
+      lit(bias) + lit(wStop) * wordRatio(txt, stopwords("en")) +
+        lit(wLogLen) * log(lit(1.0) + tokenCount(txt).cast("double")) +
+        lit(wNoise) * noise + lit(wMtl) * round(meanTokenLen(txt), 6), 10)
+    df.select(col(idCol), z.as("__z"))
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 6).as("model_score"))
+      .withColumn("keep", col("model_score") >= keepAt)
+  }
+
   /** Gopher/RefinedWeb-style repetition signals per document
     * (cf. reference `nexus/` has no text analytics; this is a
     * training-data-pipeline extension): duplicate-token fraction and the

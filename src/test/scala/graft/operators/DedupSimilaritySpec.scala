@@ -658,4 +658,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val overlap = (bf & qk).size.toDouble / bf.size
     assert(overlap >= 0.8, s"int8 top-k overlap $overlap vs exact")
   }
+
+  test("jaccardHistogram buckets exact pair similarities") {
+    val d = Seq(
+      (1L, "a b c d e"),  // shingles {abc,bcd,cde}
+      (2L, "a b c d x"),  // {abc,bcd,cdx}: inter 2, union 4 -> J 0.5
+      (3L, "p q r s t"),  // identical pair -> J 1.0
+      (4L, "p q r s t"),
+      (5L, "zz yy xx ww") // shares nothing
+    ).toDF("doc_id", "text")
+    val h = Dedup.jaccardHistogram(d, "doc_id", "text", minJaccard = 0.5)
+      .orderBy("bucket_lo").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(h.toSeq == Seq((0.5, 1L), (1.0, 1L)))
+  }
 }

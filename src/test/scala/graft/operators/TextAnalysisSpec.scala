@@ -146,6 +146,19 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, "b", 2L, math.rint(6.0 / 7 * 1e6) / 1e6)))
   }
 
+  test("modelQualityScore: exact sigmoid on known features, empty-doc gate") {
+    val docs = Seq((1L, "the the the"), (2L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.modelQualityScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: stop_ratio 1.0, mtl 3.0, noise 0, log_len ln(4)
+    val z1 = -2.0 + 4.0 * 1.0 + 0.6 * math.log(4.0) - 0.0 + 0.15 * 3.0
+    assert(math.abs(r(0).getDouble(1) - 1.0 / (1.0 + math.exp(-z1))) < 1e-5)
+    assert(r(0).getBoolean(2))
+    // empty doc: all features zero -> z = bias -> score < 0.5 -> rejected
+    assert(math.abs(r(1).getDouble(1) - 1.0 / (1.0 + math.exp(2.0))) < 1e-5)
+    assert(!r(1).getBoolean(2))
+  }
+
   test("removeBoilerplateLines drops cross-doc lines, keeps order") {
     val docs = Seq(
       (1L, "unique one\nCOOKIE BANNER\nunique two"),
