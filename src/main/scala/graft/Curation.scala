@@ -143,13 +143,44 @@ final case class Curation(
       counted, groupCol, idCol, "__nt", salt, budget).drop("__nt"))
   }
 
-  /** Terminal: context-window layout (global offset, bin, boundary flag)
-    * for the surviving docs, BPE-ish token counts. */
+  /** Keep docs the fixed linear quality model scores >= min — the
+    * classifier-filter stage as a pure per-row predicate (no join, no
+    * shuffle). */
+  def filterModelQuality(min: Double = 0.5): Curation =
+    next(df.filter(TextAnalysis.modelScoreColumn(col(textCol)) >= min))
+
+  /** Terminal: per-group corpus-health profile (Zipf slope, type-token
+    * ratio). */
+  def profileBy(groupCol: String, topN: Int = 100): DataFrame =
+    TextAnalysis.zipfProfile(df, groupCol, textCol, topN)
+
+  /** Terminal: top-N vocabulary with cumulative corpus coverage
+    * (tokenizer sizing). */
+  def vocabCoverage(topN: Int = 100): DataFrame =
+    TextAnalysis.vocabCoverage(df, textCol, topN)
+
+  /** Terminal: KL(this corpus || reference) over unigram distributions —
+    * did the chain skew the data vs `reference`? */
+  def driftVs(reference: DataFrame): DataFrame =
+    TextAnalysis.tokenKlDivergence(df, reference, textCol)
+
+  /** Terminal: exact-Jaccard similarity histogram — the curve that
+    * calibrates a dedup threshold (run on a hash-sample at scale). */
+  def similarityHistogram(minJaccard: Double = 0.7): DataFrame =
+    Dedup.jaccardHistogram(df, idCol, textCol, minJaccard = minJaccard)
+
+  /** Terminal: length-bucket padding economics for batched training. */
+  def lengthBuckets(
+      caps: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024)): DataFrame =
+    Packing.lengthBuckets(df, textCol, caps)
+
   /** Terminal: overlapping context-window chunks (window/stride in
     * tokens) — the long-document training layout. */
   def chunk(window: Int, stride: Int): DataFrame =
     Packing.chunkByTokens(df, idCol, textCol, window, stride)
 
+  /** Terminal: sequence packing (global offset, bin, boundary flag)
+    * for the surviving docs, BPE-ish token counts. */
   def pack(budget: Long = 4096L): DataFrame =
     Packing.packSequences(
       df.select(col(idCol),

@@ -1018,6 +1018,40 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // q34_incremental_refresh — the snapshot machinery end-to-end: prior
+  // per-doc stats + snapshot diff → recompute only added/changed docs,
+  // drop removed, keep the rest. The ORACLE is the full recompute over
+  // the new snapshot — incremental == batch is exactly the invariant
+  // that makes incremental refresh sound.
+  register(
+    "q34_incremental_refresh",
+    """SELECT doc_id,
+      |       len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
+      |       length(text) AS n_chars
+      |FROM (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 != 0
+      |)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.TextFunctions.tokenCount
+    val docs = t(s, dir, "documents")
+    val ck = md5(col("text"))
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val neu = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    def stats(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).as("n_chars"))
+    graft.operators.Snapshot.incrementalRefresh(
+        stats(old), old, neu, "doc_id", ck)(stats)
+      .orderBy("doc_id")
+  }
+
   // dq14_jaccard_histogram — threshold-calibration curve: the histogram
   // of exact pairwise Jaccard at J >= 0.7 that picks a dedup threshold,
   // computed over a deterministic half-sample — exactly how a 100 TB
@@ -3214,7 +3248,7 @@ object Queries {
       |  FROM ranked GROUP BY 1
       |)
       |SELECT s.grp AS source,
-      |       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+      |       round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0.0), 6) AS zipf_slope,
       |       t.n_types, t.n_tokens,
       |       round(t.n_types::double / t.n_tokens, 6) AS ttr
       |FROM sums s JOIN ttr t USING (grp)

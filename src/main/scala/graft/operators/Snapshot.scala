@@ -49,4 +49,33 @@ object Snapshot {
           .otherwise(lit("unchanged")).as("status"))
       .filter(col("status") =!= "unchanged")
   }
+
+  /** Incremental recompute of a deterministic per-row derivation when a
+    * snapshot changes: keep `prior` results for unchanged rows, drop
+    * removed/changed ones, and run `compute` only over the added/changed
+    * rows of `newDf`. For any deterministic row-local `compute`, the
+    * result equals `compute(newDf)` run from scratch — the invariant
+    * the gate oracles (q34) — while touching only the delta.
+    *
+    * Scale shape: [[diff]]'s thin full-outer join finds the delta; the
+    * delta id-sets BROADCAST into an anti-join (prune prior) and a
+    * semi-join (select redo rows), so neither the prior results nor the
+    * new corpus shuffles — the whole refresh is one thin diff plus
+    * map-side work. The broadcast assumes the delta is small relative
+    * to the corpus, which is the regime incremental refresh exists for;
+    * when most of the corpus changed, run `compute(newDf)` directly. */
+  def incrementalRefresh(
+      prior: DataFrame,
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      checksum: Column)(compute: DataFrame => DataFrame): DataFrame = {
+    val delta = diff(oldDf, newDf, idCol, checksum)
+      .localCheckpoint(false) // feeds both id-sets below; diff runs once
+    val stale = delta.filter(col("status") =!= "added").select(idCol)
+    val redo = delta.filter(col("status") =!= "removed").select(idCol)
+    prior.join(broadcast(stale), Seq(idCol), "left_anti")
+      .unionByName(compute(newDf.join(broadcast(redo), Seq(idCol),
+        "left_semi")))
+  }
 }

@@ -262,10 +262,14 @@ object TextAnalysis {
       round(sum(dec(col("__y"))).cast("double"), 8).as("__sy"),
       round(sum(dec(col("__x") * col("__y"))).cast("double"), 8).as("__sxy"),
       round(sum(dec(col("__x") * col("__x"))).cast("double"), 8).as("__sxx"))
+    // a degenerate group (one ranked token) has zero x-variance — the
+    // fit is undefined; emit NULL, not a 0/0 NaN (engines disagree on
+    // NaN hashing)
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
     sums
       .select(col("__grp"),
         round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
-          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          when(den === 0.0, lit(null)).otherwise(den), 6)
           .as("zipf_slope"))
       .join(broadcast(ttr), "__grp")
       .select(col("__grp").as(groupCol), col("zipf_slope"),
@@ -339,9 +343,24 @@ object TextAnalysis {
       wLogLen: Double = 0.6,
       wNoise: Double = -6.0,
       wMtl: Double = 0.15,
-      keepAt: Double = 0.5): DataFrame = {
+      keepAt: Double = 0.5): DataFrame =
+    df.select(col(idCol),
+      modelScoreColumn(col(textCol), bias, wStop, wLogLen, wNoise, wMtl)
+        .as("model_score"))
+      .withColumn("keep", col("model_score") >= keepAt)
+
+  /** The [[modelQualityScore]] sigmoid as a bare Column — lets a
+    * curation chain FILTER on the score without a join (the score is a
+    * per-row expression; re-deriving it is free, joining on it is a
+    * shuffle). */
+  def modelScoreColumn(
+      txt: Column,
+      bias: Double = -2.0,
+      wStop: Double = 4.0,
+      wLogLen: Double = 0.6,
+      wNoise: Double = -6.0,
+      wMtl: Double = 0.15): Column = {
     import graft.functions.TextFunctions._
-    val txt = col(textCol)
     val nChars = length(txt).cast("double")
     val noise = when(nChars === 0, 0.0)
       .otherwise((punctCount(txt) + digitCount(txt)).cast("double") / nChars)
@@ -349,10 +368,7 @@ object TextAnalysis {
       lit(bias) + lit(wStop) * wordRatio(txt, stopwords("en")) +
         lit(wLogLen) * log(lit(1.0) + tokenCount(txt).cast("double")) +
         lit(wNoise) * noise + lit(wMtl) * round(meanTokenLen(txt), 6), 10)
-    df.select(col(idCol), z.as("__z"))
-      .select(col(idCol),
-        round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 6).as("model_score"))
-      .withColumn("keep", col("model_score") >= keepAt)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 
   /** Gopher/RefinedWeb-style repetition signals per document

@@ -91,4 +91,24 @@ class CurationSpec extends AnyFunSuite {
     assert(budgeted.df.count() > 0 && budgeted.df.count() < n0)
     assert(budgeted.df.columns.toSeq == docs.columns.toSeq) // helper dropped
   }
+
+  test("round-5 terminals and model filter agree with their operators") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val n0 = docs.count()
+
+    val kept = Curation(docs).filterModelQuality(0.5)
+    val scored = graft.operators.TextAnalysis
+      .modelQualityScore(docs, "doc_id", "text")
+    assert(kept.df.count() == scored.filter(col("keep")).count())
+    assert(kept.df.columns.toSeq == docs.columns.toSeq)
+
+    assert(Curation(docs).profileBy("source").count() ==
+      docs.select("source").distinct().count())
+    assert(Curation(docs).vocabCoverage(10).count() <= 10)
+    val drift = Curation(docs).driftVs(docs).head()
+    assert(drift.getDouble(0) == 0.0) // KL(corpus || itself) is exactly 0
+    assert(Curation(docs).similarityHistogram(0.7).count() >= 0)
+    val buckets = Curation(docs).lengthBuckets()
+    assert(buckets.agg(sum("n_docs")).head().getLong(0) <= n0)
+  }
 }

@@ -22,6 +22,22 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.diff(df, df, "id", xxhash64(col("v"))).isEmpty)
   }
 
+  test("incrementalRefresh equals full recompute and touches only the delta") {
+    val old = Seq((1L, "a b"), (2L, "c d e"), (3L, "f")).toDF("id", "v")
+    val neu = Seq((2L, "c d e"), (3L, "f g"), (4L, "h i")).toDF("id", "v")
+    def comp(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), length(col("v")).as("len"))
+    var redoRows = -1L
+    val out = Snapshot.incrementalRefresh(
+      comp(old), old, neu, "id", xxhash64(col("v"))) { df =>
+      redoRows = df.count(); comp(df)
+    }
+    assert(out.orderBy("id").collect().toSeq ==
+      comp(neu).orderBy("id").collect().toSeq)
+    // only id 3 (changed) and id 4 (added) were recomputed
+    assert(redoRows == 2L)
+  }
+
   test("multi-column checksum sees a change in any content column") {
     val old = Seq((1L, "x", "en")).toDF("id", "v", "lang")
     val neu = Seq((1L, "x", "fr")).toDF("id", "v", "lang")

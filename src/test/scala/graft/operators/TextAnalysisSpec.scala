@@ -135,6 +135,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1).getDouble(4) == 1.0)
   }
 
+  test("zipfProfile: degenerate single-token group yields NULL slope, not NaN") {
+    val docs = Seq((1L, "s1", "x x x")).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.zipfProfile(docs, "source", "text").head()
+    assert(r.isNullAt(1), r)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 3L)
+  }
+
   test("vocabCoverage: exact ranks, counts, cumulative coverage") {
     val docs = Seq((1L, "a a a b"), (2L, "b c A")).toDF("doc_id", "text")
     // case-folded counts: a=4, b=2, c=1; total 7
