@@ -105,14 +105,17 @@ final case class Curation(
     next(df.withColumn(textCol, TextFunctions.redactPii(col(textCol))))
 
   /** Strip lines occurring in more than `maxDf` docs (CCNet-style
-    * boilerplate removal); the text column is rewritten in place and
-    * fully-boilerplate docs keep an empty string. */
+    * boilerplate removal); the text column is rewritten in place (same
+    * schema, same column ORDER — downstream positional consumers rely
+    * on it) and fully-boilerplate or NULL-text docs keep an empty
+    * string, never vanish. */
   def removeBoilerplate(maxDf: Long = 1, sep: String = "\n"): Curation = {
     val cleaned = TextAnalysis
       .removeBoilerplateLines(df, idCol, textCol, maxDf, sep)
       .select(col(idCol), col("clean_text"))
-    next(df.drop(textCol).join(cleaned, Seq(idCol), "inner")
-      .withColumnRenamed("clean_text", textCol))
+    val joined = df.join(cleaned, Seq(idCol), "inner")
+    next(joined.select(df.columns.map(c =>
+      if (c == textCol) col("clean_text").as(textCol) else col(c)): _*))
   }
 
   /** At most `cap` docs per group, hash-chosen (unbiased draw). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.TextFunctions
-import graft.operators.Sampling
+import graft.operators.{Lineage, Sampling}
 
 /** The end-to-end training-data curation story, composed through the
   * Pointy DSL: the reference's pipeline semantics orchestrating the
@@ -51,7 +51,7 @@ object CurationPipeline {
       // per-micro-batch executions (StreamRunner.runPipelinePerBatch)
       // cannot accumulate pinned cache entries
       val in = ctx.previousContent.get
-        .localCheckpoint(false)
+        .transform(Lineage.cutLazy)
       val keep = TextFunctions.qualityScore(col("text")) >= 0.3
       val kept = in.filter(keep)
       // driver-side health flag: collapsed corpus → failure branch.

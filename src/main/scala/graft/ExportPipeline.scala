@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.TextFunctions
-import graft.operators.{Packing, Sampling, TextAnalysis}
+import graft.operators.{Lineage, Packing, Sampling, TextAnalysis}
 
 /** The training-data EXPORT story, composed through the Pointy DSL —
   * the round-3 operators (repetition gating, sequence packing,
@@ -40,13 +40,13 @@ object ExportPipeline {
     }
 
     reg.register("RepetitionGate") { ctx =>
-      val in = ctx.previousContent.get.localCheckpoint(false)
+      val in = ctx.previousContent.get.transform(Lineage.cutLazy)
       val signals = TextAnalysis.repetitionSignals(in, "doc_id", "text")
         .select(col("doc_id"), col("dup_token_frac"))
       // checkpoint the annotated corpus: the health probe forces it and
       // the downstream packing restarts from the stored blocks instead
       // of replaying the signals join
-      val annotated = in.join(signals, Seq("doc_id")).localCheckpoint(false)
+      val annotated = in.join(signals, Seq("doc_id")).transform(Lineage.cutLazy)
       val keep = col("dup_token_frac") < 0.65
       // one aggregate action computes total and survivors together
       val probe = annotated.agg(

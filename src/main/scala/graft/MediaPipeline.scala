@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
+import graft.operators.Lineage
 
 /** The multimodal curation story composed through the Pointy DSL: REAL
   * image decode (javax.imageio) feeding a quality gate and perceptual
@@ -43,7 +44,7 @@ object MediaPipeline {
         ySlope = 5,
         xSlope = Some(when(expr("media_id DIV 2") % 5 === 0, lit(0L))
           .otherwise(expr("3 + media_id DIV 2"))))
-        .localCheckpoint(false)
+        .transform(Lineage.cutLazy)
     }
 
     reg.registerTransform("QualityGate") { ctx =>
@@ -57,7 +58,7 @@ object MediaPipeline {
     reg.registerTransform("PerceptualDedup") { ctx =>
       val hashes = multimodal.Multimodal.imageDHash(ctx.previousContent.get)
         .toDF()
-        .localCheckpoint(false) // feeds the pair join AND the anti-join
+        .transform(Lineage.cutLazy) // feeds the pair join AND the anti-join
       val pairs = operators.Dedup.hammingPairs64(
         hashes, "media_id", "dhash", maxDist = 3, chunks = 4)
       hashes.join(

@@ -49,7 +49,7 @@ object Packing {
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(idCol)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .transform(Lineage.cutLazy)
 
     // one row per partition -> exclusive prefix offsets, broadcast back
     val partTotals = sorted.groupBy(col("__pid"))
@@ -79,18 +79,6 @@ object Packing {
           expr(s"(start_offset + greatest(n_tokens, 1L) - 1L) div $budget"))
   }
 
-  /** Global 1-based rank by `orderCol` without a global-ordered window —
-    * the same distributed prefix sum as packSequences, counting rows
-    * instead of tokens: range partition on the order key, local
-    * row_number, plus each partition's broadcast row-count offset.
-    *
-    * The canonical use is the deterministic EXPORT SHUFFLE of a training
-    * corpus: order by a salted content hash and the rank is a
-    * reproducible global shuffle position, computed scale-out.
-    *
-    * Precondition: `orderCol` values are unique (a hash with the id
-    * mixed in) — equal keys may split across range-partition boundaries,
-    * which would make their relative ranks partition-dependent. */
   /** Overlapping context-window chunking: split each document's token
     * stream into windows of `window` tokens starting every `stride`
     * tokens (stride < window → overlap, the standard long-document
@@ -166,6 +154,18 @@ object Packing {
         sum(col("__cut")).as("n_tokens_truncated"))
   }
 
+  /** Global 1-based rank by `orderCol` without a global-ordered window —
+    * the same distributed prefix sum as packSequences, counting rows
+    * instead of tokens: range partition on the order key, local
+    * row_number, plus each partition's broadcast row-count offset.
+    *
+    * The canonical use is the deterministic EXPORT SHUFFLE of a training
+    * corpus: order by a salted content hash and the rank is a
+    * reproducible global shuffle position, computed scale-out.
+    *
+    * Precondition: `orderCol` values are unique (a hash with the id
+    * mixed in) — equal keys may split across range-partition boundaries,
+    * which would make their relative ranks partition-dependent. */
   def globalRank(
       df: DataFrame,
       orderCol: String,
@@ -178,7 +178,7 @@ object Packing {
       .repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .transform(Lineage.cutLazy)
 
     val counts = sorted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))

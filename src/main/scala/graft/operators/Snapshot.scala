@@ -39,13 +39,20 @@ object Snapshot {
       newDf: DataFrame,
       idCol: String,
       checksum: Column): DataFrame = {
-    val o = oldDf.select(col(idCol), checksum.as("__old_ck"))
-    val n = newDf.select(col(idCol), checksum.as("__new_ck"))
+    // membership comes from explicit per-side presence flags, NOT from
+    // checksum nullability — a checksum over NULL content is itself NULL
+    // (e.g. md5 of a NULL text) and must not masquerade as absence; the
+    // content compare is null-safe for the same reason (NULL content on
+    // both sides is unchanged, NULL vs non-NULL is changed)
+    val o = oldDf.select(col(idCol), checksum.as("__old_ck"),
+      lit(true).as("__in_old"))
+    val n = newDf.select(col(idCol), checksum.as("__new_ck"),
+      lit(true).as("__in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__old_ck").isNull, lit("added"))
-          .when(col("__new_ck").isNull, lit("removed"))
-          .when(col("__old_ck") =!= col("__new_ck"), lit("changed"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(!(col("__old_ck") <=> col("__new_ck")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
       .filter(col("status") =!= "unchanged")
   }
@@ -71,7 +78,7 @@ object Snapshot {
       idCol: String,
       checksum: Column)(compute: DataFrame => DataFrame): DataFrame = {
     val delta = diff(oldDf, newDf, idCol, checksum)
-      .localCheckpoint(false) // feeds both id-sets below; diff runs once
+      .transform(Lineage.cutLazy) // feeds both id-sets below; diff runs once
     val stale = delta.filter(col("status") =!= "added").select(idCol)
     val redo = delta.filter(col("status") =!= "removed").select(idCol)
     prior.join(broadcast(stale), Seq(idCol), "left_anti")

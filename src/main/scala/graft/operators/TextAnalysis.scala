@@ -66,7 +66,7 @@ object TextAnalysis {
       shingleN: Int = 3): org.apache.spark.sql.DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"),
       explode(Dedup.shingleSet(col(textCol), shingleN)).as("shingle"))
-      .localCheckpoint(false)
+      .transform(Lineage.cutLazy)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
     sh.join(freq, "shingle")
       .groupBy("doc_id")
@@ -108,7 +108,7 @@ object TextAnalysis {
       explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__tok"))
       .groupBy(col(idCol), col("__tok"))
       .agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(false)
+      .transform(Lineage.cutLazy)
     val counts = tf.groupBy("__tok").agg(sum(col("__tf")).as("__c"))
     val total = counts.agg(sum(col("__c")).as("__n_total"))
     tf
@@ -132,29 +132,35 @@ object TextAnalysis {
     * Scale shape: one narrow posexplode (lineage cut once — the frame
     * feeds both the frequency aggregate and the join probe), one
     * (doc,line)-distinct + per-line aggregate for document frequency,
-    * and a BROADCAST flag join — the boilerplate set is small by
-    * construction (at most total_lines / maxDf distinct lines can
-    * exceed the cap), so the corpus never shuffles for the join. The
-    * per-doc reassembly sorts (pos, line) structs inside the
-    * aggregation buffer (array_sort of a collected list, native
-    * expressions only) — a per-document cost, same contract as any
-    * per-doc text op. Documents whose every line is boilerplate come
-    * back with empty `clean_text`, not silently missing. */
+    * and a flag join, BROADCAST by default. The broadcast is right when
+    * the boilerplate set is chrome-sized (the common crawl case), but it
+    * is NOT bounded by construction — at most total_distinct_lines /
+    * (maxDf + 1) lines can exceed the cap, which at maxDf = 1 is half
+    * the distinct lines (e.g. a corpus of mirrored page pairs). Pass
+    * `broadcastFlags = false` there: the flag join becomes a shuffle
+    * join on the line key instead of a driver collect. The per-doc
+    * reassembly sorts (pos, line) structs inside the aggregation buffer
+    * (array_sort of a collected list, native expressions only) — a
+    * per-document cost, same contract as any per-doc text op. Documents
+    * whose every line is boilerplate come back with empty `clean_text`,
+    * and NULL text is treated as empty — never silently missing. */
   def removeBoilerplateLines(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDf: Long = 1,
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n",
+      broadcastFlags: Boolean = true): DataFrame = {
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol),
+      posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep), -1)).as(Seq("__pos", "__line")))
-      .localCheckpoint(false)
+      .transform(Lineage.cutLazy)
     val boiler = lines.select(col(idCol), col("__line")).distinct()
       .groupBy("__line").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
       .select(col("__line"), lit(true).as("__boiler"))
-    lines.join(broadcast(boiler), Seq("__line"), "left")
+    lines.join(if (broadcastFlags) broadcast(boiler) else boiler,
+        Seq("__line"), "left")
       .withColumn("__drop", coalesce(col("__boiler"), lit(false)))
       .groupBy(col(idCol))
       .agg(
@@ -189,7 +195,7 @@ object TextAnalysis {
     def counts(df: DataFrame) = df
       .select(explode(TextFunctions.wsTokens(lower(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .transform(Lineage.cutLazy)
     val cp = counts(p)
     val cq = counts(q)
     val np = broadcast(cp.agg(sum(col("c")).as("np")))
@@ -240,7 +246,7 @@ object TextAnalysis {
       .select(col(groupCol).as("__grp"),
         explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__tok"))
       .groupBy("__grp", "__tok").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(false)
+      .transform(Lineage.cutLazy)
     val ttr = cnt.groupBy("__grp").agg(
       count(lit(1)).as("n_types"),
       sum(col("__c")).as("n_tokens"))
@@ -303,7 +309,7 @@ object TextAnalysis {
       .select(explode(TextFunctions.wsTokens(lower(col(textCol))))
         .as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
-      .localCheckpoint(false)
+      .transform(Lineage.cutLazy)
     val total = broadcast(cnt.agg(sum(col("n_occurrences")).as("__total")))
     val top = cnt
       .orderBy(col("n_occurrences").desc, col("token").asc)

@@ -240,8 +240,10 @@ final class JdbcResultStore(
     * schema must not share one staging table (each would overwrite the
     * other's staged rows mid-MERGE). The random token makes the name
     * unique across store instances and processes, the counter within
-    * one; the stage is dropped in the same `finally`, so a stranded
-    * table only survives a hard crash (and is clobbered by no one). */
+    * one; the stage is dropped in the same `finally`, with a fresh-
+    * connection retry if the MERGE connection died — a stranded table
+    * needs a hard crash or a server unreachable at cleanup time (and
+    * is clobbered by no one; sweep '<schema>__stage_%' after outages). */
   private val stageToken =
     java.util.UUID.randomUUID().toString.replace("-", "").take(8)
   private val stageCounter = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -276,15 +278,31 @@ final class JdbcResultStore(
       matchedArm +
       s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
       s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
-    withConn { c =>
-      val st = c.createStatement()
-      try {
-        st.executeUpdate(sql)
-      } finally {
-        try st.execute(s"DROP TABLE $stage")
-        catch { case _: java.sql.SQLException => () }
-        st.close()
+    try {
+      withConn { c =>
+        val st = c.createStatement()
+        try {
+          st.executeUpdate(sql)
+        } finally {
+          try st.execute(s"DROP TABLE $stage")
+          catch { case _: java.sql.SQLException => () }
+          st.close()
+        }
       }
+    } catch {
+      case e: Throwable =>
+        // a failure AFTER the staging write but outside the in-connection
+        // finally (connection refused, connection died mid-MERGE taking
+        // the DROP with it) must not strand the uniquely-named stage
+        // table forever — retry the drop on a fresh connection,
+        // best-effort (if the server itself is down, nothing can clean
+        // up now; the retrying caller will mint a new name, so document
+        // operators should sweep '<schema>__stage_%' after outages)
+        try withConn { c =>
+          val st = c.createStatement()
+          try st.execute(s"DROP TABLE $stage") finally st.close()
+        } catch { case _: Throwable => () }
+        throw e
     }
   }
 

@@ -92,6 +92,13 @@ class CurationSpec extends AnyFunSuite {
     assert(budgeted.df.columns.toSeq == docs.columns.toSeq) // helper dropped
   }
 
+  test("removeBoilerplate preserves column ORDER, not just the column set") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Curation(docs).removeBoilerplate().df
+    assert(out.columns.toSeq == docs.columns.toSeq,
+      s"${out.columns.toSeq} vs ${docs.columns.toSeq}")
+  }
+
   test("round-5 terminals and model filter agree with their operators") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val n0 = docs.count()

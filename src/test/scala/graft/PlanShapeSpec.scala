@@ -301,10 +301,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = deepNodes(df.queryExecution.executedPlan)
       .collect { case e: ShuffleExchangeLike => e }
     assert(exchanges.nonEmpty) // full-outer join does shuffle...
-    // ...but every exchange carries exactly (id, checksum) — the
-    // checksum collapses map-side, document text never moves
+    // ...but every exchange carries only (id, checksum, presence flag) —
+    // the checksum collapses map-side, document text never moves
     exchanges.foreach { e =>
-      assert(e.output.length == 2, e.output.mkString(", "))
+      assert(e.output.length <= 3, e.output.mkString(", "))
       assert(!e.output.exists(_.name == "text"), e.output.mkString(", "))
     }
   }

@@ -22,6 +22,19 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.diff(df, df, "id", xxhash64(col("v"))).isEmpty)
   }
 
+  test("NULL content is presence, not absence: md5(NULL) never fakes a delta") {
+    // md5 of NULL is NULL — membership must come from side presence
+    val old = Seq((1L, null: String), (2L, "y"), (3L, null: String))
+      .toDF("id", "v")
+    val neu = Seq((1L, null: String), (2L, null: String), (4L, "w"))
+      .toDF("id", "v")
+    val r = Snapshot.diff(old, neu, "id", md5(col("v")))
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getString(1)))
+    // 1: NULL==NULL unchanged (dropped); 2: y->NULL changed;
+    // 3: removed; 4: added
+    assert(r.toSeq == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
   test("incrementalRefresh equals full recompute and touches only the delta") {
     val old = Seq((1L, "a b"), (2L, "c d e"), (3L, "f")).toDF("id", "v")
     val neu = Seq((2L, "c d e"), (3L, "f g"), (4L, "h i")).toDF("id", "v")

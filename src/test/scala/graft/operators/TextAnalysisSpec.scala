@@ -153,6 +153,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, "b", 2L, math.rint(6.0 / 7 * 1e6) / 1e6)))
   }
 
+  test("removeBoilerplateLines keeps NULL-text docs (as empty), never drops them") {
+    val docs = Seq((1L, "keep me\nBANNER"), (2L, "BANNER\nme too"),
+      (3L, null: String)).toDF("doc_id", "text")
+    val r = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.length == 3) // null-text doc 3 still present
+    assert(r(0).getString(1) == "keep me" && r(1).getString(1) == "me too")
+    assert(r(2).getString(1) == "") // null treated as empty, not missing
+  }
+
+  test("removeBoilerplateLines shuffle-join mode agrees with broadcast mode") {
+    val docs = Seq((1L, "a\nCHROME"), (2L, "CHROME\nb"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val bc = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val sj = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text",
+      broadcastFlags = false).orderBy("doc_id").collect().toSeq
+    assert(bc == sj)
+  }
+
   test("modelQualityScore: exact sigmoid on known features, empty-doc gate") {
     val docs = Seq((1L, "the the the"), (2L, "")).toDF("doc_id", "text")
     val r = TextAnalysis.modelQualityScore(docs, "doc_id", "text")
