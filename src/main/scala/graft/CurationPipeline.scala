@@ -51,7 +51,7 @@ object CurationPipeline {
       // per-micro-batch executions (StreamRunner.runPipelinePerBatch)
       // cannot accumulate pinned cache entries
       val in = ctx.previousContent.get
-        .transform(Lineage.cutLazy)
+        .transform(Lineage.cutLocal)
       val keep = TextFunctions.qualityScore(col("text")) >= 0.3
       val kept = in.filter(keep)
       // driver-side health flag: collapsed corpus → failure branch.

@@ -40,13 +40,13 @@ object ExportPipeline {
     }
 
     reg.register("RepetitionGate") { ctx =>
-      val in = ctx.previousContent.get.transform(Lineage.cutLazy)
+      val in = ctx.previousContent.get.transform(Lineage.cutLocal)
       val signals = TextAnalysis.repetitionSignals(in, "doc_id", "text")
         .select(col("doc_id"), col("dup_token_frac"))
       // checkpoint the annotated corpus: the health probe forces it and
       // the downstream packing restarts from the stored blocks instead
       // of replaying the signals join
-      val annotated = in.join(signals, Seq("doc_id")).transform(Lineage.cutLazy)
+      val annotated = in.join(signals, Seq("doc_id")).transform(Lineage.cutLocal)
       val keep = col("dup_token_frac") < 0.65
       // one aggregate action computes total and survivors together
       val probe = annotated.agg(

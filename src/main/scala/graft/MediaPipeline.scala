@@ -44,7 +44,7 @@ object MediaPipeline {
         ySlope = 5,
         xSlope = Some(when(expr("media_id DIV 2") % 5 === 0, lit(0L))
           .otherwise(expr("3 + media_id DIV 2"))))
-        .transform(Lineage.cutLazy)
+        .transform(Lineage.cutLocal)
     }
 
     reg.registerTransform("QualityGate") { ctx =>
@@ -58,7 +58,7 @@ object MediaPipeline {
     reg.registerTransform("PerceptualDedup") { ctx =>
       val hashes = multimodal.Multimodal.imageDHash(ctx.previousContent.get)
         .toDF()
-        .transform(Lineage.cutLazy) // feeds the pair join AND the anti-join
+        .transform(Lineage.cutLocal) // feeds the pair join AND the anti-join
       val pairs = operators.Dedup.hammingPairs64(
         hashes, "media_id", "dhash", maxDist = 3, chunks = 4)
       hashes.join(

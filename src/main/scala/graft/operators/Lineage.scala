@@ -2,13 +2,20 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 
-/** Lineage-cut discipline shared by every operator that materializes a
-  * frame consumed more than once (multi-consumer one-shot cuts) or
-  * iterated over (loops): a RELIABLE checkpoint (HDFS/object-store
-  * write) when the session has a checkpoint dir configured — on a real
-  * cluster a lost executor must not kill a multi-hour job, because
-  * localCheckpoint blocks die with their executor — and a local
-  * checkpoint otherwise (local mode, tests: no storage round-trip).
+/** Lineage-cut discipline, shared so every cut site states its intent:
+  *
+  *  - ITERATIVE frames ([[cut]]/[[cutLazy]]): lineage must be cut every
+  *    round (self-reference doubles the logical plan), and on a real
+  *    cluster the cut must survive executor loss — a multi-hour loop
+  *    cannot re-derive round N from source. So these switch to a
+  *    RELIABLE checkpoint (HDFS/object-store write) when the session
+  *    has a checkpoint dir configured, local otherwise.
+  *  - ONE-SHOT multi-consumer frames ([[cutLocal]]): a frame computed
+  *    once and read 2-3 times inside a single query. Lost-executor
+  *    blocks just fail that one action, which the caller can retry
+  *    from source — paying a full-corpus storage round-trip per call
+  *    to insure against that is a bad trade, so these stay LOCAL
+  *    even when a checkpoint dir is configured.
   *
   * The reliable path persists BEFORE checkpointing (an unpersisted
   * reliable checkpoint recomputes the frame's whole plan for the write
@@ -19,9 +26,9 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Lineage {
 
-  /** Eager cut: reliable checkpoint when a dir is configured, eager
-    * localCheckpoint otherwise. Use before loops and wherever the next
-    * consumer is not an immediate aggregate. */
+  /** Eager iterative cut: reliable checkpoint when a dir is configured,
+    * eager localCheckpoint otherwise. Use before loops and wherever the
+    * next consumer is not an immediate aggregate. */
   def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       val cached = df.persist(
@@ -31,13 +38,19 @@ private[graft] object Lineage {
       out
     } else df.localCheckpoint()
 
-  /** Lazy cut for a frame whose very next consumer is an action
-    * (aggregate / count / the loop's convergence checksum): the LAZY
-    * local checkpoint materializes during that action's own job, so the
-    * cut costs ZERO extra jobs. The reliable-checkpoint path stays
-    * eager: a lost-executor-safe write should not be deferred into
-    * whatever action happens next. */
+  /** [[cut]] for the inside of an iterative loop whose very next
+    * statement is an aggregate over the frame (convergence checksum /
+    * label sum): the LAZY local checkpoint materializes during that
+    * action's own job, so each round costs ONE job instead of two. The
+    * reliable-checkpoint path stays eager: a lost-executor-safe write
+    * should not be deferred into whatever action happens next. */
   def cutLazy(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) cut(df)
     else df.localCheckpoint(false)
+
+  /** Lazy LOCAL cut for a one-shot multi-consumer frame: materializes
+    * during the first consumer's action, blocks are GC-released with
+    * the plan, and it deliberately does NOT upgrade to a reliable
+    * checkpoint (see the object doc for why). */
+  def cutLocal(df: DataFrame): DataFrame = df.localCheckpoint(false)
 }

@@ -49,7 +49,7 @@ object Packing {
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(idCol)
       .withColumn("__pid", spark_partition_id())
-      .transform(Lineage.cutLazy)
+      .transform(Lineage.cutLocal)
 
     // one row per partition -> exclusive prefix offsets, broadcast back
     val partTotals = sorted.groupBy(col("__pid"))
@@ -178,7 +178,7 @@ object Packing {
       .repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
-      .transform(Lineage.cutLazy)
+      .transform(Lineage.cutLocal)
 
     val counts = sorted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))

@@ -165,7 +165,7 @@ object Similarity {
     val sigs = src.select(col(idCol).as("id"), col(vecCol).as("v"),
       float_norm(col(vecCol)).as("nrm"),
       float_rhp_bands(col(vecCol), planes, dim, bands, rowsPerBand).as("keys"))
-      .transform(Lineage.cutLazy)
+      .transform(Lineage.cutLocal)
 
     // thin (id, band, key) rows into the bucket join — vectors rejoin
     // only for surviving candidates

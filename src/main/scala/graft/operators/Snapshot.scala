@@ -78,7 +78,7 @@ object Snapshot {
       idCol: String,
       checksum: Column)(compute: DataFrame => DataFrame): DataFrame = {
     val delta = diff(oldDf, newDf, idCol, checksum)
-      .transform(Lineage.cutLazy) // feeds both id-sets below; diff runs once
+      .transform(Lineage.cutLocal) // feeds both id-sets below; diff runs once
     val stale = delta.filter(col("status") =!= "added").select(idCol)
     val redo = delta.filter(col("status") =!= "removed").select(idCol)
     prior.join(broadcast(stale), Seq(idCol), "left_anti")

@@ -66,7 +66,7 @@ object TextAnalysis {
       shingleN: Int = 3): org.apache.spark.sql.DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"),
       explode(Dedup.shingleSet(col(textCol), shingleN)).as("shingle"))
-      .transform(Lineage.cutLazy)
+      .transform(Lineage.cutLocal)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
     sh.join(freq, "shingle")
       .groupBy("doc_id")
@@ -108,7 +108,7 @@ object TextAnalysis {
       explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__tok"))
       .groupBy(col(idCol), col("__tok"))
       .agg(count(lit(1)).as("__tf"))
-      .transform(Lineage.cutLazy)
+      .transform(Lineage.cutLocal)
     val counts = tf.groupBy("__tok").agg(sum(col("__tf")).as("__c"))
     val total = counts.agg(sum(col("__c")).as("__n_total"))
     tf
@@ -143,7 +143,11 @@ object TextAnalysis {
     * (array_sort of a collected list, native expressions only) — a
     * per-document cost, same contract as any per-doc text op. Documents
     * whose every line is boilerplate come back with empty `clean_text`,
-    * and NULL text is treated as empty — never silently missing. */
+    * and NULL-text docs come back with empty `clean_text` and zero
+    * counts — never silently missing. A NULL doc contributes NOTHING to
+    * the line frequencies (posexplode_outer emits a null-line row that
+    * no join key matches), so a corpus full of NULL rows cannot flag
+    * other documents' genuine blank lines as boilerplate. */
   def removeBoilerplateLines(
       df: DataFrame,
       idCol: String,
@@ -152,23 +156,25 @@ object TextAnalysis {
       sep: String = "\n",
       broadcastFlags: Boolean = true): DataFrame = {
     val lines = df.select(col(idCol),
-      posexplode(split(coalesce(col(textCol), lit("")),
+      posexplode_outer(split(col(textCol),
         java.util.regex.Pattern.quote(sep), -1)).as(Seq("__pos", "__line")))
-      .transform(Lineage.cutLazy)
-    val boiler = lines.select(col(idCol), col("__line")).distinct()
+      .transform(Lineage.cutLocal)
+    val boiler = lines.filter(col("__line").isNotNull)
+      .select(col(idCol), col("__line")).distinct()
       .groupBy("__line").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
       .select(col("__line"), lit(true).as("__boiler"))
+    val keep = !col("__drop") && col("__line").isNotNull
     lines.join(if (broadcastFlags) broadcast(boiler) else boiler,
         Seq("__line"), "left")
       .withColumn("__drop", coalesce(col("__boiler"), lit(false)))
       .groupBy(col(idCol))
       .agg(
         array_join(
-          sort_array(collect_list(when(!col("__drop"),
+          sort_array(collect_list(when(keep,
             struct(col("__pos"), col("__line"))))).getField("__line"),
           sep).as("clean_text"),
-        count(when(!col("__drop"), 1)).as("n_lines_kept"),
+        count(when(keep, 1)).as("n_lines_kept"),
         count(when(col("__drop"), 1)).as("n_lines_dropped"))
   }
 
@@ -195,7 +201,7 @@ object TextAnalysis {
     def counts(df: DataFrame) = df
       .select(explode(TextFunctions.wsTokens(lower(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .transform(Lineage.cutLazy)
+      .transform(Lineage.cutLocal)
     val cp = counts(p)
     val cq = counts(q)
     val np = broadcast(cp.agg(sum(col("c")).as("np")))
@@ -246,7 +252,7 @@ object TextAnalysis {
       .select(col(groupCol).as("__grp"),
         explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__tok"))
       .groupBy("__grp", "__tok").agg(count(lit(1)).as("__c"))
-      .transform(Lineage.cutLazy)
+      .transform(Lineage.cutLocal)
     val ttr = cnt.groupBy("__grp").agg(
       count(lit(1)).as("n_types"),
       sum(col("__c")).as("n_tokens"))
@@ -309,7 +315,7 @@ object TextAnalysis {
       .select(explode(TextFunctions.wsTokens(lower(col(textCol))))
         .as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
-      .transform(Lineage.cutLazy)
+      .transform(Lineage.cutLocal)
     val total = broadcast(cnt.agg(sum(col("n_occurrences")).as("__total")))
     val top = cnt
       .orderBy(col("n_occurrences").desc, col("token").asc)

@@ -264,8 +264,6 @@ final class JdbcResultStore(
   private def mergeUpsert(schema: String, df: DataFrame, keyCol: String): Unit = {
     val stage = checkIdent(
       schema + "__stage_" + stageToken + "_" + stageCounter.incrementAndGet())
-    df.write.mode(SaveMode.Overwrite).options(optionsFor(df))
-      .jdbc(url, stage, jprops)
     def q(c: String) = "\"" + c.replace("\"", "\"\"") + "\""
     val cols = df.columns
     val setCols = cols.filterNot(_ == keyCol)
@@ -278,30 +276,39 @@ final class JdbcResultStore(
       matchedArm +
       s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
       s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+    // once the writer has run at all, the stage table may exist (Spark's
+    // JDBC writer creates it before inserting — a failed insert batch
+    // still leaves it behind), so the whole write+merge region shares
+    // one cleanup scope
+    var dropped = false
     try {
+      df.write.mode(SaveMode.Overwrite).options(optionsFor(df))
+        .jdbc(url, stage, jprops)
       withConn { c =>
         val st = c.createStatement()
         try {
           st.executeUpdate(sql)
         } finally {
-          try st.execute(s"DROP TABLE $stage")
+          try { st.execute(s"DROP TABLE $stage"); dropped = true }
           catch { case _: java.sql.SQLException => () }
           st.close()
         }
       }
     } catch {
-      case e: Throwable =>
-        // a failure AFTER the staging write but outside the in-connection
-        // finally (connection refused, connection died mid-MERGE taking
-        // the DROP with it) must not strand the uniquely-named stage
-        // table forever — retry the drop on a fresh connection,
-        // best-effort (if the server itself is down, nothing can clean
-        // up now; the retrying caller will mint a new name, so document
-        // operators should sweep '<schema>__stage_%' after outages)
-        try withConn { c =>
-          val st = c.createStatement()
-          try st.execute(s"DROP TABLE $stage") finally st.close()
-        } catch { case _: Throwable => () }
+      case scala.util.control.NonFatal(e) =>
+        // a failure after table creation but outside the in-connection
+        // finally (staging write died mid-insert, connection refused,
+        // connection died mid-MERGE taking the DROP with it) must not
+        // strand the uniquely-named stage table — retry the drop on a
+        // fresh connection unless the inner finally already did it.
+        // Best-effort: if the server itself is down nothing can clean up
+        // now (sweep '<schema>__stage_%' after outages).
+        if (!dropped) {
+          try withConn { c =>
+            val st = c.createStatement()
+            try st.execute(s"DROP TABLE $stage") finally st.close()
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
         throw e
     }
   }

@@ -163,6 +163,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2).getString(1) == "") // null treated as empty, not missing
   }
 
+  test("NULL docs do not poison blank-line frequency for other docs") {
+    // doc 1 has a genuine paragraph-separator blank line; docs 2 and 3
+    // are NULL — they must not make "" cross the maxDf cap
+    val docs = Seq((1L, "a\n\nb"), (2L, null: String), (3L, null: String))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "a\n\nb", r(0).getString(1))
+    assert(r(1).getString(1) == "" && r(1).getLong(2) == 0L &&
+      r(1).getLong(3) == 0L)
+  }
+
   test("removeBoilerplateLines shuffle-join mode agrees with broadcast mode") {
     val docs = Seq((1L, "a\nCHROME"), (2L, "CHROME\nb"), (3L, "c"))
       .toDF("doc_id", "text")
