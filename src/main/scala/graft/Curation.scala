@@ -157,6 +157,11 @@ final case class Curation(
   def profileBy(groupCol: String, topN: Int = 100): DataFrame =
     TextAnalysis.zipfProfile(df, groupCol, textCol, topN)
 
+  /** Terminal: mixture-design report — per-group doc/token counts,
+    * token share, corpus token-distribution entropy. */
+  def mixtureReport(groupCol: String): DataFrame =
+    Sampling.mixtureReport(df, groupCol, textCol)
+
   /** Terminal: top-N vocabulary with cumulative corpus coverage
     * (tokenizer sizing). */
   def vocabCoverage(topN: Int = 100): DataFrame =

@@ -1018,6 +1018,36 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // aq24_mixture_report — mixture-design report: per-source doc/token
+  // counts, token share, and corpus token-distribution entropy (the
+  // numbers a training-mixture decision starts from). Entropy terms
+  // round to 10dp and decimal-sum; 0-token groups contribute 0 by the
+  // 0*ln(0) := 0 convention.
+  register(
+    "aq24_mixture_report",
+    """WITH g AS (
+      |  SELECT source AS grp, count(*) AS n_docs,
+      |         sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0))) AS n_tokens
+      |  FROM documents GROUP BY 1
+      |), tot AS (SELECT sum(n_tokens) AS tot FROM g),
+      |ent AS (
+      |  SELECT round(-sum(CASE WHEN n_tokens = 0 THEN 0.0
+      |           ELSE round((n_tokens::double / tot) * ln(n_tokens::double / tot), 10)
+      |           END::decimal(28,10))::double, 6) AS entropy_nats
+      |  FROM g CROSS JOIN tot
+      |)
+      |SELECT g.grp AS source, g.n_docs::bigint AS n_docs,
+      |       g.n_tokens::bigint AS n_tokens,
+      |       round(g.n_tokens::double / tot, 6) AS token_share,
+      |       e.entropy_nats
+      |FROM g CROSS JOIN tot CROSS JOIN ent e
+      |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Sampling.mixtureReport(
+        t(s, dir, "documents"), "source", "text")
+      .orderBy("source")
+  }
+
   // q34_incremental_refresh — the snapshot machinery end-to-end: prior
   // per-doc stats + snapshot diff → recompute only added/changed docs,
   // drop removed, keep the rest. The ORACLE is the full recompute over

@@ -178,4 +178,39 @@ object Sampling {
     df.filter(
       hashBucket(col(idCol), salt, 1000000).cast("double") / 1e6 < rate)
   }
+
+  /** Mixture-design report: per-group document/token counts, token
+    * share, and the corpus-level token-distribution entropy — the
+    * numbers a training-mixture decision starts from (which domains
+    * dominate, how concentrated the corpus is; entropy ln(k) = perfectly
+    * balanced over k groups, 0 = single-domain).
+    *
+    * Scale shape: one (group)-aggregation (map-side combined,
+    * group-cardinality output, lineage-cut once — it feeds the total,
+    * the entropy aggregate, AND the final projection), lazy broadcast
+    * 1-row totals, no driver action. Entropy terms p·ln(p) round to
+    * 10dp and sum as DECIMAL (order-independent, the tq8 discipline);
+    * a zero-token group contributes 0 by the 0·ln(0) := 0 convention
+    * rather than a NaN. */
+  def mixtureReport(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val g = df
+      .select(col(groupCol).as("grp"),
+        graft.functions.TextFunctions.tokenCount(col(textCol))
+          .cast("long").as("__nt"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      .transform(Lineage.cutLocal)
+    val tot = broadcast(g.agg(sum(col("n_tokens")).as("__tot")))
+    val p = col("n_tokens").cast("double") / col("__tot")
+    val ent = broadcast(g.crossJoin(tot)
+      .select(when(col("n_tokens") === 0, lit(0.0))
+        .otherwise(round(p * log(p), 10)).cast("decimal(28,10)").as("__e"))
+      .agg(round(-sum(col("__e")).cast("double"), 6).as("entropy_nats")))
+    g.crossJoin(tot).crossJoin(ent)
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_tokens"),
+        round(p, 6).as("token_share"), col("entropy_nats"))
+  }
 }

@@ -111,6 +111,8 @@ class CurationSpec extends AnyFunSuite {
 
     assert(Curation(docs).profileBy("source").count() ==
       docs.select("source").distinct().count())
+    assert(Curation(docs).mixtureReport("source").count() ==
+      docs.select("source").distinct().count())
     assert(Curation(docs).vocabCoverage(10).count() <= 10)
     val drift = Curation(docs).driftVs(docs).head()
     assert(drift.getDouble(0) == 0.0) // KL(corpus || itself) is exactly 0

@@ -206,4 +206,21 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assert(out.select("vec_id").collect().map(_.getLong(0)).toSet ==
       again.select("vec_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("mixtureReport: exact shares and entropy on a known mixture") {
+    // a: 6 tokens, b: 2 tokens -> shares 0.75/0.25,
+    // entropy = -(0.75 ln 0.75 + 0.25 ln 0.25)
+    val docs = Seq(
+      ("a", "t t t"), ("a", "t t t"), ("b", "t t")
+    ).toDF("source", "text")
+    val r = Sampling.mixtureReport(docs, "source", "text")
+      .orderBy("source").collect()
+    assert(r(0).getString(0) == "a" && r(0).getLong(1) == 2L &&
+      r(0).getLong(2) == 6L && r(0).getDouble(3) == 0.75)
+    assert(r(1).getString(0) == "b" && r(1).getLong(1) == 1L &&
+      r(1).getLong(2) == 2L && r(1).getDouble(3) == 0.25)
+    val expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(r(0).getDouble(4) - expected) < 1e-6)
+    assert(r(0).getDouble(4) == r(1).getDouble(4)) // corpus-level constant
+  }
 }
