@@ -290,6 +290,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q34 incremental refresh: delta id-sets broadcast into anti/semi joins") {
+    val p = plan("q34_incremental_refresh")
+    // prior results prune via broadcast anti-join, redo rows select via
+    // broadcast semi-join — neither the prior nor the corpus SMJs
+    assert(p.contains("BroadcastHashJoin") &&
+      (p.contains("LeftAnti") || p.contains("left_anti")), p.take(2000))
+    assert(p.contains("LeftSemi") || p.contains("left_semi"), p.take(2000))
+  }
+
   test("dq13 snapshot diff shuffles thin (id, checksum) rows — never text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.functions.{col, xxhash64}
