@@ -1082,6 +1082,74 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // dq15_winnowing — MOSS-style winnowing fingerprints (Schleimer et
+  // al., SIGMOD'03): per-window minimum of positional md5 gram hashes,
+  // guaranteed-density local-match fingerprints; pairs sharing >= 2.
+  // The md5 32-bit-prefix hashing replays bit-for-bit in DuckDB (the
+  // dq4 discipline).
+  register(
+    "dq15_winnowing",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')) AS grams
+      |  FROM toks WHERE len(tk) >= 3
+      |), h AS (
+      |  SELECT doc_id, list_transform(grams, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+      |  FROM g
+      |), f AS (
+      |  SELECT doc_id, CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+      |         ELSE list_distinct(list_transform(range(len(hs) - 3), p -> list_min(hs[p+1:p+4]))) END AS fps
+      |  FROM h
+      |), inv AS (
+      |  SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM f
+      |), capped AS (
+      |  SELECT i.doc_id, i.n, i.fp
+      |  FROM inv i JOIN (SELECT fp, count(*) AS dfc FROM inv GROUP BY 1) d USING (fp)
+      |  WHERE d.dfc <= 50
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+      |         min(a.n) AS na, min(b.n) AS nb
+      |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, shared::bigint AS shared_fps,
+      |       round(shared::double / least(na, nb), 4) AS overlap
+      |FROM pairs WHERE shared >= 2
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    Dedup.winnowingPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, window = 4, minShared = 2, maxFpDf = Some(50))
+      .orderBy("id_a", "id_b")
+  }
+
+  // aq25_ngram_overlap — the scalar contamination metric: what fraction
+  // of the benchmark slice's distinct 3-grams appear anywhere in the
+  // train slice (dq11 finds WHICH items leak; this measures HOW MUCH
+  // surface is shared).
+  register(
+    "aq25_ngram_overlap",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3
+      |), test AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 47 = 0),
+      |train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 47 != 0)
+      |SELECT count(*)::bigint AS n_test_shingles,
+      |       count(tr.shingle)::bigint AS n_overlap,
+      |       round(count(tr.shingle)::double / count(*), 6) AS overlap_frac
+      |FROM test LEFT JOIN train tr USING (shingle)""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Dedup.ngramOverlapStats(
+      docs.filter(col("doc_id") % 47 === 0),
+      docs.filter(col("doc_id") % 47 =!= 0), "text", shingleN = 3)
+  }
+
   // dq14_jaccard_histogram — threshold-calibration curve: the histogram
   // of exact pairwise Jaccard at J >= 0.7 that picks a dedup threshold,
   // computed over a deterministic half-sample — exactly how a 100 TB

@@ -198,6 +198,11 @@ object ScaleStress {
     time("zipf_4x")(operators.TextAnalysis.zipfProfile(
       dup(4).withColumn("source", (col("doc_id") % 7).cast("string")),
       "source", "text").count())
+    // winnowing at 4x: cross-replica identicals share ALL fingerprints,
+    // so pairs grow ~quadratically in replicas while the df cap holds
+    // hot fingerprints out of the bucket join
+    time("winnowing_4x")(operators.Dedup.winnowingPairs(
+      dup(4), "doc_id", "text", maxFpDf = Some(200)).count())
     spark.stop()
   }
 }

@@ -291,12 +291,25 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q34 incremental refresh: delta id-sets broadcast into anti/semi joins") {
-    val p = plan("q34_incremental_refresh")
-    // prior results prune via broadcast anti-join, redo rows select via
-    // broadcast semi-join — neither the prior nor the corpus SMJs
-    assert(p.contains("BroadcastHashJoin") &&
-      (p.contains("LeftAnti") || p.contains("left_anti")), p.take(2000))
-    assert(p.contains("LeftSemi") || p.contains("left_semi"), p.take(2000))
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val df = SparkEntry.queries("q34_incremental_refresh")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    // the diff's full-outer join may legitimately shuffle; the ANTI and
+    // SEMI joins (prior prune / redo select) must both broadcast — a
+    // shuffle there moves the corpus for a tiny delta
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j.joinType }
+    assert(bhj.contains(LeftAnti) && bhj.contains(LeftSemi),
+      nodes.map(_.nodeName).mkString(", "))
+    val badTypes = nodes.collect {
+      case j: SortMergeJoinExec
+        if j.joinType == LeftAnti || j.joinType == LeftSemi => j.nodeName
+      case j: ShuffledHashJoinExec
+        if j.joinType == LeftAnti || j.joinType == LeftSemi => j.nodeName
+    }
+    assert(badTypes.isEmpty, badTypes.mkString(", "))
   }
 
   test("dq13 snapshot diff shuffles thin (id, checksum) rows — never text") {

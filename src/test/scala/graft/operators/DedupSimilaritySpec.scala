@@ -659,6 +659,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"int8 top-k overlap $overlap vs exact")
   }
 
+  test("winnowing detects any shared 6-token run, scores identity 1.0") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      // shared run "a b c d e f" (shingleN + window - 1 = 6 tokens)
+      // placed at a different offset — the density guarantee says at
+      // least one fingerprint from the run is selected in BOTH docs
+      (2L, "x y a b c d e f q"),
+      (3L, "p q r s t u v w"),   // identical pair
+      (4L, "p q r s t u v w"),
+      (5L, "zz yy xx ww vv uu")  // nothing shared
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(d, "doc_id", "text", minShared = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+      .toMap
+    assert(pairs.contains((1L, 2L)), pairs)
+    assert(pairs((3L, 4L)) == 1.0, pairs) // identical docs: full overlap
+    assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ngramOverlapStats: exact overlap fraction") {
+    val test = Seq((1L, "a b c d")).toDF("doc_id", "text")   // {abc,bcd}
+    val train = Seq((2L, "a b c x"), (3L, "q r s t")).toDF("doc_id", "text")
+    val r = Dedup.ngramOverlapStats(test, train, "text").head()
+    // test shingles {abc, bcd}; train has abc -> 1 of 2
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 0.5)
+  }
+
   test("jaccardHistogram buckets exact pair similarities") {
     val d = Seq(
       (1L, "a b c d e"),  // shingles {abc,bcd,cde}
