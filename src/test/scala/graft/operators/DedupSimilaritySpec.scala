@@ -678,6 +678,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("winnowing fingerprints match a pure-Scala reference on random docs") {
+    // reference implementation straight from the SIGMOD'03 definition
+    def refFps(text: String, n: Int, w: Int): Set[Long] = {
+      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.length < n) return Set.empty
+      val grams = tk.sliding(n).map(_.mkString(" ")).toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = grams.map { g =>
+        val hex = md.digest(g.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      if (hs.length <= w) Set(hs.min)
+      else hs.sliding(w).map(_.min).toSet
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "g", "hh")
+    val docs = (1L to 40L).map { i =>
+      val len = 1 + rnd.nextInt(20)
+      (i, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val got = Dedup.winnowingFingerprints(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val expect = refFps(text, 3, 4)
+      if (expect.isEmpty) assert(!got.contains(id), s"doc $id")
+      else assert(got(id) == expect, s"doc $id: '$text'")
+    }
+  }
+
   test("ngramOverlapStats: exact overlap fraction") {
     val test = Seq((1L, "a b c d")).toDF("doc_id", "text")   // {abc,bcd}
     val train = Seq((2L, "a b c x"), (3L, "q r s t")).toDF("doc_id", "text")
