@@ -1141,7 +1141,9 @@ object Queries {
       |train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 47 != 0)
       |SELECT count(*)::bigint AS n_test_shingles,
       |       count(tr.shingle)::bigint AS n_overlap,
-      |       round(count(tr.shingle)::double / count(*), 6) AS overlap_frac
+      |       CASE WHEN count(*) = 0 THEN 0.0
+      |            ELSE round(count(tr.shingle)::double / count(*), 6)
+      |       END AS overlap_frac
       |FROM test LEFT JOIN train tr USING (shingle)""".stripMargin
   ) { (s, dir) =>
     val docs = t(s, dir, "documents")

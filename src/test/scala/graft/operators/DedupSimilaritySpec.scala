@@ -720,6 +720,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r.getDouble(2) == 0.5)
   }
 
+  test("ngramOverlapStats: shingle-less test side is 0.0, not NULL") {
+    val test = Seq((1L, "a b")).toDF("doc_id", "text") // < 3 tokens
+    val train = Seq((2L, "a b c x")).toDF("doc_id", "text")
+    val r = Dedup.ngramOverlapStats(test, train, "text").head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+    assert(r.getDouble(2) == 0.0)
+  }
+
   test("jaccardHistogram buckets exact pair similarities") {
     val d = Seq(
       (1L, "a b c d e"),  // shingles {abc,bcd,cde}
