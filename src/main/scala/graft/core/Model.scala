@@ -1,15 +1,16 @@
 package graft.core
 
-/** Core model types for the graft dataflow engine.
-  *
-  * Semantics mirror the reference event-pipeline framework (see SURVEY.md):
-  * pipe types between stages (nexus/task.py:637-640), execution states
-  * (nexus/task.py:49-55), retry policy with exponential backoff
-  * (nexus/base.py:66-147), and the four-policy success evaluation
-  * (nexus/base.py:276-361). The execution substrate is Apache Spark:
-  * stage payloads are DataFrames and the evaluation needs only
-  * driver-side flags, so plans stay lazy across stages.
-  */
+/* Core model types for the graft dataflow engine.
+ *
+ * Semantics mirror the reference event-pipeline framework (see SURVEY.md):
+ * pipe types between stages (nexus/task.py:637-640), execution states
+ * (nexus/task.py:49-55), retry policy with exponential backoff
+ * (nexus/base.py:66-147), and the four-policy success evaluation
+ * (nexus/base.py:276-361). The execution substrate is Apache Spark:
+ * stage payloads are DataFrames and the evaluation needs only
+ * driver-side flags, so plans stay lazy across stages.
+ * (File-header comment, not scaladoc — it attaches to nothing.)
+ */
 
 /** How a stage is connected to its successor (nexus/task.py:637-640). */
 sealed abstract class PipeType(val token: String)

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural guards on the source tree itself. Born from a recurring
+  * review finding: inserting a new method between an existing scaladoc
+  * block and its definition orphans the doc (scaladoc attaches only to
+  * the nearest following definition) — it happened three separate times
+  * this round (globalRank, unigramSurprisal, winnowingPairs). A doc
+  * block immediately followed by another doc block documents nothing.
+  */
+class RepoHygieneSpec extends AnyFunSuite {
+
+  private def mainSources: Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files
+      .walk(java.nio.file.Paths.get("src/main/scala"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .toSeq
+  }
+
+  test("no scaladoc block dangles above another doc comment") {
+    val offenders = mainSources.flatMap { path =>
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files.readAllLines(path).asScala.toVector
+      var inDoc = false
+      val bad = Vector.newBuilder[String]
+      for (i <- lines.indices) {
+        val t = lines(i).trim
+        // the next non-blank line after a closed SCALADOC block must be
+        // code (a definition, annotation, or line comment attached to
+        // it) — a new /** block means this one attaches to nothing
+        def closes(): Unit = {
+          val next = (i + 1 until lines.size).iterator
+            .map(lines(_).trim).find(_.nonEmpty)
+          if (next.exists(_.startsWith("/**"))) bad += s"$path:${i + 1}"
+        }
+        if (!inDoc && t.startsWith("/**") && t.endsWith("*/")) closes()
+        else if (!inDoc && t.startsWith("/**")) inDoc = true
+        else if (inDoc && t.endsWith("*/")) { inDoc = false; closes() }
+      }
+      bad.result()
+    }
+    assert(offenders.isEmpty,
+      "dangling scaladoc (doc block followed by another doc block):\n" +
+        offenders.mkString("\n"))
+  }
+}
