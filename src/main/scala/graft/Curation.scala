@@ -177,6 +177,19 @@ final case class Curation(
   def similarityHistogram(minJaccard: Double = 0.7): DataFrame =
     Dedup.jaccardHistogram(df, idCol, textCol, minJaccard = minJaccard)
 
+  /** Terminal: winnowing local-match pairs (MOSS) — docs sharing local
+    * runs the global-similarity dedups miss (quotes, embedded pages). */
+  def localMatches(minShared: Int = 2,
+      maxFpDf: Option[Int] = None): DataFrame =
+    Dedup.winnowingPairs(df, idCol, textCol,
+      minShared = minShared, maxFpDf = maxFpDf)
+
+  /** Terminal: cross-corpus n-gram overlap vs a benchmark — the scalar
+    * contamination metric (decontaminate() removes WHICH; this is HOW
+    * MUCH). */
+  def contaminationVs(benchmark: DataFrame): DataFrame =
+    Dedup.ngramOverlapStats(benchmark, df, textCol)
+
   /** Terminal: length-bucket padding economics for batched training. */
   def lengthBuckets(
       caps: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024)): DataFrame =

@@ -119,5 +119,12 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation(docs).similarityHistogram(0.7).count() >= 0)
     val buckets = Curation(docs).lengthBuckets()
     assert(buckets.agg(sum("n_docs")).head().getLong(0) <= n0)
+
+    // local matches: identical docs in the corpus share all fingerprints
+    assert(Curation(docs).localMatches(minShared = 1).count() > 0)
+    // contamination of the corpus against its own slice is complete
+    val bench = docs.filter(col("doc_id") % 47 === 0)
+    val cont = Curation(docs).contaminationVs(bench).head()
+    assert(cont.getDouble(2) == 1.0) // every bench shingle is in corpus
   }
 }
