@@ -1315,6 +1315,50 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  // sq8_semantic_dedup — SemDeDup (Abbas et al. 2023): IVF cells
+  // (deterministic seed centroids, as sq2/sq5) + within-cell drop of
+  // any vector with cosine > τ to a lower-id cellmate. The per-cell
+  // self-join bounds the quadratic check to Σ|cell|²; min-id exemplar
+  // makes the paper's "keep one per group" rule exactly oracle-able.
+  register(
+    "sq8_semantic_dedup",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), seeds AS (
+      |  SELECT vec_id AS cell_id, v AS sv, nrm AS snrm
+      |  FROM n ORDER BY vec_id LIMIT 16
+      |), scored AS (
+      |  SELECT n.vec_id, s.cell_id,
+      |         round(list_sum(list_transform(list_zip(n.v, s.sv), p -> p[1] * p[2]))
+      |               / (n.nrm * s.snrm), 4) AS sim
+      |  FROM n CROSS JOIN seeds s
+      |), assigned AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rk
+      |  FROM scored
+      |), cells AS (
+      |  SELECT vec_id, cell_id FROM assigned WHERE rk = 1
+      |), dropped AS (
+      |  SELECT DISTINCT a.vec_id
+      |  FROM cells a JOIN cells b ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+      |  JOIN n na ON na.vec_id = a.vec_id
+      |  JOIN n nb ON nb.vec_id = b.vec_id
+      |  WHERE round(list_sum(list_transform(list_zip(na.v, nb.v), p -> p[1] * p[2]))
+      |              / (na.nrm * nb.nrm), 4) > 0.35
+      |)
+      |SELECT vec_id, cell_id FROM cells
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      |ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    Similarity.semanticDedup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", numCells = 16, threshold = 0.35)
+      .orderBy("vec_id")
+  }
+
   // sq7_hard_negatives — contrastive-training data mining: per anchor,
   // the lexically-confusable candidates (top-20 shared trigrams,
   // anchor index broadcast — corpus never shuffles) that sit farthest

@@ -495,6 +495,45 @@ object Similarity {
       ivfIndex(corpus, idCol, vecCol, numCells),
       "cell_id", idCol, salt, cap)
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into IVF cells,
+    * and within each cell drop every vector whose cosine similarity to
+    * some LOWER-id vector of the same cell exceeds `threshold`. The
+    * paper keeps one random exemplar per semantic-duplicate group; the
+    * min-id rule here is the same policy made deterministic, so the
+    * whole operator — cluster assignment included (seed centroids, as
+    * sq2/sq5) — is exactly oracle-able.
+    *
+    * Scale shape: the quadratic near-dup check is confined to one cell
+    * (Σ|cell|² work, never N²) and runs as a self-equi-join on
+    * `cell_id` — one shuffle key both sides, no broadcast of the
+    * corpus. Cell count is the knob: K ≈ √N keeps expected cell size
+    * √N, so per-cell work stays ~N total; a skewed cell (one dense
+    * semantic region) is the same situation as dq8's containment skew
+    * and would take the same salted-cap treatment. The anti-join back
+    * to the index reuses the `cell_id` partitioning (no extra
+    * shuffle under AQE). Cosine runs in the native codegen kernel,
+    * rounded to 4dp so the threshold compare is engine-portable. */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      threshold: Double): DataFrame = {
+    val idx = Lineage.cutLocal(ivfIndex(corpus, idCol, vecCol, numCells))
+    val a = idx.select(col(idCol).as("aid"), col(vecCol).as("av"),
+      col("cell_id"))
+    val b = idx.select(col(idCol).as("bid"), col(vecCol).as("bv"),
+      col("cell_id"))
+    val dropped = a.join(b, "cell_id")
+      .filter(col("bid") < col("aid"))
+      .filter(round(cosine(col("av"), col("bv")), 4) > threshold)
+      .select(col("aid").as(idCol))
+      .distinct()
+    idx.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell_id"))
+  }
+
   /** ANN top-k through the IVF index: each query probes its `nProbe`
     * nearest cells and ranks only vectors in those cells. */
   def ivfTopK(

@@ -741,4 +741,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getDouble(0), r.getLong(1)))
     assert(h.toSeq == Seq((0.5, 1L), (1.0, 1L)))
   }
+
+  test("semanticDedup keeps the min id of each within-cell dup group") {
+    // 2 cells (seeds = ids 1 and 2, orthogonal); ids 3,4 duplicate id 1's
+    // direction, id 5 duplicates id 2's, id 6 is alone in cell 1.
+    val d = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0.99f, 0.01f, 0f)),   // cell 1, near-dup of 1
+      (4L, Array(0.98f, 0.02f, 0f)),   // cell 1, near-dup of 1 and 3
+      (5L, Array(0.01f, 0.99f, 0f)),   // cell 2, near-dup of 2
+      (6L, Array(0.6f, 0.4f, 0.69f))   // cell 1, not near anything
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity
+      .semanticDedup(d, "vec_id", "embedding", numCells = 2, threshold = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 3,4 drop against 1; 5 drops against 2; 6 survives alone.
+    assert(kept.toSeq == Seq((1L, 1L), (2L, 2L), (6L, 1L)))
+  }
+
+  test("semanticDedup survivors + dropped partition the corpus") {
+    val kept = Similarity
+      .semanticDedup(emb, "vec_id", "embedding", numCells = 8, threshold = 0.3)
+    val total = emb.count()
+    val k = kept.count()
+    assert(k > 0 && k < total) // threshold bites on the sf corpus
+    // every survivor id is a real corpus id, no duplicates introduced
+    assert(kept.select("vec_id").distinct().count() == k)
+    assert(kept.join(emb, "vec_id").count() == k)
+  }
 }
