@@ -1152,6 +1152,59 @@ object Queries {
       docs.filter(col("doc_id") % 47 =!= 0), "text", shingleN = 3)
   }
 
+  // aq26_importance_weights — DSIR data selection (Xie et al. 2023):
+  // hashed unigram+bigram bag-of-words models (add-1 smoothing over
+  // 4096 md5 buckets) for the target slice (source='src0') vs the raw
+  // pool; each raw doc scores Σ log p_target/p_raw over its grams and
+  // the top-100 are kept. Per-bucket terms round to 6dp DECIMAL before
+  // the per-doc sum, so both engines agree bit-for-bit.
+  register(
+    "aq26_importance_weights",
+    """WITH toks AS (
+      |  SELECT doc_id, (source = 'src0') AS is_t,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, is_t, unnest(tk) AS gram FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, is_t,
+      |         unnest(list_transform(range(len(tk) - 1),
+      |                               i -> array_to_string(tk[i+1:i+2], ' '))) AS gram
+      |  FROM toks WHERE len(tk) >= 2
+      |), b AS (
+      |  SELECT doc_id, is_t,
+      |         ('0x' || substr(md5('dsir' || gram), 1, 8))::bigint % 4096 AS bucket
+      |  FROM grams
+      |), cnts AS (
+      |  SELECT bucket,
+      |         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+      |         sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS cr
+      |  FROM b GROUP BY 1
+      |), tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnts),
+      |ratio AS (
+      |  SELECT bucket,
+      |         round(ln((ct + 1)::double / (tt + 4096))
+      |               - ln((cr + 1)::double / (tr + 4096)), 6)::decimal(18,6) AS term
+      |  FROM cnts CROSS JOIN tot
+      |), scored AS (
+      |  SELECT b.doc_id, count(*) AS n_grams, sum(r.term) AS w
+      |  FROM b JOIN ratio r USING (bucket)
+      |  WHERE NOT b.is_t
+      |  GROUP BY 1
+      |)
+      |SELECT doc_id, n_grams::bigint AS n_grams,
+      |       round(w::double, 4) AS weight,
+      |       row_number() OVER (ORDER BY w DESC, doc_id) AS rank
+      |FROM scored
+      |QUALIFY rank <= 100
+      |ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Sampling.importanceWeights(t(s, dir, "documents"),
+        "doc_id", "text", isTarget = col("source") === "src0",
+        buckets = 4096, salt = "dsir", topK = 100)
+      .orderBy("rank")
+  }
+
   // dq14_jaccard_histogram — threshold-calibration curve: the histogram
   // of exact pairwise Jaccard at J >= 0.7 that picks a dedup threshold,
   // computed over a deterministic half-sample — exactly how a 100 TB

@@ -213,4 +213,62 @@ object Sampling {
       .select(col("grp").as(groupCol), col("n_docs"), col("n_tokens"),
         round(p, 6).as("token_share"), col("entropy_nats"))
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * score each RAW-pool document by how target-like it is under hashed
+    * n-gram bag-of-words language models, and keep the top `topK`.
+    * Features are word unigrams + bigrams with multiplicity, hashed
+    * into `buckets` bins (the paper's hashed feature space); each
+    * model is the add-1-smoothed bucket distribution of its corpus
+    * half, and a document's weight is Σ_grams log p_target(bucket) −
+    * log p_raw(bucket) — the log importance ratio.
+    *
+    * Scale shape: the gram stream shuffles twice, both bounded — a
+    * groupBy(bucket) whose output is ≤ `buckets` rows, and a
+    * groupBy(doc_id) for per-doc weights. The bucket-ratio model is a
+    * ≤`buckets`-row broadcast; corpus totals ride a 1-row broadcast
+    * cross-join (no driver action). Top-K runs as orderBy+limit →
+    * TakeOrderedAndProject, never a global sort. Engine portability:
+    * the bucket hash is the md5-prefix hashBucket used by every split
+    * in this file, and each per-bucket log-ratio term rounds to 6dp
+    * DECIMAL before the per-doc sum, so summation order cannot move
+    * the result (tq8's rule). */
+  def importanceWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int,
+      salt: String,
+      topK: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    val grams = Lineage.cutLocal(
+      docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+          explode(concat(
+            TextFunctions.shingles(col(textCol), 1),
+            TextFunctions.shingles(col(textCol), 2))).as("gram"))
+        .select(col("doc_id"), col("is_t"),
+          hashBucket(col("gram"), salt, buckets).as("bucket")))
+    val cnts = grams.groupBy("bucket").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+    val tot = broadcast(cnts.agg(sum("ct").as("tt"), sum("cr").as("tr")))
+    val ratio = broadcast(cnts.crossJoin(tot)
+      .select(col("bucket"),
+        round(log((col("ct") + 1).cast("double") / (col("tt") + buckets))
+          - log((col("cr") + 1).cast("double") / (col("tr") + buckets)), 6)
+          .cast("decimal(18,6)").as("term")))
+    val scored = grams.filter(!col("is_t"))
+      .join(ratio, "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("term").as("w"))
+      .orderBy(col("w").desc, col("doc_id"))
+      .limit(topK)
+    val rk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("w").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(rk))
+      .select(col("doc_id").as(idCol), col("n_grams"),
+        round(col("w").cast("double"), 4).as("weight"), col("rank"))
+  }
 }

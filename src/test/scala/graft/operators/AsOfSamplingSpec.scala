@@ -223,4 +223,40 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(4) - expected) < 1e-6)
     assert(r(0).getDouble(4) == r(1).getDouble(4)) // corpus-level constant
   }
+
+  test("importanceWeights ranks target-like raw docs first") {
+    // target talks about "spark query engine"; raw doc 10 mirrors that
+    // vocabulary, 11 shares half, 12 is disjoint.
+    val docs = Seq(
+      (1L, "t", "spark query engine spark query engine"),
+      (2L, "t", "spark query engine runs fast"),
+      (10L, "r", "spark query engine tuning spark query"),
+      (11L, "r", "spark bicycle repair manual pages"),
+      (12L, "r", "bicycle repair manual chapter seven")
+    ).toDF("doc_id", "grp", "text")
+    val out = Sampling.importanceWeights(docs, "doc_id", "text",
+        isTarget = col("grp") === "t", buckets = 1024, salt = "s",
+        topK = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L))
+    val w = out.map(_.getAs[Double]("weight"))
+    assert(w(0) > w(1) && w(1) > w(2))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    // n_grams = unigrams + bigrams with multiplicity
+    assert(out(0).getAs[Long]("n_grams") == 6L + 5L)
+  }
+
+  test("importanceWeights topK truncates by weight then id") {
+    val docs = Seq(
+      (1L, true, "alpha beta"),
+      (10L, false, "alpha beta"),
+      (11L, false, "alpha beta"),
+      (12L, false, "gamma delta")
+    ).toDF("doc_id", "t", "text")
+    val out = Sampling.importanceWeights(docs, "doc_id", "text",
+        isTarget = col("t"), buckets = 256, salt = "s", topK = 2)
+      .orderBy("rank").collect()
+    // 10 and 11 tie on weight; id breaks the tie; 12 truncated
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L))
+  }
 }
