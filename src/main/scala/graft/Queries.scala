@@ -2488,6 +2488,42 @@ object Queries {
       .orderBy("media_id")
   }
 
+  // mm8_audio_decode — REAL audio decode in the gate: pattern PCM16
+  // waveforms (sample t of id is ((id*7 + t*11) % 4001) - 2000) are
+  // ENCODED on executors as hand-rolled RIFF/WAV, DECODED back through
+  // javax.sound.sampled's real reader, and reduced to integer-exact
+  // sample stats — all through the batched partition kernel. The
+  // oracle replays the CLOSED FORM of the waveform, not the codec: a
+  // defect anywhere in header layout, container parsing, endianness,
+  // or sample extraction breaks the hash match. The audio analog of
+  // mm5.
+  register(
+    "mm8_audio_decode",
+    """WITH aud AS (
+      |  SELECT doc_id AS media_id, (800 + (doc_id % 5) * 160)::bigint AS n
+      |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 150
+      |), smp AS (
+      |  SELECT media_id, n,
+      |         ((media_id * 7 + t.range * 11) % 4001) - 2000 AS v
+      |  FROM aud, range(1440) t
+      |  WHERE t.range < n
+      |)
+      |SELECT media_id, 16000 AS sample_rate, n AS n_samples,
+      |       sum(v)::bigint AS amp_sum, sum(v * v)::bigint AS amp_sumsq,
+      |       min(v)::int AS amp_min, max(v)::int AS amp_max
+      |FROM smp GROUP BY media_id, n
+      |ORDER BY media_id""".stripMargin
+  ) { (s, dir) =>
+    val ids = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 1 && col("doc_id") < 150)
+      .select(col("doc_id").as("media_id"))
+    val media = graft.multimodal.Multimodal.patternWavs(
+      ids, "media_id", nSamples = lit(800) + (col("media_id") % 5) * 160)
+    graft.multimodal.Multimodal.decodeAudioStats(media)
+      .toDF()
+      .orderBy("media_id")
+  }
+
   // q33_media_curation — the multimodal pipeline composed through the
   // Pointy DSL: real PNG encode → decode-based quality gate (contrast)
   // → perceptual-hash dedup → lowest-id survivors. The oracle replays

@@ -13,13 +13,15 @@ import org.apache.spark.sql.types._
   * consume fixed-size row batches, the JVM analog of Arrow record
   * batches under `mapInPandas`). IMAGES decode for REAL via
   * [[ImageIoCodec]] (javax.imageio — pure JVM, ships in the JDK:
-  * PNG/JPEG/GIF/BMP). Audio/video codec work stays STUBBED with
-  * deterministic fakes (`FakeCodec` — the container ships no
-  * audio/video libraries): pixel/sample data derives from the bytes
-  * themselves, so every downstream op (resize, frame sampling, feature
-  * extraction) is reproducible and assertable. Swapping in a real
-  * audio/video codec changes ONE function and no plumbing, exactly as
-  * the image path demonstrates.
+  * PNG/JPEG/GIF/BMP) and WAV AUDIO decodes for REAL via [[WavCodec]]
+  * (javax.sound.sampled — also JDK-shipped). Compressed audio and
+  * video codec work stays STUBBED with deterministic fakes
+  * (`FakeCodec` — the container ships no mp3/ogg/video libraries):
+  * pixel/sample data derives from the bytes themselves, so every
+  * downstream op (resize, frame sampling, feature extraction) is
+  * reproducible and assertable. Swapping in a real codec changes ONE
+  * function and no plumbing, exactly as the image and WAV paths
+  * demonstrate.
   *
   * Scale notes: kernels are embarrassingly parallel per partition; media
   * bytes never hit the driver; feature extraction emits fixed-width
@@ -395,6 +397,142 @@ object Multimodal {
           batch.iterator.map { case (id, bytes) =>
             ImagePixels(id, 8, 8,
               FakeCodec.decodeImage(Option(bytes).getOrElse(Array.empty)))
+          }
+        }
+      }
+  }
+
+  // -------------------------------------------------------------------
+  // REAL AUDIO CODEC — javax.sound.sampled (pure JVM, ships in the
+  // JDK: WAV/AIFF/AU containers, PCM payloads). WAV joins images as a
+  // modality this environment decodes for REAL; compressed audio
+  // (mp3/ogg) and video keep the documented FakeCodec boundary.
+  // -------------------------------------------------------------------
+  object WavCodec {
+
+    /** Deterministic test/gate waveform: sample t of media `id` is the
+      * integer closed form ((id*7 + t*11) mod 4001) − 2000 — the audio
+      * analog of [[ImageIoCodec.stripePng]]'s gradient. Integer-modular
+      * (no float sin), so a SQL oracle replays the full real
+      * encode→decode→stats chain without decoding anything itself. */
+    def patternSamples(id: Long, n: Int): Array[Short] = {
+      val out = new Array[Short](n)
+      var t = 0
+      while (t < n) {
+        out(t) = (((id * 7 + t.toLong * 11) % 4001) - 2000).toShort
+        t += 1
+      }
+      out
+    }
+
+    /** Encode PCM16 mono little-endian samples as a WAV (RIFF) file —
+      * the 44-byte canonical header + payload, written by hand so the
+      * encoder has zero dependencies and a fixed byte layout. */
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                       // PCM
+        .putShort(1)                       // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2)            // byte rate
+        .putShort(2)                       // block align
+        .putShort(16)                      // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+      buf.array()
+    }
+
+    /** REAL decode via AudioSystem: container + format parsing is the
+      * JDK's, not ours. Returns (sampleRate, samples) for 16-bit PCM;
+      * None for bytes no installed reader accepts or non-16-bit
+      * payloads — corrupt media drops a row, never the job. */
+    def decode(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            None
+          else {
+            val raw = ais.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(raw).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val ch = fmt.getChannels
+            val nFrames = raw.length / (2 * ch)
+            val out = new Array[Short](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              out(f) = bb.getShort(f * 2 * ch) // channel 0
+              f += 1
+            }
+            Some((fmt.getSampleRate.toInt, out))
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic REAL-WAV media table: one pattern waveform per id,
+    * encoded on the executors through the batched kernel. Pairs with
+    * [[decodeAudioStats]] for an end-to-end real encode→decode gate
+    * whose expected values have a closed form in (id, t). */
+  def patternWavs(
+      ids: DataFrame, idCol: String, nSamples: org.apache.spark.sql.Column,
+      sampleRate: Int = 16000): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long"), nSamples.cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        mapBatches(it, KernelBatchSize) { batch =>
+          batch.iterator.map { case (id, n) =>
+            (id, WavCodec.encodeWav(WavCodec.patternSamples(id, n), sampleRate))
+          }
+        }
+      }
+      .toDF("media_id", "bytes")
+  }
+
+  final case class AudioStats(media_id: Long, sample_rate: Int,
+      n_samples: Long, amp_sum: Long, amp_sumsq: Long,
+      amp_min: Int, amp_max: Int)
+
+  /** Full-stream sample statistics per audio row over the REAL codec —
+    * the silence/clipping quality gate for an audio corpus (mean level,
+    * dynamic range) in integer-EXACT form, the audio analog of
+    * [[imageStats]]. Undecodable payloads drop. */
+  def decodeAudioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        mapBatches(it, KernelBatchSize) { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            WavCodec.decode(Option(bytes).getOrElse(Array.empty)).map {
+              case (sr, samples) =>
+                var s = 0L; var ss = 0L
+                var mn = Int.MaxValue; var mx = Int.MinValue
+                var i = 0
+                while (i < samples.length) {
+                  val v = samples(i).toInt
+                  s += v; ss += v.toLong * v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  i += 1
+                }
+                AudioStats(id, sr, samples.length.toLong, s, ss,
+                  if (samples.isEmpty) 0 else mn,
+                  if (samples.isEmpty) 0 else mx)
+            }
           }
         }
       }

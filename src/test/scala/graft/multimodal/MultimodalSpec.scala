@@ -168,4 +168,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId.values.forall(_.length == 64))
     assert(byId(2L).forall(c => c.width == 32 && c.height == 16))
   }
+
+  test("WAV codec round-trips PCM16 samples byte-exactly") {
+    val samples = Multimodal.WavCodec.patternSamples(7L, 1000)
+    val wav = Multimodal.WavCodec.encodeWav(samples, 16000)
+    val Some((sr, decoded)) = Multimodal.WavCodec.decode(wav)
+    assert(sr == 16000)
+    assert(decoded.toSeq == samples.toSeq)
+    // closed form spot checks: t=0 -> (49 % 4001) - 2000, t=500
+    assert(samples(0) == (7 * 7 % 4001 - 2000).toShort)
+    assert(samples(500) == ((7 * 7 + 500 * 11) % 4001 - 2000).toShort)
+  }
+
+  test("WAV decode takes channel 0 of stereo and honors sample rate") {
+    // interleave two channels: ch0 = pattern, ch1 = zeros
+    val ch0 = Multimodal.WavCodec.patternSamples(3L, 64)
+    val inter = new Array[Short](128)
+    ch0.zipWithIndex.foreach { case (v, i) => inter(2 * i) = v }
+    // hand-build a stereo header: reuse encodeWav then patch channels,
+    // byte rate, and block align (offsets per the canonical RIFF layout)
+    val mono = Multimodal.WavCodec.encodeWav(inter, 8000)
+    val bb = java.nio.ByteBuffer.wrap(mono)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(22, 2.toShort)  // channels
+    bb.putInt(28, 8000 * 4)     // byte rate
+    bb.putShort(32, 4.toShort)  // block align
+    val Some((sr, decoded)) = Multimodal.WavCodec.decode(mono)
+    assert(sr == 8000)
+    assert(decoded.toSeq == ch0.toSeq)
+  }
+
+  test("REAL audio decode pipeline drops corrupt payloads, keeps the rest") {
+    val good = Multimodal.patternWavs(
+      Seq(1L, 2L, 3L).toDF("media_id"), "media_id", nSamples = lit(100))
+    val corrupt = Seq((99L, Array[Byte](82, 73, 70, 70)),
+      (98L, Array.empty[Byte])).toDF("media_id", "bytes")
+    val out = Multimodal.decodeAudioStats(
+      good.unionByName(corrupt).repartition(5)).collect()
+    assert(out.map(_.media_id).toSet == Set(1L, 2L, 3L))
+    assert(out.forall(_.n_samples == 100L))
+    assert(out.forall(_.sample_rate == 16000))
+    // stats match a direct fold of the closed-form samples
+    val s1 = Multimodal.WavCodec.patternSamples(1L, 100).map(_.toInt)
+    val r1 = out.find(_.media_id == 1L).get
+    assert(r1.amp_sum == s1.map(_.toLong).sum)
+    assert(r1.amp_min == s1.min && r1.amp_max == s1.max)
+  }
 }
