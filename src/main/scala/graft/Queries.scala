@@ -4033,4 +4033,59 @@ object Queries {
     store.filterRecords("cust_stats", "n_cust__gte" -> 10)
       .orderBy("c_nationkey")
   }
+
+  // ---------------------------------------------------------------------
+  // q35_pruned_merge — the row-level-transaction path end to end: the
+  // customer table commits range-partitioned on the key (per-file
+  // key-range sidecar), then ONE pruned MERGE applies updates (negated
+  // balance for c_custkey % 97 = 0, even keys), deletes (same slice,
+  // odd keys), and inserts (c_custkey % 101 = 0, re-keyed +1000000)
+  // while hard-linking every untouched file forward. The oracle
+  // replays MERGE semantics in SQL; the file-level pruning evidence is
+  // spec-pinned (SourcesSpec isSameFile).
+  register(
+    "q35_pruned_merge",
+    """WITH src AS (
+      |  SELECT c_custkey, -c_acctbal AS c_acctbal,
+      |         'UPDATED' AS c_mktsegment, (c_custkey % 2 = 1) AS del
+      |  FROM customer WHERE c_custkey % 97 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS c_custkey, c_acctbal,
+      |         'NEW' AS c_mktsegment, false AS del
+      |  FROM customer WHERE c_custkey % 101 = 0
+      |), kept AS (
+      |  SELECT b.c_custkey, b.c_acctbal, b.c_mktsegment
+      |  FROM customer b LEFT JOIN src s USING (c_custkey)
+      |  WHERE s.c_custkey IS NULL
+      |), merged AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment FROM kept
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal, c_mktsegment FROM src WHERE NOT del
+      |)
+      |SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+      |FROM merged
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    val store = new graft.sources.ResultStore(s, scratchDir("q35"))
+    val cust = t(s, dir, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    // the CDC marker column is part of the table shape from the start,
+    // so the merge below is same-schema and the pruned path engages
+    store.mergePruned("cust",
+      cust.withColumn("del", lit(false))
+        .repartitionByRange(8, col("c_custkey")), "c_custkey")
+    val src = cust.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey"), (-col("c_acctbal")).as("c_acctbal"),
+        lit("UPDATED").as("c_mktsegment"),
+        (col("c_custkey") % 2 === 1).as("del"))
+      .unionByName(cust.filter(col("c_custkey") % 101 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          col("c_acctbal"), lit("NEW").as("c_mktsegment"),
+          lit(false).as("del")))
+    store.mergePruned("cust", src, "c_custkey", Some(col("del")))
+    store.read("cust")
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
 }

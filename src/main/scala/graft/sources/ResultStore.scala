@@ -228,6 +228,176 @@ class ResultStore(spark: SparkSession, root: String) {
     commit(schema, df.filter(!FilterDsl.compileAll(df, filters)))
   }
 
+  // -------------------------------------------------------------------
+  // File-pruned MERGE — the row-level-transaction path. merge() above
+  // rewrites the whole table per commit; at 100 TB a 1k-row update
+  // batch must not re-read and re-write 100 TB. This path keeps a
+  // per-file key-range manifest (`_stats` parquet sidecar inside each
+  // version directory — the Delta/Iceberg file-statistics analog),
+  // rewrites ONLY the files whose key range can contain a source key,
+  // and hard-links every other data file into the new version
+  // unchanged. Commit cost becomes O(touched files + source), not
+  // O(table). The versioned-dir pointer flip is unchanged, so the
+  // crash-atomicity contract is exactly commit()'s.
+  // -------------------------------------------------------------------
+
+  private def versionDir(schema: String, version: String) =
+    new java.io.File(schemaDir(schema), version)
+
+  private def statsPath(schema: String, version: String): String =
+    new java.io.File(versionDir(schema, version), "_stats").getPath
+
+  private def dataFiles(dir: java.io.File): Array[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+
+  /** Per-file key-range manifest of the data files in `dir`: one row
+    * per file (basename), min/max of `keyCol` aggregated in the key's
+    * NATIVE type (never lexicographically) and rendered to string for
+    * storage. Nulls don't enter min/max, so an all-null-key file gets
+    * a null range — conservatively never pruned against. */
+  private def computeStats(
+      dir: String, keyCol: String,
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(dataSchema).parquet(dir)
+      .select(input_file_name().as("__f"), col(keyCol).as("__k"))
+      .groupBy(element_at(split(col("__f"), "/"), -1).as("file"))
+      .agg(min(col("__k")).cast("string").as("kmin"),
+        max(col("__k")).cast("string").as("kmax"))
+      .withColumn("key_col", lit(keyCol))
+
+  private def writeStats(df: DataFrame, schema: String, version: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(statsPath(schema, version))
+
+  /** The sidecar for `version`, if present AND keyed by `keyCol`;
+    * None means "no pruning possible" (foreign commit, append, or a
+    * different merge key) and the caller falls back to a full rewrite
+    * — which re-establishes the sidecar. */
+  private def readStats(schema: String, version: String, keyCol: String)
+      : Option[DataFrame] = {
+    val p = new java.io.File(statsPath(schema, version))
+    if (!p.isDirectory) None
+    else {
+      val df = spark.read.parquet(p.getPath)
+      val keys = df.select("key_col").distinct().collect().map(_.getString(0))
+      if (keys.toSeq == Seq(keyCol)) Some(df) else None
+    }
+  }
+
+  /** Commit `df` as the new table AND write its key-range sidecar, so
+    * the next mergePruned can prune. */
+  private def commitWithStats(
+      schema: String, df: DataFrame, keyCol: String): Unit = {
+    val version = nextVersion(schema)
+    val previous = currentVersion(schema)
+    val dir = versionDir(schema, version)
+    df.write.mode(SaveMode.Overwrite).parquet(dir.getPath)
+    writeStats(computeStats(dir.getPath, keyCol, df.schema), schema, version)
+    beforeSwapHook()
+    flipPointer(schema, version, keepPrevious = previous)
+  }
+
+  /** MERGE INTO with file pruning: same semantics and same atomicity
+    * as [[merge]], table-rewrite cost proportional to the touched key
+    * ranges. Prune logic is scale-shaped: the manifest (one row per
+    * data file) broadcasts into a range join against the source keys —
+    * the source is never collected, and the only driver-side
+    * materialization is the touched-file list, bounded by the file
+    * count like every manifest operation. Write the initial table
+    * range-partitioned on the key (`repartitionByRange`) so file key
+    * ranges are disjoint and a narrow update batch touches few files. */
+  def mergePruned(
+      schema: String,
+      source: DataFrame,
+      keyCol: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Unit = {
+    def notMarked(df: DataFrame) =
+      deleteWhen.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
+    def fullRewrite(): Unit = {
+      val stored = read(schema)
+      val survivors = stored.join(source.select(keyCol), Seq(keyCol), "left_anti")
+      commitWithStats(schema,
+        survivors.unionByName(notMarked(source), allowMissingColumns = true),
+        keyCol)
+    }
+    if (!exists0(schema)) { commitWithStats(schema, notMarked(source), keyCol); return }
+    // schema evolution (source adds columns) would leave the carried-
+    // forward files narrower than the rewritten ones — a mixed-schema
+    // version directory plain parquet reads resolve arbitrarily. A
+    // widening merge therefore rewrites everything once; subsequent
+    // same-shape merges prune again.
+    val widens = (source.columns.toSet -- read(schema).columns.toSet).nonEmpty
+    val prev = currentVersion(schema).get
+    readStats(schema, prev, keyCol) match {
+      case None => fullRewrite()
+      case Some(_) if widens => fullRewrite()
+      case Some(stats) =>
+        val keyType = read(schema).schema(keyCol).dataType
+        val ranges = broadcast(stats.select(col("file"),
+          col("kmin").cast(keyType).as("__lo"),
+          col("kmax").cast(keyType).as("__hi")))
+        val touched = source.select(col(keyCol).as("__sk"))
+          .join(ranges, col("__sk") >= col("__lo") && col("__sk") <= col("__hi"))
+          .select("file").distinct().collect().map(_.getString(0)).toSet
+        val prevDir = versionDir(schema, prev)
+        val oldByFile = stats.select("file", "kmin", "kmax").collect()
+          .map(r => r.getString(0) ->
+            (Option(r.getString(1)), Option(r.getString(2)))).toMap
+        // a data file with no stats row holds zero rows (stats derive
+        // from the rows themselves — an empty part file contributes
+        // none): rewriting it is free and keeps the manifest total
+        val (touchedFiles, untouchedFiles) = dataFiles(prevDir).partition(
+          f => touched.contains(f.getName) || !oldByFile.contains(f.getName))
+        // merge input = rows of touched files only; stored rows in
+        // untouched files cannot match any source key (every stored
+        // key lies inside its file's range) and carry forward as-is
+        val storedTouched =
+          if (touchedFiles.isEmpty)
+            read(schema).limit(0)
+          else
+            spark.read.schema(read(schema).schema)
+              .parquet(touchedFiles.map(_.getPath).toIndexedSeq: _*)
+        val survivors =
+          storedTouched.join(source.select(keyCol), Seq(keyCol), "left_anti")
+        val merged =
+          survivors.unionByName(notMarked(source), allowMissingColumns = true)
+
+        val version = nextVersion(schema)
+        val newDir = versionDir(schema, version)
+        merged.write.mode(SaveMode.Overwrite).parquet(newDir.getPath)
+        // new files' stats BEFORE linking (the dir holds only them now)
+        val newStats = computeStats(newDir.getPath, keyCol, merged.schema)
+          .collect().map(r => (r.getString(0),
+            Option(r.getString(1)), Option(r.getString(2))))
+        val carried = untouchedFiles.map { f =>
+          val target0 = new java.io.File(newDir, f.getName)
+          val target =
+            if (target0.exists()) new java.io.File(newDir, "prev-" + f.getName)
+            else target0
+          java.nio.file.Files.createLink(target.toPath, f.toPath)
+          target.getName
+        }
+        val carriedStats = untouchedFiles.zip(carried).map { case (f, name) =>
+          val (lo, hi) = oldByFile(f.getName)
+          (name, lo, hi)
+        }
+        import spark.implicits._
+        writeStats(
+          (newStats.toSeq ++ carriedStats.toSeq)
+            .toDF("file", "kmin", "kmax")
+            .withColumn("key_col", lit(keyCol)),
+          schema, version)
+        beforeSwapHook()
+        flipPointer(schema, version, keepPrevious = Some(prev))
+    }
+  }
+
+  /** Copy-on-write upsert through the file-pruned path. */
+  def upsertPruned(schema: String, df: DataFrame, keyCol: String): Unit =
+    mergePruned(schema, df, keyCol, deleteWhen = None)
+
   /** Streaming upsert sink: foreachBatch → upsert per micro-batch
     * (the reference's store-backed pipeline persistence,
     * nexus/mixins/backend.py:151-174, under streaming). */

@@ -224,6 +224,100 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("mergePruned rewrites touched files only, hard-links the rest") {
+    val root = tmpDir()
+    val store = new ResultStore(spark, root)
+    val base = (1L to 400L).map(k => KV(k, "v" + k)).toDF()
+      .repartitionByRange(4, col("k"))
+    store.mergePruned("t", base, "k")
+    val v1 = new java.io.File(s"$root/t/v00000001")
+    val v1Files = v1.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(v1Files.length == 4)
+    // narrow update: keys 10..20 live in ONE range file
+    val upd = (10L to 20L).map(k => KV(k, "UPD")).toDF()
+    store.mergePruned("t", upd, "k")
+    val v2 = new java.io.File(s"$root/t/v00000002")
+    val carried = v1Files.filter { f =>
+      val twin = new java.io.File(v2, f.getName)
+      twin.exists() && java.nio.file.Files.isSameFile(f.toPath, twin.toPath)
+    }
+    // 3 of 4 files carried forward as hard links; 1 rewritten
+    assert(carried.length == 3)
+    // contents are exactly the merged table
+    val got = store.read("t").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got.size == 400)
+    assert((10L to 20L).forall(k => got(k) == "UPD"))
+    assert(got(9L) == "v9" && got(21L) == "v21" && got(400L) == "v400")
+  }
+
+  test("mergePruned matches merge on a randomized op sequence") {
+    val rnd = new scala.util.Random(20260813)
+    val a = new ResultStore(spark, tmpDir()) // merge (full rewrite)
+    val b = new ResultStore(spark, tmpDir()) // mergePruned
+    def df(rows: Seq[(Long, String)]) = rows.map(KV.tupled).toDF()
+    def randRows() = (1 to 1 + rnd.nextInt(6)).map(_ =>
+      (rnd.nextInt(30).toLong, "v" + rnd.nextInt(5)))
+      .groupBy(_._1).map(_._2.head).toSeq
+    for (step <- 1 to 12) {
+      val rows = randRows().map { case (k, v) =>
+        (k, if (rnd.nextInt(4) == 0) "DEL" else v) }
+      val del = Some(col("v") === "DEL")
+      a.merge("p", df(rows), "k", del)
+      b.mergePruned("p", df(rows), "k", del)
+      val ra = a.read("p").collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      val rb = b.read("p").collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      assert(ra == rb, s"diverged at step $step")
+    }
+  }
+
+  test("mergePruned: inserts outside every file range, widening, foreign commits") {
+    val store = new ResultStore(spark, tmpDir())
+    store.mergePruned("x",
+      (1L to 100L).map(k => KV(k, "a")).toDF().repartitionByRange(2, col("k")),
+      "k")
+    // keys beyond every range → pure insert, no stored row lost
+    store.mergePruned("x", Seq(KV(500L, "new")).toDF(), "k")
+    assert(store.count("x") == 101)
+    assert(store.get("x", "k" -> 500L).getAs[String]("v") == "new")
+    // widening source falls back to a full rewrite and keeps both cols
+    store.mergePruned("x",
+      Seq((7L, "wide", 1.5)).toDF("k", "v", "w"), "k")
+    val r7 = store.get("x", "k" -> 7L)
+    assert(r7.getAs[String]("v") == "wide" && r7.getAs[Double]("w") == 1.5)
+    assert(store.get("x", "k" -> 8L).isNullAt(
+      store.read("x").columns.indexOf("w")))
+    // a foreign commit (overwrite writes no sidecar) still merges
+    store.overwrite("x", Seq(KV(1, "o1"), KV(2, "o2")).toDF())
+    store.mergePruned("x", Seq(KV(2, "m2"), KV(3, "m3")).toDF(), "k")
+    val got = store.read("x").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got == Map(1L -> "o1", 2L -> "m2", 3L -> "m3"))
+  }
+
+  test("mergePruned: a crash before the flip leaves the old table intact") {
+    var crash = false
+    val store = new ResultStore(spark, tmpDir()) {
+      override protected def beforeSwapHook(): Unit =
+        if (crash) throw new RuntimeException("injected crash")
+    }
+    store.mergePruned("c",
+      (1L to 50L).map(k => KV(k, "v" + k)).toDF()
+        .repartitionByRange(2, col("k")), "k")
+    crash = true
+    intercept[RuntimeException](
+      store.mergePruned("c", Seq(KV(5L, "X")).toDF(), "k"))
+    crash = false
+    assert(store.get("c", "k" -> 5L).getAs[String]("v") == "v5")
+    // and the store recovers: the same merge succeeds afterwards
+    store.mergePruned("c", Seq(KV(5L, "X")).toDF(), "k")
+    assert(store.get("c", "k" -> 5L).getAs[String]("v") == "X")
+    assert(store.count("c") == 50)
+  }
+
   test("result store: delete by predicate") {
     val store = new ResultStore(spark, tmpDir())
     store.insert("d", Seq(KV(1, "a"), KV(2, "b"), KV(3, "ab")).toDF())
