@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Fluent corpus-curation facade: the LLM-data operators as one lazy,
   * chainable API over any (id, text) DataFrame. Each step returns a new
@@ -189,6 +189,41 @@ final case class Curation(
     * MUCH). */
   def contaminationVs(benchmark: DataFrame): DataFrame =
     Dedup.ngramOverlapStats(benchmark, df, textCol)
+
+  /** Drop semantic near-duplicates (SemDeDup) using an embeddings
+    * side table keyed by this corpus's ids: IVF cells bound the
+    * quadratic check; the min-id exemplar of each within-cell dup
+    * group survives. Docs without an embedding row are kept (no
+    * evidence they duplicate anything). */
+  def dropSemanticDups(
+      embeddings: DataFrame, vecIdCol: String = "vec_id",
+      vecCol: String = "embedding", numCells: Int = 256,
+      threshold: Double = 0.95): Curation = {
+    val dropped = embeddings.select(col(vecIdCol).as(idCol), col(vecCol))
+      .join(Similarity.semanticDedup(
+          embeddings, vecIdCol, vecCol, numCells, threshold)
+        .select(col(vecIdCol).as(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol))
+    next(df.join(dropped, Seq(idCol), "left_anti"))
+  }
+
+  /** Keep only the `topK` docs most like `target` under DSIR hashed
+    * n-gram importance weights (the data-selection move: score the raw
+    * pool against a high-quality slice, keep the best). `target` rows
+    * must carry the same id/text columns; they are the model's
+    * positive side and are NOT returned. */
+  def selectLikeTarget(
+      target: DataFrame, topK: Int,
+      buckets: Int = 65536, salt: String = "dsir"): Curation = {
+    val pool = df.select(col(idCol), col(textCol), lit(false).as("__t"))
+      .unionByName(
+        target.select(col(idCol), col(textCol), lit(true).as("__t")))
+    val kept = Sampling.importanceWeights(
+        pool, idCol, textCol, isTarget = col("__t"),
+        buckets = buckets, salt = salt, topK = topK)
+      .select(col(idCol))
+    next(df.join(kept, Seq(idCol), "left_semi"))
+  }
 
   /** Terminal: length-bucket padding economics for batched training. */
   def lengthBuckets(

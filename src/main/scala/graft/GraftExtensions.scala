@@ -27,6 +27,8 @@ object GraftExtensions {
       exprs => VE.FloatNorm(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",
       exprs => TK.WordShingles(exprs(0), ext.lit(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      exprs => TK.WordNGrams(exprs(0), ext.lit(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => TK.MinHashSig(exprs(0), ext.lit(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("simhash",
@@ -64,6 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - distinct word n-grams of lower(text)"),
       (exprs: Seq[Expression]) => TK.WordShingles(exprs(0), lit(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text, maxN) - all word 1..maxN-grams with multiplicity"),
+      (exprs: Seq[Expression]) => TK.WordNGrams(exprs(0), lit(exprs(1)))))
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, k) - k-hash minhash signature"),
       (exprs: Seq[Expression]) => TK.MinHashSig(exprs(0), lit(exprs(1)))))

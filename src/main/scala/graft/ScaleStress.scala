@@ -203,6 +203,62 @@ object ScaleStress {
     // hot fingerprints out of the bucket join
     time("winnowing_4x")(operators.Dedup.winnowingPairs(
       dup(4), "doc_id", "text", maxFpDf = Some(200)).count())
+    // semantic dedup at 4x: the perturbed near-dup copies (cosine
+    // ~0.999) must collapse onto their originals while the replicas'
+    // negated blocks (~0.5) survive — survivors ≈ half the corpus, and
+    // the per-cell quadratic work is what the cell count bounds
+    time("semantic_dedup_1x")(operators.Similarity.semanticDedup(
+      withPert(edup(1)), "vec_id", "embedding",
+      numCells = 16, threshold = 0.9).count())
+    time("semantic_dedup_4x")(operators.Similarity.semanticDedup(
+      withPert(edup(4)), "vec_id", "embedding",
+      numCells = 16, threshold = 0.9).count())
+    // DSIR importance weights at 4x: gram volume quadruples but both
+    // shuffles stay bounded (buckets, then docs) and the model is a
+    // broadcast — time should track the tokenize/scan cost
+    def withSrc(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("src", (col("doc_id") % 7).cast("string"))
+    time("importance_1x")(operators.Sampling.importanceWeights(
+      withSrc(dup(1)), "doc_id", "text", isTarget = col("src") === "0",
+      buckets = 4096, salt = "st", topK = 100).count())
+    time("importance_4x")(operators.Sampling.importanceWeights(
+      withSrc(dup(4)), "doc_id", "text", isTarget = col("src") === "0",
+      buckets = 4096, salt = "st", topK = 100).count())
+    // real WAV decode over 20k waveforms (~1.4k samples each): encode +
+    // decode + stats, all kernel-side — embarrassingly parallel
+    time("wav_decode_20k")(multimodal.Multimodal.decodeAudioStats(
+      multimodal.Multimodal.patternWavs(
+        spark.range(20000).select(col("id").as("media_id")),
+        "media_id", nSamples = lit(800) + (col("media_id") % 5) * 160))
+      .toDF().count())
+    // pruned merge SLOPES: the same 1k-key narrow update against 2M-
+    // and 8M-row tables (32 range files each). merge()'s cost grows
+    // with the table (full rewrite); mergePruned's stays at the fixed
+    // manifest/commit overhead + one rewritten file. On a page-cache-
+    // hot single box the absolute crossover sits further out, but the
+    // SLOPES are the 100 TB story: O(table) vs O(touched).
+    for (rows <- Seq(2000000L, 8000000L)) {
+      val root = java.nio.file.Files.createTempDirectory("graft-stress-store")
+      val store = new sources.ResultStore(spark, root.toString)
+      val base = spark.range(rows).select(col("id").as("k"),
+        concat(lit("v"), col("id"), lit("-"),
+          md5(col("id").cast("string"))).as("v"))
+      store.mergePruned("big",
+        base.repartitionByRange(32, col("k")), "k")
+      store.merge("big_copy", base.repartitionByRange(32, col("k")), "k")
+      val upd = spark.range(1000).select((col("id") + 100000).as("k"),
+        lit("UPD").as("v"))
+      val tM = System.nanoTime()
+      store.merge("big_copy", upd, "k")
+      val fullS = (System.nanoTime() - tM) / 1e9
+      val tP = System.nanoTime()
+      store.mergePruned("big", upd, "k")
+      val prunedS = (System.nanoTime() - tP) / 1e9
+      val n = store.count("big")
+      println(f"STRESS pruned_merge_${rows / 1000000}m full=$fullS%.1f s " +
+        f"pruned=$prunedS%.1f s ($n rows)")
+      require(n == rows)
+    }
     spark.stop()
   }
 }

@@ -73,6 +73,56 @@ object TextKernelExpressions {
       copy(child = c)
   }
 
+  /** array<string> of ALL word n-grams of lower(text) for n = 1..maxN,
+    * contiguous, WITH multiplicity (unlike [[WordShingles]], which
+    * de-duplicates) — the bag-of-grams feature stream language-model
+    * scoring needs (DSIR importance weights). Same tokenization as
+    * every other kernel; one compiled pass, no per-element lambdas. */
+  case class WordNGrams(child: Expression, maxN: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val toks = new java.util.ArrayList[String]()
+      var i = 0
+      val len = text.length
+      while (i < len) {
+        while (i < len && isWs(text.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(text.charAt(i))) i += 1
+        if (i > start) toks.add(text.substring(start, i).toLowerCase)
+      }
+      val t = toks.size
+      var total = 0
+      var n = 1
+      while (n <= maxN) { total += math.max(0, t - n + 1); n += 1 }
+      val out = new Array[Any](total)
+      var o = 0
+      val sb = new java.lang.StringBuilder
+      n = 1
+      while (n <= maxN) {
+        var j = 0
+        val m = t - n + 1
+        while (j < m) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(toks.get(j + k))
+            k += 1
+          }
+          out(o) = UTF8String.fromString(sb.toString)
+          o += 1
+          j += 1
+        }
+        n += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WordNGrams =
+      copy(child = c)
+  }
+
   /** MinHash signature (array<long>, length k) of an array<string>:
     * sig[i] = min over elements of xxhash64(element, seed = i). */
   case class MinHashSig(child: Expression, k: Int)
@@ -144,6 +194,9 @@ object TextKernelExpressions {
 
   def word_shingles(text: Column, n: Int): Column =
     GraftSqlBridge.toColumn(WordShingles(GraftSqlBridge.toExpression(text), n))
+
+  def word_ngrams(text: Column, maxN: Int): Column =
+    GraftSqlBridge.toColumn(WordNGrams(GraftSqlBridge.toExpression(text), maxN))
 
   def minhash_sig(shingles: Column, k: Int): Column =
     GraftSqlBridge.toColumn(MinHashSig(GraftSqlBridge.toExpression(shingles), k))

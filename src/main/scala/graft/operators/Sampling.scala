@@ -228,7 +228,10 @@ object Sampling {
     * groupBy(doc_id) for per-doc weights. The bucket-ratio model is a
     * ≤`buckets`-row broadcast; corpus totals ride a 1-row broadcast
     * cross-join (no driver action). Top-K runs as orderBy+limit →
-    * TakeOrderedAndProject, never a global sort. Engine portability:
+    * TakeOrderedAndProject, never a global sort. The gram stream comes
+    * from the WordNGrams native kernel (one compiled pass per doc) —
+    * the HOF shingle composition costs interpreted per-element lambdas,
+    * the trap NOTES_BUILD documents. Engine portability:
     * the bucket hash is the md5-prefix hashBucket used by every split
     * in this file, and each per-bucket log-ratio term rounds to 6dp
     * DECIMAL before the per-doc sum, so summation order cannot move
@@ -241,12 +244,10 @@ object Sampling {
       buckets: Int,
       salt: String,
       topK: Int): DataFrame = {
-    import graft.functions.TextFunctions
     val grams = Lineage.cutLocal(
       docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
-          explode(concat(
-            TextFunctions.shingles(col(textCol), 1),
-            TextFunctions.shingles(col(textCol), 2))).as("gram"))
+          explode(graft.functions.TextKernelExpressions
+            .word_ngrams(col(textCol), 2)).as("gram"))
         .select(col("doc_id"), col("is_t"),
           hashBucket(col("gram"), salt, buckets).as("bucket")))
     val cnts = grams.groupBy("bucket").agg(

@@ -127,4 +127,32 @@ class CurationSpec extends AnyFunSuite {
     val cont = Curation(docs).contaminationVs(bench).head()
     assert(cont.getDouble(2) == 1.0) // every bench shingle is in corpus
   }
+
+  test("semantic dedup and DSIR selection facade steps agree with operators") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+    val kept = Curation(docs).dropSemanticDups(
+      emb, numCells = 8, threshold = 0.3).df
+    val survivors = graft.operators.Similarity.semanticDedup(
+      emb, "vec_id", "embedding", numCells = 8, threshold = 0.3)
+    // facade keeps exactly: docs minus embedded-and-not-surviving ids
+    val droppedIds = emb.select(col("vec_id").as("doc_id"))
+      .join(survivors.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val expected = docs.join(droppedIds, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      == expected)
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+
+    val target = docs.filter(col("source") === "src0")
+      .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+    val selected = Curation(docs.filter(col("source") =!= "src0"))
+      .selectLikeTarget(target, topK = 50).df
+    assert(selected.count() == 50)
+    assert(selected.columns.toSeq == docs.columns.toSeq)
+    // selected docs come from the pool, never the target
+    assert(selected.filter(col("doc_id") >= 5000000).count() == 0)
+  }
 }

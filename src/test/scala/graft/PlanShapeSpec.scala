@@ -312,6 +312,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(badTypes.isEmpty, badTypes.mkString(", "))
   }
 
+  test("sq8 semantic dedup: equi-joins on cell_id only — no nested loop, no cartesian") {
+    val p = plan("sq8_semantic_dedup")
+    // the quadratic check must ride the cell_id equi-join; a nested-loop
+    // or cartesian would be the N² plan this operator exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("aq26 importance weights: broadcast model, TakeOrdered top-k") {
+    val p = plan("aq26_importance_weights")
+    // the ≤buckets-row ratio model broadcasts into the gram stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    // top-100 selection is TakeOrderedAndProject, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("mm8 audio decode kernel runs shuffle-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.lit
+    val ids = graft.Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 20)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("media_id"))
+    val media = graft.multimodal.Multimodal.patternWavs(
+      ids, "media_id", nSamples = lit(64))
+    val df = graft.multimodal.Multimodal.decodeAudioStats(media).toDF()
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
   test("dq13 snapshot diff shuffles thin (id, checksum) rows — never text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.functions.{col, xxhash64}

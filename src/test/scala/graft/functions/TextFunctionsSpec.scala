@@ -22,6 +22,24 @@ class TextFunctionsSpec extends AnyFunSuite {
       "x <EMAIL> y <IP> z <PHONE> w")
   }
 
+  test("word_ngrams kernel == the HOF shingle composition, with multiplicity") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 50)
+    val kernel = docs.select(col("doc_id"),
+        explode(TextKernelExpressions.word_ngrams(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").count()
+    val hof = docs.select(col("doc_id"),
+        explode(concat(TextFunctions.shingles(col("text"), 1),
+          TextFunctions.shingles(col("text"), 2))).as("g"))
+      .groupBy("doc_id", "g").count()
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+    // multiplicity: "a b a b" has unigram a x2, b x2, bigram "a b" x2
+    val m = Seq("a b a b").toDF("t")
+      .select(explode(TextKernelExpressions.word_ngrams(col("t"), 2)).as("g"))
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("a" -> 2L, "b" -> 2L, "a b" -> 2L, "b a" -> 1L))
+  }
+
   test("redactPii leaves near-misses alone") {
     // no TLD, letters in octets, 2-3-4 digit grouping
     assert(redactOne("a@b plain 1.2.3 text 12-345-6789") ==
