@@ -1124,6 +1124,34 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // dq16_edit_distance — typo-level near-dup pairs: equal 16-char
+  // normalized prefix + length-delta filter recall candidates (the
+  // LSH-banding shape), exact Levenshtein <= 24 verifies. The modality
+  // the shingle family misses (scattered single-character edits);
+  // identical unit-cost DP in Spark codegen and DuckDB.
+  register(
+    "dq16_edit_distance",
+    """WITH d AS (
+      |  SELECT doc_id, lower(trim(text)) AS t,
+      |         length(lower(trim(text))) AS len
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, t, len, substr(t, 1, 16) AS pfx FROM d
+      |), cand AS (
+      |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+      |         levenshtein(a.t, c.t) AS dist
+      |  FROM b a JOIN b c ON a.pfx = c.pfx AND a.doc_id < c.doc_id
+      |   AND abs(a.len - c.len) <= 24
+      |)
+      |SELECT id_a, id_b, dist::int AS dist
+      |FROM cand WHERE dist <= 24
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 24, prefixLen = 16)
+      .orderBy("id_a", "id_b")
+  }
+
   // aq25_ngram_overlap — the scalar contamination metric: what fraction
   // of the benchmark slice's distinct 3-grams appear anywhere in the
   // train slice (dq11 finds WHICH items leak; this measures HOW MUCH
