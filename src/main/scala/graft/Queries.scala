@@ -4116,4 +4116,167 @@ object Queries {
         col("c_mktsegment"))
       .orderBy("c_custkey")
   }
+
+  // ---------------------------------------------------------------------
+  // aq27_funnel — ordered conversion funnel view -> click -> purchase
+  // over the events table (operators/Behavior.funnel). Step k counts a
+  // user only when a step-k event lands STRICTLY AFTER their step-(k-1)
+  // conversion; timestamps compare as µs-epoch integers on both engines.
+  // One shuffle per step, all keyed on user_id.
+  register(
+    "aq27_funnel",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+      |), s1 AS (
+      |  SELECT user_id, min(ts_us) AS t FROM ev
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, min(e.ts_us) AS t, min(s1.t) AS tp
+      |  FROM ev e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, min(e.ts_us) AS t, min(s2.t) AS tp
+      |  FROM ev e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1
+      |)
+      |SELECT * FROM (
+      |  SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users,
+      |         CAST(NULL AS DOUBLE) AS avg_lag_sec FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'click', count(*),
+      |         round(sum(t - tp)::double / count(*) / 1e6, 2) FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', count(*),
+      |         round(sum(t - tp)::double / count(*) / 1e6, 2) FROM s3
+      |) ORDER BY step""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    graft.operators.Behavior.funnel(ev, "user_id", "ts_us", Seq(
+      "view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click"),
+      "purchase" -> (col("event_type") === "purchase")))
+  }
+
+  // ---------------------------------------------------------------------
+  // aq28_transitions — first-order event-type transition matrix with
+  // per-source probabilities (operators/Behavior.transitionMatrix): one
+  // lead() window per user timeline (ties break on event_id), then a
+  // (from, to) aggregate of |types|² cardinality.
+  register(
+    "aq28_transitions",
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events
+      |), pairs AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM seq
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n,
+      |       round(n::double / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM pairs
+      |ORDER BY from_type, to_type""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    graft.operators.Behavior.transitionMatrix(
+      ev, "user_id", "ts_us", "event_type", "event_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq29_retention — daily cohort retention (operators/Behavior
+  // .cohortRetention): cohort = first-seen µs-epoch day index, each
+  // (cohort, offset) cell counts that cohort's users active offset days
+  // later. Day indexes are integer floor-divs so both engines agree.
+  register(
+    "aq29_retention",
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |), cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort_day, count(*) AS cohort_users FROM cohorts GROUP BY 1
+      |), cells AS (
+      |  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+      |         count(*) AS n_active
+      |  FROM activity a JOIN cohorts c USING (user_id) GROUP BY 1, 2
+      |)
+      |SELECT cohort_day, day_offset, n_active,
+      |       round(n_active::double / cohort_users, 6) AS retention
+      |FROM cells JOIN sizes USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Behavior.cohortRetention(
+      t(s, dir, "events"), "user_id", "ts")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq30_gapfill — gap-filled hourly series per event_type with forward
+  // fill (operators/Behavior.gapFillHourly): densify each type's series
+  // over its own hour span via sequence()+explode, then carry the last
+  // observed hourly sum into the gaps with a per-key ordered window.
+  register(
+    "aq30_gapfill",
+    """WITH obs AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |         count(*) AS n,
+      |         round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS value
+      |  FROM events GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT event_type,
+      |         unnest(generate_series(mn, mx, 3600000000)) AS hour_us
+      |  FROM (SELECT event_type, min(hour_us) AS mn, max(hour_us) AS mx
+      |        FROM obs GROUP BY 1)
+      |)
+      |SELECT g.event_type, g.hour_us,
+      |       coalesce(o.n, 0) AS n,
+      |       o.value AS value,
+      |       last_value(o.value IGNORE NULLS) OVER (
+      |         PARTITION BY g.event_type ORDER BY g.hour_us
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS filled_value,
+      |       o.n IS NULL AS is_gap
+      |FROM grid g LEFT JOIN obs o USING (event_type, hour_us)
+      |ORDER BY event_type, hour_us""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Behavior.gapFillHourly(
+      t(s, dir, "events"), "event_type", "ts", "value")
+  }
+
+  // ---------------------------------------------------------------------
+  // dq17_bloom_join — Bloom-prefiltered join (operators/BloomJoin): the
+  // build side (high-value urgent orders) folds into a distributed
+  // BloomFilterAggregate, the probe side (lineitem) filters on
+  // might_contain BEFORE its shuffle, and the exact join then makes the
+  // result bit-identical to the plain join the oracle runs. False
+  // positives only cost shuffle bytes, never correctness.
+  register(
+    "dq17_bloom_join",
+    """SELECT o_orderkey,
+      |       round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::double AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+      |GROUP BY 1
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val build = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000)
+      .select("o_orderkey")
+    val probe = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    graft.operators.BloomJoin
+      .join(probe, build, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L, numBits = 1L << 20)
+      .groupBy("o_orderkey")
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))), 2)
+        .cast("double").as("revenue"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over an event stream table `(user, ts, type,
+  * value, ...)` — the ordered-sequence operators every product/ops
+  * pipeline runs on its event firehose: funnels, transition matrices,
+  * cohort retention, and gap-filled time series. The reference routes
+  * events through per-event handlers and conditional descriptors
+  * (`nexus/task.py:1050-1165`); these operators are the corresponding
+  * *set-oriented* formulations, declared as DataFrame plans so Catalyst
+  * schedules them scale-out.
+  *
+  * Scale shapes (each documented per method):
+  *   - every shuffle is keyed on the entity (user / series key), never
+  *     on a global order;
+  *   - ordered logic runs inside per-entity window partitions (bounded
+  *     by one entity's history, the same invariant q11's sessionize
+  *     relies on);
+  *   - outputs are small aggregates (steps / type pairs / cohort cells
+  *     / series points), so nothing here materializes row-per-event
+  *     results.
+  */
+object Behavior {
+
+  /** Ordered conversion funnel: for each user, step k counts only if an
+    * event matching `steps(k)` occurs STRICTLY AFTER the user's step
+    * k-1 time (the standard "ordered funnel" semantics — re-orderings
+    * don't count). Returns one row per step:
+    * `(step, step_name, n_users, avg_lag_sec)` where `avg_lag_sec` is
+    * the mean seconds from the previous step's conversion time (NULL
+    * for step 1).
+    *
+    * `tsCol` must be a NUMERIC µs-epoch column (`unix_micros(ts)`), not
+    * a raw timestamp: the strictly-after comparison then happens on the
+    * same integers in every engine (a nanosecond-precision engine would
+    * otherwise order two events that a µs engine sees as simultaneous).
+    *
+    * Scale shape: one aggregate per step, each a shuffle keyed on
+    * `userCol` — after the first step every join/agg is co-partitioned
+    * on the user key, so AQE reuses the partitioning; the events scan
+    * for step k carries the step predicate down to the source (only
+    * matching rows leave the scan). Funnel depth is the number of
+    * passes, which is a constant (3-5 in practice), NOT a function of
+    * data size. Per-step frames feed two consumers (the step count and
+    * the next step's join) — cut locally so the shuffle runs once.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // per-step converted users: (user, conversion ts, lag from prev)
+    var converted: DataFrame = null
+    val perStep = steps.zipWithIndex.map { case ((name, pred), i) =>
+      converted =
+        if (i == 0)
+          events.filter(pred)
+            .groupBy(col(userCol))
+            .agg(min(col(tsCol)).as("__t"))
+            .withColumn("__lag_us", lit(null).cast("long"))
+            .transform(Lineage.cutLocal)
+        else {
+          val prev = converted.select(col(userCol), col("__t").as("__tprev"))
+          events.filter(pred)
+            .join(prev, userCol)
+            .filter(col(tsCol) > col("__tprev"))
+            .groupBy(col(userCol))
+            .agg(min(col(tsCol)).as("__t"), min(col("__tprev")).as("__tp"))
+            .withColumn("__lag_us", col("__t") - col("__tp"))
+            .transform(Lineage.cutLocal)
+        }
+      // integer sum / integer count, divided once in double: the same
+      // IEEE operations in the oracle engine, so the rounding agrees
+      converted.agg(
+        count(lit(1)).as("n_users"),
+        round(sum(col("__lag_us")).cast("double") /
+          count(col("__lag_us")) / 1e6, 2).as("avg_lag_sec"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col("n_users"), col("avg_lag_sec"))
+    }
+    perStep.reduce(_.unionByName(_)).orderBy("step")
+  }
+
+  /** First-order transition matrix: counts of consecutive
+    * `(event_type -> next event_type)` pairs within each user's
+    * timeline, plus the per-source transition probability. Ties on the
+    * timestamp break on `idCol` so the sequence is deterministic.
+    * Terminal events (no successor) are dropped.
+    *
+    * Scale shape: ONE shuffle keyed on the user for the lead() window
+    * (partition size = one user's history), then an aggregate on the
+    * (from, to) pair — cardinality |types|², with map-side partials.
+    * The probability denominator reuses the same aggregate via a
+    * window over `from_type` (|types| partitions, trivially bounded).
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__next", lead(typeCol, 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy("from_type")
+    pairs
+      .withColumn("p",
+        round(col("n").cast("double") / sum("n").over(byFrom), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Daily cohort retention: users are cohorted by their first-seen day
+    * and each `(cohort_day, day_offset)` cell counts the distinct users
+    * of that cohort active `day_offset` days later, with the retention
+    * rate against the cohort size. Days are integer µs-epoch day
+    * indexes so both engines agree exactly.
+    *
+    * Scale shape: first-seen and per-day activity are both aggregates
+    * keyed on the user (one shuffle, co-partitioned join between them),
+    * then a (cohort, offset) aggregate whose cardinality is bounded by
+    * span² — calendar cells, not data rows. `countDistinct` inside the
+    * cell is exact and shuffles only (cohort, offset, user) triples
+    * that were already distinct per day.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    // integer floor-div, not double `/` + cast: engine-exact at any epoch
+    val day = expr(s"unix_micros($tsCol) div 86400000000")
+    val activity = events
+      .select(col(userCol), day.as("__day"))
+      .distinct()
+      .transform(Lineage.cutLocal)
+    val cohorts = activity
+      .groupBy(col(userCol))
+      .agg(min("__day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_users"))
+    activity
+      .join(cohorts, userCol)
+      .groupBy(col("cohort_day"), (col("__day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_users"), 6)
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Gap-filled hourly series per key: aggregate `valueCol` per
+    * (key, hour), then densify each key's series over its own
+    * [min, max] hour span and forward-fill the last observed value into
+    * the gaps. Output: `(key, hour_us, n, value, filled_value, is_gap)`
+    * — `value` is NULL on gap rows, `filled_value` carries the fill.
+    *
+    * Scale shape: the observation aggregate shuffles on (key, hour)
+    * with map-side partials; the grid is `sequence()` + explode off the
+    * per-key span aggregate (rows generated scale with calendar span,
+    * not event count); the forward fill is a per-key ordered window
+    * whose partition is one key's series — bounded by span. Nothing
+    * orders globally. For a 100 TB corpus the series-key cardinality
+    * (metrics, devices) dwarfs the per-key span, which is exactly the
+    * partitioning this plan exploits.
+    */
+  def gapFillHourly(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val hourUs = unix_micros(date_trunc("hour", col(tsCol)))
+    val obs = events
+      .groupBy(col(keyCol), hourUs.as("hour_us"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol).cast("decimal(18,4)")), 2)
+          .cast("double").as("value"))
+      .transform(Lineage.cutLocal)
+    val grid = obs.groupBy(col(keyCol))
+      .agg(min("hour_us").as("__mn"), max("hour_us").as("__mx"))
+      .select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"), lit(3600000000L)))
+          .as("hour_us"))
+    val w = Window.partitionBy(keyCol).orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(obs, Seq(keyCol, "hour_us"), "left")
+      .select(col(keyCol), col("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("value"),
+        last("value", ignoreNulls = true).over(w).as("filled_value"),
+        col("n").isNull.as("is_gap"))
+      .orderBy(keyCol, "hour_us")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Behavioral analytics (funnel / transitions / retention / gap-fill)
+  * against hand-computed micro-fixtures, plus the Bloom-prefiltered
+  * join's equality + selectivity contract. The sf-scale replay against
+  * DuckDB runs in the aq27-aq30/dq17 gate. */
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "ts_us", "event_type")
+      .withColumn("event_id", monotonically_increasing_id())
+
+  test("funnel: strictly-after ordering, re-orderings don't count") {
+    // u1 completes view->click->purchase; u2 clicks BEFORE viewing (the
+    // click must not count); u3 views only; u4 clicks at the same µs as
+    // the view (strictly-after excludes it)
+    val e = ev(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 400L, "purchase"),
+      (2L, 300L, "click"), (2L, 500L, "view"),
+      (3L, 100L, "view"),
+      (4L, 100L, "view"), (4L, 100L, "click"))
+    val out = Behavior.funnel(e, "user_id", "ts_us", Seq(
+      "view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click"),
+      "purchase" -> (col("event_type") === "purchase")))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(out == Seq((1, 4L), (2, 1L), (3, 1L)))
+  }
+
+  test("funnel: lag averages the per-user step gaps in seconds") {
+    // two converters: gaps 2s and 4s -> avg 3.0s
+    val e = ev(
+      (1L, 0L, "view"), (1L, 2000000L, "click"),
+      (2L, 0L, "view"), (2L, 4000000L, "click"))
+    val out = Behavior.funnel(e, "user_id", "ts_us", Seq(
+      "view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click")))
+      .collect()
+    assert(out(0).isNullAt(3), "step 1 has no lag")
+    assert(out(1).getDouble(3) == 3.0)
+  }
+
+  test("transitionMatrix: counts and per-source probabilities") {
+    // u1: a->b->a ; u2: a->b  => transitions a->b x2, b->a x1
+    val e = ev(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"))
+    val out = Behavior
+      .transitionMatrix(e, "user_id", "ts_us", "event_type", "event_id")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitionMatrix: timestamp ties break on the id column") {
+    val e = Seq(
+      (1L, 5L, "x", 10L), (1L, 5L, "y", 11L), (1L, 5L, "z", 12L))
+      .toDF("user_id", "ts_us", "event_type", "event_id")
+    val out = Behavior
+      .transitionMatrix(e, "user_id", "ts_us", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("x", "y"), ("y", "z")))
+  }
+
+  test("cohortRetention: day-0 retention is 1.0, later cells exact") {
+    val day = 86400000000L
+    val e = Seq(
+      // cohort day 0: u1 active days 0,1 ; u2 active day 0 only
+      (1L, 0L), (1L, day + 5L), (2L, 10L),
+      // cohort day 1: u3 active days 1, 3
+      (3L, day + 1L), (3L, 3 * day + 1L))
+      .toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Behavior.cohortRetention(e, "user_id", "ts")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5),
+      (1L, 0L, 1L, 1.0), (1L, 2L, 1L, 1.0)))
+  }
+
+  test("gapFillHourly: gaps carry the last observed value forward") {
+    val h = 3600000000L
+    val e = Seq(
+      ("m", 0L, 10.0), ("m", 1L, 2.0),      // hour 0: 12.0
+      ("m", 3 * h + 1L, 7.0))               // hour 3: 7.0; hours 1-2 gap
+      .toDF("k", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Behavior.gapFillHourly(e, "k", "ts", "value")
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        Option(r.get(3)), r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(out == Seq(
+      (0L, 2L, Some(12.0), 12.0, false),
+      (h, 0L, None, 12.0, true),
+      (2 * h, 0L, None, 12.0, true),
+      (3 * h, 1L, Some(7.0), 7.0, false)))
+  }
+
+  test("gapFillHourly: each key densifies over its OWN span") {
+    val h = 3600000000L
+    val e = Seq(("a", 0L, 1.0), ("a", 2 * h, 1.0), ("b", 5 * h, 2.0))
+      .toDF("k", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Behavior.gapFillHourly(e, "k", "ts", "value")
+      .groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("bloom join equals the plain join and thins the probe side") {
+    val probe = (1 to 20000).map(i => (i.toLong % 500, i)).toDF("pk", "v")
+    val build = Seq(1L, 7L, 13L, 499L).toDF("bk")
+    val expected = probe.join(build, col("pk") === col("bk"))
+      .select("pk", "v").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val got = BloomJoin.join(probe, build, "pk", "bk",
+        expectedItems = 10L, numBits = 1L << 14)
+      .select("pk", "v").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(got.toSeq == expected.toSeq)
+    // the prefilter alone keeps the true matches and drops most others
+    val pred = BloomJoin.mightContain(build, "bk", col("pk"),
+      expectedItems = 10L, numBits = 1L << 14)
+    val kept = probe.filter(pred).count()
+    assert(kept >= expected.length, "bloom must never drop a true match")
+    assert(kept < 20000 / 10,
+      s"bloom kept $kept of 20000 probe rows — not selective")
+  }
+}
