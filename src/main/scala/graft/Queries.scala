@@ -4279,4 +4279,22 @@ object Queries {
         .cast("double").as("revenue"))
       .orderBy("o_orderkey")
   }
+
+  // ---------------------------------------------------------------------
+  // aq31_heavy_hitters — exact heavy hitters, count-min-sketch assisted
+  // (operators/Sketch.heavyHitters): pass 1 folds lineitem into a
+  // 4x65536-cell sketch (bounded driver state), pass 2 filters rows by
+  // the folded min-over-seeds estimate BEFORE the exact count shuffle.
+  // CMS never underestimates, so the result is bit-identical to the
+  // naive GROUP BY ... HAVING the oracle runs.
+  register(
+    "aq31_heavy_hitters",
+    """SELECT l_partkey, count(*) AS cnt
+      |FROM lineitem GROUP BY 1 HAVING count(*) >= 45
+      |ORDER BY l_partkey""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Sketch.heavyHitters(
+      t(s, dir, "lineitem").select("l_partkey"),
+      "l_partkey", threshold = 45L)
+  }
 }
