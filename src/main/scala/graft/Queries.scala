@@ -1605,7 +1605,6 @@ object Queries {
   ) { (s, dir) => withStreamPartitions(s, 8) {
     val stream = graft.streaming.StreamRunner
       .parquetStream(s, s"$dir/events.parquet", maxFilesPerTrigger = 1)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     val agg = stream
       .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
         col("event_type"))
@@ -3721,7 +3720,6 @@ object Queries {
   ) { (s, dir) => withStreamPartitions(s, 8) {
     val stream = graft.streaming.StreamRunner
       .parquetStream(s, s"$dir/events.parquet", maxFilesPerTrigger = 1)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     val agg = stream
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
         col("event_type"))
@@ -3761,7 +3759,6 @@ object Queries {
   ) { (s, dir) => withStreamPartitions(s, 8) {
     val ev = graft.streaming.StreamRunner
       .parquetStream(s, s"$dir/events.parquet", maxFilesPerTrigger = 1)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("cts"))

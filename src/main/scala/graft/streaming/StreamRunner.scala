@@ -27,7 +27,10 @@ object StreamRunner {
   /** File-source stream over a directory of parquet (schema pinned from a
     * batch peek — required by readStream). `maxFilesPerTrigger` bounds
     * micro-batch size, the analog of the reference's chunked file
-    * ingestion (nexus/default_batch_processors.py:28-54). */
+    * ingestion (nexus/default_batch_processors.py:28-54). A `ts` column
+    * is normalized to micros TimestampType ([[graft.Tables.normalizeTs]])
+    * so stream-side event-time logic sees the same canonical type as
+    * batch scans, whatever the writer encoded. */
   def parquetStream(
       spark: SparkSession,
       path: String,
@@ -40,10 +43,10 @@ object StreamRunner {
     val f = new java.io.File(path)
     val sourcePath =
       if (f.isFile) s"${path.init}[${path.last}]" else path
-    spark.readStream
+    graft.Tables.normalizeTs(spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(sourcePath)
+      .parquet(sourcePath))
   }
 
   /** Tumbling/sliding event-time aggregation with watermark. */

@@ -57,7 +57,6 @@ class StreamingSpec extends AnyFunSuite {
   test("windowed agg over a stream equals the batch aggregation") {
     val stream = StreamRunner
       .parquetStream(spark, s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     val agg = StreamRunner.windowedAgg(stream, "ts", "1 hour", "1 hour", None,
       Seq("event_type"), Seq(count(lit(1)).as("n")))
     val qn = s"win_${System.nanoTime()}"
