@@ -30,10 +30,21 @@ object Bench {
       else if (n % 2 == 1) s(n / 2)
       else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+    // a query that THROWS must never be billed a wall time: an
+    // analysis-time failure fails fast (~0.1s) and would read as a
+    // 10-20× "speedup" in cross-round comparison (this happened — the
+    // round-5 NTZ regression showed st1-st4 at 0.09-0.19s). Failed
+    // queries report the string "err" instead and are excluded from
+    // total/median/p90.
     val results = selected.map { case (name, fn) =>
+      var failed = false
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: " +
+            String.valueOf(t.getMessage).linesIterator.take(1).mkString)
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // release per-query executor state deterministically: operators
         // localCheckpoint intermediates, and those blocks are otherwise
@@ -48,16 +59,22 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         dt
       }
-      (name, median(times), times.head)
+      (name,
+        if (failed) None else Some(median(times)),
+        if (failed) None else Some(times.head))
     }
-    def jsonMap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsonMap(kv: Seq[(String, Option[Double])]): String =
+      kv.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"")
+      }.mkString("{", ",", "}")
     val qs = jsonMap(results.map(r => (r._1, r._2)))
     val firstRuns = jsonMap(results.map(r => (r._1, r._3)))
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val ok = results.flatMap(_._2)
+    val nErr = results.count(_._2.isEmpty)
+    val total = ok.sum
     // context for reading `total` across rounds: the query set GROWS with
     // coverage, so per-query stats are the comparable signal
-    val sorted = results.map(_._2).sorted
+    val sorted = ok.sorted
     // nearest-rank with rounding (a floored index reports ~p89 for p90
     // at n=73 and biases the median low on even n)
     def pct(p: Double): Double =
@@ -65,7 +82,7 @@ object Bench {
       else sorted(math.round((sorted.size - 1) * p).toInt)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""first_run":$firstRuns,"runs_per_query":$runs,""" +
-      s""""n_queries":${results.size},"median_sec":${pct(0.5)},""" +
+      s""""n_queries":${results.size},"n_err":$nErr,"median_sec":${pct(0.5)},""" +
       s""""p90_sec":${pct(0.9)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -192,6 +192,95 @@ object TextKernelExpressions {
       copy(child = c)
   }
 
+  /** Winnowing fingerprint selection (SIGMOD'03) in one compiled pass:
+    * tokenize lower(text) on whitespace, hash every positional word
+    * n-gram, slide a window of `window` consecutive hashes, keep each
+    * window's minimum, de-duplicate preserving first appearance —
+    * exactly the HOF-chain semantics in Dedup.winnowingFingerprints,
+    * minus the per-element lambda interpretation and the hex-string
+    * round-trip of `conv(substring(md5(g),1,8),16,10)`.
+    *
+    * `portable = true` keeps the engine-replayable hash (first 4 md5
+    * digest bytes as an unsigned 32-bit value — bit-identical to the
+    * SQL formulation, so the DuckDB oracle still replays fingerprints);
+    * `portable = false` swaps in xxhash64(seed 42), the production
+    * hash: no digest allocation per gram, ~2× the selection throughput,
+    * same guaranteed-density contract (any hash works — the paper's
+    * guarantee is positional, not hash-specific).
+    *
+    * Returns null when the document has fewer than `n` tokens (no
+    * grams → no fingerprints), mirroring the pre-filter the HOF chain
+    * needed. */
+  case class WinnowFingerprints(
+      child: Expression, n: Int, window: Int, portable: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val toks = new java.util.ArrayList[String]()
+      var i = 0
+      val len = text.length
+      while (i < len) {
+        while (i < len && isWs(text.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(text.charAt(i))) i += 1
+        if (i > start) toks.add(text.substring(start, i).toLowerCase)
+      }
+      val m = toks.size - n + 1
+      if (m <= 0) return null
+      val md = if (portable)
+        java.security.MessageDigest.getInstance("MD5") else null
+      val h = new Array[Long](m)
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < m) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.get(j + k))
+          k += 1
+        }
+        val g = UTF8String.fromString(sb.toString)
+        if (portable) {
+          md.reset()
+          val d = md.digest(g.getBytes)
+          h(j) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        } else {
+          h(j) = XXH64.hashUnsafeBytes(
+            g.getBaseObject, g.getBaseOffset, g.numBytes(), 42L)
+        }
+        j += 1
+      }
+      val out = new java.util.LinkedHashSet[java.lang.Long]()
+      if (m <= window) {
+        var mn = h(0)
+        var p = 1
+        while (p < m) { if (h(p) < mn) mn = h(p); p += 1 }
+        out.add(mn)
+      } else {
+        var p = 0
+        val last = m - window
+        while (p <= last) {
+          var mn = h(p)
+          var q = p + 1
+          while (q < p + window) { if (h(q) < mn) mn = h(q); q += 1 }
+          out.add(mn)
+          p += 1
+        }
+      }
+      val arr = new Array[Any](out.size)
+      val it = out.iterator()
+      var o = 0
+      while (it.hasNext) { arr(o) = it.next().longValue(); o += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+      copy(child = c)
+  }
+
   def word_shingles(text: Column, n: Int): Column =
     GraftSqlBridge.toColumn(WordShingles(GraftSqlBridge.toExpression(text), n))
 
@@ -203,4 +292,9 @@ object TextKernelExpressions {
 
   def simhash(text: Column): Column =
     GraftSqlBridge.toColumn(SimHash(GraftSqlBridge.toExpression(text)))
+
+  def winnow_fingerprints(
+      text: Column, n: Int, window: Int, portable: Boolean): Column =
+    GraftSqlBridge.toColumn(WinnowFingerprints(
+      GraftSqlBridge.toExpression(text), n, window, portable))
 }

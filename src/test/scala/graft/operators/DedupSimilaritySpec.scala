@@ -711,6 +711,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing xxhash64 production variant matches a pure-Scala reference") {
+    // same SIGMOD'03 selection, production hash: xxhash64(gram, seed 42)
+    def refFps(text: String, n: Int, w: Int): Set[Long] = {
+      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.length < n) return Set.empty
+      val hs = tk.sliding(n).map(_.mkString(" ")).map { g =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(g)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      }.toSeq
+      if (hs.length <= w) Set(hs.min)
+      else hs.sliding(w).map(_.min).toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "g", "hh")
+    val docs = (1L to 40L).map { i =>
+      val len = 1 + rnd.nextInt(20)
+      (i, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val got = Dedup.winnowingFingerprints(
+        docs.toDF("doc_id", "text"), "doc_id", "text", portable = false)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val expect = refFps(text, 3, 4)
+      if (expect.isEmpty) assert(!got.contains(id), s"doc $id")
+      else assert(got(id) == expect, s"doc $id: '$text'")
+    }
+    // identical docs still pair at overlap 1.0 under the production hash
+    val d = Seq((1L, "p q r s t u v w"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(d, "doc_id", "text", minShared = 1,
+        portable = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    assert(pairs.toMap.get((1L, 2L)).contains(1.0))
+  }
+
   test("ngramOverlapStats: exact overlap fraction") {
     val test = Seq((1L, "a b c d")).toDF("doc_id", "text")   // {abc,bcd}
     val train = Seq((2L, "a b c x"), (3L, "q r s t")).toDF("doc_id", "text")
