@@ -4294,4 +4294,101 @@ object Queries {
       t(s, dir, "lineitem").select("l_partkey"),
       "l_partkey", threshold = 45L)
   }
+
+  // aq32_bpe_merges — distributed BPE tokenizer training (operators/Bpe):
+  // 6 merge iterations over the distinct-word histogram, each ONE bounded
+  // pair-count shuffle + a 1-row argmax collect + a compiled per-word
+  // merge kernel. The oracle unrolls the same 6 iterations in DuckDB
+  // (list_reduce state machine for the greedy left-to-right merge), so
+  // every learned merge and its pair count is hash-compared.
+  register(
+    "aq32_bpe_merges",
+    graft.operators.Bpe.oracleSql(6)
+  ) { (s, dir) =>
+    graft.operators.Bpe.learnMerges(t(s, dir, "documents"), "text", 6)
+  }
+
+  // aq33_kmeans_cells — deterministic Lloyd k-means (operators/
+  // Clustering): 2 assign+update rounds from the 8 lowest-id seeds, then
+  // final cell sizes/shares/centroid norms. Assignment is a map-side
+  // argmax projection; each update is one k×dim-bounded aggregate whose
+  // result is the only driver state. The oracle unrolls the same rounds
+  // in DuckDB, so the whole clustering trajectory is hash-compared.
+  register(
+    "aq33_kmeans_cells",
+    graft.operators.Clustering.oracleSql(8, 2)
+  ) { (s, dir) =>
+    graft.operators.Clustering.kmeansCellStats(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+  }
+
+  // aq34_profile — column-level data profiling (operators/Profile): one
+  // aggregation pass computes every column's null count, exact distinct
+  // cardinality, and range, unpivoted to a row per column — the ANALYZE
+  // pre-flight a curation pipeline gates ingestion on. Exact multi-
+  // distinct uses Spark's Expand plan (one scan, input replicated per
+  // distinct column) rather than C per-column passes.
+  register(
+    "aq34_profile",
+    graft.operators.Profile.oracleSql("orders", Seq(
+      "o_orderkey" -> "num", "o_custkey" -> "num",
+      "o_orderstatus" -> "str", "o_totalprice" -> "num",
+      "o_orderdate" -> "ts", "o_orderpriority" -> "str"))
+  ) { (s, dir) =>
+    graft.operators.Profile.profile(t(s, dir, "orders"))
+  }
+
+  // tq14_bm25 — full BM25 ranking (Similarity.bm25Search): Lucene +1
+  // IDF, k1 saturation, document-length normalization. One pre-filtered
+  // corpus pass carries dl on the term rows; df broadcasts; N/avgdl is a
+  // lazy 1-row broadcast; top-k is TakeOrderedAndProject. Per-term
+  // scores round 6dp and decimal-sum (order-independent on both
+  // engines); avgdl rounds 6dp to pin the one distributed mean.
+  register(
+    "tq14_bm25",
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents
+      |), st AS (
+      |  SELECT count(*)::double AS n, round(avg(len(toks)), 6) AS avgdl
+      |  FROM tk
+      |), t AS (
+      |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM tk
+      |), tf AS (
+      |  SELECT doc_id, token, count(*)::bigint AS tf, min(dl) AS dl
+      |  FROM t WHERE token IN ('merge', 'window', 'stream')
+      |  GROUP BY 1, 2
+      |), df AS (
+      |  SELECT token, count(*)::double AS df FROM tf GROUP BY 1
+      |)
+      |SELECT doc_id,
+      |       round(sum(round(
+      |         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+      |           (tf.tf * 2.2) /
+      |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl)),
+      |         6)::decimal(18,6))::double, 4) AS bm25
+      |FROM tf JOIN df USING (token) CROSS JOIN st
+      |GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    Similarity.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+      Seq("merge", "window", "stream"), k1 = 1.2, b = 0.75, k = 10)
+  }
+
+  // pq5_cdc_chunks — content-defined chunking (Packing.cdcChunks): cut
+  // points from a rolling mod-2^64 content hash, so chunk boundaries
+  // shift only locally under edits and unchanged regions keep their
+  // fingerprints. A pure projection + explode — zero shuffles; the
+  // oracle replays the identical hash with an embedded power table.
+  register(
+    "pq5_cdc_chunks",
+    graft.operators.Packing.cdcOracleSql(8, 64)
+  ) { (s, dir) =>
+    graft.operators.Packing.cdcChunks(
+        t(s, dir, "documents"), "doc_id", "text", w = 8, divisor = 64)
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

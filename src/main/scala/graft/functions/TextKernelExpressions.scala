@@ -281,6 +281,65 @@ object TextKernelExpressions {
       copy(child = c)
   }
 
+  /** Content-defined chunk boundaries (the Rabin-fingerprint family —
+    * basic CDC without min/max clamps): slide a `w`-codepoint window
+    * over the text, compute the polynomial hash
+    * Σ_{k<w} code(i−k)·31^k (mod 2^64), and cut after position i
+    * whenever the hash's low bits equal divisor−1 — so boundaries
+    * depend only on LOCAL content and survive insertions/deletions
+    * elsewhere (the property fixed-size chunking lacks, and the reason
+    * CDC is the storage-dedup standard). Expected chunk length ≈
+    * `divisor` codepoints.
+    *
+    * Positions are 1-based CODEPOINTS (matching SQL substr semantics
+    * on both engines). Returns array<struct<start,len>> covering the
+    * text exactly; null for empty input. One compiled pass per row;
+    * mod-2^64 arithmetic is Java long wrap-around, replayed exactly in
+    * HUGEINT SQL with the same power table. */
+  case class CdcChunks(child: Expression, w: Int, divisor: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(w > 0 && divisor > 1 && (divisor & (divisor - 1)) == 0,
+      "w must be positive and divisor a power of two")
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("start", IntegerType, nullable = false),
+        StructField("len", IntegerType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val cps = s.codePoints().toArray
+      val L = cps.length
+      if (L == 0) return null
+      val pw = new Array[Long](w)
+      pw(0) = 1L
+      var k = 1
+      while (k < w) { pw(k) = pw(k - 1) * 31L; k += 1 }
+      val mask = (divisor - 1).toLong
+      val cuts = new java.util.ArrayList[Int]()
+      cuts.add(0)
+      var i = w - 1
+      while (i < L) {
+        var h = 0L
+        var j = 0
+        while (j < w) { h += cps(i - j) * pw(j); j += 1 }
+        if ((h & mask) == mask && i + 1 < L) cuts.add(i + 1)
+        i += 1
+      }
+      cuts.add(L)
+      val out = new Array[Any](cuts.size - 1)
+      var c = 0
+      while (c < cuts.size - 1) {
+        val a = cuts.get(c)
+        val b = cuts.get(c + 1)
+        out(c) = org.apache.spark.sql.catalyst.InternalRow(a + 1, b - a)
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): CdcChunks =
+      copy(child = c)
+  }
+
   def word_shingles(text: Column, n: Int): Column =
     GraftSqlBridge.toColumn(WordShingles(GraftSqlBridge.toExpression(text), n))
 
@@ -297,4 +356,8 @@ object TextKernelExpressions {
       text: Column, n: Int, window: Int, portable: Boolean): Column =
     GraftSqlBridge.toColumn(WinnowFingerprints(
       GraftSqlBridge.toExpression(text), n, window, portable))
+
+  def cdc_chunks(text: Column, w: Int, divisor: Int): Column =
+    GraftSqlBridge.toColumn(CdcChunks(
+      GraftSqlBridge.toExpression(text), w, divisor))
 }

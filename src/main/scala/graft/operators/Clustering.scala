@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over an embedding column — the
+  * clustering stage of cluster-balanced data mixing (group a corpus by
+  * embedding cell, then sample per cell to flatten the topic
+  * distribution; the shape used by cluster-dedup/cluster-sampling
+  * curation recipes).
+  *
+  * Spark ML's KMeans stays available for quality-seeking fits
+  * ([[Similarity.ivfIndexKMeans]]); THIS variant trades fit quality for
+  * full determinism — seed centroids are the `k` lowest-id vectors,
+  * similarity is round(cosine, 4) with lowest-cell tie-break, centroid
+  * updates round to 6 decimals then float — which makes every Lloyd
+  * round exactly replayable in an external SQL engine (the aq33 gate
+  * unrolls the same rounds in DuckDB).
+  *
+  * Scale shape per round: assignment is a map-side projection (inline
+  * argmax over k codegen cosine kernels — no crossJoin, no shuffle);
+  * the update is ONE aggregate bounded by k × dim groups whose result
+  * (the next centroid table) is the only driver state. `iters` rounds
+  * cost `iters` bounded shuffles + `iters + 1` corpus passes — no
+  * pass is ever quadratic, and nothing scales with corpus size except
+  * the embarrassingly-parallel projections. The double `avg` inside
+  * the update is the one cross-engine drift surface (same accepted
+  * residual risk as sq3/aq8); everything after it is order-pinned
+  * arithmetic.
+  */
+object Clustering {
+
+  /** `iters` assign+update rounds from the k lowest-id seeds, then a
+    * final assignment under the refined centroids. Returns one row per
+    * cell: (cell_id, n_vecs, share, centroid_norm). */
+  def kmeansCellStats(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+
+    var cents: Seq[(Long, Array[Float])] = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    // re-key cells 0..k-1 (seed ids are arbitrary; cell ids must be
+    // dense and engine-independent)
+    cents = cents.sortBy(_._1).zipWithIndex.map { case ((_, v), i) =>
+      (i.toLong, v)
+    }
+
+    val base = Lineage.cutLocal(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+
+    for (_ <- 1 to iters) {
+      // one k×dim-bounded aggregate; round(avg, 6) then float pins the
+      // next round's centroid bits on both engines
+      val updates = base
+        .select(Similarity.cosineArgmaxCell(col("v"), cents).as("cell_id"),
+          posexplode(col("v")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6)
+          .cast("float").as("m"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getFloat(2)))
+        .groupBy(_._1)
+      cents = cents.map { case (cid, prev) =>
+        updates.get(cid) match {
+          case Some(rows) =>
+            val arr = new Array[Float](dim)
+            rows.foreach { case (_, d, m) => arr(d) = m }
+            (cid, arr)
+          case None => (cid, prev) // empty cell keeps its centroid
+        }
+      }
+    }
+
+    val counts = Lineage.cutLocal(base
+      .select(Similarity.cosineArgmaxCell(col("v"), cents).as("cell_id"))
+      .groupBy("cell_id").agg(count(lit(1)).as("n_vecs")))
+    // share denominator as a broadcast 1-row aggregate (the sq6
+    // pattern) — not a partitionless window, which funnels the frame
+    // to one partition
+    val totals = broadcast(counts.agg(sum(col("n_vecs")).as("__total")))
+    import spark.implicits._
+    val norms = cents.map { case (cid, v) =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      (cid, BigDecimal(math.sqrt(s)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("cell_id", "centroid_norm")
+    counts
+      .crossJoin(totals)
+      .withColumn("share", round(col("n_vecs") / col("__total"), 4))
+      .drop("__total")
+      .join(broadcast(norms), Seq("cell_id"), "right")
+      .select(col("cell_id"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("share"), lit(0.0)).as("share"), col("centroid_norm"))
+      .orderBy("cell_id")
+  }
+
+  /** DuckDB replay of [[kmeansCellStats]] — `iters` unrolled Lloyd
+    * rounds over the embeddings table. Generated next to the engine
+    * code so the two stay one edit apart. */
+  def oracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, v,
+         |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         |  FROM e
+         |), seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v, nrm
+         |  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT $k)
+         |), c0 AS (SELECT cell_id, v AS cv, nrm AS cn FROM seeds)""".stripMargin)
+    for (i <- 1 to iters) {
+      val prev = s"c${i - 1}"
+      sb.append(s""",
+        |s$i AS (
+        |  SELECT n.vec_id, c.cell_id,
+        |         round(list_sum(list_transform(list_zip(n.v, c.cv),
+        |                 p -> p[1] * p[2])) / (n.nrm * c.cn), 4) AS sim
+        |  FROM n CROSS JOIN $prev c
+        |), a$i AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rk
+        |    FROM s$i) WHERE rk = 1
+        |), u$i AS (
+        |  SELECT a.cell_id, x.dim,
+        |         round(avg(x.val), 6)::float::double AS m
+        |  FROM a$i a JOIN (
+        |    SELECT vec_id, unnest(v) AS val,
+        |           generate_subscripts(v, 1) AS dim
+        |    FROM e) x USING (vec_id)
+        |  GROUP BY 1, 2
+        |), c$i AS (
+        |  SELECT cell_id, cv, sqrt(list_sum(list_transform(cv,
+        |           x -> x * x))) AS cn
+        |  FROM (SELECT cell_id, list(m ORDER BY dim) AS cv
+        |        FROM u$i GROUP BY 1)
+        |  UNION ALL
+        |  SELECT cell_id, cv, cn FROM $prev
+        |  WHERE cell_id NOT IN (SELECT cell_id FROM u$i)
+        |)""".stripMargin)
+    }
+    val last = s"c$iters"
+    sb.append(s""",
+      |sf AS (
+      |  SELECT n.vec_id, c.cell_id,
+      |         round(list_sum(list_transform(list_zip(n.v, c.cv),
+      |                 p -> p[1] * p[2])) / (n.nrm * c.cn), 4) AS sim
+      |  FROM n CROSS JOIN $last c
+      |), af AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT vec_id, cell_id, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rk
+      |    FROM sf) WHERE rk = 1
+      |), cnt AS (
+      |  SELECT cell_id, count(*)::bigint AS n_vecs FROM af GROUP BY 1
+      |)
+      |SELECT c.cell_id,
+      |       coalesce(cnt.n_vecs, 0)::bigint AS n_vecs,
+      |       coalesce(round(cnt.n_vecs / (SELECT sum(n_vecs) FROM cnt), 4),
+      |                0.0) AS share,
+      |       round(c.cn, 4) AS centroid_norm
+      |FROM $last c LEFT JOIN cnt USING (cell_id)
+      |ORDER BY cell_id""".stripMargin)
+    sb.toString
+  }
+}

@@ -197,4 +197,73 @@ object Packing {
       .select((orderCol +: carryCols).map(col) :+
         (col("__local_rank") + col("__offset")).as("rank"): _*)
   }
+
+  /** Content-defined chunking over a text column
+    * ([[graft.functions.TextKernelExpressions.CdcChunks]]): boundaries
+    * from a rolling content hash, so edits shift chunk boundaries only
+    * LOCALLY and unchanged regions keep their chunk fingerprints — the
+    * primitive behind dedup-friendly storage and incremental re-chunking
+    * of a refreshed corpus (fixed-size chunking invalidates every chunk
+    * after an insertion; pq3's token windows are the model-context
+    * variant, this is the byte/content variant).
+    *
+    * Output: one row per chunk — (id, chunk_idx, start, chunk_len,
+    * chunk_fp), fp = 32-bit md5 prefix of the chunk text (the dq4
+    * portable-hash discipline). Scale shape: a pure per-row projection +
+    * explode — ZERO shuffles; chunk fingerprints feed the usual
+    * exact-dedup groupBy downstream. */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8,
+      divisor: Int = 64): DataFrame = {
+    val chunks = graft.functions.TextKernelExpressions
+      .cdc_chunks(col("__t"), w, divisor)
+    df.select(col(idCol), col(textCol).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col(idCol), col("__t"), posexplode(chunks))
+      .select(col(idCol),
+        (col("pos") + 1).as("chunk_idx"),
+        col("col.start").as("start"),
+        col("col.len").as("chunk_len"),
+        conv(substring(md5(
+          col("__t").substr(col("col.start"), col("col.len"))), 1, 8),
+          16, 10).cast("long").as("chunk_fp"))
+  }
+
+  /** DuckDB replay of [[cdcChunks]] (generated beside the engine code):
+    * the same window hash as an unrolled lag-free list expression with
+    * the identical mod-2^64 power table. */
+  def cdcOracleSql(w: Int, divisor: Int): String = {
+    val pw = new Array[Long](w)
+    pw(0) = 1L
+    for (k <- 1 until w) pw(k) = pw(k - 1) * 31L
+    // Σ_{k<w} code(p−k)·31^k as explicit HUGEINT terms (powers emitted
+    // unsigned, matching Java long wrap-around)
+    val terms = (0 until w).map(k =>
+      s"ord(text[p - $k])::hugeint * ${java.lang.Long.toUnsignedString(pw(k))}::hugeint")
+      .mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS l
+       |  FROM documents WHERE length(text) > 0
+       |), b AS (
+       |  SELECT doc_id, text,
+       |         list_filter(range($w, l), p ->
+       |           (($terms) % 18446744073709551616::hugeint)
+       |             % $divisor = ${divisor - 1}) AS bs, l
+       |  FROM d
+       |), cuts AS (
+       |  SELECT doc_id, text,
+       |         list_prepend(0, list_append(bs, l)) AS cs
+       |  FROM b
+       |)
+       |SELECT doc_id, j AS chunk_idx,
+       |       (cs[j] + 1)::int AS start,
+       |       (cs[j + 1] - cs[j])::int AS chunk_len,
+       |       ('0x' || substr(md5(substr(text, cs[j] + 1, cs[j + 1] - cs[j])),
+       |                       1, 8))::bigint AS chunk_fp
+       |FROM cuts, unnest(range(1, len(cs))) t(j)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 }

@@ -282,7 +282,7 @@ object Similarity {
     * (highest round(sim,4), lowest cell id) the probe side uses.
     * One inline argmax over K codegen cosine kernels per row: no
     * crossJoin, no shuffle, no window. */
-  private def cosineArgmaxCell(
+  private[operators] def cosineArgmaxCell(
       vec: Column, centroids: Seq[(Long, Array[Float])]): Column = {
     val scored = centroids.map { case (cid, cvec) =>
       struct(
@@ -415,6 +415,61 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("doc_id", "lex_score", "cosine", "rank")
+  }
+
+  /** Full BM25 ranking (Robertson/Spärck Jones; the Lucene `+1` IDF
+    * variant, so scores stay positive even for df > N/2):
+    *
+    *   score(D,Q) = Σ_t ln((N − df + 0.5)/(df + 0.5) + 1) ·
+    *                tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * [[hybridSearch]] uses raw TF-IDF as a recall stage; this is the
+    * precision-grade lexical scorer (term saturation via k1, document-
+    * length normalization via b) used standalone for retrieval-based
+    * data mining.
+    *
+    * Scale shape: ONE corpus pass computes (doc, dl, term) rows
+    * pre-filtered to the query terms — dl rides the same rows, so no
+    * second pass or corpus join; df is a query-terms-sized broadcast;
+    * N/avgdl is a lazy broadcast 1-row aggregate (the sq6 pattern);
+    * top-k is TakeOrderedAndProject. Per-term scores round to 6dp and
+    * sum as DECIMAL (order-independent); avgdl rounds to 6dp so the
+    * one distributed double mean is pinned on both engines. */
+  def bm25Search(
+      docs: DataFrame,
+      docId: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val stats = broadcast(docs.select(
+        size(graft.functions.TextFunctions.wsTokens(lower(col(textCol))))
+          .as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        round(avg(col("__dl")), 6).as("__avgdl")))
+    val toks = docs.select(col(docId).as("doc_id"),
+        graft.functions.TextFunctions.wsTokens(lower(col(textCol)))
+          .as("__tk"))
+      .select(col("doc_id"), size(col("__tk")).as("dl"),
+        explode(col("__tk")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+    val tf = toks.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), "token")
+      .crossJoin(stats)
+      .withColumn("__term", round(
+        log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))),
+        6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("__term")).cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Hard-negative mining for contrastive training: for each anchor

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Deterministic Lloyd k-means micro-fixtures; the sf-scale trajectory
+  * replay against the unrolled DuckDB oracle runs in the aq33 gate. */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("two obvious groups separate and shares sum to 1") {
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),   // seeds
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.95f, 0.05f)),
+      (4L, Seq(0.1f, 0.9f)), (5L, Seq(0.05f, 0.95f))).toDF("vec_id", "v")
+    val out = Clustering.kmeansCellStats(d, "vec_id", "v", k = 2, iters = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L))
+    assert(out.map(_._2).toSeq == Seq(3L, 3L))
+    assert(out.map(_._3).sum == 1.0)
+    out.foreach(r => assert(r._4 > 0.0 && r._4 <= 1.0001))
+  }
+
+  test("an empty cell keeps its seed centroid and reports zero share") {
+    // all vectors identical: cosine ties everywhere, lowest cell wins,
+    // cell 1 never receives a member
+    val d = (0L to 4L).map(i => (i, Seq(1.0f, 1.0f))).toDF("vec_id", "v")
+    val out = Clustering.kmeansCellStats(d, "vec_id", "v", k = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 5L, 1.0), (1L, 0L, 0.0)))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Micro-fixtures for the column profiler and BM25 scorer; sf-scale
+  * DuckDB replays run in the aq34/tq14 gates. */
+class ProfileBm25Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("profile: null counts, exact distincts, typed ranges") {
+    val d = Seq((1L, Some("a")), (2L, None), (2L, None))
+      .toDF("k", "s")
+    val out = Profile.profile(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getLong(1) == 3 && k.getLong(2) == 0 && k.getLong(3) == 2)
+    assert(k.getDouble(4) == 1.0 && k.getDouble(5) == 2.0)
+    assert(k.isNullAt(6) && k.isNullAt(7))
+    val s = out("s")
+    assert(s.getLong(2) == 2 && s.getLong(3) == 1)
+    assert(s.isNullAt(4) && s.getString(6) == "a" && s.getString(7) == "a")
+  }
+
+  test("bm25 matches a pure-Scala reference on a tiny corpus") {
+    val docs = Seq(
+      (1L, "merge merge window"),
+      (2L, "window stream x"),
+      (3L, "a b c d"))
+    val terms = Seq("merge", "window", "stream")
+    val (k1, b) = (1.2, 0.75)
+    // reference computation with the operator's exact rounding contract
+    val n = docs.size.toDouble
+    val avgdl = BigDecimal(docs.map(_._2.split("\\s+").length).sum / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tf = docs.flatMap { case (id, t) =>
+      t.split("\\s+").filter(terms.contains).map(tok => (id, tok))
+    }.groupBy(identity).map { case ((id, tok), v) => (id, tok, v.size) }
+    val dfm = tf.groupBy(_._2).map { case (tok, v) => tok -> v.size.toDouble }
+    val expect = tf.groupBy(_._1).map { case (id, rows) =>
+      val dl = docs.find(_._1 == id).get._2.split("\\s+").length
+      val score = rows.map { case (_, tok, f) =>
+        val idf = math.log((n - dfm(tok) + 0.5) / (dfm(tok) + 0.5) + 1)
+        val raw = idf * (f * (k1 + 1)) /
+          (f + k1 * (1 - b + b * dl / avgdl))
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      id -> score.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Similarity.bm25Search(docs.toDF("doc_id", "text"),
+        "doc_id", "text", terms, k1, b, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expect)
+    // d3 matches no term and must be absent
+    assert(!got.contains(3L))
+  }
+}
