@@ -4378,6 +4378,93 @@ object Queries {
       Seq("merge", "window", "stream"), k1 = 1.2, b = 0.75, k = 10)
   }
 
+  // aq35_contamination_span — longest verbatim run shared with the
+  // benchmark (Dedup.contaminationSpans): positional shingles + the
+  // islands trick over MATCHED positions only; the benchmark
+  // distinct-shingle set broadcasts (dq11 shape) so the corpus never
+  // shuffles to find its matches. dq11 says WHICH docs leak, aq25 says
+  // HOW MUCH overall — this says HOW LONG the worst verbatim span is.
+  register(
+    "aq35_contamination_span",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                     x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, len(tk) - 2 AS n_grams, i AS pos,
+      |         array_to_string(tk[i+1:i+3], ' ') AS shingle
+      |  FROM toks, unnest(range(len(tk) - 2)) t(i)
+      |  WHERE len(tk) >= 3 AND doc_id % 47 != 0
+      |), bench AS (
+      |  SELECT DISTINCT array_to_string(tk[i+1:i+3], ' ') AS shingle
+      |  FROM toks, unnest(range(len(tk) - 2)) t(i)
+      |  WHERE len(tk) >= 3 AND doc_id % 47 = 0
+      |), m AS (
+      |  SELECT doc_id, pos FROM pos WHERE shingle IN (SELECT shingle FROM bench)
+      |), runs AS (
+      |  SELECT doc_id, count(*) AS run FROM (
+      |    SELECT doc_id,
+      |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |    FROM m) GROUP BY doc_id, g
+      |), best AS (
+      |  SELECT doc_id, max(run)::bigint AS max_run FROM runs GROUP BY doc_id
+      |), base AS (
+      |  SELECT DISTINCT doc_id, n_grams FROM pos
+      |)
+      |SELECT base.doc_id, base.n_grams,
+      |       coalesce(best.max_run, 0)::bigint AS max_run,
+      |       (CASE WHEN coalesce(best.max_run, 0) = 0 THEN 0
+      |             ELSE best.max_run + 2 END)::bigint AS span_tokens
+      |FROM base LEFT JOIN best USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationSpans(
+        docs.filter(col("doc_id") % 47 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 47 === 0), "text", shingleN = 3)
+      .orderBy("doc_id")
+  }
+
+  // tq15_bigram_nll — bigram LM perplexity scoring (TextAnalysis
+  // .bigramNll): the CCNet-style LM quality filter. One explode pass
+  // (multiplicity collapsed, lineage cut once), bigram-bounded LM
+  // shuffles, lazy broadcast vocab size, 6dp-decimal per-term log sums;
+  // reported as mean NLL in nats (monotone in perplexity, exp-free so
+  // the decimal exactness survives).
+  register(
+    "tq15_bigram_nll",
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents
+      |), pr AS (
+      |  SELECT doc_id, toks[i] AS v, toks[i+1] AS w, count(*)::bigint AS k
+      |  FROM tk, unnest(range(1, len(toks))) t(i)
+      |  WHERE len(toks) >= 2
+      |  GROUP BY 1, 2, 3
+      |), c2 AS (
+      |  SELECT v, w, sum(k)::bigint AS c2 FROM pr GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT v, sum(c2)::bigint AS c1 FROM c2 GROUP BY 1
+      |), vs AS (
+      |  SELECT count(DISTINCT t.tok)::double AS vsz
+      |  FROM tk, unnest(toks) t(tok)
+      |)
+      |SELECT doc_id, sum(k)::bigint AS n_bigrams,
+      |       round(sum(round(-ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vs.vsz)),
+      |                       6)::decimal(18,6) * k)::double / sum(k),
+      |             4) AS nll
+      |FROM pr JOIN c2 USING (v, w) JOIN c1 USING (v) CROSS JOIN vs
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.bigramNll(
+        t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // pq5_cdc_chunks — content-defined chunking (Packing.cdcChunks): cut
   // points from a rolling mod-2^64 content hash, so chunk boundaries
   // shift only locally under edits and unchanged regions keep their

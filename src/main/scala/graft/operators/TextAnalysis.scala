@@ -123,6 +123,62 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** Bigram language-model perplexity scoring — the CCNet-style LM
+    * quality filter (docs whose token sequences the corpus LM finds
+    * improbable are noise candidates; [[unigramSurprisal]] ranks by
+    * token RARITY, this ranks by SEQUENCE probability). Add-α smoothed
+    * conditional model trained on the corpus itself:
+    *
+    *   p(w|v) = (c(v,w) + α) / (c(v) + α·V),   V = |vocab|
+    *   nll(doc) = Σ −ln p(w_i | w_{i−1}) / (T − 1)
+    *
+    * reported as mean negative log-likelihood in nats (the monotone
+    * equivalent of perplexity = e^nll; exp would amplify last-ulp
+    * differences, nll keeps the decimal-sum exactness contract).
+    *
+    * Scale shape: ONE explode pass builds (doc, v, w, pairs) rows with
+    * multiplicity collapsed per doc (lineage cut once — the frame feeds
+    * the LM aggregation and the probe); bigram counts shuffle bounded
+    * by distinct bigrams; context counts derive from the bigram table
+    * (never a second corpus pass); V is a lazy broadcast 1-row
+    * aggregate; the scoring join keys on the bigram. Per-term logs
+    * round to 6dp and sum as DECIMAL. Docs with fewer than 2 tokens
+    * have no bigram events and are excluded (a perplexity of nothing). */
+  def bigramNll(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val toks = TextFunctions.wsTokens(lower(col(textCol)))
+    val pairs = df.select(col(idCol), toks.as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol),
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1).as("__vs"),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1).as("__ws"))
+      .select(col(idCol), explode(arrays_zip(col("__vs"), col("__ws"))).as("__p"))
+      .groupBy(col(idCol), col("__p.__vs").as("__v"), col("__p.__ws").as("__w"))
+      .agg(count(lit(1)).as("__k"))
+      .transform(Lineage.cutLocal)
+    val c2 = pairs.groupBy("__v", "__w").agg(sum(col("__k")).as("__c2"))
+      .transform(Lineage.cutLocal)
+    val c1 = c2.groupBy("__v").agg(sum(col("__c2")).as("__c1"))
+    val vocab = broadcast(df
+      .select(explode(toks).as("__t")).agg(countDistinct(col("__t"))
+        .cast("double").as("__vsz")))
+    pairs
+      .join(c2, Seq("__v", "__w"))
+      .join(c1, Seq("__v"))
+      .crossJoin(vocab)
+      .select(col(idCol), col("__k"),
+        (round(-log((col("__c2") + alpha) /
+            (col("__c1") + lit(alpha) * col("__vsz"))), 6)
+          .cast("decimal(18,6)") * col("__k")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_bigrams"),
+        round(sum(col("__s")).cast("double") / sum(col("__k")), 4)
+          .as("nll"))
+  }
+
   /** CCNet-style boilerplate line removal: drop every line that occurs
     * in more than `maxDf` distinct documents (navigation chrome, cookie
     * banners, footers — the lines a crawl repeats everywhere), and

@@ -232,6 +232,44 @@ class PlanShapeSpec extends AnyFunSuite {
       nodes.map(_.nodeName).mkString(", "))
   }
 
+  test("pq5 CDC chunking is a pure projection — zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val df = graft.operators.Packing.cdcChunks(docs, "doc_id", "text")
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("tq14 bm25: broadcast df join, TakeOrdered top-k, no SMJ") {
+    val p = plan("tq14_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("aq33 k-means assignment is a shuffle-free projection per pass") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    // same assignment kernel k-means runs per pass (shared with IVF)
+    val assigned = graft.operators.Similarity.ivfIndex(
+      emb, "vec_id", "embedding", numCells = 4)
+    assigned.collect()
+    val nodes = deepNodes(assigned.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("aq34 profile is one aggregation pass — a single scan of the table") {
+    val df = SparkEntry.queries("aq34_profile")(spark, sf)
+    df.collect()
+    val scans = deepNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
+  }
+
   test("tq10 line dedup: boilerplate flag join broadcasts, corpus never SMJs") {
     val p = plan("tq10_line_dedup")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -226,4 +226,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
     assert(relaxed(2).getString(1) == "FOOTER") // df=2 survives maxDf=2
   }
+
+  test("bigramNll matches the hand-computed smoothed bigram model") {
+    // corpus: d1 = "a a b", d2 = "a b", d3 = "solo"
+    // V = 3 (a, b, solo — vocab spans the WHOLE corpus, bigram-less
+    // docs included); c(a,a)=1 c(a,b)=2 c(a)=3; alpha = 0.5:
+    // p(a|a) = 1.5/4.5 = 1/3, p(b|a) = 2.5/4.5 = 5/9
+    // d1: (round6(-ln 1/3) + round6(-ln 5/9)) / 2
+    //   = (1.098612 + 0.587787) / 2 = 0.8432
+    // d2: 0.587787 / 1 = 0.5878
+    val d = Seq((1L, "a a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 2L, 0.8432), (2L, 1L, 0.5878)))
+    // <2-token docs have no bigram events and are absent
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("contaminationSpans finds the longest verbatim run, not scattered hits") {
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x x a b c d e x x"),  // run of 3 shingles -> span 5 tokens
+      (2L, "a b c z z c d e"),    // two scattered single matches -> span 3
+      (3L, "q r s t")             // clean
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationSpans(corpus, "doc_id", "text",
+        bench, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 7L, 3L, 5L), (2L, 6L, 1L, 3L), (3L, 2L, 0L, 0L)))
+  }
 }
