@@ -57,6 +57,14 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        // streaming queries land results in uniquely-named memory-sink
+        // temp views (st*_out_<nanos>); each holds its rows in the
+        // driver until dropped, so across runs×queries they accumulate
+        // and tax later streaming runs (st2 measured 1.2s run1 → ~6s
+        // run3 before this). Drop them once the run's count is done.
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.contains("_out_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
         dt
       }
       (name,

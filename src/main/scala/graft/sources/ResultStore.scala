@@ -121,6 +121,45 @@ class ResultStore(spark: SparkSession, root: String) {
   /** Whether the schema has any committed data. */
   def hasSchema(schema: String): Boolean = exists0(schema)
 
+  /** On-disk generations readable right now, newest first. The GC
+    * contract bounds this to the current generation plus the retained
+    * previous one — the same one-generation time travel a lazy reader
+    * relies on (a Delta/Iceberg-style deep history is the documented
+    * swap point, not re-implemented here). */
+  def versions(schema: String): Seq[String] =
+    Option(schemaDir(schema).list((_, n) => n.matches("v\\d{8}")))
+      .getOrElse(Array.empty[String]).toSeq.sorted.reverse
+
+  /** Time-travel read of a specific on-disk generation (see
+    * [[versions]]). Unlike [[read]], the scan is pinned — a concurrent
+    * commit can GC the directory out from under a reader more than one
+    * generation behind, same caveat as any lazy handle. */
+  def readVersion(schema: String, version: String): DataFrame = {
+    val dir = new java.io.File(schemaDir(schema), version)
+    require(dir.isDirectory, s"no such version '$version' for '$schema'")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** RESTORE: atomically flip the pointer back to the retained previous
+    * generation, undoing the last commit (the bad-ingest escape hatch).
+    * The undone generation is kept as the new "previous", so a rollback
+    * is itself undoable by one more rollback. Returns the generation
+    * restored to, or None when no previous generation exists. */
+  def rollback(schema: String): Option[String] = {
+    val cur = currentVersion(schema).getOrElse(return None)
+    val all = versions(schema)
+    // prefer the newest OLDER generation (the normal undo); with none
+    // on disk — i.e. already rolled back — the OLDEST newer one is the
+    // retained undone generation (undo-the-undo). Never "newest != cur"
+    // blindly: a crash between write and flip can strand a
+    // never-committed newest directory until the next flip's GC.
+    val target = all.filter(_ < cur).headOption
+      .orElse(all.filter(_ > cur).lastOption)
+      .getOrElse(return None)
+    flipPointer(schema, target, keepPrevious = Some(cur))
+    Some(target)
+  }
+
   /** Append rows — through the SAME versioned commit as rewrites, so
     * the class-level atomicity claim holds for appends too: the new
     * rows land in a fresh version directory, the previous version's

@@ -32,6 +32,34 @@ class SourcesSpec extends AnyFunSuite {
       plan.contains("StringStartsWith(v,a)"))
   }
 
+  test("result store: time-travel read and rollback restore the previous generation") {
+    val store = new ResultStore(spark, tmpDir())
+    store.insert("t", Seq(KV(1, "a")).toDF())
+    store.overwrite("t", Seq(KV(2, "b"), KV(3, "c")).toDF())
+    // both generations on disk (GC keeps current + previous committed)
+    val vs = store.versions("t")
+    assert(vs.size == 2 && vs == vs.sorted.reverse)
+    assert(store.readVersion("t", vs.last)
+      .collect().map(_.getAs[Long]("k")).toSeq == Seq(1L))
+    // RESTORE undoes the overwrite...
+    assert(store.rollback("t").contains(vs.last))
+    assert(store.read("t").collect().map(_.getAs[Long]("k")).toSeq == Seq(1L))
+    // ...and is itself undoable (the undone generation was retained)
+    assert(store.rollback("t").contains(vs.head))
+    assert(store.read("t").count() == 2)
+    // unknown version is a loud error, not an empty frame
+    intercept[IllegalArgumentException](store.readVersion("t", "v99999999"))
+  }
+
+  test("result store: rollback with no history is a no-op") {
+    val store = new ResultStore(spark, tmpDir())
+    assert(store.rollback("missing").isEmpty)
+    store.insert("one", Seq(KV(1, "a")).toDF())
+    // a single-generation schema has nothing to restore to
+    assert(store.rollback("one").isEmpty)
+    assert(store.count("one") == 1)
+  }
+
   test("result store: get enforces exactly-one") {
     val store = new ResultStore(spark, tmpDir())
     store.insert("g", Seq(KV(1, "x"), KV(2, "x")).toDF())
