@@ -259,6 +259,37 @@ object ScaleStress {
         f"pruned=$prunedS%.1f s ($n rows)")
       require(n == rows)
     }
+    // round-6 operators. BPE: the histogram (distinct words) is
+    // IDENTICAL at 1x and 4x (replicas add count, not vocabulary), so
+    // per-iteration cost must stay flat — only the initial
+    // tokenize+count pass scales with the corpus
+    time("bpe_1x")(operators.Bpe.learnMerges(dup(1), "text", 6).count())
+    time("bpe_4x")(operators.Bpe.learnMerges(dup(4), "text", 6).count())
+    // k-means: per round one projection pass + a kxdim-bounded update —
+    // time should track corpus size linearly, driver state constant
+    time("kmeans_1x")(operators.Clustering.kmeansCellStats(
+      edup(1), "vec_id", "embedding", k = 8, iters = 2).count())
+    time("kmeans_4x")(operators.Clustering.kmeansCellStats(
+      edup(4), "vec_id", "embedding", k = 8, iters = 2).count())
+    // CDC chunking: pure projection+explode, embarrassingly parallel
+    time("cdc_4x")(operators.Packing.cdcChunks(
+      dup(4), "doc_id", "text").count())
+    // BM25: pre-filtered term rows + broadcast df — no corpus shuffle
+    time("bm25_4x")(operators.Similarity.bm25Search(
+      dup(4), "doc_id", "text", Seq("merge", "window", "stream")).count())
+    // bigram LM: replicas multiply bigram COUNTS, not distinct bigrams,
+    // so the LM tables stay fixed-size while the scoring join scales
+    time("bigram_nll_1x")(operators.TextAnalysis.bigramNll(
+      dup(1), "doc_id", "text").count())
+    time("bigram_nll_4x")(operators.TextAnalysis.bigramNll(
+      dup(4), "doc_id", "text").count())
+    // contamination spans: benchmark shingle set broadcasts — the 4x
+    // corpus only widens the map side + the matched-positions shuffle
+    time("contam_span_4x")(operators.Dedup.contaminationSpans(
+      dup(4).filter(col("doc_id") % 47 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 47 === 0), "text").count())
+    // profiler: one scan whatever the width; 4x rows ~ 4x time ceiling
+    time("profile_4x")(operators.Profile.profile(dup(4)).count())
     spark.stop()
   }
 }
