@@ -4378,6 +4378,73 @@ object Queries {
       Seq("merge", "window", "stream"), k1 = 1.2, b = 0.75, k = 10)
   }
 
+  // sq9_pq_ann — product-quantization ANN (Similarity.pqTopK): vectors
+  // compressed to m=8 per-subspace codes against a deterministic
+  // lowest-id codebook; the ADC scan touches only code rows (never
+  // vectors), with driver-computed 6dp-decimal query tables so the
+  // approx score is order-independent; exact-cosine rerank on the top
+  // candidates. The oracle replays the encoder (squared-L2 argmin per
+  // subspace in dimension order) and the whole ADC + rerank path.
+  register(
+    "sq9_pq_ann",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+      |), codes AS (
+      |  SELECT vec_id, s, c FROM (
+      |    SELECT e.vec_id, t.s, cb.c,
+      |           row_number() OVER (PARTITION BY e.vec_id, t.s
+      |             ORDER BY list_sum(list_transform(range(1, 9), j ->
+      |               (e.v[t.s*8 + j] - cb.cv[t.s*8 + j]) *
+      |               (e.v[t.s*8 + j] - cb.cv[t.s*8 + j]))), cb.c) AS rk
+      |    FROM e, unnest(range(8)) t(s), cb)
+      |  WHERE rk = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, v, nrm FROM n WHERE vec_id < 10
+      |), adc AS (
+      |  SELECT q.query_id, t.s, cb.c,
+      |         round(list_sum(list_transform(range(1, 9), j ->
+      |           q.v[t.s*8 + j] * cb.cv[t.s*8 + j])), 6)::decimal(18,6) AS qd
+      |  FROM q, unnest(range(8)) t(s), cb
+      |), approx AS (
+      |  SELECT a.query_id, codes.vec_id AS neighbor_id, sum(a.qd) AS score
+      |  FROM codes JOIN adc a USING (s, c)
+      |  WHERE codes.vec_id != a.query_id
+      |  GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+      |    FROM approx) WHERE rk <= 50
+      |), ranked AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |         round(list_sum(list_transform(list_zip(q.v, nv.v),
+      |                 p -> p[1] * p[2])) / (q.nrm * nv.nrm), 4) AS cosine
+      |  FROM cand c
+      |  JOIN q ON c.query_id = q.query_id
+      |  JOIN n nv ON c.neighbor_id = nv.vec_id
+      |)
+      |SELECT query_id, neighbor_id, cosine,
+      |       row_number() OVER (PARTITION BY query_id
+      |                          ORDER BY cosine DESC, neighbor_id) AS rank
+      |FROM ranked
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 8, kCodebook = 16,
+        candidates = 50, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   // aq35_contamination_span — longest verbatim run shared with the
   // benchmark (Dedup.contaminationSpans): positional shingles + the
   // islands trick over MATCHED positions only; the benchmark

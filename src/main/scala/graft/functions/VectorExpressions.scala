@@ -347,6 +347,58 @@ object VectorExpressions {
     GraftSqlBridge.toColumn(RhpBands(
       GraftSqlBridge.toExpression(vec), planes, dim, bands, rowsPerBand))
 
+  /** Product-quantization encoder: split the vector into `m` equal
+    * subspaces and emit, per subspace, the index of the nearest
+    * codebook centroid by squared L2 (double accumulation in dimension
+    * order — the exact semantics a SQL `list_sum` over squared diffs
+    * replays; ties break to the lowest centroid index). `codebook` is
+    * the flat [k × dim] centroid matrix; only each centroid's own
+    * subspace slice is consulted for that subspace's code. Output:
+    * array<int> of length m — the 4-byte-per-subspace code word that
+    * replaces a dim×4-byte vector in the ANN scan. */
+  case class PqEncode(child: Expression, codebook: Array[Float], m: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData].toFloatArray()
+      val dim = v.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val sub = dim / m
+      val k = codebook.length / dim
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var j = 0
+          val off = s * sub
+          while (j < sub) {
+            val diff = v(off + j).toDouble - codebook(c * dim + off + j).toDouble
+            d += diff * diff
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(s) = best
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        codes.map(_.asInstanceOf[Any]))
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncode =
+      copy(child = c)
+  }
+
+  def pq_encode(vec: Column, codebook: Array[Float], m: Int): Column =
+    GraftSqlBridge.toColumn(PqEncode(
+      GraftSqlBridge.toExpression(vec), codebook, m))
+
   def float_dot(a: Column, b: Column): Column =
     GraftSqlBridge.toColumn(FloatDot(
       GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))

@@ -417,6 +417,105 @@ object Similarity {
       .select("doc_id", "lex_score", "cosine", "rank")
   }
 
+  /** Product-quantization ANN (Jégou et al., TPAMI'11) — the
+    * compressed-domain scan that completes the ANN family: [[bruteForceTopK]]
+    * (exact), [[quantizedTopK]] (int8), [[ivfTopK]] (partition pruning),
+    * and THIS (memory compression: dim×4 bytes/vector → m×4-byte codes,
+    * 8× here, 32× with byte packing — at 100 TB the difference between
+    * an in-memory ANN scan and an I/O-bound one).
+    *
+    * Deterministic codebook (the [[ivfIndex]] discipline): the
+    * `kCodebook` lowest-id vectors seed per-subspace centroids; encoding
+    * is a compiled per-row kernel (VectorExpressions.PqEncode, squared-L2
+    * argmin per subspace, dimension-order double accumulation — exactly
+    * SQL-replayable). ADC scoring: the query's per-(subspace, centroid)
+    * dot-product table is DRIVER-computed (m × kCodebook × #queries
+    * rows, broadcast), each entry rounded to 6dp DECIMAL so the
+    * per-candidate sum is order-independent; `candidates` top approx
+    * scores rerank under exact cosine.
+    *
+    * Scale shape: the corpus is read once to encode (projection), the
+    * ADC scan touches only (id, s, c) code rows — never vectors; the one
+    * shuffle is the per-query top-candidates window, bounded by
+    * #queries × corpus codes. Spark ML's trained alternative stays the
+    * quality path; this is the engine-exact one. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      kCodebook: Int = 16,
+      candidates: Int = 50,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.{float_dot, float_norm, pq_encode}
+    val spark = corpus.sparkSession
+    val seeds = corpus.orderBy(col(idCol)).limit(kCodebook)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "empty corpus")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val flat = seeds.flatten.toArray
+
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(pq_encode(col(vecCol), flat, m)))
+      .select(col("neighbor_id"), col("pos").as("s"), col("col").as("c"))
+
+    val qRows = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // ADC tables on the driver, same arithmetic the oracle replays:
+    // left-to-right double dot over the subspace slice, HALF_UP 6dp
+    val adcRows = for {
+      (qid, qv) <- qRows.toSeq
+      s <- 0 until m
+      c <- seeds.indices
+    } yield {
+      var d = 0.0
+      var j = 0
+      while (j < sub) {
+        d += qv(s * sub + j).toDouble * seeds(c)(s * sub + j).toDouble
+        j += 1
+      }
+      (qid, s, c, new java.math.BigDecimal(d).setScale(6,
+        java.math.RoundingMode.HALF_UP))
+    }
+    import spark.implicits._
+    val adc = broadcast(adcRows.toDF("query_id", "s", "c", "qd")
+      .select(col("query_id"), col("s"), col("c"),
+        col("qd").cast("decimal(18,6)").as("qd")))
+
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = codes.join(adc, Seq("s", "c"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qd")).as("approx"))
+      .withColumn("__rk", row_number().over(wCand))
+      .filter(col("__rk") <= candidates)
+      .select("query_id", "neighbor_id")
+
+    val qVecs = broadcast(queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"),
+        float_norm(col(vecCol)).as("__qn")))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv")),
+        "neighbor_id")
+      .join(qVecs, "query_id")
+      .withColumn("cosine", round(
+        float_dot(col("__qv"), col("__nv")) /
+          (col("__qn") * float_norm(col("__nv"))), 4))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Full BM25 ranking (Robertson/Spärck Jones; the Lucene `+1` IDF
     * variant, so scores stay positive even for df > N/2):
     *

@@ -270,6 +270,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
   }
 
+  test("sq9 PQ ANN: ADC tables broadcast into the code scan, no cartesian") {
+    val p = plan("sq9_pq_ann")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("tq10 line dedup: boilerplate flag join broadcasts, corpus never SMJs") {
     val p = plan("tq10_line_dedup")
     assert(p.contains("BroadcastHashJoin"), p)

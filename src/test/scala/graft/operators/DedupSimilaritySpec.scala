@@ -659,6 +659,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"int8 top-k overlap $overlap vs exact")
   }
 
+  test("PqEncode matches a pure-Scala reference on random vectors") {
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val seeds = vecs.take(4).map(_._2)
+    val flat = seeds.flatten.toArray
+    def refCodes(v: Array[Float], m: Int): Seq[Int] = {
+      val sub = dim / m
+      (0 until m).map { s =>
+        seeds.indices.minBy { c =>
+          (0 until sub).map { j =>
+            val d = v(s * sub + j).toDouble - seeds(c)(s * sub + j).toDouble
+            d * d
+          }.sum
+        }
+      }
+    }
+    val got = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.pq_encode(col("v"), flat, 4).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == refCodes(v, 4), s"vec $id")
+    }
+  }
+
+  test("PQ ANN recall against brute force on the structured corpus") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.size == bf.size)
+    val overlap = (bf & pq).size.toDouble / bf.size
+    assert(overlap >= 0.7, s"PQ top-k overlap $overlap vs exact")
+  }
+
   test("winnowing detects any shared 6-token run, scores identity 1.0") {
     val d = Seq(
       (1L, "a b c d e f g h"),
