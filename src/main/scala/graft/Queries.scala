@@ -4378,6 +4378,63 @@ object Queries {
       Seq("merge", "window", "stream"), k1 = 1.2, b = 0.75, k = 10)
   }
 
+  // aq36_temperature_mixture — temperature-scaled domain sampling
+  // (Sampling.temperatureResample, the mT5/XLM-R recipe): target share
+  // ∝ sqrt(p_source), flattening toward uniform. sqrt is IEEE-exact on
+  // both engines and the share normalizer sums in group-key order, so
+  // the kept set replays exactly; the draw is the aq19 salted-hash
+  // Bernoulli (corpus never shuffles).
+  register(
+    "aq36_temperature_mixture",
+    """WITH d AS (
+      |  SELECT doc_id, 's' || least(doc_id % 20, 5)::varchar AS grp
+      |  FROM documents
+      |), counts AS (
+      |  SELECT grp, count(*) AS n FROM d GROUP BY grp
+      |), tot AS (
+      |  SELECT sum(n)::double AS total FROM counts
+      |), w AS (
+      |  SELECT grp, n, sqrt(n::double / total) AS wgt FROM counts, tot
+      |), wsum AS (
+      |  SELECT list_sum(list(wgt ORDER BY grp)) AS wtot FROM w
+      |), rates AS (
+      |  SELECT grp, least(1.0, (wgt / wtot) * total / n) AS rate
+      |  FROM w, tot, wsum
+      |)
+      |SELECT d.doc_id, d.grp
+      |FROM d JOIN rates r USING (grp)
+      |WHERE (('0x' || substr(md5('temp' || d.doc_id::varchar), 1, 8))::bigint
+      |        % 1000000)::double / 1e6 < r.rate
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, dir) =>
+    // derive a 6-group skewed mixture (5 tail groups at 1/20 each, one
+    // head group at 15/20) so the sqrt-flattening measurably
+    // downsamples the head — the uniform `source` column would make
+    // every rate 1 and verify nothing
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("s"), least(col("doc_id") % 20, lit(5)).cast("string"))
+        .as("grp"))
+    graft.operators.Sampling.temperatureResample(d, "grp", "doc_id", "temp")
+      .select("doc_id", "grp")
+      .orderBy("doc_id")
+  }
+
+  // tq16_bpe_tokenize — the tokenizer side of BPE (Bpe.tokenCounts fed
+  // by Bpe.learnMerges): learn 6 merges, then segment every document
+  // under them. Segmentation runs once per DISTINCT word (vocabulary-
+  // bounded); per-doc counts come from a multiplicity-collapsed join.
+  // The oracle replays learn-then-tokenize end-to-end.
+  register(
+    "tq16_bpe_tokenize",
+    graft.operators.Bpe.tokenizeOracleSql(6)
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val merges = graft.operators.Bpe.learnMerges(docs, "text", 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   // sq9_pq_ann — product-quantization ANN (Similarity.pqTopK): vectors
   // compressed to m=8 per-subspace codes against a deterministic
   // lowest-id codebook; the ADC scan touches only code rows (never

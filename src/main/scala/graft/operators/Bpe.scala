@@ -79,6 +79,73 @@ object Bpe {
   def mergeBigram(sym: Column, x: String, y: String): Column =
     GraftSqlBridge.toColumn(MergeBigram(GraftSqlBridge.toExpression(sym), x, y))
 
+  /** The tokenizer side of BPE: segment a WORD by applying the learned
+    * merge list in order (the subword-nmt application algorithm — each
+    * merge sweeps the whole symbol sequence greedily before the next
+    * applies) and return the resulting token count. One compiled pass
+    * per distinct word; |merges| small by construction. */
+  case class BpeSegmentCount(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any = {
+      val w = input.asInstanceOf[UTF8String].toString
+      var sym = new Array[String](w.length)
+      var i = 0
+      while (i < w.length) { sym(i) = String.valueOf(w.charAt(i)); i += 1 }
+      var n = sym.length
+      merges.foreach { case (x, y) =>
+        val out = new Array[String](n)
+        var o = 0
+        var p = 0
+        while (p < n) {
+          if (p + 1 < n && sym(p) == x && sym(p + 1) == y) {
+            out(o) = x + y
+            p += 2
+          } else {
+            out(o) = sym(p)
+            p += 1
+          }
+          o += 1
+        }
+        sym = out
+        n = o
+      }
+      n
+    }
+    override protected def withNewChildInternal(c: Expression): BpeSegmentCount =
+      copy(child = c)
+  }
+
+  def bpeSegmentCount(word: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.toColumn(BpeSegmentCount(
+      GraftSqlBridge.toExpression(word), merges))
+
+  /** Per-document BPE token counts under an ordered merge list: the
+    * tokenizer APPLIED at corpus scale. Segmentation runs once per
+    * DISTINCT word (the vocabulary — bounded regardless of corpus
+    * size); per-doc counts come from a multiplicity-collapsed
+    * (doc, word) frame joined against that vocabulary table. Output:
+    * (id, n_words, n_tokens). */
+  def tokenCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val perDoc = df.select(col(idCol),
+        explode(graft.functions.TextFunctions
+          .wsTokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("__k"))
+      .transform(Lineage.cutLocal)
+    val lens = perDoc.select("w").distinct()
+      .select(col("w"), bpeSegmentCount(col("w"), merges).cast("long").as("__len"))
+    perDoc.join(lens, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_words"),
+        sum(col("__k") * col("__len")).as("n_tokens"))
+  }
+
   /** The distinct-word symbol histogram: (sym: array<string>, cnt). */
   private def wordHistogram(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(graft.functions.TextFunctions
@@ -125,21 +192,24 @@ object Bpe {
       .orderBy("iter")
   }
 
-  /** The DuckDB replay of [[learnMerges]] — `k` unrolled iterations of
-    * pair-count / argmax / list_reduce merge application. Generated
-    * here so engine and oracle stay one edit apart. */
-  def oracleSql(k: Int): String = {
+  /** The shared CTE chain both oracles unroll: `k` iterations of
+    * pair-count / argmax / list_reduce merge application, carrying the
+    * raw word `w` through every generation (the tokenize oracle joins
+    * on it; the learn oracle ignores it). */
+  private def oracleChain(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS (
-        |  SELECT list_transform(range(1, len(w)+1), i -> w[i]) AS sym,
-        |         count(*) AS cnt
+        |  SELECT w, list_transform(range(1, len(w)+1), i -> w[i]) AS sym, cnt
         |  FROM (
-        |    SELECT lower(t.tok) AS w
-        |    FROM documents, unnest(regexp_split_to_array(text, '\s+')) t(tok)
+        |    SELECT w, count(*) AS cnt
+        |    FROM (
+        |      SELECT lower(t.tok) AS w
+        |      FROM documents, unnest(regexp_split_to_array(text, '\s+')) t(tok)
+        |    )
+        |    WHERE regexp_matches(w, '^[a-z]+$')
+        |    GROUP BY 1
         |  )
-        |  WHERE regexp_matches(w, '^[a-z]+$')
-        |  GROUP BY 1
         |)""".stripMargin)
     for (i <- 1 to k) {
       val prev = s"w${i - 1}"
@@ -151,7 +221,7 @@ object Bpe {
         |), b$i AS (
         |  SELECT x, y, c FROM p$i ORDER BY c DESC, x, y LIMIT 1
         |), w$i AS (
-        |  SELECT
+        |  SELECT w,
         |    string_split(ltrim(CASE
         |      WHEN split_part(acc, chr(31), 2) = ''
         |        THEN split_part(acc, chr(31), 1)
@@ -159,7 +229,7 @@ object Bpe {
         |           split_part(acc, chr(31), 2)
         |    END, ' '), ' ') AS sym, cnt
         |  FROM (
-        |    SELECT cnt,
+        |    SELECT w, cnt,
         |      list_reduce(list_prepend(chr(31), sym),
         |        (acc, s) -> CASE
         |          WHEN split_part(acc, chr(31), 2) = b.x AND s = b.y
@@ -174,9 +244,31 @@ object Bpe {
         |  )
         |)""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** The DuckDB replay of [[learnMerges]] — generated here so engine
+    * and oracle stay one edit apart. */
+  def oracleSql(k: Int): String = {
     val union = (1 to k).map(i =>
       s"SELECT $i AS iter, x AS merge_left, y AS merge_right, c AS pair_count FROM b$i")
       .mkString("\n", "\nUNION ALL\n", "\n")
-    sb.append(union).append("ORDER BY iter").toString
+    oracleChain(k) + union + "ORDER BY iter"
   }
+
+  /** DuckDB replay of learn-then-tokenize ([[tokenCounts]] fed by
+    * [[learnMerges]]): the same chain, then per-document token counts
+    * via a join of each doc's words against the final symbol table. */
+  def tokenizeOracleSql(k: Int): String =
+    oracleChain(k) + s""",
+      |dw AS (
+      |  SELECT doc_id, lower(t.tok) AS w
+      |  FROM documents, unnest(regexp_split_to_array(text, '\\s+')) t(tok)
+      |  WHERE regexp_matches(lower(t.tok), '^[a-z]+$$')
+      |)
+      |SELECT doc_id, count(*)::bigint AS n_words,
+      |       sum(len(w$k.sym))::bigint AS n_tokens
+      |FROM dw JOIN w$k USING (w)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

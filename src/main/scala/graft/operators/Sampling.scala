@@ -179,6 +179,41 @@ object Sampling {
       hashBucket(col(idCol), salt, 1000000).cast("double") / 1e6 < rate)
   }
 
+  /** Temperature-scaled domain mixture (the multilingual-training
+    * recipe — mT5/XLM-R style): target share ∝ p_g^α, flattening the
+    * observed distribution toward uniform as α → 0 while α = 1 keeps
+    * it unchanged. Rates and the per-row draw are [[mixtureResample]]'s
+    * (salted-hash Bernoulli, corpus never shuffled); only the target
+    * shares differ. α = 0.5 (the common default) computes via sqrt —
+    * IEEE-exact on every engine, so the kept set has an exact SQL twin;
+    * other α use Math.pow, whose last-ulp is library-specific (engine
+    * API, no oracle claim). The share normalizer sums in group-key
+    * order so the oracle's `list_sum(list(... ORDER BY g))` replays the
+    * same double left-to-right. */
+  def temperatureResample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      salt: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => Option(r.get(0)).map(_.toString) -> r.getAs[Long]("__n"))
+      .toMap
+    require(!counts.keySet.contains(None),
+      "temperatureResample needs a non-null group column")
+    val total = counts.values.sum.toDouble
+    val keys = counts.keys.flatten.toSeq.sorted
+    val w = keys.map { k =>
+      val p = counts(Some(k)) / total
+      k -> (if (alpha == 0.5) math.sqrt(p) else math.pow(p, alpha))
+    }
+    val wTot = w.foldLeft(0.0)(_ + _._2)
+    mixtureResample(df, groupCol, idCol, salt,
+      w.map { case (k, v) => k -> v / wTot }.toMap)
+  }
+
   /** Mixture-design report: per-group document/token counts, token
     * share, and the corpus-level token-distribution entropy — the
     * numbers a training-mixture decision starts from (which domains

@@ -126,6 +126,28 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assert(nullKept.filter(col("source").isNull).count() == 20) // 250-share clamps
   }
 
+  test("temperatureResample flattens the head domain, keeps the tail whole") {
+    // 900 "web" vs 60 "books" vs 40 "code" — p^0.5 targets pull the
+    // head down while the tail's clamped rate keeps every row
+    val docs = ((1 to 900).map(i => (i.toLong, "web")) ++
+      (1001 to 1060).map(i => (i.toLong, "books")) ++
+      (2001 to 2040).map(i => (i.toLong, "code"))).toDF("doc_id", "source")
+    val kept = Sampling.temperatureResample(docs, "source", "doc_id", "t1")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("books") == 60L && kept("code") == 40L)
+    // sqrt targets: w = sqrt(0.9)/W ≈ 0.613 → web rate ≈ 0.68
+    assert(kept("web") > 520 && kept("web") < 700, s"web kept ${kept("web")}")
+    // alpha = 1 reproduces the observed mixture: every rate is 1
+    assert(Sampling.temperatureResample(docs, "source", "doc_id", "t1",
+      alpha = 1.0).count() == 1000L)
+    // flatter alpha downsamples the head harder
+    val flat = Sampling.temperatureResample(docs, "source", "doc_id", "t1",
+      alpha = 0.25).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat("web") < kept("web"))
+  }
+
   test("topQuantilePerGroup cuts each group at the score quantile, ties by id") {
     val docs = Seq(
       (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.7), (4L, "a", 0.7),

@@ -46,6 +46,25 @@ class BpeSpec extends AnyFunSuite {
       (3, "aa", "ab", 2L), (4, "b", "a", 1L)))
   }
 
+  test("tokenCounts segments with learned merges: hand-checked counts") {
+    // merges learned on "aaab aaab ba": (a,a), (a,b), (aa,ab), (b,a)
+    //   "aaab": [a,a,a,b] -> [aa,a,b] -> [aa,ab] -> [aaab]   = 1 token
+    //   "ba":   [b,a]     -> (b,a)                -> [ba]    = 1 token
+    //   "aab":  [a,a,b]   -> [aa,b]   (no (a,b): pair is (aa,b)) = 2
+    val train = Seq((1L, "aaab aaab ba")).toDF("id", "text")
+    val merges = Bpe.learnMerges(train, "text", 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val score = Seq((10L, "aaab ba aab")).toDF("id", "text")
+    val out = Bpe.tokenCounts(score, "id", "text", merges).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(1), out(0).getLong(2)) == ((3L, 4L)))
+    // per-word segment counts directly
+    val lens = Seq("aaab", "ba", "aab").toDF("w")
+      .select(col("w"), Bpe.bpeSegmentCount(col("w"), merges).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(lens == Map("aaab" -> 1, "ba" -> 1, "aab" -> 2))
+  }
+
   test("non-lowercase and non-alpha tokens are excluded from training") {
     val d = Seq((1L, "AB ab ab 12 a-b")).toDF("id", "text")
     // only "ab" (from AB lowered + two literal) survives the [a-z]+ gate
