@@ -51,6 +51,19 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](store.readVersion("t", "v99999999"))
   }
 
+  test("result store: generation diff = Snapshot.diff over time-travel reads") {
+    // the audit a refresh pipeline runs after a commit: what did this
+    // generation change vs the previous one?
+    val store = new ResultStore(spark, tmpDir())
+    store.overwrite("t", Seq(KV(1, "a"), KV(2, "b"), KV(3, "c")).toDF())
+    store.overwrite("t", Seq(KV(1, "a"), KV(2, "B"), KV(4, "d")).toDF())
+    val prev = store.versions("t").last
+    val d = graft.operators.Snapshot.diff(
+        store.readVersion("t", prev), store.read("t"), "k", md5(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("result store: rollback with no history is a no-op") {
     val store = new ResultStore(spark, tmpDir())
     assert(store.rollback("missing").isEmpty)
