@@ -4378,6 +4378,48 @@ object Queries {
       Seq("merge", "window", "stream"), k1 = 1.2, b = 0.75, k = 10)
   }
 
+  // aq37_trailing_features — per-entity trailing event-time features
+  // (the feature-store pattern: "events by this user in the last
+  // hour/day, as of each event"): RANGE frames over µs-epoch event
+  // time, one shuffle on the entity key. Counts and DECIMAL value sums
+  // are engine-exact; the frame excludes the current row on the left
+  // bound exactly like the SQL RANGE PRECEDING spec.
+  register(
+    "aq37_trailing_features",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |         CAST(value AS DECIMAL(18,4)) AS v
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, ts_us,
+      |       count(*) OVER wh - 1 AS n_1h,
+      |       round(sum(v) OVER wh - v, 2)::double AS sum_1h,
+      |       count(*) OVER wd - 1 AS n_24h
+      |FROM e
+      |WINDOW
+      |  wh AS (PARTITION BY user_id ORDER BY ts_us
+      |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+      |  wd AS (PARTITION BY user_id ORDER BY ts_us
+      |         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wh = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600000000L, Window.currentRow)
+    val wd = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-86400000000L, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        (count(lit(1)).over(wh) - 1).as("n_1h"),
+        round(sum(col("v")).over(wh) - col("v"), 2)
+          .cast("double").as("sum_1h"),
+        (count(lit(1)).over(wd) - 1).as("n_24h"))
+      .orderBy("event_id")
+  }
+
   // aq36_temperature_mixture — temperature-scaled domain sampling
   // (Sampling.temperatureResample, the mT5/XLM-R recipe): target share
   // ∝ sqrt(p_source), flattening toward uniform. sqrt is IEEE-exact on
