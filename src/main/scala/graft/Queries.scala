@@ -4378,6 +4378,55 @@ object Queries {
       Seq("merge", "window", "stream"), k1 = 1.2, b = 0.75, k = 10)
   }
 
+  // dq18_tfidf_cosine — weighted near-dup pairs (Dedup.tfidfCosinePairs):
+  // TF-IDF cosine over word shingles, exact over the df-capped
+  // vocabulary. 6dp-decimal weights make dots and norms exact sums;
+  // the shared inverted-index bucket join means full vectors never
+  // materialize. The weighted counterpart of dq3's plain Jaccard.
+  register(
+    "dq18_tfidf_cosine",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                     x -> x != '') AS tk
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, array_to_string(tk[i+1:i+3], ' ') AS tok
+      |  FROM toks, unnest(range(len(tk) - 2)) t(i)
+      |  WHERE len(tk) >= 3
+      |), tf AS (
+      |  SELECT doc_id, tok, count(*)::bigint AS tf FROM g GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT count(DISTINCT doc_id)::double AS n FROM tf
+      |), dfx AS (
+      |  SELECT tok, count(*)::bigint AS dfc FROM tf
+      |  GROUP BY 1 HAVING count(*) <= 1000
+      |), w AS (
+      |  SELECT doc_id, tok,
+      |         round(tf * ln(n / dfc), 6)::decimal(18,6) AS w
+      |  FROM tf JOIN dfx USING (tok), nd
+      |), nm AS (
+      |  SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1
+      |), pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |       round(dot::double / (sqrt(na.n2::double) * sqrt(nb.n2::double)),
+      |             4) AS cosine
+      |FROM pr
+      |JOIN nm na ON pr.id_a = na.doc_id
+      |JOIN nm nb ON pr.id_b = nb.doc_id
+      |WHERE round(dot::double / (sqrt(na.n2::double) * sqrt(nb.n2::double)),
+      |            4) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    Dedup.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.6, maxDf = Some(1000L))
+      .orderBy("id_a", "id_b")
+  }
+
   // aq37_trailing_features — per-entity trailing event-time features
   // (the feature-store pattern: "events by this user in the last
   // hour/day, as of each event"): RANGE frames over µs-epoch event

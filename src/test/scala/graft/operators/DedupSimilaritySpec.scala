@@ -700,6 +700,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(overlap >= 0.7, s"PQ top-k overlap $overlap vs exact")
   }
 
+  test("tfidfCosinePairs: idf discounts boilerplate, identity scores 1.0") {
+    val chrome = "copyright footer text"
+    val d = (Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta")) ++
+      (3L to 12L).map(i => (i, s"$chrome tail${i}a tail${i}b tail${i}c")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.tfidfCosinePairs(d, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // identical rare docs: exactly parallel vectors
+    assert(pairs((1L, 2L)) == 1.0, pairs)
+    // chrome-sharing docs: the shared shingle's idf ~ln(12/10) is
+    // dwarfed by each doc's unique high-idf tail — no pair survives.
+    // (Unweighted Jaccard scores them 0.25 REGARDLESS of corpus
+    // frequency; the weighting is what suppresses template chrome.)
+    assert(pairs.size == 1, pairs)
+    // the df cap drops a shingle from BOTH weights and norms: cap 2
+    // keeps the identical pair's dims (df = 2) but removes the chrome
+    // dim (df = 10) entirely — the chrome docs now share NOTHING
+    val capped = Dedup.tfidfCosinePairs(d, "doc_id", "text",
+      threshold = 0.0001, maxDf = Some(2L))
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+  }
+
   test("winnowing detects any shared 6-token run, scores identity 1.0") {
     val d = Seq(
       (1L, "a b c d e f g h"),
