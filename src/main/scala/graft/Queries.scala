@@ -4693,4 +4693,141 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text", w = 8, divisor = 64)
       .orderBy("doc_id", "chunk_idx")
   }
+
+  // ---------------------------------------------------------------------
+  // aq38_interval_join — interval-overlap join (Intervals.overlapJoin):
+  // cross-user co-activity pairs between even-user and odd-user session
+  // intervals. Grid-bucket decomposition turns the inequality join into
+  // an equi-join on the bucket id; each pair reports exactly once (in
+  // its overlap-start bucket), so there is no distinct afterwards. The
+  // oracle is the brute-force inequality join over the same sessions.
+  register(
+    "aq38_interval_join",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |), marked AS (
+      |  SELECT user_id, ts_us,
+      |         CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+      |              OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+      |), sess AS (
+      |  SELECT user_id, ts_us,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked
+      |), iv AS (
+      |  SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us
+      |  FROM sess GROUP BY 1, 2
+      |)
+      |SELECT a.user_id AS l_user_id, a.start_us AS l_start_us,
+      |       b.user_id AS r_user_id, b.start_us AS r_start_us,
+      |       least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+      |         AS overlap_us
+      |FROM iv a JOIN iv b
+      |  ON a.user_id % 2 = 0 AND b.user_id % 2 = 1
+      | AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+      |ORDER BY l_user_id, l_start_us, r_user_id, r_start_us""".stripMargin
+  ) { (s, dir) =>
+    val sessions = graft.streaming.StatefulOps.sessionizeBatch(
+      t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value")),
+      gapUs = 1800000000L)
+      .select("user_id", "start_us", "end_us")
+    graft.operators.Intervals.overlapJoin(
+      sessions.filter(col("user_id") % 2 === 0),
+      sessions.filter(col("user_id") % 2 === 1),
+      "start_us", "end_us")
+      .select(col("l_user_id"), col("l_start_us"),
+        col("r_user_id"), col("r_start_us"), col("overlap_us"))
+      .orderBy("l_user_id", "l_start_us", "r_user_id", "r_start_us")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq40_rate_anomaly — per-type hourly volume anomalies
+  // (Behavior.rateAnomalies): each event type's hourly counts z-scored
+  // against its own mean/stddev, keeping |z| >= 2 hours. Integer moment
+  // sums keep both engines exact; the z compare happens on the rounded
+  // value. One (type, hour) aggregate + a broadcast of |types| moment
+  // rows back onto it.
+  register(
+    "aq40_rate_anomaly",
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type, count(*) AS h, sum(n)::bigint AS s1,
+      |         sum(n * n)::bigint AS s2
+      |  FROM hourly GROUP BY 1
+      |)
+      |SELECT event_type, hour_us, n,
+      |       round(s1::double / h, 4) AS mean_n,
+      |       round((n::double - s1::double / h) /
+      |             sqrt((s2::double - s1::double * (s1::double / h)) / (h - 1)),
+      |             4) AS z
+      |FROM hourly JOIN m USING (event_type)
+      |WHERE h >= 2
+      |  AND (s2::double - s1::double * (s1::double / h)) / (h - 1) > 0
+      |  AND abs(round((n::double - s1::double / h) /
+      |        sqrt((s2::double - s1::double * (s1::double / h)) / (h - 1)),
+      |        4)) >= 2.0
+      |ORDER BY event_type, hour_us""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Behavior.rateAnomalies(
+      t(s, dir, "events"), "event_type", "ts", zThresh = 2.0)
+  }
+
+  // ---------------------------------------------------------------------
+  // tq17_gopher_rules — Gopher-style composite quality filter with
+  // per-rule attribution (TextAnalysis.qualityRuleFilter): word-count /
+  // mean-word-length / stopword / distinct-ratio / top-word-share rules,
+  // each document carrying the comma-joined list of rules it failed plus
+  // the keep verdict. Zero shuffles — the word mode comes from a
+  // longest-equal-run aggregate HOF over the sorted token array, not an
+  // explode. Thresholds calibrated so every rule fires on this corpus.
+  register(
+    "tq17_gopher_rules",
+    """WITH w AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+      |), base AS (
+      |  SELECT doc_id,
+      |         len(words) AS n_words,
+      |         length(replace(text, ' ', '')) AS n_alpha,
+      |         len(list_filter(words,
+      |               x -> x IN ('the','a','data','value','row'))) AS stop_hits,
+      |         len(list_distinct(words)) AS n_distinct
+      |  FROM w
+      |), tw AS (
+      |  SELECT doc_id, max(n) AS top_n FROM (
+      |    SELECT doc_id, word, count(*) AS n FROM (
+      |      SELECT doc_id, unnest(words) AS word FROM w)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), sig AS (
+      |  SELECT b.doc_id, b.n_words, b.stop_hits,
+      |         round(b.n_alpha::double / b.n_words, 4) AS mean_wlen,
+      |         round(b.n_distinct::double / b.n_words, 4) AS distinct_ratio,
+      |         round(tw.top_n::double / b.n_words, 4) AS top_share
+      |  FROM base b JOIN tw USING (doc_id)
+      |)
+      |SELECT doc_id, n_words, mean_wlen, stop_hits, distinct_ratio, top_share,
+      |       concat_ws(',',
+      |         CASE WHEN n_words < 20 OR n_words > 90 THEN 'wc' END,
+      |         CASE WHEN mean_wlen < 4.0 OR mean_wlen > 5.0 THEN 'mwl' END,
+      |         CASE WHEN stop_hits < 2 THEN 'stop' END,
+      |         CASE WHEN distinct_ratio < 0.35 THEN 'rep' END,
+      |         CASE WHEN top_share > 0.15 THEN 'top' END) AS fails,
+      |       NOT (n_words < 20 OR n_words > 90
+      |            OR mean_wlen < 4.0 OR mean_wlen > 5.0
+      |            OR stop_hits < 2 OR distinct_ratio < 0.35
+      |            OR top_share > 0.15) AS keep
+      |FROM sig
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.qualityRuleFilter(
+      t(s, dir, "documents"), "doc_id", "text",
+      stopwords = Seq("the", "a", "data", "value", "row"))
+  }
 }

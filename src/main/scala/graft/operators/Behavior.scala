@@ -202,4 +202,49 @@ object Behavior {
         col("n").isNull.as("is_gap"))
       .orderBy(keyCol, "hour_us")
   }
+
+  /** Volume-anomaly detection per series: hourly event counts per key,
+    * z-scored against that key's own mean/stddev, keeping the hours
+    * with `|z| >= zThresh`. The monitoring primitive every ingest
+    * pipeline runs over its firehose (spike/outage detection).
+    *
+    * Exactness: counts are integers, so Σn and Σn² are exact longs; the
+    * sample variance `(Σn² - (Σn)²/h) / (h-1)` and the z-score then use
+    * the SAME IEEE double expression tree as the SQL twin (division and
+    * sqrt are correctly-rounded), and the comparison happens on the
+    * 4dp-rounded z both engines agree on. Keys with under two observed
+    * hours or zero variance can't be scored and are dropped.
+    *
+    * Scale shape: the hourly aggregate shuffles once on (key, hour)
+    * with map-side partials; the per-key moment aggregate reuses that
+    * partitioning collapsed to |keys| rows, which broadcast back onto
+    * the hourly frame — no second data-sized shuffle. Output is the
+    * anomalous hours only.
+    */
+  def rateAnomalies(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      zThresh: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol),
+        unix_micros(date_trunc("hour", col(tsCol))).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+      .transform(Lineage.cutLocal)
+    val moments = hourly.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__h"),
+      sum("n").as("__s1"),
+      sum(col("n") * col("n")).as("__s2"))
+    val mean = col("__s1").cast("double") / col("__h")
+    val variance =
+      (col("__s2").cast("double") - col("__s1").cast("double") * mean) /
+        (col("__h") - 1)
+    hourly.join(broadcast(moments), Seq(keyCol))
+      .filter(col("__h") >= 2 && variance > 0)
+      .select(col(keyCol), col("hour_us"), col("n"),
+        round(mean, 4).as("mean_n"),
+        round((col("n").cast("double") - mean) / sqrt(variance), 4).as("z"))
+      .filter(abs(col("z")) >= zThresh)
+      .orderBy(keyCol, "hour_us")
+  }
 }

@@ -494,4 +494,92 @@ object TextAnalysis {
         .otherwise(col("__top_n") * length(col("__top_bigram")).cast("double")
           / col("__n_chars")), 4).as("top_bigram_frac"))
   }
+
+  /** Gopher-style composite quality filter with PER-RULE attribution
+    * (Rae et al. 2021 §A1.1 quality heuristics; the reference `nexus/`
+    * has no text analytics — training-data-pipeline extension). Each
+    * document gets its measured signals, the comma-joined list of rules
+    * it FAILED (stable order: wc, mwl, stop, rep, top), and the overall
+    * `keep` verdict. Attribution is the point: at curation scale you
+    * tune thresholds from the per-rule failure mix, not from a bare
+    * keep-rate.
+    *
+    * Rules (inclusive bounds, evaluated on the ROUNDED signals so both
+    * engines compare identical doubles):
+    *   wc   — word count in [minWords, maxWords]
+    *   mwl  — mean word length in [minMeanWordLen, maxMeanWordLen]
+    *   stop — at least minStopHits stopword occurrences
+    *   rep  — distinct-word ratio ≥ minDistinctRatio
+    *   top  — most-frequent-word share ≤ maxTopShare
+    *
+    * Scale shape: ZERO shuffles — every signal is a per-row array
+    * expression. The top-word share needs the per-doc word mode, which
+    * is computed as the longest equal-run of the SORTED token array via
+    * one `aggregate` HOF (linear in doc length, no explode, no
+    * (doc, word) aggregate — compare [[repetitionSignals]], whose
+    * bigram mode genuinely needs the two-level aggregate). The lambda
+    * references only its accumulator and element, so the
+    * CollapseProject×HOF re-evaluation trap (NOTES_BUILD) does not
+    * apply. At 100 TB this is a single narrow map over the corpus.
+    */
+  def qualityRuleFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      minWords: Int = 20,
+      maxWords: Int = 90,
+      minMeanWordLen: Double = 4.0,
+      maxMeanWordLen: Double = 5.0,
+      minStopHits: Int = 2,
+      minDistinctRatio: Double = 0.35,
+      maxTopShare: Double = 0.15): DataFrame = {
+    val words = split(col(textCol), " ")
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    // longest equal-run over the sorted array == count of the mode word
+    val topRun = expr(
+      s"""aggregate(
+         |  sort_array(split($textCol, ' ')),
+         |  struct(cast('' as string) as prev, 0 as run, 0 as best),
+         |  (a, x) -> struct(
+         |    x as prev,
+         |    if(x = a.prev, a.run + 1, 1) as run,
+         |    greatest(a.best, if(x = a.prev, a.run + 1, 1)) as best),
+         |  a -> a.best)""".stripMargin)
+
+    val sig = df.select(
+      col(idCol),
+      size(words).as("n_words"),
+      // single-space-joined corpus: alpha chars = length minus spaces;
+      // translate() (not arithmetic on n_words) stays correct under
+      // repeated separators
+      length(translate(col(textCol), " ", "")).as("__n_alpha"),
+      expr(s"size(filter(split($textCol, ' '), x -> x IN ($stopList)))")
+        .as("stop_hits"),
+      size(array_distinct(words)).as("__n_distinct"),
+      topRun.as("__top_n"))
+      .select(
+        col(idCol), col("n_words"), col("stop_hits"),
+        round(col("__n_alpha").cast("double") / col("n_words"), 4)
+          .as("mean_wlen"),
+        round(col("__n_distinct").cast("double") / col("n_words"), 4)
+          .as("distinct_ratio"),
+        round(col("__top_n").cast("double") / col("n_words"), 4)
+          .as("top_share"))
+
+    val failWc = col("n_words") < minWords || col("n_words") > maxWords
+    val failMwl =
+      col("mean_wlen") < minMeanWordLen || col("mean_wlen") > maxMeanWordLen
+    val failStop = col("stop_hits") < minStopHits
+    val failRep = col("distinct_ratio") < minDistinctRatio
+    val failTop = col("top_share") > maxTopShare
+    sig.select(
+      col(idCol), col("n_words"), col("mean_wlen"), col("stop_hits"),
+      col("distinct_ratio"), col("top_share"),
+      concat_ws(",",
+        when(failWc, "wc"), when(failMwl, "mwl"), when(failStop, "stop"),
+        when(failRep, "rep"), when(failTop, "top")).as("fails"),
+      (!(failWc || failMwl || failStop || failRep || failTop)).as("keep"))
+      .orderBy(idCol)
+  }
 }

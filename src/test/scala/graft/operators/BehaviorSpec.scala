@@ -130,4 +130,32 @@ class BehaviorSpec extends AnyFunSuite {
     assert(kept < 20000 / 10,
       s"bloom kept $kept of 20000 probe rows — not selective")
   }
+
+  test("rateAnomalies flags only the spike hour, hand-computed z") {
+    // one series: nine hours with 1 event, one hour with 100 events.
+    // s1=109 s2=10009 h=10 mean=10.9 var=(10009-109*10.9)/9=980.1
+    // z_spike=(100-10.9)/sqrt(980.1)=2.84605... -> 2.846
+    val hourUs = 3600000000L
+    val rows = (0 until 9).map(h => (h * hourUs + 5L, "login")) ++
+      (0 until 100).map(i => (9 * hourUs + i, "login"))
+    val e = rows.toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Behavior.rateAnomalies(e, "event_type", "ts", zThresh = 2.0)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n") == 100L)
+    assert(out(0).getAs[Double]("z") == 2.846)
+    assert(out(0).getAs[Double]("mean_n") == 10.9)
+  }
+
+  test("rateAnomalies drops unscorable series (one hour / zero variance)") {
+    val hourUs = 3600000000L
+    val rows =
+      Seq((5L, "single")) ++ // one observed hour: no variance possible
+        (0 until 4).flatMap(h => Seq((h * hourUs + 1, "flat"),
+          (h * hourUs + 2, "flat"))) // constant 2/hour: variance 0
+    val e = rows.toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    assert(Behavior.rateAnomalies(e, "event_type", "ts").count() == 0)
+  }
 }

@@ -260,4 +260,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out == Seq(
       (1L, 7L, 3L, 5L), (2L, 6L, 1L, 3L), (3L, 2L, 0L, 0L)))
   }
+
+  test("qualityRuleFilter: per-rule attribution and keep verdict") {
+    val stops = Seq("the", "data")
+    val docs = Seq(
+      // passes everything: 7 words, mwl=29/7=4.1429, 2 stop hits,
+      // distinct 7/7, top share 1/7=0.1429
+      (1L, "data lakes scale with the grid fast"),
+      // wc (3 words), stop (1 hit), top (2/3=0.6667); mwl=4.0 passes
+      // on the inclusive bound
+      (2L, "data word word"),
+      // mwl 39/10=3.9, rep 3/10=0.3, top 8/10=0.8; 2 stop hits pass
+      (3L, "the data word word word word word word word word"),
+      // mwl 2.0 and no stop hits; distinct 1.0 + top 1/8 pass
+      (4L, "ab cd ef gh ij kl mn op"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityRuleFilter(
+      docs, "doc_id", "text", stops,
+      minWords = 5, maxWords = 90)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fails"),
+        r.getAs[Boolean]("keep"))).toSeq
+    assert(out == Seq(
+      (1L, "", true),
+      (2L, "wc,stop,top", false),
+      (3L, "mwl,rep,top", false),
+      (4L, "mwl,stop", false)))
+  }
+
+  test("qualityRuleFilter: top_share is the mode count over n_words") {
+    val out = TextAnalysis.qualityRuleFilter(
+      Seq((1L, "b b b a a c")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("the"), minWords = 1)
+      .select("top_share", "distinct_ratio", "n_words").collect()(0)
+    assert(out.getAs[Double]("top_share") == 0.5) // 3 of 6
+    assert(out.getAs[Double]("distinct_ratio") == 0.5)
+    assert(out.getAs[Int]("n_words") == 6)
+  }
 }
