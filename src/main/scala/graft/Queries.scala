@@ -4030,6 +4030,90 @@ object Queries {
       .orderBy("user_id", "start_us")
   }}
 
+  // ---------------------------------------------------------------------
+  // st9_stream_funnel — the ordered funnel as a streaming per-key state
+  // machine (StatefulOps.funnelStream): each user's conversion-time
+  // vector advances event-by-event (strictly-after semantics identical
+  // to Behavior.funnel) and emits once their state times out past the
+  // watermark; the per-step summary then aggregates the emitted facts
+  // in batch. Oracled against the batch funnel SQL (aq27's oracle) —
+  // stream == batch is the gate.
+  register(
+    "st9_stream_funnel",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+      |), s1 AS (
+      |  SELECT user_id, min(ts_us) AS t FROM ev
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, min(e.ts_us) AS t, min(s1.t) AS tp
+      |  FROM ev e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, min(e.ts_us) AS t, min(s2.t) AS tp
+      |  FROM ev e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1
+      |)
+      |SELECT * FROM (
+      |  SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users,
+      |         CAST(NULL AS DOUBLE) AS avg_lag_sec FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'click', count(*),
+      |         round(sum(t - tp)::double / count(*) / 1e6, 2) FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', count(*),
+      |         round(sum(t - tp)::double / count(*) / 1e6, 2) FROM s3
+      |) ORDER BY step""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    import graft.streaming.StatefulOps
+    val steps = Seq("view", "click", "purchase")
+    val tmp = scratchDir("st9")
+    val (in, out, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+
+    t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+    import s.implicits._
+    // far-future sentinel: advances the watermark past every real
+    // user's quiet period so the flush batch emits all final vectors
+    Seq(StatefulOps.TypedEvent(-1L, 1893456000L * 1000000L, "view"))
+      .toDF().coalesce(1).write.parquet(s"$in/b2")
+    val now = System.currentTimeMillis()
+    def touch(d: String, t: Long): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(t)))
+    touch(s"$in/b1", now - 60000)
+    touch(s"$in/b2", now)
+
+    val schema = Seq(StatefulOps.TypedEvent(0L, 0L, "")).toDF().schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*").as[StatefulOps.TypedEvent]
+    val q = StatefulOps.funnelStream(stream, steps).toDF()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val prog = s.read.parquet(out).filter(col("user_id") >= 0)
+      .transform(graft.operators.Lineage.cutLocal)
+    val perStep = steps.zipWithIndex.map { case (name, i) =>
+      val lag =
+        if (i == 0) lit(null).cast("long")
+        else col("times").getItem(i) - col("times").getItem(i - 1)
+      prog.filter(col("times").getItem(i) >= 0)
+        .select(lag.as("__lag_us"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("__lag_us")).cast("double") /
+            count(col("__lag_us")) / 1e6, 2).as("avg_lag_sec"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col("n_users"), col("avg_lag_sec"))
+    }
+    perStep.reduce(_.unionByName(_)).orderBy("step")
+  }}
+
   // q31_jdbc_store — the external-database store in the gate (SURVEY
   // §2.2 KV backends; nexus/backends/stores/sqlite_store.py): a per-
   // nation customer rollup is written to embedded Derby through the

@@ -90,4 +90,71 @@ object StatefulOps {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class TypedEvent(user_id: Long, ts_us: Long, event_type: String)
+  /** Per-user funnel progress: `times(k)` is the step-k conversion µs
+    * (-1 while unreached). Emitted once, when the user's state times
+    * out past the watermark. */
+  final case class FunnelProgress(user_id: Long, times: Seq[Long])
+
+  /** Streaming ordered funnel — the per-key state-machine formulation
+    * of [[graft.operators.Behavior.funnel]]: step k converts at the
+    * first event matching `steps(k)` STRICTLY AFTER the step-(k-1)
+    * conversion. Within a micro-batch events process in ts order, so
+    * the state machine reproduces the batch mins exactly; across
+    * batches the watermark gives the usual streaming guarantee (an
+    * event older than a batch it arrives after is a late arrival —
+    * same contract as every streaming funnel). One conversion-time
+    * vector per ACTIVE user is the whole state: O(users × depth),
+    * partitioned by the grouping key.
+    *
+    * Emission is timeout-driven (event-time): a user's vector is final
+    * only once the watermark passes their last activity + `quietUs`.
+    * The aq27-style per-step aggregate happens downstream in batch —
+    * streaming emits per-user facts, the cheap summary runs on read.
+    */
+  def funnelStream(
+      events: Dataset[TypedEvent],
+      steps: Seq[String],
+      quietUs: Long = 3600L * 1000000L): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+
+    def update(
+        userId: Long,
+        rows: Iterator[TypedEvent],
+        state: GroupState[FunnelProgress]): Iterator[FunnelProgress] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator.single(s)
+      }
+      val times = state.getOption
+        .map(_.times.toArray)
+        .getOrElse(Array.fill(steps.length)(-1L))
+      var lastTs = -1L
+      rows.toSeq.sortBy(_.ts_us).foreach { e =>
+        lastTs = math.max(lastTs, e.ts_us)
+        var k = 0
+        while (k < steps.length) {
+          // ascending k: one event can never satisfy two steps (the
+          // strictly-after test fails against its own timestamp)
+          if (times(k) < 0 && e.event_type == steps(k) &&
+            (k == 0 || (times(k - 1) >= 0 && e.ts_us > times(k - 1))))
+            times(k) = e.ts_us
+          k += 1
+        }
+      }
+      state.update(FunnelProgress(userId, times.toSeq))
+      if (lastTs >= 0) state.setTimeoutTimestamp((lastTs + quietUs) / 1000)
+      Iterator.empty
+    }
+
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "30 minutes")
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

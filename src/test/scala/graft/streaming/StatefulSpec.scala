@@ -105,4 +105,64 @@ class StatefulSpec extends AnyFunSuite {
     assert(finalized.get("2024-01-01 10:00:00.0").contains(1.0),
       s"got $finalized")
   }
+
+  test("funnelStream: state advances across batches, strictly-after holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    val steps = Seq("view", "click", "purchase")
+
+    def drain(): Unit = {
+      val schema = Seq(StatefulOps.TypedEvent(0L, 0L, "")).toDF().schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(s"$in/*").as[StatefulOps.TypedEvent]
+      val q = StatefulOps.funnelStream(stream, steps).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // u1 converts fully in batch 1; u2's click PRECEDES their view (must
+    // not count); u3 views in batch 1 and clicks in batch 2 — the state
+    // machine must carry t1 across the batch boundary
+    Seq(
+      StatefulOps.TypedEvent(1L, t0, "view"),
+      StatefulOps.TypedEvent(1L, t0 + minute, "click"),
+      StatefulOps.TypedEvent(1L, t0 + 2 * minute, "purchase"),
+      StatefulOps.TypedEvent(2L, t0, "click"),
+      StatefulOps.TypedEvent(2L, t0 + minute, "view"),
+      StatefulOps.TypedEvent(3L, t0, "view"))
+      .toDF().coalesce(1).write.parquet(s"$in/b1")
+    drain()
+    Seq(
+      StatefulOps.TypedEvent(3L, t0 + 5 * minute, "click"),
+      StatefulOps.TypedEvent(-1L, t0 + 1000 * minute, "view"))
+      .toDF().coalesce(1).write.parquet(s"$in/b2")
+    drain() // sentinel watermark closes every real user's state
+
+    val got = spark.read.parquet(out).filter(col("user_id") >= 0)
+      .select("user_id", "times")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == Map(
+      1L -> Seq(t0, t0 + minute, t0 + 2 * minute),
+      2L -> Seq(t0 + minute, -1L, -1L),
+      3L -> Seq(t0, t0 + 5 * minute, -1L)))
+
+    // and the emitted facts reproduce the batch funnel aggregate
+    val ev = Seq(
+      (1L, t0, "view"), (1L, t0 + minute, "click"),
+      (1L, t0 + 2 * minute, "purchase"),
+      (2L, t0, "click"), (2L, t0 + minute, "view"),
+      (3L, t0, "view"), (3L, t0 + 5 * minute, "click"))
+      .toDF("user_id", "ts_us", "event_type")
+    val batch = graft.operators.Behavior.funnel(ev, "user_id", "ts_us",
+        steps.map(n => n -> (col("event_type") === n)))
+      .select("step", "n_users").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val stream = Map(
+      1 -> got.values.count(_(0) >= 0).toLong,
+      2 -> got.values.count(_(1) >= 0).toLong,
+      3 -> got.values.count(_(2) >= 0).toLong)
+    assert(stream == batch)
+  }
 }
