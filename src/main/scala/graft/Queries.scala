@@ -4864,6 +4864,21 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // sq10_pca_power — top principal direction by deterministic power
+  // iteration (Clustering.powerIterationScores): two Gram-free rounds
+  // (corpus pass + dim-bounded aggregate each), 6dp-decimal rank-one
+  // update sums, direction pinned to float per round; vectors scored by
+  // projection, top-50 by |score| via TakeOrdered. The oracle unrolls
+  // the identical rounds as CTEs (generated by Clustering.pcaOracleSql).
+  register(
+    "sq10_pca_power",
+    graft.operators.Clustering.pcaOracleSql(dim = 64, iters = 2, topK = 50)
+  ) { (s, dir) =>
+    graft.operators.Clustering.powerIterationScores(
+      t(s, dir, "embeddings"), "vec_id", "embedding", iters = 2, topK = 50)
+  }
+
+  // ---------------------------------------------------------------------
   // tq17_gopher_rules — Gopher-style composite quality filter with
   // per-rule attribution (TextAnalysis.qualityRuleFilter): word-count /
   // mean-word-length / stopword / distinct-ratio / top-word-share rules,

@@ -177,4 +177,111 @@ object Clustering {
       |ORDER BY cell_id""".stripMargin)
     sb.toString
   }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Top principal direction by deterministic power iteration, scoring
+    * every vector by its projection — the embedding-drift / dominant-
+    * axis diagnostic (and the 1-component core of PCA whitening).
+    * Gram-matrix-free: each round is one corpus pass computing
+    * `u = Σ_i (x_i · w) x_i`, then a driver-side normalize of the
+    * dim-length vector. Determinism pinning (the aq33 recipe): dots
+    * round to 6dp; the rank-one update terms round to 6dp and sum as
+    * DECIMAL (order-independent); the normalized direction rounds to
+    * 6dp then FLOAT, so every round's direction is bit-replayable in an
+    * external SQL engine ([[pcaOracleSql]] unrolls the same rounds).
+    *
+    * Scale shape: `iters + 1` corpus passes, each a codegen
+    * [[graft.functions.VectorExpressions.FloatDot]] projection plus one
+    * aggregate bounded by `dim` groups; driver state is `dim` doubles.
+    * Nothing is quadratic and no pass shuffles more than dim rows.
+    * Returns the `topK` vectors by |projection| (TakeOrdered — no
+    * global sort): (vec_id, score).
+    */
+  def powerIterationScores(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int,
+      topK: Int): DataFrame = {
+    require(iters >= 1 && topK >= 1, "iters and topK must be positive")
+    import graft.functions.VectorExpressions.float_dot
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val base = Lineage.cutLocal(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")))
+
+    var w: Array[Float] =
+      Array.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)).toFloat)
+    for (_ <- 1 to iters) {
+      val u = new Array[Double](dim)
+      base
+        .select(round(float_dot(col("v"), typedLit(w)), 6).as("p"),
+          posexplode(col("v")))
+        .groupBy("pos")
+        .agg(sum(round(col("p") * col("col").cast("double"), 6)
+          .cast("decimal(28,6)")).as("u"))
+        .collect()
+        .foreach(r => u(r.getInt(0)) = r.getDecimal(1).doubleValue())
+      // ascending-index fold, like the SQL twin's ORDER BY dim list_sum
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += u(j) * u(j); j += 1 }
+      val nrm = math.sqrt(s)
+      w = u.map(x => round6(x / nrm).toFloat)
+    }
+    base
+      .select(col("vec_id"), round(float_dot(col("v"), typedLit(w)), 6)
+        .as("score"))
+      .orderBy(abs(col("score")).desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** DuckDB replay of [[powerIterationScores]] — `iters` unrolled
+    * power-iteration rounds. Generated next to the engine code so the
+    * two stay one edit apart. */
+  def pcaOracleSql(dim: Int, iters: Int, topK: Int): String = {
+    val c0 = BigDecimal(round6(1.0 / math.sqrt(dim.toDouble)))
+      .setScale(6).toString
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+         |  FROM embeddings
+         |), x AS (
+         |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+         |  FROM e
+         |), w0 AS (
+         |  SELECT list_transform(range(1, ${dim + 1}),
+         |           i -> $c0::float::double) AS w)""".stripMargin)
+    for (i <- 1 to iters) {
+      val prev = s"w${i - 1}"
+      sb.append(s""",
+        |p$i AS (
+        |  SELECT e.vec_id,
+        |         round(list_sum(list_transform(list_zip(e.v, $prev.w),
+        |                 p -> p[1] * p[2])), 6) AS p
+        |  FROM e CROSS JOIN $prev
+        |), u$i AS (
+        |  SELECT x.dim, sum(round(p$i.p * x.val, 6)::decimal(28,6)) AS u
+        |  FROM p$i JOIN x USING (vec_id)
+        |  GROUP BY 1
+        |), n$i AS (
+        |  SELECT sqrt(list_sum(list_transform(
+        |           list(u::double ORDER BY dim), y -> y * y))) AS nrm
+        |  FROM u$i
+        |), w$i AS (
+        |  SELECT list(round(u$i.u::double / n$i.nrm, 6)::float::double
+        |           ORDER BY u$i.dim) AS w
+        |  FROM u$i, n$i)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT e.vec_id,
+      |       round(list_sum(list_transform(list_zip(e.v, w$iters.w),
+      |               p -> p[1] * p[2])), 6) AS score
+      |FROM e CROSS JOIN w$iters
+      |ORDER BY abs(score) DESC, vec_id
+      |LIMIT $topK""".stripMargin)
+    sb.toString
+  }
 }

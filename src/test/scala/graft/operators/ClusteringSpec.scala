@@ -31,4 +31,30 @@ class ClusteringSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((0L, 5L, 1.0), (1L, 0L, 0.0)))
   }
+
+  test("powerIterationScores finds the dominant axis") {
+    // variance concentrated on axis 0: the fitted direction must score
+    // the on-axis vectors far above the off-axis one, signs opposite
+    // for opposite vectors
+    val d = Seq(
+      (1L, Seq(10.0f, 0.1f)), (2L, Seq(-10.0f, 0.1f)),
+      (3L, Seq(9.5f, -0.1f)), (4L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "v")
+    val out = Clustering.powerIterationScores(d, "vec_id", "v",
+        iters = 3, topK = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L)) > 9 && math.abs(out(2L)) > 9 &&
+      math.abs(out(3L)) > 9)
+    assert(math.abs(out(4L)) < 1.0, s"off-axis vector scored ${out(4L)}")
+    assert(out(1L) * out(2L) < 0, "opposite vectors must score opposite signs")
+    assert(out(1L) * out(3L) > 0, "aligned vectors must score same sign")
+  }
+
+  test("powerIterationScores topK orders by |score| with id tie-break") {
+    val d = (1L to 6L).map(i => (i, Seq(i.toFloat, 0f))).toDF("vec_id", "v")
+    val got = Clustering.powerIterationScores(d, "vec_id", "v",
+        iters = 2, topK = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(6L, 5L, 4L))
+  }
 }
