@@ -2466,6 +2466,54 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // mm9_scene_cuts — shot-boundary detection over the REAL codec
+  // (Multimodal.sceneCuts): 10 synthetic videos of 12 PNG frames each,
+  // scene pattern changing every 4 frames with small within-scene
+  // brightness drift; adjacent frames compare by integer SAD over 8x8
+  // luma grids, cut where SAD > 1000. Decode is a partition kernel;
+  // the only shuffle keys on the video for the lag window. The oracle
+  // replays the closed-form pixel pattern through the same box filter
+  // and SAD.
+  register(
+    "mm9_scene_cuts",
+    """WITH img AS (
+      |  SELECT doc_id // 12 AS vid, doc_id % 12 AS f,
+      |         (doc_id // 12) * 31 + ((doc_id % 12) // 4) * 11 AS pat,
+      |         (doc_id % 12) % 4 AS off
+      |  FROM documents WHERE doc_id < 120
+      |), px AS (
+      |  SELECT vid, f, x.range AS x, y.range AS y,
+      |         (pat * 7 + x.range * 7 + y.range * 5 + off) % 256 AS g
+      |  FROM img, range(32) x, range(16) y
+      |), cells AS (
+      |  SELECT vid, f, (y // 2)::int AS cy, (x // 4)::int AS cx,
+      |         sum(g) // 8 AS gray
+      |  FROM px GROUP BY 1, 2, 3, 4
+      |), sad AS (
+      |  SELECT a.vid, a.f, sum(abs(a.gray - b.gray))::bigint AS sad
+      |  FROM cells a JOIN cells b
+      |    ON a.vid = b.vid AND b.f = a.f - 1
+      |   AND a.cy = b.cy AND a.cx = b.cx
+      |  GROUP BY 1, 2
+      |)
+      |SELECT vid AS video_id, f AS frame_no, sad, sad > 1000 AS is_cut
+      |FROM sad
+      |ORDER BY video_id, frame_no""".stripMargin
+  ) { (s, dir) =>
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 120)
+      .select(col("doc_id").as("media_id"))
+    val pat = expr("(media_id DIV 12) * 31 + ((media_id % 12) DIV 4) * 11")
+    val off = expr("(media_id % 12) % 4")
+    val media = graft.multimodal.Multimodal.stripeImages(
+      ids, "media_id", 32, 16,
+      pattern = Some(pat), offset = Some(off),
+      ySlope = 5, xSlope = Some(lit(7L)))
+    graft.multimodal.Multimodal.sceneCuts(
+      media.select(expr("media_id DIV 12").as("video_id"),
+        expr("cast(media_id % 12 as int)").as("frame_no"), col("bytes")),
+      gridW = 8, gridH = 8, sadThreshold = 1000L)
+  }
+
   // mm7_image_quality — the dark/flat-image quality gate over the REAL
   // codec: full-resolution luma sums (integer-exact) per decoded image,
   // mean derived with SQL rounding, keep = mid-brightness AND enough

@@ -561,6 +561,57 @@ object Multimodal {
       }
   }
 
+  final case class FrameGridRow(video_id: Long, frame_no: Int, grid: Array[Int])
+
+  /** REAL decode of per-frame images into luma grids, keyed by
+    * (video, frame) — the per-frame half of [[sceneCuts]]. Undecodable
+    * frames drop (a corrupt frame costs one row, never the job). */
+  def frameGrids(
+      frames: DataFrame, gridW: Int = 8, gridH: Int = 8): Dataset[FrameGridRow] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select("video_id", "frame_no", "bytes")
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        mapBatches(it, KernelBatchSize) { batch =>
+          batch.iterator.flatMap { case (vid, f, bytes) =>
+            ImageIoCodec.decode(Option(bytes).getOrElse(Array.empty)).map(img =>
+              FrameGridRow(vid, f, ImageIoCodec.grayGrid(img, gridW, gridH)))
+          }
+        }
+      }
+  }
+
+  /** Scene-cut detection over decoded frame sequences: each adjacent
+    * frame pair's luma grids are compared by SAD (sum of absolute cell
+    * differences — the classic shot-boundary signal), and a cut fires
+    * where SAD exceeds `sadThreshold`. Integer-exact end to end (luma,
+    * box filter, SAD all integer), so the verdict replays in any
+    * engine.
+    *
+    * Scale shape: decode is a per-row partition kernel (no shuffle);
+    * the ONLY shuffle keys on the video id for the lag() window, whose
+    * partition is one video's frame list — bounded by clip length, the
+    * same invariant sessionization relies on. Nothing compares frames
+    * across videos. Frame 0 of each video has no predecessor and is
+    * not scored. */
+  def sceneCuts(
+      frames: DataFrame,
+      gridW: Int = 8,
+      gridH: Int = 8,
+      sadThreshold: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("video_id").orderBy("frame_no")
+    frameGrids(frames, gridW, gridH).toDF()
+      .withColumn("__prev", lag("grid", 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("video_id"), col("frame_no"),
+        expr("""aggregate(zip_with(grid, __prev, (a, b) -> abs(a - b)),
+               |0L, (s, x) -> s + x)""".stripMargin).as("sad"))
+      .withColumn("is_cut", col("sad") > sadThreshold)
+      .orderBy("video_id", "frame_no")
+  }
+
   /** Frame sampling for video rows: every `stride`-th fixed-size chunk of
     * the payload becomes a frame (flatMap — one row in, many out). */
   def sampleFrames(

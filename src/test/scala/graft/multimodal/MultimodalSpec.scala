@@ -214,4 +214,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r1.amp_sum == s1.map(_.toLong).sum)
     assert(r1.amp_min == s1.min && r1.amp_max == s1.max)
   }
+
+  test("sceneCuts: identical frames score SAD 0, pattern jumps fire cuts") {
+    // one video: frames 0-1 identical, frame 2 a different pattern,
+    // frame 3 back near 2 with +1 brightness (small drift, no cut)
+    val frames = Seq(
+      (1L, 0, 10L, 0L), (1L, 1, 10L, 0L), (1L, 2, 200L, 0L),
+      (1L, 3, 200L, 1L),
+      // second video: all identical — lag must not cross videos
+      (2L, 0, 10L, 0L), (2L, 1, 10L, 0L))
+      .toDF("video_id", "frame_no", "pat", "off")
+    val media = frames.select(col("video_id"), col("frame_no"),
+      col("pat"), col("off"))
+    val withBytes = Multimodal.stripeImages(
+        media.select(
+          (col("video_id") * 100 + col("frame_no")).as("media_id"),
+          col("pat"), col("off")),
+        "media_id", 32, 16,
+        pattern = Some(col("pat")), offset = Some(col("off")),
+        ySlope = 5, xSlope = Some(lit(7L)))
+      .select((col("media_id") / 100).cast("long").as("video_id"),
+        (col("media_id") % 100).cast("int").as("frame_no"), col("bytes"))
+    val out = Multimodal.sceneCuts(withBytes, sadThreshold = 500L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val byKey = out.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(byKey((1L, 1)) == ((0L, false)), "identical frames: SAD 0")
+    assert(byKey((1L, 2))._2, "pattern jump must cut")
+    assert(!byKey((1L, 3))._2 && byKey((1L, 3))._1 > 0,
+      "small drift: nonzero SAD, no cut")
+    assert(byKey((2L, 1)) == ((0L, false)))
+    assert(out.length == 4, "frame 0 of each video is unscored")
+  }
 }
