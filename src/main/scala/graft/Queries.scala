@@ -4912,6 +4912,39 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // aq39_interleave_order — the deterministic training-order schedule
+  // of a weighted source mixture (Sampling.interleaveSchedule):
+  // weighted-fair-queueing virtual finish times as integer keys, per-
+  // source ranks from the grouped two-phase prefix sum, schedule head
+  // via TakeOrdered. src0 carries weight 4, src1/src2 weight 2, the
+  // rest 1 — the oracle replays the same integer arithmetic.
+  register(
+    "aq39_interleave_order",
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank
+      |  FROM documents
+      |), k AS (
+      |  SELECT source, doc_id,
+      |         rank * (CASE source WHEN 'src0' THEN 1
+      |                             WHEN 'src1' THEN 2
+      |                             WHEN 'src2' THEN 2
+      |                             ELSE 4 END) AS vkey
+      |  FROM r
+      |)
+      |SELECT row_number() OVER (ORDER BY vkey, source, doc_id) AS position,
+      |       source, doc_id, vkey
+      |FROM k
+      |ORDER BY vkey, source, doc_id
+      |LIMIT 500""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Sampling.interleaveSchedule(
+      t(s, dir, "documents"), "source", "doc_id",
+      weights = Map("src0" -> 4L, "src1" -> 2L, "src2" -> 2L),
+      topN = 500)
+  }
+
+  // ---------------------------------------------------------------------
   // sq10_pca_power — top principal direction by deterministic power
   // iteration (Clustering.powerIterationScores): two Gram-free rounds
   // (corpus pass + dim-bounded aggregate each), 6dp-decimal rank-one

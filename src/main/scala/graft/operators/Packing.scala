@@ -198,6 +198,54 @@ object Packing {
         (col("__local_rank") + col("__offset")).as("rank"): _*)
   }
 
+  /** Per-group 1-based rank by `orderCol` without a per-group global
+    * window — [[globalRank]]'s prefix sum keyed by group: range
+    * partition on (group, order key) so each group's rows are sorted-
+    * contiguous across partitions, local row_number per (partition,
+    * group), then each (partition, group)'s broadcast count offset.
+    * Driver state is |partitions| × |groups| counts — groups here are
+    * corpus SOURCES (tens to hundreds), not data-sized.
+    *
+    * Precondition: `orderCol` unique within each group (same contract
+    * as globalRank). */
+  def groupedRank(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      carryCols: Seq[String],
+      numParts: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = numParts.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val sorted = df
+      .select((groupCol +: orderCol +: carryCols).map(col): _*)
+      .repartitionByRange(parts, col(groupCol), col(orderCol))
+      .sortWithinPartitions(groupCol, orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .transform(Lineage.cutLocal)
+
+    val counts = sorted.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    // exclusive prefix offsets per group over ascending partition id
+    val offsets = counts.groupBy(_._2).iterator.flatMap { case (g, rows) =>
+      rows.sortBy(_._1).scanLeft((0, g, 0L, 0L)) {
+        case ((_, _, acc, n0), (pid, _, n)) => (pid, g, acc + n0, n)
+      }.drop(1).map { case (pid, grp, acc, _) => (pid, grp, acc) }
+    }.toSeq
+    import spark.implicits._
+    val offsetDf = offsets.map { case (pid, g, off) =>
+      (pid, g.asInstanceOf[String], off)
+    }.toDF("__pid", groupCol, "__offset")
+
+    val w = Window.partitionBy("__pid", groupCol).orderBy(orderCol)
+    sorted
+      .withColumn("__local_rank", row_number().over(w).cast("long"))
+      .join(broadcast(offsetDf), Seq("__pid", groupCol))
+      .select((groupCol +: orderCol +: carryCols).map(col) :+
+        (col("__local_rank") + col("__offset")).as("rank"): _*)
+  }
+
   /** Content-defined chunking over a text column
     * ([[graft.functions.TextKernelExpressions.CdcChunks]]): boundaries
     * from a rolling content hash, so edits shift chunk boundaries only

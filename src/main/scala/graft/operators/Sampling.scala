@@ -307,4 +307,45 @@ object Sampling {
       .select(col("doc_id").as(idCol), col("n_grams"),
         round(col("w").cast("double"), 4).as("weight"), col("rank"))
   }
+
+  /** Deterministic proportional interleave — the global TRAINING ORDER
+    * of a multi-source mixture, computed scale-out. Weighted-fair-
+    * queueing virtual finish times: the k-th document of source s gets
+    * integer key `k * (L / w_s)` (L = lcm of the weights), and the
+    * schedule is ascending key — a source with twice the weight appears
+    * twice as often at every prefix of the stream, which is exactly the
+    * "interleave datasets by ratio" contract of a training data loader
+    * (and unlike RNG mixing, reproducible on any engine/cluster).
+    *
+    * Integer keys mean no float compares; sources absent from
+    * `weights` get weight 1. Per-source ranks come from
+    * [[Packing.groupedRank]] (two-phase prefix sum — no per-source
+    * global window), the schedule head from TakeOrdered (no global
+    * sort); only the returned `topN` rows see the position window.
+    * Output: (position, source-col, id-col, vkey). */
+  def interleaveSchedule(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weights: Map[String, Long],
+      topN: Int): DataFrame = {
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (weights.values.toSeq :+ 1L).reduce((a, b) => a / gcd(a, b) * b)
+    val mult = weights.foldLeft(lit(lcm)) { case (acc, (g, wt)) =>
+      when(col(groupCol) === g, lit(lcm / wt)).otherwise(acc)
+    }
+    val keyed = Packing.groupedRank(df, groupCol, idCol, Nil)
+      .withColumn("vkey", col("rank") * mult)
+    val head = keyed
+      .orderBy(col("vkey"), col(groupCol), col(idCol))
+      .limit(topN)
+      .transform(Lineage.cutLocal)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("vkey"), col(groupCol), col(idCol))
+    head
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col("position"), col(groupCol), col(idCol), col("vkey"))
+      .orderBy("position")
+  }
 }

@@ -144,4 +144,36 @@ class PackingSpec extends AnyFunSuite {
       Packing.lengthBuckets(docs, "text", caps = Seq(16, 16))
     }
   }
+
+  test("groupedRank equals the per-group window row_number") {
+    // 3 groups × 40 rows across MORE partitions than groups, so group
+    // runs genuinely split across range-partition boundaries
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle(
+      (for (g <- Seq("a", "b", "c"); i <- 1 to 40) yield (g, i.toLong)).toList)
+    val df = rows.toDF("src", "id").repartition(7)
+    val got = Packing.groupedRank(df, "src", "id", Nil, numParts = Some(5))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(_._2).sorted.zipWithIndex.map { case (id, i) =>
+        (g, id) -> (i + 1L)
+      }
+    }
+    assert(got == expected)
+  }
+
+  test("interleaveSchedule: weights govern every prefix of the stream") {
+    val df = (for (g <- Seq("hi", "lo"); i <- 1 to 50) yield (g, i.toLong))
+      .toDF("src", "id")
+    val sched = Sampling.interleaveSchedule(df, "src", "id",
+        weights = Map("hi" -> 2L), topN = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(sched.map(_._1).toSeq == (1L to 30L), "positions dense from 1")
+    // weight 2 vs 1: every aligned prefix holds twice as many hi docs
+    val hiAt = sched.filter(_._2 == "hi").map(_._1)
+    assert(hiAt.count(_ <= 30) == 20 && sched.count(_._2 == "lo") == 10)
+    // per-source id order preserved (rank order == id order)
+    assert(sched.filter(_._2 == "hi").map(_._3).toSeq ==
+      sched.filter(_._2 == "hi").map(_._3).sorted.toSeq)
+  }
 }
