@@ -4912,6 +4912,41 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // tq18_word_entropy — per-document word-distribution entropy
+  // (TextAnalysis.wordEntropy): p·ln(p) terms rounded to 10dp and
+  // summed as DECIMAL so the sum is order-independent; the normalized
+  // variant divides the unrounded sum by ln(V). Both aggregates key on
+  // the doc id and reuse one partitioning.
+  register(
+    "tq18_word_entropy",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+      |), t AS (
+      |  SELECT doc_id, sum(c)::bigint AS n, count(*)::bigint AS n_distinct
+      |  FROM c GROUP BY 1
+      |), e AS (
+      |  SELECT c.doc_id, t.n, t.n_distinct,
+      |         round((c.c::double / t.n) * ln(c.c::double / t.n),
+      |               10)::decimal(28,10) AS term
+      |  FROM c JOIN t USING (doc_id)
+      |)
+      |SELECT doc_id, n AS n_words, n_distinct,
+      |       round(-sum(term)::double, 6) AS entropy_nats,
+      |       CASE WHEN n_distinct > 1
+      |            THEN round(-sum(term)::double / ln(n_distinct::double), 6)
+      |            ELSE 0.0 END AS norm_entropy
+      |FROM e
+      |GROUP BY 1, 2, 3
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.wordEntropy(
+      t(s, dir, "documents"), "doc_id", "text")
+  }
+
+  // ---------------------------------------------------------------------
   // aq39_interleave_order — the deterministic training-order schedule
   // of a weighted source mixture (Sampling.interleaveSchedule):
   // weighted-fair-queueing virtual finish times as integer keys, per-

@@ -290,6 +290,46 @@ object ScaleStress {
       docs.filter(col("doc_id") % 47 === 0), "text").count())
     // profiler: one scan whatever the width; 4x rows ~ 4x time ceiling
     time("profile_4x")(operators.Profile.profile(dup(4)).count())
+    // round-6b operators. Interval join: replicas shift event TIMES by
+    // disjoint month-scale offsets, so per-replica session sets are
+    // time-disjoint — pairs and work grow exactly linearly (the grid
+    // blocks any cross-replica compare by construction)
+    val ev = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+    def evDup(k: Int) = (0 until k).map(i => ev.select(
+      (col("user_id") + lit(i * 10000000L)).as("user_id"),
+      (col("ts_us") + lit(i * 400L * 86400L * 1000000L)).as("ts_us"),
+      col("value"))).reduce(_ union _)
+    def sessions(k: Int) = {
+      val s = streaming.StatefulOps.sessionizeBatch(evDup(k), 1800000000L)
+        .select("user_id", "start_us", "end_us")
+      (s.filter(col("user_id") % 2 === 0), s.filter(col("user_id") % 2 === 1))
+    }
+    time("interval_join_1x") { val (l, r) = sessions(1)
+      operators.Intervals.overlapJoin(l, r, "start_us", "end_us").count() }
+    time("interval_join_4x") { val (l, r) = sessions(4)
+      operators.Intervals.overlapJoin(l, r, "start_us", "end_us").count() }
+    // quality rules: zero-shuffle projection — embarrassingly parallel
+    time("gopher_rules_4x")(operators.TextAnalysis.qualityRuleFilter(
+      dup(4), "doc_id", "text",
+      Seq("the", "a", "data", "value", "row")).count())
+    // power iteration: per round one projection pass + a dim-bounded
+    // aggregate — linear in corpus, driver state constant
+    time("pca_1x")(operators.Clustering.powerIterationScores(
+      edup(1), "vec_id", "embedding", iters = 2, topK = 50).count())
+    time("pca_4x")(operators.Clustering.powerIterationScores(
+      edup(4), "vec_id", "embedding", iters = 2, topK = 50).count())
+    // interleave: grouped prefix-sum rank + TakeOrdered head — linear
+    time("interleave_4x")(operators.Sampling.interleaveSchedule(
+      dup(4).withColumn("source", (col("doc_id") % 7).cast("string")),
+      "source", "doc_id", Map("0" -> 4L, "1" -> 2L), topN = 500).count())
+    // rate anomalies: one (key, hour) aggregate + broadcast moments
+    time("rate_anomaly_4x")(operators.Behavior.rateAnomalies(
+      evDup(4).withColumn("event_type",
+          (col("user_id") % 5).cast("string"))
+        .withColumn("ts", timestamp_micros(col("ts_us"))),
+      "event_type", "ts").count())
     spark.stop()
   }
 }

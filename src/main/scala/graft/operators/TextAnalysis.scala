@@ -495,6 +495,47 @@ object TextAnalysis {
           / col("__n_chars")), 4).as("top_bigram_frac"))
   }
 
+  /** Per-document word-distribution entropy (nats) plus the ln(V)-
+    * normalized variant — the information-theoretic repetition signal:
+    * near 0 = one word dominates (boilerplate/spam), near ln(V) = flat
+    * usage. Complements [[qualityRuleFilter]]'s ratio rules with a
+    * measure that sees the WHOLE distribution, not just the mode.
+    *
+    * Exactness: each term `p·ln(p)` rounds to 10dp and sums as DECIMAL
+    * (order-independent — the aq24 recipe); the normalizer divides the
+    * unrounded sum by `ln(V)` with the identical expression both
+    * engines, then rounds.
+    *
+    * Scale shape: two aggregates BOTH keyed on the doc id — the word
+    * histogram and the entropy sum reuse one hash partitioning (AQE
+    * sees co-partitioned joins); partition size is one document's
+    * vocabulary. Nothing global, nothing quadratic. */
+  def wordEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .transform(Lineage.cutLocal)
+    val totals = counts.groupBy(col(idCol))
+      .agg(sum("__c").as("__n"), count(lit(1)).as("n_distinct"))
+    val p = col("__c").cast("double") / col("__n")
+    counts.join(totals, Seq(idCol))
+      .select(col(idCol), col("__n"), col("n_distinct"),
+        round(p * log(p), 10).cast("decimal(28,10)").as("__e"))
+      .groupBy(col(idCol), col("__n"), col("n_distinct"))
+      .agg(sum(col("__e")).as("__s"))
+      .select(col(idCol), col("__n").as("n_words"), col("n_distinct"),
+        round((-col("__s")).cast("double"), 6).as("entropy_nats"),
+        when(col("n_distinct") > 1,
+          round((-col("__s")).cast("double") /
+            log(col("n_distinct").cast("double")), 6))
+          .otherwise(0.0).as("norm_entropy"))
+      .orderBy(idCol)
+  }
+
   /** Gopher-style composite quality filter with PER-RULE attribution
     * (Rae et al. 2021 §A1.1 quality heuristics; the reference `nexus/`
     * has no text analytics — training-data-pipeline extension). Each

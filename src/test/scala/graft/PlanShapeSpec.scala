@@ -405,4 +405,63 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!e.output.exists(_.name == "text"), e.output.mkString(", "))
     }
   }
+
+  test("aq38 interval join is an equi-join on the bucket — no nested loop") {
+    val p = plan("aq38_interval_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the inequality predicate rides an equi-join keyed on __bucket
+    assert(p.contains("__bucket"), p)
+  }
+
+  test("tq17 quality rules: no joins, no aggregates — signals are per-row") {
+    val df = SparkEntry.queries("tq17_gopher_rules")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      nodes.map(_.nodeName).mkString(", "))
+    assert(!nodes.exists(_.nodeName.contains("Aggregate")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("aq40 rate anomaly: moments broadcast back — no second data shuffle") {
+    val p = plan("aq40_rate_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("aq39 interleave: schedule head is TakeOrdered, offsets broadcast") {
+    // the registered query cuts lineage after the head, so pin the
+    // pre-cut stage the cut hides: ranking join + head selection
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val head = graft.operators.Packing
+      .groupedRank(docs, "source", "doc_id", Nil)
+      .withColumn("vkey", col("rank") * lit(2L))
+      .orderBy("vkey", "source", "doc_id").limit(100)
+    val p = finalPlan(head)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sq10 power iteration scoring: TakeOrdered, no join anywhere") {
+    val df = SparkEntry.queries("sq10_pca_power")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      nodes.map(_.nodeName).mkString(", "))
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("mm9 scene cuts: no joins — frame compare is a per-video window") {
+    val df = SparkEntry.queries("mm9_scene_cuts")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      nodes.map(_.nodeName).mkString(", "))
+    assert(nodes.exists(_.nodeName.contains("Window")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
 }

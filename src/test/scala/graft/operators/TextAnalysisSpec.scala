@@ -287,6 +287,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       (4L, "mwl,stop", false)))
   }
 
+  test("wordEntropy: hand-computed nats, uniform hits norm 1, constant 0") {
+    val docs = Seq(
+      (1L, "a a b b"),      // H = ln2 = 0.693147, norm exactly 1
+      (2L, "a a a a"),      // single word: H = 0, norm 0 (V = 1 guard)
+      (3L, "a a a b"))      // -(0.75 ln .75 + 0.25 ln .25) = 0.562335
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.wordEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((4L, 2L, 0.693147, 1.0)))
+    assert(out(2L) == ((4L, 1L, 0.0, 0.0)))
+    assert(out(3L)._3 == 0.562335)
+    assert(out(3L)._4 > 0.8 && out(3L)._4 < 0.82)
+  }
+
   test("qualityRuleFilter: top_share is the mode count over n_words") {
     val out = TextAnalysis.qualityRuleFilter(
       Seq((1L, "b b b a a c")).toDF("doc_id", "text"),
