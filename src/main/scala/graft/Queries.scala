@@ -5045,4 +5045,157 @@ object Queries {
       t(s, dir, "documents"), "doc_id", "text",
       stopwords = Seq("the", "a", "data", "value", "row"))
   }
+
+  // ---------------------------------------------------------------------
+  // tq19_readability — Flesch / Flesch-Kincaid readability signals
+  // (TextAnalysis.readability): integer word / sentence-run / vowel-
+  // group counts feed the two public formulas; scores compare on the
+  // 4dp rounding. Zero shuffles — one codegen'd projection.
+  register(
+    "tq19_readability",
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |         len(string_split(text, ' '))::int AS n_words,
+      |         greatest(1, len(regexp_extract_all(text, '[.!?]+')))::int
+      |           AS n_sentences,
+      |         list_sum(list_transform(string_split(text, ' '),
+      |             w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))
+      |           ))::bigint AS n_syllables
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |       round(206.835 - 1.015 * (n_words::double / n_sentences)
+      |             - 84.6 * (n_syllables::double / n_words), 4) AS flesch,
+      |       round(0.39 * (n_words::double / n_sentences)
+      |             + 11.8 * (n_syllables::double / n_words) - 15.59, 4)
+      |         AS fk_grade
+      |FROM sig
+      |WHERE n_words > 0
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.readability(
+      t(s, dir, "documents"), "doc_id", "text")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq41_decayed_rate — exponentially-decayed trailing hourly rate per
+  // event type (Behavior.decayedHourlyRate): finite-horizon EWMA whose
+  // decay weights are BigDecimal powers rounded to 10dp and EMBEDDED as
+  // literals on both sides (libm pow is not cross-engine exact); terms
+  // sum as decimals, only the final rate rounds to double.
+  register(
+    "aq41_decayed_rate", {
+      val w = graft.operators.Behavior.decayWeights(0.75, 12)
+      val wList = w.mkString("[", ", ", "]")
+      s"""WITH hourly AS (
+         |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+         |         count(*)::bigint AS n
+         |  FROM events GROUP BY 1, 2
+         |), o AS (
+         |  SELECT event_type, hour_us, r.range::int AS off,
+         |         hour_us - r.range * 3600000000 AS src_hour,
+         |         list_extract($wList::decimal(12,10)[], r.range::int + 1)
+         |           AS w
+         |  FROM hourly, range(12) r
+         |)
+         |SELECT o.event_type, o.hour_us,
+         |       max(CASE WHEN o.off = 0 THEN b.n END)::bigint AS n,
+         |       round(sum((b.n::decimal(18,0) * o.w)::decimal(28,10))::double,
+         |             6) AS decayed_rate
+         |FROM o JOIN hourly b
+         |  ON b.event_type = o.event_type AND b.hour_us = o.src_hour
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin
+    }
+  ) { (s, dir) =>
+    graft.operators.Behavior.decayedHourlyRate(
+      t(s, dir, "events"), "event_type", "ts",
+      decay = 0.75, horizonHours = 12)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq42_fk_integrity — referential-integrity / coverage audit
+  // (Profile.integrityAudit): the dbt-style relationship tests as one
+  // distributed plan. FK arms over the TPC-H keys are clean by
+  // construction (ok=true proves the audit finds nothing where nothing
+  // exists); the coverage arms (customer→events, part→lineitem) have
+  // real misses, so the orphan counters demonstrably fire.
+  register(
+    "aq42_fk_integrity",
+    graft.operators.Profile.integrityOracleSql(Seq(
+      ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("customer_seen_in_events", "customer", "c_custkey", "events",
+        "user_id"),
+      ("events_user", "events", "user_id", "customer", "c_custkey"),
+      ("lineitem_order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("part_ever_ordered", "part", "p_partkey", "lineitem", "l_partkey")))
+  ) { (s, dir) =>
+    import graft.operators.Profile.FkCheck
+    val customer = t(s, dir, "customer")
+    val events = t(s, dir, "events")
+    val lineitem = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    graft.operators.Profile.integrityAudit(Seq(
+      FkCheck("customer_nation", customer, "c_nationkey",
+        t(s, dir, "nation"), "n_nationkey"),
+      FkCheck("customer_seen_in_events", customer, "c_custkey",
+        events, "user_id"),
+      FkCheck("events_user", events, "user_id", customer, "c_custkey"),
+      FkCheck("lineitem_order", lineitem, "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey", broadcastParent = false),
+      FkCheck("lineitem_part", lineitem, "l_partkey", part, "p_partkey"),
+      FkCheck("lineitem_supplier", lineitem, "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"),
+      FkCheck("orders_customer", t(s, dir, "orders"), "o_custkey",
+        customer, "c_custkey"),
+      FkCheck("part_ever_ordered", part, "p_partkey",
+        lineitem, "l_partkey", broadcastParent = false)))
+  }
+
+  // ---------------------------------------------------------------------
+  // aq43_event_paths — top-k ordered event-type prefixes per user
+  // (Behavior.topPaths): each user's first 3 event types in (ts, id)
+  // order joined with '>', most common paths with user counts. The
+  // exact-prefix complement to aq28's memoryless transition matrix.
+  register(
+    "aq43_event_paths",
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events
+      |), p AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY 1
+      |)
+      |SELECT path, count(*)::bigint AS n_users
+      |FROM p GROUP BY 1
+      |ORDER BY n_users DESC, path
+      |LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Behavior.topPaths(
+      t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+      depth = 3, topK = 20)
+  }
+
+  // ---------------------------------------------------------------------
+  // q36_zorder_layout — Z-order (Morton) multi-dimensional clustering
+  // (Layout.zorderLayout): lineitem keyed on (l_partkey, l_suppkey),
+  // 8-bit normalized keys interleaved, rows tiled into 64 Z-quadrants;
+  // output is the per-quadrant row count + min/max rectangle of BOTH
+  // keys — the file-level statistics a lake writer would persist, and
+  // the evidence that either-column predicates prune. Pure integer
+  // algebra end to end.
+  register(
+    "q36_zorder_layout",
+    graft.operators.Layout.zorderOracleSql(
+      "lineitem", "l_partkey", "l_suppkey", bits = 8, quadBits = 3)
+  ) { (s, dir) =>
+    graft.operators.Layout.zorderLayout(
+      t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+      bits = 8, quadBits = 3)
+  }
 }

@@ -247,4 +247,105 @@ object Behavior {
       .filter(abs(col("z")) >= zThresh)
       .orderBy(keyCol, "hour_us")
   }
+
+  /** Exponentially-decayed trailing hourly rate per series (EWMA-style
+    * smoothing with a finite horizon): for each (key, hour), the decayed
+    * sum Σ_{j=0..horizon-1} n(hour−j)·decay^j over that key's hourly
+    * counts. The smoothing primitive behind rate limiting, trend
+    * dashboards, and drift monitors — a finite-horizon formulation
+    * because an infinite-memory EWMA is a sequential recurrence, which
+    * has no scale-out plan; a 12-hour horizon at decay 0.75 carries
+    * 96.8% of the infinite sum's weight.
+    *
+    * Exactness: decay weights are NOT computed with pow() at runtime —
+    * libm pow differs across engines in the last ulp for non-dyadic
+    * bases. Weights are BigDecimal-exact powers of `decay` rounded to
+    * 10dp, embedded as decimal literals on BOTH sides (same pattern as
+    * pq5's embedded power table); each term n·w is an exact decimal
+    * product, the sum is order-independent decimal addition, and only
+    * the final value rounds to 6dp double.
+    *
+    * Scale shape: one (key, hour) count aggregate with map-side
+    * partials; the decayed sum is an equi-join of the hourly frame
+    * against `horizon` exploded offsets — a `horizon`× multiplication
+    * of the HOURLY frame (bounded by keys × time span, never by input
+    * rows), no range join, no per-key window collect. At 100 TB the
+    * hourly frame is still tiny; the event scan is the only data-sized
+    * pass. */
+  def decayedHourlyRate(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      decay: Double = 0.75,
+      horizonHours: Int = 12): DataFrame = {
+    require(horizonHours >= 1 && decay > 0 && decay < 1)
+    val weights = decayWeights(decay, horizonHours)
+    val hourly = events
+      .groupBy(col(keyCol),
+        unix_micros(date_trunc("hour", col(tsCol))).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+      .transform(Lineage.cutLocal)
+    val wLit = array(weights.map(w => lit(new java.math.BigDecimal(w))): _*)
+    val offsets = hourly
+      .select(col(keyCol), col("hour_us"),
+        explode(sequence(lit(0), lit(horizonHours - 1))).as("__off"))
+      .select(col(keyCol), col("hour_us"), col("__off"),
+        (col("hour_us") - col("__off") * lit(3600000000L)).as("__src_hour"),
+        element_at(wLit, col("__off") + 1).as("__w"))
+    offsets
+      .join(hourly.select(col(keyCol), col("hour_us").as("__src_hour"),
+        col("n").as("__src_n")), Seq(keyCol, "__src_hour"))
+      .groupBy(col(keyCol), col("hour_us"))
+      .agg(sum((col("__src_n").cast("decimal(18,0)") * col("__w"))
+        .cast("decimal(28,10)")).as("__s"),
+        max(when(col("__off") === 0, col("__src_n"))).as("n"))
+      .select(col(keyCol), col("hour_us"), col("n"),
+        round(col("__s").cast("double"), 6).as("decayed_rate"))
+      .orderBy(keyCol, "hour_us")
+  }
+
+  /** The 10dp-rounded decay weight table (index = hour offset), shared
+    * with the SQL oracle generator so both engines sum identical
+    * decimals. */
+  def decayWeights(decay: Double, horizon: Int): Seq[String] = {
+    val d = new java.math.BigDecimal(decay.toString)
+    (0 until horizon).map(k =>
+      d.pow(k).setScale(10, java.math.RoundingMode.HALF_UP).toPlainString)
+  }
+
+  /** Top-k ordered event-type paths ("user journeys"): each user's
+    * first `depth` event types in (ts, id) order joined with `>`, then
+    * the most common paths with user counts. The exploratory analytics
+    * primitive behind onboarding analysis — where aq28's transition
+    * matrix is the Markov view (pairs, memoryless), this is the exact
+    * prefix view.
+    *
+    * Scale shape: one shuffle keyed on the user; each user's events
+    * collect inside their group and sort locally (bounded by one user's
+    * history — the same invariant sessionize relies on), then slice to
+    * `depth` BEFORE the path aggregate, so the path frame is |users|
+    * rows of ≤depth strings. The final top-k is a TakeOrdered, never a
+    * global sort. Ordering ties break on the event id, so the path is
+    * deterministic under µs-identical timestamps. */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      depth: Int = 3,
+      topK: Int = 20): DataFrame = {
+    val tsUs = unix_micros(col(tsCol))
+    val paths = events
+      .select(col(userCol), struct(tsUs.as("t"), col(idCol).as("i"),
+        col(typeCol).as("e")).as("__ev"))
+      .groupBy(col(userCol))
+      .agg(array_join(
+        expr(s"transform(slice(array_sort(collect_list(__ev)), 1, $depth)," +
+          " x -> x.e)"), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topK)
+  }
 }

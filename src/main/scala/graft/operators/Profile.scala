@@ -85,4 +85,73 @@ object Profile {
          |  $ms AS min_str, $xs AS max_str
          |FROM $table""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  /** One referential-integrity / coverage check: does every non-null
+    * `childKey` in `child` resolve against `parentKey` in `parent`?
+    * `broadcastParent` marks dimension-sized parents (the usual case);
+    * a fact-sized parent keeps the shuffled join. */
+  final case class FkCheck(
+      name: String,
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String,
+      broadcastParent: Boolean = true)
+
+  /** Referential-integrity audit — the dbt-style relationship tests a
+    * lake runs before training jobs consume a snapshot, as ONE
+    * distributed plan instead of N scripted queries. Each check yields
+    * one row: `(relation, child_rows, null_keys, orphan_rows,
+    * orphan_keys, ok)`. NULL child keys are counted but are NOT
+    * violations (SQL FK semantics); `ok` means zero orphans. Coverage
+    * checks (parent → child direction, "every customer has activity")
+    * are just checks whose `child` is the dimension.
+    *
+    * Scale shape per check: the parent collapses to DISTINCT keys
+    * first (dimension-sized after dedup), broadcasts when flagged, and
+    * the child streams through one left join + one 1-row aggregate —
+    * the child NEVER shuffles when the parent broadcasts. Checks are
+    * independent 1-row plans unioned at the end, so Spark schedules
+    * them concurrently; a 100 TB fact table is scanned once per check
+    * it appears in, with only the key column read (column pruning). */
+  def integrityAudit(checks: Seq[FkCheck]): DataFrame = {
+    require(checks.nonEmpty)
+    val rows = checks.map { c =>
+      val pk = c.parent.select(col(c.parentKey).as("__pk")).distinct()
+      val pkSide = if (c.broadcastParent) broadcast(pk) else pk
+      val k = col(c.childKey)
+      val orphan = k.isNotNull && col("__pk").isNull
+      c.child.select(k)
+        .join(pkSide, k === col("__pk"), "left")
+        .agg(
+          count(lit(1)).as("child_rows"),
+          count(when(k.isNull, lit(1))).as("null_keys"),
+          count(when(orphan, lit(1))).as("orphan_rows"),
+          countDistinct(when(orphan, k)).as("orphan_keys"))
+        .select(lit(c.name).as("relation"), col("child_rows"),
+          col("null_keys"), col("orphan_rows"), col("orphan_keys"),
+          (col("orphan_rows") === 0).as("ok"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("relation")
+  }
+
+  /** DuckDB replay: one UNION ALL arm per check, same left-join + agg
+    * shape. `rels` carries (name, childTable, childKey, parentTable,
+    * parentKey). */
+  def integrityOracleSql(
+      rels: Seq[(String, String, String, String, String)]): String =
+    rels.map { case (name, ct, ck, pt, pk) =>
+      s"""SELECT '$name' AS relation,
+         |  count(*)::bigint AS child_rows,
+         |  count(*) FILTER ($ck IS NULL)::bigint AS null_keys,
+         |  count(*) FILTER ($ck IS NOT NULL AND __p.__pk IS NULL)::bigint
+         |    AS orphan_rows,
+         |  count(DISTINCT $ck)
+         |    FILTER ($ck IS NOT NULL AND __p.__pk IS NULL)::bigint
+         |    AS orphan_keys,
+         |  count(*) FILTER ($ck IS NOT NULL AND __p.__pk IS NULL) = 0 AS ok
+         |FROM $ct LEFT JOIN
+         |  (SELECT DISTINCT $pk AS __pk FROM $pt) __p ON $ct.$ck = __p.__pk
+         |""".stripMargin
+    }.mkString("", "UNION ALL\n", "ORDER BY relation")
 }

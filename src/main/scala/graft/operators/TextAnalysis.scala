@@ -623,4 +623,55 @@ object TextAnalysis {
       (!(failWc || failMwl || failStop || failRep || failTop)).as("keep"))
       .orderBy(idCol)
   }
+
+  /** Flesch readability signals per document (Flesch 1948; Kincaid et
+    * al. 1975 grade-level re-fit — both public formulas; the reference
+    * `nexus/` has no text analytics — training-data-pipeline extension).
+    * Readability is a standard pretraining-corpus quality signal: filter
+    * or stratify by how syntactically dense a document is.
+    *
+    * Signals (all integer counts, so the ratios are exact doubles):
+    *   n_words     — whitespace tokens
+    *   n_sentences — runs of sentence punctuation `[.!?]+`, floor 1
+    *   n_syllables — per word, vowel-group runs `[aeiouy]+` (floor 1 —
+    *                 the standard heuristic: "rhythm" still counts 1),
+    *                 summed over the document
+    *   flesch      — 206.835 − 1.015·(words/sentence) − 84.6·(syll/word)
+    *   fk_grade    — 0.39·(words/sentence) + 11.8·(syll/word) − 15.59
+    * Both scores compare on values rounded to 4dp so Spark and the
+    * oracle agree bit-for-bit.
+    *
+    * Scale shape: ZERO shuffles — every signal is a per-row array /
+    * regexp expression inside one codegen'd projection; at 100 TB this
+    * is a single narrow map over the corpus. The syllable sum is an
+    * `aggregate` HOF whose lambda touches only its own element, so the
+    * CollapseProject×HOF re-evaluation trap (NOTES_BUILD) does not
+    * apply. */
+  def readability(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWords = size(words)
+    // Vowel-group count per word, floor 1, summed with integer math.
+    val syll = expr(
+      s"""aggregate(split($textCol, ' '), 0L,
+         |  (acc, w) -> acc + greatest(1,
+         |      size(regexp_extract_all(w, '[aeiouy]+', 0))))""".stripMargin)
+    val nSent = greatest(
+      lit(1),
+      size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")))
+    val wps = col("n_words").cast("double") / col("n_sentences")
+    val spw = col("n_syllables").cast("double") / col("n_words")
+    df.select(col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
+      syll.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+          .as("flesch"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+          .as("fk_grade"))
+      .orderBy(idCol)
+  }
 }

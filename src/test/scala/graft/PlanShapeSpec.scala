@@ -464,4 +464,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodes.exists(_.nodeName.contains("Window")),
       nodes.map(_.nodeName).mkString(", "))
   }
+
+  test("tq19 readability is one narrow projection — no aggregate, no hash shuffle") {
+    val p = plan("tq19_readability")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("aq42 integrity audit broadcasts dimension parents, never a cartesian") {
+    val p = plan("aq42_fk_integrity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q36 zorder: 1-row range frame broadcasts; quadrant agg is the only hash shuffle") {
+    val df = SparkEntry.queries("q36_zorder_layout")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      nodes.map(_.nodeName).mkString(", ")) // the 1-row min/max frame
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")))
+    val hashEx = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }.size
+    assert(hashEx == 1, nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("aq43 event paths: per-user collect then TakeOrdered top-k, no global sort") {
+    val p = plan("aq43_event_paths")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

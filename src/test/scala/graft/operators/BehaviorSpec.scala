@@ -158,4 +158,52 @@ class BehaviorSpec extends AnyFunSuite {
       .withColumn("ts", timestamp_micros(col("us")))
     assert(Behavior.rateAnomalies(e, "event_type", "ts").count() == 0)
   }
+
+  test("decayWeights is the BigDecimal-exact 10dp power table") {
+    assert(Behavior.decayWeights(0.75, 4) ==
+      Seq("1.0000000000", "0.7500000000", "0.5625000000", "0.4218750000"))
+    assert(Behavior.decayWeights(0.5, 3) ==
+      Seq("1.0000000000", "0.5000000000", "0.2500000000"))
+  }
+
+  test("decayedHourlyRate: hand-computed decayed sums, gaps skip terms") {
+    // type a: 2 events in hour 0, 1 in hour 1, 1 in hour 3 (hour 2 empty).
+    // decay 0.5, horizon 3 (weights 1, 0.5, 0.25):
+    //   h0: 2*1                  = 2.0
+    //   h1: 1*1 + 2*0.5          = 2.0
+    //   h3: 1*1 + 1*0.25 (h1 at offset 2; empty h2 contributes nothing)
+    //                            = 1.25
+    val hourUs = 3600000000L
+    val rows = Seq(0L * hourUs, 0L * hourUs + 7, 1L * hourUs + 3,
+      3L * hourUs + 9).map(us => (us, "a"))
+    val e = rows.toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Behavior
+      .decayedHourlyRate(e, "event_type", "ts", decay = 0.5,
+        horizonHours = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("hour_us") / hourUs, r.getAs[Long]("n"),
+        r.getAs[Double]("decayed_rate")))
+    assert(out.toSeq ==
+      Seq((0L, 2L, 2.0), (1L, 1L, 2.0), (3L, 1L, 1.25)))
+  }
+
+  test("topPaths: prefix depth, (ts,id) tie-break, count-desc/path order") {
+    // u1 and u2 both travel a>b>c (u2 has a 4th event that must not
+    // count); u3 emits b only; u4 has two events at the SAME µs — the
+    // lower event_id must come first in the path.
+    val rows = Seq(
+      (1L, 10L, "a", 100L), (1L, 20L, "b", 101L), (1L, 30L, "c", 102L),
+      (2L, 10L, "a", 200L), (2L, 20L, "b", 201L), (2L, 30L, "c", 202L),
+      (2L, 40L, "d", 203L),
+      (3L, 10L, "b", 300L),
+      (4L, 10L, "y", 402L), (4L, 10L, "x", 401L))
+    val e = rows.toDF("user_id", "us", "event_type", "event_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Behavior
+      .topPaths(e, "user_id", "ts", "event_type", "event_id",
+        depth = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a>b>c", 2L), ("b", 1L), ("x>y", 1L)))
+  }
 }

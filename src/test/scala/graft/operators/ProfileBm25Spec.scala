@@ -55,4 +55,22 @@ class ProfileBm25Spec extends AnyFunSuite {
     // d3 matches no term and must be absent
     assert(!got.contains(3L))
   }
+
+  test("integrityAudit: nulls are not violations, orphans counted distinct") {
+    import org.apache.spark.sql.functions.col
+    // child keys: 1, 2, 2, NULL, 9, 9 against parent {1, 2, 3}:
+    // 6 rows, 1 null (not a violation), 2 orphan rows, 1 distinct orphan
+    val child = Seq(Option(1L), Option(2L), Option(2L), None,
+      Option(9L), Option(9L)).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val clean = Seq(1L, 2L).toDF("k2")
+    val out = Profile.integrityAudit(Seq(
+      Profile.FkCheck("dirty", child, "k", parent, "pk"),
+      Profile.FkCheck("clean", clean, "k2", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      ("clean", 2L, 0L, 0L, 0L, true),
+      ("dirty", 6L, 1L, 2L, 1L, false)))
+  }
 }

@@ -311,4 +311,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.getAs[Double]("distinct_ratio") == 0.5)
     assert(out.getAs[Int]("n_words") == 6)
   }
+
+  test("readability: hand-computed Flesch / FK-grade") {
+    // "the cat sat. it ran!": 5 words, 2 sentence runs (. and !),
+    // 1 vowel group per word -> 5 syllables. wps=2.5, spw=1.0:
+    //   flesch = 206.835 - 1.015*2.5 - 84.6*1.0 = 119.6975
+    //   fk     = 0.39*2.5 + 11.8*1.0 - 15.59   = -2.815
+    val out = TextAnalysis.readability(
+      Seq((1L, "the cat sat. it ran!")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(out.getAs[Int]("n_words") == 5)
+    assert(out.getAs[Int]("n_sentences") == 2)
+    assert(out.getAs[Long]("n_syllables") == 5L)
+    assert(out.getAs[Double]("flesch") == 119.6975)
+    assert(out.getAs[Double]("fk_grade") == -2.815)
+  }
+
+  test("readability: vowelless words floor at 1 syllable, no-punct text is 1 sentence") {
+    // "psst hmm" — zero vowel groups in both words, floor 1 each;
+    // "burrito" — vowel groups u,i,o -> 3.
+    val out = TextAnalysis.readability(
+      Seq((1L, "psst hmm"), (2L, "burrito")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(out(0).getAs[Int]("n_sentences") == 1)
+    assert(out(0).getAs[Long]("n_syllables") == 2L)
+    assert(out(1).getAs[Long]("n_syllables") == 3L)
+  }
 }
