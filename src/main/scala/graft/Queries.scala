@@ -4535,12 +4535,14 @@ object Queries {
       |  GROUP BY 1 HAVING count(*) <= 1000
       |), w AS (
       |  SELECT doc_id, tok,
-      |         round(tf * ln(n / dfc), 6)::decimal(18,6) AS w
+      |         (round(tf * ln(n / dfc), 6)::decimal(18,6) * 1000000)::bigint
+      |           AS w
       |  FROM tf JOIN dfx USING (tok), nd
       |), nm AS (
-      |  SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1
+      |  SELECT doc_id, sum(w * w)::bigint AS n2 FROM w GROUP BY 1
       |), pr AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         sum(a.w * b.w)::bigint AS dot
       |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)

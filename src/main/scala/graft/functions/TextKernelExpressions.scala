@@ -123,6 +123,52 @@ object TextKernelExpressions {
       copy(child = c)
   }
 
+  /** array<string> of the word n-grams of EXACTLY length n, contiguous,
+    * WITH multiplicity — the single-length sibling of [[WordNGrams]]
+    * for shingle-stream operators (TF-IDF cosine pairs). Fewer than n
+    * tokens → empty array (explode then drops the doc, matching the
+    * `size >= n` guard the interpreted chain needed). One compiled
+    * tokenize pass per document; replaces a transform+slice+array_join
+    * HOF chain, which both allocates a token array per doc AND sits one
+    * CollapseProject away from the per-element re-tokenization trap
+    * (NOTES_BUILD). */
+  case class WordNGramsOnly(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val toks = new java.util.ArrayList[String]()
+      var i = 0
+      val len = text.length
+      while (i < len) {
+        while (i < len && isWs(text.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(text.charAt(i))) i += 1
+        if (i > start) toks.add(text.substring(start, i).toLowerCase)
+      }
+      val t = toks.size
+      val m = math.max(0, t - n + 1)
+      val out = new Array[Any](m)
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < m) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.get(j + k))
+          k += 1
+        }
+        out(j) = UTF8String.fromString(sb.toString)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WordNGramsOnly =
+      copy(child = c)
+  }
+
   /** MinHash signature (array<long>, length k) of an array<string>:
     * sig[i] = min over elements of xxhash64(element, seed = i). */
   case class MinHashSig(child: Expression, k: Int)
@@ -345,6 +391,10 @@ object TextKernelExpressions {
 
   def word_ngrams(text: Column, maxN: Int): Column =
     GraftSqlBridge.toColumn(WordNGrams(GraftSqlBridge.toExpression(text), maxN))
+
+  def word_ngrams_only(text: Column, n: Int): Column =
+    GraftSqlBridge.toColumn(
+      WordNGramsOnly(GraftSqlBridge.toExpression(text), n))
 
   def minhash_sig(shingles: Column, k: Int): Column =
     GraftSqlBridge.toColumn(MinHashSig(GraftSqlBridge.toExpression(shingles), k))
