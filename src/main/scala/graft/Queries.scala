@@ -5184,6 +5184,81 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // aq44_pagerank — PageRank over the customer↔supplier bipartite graph
+  // (operators/Graph.pageRank): distinct order relationships doubled
+  // into an undirected edge list, 3 rounds of 12dp-pinned power
+  // iteration (contributions decimal-summed so partition order can't
+  // change them), top-25 entities by rank. The oracle unrolls the whole
+  // trajectory — one CTE pair per round — so final ranks compare
+  // bit-exactly, not approximately.
+  register(
+    "aq44_pagerank",
+    graft.operators.Graph.pageRankOracleSql(
+      iterations = 3, damping = 0.85, topK = 25)
+  ) { (s, dir) =>
+    val ords = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = graft.operators.Lineage.cutLocal(
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct())
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    graft.operators.Graph.pageRank(edges, iterations = 3, damping = 0.85)
+      .select(
+        when(col("node") % 2 === 0, "customer")
+          .otherwise("supplier").as("node_type"),
+        expr("node div 2").as("key"),
+        round(col("rank"), 10).as("rank"))
+      .orderBy(col("rank").desc, col("node_type"), col("key"))
+      .limit(25)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq45_attribution — last-touch conversion attribution
+  // (Behavior.lastTouchAttribution): each purchase credits the user's
+  // most recent preceding click/view/signup within 7 days; one
+  // carry-last-touch window keyed on the user, struct-carried so ts and
+  // type can't disagree, decimal revenue + integer-µs lag means.
+  register(
+    "aq45_attribution",
+    """WITH seq AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+      |         last_value(CASE WHEN event_type IN ('click','view','signup')
+      |                         THEN epoch_us(ts) END IGNORE NULLS)
+      |           OVER w AS t_ts,
+      |         last_value(CASE WHEN event_type IN ('click','view','signup')
+      |                         THEN event_type END IGNORE NULLS)
+      |           OVER w AS t_tp
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), conv AS (
+      |  SELECT CASE WHEN t_ts IS NOT NULL AND t_ts >= ts_us - 604800000000
+      |              THEN t_tp ELSE 'unattributed' END AS channel,
+      |         value,
+      |         CASE WHEN t_ts IS NOT NULL AND t_ts >= ts_us - 604800000000
+      |              THEN ts_us - t_ts END AS lag_us
+      |  FROM seq WHERE event_type = 'purchase'
+      |)
+      |SELECT channel, count(*)::bigint AS n_conversions,
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS revenue,
+      |       round(sum(lag_us)::double / count(lag_us) / 1e6, 2) AS avg_lag_sec
+      |FROM conv GROUP BY 1
+      |ORDER BY channel""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_id"), col("event_type"), col("value"))
+    graft.operators.Behavior.lastTouchAttribution(
+      ev, "user_id", "ts_us", "event_id", "event_type", "value",
+      conversionType = "purchase",
+      touchTypes = Seq("click", "view", "signup"),
+      lookbackUs = 604800000000L)
+  }
+
+  // ---------------------------------------------------------------------
   // q36_zorder_layout — Z-order (Morton) multi-dimensional clustering
   // (Layout.zorderLayout): lineitem keyed on (l_partkey, l_suppkey),
   // 8-bit normalized keys interleaved, rows tiled into 64 Z-quadrants;

@@ -348,4 +348,62 @@ object Behavior {
       .orderBy(col("n_users").desc, col("path"))
       .limit(topK)
   }
+
+  /** Last-touch conversion attribution: each conversion event credits
+    * the user's most recent PRECEDING touch event (strictly earlier in
+    * `(ts, id)` order — simultaneous-µs ties break on the id, same
+    * determinism contract as [[transitionMatrix]]) within `lookbackUs`;
+    * conversions with no touch in the window land in the
+    * `'unattributed'` bucket. Returns one row per channel:
+    * `(channel, n_conversions, revenue, avg_lag_sec)` — revenue is a
+    * DECIMAL(18,4) sum (order-independent) rendered as a rounded
+    * double, the lag mean an integer-µs sum divided once in double, so
+    * any engine replaying the same rows agrees exactly.
+    *
+    * `tsCol` must be a NUMERIC µs-epoch column (`unix_micros(ts)`).
+    *
+    * Scale shape: ONE shuffle, keyed on the user, for the
+    * carry-last-touch window (partition = one user's history; the
+    * struct carries ts+type in a single `last(ignoreNulls)` pass so the
+    * two fields can never disagree about which row they came from);
+    * the channel aggregate is |channels|-ary with map-side partials.
+    * Nothing materializes per-event output — the frame collapses to
+    * conversions at the filter, then to channels at the aggregate. */
+  def lastTouchAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      valueCol: String,
+      conversionType: String,
+      touchTypes: Seq[String],
+      lookbackUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isInCollection(touchTypes)
+    val attributed = col("__t").isNotNull &&
+      col("__t.ts") >= col(tsCol) - lit(lookbackUs)
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol),
+        col(valueCol))
+      .withColumn("__t",
+        last(when(isTouch,
+          struct(col(tsCol).as("ts"), col(typeCol).as("tp"))),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .withColumn("channel",
+        when(attributed, col("__t.tp")).otherwise(lit("unattributed")))
+      .withColumn("__lag_us",
+        when(attributed, col(tsCol) - col("__t.ts")))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        round(sum(col(valueCol).cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"),
+        round(sum(col("__lag_us")).cast("double") /
+          count(col("__lag_us")) / 1e6, 2).as("avg_lag_sec"))
+      .orderBy("channel")
+  }
 }

@@ -206,4 +206,38 @@ class BehaviorSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("a>b>c", 2L), ("b", 1L), ("x>y", 1L)))
   }
+
+  test("lastTouchAttribution: window, last-wins, ties, unattributed") {
+    // u1 click 50s before purchase (in 60s window) -> click, lag 50s
+    // u2 view 100s before purchase (outside window) -> unattributed
+    // u3 purchase with no touch at all              -> unattributed
+    // u4 click then view then error then purchase   -> view (last touch
+    //    wins, non-touch 'error' doesn't steal it), lag 10s
+    // u5 click at the SAME µs as the purchase, lower id -> attributed
+    //    (strictly-preceding is (ts, id) row order), lag 0
+    val rows = Seq(
+      (1L, 100000000L, "click", 0.0, 10L),
+      (1L, 150000000L, "purchase", 10.0, 11L),
+      (2L, 0L, "view", 0.0, 20L),
+      (2L, 100000000L, "purchase", 5.0, 21L),
+      (3L, 50L, "purchase", 1.0, 30L),
+      (4L, 10000000L, "click", 0.0, 40L),
+      (4L, 20000000L, "view", 0.0, 41L),
+      (4L, 25000000L, "error", 0.0, 42L),
+      (4L, 30000000L, "purchase", 2.0, 43L),
+      (5L, 100000000L, "click", 0.0, 50L),
+      (5L, 100000000L, "purchase", 3.0, 51L))
+    val e = rows.toDF("user_id", "ts_us", "event_type", "value", "event_id")
+    val out = Behavior.lastTouchAttribution(
+      e, "user_id", "ts_us", "event_id", "event_type", "value",
+      conversionType = "purchase",
+      touchTypes = Seq("click", "view", "signup"),
+      lookbackUs = 60000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq(
+      ("click", 2L, 13.0, Some(25.0)),
+      ("unattributed", 2L, 6.0, None),
+      ("view", 1L, 2.0, Some(10.0))))
+  }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** PageRank: fixed-point sanity, mass conservation on undirected
+  * graphs, dangling-node semantics, and a seeded differential against
+  * a driver-side replay of the exact 12dp-pinned arithmetic — the
+  * oracle-grade check that the distributed trajectory matches the
+  * scalar one bit-for-bit. The sf-scale DuckDB replay runs in the
+  * aq44 gate. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)], iters: Int = 3) =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Double)].collect().toMap
+
+  /** Driver-side replay of pageRank's exact arithmetic (same
+    * Java-BigDecimal HALF_UP rounding Spark's `round` uses, same
+    * decimal contribution sums). */
+  private def ref(
+      edges: Seq[(Long, Long)], iters: Int,
+      damping: Double = 0.85): Map[Long, Double] = {
+    def r12(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toDouble
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var rank = nodes.map(_ -> r12(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map[Long, BigDecimal]()
+        .withDefaultValue(BigDecimal(0))
+      for ((s, d) <- edges)
+        contrib(d) += BigDecimal(java.math.BigDecimal.valueOf(
+          r12(rank(s) / outdeg(s))))
+      rank = nodes.map(nd => nd ->
+        r12((1.0 - damping) / n + damping * contrib(nd).toDouble)).toMap
+    }
+    rank
+  }
+
+  test("two-node cycle is a fixed point at 0.5 / 0.5") {
+    val r = run(Seq((1L, 2L), (2L, 1L)), iters = 4)
+    assert(r == Map(1L -> 0.5, 2L -> 0.5))
+  }
+
+  test("undirected graph conserves rank mass (sum == 1 up to rounding)") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = und ++ und.map(_.swap)
+    val r = run(edges)
+    assert(math.abs(r.values.sum - 1.0) < r.size * 1e-12)
+    // the degree-3 hub outranks the degree-1 leaf
+    assert(r(3L) > r(4L))
+  }
+
+  test("dangling node keeps teleport share, redistributes nothing") {
+    // 1 → 2 only: node 2 is dangling. Hand trajectory (N=2):
+    //   r0 = 0.5 / 0.5
+    //   r1: rank(1) = round(0.15/2, 12) = 0.075 (no inbound),
+    //       rank(2) = round(0.075 + 0.85·0.5, 12) = 0.5
+    //   r2: rank(2) = round(0.075 + 0.85·0.075, 12) = 0.13875
+    val r = run(Seq((1L, 2L)), iters = 2)
+    assert(r(1L) == 0.075)
+    assert(r(2L) == 0.13875)
+    // dangling mass leaks by design — the simplified formulation
+    assert(r.values.sum < 1.0)
+  }
+
+  test("seeded differential vs driver-side exact replay") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 400).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+    }.filter(e => e._1 != e._2)
+    val got = run(edges, iters = 3)
+    val want = ref(edges, iters = 3)
+    assert(got.keySet == want.keySet)
+    val diffs = got.keys.filter(k => got(k) != want(k))
+    assert(diffs.isEmpty,
+      s"ranks differ at ${diffs.take(5).map(k => (k, got(k), want(k)))}")
+  }
+}
