@@ -5080,6 +5080,82 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // tq20_pmi — PMI collocations (TextAnalysis.pmiCollocations): the
+  // corpus's strongest adjacent-word associations. Counts are exact
+  // longs; the PMI argument is one integer-valued double product chain
+  // (exact below 2^53), so both engines ln() the same double and 6dp
+  // rounding agrees. Top-40 with c_xy >= 5, ties on the words.
+  register(
+    "tq20_pmi",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), uni AS (
+      |  SELECT word, count(*)::bigint AS c
+      |  FROM (SELECT unnest(tk) AS word FROM toks) GROUP BY 1
+      |), bi AS (
+      |  SELECT w1, w2, count(*)::bigint AS c_xy FROM (
+      |    SELECT unnest(list_transform(range(len(tk) - 1),
+      |             i -> struct_pack(w1 := tk[i+1], w2 := tk[i+2])),
+      |           recursive := true)
+      |    FROM toks WHERE len(tk) >= 2
+      |  ) GROUP BY 1, 2
+      |), nu AS (SELECT sum(c)::double AS nu FROM uni),
+      |nb AS (SELECT sum(c_xy)::double AS nb FROM bi)
+      |SELECT b.w1, b.w2, b.c_xy,
+      |       round(ln((b.c_xy::double * (SELECT nu FROM nu)
+      |                 * (SELECT nu FROM nu))
+      |                / ((SELECT nb FROM nb) * u1.c::double
+      |                   * u2.c::double)), 6) AS pmi
+      |FROM bi b
+      |JOIN uni u1 ON b.w1 = u1.word
+      |JOIN uni u2 ON b.w2 = u2.word
+      |WHERE b.c_xy >= 5
+      |ORDER BY pmi DESC, w1, w2
+      |LIMIT 40""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.pmiCollocations(
+      t(s, dir, "documents"), "doc_id", "text", minCount = 5L, topK = 40)
+  }
+
+  // ---------------------------------------------------------------------
+  // dq19_span_dedup — C4-style span-level dedup (Dedup.spanDedup):
+  // 5-word tiles, every span seen earlier anywhere in the corpus drops,
+  // survivors reassemble in order. First-occurrence is the packed
+  // (doc_id, span_idx) BIGINT min, so the keep decision is a primitive
+  // long min in both engines. Gate hashes the reassembled text.
+  register(
+    "dq19_span_dedup",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), spans AS (
+      |  SELECT doc_id, i AS span_idx,
+      |         array_to_string(tk[i*5+1 : i*5+5], ' ') AS span,
+      |         doc_id * 1048576 + i AS ord
+      |  FROM (SELECT doc_id, tk, unnest(range((len(tk)+4)//5)) AS i
+      |        FROM toks)
+      |), kept AS (
+      |  SELECT doc_id, span_idx, span FROM (
+      |    SELECT *, min(ord) OVER (PARTITION BY span) AS f FROM spans)
+      |  WHERE f = ord
+      |), agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(span, ' ' ORDER BY span_idx) AS text_dedup
+      |  FROM kept GROUP BY 1
+      |)
+      |SELECT t.doc_id, ((len(t.tk)+4)//5)::bigint AS n_spans,
+      |       coalesce(a.n_kept, 0)::bigint AS n_kept,
+      |       md5(coalesce(a.text_dedup, '')) AS text_md5
+      |FROM toks t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.spanDedup(
+      t(s, dir, "documents"), "doc_id", "text", spanWords = 5)
+      .select(col("doc_id"), col("n_spans"), col("n_kept"),
+        md5(col("text_dedup")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // aq41_decayed_rate — exponentially-decayed trailing hourly rate per
   // event type (Behavior.decayedHourlyRate): finite-horizon EWMA whose
   // decay weights are BigDecimal powers rounded to 10dp and EMBEDDED as

@@ -674,4 +674,60 @@ object TextAnalysis {
           .as("fk_grade"))
       .orderBy(idCol)
   }
+
+  /** PMI collocations: the corpus's strongest two-word associations —
+    * `pmi(x,y) = ln(p(x,y) / (p(x)·p(y)))` over adjacent-word bigrams,
+    * the classic collocation-extraction signal (Church & Hanks 1990)
+    * and a standard corpus-quality probe (template/boilerplate corpora
+    * show degenerate PMI tails). Returns the top-k pairs with
+    * `c_xy >= minCount` as `(w1, w2, c_xy, pmi)`, PMI rounded to 6dp,
+    * ties broken on the words.
+    *
+    * Numeric contract: counts are exact longs; the PMI argument is one
+    * integer-valued double product chain (exact below 2^53, the case
+    * for any corpus whose `c_xy·N²` fits — document-scale counts), so
+    * both engines take `ln` of the SAME double and 6dp rounding
+    * agrees.
+    *
+    * Scale shape: tokens explode straight out of the scan twice (once
+    * for unigrams, once for the bigram window) — deliberately NOT
+    * lineage-cut: a token-level materialization is corpus-sized, while
+    * the re-scan is a cheap pushdown projection. The bigram window
+    * partitions on the doc id (bounded by one doc), both count
+    * aggregates have map-side partials, totals ride as broadcast 1-row
+    * aggregates, and the vocabulary joins are plain equi-joins AQE
+    * broadcasts when the vocab is dimension-sized. Output is capped by
+    * `minCount` + TakeOrdered — never a global sort of the pair space.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5L,
+      topK: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def toks = docs.select(col(idCol).as("__doc"),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "w")))
+    val byDoc = Window.partitionBy("__doc").orderBy("__pos")
+    val uni = Lineage.cutLocal(
+      toks.groupBy("w").agg(count(lit(1)).as("c")))
+    val bi = Lineage.cutLocal(
+      toks.withColumn("w2", lead("w", 1).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("w").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_xy")))
+    val nu = broadcast(uni.agg(sum("c").cast("double").as("__nu")))
+    val nb = broadcast(bi.agg(sum("c_xy").cast("double").as("__nb")))
+    bi.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("__cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("__cy")), "w2")
+      .crossJoin(nu).crossJoin(nb)
+      .withColumn("pmi", round(log(
+        (col("c_xy").cast("double") * col("__nu") * col("__nu")) /
+          (col("__nb") * col("__cx").cast("double") *
+            col("__cy").cast("double"))), 6))
+      .select("w1", "w2", "c_xy", "pmi")
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

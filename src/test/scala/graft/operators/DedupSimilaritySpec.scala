@@ -876,4 +876,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.select("vec_id").distinct().count() == k)
     assert(kept.join(emb, "vec_id").count() == k)
   }
+
+  test("spanDedup: cross-doc and within-doc spans drop, order kept") {
+    val d = Seq(
+      (1L, "a b c d e"), // spans "a b" "c d" "e" — all first occurrences
+      (2L, "a b x y"),   // "a b" dups doc1 → drop; "x y" survives
+      (3L, "c d"),       // fully deduplicated
+      (4L, "p q p q"))   // within-doc repeat: second "p q" drops
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(d, "doc_id", "text", spanWords = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, "a b c d e"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 1L, 0L, ""),
+      (4L, 2L, 1L, "p q")))
+  }
 }

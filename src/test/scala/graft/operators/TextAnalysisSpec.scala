@@ -337,4 +337,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n_syllables") == 2L)
     assert(out(1).getAs[Long]("n_syllables") == 3L)
   }
+
+  test("pmiCollocations: hand-computed PMI, count floor, tie order") {
+    // unigrams: a=2 b=2 c=1 d=1 (N=6); bigrams: (a,b)×2 (b,a)×1 (c,d)×1
+    // (N=4). pmi(c,d)=ln(36/4)=2.197225, pmi(a,b)=ln(72/16)=1.504077,
+    // pmi(b,a)=ln(36/16)=0.81093 — rarer pairs rank higher, the PMI
+    // signature.
+    val docs = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .pmiCollocations(docs, "doc_id", "text", minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("c", "d", 1L, 2.197225),
+      ("a", "b", 2L, 1.504077),
+      ("b", "a", 1L, 0.81093)))
+    // minCount floor drops everything below it
+    val floored = TextAnalysis
+      .pmiCollocations(docs, "doc_id", "text", minCount = 2L, topK = 10)
+      .collect()
+    assert(floored.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b")))
+    // bigrams never cross document boundaries: (b,c) does not exist
+    assert(!out.exists(p => p._1 == "b" && p._2 == "c"))
+  }
 }
