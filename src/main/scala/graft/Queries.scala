@@ -5351,4 +5351,35 @@ object Queries {
       t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
       bits = 8, quadBits = 3)
   }
+
+  // ---------------------------------------------------------------------
+  // q37_compaction — OPTIMIZE-style bin-pack compaction end to end
+  // (ResultStore.compact): seven per-linenumber appends fragment the
+  // table into ~28 part files, one compact() re-groups them into
+  // target-size bins through the same atomic versioned commit, and the
+  // gate proves content invariance — the compacted table aggregates
+  // exactly like the source. File-count / hard-link / crash evidence
+  // is spec-pinned (SourcesSpec).
+  register(
+    "q37_compaction",
+    """SELECT l_linenumber, count(*)::bigint AS n,
+      |       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::double AS qty
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val store = new graft.sources.ResultStore(s, scratchDir("q37"))
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    (1 to 7).foreach { i =>
+      store.insert("li", li.filter(col("l_linenumber") === i).repartition(4))
+    }
+    store.compact("li", targetBytes = 256L << 20)
+    store.read("li")
+      .groupBy("l_linenumber")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("qty"))
+      .orderBy("l_linenumber")
+  }
 }

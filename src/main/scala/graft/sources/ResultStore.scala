@@ -437,6 +437,60 @@ class ResultStore(spark: SparkSession, root: String) {
   def upsertPruned(schema: String, df: DataFrame, keyCol: String): Unit =
     mergePruned(schema, df, keyCol, deleteWhen = None)
 
+  /** OPTIMIZE-style bin-pack compaction (the small-file problem is the
+    * canonical lake-maintenance operation — every append-heavy table
+    * accretes part files until scans pay per-file open/footer costs):
+    * data files under `targetBytes` are re-written into
+    * `ceil(smallBytes / targetBytes)` round-robin bins, files already
+    * at/over the target hard-link in unchanged (O(files) metadata, no
+    * data copy), and the result commits as a new generation through
+    * the same atomic pointer flip every other commit uses. Rows are
+    * neither added, dropped, nor modified — only re-grouped across
+    * files — and a crash at any point leaves the previous generation
+    * committed and fully readable.
+    *
+    * The key-range sidecar, if present, deliberately does NOT carry
+    * over: compaction re-groups rows across files, invalidating
+    * per-file ranges; the next mergePruned rebuilds it (the same
+    * policy appends follow).
+    *
+    * Scale shape: one distributed job over ONLY the small files'
+    * bytes; driver state is the file listing (bounded by file count,
+    * like every manifest operation). Returns
+    * `(filesBefore, filesAfter)`; a table with ≤1 small file is
+    * already compact and commits nothing. */
+  def compact(schema: String, targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val prev = currentVersion(schema).getOrElse(throw new NoSuchElementException(
+      s"No committed data for schema '$schema'"))
+    val prevDir = versionDir(schema, prev)
+    val files = dataFiles(prevDir)
+    val (small, large) = files.partition(_.length() < targetBytes)
+    if (small.length <= 1) return (files.length, files.length)
+
+    val version = nextVersion(schema)
+    val newDir = versionDir(schema, version)
+    val smallBytes = small.map(_.length()).sum
+    val nBins =
+      math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
+    // pin the schema explicitly: reading a file subset must not
+    // re-infer a narrower shape than the committed table's
+    spark.read.schema(read(schema).schema)
+      .parquet(small.map(_.getPath).toIndexedSeq: _*)
+      .repartition(nBins)
+      .write.mode(SaveMode.Overwrite).parquet(newDir.getPath)
+    large.foreach { f =>
+      val target0 = new java.io.File(newDir, f.getName)
+      val target =
+        if (target0.exists()) new java.io.File(newDir, "prev-" + f.getName)
+        else target0
+      java.nio.file.Files.createLink(target.toPath, f.toPath)
+    }
+    beforeSwapHook()
+    flipPointer(schema, version, keepPrevious = Some(prev))
+    (files.length, dataFiles(newDir).length)
+  }
+
   /** Streaming upsert sink: foreachBatch → upsert per micro-batch
     * (the reference's store-backed pipeline persistence,
     * nexus/mixins/backend.py:151-174, under streaming). */

@@ -616,4 +616,79 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 4)
     assert(df.count() == 100)
   }
+
+  private def partFiles(dir: java.io.File): Array[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty).filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  test("compact bin-packs small files, content is invariant") {
+    val root = tmpDir()
+    val store = new ResultStore(spark, root)
+    (0 until 3).foreach { i =>
+      store.insert("t",
+        (1L to 40L).map(k => KV(i * 100 + k, s"v$i-$k")).toDF()
+          .repartition(4))
+    }
+    val before = store.read("t").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    val (nBefore, nAfter) = store.compact("t", targetBytes = 256L << 20)
+    assert(nBefore == 12 && nAfter == 1,
+      s"expected 12 -> 1 files, got $nBefore -> $nAfter")
+    val after = store.read("t").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    assert(after == before)
+  }
+
+  test("compact hard-links files already at target size") {
+    val root = tmpDir()
+    val store = new ResultStore(spark, root)
+    // one genuinely larger file (distinct values defeat dictionary
+    // compression), then four tiny appends
+    store.insert("t", (1L to 5000L).map(k =>
+      KV(k, "%07d".format(k) * 8)).toDF().coalesce(1))
+    (0 until 4).foreach { i =>
+      store.insert("t", Seq(KV(100000L + i, "tiny")).toDF().coalesce(1))
+    }
+    val cur = store.versions("t").head
+    val bigBefore = partFiles(new java.io.File(s"$root/t/$cur"))
+      .filter(_.length() >= 20000)
+    assert(bigBefore.length == 1, "fixture needs exactly one big file")
+    val (nBefore, nAfter) = store.compact("t", targetBytes = 20000L)
+    assert(nBefore == 5 && nAfter == 2)
+    val newCur = store.versions("t").head
+    val twin = partFiles(new java.io.File(s"$root/t/$newCur"))
+      .find(f => java.nio.file.Files.isSameFile(
+        f.toPath, bigBefore.head.toPath))
+    assert(twin.isDefined, "large file must carry forward as a hard link")
+    assert(store.count("t") == 5004)
+  }
+
+  test("compact is a no-op on an already-compact table") {
+    val store = new ResultStore(spark, tmpDir())
+    store.insert("t", Seq(KV(1, "a"), KV(2, "b")).toDF().coalesce(1))
+    val vs = store.versions("t")
+    val (b, a) = store.compact("t")
+    assert(b == 1 && a == 1)
+    assert(store.versions("t") == vs, "no new generation for a no-op")
+  }
+
+  test("compact crash before the pointer flip leaves the table intact") {
+    val root = tmpDir()
+    val healthy = new ResultStore(spark, root)
+    (0 until 3).foreach(i =>
+      healthy.insert("t", Seq(KV(i.toLong, s"v$i")).toDF().coalesce(1)))
+    val crashy = new ResultStore(spark, root) {
+      override protected def beforeSwapHook(): Unit =
+        throw new RuntimeException("crash before swap")
+    }
+    intercept[RuntimeException](crashy.compact("t", targetBytes = 1L << 20))
+    // previously committed generation still current and fully readable
+    val clean = new ResultStore(spark, root)
+    assert(clean.read("t").collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      Seq(0L, 1L, 2L))
+    // retry on a healthy store succeeds and compacts
+    val (b, a) = clean.compact("t", targetBytes = 1L << 20)
+    assert(b == 3 && a == 1)
+    assert(clean.count("t") == 3)
+  }
 }
