@@ -2599,6 +2599,46 @@ object Queries {
       .orderBy("media_id")
   }
 
+  // mm10_audio_frames — frame-level audio features (energy /
+  // zero-crossings / peak) over the REAL RIFF encode → javax.sound
+  // decode chain (Multimodal.audioFrameFeatures): 160-sample (10 ms)
+  // windows, integer-exact stats, zero shuffles. The oracle replays
+  // the closed-form waveform and re-derives every frame stat in SQL —
+  // the VAD front-end analog of mm8's whole-stream stats.
+  register(
+    "mm10_audio_frames",
+    """WITH aud AS (
+      |  SELECT doc_id AS media_id, (800 + (doc_id % 5) * 160)::bigint AS n
+      |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 150
+      |), smp AS (
+      |  SELECT media_id, t.range AS t,
+      |         ((media_id * 7 + t.range * 11) % 4001) - 2000 AS v
+      |  FROM aud, range(1440) t WHERE t.range < n
+      |), lagged AS (
+      |  SELECT media_id, t, (t // 160)::int AS frame_no, v,
+      |         lag(v) OVER (PARTITION BY media_id ORDER BY t) AS pv
+      |  FROM smp
+      |)
+      |SELECT media_id, frame_no,
+      |       count(*)::int AS n,
+      |       sum(v * v)::bigint AS energy,
+      |       sum(CASE WHEN t % 160 > 0 AND ((v >= 0) != (pv >= 0))
+      |                THEN 1 ELSE 0 END)::int AS zero_crossings,
+      |       max(abs(v))::int AS peak
+      |FROM lagged
+      |GROUP BY 1, 2
+      |ORDER BY media_id, frame_no""".stripMargin
+  ) { (s, dir) =>
+    val ids = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+      .select(col("doc_id").as("media_id"))
+    val media = graft.multimodal.Multimodal.patternWavs(
+      ids, "media_id", nSamples = lit(800) + (col("media_id") % 5) * 160)
+    graft.multimodal.Multimodal.audioFrameFeatures(media, frameLen = 160)
+      .toDF()
+      .orderBy("media_id", "frame_no")
+  }
+
   // q33_media_curation — the multimodal pipeline composed through the
   // Pointy DSL: real PNG encode → decode-based quality gate (contrast)
   // → perceptual-hash dedup → lowest-id survivors. The oracle replays

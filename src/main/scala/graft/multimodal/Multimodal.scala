@@ -538,6 +538,57 @@ object Multimodal {
       }
   }
 
+  final case class AudioFrameRow(media_id: Long, frame_no: Int, n: Int,
+      energy: Long, zero_crossings: Int, peak: Int)
+
+  /** Frame-level audio features over the REAL codec: each decoded
+    * stream tiles into fixed `frameLen`-sample windows (10 ms at 16 kHz
+    * with the default 160) reducing to integer-EXACT per-frame energy
+    * (Σv²), zero-crossing count (sign flips between consecutive
+    * in-frame samples — the classic voiced/unvoiced discriminator),
+    * and peak amplitude — the standard VAD / silence-trim front end of
+    * an audio curation pipeline. A trailing partial frame keeps its
+    * true `n`. Undecodable payloads drop (one row lost, never the
+    * job). All stats are integers, so the whole frame table is
+    * hash-comparable against a closed-form waveform replay.
+    *
+    * Scale shape: pure batched partition kernel — zero shuffles; rows
+    * out = rows in × frames-per-clip (bounded by clip length / 160). */
+  def audioFrameFeatures(
+      media: DataFrame, frameLen: Int = 160): Dataset[AudioFrameRow] = {
+    require(frameLen > 0, "frameLen must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        mapBatches(it, KernelBatchSize) { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            WavCodec.decode(Option(bytes).getOrElse(Array.empty)).iterator
+              .flatMap { case (_, samples) =>
+                val nFrames = (samples.length + frameLen - 1) / frameLen
+                (0 until nFrames).iterator.map { f =>
+                  val start = f * frameLen
+                  val end = math.min(start + frameLen, samples.length)
+                  var e = 0L; var zc = 0; var peak = 0
+                  var i = start
+                  while (i < end) {
+                    val v = samples(i).toInt
+                    e += v.toLong * v
+                    val a = if (v < 0) -v else v
+                    if (a > peak) peak = a
+                    if (i > start &&
+                      (v >= 0) != (samples(i - 1).toInt >= 0)) zc += 1
+                    i += 1
+                  }
+                  AudioFrameRow(id, f, end - start, e, zc, peak)
+                }
+              }
+          }
+        }
+      }
+  }
+
   final case class AudioEnvelope(media_id: Long, sample_rate: Int,
       envelope: Array[Double])
 

@@ -246,4 +246,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byKey((2L, 1)) == ((0L, false)))
     assert(out.length == 4, "frame 0 of each video is unscored")
   }
+
+  test("audioFrameFeatures: hand-computed frames, partial tail, drops") {
+    // samples: [1000,-1000,1000,-1000 | 0,5] with frameLen=4 →
+    // frame 0: n=4 energy=4e6 zc=3 peak=1000
+    // frame 1: n=2 energy=25  zc=0 (0 and 5 are both non-negative)
+    val wav = Multimodal.WavCodec.encodeWav(
+      Array[Short](1000, -1000, 1000, -1000, 0, 5), 16000)
+    val corrupt = Array[Byte](82, 73, 70, 70)
+    val media = Seq((7L, wav), (99L, corrupt)).toDF("media_id", "bytes")
+    val out = Multimodal.audioFrameFeatures(media, frameLen = 4)
+      .collect().sortBy(_.frame_no)
+    assert(out.map(_.media_id).toSet == Set(7L), "corrupt payload drops")
+    assert(out.length == 2)
+    assert((out(0).n, out(0).energy, out(0).zero_crossings, out(0).peak) ==
+      ((4, 4000000L, 3, 1000)))
+    assert((out(1).n, out(1).energy, out(1).zero_crossings, out(1).peak) ==
+      ((2, 25L, 0, 5)))
+    // zero crossings never count across the frame boundary: the
+    // (-1000, 0) flip at samples 3→4 appears in neither frame
+    assert(out.map(_.zero_crossings).sum == 3)
+  }
 }
