@@ -4202,6 +4202,88 @@ object Queries {
     perStep.reduce(_.unionByName(_)).orderBy("step")
   }}
 
+  // st10_stream_attribution — last-touch attribution as a streaming
+  // per-key state machine (StatefulOps.attributionStream): state is one
+  // touch record per active user, conversions emit facts immediately,
+  // the channel summary aggregates downstream in batch. Events split
+  // into TWO micro-batches at the time midpoint so the state carry
+  // across the batch boundary is load-bearing; the oracle is aq45's
+  // batch SQL — stream == batch is the gate.
+  register(
+    "st10_stream_attribution",
+    """WITH seq AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+      |         last_value(CASE WHEN event_type IN ('click','view','signup')
+      |                         THEN epoch_us(ts) END IGNORE NULLS)
+      |           OVER w AS t_ts,
+      |         last_value(CASE WHEN event_type IN ('click','view','signup')
+      |                         THEN event_type END IGNORE NULLS)
+      |           OVER w AS t_tp
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), conv AS (
+      |  SELECT CASE WHEN t_ts IS NOT NULL AND t_ts >= ts_us - 604800000000
+      |              THEN t_tp ELSE 'unattributed' END AS channel,
+      |         value,
+      |         CASE WHEN t_ts IS NOT NULL AND t_ts >= ts_us - 604800000000
+      |              THEN ts_us - t_ts END AS lag_us
+      |  FROM seq WHERE event_type = 'purchase'
+      |)
+      |SELECT channel, count(*)::bigint AS n_conversions,
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS revenue,
+      |       round(sum(lag_us)::double / count(lag_us) / 1e6, 2) AS avg_lag_sec
+      |FROM conv GROUP BY 1
+      |ORDER BY channel""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    import graft.streaming.StatefulOps
+    val tmp = scratchDir("st10")
+    val (in, out, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    val ev = t(s, dir, "events").select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      col("event_type"), col("value"))
+    // split at the time midpoint: touches before it must attribute
+    // conversions after it purely through carried state
+    val cut = ev.agg(((min("ts_us") + max("ts_us")) / 2).cast("long"))
+      .first().getLong(0)
+    ev.filter(col("ts_us") < cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+    ev.filter(col("ts_us") >= cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+    val now = System.currentTimeMillis()
+    def touch(d: String, t: Long): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(t)))
+    touch(s"$in/b1", now - 60000)
+    touch(s"$in/b2", now)
+
+    import s.implicits._
+    val schema = Seq(StatefulOps.AttrEvent(0L, 0L, 0L, "", 0.0)).toDF().schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*").as[StatefulOps.AttrEvent]
+    val q = StatefulOps.attributionStream(stream,
+      conversionType = "purchase",
+      touchTypes = Set("click", "view", "signup"),
+      lookbackUs = 604800000000L, quietUs = 604800000000L).toDF()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.read.parquet(out)
+      .withColumn("__lag_us", when(col("lag_us") >= 0, col("lag_us")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"),
+        round(sum(col("__lag_us")).cast("double") /
+          count(col("__lag_us")) / 1e6, 2).as("avg_lag_sec"))
+      .orderBy("channel")
+  }}
+
   // q31_jdbc_store — the external-database store in the gate (SURVEY
   // §2.2 KV backends; nexus/backends/stores/sqlite_store.py): a per-
   // nation customer rollup is written to embedded Derby through the

@@ -157,4 +157,72 @@ object StatefulOps {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class AttrEvent(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, value: Double)
+  /** One attributed conversion fact: `lag_us = -1` marks the
+    * unattributed arm (no touch inside the lookback window). */
+  final case class Attribution(user_id: Long, ts_us: Long, channel: String,
+      value: Double, lag_us: Long)
+  /** Streaming-attribution state: the user's most recent touch. */
+  final case class TouchState(touch_ts: Long, touch_type: String)
+
+  /** Streaming last-touch attribution — the per-key state-machine
+    * formulation of [[graft.operators.Behavior.lastTouchAttribution]]:
+    * state is ONE record per active user (their most recent touch), a
+    * conversion emits its attribution fact immediately, and the
+    * channel summary aggregates the facts downstream in batch. Within
+    * a micro-batch events fold in `(ts, id)` order, so the
+    * strictly-preceding contract matches the batch window exactly;
+    * across batches the state carries the last touch forward.
+    *
+    * State is bounded two ways: O(active users) × one small record,
+    * AND an event-time timeout at `quietUs` past the user's last
+    * activity. Requiring `quietUs >= lookbackUs` makes the timeout
+    * SEMANTICS-FREE: a state old enough to drop is outside any future
+    * conversion's lookback window by the watermark guarantee, so
+    * eviction can never change an attribution. */
+  def attributionStream(
+      events: Dataset[AttrEvent],
+      conversionType: String,
+      touchTypes: Set[String],
+      lookbackUs: Long,
+      quietUs: Long): Dataset[Attribution] = {
+    require(quietUs >= lookbackUs,
+      "quietUs must cover the lookback window (eviction stays semantics-free)")
+    import events.sparkSession.implicits._
+
+    def update(
+        userId: Long,
+        rows: Iterator[AttrEvent],
+        state: GroupState[TouchState]): Iterator[Attribution] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var touch = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+      var lastTs = -1L
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (e.ts_us > lastTs) lastTs = e.ts_us
+        if (e.event_type == conversionType) {
+          if (touch != null && touch.touch_ts >= e.ts_us - lookbackUs)
+            out += Attribution(userId, e.ts_us, touch.touch_type, e.value,
+              e.ts_us - touch.touch_ts)
+          else
+            out += Attribution(userId, e.ts_us, "unattributed", e.value, -1L)
+        }
+        if (touchTypes.contains(e.event_type))
+          touch = TouchState(e.ts_us, e.event_type)
+      }
+      if (touch != null) state.update(touch)
+      if (lastTs >= 0) state.setTimeoutTimestamp((lastTs + quietUs) / 1000)
+      out.iterator
+    }
+
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "30 minutes")
+      .as[AttrEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -165,4 +165,60 @@ class StatefulSpec extends AnyFunSuite {
       3 -> got.values.count(_(2) >= 0).toLong)
     assert(stream == batch)
   }
+
+  test("attributionStream: facts match batch, state carries across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    val look = 10 * minute
+
+    def drain(): Unit = {
+      val schema =
+        Seq(StatefulOps.AttrEvent(0L, 0L, 0L, "", 0.0)).toDF().schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(s"$in/*").as[StatefulOps.AttrEvent]
+      val q = StatefulOps.attributionStream(stream, "purchase",
+        Set("click", "view"), lookbackUs = look, quietUs = look).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // b1: u1 clicks then purchases (in window); u2 views early (their
+    // purchase lands in b2, OUTSIDE the window); u3 clicks — their b2
+    // purchase attributes purely through carried state
+    val b1 = Seq(
+      StatefulOps.AttrEvent(1L, t0, 10L, "click", 0.0),
+      StatefulOps.AttrEvent(1L, t0 + minute, 11L, "purchase", 5.0),
+      StatefulOps.AttrEvent(2L, t0, 20L, "view", 0.0),
+      StatefulOps.AttrEvent(3L, t0 + 8 * minute, 30L, "click", 0.0))
+    b1.toDF().coalesce(1).write.parquet(s"$in/b1")
+    drain()
+    val b2 = Seq(
+      StatefulOps.AttrEvent(2L, t0 + 15 * minute, 21L, "purchase", 7.0),
+      StatefulOps.AttrEvent(3L, t0 + 12 * minute, 31L, "purchase", 3.0),
+      StatefulOps.AttrEvent(4L, t0 + 12 * minute, 40L, "purchase", 1.0))
+    b2.toDF().coalesce(1).write.parquet(s"$in/b2")
+    drain()
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("channel"), r.getAs[Long]("lag_us"))).toSet
+    assert(got == Set(
+      (1L, "click", minute),
+      (2L, "unattributed", -1L), // view 15 min before: outside 10-min window
+      (3L, "click", 4 * minute), // carried across the batch boundary
+      (4L, "unattributed", -1L)))
+
+    // the same events through the batch operator yield the same facts
+    val ev = (b1 ++ b2).map(e =>
+      (e.user_id, e.ts_us, e.event_id, e.event_type, e.value))
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val batch = graft.operators.Behavior.lastTouchAttribution(
+      ev, "user_id", "ts_us", "event_id", "event_type", "value",
+      "purchase", Seq("click", "view"), look)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val streamAgg = got.groupBy(_._2).map { case (c, g) => (c, g.size.toLong) }
+    assert(streamAgg.toSet == batch)
+  }
 }
