@@ -1354,6 +1354,21 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // sq11_mmr_rerank — MMR diversity rerank (Carbonell & Goldstein
+  // 1998; Similarity.mmrRerank): top-16 exact-cosine candidates per
+  // query, then 5 greedy rounds of λ·rel − (1−λ)·maxSim selection.
+  // All greedy comparisons run on bit-identical doubles (λ-products of
+  // 4dp cosines), so the oracle replays the whole trajectory — one CTE
+  // pair per round — and the final ranking compares exactly.
+  register(
+    "sq11_mmr_rerank",
+    Similarity.mmrOracleSql(nQueries = 8, k = 5, m = 16, lambda = 0.7)
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, m = 16, lambda = 0.7)
+  }
+
   // sq5_diversity_sample — semantic diversity sampling: IVF cells
   // (deterministic seed centroids = 16 lowest ids) + at most 20 kept
   // per cell by salted hash. Every step is deterministic, so the

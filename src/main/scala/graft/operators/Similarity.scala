@@ -721,4 +721,169 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** MMR diversity rerank (Carbonell & Goldstein, SIGIR 1998): per
+    * query, greedily select `k` of the top-`m` exact-cosine candidates
+    * maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the standard
+    * redundancy-aware retrieval head (and, in a training-data pipeline,
+    * the "don't fill the context with near-duplicates" selector).
+    * Returns `(query_id, rank, vec_id, score)`; rank 1's score is its
+    * relevance (empty-S convention), scores round to 6dp for output,
+    * ties break on the vec id.
+    *
+    * Determinism contract: relevances and candidate-candidate sims are
+    * 4dp-rounded cosines; every greedy comparison then runs on
+    * bit-identical doubles (λ-products of 4dp inputs) in any engine, so
+    * the whole greedy TRAJECTORY — not just the final scores — is
+    * exactly replayable (the oracle unrolls one CTE pair per round).
+    *
+    * Scale shape: candidate generation is [[bruteForceTopK]] (broadcast
+    * queries — swap in the IVF/PQ paths for recall/speed at corpus
+    * scale); everything after operates on |Q|·m-row frames — the m²
+    * pairwise-sim join and each greedy round are bounded by the
+    * candidate count per query, never by the corpus. The k−1 unrolled
+    * rounds are joins on (query, cand) with map-side partials; frames
+    * are lineage-cut where consumed across rounds. */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      m: Int = 16,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && m >= k, "need m >= k >= 1")
+    require(lambda > 0 && lambda <= 1, "lambda in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.{float_dot, float_norm}
+
+    val cand = Lineage.cutLocal(
+      bruteForceTopK(corpus, queries, idCol, vecCol, m)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("cosine").as("rel")))
+    val vecs = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
+      float_norm(col(vecCol)).as("__n"))
+    val withVec = cand.join(vecs, col("cand_id") === col("__vid"))
+    val aSide = withVec.select(col("query_id"), col("cand_id").as("a_id"),
+      col("__v").as("av"), col("__n").as("an"))
+    val bSide = withVec.select(col("query_id"), col("cand_id").as("b_id"),
+      col("__v").as("bv"), col("__n").as("bn"))
+    val sims = Lineage.cutLocal(
+      aSide.join(bSide, Seq("query_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("sim",
+          round(float_dot(col("av"), col("bv")) / (col("an") * col("bn")), 4))
+        .select("query_id", "a_id", "b_id", "sim"))
+
+    val wq = Window.partitionBy("query_id")
+    var selected = Lineage.cutLocal(
+      cand.withColumn("__rn", row_number().over(
+        wq.orderBy(col("rel").desc, col("cand_id"))))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("cand_id").as("sel_id"),
+          col("rel").as("score"), lit(1).as("rank")))
+    var remaining = cand.join(
+      selected.select(col("query_id"), col("sel_id").as("cand_id")),
+      Seq("query_id", "cand_id"), "left_anti")
+
+    for (r <- 2 to k) {
+      val maxSim = sims
+        .join(selected.select(col("query_id"), col("sel_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy("query_id", "a_id").agg(max("sim").as("__max_sim"))
+      val pick = Lineage.cutLocal(
+        remaining.join(maxSim,
+          remaining("query_id") === maxSim("query_id") &&
+            col("cand_id") === col("a_id"))
+          .drop(maxSim("query_id")).drop("a_id")
+          .withColumn("__score",
+            lit(lambda) * col("rel") - lit(1 - lambda) * col("__max_sim"))
+          .withColumn("__rn", row_number().over(
+            wq.orderBy(col("__score").desc, col("cand_id"))))
+          .filter(col("__rn") === 1)
+          .select(col("query_id"), col("cand_id").as("sel_id"),
+            col("__score").as("score"), lit(r).as("rank")))
+      selected = Lineage.cutLocal(selected.unionByName(pick))
+      remaining = remaining.join(
+        pick.select(col("query_id"), col("sel_id").as("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+    }
+    selected
+      .select(col("query_id"), col("rank"), col("sel_id").as("vec_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** GENERATED DuckDB oracle for [[mmrRerank]] over the embeddings
+    * table with queries `vec_id < nQueries`: one CTE pair per greedy
+    * round replays the exact trajectory (same 4dp cosine inputs, same
+    * λ-arithmetic — the λ literals interpolate from the same doubles
+    * the Spark plan uses, so `1 - λ` round-trips bit-exactly). */
+  def mmrOracleSql(
+      nQueries: Int, k: Int, m: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val oneMinus = (1 - lambda).toString
+    val rounds = (2 to k).map { r =>
+      s"""|, ms$r AS (
+          |  SELECT s.query_id, s.a_id, max(s.sim) AS max_sim
+          |  FROM sims s JOIN sel${r - 1} p
+          |    ON s.query_id = p.query_id AND s.b_id = p.sel_id
+          |  GROUP BY 1, 2
+          |), pick$r AS (
+          |  SELECT query_id, a_id AS sel_id, score, $r AS rank FROM (
+          |    SELECT m.query_id, m.a_id,
+          |           $lam::double * c.rel - $oneMinus::double * m.max_sim
+          |             AS score,
+          |           row_number() OVER (PARTITION BY m.query_id
+          |             ORDER BY $lam::double * c.rel
+          |                      - $oneMinus::double * m.max_sim DESC,
+          |                      m.a_id) AS rn
+          |    FROM ms$r m
+          |    JOIN cand c ON c.query_id = m.query_id AND c.cand_id = m.a_id
+          |    LEFT JOIN sel${r - 1} s
+          |      ON s.query_id = m.query_id AND s.sel_id = m.a_id
+          |    WHERE s.sel_id IS NULL
+          |  ) WHERE rn = 1
+          |), sel$r AS (
+          |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r
+          |)""".stripMargin
+    }.mkString("\n")
+    s"""|WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(list_sum(list_transform(list_zip(q.v, c.v),
+        |                 p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) AS rel,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+        |                 p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) DESC,
+        |               c.vec_id) AS rk
+        |  FROM n q JOIN n c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < $nQueries
+        |), cand AS (SELECT query_id, cand_id, rel FROM scored WHERE rk <= $m),
+        |sims AS (
+        |  SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+        |         round(list_sum(list_transform(list_zip(na.v, nb.v),
+        |                 p -> p[1] * p[2])) / (na.nrm * nb.nrm), 4) AS sim
+        |  FROM cand a
+        |  JOIN cand b ON a.query_id = b.query_id AND a.cand_id != b.cand_id
+        |  JOIN n na ON na.vec_id = a.cand_id
+        |  JOIN n nb ON nb.vec_id = b.cand_id
+        |), sel1 AS (
+        |  SELECT query_id, cand_id AS sel_id, rel AS score, 1 AS rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, cand_id) AS rn FROM cand
+        |  ) WHERE rn = 1
+        |)
+        |$rounds
+        |SELECT query_id, rank, sel_id AS vec_id,
+        |       round(score, 6) AS score
+        |FROM sel$k
+        |ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -877,6 +877,75 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.join(emb, "vec_id").count() == k)
   }
 
+  test("mmrRerank: diversity penalty demotes the redundant candidate") {
+    // query (0.8, 0.6); candidates: c13 (0.6,0.8) rel .96 picked first;
+    // c11 near-parallel to c13's neighborhood? — c10 (1,0) rel .8 but
+    // LOW sim to c13 (0.6) beats c11 rel .856 with HIGH sim (0.677)
+    // at λ=0.5; at λ=1 pure relevance restores c11 to rank 2.
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.995f, 0.0999f)),
+      (12L, Array(0.0f, 1.0f)),
+      (13L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val div = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+      k = 3, m = 4, lambda = 0.5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(div.take(2) == Seq(13L, 10L),
+      s"diversity pick should demote the redundant 11L, got $div")
+    val pure = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+      k = 3, m = 4, lambda = 1.0)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(pure.take(2) == Seq(13L, 11L),
+      s"λ=1 must reduce to pure relevance order, got $pure")
+  }
+
+  test("mmrRerank matches a driver-side greedy replay, seeded corpus") {
+    def r(x: Double, s: Int): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val corpus = (10L until 60L).map(id => (id, vec()))
+    val queries = (0L until 3L).map(id => (id, vec()))
+    val (k, m, lam) = (5, 16, 0.7)
+
+    val want = queries.flatMap { case (qid, qv) =>
+      val rel = corpus.map { case (cid, cv) =>
+        cid -> r(dot(qv, cv) / (nrm(qv) * nrm(cv)), 4)
+      }.sortBy { case (cid, rl) => (-rl, cid) }.take(m)
+      val vecsById = corpus.toMap
+      def sim(a: Long, b: Long) =
+        r(dot(vecsById(a), vecsById(b)) / (nrm(vecsById(a)) * nrm(vecsById(b))), 4)
+      var selected = List(rel.head._1 -> rel.head._2)
+      var remaining = rel.tail
+      while (selected.size < k) {
+        val scored = remaining.map { case (cid, rl) =>
+          val ms = selected.map(s => sim(cid, s._1)).max
+          (cid, lam * rl - (1 - lam) * ms)
+        }
+        val pick = scored.minBy { case (cid, sc) => (-sc, cid) }
+        selected = selected :+ pick
+        remaining = remaining.filterNot(_._1 == pick._1)
+      }
+      selected.zipWithIndex.map { case ((cid, sc), i) =>
+        (qid, i + 1, cid, r(sc, 6))
+      }
+    }.toSet
+
+    val got = Similarity.mmrRerank(
+      corpus.toDF("vec_id", "embedding"), queries.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = k, m = m, lambda = lam)
+      .collect().map(r0 => (r0.getLong(0), r0.getInt(1),
+        r0.getLong(2), r0.getDouble(3))).toSet
+    assert(got == want)
+  }
+
   test("spanDedup: cross-doc and within-doc spans drop, order kept") {
     val d = Seq(
       (1L, "a b c d e"), // spans "a b" "c d" "e" — all first occurrences
