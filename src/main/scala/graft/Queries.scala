@@ -5490,6 +5490,116 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // aq46_histogram — equi-width column histogram (Profile.histogram):
+  // 16 buckets over l_extendedprice. Bin width and index are single
+  // double expressions, so bucket assignment — including values exactly
+  // on an edge — agrees bit-for-bit across engines. Two scans, zero
+  // data-sized shuffles.
+  register(
+    "aq46_histogram",
+    """WITH v AS (
+      |  SELECT l_extendedprice::double AS v FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL
+      |), b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+      |binned AS (
+      |  SELECT CASE WHEN (hi - lo) / 16 = 0 THEN 0
+      |              ELSE least(floor((v - lo) / ((hi - lo) / 16)),
+      |                         15)::bigint END AS bin,
+      |         lo, hi
+      |  FROM v CROSS JOIN b
+      |)
+      |SELECT bin,
+      |       round(lo + bin * ((hi - lo) / 16), 6) AS bin_lo,
+      |       round(lo + (bin + 1) * ((hi - lo) / 16), 6) AS bin_hi,
+      |       count(*)::bigint AS n
+      |FROM binned
+      |GROUP BY bin, lo, hi
+      |ORDER BY bin""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Profile.histogram(
+      t(s, dir, "lineitem"), "l_extendedprice", nBins = 16)
+  }
+
+  // ---------------------------------------------------------------------
+  // tq21_keywords — per-document TF-IDF keyword extraction
+  // (TextAnalysis.keywords): top-3 terms per doc by tf·ln((N+1)/(df+1)).
+  // The idf argument is an integer ratio divided once in double, so
+  // both engines ln() the same value and the per-doc ranking agrees
+  // bit-for-bit; output weights round to 6dp.
+  register(
+    "tq21_keywords",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), tf AS (
+      |  SELECT doc_id, w, count(*)::bigint AS tf FROM toks GROUP BY 1, 2
+      |), dfc AS (
+      |  SELECT w, count(*)::bigint AS df FROM tf GROUP BY 1
+      |), nd AS (SELECT count(*)::bigint AS n FROM documents)
+      |SELECT doc_id, rank, w AS word, tf, round(weight, 6) AS weight
+      |FROM (
+      |  SELECT t.doc_id, t.w, t.tf,
+      |         t.tf * ln(((SELECT n FROM nd) + 1) / (d.df + 1)) AS weight,
+      |         row_number() OVER (PARTITION BY t.doc_id
+      |           ORDER BY t.tf * ln(((SELECT n FROM nd) + 1) / (d.df + 1))
+      |                      DESC,
+      |                    t.w) AS rank
+      |  FROM tf t JOIN dfc d USING (w)
+      |)
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.keywords(
+      t(s, dir, "documents"), "doc_id", "text", topK = 3)
+  }
+
+  // ---------------------------------------------------------------------
+  // q38_mv_maintenance — incremental materialized-view maintenance
+  // (operators/Materialized.additiveMerge): an hourly per-type summary
+  // MV built from events before the time midpoint, then the later half
+  // folds in by MERGING aggregate states (count→sum, sum→sum, min/max)
+  // — raw history is never re-read. The oracle is the FULL recompute
+  // over all events, so incremental == batch is the gate. Decimal sums
+  // make the merge bit-equal regardless of the batch split.
+  register(
+    "q38_mv_maintenance",
+    """SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+      |       count(*)::bigint AS n,
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS val_sum,
+      |       round(min(value), 4) AS val_min,
+      |       round(max(value), 4) AS val_max
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Materialized
+    import graft.operators.Materialized._
+    val ev = t(s, dir, "events").select(col("event_type"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val cut = ev.agg(((min("ts_us") + max("ts_us")) / 2).cast("long"))
+      .first().getLong(0)
+    def summarize(df: DataFrame): DataFrame = df
+      .withColumn("hour_idx", expr("ts_us div 3600000000"))
+      .groupBy("event_type", "hour_idx")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("val_sum"),
+        min("value").as("val_min"), max("value").as("val_max"))
+    val store = new graft.sources.ResultStore(s, scratchDir("q38"))
+    store.overwrite("mv", summarize(ev.filter(col("ts_us") < cut)))
+    val merged = Materialized.additiveMerge(
+      store.read("mv"), summarize(ev.filter(col("ts_us") >= cut)),
+      Seq("event_type", "hour_idx"),
+      Seq(CountCol("n"), SumCol("val_sum"),
+        MinCol("val_min"), MaxCol("val_max")))
+    store.overwrite("mv", merged)
+    store.read("mv")
+      .select(col("event_type"), col("hour_idx"), col("n"),
+        round(col("val_sum"), 2).cast("double").as("val_sum"),
+        round(col("val_min"), 4).as("val_min"),
+        round(col("val_max"), 4).as("val_max"))
+      .orderBy("event_type", "hour_idx")
+  }
+
+  // ---------------------------------------------------------------------
   // q37_compaction — OPTIMIZE-style bin-pack compaction end to end
   // (ResultStore.compact): seven per-linenumber appends fragment the
   // table into ~28 part files, one compact() re-groups them into

@@ -154,4 +154,43 @@ object Profile {
          |  (SELECT DISTINCT $pk AS __pk FROM $pt) __p ON $ct.$ck = __p.__pk
          |""".stripMargin
     }.mkString("", "UNION ALL\n", "ORDER BY relation")
+
+  /** Equi-width histogram of a numeric column — the distribution
+    * companion to [[profile]]'s scalar ranges (and the shape a query
+    * optimizer's column statistics store): `nBins` equal-width buckets
+    * between the column's min and max, one row per NON-EMPTY bucket
+    * with its edges and count. NULLs are excluded; the max value lands
+    * in the last bucket (half-open bins, closed at the top end); a
+    * constant column degenerates to one bucket.
+    *
+    * Determinism contract: bin width and bin index are single double
+    * expressions (`(max-min)/nBins`, `floor((x-min)/width)`) — the
+    * same IEEE operations in any engine, so bucket assignment agrees
+    * bit-for-bit, including values sitting exactly on an edge.
+    *
+    * Scale shape: one broadcast 1-row min/max aggregate, then ONE
+    * count aggregate over ≤nBins keys with map-side partials — two
+    * scans, zero data-sized shuffles (the second scan streams into
+    * ≤nBins partial counters). */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, "nBins must be positive")
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val bounds = broadcast(vals.agg(
+      min("__v").as("__lo"), max("__v").as("__hi")))
+    vals.crossJoin(bounds)
+      .withColumn("__w", (col("__hi") - col("__lo")) / lit(nBins))
+      .withColumn("bin",
+        when(col("__w") === 0.0, lit(0L)).otherwise(
+          least(floor((col("__v") - col("__lo")) / col("__w")),
+            lit(nBins - 1L))).cast("long"))
+      .groupBy("bin")
+      .agg(
+        round(first(col("__lo")) + col("bin") * first(col("__w")), 6)
+          .as("bin_lo"),
+        round(first(col("__lo")) + (col("bin") + 1) * first(col("__w")), 6)
+          .as("bin_hi"),
+        count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
 }

@@ -699,6 +699,44 @@ object TextAnalysis {
     * broadcasts when the vocab is dimension-sized. Output is capped by
     * `minCount` + TakeOrdered — never a global sort of the pair space.
     */
+  /** Per-document TF-IDF keyword extraction: the top-`topK` terms of
+    * each document by `tf · ln((N+1)/(df+1))` — the baseline topic
+    * tagger a curation pipeline uses for routing, mixture labels, and
+    * search facets (smoothed-idf form as in standard IR practice).
+    * Ties break on the term; weights round to 6dp for output while the
+    * RANKING runs on the raw doubles, which are bit-identical in any
+    * engine (integer tf times ln of an integer ratio divided once in
+    * double).
+    *
+    * Scale shape: (doc, term) tf counts shuffle on the pair key once;
+    * the df frame aggregates off tf (vocabulary-sized, lineage-cut —
+    * it feeds the join) and N rides as a broadcast 1-row aggregate.
+    * The per-doc top-k is a doc-partitioned window, bounded by one
+    * document's vocabulary. */
+  def keywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val tf = Lineage.cutLocal(
+      toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
+    val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("__n")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("weight").desc, col("w"))
+    tf.join(dfc, "w").crossJoin(nDocs)
+      .withColumn("weight",
+        col("tf") * log((col("__n") + 1) / (col("df") + 1)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("w").as("word"),
+        col("tf"), round(col("weight"), 6).as("weight"))
+      .orderBy("doc_id", "rank")
+  }
+
   def pmiCollocations(
       docs: DataFrame,
       idCol: String,

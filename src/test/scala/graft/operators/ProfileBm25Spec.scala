@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.SparkTestSession
 
 /** Micro-fixtures for the column profiler and BM25 scorer; sf-scale
@@ -72,5 +73,45 @@ class ProfileBm25Spec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       ("clean", 2L, 0L, 0L, 0L, true),
       ("dirty", 6L, 1L, 2L, 1L, false)))
+  }
+
+  test("histogram: edges, max lands in the last bin, constant column") {
+    // values 0..10 in 5 bins of width 2: bins get [0,1] [2,3] [4,5]
+    // [6,7] [8,9,10] — the max value clamps into the last bin
+    val d = (0 to 10).map(_.toDouble).toDF("v")
+    val out = Profile.histogram(d, "v", nBins = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0.0, 2.0, 2L), (1L, 2.0, 4.0, 2L), (2L, 4.0, 6.0, 2L),
+      (3L, 6.0, 8.0, 2L), (4L, 8.0, 10.0, 3L)))
+    // nulls drop; a constant column degenerates to one bucket
+    val const = Seq(Some(7.0), Some(7.0), None).toDF("v")
+    val c = Profile.histogram(const, "v", nBins = 4).collect()
+    assert(c.length == 1 && c(0).getLong(0) == 0L && c(0).getLong(3) == 2L)
+  }
+
+  test("additiveMerge: merged MV equals full recompute on any split") {
+    import Materialized._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map { i =>
+      (s"k${rnd.nextInt(7)}", rnd.nextInt(1000).toLong, rnd.nextInt(100))
+    }
+    def summarize(part: Seq[(String, Long, Int)]) =
+      part.toDF("k", "v", "w").groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,4)")).as("s"),
+          min("w").as("mn"), max("w").as("mx"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros(), r.getInt(3), r.getInt(4)))
+        .sortBy(_._1).toSeq
+    val full = canon(summarize(rows))
+    for (cut <- Seq(0, 1, 150, 299, 300)) {
+      val (a, b) = rows.splitAt(cut)
+      val merged = additiveMerge(summarize(a), summarize(b), Seq("k"),
+        Seq(CountCol("n"), SumCol("s"), MinCol("mn"), MaxCol("mx")))
+      assert(canon(merged) == full, s"diverged at split $cut")
+    }
   }
 }

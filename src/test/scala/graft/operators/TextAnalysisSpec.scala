@@ -338,6 +338,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_syllables") == 3L)
   }
 
+  test("keywords: smoothed TF-IDF ranks, ubiquitous terms score zero") {
+    // N=2; df: a=1 b=2 c=1. idf(a)=idf(c)=ln(3/2), idf(b)=ln(3/3)=0.
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywords(docs, "doc_id", "text", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1, "a", 2L, 0.81093),
+      (1L, 2, "b", 1L, 0.0),
+      (2L, 1, "c", 1L, 0.405465),
+      (2L, 2, "b", 1L, 0.0)))
+  }
+
   test("pmiCollocations: hand-computed PMI, count floor, tie order") {
     // unigrams: a=2 b=2 c=1 d=1 (N=6); bigrams: (a,b)×2 (b,a)×1 (c,d)×1
     // (N=4). pmi(c,d)=ln(36/4)=2.197225, pmi(a,b)=ln(72/16)=1.504077,
