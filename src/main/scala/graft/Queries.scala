@@ -1369,6 +1369,44 @@ object Queries {
       "vec_id", "embedding", k = 5, m = 16, lambda = 0.7)
   }
 
+  // sq12_knn_classify — kNN majority-vote classification
+  // (Similarity.knnClassify): 20 query vectors take the majority label
+  // of their 10 nearest labeled neighbors by 4dp cosine; vote ties
+  // break on the smaller label, neighbor ties on the id — fully
+  // deterministic, so the weak-labeling head is exactly replayable.
+  register(
+    "sq12_knn_classify",
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), nb AS (
+      |  SELECT q.vec_id AS query_id, c.label,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+      |                 p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) DESC,
+      |               c.vec_id) AS rank
+      |  FROM n q JOIN n c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id < 20
+      |), votes AS (
+      |  SELECT query_id, label, count(*)::bigint AS votes
+      |  FROM nb WHERE rank <= 10 GROUP BY 1, 2
+      |)
+      |SELECT query_id, label AS label_pred, votes FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY votes DESC, label) AS rn FROM votes
+      |) WHERE rn = 1
+      |ORDER BY query_id""".stripMargin
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnClassify(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", "label", k = 10)
+  }
+
   // sq5_diversity_sample — semantic diversity sampling: IVF cells
   // (deterministic seed centroids = 16 lowest ids) + at most 20 kept
   // per cell by salted hash. Every step is deterministic, so the
@@ -5551,6 +5589,105 @@ object Queries {
     graft.operators.TextAnalysis.keywords(
       t(s, dir, "documents"), "doc_id", "text", topK = 3)
   }
+
+  // ---------------------------------------------------------------------
+  // aq47_dwell_time — per-type dwell analysis (Behavior.dwellTime):
+  // the gap to each user's NEXT event, attributed to the earlier
+  // event's type — the duration complement of aq28's transition
+  // counts. One user-keyed lead() window, |types|-ary aggregate,
+  // integer-µs sums divided once in double.
+  register(
+    "aq47_dwell_time",
+    """WITH seq AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us,
+      |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS next_ts
+      |  FROM events
+      |)
+      |SELECT event_type, count(*)::bigint AS n_intervals,
+      |       round(sum(next_ts - ts_us)::double / 1e6, 2)
+      |         AS total_dwell_sec,
+      |       round(sum(next_ts - ts_us)::double / count(*) / 1e6, 2)
+      |         AS avg_dwell_sec
+      |FROM seq WHERE next_ts IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_id"), col("event_type"))
+    graft.operators.Behavior.dwellTime(
+      ev, "user_id", "ts_us", "event_type", "event_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // st11_stream_mv — STREAMING materialized-view maintenance: the q38
+  // algebraic merge driven from foreachBatch — each micro-batch
+  // summarizes and folds into the stored MV without re-reading
+  // history. Two micro-batches split at the time midpoint; the oracle
+  // is the full recompute over all events — stream == batch.
+  register(
+    "st11_stream_mv",
+    """SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+      |       count(*)::bigint AS n,
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS val_sum,
+      |       round(min(value), 4) AS val_min,
+      |       round(max(value), 4) AS val_max
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    import graft.operators.Materialized
+    import graft.operators.Materialized._
+    val tmp = scratchDir("st11")
+    val in = s"$tmp/in"
+    val ev = t(s, dir, "events").select(col("event_type"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val cut = ev.agg(((min("ts_us") + max("ts_us")) / 2).cast("long"))
+      .first().getLong(0)
+    ev.filter(col("ts_us") < cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+    ev.filter(col("ts_us") >= cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+    val now = System.currentTimeMillis()
+    def touch(d: String, tm: Long): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(tm)))
+    touch(s"$in/b1", now - 60000)
+    touch(s"$in/b2", now)
+
+    def summarize(df: DataFrame): DataFrame = df
+      .withColumn("hour_idx", expr("ts_us div 3600000000"))
+      .groupBy("event_type", "hour_idx")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("val_sum"),
+        min("value").as("val_min"), max("value").as("val_max"))
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = summarize(batch)
+        if (store.hasSchema("mv"))
+          store.overwrite("mv", Materialized.additiveMerge(
+            store.read("mv"), delta, Seq("event_type", "hour_idx"),
+            Seq(CountCol("n"), SumCol("val_sum"),
+              MinCol("val_min"), MaxCol("val_max"))))
+        else store.overwrite("mv", delta)
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store.read("mv")
+      .select(col("event_type"), col("hour_idx"), col("n"),
+        round(col("val_sum"), 2).cast("double").as("val_sum"),
+        round(col("val_min"), 4).as("val_min"),
+        round(col("val_max"), 4).as("val_max"))
+      .orderBy("event_type", "hour_idx")
+  }}
 
   // ---------------------------------------------------------------------
   // q38_mv_maintenance — incremental materialized-view maintenance

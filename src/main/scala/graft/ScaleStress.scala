@@ -330,6 +330,48 @@ object ScaleStress {
           (col("user_id") % 5).cast("string"))
         .withColumn("ts", timestamp_micros(col("ts_us"))),
       "event_type", "ts").count())
+    // round-6c operators. PageRank: replicas form disjoint components
+    // (shifted node ids), so edges, nodes, and per-round work all grow
+    // exactly linearly; the link frame shuffles once per size.
+    val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    def graphDup(k: Int) = {
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s")).distinct()
+      (0 until k).map { i =>
+        val off = lit(i * 100000000L)
+        pairs.select((col("c") + off).as("src"), (col("s") + off).as("dst"))
+          .unionByName(pairs.select((col("s") + off).as("src"),
+            (col("c") + off).as("dst")))
+      }.reduce(_ union _)
+    }
+    time("pagerank_1x")(operators.Graph.pageRank(graphDup(1), 3).count())
+    time("pagerank_4x")(operators.Graph.pageRank(graphDup(4), 3).count())
+    // span dedup: replicas are exact copies, so every replica-2+ span
+    // duplicates replica 1 — output docs grow 4x while KEPT spans stay
+    // at the 1x level (the dedup itself is the work being measured)
+    time("span_dedup_1x")(operators.Dedup.spanDedup(
+      dup(1), "doc_id", "text", spanWords = 5).count())
+    time("span_dedup_4x")(operators.Dedup.spanDedup(
+      dup(4), "doc_id", "text", spanWords = 5).count())
+    // MMR: post-candidate work is |Q|·m² — corpus size only affects
+    // the brute-force candidate scan, so 4x corpus ~ 4x scan ceiling
+    val emb1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    def embDup4 = (0 until 4).map(i => emb1.select(
+      (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+      col("embedding"))).reduce(_ union _)
+    time("mmr_1x")(operators.Similarity.mmrRerank(
+      emb1, emb1.filter(col("vec_id") < 16), "vec_id", "embedding",
+      k = 5, m = 16).count())
+    time("mmr_4x_corpus")(operators.Similarity.mmrRerank(
+      embDup4, emb1.filter(col("vec_id") < 16), "vec_id", "embedding",
+      k = 5, m = 16).count())
+    // PMI: token volume dominates; pair space is vocab-bounded
+    time("pmi_4x")(operators.TextAnalysis.pmiCollocations(
+      dup(4), "doc_id", "text", minCount = 5L, topK = 40).count())
     spark.stop()
   }
 }

@@ -349,6 +349,40 @@ object Behavior {
       .limit(topK)
   }
 
+  /** Dwell-time analysis: the time between consecutive events in a
+    * user's timeline, attributed to the EARLIER event's type — "how
+    * long do users sit on each step" (screen-time / stage-latency
+    * analytics; the duration complement of [[transitionMatrix]]'s
+    * counts). Terminal events (no successor) contribute no interval.
+    * Returns one row per type:
+    * `(event_type, n_intervals, total_dwell_sec, avg_dwell_sec)` —
+    * integer-µs sums divided once in double, so engines agree exactly.
+    *
+    * Scale shape: ONE shuffle keyed on the user for the lead() window
+    * (partition = one user's history), then a |types|-ary aggregate
+    * with map-side partials. */
+  def dwellTime(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__next_ts", lead(tsCol, 1).over(w))
+      .filter(col("__next_ts").isNotNull)
+      .withColumn("__dwell_us", col("__next_ts") - col(tsCol))
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        round(sum(col("__dwell_us")).cast("double") / 1e6, 2)
+          .as("total_dwell_sec"),
+        round(sum(col("__dwell_us")).cast("double") /
+          count(lit(1)) / 1e6, 2).as("avg_dwell_sec"))
+      .orderBy("event_type")
+  }
+
   /** Last-touch conversion attribution: each conversion event credits
     * the user's most recent PRECEDING touch event (strictly earlier in
     * `(ts, id)` order — simultaneous-µs ties break on the id, same

@@ -50,15 +50,23 @@ object Graph {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
 
-    val e = edges.select(
-      col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
-    // heavy frame: lay it out on src once, every round joins against it
-    val links = Lineage.cutLocal(e.join(deg, "src").repartition(col("src")))
+    // ONE edge-sized materialization: the raw edge list, laid out on
+    // src (often derived from an expensive upstream join — cutting here
+    // also stops that work repeating across the consumers below).
+    // Degrees and the node set are |V|-sized and derive FROM the cut.
+    val links = Lineage.cutLocal(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+        .repartition(col("src")))
+    // outdeg rides with the RANK frame (|V| rows), not the link frame:
+    // the per-round heavy join then moves only rank+degree, and the
+    // links build pays no edge-sized degree join
+    val deg = Lineage.cutLocal(
+      links.groupBy("src").agg(count(lit(1)).as("__outdeg")))
 
     val nodesBase = Lineage.cutLocal(
-      e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node"))).distinct())
+      links.select(col("src").as("node"))
+        .unionByName(links.select(col("dst").as("node"))).distinct())
     // N as a broadcast 1-row aggregate column — no driver-side count job
     val nodes = nodesBase.crossJoin(
       broadcast(nodesBase.agg(count(lit(1)).cast("double").as("__n"))))
@@ -66,8 +74,9 @@ object Graph {
     var ranks: DataFrame =
       nodes.withColumn("rank", round(lit(1.0) / col("__n"), 12))
     for (_ <- 1 to iterations) {
-      val contrib = links
-        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+      val rs = ranks.select(col("node").as("src"), col("rank"))
+        .join(deg, "src") // |V|-sized ⋈ |V|-sized — cheap every round
+      val contrib = links.join(rs, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(round(col("rank") / col("__outdeg"), 12)
           .cast("decimal(38,12)")).as("__contrib"))

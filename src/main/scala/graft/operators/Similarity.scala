@@ -814,6 +814,41 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** kNN classification: each query takes the majority label of its
+    * `k` nearest labeled neighbors by exact cosine — the baseline
+    * weak-labeler / label-propagation head over an embedding corpus
+    * (tag unlabeled docs from a labeled seed set). Vote ties break on
+    * the smaller label, neighbor ties on the id (via
+    * [[bruteForceTopK]]'s 4dp-rounded ranking), so the prediction is
+    * deterministic and exactly replayable. Returns
+    * `(query_id, label_pred, votes)`.
+    *
+    * Scale shape: candidate generation is the broadcast-queries brute
+    * scan (swap in IVF/PQ at corpus scale); the vote is a |Q|·k-row
+    * aggregate + per-query argmax window — bounded by the query count,
+    * never the corpus. */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val neighbors = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__lbl"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("__lbl"))
+    neighbors.join(labels, "neighbor_id")
+      .groupBy("query_id", "__lbl")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__lbl").as("label_pred"), col("votes"))
+      .orderBy("query_id")
+  }
+
   /** GENERATED DuckDB oracle for [[mmrRerank]] over the embeddings
     * table with queries `vec_id < nQueries`: one CTE pair per greedy
     * round replays the exact trajectory (same 4dp cosine inputs, same

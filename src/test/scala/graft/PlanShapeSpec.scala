@@ -498,4 +498,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("aq46 histogram: 1-row bounds broadcast; bin agg is the only hash shuffle") {
+    val df = SparkEntry.queries("aq46_histogram")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      nodes.map(_.nodeName).mkString(", ")) // the 1-row min/max frame
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")))
+    val hashEx = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }.size
+    assert(hashEx == 1, nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("tq20 pmi: output capped by TakeOrdered, totals broadcast, no cartesian") {
+    val df = SparkEntry.queries("tq20_pmi")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      nodes.map(_.nodeName).mkString(", "))
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("tq21 keywords: doc-partitioned window ranks — no global sort of pairs") {
+    val p = plan("tq21_keywords")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("aq45 attribution: one user-keyed window, bounded channel aggregate") {
+    val df = SparkEntry.queries("aq45_attribution")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(nodes.count(_.nodeName.contains("Window")) == 1,
+      nodes.map(_.nodeName).mkString(", "))
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
 }

@@ -207,6 +207,21 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a>b>c", 2L), ("b", 1L), ("x>y", 1L)))
   }
 
+  test("dwellTime: gaps attribute to the earlier event's type") {
+    // u1: a(0) -> b(2s) -> a(5s): a dwells 2s, b dwells 3s; final a
+    // contributes nothing. u2: b(0) -> b(4s): b dwells 4s.
+    val e = ev(
+      (1L, 0L, "a"), (1L, 2000000L, "b"), (1L, 5000000L, "a"),
+      (2L, 0L, "b"), (2L, 4000000L, "b"))
+    val out = Behavior.dwellTime(e, "user_id", "ts_us", "event_type",
+      "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 2.0, 2.0),
+      ("b", 2L, 7.0, 3.5)))
+  }
+
   test("lastTouchAttribution: window, last-wins, ties, unattributed") {
     // u1 click 50s before purchase (in 60s window) -> click, lag 50s
     // u2 view 100s before purchase (outside window) -> unattributed

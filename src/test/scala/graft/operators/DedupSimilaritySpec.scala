@@ -877,6 +877,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.join(emb, "vec_id").count() == k)
   }
 
+  test("knnClassify: majority vote, tie takes the smaller label") {
+    // query (1,0): three label-1 vectors hug it, two label-2 vectors
+    // sit further out -> k=5 majority 1. With k=4 the vote is 2-2
+    // (ranks: two 1s, then two 2s) -> tie resolves to label 1.
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 1),
+      (11L, Array(0.99f, 0.01f), 1),
+      (12L, Array(0.8f, 0.2f), 2),
+      (13L, Array(0.85f, 0.15f), 2),
+      (14L, Array(0.98f, 0.02f), 1)).toDF("vec_id", "embedding", "label")
+    val q = Seq((1L, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val maj = Similarity.knnClassify(corpus, q, "vec_id", "embedding",
+      "label", k = 5).collect()
+    assert(maj.length == 1)
+    assert((maj(0).getLong(0), maj(0).getInt(1), maj(0).getLong(2)) ==
+      ((1L, 1, 3L)))
+    val tie = Similarity.knnClassify(corpus, q, "vec_id", "embedding",
+      "label", k = 4).collect()
+    assert(tie(0).getInt(1) == 1, "2-2 tie must take the smaller label")
+  }
+
   test("mmrRerank: diversity penalty demotes the redundant candidate") {
     // query (0.8, 0.6); candidates: c13 (0.6,0.8) rel .96 picked first;
     // c11 near-parallel to c13's neighborhood? — c10 (1,0) rel .8 but
