@@ -2692,6 +2692,50 @@ object Queries {
       .orderBy("media_id", "frame_no")
   }
 
+  // mm11_silence_trim — leading/trailing-silence trim boundaries over
+  // the REAL codec (Multimodal.silenceTrim ∘ audioFrameFeatures):
+  // waveforms carry deterministic muted lead/tail regions
+  // ((id%4)/(id%3) frames), the trim reports the first/last voiced
+  // frame per clip. The oracle replays the closed-form waveform WITH
+  // the mute CASE and re-derives the boundaries in SQL.
+  register(
+    "mm11_silence_trim",
+    """WITH aud AS (
+      |  SELECT doc_id AS media_id, (800 + (doc_id % 5) * 160)::bigint AS n,
+      |         ((doc_id % 4) * 160)::bigint AS lead,
+      |         ((doc_id % 3) * 160)::bigint AS tail
+      |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 150
+      |), smp AS (
+      |  SELECT media_id, t.range AS t, n,
+      |         CASE WHEN t.range < lead OR t.range >= n - tail THEN 0
+      |              ELSE ((media_id * 7 + t.range * 11) % 4001) - 2000
+      |         END AS v
+      |  FROM aud, range(1440) t WHERE t.range < n
+      |), fr AS (
+      |  SELECT media_id, (t // 160)::int AS frame_no,
+      |         sum(v * v)::bigint AS energy
+      |  FROM smp GROUP BY 1, 2
+      |)
+      |SELECT media_id, count(*)::bigint AS n_frames,
+      |       sum(CASE WHEN energy >= 1 THEN 1 ELSE 0 END)::bigint
+      |         AS n_voiced,
+      |       min(CASE WHEN energy >= 1 THEN frame_no END) AS first_voiced,
+      |       max(CASE WHEN energy >= 1 THEN frame_no END) AS last_voiced
+      |FROM fr GROUP BY 1
+      |ORDER BY media_id""".stripMargin
+  ) { (s, dir) =>
+    val ids = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < 150)
+      .select(col("doc_id").as("media_id"))
+    val media = graft.multimodal.Multimodal.patternWavs(
+      ids, "media_id", nSamples = lit(800) + (col("media_id") % 5) * 160,
+      muteLead = (col("media_id") % 4) * 160,
+      muteTail = (col("media_id") % 3) * 160)
+    val frames = graft.multimodal.Multimodal
+      .audioFrameFeatures(media, frameLen = 160).toDF()
+    graft.multimodal.Multimodal.silenceTrim(frames, energyThreshold = 1L)
+  }
+
   // q33_media_curation — the multimodal pipeline composed through the
   // Pointy DSL: real PNG encode → decode-based quality gate (contrast)
   // → perceptual-hash dedup → lowest-id survivors. The oracle replays
@@ -5618,6 +5662,88 @@ object Queries {
       col("event_id"), col("event_type"))
     graft.operators.Behavior.dwellTime(
       ev, "user_id", "ts_us", "event_type", "event_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq49_active_users — sliding-window DAU/WAU (Behavior.activeUsers):
+  // distinct (day, user) pairs explode forward into the 7 windows they
+  // serve, one distinct-count per target day — no per-day union loops.
+  register(
+    "aq49_active_users",
+    """WITH pairs AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx,
+      |         user_id AS u
+      |  FROM events
+      |), days AS (SELECT DISTINCT day_idx FROM pairs),
+      |expl AS (
+      |  SELECT day_idx + o.range AS day_idx, u FROM pairs, range(7) o
+      |), wau AS (
+      |  SELECT day_idx, count(DISTINCT u)::bigint AS wau
+      |  FROM expl GROUP BY 1
+      |), dau AS (
+      |  SELECT day_idx, count(*)::bigint AS dau FROM pairs GROUP BY 1
+      |)
+      |SELECT d.day_idx, dau, wau
+      |FROM days d JOIN dau USING (day_idx) JOIN wau USING (day_idx)
+      |ORDER BY day_idx""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    graft.operators.Behavior.activeUsers(ev, "user_id", "ts_us",
+      windowDays = 7)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq48_cusum — CUSUM changepoint detection (Behavior
+  // .cusumChangepoints): per-type hourly rates on each series' own
+  // min..max grid (gaps count 0), one-sided CUSUM in integer units
+  // scaled by the series length, evaluated by the prefix-sum identity
+  // S_t = P_t - min(0, running_min(P)) — pure window operators, zero
+  // sequential folds, the whole trajectory exact in any engine.
+  register(
+    "aq48_cusum",
+    """WITH obs AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |         count(*)::bigint AS x
+      |  FROM events GROUP BY 1, 2
+      |), g AS (
+      |  SELECT event_type, sum(x)::bigint AS total,
+      |         ((max(hour_us) - min(hour_us)) // 3600000000 + 1)::bigint
+      |           AS t,
+      |         min(hour_us) AS mn, max(hour_us) AS mx
+      |  FROM obs GROUP BY 1
+      |), grid AS (
+      |  SELECT event_type, total, t,
+      |         unnest(range(mn, mx + 1, 3600000000)) AS hour_us
+      |  FROM g
+      |), series AS (
+      |  SELECT gr.event_type, gr.total, gr.t, gr.hour_us,
+      |         coalesce(o.x, 0) AS x
+      |  FROM grid gr LEFT JOIN obs o USING (event_type, hour_us)
+      |), st AS (
+      |  SELECT *, t * x - total - t * 1 AS d FROM series
+      |), ps AS (
+      |  SELECT *, sum(d) OVER (PARTITION BY event_type ORDER BY hour_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |  FROM st
+      |), ss AS (
+      |  SELECT *, p - least(0, min(p) OVER (PARTITION BY event_type
+      |    ORDER BY hour_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      |  FROM ps
+      |)
+      |SELECT event_type AS series, count(*)::bigint AS n_hours,
+      |       min(total)::bigint AS total,
+      |       sum(CASE WHEN s > t * 8 THEN 1 ELSE 0 END)::bigint
+      |         AS n_alarms,
+      |       min(CASE WHEN s > t * 8 THEN hour_us END)
+      |         AS first_alarm_hour,
+      |       max(s)::bigint AS max_stat
+      |FROM ss GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Behavior.cusumChangepoints(
+      t(s, dir, "events"), "event_type", "ts",
+      slackCounts = 1L, thresholdCounts = 8L)
   }
 
   // ---------------------------------------------------------------------

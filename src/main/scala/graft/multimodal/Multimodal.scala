@@ -486,19 +486,47 @@ object Multimodal {
     * whose expected values have a closed form in (id, t). */
   def patternWavs(
       ids: DataFrame, idCol: String, nSamples: org.apache.spark.sql.Column,
-      sampleRate: Int = 16000): DataFrame = {
+      sampleRate: Int = 16000,
+      muteLead: org.apache.spark.sql.Column = lit(0),
+      muteTail: org.apache.spark.sql.Column = lit(0)): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long"), nSamples.cast("int"))
-      .as[(Long, Int)]
+    // muteLead/muteTail zero that many leading/trailing samples BEFORE
+    // the encode — deterministic silence regions for trim/VAD gates,
+    // still closed-form replayable (CASE over the sample index)
+    ids.select(col(idCol).cast("long"), nSamples.cast("int"),
+      muteLead.cast("int"), muteTail.cast("int"))
+      .as[(Long, Int, Int, Int)]
       .mapPartitions { it =>
         mapBatches(it, KernelBatchSize) { batch =>
-          batch.iterator.map { case (id, n) =>
-            (id, WavCodec.encodeWav(WavCodec.patternSamples(id, n), sampleRate))
+          batch.iterator.map { case (id, n, lead, tail) =>
+            val s = WavCodec.patternSamples(id, n)
+            var i = 0
+            while (i < math.min(lead, n)) { s(i) = 0; i += 1 }
+            i = math.max(0, n - tail)
+            while (i < n) { s(i) = 0; i += 1 }
+            (id, WavCodec.encodeWav(s, sampleRate))
           }
         }
       }
       .toDF("media_id", "bytes")
+  }
+
+  /** Leading/trailing-silence trim boundaries from [[audioFrameFeatures]]
+    * output: per clip, the frame count, voiced-frame count, and the
+    * first/last frame whose energy reaches `energyThreshold` — the
+    * cut points a trim pass applies (NULL boundaries = an all-silent
+    * clip the pipeline drops). Pure bounded aggregate, zero shuffles
+    * beyond the |clips|-ary groupBy. */
+  def silenceTrim(frames: DataFrame, energyThreshold: Long): DataFrame = {
+    val voiced = col("energy") >= energyThreshold
+    frames.groupBy("media_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(voiced, 1L).otherwise(0L)).as("n_voiced"),
+        min(when(voiced, col("frame_no"))).as("first_voiced"),
+        max(when(voiced, col("frame_no"))).as("last_voiced"))
+      .orderBy("media_id")
   }
 
   final case class AudioStats(media_id: Long, sample_rate: Int,

@@ -349,6 +349,111 @@ object Behavior {
       .limit(topK)
   }
 
+  /** Sliding-window active users (DAU / WAU): per observed day, the
+    * distinct users active that day and within the trailing
+    * `windowDays` window — the standard engagement pair, computed
+    * WITHOUT a per-day distinct-union loop: the distinct `(day, user)`
+    * pair set explodes each pair forward into every window it serves
+    * (windowDays×, bounded), and one distinct-count per target day
+    * finishes it. Output keeps only days that actually occur.
+    *
+    * `tsCol` must be a NUMERIC µs-epoch column.
+    *
+    * Scale shape: the pair distinct is one shuffle on (day, user); the
+    * explode is a constant windowDays-fold of the PAIR frame (already
+    * deduplicated — far smaller than raw events); the count-distinct
+    * per day shuffles pairs once more. No global windows. */
+  def activeUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val pairs = Lineage.cutLocal(events
+      .select(expr(s"$tsCol div 86400000000").as("day_idx"),
+        col(userCol).as("__u"))
+      .distinct())
+    val days = pairs.select("day_idx").distinct()
+    val wau = pairs
+      .select(explode(sequence(col("day_idx"),
+        col("day_idx") + lit(windowDays - 1))).as("day_idx"), col("__u"))
+      .groupBy("day_idx")
+      .agg(countDistinct(col("__u")).as("wau"))
+    val dau = pairs.groupBy("day_idx").agg(count(lit(1)).as("dau"))
+    days.join(dau, "day_idx").join(wau, "day_idx")
+      .orderBy("day_idx")
+  }
+
+  /** CUSUM changepoint detection over per-series hourly rates — the
+    * classic sequential drift detector (Page 1954), run here as the
+    * pipeline-monitoring alarm "did this event stream's rate shift?".
+    * For each series the hourly counts `x_t` (gap hours count 0, on
+    * the series' own min..max hour grid) feed the one-sided CUSUM
+    *
+    *   S_t = max(0, S_{t-1} + (x_t − mean − slack)),  alarm: S_t > h.
+    *
+    * Everything runs in INTEGER units scaled by the series length `T`
+    * (`d_t = T·x_t − total − T·slack`), so the whole trajectory is
+    * exact in any engine — no floating-point state. The recursion is
+    * evaluated by the prefix-sum identity
+    *
+    *   S_t = P_t − min(0, min_{j≤t} P_j),   P_t = Σ_{i≤t} d_i,
+    *
+    * i.e. a window prefix sum plus a running min — pure relational
+    * operators, NO sequential fold, so each series' trajectory
+    * computes inside one window partition (bounded by that series'
+    * hour span) and the plan scales like any other windowed query.
+    *
+    * Returns one row per series:
+    * `(series, n_hours, total, n_alarms, first_alarm_hour, max_stat)`
+    * — `max_stat` is the peak S_t in T-scaled units (divide by
+    * `n_hours` for count units); `first_alarm_hour` is the µs-epoch
+    * hour of the first alarm, NULL when none fire.
+    *
+    * Scale shape: one (series, hour) aggregate, a sequence() grid that
+    * scales with the SPAN not the row count, one series-keyed window,
+    * and a |series|-ary final aggregate. */
+  def cusumChangepoints(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      slackCounts: Long,
+      thresholdCounts: Long): DataFrame = {
+    val hourUs = unix_micros(date_trunc("hour", col(tsCol)))
+    val obs = Lineage.cutLocal(events
+      .groupBy(col(keyCol), hourUs.as("hour_us"))
+      .agg(count(lit(1)).as("x")))
+    val grid = obs.groupBy(col(keyCol))
+      .agg(min("hour_us").as("__mn"), max("hour_us").as("__mx"),
+        sum("x").as("__total"),
+        (((max("hour_us") - min("hour_us")) / lit(3600000000L)) + 1)
+          .cast("long").as("__t"))
+      .select(col(keyCol), col("__total"), col("__t"),
+        explode(sequence(col("__mn"), col("__mx"), lit(3600000000L)))
+          .as("hour_us"))
+    val wRun = Window.partitionBy(keyCol).orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val series = grid
+      .join(obs, Seq(keyCol, "hour_us"), "left")
+      .withColumn("__x", coalesce(col("x"), lit(0L)))
+      .withColumn("__d",
+        col("__t") * col("__x") - col("__total") -
+          col("__t") * lit(slackCounts))
+      .withColumn("__p", sum(col("__d")).over(wRun))
+      .withColumn("__s",
+        col("__p") - least(lit(0L), min(col("__p")).over(wRun)))
+      .withColumn("__alarm", col("__s") > col("__t") * lit(thresholdCounts))
+    series
+      .groupBy(col(keyCol).as("series"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        first(col("__total")).as("total"),
+        sum(when(col("__alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("__alarm"), col("hour_us"))).as("first_alarm_hour"),
+        max(col("__s")).as("max_stat"))
+      .orderBy("series")
+  }
+
   /** Dwell-time analysis: the time between consecutive events in a
     * user's timeline, attributed to the EARLIER event's type — "how
     * long do users sit on each step" (screen-time / stage-latency

@@ -247,6 +247,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 4, "frame 0 of each video is unscored")
   }
 
+  test("silenceTrim: boundaries, all-silent clips, muted encode e2e") {
+    // direct frame table: energies [0,5,9,0] at thr 5 → voiced 1..2
+    val frames = Seq(
+      (1L, 0, 160, 0L, 0, 0), (1L, 1, 160, 5L, 0, 0),
+      (1L, 2, 160, 9L, 0, 0), (1L, 3, 160, 0L, 0, 0),
+      (2L, 0, 160, 0L, 0, 0))
+      .toDF("media_id", "frame_no", "n", "energy", "zero_crossings", "peak")
+    val out = Multimodal.silenceTrim(frames, energyThreshold = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4)))
+    assert(out.toSeq == Seq((1L, 4L, 2L, 1, 2), (2L, 1L, 0L, -1, -1)))
+
+    // end to end through the REAL codec: one muted leading frame
+    val media = Multimodal.patternWavs(
+      Seq(3L).toDF("media_id"), "media_id", nSamples = lit(320),
+      muteLead = lit(160))
+    val fr = Multimodal.audioFrameFeatures(media, frameLen = 160).toDF()
+    val t = Multimodal.silenceTrim(fr, energyThreshold = 1L).collect()(0)
+    assert((t.getLong(1), t.getLong(2), t.getInt(3), t.getInt(4)) ==
+      ((2L, 1L, 1, 1)))
+  }
+
   test("audioFrameFeatures: hand-computed frames, partial tail, drops") {
     // samples: [1000,-1000,1000,-1000 | 0,5] with frameLen=4 →
     // frame 0: n=4 energy=4e6 zc=3 peak=1000

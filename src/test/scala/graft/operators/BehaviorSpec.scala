@@ -222,6 +222,52 @@ class BehaviorSpec extends AnyFunSuite {
       ("b", 2L, 7.0, 3.5)))
   }
 
+  test("cusumChangepoints: hand-computed trajectory, level shift fires") {
+    // 8 hours of counts [1,1,1,1,5,5,5,5], slack 0: T=8, total=24,
+    // d = 8x-24 = [-16×4, +16×4]; P = -16,-32,-48,-64,-48,-32,-16,0;
+    // S = P - min(0, runmin P) = 0,0,0,0,16,32,48,64. thr=2 counts →
+    // alarm when S > 16: hours 5,6,7 → 3 alarms, first at hour 5.
+    val hour = 3600000000L
+    val rows = (0 until 8).flatMap { h =>
+      val x = if (h < 4) 1 else 5
+      (0 until x).map(i => (h.toLong * hour + i, "a"))
+    }
+    val e = rows.toDF("ts_us", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val out = Behavior.cusumChangepoints(e, "event_type", "ts",
+      slackCounts = 0L, thresholdCounts = 2L).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((8L, 24L, 3L)))
+    assert(r.getLong(4) == 5L * hour, "first alarm at hour 5")
+    assert(r.getLong(5) == 64L)
+  }
+
+  test("cusumChangepoints: gap hours count as zero on the grid") {
+    // hours 0 and 2 have 2 events each, hour 1 is a gap: T=3, total=4,
+    // d = 3x-4 = [2,-4,2]; P = 2,-2,0; S = 2,0,2. thr 0 → alarms at
+    // hours 0 and 2.
+    val hour = 3600000000L
+    val rows = Seq((0L, "a"), (1L, "a"),
+      (2L * hour, "a"), (2L * hour + 1, "a"))
+    val e = rows.toDF("ts_us", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val out = Behavior.cusumChangepoints(e, "event_type", "ts",
+      slackCounts = 0L, thresholdCounts = 0L).collect()
+    val r = out(0)
+    assert((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((3L, 2L, 0L, 2L)))
+  }
+
+  test("activeUsers: DAU exact, WAU unions the trailing window") {
+    val day = 86400000000L
+    val rows = Seq((1L, 0L), (2L, 1L), (2L, day + 2L), (1L, 8L * day))
+    val e = rows.toDF("user_id", "ts_us")
+    val out = Behavior.activeUsers(e, "user_id", "ts_us", windowDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 2L), (8L, 1L, 1L)))
+  }
+
   test("lastTouchAttribution: window, last-wins, ties, unattributed") {
     // u1 click 50s before purchase (in 60s window) -> click, lag 50s
     // u2 view 100s before purchase (outside window) -> unattributed
