@@ -1407,6 +1407,54 @@ object Queries {
       "vec_id", "embedding", "label", k = 10)
   }
 
+  // sq13_bitext_mining — margin-based parallel-pair mining (Artetxe &
+  // Schwenk 2019; Similarity.mineBitext): label-0 vs label-1 vectors,
+  // forward-best pairs scored by cos/((avg4(x)+avg4(y))/2) — the
+  // hubness-normalized LASER criterion. 4dp cosines + decimal k-NN
+  // sums make ranking, threshold, and margins bit-identical.
+  register(
+    "sq13_bitext_mining",
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), x AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         round(list_sum(list_transform(list_zip(a.v, b.v),
+      |                 p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS c
+      |  FROM n a CROSS JOIN n b
+      |  WHERE a.label = 0 AND b.label = 1
+      |), ka AS (
+      |  SELECT id_a, sum(c::decimal(18,4))::double / 4 AS avg_a FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id_a
+      |      ORDER BY c DESC, id_b) AS rk FROM x)
+      |  WHERE rk <= 4 GROUP BY 1
+      |), kb AS (
+      |  SELECT id_b, sum(c::decimal(18,4))::double / 4 AS avg_b FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id_b
+      |      ORDER BY c DESC, id_a) AS rk FROM x)
+      |  WHERE rk <= 4 GROUP BY 1
+      |), fwd AS (
+      |  SELECT id_a, id_b, c FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id_a
+      |      ORDER BY c DESC, id_b) AS rk FROM x)
+      |  WHERE rk = 1
+      |)
+      |SELECT f.id_a, f.id_b, f.c AS cosine,
+      |       round(f.c / ((ka.avg_a + kb.avg_b) / 2), 6) AS margin
+      |FROM fwd f JOIN ka USING (id_a) JOIN kb USING (id_b)
+      |WHERE f.c / ((ka.avg_a + kb.avg_b) / 2) > 1.0
+      |ORDER BY margin DESC, id_a""".stripMargin
+  ) { (s, dir) =>
+    Similarity.mineBitext(t(s, dir, "embeddings"), "vec_id", "embedding",
+      sideA = col("label") === 0, sideB = col("label") === 1,
+      k = 4, marginThreshold = 1.0)
+  }
+
   // sq5_diversity_sample — semantic diversity sampling: IVF cells
   // (deterministic seed centroids = 16 lowest ids) + at most 20 kept
   // per cell by salted hash. Every step is deterministic, so the

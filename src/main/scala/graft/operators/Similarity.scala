@@ -849,6 +849,70 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
+    * LASER bitext-mining criterion): for each vector on side A, its
+    * best side-B counterpart scored by the RATIO of their cosine to
+    * the mean of both vectors' k-NN cosine levels,
+    *
+    *   margin(x,y) = cos(x,y) / ((avgₖ(x) + avgₖ(y)) / 2),
+    *
+    * which normalizes away hubness — a pair only survives when it
+    * stands OUT of both vectors' neighborhoods, not merely when its
+    * raw cosine is high. Pairs with margin > `threshold` return as
+    * `(id_a, id_b, cosine, margin)`, margin-desc.
+    *
+    * Determinism contract: cosines are 4dp-rounded; each avgₖ is a
+    * DECIMAL sum of k such values divided once in double; the margin
+    * is one double expression of those — bit-identical in any engine,
+    * so ranking, threshold, and output all replay exactly.
+    *
+    * Scale shape: the A×B score frame is the candidate generator
+    * (broadcast the smaller side; swap in the IVF path at corpus
+    * scale) and is lineage-cut once for its three consumers (k-NN
+    * levels per side, forward-best); everything downstream is
+    * |A|+|B|-row aggregates and per-x windows. Assumes each side has
+    * ≥k counterparts (avgₖ divides by k unconditionally). */
+  def mineBitext(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sideA: Column,
+      sideB: Column,
+      k: Int = 4,
+      marginThreshold: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.{float_dot, float_norm}
+    def side(pred: Column, id: String) = corpus.filter(pred)
+      .select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+        float_norm(col(vecCol)).as(s"__n_$id"))
+    val a = broadcast(side(sideA, "id_a"))
+    val b = side(sideB, "id_b")
+    val cross = Lineage.cutLocal(a.crossJoin(b)
+      .withColumn("c", round(
+        float_dot(col("__v_id_a"), col("__v_id_b")) /
+          (col("__n_id_a") * col("__n_id_b")), 4))
+      .select("id_a", "id_b", "c"))
+    val wA = Window.partitionBy("id_a").orderBy(col("c").desc, col("id_b"))
+    val wB = Window.partitionBy("id_b").orderBy(col("c").desc, col("id_a"))
+    val ka = cross.withColumn("__rk", row_number().over(wA))
+      .filter(col("__rk") <= k).groupBy("id_a")
+      .agg((sum(col("c").cast("decimal(18,4)")).cast("double") / lit(k))
+        .as("__avg_a"))
+    val kb = cross.withColumn("__rk", row_number().over(wB))
+      .filter(col("__rk") <= k).groupBy("id_b")
+      .agg((sum(col("c").cast("decimal(18,4)")).cast("double") / lit(k))
+        .as("__avg_b"))
+    val fwd = cross.withColumn("__rk", row_number().over(wA))
+      .filter(col("__rk") === 1)
+    val margin = col("c") / ((col("__avg_a") + col("__avg_b")) / lit(2))
+    fwd.join(ka, "id_a").join(kb, "id_b")
+      .filter(margin > lit(marginThreshold))
+      .select(col("id_a"), col("id_b"), col("c").as("cosine"),
+        round(margin, 6).as("margin"))
+      .orderBy(col("margin").desc, col("id_a"))
+  }
+
   /** GENERATED DuckDB oracle for [[mmrRerank]] over the embeddings
     * table with queries `vec_id < nQueries`: one CTE pair per greedy
     * round replays the exact trajectory (same 4dp cosine inputs, same

@@ -898,6 +898,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(tie(0).getInt(1) == 1, "2-2 tie must take the smaller label")
   }
 
+  test("mineBitext matches a driver-side replay; hub pairs demoted") {
+    def r(x: Double, s: Int): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val rnd = new scala.util.Random(41)
+    def vec() = Array.fill(6)(rnd.nextFloat() * 2 - 1)
+    val aSide = (0L until 12L).map(id => (id, vec(), 0))
+    val bSide = (100L until 120L).map(id => (id, vec(), 1))
+    val corpus = (aSide ++ bSide).toDF("vec_id", "embedding", "label")
+    val k = 4
+
+    val cos = (for ((ia, va, _) <- aSide; (ib, vb, _) <- bSide)
+      yield ((ia, ib), r(dot(va, vb) / (nrm(va) * nrm(vb)), 4))).toMap
+    def avgA(ia: Long) = {
+      val top = bSide.map(b => (cos((ia, b._1)), b._1))
+        .sortBy { case (c, id) => (-c, id) }.take(k)
+      top.map(t => BigDecimal(java.math.BigDecimal.valueOf(t._1)))
+        .sum.toDouble / k
+    }
+    def avgB(ib: Long) = {
+      val top = aSide.map(a => (cos((a._1, ib)), a._1))
+        .sortBy { case (c, id) => (-c, id) }.take(k)
+      top.map(t => BigDecimal(java.math.BigDecimal.valueOf(t._1)))
+        .sum.toDouble / k
+    }
+    val want = aSide.flatMap { case (ia, _, _) =>
+      val (c, ib) = bSide.map(b => (cos((ia, b._1)), b._1))
+        .sortBy { case (cc, id) => (-cc, id) }.head
+      val m = c / ((avgA(ia) + avgB(ib)) / 2)
+      if (m > 1.0) Some((ia, ib, c, r(m, 6))) else None
+    }.toSet
+
+    val got = Similarity.mineBitext(corpus, "vec_id", "embedding",
+      col("label") === 0, col("label") === 1, k = k,
+      marginThreshold = 1.0)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1),
+        r0.getDouble(2), r0.getDouble(3))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should mine at least one pair")
+  }
+
   test("mmrRerank: diversity penalty demotes the redundant candidate") {
     // query (0.8, 0.6); candidates: c13 (0.6,0.8) rel .96 picked first;
     // c11 near-parallel to c13's neighborhood? — c10 (1,0) rel .8 but
