@@ -61,6 +61,20 @@ object Queries {
     try f finally s.conf.set(key, old)
   }
 
+  /** Pin ascending mtimes on staged stream-input dirs (one minute
+    * apart, listed order) so the file source triggers them as separate
+    * micro-batches in that order — the shared trick behind every
+    * multi-batch streaming gate. */
+  private def mtimeOrder(dirs: String*): Unit = {
+    val now = System.currentTimeMillis()
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      val tm = now - (dirs.length - 1 - i) * 60000L
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(tm)))
+    }
+  }
+
   // ---------------------------------------------------------------------
   // q0_flagship_pipeline — the full core engine end-to-end (Pointy DSL →
   // stage graph → runner → conditional + sink), semantics oracled as plain
@@ -1429,12 +1443,14 @@ object Queries {
       |  FROM n a CROSS JOIN n b
       |  WHERE a.label = 0 AND b.label = 1
       |), ka AS (
-      |  SELECT id_a, sum(c::decimal(18,4))::double / 4 AS avg_a FROM (
+      |  SELECT id_a, sum(c::decimal(18,4))::double / count(*) AS avg_a
+      |  FROM (
       |    SELECT *, row_number() OVER (PARTITION BY id_a
       |      ORDER BY c DESC, id_b) AS rk FROM x)
       |  WHERE rk <= 4 GROUP BY 1
       |), kb AS (
-      |  SELECT id_b, sum(c::decimal(18,4))::double / 4 AS avg_b FROM (
+      |  SELECT id_b, sum(c::decimal(18,4))::double / count(*) AS avg_b
+      |  FROM (
       |    SELECT *, row_number() OVER (PARTITION BY id_b
       |      ORDER BY c DESC, id_a) AS rk FROM x)
       |  WHERE rk <= 4 GROUP BY 1
@@ -4246,15 +4262,7 @@ object Queries {
     import s.implicits._
     Seq(StatefulOps.EventIn(-1L, 1893456000L * 1000000L, 0.0))
       .toDF().coalesce(1).write.parquet(s"$in/b2")
-    val now = System.currentTimeMillis()
-    def touch(d: String, t: Long): Unit = {
-      val p = java.nio.file.Paths.get(d)
-      java.nio.file.Files.walk(p).forEach(f =>
-        java.nio.file.Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(t)))
-    }
-    touch(s"$in/b1", now - 60000)
-    touch(s"$in/b2", now)
+    mtimeOrder(s"$in/b1", s"$in/b2")
     drain()
 
     s.read.parquet(out).filter(col("user_id") >= 0)
@@ -4311,13 +4319,7 @@ object Queries {
     // user's quiet period so the flush batch emits all final vectors
     Seq(StatefulOps.TypedEvent(-1L, 1893456000L * 1000000L, "view"))
       .toDF().coalesce(1).write.parquet(s"$in/b2")
-    val now = System.currentTimeMillis()
-    def touch(d: String, t: Long): Unit =
-      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach(f =>
-        java.nio.file.Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(t)))
-    touch(s"$in/b1", now - 60000)
-    touch(s"$in/b2", now)
+    mtimeOrder(s"$in/b1", s"$in/b2")
 
     val schema = Seq(StatefulOps.TypedEvent(0L, 0L, "")).toDF().schema
     val stream = s.readStream.schema(schema)
@@ -4395,13 +4397,7 @@ object Queries {
       .coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
     ev.filter(col("ts_us") >= cut)
       .coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
-    val now = System.currentTimeMillis()
-    def touch(d: String, t: Long): Unit =
-      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach(f =>
-        java.nio.file.Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(t)))
-    touch(s"$in/b1", now - 60000)
-    touch(s"$in/b2", now)
+    mtimeOrder(s"$in/b1", s"$in/b2")
 
     import s.implicits._
     val schema = Seq(StatefulOps.AttrEvent(0L, 0L, 0L, "", 0.0)).toDF().schema
@@ -5722,8 +5718,7 @@ object Queries {
       |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx,
       |         user_id AS u
       |  FROM events
-      |), days AS (SELECT DISTINCT day_idx FROM pairs),
-      |expl AS (
+      |), expl AS (
       |  SELECT day_idx + o.range AS day_idx, u FROM pairs, range(7) o
       |), wau AS (
       |  SELECT day_idx, count(DISTINCT u)::bigint AS wau
@@ -5731,8 +5726,8 @@ object Queries {
       |), dau AS (
       |  SELECT day_idx, count(*)::bigint AS dau FROM pairs GROUP BY 1
       |)
-      |SELECT d.day_idx, dau, wau
-      |FROM days d JOIN dau USING (day_idx) JOIN wau USING (day_idx)
+      |SELECT day_idx, dau, wau
+      |FROM dau JOIN wau USING (day_idx)
       |ORDER BY day_idx""".stripMargin
   ) { (s, dir) =>
     val ev = t(s, dir, "events").select(
@@ -5823,13 +5818,7 @@ object Queries {
       .coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
     ev.filter(col("ts_us") >= cut)
       .coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
-    val now = System.currentTimeMillis()
-    def touch(d: String, tm: Long): Unit =
-      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach(f =>
-        java.nio.file.Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(tm)))
-    touch(s"$in/b1", now - 60000)
-    touch(s"$in/b2", now)
+    mtimeOrder(s"$in/b1", s"$in/b2")
 
     def summarize(df: DataFrame): DataFrame = df
       .withColumn("hour_idx", expr("ts_us div 3600000000"))

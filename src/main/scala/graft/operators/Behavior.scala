@@ -373,14 +373,16 @@ object Behavior {
       .select(expr(s"$tsCol div 86400000000").as("day_idx"),
         col(userCol).as("__u"))
       .distinct())
-    val days = pairs.select("day_idx").distinct()
     val wau = pairs
       .select(explode(sequence(col("day_idx"),
         col("day_idx") + lit(windowDays - 1))).as("day_idx"), col("__u"))
       .groupBy("day_idx")
       .agg(countDistinct(col("__u")).as("wau"))
     val dau = pairs.groupBy("day_idx").agg(count(lit(1)).as("dau"))
-    days.join(dau, "day_idx").join(wau, "day_idx")
+    // the inner join with dau keeps exactly the observed days — the
+    // explode's phantom future days have no dau row and drop here
+    dau.join(wau, "day_idx")
+      .select("day_idx", "dau", "wau")
       .orderBy("day_idx")
   }
 

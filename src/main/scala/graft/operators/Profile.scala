@@ -161,7 +161,10 @@ object Profile {
     * between the column's min and max, one row per NON-EMPTY bucket
     * with its edges and count. NULLs are excluded; the max value lands
     * in the last bucket (half-open bins, closed at the top end); a
-    * constant column degenerates to one bucket.
+    * constant column degenerates to one bucket. NULLs AND NaNs are
+    * excluded — Spark orders NaN above every double, so one NaN in
+    * min/max would otherwise poison the width and silently collapse
+    * the whole histogram into the last bucket.
     *
     * Determinism contract: bin width and bin index are single double
     * expressions (`(max-min)/nBins`, `floor((x-min)/width)`) — the
@@ -175,7 +178,7 @@ object Profile {
   def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     require(nBins >= 1, "nBins must be positive")
     val vals = df.select(col(valueCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
     val bounds = broadcast(vals.agg(
       min("__v").as("__lo"), max("__v").as("__hi")))
     vals.crossJoin(bounds)

@@ -834,6 +834,7 @@ object Similarity {
       vecCol: String,
       labelCol: String,
       k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     val neighbors = bruteForceTopK(corpus, queries, idCol, vecCol, k)
     val labels = corpus.select(col(idCol).as("neighbor_id"),
@@ -870,8 +871,9 @@ object Similarity {
     * (broadcast the smaller side; swap in the IVF path at corpus
     * scale) and is lineage-cut once for its three consumers (k-NN
     * levels per side, forward-best); everything downstream is
-    * |A|+|B|-row aggregates and per-x windows. Assumes each side has
-    * ≥k counterparts (avgₖ divides by k unconditionally). */
+    * |A|+|B|-row aggregates and per-x windows. A side with fewer than
+    * k counterparts averages over what exists — margins stay honest
+    * on thin sides. */
   def mineBitext(
       corpus: DataFrame,
       idCol: String,
@@ -895,14 +897,17 @@ object Similarity {
       .select("id_a", "id_b", "c"))
     val wA = Window.partitionBy("id_a").orderBy(col("c").desc, col("id_b"))
     val wB = Window.partitionBy("id_b").orderBy(col("c").desc, col("id_a"))
+    // divide by the ACTUAL neighbor count (== k whenever a side has
+    // ≥k counterparts): a thin side must not understate its k-NN
+    // level and silently inflate every margin
     val ka = cross.withColumn("__rk", row_number().over(wA))
       .filter(col("__rk") <= k).groupBy("id_a")
-      .agg((sum(col("c").cast("decimal(18,4)")).cast("double") / lit(k))
-        .as("__avg_a"))
+      .agg((sum(col("c").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("__avg_a"))
     val kb = cross.withColumn("__rk", row_number().over(wB))
       .filter(col("__rk") <= k).groupBy("id_b")
-      .agg((sum(col("c").cast("decimal(18,4)")).cast("double") / lit(k))
-        .as("__avg_b"))
+      .agg((sum(col("c").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("__avg_b"))
     val fwd = cross.withColumn("__rk", row_number().over(wA))
       .filter(col("__rk") === 1)
     val margin = col("c") / ((col("__avg_a") + col("__avg_b")) / lit(2))

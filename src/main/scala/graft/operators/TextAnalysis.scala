@@ -675,30 +675,6 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
-  /** PMI collocations: the corpus's strongest two-word associations —
-    * `pmi(x,y) = ln(p(x,y) / (p(x)·p(y)))` over adjacent-word bigrams,
-    * the classic collocation-extraction signal (Church & Hanks 1990)
-    * and a standard corpus-quality probe (template/boilerplate corpora
-    * show degenerate PMI tails). Returns the top-k pairs with
-    * `c_xy >= minCount` as `(w1, w2, c_xy, pmi)`, PMI rounded to 6dp,
-    * ties broken on the words.
-    *
-    * Numeric contract: counts are exact longs; the PMI argument is one
-    * integer-valued double product chain (exact below 2^53, the case
-    * for any corpus whose `c_xy·N²` fits — document-scale counts), so
-    * both engines take `ln` of the SAME double and 6dp rounding
-    * agrees.
-    *
-    * Scale shape: tokens explode straight out of the scan twice (once
-    * for unigrams, once for the bigram window) — deliberately NOT
-    * lineage-cut: a token-level materialization is corpus-sized, while
-    * the re-scan is a cheap pushdown projection. The bigram window
-    * partitions on the doc id (bounded by one doc), both count
-    * aggregates have map-side partials, totals ride as broadcast 1-row
-    * aggregates, and the vocabulary joins are plain equi-joins AQE
-    * broadcasts when the vocab is dimension-sized. Output is capped by
-    * `minCount` + TakeOrdered — never a global sort of the pair space.
-    */
   /** Per-document TF-IDF keyword extraction: the top-`topK` terms of
     * each document by `tf · ln((N+1)/(df+1))` — the baseline topic
     * tagger a curation pipeline uses for routing, mixture labels, and
@@ -737,6 +713,30 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** PMI collocations: the corpus's strongest two-word associations —
+    * `pmi(x,y) = ln(p(x,y) / (p(x)·p(y)))` over adjacent-word bigrams,
+    * the classic collocation-extraction signal (Church & Hanks 1990)
+    * and a standard corpus-quality probe (template/boilerplate corpora
+    * show degenerate PMI tails). Returns the top-k pairs with
+    * `c_xy >= minCount` as `(w1, w2, c_xy, pmi)`, PMI rounded to 6dp,
+    * ties broken on the words.
+    *
+    * Numeric contract: counts are exact longs; the PMI argument is one
+    * integer-valued double product chain (exact below 2^53, the case
+    * for any corpus whose `c_xy·N²` fits — document-scale counts), so
+    * both engines take `ln` of the SAME double and 6dp rounding
+    * agrees.
+    *
+    * Scale shape: tokens explode straight out of the scan twice (once
+    * for unigrams, once for the bigram window) — deliberately NOT
+    * lineage-cut: a token-level materialization is corpus-sized, while
+    * the re-scan is a cheap pushdown projection. The bigram window
+    * partitions on the doc id (bounded by one doc), both count
+    * aggregates have map-side partials, totals ride as broadcast 1-row
+    * aggregates, and the vocabulary joins are plain equi-joins AQE
+    * broadcasts when the vocab is dimension-sized. Output is capped by
+    * `minCount` + TakeOrdered — never a global sort of the pair space.
+    */
   def pmiCollocations(
       docs: DataFrame,
       idCol: String,
