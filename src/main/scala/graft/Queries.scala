@@ -5709,6 +5709,45 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // q39_analytics_pipeline — the behavioral-analytics story through the
+  // Pointy DSL (AnalyticsPipeline): Load |-> HealthGate (conditional
+  // error-flood routing) |-> last-touch Attribution |-> revenue-share
+  // report. The oracle replays the WHOLE chain in SQL; the Alert arm
+  // is exercised in spec (error-flooded input routes to the alert row).
+  register(
+    "q39_analytics_pipeline",
+    """WITH seq AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+      |         last_value(CASE WHEN event_type IN ('click','view','signup')
+      |                         THEN epoch_us(ts) END IGNORE NULLS)
+      |           OVER w AS t_ts,
+      |         last_value(CASE WHEN event_type IN ('click','view','signup')
+      |                         THEN event_type END IGNORE NULLS)
+      |           OVER w AS t_tp
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), conv AS (
+      |  SELECT CASE WHEN t_ts IS NOT NULL AND t_ts >= ts_us - 604800000000
+      |              THEN t_tp ELSE 'unattributed' END AS channel,
+      |         value,
+      |         CASE WHEN t_ts IS NOT NULL AND t_ts >= ts_us - 604800000000
+      |              THEN ts_us - t_ts END AS lag_us
+      |  FROM seq WHERE event_type = 'purchase'
+      |), chan AS (
+      |  SELECT channel, count(*)::bigint AS n_conversions,
+      |         round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS revenue,
+      |         round(sum(lag_us)::double / count(lag_us) / 1e6, 2)
+      |           AS avg_lag_sec
+      |  FROM conv GROUP BY 1
+      |), tot AS (SELECT round(sum(revenue), 2) AS t FROM chan)
+      |SELECT channel, n_conversions, revenue, avg_lag_sec,
+      |       round(revenue / (SELECT t FROM tot), 6) AS revenue_share
+      |FROM chan
+      |ORDER BY channel""".stripMargin
+  ) { (s, dir) => AnalyticsPipeline.run(s, dir) }
+
+  // ---------------------------------------------------------------------
   // aq49_active_users — sliding-window DAU/WAU (Behavior.activeUsers):
   // distinct (day, user) pairs explode forward into the 7 windows they
   // serve, one distinct-count per target day — no per-day union loops.
