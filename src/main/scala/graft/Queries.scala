@@ -5776,6 +5776,49 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // aq50_ab_test — Welch's z over hash-assigned arms (Stats.abTest):
+  // per event type, compare `value` between the user_id-parity cohorts.
+  // Decimal Σv / Σv² feed fixed-order double expressions, so means,
+  // variances, and z replay bit-identically. One conditional aggregate,
+  // no pivot, no join.
+  register(
+    "aq50_ab_test",
+    """WITH s AS (
+      |  SELECT event_type,
+      |         count(CASE WHEN user_id % 2 = 0 THEN 1 END)::bigint AS n_a,
+      |         count(CASE WHEN user_id % 2 = 1 THEN 1 END)::bigint AS n_b,
+      |         sum(CASE WHEN user_id % 2 = 0
+      |             THEN CAST(value AS DECIMAL(18,4)) END) AS sv_a,
+      |         sum(CASE WHEN user_id % 2 = 1
+      |             THEN CAST(value AS DECIMAL(18,4)) END) AS sv_b,
+      |         sum(CASE WHEN user_id % 2 = 0
+      |             THEN round(value * value, 8)::decimal(28,8) END) AS ss_a,
+      |         sum(CASE WHEN user_id % 2 = 1
+      |             THEN round(value * value, 8)::decimal(28,8) END) AS ss_b
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT event_type, n_a, n_b,
+      |       round(sv_a::double / n_a, 6) AS mean_a,
+      |       round(sv_b::double / n_b, 6) AS mean_b,
+      |       CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+      |         round((sv_a::double / n_a - sv_b::double / n_b)
+      |               / sqrt((ss_a::double
+      |                       - n_a * (sv_a::double / n_a)
+      |                             * (sv_a::double / n_a)) / (n_a - 1) / n_a
+      |                      + (ss_b::double
+      |                         - n_b * (sv_b::double / n_b)
+      |                               * (sv_b::double / n_b)) / (n_b - 1) / n_b),
+      |               4)
+      |       END AS welch_z
+      |FROM s
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.abTest(
+      t(s, dir, "events"), "value",
+      armA = col("user_id") % 2 === 0, groupCols = Seq("event_type"))
+  }
+
+  // ---------------------------------------------------------------------
   // aq48_cusum — CUSUM changepoint detection (Behavior
   // .cusumChangepoints): per-type hourly rates on each series' own
   // min..max grid (gaps count 0), one-sided CUSUM in integer units

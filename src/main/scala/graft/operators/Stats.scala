@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experimentation statistics — the A/B-test readout every
+  * product/ops event pipeline ends in: per metric group, compare the
+  * two assignment arms with Welch's unequal-variance z statistic
+  *
+  *   z = (m_A − m_B) / sqrt(s²_A/n_A + s²_B/n_B).
+  *
+  * Numeric contract: per-arm Σv is an exact DECIMAL(18,4) sum and Σv²
+  * an exact DECIMAL sum of 8dp-rounded squares, so every downstream
+  * double expression (means, sample variances, z) computes from
+  * bit-identical inputs with a fixed operation order — any engine
+  * replaying the same rows produces the same rounded statistics.
+  * (The z is reported without the Welch–Satterthwaite dof — at event
+  * counts the normal approximation is the operative readout.)
+  */
+object Stats {
+
+  /** One row per group:
+    * `(group..., n_a, n_b, mean_a, mean_b, welch_z)` — `armA` selects
+    * arm A rows, everything else is arm B. Groups where either arm has
+    * fewer than 2 observations yield NULL z (undefined variance).
+    *
+    * Scale shape: ONE conditional aggregate over the group keys with
+    * map-side partials — no pivot, no second pass, no join. */
+  def abTest(
+      df: DataFrame,
+      metricCol: String,
+      armA: Column,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = col(metricCol)
+    val dec = v.cast("decimal(18,4)")
+    val sq = round(v * v, 8).cast("decimal(28,8)")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(when(armA, 1)).as("n_a"),
+        count(when(!armA, 1)).as("n_b"),
+        sum(when(armA, dec)).as("__sv_a"),
+        sum(when(!armA, dec)).as("__sv_b"),
+        sum(when(armA, sq)).as("__ss_a"),
+        sum(when(!armA, sq)).as("__ss_b"))
+    def mean(sv: Column, n: Column) = sv.cast("double") / n
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val (ma, mb) = (mean(col("__sv_a"), na), mean(col("__sv_b"), nb))
+    val va = (col("__ss_a").cast("double") - na * ma * ma) / (na - 1) / na
+    val vb = (col("__ss_b").cast("double") - nb * mb * mb) / (nb - 1) / nb
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        na, nb,
+        round(ma, 6).as("mean_a"),
+        round(mb, 6).as("mean_b"),
+        when(na >= 2 && nb >= 2,
+          round((ma - mb) / sqrt(va + vb), 4)).as("welch_z")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+}
