@@ -4717,6 +4717,20 @@ object Queries {
       t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
   }
 
+  // sq14_cluster_quality — per-cell cohesion over the SAME k-means
+  // trajectory as aq33 (Clustering.cellQuality): each vector's 4dp
+  // cosine to its chosen centroid, aggregated per cell (decimal-summed
+  // avg + min). Loose cells = topic mixtures a cluster-balanced mixer
+  // should split further. The oracle reuses aq33's unrolled rounds
+  // with a cohesion tail.
+  register(
+    "sq14_cluster_quality",
+    graft.operators.Clustering.qualityOracleSql(8, 2)
+  ) { (s, dir) =>
+    graft.operators.Clustering.cellQuality(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+  }
+
   // aq34_profile — column-level data profiling (operators/Profile): one
   // aggregation pass computes every column's null count, exact distinct
   // cardinality, and range, unpivoted to a row per column — the ANALYZE

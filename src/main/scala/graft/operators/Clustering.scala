@@ -33,14 +33,17 @@ object Clustering {
   /** `iters` assign+update rounds from the k lowest-id seeds, then a
     * final assignment under the refined centroids. Returns one row per
     * cell: (cell_id, n_vecs, share, centroid_norm). */
-  def kmeansCellStats(
+  /** Seed + fit: `iters` Lloyd rounds from the k lowest-id vectors
+    * (shared by [[kmeansCellStats]] and [[cellQuality]] so the two
+    * gates replay the SAME trajectory). Returns `(base, centroids)`
+    * where base is the lineage-cut `(id, v)` frame. */
+  private def lloydFit(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): (DataFrame, Seq[(Long, Array[Float])]) = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
-    val spark = corpus.sparkSession
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
 
     var cents: Seq[(Long, Array[Float])] = corpus
@@ -79,6 +82,17 @@ object Clustering {
         }
       }
     }
+    (base, cents)
+  }
+
+  def kmeansCellStats(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val (base, cents) = lloydFit(corpus, idCol, vecCol, k, iters)
 
     val counts = Lineage.cutLocal(base
       .select(Similarity.cosineArgmaxCell(col("v"), cents).as("cell_id"))
@@ -105,10 +119,67 @@ object Clustering {
       .orderBy("cell_id")
   }
 
+  /** Per-cell cohesion report over the SAME deterministic trajectory
+    * as [[kmeansCellStats]]: each vector's 4dp cosine to its chosen
+    * centroid, aggregated per cell — `(cell_id, n_vecs, avg_sim,
+    * min_sim)`. The clustering-quality probe behind "are these cells
+    * tight enough to sample from": loose cells (low avg, low min) are
+    * topic mixtures a cluster-balanced mixer should split further.
+    * avg_sim is a decimal sum of 4dp sims divided once in double —
+    * exact in any engine; empty cells emit no row (they have no
+    * members to measure).
+    *
+    * Scale shape: the fit is [[lloydFit]] (bounded aggregates); the
+    * report adds one map-side argmax projection + a k-ary aggregate. */
+  def cellQuality(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val (base, cents) = lloydFit(corpus, idCol, vecCol, k, iters)
+    base
+      .select(Similarity.cosineArgmaxCellWithSim(col("v"), cents).as("b"))
+      .select(col("b.cell_id").as("cell_id"), col("b.sim").as("sim"))
+      .groupBy("cell_id")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("sim").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 6).as("avg_sim"),
+        min("sim").as("min_sim"))
+      .orderBy("cell_id")
+  }
+
   /** DuckDB replay of [[kmeansCellStats]] — `iters` unrolled Lloyd
     * rounds over the embeddings table. Generated next to the engine
     * code so the two stay one edit apart. */
-  def oracleSql(k: Int, iters: Int): String = {
+  def oracleSql(k: Int, iters: Int): String =
+    trajectorySql(k, iters) + s""",
+      |cnt AS (
+      |  SELECT cell_id, count(*)::bigint AS n_vecs FROM af GROUP BY 1
+      |)
+      |SELECT c.cell_id,
+      |       coalesce(cnt.n_vecs, 0)::bigint AS n_vecs,
+      |       coalesce(round(cnt.n_vecs / (SELECT sum(n_vecs) FROM cnt), 4),
+      |                0.0) AS share,
+      |       round(c.cn, 4) AS centroid_norm
+      |FROM c$iters c LEFT JOIN cnt USING (cell_id)
+      |ORDER BY cell_id""".stripMargin
+
+  /** DuckDB replay of [[cellQuality]] — same unrolled trajectory, the
+    * per-cell cohesion tail. */
+  def qualityOracleSql(k: Int, iters: Int): String =
+    trajectorySql(k, iters) + s"""
+      |SELECT cell_id, count(*)::bigint AS n_vecs,
+      |       round(sum(sim::decimal(18,4))::double / count(*), 6)
+      |         AS avg_sim,
+      |       min(sim) AS min_sim
+      |FROM af GROUP BY 1
+      |ORDER BY cell_id""".stripMargin
+
+  /** Shared CTE chain: seeds → `iters` Lloyd rounds → final assignment
+    * `af(vec_id, cell_id, sim)` under the refined centroids `c$iters`. */
+  private def trajectorySql(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH e AS (
@@ -161,20 +232,11 @@ object Clustering {
       |                 p -> p[1] * p[2])) / (n.nrm * c.cn), 4) AS sim
       |  FROM n CROSS JOIN $last c
       |), af AS (
-      |  SELECT vec_id, cell_id FROM (
-      |    SELECT vec_id, cell_id, row_number() OVER (
+      |  SELECT vec_id, cell_id, sim FROM (
+      |    SELECT vec_id, cell_id, sim, row_number() OVER (
       |      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rk
       |    FROM sf) WHERE rk = 1
-      |), cnt AS (
-      |  SELECT cell_id, count(*)::bigint AS n_vecs FROM af GROUP BY 1
-      |)
-      |SELECT c.cell_id,
-      |       coalesce(cnt.n_vecs, 0)::bigint AS n_vecs,
-      |       coalesce(round(cnt.n_vecs / (SELECT sum(n_vecs) FROM cnt), 4),
-      |                0.0) AS share,
-      |       round(c.cn, 4) AS centroid_norm
-      |FROM $last c LEFT JOIN cnt USING (cell_id)
-      |ORDER BY cell_id""".stripMargin)
+      |)""".stripMargin)
     sb.toString
   }
 

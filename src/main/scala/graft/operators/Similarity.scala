@@ -293,6 +293,20 @@ object Similarity {
     -array_max(array(scored: _*)).getField("neg_cell")
   }
 
+  /** [[cosineArgmaxCell]] that also returns the winning similarity:
+    * a struct `(sim, cell_id)` — same metric, rounding, tie-break. */
+  private[operators] def cosineArgmaxCellWithSim(
+      vec: Column, centroids: Seq[(Long, Array[Float])]): Column = {
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(
+        round(cosine(vec, typedLit(cvec)), 4).as("sim"),
+        lit(-cid).as("neg_cell"))
+    }
+    val best = array_max(array(scored: _*))
+    struct(best.getField("sim").as("sim"),
+      (-best.getField("neg_cell")).as("cell_id"))
+  }
+
   /** ANN top-k through a k-means IVF index. */
   def ivfKMeansTopK(
       indexed: DataFrame,

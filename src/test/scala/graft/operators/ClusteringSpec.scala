@@ -57,4 +57,24 @@ class ClusteringSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(6L, 5L, 4L))
   }
+
+  test("cellQuality: planted tight clusters score near-1 cohesion") {
+    // two orthogonal families of near-identical vectors: each cell's
+    // members hug their centroid, so avg_sim ~ 1 and min_sim high;
+    // counts partition the corpus
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Float]) =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val d = ((1L to 20L).map(i => (i, jitter(a))) ++
+      (21L to 40L).map(i => (i, jitter(b))))
+      .toDF("vec_id", "v")
+    val out = Clustering.cellQuality(d, "vec_id", "v", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.map(_._2).sum == 40L, "members partition the corpus")
+    assert(out.forall(_._3 >= 0.99), s"tight cells must cohere: ${out.toSeq}")
+    assert(out.forall(c => c._4 <= c._3 && c._3 <= 1.0))
+  }
 }
