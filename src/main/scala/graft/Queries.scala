@@ -5949,6 +5949,37 @@ object Queries {
   }}
 
   // ---------------------------------------------------------------------
+  // q40_cas_commit — optimistic-concurrency table commits
+  // (ResultStore.overwriteIf): a half-table rollup commits under a None
+  // token, then the full rollup REPLACES it conditionally on the
+  // returned version — the read-check-commit primitive that prevents
+  // lost updates between racing jobs. The refusal arms (creation race,
+  // stale token, winner-intact) are spec-pinned; the gate proves the
+  // CAS success path commits exactly the derived content.
+  register(
+    "q40_cas_commit",
+    """SELECT c_nationkey, count(*)::bigint AS n_cust,
+      |       round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2)::double
+      |         AS total_bal
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val store = new graft.sources.ResultStore(s, scratchDir("q40"))
+    def rollup(df: DataFrame) = df
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_bal"))
+    val cust = t(s, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val v0 = store.overwriteIf("t",
+      rollup(cust.filter(col("c_custkey") % 2 === 0)), None)
+    store.overwriteIf("t", rollup(cust), Some(v0))
+    store.read("t").orderBy("c_nationkey")
+  }
+
+  // ---------------------------------------------------------------------
   // q38_mv_maintenance — incremental materialized-view maintenance
   // (operators/Materialized.additiveMerge): an hourly per-type summary
   // MV built from events before the time midpoint, then the later half

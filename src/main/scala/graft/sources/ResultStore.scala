@@ -121,6 +121,12 @@ class ResultStore(spark: SparkSession, root: String) {
   /** Whether the schema has any committed data. */
   def hasSchema(schema: String): Boolean = exists0(schema)
 
+  /** The committed version the pointer currently references — the
+    * token an optimistic writer reads before deriving an update and
+    * passes back to [[overwriteIf]]. */
+  def committedVersion(schema: String): Option[String] =
+    currentVersion(schema)
+
   /** On-disk generations readable right now, newest first. The GC
     * contract bounds this to the current generation plus the retained
     * previous one — the same one-generation time travel a lazy reader
@@ -199,6 +205,40 @@ class ResultStore(spark: SparkSession, root: String) {
     }
 
   def overwrite(schema: String, df: DataFrame): Unit = commit(schema, df)
+
+  /** Optimistic-concurrency overwrite (the lake-style
+    * read-check-commit primitive): commit `df` only if the table's
+    * committed version still equals `expected` (None = the schema must
+    * not exist yet). Returns the committed version on success; throws
+    * [[java.util.ConcurrentModificationException]] when another writer
+    * got there first — the caller re-reads, re-derives, and retries,
+    * which is exactly how lost updates are prevented when two
+    * long-running jobs race on one table.
+    *
+    * The check runs after the (expensive) data write and again
+    * immediately before the atomic pointer flip; the residual
+    * check-to-rename window is process-local and OS-scheduler-thin —
+    * the same single-filesystem caveat every local commit here has
+    * (a distributed deployment swaps the pointer flip for its object
+    * store's conditional put, the documented Delta/Iceberg boundary).
+    * A refused commit leaves the winner's table untouched; the loser's
+    * stranded version directory is collected by the next flip's GC. */
+  def overwriteIf(
+      schema: String, df: DataFrame, expected: Option[String]): String = {
+    def check(): Unit = {
+      val cur = currentVersion(schema)
+      if (cur != expected)
+        throw new java.util.ConcurrentModificationException(
+          s"schema '$schema': expected version $expected but found $cur")
+    }
+    check()
+    val version = nextVersion(schema)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$schema/$version")
+    beforeSwapHook()
+    check()
+    flipPointer(schema, version, keepPrevious = expected)
+    version
+  }
 
   def read(schema: String): DataFrame = spark.read.parquet(dataPath(schema))
 

@@ -672,6 +672,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.versions("t") == vs, "no new generation for a no-op")
   }
 
+  test("overwriteIf: losers refused, winner intact, retry with fresh token") {
+    val root = tmpDir()
+    val a = new ResultStore(spark, root)
+    val b = new ResultStore(spark, root)
+    // creation race: None token — first writer wins, second refused
+    val v0 = a.overwriteIf("t", Seq(KV(1, "a")).toDF(), None)
+    intercept[java.util.ConcurrentModificationException](
+      b.overwriteIf("t", Seq(KV(9, "x")).toDF(), None))
+    assert(a.committedVersion("t").contains(v0))
+    // a reads its token, b commits in between → a's CAS must refuse
+    val tokenA = a.committedVersion("t")
+    b.overwrite("t", Seq(KV(2, "b")).toDF())
+    intercept[java.util.ConcurrentModificationException](
+      a.overwriteIf("t", Seq(KV(3, "lost-update")).toDF(), tokenA))
+    // the winner's data is untouched by the refused commit
+    assert(a.read("t").collect().map(_.getAs[Long]("k")).toSeq == Seq(2L))
+    // retry with a fresh token succeeds
+    val v2 = a.overwriteIf("t", Seq(KV(3, "c")).toDF(),
+      a.committedVersion("t"))
+    assert(a.committedVersion("t").contains(v2))
+    assert(a.read("t").collect().map(_.getAs[Long]("k")).toSeq == Seq(3L))
+  }
+
   test("compact crash before the pointer flip leaves the table intact") {
     val root = tmpDir()
     val healthy = new ResultStore(spark, root)
