@@ -4731,6 +4731,45 @@ object Queries {
       t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
   }
 
+  // sq15_ood_scores — embedding OOD gate by diagonal Mahalanobis
+  // (Similarity.oodScores): per-dim corpus moments (decimal-pinned, the
+  // Welch recipe), per-vector Σ((x−μ)/σ)² with 6dp decimal-summed
+  // terms, top-50. One explode pass each for stats and scoring, both
+  // dim-bounded; TakeOrdered output.
+  register(
+    "sq15_ood_scores",
+    """WITH ex AS (
+      |  SELECT vec_id,
+      |         generate_subscripts(embedding, 1) - 1 AS dim,
+      |         unnest(embedding)::double AS x
+      |  FROM embeddings
+      |), st AS (
+      |  SELECT dim, count(*)::bigint AS n,
+      |         sum(round(x, 6)::decimal(28,6)) AS sx,
+      |         sum(round(x * x, 8)::decimal(28,8)) AS sxx
+      |  FROM ex GROUP BY 1
+      |), ms AS (
+      |  SELECT dim, sx::double / n AS mu,
+      |         (sxx::double - n * (sx::double / n) * (sx::double / n))
+      |           / (n - 1) AS var
+      |  FROM st
+      |)
+      |SELECT vec_id, round(sum(t)::double, 4) AS score
+      |FROM (
+      |  SELECT e.vec_id,
+      |         round(((e.x - m.mu) / sqrt(m.var))
+      |               * ((e.x - m.mu) / sqrt(m.var)), 6)::decimal(28,6) AS t
+      |  FROM ex e JOIN ms m USING (dim)
+      |  WHERE m.var > 0
+      |)
+      |GROUP BY 1
+      |ORDER BY score DESC, vec_id
+      |LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    Similarity.oodScores(t(s, dir, "embeddings"), "vec_id", "embedding",
+      topK = 50)
+  }
+
   // aq34_profile — column-level data profiling (operators/Profile): one
   // aggregation pass computes every column's null count, exact distinct
   // cardinality, and range, unpivoted to a row per column — the ANALYZE

@@ -932,6 +932,60 @@ object Similarity {
       .orderBy(col("margin").desc, col("id_a"))
   }
 
+  /** Embedding OOD scoring by diagonal Mahalanobis distance — the
+    * cheap outlier gate an embedding-QA pass runs before trusting a
+    * corpus's vectors (broken encoders, zero rows, scale drift all
+    * surface as extreme scores): per dimension the corpus mean and
+    * sample variance, then each vector scores
+    * `Σ_d ((x_d − μ_d)/σ_d)²` — the full-covariance Mahalanobis with
+    * the off-diagonal terms dropped (the standard large-scale
+    * simplification; a d×d covariance inverse is neither needed nor
+    * wanted at 100 TB). Returns the top-k by score,
+    * `(vec_id, score)`, ties on the id.
+    *
+    * Determinism contract: per-dim Σx and Σx² are DECIMAL sums of
+    * 6/8dp-rounded doubles; μ/σ² derive in fixed-order double
+    * arithmetic (the Welch recipe); each vector's per-dim terms round
+    * to 6dp and sum as DECIMAL — every stage order-independent and
+    * engine-exact. Constant dimensions (σ² = 0) are excluded from
+    * every vector's score rather than dividing by zero.
+    *
+    * Scale shape: one posexplode pass → dim-bounded stats aggregate
+    * (broadcast back), one scoring pass riding the same explode with a
+    * dim-bounded join, TakeOrdered top-k. Nothing scales beyond
+    * corpus × dim rows with map-side partials. */
+  def oodScores(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    def exploded = corpus.select(col(idCol).as("vec_id"),
+      posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val stats = broadcast(exploded
+      .groupBy("dim")
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("x"), 6).cast("decimal(28,6)")).as("__sx"),
+        sum(round(col("x") * col("x"), 8).cast("decimal(28,8)"))
+          .as("__sxx"))
+      .withColumn("__mu", col("__sx").cast("double") / col("__n"))
+      .withColumn("__var",
+        (col("__sxx").cast("double") - col("__n") * col("__mu") *
+          col("__mu")) / (col("__n") - 1))
+      .select("dim", "__mu", "__var"))
+    exploded.join(stats, "dim")
+      .filter(col("__var") > 0.0)
+      .select(col("vec_id"),
+        round(((col("x") - col("__mu")) / sqrt(col("__var"))) *
+          ((col("x") - col("__mu")) / sqrt(col("__var"))), 6)
+          .cast("decimal(28,6)").as("__t"))
+      .groupBy("vec_id")
+      .agg(round(sum(col("__t")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** GENERATED DuckDB oracle for [[mmrRerank]] over the embeddings
     * table with queries `vec_id < nQueries`: one CTE pair per greedy
     * round replays the exact trajectory (same 4dp cosine inputs, same

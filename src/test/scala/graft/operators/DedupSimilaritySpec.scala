@@ -898,6 +898,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(tie(0).getInt(1) == 1, "2-2 tie must take the smaller label")
   }
 
+  test("oodScores: planted outlier ranks first, constant dims ignored") {
+    val rnd = new scala.util.Random(17)
+    // dim 0 is CONSTANT (var 0 — must be excluded, not divided by),
+    // dims 1..4 are N-ish background; vec 99 is scaled 10x
+    def vec(scale: Float) =
+      1.5f +: Array.fill(4)((rnd.nextFloat() - 0.5f) * scale)
+    val corpus = ((1L to 40L).map(i => (i, vec(1.0f))) :+
+      ((99L, 1.5f +: Array.fill(4)(5.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.oodScores(corpus, "vec_id", "embedding", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.head._1 == 99L, s"outlier must rank first: ${out.toSeq}")
+    assert(out.forall(r => !r._2.isNaN && !r._2.isInfinite),
+      "constant dimension must not poison scores")
+    assert(out.head._2 > 10 * out(1)._2,
+      "outlier score should dominate the background")
+  }
+
   test("mineBitext matches a driver-side replay; hub pairs demoted") {
     def r(x: Double, s: Int): Double = java.math.BigDecimal.valueOf(x)
       .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
