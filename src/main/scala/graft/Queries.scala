@@ -5801,6 +5801,52 @@ object Queries {
   ) { (s, dir) => AnalyticsPipeline.run(s, dir) }
 
   // ---------------------------------------------------------------------
+  // aq51_funnel_lags — time-to-convert percentiles per funnel
+  // transition (Behavior.funnelLagPercentiles): exact interpolated
+  // p50/p90 of the per-user step lag — the tail readout aq27's mean
+  // hides. Same strictly-after machinery as the funnel (shared step
+  // builder), Spark percentile == DuckDB quantile_cont.
+  register(
+    "aq51_funnel_lags",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+      |), s1 AS (
+      |  SELECT user_id, min(ts_us) AS t FROM ev
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, min(e.ts_us) AS t, min(s1.t) AS tp
+      |  FROM ev e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, min(e.ts_us) AS t, min(s2.t) AS tp
+      |  FROM ev e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1
+      |)
+      |SELECT * FROM (
+      |  SELECT 2 AS step, 'click' AS step_name, count(*)::bigint AS n_users,
+      |         round(quantile_cont((t - tp)::double / 1e6, 0.5), 3)
+      |           AS p50_sec,
+      |         round(quantile_cont((t - tp)::double / 1e6, 0.9), 3)
+      |           AS p90_sec
+      |  FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', count(*)::bigint,
+      |         round(quantile_cont((t - tp)::double / 1e6, 0.5), 3),
+      |         round(quantile_cont((t - tp)::double / 1e6, 0.9), 3)
+      |  FROM s3
+      |) ORDER BY step""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_type"))
+    graft.operators.Behavior.funnelLagPercentiles(
+      ev, "user_id", "ts_us", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+  }
+
+  // ---------------------------------------------------------------------
   // aq49_active_users — sliding-window DAU/WAU (Behavior.activeUsers):
   // distinct (day, user) pairs explode forward into the 7 windows they
   // serve, one distinct-count per target day — no per-day union loops.

@@ -372,6 +372,36 @@ object ScaleStress {
     // PMI: token volume dominates; pair space is vocab-bounded
     time("pmi_4x")(operators.TextAnalysis.pmiCollocations(
       dup(4), "doc_id", "text", minCount = 5L, topK = 40).count())
+    // round-6d operators. Bitext mining: replicas keep their labels, so
+    // sides A and B both grow 4x and the A×B candidate frame 16x — the
+    // quadratic stage is the one being measured (the production path
+    // swaps in ANN candidates; this pins the exact-score ceiling).
+    // Expected OUTPUT at 4x is ~zero pairs: every vector's k-NN level
+    // saturates at its exact replicas (cos 1.0), so no pair clears
+    // margin > 1 — the hubness normalization working as designed.
+    def embDupL(k: Int) = (0 until k).map(i => emb1.select(
+      (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+      col("embedding"), col("label"))).reduce(_ union _)
+    time("bitext_1x")(operators.Similarity.mineBitext(
+      embDupL(1), "vec_id", "embedding",
+      col("label") === 0, col("label") === 1).count())
+    time("bitext_4x")(operators.Similarity.mineBitext(
+      embDupL(4), "vec_id", "embedding",
+      col("label") === 0, col("label") === 1).count())
+    // OOD: two dim-bounded explode passes — linear
+    time("ood_4x")(operators.Similarity.oodScores(
+      embDupL(4), "vec_id", "embedding", topK = 50).count())
+    // CUSUM / DAU-WAU / A-B: window + aggregate machinery, linear
+    val evT = (k: Int) => evDup(k)
+      .withColumn("event_type", (col("user_id") % 5).cast("string"))
+    time("cusum_4x")(operators.Behavior.cusumChangepoints(
+      evT(4).withColumn("ts", timestamp_micros(col("ts_us"))),
+      "event_type", "ts", slackCounts = 1L, thresholdCounts = 8L).count())
+    time("active_users_4x")(operators.Behavior.activeUsers(
+      evDup(4), "user_id", "ts_us").count())
+    time("ab_4x")(operators.Stats.abTest(
+      evT(4), "value", col("user_id") % 2 === 0,
+      Seq("event_type")).count())
     spark.stop()
   }
 }

@@ -47,20 +47,20 @@ object Behavior {
     * data size. Per-step frames feed two consumers (the step count and
     * the next step's join) — cut locally so the shuffle runs once.
     */
-  def funnel(
+  /** Per-step converted-user frames `(user, __t, __lag_us)` — the
+    * shared machinery behind [[funnel]] and [[funnelLagPercentiles]]
+    * (one helper so the two gates can never drift on the
+    * strictly-after semantics). */
+  private def funnelConverted(
       events: DataFrame,
       userCol: String,
       tsCol: String,
-      steps: Seq[(String, Column)]): DataFrame = {
+      steps: Seq[(String, Column)]): Seq[(String, DataFrame)] = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val spark = events.sparkSession
-    import spark.implicits._
-
-    // per-step converted users: (user, conversion ts, lag from prev)
     var converted: DataFrame = null
-    val perStep = steps.zipWithIndex.map { case ((name, pred), i) =>
+    steps.map { case (name, pred) =>
       converted =
-        if (i == 0)
+        if (converted == null)
           events.filter(pred)
             .groupBy(col(userCol))
             .agg(min(col(tsCol)).as("__t"))
@@ -76,15 +76,58 @@ object Behavior {
             .withColumn("__lag_us", col("__t") - col("__tp"))
             .transform(Lineage.cutLocal)
         }
-      // integer sum / integer count, divided once in double: the same
-      // IEEE operations in the oracle engine, so the rounding agrees
-      converted.agg(
-        count(lit(1)).as("n_users"),
-        round(sum(col("__lag_us")).cast("double") /
-          count(col("__lag_us")) / 1e6, 2).as("avg_lag_sec"))
-        .select(lit(i + 1).as("step"), lit(name).as("step_name"),
-          col("n_users"), col("avg_lag_sec"))
+      (name, converted)
     }
+  }
+
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      steps: Seq[(String, Column)]): DataFrame = {
+    val perStep = funnelConverted(events, userCol, tsCol, steps)
+      .zipWithIndex.map { case ((name, converted), i) =>
+        // integer sum / integer count, divided once in double: the same
+        // IEEE operations in the oracle engine, so the rounding agrees
+        converted.agg(
+          count(lit(1)).as("n_users"),
+          round(sum(col("__lag_us")).cast("double") /
+            count(col("__lag_us")) / 1e6, 2).as("avg_lag_sec"))
+          .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+            col("n_users"), col("avg_lag_sec"))
+      }
+    perStep.reduce(_.unionByName(_)).orderBy("step")
+  }
+
+  /** Time-to-convert DISTRIBUTION per funnel transition: exact
+    * interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`) of the per-user step lag in seconds — the tail
+    * readout behind "the median converts in minutes, the p90 takes a
+    * day" that a mean ([[funnel]]'s avg_lag_sec) hides. One row per
+    * transition (steps 2..k): `(step, step_name, n_users, p50_sec,
+    * p90_sec)`. Same strictly-after machinery as [[funnel]] via the
+    * shared step builder.
+    *
+    * Scale shape: identical to [[funnel]] (user-keyed step joins);
+    * each percentile aggregate is one pass over that step's
+    * |converted| rows. */
+  def funnelLagPercentiles(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.length >= 2, "need at least one transition")
+    val perStep = funnelConverted(events, userCol, tsCol, steps)
+      .zipWithIndex.drop(1).map { case ((name, converted), i) =>
+        converted.agg(
+          count(lit(1)).as("n_users"),
+          round(percentile(col("__lag_us").cast("double") / 1e6,
+            lit(0.5)), 3).as("p50_sec"),
+          round(percentile(col("__lag_us").cast("double") / 1e6,
+            lit(0.9)), 3).as("p90_sec"))
+          .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+            col("n_users"), col("p50_sec"), col("p90_sec"))
+      }
     perStep.reduce(_.unionByName(_)).orderBy("step")
   }
 
