@@ -25,28 +25,6 @@ import org.apache.spark.sql.functions._
   */
 object Behavior {
 
-  /** Ordered conversion funnel: for each user, step k counts only if an
-    * event matching `steps(k)` occurs STRICTLY AFTER the user's step
-    * k-1 time (the standard "ordered funnel" semantics — re-orderings
-    * don't count). Returns one row per step:
-    * `(step, step_name, n_users, avg_lag_sec)` where `avg_lag_sec` is
-    * the mean seconds from the previous step's conversion time (NULL
-    * for step 1).
-    *
-    * `tsCol` must be a NUMERIC µs-epoch column (`unix_micros(ts)`), not
-    * a raw timestamp: the strictly-after comparison then happens on the
-    * same integers in every engine (a nanosecond-precision engine would
-    * otherwise order two events that a µs engine sees as simultaneous).
-    *
-    * Scale shape: one aggregate per step, each a shuffle keyed on
-    * `userCol` — after the first step every join/agg is co-partitioned
-    * on the user key, so AQE reuses the partitioning; the events scan
-    * for step k carries the step predicate down to the source (only
-    * matching rows leave the scan). Funnel depth is the number of
-    * passes, which is a constant (3-5 in practice), NOT a function of
-    * data size. Per-step frames feed two consumers (the step count and
-    * the next step's join) — cut locally so the shuffle runs once.
-    */
   /** Per-step converted-user frames `(user, __t, __lag_us)` — the
     * shared machinery behind [[funnel]] and [[funnelLagPercentiles]]
     * (one helper so the two gates can never drift on the
@@ -80,6 +58,28 @@ object Behavior {
     }
   }
 
+  /** Ordered conversion funnel: for each user, step k counts only if an
+    * event matching `steps(k)` occurs STRICTLY AFTER the user's step
+    * k-1 time (the standard "ordered funnel" semantics — re-orderings
+    * don't count). Returns one row per step:
+    * `(step, step_name, n_users, avg_lag_sec)` where `avg_lag_sec` is
+    * the mean seconds from the previous step's conversion time (NULL
+    * for step 1).
+    *
+    * `tsCol` must be a NUMERIC µs-epoch column (`unix_micros(ts)`), not
+    * a raw timestamp: the strictly-after comparison then happens on the
+    * same integers in every engine (a nanosecond-precision engine would
+    * otherwise order two events that a µs engine sees as simultaneous).
+    *
+    * Scale shape: one aggregate per step, each a shuffle keyed on
+    * `userCol` — after the first step every join/agg is co-partitioned
+    * on the user key, so AQE reuses the partitioning; the events scan
+    * for step k carries the step predicate down to the source (only
+    * matching rows leave the scan). Funnel depth is the number of
+    * passes, which is a constant (3-5 in practice), NOT a function of
+    * data size. Per-step frames feed two consumers (the step count and
+    * the next step's join) — cut locally so the shuffle runs once.
+    */
   def funnel(
       events: DataFrame,
       userCol: String,

@@ -30,9 +30,6 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** `iters` assign+update rounds from the k lowest-id seeds, then a
-    * final assignment under the refined centroids. Returns one row per
-    * cell: (cell_id, n_vecs, share, centroid_norm). */
   /** Seed + fit: `iters` Lloyd rounds from the k lowest-id vectors
     * (shared by [[kmeansCellStats]] and [[cellQuality]] so the two
     * gates replay the SAME trajectory). Returns `(base, centroids)`
@@ -85,6 +82,9 @@ object Clustering {
     (base, cents)
   }
 
+  /** `iters` assign+update rounds from the k lowest-id seeds, then a
+    * final assignment under the refined centroids. Returns one row per
+    * cell: (cell_id, n_vecs, share, centroid_norm). */
   def kmeansCellStats(
       corpus: DataFrame,
       idCol: String,
