@@ -1802,6 +1802,87 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // sq16_ann_recall — recall@5 of the seed-IVF index against the exact
+  // ranking (Similarity.recallAtK over sq2's ANN and sq1's brute
+  // machinery): the index-evaluation harness, fully oracled because
+  // BOTH sides are deterministic — the oracle replays brute AND IVF
+  // rankings and joins them, so the recall numbers are exact, not
+  // sampled.
+  register(
+    "sq16_ann_recall",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), brute AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+      |                   p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) DESC,
+      |                 c.vec_id) AS rank
+      |    FROM n q JOIN n c ON q.vec_id != c.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rank <= 5
+      |), seeds AS (
+      |  SELECT vec_id AS cell_id, v AS sv, nrm AS snrm
+      |  FROM n ORDER BY vec_id LIMIT 16
+      |), cells AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT n.vec_id, s.cell_id,
+      |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |             round(list_sum(list_transform(list_zip(n.v, s.sv),
+      |                   p -> p[1] * p[2])) / (n.nrm * s.snrm), 4) DESC,
+      |                 s.cell_id) AS rk
+      |    FROM n CROSS JOIN seeds s)
+      |  WHERE rk = 1
+      |), probes AS (
+      |  SELECT q.vec_id AS query_id, s.cell_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_sum(list_transform(list_zip(q.v, s.sv),
+      |                 p -> p[1] * p[2])) / (q.nrm * s.snrm), 4) DESC,
+      |               s.cell_id) AS pr
+      |  FROM n q CROSS JOIN seeds s
+      |  WHERE q.vec_id < 10
+      |), ivf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT cand.query_id, cand.neighbor_id,
+      |           row_number() OVER (PARTITION BY cand.query_id
+      |             ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+      |                   p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) DESC,
+      |                 cand.neighbor_id) AS rank
+      |    FROM (
+      |      SELECT p.query_id, cl.vec_id AS neighbor_id
+      |      FROM probes p JOIN cells cl USING (cell_id)
+      |      WHERE p.pr <= 4 AND cl.vec_id != p.query_id) cand
+      |    JOIN n q ON cand.query_id = q.vec_id
+      |    JOIN n c ON cand.neighbor_id = c.vec_id)
+      |  WHERE rank <= 5
+      |), hits AS (
+      |  SELECT b.query_id, count(*)::bigint AS n_hits
+      |  FROM brute b JOIN ivf i
+      |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      |  GROUP BY 1
+      |)
+      |SELECT q.query_id,
+      |       coalesce(h.n_hits, 0)::bigint AS n_hits,
+      |       round(coalesce(h.n_hits, 0) / 5.0::double, 4) AS recall
+      |FROM (SELECT DISTINCT query_id FROM brute) q
+      |LEFT JOIN hits h USING (query_id)
+      |ORDER BY query_id""".stripMargin
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", numCells = 16)
+    val ann = Similarity.ivfTopK(index, queries,
+      "vec_id", "embedding", numCells = 16, nProbe = 4, k = 5)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5)
+    Similarity.recallAtK(ann, exact, k = 5)
+  }
+
   // sq3_mean_pool — element-wise mean pooling (centroid per group) as a
   // pure relational plan: posexplode to (group, dim, value), two-level
   // aggregate, norm of the pooled vector. The shape that computes class

@@ -932,6 +932,31 @@ object Similarity {
       .orderBy(col("margin").desc, col("id_a"))
   }
 
+  /** Recall@k of an ANN result against the exact ranking — the
+    * evaluation harness every approximate index ships with (an index
+    * without a measured recall is a rumor). Both inputs are
+    * `(query_id, neighbor_id, ...)` top-k frames; output is one row
+    * per query: `(query_id, n_hits, recall)`, recall = hits/k.
+    * Queries the ANN missed entirely still appear (0 hits).
+    *
+    * Scale shape: one semi-join on the (query, neighbor) pair + a
+    * |Q|-ary aggregate — bounded by |Q|·k rows, never the corpus. */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val e = Lineage.cutLocal(exact.select("query_id", "neighbor_id"))
+    val hits = e
+      .join(ann.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    e.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 4)
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Embedding OOD scoring by diagonal Mahalanobis distance — the
     * cheap outlier gate an embedding-QA pass runs before trusting a
     * corpus's vectors (broken encoders, zero rows, scale drift all

@@ -898,6 +898,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(tie(0).getInt(1) == 1, "2-2 tie must take the smaller label")
   }
 
+  test("recallAtK: hit counting, missed queries kept at zero") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val ann = Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 97L), (3L, 1L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(ann, exact, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // query 1 recovers 1 of 2; query 2 none (still present); ann's
+    // extra query 3 is not in the exact set and does not appear
+    assert(out.toSeq == Seq((1L, 1L, 0.5), (2L, 0L, 0.0)))
+  }
+
   test("oodScores: planted outlier ranks first, constant dims ignored") {
     val rnd = new scala.util.Random(17)
     // dim 0 is CONSTANT (var 0 — must be excluded, not divided by),
