@@ -3923,6 +3923,51 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // tq22_source_scorecard — per-source quality dashboard
+  // (TextAnalysis.sourceScorecard): mean model score (decimal-summed
+  // 6dp), keep-gate pass rate (mean of exact 0/1), token volume — the
+  // per-feed view that decides which sources get re-crawled,
+  // down-weighted, or cut. Signals ride the scan; one |sources|-ary
+  // aggregate.
+  register(
+    "tq22_source_scorecard",
+    """WITH t AS (
+      |  SELECT source,
+      |         length(text)::double AS n_chars,
+      |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+      |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ltoks,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), f AS (
+      |  SELECT source, len(toks)::bigint AS n_words,
+      |         CASE WHEN len(ltoks) = 0 THEN 0.0
+      |              ELSE len(list_filter(ltoks, x -> list_contains(['the','a','an','of','to','and','in','is','that','it'], x)))::double / len(ltoks) END AS stop_ratio,
+      |         round(CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE list_sum(list_transform(toks, x -> len(x)::double)) / len(toks) END, 6) AS mtl,
+      |         CASE WHEN n_chars = 0 THEN 0.0
+      |              ELSE (n_punct + n_digit)::double / n_chars END AS noise,
+      |         ln(1.0 + len(toks)::double) AS log_len
+      |  FROM t
+      |), s AS (
+      |  SELECT source, n_words,
+      |         round(1.0 / (1.0 + exp(-round(-2.0 + 4.0*stop_ratio
+      |               + 0.6*log_len - 6.0*noise + 0.15*mtl, 10))), 6) AS score
+      |  FROM f
+      |)
+      |SELECT source, count(*)::bigint AS n_docs,
+      |       round(sum(score::decimal(18,6))::double / count(*), 6)
+      |         AS avg_score,
+      |       round(avg(CASE WHEN score >= 0.5 THEN 1.0 ELSE 0.0 END), 4)
+      |         AS pass_rate,
+      |       sum(n_words)::bigint AS total_words
+      |FROM s GROUP BY 1
+      |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.sourceScorecard(
+      t(s, dir, "documents"), "source", "text")
+  }
+
   // aq23_sample_drift — distribution-drift diagnostic: KL divergence
   // between a deterministic sample's token distribution and the full
   // corpus — the check that a curation step did not skew the data.

@@ -439,6 +439,36 @@ object TextAnalysis {
     round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 
+  /** Per-source quality scorecard — the routing dashboard a curation
+    * run emits per ingest feed: document count, mean model-quality
+    * score ([[modelScoreColumn]], decimal-summed 6dp scores), the
+    * fraction passing the 0.5 keep gate (mean of exact 0/1 doubles —
+    * portable without decimal machinery), and total token volume.
+    * The per-feed view that decides which sources get re-crawled,
+    * down-weighted, or cut.
+    *
+    * Scale shape: the signals are per-row codegen expressions riding
+    * the scan; ONE |sources|-ary aggregate with map-side partials —
+    * no joins, no windows. */
+  def sourceScorecard(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    df.select(col(sourceCol).as("source"),
+      modelScoreColumn(col(textCol)).as("__score"),
+      tokenCount(col(textCol)).as("__words"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("__score").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_score"),
+        round(avg(when(col("__score") >= 0.5, 1.0).otherwise(0.0)), 4)
+          .as("pass_rate"),
+        sum(col("__words")).as("total_words"))
+      .orderBy("source")
+  }
+
   /** Gopher/RefinedWeb-style repetition signals per document
     * (cf. reference `nexus/` has no text analytics; this is a
     * training-data-pipeline extension): duplicate-token fraction and the
