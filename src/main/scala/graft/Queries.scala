@@ -5927,6 +5927,68 @@ object Queries {
   ) { (s, dir) => AnalyticsPipeline.run(s, dir) }
 
   // ---------------------------------------------------------------------
+  // aq52_cohort_ltv — cohort lifetime value (Behavior.cohortLtv):
+  // revenue per (cohort day, offset) with DECIMAL cumulative and
+  // per-user LTV — the revenue companion to aq29's retention matrix.
+  register(
+    "aq52_cohort_ltv",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+      |         event_type, value
+      |  FROM events
+      |), cohort AS (
+      |  SELECT user_id, min(day_idx) AS c FROM ev GROUP BY 1
+      |), sizes AS (
+      |  SELECT c, count(*)::bigint AS n_users FROM cohort GROUP BY 1
+      |), rev AS (
+      |  SELECT co.c, e.day_idx - co.c AS "offset",
+      |         sum(CAST(e.value AS DECIMAL(18,4))) AS rev
+      |  FROM ev e JOIN cohort co USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT c, "offset", rev,
+      |         sum(rev) OVER (PARTITION BY c ORDER BY "offset"
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+      |  FROM rev
+      |)
+      |SELECT cum.c AS cohort_day, "offset", s.n_users,
+      |       round(rev, 2)::double AS revenue,
+      |       round(cm, 2)::double AS cum_revenue,
+      |       ((round(cm, 2) * 100)::bigint * 100) // s.n_users
+      |         / 10000.0::double AS ltv_per_user
+      |FROM cum JOIN sizes s USING (c)
+      |ORDER BY cohort_day, "offset"""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_type"), col("value"))
+    graft.operators.Behavior.cohortLtv(
+      ev, "user_id", "ts_us", "event_type", "value", "purchase")
+  }
+
+  // ---------------------------------------------------------------------
+  // tq23_k_anonymity — k-anonymity risk audit (Profile.kAnonymityRisk):
+  // (lang, source, length-band) combinations shared by fewer than 5
+  // documents — the re-identification exposure report behind any
+  // release; empty result == k-anonymous projection.
+  register(
+    "tq23_k_anonymity",
+    """SELECT lang, source, (n_chars // 100)::bigint AS len_band,
+      |       count(*)::bigint AS n
+      |FROM documents
+      |GROUP BY 1, 2, 3
+      |HAVING count(*) < 5
+      |ORDER BY lang, source, len_band""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Profile.kAnonymityRisk(
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_band")),
+      Seq("lang", "source", "len_band"), k = 5L)
+  }
+
+  // ---------------------------------------------------------------------
   // aq51_funnel_lags — time-to-convert percentiles per funnel
   // transition (Behavior.funnelLagPercentiles): exact interpolated
   // p50/p90 of the per-user step lag — the tail readout aq27's mean

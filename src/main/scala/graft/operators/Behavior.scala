@@ -392,6 +392,54 @@ object Behavior {
       .limit(topK)
   }
 
+  /** Cohort lifetime value: revenue per `(cohort day, day offset)`
+    * cell with the running cumulative and per-user LTV — the revenue
+    * companion to [[cohortRetention]] (retention says who came back,
+    * LTV says what they were worth by day N). Revenue sums are exact
+    * DECIMAL, the cumulative is a DECIMAL window sum (order-exact),
+    * and the per-user LTV is INTEGER floor arithmetic — cents·100
+    * div cohort size, rendered at 4dp — because `round(cum/n, 4)` on
+    * a double lands on exact .00005 boundaries (any 2dp total divided
+    * by an even cohort) where engines' rounding modes diverge;
+    * truncation has no boundary. Every figure engine-exact.
+    *
+    * `tsCol` must be a NUMERIC µs-epoch column.
+    *
+    * Scale shape: one user-keyed cohort aggregate, one
+    * (cohort, offset) revenue aggregate riding a broadcast-friendly
+    * cohort join, and a cumulative window bounded by one cohort's
+    * offsets. */
+  def cohortLtv(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      conversionType: String): DataFrame = {
+    val ev = Lineage.cutLocal(events.select(col(userCol).as("__u"),
+      expr(s"$tsCol div 86400000000").as("day_idx"),
+      col(typeCol).as("__t"), col(valueCol).as("__v")))
+    val cohort = Lineage.cutLocal(
+      ev.groupBy("__u").agg(min("day_idx").as("c")))
+    val sizes = cohort.groupBy("c").agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("__t") === conversionType)
+      .join(cohort, "__u")
+      .groupBy(col("c"), (col("day_idx") - col("c")).as("offset"))
+      .agg(sum(col("__v").cast("decimal(18,4)")).as("__rev"))
+    val w = Window.partitionBy("c").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("__cum", sum(col("__rev")).over(w))
+      .join(sizes, "c")
+      .withColumn("__cents", (round(col("__cum"), 2) * 100).cast("long"))
+      .select(col("c").as("cohort_day"), col("offset"), col("n_users"),
+        round(col("__rev"), 2).cast("double").as("revenue"),
+        round(col("__cum"), 2).cast("double").as("cum_revenue"),
+        (expr("(__cents * 100) div n_users") / lit(10000.0))
+          .as("ltv_per_user"))
+      .orderBy("cohort_day", "offset")
+  }
+
   /** Sliding-window active users (DAU / WAU): per observed day, the
     * distinct users active that day and within the trailing
     * `windowDays` window — the standard engagement pair, computed

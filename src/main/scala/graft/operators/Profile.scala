@@ -155,6 +155,28 @@ object Profile {
          |""".stripMargin
     }.mkString("", "UNION ALL\n", "ORDER BY relation")
 
+  /** k-anonymity risk audit: quasi-identifier combinations shared by
+    * FEWER than `k` records — the groups whose members a release would
+    * expose to re-identification (Sweeney 2002; the privacy
+    * counterpart of the PII scrub: scrubbing direct identifiers does
+    * nothing when (lang, source, length-band) alone pins a person).
+    * Returns the risky groups `(qid..., n)`; an empty result means the
+    * projection is k-anonymous.
+    *
+    * Scale shape: one aggregate on the QID tuple with map-side
+    * partials + the n<k filter — no joins, no windows; output is
+    * bounded by the rare-combination count, which is exactly what the
+    * audit is after. */
+  def kAnonymityRisk(
+      df: DataFrame, qidCols: Seq[String], k: Long): DataFrame = {
+    require(qidCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, "k < 2 makes every record trivially anonymous")
+    df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+      .orderBy(qidCols.map(col): _*)
+  }
+
   /** Equi-width histogram of a numeric column — the distribution
     * companion to [[profile]]'s scalar ranges (and the shape a query
     * optimizer's column statistics store): `nBins` equal-width buckets

@@ -222,6 +222,25 @@ class BehaviorSpec extends AnyFunSuite {
       ("b", 2L, 7.0, 3.5)))
   }
 
+  test("cohortLtv: decimal cumulative revenue and per-user LTV") {
+    val day = 86400000000L
+    // cohort day 0 = {u1, u2}; cohort day 1 = {u3}
+    val rows = Seq(
+      (1L, 0L, "signup", 0.0), (1L, 1L, "purchase", 10.0),
+      (1L, 2 * day, "purchase", 5.0),
+      (2L, 2L, "view", 0.0), (2L, 2 * day + 1, "purchase", 1.0),
+      (3L, day, "purchase", 2.0))
+    val e = rows.toDF("user_id", "ts_us", "event_type", "value")
+    val out = Behavior.cohortLtv(
+      e, "user_id", "ts_us", "event_type", "value", "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 10.0, 10.0, 5.0),
+      (0L, 2L, 2L, 6.0, 16.0, 8.0),
+      (1L, 0L, 1L, 2.0, 2.0, 2.0)))
+  }
+
   test("cusumChangepoints: hand-computed trajectory, level shift fires") {
     // 8 hours of counts [1,1,1,1,5,5,5,5], slack 0: T=8, total=24,
     // d = 8x-24 = [-16×4, +16×4]; P = -16,-32,-48,-64,-48,-32,-16,0;

@@ -91,6 +91,17 @@ class ProfileBm25Spec extends AnyFunSuite {
     assert(c.length == 1 && c(0).getLong(0) == 0L && c(0).getLong(3) == 2L)
   }
 
+  test("kAnonymityRisk: only sub-k groups surface; k-anonymous is empty") {
+    val d = (Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) :+
+      (("b", "x"))).toDF("lang", "src")
+    val out = Profile.kAnonymityRisk(d, Seq("lang", "src"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", "y", 2L), ("b", "x", 1L)))
+    assert(Profile.kAnonymityRisk(d, Seq("lang", "src"), k = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("b", "x")))
+  }
+
   test("additiveMerge: merged MV equals full recompute on any split") {
     import Materialized._
     val rnd = new scala.util.Random(31)
