@@ -5927,6 +5927,24 @@ object Queries {
   ) { (s, dir) => AnalyticsPipeline.run(s, dir) }
 
   // ---------------------------------------------------------------------
+  // aq53_markov_absorption — k-step conversion propensity by value
+  // iteration over the absorbing transition chain
+  // (Behavior.absorptionPropensity): 12dp-pinned rounds with decimal
+  // term sums — the PageRank trajectory contract applied to the
+  // behavioral matrix; the oracle unrolls one CTE per step.
+  register(
+    "aq53_markov_absorption",
+    graft.operators.Behavior.absorptionOracleSql("purchase", steps = 4)
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_id"), col("event_type"))
+    graft.operators.Behavior.absorptionPropensity(
+      ev, "user_id", "ts_us", "event_type", "event_id",
+      conversionType = "purchase", steps = 4)
+  }
+
+  // ---------------------------------------------------------------------
   // aq52_cohort_ltv — cohort lifetime value (Behavior.cohortLtv):
   // revenue per (cohort day, offset) with DECIMAL cumulative and
   // per-user LTV — the revenue companion to aq29's retention matrix.

@@ -392,6 +392,108 @@ object Behavior {
       .limit(topK)
   }
 
+  /** k-step conversion propensity by Markov absorption: from the
+    * first-order transition matrix ([[transitionMatrix]]'s counts,
+    * row-normalized), the probability of REACHING the conversion state
+    * within `k` steps starting from each state — value iteration over
+    * the absorbing chain,
+    *
+    *   p_0(s) = [s = conv],
+    *   p_i(s) = [s = conv] + (1 − [s = conv]) · Σ_t T(s,t)·p_{i−1}(t),
+    *
+    * the state-level "how close is this event to converting" signal
+    * behind Markov attribution models. Each T(s,t)·p term rounds to
+    * 12dp and sums as DECIMAL; each round's p pins to 12dp — the same
+    * trajectory-pinning contract as PageRank, so the whole iteration
+    * replays bit-exactly (the oracle unrolls one CTE per step).
+    *
+    * Scale shape: the chain itself is |types|² rows — the ONLY
+    * data-sized work is the one lead() window building the counts;
+    * every iteration is a join over the tiny matrix. */
+  def absorptionPropensity(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      conversionType: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1, "need at least one step")
+    val trans = Lineage.cutLocal(
+      transitionMatrix(events, userCol, tsCol, typeCol, idCol)
+        .withColumn("t_prob",
+          col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy("from_type")))
+        .select("from_type", "to_type", "t_prob"))
+    val states = Lineage.cutLocal(
+      trans.select(col("from_type").as("state"))
+        .unionByName(trans.select(col("to_type").as("state")))
+        .distinct())
+    var p: DataFrame = states.withColumn("p",
+      when(col("state") === conversionType, 1.0).otherwise(0.0))
+    for (_ <- 1 to steps) {
+      val reach = trans
+        .join(p.select(col("state").as("to_type"), col("p")), "to_type")
+        .groupBy(col("from_type").as("state"))
+        .agg(sum(round(col("t_prob") * col("p"), 12)
+          .cast("decimal(38,12)")).as("__r"))
+      p = Lineage.cutLocal(states
+        .join(reach, Seq("state"), "left")
+        .withColumn("p",
+          when(col("state") === conversionType, 1.0)
+            .otherwise(round(coalesce(col("__r").cast("double"),
+              lit(0.0)), 12)))
+        .drop("__r"))
+    }
+    p.select(col("state"), round(col("p"), 6).as("p_convert"))
+      .orderBy("state")
+  }
+
+  /** GENERATED DuckDB oracle for [[absorptionPropensity]] over the
+    * events table — one CTE per unrolled value-iteration step. */
+  def absorptionOracleSql(conversionType: String, steps: Int): String = {
+    val rounds = (1 to steps).map { i =>
+      s"""|, r$i AS (
+          |  SELECT t.from_type AS state,
+          |         sum(round(t.t_prob * p.p, 12)::decimal(38,12)) AS r
+          |  FROM trans t JOIN p${i - 1} p ON t.to_type = p.state
+          |  GROUP BY 1
+          |), p$i AS (
+          |  SELECT s.state,
+          |         CASE WHEN s.state = '$conversionType' THEN 1.0::double
+          |              ELSE round(coalesce(r.r::double, 0.0::double), 12)
+          |         END AS p
+          |  FROM states s LEFT JOIN r$i r USING (state)
+          |)""".stripMargin
+    }.mkString("\n")
+    s"""|WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT from_type, to_type, count(*)::bigint AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), trans AS (
+        |  SELECT from_type, to_type,
+        |         n::double / sum(n) OVER (PARTITION BY from_type) AS t_prob
+        |  FROM pairs
+        |), states AS (
+        |  SELECT DISTINCT state FROM (
+        |    SELECT from_type AS state FROM trans
+        |    UNION ALL SELECT to_type FROM trans)
+        |), p0 AS (
+        |  SELECT state,
+        |         CASE WHEN state = '$conversionType' THEN 1.0::double
+        |              ELSE 0.0::double END AS p
+        |  FROM states
+        |)
+        |$rounds
+        |SELECT state, round(p, 6) AS p_convert
+        |FROM p$steps
+        |ORDER BY state""".stripMargin
+  }
+
   /** Cohort lifetime value: revenue per `(cohort day, day offset)`
     * cell with the running cumulative and per-user LTV — the revenue
     * companion to [[cohortRetention]] (retention says who came back,

@@ -222,6 +222,24 @@ class BehaviorSpec extends AnyFunSuite {
       ("b", 2L, 7.0, 3.5)))
   }
 
+  test("absorptionPropensity: hand-computed 4-step value iteration") {
+    // chain: a→b (always), b→purchase (2/3) | b→c (1/3), c→b (always).
+    // p1(b)=2/3; p2(a)=p2(c)=2/3, p2(b)=2/3; p3(b)=2/3+1/3·2/3=8/9;
+    // p4: a=b=c=8/9 → 0.888889 at 6dp, purchase pinned at 1.
+    val e = ev(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "purchase"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "b"), (3L, 2L, "purchase"),
+      (4L, 1L, "c"), (4L, 2L, "b"), (4L, 3L, "c"))
+    val out = Behavior.absorptionPropensity(
+      e, "user_id", "ts_us", "event_type", "event_id",
+      conversionType = "purchase", steps = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(out == Map(
+      "a" -> 0.888889, "b" -> 0.888889, "c" -> 0.888889,
+      "purchase" -> 1.0))
+  }
+
   test("cohortLtv: decimal cumulative revenue and per-user LTV") {
     val day = 86400000000L
     // cohort day 0 = {u1, u2}; cohort day 1 = {u3}
