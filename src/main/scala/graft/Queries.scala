@@ -5945,6 +5945,27 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // aq54_markov_attribution — Markov removal-effect attribution (Anderl
+  // et al. 2014; Behavior.markovAttribution): journeys as an absorbing
+  // chain with a synthetic start state; each channel's credit is
+  // 1 − p_removed/p_base from the same 12dp-pinned value iteration as
+  // aq53 (shared loop). The oracle unrolls the base AND every removal
+  // trajectory — the data-driven attribution model, fully replayed.
+  register(
+    "aq54_markov_attribution",
+    graft.operators.Behavior.markovAttributionOracleSql(
+      "purchase", Seq("click", "signup", "view"), steps = 4)
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_id"), col("event_type"))
+    graft.operators.Behavior.markovAttribution(
+      ev, "user_id", "ts_us", "event_type", "event_id",
+      conversionType = "purchase",
+      channels = Seq("click", "signup", "view"), steps = 4)
+  }
+
+  // ---------------------------------------------------------------------
   // aq52_cohort_ltv — cohort lifetime value (Behavior.cohortLtv):
   // revenue per (cohort day, offset) with DECIMAL cumulative and
   // per-user LTV — the revenue companion to aq29's retention matrix.

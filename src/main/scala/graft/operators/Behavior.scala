@@ -429,6 +429,20 @@ object Behavior {
       trans.select(col("from_type").as("state"))
         .unionByName(trans.select(col("to_type").as("state")))
         .distinct())
+    valueIterate(trans, states, conversionType, steps)
+      .select(col("state"), round(col("p"), 6).as("p_convert"))
+      .orderBy("state")
+  }
+
+  /** `steps` rounds of the 12dp-pinned absorbing value iteration over
+    * `trans (from_type, to_type, t_prob)` — shared by
+    * [[absorptionPropensity]] and [[markovAttribution]]. Returns
+    * `(state, p)` with p pinned to 12dp per round. */
+  private def valueIterate(
+      trans: DataFrame,
+      states: DataFrame,
+      conversionType: String,
+      steps: Int): DataFrame = {
     var p: DataFrame = states.withColumn("p",
       when(col("state") === conversionType, 1.0).otherwise(0.0))
     for (_ <- 1 to steps) {
@@ -445,8 +459,150 @@ object Behavior {
               lit(0.0)), 12)))
         .drop("__r"))
     }
-    p.select(col("state"), round(col("p"), 6).as("p_convert"))
-      .orderBy("state")
+    p
+  }
+
+  /** Markov removal-effect attribution (Anderl et al. 2014 — the
+    * data-driven alternative to last-touch): journeys become an
+    * absorbing chain with a synthetic `start` state; each channel's
+    * credit is its REMOVAL EFFECT, `1 − p_removed/p_base`, where
+    * p_base is the k-step start→conversion propensity and p_removed
+    * the same with every transition touching the channel deleted
+    * (walks through it die — no renormalization, the standard
+    * convention). Shares normalize the effects. Returns
+    * `(channel, p_removed, removal_effect, share)`.
+    *
+    * Same 12dp-pinned value iteration as [[absorptionPropensity]]
+    * (shared loop), so base and every removal trajectory replay
+    * bit-exactly; the share divides 6dp effects by their exact
+    * decimal sum.
+    *
+    * Scale shape: ONE lead() window over events builds the pairs;
+    * everything after — base + |channels| filtered iterations — joins
+    * |types|²-row matrices. */
+  def markovAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      conversionType: String,
+      channels: Seq[String],
+      steps: Int): DataFrame = {
+    require(channels.nonEmpty, "need at least one channel")
+    require(!channels.contains(conversionType) && !channels.contains("start"),
+      "channels must not include the conversion or start state")
+    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    val seq0 = Lineage.cutLocal(events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__next", lead(typeCol, 1).over(w))
+      .withColumn("__rn", row_number().over(w)))
+    val pairs = seq0.filter(col("__next").isNotNull)
+      .select(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .unionByName(seq0.filter(col("__rn") === 1)
+        .select(lit("start").as("from_type"), col(typeCol).as("to_type")))
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val trans = Lineage.cutLocal(pairs
+      .withColumn("t_prob", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .select("from_type", "to_type", "t_prob"))
+    val states = Lineage.cutLocal(
+      trans.select(col("from_type").as("state"))
+        .unionByName(trans.select(col("to_type").as("state"))).distinct())
+    def startP(t: DataFrame): DataFrame =
+      valueIterate(t, states, conversionType, steps)
+        .filter(col("state") === "start").select(col("p"))
+    val base = broadcast(startP(trans).select(col("p").as("__p_base")))
+    val removed = channels.map { c =>
+      startP(trans.filter(col("from_type") =!= c && col("to_type") =!= c))
+        .select(lit(c).as("channel"), col("p").as("p_removed"))
+    }.reduce(_.unionByName(_))
+    val withEffect = Lineage.cutLocal(removed.crossJoin(base)
+      .withColumn("removal_effect",
+        round(lit(1.0) - col("p_removed") / col("__p_base"), 6)))
+    val total = broadcast(withEffect.agg(
+      sum(col("removal_effect").cast("decimal(18,6)")).as("__tot")))
+    withEffect.crossJoin(total)
+      .select(col("channel"),
+        round(col("p_removed"), 6).as("p_removed"),
+        col("removal_effect"),
+        round(col("removal_effect") / col("__tot").cast("double"), 6)
+          .as("share"))
+      .orderBy("channel")
+  }
+
+  /** GENERATED DuckDB oracle for [[markovAttribution]] — the base and
+    * every per-channel removal trajectory unrolled. */
+  def markovAttributionOracleSql(
+      conversionType: String, channels: Seq[String], steps: Int): String = {
+    def chain(prefix: String, transCte: String): String = {
+      val sb = new StringBuilder
+      sb.append(s""",
+${prefix}p0 AS (
+  SELECT state, CASE WHEN state = '$conversionType' THEN 1.0::double
+       ELSE 0.0::double END AS p
+  FROM states
+)""")
+      for (i <- 1 to steps) sb.append(s""",
+${prefix}r$i AS (
+  SELECT t.from_type AS state,
+         sum(round(t.t_prob * p.p, 12)::decimal(38,12)) AS r
+  FROM $transCte t JOIN ${prefix}p${i - 1} p ON t.to_type = p.state
+  GROUP BY 1
+), ${prefix}p$i AS (
+  SELECT s.state, CASE WHEN s.state = '$conversionType' THEN 1.0::double
+       ELSE round(coalesce(r.r::double, 0.0::double), 12) END AS p
+  FROM states s LEFT JOIN ${prefix}r$i r USING (state)
+)""")
+      sb.toString
+    }
+    val removalChains = channels.zipWithIndex.map { case (c, i) =>
+      s""",
+t$i AS (
+  SELECT * FROM trans WHERE from_type != '$c' AND to_type != '$c'
+)""" + chain(s"c${i}_", s"t$i")
+    }.mkString
+    val effRows = channels.zipWithIndex.map { case (c, i) =>
+      s"  SELECT '$c' AS channel,\n" +
+        s"         (SELECT p FROM c${i}_p$steps WHERE state = 'start')" +
+        s" AS p_removed"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH seqd AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS nxt,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, count(*)::bigint AS n FROM (
+    SELECT event_type AS from_type, nxt AS to_type FROM seqd
+    WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT 'start', event_type FROM seqd WHERE rn = 1)
+  GROUP BY 1, 2
+), trans AS (
+  SELECT from_type, to_type,
+         n::double / sum(n) OVER (PARTITION BY from_type) AS t_prob
+  FROM pairs
+), states AS (
+  SELECT DISTINCT state FROM (
+    SELECT from_type AS state FROM trans
+    UNION ALL SELECT to_type FROM trans)
+)""" + chain("b_", "trans") + removalChains + s""",
+eff AS (
+$effRows
+), eff2 AS (
+  SELECT channel, p_removed,
+         round(1.0::double - p_removed
+               / (SELECT p FROM b_p$steps WHERE state = 'start'), 6)
+           AS removal_effect
+  FROM eff
+), tot AS (SELECT sum(removal_effect::decimal(18,6)) AS t FROM eff2)
+SELECT channel, round(p_removed, 6) AS p_removed, removal_effect,
+       round(removal_effect / (SELECT t FROM tot)::double, 6) AS share
+FROM eff2
+ORDER BY channel"""
   }
 
   /** GENERATED DuckDB oracle for [[absorptionPropensity]] over the

@@ -240,6 +240,24 @@ class BehaviorSpec extends AnyFunSuite {
       "purchase" -> 1.0))
   }
 
+  test("markovAttribution: gatekeeper channel gets full credit") {
+    // every conversion flows through 'a'; 'b' is never on a converting
+    // path: removing a kills all conversions (effect 1), removing b
+    // changes nothing (effect 0) — walks die, no renormalization
+    val e = ev(
+      (1L, 1L, "a"), (1L, 2L, "purchase"),
+      (2L, 1L, "a"), (2L, 2L, "purchase"),
+      (3L, 1L, "b"), (3L, 2L, "x"))
+    val out = Behavior.markovAttribution(
+      e, "user_id", "ts_us", "event_type", "event_id",
+      conversionType = "purchase", channels = Seq("a", "b"), steps = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", 0.0, 1.0, 1.0),
+      ("b", 0.666667, 0.0, 0.0)))
+  }
+
   test("cohortLtv: decimal cumulative revenue and per-user LTV") {
     val day = 86400000000L
     // cohort day 0 = {u1, u2}; cohort day 1 = {u3}
