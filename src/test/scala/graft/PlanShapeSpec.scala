@@ -538,4 +538,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!nodes.exists(_.nodeName.contains("Join")),
       nodes.map(_.nodeName).mkString(", "))
   }
+
+  test("aq47 dwell: one user-keyed window, no joins") {
+    val df = SparkEntry.queries("aq47_dwell_time")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(nodes.count(_.nodeName.contains("Window")) == 1,
+      nodes.map(_.nodeName).mkString(", "))
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("aq50 A/B test: one conditional aggregate — no pivot, no join") {
+    val df = SparkEntry.queries("aq50_ab_test")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      nodes.map(_.nodeName).mkString(", "))
+    assert(!nodes.exists(_.nodeName.contains("Expand")),
+      "no pivot/expand: " + nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("tq23 k-anonymity: aggregate + filter only — no joins, no windows") {
+    val df = SparkEntry.queries("tq23_k_anonymity")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      nodes.map(_.nodeName).mkString(", "))
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("tq22 scorecard: signals ride the scan — no joins, no windows") {
+    val df = SparkEntry.queries("tq22_source_scorecard")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      nodes.map(_.nodeName).mkString(", "))
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
 }
