@@ -667,6 +667,49 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // tq24_lang_confusion — label-quality audit: the confusion matrix of
+  // the declared `lang` column against the stopword-vote detector
+  // (tq3's exact machinery aggregated to (declared, detected) cells) —
+  // the "is this corpus's language metadata trustworthy" readout that
+  // decides whether routing can use the label or must re-detect.
+  register(
+    "tq24_lang_confusion",
+    """WITH t AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |         list_distinct(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, labeled_lang,
+      |         len(list_filter(toks, x -> list_contains(['der','die','das','und','in','den','von','zu','mit','ist'], x))) AS s_de,
+      |         len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','that','it'], x))) AS s_en,
+      |         len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','una','los','es'], x))) AS s_es,
+      |         len(list_filter(toks, x -> list_contains(['le','la','de','et','un','une','les','en','est','que'], x))) AS s_fr,
+      |         len(list_filter(toks, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo','ta','zhe'], x))) AS s_zh
+      |  FROM t
+      |), d AS (
+      |  SELECT labeled_lang,
+      |         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+      |              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+      |              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+      |              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+      |              ELSE 'zh' END AS detected_lang
+      |  FROM s
+      |)
+      |SELECT labeled_lang, detected_lang, count(*)::bigint AS n,
+      |       labeled_lang = detected_lang AS is_match
+      |FROM d GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.langIdByVote(
+        t(s, dir, "documents").withColumnRenamed("lang", "labeled_lang"),
+        "doc_id", "text", carryCols = Seq("labeled_lang"))
+      .groupBy("labeled_lang", "detected_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_match", col("labeled_lang") === col("detected_lang"))
+      .orderBy("labeled_lang", "detected_lang")
+  }
+
   // tq4_fingerprint — md5 content fingerprint over normalized text: the
   // exact-dedup key. Per-source duplicate stats exercise it as a grouping
   // column.
