@@ -5212,6 +5212,40 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // sq17_pq_recall — recall@5 of the product-quantized path against
+  // the exact ranking (Similarity.recallAtK over sq9's PQ and sq1's
+  // brute machinery). The oracle COMPOSES the two already-registered
+  // oracles as CTE bodies — same query set (vec_id < 10, k = 5) — so
+  // the PQ recall numbers are exact and any drift in either upstream
+  // oracle breaks this gate too.
+  register(
+    "sq17_pq_recall",
+    s"""WITH pq AS (
+${defs("sq9_pq_ann").oracle.get}
+), brute AS (
+${defs("sq1_knn_bruteforce").oracle.get}
+), hits AS (
+  SELECT b.query_id, count(*)::bigint AS n_hits
+  FROM brute b JOIN pq p
+    ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       coalesce(h.n_hits, 0)::bigint AS n_hits,
+       round(coalesce(h.n_hits, 0) / 5.0::double, 4) AS recall
+FROM (SELECT DISTINCT query_id FROM brute) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY query_id"""
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val ann = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      m = 8, kCodebook = 16, candidates = 50, k = 5)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5)
+    Similarity.recallAtK(ann, exact, k = 5)
+  }
+
   // aq35_contamination_span — longest verbatim run shared with the
   // benchmark (Dedup.contaminationSpans): positional shingles + the
   // islands trick over MATCHED positions only; the benchmark
