@@ -6369,6 +6369,24 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // q41_maintenance_pipeline — the lakehouse-maintenance story through
+  // the Pointy DSL (MaintenancePipeline): fragmented appends |->
+  // file-count conditional |-> OPTIMIZE compaction |-> rollup report.
+  // Content is invariant across BOTH gate arms — exactly what the
+  // oracle (the plain source rollup) checks; the skip arm and the
+  // file-count evidence are spec-pinned.
+  register(
+    "q41_maintenance_pipeline",
+    """SELECT l_linenumber, count(*)::bigint AS n,
+      |       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::double AS qty
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    MaintenancePipeline.run(s, dir, scratchDir("q41"), maxFiles = 10)
+  }
+
+  // ---------------------------------------------------------------------
   // q38_mv_maintenance — incremental materialized-view maintenance
   // (operators/Materialized.additiveMerge): an hourly per-type summary
   // MV built from events before the time midpoint, then the later half
