@@ -66,11 +66,14 @@ object AnalyticsPipeline {
       if (in.columns.contains("alert")) in
       else {
         val channels = Lineage.cutLocal(in)
+        // decimal total: the per-channel 2dp doubles sum EXACTLY in
+        // any partition order (a raw double sum could straddle a
+        // rounding boundary run-to-run)
         val total = broadcast(channels.agg(
-          sum(col("revenue")).as("__total_rev")))
+          sum(col("revenue").cast("decimal(18,2)")).as("__total_rev")))
         channels.crossJoin(total)
           .withColumn("revenue_share",
-            round(col("revenue") / round(col("__total_rev"), 2), 6))
+            round(col("revenue") / col("__total_rev").cast("double"), 6))
           .drop("__total_rev")
           .orderBy("channel")
       }

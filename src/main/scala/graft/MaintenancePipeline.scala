@@ -31,17 +31,6 @@ object MaintenancePipeline {
   def registry(
       sfDir: String, storeRoot: String, maxFiles: Int): EventRegistry = {
     val reg = new EventRegistry
-    def dataFiles(): Int = {
-      val cur = new java.io.File(s"$storeRoot/li/_CURRENT")
-      if (!cur.exists()) 0
-      else {
-        val v = new String(java.nio.file.Files.readAllBytes(cur.toPath)).trim
-        Option(new java.io.File(s"$storeRoot/li/$v").listFiles())
-          .getOrElse(Array.empty)
-          .count(f => f.isFile && !f.getName.startsWith("_") &&
-            !f.getName.startsWith("."))
-      }
-    }
 
     reg.registerTransform("Load") { ctx =>
       Tables.load(ctx.spark, sfDir, "lineitem")
@@ -59,8 +48,9 @@ object MaintenancePipeline {
 
     reg.register("CompactGate") { ctx =>
       // success (code 1) = maintenance NEEDED; the healthy table takes
-      // the 0 arm straight to Report
-      (dataFiles() > maxFiles, ctx.previousContent.get)
+      // the 0 arm straight to the report
+      (new ResultStore(ctx.spark, storeRoot).dataFileCount("li") > maxFiles,
+        ctx.previousContent.get)
     }
 
     def summarize(spark: SparkSession): DataFrame =

@@ -5996,9 +5996,9 @@ ORDER BY query_id"""
       |         round(sum(lag_us)::double / count(lag_us) / 1e6, 2)
       |           AS avg_lag_sec
       |  FROM conv GROUP BY 1
-      |), tot AS (SELECT round(sum(revenue), 2) AS t FROM chan)
+      |), tot AS (SELECT sum(revenue::decimal(18,2)) AS t FROM chan)
       |SELECT channel, n_conversions, revenue, avg_lag_sec,
-      |       round(revenue / (SELECT t FROM tot), 6) AS revenue_share
+      |       round(revenue / (SELECT t FROM tot)::double, 6) AS revenue_share
       |FROM chan
       |ORDER BY channel""".stripMargin
   ) { (s, dir) => AnalyticsPipeline.run(s, dir) }
@@ -6188,8 +6188,8 @@ ORDER BY query_id"""
     "aq50_ab_test",
     """WITH s AS (
       |  SELECT event_type,
-      |         count(CASE WHEN user_id % 2 = 0 THEN 1 END)::bigint AS n_a,
-      |         count(CASE WHEN user_id % 2 = 1 THEN 1 END)::bigint AS n_b,
+      |         count(CASE WHEN user_id % 2 = 0 THEN value END)::bigint AS n_a,
+      |         count(CASE WHEN user_id % 2 = 1 THEN value END)::bigint AS n_b,
       |         sum(CASE WHEN user_id % 2 = 0
       |             THEN CAST(value AS DECIMAL(18,4)) END) AS sv_a,
       |         sum(CASE WHEN user_id % 2 = 1
@@ -6199,21 +6199,22 @@ ORDER BY query_id"""
       |         sum(CASE WHEN user_id % 2 = 1
       |             THEN round(value * value, 8)::decimal(28,8) END) AS ss_b
       |  FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT event_type, n_a, n_b,
+      |         sv_a::double / n_a AS ma, sv_b::double / n_b AS mb,
+      |         (ss_a::double - n_a * (sv_a::double / n_a)
+      |               * (sv_a::double / n_a)) / (n_a - 1) / n_a AS va,
+      |         (ss_b::double - n_b * (sv_b::double / n_b)
+      |               * (sv_b::double / n_b)) / (n_b - 1) / n_b AS vb
+      |  FROM s
       |)
       |SELECT event_type, n_a, n_b,
-      |       round(sv_a::double / n_a, 6) AS mean_a,
-      |       round(sv_b::double / n_b, 6) AS mean_b,
-      |       CASE WHEN n_a >= 2 AND n_b >= 2 THEN
-      |         round((sv_a::double / n_a - sv_b::double / n_b)
-      |               / sqrt((ss_a::double
-      |                       - n_a * (sv_a::double / n_a)
-      |                             * (sv_a::double / n_a)) / (n_a - 1) / n_a
-      |                      + (ss_b::double
-      |                         - n_b * (sv_b::double / n_b)
-      |                               * (sv_b::double / n_b)) / (n_b - 1) / n_b),
-      |               4)
+      |       round(ma, 6) AS mean_a,
+      |       round(mb, 6) AS mean_b,
+      |       CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0 THEN
+      |         round((ma - mb) / sqrt(va + vb), 4)
       |       END AS welch_z
-      |FROM s
+      |FROM m
       |ORDER BY event_type""".stripMargin
   ) { (s, dir) =>
     graft.operators.Stats.abTest(

@@ -143,19 +143,46 @@ object Behavior {
     * The probability denominator reuses the same aggregate via a
     * window over `from_type` (|types| partitions, trivially bounded).
     */
+  /** `(from_type, to_type, n)` consecutive-pair counts per user
+    * timeline — THE ordering contract ((ts, id) order, lead window)
+    * behind [[transitionMatrix]], [[absorptionPropensity]], and
+    * [[markovAttribution]], kept in one place so a tie-break or
+    * normalization change can never diverge the three.
+    * `includeStart` adds one synthetic `('start' → first event)` pair
+    * per user (the attribution chain's entry state). */
+  private def journeyPairs(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      includeStart: Boolean): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    val seq0 = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__next", lead(typeCol, 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+    // two consumers when start rows are added — cut so the window
+    // shuffle runs once (pruned to one consumer otherwise)
+    val s0 = if (includeStart) Lineage.cutLocal(seq0) else seq0
+    val body = s0.filter(col("__next").isNotNull)
+      .select(col(typeCol).as("from_type"), col("__next").as("to_type"))
+    val withStart =
+      if (includeStart)
+        body.unionByName(s0.filter(col("__rn") === 1)
+          .select(lit("start").as("from_type"), col(typeCol).as("to_type")))
+      else body
+    withStart.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+  }
+
   def transitionMatrix(
       events: DataFrame,
       userCol: String,
       tsCol: String,
       typeCol: String,
       idCol: String): DataFrame = {
-    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
-    val pairs = events
-      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
-      .withColumn("__next", lead(typeCol, 1).over(w))
-      .filter(col("__next").isNotNull)
-      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
-      .agg(count(lit(1)).as("n"))
+    val pairs = journeyPairs(events, userCol, tsCol, typeCol, idCol,
+      includeStart = false)
     val byFrom = Window.partitionBy("from_type")
     pairs
       .withColumn("p",
@@ -492,16 +519,8 @@ object Behavior {
     require(channels.nonEmpty, "need at least one channel")
     require(!channels.contains(conversionType) && !channels.contains("start"),
       "channels must not include the conversion or start state")
-    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
-    val seq0 = Lineage.cutLocal(events
-      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
-      .withColumn("__next", lead(typeCol, 1).over(w))
-      .withColumn("__rn", row_number().over(w)))
-    val pairs = seq0.filter(col("__next").isNotNull)
-      .select(col(typeCol).as("from_type"), col("__next").as("to_type"))
-      .unionByName(seq0.filter(col("__rn") === 1)
-        .select(lit("start").as("from_type"), col(typeCol).as("to_type")))
-      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val pairs = journeyPairs(events, userCol, tsCol, typeCol, idCol,
+      includeStart = true)
     val trans = Lineage.cutLocal(pairs
       .withColumn("t_prob", col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy("from_type")))

@@ -21,8 +21,13 @@ object Stats {
 
   /** One row per group:
     * `(group..., n_a, n_b, mean_a, mean_b, welch_z)` — `armA` selects
-    * arm A rows, everything else is arm B. Groups where either arm has
-    * fewer than 2 observations yield NULL z (undefined variance).
+    * arm A rows, everything else is arm B; NULL metric values count in
+    * neither arm (n, Σv, and Σv² all skip them, so they can never
+    * skew a mean). Groups where either arm has fewer than 2
+    * observations, or where both arms are constant (the
+    * decimal-rounded Σv² can put the computed variance a hair below
+    * zero — sqrt of that is NaN here and a hard error in some SQL
+    * engines), yield NULL z.
     *
     * Scale shape: ONE conditional aggregate over the group keys with
     * map-side partials — no pivot, no second pass, no join. */
@@ -37,8 +42,8 @@ object Stats {
     val sq = round(v * v, 8).cast("decimal(28,8)")
     val agg = df.groupBy(groupCols.map(col): _*)
       .agg(
-        count(when(armA, 1)).as("n_a"),
-        count(when(!armA, 1)).as("n_b"),
+        count(when(armA, v)).as("n_a"),
+        count(when(!armA, v)).as("n_b"),
         sum(when(armA, dec)).as("__sv_a"),
         sum(when(!armA, dec)).as("__sv_b"),
         sum(when(armA, sq)).as("__ss_a"),
@@ -53,7 +58,7 @@ object Stats {
         na, nb,
         round(ma, 6).as("mean_a"),
         round(mb, 6).as("mean_b"),
-        when(na >= 2 && nb >= 2,
+        when(na >= 2 && nb >= 2 && va + vb > 0.0,
           round((ma - mb) / sqrt(va + vb), 4)).as("welch_z")): _*)
       .orderBy(groupCols.map(col): _*)
   }

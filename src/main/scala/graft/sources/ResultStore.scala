@@ -127,6 +127,15 @@ class ResultStore(spark: SparkSession, root: String) {
   def committedVersion(schema: String): Option[String] =
     currentVersion(schema)
 
+  /** Data-file count of the committed version — the fragmentation
+    * probe a maintenance gate checks before deciding to [[compact]];
+    * 0 when the schema has no committed data. Lives here so callers
+    * never re-implement the on-disk layout. */
+  def dataFileCount(schema: String): Int =
+    currentVersion(schema)
+      .map(v => dataFiles(versionDir(schema, v)).length)
+      .getOrElse(0)
+
   /** On-disk generations readable right now, newest first. The GC
     * contract bounds this to the current generation plus the retained
     * previous one — the same one-generation time travel a lazy reader
@@ -215,14 +224,15 @@ class ResultStore(spark: SparkSession, root: String) {
     * which is exactly how lost updates are prevented when two
     * long-running jobs race on one table.
     *
-    * The check runs after the (expensive) data write and again
-    * immediately before the atomic pointer flip; the residual
-    * check-to-rename window is process-local and OS-scheduler-thin —
-    * the same single-filesystem caveat every local commit here has
-    * (a distributed deployment swaps the pointer flip for its object
-    * store's conditional put, the documented Delta/Iceberg boundary).
-    * A refused commit leaves the winner's table untouched; the loser's
-    * stranded version directory is collected by the next flip's GC. */
+    * The expensive data write lands in a UNIQUE staging directory, so
+    * racing writers can never touch each other's files; the
+    * [check → claim version name → rename → pointer flip] section then
+    * runs under an exclusive file lock on `_LOCK`, which serializes
+    * racing committers within and across processes on one filesystem
+    * (a distributed deployment swaps this for its object store's
+    * conditional put, the documented Delta/Iceberg boundary). A
+    * refused commit leaves the winner's table untouched; the loser's
+    * staging directory is deleted on refusal. */
   def overwriteIf(
       schema: String, df: DataFrame, expected: Option[String]): String = {
     def check(): Unit = {
@@ -232,12 +242,29 @@ class ResultStore(spark: SparkSession, root: String) {
           s"schema '$schema': expected version $expected but found $cur")
     }
     check()
-    val version = nextVersion(schema)
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$schema/$version")
+    val staging = new java.io.File(schemaDir(schema),
+      s".staged-${java.util.UUID.randomUUID()}")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
     beforeSwapHook()
-    check()
-    flipPointer(schema, version, keepPrevious = expected)
-    version
+    val ch = java.nio.channels.FileChannel.open(
+      new java.io.File(schemaDir(schema), "_LOCK").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        check()
+        val version = nextVersion(schema)
+        java.nio.file.Files.move(staging.toPath,
+          new java.io.File(schemaDir(schema), version).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        flipPointer(schema, version, keepPrevious = expected)
+        version
+      } finally lock.release()
+    } finally {
+      ch.close()
+      if (staging.exists()) rmTree(staging)
+    }
   }
 
   def read(schema: String): DataFrame = spark.read.parquet(dataPath(schema))

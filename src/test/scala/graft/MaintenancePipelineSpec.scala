@@ -8,13 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class MaintenancePipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def files(root: String): Int = {
-    val cur = new java.io.File(s"$root/li/_CURRENT")
-    val v = new String(java.nio.file.Files.readAllBytes(cur.toPath)).trim
-    new java.io.File(s"$root/li/$v").listFiles()
-      .count(f => f.isFile && !f.getName.startsWith("_") &&
-        !f.getName.startsWith("."))
-  }
+  private def files(root: String): Int =
+    new graft.sources.ResultStore(spark, root).dataFileCount("li")
 
   test("fragmented ingest compacts; skip arm leaves files; content equal") {
     val sf = "/root/testdata/sf0.001"

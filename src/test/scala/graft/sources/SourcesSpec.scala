@@ -693,6 +693,11 @@ class SourcesSpec extends AnyFunSuite {
       a.committedVersion("t"))
     assert(a.committedVersion("t").contains(v2))
     assert(a.read("t").collect().map(_.getAs[Long]("k")).toSeq == Seq(3L))
+    // refused commits write into UNIQUE staging dirs (never a version
+    // name a winner could own) and clean them up on refusal
+    val stranded = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.startsWith(".staged-"))
+    assert(stranded.isEmpty, stranded.mkString(", "))
   }
 
   test("compact crash before the pointer flip leaves the table intact") {
