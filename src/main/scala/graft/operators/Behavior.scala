@@ -131,18 +131,6 @@ object Behavior {
     perStep.reduce(_.unionByName(_)).orderBy("step")
   }
 
-  /** First-order transition matrix: counts of consecutive
-    * `(event_type -> next event_type)` pairs within each user's
-    * timeline, plus the per-source transition probability. Ties on the
-    * timestamp break on `idCol` so the sequence is deterministic.
-    * Terminal events (no successor) are dropped.
-    *
-    * Scale shape: ONE shuffle keyed on the user for the lead() window
-    * (partition size = one user's history), then an aggregate on the
-    * (from, to) pair — cardinality |types|², with map-side partials.
-    * The probability denominator reuses the same aggregate via a
-    * window over `from_type` (|types| partitions, trivially bounded).
-    */
   /** `(from_type, to_type, n)` consecutive-pair counts per user
     * timeline — THE ordering contract ((ts, id) order, lead window)
     * behind [[transitionMatrix]], [[absorptionPropensity]], and
@@ -175,6 +163,18 @@ object Behavior {
     withStart.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
   }
 
+  /** First-order transition matrix: counts of consecutive
+    * `(event_type -> next event_type)` pairs within each user's
+    * timeline, plus the per-source transition probability. Ties on the
+    * timestamp break on `idCol` so the sequence is deterministic.
+    * Terminal events (no successor) are dropped.
+    *
+    * Scale shape: ONE shuffle keyed on the user for the lead() window
+    * (partition size = one user's history), then an aggregate on the
+    * (from, to) pair — cardinality |types|², with map-side partials.
+    * The probability denominator reuses the same aggregate via a
+    * window over `from_type` (|types| partitions, trivially bounded).
+    */
   def transitionMatrix(
       events: DataFrame,
       userCol: String,
