@@ -402,6 +402,23 @@ object ScaleStress {
     time("ab_4x")(operators.Stats.abTest(
       evT(4), "value", col("user_id") % 2 === 0,
       Seq("event_type")).count())
+    // round-6e operators. Markov attribution: the lead window is the
+    // only data-sized work — 4x events ~ 4x that window, the chains
+    // stay |types|²; cohort LTV: two user-keyed aggregates + a
+    // cohort-bounded cumulative window — linear
+    val evA = (k: Int) => evDup(k)
+      .withColumn("event_type", (col("user_id") % 5).cast("string"))
+      .withColumn("event_id", col("user_id") * 1000 + col("ts_us") % 1000)
+    time("markov_attr_1x")(operators.Behavior.markovAttribution(
+      evA(1), "user_id", "ts_us", "event_type", "event_id",
+      conversionType = "0", channels = Seq("1", "2", "3"),
+      steps = 4).count())
+    time("markov_attr_4x")(operators.Behavior.markovAttribution(
+      evA(4), "user_id", "ts_us", "event_type", "event_id",
+      conversionType = "0", channels = Seq("1", "2", "3"),
+      steps = 4).count())
+    time("cohort_ltv_4x")(operators.Behavior.cohortLtv(
+      evA(4), "user_id", "ts_us", "event_type", "value", "0").count())
     spark.stop()
   }
 }
