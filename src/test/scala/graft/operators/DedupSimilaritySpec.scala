@@ -1043,6 +1043,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("spanDedup matches a driver-side replay on a collision-heavy corpus") {
+    // tiny vocabulary + short spans force heavy cross-doc collisions
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("a", "b", "c")
+    val docs = (1L to 60L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val spanWords = 2
+    // reference: global first-occurrence by (doc, span index)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val spans = toks.grouped(spanWords).map(_.mkString(" ")).toSeq
+      val kept = spans.filter { sp =>
+        if (seen.contains(sp)) false else { seen.add(sp); true }
+      }
+      (id, spans.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }
+    val got = Dedup.spanDedup(docs.toDF("doc_id", "text"), "doc_id",
+      "text", spanWords = spanWords)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == want)
+    assert(want.exists(_._3 == 0L), "fixture should fully dedup some doc")
+  }
+
   test("spanDedup: cross-doc and within-doc spans drop, order kept") {
     val d = Seq(
       (1L, "a b c d e"), // spans "a b" "c d" "e" — all first occurrences
