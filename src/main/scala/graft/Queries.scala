@@ -6223,6 +6223,69 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // st12_stream_active_users — DAU/WAU fed by STREAMING distinct state:
+  // the engine's dropDuplicates state emits each (day, user) pair
+  // exactly once across micro-batches (two batches split at the time
+  // midpoint — a user active in both must not double-count), then the
+  // aq49 window aggregation runs over the emitted pairs. Oracle =
+  // aq49's batch SQL — stream == batch is the gate.
+  register(
+    "st12_stream_active_users",
+    """WITH pairs AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx,
+      |         user_id AS u
+      |  FROM events
+      |), expl AS (
+      |  SELECT day_idx + o.range AS day_idx, u FROM pairs, range(7) o
+      |), wau AS (
+      |  SELECT day_idx, count(DISTINCT u)::bigint AS wau
+      |  FROM expl GROUP BY 1
+      |), dau AS (
+      |  SELECT day_idx, count(*)::bigint AS dau FROM pairs GROUP BY 1
+      |)
+      |SELECT day_idx, dau, wau
+      |FROM dau JOIN wau USING (day_idx)
+      |ORDER BY day_idx""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    val tmp = scratchDir("st12")
+    val (in, out, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    val ev = t(s, dir, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val cut = ev.agg(((min("ts_us") + max("ts_us")) / 2).cast("long"))
+      .first().getLong(0)
+    ev.filter(col("ts_us") < cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+    ev.filter(col("ts_us") >= cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+    mtimeOrder(s"$in/b1", s"$in/b2")
+
+    val schema = ev.schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "30 minutes")
+      .select(expr("ts_us div 86400000000").as("day_idx"),
+        col("user_id").as("u"), col("ts"))
+      .dropDuplicates("day_idx", "u")
+      .select("day_idx", "u")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val pairs = graft.operators.Lineage.cutLocal(s.read.parquet(out))
+    val wau = pairs
+      .select(explode(sequence(col("day_idx"), col("day_idx") + 6))
+        .as("day_idx"), col("u"))
+      .groupBy("day_idx").agg(countDistinct(col("u")).as("wau"))
+    val dau = pairs.groupBy("day_idx").agg(count(lit(1)).as("dau"))
+    dau.join(wau, "day_idx")
+      .select("day_idx", "dau", "wau")
+      .orderBy("day_idx")
+  }}
+
+  // ---------------------------------------------------------------------
   // aq48_cusum — CUSUM changepoint detection (Behavior
   // .cusumChangepoints): per-type hourly rates on each series' own
   // min..max grid (gaps count 0), one-sided CUSUM in integer units
