@@ -6179,6 +6179,38 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq55_tukey_outliers — box-plot outlier screening per event type
+  // (Stats.tukeyOutliers): exact interpolated quartiles, 1.5·IQR
+  // fences as fixed-order double expressions, raw-double comparisons —
+  // the pre-mean sanity screen, fully engine-exact.
+  register(
+    "aq55_tukey_outliers",
+    """WITH q AS (
+      |  SELECT event_type,
+      |         quantile_cont(value, 0.25) AS q1,
+      |         quantile_cont(value, 0.75) AS q3
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |)
+      |SELECT e.event_type, count(*)::bigint AS n,
+      |       round(min(q.q1), 4) AS q1,
+      |       round(min(q.q3), 4) AS q3,
+      |       count(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+      |                    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+      |                  THEN 1 END)::bigint AS n_outliers,
+      |       round(count(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+      |                         OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+      |                        THEN 1 END)::double / count(*), 6)
+      |         AS outlier_rate
+      |FROM events e JOIN q USING (event_type)
+      |WHERE e.value IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.tukeyOutliers(
+      t(s, dir, "events"), "value", Seq("event_type"))
+  }
+
+  // ---------------------------------------------------------------------
   // aq50_ab_test — Welch's z over hash-assigned arms (Stats.abTest):
   // per event type, compare `value` between the user_id-parity cohorts.
   // Decimal Σv / Σv² feed fixed-order double expressions, so means,

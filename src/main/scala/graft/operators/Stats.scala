@@ -19,6 +19,47 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Tukey-fence outlier report per group: quartiles, the classic
+    * `1.5·IQR` fences, and how many observations fall outside them —
+    * the box-plot screening rule every metrics pipeline runs before
+    * trusting a mean. Returns
+    * `(group..., n, q1, q3, n_outliers, outlier_rate)`.
+    *
+    * Determinism contract: quartiles are exact interpolated
+    * percentiles (Spark `percentile` == DuckDB `quantile_cont`); the
+    * fences are fixed-order double expressions of them, and every
+    * comparison runs on raw doubles — identical in any engine. NULL
+    * values count in neither n nor the outliers.
+    *
+    * Scale shape: one percentile aggregate over the group keys, the
+    * |groups|-row quartile frame broadcast back, one counting
+    * aggregate — two passes, no data-sized shuffle beyond them. */
+  def tukeyOutliers(
+      df: DataFrame,
+      metricCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = col(metricCol)
+    val stats = broadcast(df.filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, lit(0.25)).as("__q1"),
+        percentile(v, lit(0.75)).as("__q3")))
+    val iqr = col("__q3") - col("__q1")
+    val lo = col("__q1") - lit(1.5) * iqr
+    val hi = col("__q3") + lit(1.5) * iqr
+    df.filter(v.isNotNull)
+      .join(stats, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("__q1")), 4).as("q1"),
+        round(first(col("__q3")), 4).as("q3"),
+        count(when(v < lo || v > hi, 1)).as("n_outliers"))
+      .withColumn("outlier_rate",
+        round(col("n_outliers").cast("double") / col("n"), 6))
+      .orderBy(groupCols.map(col): _*)
+  }
+
   /** One row per group:
     * `(group..., n_a, n_b, mean_a, mean_b, welch_z)` — `armA` selects
     * arm A rows, everything else is arm B; NULL metric values count in
