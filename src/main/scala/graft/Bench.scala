@@ -36,8 +36,25 @@ object Bench {
     // round-5 NTZ regression showed st1-st4 at 0.09-0.19s). Failed
     // queries report the string "err" instead and are excluded from
     // total/median/p90.
+    // one untimed warm-up execution per query before the timed runs: it
+    // absorbs the one-time Janino/whole-stage codegen compile (sq14's
+    // k-means trajectory alone compiles ~2s of kernels) so the timed
+    // median measures steady-state plan cost. The warm-up wall time is
+    // still recorded (warmup_run) — compile cost is real signal about
+    // plan complexity, it just must not pollute the steady-state stat.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
     val results = selected.map { case (name, fn) =>
       var failed = false
+      val warm = if (!warmup) None else {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name FAILED (warmup): " +
+            s"${t.getClass.getName}: " +
+            String.valueOf(t.getMessage).linesIterator.take(1).mkString)
+        }
+        Some((System.nanoTime() - t0) / 1e9)
+      }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case t: Throwable =>
@@ -69,7 +86,8 @@ object Bench {
       }
       (name,
         if (failed) None else Some(median(times)),
-        if (failed) None else Some(times.head))
+        if (failed) None else Some(times.head),
+        if (failed) None else warm)
     }
     def jsonMap(kv: Seq[(String, Option[Double])]): String =
       kv.map { case (k, v) =>
@@ -77,6 +95,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val qs = jsonMap(results.map(r => (r._1, r._2)))
     val firstRuns = jsonMap(results.map(r => (r._1, r._3)))
+    val warmRuns = jsonMap(results.map(r => (r._1, r._4)))
     val ok = results.flatMap(_._2)
     val nErr = results.count(_._2.isEmpty)
     val total = ok.sum
@@ -88,10 +107,22 @@ object Bench {
     def pct(p: Double): Double =
       if (sorted.isEmpty) 0.0
       else sorted(math.round((sorted.size - 1) * p).toInt)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""first_run":$firstRuns,"runs_per_query":$runs,""" +
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""first_run":$firstRuns,"warmup_run":$warmRuns,""" +
+      s""""runs_per_query":$runs,""" +
       s""""n_queries":${results.size},"n_err":$nErr,"median_sec":${pct(0.5)},""" +
-      s""""p90_sec":${pct(0.9)},"sf":"$sfDir"}""")
+      s""""p90_sec":${pct(0.9)},"sf":"$sfDir"}"""
+    println(line)
+    // the driver's artifact keeps only a truncated stdout tail (BENCH_r05
+    // and r06 both lost every per-query timing to it) — persist the full
+    // record to a file so the per-query map survives the round
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_results.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line)
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

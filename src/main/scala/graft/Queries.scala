@@ -1506,7 +1506,8 @@ object Queries {
       |SELECT f.id_a, f.id_b, f.c AS cosine,
       |       round(f.c / ((ka.avg_a + kb.avg_b) / 2), 6) AS margin
       |FROM fwd f JOIN ka USING (id_a) JOIN kb USING (id_b)
-      |WHERE f.c / ((ka.avg_a + kb.avg_b) / 2) > 1.0
+      |WHERE (ka.avg_a + kb.avg_b) > 0
+      |  AND f.c / ((ka.avg_a + kb.avg_b) / 2) > 1.0
       |ORDER BY margin DESC, id_a""".stripMargin
   ) { (s, dir) =>
     Similarity.mineBitext(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -6296,7 +6297,7 @@ ORDER BY query_id"""
       .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "30 minutes")
-      .select(expr("ts_us div 86400000000").as("day_idx"),
+      .select(expr(graft.operators.Behavior.floorDivExpr("ts_us", 86400000000L)).as("day_idx"),
         col("user_id").as("u"), col("ts"))
       .dropDuplicates("day_idx", "u")
       .select("day_idx", "u")
@@ -6402,7 +6403,7 @@ ORDER BY query_id"""
     mtimeOrder(s"$in/b1", s"$in/b2")
 
     def summarize(df: DataFrame): DataFrame = df
-      .withColumn("hour_idx", expr("ts_us div 3600000000"))
+      .withColumn("hour_idx", expr(graft.operators.Behavior.floorDivExpr("ts_us", 3600000000L)))
       .groupBy("event_type", "hour_idx")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).as("val_sum"),
@@ -6508,7 +6509,7 @@ ORDER BY query_id"""
     val cut = ev.agg(((min("ts_us") + max("ts_us")) / 2).cast("long"))
       .first().getLong(0)
     def summarize(df: DataFrame): DataFrame = df
-      .withColumn("hour_idx", expr("ts_us div 3600000000"))
+      .withColumn("hour_idx", expr(graft.operators.Behavior.floorDivExpr("ts_us", 3600000000L)))
       .groupBy("event_type", "hour_idx")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).as("val_sum"),

@@ -25,6 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Behavior {
 
+  /** FLOOR-division SQL fragment for integer bucketing, `⌊x / d⌋`.
+    *
+    * Spark's `div` truncates toward zero while DuckDB's `//` (and
+    * Python's `//`, java.lang.Math.floorDiv) floors — they disagree on
+    * every negative operand, so a pre-1970 µs epoch would land one
+    * bucket apart between engine and oracle and silently shift
+    * trailing-window semantics. `(x - pmod(x, d)) div d` is exact floor
+    * division in pure integer arithmetic: `pmod` is non-negative, the
+    * difference is exactly divisible by `d`, so the truncating `div`
+    * never actually truncates. (A `floor(x / d)` double formulation is
+    * NOT safe: µs epochs exceed a double's exact-integer range after
+    * the division's rounding at exact-multiple boundaries.) */
+  def floorDivExpr(x: String, d: Long): String =
+    floorDivExpr(x, s"${d}L")
+
+  /** Column-denominator overload (denominator must be positive). */
+  def floorDivExpr(x: String, d: String): String =
+    s"((($x) - pmod($x, $d)) div ($d))"
+
   /** Per-step converted-user frames `(user, __t, __lag_us)` — the
     * shared machinery behind [[funnel]] and [[funnelLagPercentiles]]
     * (one helper so the two gates can never drift on the
@@ -208,7 +227,7 @@ object Behavior {
       userCol: String,
       tsCol: String): DataFrame = {
     // integer floor-div, not double `/` + cast: engine-exact at any epoch
-    val day = expr(s"unix_micros($tsCol) div 86400000000")
+    val day = expr(floorDivExpr(s"unix_micros($tsCol)", 86400000000L))
     val activity = events
       .select(col(userCol), day.as("__day"))
       .distinct()
@@ -694,7 +713,7 @@ ORDER BY channel"""
       valueCol: String,
       conversionType: String): DataFrame = {
     val ev = Lineage.cutLocal(events.select(col(userCol).as("__u"),
-      expr(s"$tsCol div 86400000000").as("day_idx"),
+      expr(floorDivExpr(tsCol, 86400000000L)).as("day_idx"),
       col(typeCol).as("__t"), col(valueCol).as("__v")))
     val cohort = Lineage.cutLocal(
       ev.groupBy("__u").agg(min("day_idx").as("c")))
@@ -712,7 +731,7 @@ ORDER BY channel"""
       .select(col("c").as("cohort_day"), col("offset"), col("n_users"),
         round(col("__rev"), 2).cast("double").as("revenue"),
         round(col("__cum"), 2).cast("double").as("cum_revenue"),
-        (expr("(__cents * 100) div n_users") / lit(10000.0))
+        (expr(floorDivExpr("__cents * 100", "n_users")) / lit(10000.0))
           .as("ltv_per_user"))
       .orderBy("cohort_day", "offset")
   }
@@ -738,7 +757,7 @@ ORDER BY channel"""
       windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "windowDays must be positive")
     val pairs = Lineage.cutLocal(events
-      .select(expr(s"$tsCol div 86400000000").as("day_idx"),
+      .select(expr(floorDivExpr(tsCol, 86400000000L)).as("day_idx"),
         col(userCol).as("__u"))
       .distinct())
     val wau = pairs

@@ -925,7 +925,14 @@ object Similarity {
     val fwd = cross.withColumn("__rk", row_number().over(wA))
       .filter(col("__rk") === 1)
     val margin = col("c") / ((col("__avg_a") + col("__avg_b")) / lit(2))
+    // the ratio criterion is only meaningful against a POSITIVE
+    // neighborhood level: a zero denominator yields NULL (row silently
+    // dropped) and a negative one flips the margin's sign, inverting
+    // the > test for anti-correlated/zero vectors — exclude such pairs
+    // explicitly so degenerate inputs are a defined non-match, not an
+    // engine-dependent accident
     fwd.join(ka, "id_a").join(kb, "id_b")
+      .filter((col("__avg_a") + col("__avg_b")) > lit(0.0))
       .filter(margin > lit(marginThreshold))
       .select(col("id_a"), col("id_b"), col("c").as("cosine"),
         round(margin, 6).as("margin"))

@@ -244,25 +244,29 @@ class ResultStore(spark: SparkSession, root: String) {
     check()
     val staging = new java.io.File(schemaDir(schema),
       s".staged-${java.util.UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
-    beforeSwapHook()
-    val ch = java.nio.channels.FileChannel.open(
-      new java.io.File(schemaDir(schema), "_LOCK").toPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
+    // ONE try/finally spans the staging write AND the locked commit: a
+    // failed parquet write must not leak the .staged-<uuid> directory
+    // any more than a refused commit does
     try {
-      val lock = ch.lock()
+      df.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+      beforeSwapHook()
+      val ch = java.nio.channels.FileChannel.open(
+        new java.io.File(schemaDir(schema), "_LOCK").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
       try {
-        check()
-        val version = nextVersion(schema)
-        java.nio.file.Files.move(staging.toPath,
-          new java.io.File(schemaDir(schema), version).toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        flipPointer(schema, version, keepPrevious = expected)
-        version
-      } finally lock.release()
+        val lock = ch.lock()
+        try {
+          check()
+          val version = nextVersion(schema)
+          java.nio.file.Files.move(staging.toPath,
+            new java.io.File(schemaDir(schema), version).toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          flipPointer(schema, version, keepPrevious = expected)
+          version
+        } finally lock.release()
+      } finally ch.close()
     } finally {
-      ch.close()
       if (staging.exists()) rmTree(staging)
     }
   }
@@ -525,7 +529,16 @@ class ResultStore(spark: SparkSession, root: String) {
     * bytes; driver state is the file listing (bounded by file count,
     * like every manifest operation). Returns
     * `(filesBefore, filesAfter)`; a table with ≤1 small file is
-    * already compact and commits nothing. */
+    * already compact and commits nothing.
+    *
+    * Concurrency: the rewrite runs from a snapshot of the current
+    * generation's file list, lands in a unique staging directory, and
+    * the [re-check generation → claim version → move → flip] section
+    * runs under the same exclusive `_LOCK` protocol as [[overwriteIf]].
+    * A commit landing between the snapshot and the flip makes compact
+    * throw ConcurrentModificationException (its rewrite derives from a
+    * superseded generation — publishing it would silently drop the
+    * racer's rows and gc its version); callers retry. */
   def compact(schema: String, targetBytes: Long = 128L << 20): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val prev = currentVersion(schema).getOrElse(throw new NoSuchElementException(
@@ -535,27 +548,49 @@ class ResultStore(spark: SparkSession, root: String) {
     val (small, large) = files.partition(_.length() < targetBytes)
     if (small.length <= 1) return (files.length, files.length)
 
-    val version = nextVersion(schema)
-    val newDir = versionDir(schema, version)
-    val smallBytes = small.map(_.length()).sum
-    val nBins =
-      math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
-    // pin the schema explicitly: reading a file subset must not
-    // re-infer a narrower shape than the committed table's
-    spark.read.schema(read(schema).schema)
-      .parquet(small.map(_.getPath).toIndexedSeq: _*)
-      .repartition(nBins)
-      .write.mode(SaveMode.Overwrite).parquet(newDir.getPath)
-    large.foreach { f =>
-      val target0 = new java.io.File(newDir, f.getName)
-      val target =
-        if (target0.exists()) new java.io.File(newDir, "prev-" + f.getName)
-        else target0
-      java.nio.file.Files.createLink(target.toPath, f.toPath)
+    val staging = new java.io.File(schemaDir(schema),
+      s".staged-${java.util.UUID.randomUUID()}")
+    try {
+      val smallBytes = small.map(_.length()).sum
+      val nBins =
+        math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
+      // pin the schema explicitly: reading a file subset must not
+      // re-infer a narrower shape than the committed table's
+      spark.read.schema(read(schema).schema)
+        .parquet(small.map(_.getPath).toIndexedSeq: _*)
+        .repartition(nBins)
+        .write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+      large.foreach { f =>
+        val target0 = new java.io.File(staging, f.getName)
+        val target =
+          if (target0.exists()) new java.io.File(staging, "prev-" + f.getName)
+          else target0
+        java.nio.file.Files.createLink(target.toPath, f.toPath)
+      }
+      beforeSwapHook()
+      val ch = java.nio.channels.FileChannel.open(
+        new java.io.File(schemaDir(schema), "_LOCK").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          val cur = currentVersion(schema)
+          if (cur != Some(prev))
+            throw new java.util.ConcurrentModificationException(
+              s"schema '$schema': compact started from $prev but found " +
+                s"$cur at commit time; rerun compact")
+          val version = nextVersion(schema)
+          val newDir = versionDir(schema, version)
+          java.nio.file.Files.move(staging.toPath, newDir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          flipPointer(schema, version, keepPrevious = Some(prev))
+          (files.length, dataFiles(newDir).length)
+        } finally lock.release()
+      } finally ch.close()
+    } finally {
+      if (staging.exists()) rmTree(staging)
     }
-    beforeSwapHook()
-    flipPointer(schema, version, keepPrevious = Some(prev))
-    (files.length, dataFiles(newDir).length)
   }
 
   /** Streaming upsert sink: foreachBatch → upsert per micro-batch

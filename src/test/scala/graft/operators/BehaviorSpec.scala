@@ -323,6 +323,27 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 2L), (8L, 1L, 1L)))
   }
 
+  test("activeUsers: pre-1970 epochs bucket by FLOOR division") {
+    // -1µs is day -1 under floor division (DuckDB //, Math.floorDiv);
+    // Spark's truncating `div` would put it in day 0 and merge the two
+    // users into one DAU bucket
+    val rows = Seq((1L, -1L), (2L, 0L))
+    val e = rows.toDF("user_id", "ts_us")
+    val out = Behavior.activeUsers(e, "user_id", "ts_us", windowDays = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((-1L, 1L, 1L), (0L, 1L, 2L)))
+  }
+
+  test("floorDivExpr matches Math.floorDiv across signs") {
+    val d = 7L
+    val xs = Seq(-15L, -8L, -7L, -1L, 0L, 1L, 6L, 7L, 13L)
+    val got = xs.toDF("x")
+      .selectExpr("x", Behavior.floorDivExpr("x", d) + " AS fd")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    xs.foreach(x => assert(got(x) == Math.floorDiv(x, d),
+      s"x=$x: got ${got(x)}, want ${Math.floorDiv(x, d)}"))
+  }
+
   test("lastTouchAttribution: window, last-wins, ties, unattributed") {
     // u1 click 50s before purchase (in 60s window) -> click, lag 50s
     // u2 view 100s before purchase (outside window) -> unattributed

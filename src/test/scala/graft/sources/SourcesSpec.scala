@@ -719,4 +719,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(b == 3 && a == 1)
     assert(clean.count("t") == 3)
   }
+
+  test("compact refuses when a commit lands mid-compaction (no lost update)") {
+    val root = tmpDir()
+    val healthy = new ResultStore(spark, root)
+    (0 until 3).foreach(i =>
+      healthy.insert("t", Seq(KV(i.toLong, s"v$i")).toDF().coalesce(1)))
+    // inject a racing committer in the window between compact's rewrite
+    // and its pointer flip (beforeSwapHook fires exactly there)
+    val racer = new ResultStore(spark, root)
+    val racing = new ResultStore(spark, root) {
+      override protected def beforeSwapHook(): Unit =
+        racer.insert("t", Seq(KV(99L, "raced-in")).toDF().coalesce(1))
+    }
+    intercept[java.util.ConcurrentModificationException](
+      racing.compact("t", targetBytes = 1L << 20))
+    // the racer's committed row SURVIVES — the stale compaction neither
+    // published nor gc'd it
+    val clean = new ResultStore(spark, root)
+    assert(clean.read("t").collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 99L))
+    // no stranded staging directories
+    val stranded = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.startsWith(".staged-"))
+    assert(stranded.isEmpty, stranded.mkString(", "))
+    // retry from the new generation succeeds
+    val (b2, a2) = clean.compact("t", targetBytes = 1L << 20)
+    assert(b2 == 4 && a2 == 1)
+    assert(clean.count("t") == 4)
+  }
+
+  test("overwriteIf cleans staging when the data write itself fails") {
+    val root = tmpDir()
+    val store = new ResultStore(spark, root)
+    store.overwriteIf("t", Seq(KV(1, "a")).toDF(), None)
+    val poison = Seq(KV(2, "b")).toDF()
+      .withColumn("boom",
+        org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.lit("poisoned write")))
+    intercept[Exception](
+      store.overwriteIf("t", poison, store.committedVersion("t")))
+    val stranded = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.startsWith(".staged-"))
+    assert(stranded.isEmpty,
+      s"failed write leaked staging: ${stranded.mkString(", ")}")
+    // committed generation untouched
+    assert(store.read("t").collect().map(_.getAs[Long]("k")).toSeq == Seq(1L))
+  }
 }
