@@ -2484,12 +2484,44 @@ object Queries {
       |ORDER BY split""".stripMargin
   ) { (s, dir) => CurationPipeline.run(s, dir) }
 
-  // aq10_approx_distinct — HLL++ approximate distinct counts beside the
-  // exact ones. The sketch is engine-specific → rows-only check; the
-  // relative-error bound (HLL++ rsd 5% default, asserted at <10%) is
-  // pinned in ApproxSpec, and the exact columns give the driver a sane
-  // row/schema check.
-  register("aq10_approx_distinct") { (s, dir) =>
+  // aq10a_exact_distinct — the exact half of the former rows-only aq10:
+  // plain countDistinct per group, fully hash-matched against DuckDB.
+  register(
+    "aq10a_exact_distinct",
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey)::bigint AS exact_parts,
+      |       count(DISTINCT l_suppkey)::bigint AS exact_supps
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"))
+      .orderBy("l_returnflag")
+  }
+
+  // aq10b_approx_bounded — the HLL++ half, made hash-comparable: the
+  // sketch VALUE is engine-specific (no DuckDB twin), but the error
+  // BOUND is a deterministic boolean for a fixed dataset + sketch
+  // implementation, so the gate emits |approx−exact|/exact within
+  // tolerance flags and the oracle pins them all true. A sketch
+  // regression past the bound now breaks the hash instead of riding a
+  // rows-only row. Tolerances: 3×rsd (defaults 5% → 15%, 1% → 3%) —
+  // generous next to ApproxSpec's pinned <10%/<2% observed error, tight
+  // enough that a broken sketch cannot pass.
+  register(
+    "aq10b_approx_bounded",
+    """SELECT l_returnflag,
+      |       true AS approx_parts_ok,
+      |       true AS approx_supps_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    def ok(approx: Column, exact: Column, tol: Double): Column =
+      (abs(approx - exact) <= exact * tol)
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
@@ -2498,6 +2530,11 @@ object Queries {
         countDistinct(col("l_suppkey")).as("exact_supps"),
         approx_count_distinct(col("l_suppkey"), rsd = 0.01)
           .as("approx_supps_1pct"))
+      .select(col("l_returnflag"),
+        ok(col("approx_parts"), col("exact_parts"), 0.15)
+          .as("approx_parts_ok"),
+        ok(col("approx_supps_1pct"), col("exact_supps"), 0.03)
+          .as("approx_supps_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -6559,5 +6596,238 @@ ORDER BY query_id"""
         round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
           .cast("double").as("qty"))
       .orderBy("l_linenumber")
+  }
+
+  // ---------------------------------------------------------------------
+  // q42_parallel_pipeline — the `A || B |-> C` merge in the oracle gate
+  // (SURVEY §2.1): two branches run as ONE step whose ResultSet is the
+  // merged bag of both results (nexus/task.py:1080-1096), the chain
+  // evaluates with the LAST task's policy (nexus/task.py:387-418,
+  // tests/unittests/test_task.py:50-56), and the downstream `|->` stage
+  // aggregates the union. The oracle is the plain-SQL union of the two
+  // branch outputs — if the merge dropped, duplicated, or re-typed a
+  // branch, the hash breaks.
+  register(
+    "q42_parallel_pipeline",
+    """SELECT event_type, count(*)::bigint AS n,
+      |       round(sum(CAST(value AS DECIMAL(18,4))), 2)::double AS total_value
+      |FROM events
+      |WHERE event_type IN ('click', 'purchase')
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import graft.core._
+    val reg = new EventRegistry
+    def branch(name: String, eventType: String): Unit =
+      reg.registerTransform(name) { ctx =>
+        t(ctx.spark, dir, "events")
+          .filter(col("event_type") === eventType)
+          .select("event_id", "user_id", "event_type", "value")
+      }
+    branch("Clicks", "click")
+    branch("Purchases", "purchase")
+    reg.register("Summarize") { ctx =>
+      val prev = ctx.previousResult.get
+      // the merged bag must carry BOTH branch results as one step
+      require(prev.size == 2,
+        s"parallel merge expected 2 results, got ${prev.size}")
+      val out = prev.content.get // unionByName of the branches
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("total_value"))
+        .orderBy("event_type")
+      (true, out)
+    }
+    Pipeline.fromPointy("q42", "Clicks || Purchases |-> Summarize", reg)
+      .start(s).finalResult.content
+      .getOrElse(sys.error("parallel pipeline produced no content"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q43_goto_pipeline — handler-initiated descriptor routing in the
+  // oracle gate (SURVEY §2.1, nexus/base.py:456-497): the Route handler
+  // inspects the loaded data (a bounded limit(1) probe) and jumps to the
+  // custom descriptor-3 branch via goto; the branch's `|->` edge sees the
+  // SAME previous context as the switching task (nexus/task.py:1126-1131),
+  // so it summarizes Load's content. Oracle = the branch's output SQL.
+  register(
+    "q43_goto_pipeline",
+    """SELECT user_id, count(*)::bigint AS n_errors
+      |FROM events
+      |WHERE event_type = 'error'
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    import graft.core._
+    val reg = new EventRegistry
+    reg.registerTransform("Load") { ctx =>
+      t(ctx.spark, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+    }
+    reg.register("Route") { ctx =>
+      val df = ctx.previousContent.get
+      // data-driven routing: any error event diverts to the triage branch
+      // (limit(1) bounds the probe to O(1) rows regardless of scale)
+      val hasErrors =
+        df.filter(col("event_type") === "error").limit(1).count() > 0
+      if (hasErrors) ctx.goto(3) else (true, df)
+    }
+    reg.registerTransform("Bad") { ctx =>
+      ctx.spark.emptyDataFrame
+    }
+    reg.registerTransform("Good") { ctx =>
+      ctx.previousContent.get
+    }
+    reg.registerTransform("ErrorTriage") { ctx =>
+      ctx.previousContent.get // Load's content, through the switch
+        .filter(col("event_type") === "error")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_errors"))
+        .orderBy("user_id")
+    }
+    Pipeline.fromPointy("q43",
+        "Load |-> Route (0 -> Bad, 1 |-> Good, 3 |-> ErrorTriage)", reg)
+      .start(s).finalResult.content
+      .getOrElse(sys.error("goto pipeline produced no content"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q44_http_source — the HTTP source in the oracle gate (SURVEY §2.2,
+  // examples/user_posts_etl/events.py:14-59): a local stub server serves
+  // a fixed JSON array, HttpSource.fetchJson lands it as rows, and the
+  // pipeline aggregates per user. The oracle inlines the same payload as
+  // VALUES — fetch, parse, and the pipe must reproduce it exactly.
+  register(
+    "q44_http_source",
+    """SELECT userId, count(*)::bigint AS n_posts, sum(score)::bigint AS total_score
+      |FROM (VALUES (1, 1, 10), (1, 2, 20), (1, 3, 5),
+      |             (2, 4, 7),  (2, 5, 13),
+      |             (3, 6, 42)) AS posts(userId, id, score)
+      |GROUP BY userId
+      |ORDER BY userId""".stripMargin
+  ) { (s, dir) =>
+    import graft.core._
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val payload =
+      """[{"userId": 1, "id": 1, "score": 10},
+        | {"userId": 1, "id": 2, "score": 20},
+        | {"userId": 1, "id": 3, "score": 5},
+        | {"userId": 2, "id": 4, "score": 7},
+        | {"userId": 2, "id": 5, "score": 13},
+        | {"userId": 3, "id": 6, "score": 42}]""".stripMargin
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/posts", (ex: HttpExchange) => {
+      val bytes = payload.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val reg = new EventRegistry
+      // fetchJson is an eager driver-side GET (executor fan-out is the
+      // fetchJsonPages path, spec-pinned) — the returned frame no longer
+      // depends on the server, so stopping it after start() is safe
+      reg.registerTransform("Fetch") { ctx =>
+        graft.sources.HttpSource.fetchJson(ctx.spark, s"$base/posts")
+      }
+      reg.registerTransform("PerUser") { ctx =>
+        ctx.previousContent.get
+          .groupBy("userId")
+          .agg(count(lit(1)).as("n_posts"), sum("score").as("total_score"))
+          .orderBy("userId")
+      }
+      Pipeline.fromPointy("q44", "Fetch |-> PerUser", reg)
+        .start(s).finalResult.content
+        .getOrElse(sys.error("http pipeline produced no content"))
+    } finally server.stop(0)
+  }
+
+  // ---------------------------------------------------------------------
+  // q45_kv_roundtrip — the redis-analog KV store in the oracle gate
+  // (SURVEY §2.2, nexus/backends/stores/redis_store.py): HSET-NX insert
+  // of the nation table, an upsert that rewrites one region's names and
+  // adds a new record, HDEL of one key, then a filter-DSL read back.
+  // The oracle replays the same mutations in SQL.
+  register(
+    "q45_kv_roundtrip",
+    """WITH upd AS (
+      |  SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey
+      |  FROM nation WHERE n_regionkey = 1
+      |), merged AS (
+      |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |  WHERE n_regionkey <> 1
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT 990, 'ATLANTIS', 9
+      |)
+      |SELECT n_nationkey, n_name, n_regionkey FROM merged
+      |WHERE n_nationkey <> 0 AND n_regionkey <= 3
+      |ORDER BY n_nationkey""".stripMargin
+  ) { (s, dir) =>
+    val kv = new graft.sources.InMemoryKvStore(s)
+    val nation = t(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    kv.insert("nations", nation, "n_nationkey")
+    val renamed = nation.filter(col("n_regionkey") === 1)
+      .withColumn("n_name", upper(col("n_name")))
+    val added = s.range(1).select(
+      lit(990).cast("int").as("n_nationkey"),
+      lit("ATLANTIS").as("n_name"),
+      lit(9).cast("int").as("n_regionkey"))
+    kv.upsert("nations", renamed.unionByName(added), "n_nationkey")
+    kv.deleteRecord("nations", 0)
+    kv.filterRecords("nations", "n_regionkey__lte" -> 3)
+      .orderBy("n_nationkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // q46_telemetry_rollup — the telemetry rollups in the oracle gate
+  // (SURVEY §2.2, nexus/telemetry/reporter.py:38-60): a deterministic
+  // run (Fetch heals after two retries, Validate fails and routes to
+  // Recover) is observed by a MetricsCollector off the signal bus, and
+  // the reporter's failed/retry rollups come out as a plain DataFrame
+  // query. Wall-clock columns are excluded — the oracle pins the
+  // run/failure/retry COUNTS, which the run fully determines.
+  register(
+    "q46_telemetry_rollup",
+    """SELECT * FROM (VALUES ('Fetch', 1, 0, 2),
+      |                      ('Recover', 1, 0, 0),
+      |                      ('Validate', 1, 1, 0))
+      |  AS t(event_name, n_runs, n_failed, n_retries)
+      |ORDER BY event_name""".stripMargin
+  ) { (s, dir) =>
+    import graft.core._
+    val mc = new graft.telemetry.MetricsCollector
+    try {
+      val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val reg = new EventRegistry
+      reg.register("Fetch",
+          retry = Some(RetryPolicy(maxAttempts = 3, backoffFactor = 0))) { ctx =>
+        if (attempts.getAndIncrement() < 2)
+          throw new RuntimeException("transient fetch failure (deliberate)")
+        (true, t(ctx.spark, dir, "events"))
+      }
+      reg.register("Validate") { ctx =>
+        (false, ctx.previousContent.get) // deliberate failure -> 0 branch
+      }
+      reg.registerTransform("Recover") { ctx =>
+        ctx.spark.range(1).toDF("ok")
+      }
+      reg.registerTransform("Good") { ctx =>
+        ctx.spark.emptyDataFrame
+      }
+      Pipeline.fromPointy("q46",
+        "Fetch * 3 |-> Validate (0 -> Recover, 1 -> Good)", reg).start(s)
+      mc.toDF(s)
+        .groupBy("event_name")
+        .agg(count(lit(1)).as("n_runs"),
+          sum(when(col("status") === "failed", 1).otherwise(0))
+            .as("n_failed"),
+          sum("retry_count").as("n_retries"))
+        .orderBy("event_name")
+    } finally mc.close()
   }
 }

@@ -395,6 +395,176 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Shared argmax scaffold for [[CosineArgmaxId]] / [[CosineArgmaxSim]]:
+    * nearest centroid by 4dp-rounded cosine, ties to the LOWEST cell id
+    * — bit-identical to the previous struct-max formulation
+    * (`max((round(cosine(v, cᵢ), 4), -idᵢ))`), including Spark's double
+    * total order (NaN greatest) and Round's NaN/∞ pass-through.
+    *
+    * The centroid matrix rides as a PLAN REFERENCE (`addReferenceObj`),
+    * not a literal expression tree: k `typedLit` arrays previously
+    * compiled k×dim-sized Janino sources PER LLOYD ITERATION (sq14's
+    * dominant first-run cost), while this kernel's generated source is
+    * constant in k×dim — identical across iterations, so Janino's cache
+    * compiles it once for the whole trajectory. */
+  sealed trait CosineArgmaxBase extends UnaryExpression {
+    def cents: Array[Array[Float]]
+    def ids: Array[Long]
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"cosine_argmax expects array<float>, got ${other.simpleString}")
+      }
+
+    @transient protected lazy val cnorms: Array[Double] = cents.map { c =>
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { val v = c(i).toDouble; s += v * v; i += 1 }
+      math.sqrt(s)
+    }
+
+    /** (bestSim, bestId) over the centroid matrix. */
+    protected def argmax(xs: ArrayData): (Double, Long) = {
+      var vn = 0.0
+      var i = 0
+      val n = xs.numElements()
+      while (i < n) { val v = xs.getFloat(i).toDouble; vn += v * v; i += 1 }
+      val vnorm = math.sqrt(vn)
+      var bestSim = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        val m = math.min(n, cv.length)
+        var d = 0.0
+        var j = 0
+        while (j < m) { d += xs.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+        val sim = VectorExpressions.round4(d / (vnorm * cnorms(c)))
+        val cmp = java.lang.Double.compare(sim, bestSim)
+        if (cmp > 0 || (cmp == 0 && ids(c) < bestId)) {
+          bestSim = sim; bestId = ids(c)
+        }
+        c += 1
+      }
+      (bestSim, bestId)
+    }
+
+    /** Generated argmax loop; leaves `double <simVar>` / `long <idVar>`
+      * in scope. Code size constant in k×dim — matrices are reference
+      * slots, so the source is identical across Lloyd iterations. */
+    protected def genArgmax(
+        ctx: CodegenContext, a: String,
+        simVar: String, idVar: String): String = {
+      val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+      val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+      val cnormsRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val vn = ctx.freshName("vn")
+      val v = ctx.freshName("v")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val d = ctx.freshName("d")
+      val sim = ctx.freshName("sim")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $n = $a.numElements();
+         |double $vn = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $vn += $v * $v;
+         |}
+         |$vn = java.lang.Math.sqrt($vn);
+         |double $simVar = Double.NEGATIVE_INFINITY;
+         |long $idVar = Long.MAX_VALUE;
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  float[] __cv = $centsRef[$c];
+         |  int $m = java.lang.Math.min($n, __cv.length);
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $d += ((double) $a.getFloat($j)) * ((double) __cv[$j]);
+         |  }
+         |  double $sim = graft.functions.VectorExpressions.round4(
+         |    $d / ($vn * $cnormsRef[$c]));
+         |  int $cmp = java.lang.Double.compare($sim, $simVar);
+         |  if ($cmp > 0 || ($cmp == 0 && $idsRef[$c] < $idVar)) {
+         |    $simVar = $sim; $idVar = $idsRef[$c];
+         |  }
+         |}
+       """.stripMargin
+    }
+  }
+
+  /** Nearest-centroid CELL ID (see [[CosineArgmaxBase]]). */
+  case class CosineArgmaxId(
+      child: Expression,
+      cents: Array[Array[Float]],
+      ids: Array[Long]) extends CosineArgmaxBase {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullSafeEval(a: Any): Any =
+      argmax(a.asInstanceOf[ArrayData])._2
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val sim = ctx.freshName("bestSim")
+        val id = ctx.freshName("bestId")
+        s"""
+           |${genArgmax(ctx, a, sim, id)}
+           |${ev.value} = $id;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): CosineArgmaxId =
+      copy(child = c)
+  }
+
+  /** WINNING 4dp cosine of the nearest centroid (see [[CosineArgmaxBase]]). */
+  case class CosineArgmaxSim(
+      child: Expression,
+      cents: Array[Array[Float]],
+      ids: Array[Long]) extends CosineArgmaxBase {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any): Any =
+      argmax(a.asInstanceOf[ArrayData])._1
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val sim = ctx.freshName("bestSim")
+        val id = ctx.freshName("bestId")
+        s"""
+           |${genArgmax(ctx, a, sim, id)}
+           |${ev.value} = $sim;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): CosineArgmaxSim =
+      copy(child = c)
+  }
+
+  /** Spark `round(x, 4)` semantics for doubles (RoundBase): decimal
+    * HALF_UP on the canonical string rendering, NaN/∞ pass through.
+    * Public + JVM-static so generated code can call it. */
+  def round4(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def cosine_argmax_id(
+      vec: Column, centroids: Seq[(Long, Array[Float])]): Column =
+    GraftSqlBridge.toColumn(CosineArgmaxId(
+      GraftSqlBridge.toExpression(vec),
+      centroids.map(_._2).toArray, centroids.map(_._1).toArray))
+
+  def cosine_argmax_sim(
+      vec: Column, centroids: Seq[(Long, Array[Float])]): Column =
+    GraftSqlBridge.toColumn(CosineArgmaxSim(
+      GraftSqlBridge.toExpression(vec),
+      centroids.map(_._2).toArray, centroids.map(_._1).toArray))
+
   def pq_encode(vec: Column, codebook: Array[Float], m: Int): Column =
     GraftSqlBridge.toColumn(PqEncode(
       GraftSqlBridge.toExpression(vec), codebook, m))

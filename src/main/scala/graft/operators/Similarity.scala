@@ -279,33 +279,27 @@ object Similarity {
 
   /** Nearest-centroid cell by cosine — the shared assignment kernel for
     * both IVF variants, and the same metric + rounding + tie-break
-    * (highest round(sim,4), lowest cell id) the probe side uses.
-    * One inline argmax over K codegen cosine kernels per row: no
-    * crossJoin, no shuffle, no window. */
+    * (highest round(sim,4), lowest cell id) the probe side uses: one
+    * compiled argmax per row (no crossJoin, no shuffle, no window)
+    * whose generated CODE SIZE is constant in k×dim — the centroid
+    * matrix rides as a plan reference, where the previous per-centroid
+    * `typedLit` struct-max compiled k×dim-sized Janino sources per
+    * Lloyd iteration (sq14's dominant first-run cost). Arithmetic,
+    * rounding, and tie-break are bit-identical
+    * (differential-pinned in VectorKernelSpec). */
   private[operators] def cosineArgmaxCell(
-      vec: Column, centroids: Seq[(Long, Array[Float])]): Column = {
-    val scored = centroids.map { case (cid, cvec) =>
-      struct(
-        round(cosine(vec, typedLit(cvec)), 4).as("sim"),
-        lit(-cid).as("neg_cell"))
-    }
-    // max over (sim, -cell) structs == highest sim, lowest cell on tie
-    -array_max(array(scored: _*)).getField("neg_cell")
-  }
+      vec: Column, centroids: Seq[(Long, Array[Float])]): Column =
+    graft.functions.VectorExpressions.cosine_argmax_id(vec, centroids)
 
   /** [[cosineArgmaxCell]] that also returns the winning similarity:
     * a struct `(sim, cell_id)` — same metric, rounding, tie-break. */
   private[operators] def cosineArgmaxCellWithSim(
-      vec: Column, centroids: Seq[(Long, Array[Float])]): Column = {
-    val scored = centroids.map { case (cid, cvec) =>
-      struct(
-        round(cosine(vec, typedLit(cvec)), 4).as("sim"),
-        lit(-cid).as("neg_cell"))
-    }
-    val best = array_max(array(scored: _*))
-    struct(best.getField("sim").as("sim"),
-      (-best.getField("neg_cell")).as("cell_id"))
-  }
+      vec: Column, centroids: Seq[(Long, Array[Float])]): Column =
+    struct(
+      graft.functions.VectorExpressions.cosine_argmax_sim(vec, centroids)
+        .as("sim"),
+      graft.functions.VectorExpressions.cosine_argmax_id(vec, centroids)
+        .as("cell_id"))
 
   /** ANN top-k through a k-means IVF index. */
   def ivfKMeansTopK(
@@ -461,7 +455,8 @@ object Similarity {
       m: Int = 8,
       kCodebook: Int = 16,
       candidates: Int = 50,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      maxQueries: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorExpressions.{float_dot, float_norm, pq_encode}
     val spark = corpus.sparkSession
@@ -479,9 +474,19 @@ object Similarity {
         posexplode(pq_encode(col(vecCol), flat, m)))
       .select(col("neighbor_id"), col("pos").as("s"), col("col").as("c"))
 
-    val qRows = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // the ADC tables live on the DRIVER (|Q| × m × kCodebook rows), so
+    // the query side must be a bounded probe set, not a data-sized
+    // frame — enforce the contract BEFORE collecting (limit caps the
+    // collect itself), mirroring InMemoryKvStore's explicit record cap.
+    // An unbounded caller gets this error, not a driver OOM; corpus-
+    // sized all-pairs scoring belongs to the bucketed dedup operators.
+    val qRaw = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol)).limit(maxQueries + 1).collect()
+    require(qRaw.length <= maxQueries,
+      s"pqTopK query side exceeds maxQueries=$maxQueries rows — the " +
+        "ADC tables are driver-resident (|queries| × m × kCodebook); " +
+        "batch the probe set or raise maxQueries deliberately")
+    val qRows = qRaw.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     // ADC tables on the driver, same arithmetic the oracle replays:
     // left-to-right double dot over the subspace slice, HALF_UP 6dp
     val adcRows = for {

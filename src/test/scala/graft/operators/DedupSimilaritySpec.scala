@@ -700,6 +700,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(overlap >= 0.7, s"PQ top-k overlap $overlap vs exact")
   }
 
+  test("pqTopK refuses an unbounded query side (driver ADC contract)") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", maxQueries = 5)
+    }
+    assert(e.getMessage.contains("maxQueries"),
+      s"error must name the cap: ${e.getMessage}")
+  }
+
   test("tfidfCosinePairs: idf discounts boilerplate, identity scores 1.0") {
     val chrome = "copyright footer text"
     val d = (Seq(
