@@ -3,21 +3,78 @@ package graft.sources
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import graft.core.{ObjectDoesNotExist, ObjectExistError}
 import graft.query.FilterDsl
 
-/** In-process KV store — the Redis-analog member of the store family
-  * (nexus/backends/stores/redis_store.py:9-120: one hash per schema,
-  * hexists/hlen/hset/hdel, with insert refusing existing keys and
-  * update/delete refusing missing ones). This environment has zero
-  * egress, so the transport is a process-local concurrent hash playing
-  * the same role Redis plays beside the bulk columnar stores:
-  * low-latency point reads/writes of SMALL state (pipeline metadata,
-  * offsets, dedup registers) — never bulk data, which belongs in the
-  * parquet/JDBC stores. A networked deployment swaps the map for a
-  * Redis client behind this same surface; every method here maps 1:1
-  * onto a Redis hash command (noted per method).
+/** The transport surface under [[InMemoryKvStore]]: the Redis hash
+  * commands the reference's store drives
+  * (nexus/backends/stores/redis_store.py:9-120 — one hash per schema,
+  * hexists/hlen/hset/hdel, plus a full-hash scan for reads). Values are
+  * opaque bytes; the store owns the row codec. A networked deployment
+  * implements this trait over a real Redis endpoint (each method IS the
+  * like-named command; `hgetall` maps to a cursored HSCAN drain) and
+  * passes it to the store's constructor — the in-process
+  * [[InMemoryHashClient]] is the default, playing the same role Redis
+  * plays beside the bulk columnar stores in a zero-egress environment.
+  *
+  * Atomicity note: the store serializes its check-then-write batches on
+  * a process-local monitor, which is complete for the in-process client.
+  * A remote implementation shared by several processes would wrap those
+  * batches in MULTI/WATCH (or a Lua script) — that swap lives entirely
+  * behind this trait.
+  */
+trait KvHashClient {
+  /** HEXISTS. */
+  def hexists(hash: String, field: String): Boolean
+  /** HGET. */
+  def hget(hash: String, field: String): Option[Array[Byte]]
+  /** HSET (multi-field). */
+  def hset(hash: String, kvs: Iterable[(String, Array[Byte])]): Unit
+  /** HDEL; true when the field existed. */
+  def hdel(hash: String, field: String): Boolean
+  /** HLEN (0 for a missing hash). */
+  def hlen(hash: String): Long
+  /** HKEYS. */
+  def hkeys(hash: String): Seq[String]
+  /** Full-hash read (HSCAN drained to completion). */
+  def hgetall(hash: String): Seq[(String, Array[Byte])]
+}
+
+/** Process-local [[KvHashClient]]: one concurrent map per hash. */
+final class InMemoryHashClient extends KvHashClient {
+  private val hashes = TrieMap.empty[String, TrieMap[String, Array[Byte]]]
+  private def table(hash: String): Option[TrieMap[String, Array[Byte]]] =
+    hashes.get(hash)
+  def hexists(hash: String, field: String): Boolean =
+    table(hash).exists(_.contains(field))
+  def hget(hash: String, field: String): Option[Array[Byte]] =
+    table(hash).flatMap(_.get(field))
+  def hset(hash: String, kvs: Iterable[(String, Array[Byte])]): Unit = {
+    val t = hashes.getOrElseUpdate(hash, TrieMap.empty)
+    kvs.foreach { case (k, v) => t.put(k, v) }
+  }
+  def hdel(hash: String, field: String): Boolean =
+    table(hash).exists(_.remove(field).isDefined)
+  def hlen(hash: String): Long = table(hash).map(_.size.toLong).getOrElse(0L)
+  def hkeys(hash: String): Seq[String] =
+    table(hash).map(_.keysIterator.toSeq).getOrElse(Seq.empty)
+  def hgetall(hash: String): Seq[(String, Array[Byte])] =
+    table(hash).map(_.iterator.toSeq).getOrElse(Seq.empty)
+}
+
+/** KV store over a [[KvHashClient]] — the Redis-analog member of the
+  * store family (nexus/backends/stores/redis_store.py:9-120: one hash
+  * per schema, with insert refusing existing keys and update/delete
+  * refusing missing ones). The client endpoint is a constructor arg
+  * (default: in-process), so the reference's "point the store at a
+  * Redis URL" deployment is the same one-line swap here. Row schemas
+  * travel THROUGH the client (a reserved metadata hash), so two store
+  * handles over one endpoint interoperate.
+  *
+  * Scope: low-latency point reads/writes of SMALL state (pipeline
+  * metadata, offsets, dedup registers) — never bulk data, which belongs
+  * in the parquet/JDBC stores.
   *
   * Spark interop: `read` exposes a schema's records as a DataFrame
   * (driver-local state, so `createDataFrame` is correct, not a
@@ -27,11 +84,49 @@ import graft.query.FilterDsl
   */
 final class InMemoryKvStore(
     spark: SparkSession,
-    maxRecordsPerSchema: Int = InMemoryKvStore.DefaultMaxRecordsPerSchema) {
+    maxRecordsPerSchema: Int = InMemoryKvStore.DefaultMaxRecordsPerSchema,
+    client: KvHashClient = new InMemoryHashClient) {
+  import InMemoryKvStore.MetaHash
 
-  // schema name -> (row schema, key -> row)
-  private val schemas =
-    TrieMap.empty[String, (StructType, TrieMap[String, Row])]
+  // local StructType cache over the client-resident schema registry
+  private val schemaCache = TrieMap.empty[String, StructType]
+
+  private def schemaOf(schema: String): Option[StructType] =
+    schemaCache.get(schema).orElse {
+      client.hget(MetaHash, schema).map { bytes =>
+        val st = DataType.fromJson(new String(bytes, "UTF-8"))
+          .asInstanceOf[StructType]
+        schemaCache.put(schema, st)
+        st
+      }
+    }
+
+  private def requireSchema(schema: String): StructType =
+    schemaOf(schema).getOrElse(
+      throw ObjectDoesNotExist(s"No schema '$schema'"))
+
+  private def checkName(schema: String): Unit =
+    require(schema != MetaHash, s"schema name '$MetaHash' is reserved")
+
+  /** Row codec: the value array Java-serializes (every external row
+    * value — primitives, strings, timestamps, Seq/array columns,
+    * byte arrays — is Serializable); the StructType is stored ONCE per
+    * schema in the metadata hash, so records carry no schema overhead. */
+  private def encode(r: Row): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(r.toSeq.toArray)
+    oos.close()
+    bos.toByteArray
+  }
+
+  private def decode(bytes: Array[Byte], st: StructType): Row = {
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val values = ois.readObject().asInstanceOf[Array[Any]]
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      values, st)
+  }
 
   /** Driver-memory guard: this is a CONTROL-PLANE store (metadata,
     * offsets, dedup registers) and every write collects onto the
@@ -49,11 +144,11 @@ final class InMemoryKvStore(
   }
 
   /** Callers hold the store monitor. */
-  private def checkCapacity(
-      schema: String, t: TrieMap[String, Row], newKeys: Int): Unit = {
-    if (t.size + newKeys > maxRecordsPerSchema) throw new IllegalStateException(
+  private def checkCapacity(schema: String, newKeys: Int): Unit = {
+    val size = client.hlen(schema)
+    if (size + newKeys > maxRecordsPerSchema) throw new IllegalStateException(
       s"InMemoryKvStore schema '$schema' would grow to " +
-        s"${t.size + newKeys} records (cap $maxRecordsPerSchema) — " +
+        s"${size + newKeys} records (cap $maxRecordsPerSchema) — " +
         "this store is driver-local control-plane state; bulk data " +
         "belongs in the parquet/JDBC stores")
   }
@@ -69,33 +164,35 @@ final class InMemoryKvStore(
     * positionally under the original StructType. Callers hold the
     * store monitor (see [[writeLock]]). */
   private def alignOnly(schema: String, dfSchema: StructType, rows: Array[Row])
-      : (Array[Row], Option[TrieMap[String, Row]], StructType) =
-    schemas.get(schema) match {
-      case None => (rows, None, dfSchema)
-      case Some((stored, t)) =>
+      : (Array[Row], Boolean, StructType) =
+    schemaOf(schema) match {
+      case None => (rows, false, dfSchema)
+      case Some(stored) =>
         def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSet
         require(sig(dfSchema) == sig(stored),
           s"schema mismatch for '$schema': stored ${stored.simpleString}" +
             s", got ${dfSchema.simpleString}")
         if (stored.fieldNames.sameElements(dfSchema.fieldNames))
-          (rows, Some(t), stored)
+          (rows, true, stored)
         else {
           val perm = stored.fieldNames.map(dfSchema.fieldIndex)
           val re = rows.map(r =>
             new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
               perm.map(i => r.get(i)), stored): Row)
-          (re, Some(t), stored)
+          (re, true, stored)
         }
     }
 
-  private def register(schema: String, dfSchema: StructType)
-      : TrieMap[String, Row] =
-    schemas.getOrElseUpdate(schema, (dfSchema, TrieMap.empty))._2
+  private def register(schema: String, dfSchema: StructType): Unit = {
+    client.hset(MetaHash, Seq(schema -> dfSchema.json.getBytes("UTF-8")))
+    schemaCache.put(schema, dfSchema)
+  }
 
   private def aligned(schema: String, dfSchema: StructType, rows: Array[Row])
-      : (Array[Row], TrieMap[String, Row], StructType) = {
-    val (r, tOpt, stored) = alignOnly(schema, dfSchema, rows)
-    (r, tOpt.getOrElse(register(schema, dfSchema)), stored)
+      : (Array[Row], StructType) = {
+    val (r, exists, stored) = alignOnly(schema, dfSchema, rows)
+    if (!exists) register(schema, dfSchema)
+    (r, stored)
   }
 
   /** Deterministic content rendering for within-batch conflict
@@ -118,59 +215,59 @@ final class InMemoryKvStore(
   /** All batch mutations serialize on the store monitor: validation and
     * mutation are one atomic step (a refused batch cannot interleave
     * with a concurrent writer and both succeed — the HSETNX contract),
-    * and schema creation is race-free. Reads stay lock-free on the
-    * TrieMap. Driver-local small state; a coarse lock is the right
-    * trade — and no Spark action ever runs under it. */
+    * and schema creation is race-free. Reads stay lock-free through the
+    * client. Driver-local small state; a coarse lock is the right
+    * trade — and no Spark action ever runs under it. (A remote client
+    * shared across processes wraps these batches in MULTI/WATCH — see
+    * [[KvHashClient]].) */
   private def writeLock[A](f: => A): A = synchronized(f)
-
-  private def existing(schema: String): TrieMap[String, Row] =
-    schemas.getOrElse(schema,
-      throw ObjectDoesNotExist(s"No schema '$schema'"))._2
 
   /** HEXISTS. */
   def exists(schema: String, key: Any): Boolean =
-    schemas.get(schema).exists(_._2.contains(key.toString))
+    client.hexists(schema, key.toString)
 
   /** HLEN. */
-  def count(schema: String): Long =
-    schemas.get(schema).map(_._2.size.toLong).getOrElse(0L)
+  def count(schema: String): Long = client.hlen(schema)
 
   /** HSET with NX semantics per record: refuses keys that already
     * exist (insert_record, redis_store.py:24-38). Validates the WHOLE
     * batch (intra-batch and against the store) before mutating, so a
     * refused insert leaves the store exactly as it was. */
   def insert(schema: String, df: DataFrame, keyCol: String): Unit = {
+    checkName(schema)
     val collected = collectBounded(schema, df) // Spark action OUTSIDE the lock
     writeLock {
-      val (rows, tOpt, stored) = alignOnly(schema, df.schema, collected)
+      val (rows, schemaExists, stored) = alignOnly(schema, df.schema, collected)
       val ki = stored.fieldIndex(keyCol)
       val keys = rows.map(_.get(ki).toString)
       val dup = keys.diff(keys.distinct).headOption
-        .orElse(keys.find(k => tOpt.exists(_.contains(k))))
+        .orElse(if (schemaExists) keys.find(client.hexists(schema, _))
+                else None)
       dup.foreach(k => throw ObjectExistError(
         s"Record '$k' already exists in schema '$schema'"))
-      tOpt.foreach(t => checkCapacity(schema, t, keys.length))
+      if (schemaExists) checkCapacity(schema, keys.length)
       // only a VALID batch registers a fresh schema
-      val t = tOpt.getOrElse(register(schema, df.schema))
-      rows.zip(keys).foreach { case (r, k) => t.put(k, r) }
+      if (!schemaExists) register(schema, df.schema)
+      client.hset(schema, rows.zip(keys).map { case (r, k) => k -> encode(r) })
     }
   }
 
   /** HSET only over existing fields (update_record, redis_store.py:40-54).
     * Same all-or-nothing contract as insert. */
   def update(schema: String, df: DataFrame, keyCol: String): Unit = {
-    existing(schema)
+    checkName(schema)
+    requireSchema(schema)
     val collected = collectBounded(schema, df)
     writeLock {
-      val (rows, t, stored) = aligned(schema, df.schema, collected)
+      val (rows, stored) = aligned(schema, df.schema, collected)
       val ki = stored.fieldIndex(keyCol)
       val keys = rows.map(_.get(ki).toString)
-      keys.find(k => !t.contains(k)).foreach(k => throw ObjectDoesNotExist(
-        s"Record '$k' does not exist in schema '$schema'"))
+      keys.find(!client.hexists(schema, _)).foreach(k =>
+        throw ObjectDoesNotExist(
+          s"Record '$k' does not exist in schema '$schema'"))
       // same deterministic within-batch conflict rule as upsert
-      rows.groupBy(_.get(ki).toString).foreach { case (k, rs) =>
-        t.put(k, rs.minBy(stableKey))
-      }
+      client.hset(schema, rows.groupBy(_.get(ki).toString)
+        .map { case (k, rs) => k -> encode(rs.minBy(stableKey)) })
     }
   }
 
@@ -181,38 +278,42 @@ final class InMemoryKvStore(
     * store a different value under different parallelism — the same
     * contract JdbcResultStore.upsert pins). */
   def upsert(schema: String, df: DataFrame, keyCol: String): Unit = {
+    checkName(schema)
     val collected = collectBounded(schema, df)
     writeLock {
-      val (rows, t, stored) = aligned(schema, df.schema, collected)
+      val (rows, stored) = aligned(schema, df.schema, collected)
       val ki = stored.fieldIndex(keyCol)
       val byKey = rows.groupBy(_.get(ki).toString)
-      checkCapacity(schema, t, byKey.keysIterator.count(!t.contains(_)))
-      byKey.foreach { case (k, rs) =>
-        t.put(k, rs.minBy(stableKey))
-      }
+      checkCapacity(schema,
+        byKey.keysIterator.count(!client.hexists(schema, _)))
+      client.hset(schema,
+        byKey.map { case (k, rs) => k -> encode(rs.minBy(stableKey)) })
     }
   }
 
   /** HDEL (delete_record, redis_store.py:56-63). */
   def deleteRecord(schema: String, key: Any): Unit = {
-    val t = existing(schema)
-    if (t.remove(key.toString).isEmpty)
+    requireSchema(schema)
+    if (!client.hdel(schema, key.toString))
       throw ObjectDoesNotExist(
         s"Record '$key' does not exist in schema '$schema'")
   }
 
   /** HGET (get_record, redis_store.py:81-96). */
-  def get(schema: String, key: Any): Row =
-    existing(schema).getOrElse(key.toString,
-      throw ObjectDoesNotExist(
+  def get(schema: String, key: Any): Row = {
+    val st = requireSchema(schema)
+    client.hget(schema, key.toString)
+      .map(decode(_, st))
+      .getOrElse(throw ObjectDoesNotExist(
         s"Record '$key' does not exist in schema '$schema'"))
+  }
 
   /** All records of a schema as a DataFrame (HSCAN → rows). */
   def read(schema: String): DataFrame = {
-    val (rowSchema, t) = schemas.getOrElse(schema,
-      throw ObjectDoesNotExist(s"No schema '$schema'"))
+    val st = requireSchema(schema)
+    val rows = client.hgetall(schema).map { case (_, v) => decode(v, st) }
     spark.createDataFrame(
-      java.util.Arrays.asList(t.values.toArray: _*), rowSchema)
+      java.util.Arrays.asList(rows.toArray: _*), st)
   }
 
   /** Filter-DSL read over the scanned records (filter_record,
@@ -240,4 +341,7 @@ object InMemoryKvStore {
   /** Generous for control-plane state (offsets, registers, metadata),
     * far below anything that dents a driver heap; constructor-tunable. */
   val DefaultMaxRecordsPerSchema: Int = 1000000
+
+  /** Reserved metadata hash carrying each schema's StructType JSON. */
+  val MetaHash: String = "__graft_schemas__"
 }

@@ -478,6 +478,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.count("race") == 2)
   }
 
+  test("KV store: two handles over one client endpoint interoperate") {
+    // the redis_store.py deployment shape: independent store handles
+    // pointed at the same endpoint see each other's records AND
+    // schemas (the StructType registry travels through the client)
+    val endpoint = new InMemoryHashClient
+    val a = new InMemoryKvStore(spark, client = endpoint)
+    val b = new InMemoryKvStore(spark, client = endpoint)
+    a.insert("shared", Seq(KV(1, "from-a")).toDF(), "k")
+    assert(b.exists("shared", 1))
+    assert(b.get("shared", 1).getAs[String]("v") == "from-a")
+    b.upsert("shared", Seq(KV(2, "from-b")).toDF(), "k")
+    assert(a.count("shared") == 2)
+    assert(a.read("shared").collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      Seq(1L, 2L))
+    // NX refusal works across handles, not just within one
+    intercept[graft.core.ObjectExistError](
+      b.insert("shared", Seq(KV(1, "steal")).toDF(), "k"))
+  }
+
+  test("KV store: all traffic routes through the injected client") {
+    val calls = scala.collection.mutable.Buffer.empty[String]
+    val spy = new KvHashClient {
+      private val inner = new InMemoryHashClient
+      def hexists(h: String, f: String) =
+        { calls += "hexists"; inner.hexists(h, f) }
+      def hget(h: String, f: String) = { calls += "hget"; inner.hget(h, f) }
+      def hset(h: String, kvs: Iterable[(String, Array[Byte])]) =
+        { calls += "hset"; inner.hset(h, kvs) }
+      def hdel(h: String, f: String) = { calls += "hdel"; inner.hdel(h, f) }
+      def hlen(h: String) = { calls += "hlen"; inner.hlen(h) }
+      def hkeys(h: String) = { calls += "hkeys"; inner.hkeys(h) }
+      def hgetall(h: String) = { calls += "hgetall"; inner.hgetall(h) }
+    }
+    val store = new InMemoryKvStore(spark, client = spy)
+    store.insert("t", Seq(KV(1, "a")).toDF(), "k")
+    store.get("t", 1)
+    store.read("t").count()
+    store.deleteRecord("t", 1)
+    Seq("hset", "hget", "hgetall", "hdel").foreach(c =>
+      assert(calls.contains(c), s"$c never reached the client: $calls"))
+  }
+
   test("csv/json/text round trips") {
     val dir = tmpDir()
     val df = Seq(KV(1, "a"), KV(2, "b")).toDF()
