@@ -1,0 +1,199 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+import graft.{operators, streaming, functions => gfunctions}
+
+/** Decade scale-stress (1× → 10×) for the bench-tail operators the
+  * round-6 audit flagged: dq10/dq15 dedup, sq2/sq8/sq13/sq14 ANN and
+  * clustering, st7/st10 streaming state, aq53/aq54 Markov chains.
+  * ScaleStress measures 1×→4×; a full decade either confirms the
+  * documented slopes or exposes the first real knee. Replication
+  * shifts entity ids, so per-entity state (streaming keys, journeys)
+  * scales with data volume the way a real corpus does. Slopes land in
+  * NOTES_BUILD.md.
+  *
+  * Expected shapes: LSH/winnowing/star ~linear in pairs; IVF/semdedup
+  * ~linear (cell-bounded); bitext 10× sides → 100× candidate pairs
+  * (the documented exact-score ceiling — the production path swaps in
+  * ANN candidates); k-means linear per iteration; streaming linear in
+  * events with O(active keys) state; Markov linear in the lead window.
+  */
+object Stress10 {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-stress10")
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
+
+    def time(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS10 $name $dt%.1f s ($n rows)")
+      dt
+    }
+    def slope(name: String, t1: Double, t10: Double): Unit =
+      println(f"STRESS10 SLOPE $name ${t10 / math.max(t1, 0.05)}%.1f x " +
+        "(10x data)")
+
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    def dup(k: Int): DataFrame = (0 until k).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        col("text"))).reduce(_ union _)
+
+    // dq10: LSH candidate pairs + O(log n) star clusters
+    val dq10a = time("clusters_star_1x")(operators.Dedup.duplicateClustersStar(
+      operators.Dedup.minhashLshPairs(dup(1), "doc_id", "text",
+        threshold = 0.8)).count())
+    val dq10b = time("clusters_star_10x")(operators.Dedup.duplicateClustersStar(
+      operators.Dedup.minhashLshPairs(dup(10), "doc_id", "text",
+        threshold = 0.8)).count())
+    slope("clusters_star", dq10a, dq10b)
+
+    // dq15: winnowing fingerprint pairs
+    val dq15a = time("winnowing_1x")(operators.Dedup.winnowingPairs(
+      dup(1), "doc_id", "text").count())
+    val dq15b = time("winnowing_10x")(operators.Dedup.winnowingPairs(
+      dup(10), "doc_id", "text").count())
+    slope("winnowing", dq15a, dq15b)
+
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label")
+    def edup(k: Int): DataFrame = (0 until k).map(i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        col("embedding"), col("label"))).reduce(_ unionByName _)
+
+    // sq2: IVF index + probe
+    def ivf(k: Int): Long = {
+      val c = edup(k)
+      val idx = operators.Similarity.ivfIndex(c, "vec_id", "embedding",
+        numCells = 16)
+      operators.Similarity.ivfTopK(idx, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", numCells = 16, nProbe = 4, k = 5).count()
+    }
+    val sq2a = time("ivf_ann_1x")(ivf(1))
+    val sq2b = time("ivf_ann_10x")(ivf(10))
+    slope("ivf_ann", sq2a, sq2b)
+
+    // sq8: SemDeDup (cell-bounded quadratic check)
+    val sq8a = time("semantic_dedup_1x")(operators.Similarity.semanticDedup(
+      edup(1), "vec_id", "embedding", numCells = 16,
+      threshold = 0.95).count())
+    val sq8b = time("semantic_dedup_10x")(operators.Similarity.semanticDedup(
+      edup(10), "vec_id", "embedding", numCells = 16,
+      threshold = 0.95).count())
+    slope("semantic_dedup", sq8a, sq8b)
+
+    // sq13: bitext margin mining — 10x sides = 100x candidate pairs,
+    // the deliberate exact-score ceiling
+    val sq13a = time("bitext_1x")(operators.Similarity.mineBitext(
+      edup(1), "vec_id", "embedding",
+      col("label") === 0, col("label") === 1).count())
+    val sq13b = time("bitext_10x")(operators.Similarity.mineBitext(
+      edup(10), "vec_id", "embedding",
+      col("label") === 0, col("label") === 1).count())
+    slope("bitext", sq13a, sq13b)
+
+    // sq14: k-means cell quality (Lloyd iterations + within-cell stats)
+    val sq14a = time("cluster_quality_1x")(operators.Clustering.cellQuality(
+      edup(1), "vec_id", "embedding", k = 8, iters = 3).count())
+    val sq14b = time("cluster_quality_10x")(operators.Clustering.cellQuality(
+      edup(10), "vec_id", "embedding", k = 8, iters = 3).count())
+    slope("cluster_quality", sq14a, sq14b)
+
+    // aq53/aq54: absorbing-chain propensity + removal-effect
+    // attribution over 10x users (shifted ids → 10x journeys)
+    val ev = Tables.load(spark, sf, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_id"), col("event_type"), col("value"))
+    def evDup(k: Int): DataFrame = (0 until k).map(i =>
+      ev.select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+        col("ts_us"), (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+        col("event_type"), col("value"))).reduce(_ unionByName _)
+    val aq53a = time("absorption_1x")(operators.Behavior.absorptionPropensity(
+      evDup(1), "user_id", "ts_us", "event_type", "event_id",
+      conversionType = "purchase", steps = 4).count())
+    val aq53b = time("absorption_10x")(operators.Behavior.absorptionPropensity(
+      evDup(10), "user_id", "ts_us", "event_type", "event_id",
+      conversionType = "purchase", steps = 4).count())
+    slope("absorption", aq53a, aq53b)
+    val aq54a = time("markov_attr_1x")(operators.Behavior.markovAttribution(
+      evDup(1), "user_id", "ts_us", "event_type", "event_id",
+      conversionType = "purchase",
+      channels = Seq("click", "view", "signup"), steps = 4).count())
+    val aq54b = time("markov_attr_10x")(operators.Behavior.markovAttribution(
+      evDup(10), "user_id", "ts_us", "event_type", "event_id",
+      conversionType = "purchase",
+      channels = Seq("click", "view", "signup"), steps = 4).count())
+    slope("markov_attr", aq54a, aq54b)
+
+    // st7: streaming incremental dedup — 10x corpus through 3
+    // micro-batches into the persisted min-merge registry
+    val tmpRoot = java.nio.file.Files
+      .createTempDirectory("graft-stress10").toString
+    def streamPartitions[A](n: Int)(f: => A): A = {
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try f finally spark.conf.set(key, old)
+    }
+    def st7(k: Int, tag: String): Long = streamPartitions(8) {
+      val tmp = s"$tmpRoot/st7_$tag"
+      dup(k).repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+      val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+      val stream = streaming.StreamRunner.parquetStream(spark, s"$tmp/in", 1)
+      operators.Dedup.incrementalDedup(
+        stream, "doc_id", "text", store, "registry", s"$tmp/ckpt")
+        .awaitTermination()
+      store.read("registry").count()
+    }
+    val st7a = time("stream_dedup_1x")(st7(1, "1x"))
+    val st7b = time("stream_dedup_10x")(st7(10, "10x"))
+    slope("stream_dedup", st7a, st7b)
+
+    // st10: streaming last-touch attribution — 10x users = 10x active
+    // state keys across a two-batch split
+    def st10(k: Int, tag: String): Long = streamPartitions(8) {
+      import streaming.StatefulOps
+      import spark.implicits._
+      val tmp = s"$tmpRoot/st10_$tag"
+      val e = evDup(k).select("user_id", "ts_us", "event_id",
+        "event_type", "value")
+      val cut = e.agg(((min("ts_us") + max("ts_us")) / 2).cast("long"))
+        .first().getLong(0)
+      e.filter(col("ts_us") < cut)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b1")
+      e.filter(col("ts_us") >= cut)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b2")
+      val now = System.currentTimeMillis()
+      Seq(s"$tmp/in/b1", s"$tmp/in/b2").zipWithIndex.foreach { case (d, i) =>
+        val tm = now - (1 - i) * 60000L
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach(f =>
+          java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(tm)))
+      }
+      val schema = Seq(StatefulOps.AttrEvent(0L, 0L, 0L, "", 0.0)).toDF().schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in/*").as[StatefulOps.AttrEvent]
+      val q = StatefulOps.attributionStream(stream,
+        conversionType = "purchase",
+        touchTypes = Set("click", "view", "signup"),
+        lookbackUs = 604800000000L, quietUs = 604800000000L).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$tmp/out").count()
+    }
+    val st10a = time("stream_attr_1x")(st10(1, "1x"))
+    val st10b = time("stream_attr_10x")(st10(10, "10x"))
+    slope("stream_attr", st10a, st10b)
+
+    spark.stop()
+  }
+}
