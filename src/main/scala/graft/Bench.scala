@@ -19,9 +19,11 @@ object Bench {
     // noise (measured: identical-code consecutive full-bench runs swung
     // sq2 1.87→6.42→1.99s). Each query therefore runs N times and the
     // reported number is the per-query MEDIAN — the only statistic that
-    // survived four rounds of cross-run comparison. first_run is kept
-    // separately because it carries the one-time Janino/whole-stage
-    // codegen compile cost, which is real signal about plan complexity.
+    // survived four rounds of cross-run comparison. With warmup on (the
+    // default since r7) the one-time Janino/whole-stage codegen compile
+    // cost lives in warmup_run; first_run is then just the first timed
+    // steady-state sample (kept for cross-round continuity — r6 and
+    // earlier first_run values INCLUDE compile cost, r7+ do not).
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -45,12 +47,14 @@ object Bench {
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
     val results = selected.map { case (name, fn) =>
       var failed = false
+      // a warmup failure is LOGGED but does not mark the query failed:
+      // transient box noise in the untimed run must not discard N valid
+      // timed measurements — the timed loop is the arbiter of "err"
       val warm = if (!warmup) None else {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case t: Throwable =>
-          failed = true
-          System.err.println(s"[bench] $name FAILED (warmup): " +
-            s"${t.getClass.getName}: " +
+          System.err.println(s"[bench] $name warmup failed (timed runs " +
+            s"decide): ${t.getClass.getName}: " +
             String.valueOf(t.getMessage).linesIterator.take(1).mkString)
         }
         Some((System.nanoTime() - t0) / 1e9)
@@ -89,13 +93,15 @@ object Bench {
         if (failed) None else Some(times.head),
         if (failed) None else warm)
     }
-    def jsonMap(kv: Seq[(String, Option[Double])]): String =
+    def jsonMap(kv: Seq[(String, Option[Double])], absent: String): String =
       kv.map { case (k, v) =>
-        "\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"")
+        "\"" + k + "\":" + v.map(_.toString).getOrElse(absent)
       }.mkString("{", ",", "}")
-    val qs = jsonMap(results.map(r => (r._1, r._2)))
-    val firstRuns = jsonMap(results.map(r => (r._1, r._3)))
-    val warmRuns = jsonMap(results.map(r => (r._1, r._4)))
+    val qs = jsonMap(results.map(r => (r._1, r._2)), "\"err\"")
+    val firstRuns = jsonMap(results.map(r => (r._1, r._3)), "\"err\"")
+    // a missing warmup (disabled, or the query failed outright) is
+    // null, NOT "err" — the failure sentinel belongs to the timed map
+    val warmRuns = jsonMap(results.map(r => (r._1, r._4)), "null")
     val ok = results.flatMap(_._2)
     val nErr = results.count(_._2.isEmpty)
     val total = ok.sum

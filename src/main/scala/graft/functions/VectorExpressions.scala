@@ -545,6 +545,40 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** ONE-pass `(sim, cell_id)` struct (see [[CosineArgmaxBase]]) — the
+    * WithSim path needs both outputs, and two sibling expressions would
+    * each rescan all k centroids per row (no subexpression elimination
+    * across distinct case classes carrying array fields). */
+  case class CosineArgmaxStruct(
+      child: Expression,
+      cents: Array[Array[Float]],
+      ids: Array[Long]) extends CosineArgmaxBase {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("sim", DoubleType,
+        nullable = false),
+        org.apache.spark.sql.types.StructField("cell_id",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    override def nullSafeEval(a: Any): Any = {
+      val (sim, id) = argmax(a.asInstanceOf[ArrayData])
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](sim, id))
+    }
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val sim = ctx.freshName("bestSim")
+        val id = ctx.freshName("bestId")
+        s"""
+           |${genArgmax(ctx, a, sim, id)}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |    new Object[]{ $sim, $id });
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(
+        c: Expression): CosineArgmaxStruct = copy(child = c)
+  }
+
   /** Spark `round(x, 4)` semantics for doubles (RoundBase): decimal
     * HALF_UP on the canonical string rendering, NaN/∞ pass through.
     * Public + JVM-static so generated code can call it. */
@@ -562,6 +596,13 @@ object VectorExpressions {
   def cosine_argmax_sim(
       vec: Column, centroids: Seq[(Long, Array[Float])]): Column =
     GraftSqlBridge.toColumn(CosineArgmaxSim(
+      GraftSqlBridge.toExpression(vec),
+      centroids.map(_._2).toArray, centroids.map(_._1).toArray))
+
+  /** One-pass `(sim, cell_id)` struct. */
+  def cosine_argmax_struct(
+      vec: Column, centroids: Seq[(Long, Array[Float])]): Column =
+    GraftSqlBridge.toColumn(CosineArgmaxStruct(
       GraftSqlBridge.toExpression(vec),
       centroids.map(_._2).toArray, centroids.map(_._1).toArray))
 

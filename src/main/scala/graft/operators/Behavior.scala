@@ -36,7 +36,11 @@ object Behavior {
     * difference is exactly divisible by `d`, so the truncating `div`
     * never actually truncates. (A `floor(x / d)` double formulation is
     * NOT safe: µs epochs exceed a double's exact-integer range after
-    * the division's rounding at exact-multiple boundaries.) */
+    * the division's rounding at exact-multiple boundaries.)
+    *
+    * Domain: `x > Long.MinValue + d` — the subtraction overflows within
+    * `d` of Long.MinValue (a µs epoch in year ≈ −292 million; every
+    * representable timestamp is far inside the bound). */
   def floorDivExpr(x: String, d: Long): String =
     floorDivExpr(x, s"${d}L")
 

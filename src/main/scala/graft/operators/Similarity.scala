@@ -292,14 +292,11 @@ object Similarity {
     graft.functions.VectorExpressions.cosine_argmax_id(vec, centroids)
 
   /** [[cosineArgmaxCell]] that also returns the winning similarity:
-    * a struct `(sim, cell_id)` — same metric, rounding, tie-break. */
+    * a struct `(sim, cell_id)` — same metric, rounding, tie-break, in
+    * ONE centroid pass (two sibling kernels would each rescan all k). */
   private[operators] def cosineArgmaxCellWithSim(
       vec: Column, centroids: Seq[(Long, Array[Float])]): Column =
-    struct(
-      graft.functions.VectorExpressions.cosine_argmax_sim(vec, centroids)
-        .as("sim"),
-      graft.functions.VectorExpressions.cosine_argmax_id(vec, centroids)
-        .as("cell_id"))
+    graft.functions.VectorExpressions.cosine_argmax_struct(vec, centroids)
 
   /** ANN top-k through a k-means IVF index. */
   def ivfKMeansTopK(

@@ -25,6 +25,14 @@ import graft.query.FilterDsl
   * behind this trait.
   */
 trait KvHashClient {
+  /** Run `f` exclusively against this endpoint: the store's
+    * check-then-write batches execute inside it, so the HSETNX/capacity
+    * contracts hold across EVERY handle sharing one client (a per-store
+    * monitor would let two handles over one endpoint race). The default
+    * serializes on the client instance — correct for any in-process
+    * sharing; a networked implementation overrides with its endpoint's
+    * primitive (MULTI/WATCH, a Lua script, or a lock key). */
+  def withLock[A](f: => A): A = synchronized(f)
   /** HEXISTS. */
   def hexists(hash: String, field: String): Boolean
   /** HGET. */
@@ -212,15 +220,15 @@ final class InMemoryKvStore(
       s"${s.length}:$s"
     }.mkString("|")
 
-  /** All batch mutations serialize on the store monitor: validation and
-    * mutation are one atomic step (a refused batch cannot interleave
-    * with a concurrent writer and both succeed — the HSETNX contract),
-    * and schema creation is race-free. Reads stay lock-free through the
-    * client. Driver-local small state; a coarse lock is the right
-    * trade — and no Spark action ever runs under it. (A remote client
-    * shared across processes wraps these batches in MULTI/WATCH — see
-    * [[KvHashClient]].) */
-  private def writeLock[A](f: => A): A = synchronized(f)
+  /** All batch mutations serialize through the CLIENT's lock:
+    * validation and mutation are one atomic step (a refused batch
+    * cannot interleave with a concurrent writer and both succeed — the
+    * HSETNX contract), schema creation is race-free, and the guarantee
+    * holds across every store handle sharing one endpoint (a per-store
+    * monitor would not survive the multi-handle deployment shape).
+    * Reads stay lock-free. Driver-local small state; a coarse lock is
+    * the right trade — and no Spark action ever runs under it. */
+  private def writeLock[A](f: => A): A = client.withLock(f)
 
   /** HEXISTS. */
   def exists(schema: String, key: Any): Boolean =
@@ -240,9 +248,12 @@ final class InMemoryKvStore(
       val (rows, schemaExists, stored) = alignOnly(schema, df.schema, collected)
       val ki = stored.fieldIndex(keyCol)
       val keys = rows.map(_.get(ki).toString)
+      // ONE key snapshot per batch (not a round trip per key — a
+      // remote endpoint pays per command)
+      val existing =
+        if (schemaExists) client.hkeys(schema).toSet else Set.empty[String]
       val dup = keys.diff(keys.distinct).headOption
-        .orElse(if (schemaExists) keys.find(client.hexists(schema, _))
-                else None)
+        .orElse(keys.find(existing.contains))
       dup.foreach(k => throw ObjectExistError(
         s"Record '$k' already exists in schema '$schema'"))
       if (schemaExists) checkCapacity(schema, keys.length)
@@ -262,7 +273,8 @@ final class InMemoryKvStore(
       val (rows, stored) = aligned(schema, df.schema, collected)
       val ki = stored.fieldIndex(keyCol)
       val keys = rows.map(_.get(ki).toString)
-      keys.find(!client.hexists(schema, _)).foreach(k =>
+      val existing = client.hkeys(schema).toSet
+      keys.find(!existing.contains(_)).foreach(k =>
         throw ObjectDoesNotExist(
           s"Record '$k' does not exist in schema '$schema'"))
       // same deterministic within-batch conflict rule as upsert
@@ -284,8 +296,9 @@ final class InMemoryKvStore(
       val (rows, stored) = aligned(schema, df.schema, collected)
       val ki = stored.fieldIndex(keyCol)
       val byKey = rows.groupBy(_.get(ki).toString)
+      val existing = client.hkeys(schema).toSet
       checkCapacity(schema,
-        byKey.keysIterator.count(!client.hexists(schema, _)))
+        byKey.keysIterator.count(!existing.contains(_)))
       client.hset(schema,
         byKey.map { case (k, rs) => k -> encode(rs.minBy(stableKey)) })
     }

@@ -35,20 +35,23 @@ class VectorKernelSpec extends AnyFunSuite {
     val both = emb.select(
       col("vec_id"),
       refArgmax(col("embedding"), cents).as("ref"),
+      VectorExpressions.cosine_argmax_struct(col("embedding"), cents)
+        .as("got"),
       struct(
         VectorExpressions.cosine_argmax_sim(col("embedding"), cents)
           .as("sim"),
         VectorExpressions.cosine_argmax_id(col("embedding"), cents)
-          .as("cell_id")).as("got"))
+          .as("cell_id")).as("got2"))
       .collect()
     assert(both.nonEmpty)
     both.foreach { r =>
       val ref = r.getStruct(1)
-      val got = r.getStruct(2)
-      assert(ref.getDouble(0) == got.getDouble(0),
-        s"sim drift for vec ${r.getLong(0)}: ${ref.getDouble(0)} vs ${got.getDouble(0)}")
-      assert(ref.getLong(1) == got.getLong(1),
-        s"cell drift for vec ${r.getLong(0)}: ${ref.getLong(1)} vs ${got.getLong(1)}")
+      Seq(r.getStruct(2), r.getStruct(3)).foreach { got =>
+        assert(ref.getDouble(0) == got.getDouble(0),
+          s"sim drift for vec ${r.getLong(0)}: ${ref.getDouble(0)} vs ${got.getDouble(0)}")
+        assert(ref.getLong(1) == got.getLong(1),
+          s"cell drift for vec ${r.getLong(0)}: ${ref.getLong(1)} vs ${got.getLong(1)}")
+      }
     }
   }
 
