@@ -6747,6 +6747,46 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // q47_http_fanout — the EXECUTOR-side HTTP fan-out in the oracle gate
+  // (SURVEY §2.2): six page-cursor URLs repartitioned across 3
+  // partitions, fetched with per-partition pooled clients
+  // (HttpSource.fetchJsonPages), parsed in one schema-inferring pass,
+  // aggregated per page. The bodies localCheckpoint at fetch time, so
+  // the stub server's lifetime ends with the fetch, not the plan.
+  register(
+    "q47_http_fanout",
+    """SELECT page, count(*)::bigint AS n, sum(id)::bigint AS id_sum
+      |FROM (VALUES (0, 0), (0, 1), (1, 2), (1, 3), (2, 4), (2, 5),
+      |             (3, 6), (3, 7), (4, 8), (4, 9), (5, 10), (5, 11))
+      |  AS rows(page, id)
+      |GROUP BY page
+      |ORDER BY page""".stripMargin
+  ) { (s, dir) =>
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/page", (ex: HttpExchange) => {
+      val cursor = ex.getRequestURI.getQuery.stripPrefix("c=").toInt
+      val body =
+        s"""[{"id": ${cursor * 2}, "page": $cursor},
+           | {"id": ${cursor * 2 + 1}, "page": $cursor}]""".stripMargin
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      graft.sources.HttpSource.fetchJsonPages(s,
+          (0 until 6).map(c => s"$base/page?c=$c"), numPartitions = 3)
+        .groupBy("page")
+        .agg(count(lit(1)).as("n"), sum("id").as("id_sum"))
+        .orderBy("page")
+    } finally server.stop(0)
+  }
+
+  // ---------------------------------------------------------------------
   // q45_kv_roundtrip — the redis-analog KV store in the oracle gate
   // (SURVEY §2.2, nexus/backends/stores/redis_store.py): HSET-NX insert
   // of the nation table, an upsert that rewrites one region's names and
