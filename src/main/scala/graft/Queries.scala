@@ -6747,6 +6747,51 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // q48_incremental_join_mv — incremental JOIN-view maintenance
+  // (Materialized.deltaJoinMerge), the join-view counterpart to q38's
+  // aggregate MV: V' = V ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB) over append-only
+  // splits of orders (time midpoint) and customer (every 5th key
+  // arrives late), persisted through the versioned store between
+  // steps. The A⋈B bulk is never recomputed; the oracle is the FULL
+  // join's rollup, so a dropped or duplicated view row breaks the
+  // hash.
+  register(
+    "q48_incremental_join_mv",
+    """SELECT c_mktsegment, o_orderpriority, count(*)::bigint AS n,
+      |       round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::double AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Materialized
+    val orders = t(s, dir, "orders").select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      col("o_totalprice"), col("o_orderpriority"))
+    val cust = t(s, dir, "customer").select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    // append split by key range (the delta-join identity is split-
+    // agnostic; the key split keeps the gate free of NTZ timestamp
+    // arithmetic, the r5 regression class)
+    val cut = orders.agg(((min("o_orderkey") + max("o_orderkey")) / 2)
+      .cast("long")).first().getLong(0)
+    val (aOld, aDelta) = (orders.filter(col("o_orderkey") < cut),
+      orders.filter(col("o_orderkey") >= cut))
+    val (bOld, bDelta) = (cust.filter(col("custkey") % 5 =!= 0),
+      cust.filter(col("custkey") % 5 === 0))
+    val store = new graft.sources.ResultStore(s, scratchDir("q48"))
+    store.overwrite("jv", aOld.join(bOld, Seq("custkey")))
+    val merged = Materialized.deltaJoinMerge(store.read("jv"),
+      aOld, aDelta, bOld, bDelta, Seq("custkey"))
+    store.overwrite("jv", merged)
+    store.read("jv")
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_price"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------------
   // q47_http_fanout — the EXECUTOR-side HTTP fan-out in the oracle gate
   // (SURVEY §2.2): six page-cursor URLs repartitioned across 3
   // partitions, fetched with per-partition pooled clients

@@ -51,4 +51,36 @@ object Materialized {
       .groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Incremental maintenance of a JOIN view over APPEND-ONLY inputs —
+    * the other classic IVM class beside [[additiveMerge]]'s aggregates:
+    * for `V = A ⋈ B` and appended batches ΔA / ΔB,
+    *
+    *   V' = V ∪ (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * (the delta-join identity: every new output row involves at least
+    * one delta row, so the A⋈B bulk is NEVER recomputed). `aOld`/`bOld`
+    * are the PRE-append snapshots; the companion gate (q48) proves
+    * `deltaJoinMerge == full recompute` with the oracle as the full
+    * join.
+    *
+    * Scale shape: the three delta terms each involve one delta-sized
+    * side — at 100 TB the deltas are batch-sized while A/B are
+    * corpus-sized, so AQE broadcasts the delta side and the old view is
+    * appended to, not rebuilt. Updates/deletes need CDC multiplicities
+    * (+1/−1 bag algebra) — that extension is the documented boundary;
+    * append-only is the event-log case this engine feeds on. */
+  def deltaJoinMerge(
+      view: DataFrame,
+      aOld: DataFrame,
+      aDelta: DataFrame,
+      bOld: DataFrame,
+      bDelta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    view
+      .unionByName(aDelta.join(bOld, keys))
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
+  }
 }

@@ -125,4 +125,30 @@ class ProfileBm25Spec extends AnyFunSuite {
       assert(canon(merged) == full, s"diverged at split $cut")
     }
   }
+
+  test("deltaJoinMerge: incremental join view equals full recompute " +
+    "on any append split") {
+    import Materialized._
+    val rnd = new scala.util.Random(47)
+    // both sides share a key space so joins hit; duplicates on both
+    // sides exercise the bag semantics (a join view is a multiset)
+    val aRows = (1 to 120).map(i =>
+      (rnd.nextInt(15).toLong, s"a$i", rnd.nextInt(100)))
+    val bRows = (1 to 80).map(i =>
+      (rnd.nextInt(15).toLong, s"b$i"))
+    def aDf(p: Seq[(Long, String, Int)]) = p.toDF("k", "a_tag", "a_val")
+    def bDf(p: Seq[(Long, String)]) = p.toDF("k", "b_tag")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getString(3))).sortBy(t => (t._1, t._2, t._4)).toSeq
+    val full = canon(aDf(aRows).join(bDf(bRows), Seq("k")))
+    for ((ca, cb) <- Seq((0, 0), (120, 80), (60, 40), (1, 79), (119, 1))) {
+      val (aOld, aDelta) = aRows.splitAt(ca)
+      val (bOld, bDelta) = bRows.splitAt(cb)
+      val view = aDf(aOld).join(bDf(bOld), Seq("k"))
+      val merged = deltaJoinMerge(view,
+        aDf(aOld), aDf(aDelta), bDf(bOld), bDf(bDelta), Seq("k"))
+      assert(canon(merged) == full, s"diverged at split ($ca, $cb)")
+    }
+  }
 }
