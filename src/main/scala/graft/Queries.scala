@@ -6472,6 +6472,65 @@ ORDER BY query_id"""
   }}
 
   // ---------------------------------------------------------------------
+  // st13_stream_join_mv — STREAMING incremental JOIN-view maintenance:
+  // q48's deltaJoinMerge driven from foreachBatch. Orders arrive in two
+  // micro-batches (key-split), the customer dim is static (ΔB = ∅, so
+  // the identity reduces to V' = V ∪ ΔA⋈B), and the maintained view
+  // rolls up bit-equal to the full join — stream == batch is the gate,
+  // with the A⋈B bulk never recomputed across batches.
+  register(
+    "st13_stream_join_mv",
+    """SELECT c_mktsegment, o_orderpriority, count(*)::bigint AS n,
+      |       round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::double AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    import graft.operators.Materialized
+    val tmp = scratchDir("st13")
+    val in = s"$tmp/in"
+    val orders = t(s, dir, "orders").select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      col("o_totalprice"), col("o_orderpriority"))
+    val cust = t(s, dir, "customer").select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val cut = orders.agg(((min("o_orderkey") + max("o_orderkey")) / 2)
+      .cast("long")).first().getLong(0)
+    orders.filter(col("o_orderkey") < cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+    orders.filter(col("o_orderkey") >= cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+    mtimeOrder(s"$in/b1", s"$in/b2")
+
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    val q = s.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ΔB = ∅, so A⋈ΔB and ΔA⋈ΔB vanish and the accumulated
+        // orders never re-join — an empty aOld stands in for the
+        // (irrelevant) snapshot rather than carrying it along
+        val grown =
+          if (store.hasSchema("jv")) Materialized.deltaJoinMerge(
+            store.read("jv"), aOld = batch.limit(0), aDelta = batch,
+            bOld = cust, bDelta = cust.limit(0), keys = Seq("custkey"))
+          else batch.join(cust, Seq("custkey"))
+        store.overwrite("jv", grown)
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store.read("jv")
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_price"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }}
+
+  // ---------------------------------------------------------------------
   // q40_cas_commit — optimistic-concurrency table commits
   // (ResultStore.overwriteIf): a half-table rollup commits under a None
   // token, then the full rollup REPLACES it conditionally on the
