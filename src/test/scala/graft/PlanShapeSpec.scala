@@ -578,4 +578,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!nodes.exists(_.nodeName.contains("Window")),
       nodes.map(_.nodeName).mkString(", "))
   }
+
+  test("deltaJoinMerge: exactly the three delta joins — the A⋈B bulk " +
+    "is never recomputed") {
+    import spark.implicits._
+    import graft.operators.Materialized
+    val a = (1L to 200L).map(i => (i % 20, s"a$i")).toDF("k", "av")
+    val b = (1L to 50L).map(i => (i % 20, s"b$i")).toDF("k", "bv")
+    val view = a.join(b, Seq("k")).localCheckpoint() // the persisted V
+    val merged = Materialized.deltaJoinMerge(view,
+      aOld = a, aDelta = a.limit(3), bOld = b, bDelta = b.limit(2),
+      keys = Seq("k"))
+    merged.collect()
+    val joins = deepNodes(merged.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Join"))
+    // ΔA⋈B, A⋈ΔB, ΔA⋈ΔB — and nothing re-joining the checkpointed view
+    assert(joins.size == 3,
+      s"expected 3 delta joins, got ${joins.map(_.nodeName)}")
+  }
 }
