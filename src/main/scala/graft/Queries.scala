@@ -6806,6 +6806,53 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq56_rfm — RFM customer segmentation (Behavior.rfmSegments):
+  // per purchasing user, recency/frequency/monetary with INTEGER-
+  // derived quantile buckets (1 + (rank−1)·k // (n−1), the aq20 trick —
+  // no ntile, whose remainder distribution is engine-defined), so every
+  // score and the combined code replay exactly.
+  register(
+    "aq56_rfm",
+    """WITH ref AS (
+      |  SELECT max(epoch_us(ts) // 86400000000) AS d FROM events
+      |), u AS (
+      |  SELECT user_id,
+      |         (SELECT d FROM ref) - max(epoch_us(ts) // 86400000000) AS recency_days,
+      |         count(*)::bigint AS frequency,
+      |         sum(CAST(value AS DECIMAL(18,4))) AS mon
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id
+      |), r AS (
+      |  SELECT user_id, recency_days, frequency, mon,
+      |         rank() OVER (ORDER BY recency_days DESC, user_id) AS rk_r,
+      |         rank() OVER (ORDER BY frequency ASC, user_id) AS rk_f,
+      |         rank() OVER (ORDER BY mon ASC, user_id) AS rk_m,
+      |         count(*) OVER () AS n
+      |  FROM u
+      |), s AS (
+      |  SELECT user_id, recency_days, frequency,
+      |         round(mon, 2)::double AS monetary,
+      |         CASE WHEN n = 1 THEN 1
+      |              ELSE least(5, 1 + ((rk_r - 1) * 5) // (n - 1)) END::bigint AS r,
+      |         CASE WHEN n = 1 THEN 1
+      |              ELSE least(5, 1 + ((rk_f - 1) * 5) // (n - 1)) END::bigint AS f,
+      |         CASE WHEN n = 1 THEN 1
+      |              ELSE least(5, 1 + ((rk_m - 1) * 5) // (n - 1)) END::bigint AS m
+      |  FROM r
+      |)
+      |SELECT user_id, recency_days, frequency, monetary, r, f, m,
+      |       r * 100 + f * 10 + m AS rfm
+      |FROM s
+      |ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_type"), col("value"))
+    graft.operators.Behavior.rfmSegments(
+      ev, "user_id", "ts_us", "event_type", "value", "purchase")
+  }
+
+  // ---------------------------------------------------------------------
   // q48_incremental_join_mv — incremental JOIN-view maintenance
   // (Materialized.deltaJoinMerge), the join-view counterpart to q38's
   // aggregate MV: V' = V ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB) over append-only

@@ -938,4 +938,62 @@ ORDER BY channel"""
           count(col("__lag_us")) / 1e6, 2).as("avg_lag_sec"))
       .orderBy("channel")
   }
+
+  /** RFM segmentation — the classic customer-value triage: per
+    * purchasing user, Recency (days since last purchase, against the
+    * corpus' max event day), Frequency (purchase count), Monetary
+    * (decimal revenue), each scored into `nBuckets` quantile buckets
+    * (1 = worst, nBuckets = best) plus the combined `rfm` code.
+    *
+    * Determinism contract: bucket boundaries are INTEGER-derived —
+    * `1 + ((rank−1)·nBuckets) div (n−1)` capped at nBuckets, with a
+    * unique (metric, user) rank order — the aq20 percent-rank trick, so
+    * every engine draws identical cuts (no ntile, whose remainder
+    * distribution is engine-defined; n = 1 pins bucket 1).
+    *
+    * Scale shape: one user-keyed aggregate over purchases (map-side
+    * partial), a broadcast 1-row max-day, and three |users|-row rank
+    * windows — nothing event-sized past the first aggregate. */
+  def rfmSegments(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      purchaseType: String,
+      nBuckets: Int = 5): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val day = floorDivExpr(tsCol, 86400000000L)
+    val refDay = events.select(expr(day).as("__d"))
+      .agg(max("__d")).first().getLong(0)
+    val perUser = events.filter(col(typeCol) === purchaseType)
+      .groupBy(col(userCol).as("user_id"))
+      .agg((lit(refDay) - max(expr(day))).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,4)")).as("__mon"))
+    // |users|-row frame: global rank windows are fine here (the frame
+    // is dimension-sized, not event-sized — same reasoning as aq20's
+    // per-source windows)
+    val ranked = perUser
+      .withColumn("__rk_r", rank().over(
+        Window.orderBy(col("recency_days").desc, col("user_id"))))
+      .withColumn("__rk_f", rank().over(
+        Window.orderBy(col("frequency").asc, col("user_id"))))
+      .withColumn("__rk_m", rank().over(
+        Window.orderBy(col("__mon").asc, col("user_id"))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    def bucket(rk: String): Column =
+      when(col("__n") === 1, lit(1L)).otherwise(
+        least(lit(nBuckets.toLong),
+          lit(1L) + expr(floorDivExpr(
+            s"($rk - 1) * $nBuckets", "__n - 1"))))
+    ranked.select(col("user_id"), col("recency_days"), col("frequency"),
+        round(col("__mon"), 2).cast("double").as("monetary"),
+        bucket("__rk_r").as("r"),
+        bucket("__rk_f").as("f"),
+        bucket("__rk_m").as("m"))
+      .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
+      .orderBy("user_id")
+  }
 }

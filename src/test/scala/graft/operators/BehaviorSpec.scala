@@ -344,6 +344,35 @@ class BehaviorSpec extends AnyFunSuite {
       s"x=$x: got ${got(x)}, want ${Math.floorDiv(x, d)}"))
   }
 
+  test("rfmSegments: integer-derived buckets, best gets 5, n=1 pins 1") {
+    val day = 86400000000L
+    // 5 purchasers with strictly increasing recency/frequency/monetary
+    // alignment: user k purchases k+1 times of value 10, last on day k
+    // (so user 4 is most recent, most frequent, highest monetary)
+    val rows = for {
+      u <- 0 to 4
+      i <- 0 to u
+    } yield (u.toLong, i.toLong * day + u, "purchase", 10.0)
+    val e = (rows :+ ((9L, 9L * day, "view", 0.0)))
+      .toDF("user_id", "ts_us", "event_type", "value")
+    val out = Behavior.rfmSegments(
+      e, "user_id", "ts_us", "event_type", "value", "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7))).toSeq
+    // ref day = 9 (the view); user 4: recency 9-4=5 days is the most
+    // recent → r=5; also f=5, m=5 → rfm 555. user 0: oldest, fewest,
+    // least → 111. Interior users hit buckets 2/3/4 exactly.
+    assert(out == Seq((0L, 1L, 1L, 1L, 111L), (1L, 2L, 2L, 2L, 222L),
+      (2L, 3L, 3L, 3L, 333L), (3L, 4L, 4L, 4L, 444L),
+      (4L, 5L, 5L, 5L, 555L)), out.toString)
+    // single purchaser: every score pins to bucket 1 (n = 1 guard)
+    val solo = Seq((7L, 0L, "purchase", 3.0))
+      .toDF("user_id", "ts_us", "event_type", "value")
+    val r1 = Behavior.rfmSegments(
+      solo, "user_id", "ts_us", "event_type", "value", "purchase").head()
+    assert((r1.getLong(4), r1.getLong(5), r1.getLong(6)) == ((1L, 1L, 1L)))
+  }
+
   test("lastTouchAttribution: window, last-wins, ties, unattributed") {
     // u1 click 50s before purchase (in 60s window) -> click, lag 50s
     // u2 view 100s before purchase (outside window) -> unattributed
