@@ -6853,6 +6853,57 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq57_kaplan_meier — Kaplan–Meier time-to-first-purchase survival
+  // (Behavior.kaplanMeier): per user the clock starts at their first
+  // event day, "death" = first purchase day, never-purchasers censored
+  // at their last observed day; survival = the left-to-right product of
+  // (1 − d/n) with the running value re-rounded to 6dp each step — the
+  // portable formulation (exp(sum(ln)) drifts by libm ulps across
+  // engines). The oracle replays the fold as a recursive CTE.
+  register(
+    "aq57_kaplan_meier",
+    """WITH RECURSIVE u AS (
+      |  SELECT user_id,
+      |         min(epoch_us(ts) // 86400000000) AS birth,
+      |         max(epoch_us(ts) // 86400000000) AS lastd,
+      |         min(CASE WHEN event_type = 'purchase'
+      |                  THEN epoch_us(ts) // 86400000000 END) AS ev
+      |  FROM events GROUP BY user_id
+      |), dur AS (
+      |  SELECT coalesce(ev, lastd) - birth AS t,
+      |         (ev IS NOT NULL) AS death
+      |  FROM u
+      |), perdur AS (
+      |  SELECT t, count(*)::bigint AS ended,
+      |         sum(CASE WHEN death THEN 1 ELSE 0 END)::bigint AS d
+      |  FROM dur GROUP BY 1
+      |), steps AS (
+      |  SELECT t, d,
+      |         (sum(ended) OVER (ORDER BY t DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS n
+      |  FROM perdur
+      |), st AS (
+      |  SELECT t, d, n, row_number() OVER (ORDER BY t) AS rn
+      |  FROM steps WHERE d > 0
+      |), km AS (
+      |  SELECT t, d, n, rn,
+      |         round(1.0 * (1 - d::double / n), 6) AS survival
+      |  FROM st WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.t, x.d, x.n, x.rn,
+      |         round(km.survival * (1 - x.d::double / x.n), 6)
+      |  FROM st x JOIN km ON x.rn = km.rn + 1
+      |)
+      |SELECT t, d, n, survival FROM km
+      |ORDER BY t""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    graft.operators.Behavior.kaplanMeier(
+      ev, "user_id", "ts_us", col("event_type") === "purchase")
+  }
+
+  // ---------------------------------------------------------------------
   // q48_incremental_join_mv — incremental JOIN-view maintenance
   // (Materialized.deltaJoinMerge), the join-view counterpart to q38's
   // aggregate MV: V' = V ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB) over append-only

@@ -373,6 +373,25 @@ class BehaviorSpec extends AnyFunSuite {
     assert((r1.getLong(4), r1.getLong(5), r1.getLong(6)) == ((1L, 1L, 1L)))
   }
 
+  test("kaplanMeier: censored user shrinks the risk set without dying") {
+    val day = 86400000000L
+    // u1, u4 purchase at duration 1; u2 at duration 3; u3 never
+    // purchases and is last seen at duration 2 (censored there).
+    // Risk sets (desc-cumulative exits): t=1 → 4, t=3 → 1.
+    // survival: t=1: 1·(1−2/4)=0.5; t=3: 0.5·(1−1/1)=0.0.
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 1L * day, "purchase"),
+      (2L, 0L, "view"), (2L, 3L * day, "purchase"),
+      (3L, 0L, "view"), (3L, 2L * day, "view"),
+      (4L, 0L, "view"), (4L, 1L * day, "purchase"))
+      .toDF("user_id", "ts_us", "event_type")
+    val out = Behavior.kaplanMeier(
+      rows, "user_id", "ts_us", col("event_type") === "purchase")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 2L, 4L, 0.5), (3L, 1L, 1L, 0.0)), out.toString)
+  }
+
   test("lastTouchAttribution: window, last-wins, ties, unattributed") {
     // u1 click 50s before purchase (in 60s window) -> click, lag 50s
     // u2 view 100s before purchase (outside window) -> unattributed
