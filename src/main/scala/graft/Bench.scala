@@ -45,19 +45,46 @@ object Bench {
     // still recorded (warmup_run) — compile cost is real signal about
     // plan complexity, it just must not pollute the steady-state stat.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
+    // release per-query executor state deterministically: operators
+    // localCheckpoint intermediates, and those blocks are otherwise
+    // freed only when the ContextCleaner notices the RDD is
+    // unreachable (GC-driven). Across ~100 queries × N runs in one
+    // session the stragglers accumulate and tax late-sorted queries
+    // under memory pressure — each run (warmup included) should be
+    // billed for its own plan only. blocking: async removal would race
+    // the NEXT run's execution and bill cleanup to the wrong timer.
+    // Streaming queries additionally land results in uniquely-named
+    // memory-sink temp views (st*_out_<nanos>); each holds its rows in
+    // the driver until dropped, so across runs×queries they accumulate
+    // and tax later streaming runs (st2 measured 1.2s run1 → ~6s run3
+    // before this).
+    def releaseRunState(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.contains("_out_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+    }
     val results = selected.map { case (name, fn) =>
       var failed = false
       // a warmup failure is LOGGED but does not mark the query failed:
       // transient box noise in the untimed run must not discard N valid
-      // timed measurements — the timed loop is the arbiter of "err"
+      // timed measurements — the timed loop is the arbiter of "err".
+      // A failed warmup records NO warmup time (time-to-crash would
+      // read cross-round as the compile cost collapsing).
       val warm = if (!warmup) None else {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case t: Throwable =>
           System.err.println(s"[bench] $name warmup failed (timed runs " +
             s"decide): ${t.getClass.getName}: " +
             String.valueOf(t.getMessage).linesIterator.take(1).mkString)
+          false
         }
-        Some((System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseRunState()
+        if (ok) Some(dt) else None
       }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -67,25 +94,7 @@ object Bench {
             String.valueOf(t.getMessage).linesIterator.take(1).mkString)
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // release per-query executor state deterministically: operators
-        // localCheckpoint intermediates, and those blocks are otherwise
-        // freed only when the ContextCleaner notices the RDD is
-        // unreachable (GC-driven). Across ~100 queries × N runs in one
-        // session the stragglers accumulate and tax late-sorted queries
-        // under memory pressure — each run should be billed for its own
-        // plan only. blocking: async removal would race the NEXT run's
-        // execution and bill cleanup to the wrong timer
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        // streaming queries land results in uniquely-named memory-sink
-        // temp views (st*_out_<nanos>); each holds its rows in the
-        // driver until dropped, so across runs×queries they accumulate
-        // and tax later streaming runs (st2 measured 1.2s run1 → ~6s
-        // run3 before this). Drop them once the run's count is done.
-        spark.catalog.listTables().collect()
-          .filter(t => t.isTemporary && t.name.contains("_out_"))
-          .foreach(t => spark.catalog.dropTempView(t.name))
+        releaseRunState()
         dt
       }
       (name,

@@ -6472,6 +6472,41 @@ ORDER BY query_id"""
   }}
 
   // ---------------------------------------------------------------------
+  // Shared orders⋈customer join-view machinery for the q48/st13 twins —
+  // ONE copy of the oracle, the append cut, and the rollup, so the
+  // batch and streaming gates can never drift apart ("stream == batch"
+  // is only a contract while both sides share the same definitions).
+  private val joinMvOracle: String =
+    """SELECT c_mktsegment, o_orderpriority, count(*)::bigint AS n,
+      |       round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::double AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  private def joinMvOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      col("o_totalprice"), col("o_orderpriority"))
+
+  private def joinMvCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+
+  /** Append split by key range — the delta-join identity is split-
+    * agnostic; the key split keeps both gates free of NTZ timestamp
+    * arithmetic (the r5 regression class). */
+  private def joinMvOrderKeyCut(orders: DataFrame): Long =
+    orders.agg(((min("o_orderkey") + max("o_orderkey")) / 2)
+      .cast("long")).first().getLong(0)
+
+  private def joinMvRollup(view: DataFrame): DataFrame = view
+    .groupBy("c_mktsegment", "o_orderpriority")
+    .agg(count(lit(1)).as("n"),
+      round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double").as("total_price"))
+    .orderBy("c_mktsegment", "o_orderpriority")
+
+  // ---------------------------------------------------------------------
   // st13_stream_join_mv — STREAMING incremental JOIN-view maintenance:
   // q48's deltaJoinMerge driven from foreachBatch. Orders arrive in two
   // micro-batches (key-split), the customer dim is static (ΔB = ∅, so
@@ -6480,22 +6515,14 @@ ORDER BY query_id"""
   // with the A⋈B bulk never recomputed across batches.
   register(
     "st13_stream_join_mv",
-    """SELECT c_mktsegment, o_orderpriority, count(*)::bigint AS n,
-      |       round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::double AS total_price
-      |FROM orders JOIN customer ON o_custkey = c_custkey
-      |GROUP BY 1, 2
-      |ORDER BY 1, 2""".stripMargin
+    joinMvOracle
   ) { (s, dir) => withStreamPartitions(s, 8) {
     import graft.operators.Materialized
     val tmp = scratchDir("st13")
     val in = s"$tmp/in"
-    val orders = t(s, dir, "orders").select(
-      col("o_custkey").as("custkey"), col("o_orderkey"),
-      col("o_totalprice"), col("o_orderpriority"))
-    val cust = t(s, dir, "customer").select(
-      col("c_custkey").as("custkey"), col("c_mktsegment"))
-    val cut = orders.agg(((min("o_orderkey") + max("o_orderkey")) / 2)
-      .cast("long")).first().getLong(0)
+    val orders = joinMvOrders(s, dir)
+    val cust = joinMvCustomers(s, dir)
+    val cut = joinMvOrderKeyCut(orders)
     orders.filter(col("o_orderkey") < cut)
       .coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
     orders.filter(col("o_orderkey") >= cut)
@@ -6522,12 +6549,7 @@ ORDER BY query_id"""
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    store.read("jv")
-      .groupBy("c_mktsegment", "o_orderpriority")
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
-          .cast("double").as("total_price"))
-      .orderBy("c_mktsegment", "o_orderpriority")
+    joinMvRollup(store.read("jv"))
   }}
 
   // ---------------------------------------------------------------------
@@ -6824,9 +6846,9 @@ ORDER BY query_id"""
       |  GROUP BY user_id
       |), r AS (
       |  SELECT user_id, recency_days, frequency, mon,
-      |         rank() OVER (ORDER BY recency_days DESC, user_id) AS rk_r,
-      |         rank() OVER (ORDER BY frequency ASC, user_id) AS rk_f,
-      |         rank() OVER (ORDER BY mon ASC, user_id) AS rk_m,
+      |         rank() OVER (ORDER BY recency_days DESC NULLS LAST, user_id) AS rk_r,
+      |         rank() OVER (ORDER BY frequency ASC NULLS LAST, user_id) AS rk_f,
+      |         rank() OVER (ORDER BY mon ASC NULLS LAST, user_id) AS rk_m,
       |         count(*) OVER () AS n
       |  FROM u
       |), s AS (
@@ -6914,23 +6936,12 @@ ORDER BY query_id"""
   // hash.
   register(
     "q48_incremental_join_mv",
-    """SELECT c_mktsegment, o_orderpriority, count(*)::bigint AS n,
-      |       round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::double AS total_price
-      |FROM orders JOIN customer ON o_custkey = c_custkey
-      |GROUP BY 1, 2
-      |ORDER BY 1, 2""".stripMargin
+    joinMvOracle
   ) { (s, dir) =>
     import graft.operators.Materialized
-    val orders = t(s, dir, "orders").select(
-      col("o_custkey").as("custkey"), col("o_orderkey"),
-      col("o_totalprice"), col("o_orderpriority"))
-    val cust = t(s, dir, "customer").select(
-      col("c_custkey").as("custkey"), col("c_mktsegment"))
-    // append split by key range (the delta-join identity is split-
-    // agnostic; the key split keeps the gate free of NTZ timestamp
-    // arithmetic, the r5 regression class)
-    val cut = orders.agg(((min("o_orderkey") + max("o_orderkey")) / 2)
-      .cast("long")).first().getLong(0)
+    val orders = joinMvOrders(s, dir)
+    val cust = joinMvCustomers(s, dir)
+    val cut = joinMvOrderKeyCut(orders)
     val (aOld, aDelta) = (orders.filter(col("o_orderkey") < cut),
       orders.filter(col("o_orderkey") >= cut))
     val (bOld, bDelta) = (cust.filter(col("custkey") % 5 =!= 0),
@@ -6940,12 +6951,7 @@ ORDER BY query_id"""
     val merged = Materialized.deltaJoinMerge(store.read("jv"),
       aOld, aDelta, bOld, bDelta, Seq("custkey"))
     store.overwrite("jv", merged)
-    store.read("jv")
-      .groupBy("c_mktsegment", "o_orderpriority")
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
-          .cast("double").as("total_price"))
-      .orderBy("c_mktsegment", "o_orderpriority")
+    joinMvRollup(store.read("jv"))
   }
 
   // ---------------------------------------------------------------------

@@ -973,14 +973,18 @@ ORDER BY channel"""
         sum(col(valueCol).cast("decimal(18,4)")).as("__mon"))
     // |users|-row frame: global rank windows are fine here (the frame
     // is dimension-sized, not event-sized — same reasoning as aq20's
-    // per-source windows)
+    // per-source windows). NULLS LAST explicitly on every order: Spark
+    // defaults ASC to nulls-FIRST while DuckDB defaults to nulls-LAST,
+    // so an all-NULL monetary user would otherwise shift every m bucket
+    // between engine and oracle
     val ranked = perUser
       .withColumn("__rk_r", rank().over(
-        Window.orderBy(col("recency_days").desc, col("user_id"))))
+        Window.orderBy(col("recency_days").desc_nulls_last,
+          col("user_id"))))
       .withColumn("__rk_f", rank().over(
-        Window.orderBy(col("frequency").asc, col("user_id"))))
+        Window.orderBy(col("frequency").asc_nulls_last, col("user_id"))))
       .withColumn("__rk_m", rank().over(
-        Window.orderBy(col("__mon").asc, col("user_id"))))
+        Window.orderBy(col("__mon").asc_nulls_last, col("user_id"))))
       .withColumn("__n", count(lit(1)).over(
         Window.partitionBy(lit(1))))
     def bucket(rk: String): Column =
