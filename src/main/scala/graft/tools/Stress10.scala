@@ -194,6 +194,57 @@ object Stress10 {
     val st10b = time("stream_attr_10x")(st10(10, "10x"))
     slope("stream_attr", st10a, st10b)
 
+    // round-7 operators. Delta-join view maintenance: the three delta
+    // terms each carry one delta-sized side, so 10x inputs (orders AND
+    // deltas both 10x) should cost ~linear — the bulk never recomputes
+    val ordBase = Tables.load(spark, sf, "orders").select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      col("o_totalprice"), col("o_orderpriority"))
+    val custD = Tables.load(spark, sf, "customer").select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    def ordDup(k: Int): DataFrame = (0 until k).map(i =>
+      ordBase.select(col("custkey"),
+        (col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority")))
+      .reduce(_ unionByName _)
+    def deltaJoin(k: Int): Long = {
+      val o = ordDup(k)
+      val cut = o.agg(((min("o_orderkey") + max("o_orderkey")) / 2)
+        .cast("long")).first().getLong(0)
+      val (aOld, aDelta) = (o.filter(col("o_orderkey") < cut),
+        o.filter(col("o_orderkey") >= cut))
+      val (bOld, bDelta) = (custD.filter(col("custkey") % 5 =!= 0),
+        custD.filter(col("custkey") % 5 === 0))
+      val view = graft.operators.Lineage.cutLocal(
+        aOld.join(bOld, Seq("custkey")))
+      graft.operators.Materialized.deltaJoinMerge(
+        view, aOld, aDelta, bOld, bDelta, Seq("custkey")).count()
+    }
+    val djA = time("delta_join_1x")(deltaJoin(1))
+    val djB = time("delta_join_10x")(deltaJoin(10))
+    slope("delta_join", djA, djB)
+
+    // Kaplan-Meier: one user-keyed aggregate then |durations|-sized
+    // work — 10x users ~ 10x the aggregate, flat fold
+    val aq57a = time("kaplan_meier_1x")(operators.Behavior.kaplanMeier(
+      evDup(1), "user_id", "ts_us",
+      col("event_type") === "purchase").count())
+    val aq57b = time("kaplan_meier_10x")(operators.Behavior.kaplanMeier(
+      evDup(10), "user_id", "ts_us",
+      col("event_type") === "purchase").count())
+    slope("kaplan_meier", aq57a, aq57b)
+
+    // RFM: user-keyed aggregate + |users|-row rank windows; the global
+    // windows are single-partition sorts of the DIMENSION frame — 10x
+    // users shows whether that stays sub-second territory
+    val aq56a = time("rfm_1x")(operators.Behavior.rfmSegments(
+      evDup(1), "user_id", "ts_us", "event_type", "value",
+      "purchase").count())
+    val aq56b = time("rfm_10x")(operators.Behavior.rfmSegments(
+      evDup(10), "user_id", "ts_us", "event_type", "value",
+      "purchase").count())
+    slope("rfm", aq56a, aq56b)
+
     spark.stop()
   }
 }
