@@ -6449,14 +6449,18 @@ ORDER BY query_id"""
     val q = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = summarize(batch)
-        if (store.hasSchema("mv"))
-          store.overwrite("mv", Materialized.additiveMerge(
-            store.read("mv"), delta, Seq("event_type", "hour_idx"),
-            Seq(CountCol("n"), SumCol("val_sum"),
-              MinCol("val_min"), MaxCol("val_max"))))
-        else store.overwrite("mv", delta)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // additive merge is NOT idempotent — the batch-id guard makes
+        // the at-least-once foreachBatch replay exactly-once
+        Materialized.applyBatchOnce(store, "mv", batchId) {
+          val delta = summarize(batch)
+          if (store.hasSchema("mv"))
+            Materialized.additiveMerge(
+              store.read("mv"), delta, Seq("event_type", "hour_idx"),
+              Seq(CountCol("n"), SumCol("val_sum"),
+                MinCol("val_min"), MaxCol("val_max")))
+          else delta
+        }
         ()
       }
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -6533,16 +6537,18 @@ ORDER BY query_id"""
     val q = s.readStream.schema(orders.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // ΔB = ∅, so A⋈ΔB and ΔA⋈ΔB vanish and the accumulated
-        // orders never re-join — an empty aOld stands in for the
-        // (irrelevant) snapshot rather than carrying it along
-        val grown =
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the delta union is NOT idempotent — the batch-id guard makes
+        // the at-least-once foreachBatch replay exactly-once
+        Materialized.applyBatchOnce(store, "jv", batchId) {
+          // ΔB = ∅, so A⋈ΔB and ΔA⋈ΔB vanish and the accumulated
+          // orders never re-join — an empty aOld stands in for the
+          // (irrelevant) snapshot rather than carrying it along
           if (store.hasSchema("jv")) Materialized.deltaJoinMerge(
             store.read("jv"), aOld = batch.limit(0), aDelta = batch,
             bOld = cust, bDelta = cust.limit(0), keys = Seq("custkey"))
           else batch.join(cust, Seq("custkey"))
-        store.overwrite("jv", grown)
+        }
         ()
       }
       .option("checkpointLocation", s"$tmp/ckpt")

@@ -83,4 +83,31 @@ object Materialized {
       .unionByName(aOld.join(bDelta, keys))
       .unionByName(aDelta.join(bDelta, keys))
   }
+
+  /** EXACTLY-ONCE guard for non-idempotent foreachBatch view sinks:
+    * commit `merge` to `schema` tagged with `batchId`, or skip when the
+    * committed generation already carries this id (or a later one).
+    *
+    * Why it exists: Structured Streaming's foreachBatch is
+    * at-least-once — a crash between the sink's commit and the
+    * checkpoint commit makes the engine REPLAY the micro-batch on
+    * restart. Idempotent sinks (key-upsert, min-merge registries)
+    * absorb the replay; ADDITIVE merges ([[additiveMerge]],
+    * [[deltaJoinMerge]]) would double-apply it. The batch id rides in
+    * the store's commit metadata (`ResultStore.overwriteWithMeta`), so
+    * id and data flip atomically together — there is no window where a
+    * consumer sees one without the other. Returns whether the batch
+    * was applied. */
+  def applyBatchOnce(
+      store: graft.sources.ResultStore,
+      schema: String,
+      batchId: Long)(merge: => DataFrame): Boolean = {
+    val applied = store.committedMeta(schema).get("batch_id").map(_.toLong)
+    if (applied.exists(_ >= batchId)) false
+    else {
+      store.overwriteWithMeta(schema, merge,
+        Map("batch_id" -> batchId.toString))
+      true
+    }
+  }
 }

@@ -74,12 +74,64 @@ class ResultStore(spark: SparkSession, root: String) {
   protected def beforeSwapHook(): Unit = ()
 
   /** Atomically commit `df` as the new contents of `schema`. */
-  private def commit(schema: String, df: DataFrame): Unit = {
+  private def commit(schema: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty): Unit = {
     val version = nextVersion(schema)
     val previous = currentVersion(schema)
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$schema/$version")
+    writeMeta(versionDir(schema, version), meta)
     beforeSwapHook()
     flipPointer(schema, version, keepPrevious = previous)
+  }
+
+  /** Commit metadata rides INSIDE the version directory (`_META`, an
+    * underscore file the parquet reader ignores), so it becomes visible
+    * through the SAME atomic pointer flip as the data — the property
+    * exactly-once streaming sinks need: a consumer can never observe a
+    * version's data without its metadata or vice versa. */
+  private def writeMeta(dir: java.io.File, meta: Map[String, String]): Unit =
+    if (meta.nonEmpty) {
+      def esc(s: String): String = s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val json = meta.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+        .mkString("{", ", ", "}")
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "_META").toPath, json)
+    }
+
+  /** The committed generation's metadata (empty when none was given). */
+  def committedMeta(schema: String): Map[String, String] =
+    currentVersion(schema).map { v =>
+      val f = new java.io.File(versionDir(schema, v), "_META")
+      if (!f.exists()) Map.empty[String, String]
+      else {
+        val s = java.nio.file.Files.readString(f.toPath)
+        // minimal flat-object parse of our own writer's output
+        """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+          .findAllMatchIn(s)
+          .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+      }
+    }.getOrElse(Map.empty)
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case 'n' => b += '\n'; i += 2
+          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16)
+            .toChar; i += 6
+          case c => b += c; i += 2
+        }
+      } else { b += s(i); i += 1 }
+    }
+    b.toString
   }
 
   /** Atomic pointer flip (write `_CURRENT.tmp`, ATOMIC_MOVE over
@@ -214,6 +266,17 @@ class ResultStore(spark: SparkSession, root: String) {
     }
 
   def overwrite(schema: String, df: DataFrame): Unit = commit(schema, df)
+
+  /** [[overwrite]] carrying commit metadata (e.g. the last applied
+    * streaming batch id) through the same atomic flip as the data —
+    * see [[committedMeta]]. The exactly-once foreachBatch pattern:
+    * skip the batch when `committedMeta(schema).get("batch_id")` is
+    * already ≥ the incoming id (a crash between the sink commit and
+    * the checkpoint commit makes the engine REPLAY the micro-batch;
+    * a non-idempotent merge would double-apply it). */
+  def overwriteWithMeta(
+      schema: String, df: DataFrame, meta: Map[String, String]): Unit =
+    commit(schema, df, meta)
 
   /** Optimistic-concurrency overwrite (the lake-style
     * read-check-commit primitive): commit `df` only if the table's
@@ -567,6 +630,11 @@ class ResultStore(spark: SparkSession, root: String) {
           else target0
         java.nio.file.Files.createLink(target.toPath, f.toPath)
       }
+      // commit metadata carries FORWARD through compaction: rows are
+      // only re-grouped, so the generation's meta (e.g. a streaming
+      // sink's last-applied batch id) must survive — dropping it would
+      // disarm the exactly-once replay guard mid-stream
+      writeMeta(staging, committedMeta(schema))
       beforeSwapHook()
       val ch = java.nio.channels.FileChannel.open(
         new java.io.File(schemaDir(schema), "_LOCK").toPath,

@@ -791,6 +791,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(clean.count("t") == 4)
   }
 
+  test("commit metadata rides the atomic flip and survives compaction") {
+    val store = new ResultStore(spark, tmpDir())
+    store.overwriteWithMeta("t", Seq(KV(1, "a")).toDF(),
+      Map("batch_id" -> "7", "note" -> "line1\nline2 \"quoted\""))
+    assert(store.committedMeta("t") ==
+      Map("batch_id" -> "7", "note" -> "line1\nline2 \"quoted\""))
+    // a plain commit has no meta
+    store.overwrite("u", Seq(KV(2, "b")).toDF())
+    assert(store.committedMeta("u").isEmpty)
+    // meta carries forward through compaction (re-grouping files must
+    // not disarm a streaming sink's replay guard)
+    (0 until 3).foreach(i =>
+      store.insert("t", Seq(KV(10L + i, s"v$i")).toDF().coalesce(1)))
+    store.overwriteWithMeta("t", store.read("t"), Map("batch_id" -> "9"))
+    store.compact("t", targetBytes = 1L << 20)
+    assert(store.committedMeta("t") == Map("batch_id" -> "9"))
+  }
+
+  test("applyBatchOnce: replayed micro-batch ids are skipped exactly-once") {
+    import graft.operators.Materialized
+    val store = new ResultStore(spark, tmpDir())
+    def merge(v: Long): org.apache.spark.sql.DataFrame =
+      if (!store.hasSchema("mv")) Seq(("k", v)).toDF("k", "s")
+      else store.read("mv").unionByName(Seq(("k", v)).toDF("k", "s"))
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("s").as("s"))
+    def total: Long = store.read("mv")
+      .agg(org.apache.spark.sql.functions.sum("s")).head().getLong(0)
+    assert(Materialized.applyBatchOnce(store, "mv", 0L)(merge(10)))
+    assert(total == 10)
+    // crash-replay of batch 0: must NOT double-apply
+    assert(!Materialized.applyBatchOnce(store, "mv", 0L)(merge(10)))
+    assert(total == 10)
+    // next batch applies; replaying IT is also absorbed
+    assert(Materialized.applyBatchOnce(store, "mv", 1L)(merge(5)))
+    assert(!Materialized.applyBatchOnce(store, "mv", 1L)(merge(5)))
+    assert(total == 15)
+  }
+
   test("overwriteIf cleans staging when the data write itself fails") {
     val root = tmpDir()
     val store = new ResultStore(spark, root)
