@@ -4306,7 +4306,12 @@ object Queries {
     }
     reg.registerTransform("Save") { ctx =>
       val d = ctx.previousContent.get
-      d.write.mode("append").parquet(outDir)
+      // batch-keyed OVERWRITE: a replayed micro-batch re-runs the
+      // whole pipeline (at-least-once foreachBatch), and an append
+      // sink would double its summary rows — overwriting the batch's
+      // own subdirectory absorbs the replay
+      d.write.mode("overwrite")
+        .parquet(s"$outDir/batch=${ctx.input[Long]("batch_id")}")
       d
     }
     val stream = graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1)
@@ -4388,18 +4393,24 @@ object Queries {
     val q = stream.writeStream
       .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val dirty = graft.operators.Dedup.crossContainmentPairs(
             batch, "doc_id", "text", bench, "bench_id", "text",
             threshold = 0.8)
           .select("doc_id").distinct()
+        // batch-keyed OVERWRITE, not append: foreachBatch is
+        // at-least-once, and a replayed batch appending into a shared
+        // dir would duplicate its rows — overwriting its own batch
+        // subdirectory makes the replay a no-op
         batch.join(dirty, Seq("doc_id"), "left_anti")
           .select("doc_id", "source")
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
     q.awaitTermination()
-    s.read.parquet(outDir).orderBy("doc_id")
+    // select explicitly: the batch=N subdirs surface as a discovered
+    // partition column the oracle schema must not see
+    s.read.parquet(outDir).select("doc_id", "source").orderBy("doc_id")
   }}
 
   // st4_stateful_sessions — the custom per-key state machine
