@@ -137,4 +137,56 @@ class StreamingSpec extends AnyFunSuite {
       assert(hits.await(5, java.util.concurrent.TimeUnit.SECONDS))
     } finally sched.shutdown()
   }
+
+  test("crash between sink commit and checkpoint: restart does not " +
+    "double-apply (applyBatchOnce end to end)") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Materialized
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-replay-spec").toString
+    // two micro-batches (pinned mtimes → pinned batch order)
+    Seq(1L, 2L, 3L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    Seq(10L, 20L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b2")
+    val now = System.currentTimeMillis()
+    Seq(s"$tmp/in/b1", s"$tmp/in/b2").zipWithIndex.foreach { case (d, i) =>
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(now - (1 - i) * 60000L)))
+    }
+    val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+    // crash exactly in the at-least-once window: AFTER the guarded view
+    // commit of batch 1, BEFORE foreachBatch returns (so the engine
+    // never checkpoints batch 1 and must replay it on restart)
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def runStream(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream
+        .schema(Seq(1L).toDF("v").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Materialized.applyBatchOnce(store, "mv", batchId) {
+            val delta = batch.agg(sum("v").as("s"))
+            if (store.hasSchema("mv"))
+              store.read("mv").unionByName(delta)
+                .agg(sum("s").as("s"))
+            else delta
+          }
+          if (batchId == 1L && crashArmed.compareAndSet(true, false))
+            throw new RuntimeException("crash after commit (deliberate)")
+          ()
+        }
+        .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runStream().awaitTermination()
+    }
+    // restart from the same checkpoint: the engine REPLAYS batch 1; the
+    // guard must absorb it, not double-add 30
+    runStream().awaitTermination()
+    assert(store.read("mv").head().getLong(0) == 36L)
+    assert(store.committedMeta("mv") == Map("batch_id" -> "1"))
+  }
 }
