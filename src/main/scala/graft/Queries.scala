@@ -69,9 +69,11 @@ object Queries {
     val now = System.currentTimeMillis()
     dirs.zipWithIndex.foreach { case (d, i) =>
       val tm = now - (dirs.length - 1 - i) * 60000L
-      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach(f =>
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try walk.forEach(f =>
         java.nio.file.Files.setLastModifiedTime(f,
           java.nio.file.attribute.FileTime.fromMillis(tm)))
+      finally walk.close()
     }
   }
 
@@ -6463,7 +6465,7 @@ ORDER BY query_id"""
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // additive merge is NOT idempotent — the batch-id guard makes
         // the at-least-once foreachBatch replay exactly-once
-        Materialized.applyBatchOnce(store, "mv", batchId) {
+        Materialized.applyBatchOnce(store, "mv", "st11_mv", batchId) {
           val delta = summarize(batch)
           if (store.hasSchema("mv"))
             Materialized.additiveMerge(
@@ -6551,7 +6553,7 @@ ORDER BY query_id"""
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the delta union is NOT idempotent — the batch-id guard makes
         // the at-least-once foreachBatch replay exactly-once
-        Materialized.applyBatchOnce(store, "jv", batchId) {
+        Materialized.applyBatchOnce(store, "jv", "st13_jv", batchId) {
           // ΔB = ∅, so A⋈ΔB and ΔA⋈ΔB vanish and the accumulated
           // orders never re-join — an empty aOld stands in for the
           // (irrelevant) snapshot rather than carrying it along

@@ -85,28 +85,40 @@ object Materialized {
   }
 
   /** EXACTLY-ONCE guard for non-idempotent foreachBatch view sinks:
-    * commit `merge` to `schema` tagged with `batchId`, or skip when the
-    * committed generation already carries this id (or a later one).
+    * commit `merge` to `schema` tagged with `(streamId, batchId)`, or
+    * skip when the committed generation already carries this stream's
+    * id at this batch (or a later one).
     *
     * Why it exists: Structured Streaming's foreachBatch is
     * at-least-once — a crash between the sink's commit and the
     * checkpoint commit makes the engine REPLAY the micro-batch on
     * restart. Idempotent sinks (key-upsert, min-merge registries)
     * absorb the replay; ADDITIVE merges ([[additiveMerge]],
-    * [[deltaJoinMerge]]) would double-apply it. The batch id rides in
-    * the store's commit metadata (`ResultStore.overwriteWithMeta`), so
-    * id and data flip atomically together — there is no window where a
-    * consumer sees one without the other. Returns whether the batch
-    * was applied. */
+    * [[deltaJoinMerge]]) would double-apply it. The ids ride in the
+    * store's commit metadata (`ResultStore.overwriteWithMeta`), so ids
+    * and data flip atomically together — there is no window where a
+    * consumer sees one without the other.
+    *
+    * `streamId` scopes the guard to one logical stream (Delta's
+    * txnAppId pattern): batch ids only dedupe WITHIN a stream id, so a
+    * rebuild from a fresh checkpoint under a NEW streamId applies from
+    * batch 0 instead of being silently skipped by a stale marker.
+    * Deleting a checkpoint while KEEPING the streamId means "continue
+    * the same logical stream" — replays of already-applied ids skip,
+    * which is the contract's point. Returns whether the batch was
+    * applied. */
   def applyBatchOnce(
       store: graft.sources.ResultStore,
       schema: String,
+      streamId: String,
       batchId: Long)(merge: => DataFrame): Boolean = {
-    val applied = store.committedMeta(schema).get("batch_id").map(_.toLong)
+    val meta = store.committedMeta(schema)
+    val applied = meta.get("batch_id").map(_.toLong)
+      .filter(_ => meta.get("stream_id").contains(streamId))
     if (applied.exists(_ >= batchId)) false
     else {
       store.overwriteWithMeta(schema, merge,
-        Map("batch_id" -> batchId.toString))
+        Map("stream_id" -> streamId, "batch_id" -> batchId.toString))
       true
     }
   }

@@ -73,13 +73,19 @@ class ResultStore(spark: SparkSession, root: String) {
     * leave the previously committed table fully readable. */
   protected def beforeSwapHook(): Unit = ()
 
-  /** Atomically commit `df` as the new contents of `schema`. */
+  /** Atomically commit `df` as the new contents of `schema`. Metadata
+    * behaves like TABLE PROPERTIES: an empty `meta` INHERITS the
+    * committed generation's metadata (every mutation path must carry it
+    * — a maintenance upsert that silently dropped a streaming sink's
+    * batch-id marker would disarm its exactly-once replay guard);
+    * a non-empty `meta` replaces it ([[overwriteWithMeta]]). */
   private def commit(schema: String, df: DataFrame,
       meta: Map[String, String] = Map.empty): Unit = {
     val version = nextVersion(schema)
     val previous = currentVersion(schema)
+    val effective = if (meta.nonEmpty) meta else committedMeta(schema)
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$schema/$version")
-    writeMeta(versionDir(schema, version), meta)
+    writeMeta(versionDir(schema, version), effective)
     beforeSwapHook()
     flipPointer(schema, version, keepPrevious = previous)
   }
@@ -88,51 +94,34 @@ class ResultStore(spark: SparkSession, root: String) {
     * underscore file the parquet reader ignores), so it becomes visible
     * through the SAME atomic pointer flip as the data — the property
     * exactly-once streaming sinks need: a consumer can never observe a
-    * version's data without its metadata or vice versa. */
+    * version's data without its metadata or vice versa. Serialized via
+    * java.util.Properties: robust escaping and parsing with no custom
+    * serialization code to drift (a malformed file degrades to
+    * best-effort key/values, never an exception). */
   private def writeMeta(dir: java.io.File, meta: Map[String, String]): Unit =
     if (meta.nonEmpty) {
-      def esc(s: String): String = s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
-      val json = meta.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
-        .mkString("{", ", ", "}")
-      java.nio.file.Files.writeString(
-        new java.io.File(dir, "_META").toPath, json)
+      val p = new java.util.Properties()
+      meta.foreach { case (k, v) => p.setProperty(k, v) }
+      val out = java.nio.file.Files.newOutputStream(
+        new java.io.File(dir, "_META").toPath)
+      try p.store(out, null) finally out.close()
     }
 
-  /** The committed generation's metadata (empty when none was given). */
+  /** The committed generation's metadata (empty when none was given).
+    * Survives every mutation (inherited on commit, carried through
+    * [[compact]], rides [[rollback]]'s target version). */
   def committedMeta(schema: String): Map[String, String] =
     currentVersion(schema).map { v =>
       val f = new java.io.File(versionDir(schema, v), "_META")
       if (!f.exists()) Map.empty[String, String]
       else {
-        val s = java.nio.file.Files.readString(f.toPath)
-        // minimal flat-object parse of our own writer's output
-        """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-          .findAllMatchIn(s)
-          .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+        val p = new java.util.Properties()
+        val in = java.nio.file.Files.newInputStream(f.toPath)
+        try p.load(in) finally in.close()
+        import scala.jdk.CollectionConverters._
+        p.asScala.toMap
       }
     }.getOrElse(Map.empty)
-
-  private def unesc(s: String): String = {
-    val b = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      if (s(i) == '\\' && i + 1 < s.length) {
-        s(i + 1) match {
-          case 'n' => b += '\n'; i += 2
-          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16)
-            .toChar; i += 6
-          case c => b += c; i += 2
-        }
-      } else { b += s(i); i += 1 }
-    }
-    b.toString
-  }
 
   /** Atomic pointer flip (write `_CURRENT.tmp`, ATOMIC_MOVE over
     * `_CURRENT`), then GC of superseded versions. */
@@ -260,6 +249,7 @@ class ResultStore(spark: SparkSession, root: String) {
               else target0
             java.nio.file.Files.createLink(target.toPath, f.toPath)
           }
+        writeMeta(newDir, committedMeta(schema)) // table-properties carry
         beforeSwapHook()
         flipPointer(schema, version, keepPrevious = Some(prev))
       case None => commit(schema, df)
@@ -325,6 +315,8 @@ class ResultStore(spark: SparkSession, root: String) {
           java.nio.file.Files.move(staging.toPath,
             new java.io.File(schemaDir(schema), version).toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // table-properties carry (read under the lock, post-check)
+          writeMeta(versionDir(schema, version), committedMeta(schema))
           flipPointer(schema, version, keepPrevious = expected)
           version
         } finally lock.release()
@@ -468,6 +460,7 @@ class ResultStore(spark: SparkSession, root: String) {
     val dir = versionDir(schema, version)
     df.write.mode(SaveMode.Overwrite).parquet(dir.getPath)
     writeStats(computeStats(dir.getPath, keyCol, df.schema), schema, version)
+    writeMeta(dir, committedMeta(schema)) // table-properties carry
     beforeSwapHook()
     flipPointer(schema, version, keepPrevious = previous)
   }
@@ -562,6 +555,8 @@ class ResultStore(spark: SparkSession, root: String) {
             .toDF("file", "kmin", "kmax")
             .withColumn("key_col", lit(keyCol)),
           schema, version)
+        writeMeta(versionDir(schema, version),
+          committedMeta(schema)) // table-properties carry
         beforeSwapHook()
         flipPointer(schema, version, keepPrevious = Some(prev))
     }

@@ -170,9 +170,11 @@ object Stress10 {
       val now = System.currentTimeMillis()
       Seq(s"$tmp/in/b1", s"$tmp/in/b2").zipWithIndex.foreach { case (d, i) =>
         val tm = now - (1 - i) * 60000L
-        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach(f =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        try walk.forEach(f =>
           java.nio.file.Files.setLastModifiedTime(f,
             java.nio.file.attribute.FileTime.fromMillis(tm)))
+        finally walk.close()
       }
       val schema = Seq(StatefulOps.AttrEvent(0L, 0L, 0L, "", 0.0)).toDF().schema
       val stream = spark.readStream.schema(schema)

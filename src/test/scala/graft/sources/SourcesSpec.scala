@@ -818,15 +818,43 @@ class SourcesSpec extends AnyFunSuite {
         .groupBy("k").agg(org.apache.spark.sql.functions.sum("s").as("s"))
     def total: Long = store.read("mv")
       .agg(org.apache.spark.sql.functions.sum("s")).head().getLong(0)
-    assert(Materialized.applyBatchOnce(store, "mv", 0L)(merge(10)))
+    assert(Materialized.applyBatchOnce(store, "mv", "s1", 0L)(merge(10)))
     assert(total == 10)
     // crash-replay of batch 0: must NOT double-apply
-    assert(!Materialized.applyBatchOnce(store, "mv", 0L)(merge(10)))
+    assert(!Materialized.applyBatchOnce(store, "mv", "s1", 0L)(merge(10)))
     assert(total == 10)
     // next batch applies; replaying IT is also absorbed
-    assert(Materialized.applyBatchOnce(store, "mv", 1L)(merge(5)))
-    assert(!Materialized.applyBatchOnce(store, "mv", 1L)(merge(5)))
+    assert(Materialized.applyBatchOnce(store, "mv", "s1", 1L)(merge(5)))
+    assert(!Materialized.applyBatchOnce(store, "mv", "s1", 1L)(merge(5)))
     assert(total == 15)
+    // a NEW stream id (rebuild from a fresh checkpoint) applies from
+    // batch 0 — a stale marker from the old stream must not silently
+    // swallow the new run's leading batches
+    assert(Materialized.applyBatchOnce(store, "mv", "s2", 0L)(merge(100)))
+    assert(total == 115)
+    // the guard now belongs to s2; s1's ids no longer dedupe
+    assert(store.committedMeta("mv").get("stream_id").contains("s2"))
+  }
+
+  test("commit meta behaves like table properties: every mutation carries it") {
+    val store = new ResultStore(spark, tmpDir())
+    store.overwriteWithMeta("t", Seq(KV(1, "a")).toDF(),
+      Map("stream_id" -> "s", "batch_id" -> "3"))
+    // a maintenance upsert/merge/delete/append between stream batches
+    // must NOT disarm the replay guard
+    store.upsert("t", Seq(KV(2, "b")).toDF(), "k")
+    assert(store.committedMeta("t").get("batch_id").contains("3"))
+    store.insert("t", Seq(KV(9, "z")).toDF())
+    assert(store.committedMeta("t").get("batch_id").contains("3"))
+    store.delete("t", "v__eq" -> "z")
+    assert(store.committedMeta("t").get("batch_id").contains("3"))
+    store.merge("t", Seq(KV(2, "B")).toDF(), "k", deleteWhen = None)
+    assert(store.committedMeta("t") ==
+      Map("stream_id" -> "s", "batch_id" -> "3"))
+    // explicit meta replaces wholesale
+    store.overwriteWithMeta("t", Seq(KV(1, "x")).toDF(),
+      Map("batch_id" -> "4"))
+    assert(store.committedMeta("t") == Map("batch_id" -> "4"))
   }
 
   test("overwriteIf cleans staging when the data write itself fails") {

@@ -151,9 +151,11 @@ class StreamingSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$tmp/in/b2")
     val now = System.currentTimeMillis()
     Seq(s"$tmp/in/b1", s"$tmp/in/b2").zipWithIndex.foreach { case (d, i) =>
-      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach(f =>
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try walk.forEach(f =>
         java.nio.file.Files.setLastModifiedTime(f,
           java.nio.file.attribute.FileTime.fromMillis(now - (1 - i) * 60000L)))
+      finally walk.close()
     }
     val store = new graft.sources.ResultStore(spark, s"$tmp/store")
     // crash exactly in the at-least-once window: AFTER the guarded view
@@ -168,7 +170,7 @@ class StreamingSpec extends AnyFunSuite {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          Materialized.applyBatchOnce(store, "mv", batchId) {
+          Materialized.applyBatchOnce(store, "mv", "crash-spec", batchId) {
             val delta = batch.agg(sum("v").as("s"))
             if (store.hasSchema("mv"))
               store.read("mv").unionByName(delta)
@@ -187,6 +189,7 @@ class StreamingSpec extends AnyFunSuite {
     // guard must absorb it, not double-add 30
     runStream().awaitTermination()
     assert(store.read("mv").head().getLong(0) == 36L)
-    assert(store.committedMeta("mv") == Map("batch_id" -> "1"))
+    assert(store.committedMeta("mv") ==
+      Map("stream_id" -> "crash-spec", "batch_id" -> "1"))
   }
 }
