@@ -6894,6 +6894,25 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq58_shapley_attribution — exact Shapley-value channel attribution
+  // (Behavior.shapleyAttribution): journeys contribute conversions to
+  // their touched channel SET, v(S) sums the sub-lattice, and each
+  // channel earns the factorial-weighted marginal sum — all INTEGER
+  // until one final division. Completes the attribution triad beside
+  // last-touch (aq45) and Markov removal effects (aq54). The oracle
+  // unrolls the 2^k subset lattice.
+  register(
+    "aq58_shapley_attribution",
+    graft.operators.Behavior.shapleyOracleSql(
+      "purchase", Seq("click", "view", "signup"))
+  ) { (s, dir) =>
+    graft.operators.Behavior.shapleyAttribution(
+      t(s, dir, "events"), "user_id", "event_type",
+      conversionType = "purchase",
+      channels = Seq("click", "view", "signup"))
+  }
+
+  // ---------------------------------------------------------------------
   // aq57_kaplan_meier — Kaplan–Meier time-to-first-purchase survival
   // (Behavior.kaplanMeier): per user the clock starts at their first
   // event day, "death" = first purchase day, never-purchasers censored

@@ -1001,6 +1001,123 @@ ORDER BY channel"""
       .orderBy("user_id")
   }
 
+  /** Shapley-value attribution (Shapley 1953, applied to channels as in
+    * Zhao et al. 2018) — the coalition-game alternative to last-touch
+    * (aq45) and Markov removal effects (aq54): each user's journey
+    * contributes its conversions to the characteristic value of the
+    * channel SET it touched, `v(S) = Σ_{T ⊆ S} conv(T)`, and channel i
+    * earns the exact Shapley value
+    *
+    *   k!·φᵢ = Σ_{S ⊆ C∖{i}} |S|!·(k−|S|−1)!·(v(S∪{i}) − v(S)),
+    *
+    * a fair division with φ summing to `v(C) − v(∅)` (untouched
+    * conversions stay unattributed). Output per channel:
+    * `(channel, phi_scaled, credit)` where `phi_scaled = k!·φᵢ` is an
+    * exact INTEGER (conversion counts times factorial weights — no
+    * float in the game) and `credit = round(phi_scaled / k!, 6)` is one
+    * integer division in double, identical in any engine.
+    *
+    * Scale shape: ONE user-keyed aggregate over events (map-side
+    * partial) then a ≤2^k-row group aggregate; the Shapley sum runs on
+    * the driver over that bounded table (like the count-min readout) —
+    * `require(k ≤ 12)` keeps the lattice at ≤4096 rows by contract. */
+  def shapleyAttribution(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      conversionType: String,
+      channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 12,
+      "1..12 channels (the subset lattice is 2^k)")
+    require(channels.distinct.size == channels.size, "duplicate channel")
+    val spark = events.sparkSession
+    val sorted = channels.sorted
+    val touched = concat_ws(",", sort_array(collect_set(
+      when(col(typeCol).isin(channels: _*), col(typeCol)))))
+    val convBySet = events
+      .groupBy(col(userCol))
+      .agg(touched.as("__set"),
+        sum(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+          .as("__conv"))
+      .groupBy("__set").agg(sum("__conv").as("__conv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = sorted.size
+    // conv(T) keyed by bitmask over the sorted channel list
+    val convByMask = convBySet.map { case (s, c) =>
+      val mask = s.split(",").filter(_.nonEmpty)
+        .map(t => 1 << sorted.indexOf(t)).sum
+      mask -> c
+    }
+    def v(mask: Int): Long = convByMask.collect {
+      case (t, c) if (t & ~mask) == 0 => c
+    }.sum
+    val fact = (0 to k).map(i => (1 to i).foldLeft(1L)(_ * _))
+    val rows = sorted.zipWithIndex.map { case (ch, i) =>
+      val bit = 1 << i
+      var phiScaled = 0L
+      var s = 0
+      while (s < (1 << k)) {
+        if ((s & bit) == 0) {
+          val size = Integer.bitCount(s)
+          phiScaled += fact(size) * fact(k - size - 1) * (v(s | bit) - v(s))
+        }
+        s += 1
+      }
+      (ch, phiScaled,
+        BigDecimal(phiScaled).bigDecimal
+          .divide(java.math.BigDecimal.valueOf(fact(k)),
+            6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    import spark.implicits._
+    rows.toDF("channel", "phi_scaled", "credit").orderBy("channel")
+  }
+
+  /** GENERATED DuckDB oracle for [[shapleyAttribution]]: the subset
+    * lattice unrolled — one value per subset, the exact integer
+    * factorial-weighted sum per channel, and the same single decimal
+    * division for the credit. */
+  def shapleyOracleSql(
+      conversionType: String, channels: Seq[String]): String = {
+    val sorted = channels.sorted
+    val k = sorted.size
+    val fact = (0 to k).map(i => (1 to i).foldLeft(1L)(_ * _))
+    def setStr(mask: Int): String =
+      sorted.zipWithIndex.filter { case (_, i) => (mask & (1 << i)) != 0 }
+        .map(_._1).mkString(",")
+    // v(S): sum of conv over observed sets T ⊆ S — expressed as an IN
+    // list of the subset's own sub-lattice strings
+    def vExpr(mask: Int): String = {
+      val subs = (0 to mask).filter(t => (t & ~mask) == 0)
+        .map(t => s"'${setStr(t)}'").distinct.mkString(", ")
+      s"(SELECT coalesce(sum(c), 0) FROM sets WHERE t IN ($subs))"
+    }
+    val vCtes = (0 until (1 << k)).map(m => s"v$m AS (SELECT ${vExpr(m)} AS v)")
+    val chRows = sorted.zipWithIndex.map { case (ch, i) =>
+      val bit = 1 << i
+      val terms = (0 until (1 << k)).filter(s => (s & bit) == 0).map { s =>
+        val w = fact(Integer.bitCount(s)) * fact(k - Integer.bitCount(s) - 1)
+        s"$w * ((SELECT v FROM v${s | bit}) - (SELECT v FROM v$s))"
+      }.mkString(" + ")
+      s"SELECT '$ch' AS channel, ($terms)::bigint AS phi_scaled"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    coalesce(string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+       |      FILTER (WHERE event_type IN (${sorted.map(c => s"'$c'").mkString(", ")})), '') AS t,
+       |    sum(CASE WHEN event_type = '$conversionType' THEN 1 ELSE 0 END)::bigint AS conv
+       |  FROM events GROUP BY user_id
+       |), sets AS (
+       |  SELECT t, sum(conv)::bigint AS c FROM per_user GROUP BY 1
+       |), ${vCtes.mkString(",\n")},
+       |phi AS (
+       |$chRows
+       |)
+       |SELECT channel, phi_scaled,
+       |       round(phi_scaled / ${fact(k)}.0, 6) AS credit
+       |FROM phi
+       |ORDER BY channel""".stripMargin
+  }
+
   /** Kaplan–Meier time-to-event survival (Kaplan & Meier 1958) — the
     * censoring-aware answer to "how long until a user converts":
     * per user, the clock starts at their FIRST event day; the "death"

@@ -392,6 +392,24 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L, 4L, 0.5), (3L, 1L, 1L, 0.0)), out.toString)
   }
 
+  test("shapleyAttribution: hand-computed two-channel game") {
+    // conv by touched set: {A}:6, {B}:2, {A,B}:4, {}:1
+    // v(∅)=1 v(A)=7 v(B)=3 v(AB)=13
+    // 2φ_A = (v(A)−v(∅)) + (v(AB)−v(B)) = 6+10 = 16 → φ_A = 8
+    // 2φ_B = (v(B)−v(∅)) + (v(AB)−v(A)) = 2+6  = 8  → φ_B = 4
+    // φ_A + φ_B = 12 = v(AB) − v(∅) (efficiency)
+    def journey(u: Long, touches: Seq[String], conv: Int) =
+      touches.map(t => (u, t)) ++ Seq.fill(conv)((u, "buy"))
+    val rows =
+      journey(1, Seq("A"), 6) ++ journey(2, Seq("B"), 2) ++
+      journey(3, Seq("A", "B"), 4) ++ journey(4, Seq.empty, 1)
+    val out = Behavior.shapleyAttribution(
+      rows.toDF("user_id", "event_type"), "user_id", "event_type",
+      conversionType = "buy", channels = Seq("A", "B"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("A", 16L, 8.0), ("B", 8L, 4.0)), out.toSeq)
+  }
+
   test("lastTouchAttribution: window, last-wins, ties, unattributed") {
     // u1 click 50s before purchase (in 60s window) -> click, lag 50s
     // u2 view 100s before purchase (outside window) -> unattributed
