@@ -6894,6 +6894,52 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq59_holt_smoothing — Holt double exponential smoothing per event
+  // type over hourly counts (Stats.holtSmoothing): level/trend
+  // recursions with per-step 6dp re-rounding (the portable-fold
+  // discipline), one-step-ahead forecasts and residuals — the
+  // forecasting baseline beside the CUSUM/Tukey/rate DETECTORS. The
+  // oracle replays the recursion as a recursive CTE.
+  register(
+    "aq59_holt_smoothing",
+    """WITH RECURSIVE s AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS t,
+      |         count(*)::bigint AS n
+      |  FROM events GROUP BY 1, 2
+      |), o AS (
+      |  SELECT event_type, t, n::double AS y,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn
+      |  FROM s
+      |), h AS (
+      |  SELECT event_type, t, y, y AS level, 0.0::double AS trend,
+      |         NULL::double AS forecast, NULL::double AS residual, rn
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.event_type, x.t, x.y,
+      |         round(0.5 * x.y + 0.5 * (h.level + h.trend), 6),
+      |         round(0.25 * (round(0.5 * x.y + 0.5 * (h.level + h.trend), 6)
+      |                       - h.level) + 0.75 * h.trend, 6),
+      |         round(h.level + h.trend, 6),
+      |         round(x.y - round(h.level + h.trend, 6), 6),
+      |         x.rn
+      |  FROM o x JOIN h
+      |    ON x.event_type = h.event_type AND x.rn = h.rn + 1
+      |)
+      |SELECT event_type, t, y, level, trend, forecast, residual
+      |FROM h
+      |ORDER BY event_type, t""".stripMargin
+  ) { (s, dir) =>
+    val hourly = t(s, dir, "events")
+      .select(col("event_type"),
+        expr(graft.operators.Behavior.floorDivExpr(
+          "unix_micros(ts)", 3600000000L)).as("t"))
+      .groupBy("event_type", "t")
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Stats.holtSmoothing(
+      hourly, "event_type", "t", "n", alpha = 0.5, beta = 0.25)
+  }
+
+  // ---------------------------------------------------------------------
   // aq58_shapley_attribution — exact Shapley-value channel attribution
   // (Behavior.shapleyAttribution): journeys contribute conversions to
   // their touched channel SET, v(S) sums the sub-lattice, and each

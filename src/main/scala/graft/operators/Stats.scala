@@ -103,4 +103,76 @@ object Stats {
           round((ma - mb) / sqrt(va + vb), 4)).as("welch_z")): _*)
       .orderBy(groupCols.map(col): _*)
   }
+
+  /** Holt double exponential smoothing (Holt 1957) per series — the
+    * forecasting baseline beside the DETECTORS (CUSUM, Tukey fences,
+    * rate anomalies): level/trend recursions over an ordered series,
+    *
+    *   f_t = round6(l_{t−1} + b_{t−1})                        (t ≥ 2)
+    *   l_t = round6(α·y_t + (1−α)·(l_{t−1} + b_{t−1}))
+    *   b_t = round6(β·(l_t − l_{t−1}) + (1−β)·b_{t−1}),
+    *
+    * initialized `l₁ = y₁, b₁ = 0` (degenerate-free for length-1
+    * series; the first forecast is at t = 2). Output one row per input
+    * point: `(key, t, y, level, trend, forecast, residual)` with
+    * forecast/residual NULL at t = 1.
+    *
+    * Determinism contract: the per-step 6dp re-round keeps every state
+    * on a decimal grid, so each step is IEEE arithmetic on grid doubles
+    * — bit-identical in any engine; the oracle replays the recursion as
+    * a recursive CTE (the same portable-fold discipline as the
+    * Kaplan–Meier curve).
+    *
+    * Scale shape: one shuffle keyed on the series key; each series
+    * folds inside an `aggregate` HOF over its own collected array —
+    * bounded by one series' length (the gapfill/CUSUM grid bound),
+    * never by corpus size. No driver loop, no UDF. */
+  def holtSmoothing(
+      series: DataFrame,
+      keyCol: String,
+      tCol: String,
+      yCol: String,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    require(beta >= 0 && beta <= 1, "beta in [0, 1]")
+    series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tCol).cast("long").as("t"),
+        col(yCol).cast("double").as("y")))).as("__pts"))
+      .select(col(keyCol), explode(expr(
+        s"""aggregate(
+           |  __pts,
+           |  cast(array() as array<struct<
+           |    t:bigint,y:double,level:double,trend:double,
+           |    forecast:double,residual:double>>),
+           |  (acc, p) -> array_append(acc,
+           |    if(size(acc) = 0,
+           |      named_struct(
+           |        't', p.t, 'y', p.y, 'level', p.y, 'trend', 0.0d,
+           |        'forecast', cast(null as double),
+           |        'residual', cast(null as double)),
+           |      named_struct(
+           |        't', p.t, 'y', p.y,
+           |        'level', round($alpha * p.y + ${1 - alpha} *
+           |          (element_at(acc, -1).level
+           |           + element_at(acc, -1).trend), 6),
+           |        'trend', round($beta *
+           |          (round($alpha * p.y + ${1 - alpha} *
+           |             (element_at(acc, -1).level
+           |              + element_at(acc, -1).trend), 6)
+           |           - element_at(acc, -1).level)
+           |          + ${1 - beta} * element_at(acc, -1).trend, 6),
+           |        'forecast', round(element_at(acc, -1).level
+           |          + element_at(acc, -1).trend, 6),
+           |        'residual', round(p.y - round(element_at(acc, -1).level
+           |          + element_at(acc, -1).trend, 6), 6))))
+           |)""".stripMargin)).as("__r"))
+      .select(col(keyCol), col("__r.t").as("t"), col("__r.y").as("y"),
+        col("__r.level").as("level"), col("__r.trend").as("trend"),
+        col("__r.forecast").as("forecast"),
+        col("__r.residual").as("residual"))
+      .orderBy(keyCol, "t")
+  }
 }

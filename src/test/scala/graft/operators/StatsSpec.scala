@@ -39,4 +39,27 @@ class StatsSpec extends AnyFunSuite {
       ("g", 3L, 2L, 2.0, 3.0, Some(-0.866)),
       ("h", 2L, 1L, 6.0, 6.0, None)))
   }
+
+  test("holtSmoothing: hand-computed level/trend/forecast recursion") {
+    // α=0.5, β=0.25, y=[4,8,6]:
+    // t1: l=4 b=0 f=null
+    // t2: f=4;  l=.5·8+.5·4=6;     b=.25·(6−4)+.75·0=0.5;  resid=4
+    // t3: f=6.5; l=.5·6+.5·6.5=6.25; b=.25·0.25+.75·0.5=0.4375; resid=−0.5
+    val series = Seq(("k", 1L, 4.0), ("k", 2L, 8.0), ("k", 3L, 6.0))
+      .toDF("key", "t", "y")
+    val out = Stats.holtSmoothing(series, "key", "t", "y", 0.5, 0.25)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Double]))).toSeq
+    assert(out == Seq(
+      (1L, 4.0, 0.0, None, None),
+      (2L, 6.0, 0.5, Some(4.0), Some(4.0)),
+      (3L, 6.25, 0.4375, Some(6.5), Some(-0.5))), out.toString)
+    // singleton series: degenerate-free init
+    val one = Stats.holtSmoothing(
+      Seq(("s", 1L, 9.0)).toDF("key", "t", "y"), "key", "t", "y", 0.5, 0.25)
+      .head()
+    assert(one.getDouble(3) == 9.0 && one.getDouble(4) == 0.0 &&
+      one.isNullAt(5))
+  }
 }
