@@ -6896,10 +6896,13 @@ ORDER BY query_id"""
   // ---------------------------------------------------------------------
   // aq59_holt_smoothing — Holt double exponential smoothing per event
   // type over hourly counts (Stats.holtSmoothing): level/trend
-  // recursions with per-step 6dp re-rounding (the portable-fold
-  // discipline), one-step-ahead forecasts and residuals — the
-  // forecasting baseline beside the CUSUM/Tukey/rate DETECTORS. The
-  // oracle replays the recursion as a recursive CTE.
+  // recursions in exact micro-unit BIGINT fixed point (α=1/2, β=1/4
+  // as integer rationals — no engine-dependent double rounding
+  // anywhere in the fold), one-step-ahead forecasts and residuals —
+  // the forecasting baseline beside the CUSUM/Tukey/rate DETECTORS.
+  // The oracle replays the integer recursion as a recursive CTE with
+  // the same pmod floor-division (DuckDB `//` truncates toward zero
+  // on negatives, so the floor must be explicit on both sides).
   register(
     "aq59_holt_smoothing",
     """WITH RECURSIVE s AS (
@@ -6908,24 +6911,32 @@ ORDER BY query_id"""
       |  FROM events GROUP BY 1, 2
       |), o AS (
       |  SELECT event_type, t, n::double AS y,
+      |         floor(n::double * 1000000.0)::bigint AS yu,
       |         row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn
       |  FROM s
       |), h AS (
-      |  SELECT event_type, t, y, y AS level, 0.0::double AS trend,
-      |         NULL::double AS forecast, NULL::double AS residual, rn
+      |  SELECT event_type, t, y, yu,
+      |         yu AS lu, 0::bigint AS bu, NULL::bigint AS fu, rn
       |  FROM o WHERE rn = 1
       |  UNION ALL
-      |  SELECT x.event_type, x.t, x.y,
-      |         round(0.5 * x.y + 0.5 * (h.level + h.trend), 6),
-      |         round(0.25 * (round(0.5 * x.y + 0.5 * (h.level + h.trend), 6)
-      |                       - h.level) + 0.75 * h.trend, 6),
-      |         round(h.level + h.trend, 6),
-      |         round(x.y - round(h.level + h.trend, 6), 6),
+      |  SELECT x.event_type, x.t, x.y, x.yu,
+      |         ((1 * x.yu + 1 * (h.lu + h.bu))
+      |          - ((((1 * x.yu + 1 * (h.lu + h.bu)) % 2) + 2) % 2)) // 2,
+      |         ((1 * (((1 * x.yu + 1 * (h.lu + h.bu))
+      |                 - ((((1 * x.yu + 1 * (h.lu + h.bu)) % 2) + 2) % 2))
+      |                // 2 - h.lu) + 3 * h.bu)
+      |          - ((((1 * (((1 * x.yu + 1 * (h.lu + h.bu))
+      |                 - ((((1 * x.yu + 1 * (h.lu + h.bu)) % 2) + 2) % 2))
+      |                // 2 - h.lu) + 3 * h.bu) % 4) + 4) % 4)) // 4,
+      |         h.lu + h.bu,
       |         x.rn
       |  FROM o x JOIN h
       |    ON x.event_type = h.event_type AND x.rn = h.rn + 1
       |)
-      |SELECT event_type, t, y, level, trend, forecast, residual
+      |SELECT event_type, t, y,
+      |       lu / 1000000.0 AS level, bu / 1000000.0 AS trend,
+      |       fu / 1000000.0 AS forecast,
+      |       (yu - fu) / 1000000.0 AS residual
       |FROM h
       |ORDER BY event_type, t""".stripMargin
   ) { (s, dir) =>
@@ -6936,7 +6947,8 @@ ORDER BY query_id"""
       .groupBy("event_type", "t")
       .agg(count(lit(1)).as("n"))
     graft.operators.Stats.holtSmoothing(
-      hourly, "event_type", "t", "n", alpha = 0.5, beta = 0.25)
+      hourly, "event_type", "t", "n",
+      alphaNum = 1L, alphaDen = 2L, betaNum = 1L, betaDen = 4L)
   }
 
   // ---------------------------------------------------------------------

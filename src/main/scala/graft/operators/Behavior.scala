@@ -952,8 +952,13 @@ ORDER BY channel"""
     * distribution is engine-defined; n = 1 pins bucket 1).
     *
     * Scale shape: one user-keyed aggregate over purchases (map-side
-    * partial), a broadcast 1-row max-day, and three |users|-row rank
-    * windows — nothing event-sized past the first aggregate. */
+    * partial), a broadcast 1-row max-day, then three
+    * [[Packing.globalRankBy]] passes over the lineage-cut |users|
+    * frame — distributed range-partition prefix-sum ranks, NO
+    * single-partition sort anywhere (the aq39 discipline; the previous
+    * formulation's three no-partition `rank()` windows serialized the
+    * whole purchaser frame through one task each). Nothing event-sized
+    * past the first aggregate. */
   def rfmSegments(
       events: DataFrame,
       userCol: String,
@@ -964,34 +969,37 @@ ORDER BY channel"""
       nBuckets: Int = 5): DataFrame = {
     require(nBuckets >= 1, "nBuckets must be positive")
     val day = floorDivExpr(tsCol, 86400000000L)
-    val refDay = events.select(expr(day).as("__d"))
-      .agg(max("__d")).first().getLong(0)
+    val refRow = events.select(expr(day).as("__d")).agg(max("__d")).first()
+    require(!refRow.isNullAt(0),
+      "rfmSegments: events frame is empty (no reference day)")
+    val refDay = refRow.getLong(0)
     val perUser = events.filter(col(typeCol) === purchaseType)
       .groupBy(col(userCol).as("user_id"))
       .agg((lit(refDay) - max(expr(day))).as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(col(valueCol).cast("decimal(18,4)")).as("__mon"))
-    // |users|-row frame: global rank windows are fine here (the frame
-    // is dimension-sized, not event-sized — same reasoning as aq20's
-    // per-source windows). NULLS LAST explicitly on every order: Spark
-    // defaults ASC to nulls-FIRST while DuckDB defaults to nulls-LAST,
-    // so an all-NULL monetary user would otherwise shift every m bucket
-    // between engine and oracle
+      .transform(Lineage.cutLocal)
+    val n = perUser.count()
+    // NULLS LAST explicitly on every order: Spark defaults ASC to
+    // nulls-FIRST while DuckDB defaults to nulls-LAST, so an all-NULL
+    // monetary user would otherwise shift every m bucket between
+    // engine and oracle. user_id makes each composite key unique
+    // (globalRankBy's precondition).
+    def rk(metric: String, order: Column, name: String): DataFrame =
+      Packing.globalRankBy(perUser.select(col("user_id"), col(metric)),
+        Seq(order, col("user_id")), name)
+        .select("user_id", name)
     val ranked = perUser
-      .withColumn("__rk_r", rank().over(
-        Window.orderBy(col("recency_days").desc_nulls_last,
-          col("user_id"))))
-      .withColumn("__rk_f", rank().over(
-        Window.orderBy(col("frequency").asc_nulls_last, col("user_id"))))
-      .withColumn("__rk_m", rank().over(
-        Window.orderBy(col("__mon").asc_nulls_last, col("user_id"))))
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(lit(1))))
-    def bucket(rk: String): Column =
-      when(col("__n") === 1, lit(1L)).otherwise(
-        least(lit(nBuckets.toLong),
-          lit(1L) + expr(floorDivExpr(
-            s"($rk - 1) * $nBuckets", "__n - 1"))))
+      .join(rk("recency_days", col("recency_days").desc_nulls_last,
+        "__rk_r"), "user_id")
+      .join(rk("frequency", col("frequency").asc_nulls_last,
+        "__rk_f"), "user_id")
+      .join(rk("__mon", col("__mon").asc_nulls_last, "__rk_m"), "user_id")
+    def bucket(rkCol: String): Column =
+      if (n == 1) lit(1L)
+      else least(lit(nBuckets.toLong),
+        lit(1L) + expr(floorDivExpr(
+          s"($rkCol - 1) * $nBuckets", s"${n}L - 1L")))
     ranked.select(col("user_id"), col("recency_days"), col("frequency"),
         round(col("__mon"), 2).cast("double").as("monetary"),
         bucket("__rk_r").as("r"),
@@ -1030,6 +1038,11 @@ ORDER BY channel"""
     require(channels.nonEmpty && channels.size <= 12,
       "1..12 channels (the subset lattice is 2^k)")
     require(channels.distinct.size == channels.size, "duplicate channel")
+    require((conversionType +: channels).forall(c =>
+      !c.contains("'") && !c.contains(",")),
+      "channel/conversion names must not contain ' or , (the touched " +
+        "set is a comma-joined string and the oracle renders names as " +
+        "SQL literals)")
     val spark = events.sparkSession
     val sorted = channels.sorted
     val touched = concat_ws(",", sort_array(collect_set(
@@ -1048,9 +1061,15 @@ ORDER BY channel"""
         .map(t => 1 << sorted.indexOf(t)).sum
       mask -> c
     }
-    def v(mask: Int): Long = convByMask.collect {
-      case (t, c) if (t & ~mask) == 0 => c
-    }.sum
+    // v(S) = Σ_{T ⊆ S} conv(T) for EVERY mask at once via the
+    // sum-over-subsets DP (k·2^k) — the naive per-lookup lattice scan
+    // was k·4^k map scans at the driver (~10^8 entry checks at the
+    // contractual k = 12)
+    val vArr = Array.ofDim[Long](1 << k)
+    convByMask.foreach { case (m, c) => vArr(m) += c }
+    for (i <- 0 until k; m <- 0 until (1 << k))
+      if ((m & (1 << i)) != 0) vArr(m) += vArr(m ^ (1 << i))
+    def v(mask: Int): Long = vArr(mask)
     val fact = (0 to k).map(i => (1 to i).foldLeft(1L)(_ * _))
     val rows = sorted.zipWithIndex.map { case (ch, i) =>
       val bit = 1 << i
@@ -1078,6 +1097,10 @@ ORDER BY channel"""
     * division for the credit. */
   def shapleyOracleSql(
       conversionType: String, channels: Seq[String]): String = {
+    require((conversionType +: channels).forall(c =>
+      !c.contains("'") && !c.contains(",")),
+      "channel/conversion names must not contain ' or , (rendered as " +
+        "SQL literals and comma-joined set strings)")
     val sorted = channels.sorted
     val k = sorted.size
     val fact = (0 to k).map(i => (1 to i).foldLeft(1L)(_ * _))

@@ -106,20 +106,25 @@ object Materialized {
     * Deleting a checkpoint while KEEPING the streamId means "continue
     * the same logical stream" — replays of already-applied ids skip,
     * which is the contract's point. Returns whether the batch was
-    * applied. */
+    * applied.
+    *
+    * Atomicity: the guard re-evaluates against the committed metadata
+    * INSIDE the store's `_LOCK` exclusive section
+    * ([[graft.sources.ResultStore.overwriteWithMetaIf]]), so two
+    * concurrent writers (a zombie driver during failover, two streams
+    * pointed at one schema) can never both pass it — the loser's
+    * staged write is refused at the pointer flip. */
   def applyBatchOnce(
       store: graft.sources.ResultStore,
       schema: String,
       streamId: String,
       batchId: Long)(merge: => DataFrame): Boolean = {
-    val meta = store.committedMeta(schema)
-    val applied = meta.get("batch_id").map(_.toLong)
-      .filter(_ => meta.get("stream_id").contains(streamId))
-    if (applied.exists(_ >= batchId)) false
-    else {
-      store.overwriteWithMeta(schema, merge,
-        Map("stream_id" -> streamId, "batch_id" -> batchId.toString))
-      true
-    }
+    def fresh(meta: Map[String, String]): Boolean =
+      !meta.get("batch_id").map(_.toLong)
+        .filter(_ => meta.get("stream_id").contains(streamId))
+        .exists(_ >= batchId)
+    if (!fresh(store.committedMeta(schema))) false
+    else store.overwriteWithMetaIf(schema, merge,
+      Map("stream_id" -> streamId, "batch_id" -> batchId.toString))(fresh)
   }
 }

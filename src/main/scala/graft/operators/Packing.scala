@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -196,6 +196,48 @@ object Packing {
       .join(broadcast(offsetDf), Seq("__pid"))
       .select((orderCol +: carryCols).map(col) :+
         (col("__local_rank") + col("__offset")).as("rank"): _*)
+  }
+
+  /** [[globalRank]] generalized to a composite sort order (mixed
+    * directions, e.g. `recency DESC, user ASC`): range partition on
+    * the order expressions, local row_number per partition, plus each
+    * partition's broadcast row-count offset — a global 1-based rank
+    * with NO single-partition sort anywhere. Returns `df`'s columns
+    * plus `rankName`.
+    *
+    * Precondition: the composite key is unique (mix a unique id into
+    * the order) — equal keys may split across range-partition
+    * boundaries, which would make their relative ranks
+    * partition-dependent. */
+  def globalRankBy(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      rankName: String,
+      numParts: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = numParts.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val sorted = df
+      .repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .transform(Lineage.cutLocal)
+
+    val counts = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, n)) => (pid, acc + n)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val offsetDf = spark.createDataFrame(offsets).toDF("__pid", "__offset")
+
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    sorted
+      .withColumn("__local_rank", row_number().over(w).cast("long"))
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(rankName, col("__local_rank") + col("__offset"))
+      .drop("__pid", "__local_rank", "__offset")
   }
 
   /** Per-group 1-based rank by `orderCol` without a per-group global

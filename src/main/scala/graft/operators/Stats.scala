@@ -104,24 +104,34 @@ object Stats {
       .orderBy(groupCols.map(col): _*)
   }
 
+
   /** Holt double exponential smoothing (Holt 1957) per series — the
     * forecasting baseline beside the DETECTORS (CUSUM, Tukey fences,
     * rate anomalies): level/trend recursions over an ordered series,
     *
-    *   f_t = round6(l_{t−1} + b_{t−1})                        (t ≥ 2)
-    *   l_t = round6(α·y_t + (1−α)·(l_{t−1} + b_{t−1}))
-    *   b_t = round6(β·(l_t − l_{t−1}) + (1−β)·b_{t−1}),
+    *   f_t = l_{t−1} + b_{t−1}                                (t ≥ 2)
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},
     *
     * initialized `l₁ = y₁, b₁ = 0` (degenerate-free for length-1
     * series; the first forecast is at t = 2). Output one row per input
     * point: `(key, t, y, level, trend, forecast, residual)` with
     * forecast/residual NULL at t = 1.
     *
-    * Determinism contract: the per-step 6dp re-round keeps every state
-    * on a decimal grid, so each step is IEEE arithmetic on grid doubles
-    * — bit-identical in any engine; the oracle replays the recursion as
-    * a recursive CTE (the same portable-fold discipline as the
-    * Kaplan–Meier curve).
+    * Determinism contract: α and β are taken as exact integer
+    * rationals (`αn/αd`, `βn/βd`) and the WHOLE fold runs in
+    * micro-unit (1e−6) BIGINT fixed point — `yµ = floor(y·10⁶)`, each
+    * step a floor-divided integer expression — so no engine-dependent
+    * double rounding exists anywhere in the recursion. (The previous
+    * formulation re-rounded doubles to a 6dp grid each step; with
+    * dyadic α/β the recursion lands on exact `.5` grid midpoints
+    * constantly, where Spark's shortest-decimal-repr HALF_UP
+    * `round(double, 6)` and DuckDB's binary-double rounding disagree —
+    * 177/3385 divergent rows at sf0.01. Integer state has no ties to
+    * round, the same lesson as cohortLtv's integer floor and
+    * spanDedup's packed-BIGINT min.) The output doubles are single
+    * IEEE divisions of exactly-representable integers by 10⁶ —
+    * bit-identical in any engine.
     *
     * Scale shape: one shuffle keyed on the series key; each series
     * folds inside an `aggregate` HOF over its own collected array —
@@ -132,10 +142,25 @@ object Stats {
       keyCol: String,
       tCol: String,
       yCol: String,
-      alpha: Double,
-      beta: Double): DataFrame = {
-    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
-    require(beta >= 0 && beta <= 1, "beta in [0, 1]")
+      alphaNum: Long,
+      alphaDen: Long,
+      betaNum: Long,
+      betaDen: Long): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      "alpha = alphaNum/alphaDen must lie in (0, 1]")
+    require(betaDen > 0 && betaNum >= 0 && betaNum <= betaDen,
+      "beta = betaNum/betaDen must lie in [0, 1]")
+    // Exact floor division for possibly-negative numerators (Spark
+    // `div` truncates toward zero; `pmod` makes it a floor).
+    def fd(x: String, d: Long): String =
+      s"((($x) - pmod(($x), ${d}L)) div ${d}L)"
+    val prev = "element_at(acc, -1)"
+    val fu = s"($prev.lu + $prev.bu)"             // forecast, micro-units
+    val lu = fd(s"${alphaNum}L * p.yu + ${alphaDen - alphaNum}L * $fu",
+      alphaDen)
+    val bu = fd(
+      s"${betaNum}L * (($lu) - $prev.lu) + ${betaDen - betaNum}L * $prev.bu",
+      betaDen)
     series
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(
@@ -143,36 +168,29 @@ object Stats {
         col(yCol).cast("double").as("y")))).as("__pts"))
       .select(col(keyCol), explode(expr(
         s"""aggregate(
-           |  __pts,
+           |  transform(__pts, q -> named_struct(
+           |    't', q.t, 'y', q.y,
+           |    'yu', cast(floor(q.y * 1000000.0d) as bigint))),
            |  cast(array() as array<struct<
-           |    t:bigint,y:double,level:double,trend:double,
-           |    forecast:double,residual:double>>),
+           |    t:bigint,y:double,yu:bigint,lu:bigint,bu:bigint,
+           |    fu:bigint>>),
            |  (acc, p) -> array_append(acc,
            |    if(size(acc) = 0,
            |      named_struct(
-           |        't', p.t, 'y', p.y, 'level', p.y, 'trend', 0.0d,
-           |        'forecast', cast(null as double),
-           |        'residual', cast(null as double)),
+           |        't', p.t, 'y', p.y, 'yu', p.yu,
+           |        'lu', p.yu, 'bu', 0L,
+           |        'fu', cast(null as bigint)),
            |      named_struct(
-           |        't', p.t, 'y', p.y,
-           |        'level', round($alpha * p.y + ${1 - alpha} *
-           |          (element_at(acc, -1).level
-           |           + element_at(acc, -1).trend), 6),
-           |        'trend', round($beta *
-           |          (round($alpha * p.y + ${1 - alpha} *
-           |             (element_at(acc, -1).level
-           |              + element_at(acc, -1).trend), 6)
-           |           - element_at(acc, -1).level)
-           |          + ${1 - beta} * element_at(acc, -1).trend, 6),
-           |        'forecast', round(element_at(acc, -1).level
-           |          + element_at(acc, -1).trend, 6),
-           |        'residual', round(p.y - round(element_at(acc, -1).level
-           |          + element_at(acc, -1).trend, 6), 6))))
+           |        't', p.t, 'y', p.y, 'yu', p.yu,
+           |        'lu', $lu,
+           |        'bu', $bu,
+           |        'fu', $fu)))
            |)""".stripMargin)).as("__r"))
       .select(col(keyCol), col("__r.t").as("t"), col("__r.y").as("y"),
-        col("__r.level").as("level"), col("__r.trend").as("trend"),
-        col("__r.forecast").as("forecast"),
-        col("__r.residual").as("residual"))
+        (col("__r.lu") / lit(1000000.0d)).as("level"),
+        (col("__r.bu") / lit(1000000.0d)).as("trend"),
+        (col("__r.fu") / lit(1000000.0d)).as("forecast"),
+        ((col("__r.yu") - col("__r.fu")) / lit(1000000.0d)).as("residual"))
       .orderBy(keyCol, "t")
   }
 }

@@ -116,24 +116,33 @@ final class InMemoryKvStore(
   private def checkName(schema: String): Unit =
     require(schema != MetaHash, s"schema name '$MetaHash' is reserved")
 
-  /** Row codec: the value array Java-serializes (every external row
-    * value — primitives, strings, timestamps, Seq/array columns,
-    * byte arrays — is Serializable); the StructType is stored ONCE per
-    * schema in the metadata hash, so records carry no schema overhead. */
-  private def encode(r: Row): Array[Byte] = {
+  /** Row codec: SCHEMA-DRIVEN, not Java serialization — each value is
+    * written per its StructType field type (null bit + primitive /
+    * length-prefixed payload, containers recursively). The StructType
+    * is stored ONCE per schema in the metadata hash, so records carry
+    * no schema overhead. Behind a networked [[KvHashClient]] the bytes
+    * read back are ENDPOINT-CONTROLLED — an ObjectInputStream here
+    * would hand that endpoint a driver-side gadget-chain surface;
+    * this codec can only ever produce the schema's declared shapes
+    * (malformed bytes throw, they never execute). */
+  private def encode(r: Row, st: StructType): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val oos = new java.io.ObjectOutputStream(bos)
-    oos.writeObject(r.toSeq.toArray)
-    oos.close()
+    val out = new java.io.DataOutputStream(bos)
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      InMemoryKvStore.writeValue(out, f.dataType,
+        if (r.isNullAt(i)) null else r.get(i))
+    }
+    out.close()
     bos.toByteArray
   }
 
   private def decode(bytes: Array[Byte], st: StructType): Row = {
-    val ois = new java.io.ObjectInputStream(
+    val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    val values = ois.readObject().asInstanceOf[Array[Any]]
+    val values = st.fields.map(f =>
+      InMemoryKvStore.readValue(in, f.dataType))
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-      values, st)
+      values.asInstanceOf[Array[Any]], st)
   }
 
   /** Driver-memory guard: this is a CONTROL-PLANE store (metadata,
@@ -259,7 +268,7 @@ final class InMemoryKvStore(
       if (schemaExists) checkCapacity(schema, keys.length)
       // only a VALID batch registers a fresh schema
       if (!schemaExists) register(schema, df.schema)
-      client.hset(schema, rows.zip(keys).map { case (r, k) => k -> encode(r) })
+      client.hset(schema, rows.zip(keys).map { case (r, k) => k -> encode(r, stored) })
     }
   }
 
@@ -279,7 +288,7 @@ final class InMemoryKvStore(
           s"Record '$k' does not exist in schema '$schema'"))
       // same deterministic within-batch conflict rule as upsert
       client.hset(schema, rows.groupBy(_.get(ki).toString)
-        .map { case (k, rs) => k -> encode(rs.minBy(stableKey)) })
+        .map { case (k, rs) => k -> encode(rs.minBy(stableKey), stored) })
     }
   }
 
@@ -300,7 +309,7 @@ final class InMemoryKvStore(
       checkCapacity(schema,
         byKey.keysIterator.count(!existing.contains(_)))
       client.hset(schema,
-        byKey.map { case (k, rs) => k -> encode(rs.minBy(stableKey)) })
+        byKey.map { case (k, rs) => k -> encode(rs.minBy(stableKey), stored) })
     }
   }
 
@@ -357,4 +366,115 @@ object InMemoryKvStore {
 
   /** Reserved metadata hash carrying each schema's StructType JSON. */
   val MetaHash: String = "__graft_schemas__"
+
+  import org.apache.spark.sql.types._
+  import java.io.{DataInputStream, DataOutputStream}
+
+  /** One value of external-row type `dt`: a null bit, then the typed
+    * payload (fixed-width primitives; length-prefixed UTF-8 / bytes;
+    * containers recursively). Timestamps normalize to epoch micros
+    * (Spark's own precision) and dates to epoch days, accepting both
+    * the java.sql and java.time external classes. */
+  private[sources] def writeValue(
+      out: DataOutputStream, dt: DataType, v: Any): Unit = {
+    out.writeBoolean(v == null)
+    if (v == null) return
+    dt match {
+      case BooleanType => out.writeBoolean(v.asInstanceOf[Boolean])
+      case ByteType => out.writeByte(v.asInstanceOf[Byte].toInt)
+      case ShortType => out.writeShort(v.asInstanceOf[Short].toInt)
+      case IntegerType => out.writeInt(v.asInstanceOf[Int])
+      case LongType => out.writeLong(v.asInstanceOf[Long])
+      case FloatType => out.writeFloat(v.asInstanceOf[Float])
+      case DoubleType => out.writeDouble(v.asInstanceOf[Double])
+      case StringType =>
+        val b = v.toString.getBytes("UTF-8")
+        out.writeInt(b.length); out.write(b)
+      case BinaryType =>
+        val b = v.asInstanceOf[Array[Byte]]
+        out.writeInt(b.length); out.write(b)
+      case TimestampType =>
+        val micros = v match {
+          case t: java.sql.Timestamp =>
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          case i: java.time.Instant =>
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+        out.writeLong(micros)
+      case DateType =>
+        val days = v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+        }
+        out.writeLong(days)
+      case _: DecimalType =>
+        val bd = v match {
+          case b: java.math.BigDecimal => b
+          case b: scala.math.BigDecimal => b.bigDecimal
+        }
+        val s = bd.toPlainString.getBytes("UTF-8")
+        out.writeInt(s.length); out.write(s)
+      case ArrayType(et, _) =>
+        val elems: Seq[Any] = v match {
+          case s: scala.collection.Seq[_] => s.toSeq
+          case a: Array[_] => a.toSeq
+        }
+        out.writeInt(elems.length)
+        elems.foreach(writeValue(out, et, _))
+      case MapType(kt, vt, _) =>
+        val m = v.asInstanceOf[scala.collection.Map[Any, Any]]
+        out.writeInt(m.size)
+        m.foreach { case (k, mv) =>
+          writeValue(out, kt, k); writeValue(out, vt, mv)
+        }
+      case st: StructType =>
+        val r = v.asInstanceOf[Row]
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          writeValue(out, f.dataType, if (r.isNullAt(i)) null else r.get(i))
+        }
+      case other => throw new IllegalArgumentException(
+        s"InMemoryKvStore codec: unsupported field type $other")
+    }
+  }
+
+  private[sources] def readValue(in: DataInputStream, dt: DataType): Any = {
+    if (in.readBoolean()) return null
+    dt match {
+      case BooleanType => in.readBoolean()
+      case ByteType => in.readByte()
+      case ShortType => in.readShort()
+      case IntegerType => in.readInt()
+      case LongType => in.readLong()
+      case FloatType => in.readFloat()
+      case DoubleType => in.readDouble()
+      case StringType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        new String(b, "UTF-8")
+      case BinaryType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        b
+      case TimestampType =>
+        val micros = in.readLong()
+        val ts = new java.sql.Timestamp(
+          Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(in.readLong()))
+      case _: DecimalType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        new java.math.BigDecimal(new String(b, "UTF-8"))
+      case ArrayType(et, _) =>
+        Seq.fill(in.readInt())(readValue(in, et))
+      case MapType(kt, vt, _) =>
+        Seq.fill(in.readInt())(
+          (readValue(in, kt), readValue(in, vt))).toMap
+      case st: StructType =>
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          st.fields.map(f => readValue(in, f.dataType)).asInstanceOf[Array[Any]],
+          st)
+      case other => throw new IllegalArgumentException(
+        s"InMemoryKvStore codec: unsupported field type $other")
+    }
+  }
 }

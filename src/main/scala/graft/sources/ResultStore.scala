@@ -268,6 +268,52 @@ class ResultStore(spark: SparkSession, root: String) {
       schema: String, df: DataFrame, meta: Map[String, String]): Unit =
     commit(schema, df, meta)
 
+  /** [[overwriteWithMeta]] guarded by a predicate over the COMMITTED
+    * metadata, re-evaluated under the `_LOCK` exclusive section right
+    * before the pointer flip — the check-then-act race
+    * [[graft.operators.Materialized.applyBatchOnce]] must not have:
+    * two racing writers (a zombie driver during failover, two streams
+    * pointed at one schema) can both pass a lock-free guard and
+    * double-apply a non-idempotent merge. Here the loser's staged
+    * write is refused at the flip and its staging directory deleted.
+    * Returns whether the commit landed. The expensive data write runs
+    * OUTSIDE the lock (unique staging dir, the [[overwriteIf]]
+    * protocol); a cheap lock-free pre-check skips the write entirely
+    * when the guard already fails. */
+  def overwriteWithMetaIf(
+      schema: String, df: DataFrame, meta: Map[String, String])(
+      guard: Map[String, String] => Boolean): Boolean = {
+    if (!guard(committedMeta(schema))) return false
+    val staging = new java.io.File(schemaDir(schema),
+      s".staged-${java.util.UUID.randomUUID()}")
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+      beforeSwapHook()
+      val ch = java.nio.channels.FileChannel.open(
+        new java.io.File(schemaDir(schema), "_LOCK").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (!guard(committedMeta(schema))) false
+          else {
+            val previous = currentVersion(schema)
+            val version = nextVersion(schema)
+            java.nio.file.Files.move(staging.toPath,
+              new java.io.File(schemaDir(schema), version).toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            writeMeta(versionDir(schema, version), meta)
+            flipPointer(schema, version, keepPrevious = previous)
+            true
+          }
+        } finally lock.release()
+      } finally ch.close()
+    } finally {
+      if (staging.exists()) rmTree(staging)
+    }
+  }
+
   /** Optimistic-concurrency overwrite (the lake-style
     * read-check-commit primitive): commit `df` only if the table's
     * committed version still equals `expected` (None = the schema must

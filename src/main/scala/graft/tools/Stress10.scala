@@ -236,9 +236,9 @@ object Stress10 {
       col("event_type") === "purchase").count())
     slope("kaplan_meier", aq57a, aq57b)
 
-    // RFM: user-keyed aggregate + |users|-row rank windows; the global
-    // windows are single-partition sorts of the DIMENSION frame — 10x
-    // users shows whether that stays sub-second territory
+    // RFM: user-keyed aggregate + three globalRankBy prefix-sum ranks
+    // over the |users| frame (range shuffles, NO single-partition
+    // sort since r8) — 10x users should track the aggregate ~linearly
     val aq56a = time("rfm_1x")(operators.Behavior.rfmSegments(
       evDup(1), "user_id", "ts_us", "event_type", "value",
       "purchase").count())
@@ -246,6 +246,30 @@ object Stress10 {
       evDup(10), "user_id", "ts_us", "event_type", "value",
       "purchase").count())
     slope("rfm", aq56a, aq56b)
+
+    // Shapley: ONE user-keyed aggregate then a ≤2^k-row readout + the
+    // k·2^k SOS DP on the driver — 10x events should be ~the aggregate
+    val aq58a = time("shapley_1x")(operators.Behavior.shapleyAttribution(
+      evDup(1), "user_id", "event_type", conversionType = "purchase",
+      channels = Seq("click", "view", "signup")).count())
+    val aq58b = time("shapley_10x")(operators.Behavior.shapleyAttribution(
+      evDup(10), "user_id", "event_type", conversionType = "purchase",
+      channels = Seq("click", "view", "signup")).count())
+    slope("shapley", aq58a, aq58b)
+
+    // Holt: series-keyed shuffle + per-series integer fold; replicated
+    // ids give 10x series of the SAME length — the fold stays flat
+    def holtHourly(k: Int): DataFrame = evDup(k)
+      .select(concat_ws("-", col("event_type"),
+          expr("user_id div 10000000L")).as("series"),
+        expr(operators.Behavior.floorDivExpr("ts_us", 3600000000L))
+          .as("t"))
+      .groupBy("series", "t").agg(count(lit(1)).as("n"))
+    val aq59a = time("holt_1x")(operators.Stats.holtSmoothing(
+      holtHourly(1), "series", "t", "n", 1L, 2L, 1L, 4L).count())
+    val aq59b = time("holt_10x")(operators.Stats.holtSmoothing(
+      holtHourly(10), "series", "t", "n", 1L, 2L, 1L, 4L).count())
+    slope("holt", aq59a, aq59b)
 
     spark.stop()
   }

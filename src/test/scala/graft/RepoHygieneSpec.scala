@@ -46,4 +46,19 @@ class RepoHygieneSpec extends AnyFunSuite {
       "dangling scaladoc (doc block followed by another doc block):\n" +
         offenders.mkString("\n"))
   }
+
+  /** Born from the round-7 red row: aq59 was registered after the
+    * round's final Verify run and shipped without a COVERAGE.md row —
+    * the coverage map silently stopped equalling the registry. Every
+    * registered query name must appear in COVERAGE.md, so a
+    * late-registered query without a coverage row fails `sbt test`. */
+  test("every registered query name appears in COVERAGE.md") {
+    val coverage = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(coverage.contains)
+    assert(missing.isEmpty,
+      "registered queries with no COVERAGE.md row: " +
+        missing.mkString(", "))
+  }
 }

@@ -47,7 +47,7 @@ class StatsSpec extends AnyFunSuite {
     // t3: f=6.5; l=.5·6+.5·6.5=6.25; b=.25·0.25+.75·0.5=0.4375; resid=−0.5
     val series = Seq(("k", 1L, 4.0), ("k", 2L, 8.0), ("k", 3L, 6.0))
       .toDF("key", "t", "y")
-    val out = Stats.holtSmoothing(series, "key", "t", "y", 0.5, 0.25)
+    val out = Stats.holtSmoothing(series, "key", "t", "y", 1L, 2L, 1L, 4L)
       .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4),
         Option(r.get(5)).map(_.asInstanceOf[Double]),
         Option(r.get(6)).map(_.asInstanceOf[Double]))).toSeq
@@ -57,7 +57,8 @@ class StatsSpec extends AnyFunSuite {
       (3L, 6.25, 0.4375, Some(6.5), Some(-0.5))), out.toString)
     // singleton series: degenerate-free init
     val one = Stats.holtSmoothing(
-      Seq(("s", 1L, 9.0)).toDF("key", "t", "y"), "key", "t", "y", 0.5, 0.25)
+      Seq(("s", 1L, 9.0)).toDF("key", "t", "y"), "key", "t", "y",
+      1L, 2L, 1L, 4L)
       .head()
     assert(one.getDouble(3) == 9.0 && one.getDouble(4) == 0.0 &&
       one.isNullAt(5))

@@ -836,6 +836,80 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.committedMeta("mv").get("stream_id").contains("s2"))
   }
 
+  test("applyBatchOnce: a zombie writer racing the same batch is refused at the flip") {
+    import graft.operators.Materialized
+    val dir = tmpDir()
+    val healthy = new ResultStore(spark, dir)
+    var raced = false
+    // the zombie passes the lock-free pre-check and stages its write;
+    // between staging and lock acquisition (beforeSwapHook) the healthy
+    // driver lands the SAME (stream, batch) — the zombie's under-lock
+    // guard re-check must refuse the flip, never double-apply
+    val zombie = new ResultStore(spark, dir) {
+      override protected def beforeSwapHook(): Unit =
+        if (!raced) {
+          raced = true
+          assert(Materialized.applyBatchOnce(healthy, "mv", "s1", 0L)(
+            Seq(("k", 10L)).toDF("k", "s")))
+        }
+    }
+    val applied = Materialized.applyBatchOnce(zombie, "mv", "s1", 0L)(
+      Seq(("k", 10L)).toDF("k", "s"))
+    assert(!applied)
+    assert(healthy.read("mv").count() == 1)
+    assert(healthy.committedMeta("mv") ==
+      Map("stream_id" -> "s1", "batch_id" -> "0"))
+    // and the refused staging directory did not leak
+    assert(!new java.io.File(dir, "mv").listFiles()
+      .exists(_.getName.startsWith(".staged-")))
+  }
+
+  test("in-memory KV codec round-trips every supported field type") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("k", LongType),
+      StructField("s", StringType),
+      StructField("b", BooleanType),
+      StructField("d", DoubleType),
+      StructField("dec", DecimalType(18, 4)),
+      StructField("ts", TimestampType),
+      StructField("dt", DateType),
+      StructField("bin", BinaryType),
+      StructField("arr", ArrayType(LongType)),
+      StructField("m", MapType(StringType, DoubleType)),
+      StructField("nested", StructType(Seq(
+        StructField("x", IntegerType), StructField("y", StringType))))))
+    val ts = java.sql.Timestamp.valueOf("2026-08-14 12:34:56.789123")
+    val row = Row(7L, "héllo ✓", true, 2.5,
+      new java.math.BigDecimal("1234.5678"), ts,
+      java.sql.Date.valueOf("2026-08-14"), Array[Byte](1, 2, -3),
+      Seq(1L, null, 3L), Map("a" -> 1.5, "b" -> 2.5), Row(42, null))
+    val nulls = Row(8L, null, null, null, null, null, null, null,
+      null, null, null)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(row, nulls), st)
+    val store = new InMemoryKvStore(spark)
+    store.insert("codec", df, "k")
+    val got = store.read("codec").orderBy("k").collect()
+    assert(got.length == 2)
+    val r = got(0)
+    assert(r.getAs[String]("s") == "héllo ✓" && r.getAs[Boolean]("b"))
+    assert(r.getAs[java.math.BigDecimal]("dec")
+      .compareTo(new java.math.BigDecimal("1234.5678")) == 0)
+    // micro truncation only (Spark's own timestamp precision)
+    assert(r.getAs[java.sql.Timestamp]("ts") == ts)
+    assert(r.getAs[java.sql.Date]("dt") == java.sql.Date.valueOf("2026-08-14"))
+    assert(r.getAs[Array[Byte]]("bin").toSeq == Seq[Byte](1, 2, -3))
+    assert(r.getAs[scala.collection.Seq[Any]]("arr").toSeq ==
+      Seq(1L, null, 3L))
+    assert(r.getAs[scala.collection.Map[String, Double]]("m").toMap ==
+      Map("a" -> 1.5, "b" -> 2.5))
+    assert(r.getAs[Row]("nested") == Row(42, null))
+    val n = got(1)
+    assert((1 to 10).forall(n.isNullAt))
+  }
+
   test("commit meta behaves like table properties: every mutation carries it") {
     val store = new ResultStore(spark, tmpDir())
     store.overwriteWithMeta("t", Seq(KV(1, "a")).toDF(),
