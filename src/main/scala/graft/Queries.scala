@@ -6952,6 +6952,109 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq60_triangles — per-node triangle counts + clustering coefficient
+  // over the co-ordered-parts graph (Graph.triangleStats): parts are
+  // linked when some order contains both; degree-ordered orientation
+  // (Schank–Wagner) makes every triangle ONE wedge + ONE closing
+  // equi-join, clustering reported as an exact integer ppm floor
+  // division — no double anywhere. The oracle replays the same
+  // oriented-wedge joins.
+  register(
+    "aq60_triangles",
+    """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2
+      |), deg AS MATERIALIZED (
+      |  SELECT n, count(*)::bigint AS d FROM (
+      |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+      |), o AS MATERIALIZED (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+      |              THEN e.a ELSE e.b END AS s,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+      |              THEN e.b ELSE e.a END AS t,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+      |              THEN db.d ELSE da.d END AS td
+      |  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+      |), wg AS (
+      |  SELECT o1.s AS u, o1.t AS v, o2.t AS w2
+      |  FROM o o1 JOIN o o2
+      |    ON o1.s = o2.s AND (o1.td < o2.td OR
+      |                        (o1.td = o2.td AND o1.t < o2.t))
+      |), tri AS MATERIALIZED (
+      |  SELECT u, v, w2 FROM wg JOIN o ON o.s = wg.v AND o.t = wg.w2
+      |), pn AS (
+      |  SELECT n, count(*)::bigint AS tri FROM (
+      |    SELECT u AS n FROM tri UNION ALL SELECT v FROM tri
+      |    UNION ALL SELECT w2 FROM tri) GROUP BY 1
+      |)
+      |SELECT deg.n AS node, deg.d AS degree,
+      |       coalesce(pn.tri, 0)::bigint AS triangles,
+      |       (CASE WHEN deg.d >= 2
+      |             THEN (2000000 * coalesce(pn.tri, 0))
+      |                    // (deg.d * (deg.d - 1))
+      |             ELSE 0 END)::bigint AS clustering_ppm
+      |FROM deg LEFT JOIN pn ON pn.n = deg.n
+      |ORDER BY node""".stripMargin
+  ) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.operators.Graph.triangleStats(edges)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq61_holt_winters — Holt–Winters ADDITIVE triple smoothing per
+  // event type over hourly counts with a 24-hour season
+  // (Stats.holtWinters): the seasonal member of the forecasting family
+  // (aq59 = level/trend only), same exact micro-unit BIGINT fixed
+  // point — the seasonal ring rides the fold as an integer array, the
+  // oracle carries it as a LIST through a recursive CTE.
+  register(
+    "aq61_holt_winters",
+    graft.operators.Stats.holtWintersOracleSql(
+      keyExpr = "event_type", bucketUs = 3600000000L, period = 24,
+      alphaNum = 1, alphaDen = 2, betaNum = 1, betaDen = 4,
+      gammaNum = 1, gammaDen = 4)
+  ) { (s, dir) =>
+    val hourly = t(s, dir, "events")
+      .select(col("event_type").as("key"),
+        expr(graft.operators.Behavior.floorDivExpr(
+          "unix_micros(ts)", 3600000000L)).as("t"))
+      .groupBy("key", "t")
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Stats.holtWinters(
+      hourly, "key", "t", "n", period = 24,
+      alphaNum = 1L, alphaDen = 2L, betaNum = 1L, betaDen = 4L,
+      gammaNum = 1L, gammaDen = 4L)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq62_kcore — bounded k-core peel over the co-ordered-parts graph
+  // (Graph.kCore): 4 rounds of "drop nodes with degree < 4", survivors
+  // reported with their degree inside the final subgraph — the dense-
+  // subgraph extraction behind spam screens and community seeds. The
+  // oracle unrolls the same peel rounds (the aq44 trajectory
+  // discipline).
+  register(
+    "aq62_kcore",
+    graft.operators.Graph.kCoreOracleSql(k = 4, rounds = 4)
+  ) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.operators.Graph.kCore(edges, k = 4, rounds = 4)
+  }
+
+  // ---------------------------------------------------------------------
   // aq58_shapley_attribution — exact Shapley-value channel attribution
   // (Behavior.shapleyAttribution): journeys contribute conversions to
   // their touched channel SET, v(S) sums the sub-lattice, and each

@@ -142,4 +142,148 @@ object Graph {
         |ORDER BY rank DESC, node_type, key
         |LIMIT $topK""".stripMargin
   }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected edge list — the cohesion probe behind community
+    * screening and link-spam detection (a node whose neighbors all
+    * know each other is a clique member; one whose neighbors never do
+    * is a hub/spam shape).
+    *
+    * Algorithm: degree-ordered orientation (node-iterator of Schank &
+    * Wagner 2005). Each undirected edge is directed from its lower
+    * `(degree, id)` endpoint to its higher one, so every triangle is
+    * counted EXACTLY once as a wedge `u→v, u→w` closed by `v→w` (u the
+    * lowest-rank corner, and the closing edge's orientation follows
+    * rank too — that makes the closing check ONE equi-join, no OR
+    * join). Wedge work is bounded by out-degree, and orientation caps
+    * out-degree at O(√|E|): the degree-millions hub that breaks naive
+    * neighbor-joins becomes a near-pure SINK here.
+    *
+    * Numeric contract: counts are integers; the clustering coefficient
+    * is reported as `clustering_ppm = (2·10⁶·triangles) div
+    * (degree·(degree−1))` — one integer floor division, exact in any
+    * engine (no double rounding anywhere; the aq59/aq52 discipline).
+    *
+    * Scale shape: one edge dedup shuffle, two |V|-row degree joins,
+    * one self-join on the wedge source, one closing equi-join — every
+    * join key-partitioned, nothing quadratic in degree after
+    * orientation. Returns `(node, degree, triangles, clustering_ppm)`.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set (a < b), deduped ONCE, cut — every
+    // downstream frame (degrees, orientation, wedges) derives from it
+    val e = Lineage.cutLocal(
+      edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val da = deg.select(col("n").as("a"), col("d").as("da"))
+    val db = deg.select(col("n").as("b"), col("d").as("db"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = Lineage.cutLocal(
+      e.join(da, "a").join(db, "b").select(
+        when(aFirst, col("a")).otherwise(col("b")).as("s"),
+        when(aFirst, col("b")).otherwise(col("a")).as("t"),
+        when(aFirst, col("db")).otherwise(col("da")).as("td")))
+    // wedges ordered by the RANK of the far endpoints, so the closing
+    // edge (v, w) is oriented exactly v→w — one equi-join closes it
+    val wedges = oriented.as("o1").join(oriented.as("o2"),
+        col("o1.s") === col("o2.s") &&
+          (col("o1.td") < col("o2.td") ||
+            (col("o1.td") === col("o2.td") && col("o1.t") < col("o2.t"))))
+      .select(col("o1.s").as("u"), col("o1.t").as("v"), col("o2.t").as("w"))
+    val tri = wedges.join(
+      oriented.select(col("s").as("v"), col("t").as("w")), Seq("v", "w"))
+    val perNode = tri.select(col("u").as("n"))
+      .unionAll(tri.select(col("v").as("n")))
+      .unionAll(tri.select(col("w").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("triangles"),
+        when(col("d") >= 2, expr(
+          "(2000000L * coalesce(tri, 0L)) div (d * (d - 1L))"))
+          .otherwise(lit(0L)).as("clustering_ppm"))
+      .orderBy("node")
+  }
+
+  /** Bounded k-core peel over an undirected edge list: `rounds`
+    * iterations of "drop every node with degree < k (over the still-
+    * alive subgraph)"; with enough rounds the survivors are exactly
+    * the k-core — the standard "dense part of the graph" extraction
+    * behind spam filtering and community seeding. Returns the
+    * survivors `(node, core_degree)` (degree within the surviving
+    * subgraph) after the LAST round.
+    *
+    * Scale shape per round: two key-partitioned semi-joins restrict
+    * the edge frame to alive nodes + one degree aggregate — linear in
+    * surviving edges, |V|-row alive frame cut each round (the pageRank
+    * loop discipline). `rounds` is a small constant by contract (the
+    * oracle unrolls the same rounds). */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1 && rounds <= 12,
+      "1..12 peel rounds (the oracle unrolls them)")
+    val e0 = Lineage.cutLocal(
+      edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    def restrict(alive: DataFrame): DataFrame = e0
+      .join(alive.select(col("n").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("n").as("b")), Seq("b"), "left_semi")
+    def degrees(e: DataFrame): DataFrame = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    var alive: DataFrame = null // null = all nodes alive (round 1)
+    for (_ <- 1 to rounds)
+      alive = Lineage.cutLocal(
+        degrees(if (alive == null) e0 else restrict(alive))
+          .filter(col("d") >= k).select("n"))
+    // survivors' degree is reported within the FINAL surviving
+    // subgraph (may dip below k when `rounds` stopped short of the
+    // fixed point — the bounded-rounds contract, mirrored in the
+    // oracle's unrolled replay)
+    degrees(restrict(alive))
+      .select(col("n").as("node"), col("d").as("core_degree"))
+      .orderBy("node")
+  }
+
+  /** GENERATED DuckDB oracle for [[kCore]] over the lineitem co-order
+    * part graph (the aq62 gate shape): the peel rounds unrolled — one
+    * (alive, restricted-edges) CTE pair per round, exactly the rounds
+    * the operator runs (the aq44 unrolled-trajectory discipline). */
+  def kCoreOracleSql(k: Int, rounds: Int): String = {
+    def degs(e: String): String =
+      s"SELECT n, count(*)::bigint AS d FROM (SELECT a AS n FROM $e " +
+        s"UNION ALL SELECT b FROM $e) GROUP BY 1"
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs into each
+    // reference, and the unrolled rounds reference each other twice per
+    // degree count — inlining would re-derive the base join an
+    // exponential number of times (observed: a 75 GB spill at sf0.1)
+    val cte = (1 to rounds).map { i =>
+      val prevE = if (i == 1) "e" else s"e${i - 1}"
+      s"""|, a$i AS MATERIALIZED (SELECT n FROM (${degs(prevE)}) dd WHERE d >= $k),
+          |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e
+          |        JOIN a$i x ON e.a = x.n JOIN a$i y ON e.b = y.n)"""
+        .stripMargin
+    }.mkString("\n")
+    s"""|WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2
+        |)
+        |$cte
+        |SELECT n AS node, d AS core_degree
+        |FROM (${degs(s"e$rounds")}) fin
+        |ORDER BY node""".stripMargin
+  }
 }

@@ -193,4 +193,155 @@ object Stats {
         ((col("__r.yu") - col("__r.fu")) / lit(1000000.0d)).as("residual"))
       .orderBy(keyCol, "t")
   }
+
+  /** Holt–Winters ADDITIVE triple exponential smoothing (Winters
+    * 1960) per series — [[holtSmoothing]] plus a seasonal component of
+    * `period` m:
+    *
+    *   f_t = l_{t−1} + b_{t−1} + s_{t−m}
+    *   l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m},
+    *
+    * initialized `l₁ = y₁, b₁ = 0, s = m zeros` (the cold-start
+    * contract: seasonality is LEARNED from zero rather than seeded
+    * from a warm-up window — fully defined for any series length, and
+    * exactly mirrored in the oracle). Seasonal indexing is positional:
+    * every input row advances the season by one slot (regularize gaps
+    * upstream with the gapfill operator when the grid matters).
+    *
+    * Determinism contract: same as [[holtSmoothing]] — α/β/γ as exact
+    * integer rationals, the whole fold in micro-unit BIGINT fixed
+    * point with pmod floor division, the seasonal ring carried as an
+    * integer array; no double rounding exists anywhere in the
+    * recursion. [[holtWintersOracleSql]] generates the DuckDB replay
+    * (recursive CTE carrying the seasonal ring as a LIST).
+    *
+    * Scale shape: identical to [[holtSmoothing]] — one series-keyed
+    * shuffle, per-series fold bounded by series length (state adds m
+    * BIGINTs). Output per row:
+    * `(key, t, y, level, trend, seasonal, forecast, residual)`,
+    * forecast/residual NULL at t = 1. */
+  def holtWinters(
+      series: DataFrame,
+      keyCol: String,
+      tCol: String,
+      yCol: String,
+      period: Int,
+      alphaNum: Long, alphaDen: Long,
+      betaNum: Long, betaDen: Long,
+      gammaNum: Long, gammaDen: Long): DataFrame = {
+    require(period >= 2 && period <= 512, "period in [2, 512]")
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      "alpha = alphaNum/alphaDen must lie in (0, 1]")
+    require(betaDen > 0 && betaNum >= 0 && betaNum <= betaDen,
+      "beta = betaNum/betaDen must lie in [0, 1]")
+    require(gammaDen > 0 && gammaNum >= 0 && gammaNum <= gammaDen,
+      "gamma = gammaNum/gammaDen must lie in [0, 1]")
+    def fd(x: String, d: Long): String =
+      s"((($x) - pmod(($x), ${d}L)) div ${d}L)"
+    val prev = "element_at(acc, -1)"
+    val sm = s"element_at($prev.seas, 1)"
+    val fu = s"($prev.lu + $prev.bu + $sm)"
+    val lu = fd(
+      s"${alphaNum}L * (p.yu - $sm) + ${alphaDen - alphaNum}L * " +
+        s"($prev.lu + $prev.bu)", alphaDen)
+    val bu = fd(
+      s"${betaNum}L * (($lu) - $prev.lu) + ${betaDen - betaNum}L * $prev.bu",
+      betaDen)
+    val su = fd(
+      s"${gammaNum}L * (p.yu - ($lu)) + ${gammaDen - gammaNum}L * $sm",
+      gammaDen)
+    val zeros = Seq.fill(period)("0L").mkString("array(", ", ", ")")
+    series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tCol).cast("long").as("t"),
+        col(yCol).cast("double").as("y")))).as("__pts"))
+      .select(col(keyCol), explode(expr(
+        s"""aggregate(
+           |  transform(__pts, q -> named_struct(
+           |    't', q.t, 'y', q.y,
+           |    'yu', cast(floor(q.y * 1000000.0d) as bigint))),
+           |  cast(array() as array<struct<
+           |    t:bigint,y:double,yu:bigint,lu:bigint,bu:bigint,
+           |    seas:array<bigint>,fu:bigint>>),
+           |  (acc, p) -> array_append(acc,
+           |    if(size(acc) = 0,
+           |      named_struct(
+           |        't', p.t, 'y', p.y, 'yu', p.yu,
+           |        'lu', p.yu, 'bu', 0L, 'seas', $zeros,
+           |        'fu', cast(null as bigint)),
+           |      named_struct(
+           |        't', p.t, 'y', p.y, 'yu', p.yu,
+           |        'lu', $lu,
+           |        'bu', $bu,
+           |        'seas', concat(slice($prev.seas, 2, ${period - 1}),
+           |                       array($su)),
+           |        'fu', $fu)))
+           |)""".stripMargin)).as("__r"))
+      .select(col(keyCol), col("__r.t").as("t"), col("__r.y").as("y"),
+        (col("__r.lu") / lit(1000000.0d)).as("level"),
+        (col("__r.bu") / lit(1000000.0d)).as("trend"),
+        (element_at(col("__r.seas"), period) / lit(1000000.0d))
+          .as("seasonal"),
+        (col("__r.fu") / lit(1000000.0d)).as("forecast"),
+        ((col("__r.yu") - col("__r.fu")) / lit(1000000.0d)).as("residual"))
+      .orderBy(keyCol, "t")
+  }
+
+  /** GENERATED DuckDB oracle for [[holtWinters]] over per-key hourly
+    * counts of `events` (the aq61 gate shape): the same integer
+    * recursion as a recursive CTE, seasonal ring carried as a LIST,
+    * floor division written out with the explicit pmod form (DuckDB
+    * `//` truncates toward zero on negatives). */
+  def holtWintersOracleSql(
+      keyExpr: String,
+      bucketUs: Long,
+      period: Int,
+      alphaNum: Long, alphaDen: Long,
+      betaNum: Long, betaDen: Long,
+      gammaNum: Long, gammaDen: Long): String = {
+    def fd(x: String, d: Long): String =
+      s"((($x) - (((($x) % $d) + $d) % $d)) // $d)"
+    val sm = "h.seas[1]"
+    val lu = fd(
+      s"$alphaNum * (x.yu - $sm) + ${alphaDen - alphaNum} * (h.lu + h.bu)",
+      alphaDen)
+    val bu = fd(
+      s"$betaNum * (($lu) - h.lu) + ${betaDen - betaNum} * h.bu", betaDen)
+    val su = fd(
+      s"$gammaNum * (x.yu - ($lu)) + ${gammaDen - gammaNum} * $sm", gammaDen)
+    val zeros = Seq.fill(period)("0").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE s AS (
+       |  SELECT $keyExpr AS key, epoch_us(ts) // $bucketUs AS t,
+       |         count(*)::bigint AS n
+       |  FROM events GROUP BY 1, 2
+       |), o AS (
+       |  SELECT key, t, n::double AS y,
+       |         floor(n::double * 1000000.0)::bigint AS yu,
+       |         row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+       |  FROM s
+       |), h AS (
+       |  SELECT key, t, y, yu,
+       |         yu AS lu, 0::bigint AS bu, $zeros::bigint[] AS seas,
+       |         NULL::bigint AS fu, rn
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT x.key, x.t, x.y, x.yu,
+       |         $lu,
+       |         $bu,
+       |         list_concat(h.seas[2:], [$su]),
+       |         h.lu + h.bu + $sm,
+       |         x.rn
+       |  FROM o x JOIN h ON x.key = h.key AND x.rn = h.rn + 1
+       |)
+       |SELECT key, t, y,
+       |       lu / 1000000.0 AS level, bu / 1000000.0 AS trend,
+       |       seas[$period] / 1000000.0 AS seasonal,
+       |       fu / 1000000.0 AS forecast,
+       |       (yu - fu) / 1000000.0 AS residual
+       |FROM h
+       |ORDER BY key, t""".stripMargin
+  }
 }

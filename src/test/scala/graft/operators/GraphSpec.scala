@@ -81,4 +81,36 @@ class GraphSpec extends AnyFunSuite {
     assert(diffs.isEmpty,
       s"ranks differ at ${diffs.take(5).map(k => (k, got(k), want(k)))}")
   }
+
+  test("triangleStats: hand-computed counts, clustering ppm, dedup") {
+    // triangle {1,2,3}, triangle {2,3,4}, pendant 5 on 1 — fed with
+    // duplicates and reversed duplicates (must dedup to one edge each)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (5L, 1L), (1L, 2L))
+    val got = Graph.triangleStats(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 333333L),   // 2e6·1 / (3·2)
+      (2L, 3L, 2L, 666666L),
+      (3L, 3L, 2L, 666666L),
+      (4L, 2L, 1L, 1000000L),  // both neighbors connected
+      (5L, 1L, 0L, 0L)),       // degree < 2: coefficient pinned 0
+      got.toString)
+  }
+
+  test("kCore: peel trajectory and the bounded-rounds contract") {
+    // triangle {1,2,3} + chain 3-4-5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // 3 rounds reach the fixed point: round 1 drops 5 (deg 1),
+    // round 2 drops 4 (deg 1 without 5), round 3 stable {1,2,3}
+    val core = Graph.kCore(edges.toDF("src", "dst"), k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(core == Seq((1L, 2L), (2L, 2L), (3L, 2L)), core.toString)
+    // rounds = 1 stops short: 4 survives round 1 but its reported
+    // final-subgraph degree dips below k — the documented contract
+    val one = Graph.kCore(edges.toDF("src", "dst"), k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 1L)),
+      one.toString)
+  }
 }

@@ -63,4 +63,29 @@ class StatsSpec extends AnyFunSuite {
     assert(one.getDouble(3) == 9.0 && one.getDouble(4) == 0.0 &&
       one.isNullAt(5))
   }
+
+  test("holtWinters: hand-computed level/trend/seasonal recursion " +
+      "(incl. a floor tie)") {
+    // m=2, α=1/2, β=1/4, γ=1/2, y=[4,8,6,10] — micro-unit trace:
+    // t1: l=4 b=0 seas=[0,0]
+    // t2: sm=0 f=4  l=6     b=0.5      s=1       resid=4
+    // t3: sm=0 f=6.5 l=6.25 b=0.4375   s=-0.125  resid=-0.5
+    // t4: sm=1 f=7.6875 l=7.84375
+    //     b = floor(2906250/4)µ = 0.726562  <- exact floor tie (.5)
+    //     s=1.578125 resid=2.3125
+    val series = Seq(("k", 1L, 4.0), ("k", 2L, 8.0), ("k", 3L, 6.0),
+      ("k", 4L, 10.0)).toDF("key", "t", "y")
+    val out = Stats.holtWinters(series, "key", "t", "y", period = 2,
+      1L, 2L, 1L, 4L, 1L, 2L)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5),
+        Option(r.get(6)).map(_.asInstanceOf[Double]),
+        Option(r.get(7)).map(_.asInstanceOf[Double]))).toSeq
+    assert(out == Seq(
+      (1L, 4.0, 0.0, 0.0, None, None),
+      (2L, 6.0, 0.5, 1.0, Some(4.0), Some(4.0)),
+      (3L, 6.25, 0.4375, -0.125, Some(6.5), Some(-0.5)),
+      (4L, 7.84375, 0.726562, 1.578125, Some(7.6875), Some(2.3125))),
+      out.toString)
+  }
 }
