@@ -7035,6 +7035,23 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // tq25_textrank — TextRank keyword extraction over the corpus
+  // (TextAnalysis.textRank): words as nodes, distance-2 co-occurrence
+  // as parallel edges (multiplicity = weight), 3 rounds of the shared
+  // 12dp-pinned pageRank over STRING nodes, top-40 — the graph-based
+  // companion to tq21's TF-IDF keywords. The oracle replays the same
+  // adjacency build and unrolled rounds.
+  register(
+    "tq25_textrank",
+    graft.operators.Graph.textRankOracleSql(
+      iterations = 3, damping = 0.85, topK = 40)
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.textRank(
+      t(s, dir, "documents"), "doc_id", "text",
+      iterations = 3, damping = 0.85, topK = 40)
+  }
+
+  // ---------------------------------------------------------------------
   // aq62_kcore — bounded k-core peel over the co-ordered-parts graph
   // (Graph.kCore): 4 rounds of "drop nodes with degree < 4", survivors
   // reported with their degree inside the final subgraph — the dense-

@@ -46,6 +46,18 @@ object Graph {
   def pageRank(
       edges: DataFrame,
       iterations: Int,
+      damping: Double = 0.85): DataFrame =
+    pageRankKeyed(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")),
+      iterations, damping)
+
+  /** [[pageRank]] over edges keyed by ANY node type (strings for word
+    * graphs, composites pre-packed by the caller) — same plan, no id
+    * assignment pass needed. */
+  def pageRankKeyed(
+      edges: DataFrame,
+      iterations: Int,
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
@@ -55,8 +67,7 @@ object Graph {
     // also stops that work repeating across the consumers below).
     // Degrees and the node set are |V|-sized and derive FROM the cut.
     val links = Lineage.cutLocal(
-      edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
+      edges.select(col("src"), col("dst"))
         .repartition(col("src")))
     // outdeg rides with the RANK frame (|V| rows), not the link frame:
     // the per-round heavy join then moves only rank+degree, and the
@@ -91,17 +102,12 @@ object Graph {
     ranks.select("node", "rank")
   }
 
-  /** GENERATED DuckDB oracle for the aq44 gate: [[pageRank]] over the
-    * undirected-doubled customer↔supplier bipartite graph (node id
-    * `2·custkey` / `2·suppkey+1`), the whole trajectory unrolled — CTE
-    * `r_k` replays round k's exact 12dp-pinned arithmetic, so the final
-    * ranks are bit-identical, not approximately equal. The damping /
-    * teleport literals are interpolated from the same doubles the Spark
-    * plan uses (`Double.toString` round-trips bit-exactly). */
-  def pageRankOracleSql(
-      iterations: Int, damping: Double, topK: Int): String = {
+  /** The unrolled per-round CTE pairs shared by every pageRank-family
+    * oracle: expects CTEs `edges(src, dst)`, `deg(src, outdeg)`,
+    * `nodes(node)`, `nn(n)` and `r0(node, rank)` upstream. */
+  private def pageRankRoundsSql(iterations: Int, damping: Double): String = {
     val teleport = 1.0 - damping
-    val rounds = (1 to iterations).map { i =>
+    (1 to iterations).map { i =>
       s"""|, c$i AS (
           |  SELECT e.dst AS node,
           |         sum(round(r.rank / d.outdeg, 12)::decimal(38,12)) AS contrib
@@ -118,6 +124,18 @@ object Graph {
           |  FROM nodes n LEFT JOIN c$i c USING (node)
           |)""".stripMargin
     }.mkString("\n")
+  }
+
+  /** GENERATED DuckDB oracle for the aq44 gate: [[pageRank]] over the
+    * undirected-doubled customer↔supplier bipartite graph (node id
+    * `2·custkey` / `2·suppkey+1`), the whole trajectory unrolled — CTE
+    * `r_k` replays round k's exact 12dp-pinned arithmetic, so the final
+    * ranks are bit-identical, not approximately equal. The damping /
+    * teleport literals are interpolated from the same doubles the Spark
+    * plan uses (`Double.toString` round-trips bit-exactly). */
+  def pageRankOracleSql(
+      iterations: Int, damping: Double, topK: Int): String = {
+    val rounds = pageRankRoundsSql(iterations, damping)
     s"""|WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -140,6 +158,50 @@ object Graph {
         |       round(rank, 10) AS rank
         |FROM r$iterations
         |ORDER BY rank DESC, node_type, key
+        |LIMIT $topK""".stripMargin
+  }
+
+  /** GENERATED DuckDB oracle for the tq25 gate:
+    * [[TextAnalysis.textRank]] over `documents` — the same split/
+    * filter/lead adjacency, doubled parallel edges, and the shared
+    * unrolled pageRank rounds over STRING nodes. */
+  def textRankOracleSql(
+      iterations: Int, damping: Double, topK: Int): String = {
+    val rounds = pageRankRoundsSql(iterations, damping)
+    s"""|WITH tok AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |         unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), tk AS MATERIALIZED (
+        |  SELECT doc_id, pos, word FROM tok WHERE word <> ''
+        |), adj AS MATERIALIZED (
+        |  SELECT word,
+        |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tk
+        |), pairs AS MATERIALIZED (
+        |  SELECT word AS a, w1 AS b FROM adj
+        |  WHERE w1 IS NOT NULL AND word <> w1
+        |  UNION ALL
+        |  SELECT word, w2 FROM adj WHERE w2 IS NOT NULL AND word <> w2
+        |), edges AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs
+        |), deg AS MATERIALIZED (
+        |  SELECT src, count(*)::bigint AS outdeg FROM edges GROUP BY 1
+        |), nodes AS MATERIALIZED (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        |), nn AS (SELECT count(*)::bigint AS n FROM nodes),
+        |r0 AS (
+        |  SELECT node, round(1.0::double / (SELECT n FROM nn), 12) AS rank
+        |  FROM nodes
+        |)
+        |$rounds
+        |SELECT node AS word, round(rank, 10) AS rank
+        |FROM r$iterations
+        |ORDER BY rank DESC, word
         |LIMIT $topK""".stripMargin
   }
 

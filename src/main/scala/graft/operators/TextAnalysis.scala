@@ -798,4 +798,51 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) over the
+    * corpus: words are nodes, co-occurrence within a distance-2 window
+    * (in any document) adds one parallel edge in each direction, and
+    * [[Graph.pageRankKeyed]] ranks the graph — parallel-edge
+    * multiplicity IS the co-occurrence weighting, so this is weighted
+    * TextRank without a separate weight column. Adjacent duplicate
+    * words produce no self-loops. Returns the top-`topK`
+    * `(word, rank)` — the corpus' domain glossary.
+    *
+    * Tokenization contract: split on a single space with empty tokens
+    * REMOVED and adjacency over the remaining sequence (the tq18
+    * portable-split discipline — identical in the oracle).
+    *
+    * Scale shape: one per-doc window pass for adjacency (no global
+    * sort), one edge shuffle, then pageRank's |V|-row-frame rounds;
+    * rank comparisons are 12dp-pinned so top-K ties break on the word.
+    */
+  def textRank(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      iterations: Int = 3,
+      damping: Double = 0.85,
+      topK: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+      .filter(col("__w") =!= "")
+    val w = Window.partitionBy("__doc").orderBy("__pos")
+    val adj = toks.select(col("__w"),
+      lead("__w", 1).over(w).as("__w1"),
+      lead("__w", 2).over(w).as("__w2"))
+    val pairs = adj
+      .filter(col("__w1").isNotNull && col("__w") =!= col("__w1"))
+      .select(col("__w").as("a"), col("__w1").as("b"))
+      .unionByName(adj
+        .filter(col("__w2").isNotNull && col("__w") =!= col("__w2"))
+        .select(col("__w").as("a"), col("__w2").as("b")))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    Graph.pageRankKeyed(edges, iterations, damping)
+      .select(col("node").as("word"), round(col("rank"), 10).as("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(topK)
+  }
 }

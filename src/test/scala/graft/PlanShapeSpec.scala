@@ -194,6 +194,13 @@ class PlanShapeSpec extends AnyFunSuite {
       windows.map(_.toString).mkString("\n"))
   }
 
+  test("aq60 triangles: every join is an equi-join — no nested loop, " +
+      "no cartesian") {
+    val p = plan("aq60_triangles")
+    assert(!p.contains("NestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sq4 quantized ANN broadcasts the query side") {
     val p = plan("sq4_quantized_knn")
     assert(p.contains("BroadcastNestedLoopJoin"), p)

@@ -374,4 +374,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     // bigrams never cross document boundaries: (b,c) does not exist
     assert(!out.exists(p => p._1 == "b" && p._2 == "c"))
   }
+
+  test("textRank: symmetric two-word graph is the 0.5/0.5 fixed point; " +
+      "empty tokens and self-pairs drop") {
+    // "a  b a": the double space makes an empty token (dropped), the
+    // distance-2 pair (a,a) is a self-pair (dropped) — what remains is
+    // the symmetric a↔b graph, whose pageRank fixed point is 0.5/0.5,
+    // ties broken alphabetically
+    val docs = Seq((1L, "a  b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.textRank(docs, "doc_id", "text")
+      .as[(String, Double)].collect().toSeq
+    assert(got == Seq(("a", 0.5), ("b", 0.5)), got.toString)
+  }
 }
