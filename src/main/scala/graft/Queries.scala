@@ -7035,6 +7035,42 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq63_seq_patterns — contiguous sequential-pattern support mining
+  // (Behavior.sequencePatterns): every contiguous run of 2..3 event
+  // types in a user's (ts, event_id)-ordered timeline, with distinct-
+  // user support and occurrence counts — transitionMatrix (aq28)
+  // extended to funnel-mining shape. The oracle replays the same lead
+  // windows.
+  register(
+    "aq63_seq_patterns",
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS t0,
+      |         lead(event_type, 1) OVER w AS t1,
+      |         lead(event_type, 2) OVER w AS t2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), runs AS (
+      |  SELECT user_id, 2 AS k, t0 || '>' || t1 AS pattern
+      |  FROM seq WHERE t1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, 3, t0 || '>' || t1 || '>' || t2
+      |  FROM seq WHERE t2 IS NOT NULL
+      |)
+      |SELECT k, pattern,
+      |       count(DISTINCT user_id)::bigint AS n_users,
+      |       count(*)::bigint AS n_occurrences
+      |FROM runs
+      |GROUP BY 1, 2
+      |ORDER BY k, pattern""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    graft.operators.Behavior.sequencePatterns(
+      ev, "user_id", "ts_us", "event_type", "event_id", maxLen = 3)
+  }
+
+  // ---------------------------------------------------------------------
   // tq25_textrank — TextRank keyword extraction over the corpus
   // (TextAnalysis.textRank): words as nodes, distance-2 co-occurrence
   // as parallel edges (multiplicity = weight), 3 rounds of the shared

@@ -213,6 +213,50 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** Contiguous sequential-pattern support mining — the bounded-length
+    * cousin of PrefixSpan (Pei et al. 2001) for event funnels: every
+    * CONTIGUOUS run of 2..`maxLen` event types inside a user's
+    * timeline is a pattern, reported with its distinct-user support
+    * and total occurrence count. Extends [[transitionMatrix]] (k = 2
+    * counts) with longer runs and the support dimension marketing
+    * funnel mining actually filters on. Patterns are `>`-joined type
+    * strings (types must not contain the separator — a collision
+    * would merge distinct patterns).
+    *
+    * Scale shape: ONE shuffle keyed on the user for the lead() window
+    * (the transitionMatrix layout, reused for every k), then one
+    * aggregate per pattern — cardinality ≤ Σ|types|^k, map-side
+    * partials; the distinct-user count shuffles (pattern, user) pairs
+    * already deduped map-side. */
+  def sequencePatterns(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      maxLen: Int = 3,
+      minUsers: Long = 1L): DataFrame = {
+    require(maxLen >= 2 && maxLen <= 5, "maxLen in [2, 5]")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val leads = events.select(
+      (col(userCol).as("__u") +: col(typeCol).as("__t0") +:
+        (1 until maxLen).map(i =>
+          lead(col(typeCol), i).over(w).as(s"__t$i"))): _*)
+    val runs = (2 to maxLen).map { k =>
+      val parts = (0 until k).map(i => col(s"__t$i"))
+      leads.filter(parts.last.isNotNull)
+        .select(col("__u"), lit(k).as("k"),
+          concat_ws(">", parts: _*).as("pattern"))
+    }.reduce(_ unionByName _)
+    runs
+      .groupBy("k", "pattern")
+      .agg(countDistinct(col("__u")).as("n_users"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_users") >= minUsers)
+      .orderBy("k", "pattern")
+  }
+
   /** Daily cohort retention: users are cohorted by their first-seen day
     * and each `(cohort_day, day_offset)` cell counts the distinct users
     * of that cohort active `day_offset` days later, with the retention

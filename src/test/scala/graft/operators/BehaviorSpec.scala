@@ -443,4 +443,31 @@ class BehaviorSpec extends AnyFunSuite {
       ("unattributed", 2L, 6.0, None),
       ("view", 1L, 2.0, Some(10.0))))
   }
+
+  test("sequencePatterns: contiguous runs, support vs occurrences, " +
+      "ts tie-break, minUsers cut") {
+    // u1: a b a b   (bigram a>b twice — 1 user, 2 occurrences)
+    // u2: a b c     (trigram a>b>c; ts tie at 20 broken by event_id)
+    val ev = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"),
+      (1L, 30L, 102L, "a"), (1L, 40L, 103L, "b"),
+      (2L, 10L, 200L, "a"), (2L, 20L, 201L, "b"), (2L, 20L, 202L, "c"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = Behavior.sequencePatterns(
+      ev, "user_id", "ts_us", "event_type", "event_id", maxLen = 3)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2, "a>b", 2L, 3L),
+      (2, "b>a", 1L, 1L),
+      (2, "b>c", 1L, 1L),
+      (3, "a>b>a", 1L, 1L),
+      (3, "a>b>c", 1L, 1L),
+      (3, "b>a>b", 1L, 1L)), got.toString)
+    // support threshold keeps only the cross-user pattern
+    val cut = Behavior.sequencePatterns(
+      ev, "user_id", "ts_us", "event_type", "event_id",
+      maxLen = 3, minUsers = 2L)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(cut == Seq((2, "a>b", 2L, 3L)), cut.toString)
+  }
 }
