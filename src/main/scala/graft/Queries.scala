@@ -7035,6 +7035,34 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // dq20_edit_join — edit-distance-≤1 record-linkage self-join over
+  // customer names (Dedup.editDistancePairs): SymSpell deletion
+  // neighborhoods meet in ONE variant-keyed equi-join, exact
+  // levenshtein verifies — never a quadratic block join. The oracle
+  // replays the same deletion index with a list comprehension.
+  register(
+    "dq20_edit_join",
+    """WITH c AS MATERIALIZED (
+      |  SELECT c_custkey AS id, c_name AS s FROM customer
+      |), vars AS MATERIALIZED (
+      |  SELECT id, s, unnest(list_distinct(list_append(
+      |    [substr(s, 1, i - 1) || substr(s, i + 1, len(s))
+      |     for i in range(1, len(s) + 1)], s))) AS v
+      |  FROM c
+      |), cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id
+      |)
+      |SELECT id_a, id_b, levenshtein(s_a, s_b)::bigint AS dist
+      |FROM cand
+      |WHERE levenshtein(s_a, s_b) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.editDistancePairs(
+      t(s, dir, "customer"), "c_custkey", "c_name")
+  }
+
+  // ---------------------------------------------------------------------
   // aq63_seq_patterns — contiguous sequential-pattern support mining
   // (Behavior.sequencePatterns): every contiguous run of 2..3 event
   // types in a user's (ts, event_id)-ordered timeline, with distinct-

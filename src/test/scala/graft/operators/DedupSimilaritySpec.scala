@@ -1098,4 +1098,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 1L, 0L, ""),
       (4L, 2L, 1L, "p q")))
   }
+
+  test("editDistancePairs: substitution/insertion/deletion/equal all " +
+      "meet in the deletion index; distance-2 never leaks") {
+    val rows = Seq((1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "xyz"),
+      (5L, "abc"), (6L, "abcd")).toDF("id", "name")
+    val got = Dedup.editDistancePairs(rows, "id", "name")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L), (1L, 3L, 1L), (1L, 5L, 0L), (1L, 6L, 1L),
+      (2L, 3L, 1L), (2L, 5L, 1L), (2L, 6L, 1L),
+      (3L, 5L, 1L), (5L, 6L, 1L)), got.toString)
+    // (3, 6) = "ab" vs "abcd" is distance 2: candidates from the index
+    // never include it, and the verify would kill it anyway
+    assert(!got.exists(p => p._1 == 3L && p._2 == 6L))
+  }
 }
