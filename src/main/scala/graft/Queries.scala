@@ -7035,6 +7035,52 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq64_seasonal_profile — robust hour-of-day profile per event type
+  // (Behavior.seasonalProfile): exact interpolated MEDIAN + MAD per
+  // (type, hour-of-day) cell over hourly counts — the outlier-immune
+  // baseline beside aq40's mean/z detectors. Medians are the aq6
+  // percentile parity; deviations are exact half-integer doubles.
+  register(
+    "aq64_seasonal_profile",
+    """WITH s AS (
+      |  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS t,
+      |         count(*)::bigint AS n
+      |  FROM events GROUP BY 1, 2
+      |), h AS (
+      |  SELECT key, t, n, ((t % 24) + 24) % 24 AS hod FROM s
+      |), med AS (
+      |  SELECT key, hod, count(*)::bigint AS n_hours,
+      |         quantile_cont(n, 0.5) AS median_n
+      |  FROM h GROUP BY 1, 2
+      |)
+      |SELECT h.key AS key, h.hod AS hod, med.n_hours, med.median_n,
+      |       quantile_cont(abs(h.n::double - med.median_n), 0.5) AS mad
+      |FROM h JOIN med ON h.key = med.key AND h.hod = med.hod
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY h.key, h.hod""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Behavior.seasonalProfile(
+      t(s, dir, "events").select(col("event_type"),
+        unix_micros(col("ts")).as("ts_us")),
+      "event_type", "ts_us")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq65_benford — Benford first-digit audit over order totals
+  // (Profile.benfordAudit): observed leading-digit counts vs the
+  // log10(1+1/d) expectation with per-digit and total chi-square —
+  // the fabricated-numbers screen. Digit extraction is string-of-
+  // BIGINT (no float formatting); p(d) literals are the same Scala
+  // doubles in both plans; chi-square terms are 6dp decimal-summed.
+  register(
+    "aq65_benford",
+    graft.operators.Profile.benfordOracleSql("orders", "o_totalprice")
+  ) { (s, dir) =>
+    graft.operators.Profile.benfordAudit(
+      t(s, dir, "orders"), "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------------
   // dq20_edit_join — edit-distance-≤1 record-linkage self-join over
   // customer names (Dedup.editDistancePairs): SymSpell deletion
   // neighborhoods meet in ONE variant-keyed equi-join, exact

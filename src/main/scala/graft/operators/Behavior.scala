@@ -257,6 +257,49 @@ object Behavior {
       .orderBy("k", "pattern")
   }
 
+  /** Robust hour-of-day seasonal profile per series — the MEDIAN-based
+    * companion to the mean-based detectors (aq40's z-scores break on
+    * one outlier hour; medians don't): hourly counts fold into 24
+    * hour-of-day cells per key, each reporting its exact interpolated
+    * median and MAD (median absolute deviation). The profile is the
+    * robust baseline ops teams alarm against ("Tuesday 3am is
+    * normally ~12 events ± 2").
+    *
+    * Determinism contract: hour indexes are integer floor-divs;
+    * medians are exact interpolated percentiles (Spark `percentile`
+    * == DuckDB `quantile_cont`, the aq6 precedent); deviations are
+    * |integer − half-integer| doubles, exact in IEEE, so the MAD
+    * percentile interpolates exact quarters — no rounding needed
+    * anywhere.
+    *
+    * Scale shape: one (key, hour)-keyed count over events, then two
+    * percentile aggregates over the |keys|·24-bounded cell frame and
+    * one co-keyed join between them — nothing event-sized past the
+    * first aggregate. Returns
+    * `(key, hod, n_hours, median_n, mad)`. */
+  def seasonalProfile(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      period: Int = 24,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    require(period >= 2, "period must be at least 2 buckets")
+    val hourly = events
+      .select(col(keyCol).as("key"),
+        expr(floorDivExpr(tsCol, bucketUs)).as("t"))
+      .groupBy("key", "t").agg(count(lit(1)).as("n"))
+      .withColumn("hod", expr(s"pmod(t, $period)"))
+      .transform(Lineage.cutLocal)
+    val med = hourly.groupBy("key", "hod")
+      .agg(count(lit(1)).as("n_hours"),
+        expr("percentile(n, 0.5)").as("median_n"))
+    hourly.join(med, Seq("key", "hod"))
+      .withColumn("__dev", abs(col("n").cast("double") - col("median_n")))
+      .groupBy(col("key"), col("hod"), col("n_hours"), col("median_n"))
+      .agg(expr("percentile(__dev, 0.5)").as("mad"))
+      .orderBy("key", "hod")
+  }
+
   /** Daily cohort retention: users are cohorted by their first-seen day
     * and each `(cohort_day, day_offset)` cell counts the distinct users
     * of that cohort active `day_offset` days later, with the retention

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -217,5 +218,85 @@ object Profile {
           .as("bin_hi"),
         count(lit(1)).as("n"))
       .orderBy("bin")
+  }
+
+  /** Benford first-digit audit (Newcomb 1881; Benford 1938) — the
+    * classic fabricated-numbers screen for financial/metric columns:
+    * observed leading-digit counts against the Benford expectation
+    * `p(d) = log₁₀(1 + 1/d)`, with per-digit χ² contributions and the
+    * total χ² statistic (8 dof; > 15.5 ⇒ suspicious at 5%).
+    *
+    * Determinism contract: the leading digit comes from the BIGINT
+    * floor of the value rendered as a string (both engines print
+    * plain digits — no float formatting, no libm log10 on data); the
+    * nine `p(d)` literals are Scala doubles embedded in both plans
+    * (`Double.toString` round-trips); χ² terms are fixed-order double
+    * expressions rounded to 6dp and DECIMAL-summed for the total
+    * (the tq8 discipline). Values < 1 are excluded (no leading
+    * digit).
+    *
+    * Scale shape: one map-side-combined 9-bucket aggregate over the
+    * value column, then 9-row bounded arithmetic with a broadcast
+    * 1-row total — nothing else touches the data. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = broadcast(
+      (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
+        .toDF("digit", "p_expected"))
+    val counts = df
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val joined = expected.join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(
+        counts.agg(sum(col("n_obs")).cast("double").as("__total"))))
+    val nExp = col("__total") * col("p_expected")
+    joined
+      .select(col("digit"), col("n_obs"),
+        round(nExp, 2).as("n_expected"),
+        round((col("n_obs") - nExp) * (col("n_obs") - nExp) / nExp, 6)
+          .as("chi2_term"))
+      .withColumn("chi2_total",
+        round(sum(col("chi2_term").cast("decimal(18,6)"))
+          .over(Window.partitionBy(lit(1))), 6).cast("double"))
+      .orderBy("digit")
+  }
+
+  /** GENERATED DuckDB oracle for [[benfordAudit]]: the same digit
+    * extraction, the same nine embedded `p(d)` literals, the same
+    * fixed-order χ² arithmetic. `valueExpr` is the value column
+    * expression over `table`. */
+  def benfordOracleSql(table: String, valueExpr: String): String = {
+    val values = (1 to 9)
+      .map(d => s"($d, ${math.log10(1.0 + 1.0 / d)})").mkString(", ")
+    s"""|WITH v AS (
+        |  SELECT substr(CAST(CAST(floor($valueExpr) AS BIGINT) AS VARCHAR),
+        |                1, 1)::int AS digit
+        |  FROM $table
+        |), d AS (
+        |  SELECT digit, count(*)::bigint AS n_obs FROM v
+        |  WHERE digit BETWEEN 1 AND 9 GROUP BY 1
+        |), e(digit, p_expected) AS (VALUES $values),
+        |tot AS (SELECT sum(n_obs)::double AS total FROM d),
+        |t AS (
+        |  SELECT e.digit, coalesce(d.n_obs, 0)::bigint AS n_obs,
+        |         round((SELECT total FROM tot) * e.p_expected, 2)
+        |           AS n_expected,
+        |         round((coalesce(d.n_obs, 0) -
+        |                  (SELECT total FROM tot) * e.p_expected)
+        |               * (coalesce(d.n_obs, 0) -
+        |                  (SELECT total FROM tot) * e.p_expected)
+        |               / ((SELECT total FROM tot) * e.p_expected), 6)
+        |           AS chi2_term
+        |  FROM e LEFT JOIN d USING (digit)
+        |)
+        |SELECT digit, n_obs, n_expected, chi2_term,
+        |       round(sum(chi2_term::decimal(18,6)) OVER (), 6)::double
+        |         AS chi2_total
+        |FROM t
+        |ORDER BY digit""".stripMargin
   }
 }

@@ -444,6 +444,23 @@ class BehaviorSpec extends AnyFunSuite {
       ("view", 1L, 2.0, Some(10.0))))
   }
 
+  test("seasonalProfile: median and MAD are outlier-immune per cell") {
+    val us = 3600000000L
+    // hod 0: hourly counts 1, 3, 10 (the 10 is the outlier a mean
+    // profile would absorb) -> median 3, deviations {2,0,7} -> MAD 2
+    // hod 1: counts 2, 4 -> median 3.0, deviations {1,1} -> MAD 1
+    val rows =
+      Seq.fill(1)((0L * us)) ++ Seq.fill(3)(24L * us) ++
+        Seq.fill(10)(48L * us) ++
+        Seq.fill(2)(1L * us) ++ Seq.fill(4)(25L * us)
+    val ev = rows.map(ts => ("a", ts)).toDF("event_type", "ts_us")
+    val got = Behavior.seasonalProfile(ev, "event_type", "ts_us")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 0L, 3L, 3.0, 2.0),
+      ("a", 1L, 2L, 3.0, 1.0)), got.toString)
+  }
+
   test("sequencePatterns: contiguous runs, support vs occurrences, " +
       "ts tie-break, minUsers cut") {
     // u1: a b a b   (bigram a>b twice — 1 user, 2 occurrences)

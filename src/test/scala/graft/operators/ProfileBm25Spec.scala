@@ -151,4 +151,31 @@ class ProfileBm25Spec extends AnyFunSuite {
       assert(canon(merged) == full, s"diverged at split ($ca, $cb)")
     }
   }
+
+  test("benfordAudit: digit extraction, zero-count digits, chi2 replay") {
+    // digits: 1.5 -> 1, 19 -> 1, 23 -> 2, 9.99 -> 9; 0.5 floors to 0
+    // and is excluded (no leading digit)
+    val df = Seq(1.5, 19.0, 23.0, 9.99, 0.5).toDF("v")
+    val got = Profile.benfordAudit(df, "v").collect()
+    assert(got.length == 9)
+    val byDigit = got.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byDigit(1)._1 == 2L && byDigit(2)._1 == 1L &&
+      byDigit(9)._1 == 1L)
+    assert((3 to 8).forall(d => byDigit(d)._1 == 0L))
+    // driver replay of the exact arithmetic (Spark round = BigDecimal
+    // valueOf + HALF_UP)
+    def rnd(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    val terms = (1 to 9).map { d =>
+      val p = math.log10(1.0 + 1.0 / d)
+      val nExp = 4.0 * p
+      val n = byDigit(d)._1
+      assert(byDigit(d)._2 == rnd(nExp, 2), s"n_expected digit $d")
+      rnd((n - nExp) * (n - nExp) / nExp, 6)
+    }
+    val total = rnd(terms.map(t => BigDecimal(t)).sum.toDouble, 6)
+    assert(got.forall(_.getDouble(4) == total))
+  }
 }
