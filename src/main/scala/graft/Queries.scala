@@ -7066,6 +7066,49 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // pq6_zorder_layout — Z-order (Morton) layout summary over lineitem
+  // (Packing.zOrderKey): part and supplier keys interleave into one
+  // clustering key; the per-z-bucket min/max ranges of BOTH dimensions
+  // are the file statistics a lake-house would prune on — tight on
+  // both axes is the whole point of the curve. Pure integer bit
+  // arithmetic, identical in the oracle.
+  register(
+    "pq6_zorder_layout", {
+      val sa = graft.operators.Packing.zOrderSpreadSql("a")
+      val sb = graft.operators.Packing.zOrderSpreadSql("b")
+      s"""WITH k AS (
+         |  SELECT l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+         |  FROM lineitem
+         |), z AS (
+         |  SELECT a, b, ($sa | ($sb << 1)) AS zvalue FROM k
+         |), d AS (
+         |  SELECT (max(zvalue) // 64) + 1 AS divisor FROM z
+         |)
+         |SELECT zvalue // (SELECT divisor FROM d) AS bucket,
+         |       count(*)::bigint AS n,
+         |       min(a)::bigint AS min_part, max(a)::bigint AS max_part,
+         |       min(b)::bigint AS min_supp, max(b)::bigint AS max_supp
+         |FROM z
+         |GROUP BY 1
+         |ORDER BY bucket""".stripMargin
+    }
+  ) { (s, dir) =>
+    val keys = t(s, dir, "lineitem").select(
+      expr("pmod(l_partkey, 65536)").as("a"),
+      expr("pmod(l_suppkey, 65536)").as("b"))
+    val z = graft.operators.Packing.zOrderKey(keys, "a", "b")
+    // data-derived bucket width (max/64): the z range scales with the
+    // key domain, the 64-bucket summary must not collapse at small SFs
+    z.crossJoin(broadcast(
+        z.agg(expr("max(zvalue) div 64 + 1").as("__divisor"))))
+      .groupBy(expr("zvalue div __divisor").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("a").as("min_part"), max("a").as("max_part"),
+        min("b").as("min_supp"), max("b").as("max_supp"))
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------------
   // aq65_benford — Benford first-digit audit over order totals
   // (Profile.benfordAudit): observed leading-digit counts vs the
   // log10(1+1/d) expectation with per-digit and total chi-square —

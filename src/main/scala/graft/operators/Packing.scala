@@ -356,4 +356,44 @@ object Packing {
        |FROM cuts, unnest(range(1, len(cs))) t(j)
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
+
+  /** Z-order (Morton) interleave of two 16-bit dimensions — the
+    * multi-dimensional data-layout key behind lake-house `OPTIMIZE
+    * ZORDER`: rows sorted by `zvalue` cluster BOTH dimensions at once,
+    * so min/max file statistics prune on either predicate (a single-
+    * column sort prunes only its own column). Caller pre-buckets each
+    * dimension into `[0, 65536)` (pmod / range-bucket); the interleave
+    * is the classic 4-step mask spread, pure integer bit arithmetic —
+    * portable to any engine verbatim.
+    *
+    * Scale shape: a per-row projection — ZERO shuffles here; the
+    * subsequent `repartitionByRange(zvalue)` + write is where the
+    * layout lands (pq2's export-shuffle discipline). */
+  def zOrderKey(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      outCol: String = "zvalue"): DataFrame = {
+    def spread(c: Column): Column = {
+      var x = c.cast("long")
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+      x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+      x
+    }
+    df.withColumn(outCol,
+      spread(col(aCol)).bitwiseOR(shiftleft(spread(col(bCol)), 1)))
+  }
+
+  /** The same 4-step Morton spread as a SQL expression string over
+    * `x` — shared by the DuckDB oracle (operators `<<`, `&`, `|` are
+    * identical integer ops there). */
+  def zOrderSpreadSql(x: String): String = {
+    var e = s"($x)"
+    for ((shift, mask) <- Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL),
+        (2, 0x33333333L), (1, 0x55555555L)))
+      e = s"((($e | ($e << $shift)) & $mask))"
+    e
+  }
 }

@@ -176,4 +176,27 @@ class PackingSpec extends AnyFunSuite {
     assert(sched.filter(_._2 == "hi").map(_._3).toSeq ==
       sched.filter(_._2 == "hi").map(_._3).sorted.toSeq)
   }
+
+  test("zOrderKey: hand-computed Morton interleaves") {
+    // spread(255) = alternating bits 0x5555; b rides the odd bits
+    val rows = Seq((255L, 0L), (0L, 255L), (255L, 255L), (1L, 2L),
+      (0L, 0L), (65535L, 65535L)).toDF("a", "b")
+    val got = Packing.zOrderKey(rows, "a", "b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (255L, 0L, 0x5555L),
+      (0L, 255L, 0xAAAAL),
+      (255L, 255L, 0xFFFFL),
+      (1L, 2L, 9L),              // 1 | (spread(2)=4) << 1
+      (0L, 0L, 0L),
+      (65535L, 65535L, 0xFFFFFFFFL)), got.toString)
+    // z-locality: the four quadrant corners of the 2^16 grid land in
+    // four distinct quarters of the z range (the pruning property)
+    val corners = Seq((0L, 0L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L)).toDF("a", "b")
+    val qs = Packing.zOrderKey(corners, "a", "b")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._3 / (1L << 30)).toSet
+    assert(qs == Set(0L, 1L, 2L, 3L))
+  }
 }
