@@ -7066,6 +7066,43 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // tq26_length_calibration — cross-source quantile calibration of
+  // document lengths (Sampling.quantileCalibrate): each doc's within-
+  // source rank bucket maps onto the corpus-wide quantile at the
+  // bucket midpoint, so sources with drifted length scales mix on one
+  // calibrated axis. Integer packed-key ranks (groupedRank — no
+  // per-source sort), aq20 floor-div buckets, aq6 percentile parity.
+  register(
+    "tq26_length_calibration", {
+      val mids = (0 until 20).map(b => (2 * b + 1).toDouble / 40)
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars,
+         |         n_chars * 100000000 + doc_id AS pack
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, source, n_chars,
+         |         row_number() OVER (PARTITION BY source ORDER BY pack)
+         |           AS rk,
+         |         count(*) OVER (PARTITION BY source) AS n
+         |  FROM d
+         |), q AS (
+         |  SELECT quantile_cont(n_chars, [${mids.mkString(", ")}]) AS qs
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, n_chars,
+         |       ((rk - 1) * 20) // n AS bucket,
+         |       round(qs[(((rk - 1) * 20) // n + 1)::int], 4)
+         |         AS calibrated
+         |FROM r, q
+         |ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, dir) =>
+    graft.operators.Sampling.quantileCalibrate(
+      t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "doc_id", "source", "n_chars", k = 20)
+  }
+
+  // ---------------------------------------------------------------------
   // pq6_zorder_layout — Z-order (Morton) layout summary over lineitem
   // (Packing.zOrderKey): part and supplier keys interleave into one
   // clustering key; the per-z-bucket min/max ranges of BOTH dimensions

@@ -254,14 +254,18 @@ object Profile {
       .crossJoin(broadcast(
         counts.agg(sum(col("n_obs")).cast("double").as("__total"))))
     val nExp = col("__total") * col("p_expected")
-    joined
+    val terms = joined
       .select(col("digit"), col("n_obs"),
         round(nExp, 2).as("n_expected"),
         round((col("n_obs") - nExp) * (col("n_obs") - nExp) / nExp, 6)
           .as("chi2_term"))
-      .withColumn("chi2_total",
-        round(sum(col("chi2_term").cast("decimal(18,6)"))
-          .over(Window.partitionBy(lit(1))), 6).cast("double"))
+    // total χ² via a broadcast 1-row decimal sum, not a no-partition
+    // window (9 rows, but the single-partition window shape is banned
+    // on principle — and WindowExec warns on it)
+    terms
+      .crossJoin(broadcast(terms.agg(
+        round(sum(col("chi2_term").cast("decimal(18,6)")), 6)
+          .cast("double").as("chi2_total"))))
       .orderBy("digit")
   }
 

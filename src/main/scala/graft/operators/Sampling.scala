@@ -348,4 +348,52 @@ object Sampling {
       .select(col("position"), col(groupCol), col(idCol), col("vkey"))
       .orderBy("position")
   }
+
+  /** Cross-source quantile calibration (quantile normalization): map
+    * every row's metric onto the CORPUS-WIDE distribution by rank —
+    * source A's "top decile" and source B's "top decile" land on the
+    * same calibrated value even when their raw scales differ (the
+    * classic fix for mixing quality/length scores across crawls whose
+    * scorers drift). Each row gets its within-source quantile bucket
+    * `((rank−1)·k) div n` and the corpus-wide exact interpolated
+    * quantile at that bucket's midpoint as its calibrated value.
+    *
+    * Determinism contract: ranks come from the packed INTEGER key
+    * `value·10⁸ + id` (unique, both engines sort it identically —
+    * requires `0 ≤ id < 10⁸` and integer `value`); buckets are the
+    * aq20 integer floor-div cuts; the k midpoint probabilities are the
+    * same Scala doubles in both plans and the quantiles interpolate
+    * identically (aq6 parity).
+    *
+    * Scale shape: one [[Packing.groupedRank]] pass (range-partition
+    * prefix-sum rank — NO per-source single-partition sort), one
+    * corpus-wide percentile aggregate broadcast back as a k-element
+    * array — nothing else touches the data. */
+  def quantileCalibrate(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 2 && k <= 1000, "k in [2, 1000]")
+    val mids = (0 until k).map(b => (2 * b + 1).toDouble / (2 * k))
+    val packed = df.select(col(groupCol), col(idCol), col(valueCol),
+      (col(valueCol).cast("long") * lit(100000000L) +
+        col(idCol).cast("long")).as("__pack"))
+    val ranked = Packing.groupedRank(packed, groupCol, "__pack",
+      carryCols = Seq(idCol, valueCol))
+    val sizes = ranked.groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"))
+    val quantiles = df.agg(expr(
+      s"percentile($valueCol, array(${mids.map(_ + "d").mkString(", ")}))")
+      .as("__qs"))
+    ranked
+      .join(broadcast(sizes), Seq(groupCol))
+      .crossJoin(broadcast(quantiles))
+      .withColumn("bucket", expr(s"((rank - 1) * $k) div __n"))
+      .select(col(idCol), col(groupCol), col(valueCol), col("bucket"),
+        round(element_at(col("__qs"),
+          (col("bucket") + 1).cast("int")), 4).as("calibrated"))
+      .orderBy(idCol)
+  }
 }

@@ -271,6 +271,41 @@ object Stress10 {
       holtHourly(10), "series", "t", "n", 1L, 2L, 1L, 4L).count())
     slope("holt", aq59a, aq59b)
 
+    // Triangles: replicated part ids give k disjoint copies of the
+    // co-order graph — wedge work should scale linearly with copies
+    val liBase = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    def coEdges(k: Int): DataFrame = {
+      val li = (0 until k).map(i => liBase.select(
+        (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(i * 10000000L)).as("l_partkey")))
+        .reduce(_ unionByName _)
+      li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    }
+    val aq60a = time("triangles_1x")(
+      operators.Graph.triangleStats(coEdges(1)).count())
+    val aq60b = time("triangles_10x")(
+      operators.Graph.triangleStats(coEdges(10)).count())
+    slope("triangles", aq60a, aq60b)
+
+    // Edit-distance join: copy-prefixed names keep the copies disjoint
+    // in the deletion index — candidates scale with rows, not rows²
+    val custBase = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_name")
+    def names(k: Int): DataFrame = (0 until k).map(i =>
+      custBase.select(
+        (col("c_custkey") + lit(i * 10000000L)).as("id"),
+        concat_ws("_", lit(i.toString), col("c_name")).as("s")))
+      .reduce(_ unionByName _)
+    val dq20a = time("edit_join_1x")(
+      operators.Dedup.editDistancePairs(names(1), "id", "s").count())
+    val dq20b = time("edit_join_10x")(
+      operators.Dedup.editDistancePairs(names(10), "id", "s").count())
+    slope("edit_join", dq20a, dq20b)
+
     spark.stop()
   }
 }

@@ -177,6 +177,25 @@ class PackingSpec extends AnyFunSuite {
       sched.filter(_._2 == "hi").map(_._3).sorted.toSeq)
   }
 
+  test("quantileCalibrate: drifted source scales land on shared " +
+      "corpus quantiles") {
+    // global sorted values [10,20,30,40,100,200]; k=2 midpoints
+    // p=0.25 -> 22.5, p=0.75 -> 85.0. A's top half and B's top half
+    // both calibrate to 85.0 despite a 5x raw-scale drift.
+    val docs = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L),
+      (4L, "A", 40L), (5L, "B", 100L), (6L, "B", 200L))
+      .toDF("id", "src", "v")
+    val got = Sampling.quantileCalibrate(docs, "id", "src", "v", k = 2)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A", 10L, 0L, 22.5),
+      (2L, "A", 20L, 0L, 22.5),
+      (3L, "A", 30L, 1L, 85.0),
+      (4L, "A", 40L, 1L, 85.0),
+      (5L, "B", 100L, 0L, 22.5),
+      (6L, "B", 200L, 1L, 85.0)), got.toString)
+  }
+
   test("zOrderKey: hand-computed Morton interleaves") {
     // spread(255) = alternating bits 0x5555; b rides the odd bits
     val rows = Seq((255L, 0L), (0L, 255L), (255L, 255L), (1L, 2L),
