@@ -7066,6 +7066,54 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq66_gini — revenue-concentration Gini per nation
+  // (Profile.giniConcentration): per-customer revenue in exact integer
+  // cents, ranked by packed key through groupedRank (no per-nation
+  // sort window), rank-formulation Gini from two DECIMAL sums and one
+  // division of sub-2^53 doubles — the inequality audit (the same
+  // statistic over source token shares is the corpus-diversity
+  // number).
+  register(
+    "aq66_gini",
+    """WITH rev AS (
+      |  SELECT c.c_nationkey, o.o_custkey AS custkey,
+      |         sum(floor(o.o_totalprice * 100 + 0.5)::bigint) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2
+      |), named AS (
+      |  SELECT n.n_name AS nation, rev.custkey, rev.cents,
+      |         rev.cents * 100000000 + rev.custkey AS pack
+      |  FROM rev JOIN nation n ON n.n_nationkey = rev.c_nationkey
+      |), ranked AS (
+      |  SELECT nation, cents,
+      |         row_number() OVER (PARTITION BY nation ORDER BY pack)
+      |           AS rk
+      |  FROM named
+      |)
+      |SELECT nation, count(*)::bigint AS n_members,
+      |       sum(cents)::bigint AS total,
+      |       round((2 * sum(rk::decimal(38,0) * cents)
+      |               - (count(*) + 1) * sum(cents::decimal(38,0)))::double
+      |             / (count(*) * sum(cents::decimal(38,0)))::double, 6)
+      |         AS gini
+      |FROM ranked
+      |GROUP BY nation
+      |ORDER BY nation""".stripMargin
+  ) { (s, dir) =>
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey").as("custkey"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("cents"))
+    val named = rev.join(t(s, dir, "nation"),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name").as("nation"), col("custkey"), col("cents"))
+    graft.operators.Profile.giniConcentration(
+      named, "nation", "custkey", "cents")
+  }
+
+  // ---------------------------------------------------------------------
   // tq26_length_calibration — cross-source quantile calibration of
   // document lengths (Sampling.quantileCalibrate): each doc's within-
   // source rank bucket maps onto the corpus-wide quantile at the

@@ -269,6 +269,48 @@ object Profile {
       .orderBy("digit")
   }
 
+  /** Gini concentration per group (Gini 1912, rank formulation) — the
+    * inequality audit for revenue/volume/corpus-share columns: how
+    * concentrated is group g's total across its members?
+    * `G = (2·Σ rankᵢ·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)` over members ranked
+    * ascending by value — 0 = perfectly even, →1 = one member holds
+    * everything. (The same statistic over source→token counts is the
+    * corpus-diversity number a training-data mix review asks for.)
+    *
+    * Determinism contract: values are exact integers (e.g. cents);
+    * ranks come from the packed key `x·10⁸ + id` through
+    * [[Packing.groupedRank]] (unique, both engines sort identically;
+    * requires `0 ≤ id < 10⁸`); both sums run as DECIMAL(38,0) so no
+    * overflow; the final statistic is ONE division of two
+    * exactly-representable (< 2⁵³) doubles, identical in any engine.
+    *
+    * Scale shape: one groupedRank pass (range-partition prefix-sum —
+    * NO per-group sort window), one grouped aggregate. Returns
+    * `(group, n_members, total, gini)`. */
+  def giniConcentration(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val packed = df.select(col(groupCol), col(idCol),
+      col(valueCol).cast("long").as("__x"),
+      (col(valueCol).cast("long") * lit(100000000L) +
+        col(idCol).cast("long")).as("__pack"))
+    Packing.groupedRank(packed, groupCol, "__pack", carryCols = Seq("__x"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__x")).as("total"),
+        expr("sum(cast(rank as decimal(38,0)) * __x)").as("__s1"),
+        expr("sum(cast(__x as decimal(38,0)))").as("__s0"))
+      .select(col(groupCol), col("n_members"), col("total"),
+        round(
+          (lit(2) * col("__s1") - (col("n_members") + 1) * col("__s0"))
+            .cast("double") /
+            (col("n_members") * col("__s0")).cast("double"), 6)
+          .as("gini"))
+      .orderBy(groupCol)
+  }
+
   /** GENERATED DuckDB oracle for [[benfordAudit]]: the same digit
     * extraction, the same nine embedded `p(d)` literals, the same
     * fixed-order χ² arithmetic. `valueExpr` is the value column

@@ -152,6 +152,19 @@ class ProfileBm25Spec extends AnyFunSuite {
     }
   }
 
+  test("giniConcentration: even split 0, single holder (n-1)/n") {
+    val df = Seq(
+      ("even", 1L, 5L), ("even", 2L, 5L), ("even", 3L, 5L),
+      ("even", 4L, 5L),
+      ("onep", 5L, 0L), ("onep", 6L, 0L), ("onep", 7L, 0L),
+      ("onep", 8L, 10L)).toDF("g", "id", "v")
+    val got = Profile.giniConcentration(df, "g", "id", "v")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("even", 4L, 20L, 0.0),
+      ("onep", 4L, 10L, 0.75)), got.toString)
+  }
+
   test("benfordAudit: digit extraction, zero-count digits, chi2 replay") {
     // digits: 1.5 -> 1, 19 -> 1, 23 -> 2, 9.99 -> 9; 0.5 floors to 0
     // and is excluded (no leading digit)
