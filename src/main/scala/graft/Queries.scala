@@ -7066,6 +7066,59 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq67_funnel_wilson — funnel conversion rates with Wilson 95%
+  // intervals (Behavior.funnelWilson): the aq27 step counts plus the
+  // uncertainty readout; the Wilson expression TEXT is shared between
+  // the Spark plan and the oracle (wilsonBoundSql with engine-specific
+  // double literals — both engines parse bare decimals as DECIMAL).
+  register(
+    "aq67_funnel_wilson", {
+      def dbl(x: String) = x + "::double"
+      val p = "(n_conv::double / n_prev::double)"
+      val n = "(n_prev::double)"
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+         |), s1 AS (
+         |  SELECT user_id, min(ts_us) AS t FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1
+         |), s2 AS (
+         |  SELECT e.user_id, min(e.ts_us) AS t
+         |  FROM ev e JOIN s1 USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY 1
+         |), s3 AS (
+         |  SELECT e.user_id, min(e.ts_us) AS t
+         |  FROM ev e JOIN s2 USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1
+         |), c AS (
+         |  SELECT 1 AS step, 'view' AS step_name, count(*)::bigint AS n
+         |  FROM s1
+         |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+         |), j AS (
+         |  SELECT b.step, b.step_name, a.n AS n_prev, b.n AS n_conv
+         |  FROM c a JOIN c b ON b.step = a.step + 1
+         |  WHERE a.n > 0
+         |)
+         |SELECT step, step_name, n_prev, n_conv,
+         |       round($p, 6) AS rate,
+         |       ${graft.operators.Behavior.wilsonBoundSql(p, n, "-", dbl)}
+         |         AS wilson_lo,
+         |       ${graft.operators.Behavior.wilsonBoundSql(p, n, "+", dbl)}
+         |         AS wilson_hi
+         |FROM j
+         |ORDER BY step""".stripMargin
+    }
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    graft.operators.Behavior.funnelWilson(ev, "user_id", "ts_us", Seq(
+      "view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click"),
+      "purchase" -> (col("event_type") === "purchase")))
+  }
+
+  // ---------------------------------------------------------------------
   // aq66_gini — revenue-concentration Gini per nation
   // (Profile.giniConcentration): per-customer revenue in exact integer
   // cents, ranked by packed key through groupedRank (no per-nation

@@ -122,6 +122,60 @@ object Behavior {
     perStep.reduce(_.unionByName(_)).orderBy("step")
   }
 
+  /** Engine-portable Wilson score bound (Wilson 1927) as a SQL
+    * expression string — `p`/`n` are expressions for the observed
+    * proportion and trial count, `sign` is `+`/`-` for the upper/lower
+    * bound, and `dbl` renders a double literal for the target engine
+    * (`x + "d"` for Spark, `x + "::double"` for DuckDB — BOTH parse
+    * bare decimal literals as DECIMAL, which would change the
+    * arithmetic). sqrt is IEEE-correctly-rounded (not libm-drifting),
+    * so the identical expression text yields identical doubles. */
+  def wilsonBoundSql(
+      p: String, n: String, sign: String, dbl: String => String): String = {
+    val z = dbl("1.96")
+    val z2 = s"($z * $z)"
+    val center = s"(($p) + $z2 / (${dbl("2.0")} * $n))"
+    val margin = s"($z * sqrt((($p) * (${dbl("1.0")} - ($p))) / $n" +
+      s" + $z2 / (${dbl("4.0")} * $n * $n)))"
+    s"round(($center $sign $margin) / (${dbl("1.0")} + $z2 / $n), 6)"
+  }
+
+  /** Per-transition funnel conversion rates with Wilson 95% intervals
+    * — the uncertainty readout [[funnel]]'s raw counts lack: a 10%
+    * step-drop on 40 users is noise, on 40k users a finding. One row
+    * per transition: `(step, step_name, n_prev, n_conv, rate,
+    * wilson_lo, wilson_hi)`; transitions from an empty previous step
+    * are dropped (no defined rate).
+    *
+    * Determinism contract: counts are the [[funnel]] integers; rate
+    * and both bounds are ONE fixed-order double expression over them
+    * ([[wilsonBoundSql]] — the identical text runs in the oracle), z
+    * pinned at 1.96.
+    *
+    * Scale shape: [[funnel]]'s user-keyed step joins; the Wilson
+    * arithmetic runs on the k-row step-count frame. */
+  def funnelWilson(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      steps: Seq[(String, Column)]): DataFrame = {
+    val counts = funnel(events, userCol, tsCol, steps)
+      .select(col("step"), col("step_name"), col("n_users"))
+    val prev = counts.select((col("step") + 1).as("step"),
+      col("n_users").as("n_prev"))
+    val p = "(cast(n_conv as double) / cast(n_prev as double))"
+    val n = "(cast(n_prev as double))"
+    counts
+      .withColumnRenamed("n_users", "n_conv")
+      .join(prev, "step")
+      .filter(col("n_prev") > 0)
+      .select(col("step"), col("step_name"), col("n_prev"), col("n_conv"),
+        expr(s"round($p, 6)").as("rate"),
+        expr(wilsonBoundSql(p, n, "-", x => x + "d")).as("wilson_lo"),
+        expr(wilsonBoundSql(p, n, "+", x => x + "d")).as("wilson_hi"))
+      .orderBy("step")
+  }
+
   /** Time-to-convert DISTRIBUTION per funnel transition: exact
     * interpolated percentiles (Spark `percentile` == DuckDB
     * `quantile_cont`) of the per-user step lag in seconds — the tail

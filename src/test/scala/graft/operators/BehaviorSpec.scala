@@ -444,6 +444,37 @@ class BehaviorSpec extends AnyFunSuite {
       ("view", 1L, 2.0, Some(10.0))))
   }
 
+  test("funnelWilson: hand-computed interval, empty-prev transitions drop") {
+    // 4 users view; 1 converts to click strictly after; none purchase.
+    // p = 0.25, n = 4, z = 1.96 — replay the exact expression here
+    val ev = Seq(
+      (1L, 10L, "view"), (2L, 10L, "view"), (3L, 10L, "view"),
+      (4L, 10L, "view"), (1L, 20L, "click"))
+      .toDF("user_id", "ts_us", "event_type")
+    val got = Behavior.funnelWilson(ev, "user_id", "ts_us", Seq(
+      "view" -> ($"event_type" === "view"),
+      "click" -> ($"event_type" === "click"),
+      "purchase" -> ($"event_type" === "purchase")))
+      .collect().map(r => (r.getInt(0).toLong, r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))
+      .toSeq
+    def rnd(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val (p, n, z) = (0.25, 4.0, 1.96)
+    val z2 = z * z
+    val center = p + z2 / (2.0 * n)
+    val margin = z * math.sqrt((p * (1.0 - p)) / n + z2 / (4.0 * n * n))
+    val lo = rnd((center - margin) / (1.0 + z2 / n))
+    val hi = rnd((center + margin) / (1.0 + z2 / n))
+    // the click->purchase transition has n_prev = 1 > 0 and 0
+    // conversions: rate 0, lo 0 — present; nothing drops here, but a
+    // zero-user PREVIOUS step would (inner join + n_prev > 0)
+    assert(got.length == 2, got.toString)
+    assert(got.head == (2L, "click", 4L, 1L, 0.25, lo, hi), got.toString)
+    assert(got(1)._1 == 3L && got(1)._4 == 0L && got(1)._5 == 0.0)
+  }
+
   test("seasonalProfile: median and MAD are outlier-immune per cell") {
     val us = 3600000000L
     // hod 0: hourly counts 1, 3, 10 (the 10 is the outlier a mean
