@@ -7066,6 +7066,61 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq68_periodicity — lag-k autocorrelation sweep per event type over
+  // hourly counts (Stats.periodicity): six exact integer sufficient
+  // statistics per (type, lag), one fixed-order double correlation,
+  // per-key peak via struct argmax (no window) — the detector that
+  // picks aq61's season length. The oracle replays the sweep with the
+  // same struct-max tie-break.
+  register(
+    "aq68_periodicity",
+    """WITH s AS (
+      |  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS t,
+      |         count(*)::bigint AS y
+      |  FROM events GROUP BY 1, 2
+      |), l AS (
+      |  SELECT key, t + lag AS t, y AS x, lag
+      |  FROM s, unnest(range(1, 37)) u(lag)
+      |), j AS (
+      |  SELECT l.key, l.lag, l.x, s.y
+      |  FROM l JOIN s ON l.key = s.key AND l.t = s.t
+      |), st AS (
+      |  SELECT key, lag, count(*)::bigint AS n,
+      |         sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+      |         sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx,
+      |         sum(y * y)::bigint AS syy
+      |  FROM j GROUP BY 1, 2
+      |), sw AS (
+      |  SELECT key, lag, n,
+      |         CASE WHEN sqrt((n * sxx - sx * sx)::double)
+      |                   * sqrt((n * syy - sy * sy)::double) > 0
+      |              THEN round((n * sxy - sx * sy)::double
+      |                   / (sqrt((n * sxx - sx * sx)::double)
+      |                      * sqrt((n * syy - sy * sy)::double)), 6)
+      |         END AS r
+      |  FROM st
+      |), pk AS (
+      |  SELECT key, (max(struct_pack(r := r, nl := -lag))).r AS pr,
+      |         -((max(struct_pack(r := r, nl := -lag))).nl) AS pl
+      |  FROM sw WHERE r IS NOT NULL GROUP BY key
+      |)
+      |SELECT sw.key AS key, sw.lag AS lag, sw.n, sw.r,
+      |       (sw.r IS NOT NULL AND pk.pr IS NOT NULL
+      |        AND sw.r = pk.pr AND sw.lag = pk.pl) AS is_peak
+      |FROM sw LEFT JOIN pk ON sw.key = pk.key
+      |ORDER BY sw.key, sw.lag""".stripMargin
+  ) { (s, dir) =>
+    val hourly = t(s, dir, "events")
+      .select(col("event_type"),
+        expr(graft.operators.Behavior.floorDivExpr(
+          "unix_micros(ts)", 3600000000L)).as("t"))
+      .groupBy("event_type", "t")
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Stats.periodicity(
+      hourly, "event_type", "t", "n", maxLag = 36)
+  }
+
+  // ---------------------------------------------------------------------
   // aq67_funnel_wilson — funnel conversion rates with Wilson 95%
   // intervals (Behavior.funnelWilson): the aq27 step counts plus the
   // uncertainty readout; the Wilson expression TEXT is shared between

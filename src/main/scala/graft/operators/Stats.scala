@@ -290,6 +290,71 @@ object Stats {
       .orderBy(keyCol, "t")
   }
 
+  /** Lag-k autocorrelation sweep per series — the periodicity
+    * detector that picks [[holtWinters]]' season length m: for every
+    * lag k ≤ `maxLag`, the Pearson correlation of the series against
+    * itself shifted by k over the overlapping support. A daily cycle
+    * on hourly counts peaks at k = 24; the report is the full
+    * `(key, lag, n, r)` sweep (|keys|·maxLag rows) with `is_peak`
+    * marking each key's best lag.
+    *
+    * Determinism contract: all six sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx², Σy²) are EXACT integer sums over integer counts; the
+    * correlation is one fixed-order double expression of them (exact
+    * below 2⁵³, sqrt IEEE-correctly-rounded) rounded to 6dp —
+    * identical in any engine. Zero-variance windows yield NULL r and
+    * never peak.
+    *
+    * Scale shape: the lag explode multiplies the SERIES GRID (hours ×
+    * keys — gapfill-bounded, never event-sized) by maxLag, one
+    * (key, t)-keyed self-join, one (key, lag) aggregate; the peak flag
+    * is a |keys|-row broadcast argmax join, no window. */
+  def periodicity(
+      series: DataFrame,
+      keyCol: String,
+      tCol: String,
+      yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 512, "maxLag in [1, 512]")
+    val base = Lineage.cutLocal(series.select(col(keyCol).as("key"),
+      col(tCol).cast("long").as("t"), col(yCol).cast("long").as("y")))
+    val left = base
+      .select(col("key"), col("t"), col("y").as("x"),
+        explode(expr(s"sequence(1L, ${maxLag}L)")).as("lag"))
+      .select(col("key"), (col("t") + col("lag")).as("t"), col("x"),
+        col("lag"))
+    val stats = left
+      .join(base.select(col("key"), col("t"), col("y")), Seq("key", "t"))
+      .groupBy("key", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")) *
+      sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double"))
+    val sweep = Lineage.cutLocal(stats.select(col("key"), col("lag"),
+      col("n"),
+      when(den > 0.0, round(num / den, 6)).as("r")))
+    // per-key peak via a broadcast argmax frame (max over the struct
+    // orders by r then by the NEGATED lag -> smallest lag wins ties)
+    val peaks = sweep.filter(col("r").isNotNull)
+      .groupBy("key")
+      .agg(max(struct(col("r"), (-col("lag")).as("nl"))).as("__b"))
+      .select(col("key"), col("__b.r").as("__pr"),
+        (-col("__b.nl")).as("__pl"))
+    sweep.join(broadcast(peaks), Seq("key"), "left")
+      .select(col("key"), col("lag"), col("n"), col("r"),
+        (col("r").isNotNull && col("__pr").isNotNull &&
+          col("r") === col("__pr") && col("lag") === col("__pl"))
+          .as("is_peak"))
+      .orderBy("key", "lag")
+  }
+
   /** GENERATED DuckDB oracle for [[holtWinters]] over per-key hourly
     * counts of `events` (the aq61 gate shape): the same integer
     * recursion as a recursive CTE, seasonal ring carried as a LIST,

@@ -64,6 +64,23 @@ class StatsSpec extends AnyFunSuite {
       one.isNullAt(5))
   }
 
+  test("periodicity: period-2 series peaks at lag 2; constant series " +
+      "never peaks") {
+    val rows =
+      (0L until 10L).map(t => ("p", t, if (t % 2 == 0) 1L else 5L)) ++
+        (0L until 10L).map(t => ("c", t, 3L))
+    val got = Stats.periodicity(rows.toDF("key", "t", "y"),
+      "key", "t", "y", maxLag = 3)
+      .as[(String, Long, Long, Option[Double], Boolean)].collect().toSeq
+    val p = got.filter(_._1 == "p")
+    assert(p.map(x => (x._2, x._4, x._5)) == Seq(
+      (1L, Some(-1.0), false),
+      (2L, Some(1.0), true),
+      (3L, Some(-1.0), false)), p.toString)
+    val c = got.filter(_._1 == "c")
+    assert(c.forall(x => x._4.isEmpty && !x._5), c.toString)
+  }
+
   test("holtWinters: hand-computed level/trend/seasonal recursion " +
       "(incl. a floor tie)") {
     // m=2, α=1/2, β=1/4, γ=1/2, y=[4,8,6,10] — micro-unit trace:
