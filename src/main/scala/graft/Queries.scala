@@ -7066,6 +7066,32 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // sq18_softsign_train — in-engine binary classifier training
+  // (Clustering.softsignRegression): 4 rounds of batch gradient
+  // descent predicting lang='en' from length features, with a SOFTSIGN
+  // sigmoid — pure rational arithmetic, zero libm, so the whole
+  // trajectory (per-round 6dp decimal gradient sums, 12dp weight
+  // pins, integer accuracy counts) replays bit-exactly. The oracle
+  // unrolls the rounds (the aq33/aq44 discipline).
+  register(
+    "sq18_softsign_train",
+    graft.operators.Clustering.softsignRegressionOracleSql(
+      "documents",
+      Seq("x1" -> "n_chars::double / 1000.0::double",
+        "x2" -> "len(string_split(text, ' '))::double / 100.0::double"),
+      "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+      iterations = 4, learningRate = 0.1)
+  ) { (s, dir) =>
+    val feats = t(s, dir, "documents").select(
+      expr("cast(n_chars as double) / 1000.0d").as("x1"),
+      expr("cast(size(split(text, ' ')) as double) / 100.0d").as("x2"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
+    graft.operators.Clustering.softsignRegression(
+      feats, Seq("x1", "x2"), "label",
+      iterations = 4, learningRate = 0.1)
+  }
+
+  // ---------------------------------------------------------------------
   // aq68_periodicity — lag-k autocorrelation sweep per event type over
   // hourly counts (Stats.periodicity): six exact integer sufficient
   // statistics per (type, lag), one fixed-order double correlation,

@@ -346,4 +346,133 @@ object Clustering {
       |LIMIT $topK""".stripMargin)
     sb.toString
   }
+
+  /** In-engine binary classifier training by batch gradient descent —
+    * the "learn a quality/language gate from the corpus' own signals"
+    * primitive, beside k-means (aq33) and PCA (sq10) in the
+    * deterministic-trajectory family. The squashing function is the
+    * SOFTSIGN sigmoid `σ(m) = 0.5·(1 + m/(1+|m|))` — pure rational
+    * arithmetic, NO libm call anywhere (exp/log drift across engines;
+    * softsign is IEEE add/mul/div/abs, bit-identical everywhere), so
+    * the whole trajectory replays exactly.
+    *
+    * Per round: margins from the previous weights (a fixed-order
+    * linear expression), per-row gradient terms `round((σ−y)·xⱼ, 6)`
+    * DECIMAL-summed (order-independent), weights updated
+    * `wⱼ ← round(wⱼ − lr·(gⱼ/n), 12)` — the pageRank 12dp-pin
+    * discipline. Output one row per round:
+    * `(round, n_correct, w_0..w_k)` where `n_correct` counts
+    * `margin ≥ 0 ⇔ y = 1` under the PRE-update weights (an integer —
+    * exact) and the weights are AFTER the round's update.
+    *
+    * Scale shape: the feature frame is built once and lineage-cut;
+    * each round is ONE map-side-combined aggregate (k+1 decimal sums
+    * + a count); driver state is k+1 doubles (the aq33 centroid
+    * discipline). Rounds and k are small constants by contract. */
+  def softsignRegression(
+      features: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      iterations: Int,
+      learningRate: Double): DataFrame = {
+    require(iterations >= 1 && iterations <= 16, "iterations in [1, 16]")
+    require(featureCols.nonEmpty && featureCols.size <= 16,
+      "1..16 features")
+    val spark = features.sparkSession
+    val cols = "__bias" +: featureCols
+    val base = Lineage.cutLocal(features
+      .select((lit(1.0).as("__bias") +: featureCols.map(col) :+
+        col(labelCol).cast("double").as("__y")): _*))
+    def r12(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    var w = Vector.fill(cols.size)(0.0)
+    val rows = Vector.newBuilder[org.apache.spark.sql.Row]
+    for (t <- 1 to iterations) {
+      // margin under the PRE-update weights, fixed evaluation order;
+      // Double.toString round-trips, D-suffixed literals stay double
+      val m = cols.zipWithIndex
+        .map { case (c, i) => s"(${w(i)}d * $c)" }.mkString(" + ")
+      val sig = s"(0.5d * (1.0d + ($m) / (1.0d + abs($m))))"
+      val aggs =
+        cols.map(c => expr(
+          s"sum(cast(round(($sig - __y) * $c, 6) as decimal(18,6)))")
+          .as(s"__g_$c")) :+
+          sum(when(expr(s"(($m) >= 0.0d) = (__y = 1.0d)"), 1L)
+            .otherwise(0L)).as("__correct") :+
+          count(lit(1)).as("__n")
+      val row = base.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getAs[Long]("__n")
+      require(n > 0, "softsignRegression: empty feature frame")
+      val g = cols.map(c =>
+        Option(row.getAs[java.math.BigDecimal](s"__g_$c"))
+          .map(_.doubleValue()).getOrElse(0.0))
+      w = Vector.tabulate(cols.size)(i =>
+        r12(w(i) - learningRate * (g(i) / n)))
+      rows += org.apache.spark.sql.Row.fromSeq(
+        t +: row.getAs[Long]("__correct") +: w)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      StructField("round", IntegerType) ::
+        StructField("n_correct", LongType) ::
+        cols.toList.map(c => StructField(
+          if (c == "__bias") "w_bias" else s"w_$c", DoubleType)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows.result()).asJava,
+      schema).orderBy("round")
+  }
+
+  /** GENERATED DuckDB oracle for [[softsignRegression]]: the gradient
+    * rounds unrolled — per round one gradient CTE (the same
+    * 6dp-rounded decimal sums) and one weight CTE (the same 12dp
+    * update from scalar subqueries) — the aq33/aq44
+    * unrolled-trajectory discipline. `featureExprs` are
+    * `(name, duckdb expression)`; all mixed decimal literals promote
+    * to double exactly, matching the Spark side's D-suffixed ones. */
+  def softsignRegressionOracleSql(
+      table: String,
+      featureExprs: Seq[(String, String)],
+      labelExpr: String,
+      iterations: Int,
+      learningRate: Double): String = {
+    val names = "b" +: featureExprs.map(_._1)
+    val fCols = "1.0::double AS b, " +
+      featureExprs.map { case (n, e) => s"($e)::double AS $n" }
+        .mkString(", ") + s", ($labelExpr)::double AS y"
+    def outName(n: String) = if (n == "b") "w_bias" else s"w_$n"
+    def wRef(t: Int, n: String) =
+      if (t == 0) "0.0::double" else s"(SELECT ${outName(n)} FROM w$t)"
+    def margin(t: Int) =
+      names.map(n => s"(${wRef(t, n)} * $n)").mkString(" + ")
+    val rounds = (1 to iterations).map { t =>
+      val m = margin(t - 1)
+      val sig = s"(0.5 * (1.0 + ($m) / (1.0 + abs($m))))"
+      val gs = names.map(n =>
+        s"sum(round(($sig - y) * $n, 6)::decimal(18,6)) AS g_$n")
+        .mkString(",\n         ")
+      val ws = names.map(n =>
+        s"round(${wRef(t - 1, n)} - $learningRate * " +
+          s"((SELECT g_$n FROM g$t)::double / (SELECT n FROM nn)), 12)" +
+          s" AS ${outName(n)}").mkString(",\n         ")
+      s""", g$t AS MATERIALIZED (
+         |  SELECT $gs,
+         |         sum(CASE WHEN (($m) >= 0.0) = (y = 1.0)
+         |                  THEN 1 ELSE 0 END)::bigint AS correct
+         |  FROM f
+         |), w$t AS MATERIALIZED (
+         |  SELECT $ws
+         |)""".stripMargin
+    }.mkString("\n")
+    val sel = (1 to iterations).map { t =>
+      s"SELECT $t AS round, (SELECT correct FROM g$t) AS n_correct, " +
+        names.map(n =>
+          s"(SELECT ${outName(n)} FROM w$t) AS ${outName(n)}")
+          .mkString(", ")
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS MATERIALIZED (SELECT $fCols FROM $table),
+       |nn AS (SELECT count(*)::bigint AS n FROM f)
+       |$rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
 }

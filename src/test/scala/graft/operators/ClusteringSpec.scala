@@ -77,4 +77,16 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out.forall(_._3 >= 0.99), s"tight cells must cohere: ${out.toSeq}")
     assert(out.forall(c => c._4 <= c._3 && c._3 <= 1.0))
   }
+
+  test("softsignRegression: hand-computed two-point trajectory") {
+    // (x=1, y=1), (x=-1, y=0), lr=0.5:
+    // r1: m=0, sig=0.5 -> g_b=0, g_x=-1, correct=1; w=(0, 0.25)
+    // r2: m=±0.25, sig=0.6/0.4 -> g_x=-0.8, correct=2; w=(0, 0.45)
+    val df = Seq((1.0, 1.0), (-1.0, 0.0)).toDF("x", "label")
+    val got = Clustering.softsignRegression(
+      df, Seq("x"), "label", iterations = 2, learningRate = 0.5)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1, 1L, 0.0, 0.25), (2, 2L, 0.0, 0.45)),
+      got.toString)
+  }
 }
