@@ -7226,10 +7226,11 @@ ORDER BY query_id"""
       |)
       |SELECT nation, count(*)::bigint AS n_members,
       |       sum(cents)::bigint AS total,
-      |       round((2 * sum(rk::decimal(38,0) * cents)
+      |       CASE WHEN sum(cents::decimal(38,0)) > 0 THEN
+      |         round((2 * sum(rk::decimal(38,0) * cents)
       |               - (count(*) + 1) * sum(cents::decimal(38,0)))::double
       |             / (count(*) * sum(cents::decimal(38,0)))::double, 6)
-      |         AS gini
+      |       END AS gini
       |FROM ranked
       |GROUP BY nation
       |ORDER BY nation""".stripMargin

@@ -303,10 +303,12 @@ object Profile {
         expr("sum(cast(rank as decimal(38,0)) * __x)").as("__s1"),
         expr("sum(cast(__x as decimal(38,0)))").as("__s0"))
       .select(col(groupCol), col("n_members"), col("total"),
-        round(
+        // an all-zero group has no defined concentration — and ANSI
+        // mode THROWS on the double division by zero it would hit
+        when(col("__s0") > 0, round(
           (lit(2) * col("__s1") - (col("n_members") + 1) * col("__s0"))
             .cast("double") /
-            (col("n_members") * col("__s0")).cast("double"), 6)
+            (col("n_members") * col("__s0")).cast("double"), 6))
           .as("gini"))
       .orderBy(groupCol)
   }

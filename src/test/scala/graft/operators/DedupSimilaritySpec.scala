@@ -1112,5 +1112,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // (3, 6) = "ab" vs "abcd" is distance 2: candidates from the index
     // never include it, and the verify would kill it anyway
     assert(!got.exists(p => p._1 == 3L && p._2 == 6L))
+    // empty strings: no deletion variants (Spark sequence(1,0) would
+    // otherwise yield [1,0] with its default -1 step); "" pairs with
+    // "" at 0 and with 1-char strings at 1
+    val e = Dedup.editDistancePairs(
+      Seq((1L, ""), (2L, ""), (3L, "a"), (4L, "bc")).toDF("id", "name"),
+      "id", "name").as[(Long, Long, Long)].collect().toSeq
+    assert(e == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      e.toString)
   }
 }

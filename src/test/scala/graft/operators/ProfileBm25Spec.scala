@@ -163,6 +163,12 @@ class ProfileBm25Spec extends AnyFunSuite {
     assert(got == Seq(
       ("even", 4L, 20L, 0.0),
       ("onep", 4L, 10L, 0.75)), got.toString)
+    // an all-zero group has no defined concentration: NULL, not an
+    // ANSI divide-by-zero crash
+    val z = Profile.giniConcentration(
+      Seq(("z", 1L, 0L), ("z", 2L, 0L)).toDF("g", "id", "v"),
+      "g", "id", "v").collect()
+    assert(z.length == 1 && z.head.isNullAt(3), z.mkString)
   }
 
   test("benfordAudit: digit extraction, zero-count digits, chi2 replay") {
