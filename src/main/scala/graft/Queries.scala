@@ -7092,6 +7092,73 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq70_apportion — Hamilton largest-remainder apportionment of a
+  // 1000-unit sampling quota across nations by order volume
+  // (Profile.apportion): pure integer arithmetic, sum of allocated
+  // seats exactly equals the budget — the quota-allocation primitive
+  // behind per-source sampling budgets and shard assignment.
+  register(
+    "aq70_apportion",
+    """WITH w AS (
+      |  SELECT n.n_name AS key, count(*)::bigint AS weight
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1
+      |), t AS (SELECT sum(weight)::bigint AS W FROM w),
+      |b AS (
+      |  SELECT key, weight,
+      |         (weight * 1000) // (SELECT W FROM t) AS base,
+      |         (weight * 1000) % (SELECT W FROM t) AS rem
+      |  FROM w
+      |), l AS (SELECT 1000 - sum(base)::bigint AS leftover FROM b),
+      |r AS (
+      |  SELECT key, weight, base, rem,
+      |         row_number() OVER (ORDER BY rem DESC, key) AS rk
+      |  FROM b
+      |)
+      |SELECT key, weight,
+      |       (base + CASE WHEN rk <= (SELECT leftover FROM l)
+      |                    THEN 1 ELSE 0 END)::bigint AS seats
+      |FROM r
+      |ORDER BY key""".stripMargin
+  ) { (s, dir) =>
+    val byNation = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"))
+    graft.operators.Profile.apportion(
+      byNation, "n_name", "n_orders", seats = 1000L)
+  }
+
+  // ---------------------------------------------------------------------
+  // sq19_softsign_score — train sq18's gate, then score the corpus
+  // with the FINAL weights and report per-language confusion counts
+  // (Clustering.softsignScore) — the generalization readout. The
+  // oracle re-runs the unrolled training and scores with the same
+  // final-weight margin expression.
+  register(
+    "sq19_softsign_score",
+    graft.operators.Clustering.softsignScoreOracleSql(
+      "documents",
+      Seq("x1" -> "n_chars::double / 1000.0::double",
+        "x2" -> "len(string_split(text, ' '))::double / 100.0::double"),
+      "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+      groupExpr = "lang",
+      iterations = 4, learningRate = 0.1)
+  ) { (s, dir) =>
+    val feats = t(s, dir, "documents").select(
+      col("lang"),
+      expr("cast(n_chars as double) / 1000.0d").as("x1"),
+      expr("cast(size(split(text, ' ')) as double) / 100.0d").as("x2"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
+    graft.operators.Clustering.softsignScore(
+      feats, Seq("x1", "x2"), "label", "lang",
+      iterations = 4, learningRate = 0.1)
+  }
+
+  // ---------------------------------------------------------------------
   // aq68_periodicity — lag-k autocorrelation sweep per event type over
   // hourly counts (Stats.periodicity): six exact integer sufficient
   // statistics per (type, lag), one fixed-order double correlation,

@@ -422,6 +422,82 @@ object Clustering {
       schema).orderBy("round")
   }
 
+  /** Train with [[softsignRegression]], then score EVERY row with the
+    * final round's weights and report per-group confusion counts
+    * `(grp, n, n_pred_pos, n_correct)` — the "did the learned gate
+    * generalize per language/source" readout. The margin under the
+    * final weights is the same fixed-order expression the last
+    * training round used, so scoring replays exactly. */
+  def softsignScore(
+      features: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      groupCol: String,
+      iterations: Int,
+      learningRate: Double): DataFrame = {
+    val fin = softsignRegression(features, featureCols, labelCol,
+      iterations, learningRate)
+      .filter(col("round") === iterations).head()
+    val terms = s"(${fin.getAs[Double]("w_bias")}d * 1.0d)" +:
+      featureCols.map(c => s"(${fin.getAs[Double](s"w_$c")}d * $c)")
+    val m = terms.mkString(" + ")
+    features
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(expr(s"($m) >= 0.0d"), 1L).otherwise(0L))
+          .as("n_pred_pos"),
+        sum(when(expr(s"(($m) >= 0.0d) = " +
+          s"(cast($labelCol as double) = 1.0d)"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .orderBy("grp")
+  }
+
+  private def softsignOutName(n: String) =
+    if (n == "b") "w_bias" else s"w_$n"
+
+  /** The shared training CTE chain: `f` (features + label), `nn`, and
+    * per round `g$t` / `w$t`. `extraFCols` lets a scoring oracle carry
+    * grouping columns through `f`. */
+  private def softsignTrainCtes(
+      table: String,
+      featureExprs: Seq[(String, String)],
+      labelExpr: String,
+      iterations: Int,
+      learningRate: Double,
+      extraFCols: String = ""): String = {
+    val names = "b" +: featureExprs.map(_._1)
+    val fCols = "1.0::double AS b, " +
+      featureExprs.map { case (n, e) => s"($e)::double AS $n" }
+        .mkString(", ") + s", ($labelExpr)::double AS y" + extraFCols
+    def wRef(t: Int, n: String) =
+      if (t == 0) "0.0::double"
+      else s"(SELECT ${softsignOutName(n)} FROM w$t)"
+    def margin(t: Int) =
+      names.map(n => s"(${wRef(t, n)} * $n)").mkString(" + ")
+    val rounds = (1 to iterations).map { t =>
+      val m = margin(t - 1)
+      val sig = s"(0.5 * (1.0 + ($m) / (1.0 + abs($m))))"
+      val gs = names.map(n =>
+        s"sum(round(($sig - y) * $n, 6)::decimal(18,6)) AS g_$n")
+        .mkString(",\n         ")
+      val ws = names.map(n =>
+        s"round(${wRef(t - 1, n)} - $learningRate * " +
+          s"((SELECT g_$n FROM g$t)::double / (SELECT n FROM nn)), 12)" +
+          s" AS ${softsignOutName(n)}").mkString(",\n         ")
+      s""", g$t AS MATERIALIZED (
+         |  SELECT $gs,
+         |         sum(CASE WHEN (($m) >= 0.0) = (y = 1.0)
+         |                  THEN 1 ELSE 0 END)::bigint AS correct
+         |  FROM f
+         |), w$t AS MATERIALIZED (
+         |  SELECT $ws
+         |)""".stripMargin
+    }.mkString("\n")
+    s"""WITH f AS MATERIALIZED (SELECT $fCols FROM $table),
+       |nn AS (SELECT count(*)::bigint AS n FROM f)
+       |$rounds""".stripMargin
+  }
+
   /** GENERATED DuckDB oracle for [[softsignRegression]]: the gradient
     * rounds unrolled — per round one gradient CTE (the same
     * 6dp-rounded decimal sums) and one weight CTE (the same 12dp
@@ -436,43 +512,40 @@ object Clustering {
       iterations: Int,
       learningRate: Double): String = {
     val names = "b" +: featureExprs.map(_._1)
-    val fCols = "1.0::double AS b, " +
-      featureExprs.map { case (n, e) => s"($e)::double AS $n" }
-        .mkString(", ") + s", ($labelExpr)::double AS y"
-    def outName(n: String) = if (n == "b") "w_bias" else s"w_$n"
-    def wRef(t: Int, n: String) =
-      if (t == 0) "0.0::double" else s"(SELECT ${outName(n)} FROM w$t)"
-    def margin(t: Int) =
-      names.map(n => s"(${wRef(t, n)} * $n)").mkString(" + ")
-    val rounds = (1 to iterations).map { t =>
-      val m = margin(t - 1)
-      val sig = s"(0.5 * (1.0 + ($m) / (1.0 + abs($m))))"
-      val gs = names.map(n =>
-        s"sum(round(($sig - y) * $n, 6)::decimal(18,6)) AS g_$n")
-        .mkString(",\n         ")
-      val ws = names.map(n =>
-        s"round(${wRef(t - 1, n)} - $learningRate * " +
-          s"((SELECT g_$n FROM g$t)::double / (SELECT n FROM nn)), 12)" +
-          s" AS ${outName(n)}").mkString(",\n         ")
-      s""", g$t AS MATERIALIZED (
-         |  SELECT $gs,
-         |         sum(CASE WHEN (($m) >= 0.0) = (y = 1.0)
-         |                  THEN 1 ELSE 0 END)::bigint AS correct
-         |  FROM f
-         |), w$t AS MATERIALIZED (
-         |  SELECT $ws
-         |)""".stripMargin
-    }.mkString("\n")
     val sel = (1 to iterations).map { t =>
       s"SELECT $t AS round, (SELECT correct FROM g$t) AS n_correct, " +
         names.map(n =>
-          s"(SELECT ${outName(n)} FROM w$t) AS ${outName(n)}")
-          .mkString(", ")
+          s"(SELECT ${softsignOutName(n)} FROM w$t) AS " +
+            softsignOutName(n)).mkString(", ")
     }.mkString("\nUNION ALL\n")
-    s"""WITH f AS MATERIALIZED (SELECT $fCols FROM $table),
-       |nn AS (SELECT count(*)::bigint AS n FROM f)
-       |$rounds
-       |$sel
-       |ORDER BY round""".stripMargin
+    softsignTrainCtes(table, featureExprs, labelExpr, iterations,
+      learningRate) + s"\n$sel\nORDER BY round"
+  }
+
+  /** GENERATED DuckDB oracle for the sq19 gate: train (the same
+    * unrolled rounds), then score every row with the FINAL weights and
+    * report the per-`groupExpr` confusion counts. */
+  def softsignScoreOracleSql(
+      table: String,
+      featureExprs: Seq[(String, String)],
+      labelExpr: String,
+      groupExpr: String,
+      iterations: Int,
+      learningRate: Double): String = {
+    val names = "b" +: featureExprs.map(_._1)
+    val m = names.map(n =>
+      s"((SELECT ${softsignOutName(n)} FROM w$iterations) * $n)")
+      .mkString(" + ")
+    softsignTrainCtes(table, featureExprs, labelExpr, iterations,
+      learningRate, extraFCols = s", ($groupExpr) AS grp") +
+      s"""|
+          |SELECT grp, count(*)::bigint AS n,
+          |       sum(CASE WHEN ($m) >= 0.0 THEN 1 ELSE 0 END)::bigint
+          |         AS n_pred_pos,
+          |       sum(CASE WHEN (($m) >= 0.0) = (y = 1.0)
+          |                THEN 1 ELSE 0 END)::bigint AS n_correct
+          |FROM f
+          |GROUP BY grp
+          |ORDER BY grp""".stripMargin
   }
 }

@@ -313,6 +313,46 @@ object Profile {
       .orderBy(groupCol)
   }
 
+  /** Hamilton largest-remainder apportionment (Hamilton 1792; the
+    * quota method) — allocate an integer budget (sample quota, shard
+    * count, seat total) across groups proportionally to integer
+    * weights, EXACTLY: base share `⌊seats·wᵢ/W⌋` plus one extra seat
+    * to the `seats − Σbase` largest remainders (ties broken on the
+    * key). Σ output seats == `seats` identically — the property
+    * floor-only or rounded allocation violates.
+    *
+    * Determinism contract: pure integer arithmetic (products, floor
+    * div, mod — weights must sum positive and `seats·wᵢ` must fit a
+    * long); the remainder rank is unique via the key tie-break.
+    *
+    * Scale shape: one grouped-weight aggregate feeds a GROUPS-sized
+    * frame; the remainder rank is a dimension-sized window (the aq20
+    * reasoning — groups are nations/sources, never data rows).
+    * Returns `(key, weight, seats)`. */
+  def apportion(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      seats: Long): DataFrame = {
+    require(seats >= 0, "seats must be non-negative")
+    val w = df.select(col(keyCol).as("key"),
+      col(weightCol).cast("long").as("weight"))
+    val based = w
+      .crossJoin(broadcast(w.agg(sum("weight").as("__W"))))
+      .withColumn("__qn", col("weight") * seats)
+      .withColumn("__base", expr("__qn div __W"))
+      .withColumn("__rem", expr("__qn % __W"))
+    val ranked = based
+      .crossJoin(broadcast(based.agg(
+        (lit(seats) - sum("__base")).as("__leftover"))))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col("key"))))
+    ranked.select(col("key"), col("weight"),
+        (col("__base") + when(col("__rk") <= col("__leftover"), 1L)
+          .otherwise(0L)).as("seats"))
+      .orderBy("key")
+  }
+
   /** GENERATED DuckDB oracle for [[benfordAudit]]: the same digit
     * extraction, the same nine embedded `p(d)` literals, the same
     * fixed-order χ² arithmetic. `valueExpr` is the value column

@@ -171,6 +171,22 @@ class ProfileBm25Spec extends AnyFunSuite {
     assert(z.length == 1 && z.head.isNullAt(3), z.mkString)
   }
 
+  test("apportion: seats sum exactly; largest remainders win; key ties") {
+    // weights 5,3,2 over 7 seats: quotas 3.571/2.143/1.429 ->
+    // bases 3/2/1 (6), leftover 1 goes to the largest remainder (a: 4)
+    val df = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "w")
+    val got = Profile.apportion(df, "k", "w", seats = 7L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 5L, 4L), ("b", 3L, 2L), ("c", 2L, 1L)),
+      got.toString)
+    assert(got.map(_._3).sum == 7L)
+    // equal remainders break on the key: 1,1 over 3 seats -> a gets 2
+    val tie = Profile.apportion(
+      Seq(("a", 1L), ("b", 1L)).toDF("k", "w"), "k", "w", seats = 3L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(tie == Seq(("a", 1L, 2L), ("b", 1L, 1L)), tie.toString)
+  }
+
   test("benfordAudit: digit extraction, zero-count digits, chi2 replay") {
     // digits: 1.5 -> 1, 19 -> 1, 23 -> 2, 9.99 -> 9; 0.5 floors to 0
     // and is excluded (no leading digit)
