@@ -7092,6 +7092,77 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // tq27_zipf_fit — Zipf rank-frequency OLS over the corpus vocabulary
+  // (TextAnalysis.zipfFit): log-log slope of the top-1000 words —
+  // natural text ≈ −1, template-heavy corpora bend it. 6dp ln terms,
+  // 10dp product terms, decimal sums; intercept reuses the rounded
+  // slope.
+  register(
+    "tq27_zipf_fit",
+    """WITH wd AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |), f AS (
+      |  SELECT w, count(*)::bigint AS f FROM wd WHERE w <> '' GROUP BY 1
+      |), top AS (
+      |  SELECT w, f FROM f ORDER BY f DESC, w LIMIT 1000
+      |), r AS (
+      |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rk FROM top
+      |), t AS (
+      |  SELECT round(ln(rk::double), 6) AS lr,
+      |         round(ln(f::double), 6) AS lf
+      |  FROM r
+      |), s AS (
+      |  SELECT count(*)::bigint AS n,
+      |         sum(lr::decimal(18,6)) AS sx,
+      |         sum(lf::decimal(18,6)) AS sy,
+      |         sum(round(lr * lf, 10)::decimal(28,10)) AS sxy,
+      |         sum(round(lr * lr, 10)::decimal(28,10)) AS sxx
+      |  FROM t
+      |), sl AS (
+      |  SELECT n, sx, sy,
+      |         CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+      |           round((n * sxy - sx * sy)::double
+      |                 / (n * sxx - sx * sx)::double, 6)
+      |         END AS slope
+      |  FROM s
+      |)
+      |SELECT n AS n_ranked, slope,
+      |       round((sy::double - slope * sx::double) / n, 6) AS intercept
+      |FROM sl""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.zipfFit(
+      t(s, dir, "documents"), "text", topN = 1000)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq71_dispersion — index of dispersion (Fano factor) per event type
+  // over hourly counts (Stats.dispersionIndex): variance-to-mean from
+  // three exact integer sufficient statistics, one sub-2^53 double
+  // division — the burstiness screen (Poisson ≈ 1, bot storms >> 1).
+  register(
+    "aq71_dispersion",
+    """WITH s AS (
+      |  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS t,
+      |         count(*)::bigint AS x
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT key, count(*)::bigint AS n_buckets,
+      |       sum(x)::bigint AS total,
+      |       CASE WHEN sum(x) > 0 THEN
+      |         round((count(*) * sum(x * x) - sum(x) * sum(x))::double
+      |               / (count(*) * sum(x))::double, 6)
+      |       END AS dispersion
+      |FROM s
+      |GROUP BY key
+      |ORDER BY key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.dispersionIndex(
+      t(s, dir, "events").select(col("event_type"),
+        unix_micros(col("ts")).as("ts_us")),
+      "event_type", "ts_us")
+  }
+
+  // ---------------------------------------------------------------------
   // aq70_apportion — Hamilton largest-remainder apportionment of a
   // 1000-unit sampling quota across nations by order volume
   // (Profile.apportion): pure integer arithmetic, sum of allocated

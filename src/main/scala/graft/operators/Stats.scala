@@ -290,6 +290,42 @@ object Stats {
       .orderBy(keyCol, "t")
   }
 
+  /** Index of dispersion (Fano factor) per series — the burstiness
+    * screen beside the detectors: variance-to-mean ratio of the
+    * series' bucket counts. Poisson-like arrivals sit near 1; bursty
+    * series (bot storms, batch jobs masquerading as users) blow past
+    * it; over-regular ones (heartbeats) sit below.
+    *
+    * Determinism contract: `D = (n·Σx² − (Σx)²) / (n·Σx)` — three
+    * exact integer sufficient statistics, ONE division of sub-2⁵³
+    * doubles rounded to 6dp, identical in any engine (this is the
+    * sample-variance·(n−1)/mean·n rescaling — the ratio of integer
+    * quadratics, no intermediate float). Zero-sum series yield NULL.
+    *
+    * Scale shape: one bucket aggregate over events, one |keys|-row
+    * aggregate. Returns `(key, n_buckets, total, dispersion)`. */
+  def dispersionIndex(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    val hourly = events
+      .select(col(keyCol).as("key"),
+        expr(Behavior.floorDivExpr(tsCol, bucketUs)).as("t"))
+      .groupBy("key", "t").agg(count(lit(1)).as("x"))
+    hourly.groupBy("key")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("x")).as("total"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .select(col("key"), col("n_buckets"), col("total"),
+        when(col("total") > 0, round(
+          (col("n_buckets") * col("__sxx") - col("total") * col("total"))
+            .cast("double") /
+            (col("n_buckets") * col("total")).cast("double"), 6))
+          .as("dispersion"))
+      .orderBy("key")
+  }
+
   /** Lag-k autocorrelation sweep per series — the periodicity
     * detector that picks [[holtWinters]]' season length m: for every
     * lag k ≤ `maxLag`, the Pearson correlation of the series against

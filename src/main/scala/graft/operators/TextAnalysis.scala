@@ -799,6 +799,59 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Zipf rank-frequency fit (Zipf 1949) over the corpus vocabulary —
+    * the distribution-health check: natural text's log-log
+    * rank-frequency line has slope ≈ −1; template/boilerplate-heavy or
+    * synthetic corpora bend it. OLS over the top-`topN` words'
+    * `(ln rank, ln freq)`: returns ONE row
+    * `(n_ranked, slope, intercept)`.
+    *
+    * Determinism contract: ranks break ties on the word; each ln term
+    * rounds to 6dp and each product term to 10dp before DECIMAL
+    * summation (order-independent — the tq8 discipline; both engines
+    * ln() the same integer-valued double, the tq20 precedent); slope
+    * is one double division of exact decimal differences, and the
+    * intercept reuses the ROUNDED slope.
+    *
+    * Scale shape: one vocab-bounded word count, a TakeOrdered top-N
+    * (no global sort), then all arithmetic on the ≤topN frame. */
+  def zipfFit(
+      docs: DataFrame,
+      textCol: String,
+      topN: Int = 1000): DataFrame = {
+    require(topN >= 2 && topN <= 100000, "topN in [2, 100000]")
+    import org.apache.spark.sql.expressions.Window
+    val freqs = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(topN)
+    // ≤topN rows: the no-partition rank window is bounded by the cap,
+    // not by data (the aq20 dimension-frame reasoning)
+    val terms = freqs
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("f").desc, col("w"))))
+      .select(expr("round(ln(cast(rk as double)), 6)").as("lr"),
+        expr("round(ln(cast(f as double)), 6)").as("lf"))
+    val agg = terms.agg(
+      count(lit(1)).as("n"),
+      sum(col("lr").cast("decimal(18,6)")).as("sx"),
+      sum(col("lf").cast("decimal(18,6)")).as("sy"),
+      sum(expr("cast(round(lr * lf, 10) as decimal(28,10))")).as("sxy"),
+      sum(expr("cast(round(lr * lr, 10) as decimal(28,10))")).as("sxx"))
+    agg
+      .withColumn("slope",
+        when((col("n") * col("sxx") - col("sx") * col("sx")) =!= 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), 6)))
+      .select(col("n").as("n_ranked"), col("slope"),
+        round((col("sy").cast("double") -
+          col("slope") * col("sx").cast("double")) / col("n"), 6)
+          .as("intercept"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004) over the
     * corpus: words are nodes, co-occurrence within a distance-2 window
     * (in any document) adds one parallel edge in each direction, and

@@ -64,6 +64,20 @@ class StatsSpec extends AnyFunSuite {
       one.isNullAt(5))
   }
 
+  test("dispersionIndex: constant series 0, bursty series > 1") {
+    val us = 3600000000L
+    val rows =
+      Seq.fill(2)(("a", 0L * us)) ++ Seq.fill(2)(("a", 1L * us)) ++
+        Seq.fill(2)(("a", 2L * us)) ++
+        Seq.fill(1)(("b", 0L * us)) ++ Seq.fill(5)(("b", 1L * us))
+    val got = Stats.dispersionIndex(
+      rows.toDF("event_type", "ts_us"), "event_type", "ts_us")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // a: (3·12 − 36)/(3·6) = 0; b: (2·26 − 36)/(2·6) = 16/12
+    assert(got == Seq(("a", 3L, 6L, 0.0), ("b", 2L, 6L, 1.333333)),
+      got.toString)
+  }
+
   test("periodicity: period-2 series peaks at lag 2; constant series " +
       "never peaks") {
     val rows =

@@ -375,6 +375,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 == "b" && p._2 == "c"))
   }
 
+  test("zipfFit: three-word corpus matches a driver OLS replay") {
+    // freqs a:4 b:2 c:1 -> ranks 1,2,3
+    val docs = Seq((1L, "a a b a c a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs, "text").head()
+    def r(x: Double, s: Int) = java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    val pts = Seq((1, 4), (2, 2), (3, 1)).map { case (rk, f) =>
+      (r(math.log(rk.toDouble), 6), r(math.log(f.toDouble), 6))
+    }
+    val n = pts.size
+    def dsum(xs: Seq[Double]) = xs.map(BigDecimal(_)).sum.toDouble
+    val (sx, sy) = (dsum(pts.map(_._1)), dsum(pts.map(_._2)))
+    val sxy = dsum(pts.map(p => r(p._1 * p._2, 10)))
+    val sxx = dsum(pts.map(p => r(p._1 * p._1, 10)))
+    val slope = r((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    val intercept = r((sy - slope * sx) / n, 6)
+    assert(got.getLong(0) == 3L)
+    assert(got.getDouble(1) == slope && got.getDouble(2) == intercept,
+      s"$got vs ($slope, $intercept)")
+    // near-Zipf corpus: slope is negative and steep-ish
+    assert(got.getDouble(1) < -0.5)
+  }
+
   test("textRank: symmetric two-word graph is the 0.5/0.5 fixed point; " +
       "empty tokens and self-pairs drop") {
     // "a  b a": the double space makes an empty token (dropped), the
