@@ -7092,6 +7092,48 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // sq20_copurchase — item-item co-occurrence similarity over customer
+  // baskets (Similarity.coOccurrenceSimilarity): "bought X also bought
+  // Y" cosine of binary user-incidence vectors — exact integer counts,
+  // one IEEE-sqrt division, heavy users cut at 200 items (the DIMSUM
+  // bound), top-100 by (cosine, pair). The collaborative-filtering
+  // kernel beside the embedding ANN family.
+  register(
+    "sq20_copurchase",
+    """WITH b AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), kept AS MATERIALIZED (
+      |  SELECT b.u, b.i FROM b
+      |  JOIN (SELECT u FROM b GROUP BY u HAVING count(*) <= 200) k
+      |    ON b.u = k.u
+      |), deg AS MATERIALIZED (
+      |  SELECT i AS item, count(*)::bigint AS n FROM kept GROUP BY 1
+      |), pairs AS MATERIALIZED (
+      |  SELECT a.i AS item_a, b2.i AS item_b, count(*)::bigint AS n_both
+      |  FROM kept a JOIN kept b2 ON a.u = b2.u AND a.i < b2.i
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 5
+      |)
+      |SELECT p.item_a, p.item_b, p.n_both,
+      |       da.n AS n_a, db.n AS n_b,
+      |       round(p.n_both::double / sqrt((da.n * db.n)::double), 6)
+      |         AS cosine
+      |FROM pairs p
+      |JOIN deg da ON da.item = p.item_a
+      |JOIN deg db ON db.item = p.item_b
+      |ORDER BY cosine DESC, p.item_a, p.item_b
+      |LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    val baskets = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    graft.operators.Similarity.coOccurrenceSimilarity(
+      baskets, "cust", "part",
+      minSupport = 5L, maxPerUser = 200, topK = 100)
+  }
+
+  // ---------------------------------------------------------------------
   // tq27_zipf_fit — Zipf rank-frequency OLS over the corpus vocabulary
   // (TextAnalysis.zipfFit): log-log slope of the top-1000 words —
   // natural text ≈ −1, template-heavy corpora bend it. 6dp ln terms,

@@ -1092,4 +1092,62 @@ object Similarity {
         |FROM sel$k
         |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Item–item co-occurrence similarity over a (user, item) basket
+    * frame — the collaborative-filtering kernel ("customers who bought
+    * X also bought Y"): for item pairs sharing enough users,
+    * `cos(i,j) = n_both / √(nᵢ·nⱼ)` — the cosine of the binary
+    * user-incidence vectors. Returns the global top-`topK` pairs.
+    *
+    * Determinism contract: all counts are exact integers; the cosine
+    * is ONE double division with an IEEE sqrt of a sub-2⁵³ integer
+    * product, rounded to 6dp; ties in the top-K break on the item
+    * pair.
+    *
+    * Scale shape: the DIMSUM concern is the power user — a user with
+    * 10⁵ items contributes 10¹⁰ pairs — so users above `maxPerUser`
+    * items are DROPPED before the self-join (the documented
+    * heavy-user cut every production co-occurrence job applies; their
+    * co-occurrence signal is near-zero information anyway). What
+    * remains is one per-user self-join bounded by maxPerUser², a
+    * (pair)-keyed count with map-side partials, a broadcast |items|
+    * degree join, and a TakeOrdered head — no global sort. Degrees
+    * count only the KEPT users, so the cosine is internally
+    * consistent. */
+  def coOccurrenceSimilarity(
+      baskets: DataFrame,
+      userCol: String,
+      itemCol: String,
+      minSupport: Long = 5L,
+      maxPerUser: Int = 200,
+      topK: Int = 100): DataFrame = {
+    require(minSupport >= 1 && maxPerUser >= 2 && topK >= 1,
+      "minSupport >= 1, maxPerUser >= 2, topK >= 1")
+    val b = baskets
+      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
+    val kept = Lineage.cutLocal(b
+      .join(b.groupBy("u").agg(count(lit(1)).as("__nu"))
+        .filter(col("__nu") <= maxPerUser).select("u"),
+        Seq("u"), "left_semi"))
+    val deg = kept.groupBy(col("i").as("item"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("item_a"), col("b.i").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    pairs
+      .join(broadcast(deg.select(col("item").as("item_a"),
+        col("n").as("n_a"))), Seq("item_a"))
+      .join(broadcast(deg.select(col("item").as("item_b"),
+        col("n").as("n_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        round(col("n_both").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
 }

@@ -1099,6 +1099,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (4L, 2L, 1L, "p q")))
   }
 
+  test("coOccurrenceSimilarity: cosine, support cut, heavy-user drop") {
+    // u1/u2 {a,b}; u3 {a,b,c}; u4 has 4 items > maxPerUser=3 and is
+    // DROPPED before pairing (and from the degrees): (a,b) keeps
+    // n_both=3 over degrees 3/3 -> cosine 1.0; (a,c)/(b,c) fall under
+    // minSupport=2
+    val baskets = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (3L, "c"),
+      (4L, "a"), (4L, "c"), (4L, "d"), (4L, "e"))
+      .toDF("u", "i")
+    val got = Similarity.coOccurrenceSimilarity(
+      baskets, "u", "i", minSupport = 2L, maxPerUser = 3, topK = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", 3L, 3L, 3L, 1.0)), got.toString)
+  }
+
   test("editDistancePairs: substitution/insertion/deletion/equal all " +
       "meet in the deletion index; distance-2 never leaks") {
     val rows = Seq((1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "xyz"),
