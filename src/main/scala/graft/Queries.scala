@@ -7565,6 +7565,7 @@ ORDER BY query_id"""
       |         lead(event_type, 1) OVER w AS t1,
       |         lead(event_type, 2) OVER w AS t2
       |  FROM events
+      |  WHERE event_type IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |), runs AS (
       |  SELECT user_id, 2 AS k, t0 || '>' || t1 AS pattern

@@ -274,8 +274,12 @@ object Behavior {
     * and total occurrence count. Extends [[transitionMatrix]] (k = 2
     * counts) with longer runs and the support dimension marketing
     * funnel mining actually filters on. Patterns are `>`-joined type
-    * strings (types must not contain the separator — a collision
-    * would merge distinct patterns).
+    * strings; a type containing the separator would silently merge
+    * distinct patterns, so the guard is ENFORCED in the row path
+    * (raise_error — it rides the type projection, unprunable), and
+    * NULL event types are dropped before the window (concat_ws would
+    * silently skip them mid-pattern, fabricating runs that never
+    * happened contiguously).
     *
     * Scale shape: ONE shuffle keyed on the user for the lead() window
     * (the transitionMatrix layout, reused for every k), then one
@@ -293,8 +297,12 @@ object Behavior {
     require(maxLen >= 2 && maxLen <= 5, "maxLen in [2, 5]")
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(idCol))
-    val leads = events.select(
-      (col(userCol).as("__u") +: col(typeCol).as("__t0") +:
+    val safeType = when(col(typeCol).contains(">"),
+      raise_error(concat(
+        lit("sequencePatterns: event type contains the '>' separator: "),
+        col(typeCol)))).otherwise(col(typeCol))
+    val leads = events.filter(col(typeCol).isNotNull).select(
+      (col(userCol).as("__u") +: safeType.as("__t0") +:
         (1 until maxLen).map(i =>
           lead(col(typeCol), i).over(w).as(s"__t$i"))): _*)
     val runs = (2 to maxLen).map { k =>
@@ -1124,11 +1132,14 @@ ORDER BY channel"""
     // NULLS LAST explicitly on every order: Spark defaults ASC to
     // nulls-FIRST while DuckDB defaults to nulls-LAST, so an all-NULL
     // monetary user would otherwise shift every m bucket between
-    // engine and oracle. user_id makes each composite key unique
-    // (globalRankBy's precondition).
+    // engine and oracle. user_id — a groupBy key of perUser, unique BY
+    // CONSTRUCTION — rides every order, satisfying globalRankBy's
+    // uniqueness precondition without needing the debug assertion
+    // (passed anyway for `spark.graft.rank.assertUnique` runs).
     def rk(metric: String, order: Column, name: String): DataFrame =
       Packing.globalRankBy(perUser.select(col("user_id"), col(metric)),
-        Seq(order, col("user_id")), name)
+        Seq(order, col("user_id")), name,
+        uniqueCols = Seq(col("user_id")))
         .select("user_id", name)
     val ranked = perUser
       .join(rk("recency_days", col("recency_days").desc_nulls_last,

@@ -22,6 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Debug-flag uniqueness assertion for the rank helpers: the prefix-
+    * sum ranks are only deterministic when the (composite) order key is
+    * UNIQUE — equal keys may split across range-partition boundaries,
+    * making their relative ranks partition-dependent with no error.
+    * Production call sites guarantee uniqueness by construction (mix a
+    * unique id into the order); set `spark.graft.rank.assertUnique=true`
+    * to pay one extra aggregate per rank call and fail loudly instead
+    * of silently when wiring a NEW call site. */
+  private def assertUniqueIfEnabled(
+      df: DataFrame, keyCols: Seq[Column], where: String): Unit = {
+    val enabled = df.sparkSession.conf
+      .getOption("spark.graft.rank.assertUnique").contains("true")
+    if (enabled && keyCols.nonEmpty) {
+      val r = df.agg(count(lit(1)).as("n"),
+        countDistinct(struct(keyCols: _*)).as("d")).first()
+      val (n, d) = (r.getLong(0), r.getLong(1))
+      require(n == d,
+        s"$where: order key is not unique ($n rows, $d distinct keys) — " +
+          "ranks across range-partition boundaries would be " +
+          "partition-dependent; mix a unique id into the order")
+    }
+  }
+
   /** Assign each row a global token offset and context-window id.
     *
     * @param df        input with a unique orderable id and a token count
@@ -172,6 +195,7 @@ object Packing {
       carryCols: Seq[String],
       numParts: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
+    assertUniqueIfEnabled(df, Seq(col(orderCol)), "globalRank")
     val parts = numParts.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val sorted = df
       .select((orderCol +: carryCols).map(col): _*)
@@ -208,13 +232,17 @@ object Packing {
     * Precondition: the composite key is unique (mix a unique id into
     * the order) — equal keys may split across range-partition
     * boundaries, which would make their relative ranks
-    * partition-dependent. */
+    * partition-dependent SILENTLY. Pass the plain (direction-free) key
+    * columns as `uniqueCols` and set `spark.graft.rank.assertUnique`
+    * to fail loudly instead when wiring a new call site. */
   def globalRankBy(
       df: DataFrame,
       orderCols: Seq[Column],
       rankName: String,
-      numParts: Option[Int] = None): DataFrame = {
+      numParts: Option[Int] = None,
+      uniqueCols: Seq[Column] = Nil): DataFrame = {
     val spark = df.sparkSession
+    assertUniqueIfEnabled(df, uniqueCols, "globalRankBy")
     val parts = numParts.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val sorted = df
       .repartitionByRange(parts, orderCols: _*)
@@ -257,6 +285,7 @@ object Packing {
       carryCols: Seq[String],
       numParts: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
+    assertUniqueIfEnabled(df, Seq(col(groupCol), col(orderCol)), "groupedRank")
     val parts = numParts.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val sorted = df
       .select((groupCol +: orderCol +: carryCols).map(col): _*)

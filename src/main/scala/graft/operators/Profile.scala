@@ -335,10 +335,22 @@ object Profile {
       weightCol: String,
       seats: Long): DataFrame = {
     require(seats >= 0, "seats must be non-negative")
+    // weights must be non-negative (a negative quota is meaningless and
+    // corrupts the remainder rank) and must sum POSITIVE (W = 0 would
+    // hit `__qn div __W` as an ANSI divide-by-zero with no context).
+    // Both guards ride the row path as raise_error — unprunable, one
+    // comparison per (dimension-sized) row. seats·weight overflow is
+    // covered by ANSI mode's checked long multiply.
     val w = df.select(col(keyCol).as("key"),
-      col(weightCol).cast("long").as("weight"))
+      when(col(weightCol) < 0, raise_error(concat(
+          lit(s"apportion: negative weight for key "), col(keyCol))))
+        .otherwise(col(weightCol)).cast("long").as("weight"))
     val based = w
-      .crossJoin(broadcast(w.agg(sum("weight").as("__W"))))
+      .crossJoin(broadcast(w.agg(
+        when(coalesce(sum("weight"), lit(0L)) <= 0L, raise_error(lit(
+            "apportion: total weight must be positive (all weights are " +
+              "zero, or the frame is empty)")))
+          .otherwise(sum("weight")).as("__W"))))
       .withColumn("__qn", col("weight") * seats)
       .withColumn("__base", expr("__qn div __W"))
       .withColumn("__rem", expr("__qn % __W"))

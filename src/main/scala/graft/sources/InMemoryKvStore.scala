@@ -128,6 +128,7 @@ final class InMemoryKvStore(
   private def encode(r: Row, st: StructType): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
+    out.writeByte(InMemoryKvStore.CodecVersion.toInt)
     st.fields.zipWithIndex.foreach { case (f, i) =>
       InMemoryKvStore.writeValue(out, f.dataType,
         if (r.isNullAt(i)) null else r.get(i))
@@ -139,6 +140,13 @@ final class InMemoryKvStore(
   private def decode(bytes: Array[Byte], st: StructType): Row = {
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    val version = in.readByte()
+    if (version != InMemoryKvStore.CodecVersion)
+      throw new java.io.StreamCorruptedException(
+        s"InMemoryKvStore codec: record format version $version is not " +
+          s"the supported version ${InMemoryKvStore.CodecVersion} — the " +
+          "value was written by an incompatible (legacy or newer) codec; " +
+          "re-persist it through this store's upsert path")
     val values = st.fields.map(f =>
       InMemoryKvStore.readValue(in, f.dataType))
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
@@ -367,6 +375,12 @@ object InMemoryKvStore {
   /** Reserved metadata hash carrying each schema's StructType JSON. */
   val MetaHash: String = "__graft_schemas__"
 
+  /** Record format tag, the FIRST byte of every encoded value — a
+    * legacy (pre-tag ObjectOutputStream) or future-codec record fails
+    * decode with an explicit version message instead of opaque
+    * EOF/garbage errors. Bump on any wire-format change. */
+  val CodecVersion: Byte = 1
+
   import org.apache.spark.sql.types._
   import java.io.{DataInputStream, DataOutputStream}
 
@@ -437,6 +451,23 @@ object InMemoryKvStore {
     }
   }
 
+  /** Length/count prefix, validated BEFORE allocation: the bytes behind
+    * a networked [[KvHashClient]] are endpoint-controlled, so a negative
+    * prefix (NegativeArraySizeException) or a ~2^31 prefix (a 2 GB
+    * driver allocation) is a cheap DoS unless bounded. Every encoded
+    * payload byte and every container element costs ≥ 1 byte on the
+    * wire, so `remaining bytes` is a sound upper bound for both. */
+  private def readLength(
+      in: DataInputStream, what: String): Int = {
+    val n = in.readInt()
+    val remaining = in.available()
+    if (n < 0 || n > remaining)
+      throw new java.io.StreamCorruptedException(
+        s"InMemoryKvStore codec: corrupt $what prefix $n " +
+          s"(only $remaining bytes remain in the record)")
+    n
+  }
+
   private[sources] def readValue(in: DataInputStream, dt: DataType): Any = {
     if (in.readBoolean()) return null
     dt match {
@@ -448,10 +479,10 @@ object InMemoryKvStore {
       case FloatType => in.readFloat()
       case DoubleType => in.readDouble()
       case StringType =>
-        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        val b = new Array[Byte](readLength(in, "string length")); in.readFully(b)
         new String(b, "UTF-8")
       case BinaryType =>
-        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        val b = new Array[Byte](readLength(in, "binary length")); in.readFully(b)
         b
       case TimestampType =>
         val micros = in.readLong()
@@ -462,12 +493,12 @@ object InMemoryKvStore {
       case DateType =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(in.readLong()))
       case _: DecimalType =>
-        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        val b = new Array[Byte](readLength(in, "decimal length")); in.readFully(b)
         new java.math.BigDecimal(new String(b, "UTF-8"))
       case ArrayType(et, _) =>
-        Seq.fill(in.readInt())(readValue(in, et))
+        Seq.fill(readLength(in, "array count"))(readValue(in, et))
       case MapType(kt, vt, _) =>
-        Seq.fill(in.readInt())(
+        Seq.fill(readLength(in, "map count"))(
           (readValue(in, kt), readValue(in, vt))).toMap
       case st: StructType =>
         new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(

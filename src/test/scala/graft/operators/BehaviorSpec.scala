@@ -518,4 +518,33 @@ class BehaviorSpec extends AnyFunSuite {
       .as[(Int, String, Long, Long)].collect().toSeq
     assert(cut == Seq((2, "a>b", 2L, 3L)), cut.toString)
   }
+
+  test("sequencePatterns: NULL types are dropped; '>' in a type fails loudly") {
+    // NULL in the middle of u1's timeline must NOT fabricate an a>b run
+    // (concat_ws would silently skip it)
+    val withNull = Seq(
+      (1L, 10L, 100L, Some("a")), (1L, 20L, 101L, None),
+      (1L, 30L, 102L, Some("b")))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = Behavior.sequencePatterns(
+      withNull, "user_id", "ts_us", "event_type", "event_id", maxLen = 2)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    // the null row is removed BEFORE the window, so a and b become
+    // adjacent in the cleaned timeline — one a>b run, deterministically
+    assert(got == Seq((2, "a>b", 1L, 1L)), got.toString)
+
+    // a type containing the separator would merge distinct patterns:
+    // enforced in the row path, not just documented
+    val bad = Seq(
+      (1L, 10L, 100L, "a>b"), (1L, 20L, 101L, "c"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val e = intercept[Exception] {
+      Behavior.sequencePatterns(
+        bad, "user_id", "ts_us", "event_type", "event_id", maxLen = 2)
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("separator"), msgs)
+  }
 }

@@ -53,6 +53,31 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.graft.rank.assertUnique catches duplicate order keys loudly") {
+    val dup = Seq((1L, "same"), (2L, "same"), (3L, "other"))
+      .toDF("id", "key")
+    spark.conf.set("spark.graft.rank.assertUnique", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Packing.globalRank(dup, "key", Seq("id")).collect()
+      }
+      assert(e.getMessage.contains("not unique"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        Packing.globalRankBy(dup, Seq(col("key").desc), "rk",
+          uniqueCols = Seq(col("key"))).collect()
+      }
+      assert(e2.getMessage.contains("not unique"), e2.getMessage)
+      // a unique key passes with the flag on
+      val ok = Packing.globalRank(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "key"), "key", Seq("id"))
+      assert(ok.count() == 2)
+      // globalRankBy with no uniqueCols declared: documented silent
+      // mode — no check, no crash
+      assert(Packing.globalRankBy(dup, Seq(col("key").desc, col("id")), "rk")
+        .count() == 3)
+    } finally spark.conf.unset("spark.graft.rank.assertUnique")
+  }
+
   test("empty inputs produce empty outputs, not exceptions") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
     assert(Packing.packSequences(empty, "doc_id", "n_tokens", 10L).count() == 0)

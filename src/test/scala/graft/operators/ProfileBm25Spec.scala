@@ -187,6 +187,23 @@ class ProfileBm25Spec extends AnyFunSuite {
     assert(tie == Seq(("a", 1L, 2L), ("b", 1L, 1L)), tie.toString)
   }
 
+  test("apportion: zero total weight and negative weights fail loudly") {
+    def msgs(body: => Unit): String = {
+      val e = intercept[Exception](body)
+      Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    }
+    // all-zero weights: an explicit message, not an opaque ANSI
+    // divide-by-zero from `__qn div __W`
+    val zero = msgs(Profile.apportion(
+      Seq(("a", 0L), ("b", 0L)).toDF("k", "w"), "k", "w", 5L).collect())
+    assert(zero.contains("total weight must be positive"), zero)
+    // a negative weight corrupts the remainder rank: rejected per-row
+    val neg = msgs(Profile.apportion(
+      Seq(("a", 3L), ("b", -1L)).toDF("k", "w"), "k", "w", 5L).collect())
+    assert(neg.contains("negative weight"), neg)
+  }
+
   test("benfordAudit: digit extraction, zero-count digits, chi2 replay") {
     // digits: 1.5 -> 1, 19 -> 1, 23 -> 2, 9.99 -> 9; 0.5 floors to 0
     // and is excluded (no leading digit)

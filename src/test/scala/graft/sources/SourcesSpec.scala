@@ -910,6 +910,48 @@ class SourcesSpec extends AnyFunSuite {
     assert((1 to 10).forall(n.isNullAt))
   }
 
+  test("KV codec rejects legacy/foreign formats and corrupt length prefixes") {
+    import org.apache.spark.sql.types._
+    val client = new InMemoryHashClient
+    val store = new InMemoryKvStore(spark, client = client)
+    store.insert("hard", Seq((1L, "ok")).toDF("k", "s"), "k")
+    val field = client.hkeys("hard").head
+    val good = client.hget("hard", field).get
+
+    def expectCorrupt(bytes: Array[Byte], clue: String): Unit = {
+      client.hset("hard", Seq(field -> bytes))
+      val e = intercept[Exception] { store.read("hard").collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.toString).mkString(" | ")
+      assert(msgs.contains("StreamCorruptedException"), s"$clue: $msgs")
+    }
+
+    // a legacy ObjectOutputStream record starts with 0xAC (not version 1):
+    // explicit version error, not opaque EOF/garbage
+    val oos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(oos).writeObject("legacy")
+    expectCorrupt(oos.toByteArray, "legacy format")
+
+    // the record tail is the length-prefixed string "ok":
+    // [4-byte len][2-byte payload] — the prefix sits 6 bytes from the end
+    val lenOffset = good.length - 6
+
+    // negative string length: must throw BEFORE allocating
+    val neg = good.clone()
+    java.nio.ByteBuffer.wrap(neg).putInt(lenOffset, -1)
+    expectCorrupt(neg, "negative length")
+
+    // huge length (a ~2GB allocation request): bounded by remaining bytes
+    val big = good.clone()
+    java.nio.ByteBuffer.wrap(big).putInt(lenOffset, Int.MaxValue - 2)
+    expectCorrupt(big, "oversized length")
+
+    // restore and confirm the store still reads
+    client.hset("hard", Seq(field -> good))
+    assert(store.read("hard").collect().map(_.getAs[String]("s")).toSeq ==
+      Seq("ok"))
+  }
+
   test("commit meta behaves like table properties: every mutation carries it") {
     val store = new ResultStore(spark, tmpDir())
     store.overwriteWithMeta("t", Seq(KV(1, "a")).toDF(),
