@@ -7848,4 +7848,288 @@ ORDER BY query_id"""
         .orderBy("event_name")
     } finally mc.close()
   }
+
+  /** Daily event-count series per event type — the shared input of the
+    * trend tests (aq72/aq73): (key, day index, count). */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type").as("key"),
+        expr("unix_micros(ts) div 86400000000").as("t"))
+      .groupBy("key", "t").agg(count(lit(1)).as("y"))
+
+  private val dailySeriesSql: String =
+    """s AS (
+      |  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS t,
+      |         count(*)::bigint AS y
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // aq72_mann_kendall — Mann–Kendall monotone-trend test per event-type
+  // daily series (Stats.mannKendall): exact integer S and tie-corrected
+  // variance numerator, one fixed-order z. The oracle replays the pair
+  // join and the same CASE ladder.
+  register(
+    "aq72_mann_kendall",
+    s"""WITH $dailySeriesSql, p AS (
+      |  SELECT i.key,
+      |         sum(CASE WHEN j.y > i.y THEN 1
+      |                  WHEN j.y < i.y THEN -1 ELSE 0 END)::bigint AS s_stat
+      |  FROM s i JOIN s j ON i.key = j.key AND i.t < j.t
+      |  GROUP BY 1
+      |), tt AS (
+      |  SELECT key, sum(tc)::bigint AS n,
+      |         sum(tc * (tc - 1) * (2 * tc + 5))::bigint AS t3
+      |  FROM (SELECT key, y, count(*)::bigint AS tc FROM s GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), zt AS (
+      |  SELECT tt.key AS key, n, coalesce(s_stat, 0)::bigint AS s_stat,
+      |         CASE WHEN n*(n-1)*(2*n+5) - t3 <= 0 THEN NULL
+      |              WHEN coalesce(s_stat, 0) > 0 THEN
+      |                round((coalesce(s_stat, 0) - 1)::double /
+      |                      sqrt((n*(n-1)*(2*n+5) - t3)::double / 18.0), 6)
+      |              WHEN coalesce(s_stat, 0) < 0 THEN
+      |                round((coalesce(s_stat, 0) + 1)::double /
+      |                      sqrt((n*(n-1)*(2*n+5) - t3)::double / 18.0), 6)
+      |              ELSE 0.0 END AS z
+      |  FROM tt LEFT JOIN p ON tt.key = p.key
+      |)
+      |SELECT key, n, s_stat, z,
+      |       CASE WHEN z IS NULL THEN NULL
+      |            WHEN z > 1.96 THEN 'increasing'
+      |            WHEN z < -1.96 THEN 'decreasing'
+      |            ELSE 'none' END AS trend
+      |FROM zt
+      |ORDER BY key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.mannKendall(dailySeries(s, dir), "key", "t", "y")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq73_theil_sen — Theil–Sen robust slope + median-residual intercept
+  // per event-type daily series (Stats.theilSen): median of exact
+  // pairwise-slope doubles (quantile_cont parity, the aq6 precedent),
+  // slope rounded BEFORE the residual pass so both engines derive the
+  // intercept from the same number.
+  register(
+    "aq73_theil_sen",
+    s"""WITH $dailySeriesSql, sl AS (
+      |  SELECT i.key, count(*)::bigint AS n_pairs,
+      |         round(quantile_cont((j.y - i.y)::double /
+      |                             (j.t - i.t)::double, 0.5), 6) AS slope
+      |  FROM s i JOIN s j ON i.key = j.key AND i.t < j.t
+      |  GROUP BY 1
+      |)
+      |SELECT sl.key AS key, sl.n_pairs, sl.slope,
+      |       round(quantile_cont(s.y::double - sl.slope * s.t::double,
+      |                           0.5), 6) AS intercept
+      |FROM s JOIN sl ON s.key = sl.key
+      |GROUP BY 1, 2, 3
+      |ORDER BY key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.theilSen(dailySeries(s, dir), "key", "t", "y")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq74_mann_whitney — Mann–Whitney U rank-sum test, purchase vs click
+  // event values (Stats.mannWhitney): the 2U integer and tie terms ride
+  // decimal(38,0)/hugeint, the running B-count runs over the VALUE grid
+  // (13k distinct 2dp values at sf0.1), one fixed-order z.
+  register(
+    "aq74_mann_whitney",
+    """WITH v AS (
+      |  SELECT value AS v,
+      |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS na,
+      |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint AS nb
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      |  GROUP BY 1
+      |), c AS (
+      |  SELECT na, nb,
+      |         coalesce(sum(nb) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |           0)::hugeint AS cb
+      |  FROM v
+      |), a AS (
+      |  SELECT sum(na)::bigint AS n_a, sum(nb)::bigint AS n_b,
+      |         sum(na::hugeint * (2 * cb + nb)::hugeint)::hugeint AS u2,
+      |         sum((na + nb)::hugeint * (na + nb)::hugeint *
+      |             (na + nb)::hugeint - (na + nb)::hugeint)::hugeint AS t3
+      |  FROM c
+      |)
+      |SELECT n_a, n_b, round(u2::double / 2.0, 1) AS u_stat,
+      |  CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 2 THEN NULL
+      |       ELSE CASE WHEN
+      |         sqrt((n_a::hugeint * n_b::hugeint)::double / 12.0 *
+      |           (((n_a + n_b)::double + 1.0) - t3::double /
+      |             ((n_a + n_b)::double * ((n_a + n_b)::double - 1.0)))) > 0.0
+      |       THEN round(((u2 - n_a::hugeint * n_b::hugeint)::double / 2.0) /
+      |         sqrt((n_a::hugeint * n_b::hugeint)::double / 12.0 *
+      |           (((n_a + n_b)::double + 1.0) - t3::double /
+      |             ((n_a + n_b)::double * ((n_a + n_b)::double - 1.0)))), 6)
+      |       END END AS z
+      |FROM a""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.mannWhitney(
+      t(s, dir, "events"), "event_type", "value", "purchase", "click")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq75_chi2 — χ² independence of event type vs day-of-week
+  // (Stats.chi2Independence): integer contingency counts, 6dp-decimal
+  // term sums (cell order differs between engines), Cramér's V from
+  // the already-rounded χ². Day-of-week is a portable integer floor-div
+  // (engine dayofweek() origins differ).
+  register(
+    "aq75_chi2",
+    """WITH cells AS (
+      |  SELECT event_type AS r,
+      |         (epoch_us(ts) // 86400000000) % 7 AS c,
+      |         count(*)::bigint AS o
+      |  FROM events GROUP BY 1, 2
+      |), rt AS (SELECT r, sum(o)::bigint AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT c, sum(o)::bigint AS ct FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(o)::bigint AS n, count(DISTINCT r)::bigint AS nr,
+      |               count(DISTINCT c)::bigint AS nc FROM cells),
+      |terms AS (
+      |  SELECT n, nr, nc,
+      |         round((o::double - (rt * ct)::double / n::double) *
+      |               (o::double - (rt * ct)::double / n::double) /
+      |               ((rt * ct)::double / n::double), 6)::decimal(18,6) AS term
+      |  FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+      |)
+      |SELECT n, nr AS n_rows, nc AS n_cols,
+      |       ((nr - 1) * (nc - 1))::bigint AS dof,
+      |       sum(term)::double AS chi2,
+      |       CASE WHEN (nr - 1) * (nc - 1) > 0 THEN
+      |         round(sqrt(sum(term)::double /
+      |           (n::double * least(nr - 1, nc - 1)::double)), 6)
+      |       END AS cramers_v
+      |FROM terms
+      |GROUP BY n, nr, nc""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.chi2Independence(
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("(unix_micros(ts) div 86400000000) % 7").as("dow")),
+      "event_type", "dow")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq76_target_encoding — leakage-safe (leave-one-out) target encoding
+  // of customer key by order total (Features.looTargetEncode): each
+  // order's encoding is the mean total of the customer's OTHER orders,
+  // singleton customers fall back to the global mean — the
+  // high-cardinality categorical feature that per-key means leak.
+  register(
+    "aq76_target_encoding",
+    """WITH k AS (
+      |  SELECT o_custkey AS key, count(*)::bigint AS n_key,
+      |         sum(o_totalprice::decimal(18,4)) AS sk
+      |  FROM orders GROUP BY 1
+      |), g AS (
+      |  SELECT sum(o_totalprice::decimal(18,4)) AS sg,
+      |         count(*)::bigint AS ng
+      |  FROM orders
+      |)
+      |SELECT o_orderkey, o_custkey, n_key,
+      |       CASE WHEN n_key - 1 > 0 THEN
+      |         round((sk - o_totalprice::decimal(18,4))::double /
+      |               (n_key - 1)::double, 6)
+      |       WHEN ng > 0 THEN round(sg::double / ng::double, 6)
+      |       END AS enc
+      |FROM orders JOIN k ON o_custkey = key CROSS JOIN g
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Features.looTargetEncode(
+      t(s, dir, "orders"), "o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq77_spearman — tie-corrected Spearman rank correlation per nation:
+  // customer account balance vs total order spend (Stats.spearman).
+  // Average ranks carried DOUBLED (always integers), every sufficient
+  // statistic exact in decimal/hugeint, one fixed-order ρ.
+  register(
+    "aq77_spearman",
+    """WITH base AS (
+      |  SELECT n.n_name AS g, c.c_acctbal AS x, s.spend AS y
+      |  FROM customer c
+      |  JOIN (SELECT o_custkey, sum(o_totalprice::decimal(18,4)) AS spend
+      |        FROM orders GROUP BY 1) s ON c.c_custkey = s.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |), rxc AS (SELECT g, x AS v, count(*)::bigint AS tc
+      |           FROM base GROUP BY 1, 2),
+      |rx AS (SELECT g, v,
+      |         2 * coalesce(sum(tc) OVER w, 0) + tc + 1 AS r2, tc
+      |       FROM rxc WINDOW w AS (PARTITION BY g ORDER BY v
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |ryc AS (SELECT g, y AS v, count(*)::bigint AS tc
+      |        FROM base GROUP BY 1, 2),
+      |ry AS (SELECT g, v,
+      |         2 * coalesce(sum(tc) OVER w, 0) + tc + 1 AS r2, tc
+      |       FROM ryc WINDOW w AS (PARTITION BY g ORDER BY v
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |j AS (
+      |  SELECT b.g, count(*)::bigint AS n,
+      |         sum(((rx.r2 - ry.r2) * (rx.r2 - ry.r2))::hugeint) AS sd
+      |  FROM base b
+      |  JOIN rx ON b.g = rx.g AND b.x = rx.v
+      |  JOIN ry ON b.g = ry.g AND b.y = ry.v
+      |  GROUP BY 1
+      |), tx AS (SELECT g, sum(tc::hugeint * tc * tc - tc)::hugeint AS tt
+      |          FROM rx GROUP BY 1),
+      |ty AS (SELECT g, sum(tc::hugeint * tc * tc - tc)::hugeint AS tt
+      |       FROM ry GROUP BY 1)
+      |SELECT j.g AS group_key, n,
+      |  CASE WHEN (n::hugeint * n * n - n) - tx.tt > 0
+      |        AND (n::hugeint * n * n - n) - ty.tt > 0 THEN
+      |    round((((n::hugeint * n * n - n) - tx.tt) +
+      |           ((n::hugeint * n * n - n) - ty.tt) - 3 * sd)::double /
+      |          (2.0 * sqrt(((n::hugeint * n * n - n) - tx.tt)::double *
+      |                      ((n::hugeint * n * n - n) - ty.tt)::double)), 6)
+      |  END AS rho
+      |FROM j JOIN tx ON j.g = tx.g JOIN ty ON j.g = ty.g
+      |ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("spend"))
+    val base = t(s, dir, "customer")
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "nation"), col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), col("c_acctbal"), col("spend"))
+    graft.operators.Stats.spearman(base, "n_name", "c_acctbal", "spend")
+  }
+
+  // ---------------------------------------------------------------------
+  // tq28_kneser_ney — interpolated Kneser–Ney smoothed bigram model
+  // over the corpus (TextAnalysis.kneserNeyBigrams): absolute discount
+  // D = 3/4 backs off to the continuation probability; top-100 bigrams
+  // with exact counts and one fixed-order p_KN each. The oracle replays
+  // the same N₁₊ statistics off the bigram table.
+  register(
+    "tq28_kneser_ney",
+    """WITH tk AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents
+      |), c2 AS (
+      |  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*)::bigint AS c
+      |  FROM tk, unnest(range(1, len(toks))) t(i)
+      |  WHERE len(toks) >= 2
+      |  GROUP BY 1, 2
+      |), ctx AS (SELECT w1, sum(c)::bigint AS c1, count(*)::bigint AS nf
+      |           FROM c2 GROUP BY 1),
+      |cont AS (SELECT w2, count(*)::bigint AS nb FROM c2 GROUP BY 1),
+      |tot AS (SELECT count(*)::bigint AS nbi FROM c2)
+      |SELECT w1, w2, c,
+      |  round((greatest(c::double - 0.75, 0.0) + 0.75 * nf::double *
+      |         (nb::double / nbi::double)) / c1::double, 6) AS p_kn
+      |FROM c2 JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+      |ORDER BY c DESC, w1, w2
+      |LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.kneserNeyBigrams(
+      t(s, dir, "documents"), "text")
+  }
 }

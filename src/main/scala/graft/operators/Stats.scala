@@ -445,4 +445,301 @@ object Stats {
        |FROM h
        |ORDER BY key, t""".stripMargin
   }
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) per series —
+    * the NONPARAMETRIC monotone-trend detector that complements the
+    * model-based smoothers ([[holtSmoothing]] fits a trend,
+    * [[periodicity]] finds cycles; this answers "is the series going
+    * somewhere at all" with no distributional assumption):
+    *
+    *   S = Σ_{i<j} sign(y_j − y_i),
+    *   Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18  (t = tie sizes),
+    *   z = (S − sign(S)) / √Var(S)   (0 when S = 0).
+    *
+    * Determinism contract: S and the 18·Var(S) numerator are EXACT
+    * integers; z is one fixed-order double expression of them rounded
+    * to 6dp — identical in any engine. Degenerate series (n < 2, or
+    * all values tied → Var = 0) report NULL z and NULL trend.
+    *
+    * Scale shape: ONE key-equi self-join over the series grid
+    * (time-bounded per key — buckets × keys, never event-sized: the
+    * periodicity discipline), each key's O(n²) pairs collapsing
+    * map-side into one S row; the tie/variance pass is a (key, y)
+    * aggregate over the same grid. Returns
+    * `(key, n, s_stat, z, trend)`. */
+  def mannKendall(
+      series: DataFrame,
+      keyCol: String,
+      tCol: String,
+      yCol: String): DataFrame = {
+    val base = Lineage.cutLocal(series.select(col(keyCol).as("key"),
+      col(tCol).cast("long").as("t"), col(yCol).cast("long").as("y")))
+    val s = base.as("i").join(base.as("j"),
+        col("i.key") === col("j.key") && col("i.t") < col("j.t"))
+      .groupBy(col("i.key").as("key"))
+      .agg(sum(when(col("j.y") > col("i.y"), 1L)
+        .when(col("j.y") < col("i.y"), -1L).otherwise(0L)).as("__s"))
+    val ties = base.groupBy("key", "y").agg(count(lit(1)).as("__tc"))
+      .groupBy("key")
+      .agg(sum(col("__tc")).as("n"),
+        sum(col("__tc") * (col("__tc") - 1L) *
+          (lit(2L) * col("__tc") + 5L)).as("__tt"))
+    val var18 = col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+      col("__tt")
+    val sd = sqrt(var18.cast("double") / 18.0)
+    val sStat = coalesce(col("__s"), lit(0L))
+    val z = when(var18 <= 0L, lit(null))
+      .when(sStat > 0L, round((sStat - 1L).cast("double") / sd, 6))
+      .when(sStat < 0L, round((sStat + 1L).cast("double") / sd, 6))
+      .otherwise(lit(0.0))
+    ties.join(s, Seq("key"), "left")
+      .withColumn("z", z)
+      .select(col("key"), col("n"), sStat.as("s_stat"), col("z"),
+        when(col("z").isNull, lit(null))
+          .when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("none")).as("trend"))
+      .orderBy("key")
+  }
+
+  /** Theil–Sen robust trend estimator (Theil 1950; Sen 1968) per
+    * series — the median of all pairwise slopes, with the companion
+    * median-residual intercept: up to ~29% arbitrarily-corrupted
+    * points leave the fit unmoved, where the OLS slope chases every
+    * outlier. The natural partner of [[mannKendall]] (detect a trend,
+    * then estimate it robustly).
+    *
+    * Determinism contract: each slope is ONE double division of exact
+    * longs (IEEE-identical anywhere); the median is Spark
+    * `percentile` == DuckDB `quantile_cont` (the aq6 precedent) over
+    * those exact doubles; the slope rounds to 6dp BEFORE the residual
+    * pass so the intercept derives from the same number in any
+    * engine. Series with fewer than 2 points have no pairs and are
+    * excluded.
+    *
+    * Scale shape: the same key-equi pair join over the time-bounded
+    * series grid as [[mannKendall]], one percentile aggregate per key,
+    * then a |keys|-row broadcast back onto the grid for the residual
+    * percentile. Returns `(key, n_pairs, slope, intercept)`. */
+  def theilSen(
+      series: DataFrame,
+      keyCol: String,
+      tCol: String,
+      yCol: String): DataFrame = {
+    val base = Lineage.cutLocal(series.select(col(keyCol).as("key"),
+      col(tCol).cast("long").as("t"), col(yCol).cast("long").as("y")))
+    val med = base.as("i").join(base.as("j"),
+        col("i.key") === col("j.key") && col("i.t") < col("j.t"))
+      .select(col("i.key").as("key"),
+        ((col("j.y") - col("i.y")).cast("double") /
+          (col("j.t") - col("i.t")).cast("double")).as("__m"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(__m, 0.5)"), 6).as("slope"))
+    val intercept = base.join(broadcast(med), Seq("key"))
+      .select(col("key"),
+        (col("y").cast("double") - col("slope") * col("t").cast("double"))
+          .as("__r"))
+      .groupBy("key")
+      .agg(round(expr("percentile(__r, 0.5)"), 6).as("intercept"))
+    med.join(intercept, Seq("key"))
+      .select("key", "n_pairs", "slope", "intercept")
+      .orderBy("key")
+  }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) — the
+    * nonparametric two-cohort comparison beside [[abTest]]'s Welch t
+    * (means assume the metric is well-behaved; ranks don't care):
+    * does cohort A's metric stochastically dominate cohort B's?
+    *
+    *   2·U_A = Σ_v n_A(v) · (2·#{B below v} + n_B(v)),
+    *   z = ((2U_A − n_A·n_B)/2) / σ,
+    *   σ = √( n_A·n_B/12 · ( (n+1) − Σ(t³−t)/(n(n−1)) ) ).
+    *
+    * Determinism contract: 2U (half-ranks cleared) and every tie term
+    * are EXACT integers carried as decimal(38,0) (a 100 TB cohort
+    * pair overflows a long: n_A·n_B alone can pass 2⁶³); z is one
+    * fixed-order double expression rounded to 6dp. A missing cohort
+    * or an all-tied sample (σ = 0) reports NULL z.
+    *
+    * Scale shape: events collapse to the per-VALUE frame first (one
+    * aggregate, map-side partials) — the running B-count then runs
+    * over the measurement GRID (distinct metric values: price cents,
+    * score grid — bounded by the instrument, never row-sized), the
+    * one place an ordered no-partition window is honest (the
+    * count-min readout reasoning); one final 1-row aggregate.
+    * Returns ONE row `(n_a, n_b, u_stat, z)` — u_stat = U_A as a
+    * double (half-integer under ties; the exact 2U integer stays
+    * internal, so the readout never depends on engine hugeint/decimal
+    * dtype rendering). */
+  def mannWhitney(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__na"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__nb"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = "decimal(38,0)"
+    perValue
+      .withColumn("__cb", coalesce(sum(col("__nb")).over(w), lit(0L)))
+      .agg(
+        sum(col("__na")).as("n_a"),
+        sum(col("__nb")).as("n_b"),
+        sum(col("__na").cast(dec) *
+          (lit(2L) * col("__cb") + col("__nb")).cast(dec)).as("u2"),
+        sum(((col("__na") + col("__nb")).cast(dec) *
+          (col("__na") + col("__nb")).cast(dec) *
+          (col("__na") + col("__nb")).cast(dec) -
+          (col("__na") + col("__nb")).cast(dec)).cast(dec)).as("__t3"))
+      .select(col("n_a"), col("n_b"),
+        round(col("u2").cast("double") / 2.0, 1).as("u_stat"),
+        when(col("n_a") === 0L || col("n_b") === 0L ||
+            col("n_a") + col("n_b") < 2L, lit(null))
+          .otherwise({
+            val n = (col("n_a") + col("n_b")).cast("double")
+            val prod = col("n_a").cast(dec) * col("n_b").cast(dec)
+            val sigma = sqrt(prod.cast("double") / 12.0 *
+              ((n + 1.0) - col("__t3").cast("double") /
+                (n * (n - 1.0))))
+            when(sigma > 0.0, round(
+              ((col("u2") - prod).cast("double") / 2.0) / sigma, 6))
+          }).as("z"))
+  }
+
+  /** χ² test of independence over a two-way contingency table — "does
+    * the row factor depend on the column factor" (event mix by
+    * day-of-week, language by source): O_rc vs E_rc = rowTot·colTot/N,
+    * with the effect size reported as Cramér's V.
+    *
+    * Determinism contract: every count is exact; E and each cell term
+    * are fixed-order double expressions; terms round to 6dp and sum
+    * as DECIMAL (order-independent — the tq8 discipline, since cell
+    * order differs between engines); V derives from the already-
+    * rounded χ². Returns ONE row
+    * `(n, n_rows, n_cols, dof, chi2, cramers_v)`.
+    *
+    * Scale shape: one (row, col) aggregate over the data (map-side
+    * partials), then joins over the CELL frame — |rows|·|cols|
+    * dimension-bounded; the margins are aggregates of the cell frame,
+    * never a second data pass. */
+  def chi2Independence(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String): DataFrame = {
+    val cells = Lineage.cutLocal(df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("__o")))
+    val rt = cells.groupBy("__r").agg(sum("__o").as("__rt"))
+    val ct = cells.groupBy("__c").agg(sum("__o").as("__ct"))
+    val tot = broadcast(cells.agg(sum("__o").as("__n"),
+      countDistinct(col("__r")).as("__nr"),
+      countDistinct(col("__c")).as("__nc")))
+    val e = (col("__rt") * col("__ct")).cast("double") /
+      col("__n").cast("double")
+    val term = (col("__o").cast("double") - e) *
+      (col("__o").cast("double") - e) / e
+    cells
+      .join(broadcast(rt), Seq("__r"))
+      .join(broadcast(ct), Seq("__c"))
+      .crossJoin(tot)
+      .select(col("__n"), col("__nr"), col("__nc"),
+        round(term, 6).cast("decimal(18,6)").as("__term"))
+      .groupBy("__n", "__nr", "__nc")
+      .agg(sum("__term").as("__chi2"))
+      .select(col("__n").as("n"), col("__nr").as("n_rows"),
+        col("__nc").as("n_cols"),
+        ((col("__nr") - 1L) * (col("__nc") - 1L)).as("dof"),
+        col("__chi2").cast("double").as("chi2"),
+        when((col("__nr") - 1L) * (col("__nc") - 1L) > 0L,
+          round(sqrt(col("__chi2").cast("double") /
+            (col("__n").cast("double") *
+              least(col("__nr") - 1L, col("__nc") - 1L).cast("double"))),
+            6)).as("cramers_v"))
+  }
+
+  /** Spearman rank correlation per group, tie-corrected — the
+    * monotone-association companion to Pearson (aq8 reports `corr`;
+    * Spearman survives any monotone transform and ignores outlier
+    * magnitude). Average ranks are carried DOUBLED (`2r` is always an
+    * integer — ties average to half-integers), so the whole
+    * computation stays integer until one final expression:
+    *
+    *   ρ = (Ax + Ay − 3·Σd²₂) / (2·√(Ax·Ay)),
+    *   Ax = (n³−n) − Σ(t³−t),   d₂ = 2rₓ − 2r_y,
+    *
+    * (the Pearson-on-average-ranks identity with every /12 and /4
+    * cleared). Sums ride decimal(38,0) — n³ passes 2⁶³ around n ≈ 2M
+    * per group. ρ rounds to 6dp; a group with zero rank variance on
+    * either side (all x tied, or n < 2) reports NULL.
+    *
+    * Determinism contract: min-ranks are exact integers
+    * (2r = 2·minrank + tiecount − 1); the final expression is
+    * fixed-order double. Scale shape: rows collapse to per-(group,
+    * value) count frames (one aggregate each side); the running
+    * min-rank is a window over that frame — per-group, and bounded by
+    * the measurement grid, not rows (the mannWhitney reasoning); two
+    * grid-keyed joins back; one group aggregate. Returns
+    * `(group, n, rho)`. */
+  def spearman(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val rows = Lineage.cutLocal(df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).as("__x"),
+        col(yCol).as("__y")))
+    def rankFrame(vc: String): DataFrame = {
+      val w = Window.partitionBy("__g").orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows.groupBy(col("__g"), col(vc).as("__v"))
+        .agg(count(lit(1)).as("__tc"))
+        .withColumn("__below", coalesce(sum(col("__tc")).over(w), lit(0L)))
+        // 2·avgRank = 2·(below + 1) + (tc − 1) = 2·below + tc + 1
+        .select(col("__g"), col("__v"),
+          (lit(2L) * col("__below") + col("__tc") + 1L).as("__r2"),
+          col("__tc"))
+    }
+    val rx = rankFrame("__x")
+    val ry = rankFrame("__y")
+    def tieSum(f: DataFrame): DataFrame = f.groupBy("__g")
+      .agg(sum((col("__tc").cast(dec) * col("__tc").cast(dec) *
+        col("__tc").cast(dec) - col("__tc").cast(dec)).cast(dec))
+        .as("__tt"))
+    val joined = rows
+      .join(rx.select(col("__g"), col("__v").as("__x"),
+        col("__r2").as("__ux")), Seq("__g", "__x"))
+      .join(ry.select(col("__g"), col("__v").as("__y"),
+        col("__r2").as("__uy")), Seq("__g", "__y"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(((col("__ux") - col("__uy")) * (col("__ux") - col("__uy")))
+          .cast(dec)).as("__sd"))
+    val a = (col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
+      col("n").cast(dec)).cast(dec)
+    joined
+      .join(tieSum(rx).withColumnRenamed("__tt", "__tx"), Seq("__g"))
+      .join(tieSum(ry).withColumnRenamed("__tt", "__ty"), Seq("__g"))
+      .select(col("__g").as("group_key"), col("n"), {
+        val ax = (a - col("__tx")).cast(dec)
+        val ay = (a - col("__ty")).cast(dec)
+        when(ax > 0 && ay > 0, round(
+          (ax + ay - lit(3).cast(dec) * col("__sd")).cast("double") /
+            (lit(2.0) * sqrt(ax.cast("double") * ay.cast("double"))), 6))
+          .as("rho")
+      })
+      .orderBy("group_key")
+  }
 }

@@ -179,6 +179,66 @@ object TextAnalysis {
           .as("nll"))
   }
 
+  /** Interpolated Kneser–Ney smoothed bigram model (Kneser & Ney 1995;
+    * Chen & Goodman 1999) — the smoothing that actually wins LM
+    * benchmarks, beside [[bigramNll]]'s add-α baseline: instead of
+    * stealing mass uniformly, absolute discounting D backs off to the
+    * CONTINUATION probability (how many distinct contexts a word
+    * follows — "Francisco" is frequent but only ever follows "San", so
+    * its continuation mass is tiny):
+    *
+    *   p_KN(w|v) = max(c(v,w) − D, 0)/c(v·) + D·N₁₊(v·)/c(v·) · p_cont(w),
+    *   p_cont(w) = N₁₊(·w) / N₁₊(··).
+    *
+    * Output: the corpus' `topK` bigrams by count (ties on the words),
+    * each with its raw count and smoothed probability — the model
+    * table an LM-based quality filter scores against.
+    *
+    * Determinism contract: every N₁₊ and count is an exact integer;
+    * p_KN is ONE fixed-order double expression of them rounded to 6dp
+    * — identical in any engine.
+    *
+    * Scale shape: one explode pass to corpus bigram counts (map-side
+    * partials, bounded by distinct bigrams); the three N₁₊ statistics
+    * all derive from that table (never a second corpus pass) — two
+    * grid-keyed joins and one broadcast 1-row total; top-K is
+    * TakeOrdered, never a global sort. */
+  def kneserNeyBigrams(
+      df: DataFrame,
+      textCol: String,
+      discountNum: Long = 3L,
+      discountDen: Long = 4L,
+      topK: Int = 100): DataFrame = {
+    require(discountDen > 0 && discountNum >= 0 &&
+      discountNum <= discountDen, "discount must lie in [0, 1]")
+    require(topK >= 1 && topK <= 100000, "topK in [1, 100000]")
+    val d = lit(discountNum.toDouble / discountDen.toDouble)
+    val toks = TextFunctions.wsTokens(lower(col(textCol)))
+    val c2 = Lineage.cutLocal(df.select(toks.as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1).as("__vs"),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1).as("__ws"))
+      .select(explode(arrays_zip(col("__vs"), col("__ws"))).as("__p"))
+      .groupBy(col("__p.__vs").as("w1"), col("__p.__ws").as("w2"))
+      .agg(count(lit(1)).as("c")))
+    val ctx = c2.groupBy("w1")
+      .agg(sum(col("c")).as("__c1"), count(lit(1)).as("__nf"))
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("__nb"))
+    val total = broadcast(c2.agg(count(lit(1)).as("__nbi")))
+    c2.join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(total)
+      .select(col("w1"), col("w2"), col("c"),
+        round(
+          (greatest(col("c").cast("double") - d, lit(0.0)) +
+            d * col("__nf").cast("double") *
+              (col("__nb").cast("double") / col("__nbi").cast("double"))) /
+            col("__c1").cast("double"), 6).as("p_kn"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** CCNet-style boilerplate line removal: drop every line that occurs
     * in more than `maxDf` distinct documents (navigation chrome, cookie
     * banners, footers — the lines a crawl repeats everywhere), and

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class FeaturesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("looTargetEncode: leave-one-out means, singleton global fallback") {
+    val df = Seq(
+      (1L, "a", Some(10.0)), (2L, "a", Some(20.0)), (3L, "a", Some(30.0)),
+      (4L, "b", Some(40.0)))
+      .toDF("id", "k", "y")
+    val got = Features.looTargetEncode(df, "id", "k", "y")
+      .as[(Long, String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 3L, Some(25.0)),   // (60-10)/2
+      (2L, "a", 3L, Some(20.0)),   // (60-20)/2
+      (3L, "a", 3L, Some(15.0)),   // (60-30)/2
+      (4L, "b", 1L, Some(25.0))),  // singleton -> global mean 100/4
+      got.toString)
+  }
+
+  test("looTargetEncode: NULL labels subtract nothing; all-null key falls back") {
+    val df = Seq(
+      (1L, "a", Some(10.0)), (2L, "a", None),
+      (3L, "c", None))
+      .toDF("id", "k", "y")
+    val got = Features.looTargetEncode(df, "id", "k", "y")
+      .as[(Long, String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      // id 1 is the only label in 'a': LOO denominator 0 -> global mean
+      (1L, "a", 1L, Some(10.0)),
+      // id 2 has no own label: plain key mean of the others = 10
+      (2L, "a", 1L, Some(10.0)),
+      // 'c' has no labels at all: global mean
+      (3L, "c", 0L, Some(10.0))), got.toString)
+  }
+}

@@ -119,4 +119,77 @@ class StatsSpec extends AnyFunSuite {
       (4L, 7.84375, 0.726562, 1.578125, Some(7.6875), Some(2.3125))),
       out.toString)
   }
+
+  test("mannKendall: hand-computed S, tie-killed variance, z, trend") {
+    val s = Seq(
+      // a: strictly increasing -> S = 6, no ties, z = 5/sqrt(156/18)
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L),
+      // b: constant -> S = 0, variance 0 -> NULL z/trend
+      ("b", 1L, 5L), ("b", 2L, 5L), ("b", 3L, 5L),
+      // c: strictly decreasing, n = 3 -> S = -3, z = -2/sqrt(66/18)
+      ("c", 1L, 5L), ("c", 2L, 3L), ("c", 3L, 1L))
+      .toDF("k", "t", "y")
+    val got = Stats.mannKendall(s, "k", "t", "y")
+      .as[(String, Long, Long, Option[Double], Option[String])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 4L, 6L, Some(1.698416), Some("none")),
+      ("b", 3L, 0L, None, None),
+      ("c", 3L, -3L, Some(-1.044466), Some("none"))), got.toString)
+  }
+
+  test("theilSen: median pairwise slope and median-residual intercept") {
+    // slopes of (1,1),(2,3),(3,2): 2, 0.5, -1 -> median 0.5;
+    // residuals y - 0.5t: 0.5, 2, 0.5 -> median 0.5
+    val s = Seq(("a", 1L, 1L), ("a", 2L, 3L), ("a", 3L, 2L))
+      .toDF("k", "t", "y")
+    val got = Stats.theilSen(s, "k", "t", "y")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 3L, 0.5, 0.5)), got.toString)
+    // a single-point series has no pairs and is excluded
+    val single = Stats.theilSen(
+      Seq(("z", 1L, 9L)).toDF("k", "t", "y"), "k", "t", "y")
+    assert(single.count() == 0)
+  }
+
+  test("mannWhitney: hand-computed U with ties and tie-corrected z") {
+    // A = {1, 2}, B = {2, 3}: U_A = 0 + 0.5 + 0 + 0 = 0.5;
+    // sigma = sqrt(4/12 * (5 - 6/12)) = sqrt(1.5); z = -1.5/sigma
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0))
+      .toDF("arm", "v")
+    val got = Stats.mannWhitney(df, "arm", "v", "A", "B")
+      .as[(Long, Long, Double, Option[Double])].collect().toSeq
+    assert(got == Seq((2L, 2L, 0.5, Some(-1.224745))), got.toString)
+    // a missing cohort: NULL z, zero counts survive
+    val miss = Stats.mannWhitney(df, "arm", "v", "A", "C")
+      .as[(Long, Long, Double, Option[Double])].collect().toSeq
+    assert(miss == Seq((2L, 0L, 0.0, None)), miss.toString)
+  }
+
+  test("chi2Independence: hand-computed 2x2 chi2, dof, Cramer's V") {
+    // counts: (a,0)=10 (a,1)=10 (b,0)=10 (b,1)=30 -> chi2 = 3.75,
+    // V = sqrt(3.75/60) = 0.25
+    val rows = Seq.fill(10)(("a", 0)) ++ Seq.fill(10)(("a", 1)) ++
+      Seq.fill(10)(("b", 0)) ++ Seq.fill(30)(("b", 1))
+    val got = Stats.chi2Independence(rows.toDF("r", "c"), "r", "c")
+      .as[(Long, Long, Long, Long, Double, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq((60L, 2L, 2L, 1L, 3.75, Some(0.25))), got.toString)
+  }
+
+  test("spearman: perfect, inverse, and tie-averaged correlations") {
+    val df = Seq(
+      ("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 3.0),   // rho = 1
+      ("h", 1.0, 3.0), ("h", 2.0, 2.0), ("h", 3.0, 1.0),   // rho = -1
+      // t: x = 1,1,2 / y = 1,2,2 -> Ax = Ay = 18, sum d2^2 = 6 -> 0.5
+      ("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 2.0),
+      // z: all x tied -> zero rank variance -> NULL
+      ("z", 7.0, 1.0), ("z", 7.0, 2.0))
+      .toDF("grp", "x", "y")
+    val got = Stats.spearman(df, "grp", "x", "y")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("g", 3L, Some(1.0)), ("h", 3L, Some(-1.0)),
+      ("t", 3L, Some(0.5)), ("z", 2L, None)), got.toString)
+  }
 }

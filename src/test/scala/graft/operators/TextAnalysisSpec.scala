@@ -409,4 +409,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, Double)].collect().toSeq
     assert(got == Seq(("a", 0.5), ("b", 0.5)), got.toString)
   }
+
+  test("kneserNeyBigrams: hand-computed discount and continuation mass") {
+    // corpus "a b", "a b", "a c": c(a,b)=2, c(a,c)=1, c(a·)=3,
+    // N1+(a·)=2, N1+(·b)=N1+(·c)=1, N1+(··)=2, D=0.75:
+    //   p(b|a) = (1.25 + 0.75*2*0.5)/3 = 2/3
+    //   p(c|a) = (0.25 + 0.75*2*0.5)/3 = 1/3
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val got = TextAnalysis.kneserNeyBigrams(docs, "text")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 0.666667),
+      ("a", "c", 1L, 0.333333)), got.toString)
+    // discounted mass + continuation mass is a proper distribution:
+    // sum over observed continuations stays <= 1 for every context
+    assert(got.map(_._4).sum <= 1.0 + 1e-9)
+    // topK caps the table deterministically (count desc, then words)
+    val top1 = TextAnalysis.kneserNeyBigrams(docs, "text", topK = 1)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(top1 == Seq(("a", "b", 2L, 0.666667)), top1.toString)
+  }
 }
