@@ -8132,4 +8132,86 @@ ORDER BY query_id"""
     graft.operators.TextAnalysis.kneserNeyBigrams(
       t(s, dir, "documents"), "text")
   }
+
+  // ---------------------------------------------------------------------
+  // aq78_ks_test — two-sample Kolmogorov–Smirnov test, purchase vs error
+  // event values (Stats.ksTest): the max CDF gap carried as the exact
+  // cross-multiplied integer |cA·nB − cB·nA| over the value grid — the
+  // common denominator never materializes as a float.
+  register(
+    "aq78_ks_test",
+    """WITH v AS (
+      |  SELECT value AS v,
+      |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS na,
+      |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint AS nb
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+      |  GROUP BY 1
+      |), c AS (
+      |  SELECT na, nb,
+      |         sum(na) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::hugeint AS ca,
+      |         sum(nb) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::hugeint AS cb,
+      |         sum(na) OVER ()::hugeint AS ta,
+      |         sum(nb) OVER ()::hugeint AS tb
+      |  FROM v
+      |), a AS (
+      |  SELECT max(ta)::bigint AS n_a, max(tb)::bigint AS n_b,
+      |         max(abs(ca * tb - cb * ta))::hugeint AS maxd
+      |  FROM c
+      |)
+      |SELECT n_a, n_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    round(maxd::double / (n_a::hugeint * n_b::hugeint)::double, 6)
+      |  END AS d_stat,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    round((maxd::double / (n_a::hugeint * n_b::hugeint)::double) *
+      |          sqrt((n_a::hugeint * n_b::hugeint)::double /
+      |               (n_a + n_b)::double), 6)
+      |  END AS ks_stat
+      |FROM a""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.ksTest(
+      t(s, dir, "events"), "event_type", "value", "purchase", "error")
+  }
+
+  // ---------------------------------------------------------------------
+  // dq21_quality_survivors — survivor selection by QUALITY, not id:
+  // near-dup clusters keep their longest member (n_chars, ties to the
+  // smallest id) — the canonicalization real curation uses (dq7 keeps
+  // the min id; a crawl wants the fullest copy). Argmax rides a packed
+  // BIGINT (chars · 2³² + (2³²−1 − id)) so the keep decision is a
+  // primitive integer max in both engines.
+  register(
+    "dq21_quality_survivors",
+    s"""WITH RECURSIVE ${jaccardPairsCtes(0.8)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM dup
+       |  UNION ALL SELECT id_b, id_a FROM dup
+       |), reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+       |), comp AS (
+       |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+       |), packed AS (
+       |  SELECT comp.cluster_id,
+       |         d.n_chars::bigint * 4294967296 + (4294967295 - d.doc_id) AS k
+       |  FROM comp JOIN documents d ON comp.id = d.doc_id
+       |)
+       |SELECT cluster_id, count(*)::bigint AS n_members,
+       |       (4294967295 - (max(k) % 4294967296))::bigint AS kept_doc_id,
+       |       (max(k) // 4294967296)::bigint AS kept_quality
+       |FROM packed
+       |GROUP BY 1
+       |ORDER BY cluster_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id",
+      "text", shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    graft.operators.Dedup.qualitySurvivors(
+      pairs, docs.select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars")
+  }
 }

@@ -615,6 +615,63 @@ object Stats {
           }).as("z"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test — the DISTRIBUTION-shape
+    * companion to [[mannWhitney]] (U detects location shift; KS
+    * detects any difference: spread, shape, tails): the maximum gap
+    * between the two empirical CDFs,
+    *
+    *   D = max_v |F_A(v) − F_B(v)|,
+    *   KS = D·√(n_A·n_B/(n_A+n_B)).
+    *
+    * Determinism contract: the gap is carried as the exact integer
+    * |c_A·n_B − c_B·n_A| (cross-multiplied cumulative counts,
+    * decimal(38,0) — the common denominator never materializes as a
+    * float); D and KS are fixed-order double expressions of exact
+    * integers rounded to 6dp. An empty cohort reports NULL.
+    *
+    * Scale shape: identical to [[mannWhitney]] — one per-VALUE
+    * aggregate (map-side partials), cumulative counts over the
+    * measurement-grid value frame, one 1-row readout. Returns ONE row
+    * `(n_a, n_b, d_stat, ks_stat)`. */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val perValue = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__na"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__nb"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prod = (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double")
+    val d = col("__maxd").cast("double") / prod
+    val ok = col("n_a") > 0L && col("n_b") > 0L
+    perValue
+      .withColumn("__ca", sum(col("__na")).over(w))
+      .withColumn("__cb", sum(col("__nb")).over(w))
+      .withColumn("__ta", sum(col("__na")).over(whole))
+      .withColumn("__tb", sum(col("__nb")).over(whole))
+      .agg(
+        max(col("__ta")).as("n_a"),
+        max(col("__tb")).as("n_b"),
+        max(abs(col("__ca").cast(dec) * col("__tb").cast(dec) -
+          col("__cb").cast(dec) * col("__ta").cast(dec))).as("__maxd"))
+      .select(col("n_a"), col("n_b"),
+        when(ok, round(d, 6)).as("d_stat"),
+        when(ok, round(
+          d * sqrt(prod / (col("n_a") + col("n_b")).cast("double")), 6))
+          .as("ks_stat"))
+  }
+
   /** χ² test of independence over a two-way contingency table — "does
     * the row factor depend on the column factor" (event mix by
     * day-of-week, language by source): O_rc vs E_rc = rowTot·colTot/N,

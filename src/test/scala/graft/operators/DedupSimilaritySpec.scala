@@ -238,6 +238,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("qualitySurvivors keeps max quality, ties to smallest id; range guard") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val q = Seq((1L, 10L), (2L, 50L), (3L, 50L), (10L, 7L), (11L, 9L),
+      (99L, 1000L)) // 99 is unclustered: absent from the output
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.qualitySurvivors(pairs, q, "doc_id", "n_chars")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster 1: quality 50 tie between ids 2 and 3 -> 2 wins;
+    // cluster 10: 11 (quality 9) beats 10 (quality 7)
+    assert(got == Seq((1L, 3L, 2L, 50L), (10L, 2L, 11L, 9L)),
+      got.toString)
+    // negative quality is outside the packable range: loud, not wrong
+    val bad = Seq((1L, -5L), (2L, 1L), (3L, 1L), (10L, 1L), (11L, 1L))
+      .toDF("doc_id", "n_chars")
+    val e = intercept[Exception] {
+      Dedup.qualitySurvivors(pairs, bad, "doc_id", "n_chars").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("packable range"), msgs)
+  }
+
   test("embedding LSH near-dup matches brute force on real embeddings (both SFs)") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val e = graft.Tables.load(spark, dir, "embeddings")

@@ -166,6 +166,20 @@ class StatsSpec extends AnyFunSuite {
     assert(miss == Seq((2L, 0L, 0.0, None)), miss.toString)
   }
 
+  test("ksTest: hand-computed max CDF gap with a tie") {
+    // A = {1,2}, B = {2,3}: CDF gaps at 1, 2, 3 are 0.5, 0.5, 0 ->
+    // D = 0.5, KS = 0.5 * sqrt(4/4) = 0.5
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0))
+      .toDF("arm", "v")
+    val got = Stats.ksTest(df, "arm", "v", "A", "B")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq((2L, 2L, Some(0.5), Some(0.5))), got.toString)
+    // degenerate: a missing cohort -> NULL stats, counts survive
+    val m = Stats.ksTest(df, "arm", "v", "A", "C")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(m == Seq((2L, 0L, None, None)), m.toString)
+  }
+
   test("chi2Independence: hand-computed 2x2 chi2, dof, Cramer's V") {
     // counts: (a,0)=10 (a,1)=10 (b,0)=10 (b,1)=30 -> chi2 = 3.75,
     // V = sqrt(3.75/60) = 0.25
