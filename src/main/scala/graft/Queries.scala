@@ -8214,4 +8214,51 @@ ORDER BY query_id"""
       pairs, docs.select(col("doc_id"), col("n_chars")),
       "doc_id", "n_chars")
   }
+
+  // ---------------------------------------------------------------------
+  // dq22_lsh_recall — the dedup-pipeline EVALUATION harness
+  // (Dedup.lshRecallAudit): banded MinHash-LSH candidates at audit-weak
+  // parameters (8 hashes / 2 bands, where the bucketing genuinely
+  // misses pairs) vs the exact similarity join — recall and precision
+  // in one row. Signatures are engine-portable (md5-based x, affine
+  // (a·x+b) mod 2³¹−1 maps), so the oracle replays them bit-for-bit.
+  register(
+    "dq22_lsh_recall",
+    s"""WITH ${jaccardPairsCtes(0.8)}, hx AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 8))::bigint % 2147483647 AS x
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id, i,
+       |         min((((2 * i + 1) * 1597334677 % 2147483647) * x +
+       |              (i * 40503 + 7) % 2147483647) % 2147483647) AS m
+       |  FROM hx, unnest(range(8)) t(i)
+       |  GROUP BY 1, 2
+       |), band AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(m::varchar, ',' ORDER BY i) AS key
+       |  FROM sig GROUP BY 1, 2
+       |), cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band a JOIN band b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), hit AS (
+       |  SELECT count(*)::bigint AS n_hit
+       |  FROM cand JOIN dup USING (id_a, id_b)
+       |), agg AS (
+       |  SELECT (SELECT count(*)::bigint FROM dup) AS n_true,
+       |         (SELECT count(*)::bigint FROM cand) AS n_cand,
+       |         (SELECT n_hit FROM hit) AS n_hit
+       |)
+       |SELECT n_true, n_cand, n_hit,
+       |  CASE WHEN n_true > 0 THEN
+       |    round(n_hit::double / n_true::double, 6) END AS recall,
+       |  CASE WHEN n_cand > 0 THEN
+       |    round(n_hit::double / n_cand::double, 6) END AS precision
+       |FROM agg""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.lshRecallAudit(
+      t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 8, bands = 2, threshold = 0.8)
+  }
 }

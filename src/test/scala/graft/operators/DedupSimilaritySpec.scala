@@ -260,6 +260,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(msgs.contains("packable range"), msgs)
   }
 
+  test("lshRecallAudit: exact duplicates always recalled; readout invariants") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "entirely different content about distributed query engines"),
+      (4L, "yet another unrelated document mentioning spark catalyst"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshRecallAudit(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 2, threshold = 0.8)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    val (nTrue, nCand, nHit, recall, precision) = got
+    // identical docs have identical signatures in EVERY band: the true
+    // pair is always a candidate -> perfect recall here
+    assert(nTrue == 1L && nHit == 1L && recall.contains(1.0), got.toString)
+    assert(nHit <= math.min(nTrue, nCand), got.toString)
+    assert(precision.contains(
+      BigDecimal(nHit.toDouble / nCand).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble), got.toString)
+    // an all-unique corpus: zero truth -> NULL recall, never 0/0
+    val clean = Dedup.lshRecallAudit(
+      docs.filter($"doc_id" >= 3L), "doc_id", "text",
+      shingleN = 3, numHashes = 8, bands = 2, threshold = 0.8)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(clean._1 == 0L && clean._4.isEmpty, clean.toString)
+  }
+
   test("embedding LSH near-dup matches brute force on real embeddings (both SFs)") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val e = graft.Tables.load(spark, dir, "embeddings")
