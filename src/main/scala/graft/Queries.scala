@@ -8261,4 +8261,56 @@ ORDER BY query_id"""
       t(s, dir, "documents"), "doc_id", "text",
       shingleN = 3, numHashes = 8, bands = 2, threshold = 0.8)
   }
+
+  // ---------------------------------------------------------------------
+  // st14_stream_drift — STREAMING distribution-drift monitor: daily
+  // (day, type) counts maintained by a streaming aggregation, then the
+  // per-window χ² drift readout vs the pooled reference
+  // (Stats.driftByWindow; critical 9.488 = χ²₀.₀₅ at dof 4 for the five
+  // event types). Stream == batch is the gate: the streamed counts must
+  // equal the batch aggregation exactly before the readout even runs.
+  register(
+    "st14_stream_drift",
+    """WITH cells AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS w, event_type AS t,
+      |         count(*)::bigint AS o
+      |  FROM events GROUP BY 1, 2
+      |), ref AS (SELECT t, sum(o)::bigint AS tot FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(o)::bigint AS n FROM cells),
+      |pw AS (SELECT w, sum(o)::bigint AS nw FROM cells GROUP BY 1),
+      |grid AS (
+      |  SELECT pw.w, pw.nw, ref.t, ref.tot, coalesce(c.o, 0)::bigint AS o
+      |  FROM pw CROSS JOIN ref
+      |  LEFT JOIN cells c ON c.w = pw.w AND c.t = ref.t
+      |), terms AS (
+      |  SELECT w, nw,
+      |    round((o::double - (nw * tot)::double / (SELECT n FROM tot)::double) *
+      |          (o::double - (nw * tot)::double / (SELECT n FROM tot)::double) /
+      |          ((nw * tot)::double / (SELECT n FROM tot)::double),
+      |          6)::decimal(18,6) AS term
+      |  FROM grid
+      |)
+      |SELECT w AS window_key, nw AS n, sum(term)::double AS chi2,
+      |       (sum(term)::double > 9.488) AS drifted
+      |FROM terms
+      |GROUP BY 1, 2
+      |ORDER BY window_key""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    val stream = graft.streaming.StreamRunner
+      .parquetStream(s, s"$dir/events.parquet", maxFilesPerTrigger = 1)
+    val agg = stream
+      .select(expr("unix_micros(ts) div 86400000000").as("w"),
+        col("event_type").as("t"))
+      .groupBy("w", "t").agg(count(lit(1)).as("o"))
+    val qn = s"st14_out_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Stats.driftByWindow(
+      s.table(qn), "w", "t", "o", critical = 9.488)
+  }}
 }

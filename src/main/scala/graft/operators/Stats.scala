@@ -724,6 +724,58 @@ object Stats {
             6)).as("cramers_v"))
   }
 
+  /** Per-window distribution drift against the pooled reference — the
+    * monitor an ingestion pipeline alarms on ("today's event mix no
+    * longer looks like the corpus"): for each window, the χ²
+    * goodness-of-fit of its category counts against the all-window
+    * category shares,
+    *
+    *   E_wt = n_w · tot_t / N,   χ²_w = Σ_t (o_wt − E_wt)² / E_wt,
+    *
+    * flagged `drifted` above the caller's critical value (pick it for
+    * the family's dof = |types|−1; e.g. 9.488 at dof 4, α = 0.05).
+    * Windows missing a category contribute that category's FULL
+    * expected mass (o = 0), as the statistic requires.
+    *
+    * Determinism contract: counts are exact integers; E and each term
+    * are fixed-order double expressions; terms round to 6dp and sum as
+    * DECIMAL (the aq75 discipline); the flag compares the
+    * already-rounded χ². Scale shape: everything past `counts` is the
+    * window × category GRID — one |types|-row broadcast, one 1-row
+    * broadcast, one window aggregate; the grid completion is a
+    * grid-sized cross of windows × categories, never event rows.
+    * Returns `(window, n, chi2, drifted)` per window. */
+  def driftByWindow(
+      counts: DataFrame,
+      windowCol: String,
+      typeCol: String,
+      nCol: String,
+      critical: Double): DataFrame = {
+    val cells = Lineage.cutLocal(counts.select(
+      col(windowCol).as("__w"), col(typeCol).as("__t"),
+      col(nCol).cast("long").as("__o")))
+    val ref = broadcast(cells.groupBy("__t").agg(sum("__o").as("__tot")))
+    val total = broadcast(cells.agg(sum("__o").as("__n")))
+    val perWindow = cells.groupBy("__w").agg(sum("__o").as("__nw"))
+    // complete the grid: a window missing a category still owes its
+    // expected mass — cross the window frame with the category frame
+    val grid = perWindow.crossJoin(ref)
+      .join(cells, Seq("__w", "__t"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val e = (col("__nw") * col("__tot")).cast("double") /
+      col("__n").cast("double")
+    val term = (col("__o").cast("double") - e) *
+      (col("__o").cast("double") - e) / e
+    grid.crossJoin(total)
+      .select(col("__w"), col("__nw"),
+        round(term, 6).cast("decimal(18,6)").as("__term"))
+      .groupBy("__w", "__nw")
+      .agg(sum("__term").cast("double").as("chi2"))
+      .select(col("__w").as("window_key"), col("__nw").as("n"),
+        col("chi2"), (col("chi2") > critical).as("drifted"))
+      .orderBy("window_key")
+  }
+
   /** Spearman rank correlation per group, tie-corrected — the
     * monotone-association companion to Pearson (aq8 reports `corr`;
     * Spearman survives any monotone transform and ignores outlier

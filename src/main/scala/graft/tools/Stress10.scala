@@ -306,6 +306,62 @@ object Stress10 {
       operators.Dedup.editDistancePairs(names(10), "id", "s").count())
     slope("edit_join", dq20a, dq20b)
 
+    // Mann–Whitney: 10x events over the SAME measurement grid — the
+    // per-value collapse scales, the grid window stays flat
+    val aq74a = time("mann_whitney_1x")(operators.Stats.mannWhitney(
+      evDup(1), "event_type", "value", "purchase", "click").count())
+    val aq74b = time("mann_whitney_10x")(operators.Stats.mannWhitney(
+      evDup(10), "event_type", "value", "purchase", "click").count())
+    slope("mann_whitney", aq74a, aq74b)
+
+    // LOO target encoding: one key aggregate + co-keyed join — linear
+    val ordBase2 = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    def ordDup2(k: Int): DataFrame = (0 until k).map(i =>
+      ordBase2.select(
+        (col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(i * 10000000L)).as("o_custkey"),
+        col("o_totalprice"))).reduce(_ unionByName _)
+    val aq76a = time("target_enc_1x")(operators.Features.looTargetEncode(
+      ordDup2(1), "o_orderkey", "o_custkey", "o_totalprice").count())
+    val aq76b = time("target_enc_10x")(operators.Features.looTargetEncode(
+      ordDup2(10), "o_orderkey", "o_custkey", "o_totalprice").count())
+    slope("target_enc", aq76a, aq76b)
+
+    // Spearman: replicated customers share nations AND acctbal values,
+    // so 10x rows fatten the tie counts, not just the grid — the
+    // tie-heavy worst case for the per-(group,value) rank frames
+    val custB = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    def spearBase(k: Int): DataFrame = {
+      val c = (0 until k).map(i => custB.select(
+        (col("c_custkey") + lit(i * 10000000L)).as("c_custkey"),
+        col("c_nationkey"), col("c_acctbal"))).reduce(_ unionByName _)
+      val o = ordDup2(k).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("spend"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").as("g"), col("c_acctbal").as("x"),
+          col("spend").as("y"))
+    }
+    val aq77a = time("spearman_1x")(operators.Stats.spearman(
+      spearBase(1), "g", "x", "y").count())
+    val aq77b = time("spearman_10x")(operators.Stats.spearman(
+      spearBase(10), "g", "x", "y").count())
+    slope("spearman", aq77a, aq77b)
+
+    // LSH recall audit: per-copy marker tokens keep replicas DISSIMILAR
+    // (every shingle carries the marker), so truth pairs — and the
+    // audit's PPJoin — scale linearly with copies, not quadratically
+    def auditDocs(k: Int): DataFrame = (0 until k).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        regexp_replace(col("text"), "\\s+", s" x$i ").as("text")))
+      .reduce(_ unionByName _)
+    val dq22a = time("lsh_recall_1x")(operators.Dedup.lshRecallAudit(
+      auditDocs(1), "doc_id", "text").count())
+    val dq22b = time("lsh_recall_10x")(operators.Dedup.lshRecallAudit(
+      auditDocs(10), "doc_id", "text").count())
+    slope("lsh_recall", dq22a, dq22b)
+
     spark.stop()
   }
 }

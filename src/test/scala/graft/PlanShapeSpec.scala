@@ -601,6 +601,56 @@ class PlanShapeSpec extends AnyFunSuite {
       nodes.map(_.nodeName).mkString(", "))
   }
 
+  test("aq72 Mann-Kendall: the pair join is key-equi — never a cartesian") {
+    val df = SparkEntry.queries("aq72_mann_kendall")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("aq74 Mann-Whitney: ONE data-sized shuffle — the window runs over " +
+      "the collapsed value grid, never raw rows") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = SparkEntry.queries("aq74_mann_whitney")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    val hashShuffles = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    // exactly the per-value collapse; everything downstream is the
+    // measurement grid (single-partition window) and the 1-row readout
+    assert(hashShuffles.size == 1,
+      nodes.map(_.nodeName).mkString(", "))
+    assert(nodes.exists(_.nodeName.contains("Window")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("aq77 Spearman: every window is group-partitioned — no global sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("aq77_spearman")(spark, sf)
+    df.collect()
+    val wins = deepNodes(df.queryExecution.executedPlan).collect {
+      case w: WindowExec => w
+    }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      wins.map(w => w.partitionSpec.mkString("[", ",", "]")).mkString(", "))
+  }
+
+  test("aq76 target encoding: no cartesian — the 1-row global mean broadcasts") {
+    val df = SparkEntry.queries("aq76_target_encoding")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      nodes.map(_.nodeName).mkString(", "))
+    assert(nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")) ||
+      nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
   test("deltaJoinMerge: exactly the three delta joins — the A⋈B bulk " +
     "is never recomputed") {
     import spark.implicits._

@@ -191,6 +191,28 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Seq((60L, 2L, 2L, 1L, 3.75, Some(0.25))), got.toString)
   }
 
+  test("driftByWindow: hand-computed per-window chi2, grid completion") {
+    // tot: a=20, b=40, N=60. w1 (10,10): chi2 = 1.666667 + 0.833333;
+    // w2 (10,30): 0.833333 + 0.416667 -> 1.25
+    val counts = Seq(
+      (1L, "a", 10L), (1L, "b", 10L),
+      (2L, "a", 10L), (2L, "b", 30L))
+      .toDF("w", "t", "o")
+    val got = Stats.driftByWindow(counts, "w", "t", "o", critical = 2.0)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 20L, 2.5, true), (2L, 40L, 1.25, false)),
+      got.toString)
+    // a window MISSING a category still owes its expected mass:
+    // w2 sees only 'a' -> the absent 'b' cell enters with o = 0
+    val miss = Seq((1L, "a", 5L), (1L, "b", 5L), (2L, "a", 10L))
+      .toDF("w", "t", "o")
+    // tot: a=15, b=5, N=20; w2 nw=10: E_a = 7.5, E_b = 2.5 ->
+    // chi2_w2 = (10-7.5)^2/7.5 + (0-2.5)^2/2.5 = 0.833333 + 2.5
+    val m = Stats.driftByWindow(miss, "w", "t", "o", critical = 3.0)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(m(1) == ((2L, 10L, 3.333333, true)), m.toString)
+  }
+
   test("spearman: perfect, inverse, and tie-averaged correlations") {
     val df = Seq(
       ("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 3.0),   // rho = 1
