@@ -8263,6 +8263,154 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq80_cuped — CUPED variance-reduced A/B readout (Stats.cuped): each
+  // user's experiment-period metric adjusted by their pre-period
+  // covariate (first 15 days vs last 15; epoch-day 19738 = 2024-01-16),
+  // theta 6dp-rounded and every downstream expression derived from the
+  // ROUNDED theta in one fixed order. Arms by user parity.
+  register(
+    "aq80_cuped",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    coalesce(sum(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+      |                      THEN value::decimal(18,4) END), 0) AS x,
+      |    coalesce(sum(CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+      |                      THEN value::decimal(18,4) END), 0) AS y
+      |  FROM events GROUP BY 1
+      |), s AS (
+      |  SELECT
+      |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::bigint AS n_a,
+      |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::bigint AS n_b,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN x END) AS sx_a,
+      |    sum(CASE WHEN user_id % 2 = 1 THEN x END) AS sx_b,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN y END) AS sy_a,
+      |    sum(CASE WHEN user_id % 2 = 1 THEN y END) AS sy_b,
+      |    sum(CASE WHEN user_id % 2 = 0
+      |        THEN round(x * y, 8)::decimal(28,8) END) AS sxy_a,
+      |    sum(CASE WHEN user_id % 2 = 1
+      |        THEN round(x * y, 8)::decimal(28,8) END) AS sxy_b,
+      |    sum(CASE WHEN user_id % 2 = 0
+      |        THEN round(x * x, 8)::decimal(28,8) END) AS sxx_a,
+      |    sum(CASE WHEN user_id % 2 = 1
+      |        THEN round(x * x, 8)::decimal(28,8) END) AS sxx_b,
+      |    sum(CASE WHEN user_id % 2 = 0
+      |        THEN round(y * y, 8)::decimal(28,8) END) AS syy_a,
+      |    sum(CASE WHEN user_id % 2 = 1
+      |        THEN round(y * y, 8)::decimal(28,8) END) AS syy_b
+      |  FROM u
+      |), m1 AS (
+      |  SELECT *,
+      |    (n_a + n_b)::double AS np,
+      |    (sx_a + sx_b)::double AS sxp, (sy_a + sy_b)::double AS syp,
+      |    (sxy_a + sxy_b)::double AS sxyp, (sxx_a + sxx_b)::double AS sxxp,
+      |    sx_a::double / n_a AS xma, sx_b::double / n_b AS xmb,
+      |    sy_a::double / n_a AS yma, sy_b::double / n_b AS ymb
+      |  FROM s
+      |), m2 AS (
+      |  SELECT *,
+      |    np * sxxp - sxp * sxp AS thden,
+      |    round((np * sxyp - sxp * syp) / (np * sxxp - sxp * sxp), 6) AS th,
+      |    sxp / np AS xmp
+      |  FROM m1
+      |), m3 AS (
+      |  SELECT *,
+      |    (syy_a::double - n_a * yma * yma) / (n_a - 1) AS vy_a,
+      |    (syy_b::double - n_b * ymb * ymb) / (n_b - 1) AS vy_b,
+      |    (sxy_a::double - n_a * xma * yma) / (n_a - 1) AS cv_a,
+      |    (sxy_b::double - n_b * xmb * ymb) / (n_b - 1) AS cv_b,
+      |    (sxx_a::double - n_a * xma * xma) / (n_a - 1) AS vx_a,
+      |    (sxx_b::double - n_b * xmb * xmb) / (n_b - 1) AS vx_b
+      |  FROM m2
+      |), m4 AS (
+      |  SELECT *,
+      |    vy_a - 2.0 * th * cv_a + th * th * vx_a AS vadj_a,
+      |    vy_b - 2.0 * th * cv_b + th * th * vx_b AS vadj_b
+      |  FROM m3
+      |)
+      |SELECT n_a, n_b,
+      |  CASE WHEN n_a >= 2 AND n_b >= 2 AND thden > 0.0 THEN th
+      |  END AS theta,
+      |  CASE WHEN n_a >= 2 AND n_b >= 2 AND thden > 0.0 THEN
+      |    round(yma - th * (xma - xmp), 6) END AS mean_adj_a,
+      |  CASE WHEN n_a >= 2 AND n_b >= 2 AND thden > 0.0 THEN
+      |    round(ymb - th * (xmb - xmp), 6) END AS mean_adj_b,
+      |  CASE WHEN n_a >= 2 AND n_b >= 2 AND thden > 0.0 AND
+      |            vadj_a / n_a + vadj_b / n_b > 0.0 THEN
+      |    round((yma - ymb - th * (xma - xmb)) /
+      |          sqrt(vadj_a / n_a + vadj_b / n_b), 4) END AS z_adj,
+      |  CASE WHEN n_a >= 2 AND n_b >= 2 AND thden > 0.0 AND
+      |            vy_a + vy_b > 0.0 THEN
+      |    round(1.0 - (vadj_a + vadj_b) / (vy_a + vy_b), 6)
+      |  END AS var_reduction
+      |FROM m4""".stripMargin
+  ) { (s, dir) =>
+    val units = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("d") < 19738L, col("v"))),
+          lit(0).cast("decimal(18,4)")).as("x"),
+        coalesce(sum(when(col("d") >= 19738L, col("v"))),
+          lit(0).cast("decimal(18,4)")).as("y"))
+    graft.operators.Stats.cuped(units, "x", "y",
+      armA = col("user_id") % 2 === 0)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq79_kruskal_wallis — Kruskal–Wallis H across ALL five event types'
+  // value distributions (Stats.kruskalWallis): doubled rank sums exact
+  // in decimal/hugeint over the value grid, per-group quotients
+  // 6dp-rounded before the cross-group sum, tie-corrected H' from the
+  // already-rounded H.
+  register(
+    "aq79_kruskal_wallis",
+    """WITH gv AS (
+      |  SELECT event_type AS g, value AS v, count(*)::bigint AS c
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+      |), vm AS (
+      |  SELECT v, t,
+      |         coalesce(sum(t) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |           0)::hugeint AS below
+      |  FROM (SELECT v, sum(c)::bigint AS t FROM gv GROUP BY 1)
+      |), pg AS (
+      |  SELECT g, sum(c)::bigint AS ng,
+      |         sum(c::hugeint * (2 * below + t + 1)::hugeint)::hugeint AS r2
+      |  FROM gv JOIN vm USING (v)
+      |  GROUP BY 1
+      |), q AS (
+      |  SELECT ng,
+      |         round((r2 * r2)::double / (4::hugeint * ng)::double,
+      |               6)::decimal(28,6) AS q
+      |  FROM pg
+      |), tt AS (
+      |  SELECT sum(t::hugeint * t * t - t)::hugeint AS tt FROM vm
+      |), a AS (
+      |  SELECT count(*)::bigint AS n_groups, sum(ng)::bigint AS n,
+      |         sum(q) AS sq
+      |  FROM q
+      |)
+      |SELECT n_groups, n,
+      |  CASE WHEN n_groups >= 2 AND n >= 2 THEN
+      |    round(12.0 * sq::double / (n::double * (n::double + 1.0)) -
+      |          3.0 * (n::double + 1.0), 6)
+      |  END AS h,
+      |  CASE WHEN n_groups >= 2 AND n >= 2 AND
+      |            1.0 - tt::double / (n::hugeint * n * n - n)::double > 0.0
+      |  THEN
+      |    round(round(12.0 * sq::double / (n::double * (n::double + 1.0)) -
+      |                3.0 * (n::double + 1.0), 6) /
+      |          (1.0 - tt::double / (n::hugeint * n * n - n)::double), 6)
+      |  END AS h_adj
+      |FROM a CROSS JOIN tt""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.kruskalWallis(
+      t(s, dir, "events"), "event_type", "value")
+  }
+
+  // ---------------------------------------------------------------------
   // st14_stream_drift — STREAMING distribution-drift monitor: daily
   // (day, type) counts maintained by a streaming aggregation, then the
   // per-window χ² drift readout vs the pooled reference

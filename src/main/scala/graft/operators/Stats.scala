@@ -105,6 +105,99 @@ object Stats {
   }
 
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) —
+    * the industry-standard A/B sensitivity booster beside [[abTest]]'s
+    * plain Welch z: each unit's metric is adjusted by its PRE-period
+    * covariate,
+    *
+    *   Ỹ = Y − θ·(X − X̄),   θ = cov(X, Y) / var(X)  (pooled),
+    *
+    * which removes the between-user variance the experiment didn't
+    * cause; the Welch z then runs on the adjusted metric. Reported
+    * with the achieved variance reduction (the whole point — a
+    * var_reduction of 0.4 means ~40% fewer users for the same power).
+    *
+    * Determinism contract: all eleven sufficient statistics (per-arm
+    * n, Σx, Σy, Σxy, Σx², Σy²) are exact DECIMAL sums of exact
+    * decimal products (x·y at scale 8 is exact — the abTest Σv²
+    * discipline); θ rounds to 6dp and every downstream expression
+    * (adjusted means, adjusted variances, z) derives from the ROUNDED
+    * θ in one fixed operation order — identical in any engine.
+    * Degenerate inputs (an arm under 2 units, zero covariate
+    * variance, zero adjusted variance) yield NULL z.
+    *
+    * Scale shape: ONE unit-keyed aggregate builds (x, y) per unit,
+    * then ONE conditional aggregate over the units — no pivot, no
+    * join, map-side partials throughout (the abTest shape with a
+    * covariate bolted on). Returns ONE row
+    * `(n_a, n_b, theta, mean_adj_a, mean_adj_b, z_adj,
+    * var_reduction)`. */
+  def cuped(
+      units: DataFrame,
+      xCol: String,
+      yCol: String,
+      armA: Column): DataFrame = {
+    val x = col(xCol).cast("decimal(18,4)")
+    val y = col(yCol).cast("decimal(18,4)")
+    // products of the (18,4)-CAST columns: (18,4)×(18,4) → (37,8),
+    // inside Spark's 38-digit cap, so the scale-8 product is EXACT —
+    // multiplying the raw inputs would overflow the cap and silently
+    // round the result type's scale down (engine-divergent)
+    val xy = round(x * y, 8).cast("decimal(28,8)")
+    val xx = round(x * x, 8).cast("decimal(28,8)")
+    val yy = round(y * y, 8).cast("decimal(28,8)")
+    val agg = units.agg(
+      count(when(armA, lit(1))).as("n_a"),
+      count(when(!armA, lit(1))).as("n_b"),
+      sum(when(armA, x)).as("__sx_a"), sum(when(!armA, x)).as("__sx_b"),
+      sum(when(armA, y)).as("__sy_a"), sum(when(!armA, y)).as("__sy_b"),
+      sum(when(armA, xy)).as("__sxy_a"), sum(when(!armA, xy)).as("__sxy_b"),
+      sum(when(armA, xx)).as("__sxx_a"), sum(when(!armA, xx)).as("__sxx_b"),
+      sum(when(armA, yy)).as("__syy_a"), sum(when(!armA, yy)).as("__syy_b"))
+    val (na, nb) = (col("n_a"), col("n_b"))
+    // ANSI + codegen CSE trap: a division inside `when(ok, ...)` can
+    // still be hoisted and evaluated eagerly as a common subexpression
+    // — every denominator must be NULL-guarded at the source (NULL
+    // division is silent; zero division throws)
+    val (naS, nbS) = (when(na >= 2L, na), when(nb >= 2L, nb))
+    val nP = (na + nb).cast("double")
+    def d(c: String) = col(c).cast("double")
+    val (sxP, syP) = ((col("__sx_a") + col("__sx_b")).cast("double"),
+      (col("__sy_a") + col("__sy_b")).cast("double"))
+    val (sxyP, sxxP) = ((col("__sxy_a") + col("__sxy_b")).cast("double"),
+      (col("__sxx_a") + col("__sxx_b")).cast("double"))
+    val thDen = nP * sxxP - sxP * sxP
+    val th = round((nP * sxyP - sxP * syP) /
+      when(thDen > 0.0, thDen), 6)
+    val (xma, xmb) = (d("__sx_a") / naS, d("__sx_b") / nbS)
+    val (yma, ymb) = (d("__sy_a") / naS, d("__sy_b") / nbS)
+    val xmP = sxP / when(nP > 0.0, nP)
+    def vy(syy: String, n: Column, ym: Column) =
+      (d(syy) - n * ym * ym) / (n - 1)
+    def cv(sxy: String, n: Column, xm: Column, ym: Column) =
+      (d(sxy) - n * xm * ym) / (n - 1)
+    def vx(sxx: String, n: Column, xm: Column) =
+      (d(sxx) - n * xm * xm) / (n - 1)
+    val (vyA, vyB) = (vy("__syy_a", naS, yma), vy("__syy_b", nbS, ymb))
+    val vadjA = vyA - lit(2.0) * th * cv("__sxy_a", naS, xma, yma) +
+      th * th * vx("__sxx_a", naS, xma)
+    val vadjB = vyB - lit(2.0) * th * cv("__sxy_b", nbS, xmb, ymb) +
+      th * th * vx("__sxx_b", nbS, xmb)
+    val diff = (yma - ymb) - th * (xma - xmb)
+    val sq = vadjA / naS + vadjB / nbS
+    val vyS = vyA + vyB
+    val ok = na >= 2L && nb >= 2L && thDen > 0.0
+    agg.select(na, nb,
+      when(ok, th).as("theta"),
+      when(ok, round(yma - th * (xma - xmP), 6)).as("mean_adj_a"),
+      when(ok, round(ymb - th * (xmb - xmP), 6)).as("mean_adj_b"),
+      when(ok && sq > 0.0,
+        round(diff / sqrt(when(sq > 0.0, sq)), 4)).as("z_adj"),
+      when(ok && vyS > 0.0,
+        round(lit(1.0) - (vadjA + vadjB) / when(vyS > 0.0, vyS), 6))
+        .as("var_reduction"))
+  }
+
   /** Holt double exponential smoothing (Holt 1957) per series — the
     * forecasting baseline beside the DETECTORS (CUSUM, Tukey fences,
     * rate anomalies): level/trend recursions over an ordered series,
@@ -722,6 +815,71 @@ object Stats {
             (col("__n").cast("double") *
               least(col("__nr") - 1L, col("__nc") - 1L).cast("double"))),
             6)).as("cramers_v"))
+  }
+
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — [[mannWhitney]]
+    * generalized to k groups: do ANY of the cohorts' value
+    * distributions differ? Rank sums per group over the combined
+    * sample, tie-corrected:
+    *
+    *   H = 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1),
+    *   H' = H / (1 − Σ(t³−t)/(n³−n)).
+    *
+    * Determinism contract: rank sums are carried DOUBLED (2R_g =
+    * Σ_v n_gv·(2·below_v + t_v + 1), always integers) in
+    * decimal(38,0); each group's R_g²/n_g quotient rounds to 6dp and
+    * sums as DECIMAL (group order differs between engines); H and the
+    * correction are fixed-order double expressions. Degenerate inputs
+    * (n < 2, every value tied, or a single group) report NULL.
+    *
+    * Scale shape: the [[mannWhitney]] grid discipline — one (group,
+    * value) aggregate, combined-tie counts from the value margin, the
+    * running below-count over the measurement GRID, one group
+    * aggregate and one 1-row readout. Returns ONE row
+    * `(n_groups, n, h, h_adj)`. */
+  def kruskalWallis(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val gv = Lineage.cutLocal(df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c")))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vm = gv.groupBy("__v").agg(sum("__c").as("__t"))
+      .withColumn("__below", coalesce(sum(col("__t")).over(w), lit(0L)))
+    val perGroup = gv.join(vm, Seq("__v"))
+      .groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c").cast(dec) *
+          (lit(2L) * col("__below") + col("__t") + 1L).cast(dec))
+          .as("__r2"))
+      // q_g = R_g²/n_g = (2R_g)²/(4·n_g): one fixed-order double per
+      // group, rounded BEFORE the cross-group sum
+      .select(col("__ng"), round(
+        (col("__r2") * col("__r2")).cast("double") /
+          (lit(4L).cast(dec) * col("__ng").cast(dec)).cast("double"), 6)
+        .cast("decimal(28,6)").as("__q"))
+    val ties = vm.agg(
+      sum((col("__t").cast(dec) * col("__t").cast(dec) *
+        col("__t").cast(dec) - col("__t").cast(dec)).cast(dec)).as("__tt"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) * col("__sq").cast("double") /
+      (nD * (nD + 1.0)) - lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - col("__tt").cast("double") /
+      (col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
+        col("n").cast(dec)).cast("double")
+    perGroup
+      .agg(count(lit(1)).as("n_groups"), sum("__ng").as("n"),
+        sum("__q").as("__sq"))
+      .crossJoin(broadcast(ties))
+      .select(col("n_groups"), col("n"),
+        when(col("n_groups") >= 2L && col("n") >= 2L, round(h, 6)).as("h"),
+        when(col("n_groups") >= 2L && col("n") >= 2L && corr > 0.0,
+          round(round(h, 6) / corr, 6)).as("h_adj"))
   }
 
   /** Per-window distribution drift against the pooled reference — the

@@ -191,6 +191,52 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Seq((60L, 2L, 2L, 1L, 3.75, Some(0.25))), got.toString)
   }
 
+  test("cuped: hand-computed theta, adjusted means, z, variance reduction") {
+    // A: (1,3),(2,5); B: (3,4),(4,6). Pooled theta = 16/20 = 0.8;
+    // adj means 4.8 / 4.2; vadj = 0.72 each arm;
+    // z = 0.6/sqrt(0.72) = 0.7071; vr = 1 - 1.44/4 = 0.64
+    val units = Seq(
+      (0L, 1.0, 3.0), (2L, 2.0, 5.0), (1L, 3.0, 4.0), (3L, 4.0, 6.0))
+      .toDF("uid", "x", "y")
+    val got = Stats.cuped(units, "x", "y", col("uid") % 2 === 0)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq((2L, 2L, Some(0.8), Some(4.8), Some(4.2),
+      Some(0.7071), Some(0.64))), got.toString)
+    // zero covariate variance: every guard NULLs, no divide-by-zero
+    val flat = Stats.cuped(
+      Seq((0L, 1.0, 3.0), (2L, 1.0, 5.0), (1L, 1.0, 4.0), (3L, 1.0, 6.0))
+        .toDF("uid", "x", "y"), "x", "y", col("uid") % 2 === 0)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(flat._3.isEmpty && flat._6.isEmpty, flat.toString)
+  }
+
+  test("kruskalWallis: hand-computed H, tie correction, degenerate NULLs") {
+    // A = {1,2}, B = {3,4}: R_A = 3, R_B = 7 ->
+    // H = 12/20 * (9/2 + 49/2) - 15 = 2.4; no ties -> h_adj = h
+    val clean = Stats.kruskalWallis(
+      Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v"),
+      "g", "v").as[(Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(clean == Seq((2L, 4L, Some(2.4), Some(2.4))), clean.toString)
+    // A = {1,1}, B = {2}: tie at 1 -> H = 1.5, corr = 0.75 -> H' = 2.0
+    val tied = Stats.kruskalWallis(
+      Seq(("A", 1.0), ("A", 1.0), ("B", 2.0)).toDF("g", "v"),
+      "g", "v").as[(Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(tied == Seq((2L, 3L, Some(1.5), Some(2.0))), tied.toString)
+    // single group -> NULL; all values tied -> h = 0 with NULL h_adj
+    val one = Stats.kruskalWallis(
+      Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    assert(one._3.isEmpty && one._4.isEmpty, one.toString)
+    val allTied = Stats.kruskalWallis(
+      Seq(("A", 5.0), ("B", 5.0), ("C", 5.0)).toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    assert(allTied._3.contains(0.0) && allTied._4.isEmpty, allTied.toString)
+  }
+
   test("driftByWindow: hand-computed per-window chi2, grid completion") {
     // tot: a=20, b=40, N=60. w1 (10,10): chi2 = 1.666667 + 0.833333;
     // w2 (10,30): 0.833333 + 0.416667 -> 1.25
