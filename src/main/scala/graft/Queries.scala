@@ -8263,6 +8263,50 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq81_bh_select — Benjamini–Hochberg FDR selection over the per-type
+  // Welch z family (Stats.bhSelect): the p ≤ kα/m rule rewritten on the
+  // z scale with DRIVER-computed Φ⁻¹ threshold literals embedded in
+  // BOTH plans (Acklam inverse normal) — the data path compares
+  // doubles against literals, no erf/exp anywhere.
+  register(
+    "aq81_bh_select",
+    s"""WITH s AS (
+      |  SELECT event_type,
+      |         count(CASE WHEN user_id % 2 = 0 THEN value END)::bigint AS n_a,
+      |         count(CASE WHEN user_id % 2 = 1 THEN value END)::bigint AS n_b,
+      |         sum(CASE WHEN user_id % 2 = 0
+      |             THEN CAST(value AS DECIMAL(18,4)) END) AS sv_a,
+      |         sum(CASE WHEN user_id % 2 = 1
+      |             THEN CAST(value AS DECIMAL(18,4)) END) AS sv_b,
+      |         sum(CASE WHEN user_id % 2 = 0
+      |             THEN round(value * value, 8)::decimal(28,8) END) AS ss_a,
+      |         sum(CASE WHEN user_id % 2 = 1
+      |             THEN round(value * value, 8)::decimal(28,8) END) AS ss_b
+      |  FROM events GROUP BY 1
+      |), mm AS (
+      |  SELECT event_type, n_a, n_b,
+      |         sv_a::double / n_a AS ma, sv_b::double / n_b AS mb,
+      |         (ss_a::double - n_a * (sv_a::double / n_a)
+      |               * (sv_a::double / n_a)) / (n_a - 1) / n_a AS va,
+      |         (ss_b::double - n_b * (sv_b::double / n_b)
+      |               * (sv_b::double / n_b)) / (n_b - 1) / n_b AS vb
+      |  FROM s
+      |), tests AS (
+      |  SELECT event_type AS key,
+      |         CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0 THEN
+      |           round((ma - mb) / sqrt(va + vb), 4)
+      |         END AS z
+      |  FROM mm
+      |), ${graft.operators.Stats.bhOracleTail(m = 5, alpha = 0.05)}""".stripMargin
+  ) { (s, dir) =>
+    val tests = graft.operators.Stats.abTest(
+        t(s, dir, "events"), "value",
+        armA = col("user_id") % 2 === 0, groupCols = Seq("event_type"))
+      .select(col("event_type").as("key"), col("welch_z").as("z"))
+    graft.operators.Stats.bhSelect(tests, "key", "z", alpha = 0.05)
+  }
+
+  // ---------------------------------------------------------------------
   // aq80_cuped — CUPED variance-reduced A/B readout (Stats.cuped): each
   // user's experiment-period metric adjusted by their pre-period
   // covariate (first 15 days vs last 15; epoch-day 19738 = 2024-01-16),

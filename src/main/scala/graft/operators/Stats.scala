@@ -817,6 +817,135 @@ object Stats {
             6)).as("cramers_v"))
   }
 
+  /** Acklam's rational approximation of the standard-normal inverse
+    * CDF (Acklam 2003; |ε| < 1.15e−9) — DRIVER-side only: [[bhSelect]]
+    * turns its p-value cutoffs into z THRESHOLD literals, so the data
+    * path never touches erf/exp (the softsign libm-free discipline). */
+  private[operators] def invNorm(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"invNorm domain (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    } else if (p <= 1.0 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) *
+        q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1.0 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    }
+  }
+
+  /** The BH z-threshold ladder for `m` two-sided tests at level
+    * `alpha`: t_k = Φ⁻¹(1 − k·α/(2m)), k = 1..m — shared by the Spark
+    * plan and the generated oracle so both compare against the SAME
+    * literals. */
+  private[operators] def bhThresholds(
+      m: Int, alpha: Double): Seq[(Int, Double)] =
+    (1 to m).map(k => k -> invNorm(1.0 - alpha * k / (2.0 * m)))
+
+  /** Benjamini–Hochberg FDR selection (Benjamini & Hochberg 1995) over
+    * a family of two-sided z tests — the multiple-testing correction
+    * every metrics sweep needs once it tests MANY cells (5 event types
+    * × a z each: at α = 0.05 one false alarm per 20 cells is the
+    * EXPECTED behavior of uncorrected tests): order by |z|, find the
+    * largest k with p_(k) ≤ k·α/m, reject exactly ranks 1..k.
+    *
+    * The p-value comparison is rewritten on the z SCALE:
+    * p_(k) ≤ k·α/m  ⟺  |z|_(k) ≥ Φ⁻¹(1 − k·α/(2m)), with the m
+    * threshold literals computed ON THE DRIVER ([[invNorm]]) and
+    * embedded in BOTH plans — the data path contains comparisons
+    * against literals only, no erf/exp anywhere (the libm-free
+    * discipline; an engine-side normal CDF would be the one
+    * cross-engine float hazard in the operator).
+    *
+    * Scale shape: `tests` is a FAMILY of test results — dimension-
+    * sized by contract (one row per metric cell, like the count-min
+    * readout), so the driver count, the |z| rank window, and the
+    * m-row broadcast threshold join are all bounded by the family
+    * size, never by data. Returns
+    * `(key..., z, bh_rank, threshold, significant)` ordered by rank. */
+  def bhSelect(
+      tests: DataFrame,
+      keyCol: String,
+      zCol: String,
+      alpha: Double = 0.05,
+      maxTests: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0.0 && alpha < 1.0, "alpha in (0, 1)")
+    val spark = tests.sparkSession
+    val base = Lineage.cutLocal(
+      tests.filter(col(zCol).isNotNull)
+        .select(col(keyCol).as("key"), col(zCol).cast("double").as("z")))
+    val m = base.count()
+    require(m <= maxTests,
+      s"bhSelect: $m tests exceed maxTests=$maxTests — the test family " +
+        "must be dimension-sized (metric cells), not data-sized")
+    if (m == 0) {
+      // preserve the key column's type in the empty frame
+      return base.withColumn("bh_rank", lit(0L))
+        .withColumn("threshold", lit(0.0))
+        .withColumn("significant", lit(false))
+        .limit(0)
+    }
+    import spark.implicits._
+    val th = broadcast(bhThresholds(m.toInt, alpha)
+      .map { case (k, t) => (k.toLong, t) }.toDF("bh_rank", "threshold"))
+    val ranked = base
+      .withColumn("bh_rank", row_number()
+        .over(Window.orderBy(abs(col("z")).desc, col("key"))).cast("long"))
+      .join(th, Seq("bh_rank"))
+      .withColumn("__flag", abs(col("z")) >= col("threshold"))
+    val w = Window.orderBy("bh_rank")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .withColumn("__kmax", max(when(col("__flag"), col("bh_rank"))).over(w))
+      .select(col("key"), col("z"), col("bh_rank"), col("threshold"),
+        (col("__kmax").isNotNull &&
+          col("bh_rank") <= coalesce(col("__kmax"), lit(0L)))
+          .as("significant"))
+      .orderBy("bh_rank")
+  }
+
+  /** GENERATED DuckDB oracle tail for [[bhSelect]]: given a CTE named
+    * `tests(key, z)`, replays the rank, the SAME driver-computed
+    * threshold literals, and the suffix rejection rule. */
+  private[graft] def bhOracleTail(m: Int, alpha: Double): String = {
+    val values = bhThresholds(m, alpha)
+      .map { case (k, t) => s"($k, $t::double)" }.mkString(", ")
+    s"""th(bh_rank, threshold) AS (VALUES $values),
+       |r AS (
+       |  SELECT key, z,
+       |         row_number() OVER (ORDER BY abs(z) DESC, key) AS bh_rank
+       |  FROM tests WHERE z IS NOT NULL
+       |), f AS (
+       |  SELECT r.key, r.z, r.bh_rank, th.threshold,
+       |         (abs(r.z) >= th.threshold) AS flag
+       |  FROM r JOIN th USING (bh_rank)
+       |), k AS (
+       |  SELECT max(CASE WHEN flag THEN bh_rank END) AS kmax FROM f
+       |)
+       |SELECT key, z, bh_rank::bigint AS bh_rank, threshold,
+       |       coalesce(bh_rank <= kmax, false) AS significant
+       |FROM f CROSS JOIN k
+       |ORDER BY bh_rank""".stripMargin
+  }
+
   /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — [[mannWhitney]]
     * generalized to k groups: do ANY of the cohorts' value
     * distributions differ? Rank sums per group over the combined

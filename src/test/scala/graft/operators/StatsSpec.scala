@@ -191,6 +191,41 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Seq((60L, 2L, 2L, 1L, 3.75, Some(0.25))), got.toString)
   }
 
+  test("invNorm: known quantiles, symmetry, tail branches") {
+    assert(math.abs(Stats.invNorm(0.975) - 1.9599639845) < 1e-8)
+    assert(math.abs(Stats.invNorm(0.5)) < 1e-12)
+    assert(math.abs(Stats.invNorm(0.01) + 2.3263478740) < 1e-8)
+    for (p <- Seq(0.001, 0.02, 0.3, 0.7, 0.98, 0.999))
+      assert(math.abs(Stats.invNorm(p) + Stats.invNorm(1.0 - p)) < 1e-9,
+        s"symmetry at $p")
+  }
+
+  test("bhSelect: rejection prefix, the BH rescue property, empty family") {
+    // m=4, alpha=0.05: thresholds 2.4977, 2.2414, 2.0829, 1.9600.
+    // flags T,T,F,F -> kmax=2 -> ranks 1..2 significant
+    val t1 = Seq(("a", 3.0), ("b", 2.5), ("c", 2.0), ("d", 0.5))
+      .toDF("k", "z")
+    val got = Stats.bhSelect(t1, "k", "z")
+      .as[(String, Double, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._3, r._5)) ==
+      Seq(("a", 1L, true), ("b", 2L, true), ("c", 3L, false),
+        ("d", 4L, false)), got.toString)
+    // the BH step-up rescue: only rank 4 clears ITS threshold, which
+    // rescues every rank above it — all four significant
+    val t2 = Seq(("a", 2.0), ("b", 1.97), ("c", 1.965), ("d", 1.96))
+      .toDF("k", "z")
+    val rescue = Stats.bhSelect(t2, "k", "z")
+      .as[(String, Double, Long, Double, Boolean)].collect().toSeq
+    assert(rescue.forall(_._5), rescue.toString)
+    // thresholds in the plan are EXACTLY the driver-computed ladder
+    assert(rescue.map(_._4) ==
+      Stats.bhThresholds(4, 0.05).map(_._2), rescue.toString)
+    // empty family: empty result, key type preserved, no crash
+    assert(Stats.bhSelect(
+      Seq.empty[(String, Option[Double])].toDF("k", "z"), "k", "z")
+      .count() == 0)
+  }
+
   test("cuped: hand-computed theta, adjusted means, z, variance reduction") {
     // A: (1,3),(2,5); B: (3,4),(4,6). Pooled theta = 16/20 = 0.8;
     // adj means 4.8 / 4.2; vadj = 0.72 each arm;
