@@ -8263,6 +8263,120 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // dq23_lsh_sweep — LSH parameter SWEEP (Dedup.lshParameterSweep):
+  // dq22's audit over a (numHashes, bands) grid in one job — one hash
+  // family, one materialized signature pass at max(k), one exact-join
+  // truth, one (recall, precision) row per config: the tuning curve
+  // that picks production parameters. GENERATED oracle: per-config
+  // band/candidate CTEs over the shared portable signature table.
+  register(
+    "dq23_lsh_sweep", {
+      val configs = Seq((4, 2), (8, 2), (8, 4), (16, 4))
+      val perConfig = configs.map { case (k, b) =>
+        val r = k / b
+        s"""band_${k}_$b AS (
+           |  SELECT doc_id, i // $r AS band,
+           |         string_agg(m::varchar, ',' ORDER BY i) AS key
+           |  FROM sig WHERE i < $k GROUP BY 1, 2
+           |), cand_${k}_$b AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM band_${k}_$b a JOIN band_${k}_$b b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      val rows = configs.map { case (k, b) =>
+        s"""SELECT $k AS num_hashes, $b AS bands,
+           |  (SELECT count(*)::bigint FROM dup) AS n_true,
+           |  (SELECT count(*)::bigint FROM cand_${k}_$b) AS n_cand,
+           |  (SELECT count(*)::bigint FROM cand_${k}_$b c
+           |     JOIN dup USING (id_a, id_b)) AS n_hit""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${jaccardPairsCtes(0.8)}, hx AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(shingle), 1, 8))::bigint % 2147483647 AS x
+         |  FROM sh
+         |), sig AS (
+         |  SELECT doc_id, i,
+         |         min((((2 * i + 1) * 1597334677 % 2147483647) * x +
+         |              (i * 40503 + 7) % 2147483647) % 2147483647) AS m
+         |  FROM hx, unnest(range(16)) t(i)
+         |  GROUP BY 1, 2
+         |),
+         |$perConfig,
+         |rws AS (
+         |$rows
+         |)
+         |SELECT num_hashes, bands, n_true, n_cand, n_hit,
+         |  CASE WHEN n_true > 0 THEN
+         |    round(n_hit::double / n_true::double, 6) END AS recall,
+         |  CASE WHEN n_cand > 0 THEN
+         |    round(n_hit::double / n_cand::double, 6) END AS precision
+         |FROM rws
+         |ORDER BY num_hashes, bands""".stripMargin
+    }
+  ) { (s, dir) =>
+    graft.operators.Dedup.lshParameterSweep(
+      t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, configs = Seq((4, 2), (8, 2), (8, 4), (16, 4)),
+      threshold = 0.8)
+  }
+
+  // ---------------------------------------------------------------------
+  // tq29_jensen_shannon — pairwise Jensen–Shannon divergence between
+  // language unigram distributions (TextAnalysis.jensenShannon): the
+  // symmetric always-finite corpus-similarity matrix behind mixture
+  // design; 10dp addends decimal-summed, zero-count sides contribute an
+  // exact CASE 0, the ln operation order shared with the oracle.
+  register(
+    "tq29_jensen_shannon",
+    """WITH tk AS (
+      |  SELECT lang AS g,
+      |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                            x -> x != '')) AS tok
+      |  FROM documents WHERE lang IS NOT NULL
+      |), cnt AS (
+      |  SELECT g, tok, count(*)::bigint AS c FROM tk GROUP BY 1, 2
+      |), tot AS (SELECT g, sum(c)::bigint AS n FROM cnt GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+      |  FROM tot a JOIN tot b ON a.g < b.g
+      |), u AS (
+      |  SELECT p.ga, p.gb, p.na, p.nb, c.tok
+      |  FROM pairs p JOIN cnt c ON c.g = p.ga OR c.g = p.gb
+      |  GROUP BY 1, 2, 3, 4, 5
+      |), al AS (
+      |  SELECT u.ga, u.gb, u.na, u.nb,
+      |         coalesce(l.c, 0)::bigint AS ca,
+      |         coalesce(r.c, 0)::bigint AS cb
+      |  FROM u
+      |  LEFT JOIN cnt l ON l.g = u.ga AND l.tok = u.tok
+      |  LEFT JOIN cnt r ON r.g = u.gb AND r.tok = u.tok
+      |), terms AS (
+      |  SELECT ga, gb, ca, cb,
+      |    (CASE WHEN ca > 0 THEN
+      |       round((ca::double / na) * ln((ca::double / na) /
+      |         (((ca::double / na) + (cb::double / nb)) / 2.0)), 10)
+      |     ELSE 0 END)::decimal(28,10) AS tp,
+      |    (CASE WHEN cb > 0 THEN
+      |       round((cb::double / nb) * ln((cb::double / nb) /
+      |         (((ca::double / na) + (cb::double / nb)) / 2.0)), 10)
+      |     ELSE 0 END)::decimal(28,10) AS tq
+      |  FROM al
+      |)
+      |SELECT ga AS group_a, gb AS group_b,
+      |       count(*)::bigint AS n_union,
+      |       count(CASE WHEN ca > 0 AND cb > 0 THEN 1 END)::bigint
+      |         AS n_common,
+      |       round((sum(tp) + sum(tq))::double / 2.0, 6) AS jsd_nats
+      |FROM terms
+      |GROUP BY 1, 2
+      |ORDER BY group_a, group_b""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.jensenShannon(
+      t(s, dir, "documents"), "lang", "text")
+  }
+
+  // ---------------------------------------------------------------------
   // aq81_bh_select — Benjamini–Hochberg FDR selection over the per-type
   // Welch z family (Stats.bhSelect): the p ≤ kα/m rule rewritten on the
   // z scale with DRIVER-computed Φ⁻¹ threshold literals embedded in

@@ -339,6 +339,80 @@ object TextAnalysis {
         count(lit(1)).as("shared_vocab"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between group unigram
+    * distributions (Lin 1991) — the SYMMETRIC, always-finite companion
+    * to [[tokenKlDivergence]] (KL needs shared support and an
+    * ordering; JSD compares against the mixture M = (P+Q)/2, so a
+    * token one side lacks contributes finitely instead of blowing up):
+    *
+    *   JSD(P, Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),  m = (p+q)/2,
+    *
+    * in nats, 0 for identical distributions, ln 2 for disjoint ones —
+    * the corpus-similarity matrix behind mixture design ("how far
+    * apart are my sources/languages really").
+    *
+    * Determinism contract: each addend rounds to 10dp and sums as
+    * DECIMAL (the tq8/KL discipline — token order differs between
+    * engines); the ln operation order is written identically in the
+    * oracle; zero-count sides contribute an exact 0 by CASE, never an
+    * engine-specific ln(0).
+    *
+    * Scale shape: ONE (group, token) count pass (vocab-sized,
+    * lineage-cut — it feeds both sides of every pair), a broadcast
+    * |groups|²-pair frame joined twice on the group key, a full-outer
+    * token align per pair, |groups|-row broadcast totals, one pair
+    * aggregate. Returns
+    * `(group_a, group_b, n_union, n_common, jsd_nats)` per pair. */
+  def jensenShannon(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val cnt = Lineage.cutLocal(df
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__tok"))
+      .groupBy("__g", "__tok").agg(count(lit(1)).as("__c")))
+    val totals = cnt.groupBy("__g").agg(sum("__c").as("__n"))
+    val groups = totals.select(col("__g"), col("__n"))
+    val pairs = broadcast(groups.select(col("__g").as("group_a"),
+        col("__n").as("__na"))
+      .crossJoin(groups.select(col("__g").as("group_b"),
+        col("__n").as("__nb")))
+      .filter(col("group_a") < col("group_b")))
+    val left = pairs.join(cnt.select(col("__g").as("group_a"),
+      col("__tok"), col("__c").as("__ca")), Seq("group_a"))
+    val right = pairs.join(cnt.select(col("__g").as("group_b"),
+      col("__tok"), col("__c").as("__cb")), Seq("group_b"))
+    val aligned = left.select("group_a", "group_b", "__na", "__nb",
+        "__tok", "__ca")
+      .join(right.select("group_a", "group_b", "__tok", "__cb"),
+        Seq("group_a", "group_b", "__tok"), "full_outer")
+      // the pair totals ride the left frame; restore them on
+      // right-only rows from the broadcast pair frame
+      .drop("__na", "__nb")
+      .join(pairs, Seq("group_a", "group_b"))
+      .withColumn("__ca", coalesce(col("__ca"), lit(0L)))
+      .withColumn("__cb", coalesce(col("__cb"), lit(0L)))
+    val p = col("__ca").cast("double") / col("__na")
+    val q = col("__cb").cast("double") / col("__nb")
+    val m = (p + q) / 2.0
+    val termP = when(col("__ca") > 0L,
+      round(p * log(p / m), 10)).otherwise(lit(0.0))
+    val termQ = when(col("__cb") > 0L,
+      round(q * log(q / m), 10)).otherwise(lit(0.0))
+    aligned
+      .select(col("group_a"), col("group_b"),
+        termP.cast("decimal(28,10)").as("__tp"),
+        termQ.cast("decimal(28,10)").as("__tq"),
+        col("__ca"), col("__cb"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_union"),
+        count(when(col("__ca") > 0L && col("__cb") > 0L, 1)).as("n_common"),
+        round((sum(col("__tp")) + sum(col("__tq"))).cast("double") / 2.0, 6)
+          .as("jsd_nats"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** Corpus-health profile per group: Zipf slope and type-token ratio.
     * A natural-language corpus follows Zipf's law — log(freq) vs
     * log(rank) is near-linear with slope ≈ −1; machine-generated or

@@ -288,6 +288,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(clean._1 == 0L && clean._4.isEmpty, clean.toString)
   }
 
+  test("lshParameterSweep: per-config rows agree with the single audit") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "entirely different content about distributed query engines"),
+      (4L, "yet another unrelated document mentioning spark catalyst"))
+      .toDF("doc_id", "text")
+    val sweep = Dedup.lshParameterSweep(docs, "doc_id", "text",
+        shingleN = 3, configs = Seq((4, 2), (8, 2)), threshold = 0.8)
+      .as[(Int, Int, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(sweep.map(r => (r._1, r._2)) == Seq((4, 2), (8, 2)))
+    // the (8,2) sweep row must equal the standalone audit — same hash
+    // family, same banding, same truth
+    val audit = Dedup.lshRecallAudit(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 2, threshold = 0.8)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    val row82 = sweep.find(r => r._1 == 8 && r._2 == 2).get
+    assert((row82._3, row82._4, row82._5, row82._6, row82._7) == audit,
+      s"$row82 vs $audit")
+    // exact duplicates are recalled by every config
+    assert(sweep.forall(r => r._3 == 1L && r._5 == 1L &&
+      r._6.contains(1.0)), sweep.toString)
+  }
+
   test("embedding LSH near-dup matches brute force on real embeddings (both SFs)") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val e = graft.Tables.load(spark, dir, "embeddings")

@@ -410,6 +410,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq(("a", 0.5), ("b", 0.5)), got.toString)
   }
 
+  test("jensenShannon: hand-computed mixture terms, disjoint = ln 2") {
+    val docs = Seq(
+      ("g1", "a a b b"), ("g2", "a a a a"), ("g3", "c"))
+      .toDF("lang", "text")
+    val got = TextAnalysis.jensenShannon(docs, "lang", "text")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // (g1,g2): 1/2[.5 ln(2/3) + .5 ln 2] + 1/2[1 ln(4/3)] = 0.215762;
+    // disjoint distributions hit the JSD ceiling ln 2 = 0.693147
+    assert(got == Seq(
+      ("g1", "g2", 2L, 1L, 0.215762),
+      ("g1", "g3", 3L, 0L, 0.693147),
+      ("g2", "g3", 2L, 0L, 0.693147)), got.toString)
+    // identical distributions: exactly zero
+    val same = TextAnalysis.jensenShannon(
+      Seq(("x", "a b"), ("y", "a b")).toDF("lang", "text"),
+      "lang", "text").as[(String, String, Long, Long, Double)]
+      .collect().head
+    assert(same._5 == 0.0, same.toString)
+  }
+
   test("kneserNeyBigrams: hand-computed discount and continuation mass") {
     // corpus "a b", "a b", "a c": c(a,b)=2, c(a,c)=1, c(a·)=3,
     // N1+(a·)=2, N1+(·b)=N1+(·c)=1, N1+(··)=2, D=0.75:
