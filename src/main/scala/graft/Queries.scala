@@ -8619,4 +8619,108 @@ ORDER BY query_id"""
     graft.operators.Stats.driftByWindow(
       s.table(qn), "w", "t", "o", critical = 9.488)
   }}
+
+  // ---------------------------------------------------------------------
+  // aq82_auc — tie-corrected ROC AUC of `value` as a score for the
+  // purchase label, per user-parity segment (Stats.auc): the rank-sum
+  // identity with doubled rank sums exact in decimal(38,0)/hugeint over
+  // the (segment, score) grid, one double readout rounded 6dp, Gini
+  // derived from the ROUNDED AUC. The model-quality-filter gate.
+  register(
+    "aq82_auc",
+    """WITH grid AS (
+      |  SELECT user_id % 4 AS segment, value AS v,
+      |         sum(CASE WHEN event_type = 'purchase'
+      |             THEN 1 ELSE 0 END)::bigint AS np,
+      |         sum(CASE WHEN event_type = 'purchase'
+      |             THEN 0 ELSE 1 END)::bigint AS nn
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT segment, np, nn,
+      |         coalesce(sum(np + nn) OVER (PARTITION BY segment ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |           0)::hugeint AS below
+      |  FROM grid
+      |), agg AS (
+      |  SELECT segment, sum(np)::bigint AS n_pos, sum(nn)::bigint AS n_neg,
+      |         sum(np::hugeint *
+      |             (2 * below + np + nn + 1)::hugeint)::hugeint AS r2
+      |  FROM cum GROUP BY 1
+      |), readout AS (
+      |  SELECT segment, n_pos, n_neg,
+      |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |      round((r2 - n_pos::hugeint * (n_pos::hugeint + 1))::double /
+      |            (2::hugeint * n_pos::hugeint * n_neg::hugeint)::double, 6)
+      |    END AS auc
+      |  FROM agg
+      |)
+      |SELECT segment, n_pos, n_neg, auc,
+      |       CASE WHEN auc IS NOT NULL
+      |       THEN round(2.0 * auc - 1.0, 6) END AS gini
+      |FROM readout ORDER BY segment""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.auc(
+      t(s, dir, "events").withColumn("segment", col("user_id") % 4),
+      positive = col("event_type") === "purchase",
+      scoreCol = "value", groupCols = Seq("segment"))
+  }
+
+  // ---------------------------------------------------------------------
+  // aq83_calibration — Brier score with Murphy's decomposition for the
+  // libm-free probability p = value/(value+50) against the purchase
+  // label, 10 reliability bins (Stats.brierDecomposition): 8dp decimal
+  // addends, per-bin means 6dp-rounded BEFORE the cross-bin terms,
+  // REL/RES/UNC in one fixed operation order.
+  register(
+    "aq83_calibration",
+    """WITH b AS (
+      |  SELECT least(floor((value / (value + 50.0)) * 10), 9)::bigint AS bin,
+      |         round(value / (value + 50.0), 8)::decimal(28,8) AS p8,
+      |         CASE WHEN event_type = 'purchase'
+      |           THEN 1 ELSE 0 END::bigint AS o,
+      |         round((value / (value + 50.0) -
+      |                CASE WHEN event_type = 'purchase'
+      |                  THEN 1.0 ELSE 0.0 END) *
+      |               (value / (value + 50.0) -
+      |                CASE WHEN event_type = 'purchase'
+      |                  THEN 1.0 ELSE 0.0 END), 8)::decimal(28,8) AS sq
+      |  FROM events WHERE value IS NOT NULL
+      |), pb AS (
+      |  SELECT bin, count(*)::bigint AS nk, sum(p8) AS sp,
+      |         sum(o)::bigint AS ok, sum(sq) AS ssq
+      |  FROM b GROUP BY 1
+      |), pb2 AS (
+      |  SELECT nk, ok, ssq,
+      |         round(sp::double / nk, 6) AS pbk,
+      |         round(ok::double / nk, 6) AS obk
+      |  FROM pb
+      |), tot AS (
+      |  SELECT sum(nk)::bigint AS n, sum(ok)::bigint AS n_pos,
+      |         sum(ssq) AS ssqt
+      |  FROM pb2
+      |), tot2 AS (
+      |  SELECT n, n_pos, ssqt, round(n_pos::double / n, 6) AS o_rate
+      |  FROM tot
+      |), terms AS (
+      |  SELECT t.n, t.n_pos, t.o_rate, t.ssqt,
+      |         sum(round(pb2.nk::double * (pb2.obk - pb2.pbk) *
+      |             (pb2.obk - pb2.pbk), 8)::decimal(28,8)) AS rel,
+      |         sum(round(pb2.nk::double * (pb2.obk - t.o_rate) *
+      |             (pb2.obk - t.o_rate), 8)::decimal(28,8)) AS res
+      |  FROM pb2 CROSS JOIN tot2 t
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT n, n_pos, o_rate,
+      |       round(ssqt::double / n, 6) AS brier,
+      |       round(rel::double / n, 6) AS reliability,
+      |       round(res::double / n, 6) AS resolution,
+      |       round(o_rate * (1.0 - o_rate), 6) AS uncertainty
+      |FROM terms""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .withColumn("p", col("value") / (col("value") + lit(50.0)))
+    graft.operators.Stats.brierDecomposition(
+      ev, positive = col("event_type") === "purchase", probCol = "p",
+      bins = 10)
+  }
 }

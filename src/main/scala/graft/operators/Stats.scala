@@ -1138,4 +1138,161 @@ object Stats {
       })
       .orderBy("group_key")
   }
+
+  /** Tie-corrected ROC AUC per group — the rank-sum identity
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with midrank ties, i.e. the
+    * probability a random positive outscores a random negative
+    * (ties count ½). This is the standard readout for a model-based
+    * quality filter: score every document, label a held-out slice,
+    * and gate the filter's threshold on its AUC per segment.
+    *
+    * Determinism contract: the [[mannWhitney]] grid discipline —
+    * doubled rank sums 2R⁺ = Σ_v n⁺_v·(2·below_v + t_v + 1) are exact
+    * integers in decimal(38,0)/hugeint; AUC is ONE double division of
+    * exact integers rounded to 6dp, and the Gini coefficient derives
+    * from the ROUNDED AUC (2·auc − 1, re-rounded). A group missing
+    * either class reports NULL.
+    *
+    * Scale shape: one (group, score) grid aggregate (map-side
+    * partials — the grid is measurement-resolution-sized, not
+    * data-sized), a GROUP-PARTITIONED cumulative window over the
+    * grid, one group aggregate. No data-sized shuffle beyond the
+    * grid build; no global sort. Returns one row per group:
+    * `(group..., n_pos, n_neg, auc, gini)`. */
+  def auc(
+      df: DataFrame,
+      positive: Column,
+      scoreCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "need at least one group column")
+    val dec = "decimal(38,0)"
+    val grid = df
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(scoreCol).as("__v"): _*)
+      .agg(
+        sum(when(positive, 1L).otherwise(0L)).as("__np"),
+        sum(when(positive, 0L).otherwise(1L)).as("__nn"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = grid
+      .withColumn("__below",
+        coalesce(sum(col("__np") + col("__nn")).over(w), lit(0L)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum("__np").as("n_pos"),
+        sum("__nn").as("n_neg"),
+        sum(col("__np").cast(dec) *
+          (lit(2L) * col("__below") + col("__np") + col("__nn") +
+            lit(1L)).cast(dec)).as("__r2"))
+    val np = col("n_pos")
+    val nn = col("n_neg")
+    val num = (col("__r2") -
+      np.cast(dec) * (np.cast(dec) + lit(1L).cast(dec))).cast("double")
+    // NULL-guarded denominator (never a bare /0 — ANSI throws and
+    // codegen CSE can hoist the division past the outer when)
+    val den = when(np > 0L && nn > 0L,
+      (lit(2L).cast(dec) * np.cast(dec) * nn.cast(dec)).cast("double"))
+    agg
+      .withColumn("auc", round(num / den, 6))
+      .withColumn("gini",
+        when(col("auc").isNotNull, round(lit(2.0) * col("auc") - 1.0, 6)))
+      .select(groupCols.map(col) ++
+        Seq(np, nn, col("auc"), col("gini")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Brier score with Murphy's (1973) decomposition — calibration
+    * quality of a probabilistic classifier, binned reliability-diagram
+    * style: Brier = REL − RES + UNC where over `bins` equi-width
+    * probability bins
+    *
+    *   REL = Σ_k n_k·(ō_k − p̄_k)² / N   (calibration error),
+    *   RES = Σ_k n_k·(ō_k − ō)² / N     (discrimination),
+    *   UNC = ō·(1 − ō)                  (base-rate entropy),
+    *
+    * plus the direct Brier mean Σ(p − o)²/N as the cross-check the
+    * identity only approximately satisfies once binned. The gate a
+    * model-based quality filter needs beside [[auc]]: AUC ranks,
+    * Brier/REL says whether the probabilities themselves are usable
+    * as sampling weights.
+    *
+    * Determinism contract: per-row addends (p, p², (p−o)²) round to
+    * 8dp and sum as DECIMAL; per-bin means ō_k, p̄_k round to 6dp
+    * BEFORE the cross-bin terms (bin order differs between engines);
+    * the per-bin terms n_k·(diff)² round to 8dp and sum as DECIMAL;
+    * every readout is a fixed-order double expression of those.
+    * Denominators are NULL-guarded (empty input → NULL row, not an
+    * ANSI divide error).
+    *
+    * Scale shape: one row-level projection (bin id = ⌊p·bins⌋), one
+    * bins-sized aggregate with map-side partials, one 1-row readout
+    * off the broadcast bin frame — no data-sized shuffle at all.
+    * Returns ONE row
+    * `(n, n_pos, o_rate, brier, reliability, resolution,
+    * uncertainty)`. */
+  def brierDecomposition(
+      df: DataFrame,
+      positive: Column,
+      probCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000, "bins in [2, 10000]")
+    val p = col(probCol).cast("double")
+    val o = when(positive, 1.0).otherwise(0.0)
+    val dec8 = (c: Column) => round(c, 8).cast("decimal(28,8)")
+    val binned = df
+      .filter(p.isNotNull)
+      // the guard must ride the USED bin column or pruning drops it
+      // (the qualitySurvivors coalesce-to-0 idiom)
+      .withColumn("__bin",
+        least(floor(p * bins).cast("long"), lit(bins - 1L)) +
+          coalesce(when(p < 0.0 || p > 1.0, raise_error(
+            lit(s"brierDecomposition: $probCol outside [0, 1]")))
+            .cast("long"), lit(0L)))
+      .select(col("__bin"), dec8(p).as("__p"),
+        when(positive, 1L).otherwise(0L).as("__o"),
+        dec8((p - o) * (p - o)).as("__sq"))
+    val perBin = binned.groupBy("__bin").agg(
+      count(lit(1)).as("__nk"),
+      sum("__p").as("__sp"),
+      sum("__o").as("__ok"),
+      sum("__sq").as("__ssq"))
+    val nkD = when(col("__nk") > 0L, col("__nk").cast("double"))
+    val pbar = round(col("__sp").cast("double") / nkD, 6)
+    val obar = round(col("__ok").cast("double") / nkD, 6)
+    val totals = perBin
+      .select(col("__nk"), col("__ok"), col("__ssq"),
+        pbar.as("__pb"), obar.as("__ob"))
+      .agg(sum("__nk").as("n"), sum("__ok").as("n_pos"),
+        sum("__ssq").as("__ssqt"),
+        collect_list(struct(col("__nk"), col("__pb"), col("__ob")))
+          .as("__cells"))
+    // global base rate from exact totals, rounded once
+    val nD = when(col("n") > 0L, col("n").cast("double"))
+    val orate = round(col("n_pos").cast("double") / nD, 6)
+    // re-explode the ≤bins cells against the 1-row totals frame so the
+    // cross-bin terms see the ROUNDED global rate (no second job)
+    totals
+      .withColumn("o_rate", orate)
+      .select(col("n"), col("n_pos"), col("o_rate"), col("__ssqt"),
+        explode_outer(col("__cells")).as("__c"))
+      .select(col("n"), col("n_pos"), col("o_rate"), col("__ssqt"),
+        col("__c.__nk").as("__nk"), col("__c.__pb").as("__pb"),
+        col("__c.__ob").as("__ob"))
+      .groupBy("n", "n_pos", "o_rate", "__ssqt")
+      .agg(
+        sum(dec8(col("__nk").cast("double") *
+          (col("__ob") - col("__pb")) * (col("__ob") - col("__pb"))))
+          .as("__rel"),
+        sum(dec8(col("__nk").cast("double") *
+          (col("__ob") - col("o_rate")) * (col("__ob") - col("o_rate"))))
+          .as("__res"))
+      .select(col("n"), col("n_pos"), col("o_rate"),
+        round(col("__ssqt").cast("double") / nD, 6).as("brier"),
+        round(col("__rel").cast("double") / nD, 6).as("reliability"),
+        round(col("__res").cast("double") / nD, 6).as("resolution"),
+        when(col("o_rate").isNotNull,
+          round(col("o_rate") * (lit(1.0) - col("o_rate")), 6))
+          .as("uncertainty"))
+  }
 }

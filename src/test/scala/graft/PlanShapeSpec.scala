@@ -668,4 +668,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins.size == 3,
       s"expected 3 delta joins, got ${joins.map(_.nodeName)}")
   }
+
+  test("aq82 AUC: the cumulative window is group-partitioned — no " +
+    "global sort of the score grid") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("aq82_auc")(spark, sf)
+    df.collect()
+    val wins = deepNodes(df.queryExecution.executedPlan).collect {
+      case w: WindowExec => w
+    }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      wins.map(w => w.partitionSpec.mkString("[", ",", "]")).mkString(", "))
+  }
+
+  test("aq83 calibration: bins-sized aggregates only — no join, no " +
+    "window, no data-sized shuffle past the bin aggregate") {
+    val df = SparkEntry.queries("aq83_calibration")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      nodes.map(_.nodeName).mkString(", "))
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
 }

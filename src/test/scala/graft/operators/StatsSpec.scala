@@ -309,4 +309,49 @@ class StatsSpec extends AnyFunSuite {
       ("g", 3L, Some(1.0)), ("h", 3L, Some(-1.0)),
       ("t", 3L, Some(0.5)), ("z", 2L, None)), got.toString)
   }
+
+  test("auc: hand-computed midrank AUC, one-class group yields NULL") {
+    // g: pos scores [3, 2], neg [1, 2] — pairwise wins 3 + tie 0.5
+    // of 4 comparisons → AUC 0.875, Gini 0.75.
+    // h: positives only → undefined (NULL auc/gini).
+    val df = Seq(
+      ("g", true, 3.0), ("g", true, 2.0),
+      ("g", false, 1.0), ("g", false, 2.0),
+      ("h", true, 1.0), ("h", true, 2.0))
+      .toDF("grp", "label", "score")
+    val got = Stats.auc(df, col("label"), "score", Seq("grp"))
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("g", 2L, 2L, Some(0.875), Some(0.75)),
+      ("h", 2L, 0L, None, None)), got.toString)
+  }
+
+  test("brierDecomposition: Murphy identity on a two-bin fixture") {
+    // bin0 (p = 0.2): outcomes 0,0,1 → ō = 0.333333, p̄ = 0.2;
+    // bin1 (p = 0.8): outcome 1 → ō = 1, p̄ = 0.8; N = 4, ō = 0.5.
+    // brier = (0.04+0.04+0.64+0.04)/4 = 0.19
+    // REL = (3·0.133333² + 0.2²)/4 = 0.023333
+    // RES = (3·0.166667² + 0.5²)/4 = 0.083333, UNC = 0.25
+    // identity: 0.023333 − 0.083333 + 0.25 = 0.19 ✓
+    val df = Seq(
+      (0.2, false), (0.2, false), (0.2, true), (0.8, true))
+      .toDF("p", "label")
+    val got = Stats.brierDecomposition(df, col("label"), "p", bins = 2)
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq((4L, 2L, 0.5, 0.19, 0.023333, 0.083333, 0.25)),
+      got.toString)
+  }
+
+  test("brierDecomposition: out-of-range probability raises") {
+    val df = Seq((1.2, true)).toDF("p", "label")
+    val e = intercept[Exception] {
+      Stats.brierDecomposition(df, col("label"), "p").collect()
+    }
+    assert(e.getMessage.contains("outside [0, 1]") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("outside [0, 1]"),
+      e.getMessage)
+  }
 }
