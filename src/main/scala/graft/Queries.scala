@@ -8723,4 +8723,146 @@ ORDER BY query_id"""
       ev, positive = col("event_type") === "purchase", probCol = "p",
       bins = 10)
   }
+
+  // ---------------------------------------------------------------------
+  // aq84_poisson_bootstrap — per-event-type mean with Poisson-bootstrap
+  // percentile CI and SE over B=64 replicates (Stats.poissonBootstrap):
+  // the row path is ENTIRELY integer — md5 32-bit uniforms against
+  // driver-computed ⌊cdf·2³²⌋ literals, 4dp micro-unit values,
+  // floor-division replicate means, order-statistic CI ranks.
+  register(
+    "aq84_poisson_bootstrap",
+    s"""WITH base AS (
+      |  SELECT event_type AS g, event_id::varchar AS id,
+      |         (round(value, 4)::decimal(18,4) * 10000)::bigint AS vu
+      |  FROM events WHERE value IS NOT NULL
+      |), hw AS (
+      |  SELECT g, b, vu,
+      |         ('0x' || substr(md5(id || ':' || b::varchar), 1, 8))::bigint
+      |           AS h
+      |  FROM base CROSS JOIN range(64) r(b)
+      |), wt AS (
+      |  SELECT g, b, vu,
+      |         ${graft.operators.Stats.poissonWeightCaseSql("h")} AS w
+      |  FROM hw
+      |), rep AS (
+      |  SELECT g, b, sum(w)::bigint AS wn,
+      |         sum((w * vu)::hugeint)::hugeint AS wsv
+      |  FROM wt GROUP BY 1, 2
+      |), rm AS (
+      |  SELECT g, b, CASE WHEN wn > 0 THEN (wsv * 100) // wn END AS rm
+      |  FROM rep
+      |), rk AS (
+      |  SELECT g, b, rm,
+      |         row_number() OVER (PARTITION BY g ORDER BY rm, b) AS i,
+      |         count(*) OVER (PARTITION BY g) AS m
+      |  FROM rm WHERE rm IS NOT NULL
+      |), ci AS (
+      |  SELECT g,
+      |    count(*)::bigint AS n_reps,
+      |    max(CASE WHEN i = (25 * (m - 1)) // 1000 + 1 THEN rm END) AS rml,
+      |    max(CASE WHEN i = (975 * (m - 1)) // 1000 + 1 THEN rm END) AS rmh,
+      |    sum(rm::hugeint)::hugeint AS srm,
+      |    sum(rm::hugeint * rm::hugeint)::hugeint AS srm2,
+      |    max(m)::bigint AS mm
+      |  FROM rk GROUP BY 1
+      |), tot AS (
+      |  SELECT g, count(*)::bigint AS n, sum(vu::hugeint)::hugeint AS svu
+      |  FROM base GROUP BY 1
+      |)
+      |SELECT t.g AS event_type, t.n, c.n_reps,
+      |  ((t.svu * 100) // t.n)::double / 1000000.0 AS mean,
+      |  c.rml::double / 1000000.0 AS boot_lo,
+      |  c.rmh::double / 1000000.0 AS boot_hi,
+      |  CASE WHEN c.mm >= 2 THEN
+      |    round(sqrt((c.mm::hugeint * c.srm2 - c.srm * c.srm)::double /
+      |               (c.mm::hugeint * (c.mm - 1)::hugeint)::double) /
+      |          1000000.0, 8)
+      |  END AS boot_se
+      |FROM tot t JOIN ci c ON t.g = c.g
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.poissonBootstrap(
+      t(s, dir, "events"), idCol = "event_id", valueCol = "value",
+      groupCols = Seq("event_type"), replicates = 64)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq85_did — difference-in-differences (Stats.did): treated = even
+  // user parity, post = epoch-day ≥ 19738 (the aq80 period split);
+  // four-cell conditional aggregate with exact decimal sufficient
+  // statistics, DiD composed from the 6dp-ROUNDED cell means, SE from
+  // raw-ratio variances in one fixed operation order.
+  register(
+    "aq85_did",
+    """WITH e AS (
+      |  SELECT user_id % 2 = 0 AS tr,
+      |         epoch_us(ts) // 86400000000 >= 19738 AS post,
+      |         value AS v
+      |  FROM events
+      |), s AS (
+      |  SELECT
+      |    count(CASE WHEN tr AND NOT post THEN v END)::bigint AS n_t_pre,
+      |    count(CASE WHEN tr AND post THEN v END)::bigint AS n_t_post,
+      |    count(CASE WHEN NOT tr AND NOT post THEN v END)::bigint
+      |      AS n_c_pre,
+      |    count(CASE WHEN NOT tr AND post THEN v END)::bigint AS n_c_post,
+      |    sum(CASE WHEN tr AND NOT post
+      |        THEN v::decimal(18,4) END) AS sv_tq,
+      |    sum(CASE WHEN tr AND post THEN v::decimal(18,4) END) AS sv_tp,
+      |    sum(CASE WHEN NOT tr AND NOT post
+      |        THEN v::decimal(18,4) END) AS sv_cq,
+      |    sum(CASE WHEN NOT tr AND post
+      |        THEN v::decimal(18,4) END) AS sv_cp,
+      |    sum(CASE WHEN tr AND NOT post
+      |        THEN round(v * v, 8)::decimal(28,8) END) AS ss_tq,
+      |    sum(CASE WHEN tr AND post
+      |        THEN round(v * v, 8)::decimal(28,8) END) AS ss_tp,
+      |    sum(CASE WHEN NOT tr AND NOT post
+      |        THEN round(v * v, 8)::decimal(28,8) END) AS ss_cq,
+      |    sum(CASE WHEN NOT tr AND post
+      |        THEN round(v * v, 8)::decimal(28,8) END) AS ss_cp
+      |  FROM e
+      |), m AS (
+      |  SELECT *,
+      |    sv_tq::double / (CASE WHEN n_t_pre > 0 THEN n_t_pre END)
+      |      AS mr_tq,
+      |    sv_tp::double / (CASE WHEN n_t_post > 0 THEN n_t_post END)
+      |      AS mr_tp,
+      |    sv_cq::double / (CASE WHEN n_c_pre > 0 THEN n_c_pre END)
+      |      AS mr_cq,
+      |    sv_cp::double / (CASE WHEN n_c_post > 0 THEN n_c_post END)
+      |      AS mr_cp
+      |  FROM s
+      |), v2 AS (
+      |  SELECT *,
+      |    (ss_tq::double - n_t_pre * mr_tq * mr_tq) /
+      |      (CASE WHEN n_t_pre >= 2 THEN n_t_pre - 1 END) AS vr_tq,
+      |    (ss_tp::double - n_t_post * mr_tp * mr_tp) /
+      |      (CASE WHEN n_t_post >= 2 THEN n_t_post - 1 END) AS vr_tp,
+      |    (ss_cq::double - n_c_pre * mr_cq * mr_cq) /
+      |      (CASE WHEN n_c_pre >= 2 THEN n_c_pre - 1 END) AS vr_cq,
+      |    (ss_cp::double - n_c_post * mr_cp * mr_cp) /
+      |      (CASE WHEN n_c_post >= 2 THEN n_c_post - 1 END) AS vr_cp
+      |  FROM m
+      |), r AS (
+      |  SELECT *,
+      |    round((round(mr_tp, 6) - round(mr_tq, 6)) -
+      |          (round(mr_cp, 6) - round(mr_cq, 6)), 6) AS did,
+      |    sqrt(vr_tp / n_t_post + vr_tq / n_t_pre +
+      |         vr_cp / n_c_post + vr_cq / n_c_pre) AS se_raw
+      |  FROM v2
+      |)
+      |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+      |  round(mr_tq, 6) AS mean_t_pre, round(mr_tp, 6) AS mean_t_post,
+      |  round(mr_cq, 6) AS mean_c_pre, round(mr_cp, 6) AS mean_c_post,
+      |  did, round(se_raw, 6) AS se,
+      |  round(did / (CASE WHEN se_raw > 0.0 THEN se_raw END), 4) AS z
+      |FROM r""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    graft.operators.Stats.did(ev, "value",
+      treated = col("user_id") % 2 === 0,
+      post = expr("unix_micros(ts) div 86400000000") >= 19738L)
+  }
 }

@@ -1295,4 +1295,185 @@ object Stats {
           round(col("o_rate") * (lit(1.0) - col("o_rate")), 6))
           .as("uncertainty"))
   }
+
+  /** Integer thresholds ⌊CDF_Poisson(1)(k)·2³²⌋ for k = 0..maxK —
+    * DRIVER-computed once (the bhSelect literal discipline) so the
+    * data path of [[poissonBootstrap]] compares the 32-bit md5 hash
+    * against shared integer literals: no float appears anywhere in
+    * either engine's row path. */
+  private[graft] def poissonThresholds(maxK: Int = 8): Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    var fact = 1.0
+    var cdf = 0.0
+    (0 to maxK).map { k =>
+      if (k > 0) fact *= k
+      cdf += e1 / fact
+      math.floor(cdf * 4294967296.0).toLong
+    }
+  }
+
+  /** The weight CASE for [[poissonBootstrap]]'s generated oracle:
+    * given a column expression holding the 32-bit hash, emit the
+    * SAME threshold literals the Spark plan embeds. */
+  private[graft] def poissonWeightCaseSql(hCol: String): String = {
+    val whens = poissonThresholds().zipWithIndex
+      .map { case (t, k) => s"WHEN $hCol < $t THEN $k" }.mkString(" ")
+    s"(CASE $whens ELSE 9 END)::bigint"
+  }
+
+  /** Poisson bootstrap confidence intervals (Chamandy et al., Google
+    * 2012 — "Estimating uncertainty for massive data streams"): the
+    * ONLY bootstrap that works at cluster scale, because resampling
+    * n-out-of-n is replaced by an independent Poisson(1) weight per
+    * (row, replicate) — one pass, no resampling shuffle, map-side
+    * partial aggregation all the way down. Reports each group's mean
+    * with percentile CI bounds and the bootstrap SE over B replicate
+    * means.
+    *
+    * Determinism contract: the row path is ENTIRELY integer — the
+    * uniform is the first-8-hex md5 integer of `id:replicate` (the
+    * dq22 portable-signature discipline), the Poisson(1) inverse-CDF
+    * comparison uses driver-computed ⌊cdf·2³²⌋ literals embedded in
+    * both plans ([[poissonThresholds]]), values ride as exact 4dp
+    * micro-units, replicate means are micro-unit FLOOR divisions
+    * (exact integers — never a rounded double: the aq59 lesson), CI
+    * bounds are order statistics at integer ranks
+    * ⌊q·(m−1)⌋+1, and every readout is one fixed-order double
+    * expression of exact integers. Weight-starved replicates (total
+    * weight 0) drop out of the rank frame.
+    *
+    * Scale shape: explode ×B feeds ONE (group, replicate) aggregate
+    * with map-side partials (shuffle rows = |groups|·B per map
+    * partition, never data-sized), group-partitioned rank windows
+    * over B-row frames, and a |groups|-row broadcast join against
+    * the exact totals. Returns one row per group:
+    * `(group..., n, n_reps, mean, boot_lo, boot_hi, boot_se)`. */
+  def poissonBootstrap(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      groupCols: Seq[String],
+      replicates: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(replicates >= 8 && replicates <= 256,
+      "replicates in [8, 256] — B beyond ~100 buys almost nothing")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        col(idCol).cast("string").as("__id") :+
+        (round(col(valueCol), 4).cast("decimal(18,4)") * 10000)
+          .cast("long").as("__vu"): _*)
+    val h = conv(substring(md5(concat(col("__id"), lit(":"),
+      col("__b").cast("string"))), 1, 8), 16, 10).cast("long")
+    val ts = poissonThresholds()
+    val w = ts.zipWithIndex.tail
+      .foldLeft(when(h < lit(ts.head), 0L)) {
+        case (c, (t, k)) => c.when(h < lit(t), k.toLong)
+      }
+      .otherwise(9L)
+    val rep = base
+      .withColumn("__b", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__w", w)
+      .groupBy(groupCols.map(col) :+ col("__b"): _*)
+      .agg(sum(col("__w")).as("__wn"),
+        sum((col("__w") * col("__vu")).cast(dec)).as("__wsv"))
+      .withColumn("__rm",
+        when(col("__wn") > 0L, expr("(__wsv * 100) div __wn")))
+    val wP = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = rep
+      .filter(col("__rm").isNotNull)
+      .withColumn("__i",
+        row_number().over(wP.orderBy(col("__rm"), col("__b"))))
+      .withColumn("__m", count(lit(1)).over(wP))
+      .withColumn("__loi", expr("(25 * (__m - 1)) div 1000 + 1"))
+      .withColumn("__hii", expr("(975 * (__m - 1)) div 1000 + 1"))
+    val ci = ranked
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_reps"),
+        max(when(col("__i") === col("__loi"), col("__rm"))).as("__rml"),
+        max(when(col("__i") === col("__hii"), col("__rm"))).as("__rmh"),
+        sum(col("__rm").cast(dec)).as("__srm"),
+        sum((col("__rm").cast(dec) * col("__rm").cast(dec))).as("__srm2"),
+        max(col("__m")).as("__mm"))
+    val totals = base
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__vu").cast(dec)).as("__svu"))
+    val m = col("__mm").cast(dec)
+    val varNum = (m * col("__srm2") - col("__srm") * col("__srm"))
+      .cast("double")
+    val varDen = when(col("__mm") >= 2L,
+      (m * (col("__mm") - 1).cast(dec)).cast("double"))
+    totals
+      .join(broadcast(ci), groupCols)
+      .withColumn("mean",
+        expr("(__svu * 100) div n").cast("double") / 1000000.0)
+      .withColumn("boot_lo", col("__rml").cast("double") / 1000000.0)
+      .withColumn("boot_hi", col("__rmh").cast("double") / 1000000.0)
+      .withColumn("boot_se",
+        round(sqrt(varNum / varDen) / 1000000.0, 8))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("n_reps"),
+        col("mean"), col("boot_lo"), col("boot_hi"), col("boot_se")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Difference-in-differences (Card & Krueger 1994 lineage) — the
+    * quasi-experimental readout when assignment wasn't randomized:
+    * compare the treated group's pre→post change against the control
+    * group's,
+    *
+    *   DiD = (m_T,post − m_T,pre) − (m_C,post − m_C,pre),
+    *
+    * with the repeated-cross-section SE √(Σ_cells s²_c/n_c) and its
+    * z. The parallel-trends companion to [[abTest]]/[[cuped]].
+    *
+    * Determinism contract: the [[abTest]] discipline across the four
+    * cells — Σv exact DECIMAL(18,4), Σv² exact decimal sums of
+    * 8dp-rounded squares, cell means 6dp-rounded with DiD composed
+    * from the ROUNDED means in one fixed order; variances use the
+    * raw-ratio means; denominators NULL-guarded; any cell under 2
+    * observations yields NULL se/z (the DiD itself needs only
+    * non-empty cells). ONE conditional aggregate, one-row output:
+    * `(n_t_pre, n_t_post, n_c_pre, n_c_post, mean_t_pre, mean_t_post,
+    * mean_c_pre, mean_c_post, did, se, z)`. */
+  def did(
+      df: DataFrame,
+      metricCol: String,
+      treated: Column,
+      post: Column): DataFrame = {
+    val v = col(metricCol)
+    val vDec = v.cast("decimal(18,4)")
+    val vSq = round(v * v, 8).cast("decimal(28,8)")
+    val cells = Seq(
+      "t_pre" -> (treated && !post), "t_post" -> (treated && post),
+      "c_pre" -> (!treated && !post), "c_post" -> (!treated && post))
+    val aggs = cells.flatMap { case (s, p) =>
+      Seq(count(when(p, v)).as(s"n_$s"),
+        sum(when(p, vDec)).as(s"__sv_$s"),
+        sum(when(p, vSq)).as(s"__ss_$s"))
+    }
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    def n(s: String) = col(s"n_$s")
+    // NULL-guarded raw-ratio mean (the CSE-hoist rule: guard the
+    // denominator itself, never just the surrounding when)
+    def mr(s: String) =
+      col(s"__sv_$s").cast("double") / when(n(s) > 0L, n(s))
+    def m6(s: String) = round(mr(s), 6)
+    def vr(s: String) =
+      (col(s"__ss_$s").cast("double") - n(s) * mr(s) * mr(s)) /
+        when(n(s) >= 2L, n(s) - 1)
+    val didc = round((m6("t_post") - m6("t_pre")) -
+      (m6("c_post") - m6("c_pre")), 6)
+    val seSq = vr("t_post") / n("t_post") + vr("t_pre") / n("t_pre") +
+      vr("c_post") / n("c_post") + vr("c_pre") / n("c_pre")
+    agg.select(
+      n("t_pre"), n("t_post"), n("c_pre"), n("c_post"),
+      m6("t_pre").as("mean_t_pre"), m6("t_post").as("mean_t_post"),
+      m6("c_pre").as("mean_c_pre"), m6("c_post").as("mean_c_post"),
+      didc.as("did"),
+      round(sqrt(seSq), 6).as("se"),
+      round(didc / when(sqrt(seSq) > 0.0, sqrt(seSq)), 4).as("z"))
+  }
 }

@@ -682,6 +682,31 @@ class PlanShapeSpec extends AnyFunSuite {
       wins.map(w => w.partitionSpec.mkString("[", ",", "]")).mkString(", "))
   }
 
+  test("aq84 bootstrap: rank windows group-partitioned; the totals " +
+    "join broadcasts the |groups|-row CI frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("aq84_poisson_bootstrap")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    val wins = nodes.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      wins.map(_.partitionSpec.mkString("[", ",", "]")).mkString(", "))
+    val joins = nodes.filter(_.nodeName.contains("Join"))
+    assert(joins.nonEmpty &&
+      joins.forall(_.nodeName.contains("Broadcast")),
+      joins.map(_.nodeName).mkString(", "))
+  }
+
+  test("aq85 DiD: one conditional aggregate — no pivot, no join, " +
+    "no window") {
+    val df = SparkEntry.queries("aq85_did")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(n => n.nodeName.contains("Join") ||
+      n.nodeName.contains("Window") || n.nodeName.contains("Pivot")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
   test("aq83 calibration: bins-sized aggregates only — no join, no " +
     "window, no data-sized shuffle past the bin aggregate") {
     val df = SparkEntry.queries("aq83_calibration")(spark, sf)

@@ -344,6 +344,60 @@ class StatsSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("poissonBootstrap: integer thresholds, constant-metric collapse, " +
+    "exact floor-division mean") {
+    // thresholds are ⌊cdf·2³²⌋ of Poisson(1): T0/2³² ≈ e⁻¹, monotone
+    val ts = Stats.poissonThresholds()
+    assert(math.abs(ts.head.toDouble / 4294967296.0 -
+      math.exp(-1.0)) < 1e-9)
+    assert(ts == ts.sorted && ts.distinct == ts)
+    // a CONSTANT metric is invariant to the weights: every replicate
+    // mean equals the constant exactly, so the CI collapses and the
+    // bootstrap SE is exactly 0
+    val const = (1L to 40L).map(i => ("g", i, 2.5)).toDF("grp", "id", "v")
+    val c = Stats.poissonBootstrap(const, "id", "v", Seq("grp"),
+      replicates = 16).collect()(0)
+    assert((c.getDouble(3), c.getDouble(4), c.getDouble(5),
+      c.getDouble(6)) == ((2.5, 2.5, 2.5, 0.0)), c.toString)
+    // point estimate is the exact micro-unit floor division:
+    // (70000·100) div 3 = 2333333 → 2.333333
+    val tri = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 4.0))
+      .toDF("grp", "id", "v")
+    val m = Stats.poissonBootstrap(tri, "id", "v", Seq("grp"),
+      replicates = 8).collect()(0)
+    assert(m.getDouble(3) == 2.333333, m.toString)
+    assert(m.getLong(1) == 3L)
+    // deterministic: a second run is bit-identical
+    val r1 = Stats.poissonBootstrap(tri, "id", "v", Seq("grp"), 8)
+      .collect().toSeq
+    val r2 = Stats.poissonBootstrap(tri, "id", "v", Seq("grp"), 8)
+      .collect().toSeq
+    assert(r1 == r2)
+  }
+
+  test("did: hand-computed 2x2 cells, thin cell keeps DiD but NULLs se") {
+    // T pre [1,2] m=1.5 v=.5 | T post [4,6] m=5 v=2
+    // C pre [1,3] m=2  v=2  | C post [2,4] m=3 v=2
+    // DiD = (5−1.5)−(3−2) = 2.5; se = √3.25 = 1.802776; z = 1.3868
+    val df = Seq(
+      (true, false, 1.0), (true, false, 2.0),
+      (true, true, 4.0), (true, true, 6.0),
+      (false, false, 1.0), (false, false, 3.0),
+      (false, true, 2.0), (false, true, 4.0))
+      .toDF("tr", "post", "v")
+    val r = Stats.did(df, "v", col("tr"), col("post")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2L, 2L)))
+    assert((r.getDouble(8), r.getDouble(9), r.getDouble(10)) ==
+      ((2.5, 1.802776, 1.3868)), r.toString)
+    // a 1-row cell (T post = [4]): DiD = (4−1.5)−(3−2) = 1.5 still
+    // defined from the means, se/z NULL
+    val thin = Stats.did(df.filter(!(col("tr") && col("post") &&
+        col("v") === 6.0)), "v", col("tr"), col("post")).collect()(0)
+    assert(thin.getDouble(8) == 1.5)
+    assert(thin.isNullAt(9) && thin.isNullAt(10), thin.toString)
+  }
+
   test("brierDecomposition: out-of-range probability raises") {
     val df = Seq((1.2, true)).toDF("p", "label")
     val e = intercept[Exception] {
