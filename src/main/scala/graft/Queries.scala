@@ -8865,4 +8865,106 @@ ORDER BY query_id"""
       treated = col("user_id") % 2 === 0,
       post = expr("unix_micros(ts) div 86400000000") >= 19738L)
   }
+
+  // ---------------------------------------------------------------------
+  // aq86_fleiss_kappa — chance-corrected agreement among three
+  // rule-based keep/drop raters on documents (Profile.fleissKappa):
+  // length ≥ 300 chars, whitespace count ≥ 45, lang ∈ {en, de, fr}.
+  // Everything is exact integer arithmetic (decimal(38,0)/hugeint) up
+  // to three final divisions; κ is the exact rational
+  // (A·D − C·B)/(B·D − C·B).
+  register(
+    "aq86_fleiss_kappa",
+    """WITH votes AS (
+      |  SELECT doc_id, unnest([
+      |    CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END,
+      |    CASE WHEN length(text) - length(replace(text, ' ', '')) >= 45
+      |      THEN 'keep' ELSE 'drop' END,
+      |    CASE WHEN lang IN ('en', 'de', 'fr')
+      |      THEN 'keep' ELSE 'drop' END]) AS vote
+      |  FROM documents
+      |), cells AS (
+      |  SELECT doc_id, vote, count(*)::bigint AS nij
+      |  FROM votes GROUP BY 1, 2
+      |), items AS (
+      |  SELECT doc_id, sum(nij)::bigint AS n,
+      |         sum(nij::hugeint * nij::hugeint)::hugeint AS sq
+      |  FROM cells GROUP BY 1
+      |), f AS (
+      |  SELECT count(*)::bigint AS n_items, sum(sq)::hugeint AS ssq
+      |  FROM items
+      |), cats AS (
+      |  SELECT count(*)::bigint AS k, sum(cj * cj)::hugeint AS c2
+      |  FROM (SELECT vote, sum(nij)::hugeint AS cj FROM cells GROUP BY 1)
+      |)
+      |SELECT n_items, 3 AS n_raters, k AS n_categories,
+      |  round((ssq - n_items::hugeint * 3)::double /
+      |        (n_items::hugeint * 3 * 2)::double, 6) AS p_bar,
+      |  round(c2::double /
+      |        (n_items::hugeint * 3 * n_items * 3)::double, 6) AS p_e,
+      |  round(((ssq - n_items::hugeint * 3) *
+      |         (n_items::hugeint * 3 * n_items * 3) -
+      |         c2 * (n_items::hugeint * 3 * 2))::double /
+      |        ((n_items::hugeint * 3 * 2) *
+      |         (n_items::hugeint * 3 * n_items * 3) -
+      |         c2 * (n_items::hugeint * 3 * 2))::double, 6) AS kappa
+      |FROM f CROSS JOIN cats""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val votes = docs.select(col("doc_id"), explode(array(
+      when(col("n_chars") >= 300, "keep").otherwise("drop"),
+      when(length(col("text")) -
+        length(expr("replace(text, ' ', '')")) >= 45, "keep")
+        .otherwise("drop"),
+      when(col("lang").isin("en", "de", "fr"), "keep")
+        .otherwise("drop"))).as("vote"))
+    graft.operators.Profile.fleissKappa(votes, "doc_id", "vote",
+      raters = 3)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq87_mutual_info — mutual information / entropies / NMI between
+  // event_type and the 50-unit value bucket (Stats.mutualInformation):
+  // the KL/JSD 10dp-decimal-addend discipline over the contingency
+  // cells; margins re-aggregated from the ONE cell frame; NMI from the
+  // ROUNDED readouts.
+  register(
+    "aq87_mutual_info",
+    """WITH cells AS (
+      |  SELECT event_type AS x, floor(value / 50.0)::bigint AS y,
+      |         count(*)::bigint AS nxy
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), mx AS (SELECT x, sum(nxy)::bigint AS nx FROM cells GROUP BY 1),
+      |my AS (SELECT y, sum(nxy)::bigint AS ny FROM cells GROUP BY 1),
+      |nn AS (SELECT sum(nxy)::bigint AS n FROM cells),
+      |hx AS (
+      |  SELECT round(sum(round((nx::double / n) * ln(n::double / nx),
+      |           10)::decimal(28,10))::double, 6) AS h_x
+      |  FROM mx CROSS JOIN nn
+      |), hy AS (
+      |  SELECT round(sum(round((ny::double / n) * ln(n::double / ny),
+      |           10)::decimal(28,10))::double, 6) AS h_y
+      |  FROM my CROSS JOIN nn
+      |), mi AS (
+      |  SELECT round(sum(round((nxy::double / n) *
+      |           ln((nxy::double * n) / (nx::double * ny)),
+      |           10)::decimal(28,10))::double, 6) AS mi_nats
+      |  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn
+      |), k AS (
+      |  SELECT sum(nxy)::bigint AS n, count(DISTINCT x)::bigint AS k_x,
+      |         count(DISTINCT y)::bigint AS k_y
+      |  FROM cells
+      |)
+      |SELECT k.n, k.k_x, k.k_y, hx.h_x, hy.h_y, mi.mi_nats,
+      |  round(mi.mi_nats / (CASE WHEN sqrt(hx.h_x * hy.h_y) > 0.0
+      |        THEN sqrt(hx.h_x * hy.h_y) END), 6) AS nmi
+      |FROM k CROSS JOIN hx CROSS JOIN hy CROSS JOIN mi""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") / 50.0).cast("long").as("bucket"))
+    graft.operators.Stats.mutualInformation(ev, "event_type", "bucket")
+  }
 }

@@ -399,4 +399,84 @@ object Profile {
         |FROM t
         |ORDER BY digit""".stripMargin
   }
+
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among a
+    * FIXED number of raters assigning each item to one of k
+    * categories. The labeled-data curation gate: when several
+    * annotators (or rule/model judges) label the same documents,
+    * kappa says whether the label set is coherent enough to train on
+    * (κ ≈ 0 means the "labels" are noise; Landis–Koch call ≥ 0.61
+    * substantial).
+    *
+    *   P_i = (Σ_j n_ij² − n)/(n(n−1)),  P̄ = mean_i P_i,
+    *   P̄_e = Σ_j p_j²,                 κ = (P̄ − P̄_e)/(1 − P̄_e).
+    *
+    * Determinism contract: everything is EXACT integer arithmetic up
+    * to the final divisions — P̄ = A/B with A = ΣΣ n_ij² − N·n and
+    * B = N·n·(n−1); P̄_e = C/D with C = Σ_j c_j², D = (N·n)²; κ is
+    * the exact rational (A·D − C·B)/(B·D − C·B), all in
+    * decimal(38,0)/hugeint, each read out by ONE double division
+    * rounded 6dp. (Products stay inside 38 digits for N·n < 10¹⁵ —
+    * any real annotation set.) Unanimous single-category input has
+    * P̄_e = 1 → NULL κ; n < 2 raters → NULL everywhere.
+    *
+    * Scale shape: one (item, category) count aggregate (map-side
+    * partials), one item-level fold, one 1-row readout; the per-item
+    * rater-count contract (every item must have exactly `raters`
+    * votes — Fleiss is undefined otherwise) is enforced by
+    * raise_error riding the per-item count in the row path. Returns
+    * ONE row `(n_items, n_raters, n_categories, p_bar, p_e, kappa)`. */
+  def fleissKappa(
+      votes: DataFrame,
+      itemCol: String,
+      categoryCol: String,
+      raters: Int): DataFrame = {
+    require(raters >= 2, "Fleiss' kappa needs at least 2 raters")
+    val dec = "decimal(38,0)"
+    val cells = votes
+      .filter(col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(categoryCol).as("__c"))
+      .agg(count(lit(1)).as("__nij"))
+    val items = cells
+      .groupBy("__i")
+      .agg(sum("__nij").as("__n"),
+        sum(col("__nij").cast(dec) * col("__nij").cast(dec)).as("__sq"))
+      // the fixed-n contract rides the row path — unprunable
+      .select(
+        (col("__sq") +
+          coalesce(when(col("__n") =!= raters.toLong, raise_error(concat(
+            lit(s"fleissKappa: item "), col("__i"),
+            lit(s" has "), col("__n"),
+            lit(s" votes, expected $raters")))).cast(dec),
+            lit(0L).cast(dec))).as("__sq"))
+    val cats = cells.groupBy("__c")
+      .agg(sum(col("__nij").cast(dec)).as("__cj"))
+      .agg(count(lit(1)).as("__k"),
+        sum(col("__cj") * col("__cj")).as("__c2"))
+    val folded = items.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("__sq")).as("__ssq"))
+    val n = lit(raters.toLong).cast(dec)
+    folded.crossJoin(broadcast(cats)).select(
+      col("n_items"),
+      lit(raters).as("n_raters"),
+      col("__k").as("n_categories"), {
+        val nItems = col("n_items").cast(dec)
+        val a = col("__ssq") - nItems * n
+        val b = nItems * n * (n - lit(1L).cast(dec))
+        val c = col("__c2")
+        val d = (nItems * n) * (nItems * n)
+        val pBar = round(a.cast("double") /
+          when(col("n_items") > 0L, b.cast("double")), 6).as("p_bar")
+        val pE = round(c.cast("double") /
+          when(col("n_items") > 0L, d.cast("double")), 6).as("p_e")
+        struct(pBar, pE,
+          round((a * d - c * b).cast("double") /
+            when(b * d - c * b > lit(0L).cast(dec),
+              (b * d - c * b).cast("double")), 6).as("kappa")).as("__r")
+      })
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        col("__r.p_bar").as("p_bar"), col("__r.p_e").as("p_e"),
+        col("__r.kappa").as("kappa"))
+  }
 }

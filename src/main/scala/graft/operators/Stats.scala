@@ -1476,4 +1476,67 @@ object Stats {
       round(sqrt(seSq), 6).as("se"),
       round(didc / when(sqrt(seSq) > 0.0, sqrt(seSq)), 4).as("z"))
   }
+
+  /** Mutual information between two categorical columns, with the
+    * marginal entropies and the normalized MI
+    * (NMI = I/√(H(X)·H(Y)), Strehl & Ghosh 2002) — the
+    * feature-selection / redundancy readout: how much does knowing X
+    * tell you about Y? NMI ≈ 1 flags a feature pair carrying the same
+    * signal (drop one); MI against the label ranks features.
+    *
+    *   I(X;Y) = Σ_xy (n_xy/N)·ln(n_xy·N/(n_x·n_y)),
+    *   H(X) = Σ_x (n_x/N)·ln(N/n_x).
+    *
+    * Determinism contract: the KL/JSD discipline — every addend is a
+    * fixed-order double expression of exact integer counts rounded to
+    * 10dp and summed as DECIMAL (cell order differs between engines);
+    * readouts round to 6dp; NMI derives from the ROUNDED I, H(X),
+    * H(Y) with a NULL-guarded denominator (a constant column has
+    * H = 0 → NULL NMI).
+    *
+    * Scale shape: ONE (x, y) contingency aggregate (map-side
+    * partials, |X|·|Y|-cell-sized), margins re-aggregated FROM the
+    * cell frame (never a second data pass — the cell frame is
+    * lineage-cut), broadcast margin joins, three 1-row readouts
+    * crossed at the end. Returns ONE row
+    * `(n, k_x, k_y, h_x, h_y, mi_nats, nmi)`. */
+  def mutualInformation(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val dec10 = (c: Column) => round(c, 10).cast("decimal(28,10)")
+    val cells = Lineage.cutLocal(
+      df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+        .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+        .agg(count(lit(1)).as("__nxy")))
+    val mx = Lineage.cutLocal(
+      cells.groupBy("__x").agg(sum("__nxy").as("__nx")))
+    val my = Lineage.cutLocal(
+      cells.groupBy("__y").agg(sum("__nxy").as("__ny")))
+    val nF = broadcast(cells.agg(sum("__nxy").as("__n")))
+    def entropy(m: DataFrame, cnt: String, out: String) =
+      m.crossJoin(nF)
+        .select(dec10((col(cnt).cast("double") / col("__n")) *
+          log(col("__n").cast("double") / col(cnt))).as("__t"))
+        .agg(round(sum(col("__t")).cast("double"), 6).as(out))
+    val miF = cells
+      .join(broadcast(mx), Seq("__x"))
+      .join(broadcast(my), Seq("__y"))
+      .crossJoin(nF)
+      .select(dec10((col("__nxy").cast("double") / col("__n")) *
+        log((col("__nxy").cast("double") * col("__n")) /
+          (col("__nx").cast("double") * col("__ny")))).as("__t"))
+      .agg(round(sum(col("__t")).cast("double"), 6).as("mi_nats"))
+    val kF = cells.agg(
+      sum("__nxy").as("n"),
+      count_distinct(col("__x")).as("k_x"),
+      count_distinct(col("__y")).as("k_y"))
+    kF.crossJoin(broadcast(entropy(mx, "__nx", "h_x")))
+      .crossJoin(broadcast(entropy(my, "__ny", "h_y")))
+      .crossJoin(broadcast(miF))
+      .withColumn("nmi", round(col("mi_nats") /
+        when(sqrt(col("h_x") * col("h_y")) > 0.0,
+          sqrt(col("h_x") * col("h_y"))), 6))
+      .select("n", "k_x", "k_y", "h_x", "h_y", "mi_nats", "nmi")
+  }
 }

@@ -707,6 +707,27 @@ class PlanShapeSpec extends AnyFunSuite {
       nodes.map(_.nodeName).mkString(", "))
   }
 
+  test("aq86 Fleiss kappa: aggregates plus one broadcast readout " +
+    "cross — never a shuffled join") {
+    val df = SparkEntry.queries("aq86_fleiss_kappa")(spark, sf)
+    df.collect()
+    val joins = deepNodes(df.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Join"))
+    assert(joins.forall(_.nodeName.contains("Broadcast")),
+      joins.map(_.nodeName).mkString(", "))
+  }
+
+  test("aq87 mutual info: margins and readouts all ride broadcast " +
+    "joins off the one cell frame") {
+    val df = SparkEntry.queries("aq87_mutual_info")(spark, sf)
+    df.collect()
+    val joins = deepNodes(df.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Join"))
+    assert(joins.nonEmpty &&
+      joins.forall(_.nodeName.contains("Broadcast")),
+      joins.map(_.nodeName).mkString(", "))
+  }
+
   test("aq83 calibration: bins-sized aggregates only — no join, no " +
     "window, no data-sized shuffle past the bin aggregate") {
     val df = SparkEntry.queries("aq83_calibration")(spark, sf)

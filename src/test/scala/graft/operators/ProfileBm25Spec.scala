@@ -230,4 +230,35 @@ class ProfileBm25Spec extends AnyFunSuite {
     val total = rnd(terms.map(t => BigDecimal(t)).sum.toDouble, 6)
     assert(got.forall(_.getDouble(4) == total))
   }
+
+  test("fleissKappa: hand-computed 3-item fixture, unanimous NULL, " +
+    "rater-count contract raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // items: (k,k,k) P=1, (k,k,d) P=1/3, (d,d,d) P=1 →
+    // A=14 B=18 C=41 D=81 → p_bar=14/18, p_e=41/81, κ=396/720=0.55
+    val votes = Seq(
+      (1L, "k"), (1L, "k"), (1L, "k"),
+      (2L, "k"), (2L, "k"), (2L, "d"),
+      (3L, "d"), (3L, "d"), (3L, "d")).toDF("item", "vote")
+    val r = Profile.fleissKappa(votes, "item", "vote", raters = 3)
+      .collect()(0)
+    assert((r.getLong(0), r.getInt(1), r.getLong(2)) == ((3L, 3, 2L)))
+    assert((r.getDouble(3), r.getDouble(4), r.getDouble(5)) ==
+      ((0.777778, 0.506173, 0.55)), r.toString)
+    // unanimous single category: P̄ = P̄_e = 1 → κ undefined (NULL)
+    val u = Seq((1L, "k"), (1L, "k"), (1L, "k"),
+      (2L, "k"), (2L, "k"), (2L, "k")).toDF("item", "vote")
+    val ru = Profile.fleissKappa(u, "item", "vote", 3).collect()(0)
+    assert((ru.getDouble(3), ru.getDouble(4)) == ((1.0, 1.0)))
+    assert(ru.isNullAt(5), ru.toString)
+    // an item with the wrong vote count violates the Fleiss contract
+    val bad = votes.filter(!(col("item") === 2L && col("vote") === "d"))
+    val e = intercept[Exception] {
+      Profile.fleissKappa(bad, "item", "vote", 3).collect()
+    }
+    assert(e.getMessage.contains("expected 3") ||
+      e.getCause != null && e.getCause.getMessage.contains("expected 3"),
+      e.getMessage)
+  }
 }

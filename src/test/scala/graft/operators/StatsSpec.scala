@@ -398,6 +398,27 @@ class StatsSpec extends AnyFunSuite {
     assert(thin.isNullAt(9) && thin.isNullAt(10), thin.toString)
   }
 
+  test("mutualInformation: identical = ln2/NMI 1, independent = 0, " +
+    "constant column NULLs NMI") {
+    // X == Y (2 levels, balanced): I = H = ln 2 → NMI = 1
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val d = Stats.mutualInformation(dep, "x", "y").collect()(0)
+    assert((d.getLong(0), d.getLong(1), d.getLong(2)) == ((4L, 2L, 2L)))
+    assert((d.getDouble(3), d.getDouble(4), d.getDouble(5),
+      d.getDouble(6)) == ((0.693147, 0.693147, 0.693147, 1.0)),
+      d.toString)
+    // X ⊥ Y uniform 2×2: every cell term ln(1) = 0 → I = 0, NMI = 0
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val i = Stats.mutualInformation(ind, "x", "y").collect()(0)
+    assert((i.getDouble(5), i.getDouble(6)) == ((0.0, 0.0)), i.toString)
+    // constant Y: H(Y) = 0 → the NMI denominator is NULL-guarded
+    val const = Seq(("a", "u"), ("b", "u")).toDF("x", "y")
+    val c = Stats.mutualInformation(const, "x", "y").collect()(0)
+    assert(c.getDouble(4) == 0.0 && c.isNullAt(6), c.toString)
+  }
+
   test("brierDecomposition: out-of-range probability raises") {
     val df = Seq((1.2, true)).toDF("p", "label")
     val e = intercept[Exception] {
