@@ -8967,4 +8967,52 @@ ORDER BY query_id"""
         floor(col("value") / 50.0).cast("long").as("bucket"))
     graft.operators.Stats.mutualInformation(ev, "event_type", "bucket")
   }
+
+  // ---------------------------------------------------------------------
+  // sq21_negative_sampling — word2vec unigram^(3/4) negative-sampling
+  // table over the documents vocabulary
+  // (TextAnalysis.negativeSamplingTable): libm-free √(c·√c) weights in
+  // integer units, EXACT decimal cumulative bounds in token order,
+  // 10000 md5-uniform draws mapped by ⌊h·Z/2³²⌋ integer targets —
+  // no float comparison anywhere in either engine.
+  register(
+    "sq21_negative_sampling",
+    """WITH cnt AS (
+      |  SELECT tok AS t, count(*)::bigint AS c
+      |  FROM (SELECT unnest(list_filter(
+      |          string_split_regex(trim(lower(text)), '\s+'),
+      |          x -> len(x) > 0)) AS tok FROM documents)
+      |  GROUP BY 1
+      |), top AS (
+      |  SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 1000
+      |), wv AS (
+      |  SELECT t, (round(sqrt(c::double * sqrt(c::double)),
+      |             8)::decimal(28,8) * 100000000)::hugeint AS wu
+      |  FROM top
+      |), cum AS (
+      |  SELECT t, wu,
+      |         sum(wu) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND CURRENT ROW)::hugeint AS hi
+      |  FROM wv
+      |), cb AS (SELECT t, wu, hi, (hi - wu)::hugeint AS lo FROM cum),
+      |zz AS (SELECT max(hi)::hugeint AS z FROM cb),
+      |dr AS (
+      |  SELECT s, (('0x' || substr(md5('neg:' || s::varchar), 1, 8))
+      |             ::bigint::hugeint * z) // 4294967296 AS tgt
+      |  FROM range(10000) r(s) CROSS JOIN zz
+      |), mp AS (
+      |  SELECT cb.t, count(*)::bigint AS n_draws
+      |  FROM dr JOIN cb ON dr.tgt >= cb.lo AND dr.tgt < cb.hi
+      |  GROUP BY 1
+      |)
+      |SELECT mp.t AS token, mp.n_draws,
+      |  round(cb.wu::double /
+      |        (CASE WHEN z > 0 THEN z::double END), 6) AS share
+      |FROM mp JOIN cb ON mp.t = cb.t CROSS JOIN zz
+      |ORDER BY n_draws DESC, token LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.negativeSamplingTable(
+      t(s, dir, "documents"), "text",
+      vocabSize = 1000, draws = 10000, topK = 100)
+  }
 }

@@ -1036,4 +1036,77 @@ object TextAnalysis {
       .orderBy(col("rank").desc, col("word"))
       .limit(topK)
   }
+
+  /** Unigram^(3/4) negative-sampling table (Mikolov et al. 2013,
+    * word2vec): draw negatives with probability ∝ count^0.75 — the
+    * exponent that up-weights rare words just enough. Builds the
+    * capped-vocabulary sampling distribution and maps `draws`
+    * deterministic pseudo-uniforms through its cumulative bounds —
+    * the contrastive-pair sampler behind embedding training.
+    *
+    * Determinism contract: count^0.75 is the LIBM-FREE
+    * √(c·√c) — IEEE sqrt is correctly rounded in every engine, so the
+    * weight doubles are bit-identical — then 8dp-rounded into integer
+    * weight units; cumulative bounds are EXACT decimal(38,0) sums in
+    * token order (never a float running sum — engines disagree on
+    * windowed double summation order); each draw's target is the
+    * integer ⌊h·Z/2³²⌋ from the md5 32-bit uniform (the aq84/dq22
+    * literal-free integer path), and bucket lookup is
+    * lo ≤ target < hi. No float comparison anywhere.
+    *
+    * Scale shape: one token-count pass (map-side combined), TakeOrdered
+    * vocab cap, a VOCAB-SIZED single-partition cumsum window (bounded
+    * by `vocabSize` by contract), the vocab broadcast against the
+    * distributed draw frame (range lookup per draw), one draw-count
+    * aggregate. Returns `(token, n_draws, share)` for the `topK`
+    * most-drawn tokens (count desc, token asc). */
+  def negativeSamplingTable(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int = 1000,
+      draws: Int = 10000,
+      topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize >= 1 && vocabSize <= 1000000,
+      "vocabSize in [1, 1e6] — the cumsum window is vocab-sized")
+    require(draws >= 1, "need at least one draw")
+    val dec = "decimal(38,0)"
+    val cnt = df
+      .select(explode(TextFunctions.wsTokens(lower(col(textCol))))
+        .as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val top = cnt.orderBy(col("__c").desc, col("__tok")).limit(vocabSize)
+    val cD = col("__c").cast("double")
+    val wu = (round(sqrt(cD * sqrt(cD)), 8).cast("decimal(28,8)") *
+      lit(100000000L)).cast(dec)
+    val w = Window.orderBy("__tok")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val vocab = Lineage.cutLocal(top
+      .withColumn("__wu", wu)
+      .withColumn("__hi", sum(col("__wu")).over(w).cast(dec))
+      .withColumn("__lo", (col("__hi") - col("__wu")).cast(dec)))
+    val z = broadcast(vocab.agg(max(col("__hi")).as("__z")))
+    val h = conv(substring(md5(concat(lit("neg:"),
+      col("id").cast("string"))), 1, 8), 16, 10).cast("long")
+    // h32 is materialized first so the md5 appears once in the plan
+    val withH = df.sparkSession.range(draws.toLong)
+      .select(col("id"), h.as("h32"))
+      .crossJoin(z)
+      .select(col("id").as("__s"),
+        expr(s"(cast(h32 as $dec) * __z) div 4294967296").as("__tgt"))
+    val mapped = withH.join(broadcast(vocab),
+      col("__tgt") >= col("__lo") && col("__tgt") < col("__hi"))
+    val counts = mapped.groupBy("__tok")
+      .agg(count(lit(1)).as("n_draws"))
+    counts
+      .join(broadcast(vocab.select(col("__tok"), col("__wu"))),
+        Seq("__tok"))
+      .crossJoin(z)
+      .select(col("__tok").as("token"), col("n_draws"),
+        round(col("__wu").cast("double") /
+          when(col("__z") > lit(0L).cast(dec),
+            col("__z").cast("double")), 6).as("share"))
+      .orderBy(col("n_draws").desc, col("token"))
+      .limit(topK)
+  }
 }

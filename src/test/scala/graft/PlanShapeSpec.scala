@@ -728,6 +728,17 @@ class PlanShapeSpec extends AnyFunSuite {
       joins.map(_.nodeName).mkString(", "))
   }
 
+  test("sq21 negative sampling: the vocab table broadcasts against " +
+    "the draw frame — every join is broadcast") {
+    val df = SparkEntry.queries("sq21_negative_sampling")(spark, sf)
+    df.collect()
+    val joins = deepNodes(df.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Join"))
+    assert(joins.nonEmpty &&
+      joins.forall(_.nodeName.contains("Broadcast")),
+      joins.map(_.nodeName).mkString(", "))
+  }
+
   test("aq83 calibration: bins-sized aggregates only — no join, no " +
     "window, no data-sized shuffle past the bin aggregate") {
     val df = SparkEntry.queries("aq83_calibration")(spark, sf)

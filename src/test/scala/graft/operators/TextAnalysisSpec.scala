@@ -449,4 +449,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(top1 == Seq(("a", "b", 2L, 0.666667)), top1.toString)
   }
+
+  test("negativeSamplingTable: exact ^0.75 shares, draws partition " +
+    "the table, deterministic") {
+    // tokens a:3, b:1 → wu_a = round(√(3·√3), 8)·1e8 = 227950706,
+    // wu_b = 1e8; Z = 327950706 → share_a = 0.695077, share_b = 0.304923
+    val docs = Seq("a a a b").toDF("text")
+    val got = TextAnalysis.negativeSamplingTable(docs, "text",
+      vocabSize = 10, draws = 1000, topK = 10)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.map(_._1).sorted == Seq("a", "b"))
+    val byTok = got.map(t => t._1 -> t).toMap
+    assert(byTok("a")._3 ==
+      math.rint(227950706.0 / 327950706.0 * 1e6) / 1e6)
+    assert(byTok("b")._3 ==
+      math.rint(100000000.0 / 327950706.0 * 1e6) / 1e6)
+    // every draw lands in exactly one bucket, heavy token drawn more
+    assert(got.map(_._2).sum == 1000L, got.toString)
+    assert(byTok("a")._2 > byTok("b")._2)
+    // bit-identical across runs
+    val again = TextAnalysis.negativeSamplingTable(docs, "text",
+      vocabSize = 10, draws = 1000, topK = 10)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == again)
+  }
 }
