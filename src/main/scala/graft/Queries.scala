@@ -9015,4 +9015,109 @@ ORDER BY query_id"""
       t(s, dir, "documents"), "text",
       vocabSize = 1000, draws = 10000, topK = 100)
   }
+
+  // ---------------------------------------------------------------------
+  // aq88_mde — power / minimum-detectable-effect per event type
+  // (Stats.mdeAnalysis): the pre-test traffic review. The z-sum
+  // Φ⁻¹(0.975)+Φ⁻¹(0.8) is ONE driver literal (Acklam) embedded in
+  // both plans; variances from the abTest exact-decimal sufficient
+  // statistics; n_required = ceil(z²(s²A+s²B)/Δ²) at Δ = 1.0.
+  register(
+    "aq88_mde",
+    s"""WITH s AS (
+      |  SELECT event_type,
+      |    count(CASE WHEN user_id % 2 = 0 THEN value END)::bigint AS n_a,
+      |    count(CASE WHEN user_id % 2 = 1 THEN value END)::bigint AS n_b,
+      |    sum(CASE WHEN user_id % 2 = 0
+      |        THEN value::decimal(18,4) END) AS sv_a,
+      |    sum(CASE WHEN user_id % 2 = 1
+      |        THEN value::decimal(18,4) END) AS sv_b,
+      |    sum(CASE WHEN user_id % 2 = 0
+      |        THEN round(value * value, 8)::decimal(28,8) END) AS ss_a,
+      |    sum(CASE WHEN user_id % 2 = 1
+      |        THEN round(value * value, 8)::decimal(28,8) END) AS ss_b
+      |  FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT *,
+      |    sv_a::double / (CASE WHEN n_a > 0 THEN n_a END) AS ma,
+      |    sv_b::double / (CASE WHEN n_b > 0 THEN n_b END) AS mb
+      |  FROM s
+      |), v2 AS (
+      |  SELECT *,
+      |    (ss_a::double - n_a * ma * ma) /
+      |      (CASE WHEN n_a >= 2 THEN n_a - 1 END) AS va,
+      |    (ss_b::double - n_b * mb * mb) /
+      |      (CASE WHEN n_b >= 2 THEN n_b - 1 END) AS vb
+      |  FROM m
+      |), r AS (
+      |  SELECT *,
+      |    sqrt(va / n_a + vb / n_b) AS se,
+      |    (sv_a + sv_b)::double /
+      |      (CASE WHEN n_a + n_b > 0 THEN n_a + n_b END) AS mp
+      |  FROM v2
+      |)
+      |SELECT event_type, n_a, n_b,
+      |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+      |  round(se, 6) AS se,
+      |  round(${graft.operators.Stats.mdeZSum(0.05, 0.8)} * se, 6)
+      |    AS mde_abs,
+      |  round(${graft.operators.Stats.mdeZSum(0.05, 0.8)} * se /
+      |        (CASE WHEN mp > 0.0 THEN mp END), 6) AS mde_rel,
+      |  ceil(${graft.operators.Stats.mdeZSum(0.05, 0.8)} *
+      |       ${graft.operators.Stats.mdeZSum(0.05, 0.8)} * (va + vb) /
+      |       1.0)::bigint AS n_required
+      |FROM r ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.mdeAnalysis(
+      t(s, dir, "events"), "value",
+      armA = col("user_id") % 2 === 0, groupCols = Seq("event_type"),
+      alpha = 0.05, power = 0.8, targetEffect = 1.0)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq89_robust_means — 10%-trimmed and winsorized means per event
+  // type (Stats.robustMeans): NO float in the cut decision — exact
+  // rank intervals off the value grid's cumulative counts, integer
+  // interval intersection for the kept copies, cut values located by
+  // integer comparison, micro-unit floor-division readouts.
+  register(
+    "aq89_robust_means",
+    """WITH grid AS (
+      |  SELECT event_type AS g,
+      |         (round(value, 4)::decimal(18,4) * 10000)::bigint AS vu,
+      |         count(*)::bigint AS c
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT g, vu, c,
+      |         coalesce(sum(c) OVER (PARTITION BY g ORDER BY vu
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |           0)::bigint AS below
+      |  FROM grid
+      |), tot AS (
+      |  SELECT g, sum(c)::bigint AS n,
+      |         (100 * sum(c)::bigint) // 1000 AS k
+      |  FROM grid GROUP BY 1
+      |), rws AS (SELECT cum.*, tot.n, tot.k FROM cum JOIN tot USING (g)),
+      |agg AS (
+      |  SELECT g, max(n)::bigint AS n, max(k)::bigint AS k_trim,
+      |    sum(c::hugeint * vu::hugeint)::hugeint AS svu,
+      |    sum(greatest(least(below + c, n - k) - greatest(below, k),
+      |        0)::hugeint * vu::hugeint)::hugeint AS ksum,
+      |    max(CASE WHEN below <= k AND below + c > k
+      |        THEN vu END)::bigint AS vlo,
+      |    max(CASE WHEN below <= n - k - 1 AND below + c >= n - k
+      |        THEN vu END)::bigint AS vhi
+      |  FROM rws GROUP BY 1
+      |)
+      |SELECT g AS event_type, n, k_trim,
+      |  ((svu * 100) // n)::double / 1000000.0 AS mean,
+      |  ((ksum * 100) // (n - 2 * k_trim))::double / 1000000.0
+      |    AS trimmed_mean,
+      |  (((ksum + k_trim::hugeint * vlo + k_trim::hugeint * vhi) * 100)
+      |   // n)::double / 1000000.0 AS winsorized_mean
+      |FROM agg ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.robustMeans(
+      t(s, dir, "events"), "value", Seq("event_type"), trim = 0.1)
+  }
 }

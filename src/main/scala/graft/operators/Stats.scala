@@ -1477,6 +1477,160 @@ object Stats {
       round(didc / when(sqrt(seSq) > 0.0, sqrt(seSq)), 4).as("z"))
   }
 
+  /** Φ⁻¹(1−α/2) + Φ⁻¹(power) — the two-sided z-sum for
+    * [[mdeAnalysis]], DRIVER-computed ([[invNorm]]) and embedded as
+    * the SAME literal in the Spark plan and the generated oracle. */
+  private[graft] def mdeZSum(alpha: Double, power: Double): Double =
+    invNorm(1.0 - alpha / 2.0) + invNorm(power)
+
+  /** Power / minimum-detectable-effect analysis per metric group —
+    * the question every experiment review asks BEFORE shipping a
+    * test: with this traffic and variance, what's the smallest lift
+    * we could even see? And how many units per arm would the target
+    * effect need?
+    *
+    *   MDE = (z_{1−α/2} + z_{power})·√(s²_A/n_A + s²_B/n_B),
+    *   n_req = ⌈(z_{1−α/2} + z_{power})²·(s²_A + s²_B)/Δ²⌉.
+    *
+    * The experimentation-suite closer beside [[abTest]] (the readout),
+    * [[cuped]] (sensitivity), [[did]] (quasi-experiments),
+    * [[bhSelect]] (multiplicity) and [[poissonBootstrap]]
+    * (uncertainty).
+    *
+    * Determinism contract: the z-sum is ONE driver literal
+    * ([[mdeZSum]], Acklam — no erf/exp in any engine); variances come
+    * from the abTest exact-decimal sufficient statistics; every
+    * readout is a fixed-order double expression rounded at 6dp
+    * (n_req: ceil to a long); denominators NULL-guarded (thin arms,
+    * non-positive pooled mean). Returns one row per group:
+    * `(group..., n_a, n_b, mean_a, mean_b, se, mde_abs, mde_rel,
+    * n_required)`. */
+  def mdeAnalysis(
+      df: DataFrame,
+      metricCol: String,
+      armA: Column,
+      groupCols: Seq[String],
+      alpha: Double = 0.05,
+      power: Double = 0.8,
+      targetEffect: Double = 1.0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(targetEffect > 0.0, "targetEffect must be positive")
+    val zSum = mdeZSum(alpha, power)
+    val v = col(metricCol)
+    val dec = v.cast("decimal(18,4)")
+    val sq = round(v * v, 8).cast("decimal(28,8)")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(when(armA, v)).as("n_a"),
+        count(when(!armA, v)).as("n_b"),
+        sum(when(armA, dec)).as("__sv_a"),
+        sum(when(!armA, dec)).as("__sv_b"),
+        sum(when(armA, sq)).as("__ss_a"),
+        sum(when(!armA, sq)).as("__ss_b"))
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val ma = col("__sv_a").cast("double") / when(na > 0L, na)
+    val mb = col("__sv_b").cast("double") / when(nb > 0L, nb)
+    val va = (col("__ss_a").cast("double") - na * ma * ma) /
+      when(na >= 2L, na - 1)
+    val vb = (col("__ss_b").cast("double") - nb * mb * mb) /
+      when(nb >= 2L, nb - 1)
+    val se = sqrt(va / na + vb / nb)
+    val mp = (col("__sv_a") + col("__sv_b")).cast("double") /
+      when(na + nb > 0L, na + nb)
+    agg.select(groupCols.map(col) ++ Seq(
+      na, nb,
+      round(ma, 6).as("mean_a"),
+      round(mb, 6).as("mean_b"),
+      round(se, 6).as("se"),
+      round(lit(zSum) * se, 6).as("mde_abs"),
+      round(lit(zSum) * se / when(mp > 0.0, mp), 6).as("mde_rel"),
+      ceil(lit(zSum) * lit(zSum) * (va + vb) /
+        lit(targetEffect * targetEffect)).cast("long")
+        .as("n_required")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Trimmed and winsorized means per group — the robust location
+    * estimates every metrics pipeline wants once the tail is heavy
+    * (a single whale inflates the mean; the 10%-trimmed mean ignores
+    * it, the winsorized mean clamps it to the cut values — Tukey's
+    * recommendations, cf. [[tukeyOutliers]] which only REPORTS the
+    * tail).
+    *
+    * Trim convention: k = ⌊trim·n⌋ observations drop from EACH end
+    * (rank order, ties by value); winsorizing replaces them with the
+    * order statistics at ranks k+1 and n−k.
+    *
+    * Determinism contract: NO float touches the cut decision — the
+    * value grid's cumulative counts give every row an exact rank
+    * interval [below+1, below+c]; k = (⌊trim·1000⌉·n) div 1000 is
+    * integer; the kept copies per value are an integer interval
+    * intersection; cut values are the rows whose interval covers
+    * ranks k+1 / n−k (located by integer comparison, ONE row each);
+    * sums ride micro-unit integers in decimal(38,0)/hugeint and the
+    * means are floor divisions read out as /10⁶ doubles (the aq84
+    * discipline).
+    *
+    * Scale shape: the Mann–Whitney grid shape — one (group, value)
+    * aggregate (map-side partials), a GROUP-PARTITIONED cumulative
+    * window over the measurement grid, a |groups|-row broadcast
+    * totals join, one group aggregate. Returns one row per group:
+    * `(group..., n, k_trim, mean, trimmed_mean, winsorized_mean)`. */
+  def robustMeans(
+      df: DataFrame,
+      metricCol: String,
+      groupCols: Seq[String],
+      trim: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "need at least one group column")
+    val tp = math.round(trim * 1000.0)
+    require(tp >= 1 && tp < 500, "trim in (0.001, 0.5)")
+    val dec = "decimal(38,0)"
+    val grid = df
+      .filter(col(metricCol).isNotNull)
+      .select(groupCols.map(col) :+
+        (round(col(metricCol), 4).cast("decimal(18,4)") * 10000)
+          .cast("long").as("__vu"): _*)
+      .groupBy(groupCols.map(col) :+ col("__vu"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("__vu")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = broadcast(grid
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("__c").as("n"))
+      .withColumn("__k", expr(s"($tp * n) div 1000")))
+    val rows = grid
+      .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .join(totals, groupCols)
+    val kept = greatest(
+      least(col("__below") + col("__c"), col("n") - col("__k")) -
+        greatest(col("__below"), col("__k")), lit(0L))
+    val agg = rows.groupBy(groupCols.map(col): _*).agg(
+      first(col("n")).as("n"),
+      first(col("__k")).as("k_trim"),
+      sum(col("__c").cast(dec) * col("__vu").cast(dec)).as("__svu"),
+      sum(kept.cast(dec) * col("__vu").cast(dec)).as("__ksum"),
+      max(when(col("__below") <= col("__k") &&
+        col("__below") + col("__c") > col("__k"), col("__vu")))
+        .as("__vlo"),
+      max(when(col("__below") <= col("n") - col("__k") - 1 &&
+        col("__below") + col("__c") >= col("n") - col("__k"),
+        col("__vu"))).as("__vhi"))
+    val k = col("k_trim").cast(dec)
+    agg
+      .withColumn("__ws", col("__ksum") + k * col("__vlo").cast(dec) +
+        k * col("__vhi").cast(dec))
+      .select(groupCols.map(col) ++ Seq(
+        col("n"), col("k_trim"),
+        (expr("(__svu * 100) div n").cast("double") / 1000000.0)
+          .as("mean"),
+        (expr("(__ksum * 100) div (n - 2 * k_trim)").cast("double") /
+          1000000.0).as("trimmed_mean"),
+        (expr("(__ws * 100) div n").cast("double") / 1000000.0)
+          .as("winsorized_mean")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
   /** Mutual information between two categorical columns, with the
     * marginal entropies and the normalized MI
     * (NMI = I/√(H(X)·H(Y)), Strehl & Ghosh 2002) — the

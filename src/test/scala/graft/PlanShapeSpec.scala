@@ -739,6 +739,29 @@ class PlanShapeSpec extends AnyFunSuite {
       joins.map(_.nodeName).mkString(", "))
   }
 
+  test("aq88 MDE: one conditional aggregate — no join, no window") {
+    val df = SparkEntry.queries("aq88_mde")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(n => n.nodeName.contains("Join") ||
+      n.nodeName.contains("Window")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("aq89 robust means: grid window group-partitioned, totals " +
+    "join broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("aq89_robust_means")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    val wins = nodes.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+    val joins = nodes.filter(_.nodeName.contains("Join"))
+    assert(joins.nonEmpty &&
+      joins.forall(_.nodeName.contains("Broadcast")),
+      joins.map(_.nodeName).mkString(", "))
+  }
+
   test("aq83 calibration: bins-sized aggregates only — no join, no " +
     "window, no data-sized shuffle past the bin aggregate") {
     val df = SparkEntry.queries("aq83_calibration")(spark, sf)

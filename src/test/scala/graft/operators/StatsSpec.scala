@@ -419,6 +419,43 @@ class StatsSpec extends AnyFunSuite {
     assert(c.getDouble(4) == 0.0 && c.isNullAt(6), c.toString)
   }
 
+  test("mdeAnalysis: hand-computed MDE off the abTest fixture arms") {
+    // A = [1,2,3] (var 1), B = [2,4] (var 2): se = √(1/3 + 1) = √(4/3)
+    val d = Seq(("g", true, 1.0), ("g", true, 2.0), ("g", true, 3.0),
+      ("g", false, 2.0), ("g", false, 4.0)).toDF("grp", "is_a", "v")
+    val z = Stats.mdeZSum(0.05, 0.8)
+    val se = math.sqrt(1.0 / 3 + 1.0)
+    val r = Stats.mdeAnalysis(d, "v", col("is_a"), Seq("grp")).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      == ((3L, 2L, 2.0, 3.0)))
+    assert(r.getDouble(5) == math.rint(se * 1e6) / 1e6)
+    assert(r.getDouble(6) == math.rint(z * se * 1e6) / 1e6)
+    // pooled mean 12/5 = 2.4
+    assert(r.getDouble(7) == math.rint(z * se / 2.4 * 1e6) / 1e6)
+    assert(r.getLong(8) == math.ceil(z * z * 3.0).toLong)
+    // a thin arm NULLs the variance-side readouts
+    val thin = Stats.mdeAnalysis(d.filter(col("is_a") ||
+      col("v") === 2.0), "v", col("is_a"), Seq("grp")).collect()(0)
+    assert(thin.isNullAt(5) && thin.isNullAt(8), thin.toString)
+  }
+
+  test("robustMeans: rank-interval trim with a tie spanning the cut") {
+    // 1,1,3..9,100 (n=10, k=1): mean 14.4; trimmed (ranks 2..9)
+    // 43/8 = 5.375; winsorized 43 + 1·vlo(1) + 1·vhi(9) = 53 → 5.3
+    val vs = Seq(1.0, 1.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0)
+    val df = vs.map(("g", _)).toDF("grp", "v")
+    val r = Stats.robustMeans(df, "v", Seq("grp"), trim = 0.1)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2)) == ((10L, 1L)))
+    assert((r.getDouble(3), r.getDouble(4), r.getDouble(5)) ==
+      ((14.4, 5.375, 5.3)), r.toString)
+    // k = 0 (tiny group): all three means coincide with the mean
+    val tiny = Seq(("h", 2.0), ("h", 4.0)).toDF("grp", "v")
+    val t = Stats.robustMeans(tiny, "v", Seq("grp"), 0.1).collect()(0)
+    assert((t.getLong(2), t.getDouble(3), t.getDouble(4),
+      t.getDouble(5)) == ((0L, 3.0, 3.0, 3.0)), t.toString)
+  }
+
   test("brierDecomposition: out-of-range probability raises") {
     val df = Seq((1.2, true)).toDF("p", "label")
     val e = intercept[Exception] {
