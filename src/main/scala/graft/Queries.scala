@@ -7993,10 +7993,10 @@ ORDER BY query_id"""
       |               count(DISTINCT c)::bigint AS nc FROM cells),
       |terms AS (
       |  SELECT n, nr, nc,
-      |         round((o::double - (rt * ct)::double / n::double) *
-      |               (o::double - (rt * ct)::double / n::double) /
+      |         round((coalesce(o, 0)::double - (rt * ct)::double / n::double) *
+      |               (coalesce(o, 0)::double - (rt * ct)::double / n::double) /
       |               ((rt * ct)::double / n::double), 6)::decimal(18,6) AS term
-      |  FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+      |  FROM rt CROSS JOIN ct LEFT JOIN cells USING (r, c) CROSS JOIN tot
       |)
       |SELECT n, nr AS n_rows, nc AS n_cols,
       |       ((nr - 1) * (nc - 1))::bigint AS dof,
@@ -8032,17 +8032,20 @@ ORDER BY query_id"""
       |         count(*)::bigint AS ng
       |  FROM orders
       |)
-      |SELECT o_orderkey, o_custkey, n_key,
-      |       CASE WHEN n_key - 1 > 0 THEN
+      |SELECT o_orderkey, o_custkey, coalesce(n_key, 0) AS n_key,
+      |       CASE WHEN coalesce(n_key, 0) - 1 > 0 THEN
       |         round((sk - o_totalprice::decimal(18,4))::double /
       |               (n_key - 1)::double, 6)
       |       WHEN ng > 0 THEN round(sg::double / ng::double, 6)
       |       END AS enc
-      |FROM orders JOIN k ON o_custkey = key CROSS JOIN g
+      |FROM orders LEFT JOIN k ON o_custkey = key CROSS JOIN g
       |ORDER BY o_orderkey""".stripMargin
   ) { (s, dir) =>
+    // presentation order sorted HERE, not in the operator — the sort
+    // is gate-only; the operator itself leaves order unspecified
     graft.operators.Features.looTargetEncode(
       t(s, dir, "orders"), "o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
   }
 
   // ---------------------------------------------------------------------

@@ -276,10 +276,13 @@ object Behavior {
     * funnel mining actually filters on. Patterns are `>`-joined type
     * strings; a type containing the separator would silently merge
     * distinct patterns, so the guard is ENFORCED in the row path
-    * (raise_error — it rides the type projection, unprunable), and
-    * NULL event types are dropped before the window (concat_ws would
-    * silently skip them mid-pattern, fabricating runs that never
-    * happened contiguously).
+    * (raise_error — it rides the type projection, unprunable). NULL
+    * event types stay IN the window and poison every run they touch
+    * (`concat` nulls out on any NULL operand, unlike `concat_ws` which
+    * skips them): filtering them out before the window would make the
+    * events on either side of a dropped event read as contiguous — a
+    * run that never happened. A NULL event is a real position in the
+    * timeline; it just supports no pattern.
     *
     * Scale shape: ONE shuffle keyed on the user for the lead() window
     * (the transitionMatrix layout, reused for every k), then one
@@ -301,15 +304,18 @@ object Behavior {
       raise_error(concat(
         lit("sequencePatterns: event type contains the '>' separator: "),
         col(typeCol)))).otherwise(col(typeCol))
-    val leads = events.filter(col(typeCol).isNotNull).select(
+    val leads = events.select(
       (col(userCol).as("__u") +: safeType.as("__t0") +:
         (1 until maxLen).map(i =>
           lead(col(typeCol), i).over(w).as(s"__t$i"))): _*)
     val runs = (2 to maxLen).map { k =>
       val parts = (0 until k).map(i => col(s"__t$i"))
-      leads.filter(parts.last.isNotNull)
-        .select(col("__u"), lit(k).as("k"),
-          concat_ws(">", parts: _*).as("pattern"))
+      // concat, NOT concat_ws: a NULL anywhere in the k-tuple (a
+      // NULL-type event mid-run, or the run hanging past the end of
+      // the timeline) nulls the whole pattern, which the filter drops
+      val pat = concat(parts.flatMap(p => Seq(lit(">"), p)).tail: _*)
+      leads.select(col("__u"), lit(k).as("k"), pat.as("pattern"))
+        .filter(col("pattern").isNotNull)
     }.reduce(_ unionByName _)
     runs
       .groupBy("k", "pattern")

@@ -18,7 +18,10 @@ object Features {
     *   enc_i = (Σ_k y − y_i) / (n_k − 1),
     *
     * falling back to the global mean when the key is a singleton
-    * (n_k = 1 — the LOO mean of nothing). The standard high-cardinality
+    * (n_k = 1 — the LOO mean of nothing) or NULL (a NULL key matches
+    * no per-key aggregate row; the join is a LEFT join so those rows
+    * survive and take the fallback too, with n_key reported as 0
+    * instead of silently vanishing). The standard high-cardinality
     * categorical feature that naive per-key mean encoding gets WRONG:
     * including a row's own label leaks the target into its feature and
     * inflates validation scores (the classic CatBoost/Kaggle trap).
@@ -33,8 +36,11 @@ object Features {
     * partitioning, no second data shuffle; the global mean is a
     * broadcast 1-row aggregate. High-cardinality keys are the POINT
     * (that's why one hot fails) and cost nothing extra: the join is
-    * key-hashed either way. Returns the id, the key, `n_key`, and
-    * `enc`. */
+    * key-hashed either way. Output order is UNSPECIFIED (no global
+    * sort — a data-sized orderBy here would be a single-partition
+    * bottleneck at scale; callers that need a presentation order sort
+    * the bounded frame they keep). Returns the id, the key, `n_key`,
+    * and `enc`. */
   def looTargetEncode(
       df: DataFrame,
       idCol: String,
@@ -48,12 +54,13 @@ object Features {
       sum(y).as("__sg"),
       count(when(col(labelCol).isNotNull, 1)).as("__ng")))
     df.select(col(idCol), col(keyCol), y.as("__y"))
-      .join(perKey, Seq(keyCol))
+      .join(perKey, Seq(keyCol), "left")
       .crossJoin(global)
-      .select(col(idCol), col(keyCol), col("n_key"), {
+      .select(col(idCol), col(keyCol),
+        coalesce(col("n_key"), lit(0L)).as("n_key"), {
         // a NULL-label row subtracts nothing (its own label never
         // entered __sk): its encoding is the plain key mean
-        val denom = col("n_key") -
+        val denom = coalesce(col("n_key"), lit(0L)) -
           when(col("__y").isNotNull, 1L).otherwise(0L)
         val num = col("__sk") - coalesce(col("__y"), lit(0).cast("decimal(18,4)"))
         when(denom > 0L,
@@ -63,6 +70,5 @@ object Features {
               col("__ng").cast("double"), 6))
           .as("enc")
       })
-      .orderBy(idCol)
   }
 }

@@ -123,8 +123,11 @@ object Stats {
     * discipline); θ rounds to 6dp and every downstream expression
     * (adjusted means, adjusted variances, z) derives from the ROUNDED
     * θ in one fixed operation order — identical in any engine.
-    * Degenerate inputs (an arm under 2 units, zero covariate
-    * variance, zero adjusted variance) yield NULL z.
+    * Units with a NULL covariate OR a NULL metric are excluded
+    * ENTIRELY (counts and sums alike) — counting them while the sums
+    * null-skip would silently bias θ, the adjusted means, and
+    * var_reduction. Degenerate inputs (an arm under 2 units, zero
+    * covariate variance, zero adjusted variance) yield NULL z.
     *
     * Scale shape: ONE unit-keyed aggregate builds (x, y) per unit,
     * then ONE conditional aggregate over the units — no pivot, no
@@ -146,7 +149,11 @@ object Stats {
     val xy = round(x * y, 8).cast("decimal(28,8)")
     val xx = round(x * x, 8).cast("decimal(28,8)")
     val yy = round(y * y, 8).cast("decimal(28,8)")
-    val agg = units.agg(
+    // a unit missing either column contributes to NO statistic — the
+    // arm counts must stay consistent with the null-skipping sums
+    val agg = units
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(
       count(when(armA, lit(1))).as("n_a"),
       count(when(!armA, lit(1))).as("n_b"),
       sum(when(armA, x)).as("__sx_a"), sum(when(!armA, x)).as("__sx_b"),
@@ -549,10 +556,15 @@ object Stats {
     *   Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18  (t = tie sizes),
     *   z = (S − sign(S)) / √Var(S)   (0 when S = 0).
     *
-    * Determinism contract: S and the 18·Var(S) numerator are EXACT
-    * integers; z is one fixed-order double expression of them rounded
-    * to 6dp — identical in any engine. Degenerate series (n < 2, or
-    * all values tied → Var = 0) report NULL z and NULL trend.
+    * Determinism contract: the metric is quantized to the 6dp
+    * micro-unit grid (decimal HALF_UP — a documented measurement grid,
+    * NOT a silent integer truncation: 1.2 and 1.9 stay distinct;
+    * sign() and tie structure below 1e−6 resolution collapse, which a
+    * rank test tolerates by construction); S and the 18·Var(S)
+    * numerator are then EXACT integers; z is one fixed-order double
+    * expression of them rounded to 6dp — identical in any engine.
+    * Degenerate series (n < 2, or all values tied → Var = 0) report
+    * NULL z and NULL trend.
     *
     * Scale shape: ONE key-equi self-join over the series grid
     * (time-bounded per key — buckets × keys, never event-sized: the
@@ -566,7 +578,8 @@ object Stats {
       tCol: String,
       yCol: String): DataFrame = {
     val base = Lineage.cutLocal(series.select(col(keyCol).as("key"),
-      col(tCol).cast("long").as("t"), col(yCol).cast("long").as("y")))
+      col(tCol).cast("long").as("t"),
+      (col(yCol).cast("decimal(24,6)") * 1000000).cast("long").as("y")))
     val s = base.as("i").join(base.as("j"),
         col("i.key") === col("j.key") && col("i.t") < col("j.t"))
       .groupBy(col("i.key").as("key"))
@@ -602,8 +615,12 @@ object Stats {
     * outlier. The natural partner of [[mannKendall]] (detect a trend,
     * then estimate it robustly).
     *
-    * Determinism contract: each slope is ONE double division of exact
-    * longs (IEEE-identical anywhere); the median is Spark
+    * Determinism contract: the metric is quantized to the 6dp
+    * micro-unit grid (decimal HALF_UP, the [[mannKendall]] contract —
+    * fractional values survive; integral values are bit-unchanged
+    * since Δyµ/(Δt·10⁶) and yµ/10⁶ round the SAME real quotients IEEE
+    * rounds for Δy/Δt and y); each slope is ONE double division of
+    * exact longs (IEEE-identical anywhere); the median is Spark
     * `percentile` == DuckDB `quantile_cont` (the aq6 precedent) over
     * those exact doubles; the slope rounds to 6dp BEFORE the residual
     * pass so the intercept derives from the same number in any
@@ -620,18 +637,20 @@ object Stats {
       tCol: String,
       yCol: String): DataFrame = {
     val base = Lineage.cutLocal(series.select(col(keyCol).as("key"),
-      col(tCol).cast("long").as("t"), col(yCol).cast("long").as("y")))
+      col(tCol).cast("long").as("t"),
+      (col(yCol).cast("decimal(24,6)") * 1000000).cast("long").as("y")))
     val med = base.as("i").join(base.as("j"),
         col("i.key") === col("j.key") && col("i.t") < col("j.t"))
       .select(col("i.key").as("key"),
         ((col("j.y") - col("i.y")).cast("double") /
-          (col("j.t") - col("i.t")).cast("double")).as("__m"))
+          ((col("j.t") - col("i.t")) * 1000000L).cast("double")).as("__m"))
       .groupBy("key")
       .agg(count(lit(1)).as("n_pairs"),
         round(expr("percentile(__m, 0.5)"), 6).as("slope"))
     val intercept = base.join(broadcast(med), Seq("key"))
       .select(col("key"),
-        (col("y").cast("double") - col("slope") * col("t").cast("double"))
+        (col("y").cast("double") / 1000000.0 -
+          col("slope") * col("t").cast("double"))
           .as("__r"))
       .groupBy("key")
       .agg(round(expr("percentile(__r, 0.5)"), 6).as("intercept"))
@@ -778,9 +797,13 @@ object Stats {
     * `(n, n_rows, n_cols, dof, chi2, cramers_v)`.
     *
     * Scale shape: one (row, col) aggregate over the data (map-side
-    * partials), then joins over the CELL frame — |rows|·|cols|
-    * dimension-bounded; the margins are aggregates of the cell frame,
-    * never a second data pass. */
+    * partials), then joins over the COMPLETE r×c grid (row margins ×
+    * column margins, observed cells left-joined in with O coalesced to
+    * 0 — omitting the unobserved cells would drop their (0−E)²/E = E
+    * terms and understate χ², exactly the hole [[driftByWindow]]
+    * completes its grid for) — |rows|·|cols| dimension-bounded; the
+    * margins are aggregates of the cell frame, never a second data
+    * pass. */
   def chi2Independence(
       df: DataFrame,
       rowCol: String,
@@ -798,9 +821,9 @@ object Stats {
       col("__n").cast("double")
     val term = (col("__o").cast("double") - e) *
       (col("__o").cast("double") - e) / e
-    cells
-      .join(broadcast(rt), Seq("__r"))
-      .join(broadcast(ct), Seq("__c"))
+    rt.crossJoin(broadcast(ct))
+      .join(cells, Seq("__r", "__c"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
       .crossJoin(tot)
       .select(col("__n"), col("__nr"), col("__nc"),
         round(term, 6).cast("decimal(18,6)").as("__term"))

@@ -519,9 +519,10 @@ class BehaviorSpec extends AnyFunSuite {
     assert(cut == Seq((2, "a>b", 2L, 3L)), cut.toString)
   }
 
-  test("sequencePatterns: NULL types are dropped; '>' in a type fails loudly") {
-    // NULL in the middle of u1's timeline must NOT fabricate an a>b run
-    // (concat_ws would silently skip it)
+  test("sequencePatterns: NULL types poison runs; '>' in a type fails loudly") {
+    // NULL in the middle of u1's timeline must NOT fabricate an a>b run:
+    // a and NULL are not a pattern, NULL and b are not a pattern, and a
+    // and b were never contiguous — zero patterns survive
     val withNull = Seq(
       (1L, 10L, 100L, Some("a")), (1L, 20L, 101L, None),
       (1L, 30L, 102L, Some("b")))
@@ -529,9 +530,17 @@ class BehaviorSpec extends AnyFunSuite {
     val got = Behavior.sequencePatterns(
       withNull, "user_id", "ts_us", "event_type", "event_id", maxLen = 2)
       .as[(Int, String, Long, Long)].collect().toSeq
-    // the null row is removed BEFORE the window, so a and b become
-    // adjacent in the cleaned timeline — one a>b run, deterministically
-    assert(got == Seq((2, "a>b", 1L, 1L)), got.toString)
+    assert(got.isEmpty, got.toString)
+    // ...and runs fully on either side of the NULL still count
+    val flank = Seq(
+      (1L, 10L, 100L, Some("a")), (1L, 20L, 101L, Some("b")),
+      (1L, 30L, 102L, None),
+      (1L, 40L, 103L, Some("a")), (1L, 50L, 104L, Some("b")))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val fgot = Behavior.sequencePatterns(
+      flank, "user_id", "ts_us", "event_type", "event_id", maxLen = 3)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(fgot == Seq((2, "a>b", 1L, 2L)), fgot.toString)
 
     // a type containing the separator would merge distinct patterns:
     // enforced in the row path, not just documented

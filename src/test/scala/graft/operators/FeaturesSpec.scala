@@ -12,8 +12,9 @@ class FeaturesSpec extends AnyFunSuite {
       (1L, "a", Some(10.0)), (2L, "a", Some(20.0)), (3L, "a", Some(30.0)),
       (4L, "b", Some(40.0)))
       .toDF("id", "k", "y")
+    // output order is unspecified (no global sort inside the operator)
     val got = Features.looTargetEncode(df, "id", "k", "y")
-      .as[(Long, String, Long, Option[Double])].collect().toSeq
+      .as[(Long, String, Long, Option[Double])].collect().toSeq.sortBy(_._1)
     assert(got == Seq(
       (1L, "a", 3L, Some(25.0)),   // (60-10)/2
       (2L, "a", 3L, Some(20.0)),   // (60-20)/2
@@ -28,7 +29,7 @@ class FeaturesSpec extends AnyFunSuite {
       (3L, "c", None))
       .toDF("id", "k", "y")
     val got = Features.looTargetEncode(df, "id", "k", "y")
-      .as[(Long, String, Long, Option[Double])].collect().toSeq
+      .as[(Long, String, Long, Option[Double])].collect().toSeq.sortBy(_._1)
     assert(got == Seq(
       // id 1 is the only label in 'a': LOO denominator 0 -> global mean
       (1L, "a", 1L, Some(10.0)),
@@ -36,5 +37,20 @@ class FeaturesSpec extends AnyFunSuite {
       (2L, "a", 1L, Some(10.0)),
       // 'c' has no labels at all: global mean
       (3L, "c", 0L, Some(10.0))), got.toString)
+  }
+
+  test("looTargetEncode: NULL keys survive and take the global-mean fallback") {
+    val df = Seq(
+      (1L, Some("a"), Some(2.0)), (2L, Some("a"), Some(4.0)),
+      (3L, Option.empty[String], Some(9.0)))
+      .toDF("id", "k", "y")
+    val got = Features.looTargetEncode(df, "id", "k", "y")
+      .as[(Long, Option[String], Long, Option[Double])]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, Some("a"), 2L, Some(4.0)),
+      (2L, Some("a"), 2L, Some(2.0)),
+      // the NULL-key row is NOT dropped: n_key 0, global mean 15/3
+      (3L, None, 0L, Some(5.0))), got.toString)
   }
 }

@@ -138,6 +138,18 @@ class StatsSpec extends AnyFunSuite {
       ("c", 3L, -3L, Some(-1.044466), Some("none"))), got.toString)
   }
 
+  test("mannKendall: fractional metrics keep their order (no long truncation)") {
+    // 1.2 < 1.9 < 2.5 < 3.1 — a silent cast to long would collapse
+    // 1.2/1.9 into a tie and 2.5 into 2, changing S and Var(S)
+    val s = Seq(("f", 1L, 1.2), ("f", 2L, 1.9), ("f", 3L, 2.5),
+      ("f", 4L, 3.1)).toDF("k", "t", "y")
+    val got = Stats.mannKendall(s, "k", "t", "y")
+      .as[(String, Long, Long, Option[Double], Option[String])]
+      .collect().toSeq
+    assert(got == Seq(("f", 4L, 6L, Some(1.698416), Some("none"))),
+      got.toString)
+  }
+
   test("theilSen: median pairwise slope and median-residual intercept") {
     // slopes of (1,1),(2,3),(3,2): 2, 0.5, -1 -> median 0.5;
     // residuals y - 0.5t: 0.5, 2, 0.5 -> median 0.5
@@ -150,6 +162,15 @@ class StatsSpec extends AnyFunSuite {
     val single = Stats.theilSen(
       Seq(("z", 1L, 9L)).toDF("k", "t", "y"), "k", "t", "y")
     assert(single.count() == 0)
+    // fractional metrics survive on the 6dp micro-unit grid: slopes of
+    // (1,0.5),(2,2.0),(3,2.5) are 1.5, 1.0, 0.5 -> median 1.0;
+    // residuals -0.5, 0, -0.5 -> intercept -0.5 (truncation would have
+    // folded 0.5 and 2.5 onto 0 and 2)
+    val frac = Stats.theilSen(
+      Seq(("f", 1L, 0.5), ("f", 2L, 2.0), ("f", 3L, 2.5))
+        .toDF("k", "t", "y"), "k", "t", "y")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(frac == Seq(("f", 3L, 1.0, -0.5)), frac.toString)
   }
 
   test("mannWhitney: hand-computed U with ties and tie-corrected z") {
@@ -189,6 +210,22 @@ class StatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Double, Option[Double])]
       .collect().toSeq
     assert(got == Seq((60L, 2L, 2L, 1L, 3.75, Some(0.25))), got.toString)
+  }
+
+  test("chi2Independence: an EMPTY cell still contributes its E term") {
+    // (a,0)=10 (a,1)=10 (b,0)=20, (b,1) UNOBSERVED: margins ra=20
+    // rb=20 c0=30 c1=10, E = 15,5,15,5; terms (10-15)^2/15 = 5/3,
+    // (10-5)^2/5 = 5, (20-15)^2/15 = 5/3, (0-5)^2/5 = 5 ->
+    // chi2 = 40/3 = 13.333334 (6dp-rounded terms), V = sqrt(chi2/40).
+    // Summing only observed cells would report 25/3 and miss a THIRD
+    // of the statistic.
+    val rows = Seq.fill(10)(("a", 0)) ++ Seq.fill(10)(("a", 1)) ++
+      Seq.fill(20)(("b", 0))
+    val got = Stats.chi2Independence(rows.toDF("r", "c"), "r", "c")
+      .as[(Long, Long, Long, Long, Double, Option[Double])]
+      .collect().toSeq
+    assert(got.head._1 == 40L && got.head._5 == 13.333334 &&
+      got.head._6 == Some(0.57735), got.toString)
   }
 
   test("invNorm: known quantiles, symmetry, tail branches") {
@@ -245,6 +282,20 @@ class StatsSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double], Option[Double], Option[Double],
         Option[Double], Option[Double])].collect().head
     assert(flat._3.isEmpty && flat._6.isEmpty, flat.toString)
+    // a unit with a NULL covariate or NULL metric is excluded from the
+    // COUNTS too (counting it while the sums null-skip would bias
+    // theta and every adjusted statistic): same readout as the clean
+    // 4-unit fixture
+    val withNulls = Seq(
+      (0L, Some(1.0), Some(3.0)), (2L, Some(2.0), Some(5.0)),
+      (1L, Some(3.0), Some(4.0)), (3L, Some(4.0), Some(6.0)),
+      (4L, None, Some(9.0)), (5L, Some(9.0), None))
+      .toDF("uid", "x", "y")
+    val nn = Stats.cuped(withNulls, "x", "y", col("uid") % 2 === 0)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().toSeq
+    assert(nn == Seq((2L, 2L, Some(0.8), Some(4.8), Some(4.2),
+      Some(0.7071), Some(0.64))), nn.toString)
   }
 
   test("kruskalWallis: hand-computed H, tie correction, degenerate NULLs") {
