@@ -317,6 +317,74 @@ object Packing {
         (col("__local_rank") + col("__offset")).as("rank"): _*)
   }
 
+  /** Per-group inclusive prefix SUM of an integral weight column by
+    * `orderCol` without a per-group global window — [[groupedRank]]'s
+    * two-phase shape generalized from row counts to weights: range
+    * partition on (group, order key), local cumulative sum per
+    * (partition, group), plus each (partition, group)'s broadcast
+    * EXCLUSIVE weight-sum offset. The per-task sort is bounded by the
+    * RANGE PARTITION, never by a group's size — this is the scale path
+    * for rank statistics whose per-group value grid is data-sized
+    * (a derived per-entity metric is unique per row, so
+    * `Window.partitionBy(group).orderBy(value)` would sort a whole
+    * group in one task; see [[graft.operators.Stats.spearman]]).
+    *
+    * Driver state is |partitions| × |groups| weight sums — groups are
+    * dimension-sized (nations, sources), not data-sized. Weights must
+    * be LONG (exact integer partials; the caller's counts already
+    * are). Returns `df`'s columns plus `prefixName` = the inclusive
+    * per-group running sum in `orderCol` order.
+    *
+    * Precondition: `orderCol` unique within each group (the
+    * [[groupedRank]] contract — equal keys could split across range
+    * partitions). Grid frames built by a (group, value) aggregate
+    * satisfy this by construction. */
+  def groupedPrefixSum(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      weightCol: String,
+      prefixName: String = "prefix",
+      numParts: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    assertUniqueIfEnabled(df, Seq(col(groupCol), col(orderCol)),
+      "groupedPrefixSum")
+    val parts = numParts.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val sorted = df
+      .repartitionByRange(parts, col(groupCol), col(orderCol))
+      .sortWithinPartitions(groupCol, orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .transform(Lineage.cutLocal)
+
+    val sums = sorted.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(weightCol)).as("__n"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    // exclusive prefix offsets per group over ascending partition id
+    val offsets = sums.groupBy(_._2).iterator.flatMap { case (g, rows) =>
+      rows.sortBy(_._1).scanLeft((0, g, 0L, 0L)) {
+        case ((_, _, acc, n0), (pid, _, n)) => (pid, g, acc + n0, n)
+      }.drop(1).map { case (pid, grp, acc, _) => Row(pid, grp, acc) }
+    }.toSeq
+    // schema-generic offset frame (groups are not always strings)
+    val offSchema = StructType(Seq(
+      StructField("__pid", IntegerType, nullable = false),
+      sorted.schema(groupCol),
+      StructField("__offset", LongType, nullable = false)))
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets, 1), offSchema)
+
+    val w = Window.partitionBy("__pid", groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sorted
+      .withColumn("__local", sum(col(weightCol)).over(w))
+      .join(broadcast(offsetDf), Seq("__pid", groupCol))
+      .withColumn(prefixName, col("__local") + col("__offset"))
+      .drop("__pid", "__local", "__offset")
+  }
+
   /** Content-defined chunking over a text column
     * ([[graft.functions.TextKernelExpressions.CdcChunks]]): boundaries
     * from a rolling content hash, so edits shift chunk boundaries only

@@ -1105,30 +1105,34 @@ object Stats {
     * (2r = 2·minrank + tiecount − 1); the final expression is
     * fixed-order double. Scale shape: rows collapse to per-(group,
     * value) count frames (one aggregate each side); the running
-    * min-rank is a window over that frame — per-group, and bounded by
-    * the measurement grid, not rows (the mannWhitney reasoning); two
-    * grid-keyed joins back; one group aggregate. Returns
-    * `(group, n, rho)`. */
+    * below-count comes from [[Packing.groupedPrefixSum]] — a
+    * range-partitioned two-phase prefix sum whose per-task sort is
+    * bounded by the RANGE PARTITION, never by a group's grid. That
+    * matters because a ranked metric is often a derived per-entity
+    * aggregate (unique per row), making the per-group grid DATA-sized:
+    * a plain `Window.partitionBy(group).orderBy(value)` would then
+    * sort each whole group in a single task — the no-partition-window
+    * scale-killer divided by |groups|. Two grid-keyed joins back; one
+    * group aggregate. Returns `(group, n, rho)`. */
   def spearman(
       df: DataFrame,
       groupCol: String,
       xCol: String,
       yCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
     val rows = Lineage.cutLocal(df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(groupCol).as("__g"), col(xCol).as("__x"),
         col(yCol).as("__y")))
     def rankFrame(vc: String): DataFrame = {
-      val w = Window.partitionBy("__g").orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      rows.groupBy(col("__g"), col(vc).as("__v"))
+      val grid = rows.groupBy(col("__g"), col(vc).as("__v"))
         .agg(count(lit(1)).as("__tc"))
-        .withColumn("__below", coalesce(sum(col("__tc")).over(w), lit(0L)))
-        // 2·avgRank = 2·(below + 1) + (tc − 1) = 2·below + tc + 1
+      Packing.groupedPrefixSum(grid, "__g", "__v", "__tc", "__cum")
+        // 2·avgRank = 2·(below + 1) + (tc − 1) = 2·below + tc + 1,
+        // below = inclusive cumulative − own tie count
         .select(col("__g"), col("__v"),
-          (lit(2L) * col("__below") + col("__tc") + 1L).as("__r2"),
+          (lit(2L) * (col("__cum") - col("__tc")) + col("__tc") + 1L)
+            .as("__r2"),
           col("__tc"))
     }
     val rx = rankFrame("__x")

@@ -628,7 +628,9 @@ class PlanShapeSpec extends AnyFunSuite {
       nodes.map(_.nodeName).mkString(", "))
   }
 
-  test("aq77 Spearman: every window is group-partitioned — no global sort") {
+  test("aq77 Spearman: rank windows are (partition-id, group)-keyed — " +
+      "per-task work bounded by the range partition even when the " +
+      "per-group grid is data-sized") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("aq77_spearman")(spark, sf)
     df.collect()
@@ -636,7 +638,12 @@ class PlanShapeSpec extends AnyFunSuite {
       case w: WindowExec => w
     }
     assert(wins.nonEmpty)
-    assert(wins.forall(_.partitionSpec.nonEmpty),
+    // groupedPrefixSum partitions every window by (__pid, __g): a
+    // plain group-partitioned window (partitionSpec size 1) would sort
+    // a whole group's grid in one task — the shape aq77's ranked
+    // metric (a per-customer aggregate, unique per row) makes
+    // data-sized
+    assert(wins.forall(_.partitionSpec.size >= 2),
       wins.map(w => w.partitionSpec.mkString("[", ",", "]")).mkString(", "))
   }
 

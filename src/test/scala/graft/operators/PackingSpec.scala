@@ -187,6 +187,26 @@ class PackingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("groupedPrefixSum equals the per-group window running sum, " +
+      "non-string groups included") {
+    // 3 integer groups × 50 rows over more partitions than groups so
+    // group runs split across range-partition boundaries; weights vary
+    val rnd = new scala.util.Random(17)
+    val rows = rnd.shuffle(
+      (for (g <- Seq(1L, 2L, 3L); i <- 1 to 50)
+        yield (g, i.toLong, (i % 7 + 1).toLong)).toList)
+    val df = rows.toDF("g", "v", "w").repartition(7)
+    val got = Packing.groupedPrefixSum(df, "g", "v", "w", "cum",
+        numParts = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.map(_._3).scanLeft(0L)(_ + _).drop(1)
+        .zip(sorted).map { case (cum, (_, v, _)) => (g, v) -> cum }
+    }
+    assert(got == expected)
+  }
+
   test("interleaveSchedule: weights govern every prefix of the stream") {
     val df = (for (g <- Seq("hi", "lo"); i <- 1 to 50) yield (g, i.toLong))
       .toDF("src", "id")
