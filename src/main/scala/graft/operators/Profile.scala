@@ -336,22 +336,30 @@ object Profile {
       seats: Long): DataFrame = {
     require(seats >= 0, "seats must be non-negative")
     // weights must be non-negative (a negative quota is meaningless and
-    // corrupts the remainder rank) and must sum POSITIVE (W = 0 would
-    // hit `__qn div __W` as an ANSI divide-by-zero with no context).
-    // Both guards ride the row path as raise_error — unprunable, one
-    // comparison per (dimension-sized) row. seats·weight overflow is
-    // covered by ANSI mode's checked long multiply.
+    // corrupts the remainder rank), must sum POSITIVE (W = 0 would
+    // hit `__qn div __W` as an ANSI divide-by-zero with no context),
+    // and seats·weight must fit a long (ANSI's checked multiply throws
+    // but names neither the key nor the operation). All three guards
+    // ride the row path as raise_error — unprunable, one comparison
+    // per (dimension-sized) row.
     val w = df.select(col(keyCol).as("key"),
       when(col(weightCol) < 0, raise_error(concat(
           lit(s"apportion: negative weight for key "), col(keyCol))))
         .otherwise(col(weightCol)).cast("long").as("weight"))
+    val qn = if (seats == 0L) col("weight") * seats
+      else when(col("weight") > lit(Long.MaxValue / seats),
+        raise_error(concat(
+          lit(s"apportion: seats * weight overflows a long " +
+            s"(seats = $seats, weight = "),
+          col("weight"), lit(") for key "), col("key"))))
+        .otherwise(col("weight") * seats)
     val based = w
       .crossJoin(broadcast(w.agg(
         when(coalesce(sum("weight"), lit(0L)) <= 0L, raise_error(lit(
             "apportion: total weight must be positive (all weights are " +
               "zero, or the frame is empty)")))
           .otherwise(sum("weight")).as("__W"))))
-      .withColumn("__qn", col("weight") * seats)
+      .withColumn("__qn", qn)
       .withColumn("__base", expr("__qn div __W"))
       .withColumn("__rem", expr("__qn % __W"))
     val ranked = based

@@ -21,22 +21,139 @@ import graft.{operators, streaming, functions => gfunctions}
   * events with O(active keys) state; Markov linear in the lead window.
   */
 object Stress10 {
+  private def time(name: String)(f: => Long): Double = {
+    val t0 = System.nanoTime()
+    val n = f
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"STRESS10 $name $dt%.1f s ($n rows)")
+    dt
+  }
+  private def slope(name: String, t1: Double, t10: Double): Unit =
+    println(f"STRESS10 SLOPE $name ${t10 / math.max(t1, 0.05)}%.1f x " +
+      "(10x data)")
+
+  /** Value-jittered replicas for GRID-shaped operators (rank windows,
+    * cumulative CDF counts). Copy-replicas duplicate VALUES: the
+    * measurement grid stays fixed while tie counts fatten, so grid
+    * growth — the exact dimension that kills rank statistics at scale
+    * — was never stressed (the r9 aq77 blind spot: its committed 2.0×
+    * "slope" measured tie fattening, not grid growth). Replica i
+    * shifts the metric by i·1e−4 (one 4dp micro-unit): values stay
+    * semantically sane but every replica lands on its own grid
+    * points, so the grid grows linearly with the data — the shape a
+    * derived per-entity metric (unique per row) has in production.
+    * Runnable alone: `runMain graft.tools.Stress10 jitter`. */
+  private def jitterStress(
+      spark: org.apache.spark.sql.SparkSession, sf: String): Unit = {
+    val ev = Tables.load(spark, sf, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_id"), col("event_type"), col("value"))
+    def evJit(k: Int): DataFrame = (0 until k).map(i =>
+      ev.select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+        col("ts_us"),
+        (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+        col("event_type"),
+        (col("value") + lit(i * 1e-4)).as("value")))
+      .reduce(_ unionByName _)
+
+    val mwj1 = time("mann_whitney_jit_1x")(operators.Stats.mannWhitney(
+      evJit(1), "event_type", "value", "purchase", "click").count())
+    val mwj10 = time("mann_whitney_jit_10x")(operators.Stats.mannWhitney(
+      evJit(10), "event_type", "value", "purchase", "click").count())
+    slope("mann_whitney_jit", mwj1, mwj10)
+
+    val ksj1 = time("ks_jit_1x")(operators.Stats.ksTest(
+      evJit(1), "event_type", "value", "purchase", "click").count())
+    val ksj10 = time("ks_jit_10x")(operators.Stats.ksTest(
+      evJit(10), "event_type", "value", "purchase", "click").count())
+    slope("ks_jit", ksj1, ksj10)
+
+    def segJit(k: Int): DataFrame = evJit(k)
+      .withColumn("seg", (col("user_id") % 5).cast("string"))
+    val aucj1 = time("auc_jit_1x")(operators.Stats.auc(
+      segJit(1), col("event_type") === "purchase", "value",
+      Seq("seg")).count())
+    val aucj10 = time("auc_jit_10x")(operators.Stats.auc(
+      segJit(10), col("event_type") === "purchase", "value",
+      Seq("seg")).count())
+    slope("auc_jit", aucj1, aucj10)
+
+    val rmj1 = time("robust_means_jit_1x")(operators.Stats.robustMeans(
+      evJit(1), "value", Seq("event_type")).count())
+    val rmj10 = time("robust_means_jit_10x")(operators.Stats.robustMeans(
+      evJit(10), "value", Seq("event_type")).count())
+    slope("robust_means_jit", rmj1, rmj10)
+
+    // Spearman under jitter: x and y both land on replica-unique grid
+    // points, so the per-(group, value) rank frames are data-sized —
+    // the exact case the groupedPrefixSum rewrite exists for
+    val custB = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val ordBase = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    def ordDup(k: Int): DataFrame = (0 until k).map(i =>
+      ordBase.select(
+        (col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(i * 10000000L)).as("o_custkey"),
+        col("o_totalprice"))).reduce(_ unionByName _)
+    def spearJit(k: Int): DataFrame = {
+      val c = (0 until k).map(i => custB.select(
+        (col("c_custkey") + lit(i * 10000000L)).as("c_custkey"),
+        col("c_nationkey"),
+        (col("c_acctbal") + lit(i * 1e-4)).as("c_acctbal")))
+        .reduce(_ unionByName _)
+      val o = ordDup(k).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("spend"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").as("g"), col("c_acctbal").as("x"),
+          (col("spend").cast("double") +
+            expr("c_custkey div 10000000").cast("double") * 1e-4).as("y"))
+    }
+    val spj1 = time("spearman_jit_1x")(operators.Stats.spearman(
+      spearJit(1), "g", "x", "y").count())
+    val spj10 = time("spearman_jit_10x")(operators.Stats.spearman(
+      spearJit(10), "g", "x", "y").count())
+    slope("spearman_jit", spj1, spj10)
+
+    // Isolated rank-frame before/after on the SAME 10x jittered grid:
+    // the pre-r10 shape (per-group window over the grid — one task
+    // sorts a whole group) vs the groupedPrefixSum rewrite (per-task
+    // work bounded by the range partition). This is the stage the
+    // aq77 fix changed; everything around it is identical.
+    def gridOf(k: Int): DataFrame = spearJit(k)
+      .select(col("g").as("__g"), col("y").as("__v"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__tc"))
+    val rw10 = time("rank_window_10x") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__g").orderBy("__v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      gridOf(10)
+        .withColumn("__below",
+          coalesce(sum(col("__tc")).over(w), lit(0L)))
+        .agg(sum(col("__below"))).count()
+    }
+    val rp10 = time("rank_prefix_10x") {
+      operators.Packing
+        .groupedPrefixSum(gridOf(10), "__g", "__v", "__tc", "__cum")
+        .agg(sum(col("__cum"))).count()
+    }
+    println(f"STRESS10 rank_frame_speedup ${rw10 / math.max(rp10, 0.05)}%.1f" +
+      "x (window -> prefix-sum on the 10x jittered grid)")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-stress10")
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
-
-    def time(name: String)(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      val n = f
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"STRESS10 $name $dt%.1f s ($n rows)")
-      dt
+    if (args.contains("jitter")) {
+      // grid-growth stress alone (the full decade sweep is ~30 min)
+      jitterStress(spark, sf)
+      spark.stop()
+      return
     }
-    def slope(name: String, t1: Double, t10: Double): Unit =
-      println(f"STRESS10 SLOPE $name ${t10 / math.max(t1, 0.05)}%.1f x " +
-        "(10x data)")
 
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
     def dup(k: Int): DataFrame = (0 until k).map(i =>
@@ -361,6 +478,8 @@ object Stress10 {
     val dq22b = time("lsh_recall_10x")(operators.Dedup.lshRecallAudit(
       auditDocs(10), "doc_id", "text").count())
     slope("lsh_recall", dq22a, dq22b)
+
+    jitterStress(spark, sf)
 
     spark.stop()
   }

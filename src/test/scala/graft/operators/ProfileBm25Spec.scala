@@ -202,6 +202,18 @@ class ProfileBm25Spec extends AnyFunSuite {
     val neg = msgs(Profile.apportion(
       Seq(("a", 3L), ("b", -1L)).toDF("k", "w"), "k", "w", 5L).collect())
     assert(neg.contains("negative weight"), neg)
+    // seats * weight overflowing a long names the key and the inputs —
+    // not ANSI's anonymous ARITHMETIC_OVERFLOW
+    val ovf = msgs(Profile.apportion(
+      Seq(("a", 1L), ("big", Long.MaxValue / 2)).toDF("k", "w"),
+      "k", "w", 5L).collect())
+    assert(ovf.contains("overflows a long") && ovf.contains("big"), ovf)
+    // ...and the guard threshold is exact: the largest non-overflowing
+    // weight still apportions
+    val edge = Profile.apportion(
+      Seq(("a", Long.MaxValue / 5)).toDF("k", "w"), "k", "w", 5L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(edge == Seq(("a", Long.MaxValue / 5, 5L)), edge.toString)
   }
 
   test("benfordAudit: digit extraction, zero-count digits, chi2 replay") {
