@@ -9123,4 +9123,591 @@ ORDER BY query_id"""
     graft.operators.Stats.robustMeans(
       t(s, dir, "events"), "value", Seq("event_type"), trim = 0.1)
   }
+
+  // ---------------------------------------------------------------------
+  // aq90_cmh — Cochran–Mantel–Haenszel stratified 2×2 test
+  // (Stats.cmhTest): arm (user parity) × purchase outcome pooled across
+  // day-of-week strata — the Simpson's-paradox-proof pooled readout.
+  // Exact integer cells; per-stratum terms rounded to 10dp decimal
+  // before the cross-stratum sum (stratum order differs between
+  // engines); continuity-corrected chi2 and the MH pooled odds ratio.
+  register(
+    "aq90_cmh",
+    """WITH cells AS (
+      |  SELECT (epoch_us(ts) // 86400000000) % 7 AS s,
+      |    sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+      |        THEN 1 ELSE 0 END)::bigint AS a,
+      |    sum(CASE WHEN user_id % 2 = 0 AND event_type <> 'purchase'
+      |        THEN 1 ELSE 0 END)::bigint AS b,
+      |    sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+      |        THEN 1 ELSE 0 END)::bigint AS c,
+      |    sum(CASE WHEN user_id % 2 = 1 AND event_type <> 'purchase'
+      |        THEN 1 ELSE 0 END)::bigint AS d
+      |  FROM events GROUP BY 1
+      |), terms AS (
+      |  SELECT a + b + c + d AS n,
+      |    round(a::double - (a+b)::double * (a+c)::double /
+      |          (a+b+c+d)::double, 10)::decimal(28,10) AS dev,
+      |    round((a+b)::double * (c+d)::double * (a+c)::double *
+      |          (b+d)::double /
+      |          ((a+b+c+d)::double * (a+b+c+d)::double *
+      |           ((a+b+c+d)::double - 1.0)), 10)::decimal(28,10) AS v,
+      |    round(a::double * d::double / (a+b+c+d)::double, 10)
+      |      ::decimal(28,10) AS ad,
+      |    round(b::double * c::double / (a+b+c+d)::double, 10)
+      |      ::decimal(28,10) AS bc
+      |  FROM cells WHERE a + b + c + d >= 2
+      |), s AS (
+      |  SELECT count(*)::bigint AS n_strata, sum(n)::bigint AS n,
+      |         sum(dev) AS sdev, sum(v) AS sv,
+      |         sum(ad) AS sad, sum(bc) AS sbc
+      |  FROM terms
+      |)
+      |SELECT n_strata, n,
+      |  CASE WHEN sv::double > 0.0 THEN round(
+      |    greatest(abs(sdev::double) - 0.5, 0.0) *
+      |    greatest(abs(sdev::double) - 0.5, 0.0) / sv::double, 6)
+      |  END AS chi2_cmh,
+      |  CASE WHEN sbc::double > 0.0 THEN
+      |    round(sad::double / sbc::double, 6) END AS or_mh
+      |FROM s""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.cmhTest(
+      t(s, dir, "events")
+        .select(expr("(unix_micros(ts) div 86400000000) % 7").as("dow"),
+          col("user_id"), col("event_type")),
+      "dow",
+      exposed = col("user_id") % 2 === 0,
+      outcome = col("event_type") === "purchase")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq91_brown_forsythe — Brown–Forsythe variance-equality test across
+  // event types (Stats.brownForsythe): exact interpolated medians
+  // (quantile_cont parity), 6dp-decimal deviations so the sufficient
+  // sums are exact, per-group SSB/SSW terms rounded to 10dp decimal
+  // before the cross-group sum, one fixed-order F readout.
+  register(
+    "aq91_brown_forsythe",
+    """WITH rows_ AS (
+      |  SELECT event_type AS g, value::double AS v FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |), med AS (
+      |  SELECT g, quantile_cont(v, 0.5) AS m FROM rows_ GROUP BY 1
+      |), z AS (
+      |  SELECT r.g, round(abs(r.v - m.m), 6)::decimal(18,6) AS z
+      |  FROM rows_ r JOIN med m ON r.g = m.g
+      |), per AS (
+      |  SELECT g, count(*)::bigint AS n, sum(z) AS sz,
+      |         sum((z * z)::decimal(38,12)) AS szz
+      |  FROM z GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(n)::bigint AS nn, sum(sz) AS szall,
+      |         count(*)::bigint AS k
+      |  FROM per
+      |), g2 AS (
+      |  SELECT nn, k,
+      |    round(n::double * (sz::double / n::double -
+      |                       szall::double / nn::double)
+      |                    * (sz::double / n::double -
+      |                       szall::double / nn::double), 10)
+      |      ::decimal(28,10) AS ssb,
+      |    round(szz::double - n::double * (sz::double / n::double)
+      |                                  * (sz::double / n::double), 10)
+      |      ::decimal(28,10) AS ssw
+      |  FROM per CROSS JOIN tot
+      |), f AS (
+      |  SELECT nn, k, sum(ssb) AS ssbt, sum(ssw) AS sswt
+      |  FROM g2 GROUP BY 1, 2
+      |)
+      |SELECT k, nn AS n,
+      |  CASE WHEN k >= 2 AND nn > k AND sswt::double > 0.0 THEN
+      |    round(((nn - k)::double / (k - 1)::double) *
+      |          (ssbt::double / sswt::double), 6)
+      |  END AS f_stat
+      |FROM f""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.brownForsythe(
+      t(s, dir, "events"), "event_type", "value")
+  }
+
+  // ---------------------------------------------------------------------
+  // tq30_good_turing — Good–Turing count-of-counts over word TRIGRAMS
+  // of the documents corpus (TextAnalysis.goodTuring): unigrams of the
+  // synthetic 31-word vocabulary have no low-count region at sf0.1, so
+  // the gate runs on the trigram multiset (27k types, genuine r = 1
+  // tail at every SF). Exact integers to the last two divisions
+  // (Turing r*, unseen mass P0), Katz cutoff at r <= 30, NULL r*
+  // where N_{r+1} = 0.
+  register(
+    "tq30_good_turing",
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                     x -> len(x) > 0) AS ts
+      |  FROM documents
+      |), tk AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(ts) - 2),
+      |    i -> array_to_string(ts[i:i+2], ' '))) AS t
+      |  FROM toks
+      |), cnt AS (SELECT t, count(*)::bigint AS c FROM tk GROUP BY 1),
+      |cof AS (SELECT c AS r, count(*)::bigint AS n_r FROM cnt GROUP BY 1),
+      |tot AS (SELECT sum(c)::bigint AS nn FROM cnt),
+      |n1 AS (SELECT coalesce(sum(n_r), 0)::bigint AS n1 FROM cof
+      |       WHERE r = 1)
+      |SELECT r, n_r, coalesce(nx.n_r1, 0)::bigint AS n_r_next,
+      |  CASE WHEN nx.n_r1 IS NOT NULL THEN
+      |    round(((r + 1) * nx.n_r1)::double / n_r::double, 6)
+      |  END AS r_star,
+      |  round((SELECT n1 FROM n1)::double /
+      |        (SELECT nn FROM tot)::double, 6) AS p_unseen
+      |FROM cof LEFT JOIN (SELECT r - 1 AS r, n_r AS n_r1 FROM cof) nx
+      |  USING (r)
+      |WHERE r <= 30
+      |ORDER BY r""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.goodTuring(
+      t(s, dir, "documents"), "text", maxR = 30, ngram = 3)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq92_hits — HITS hubs/authorities over the customer→supplier
+  // purchase graph (Graph.hits): the pageRank trajectory discipline
+  // (12dp-rounded scores, decimal(38,12) sums, renormalization per
+  // round), the whole 3-iteration trajectory unrolled in the oracle;
+  // top 50 per side.
+  register(
+    "aq92_hits",
+    graft.operators.Graph.hitsOracleSql(iterations = 3, topK = 50)
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val edges = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+    val scored = graft.operators.Graph.hits(edges, iterations = 3)
+    scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("side")
+          .orderBy(col("score").desc, col("node"))))
+      .filter(col("__rk") <= 50)
+      .select(col("side"), col("node"),
+        round(col("score"), 10).as("score"))
+      .orderBy(col("side"), col("score").desc, col("node"))
+  }
+
+  // ---------------------------------------------------------------------
+  // aq93_woe_iv — weight-of-evidence + information value of market
+  // segment vs has-an-URGENT-order (Features.woeIv): exact integer
+  // cells, one fixed-order ln per bucket rounded to 6dp, IV addends
+  // rounded to 10dp decimal before the bucket-order-independent sum.
+  // The target is urgent-priority buyers (both classes populated at
+  // every SF — plain has-ordered is all-positive below sf0.1).
+  register(
+    "aq93_woe_iv",
+    """WITH base AS (
+      |  SELECT c_mktsegment AS bucket,
+      |         CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS pos
+      |  FROM customer LEFT JOIN (
+      |    SELECT DISTINCT o_custkey FROM orders
+      |    WHERE o_orderpriority LIKE '1-%') b
+      |    ON c_custkey = b.o_custkey
+      |), buckets AS (
+      |  SELECT bucket, sum(pos)::bigint AS n_pos,
+      |         sum(1 - pos)::bigint AS n_neg
+      |  FROM base GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(n_pos)::bigint AS g, sum(n_neg)::bigint AS nn
+      |  FROM buckets
+      |), w AS (
+      |  SELECT bucket, n_pos, n_neg,
+      |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |      round(ln((n_pos::double / g::double) /
+      |               (n_neg::double / nn::double)), 6)
+      |    END AS woe,
+      |    round((n_pos::double / g::double - n_neg::double / nn::double) *
+      |      (CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |         round(ln((n_pos::double / g::double) /
+      |                  (n_neg::double / nn::double)), 6) END), 10)
+      |      ::decimal(28,10) AS term
+      |  FROM buckets CROSS JOIN tot
+      |)
+      |SELECT bucket, n_pos, n_neg, woe,
+      |       round(coalesce(sum(term) OVER ()::double, 0.0), 6) AS iv
+      |FROM w
+      |ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    val buyers = t(s, dir, "orders")
+      .filter(col("o_orderpriority").startsWith("1-"))
+      .select(col("o_custkey")).distinct()
+    val base = t(s, dir, "customer")
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"),
+        col("o_custkey").isNotNull.as("has_order"))
+    graft.operators.Features.woeIv(base, "c_mktsegment", col("has_order"))
+  }
+
+  // ---------------------------------------------------------------------
+  // aq94_ewma — EWMA control chart over per-type daily event counts
+  // (Stats.ewmaChart, alpha = 1/4, L = 3): the small-persistent-shift
+  // monitor between CUSUM and per-point z-scores. Micro-unit integer
+  // fold (the Holt discipline), abTest-exact sufficient statistics for
+  // mu/sigma, ONE driver-literal limit multiplier shared with the
+  // oracle, 6dp-rounded deviation vs limit.
+  register(
+    "aq94_ewma", {
+      val factor = 3.0 * math.sqrt(1.0 / (2.0 * 4 - 1))
+      def fdq(x: String, d: Long): String =
+        s"((($x) - ((($x) % $d) + $d) % $d) // $d)"
+      val su = fdq("1 * x.yu + 3 * h.su", 4L)
+      s"""WITH RECURSIVE $dailySeriesSql, o AS (
+        |  SELECT key, t, y::double AS y, (y * 1000000)::bigint AS yu,
+        |         row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+        |  FROM s
+        |), h AS (
+        |  SELECT key, t, y, yu, yu AS su, rn FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.key, x.t, x.y, x.yu, $su, x.rn
+        |  FROM o x JOIN h ON x.key = h.key AND x.rn = h.rn + 1
+        |), stats AS (
+        |  SELECT key, count(*)::bigint AS n,
+        |         sum(y::decimal(18,4)) AS sv,
+        |         sum((y * y)::decimal(28,8)) AS ss
+        |  FROM s GROUP BY 1
+        |), lims AS (
+        |  SELECT key, n, sv::double / n::double AS mu,
+        |    (ss::double - n::double * (sv::double / n::double)
+        |                           * (sv::double / n::double)) /
+        |    ((CASE WHEN n >= 2 THEN n END - 1))::double AS vr
+        |  FROM stats
+        |)
+        |SELECT h.key AS key, h.t, h.y,
+        |  h.su / 1000000.0 AS ewma,
+        |  round(abs(h.su / 1000000.0 - l.mu), 6) AS deviation,
+        |  CASE WHEN l.vr > 0.0 THEN round($factor * sqrt(l.vr), 6)
+        |  END AS control_limit,
+        |  round(abs(h.su / 1000000.0 - l.mu), 6) >
+        |    (CASE WHEN l.vr > 0.0 THEN round($factor * sqrt(l.vr), 6) END)
+        |    AS flagged
+        |FROM h JOIN lims l ON h.key = l.key
+        |ORDER BY key, t""".stripMargin
+    }
+  ) { (s, dir) =>
+    graft.operators.Stats.ewmaChart(
+      dailySeries(s, dir), "key", "t", "y", 1L, 4L, lSigma = 3.0)
+  }
+
+  // ---------------------------------------------------------------------
+  // tq31_entropy_rate — bigram conditional entropy per source
+  // (TextAnalysis.entropyRate): H(W2|W1) vs the marginal H(W1) and
+  // their ratio — the templatedness readout a unigram profile misses.
+  // The mutualInformation 10dp-decimal addend discipline throughout.
+  register(
+    "tq31_entropy_rate",
+    """WITH toks AS (
+      |  SELECT source, list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0) AS ts
+      |  FROM documents
+      |), pr AS (
+      |  SELECT source, unnest(list_transform(generate_series(1, len(ts) - 1),
+      |    i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p
+      |  FROM toks
+      |), cells AS (
+      |  SELECT source, p.w1 AS w1, p.w2 AS w2, count(*)::bigint AS c12
+      |  FROM pr GROUP BY 1, 2, 3
+      |), m1 AS (
+      |  SELECT source, w1, sum(c12)::bigint AS c1 FROM cells GROUP BY 1, 2
+      |), nb AS (SELECT source, sum(c1)::bigint AS n FROM m1 GROUP BY 1),
+      |hc AS (
+      |  SELECT c.source,
+      |    round(sum(round((c12::double / n) * ln(c1::double / c12), 10)
+      |      ::decimal(28,10))::double, 6) AS h_cond
+      |  FROM cells c JOIN m1 USING (source, w1) JOIN nb USING (source)
+      |  GROUP BY 1
+      |), hm AS (
+      |  SELECT source,
+      |    round(sum(round((c1::double / n) * ln(n::double / c1), 10)
+      |      ::decimal(28,10))::double, 6) AS h_marginal
+      |  FROM m1 JOIN nb USING (source) GROUP BY 1
+      |)
+      |SELECT nb.source AS source, n AS n_bigrams, h_cond, h_marginal,
+      |  round(h_cond / (CASE WHEN h_marginal > 0.0 THEN h_marginal END), 6)
+      |    AS h_ratio
+      |FROM nb JOIN hc USING (source) JOIN hm USING (source)
+      |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.entropyRate(
+      t(s, dir, "documents"), "source", "text")
+  }
+
+  // ---------------------------------------------------------------------
+  // st15_incremental_neardup — continuous-ingestion NEAR-dup candidate
+  // discovery: the corpus arrives in 3 micro-batches, each signed with
+  // the engine-portable MinHash family (8 hashes / 2 bands), joined
+  // against the persisted signature registry, and both tables merged
+  // atomically. The content-only band invariant makes the final pair
+  // table equal a one-shot banded candidate pass regardless of batch
+  // boundaries — which is exactly what the oracle replays.
+  register(
+    "st15_incremental_neardup",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3
+      |), hx AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(shingle), 1, 8))::bigint % 2147483647 AS x
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, i,
+      |         min((((2 * i + 1) * 1597334677 % 2147483647) * x +
+      |              (i * 40503 + 7) % 2147483647) % 2147483647) AS m
+      |  FROM hx, unnest(range(8)) t(i)
+      |  GROUP BY 1, 2
+      |), band AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |         string_agg(m::varchar, ',' ORDER BY i) AS key
+      |  FROM sig GROUP BY 1, 2
+      |)
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM band a JOIN band b
+      |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    val tmp = scratchDir("st15")
+    t(s, dir, "documents").select("doc_id", "text")
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    val stream = graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1)
+    graft.operators.Dedup.incrementalNearDup(
+      stream, "doc_id", "text", store, "sigs", "pairs", s"$tmp/ckpt",
+      shingleN = 3, numHashes = 8, bands = 2)
+      .awaitTermination()
+    store.read("pairs").orderBy("id_a", "id_b")
+  }}
+
+  // ---------------------------------------------------------------------
+  // tq32_burstiness — token Fano factors over per-doc counts
+  // (TextAnalysis.burstiness): variance-to-mean with absent docs as
+  // zeros — even function words ~0, clumped template/topic tokens
+  // large. Exact integer sufficient statistics, one fixed-order double.
+  register(
+    "tq32_burstiness",
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0)) AS t
+      |  FROM documents
+      |), cells AS (
+      |  SELECT doc_id, t, count(*)::bigint AS c FROM tk GROUP BY 1, 2
+      |), per AS (
+      |  SELECT t AS token, count(*)::bigint AS n_docs,
+      |         sum(c)::bigint AS n_total,
+      |         sum((c::decimal(19,0) * c::decimal(19,0))::decimal(38,0))
+      |           AS s2
+      |  FROM cells GROUP BY 1
+      |), d AS (SELECT count(*)::bigint AS d FROM documents)
+      |SELECT token, n_docs, n_total,
+      |  round((s2::double / d::double -
+      |         (n_total::double / d::double) *
+      |         (n_total::double / d::double)) /
+      |        (n_total::double / d::double), 6) AS fano
+      |FROM per CROSS JOIN d
+      |ORDER BY n_total DESC, token
+      |LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.burstiness(
+      t(s, dir, "documents"), "doc_id", "text", topN = 100)
+  }
+
+  // ---------------------------------------------------------------------
+  // dq24_capture_recapture — Chapman dup-population estimate from two
+  // INDEPENDENT detectors (Dedup.captureRecapture): portable banded
+  // MinHash candidates × md5-SimHash Hamming pairs. The coverage
+  // extrapolation for the regime where exact truth is unaffordable;
+  // both capture lists replay bit-for-bit in the oracle.
+  register(
+    "dq24_capture_recapture", {
+      val vl = (0 until 32).map(j =>
+        s"sum(case when (lo >> $j) & 1 = 1 then 1 else -1 end) AS vl$j")
+      val vh = (0 until 32).map(j =>
+        s"sum(case when (hi >> $j) & 1 = 1 then 1 else -1 end) AS vh$j")
+      val sigLo = (0 until 32).map(j =>
+        s"(case when vl$j > 0 then ${1L << j} else 0 end)").mkString(" + ")
+      val sigHi = (0 until 32).map(j =>
+        s"(case when vh$j > 0 then ${1L << j} else 0 end)").mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\\s+'),
+        |    x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        |  FROM toks WHERE len(tk) >= 3
+        |), hx AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 8))::bigint % 2147483647 AS x
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, i,
+        |         min((((2 * i + 1) * 1597334677 % 2147483647) * x +
+        |              (i * 40503 + 7) % 2147483647) % 2147483647) AS m
+        |  FROM hx, unnest(range(8)) t(i)
+        |  GROUP BY 1, 2
+        |), band AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |         string_agg(m::varchar, ',' ORDER BY i) AS key
+        |  FROM sig GROUP BY 1, 2
+        |), cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band a JOIN band b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |), tok2 AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+        |                            x -> len(x) > 0)) AS tok
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+        |             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        |  FROM tok2
+        |), votes AS (
+        |  SELECT id, ${(vl ++ vh).mkString(", ")}
+        |  FROM hashed GROUP BY id
+        |), sigs AS (
+        |  SELECT id, $sigHi AS sig_hi, $sigLo AS sig_lo FROM votes
+        |), pb AS MATERIALIZED (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sigs a JOIN sigs b ON a.id < b.id
+        |  WHERE bit_count(xor(a.sig_hi, b.sig_hi)) +
+        |        bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
+        |), agg AS (
+        |  SELECT (SELECT count(*)::bigint FROM cand) AS n_a,
+        |         (SELECT count(*)::bigint FROM pb) AS n_b,
+        |         (SELECT count(*)::bigint FROM cand
+        |            JOIN pb USING (id_a, id_b)) AS n_both
+        |), est AS (
+        |  SELECT n_a, n_b, n_both,
+        |    round(((n_a + 1) * (n_b + 1))::double /
+        |          (n_both + 1)::double - 1.0, 6) AS n_hat
+        |  FROM agg
+        |)
+        |SELECT n_a, n_b, n_both, n_hat,
+        |  CASE WHEN n_hat > 0.0 THEN
+        |    round((n_a + n_b - n_both)::double / n_hat, 6)
+        |  END AS union_coverage
+        |FROM est""".stripMargin
+    }
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    graft.operators.Dedup.captureRecapture(
+      graft.operators.Dedup.portableCandidatePairs(
+        docs, "doc_id", "text", shingleN = 3, numHashes = 8, bands = 2),
+      graft.operators.Dedup.simhashPairsMd5(
+        docs, "doc_id", "text", maxDist = 3))
+  }
+
+  // ---------------------------------------------------------------------
+  // aq95_two_proportion — two-proportion z with Yates continuity
+  // correction per user segment (Stats.twoProportion): per-user
+  // converted-ever flags, arm by parity — the 0/1-outcome companion to
+  // abTest's continuous Welch z. Exact integer cells, fixed-order z
+  // from the raw ratios, NULL-guarded empty arms / degenerate pooled p.
+  register(
+    "aq95_two_proportion",
+    """WITH u AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           AS conv
+      |  FROM events GROUP BY 1
+      |), seg AS (
+      |  SELECT (user_id % 5)::varchar AS segment,
+      |         user_id % 2 = 0 AS arma, conv = 1 AS cv
+      |  FROM u
+      |), a AS (
+      |  SELECT segment,
+      |    sum(CASE WHEN arma THEN 1 ELSE 0 END)::bigint AS n_a,
+      |    sum(CASE WHEN NOT arma THEN 1 ELSE 0 END)::bigint AS n_b,
+      |    sum(CASE WHEN arma AND cv THEN 1 ELSE 0 END)::bigint AS conv_a,
+      |    sum(CASE WHEN NOT arma AND cv THEN 1 ELSE 0 END)::bigint
+      |      AS conv_b
+      |  FROM seg GROUP BY 1
+      |), m AS (
+      |  SELECT *,
+      |    conv_a::double / (CASE WHEN n_a > 0 THEN n_a::double END) AS p1,
+      |    conv_b::double / (CASE WHEN n_b > 0 THEN n_b::double END) AS p2,
+      |    (conv_a + conv_b)::double /
+      |      (CASE WHEN n_a + n_b > 0
+      |       THEN n_a::double + n_b::double END) AS pp,
+      |    0.5 / (CASE WHEN n_a > 0 THEN n_a::double END) +
+      |    0.5 / (CASE WHEN n_b > 0 THEN n_b::double END) AS cc
+      |  FROM a
+      |), m2 AS (
+      |  SELECT *,
+      |    sqrt(CASE WHEN pp * (1.0 - pp) *
+      |        (1.0 / (CASE WHEN n_a > 0 THEN n_a::double END) +
+      |         1.0 / (CASE WHEN n_b > 0 THEN n_b::double END)) > 0.0
+      |      THEN pp * (1.0 - pp) *
+      |        (1.0 / (CASE WHEN n_a > 0 THEN n_a::double END) +
+      |         1.0 / (CASE WHEN n_b > 0 THEN n_b::double END)) END) AS se,
+      |    greatest(abs(p1 - p2) - cc, 0.0) AS dabs,
+      |    CASE WHEN p1 >= p2 THEN 1.0 ELSE -1.0 END AS sgn
+      |  FROM m
+      |)
+      |SELECT segment, n_a, n_b, conv_a, conv_b,
+      |  round(p1, 6) AS p_a, round(p2, 6) AS p_b,
+      |  round((p1 - p2) / se, 4) AS z,
+      |  round(sgn * dabs / se, 4) AS z_corrected
+      |FROM m2 ORDER BY segment""".stripMargin
+  ) { (s, dir) =>
+    val users = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select((col("user_id") % 5).cast("string").as("segment"),
+        (col("user_id") % 2 === 0).as("arma"),
+        (col("conv") === 1L).as("cv"))
+    graft.operators.Stats.twoProportion(
+      users, converted = col("cv"), armA = col("arma"),
+      groupCols = Seq("segment"))
+  }
+
+  // ---------------------------------------------------------------------
+  // pq7_curriculum — easy-to-hard curriculum export order
+  // (Packing.curriculumSchedule): token-count difficulty on a FIXED
+  // bucket grid (div 64, capped at 7), deterministic within-level
+  // shuffle by salted md5, global position via the range-partitioned
+  // prefix-sum rank — no single-partition sort.
+  register(
+    "pq7_curriculum",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        x -> len(x) > 0))::bigint AS n_tokens
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, n_tokens,
+      |    least(n_tokens // 64, 7) AS bucket,
+      |    md5('curr' || doc_id::varchar) AS h
+      |  FROM d
+      |)
+      |SELECT doc_id, n_tokens, bucket,
+      |  row_number() OVER (ORDER BY bucket, h, doc_id)::bigint AS position
+      |FROM b ORDER BY position""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    graft.operators.Packing.curriculumSchedule(
+      d, "doc_id", "n_tokens", bucketWidth = 64L, maxBucket = 7L,
+      salt = "curr")
+      .select(col("doc_id"), col("difficulty").as("n_tokens"),
+        col("bucket"), col("position"))
+      .orderBy("position")
+  }
 }

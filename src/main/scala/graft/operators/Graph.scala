@@ -398,4 +398,109 @@ object Graph {
         |FROM (${degs(s"e$rounds")}) fin
         |ORDER BY node""".stripMargin
   }
+
+  /** HITS hubs and authorities (Kleinberg 1999) over a directed edge
+    * list — the BIPARTITE companion to [[pageRank]]: a good hub points
+    * at good authorities, a good authority is pointed at by good hubs.
+    * On entity-relationship graphs this separates the two roles a
+    * single rank conflates (a customer who buys from the best
+    * suppliers vs a supplier bought by the best customers; a document
+    * that links the canonical sources vs the canonical source itself):
+    *
+    *   a_t(v) = Σ_{u→v} h_{t−1}(u),   then L1-normalize,
+    *   h_t(u) = Σ_{u→v} a_t(v),       then L1-normalize.
+    *
+    * Numeric contract (the [[pageRank]] trajectory discipline): each
+    * per-edge contribution is the 12dp-rounded score cast
+    * DECIMAL(38,12) and SUMMED as decimal (order-independent); each
+    * normalization is one double division of exact decimal sums
+    * rounded back to 12dp — round k's input is bit-identical in any
+    * engine replaying rounds 1..k−1.
+    *
+    * Scale shape: the edge list is materialized TWICE, once laid out
+    * on src and once on dst, so BOTH per-round joins reuse a fixed
+    * layout and only the |V|-row score frames move per round; the
+    * normalization totals ride as broadcast 1-row aggregates (zero
+    * driver state); per-round state is [[Lineage.cutLazy]]-pinned.
+    * Returns `(side, node, score)` with side ∈ {hub, authority}. */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "hits needs at least one iteration")
+    val linksS = Lineage.cutLocal(
+      edges.select(col("src"), col("dst")).repartition(col("src")))
+    val linksD = Lineage.cutLocal(linksS.repartition(col("dst")))
+    val dec = "decimal(38,12)"
+    var hubs: DataFrame = Lineage.cutLocal(
+      linksS.select(col("src").as("node")).distinct())
+      .withColumn("score", lit(1.0))
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val araw = linksS
+        .join(hubs.select(col("node").as("src"), col("score")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(round(col("score"), 12).cast(dec)).as("__raw"))
+      auths = Lineage.cutLazy(araw
+        .crossJoin(broadcast(araw.agg(sum("__raw").as("__t"))))
+        .select(col("node"),
+          round(col("__raw").cast("double") / col("__t").cast("double"),
+            12).as("score")))
+      val hraw = linksD
+        .join(auths.select(col("node").as("dst"), col("score")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(round(col("score"), 12).cast(dec)).as("__raw"))
+      hubs = Lineage.cutLazy(hraw
+        .crossJoin(broadcast(hraw.agg(sum("__raw").as("__t"))))
+        .select(col("node"),
+          round(col("__raw").cast("double") / col("__t").cast("double"),
+            12).as("score")))
+    }
+    hubs.select(lit("hub").as("side"), col("node"), col("score"))
+      .unionByName(auths.select(
+        lit("authority").as("side"), col("node"), col("score")))
+  }
+
+  /** GENERATED DuckDB oracle for the aq92 gate: [[hits]] over the
+    * customer→supplier purchase graph, the whole trajectory unrolled —
+    * each round's raw sums, L1 totals, and 12dp renormalizations
+    * replayed exactly; top-`topK` per side by (score DESC, node). */
+  def hitsOracleSql(iterations: Int, topK: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      val prev = if (i == 1) "h0" else s"h${i - 1}"
+      s"""|, a${i}r AS (
+          |  SELECT e.dst AS node,
+          |         sum(round(h.score, 12)::decimal(38,12)) AS raw
+          |  FROM edges e JOIN $prev h ON e.src = h.node GROUP BY 1
+          |), a$i AS (
+          |  SELECT node, round(raw::double /
+          |    (SELECT sum(raw) FROM a${i}r)::double, 12) AS score
+          |  FROM a${i}r
+          |), h${i}r AS (
+          |  SELECT e.src AS node,
+          |         sum(round(a.score, 12)::decimal(38,12)) AS raw
+          |  FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY 1
+          |), h$i AS (
+          |  SELECT node, round(raw::double /
+          |    (SELECT sum(raw) FROM h${i}r)::double, 12) AS score
+          |  FROM h${i}r
+          |)""".stripMargin
+    }.mkString("\n")
+    s"""|WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), h0 AS (
+        |  SELECT DISTINCT src AS node, 1.0::double AS score FROM edges
+        |)
+        |$rounds
+        |, ranked AS (
+        |  SELECT 'hub' AS side, node, score,
+        |         row_number() OVER (ORDER BY score DESC, node) AS rk
+        |  FROM h$iterations
+        |  UNION ALL
+        |  SELECT 'authority', node, score,
+        |         row_number() OVER (ORDER BY score DESC, node)
+        |  FROM a$iterations
+        |)
+        |SELECT side, node, round(score, 10) AS score
+        |FROM ranked WHERE rk <= $topK
+        |ORDER BY side, score DESC, node""".stripMargin
+  }
 }

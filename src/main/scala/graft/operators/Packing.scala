@@ -385,6 +385,40 @@ object Packing {
       .drop("__pid", "__local", "__offset")
   }
 
+  /** Curriculum-ordered export schedule — easy-to-hard training order
+    * (Bengio et al. 2009) with a deterministic within-level shuffle:
+    * difficulty quantizes onto a FIXED bucket grid (⌊d/width⌋ capped
+    * at `maxBucket` — a data-derived quantile cut would need a rank
+    * pass of its own; a fixed grid is scale-free and stable across
+    * corpus refreshes), and the global position comes from
+    * [[globalRankBy]] over (bucket, salted content hash, id) — a
+    * range-partitioned prefix sum, NO single-partition sort anywhere.
+    * The id mixed into the order makes the composite key unique (the
+    * globalRankBy contract). Returns
+    * `(id, difficulty, bucket, position)` — feed straight into the
+    * packing/sharding exporters. */
+  def curriculumSchedule(
+      df: DataFrame,
+      idCol: String,
+      difficultyCol: String,
+      bucketWidth: Long,
+      maxBucket: Long,
+      salt: String): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucket >= 0, "maxBucket must be non-negative")
+    val base = df.select(col(idCol),
+      col(difficultyCol).cast("long").as("difficulty"),
+      least(expr(s"cast($difficultyCol as bigint) div $bucketWidth"),
+        lit(maxBucket)).as("bucket"),
+      md5(concat(lit(salt), col(idCol).cast("string")).cast("binary"))
+        .as("__h"))
+    globalRankBy(base,
+      Seq(col("bucket"), col("__h"), col(idCol)), "position",
+      uniqueCols = Seq(col(idCol)))
+      .select(col(idCol), col("difficulty"), col("bucket"),
+        col("position"))
+  }
+
   /** Content-defined chunking over a text column
     * ([[graft.functions.TextKernelExpressions.CdcChunks]]): boundaries
     * from a rolling content hash, so edits shift chunk boundaries only

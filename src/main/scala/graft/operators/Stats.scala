@@ -294,6 +294,89 @@ object Stats {
       .orderBy(keyCol, "t")
   }
 
+  /** EWMA control chart (Roberts 1959) per series — the
+    * small-persistent-shift DETECTOR between [[graft.operators
+    * .Behavior]]'s CUSUM (cumulative drift) and the per-point z-score
+    * rate anomalies: the exponentially weighted moving average
+    *
+    *   s₁ = y₁,   s_t = α·y_t + (1−α)·s_{t−1}
+    *
+    * flagged when it strays past the asymptotic control limit
+    * L·σ̂·√(α/(2−α)) from the series mean — the classic SPC chart, and
+    * the standard "is this metric quietly drifting" monitor over
+    * per-source quality scores or event rates.
+    *
+    * Determinism contract: α is an exact integer rational and the
+    * fold runs in micro-unit BIGINT fixed point with pmod floor
+    * division (the [[holtSmoothing]] recursion discipline — no double
+    * rounding anywhere in the state); μ̂ and σ̂ come from exact
+    * DECIMAL sufficient statistics (the abTest Σv/Σv² discipline);
+    * the limit multiplier L·√(α/(2−α)) is ONE driver-computed double
+    * literal shared with the oracle; deviation and limit both round
+    * to 6dp before the flag comparison. Series with n < 2 or zero
+    * variance report NULL limit and NULL flag.
+    *
+    * Scale shape: one series-keyed shuffle for the fold (per-series
+    * work bounded by series length), one keyed aggregate for the
+    * sufficient statistics, one |keys|-row broadcast join back.
+    * Output one row per input point:
+    * `(key, t, y, ewma, deviation, control_limit, flagged)`. */
+  def ewmaChart(
+      series: DataFrame,
+      keyCol: String,
+      tCol: String,
+      yCol: String,
+      alphaNum: Long,
+      alphaDen: Long,
+      lSigma: Double = 3.0): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      "alpha = alphaNum/alphaDen must lie in (0, 1]")
+    require(lSigma > 0, "lSigma must be positive")
+    def fd(x: String, d: Long): String =
+      s"((($x) - pmod(($x), ${d}L)) div ${d}L)"
+    val prev = "element_at(acc, -1)"
+    val su = fd(s"${alphaNum}L * p.yu + ${alphaDen - alphaNum}L * $prev.su",
+      alphaDen)
+    val folded = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tCol).cast("long").as("t"),
+        col(yCol).cast("double").as("y")))).as("__pts"))
+      .select(col(keyCol), explode(expr(
+        s"""aggregate(
+           |  transform(__pts, q -> named_struct(
+           |    't', q.t, 'y', q.y,
+           |    'yu', cast(floor(q.y * 1000000.0d) as bigint))),
+           |  cast(array() as array<struct<t:bigint,y:double,yu:bigint,
+           |    su:bigint>>),
+           |  (acc, p) -> array_append(acc, named_struct(
+           |    't', p.t, 'y', p.y, 'yu', p.yu,
+           |    'su', if(size(acc) = 0, p.yu, $su))))""".stripMargin))
+        .as("__r"))
+    val v = col(yCol).cast("decimal(18,4)")
+    val sq = round(col(yCol) * col(yCol), 8).cast("decimal(28,8)")
+    val stats = series.groupBy(col(keyCol)).agg(
+      count(when(col(yCol).isNotNull, 1L)).as("__n"),
+      sum(v).as("__sv"), sum(sq).as("__ss"))
+    val mu = col("__sv").cast("double") / col("__n").cast("double")
+    val varY = (col("__ss").cast("double") -
+      col("__n").cast("double") * mu * mu) /
+      (when(col("__n") >= 2L, col("__n")) - 1L).cast("double")
+    // the asymptotic limit multiplier is ONE driver double, shared
+    // verbatim with the generated oracle (Double.toString round-trips)
+    val factor =
+      lSigma * math.sqrt(alphaNum.toDouble / (2.0 * alphaDen - alphaNum))
+    val lim = when(varY > 0.0, round(lit(factor) * sqrt(varY), 6))
+    val dev = round(abs(col("__r.su") / lit(1000000.0d) - mu), 6)
+    folded.join(broadcast(stats), Seq(keyCol))
+      .select(col(keyCol), col("__r.t").as("t"), col("__r.y").as("y"),
+        (col("__r.su") / lit(1000000.0d)).as("ewma"),
+        dev.as("deviation"),
+        lim.as("control_limit"),
+        (dev > lim).as("flagged"))
+      .orderBy(keyCol, "t")
+  }
+
   /** Holt–Winters ADDITIVE triple exponential smoothing (Winters
     * 1960) per series — [[holtSmoothing]] plus a seasonal component of
     * `period` m:
@@ -1719,5 +1802,197 @@ object Stats {
         when(sqrt(col("h_x") * col("h_y")) > 0.0,
           sqrt(col("h_x") * col("h_y"))), 6))
       .select("n", "k_x", "k_y", "h_x", "h_y", "mi_nats", "nmi")
+  }
+
+  /** Two-proportion z-test with Yates continuity correction — the
+    * conversion-rate comparison that [[abTest]]'s Welch z is NOT
+    * (Welch treats the metric as continuous; a 0/1 conversion wants
+    * the pooled-proportion variance), per group:
+    *
+    *   z  = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)),   p̂ pooled,
+    *   z_c = the same with |p₁ − p₂| reduced by (1/2n₁ + 1/2n₂),
+    *         floored at 0, sign restored.
+    *
+    * Determinism contract: conversion counts are exact integers; the
+    * proportions and both z's are fixed-order double expressions of
+    * them (p's rounded to 6dp for the readout, z's computed from the
+    * RAW ratios and rounded to 4dp). Groups with an empty arm or a
+    * degenerate pooled variance (p̂ ∈ {0, 1}) report NULL z.
+    *
+    * Scale shape: ONE conditional aggregate over the group keys with
+    * map-side partials — the abTest shape on 0/1 outcomes. Returns one
+    * row per group:
+    * `(group..., n_a, n_b, conv_a, conv_b, p_a, p_b, z, z_corrected)`. */
+  def twoProportion(
+      df: DataFrame,
+      converted: Column,
+      armA: Column,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!armA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(armA && converted, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(!armA && converted, 1L).otherwise(0L)).as("conv_b"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    // empty arms NULL the denominators at the source (the cuped CSE
+    // lesson: a hoisted division must not see a zero)
+    val (naS, nbS) = (when(col("n_a") > 0L, na), when(col("n_b") > 0L, nb))
+    val p1 = col("conv_a").cast("double") / naS
+    val p2 = col("conv_b").cast("double") / nbS
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      when(col("n_a") + col("n_b") > 0L, na + nb)
+    val se2 = pp * (lit(1.0) - pp) * (lit(1.0) / naS + lit(1.0) / nbS)
+    val se = sqrt(when(se2 > 0.0, se2))
+    val cc = lit(0.5) / naS + lit(0.5) / nbS
+    val dAbs = greatest(abs(p1 - p2) - cc, lit(0.0))
+    val sign = when(p1 >= p2, lit(1.0)).otherwise(lit(-1.0))
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        round(p1, 6).as("p_a"), round(p2, 6).as("p_b"),
+        round((p1 - p2) / se, 4).as("z"),
+        round(sign * dAbs / se, 4).as("z_corrected")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Cochran–Mantel–Haenszel test (Cochran 1954; Mantel & Haenszel
+    * 1959) — the stratified 2×2 association test: does exposure move
+    * the outcome AFTER pooling across strata, weighting each stratum
+    * by its own size? This is the Simpson's-paradox-proof readout an
+    * experiment platform needs whenever a simple pooled 2×2 would mix
+    * strata with different base rates (arm × purchase pooled across
+    * day-of-week, filter × pass-rate across sources):
+    *
+    *   χ²_CMH = (|Σ_k (a_k − E_k)| − ½)² / Σ_k V_k   (continuity-corr.),
+    *   E_k = r1·c1/n,   V_k = r1·r0·c1·c0 / (n²(n−1)),
+    *   OR_MH = Σ_k(a_k·d_k/n_k) / Σ_k(b_k·c_k/n_k)   (pooled odds ratio).
+    *
+    * Determinism contract: the 2×2 cells are exact integers; each
+    * stratum's deviation, variance, and OR terms are fixed-order
+    * double expressions rounded to 10dp and summed as DECIMAL
+    * (stratum order differs between engines — the tq8 discipline);
+    * the readouts are fixed-order doubles of those exact sums rounded
+    * to 6dp. Strata with n < 2 (V undefined) are excluded; χ² is NULL
+    * when ΣV = 0, OR_MH NULL when its denominator is 0; the squared
+    * deviation is floored at 0 (|Σdev| < ½ under the correction).
+    *
+    * Scale shape: ONE conditional aggregate over the stratum key
+    * (map-side partials, dimension-sized output), then a strata-sized
+    * readout — nothing data-sized past the first aggregate. Returns
+    * ONE row `(n_strata, n, chi2_cmh, or_mh)`. */
+  def cmhTest(
+      df: DataFrame,
+      stratumCol: String,
+      exposed: Column,
+      outcome: Column): DataFrame = {
+    val cells = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(
+        sum(when(exposed && outcome, 1L).otherwise(0L)).as("a"),
+        sum(when(exposed && !outcome, 1L).otherwise(0L)).as("b"),
+        sum(when(!exposed && outcome, 1L).otherwise(0L)).as("c"),
+        sum(when(!exposed && !outcome, 1L).otherwise(0L)).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val r1 = (col("a") + col("b")).cast("double")
+    val r0 = (col("c") + col("d")).cast("double")
+    val c1 = (col("a") + col("c")).cast("double")
+    val c0 = (col("b") + col("d")).cast("double")
+    val dec10 = (x: Column) => round(x, 10).cast("decimal(28,10)")
+    val terms = cells
+      .filter(col("a") + col("b") + col("c") + col("d") >= 2L)
+      .select(
+        (col("a") + col("b") + col("c") + col("d")).as("__n"),
+        dec10(col("a").cast("double") - r1 * c1 / n).as("__dev"),
+        dec10(r1 * r0 * c1 * c0 / (n * n * (n - 1.0))).as("__v"),
+        dec10(col("a").cast("double") * col("d").cast("double") / n)
+          .as("__ad"),
+        dec10(col("b").cast("double") * col("c").cast("double") / n)
+          .as("__bc"))
+    val sums = terms.agg(
+      count(lit(1)).as("n_strata"),
+      sum("__n").as("n"),
+      sum("__dev").as("__sdev"), sum("__v").as("__sv"),
+      sum("__ad").as("__sad"), sum("__bc").as("__sbc"))
+    val devAbs = greatest(
+      abs(col("__sdev").cast("double")) - 0.5, lit(0.0))
+    sums.select(col("n_strata"), col("n"),
+      when(col("__sv").cast("double") > 0.0, round(
+        devAbs * devAbs / col("__sv").cast("double"), 6)).as("chi2_cmh"),
+      when(col("__sbc").cast("double") > 0.0, round(
+        col("__sad").cast("double") / col("__sbc").cast("double"), 6))
+        .as("or_mh"))
+  }
+
+  /** Brown–Forsythe test (Brown & Forsythe 1974) — Levene's
+    * variance-equality test on MEDIAN-centered deviations: are the
+    * groups' spreads equal? This guards the homoscedasticity
+    * assumption behind pooled comparisons (a significant F says
+    * "compare these cohorts with Welch/rank machinery, not pooled
+    * variance"), with the median centering making it robust to the
+    * skewed metrics (revenue, latency) that break the mean-centered
+    * original:
+    *
+    *   z_ij = |x_ij − median_j|,
+    *   F = [(N−k)/(k−1)] · Σ_j n_j(z̄_j − z̄)² / Σ_j Σ_i (z_ij − z̄_j)².
+    *
+    * Determinism contract: medians are exact interpolated percentiles
+    * (Spark `percentile` == DuckDB `quantile_cont`, the aq6
+    * precedent); each deviation rounds to 6dp decimal so Σz and Σz²
+    * are EXACT decimal sums (z² at scale 12 stays under the 38-digit
+    * cap); the between/within terms are fixed-order doubles of those
+    * exact sums rounded to 10dp decimal before the cross-group sum
+    * (group order differs between engines); F is one fixed-order
+    * double readout rounded to 6dp. Degenerate inputs (k < 2, N ≤ k,
+    * zero within-group variation) report NULL F.
+    *
+    * Scale shape: one percentile aggregate per group key, a broadcast
+    * |groups|-row join back for the deviations, ONE sufficient-stats
+    * aggregate (map-side partials), then a groups-sized readout.
+    * Returns ONE row `(k, n, f_stat)`. */
+  def brownForsythe(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val rows = Lineage.cutLocal(df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v")))
+    val med = rows.groupBy("__g")
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    val z = rows.join(broadcast(med), Seq("__g"))
+      .select(col("__g"),
+        round(abs(col("__v") - col("__med")), 6)
+          .cast("decimal(18,6)").as("__z"))
+    val per = z.groupBy("__g").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__z")).as("__sz"),
+      sum((col("__z") * col("__z")).cast("decimal(38,12)")).as("__szz"))
+    // NOTE: Spark resolution is case-insensitive — total-frame names
+    // must not collide with the per-group names modulo case
+    val tot = broadcast(per.agg(
+      sum("__n").as("__nt"),
+      sum("__sz").as("__szt"),
+      count(lit(1)).as("__kt")))
+    val dec10 = (x: Column) => round(x, 10).cast("decimal(28,10)")
+    val zbar = col("__sz").cast("double") / col("__n").cast("double")
+    val zbarAll = col("__szt").cast("double") / col("__nt").cast("double")
+    val grouped = per.crossJoin(tot)
+      .select(col("__nt"), col("__kt"),
+        dec10(col("__n").cast("double") *
+          (zbar - zbarAll) * (zbar - zbarAll)).as("__ssb"),
+        dec10(col("__szz").cast("double") -
+          col("__n").cast("double") * zbar * zbar).as("__ssw"))
+      .groupBy("__nt", "__kt")
+      .agg(sum("__ssb").as("__ssbt"), sum("__ssw").as("__sswt"))
+    grouped.select(
+      col("__kt").as("k"), col("__nt").as("n"),
+      when(col("__kt") >= 2L && col("__nt") > col("__kt") &&
+          col("__sswt").cast("double") > 0.0,
+        round(((col("__nt") - col("__kt")).cast("double") /
+          (col("__kt") - 1L).cast("double")) *
+          (col("__ssbt").cast("double") / col("__sswt").cast("double")), 6))
+        .as("f_stat"))
   }
 }

@@ -1109,4 +1109,179 @@ object TextAnalysis {
       .orderBy(col("n_draws").desc, col("token"))
       .limit(topK)
   }
+
+  /** Token burstiness — the Fano factor (variance-to-mean ratio) of
+    * each token's per-document counts over the WHOLE corpus (absent
+    * docs count as zero): function words spread evenly (Fano ≈ 1,
+    * Poisson-like); content/template tokens clump into few documents
+    * (Fano ≫ 1). The Church & Gale (1995) observation turned into a
+    * corpus screen: a topical keyword list for the dictionary-free,
+    * and a template detector when boilerplate tokens burst.
+    *
+    *   Fano(w) = (Σc²/D − (C/D)²) / (C/D),   C = Σc over docs, D docs.
+    *
+    * Determinism contract: C, Σc², and D are exact integers (Σc² rides
+    * decimal(38,0)); Fano is one fixed-order double expression rounded
+    * to 6dp; output order is (C desc, token) with a top-N cut.
+    *
+    * Scale shape: one (doc, token) count aggregate (map-side
+    * combined), one token aggregate over it, a broadcast 1-row D, and
+    * a TakeOrdered top-N — nothing data-sized past the first
+    * aggregate. Returns `(token, n_docs, n_total, fano)`. */
+  def burstiness(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topN: Int = 100): DataFrame = {
+    require(topN >= 1, "topN must be at least 1")
+    val cells = df
+      .select(col(idCol).as("__id"),
+        explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__tok"))
+      .groupBy("__id", "__tok").agg(count(lit(1)).as("__c"))
+    val perTok = cells.groupBy(col("__tok").as("token")).agg(
+      count(lit(1)).as("n_docs"),
+      sum("__c").as("n_total"),
+      sum((col("__c").cast("decimal(19,0)") * col("__c").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("__s2"))
+    val d = broadcast(df.agg(count(lit(1)).as("__d")))
+    val mean = col("n_total").cast("double") / col("__d").cast("double")
+    perTok.crossJoin(d)
+      .select(col("token"), col("n_docs"), col("n_total"),
+        round((col("__s2").cast("double") / col("__d").cast("double") -
+          mean * mean) / mean, 6).as("fano"))
+      .orderBy(col("n_total").desc, col("token"))
+      .limit(topN)
+  }
+
+  /** Bigram conditional entropy rate per group — the
+    * predictability-of-the-next-word readout H(W₂|W₁) beside the
+    * marginal entropy H(W₁), and their ratio (1 = the corpus is
+    * memoryless; → 0 = highly templated). The corpus-health metric
+    * that catches boilerplate a unigram profile misses: template-heavy
+    * sources keep a normal vocabulary but collapse the CONDITIONAL
+    * entropy.
+    *
+    *   H(W₂|W₁) = Σ (c₁₂/N)·ln(c₁/c₁₂),
+    *   H(W₁)    = Σ (c₁/N)·ln(N/c₁),
+    *
+    * over the bigram multiset (N bigrams per group; c₁ the
+    * left-margin count re-aggregated from the SAME cell frame).
+    *
+    * Determinism contract: the mutualInformation discipline — counts
+    * exact, each addend one fixed-order double rounded to 10dp
+    * decimal (cell order differs between engines), readouts rounded
+    * to 6dp, the ratio derived from the ROUNDED entropies with a
+    * NULL-guarded denominator.
+    *
+    * Scale shape: one (group, w₁, w₂) count aggregate over the corpus
+    * (map-side combined, bigram-vocab-sized), margins and entropies
+    * re-aggregated from that one lineage-cut frame — never a second
+    * data pass. Returns one row per group:
+    * `(group, n_bigrams, h_cond, h_marginal, h_ratio)`. */
+  def entropyRate(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextFunctions.wsTokens(lower(col(textCol)))
+    val pairs = explode(when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(expr("cast(array() as array<struct<w1:string,w2:string>>)")))
+    val cells = Lineage.cutLocal(df
+      .select(col(groupCol).as("__g"), pairs.as("__p"))
+      .groupBy(col("__g"), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+      .agg(count(lit(1)).as("__c12")))
+    val m1 = Lineage.cutLocal(
+      cells.groupBy("__g", "__w1").agg(sum("__c12").as("__c1")))
+    val nF = m1.groupBy("__g").agg(sum("__c1").as("__nb"))
+    val dec10 = (c: Column) => round(c, 10).cast("decimal(28,10)")
+    val hc = cells
+      .join(m1, Seq("__g", "__w1"))
+      .join(broadcast(nF), Seq("__g"))
+      .select(col("__g"),
+        dec10((col("__c12").cast("double") / col("__nb")) *
+          log(col("__c1").cast("double") / col("__c12"))).as("__t"))
+      .groupBy("__g")
+      .agg(round(sum(col("__t")).cast("double"), 6).as("h_cond"))
+    val hm = m1
+      .join(broadcast(nF), Seq("__g"))
+      .select(col("__g"),
+        dec10((col("__c1").cast("double") / col("__nb")) *
+          log(col("__nb").cast("double") / col("__c1"))).as("__t"))
+      .groupBy("__g")
+      .agg(round(sum(col("__t")).cast("double"), 6).as("h_marginal"))
+    nF.join(hc, Seq("__g")).join(hm, Seq("__g"))
+      .select(col("__g").as(groupCol), col("__nb").as("n_bigrams"),
+        col("h_cond"), col("h_marginal"),
+        round(col("h_cond") /
+          when(col("h_marginal") > 0.0, col("h_marginal")), 6)
+          .as("h_ratio"))
+      .orderBy(groupCol)
+  }
+
+  /** Good–Turing frequency re-estimation (Good 1953; Turing's WWII
+    * cryptanalysis estimator) — the count-of-counts table with the
+    * Turing-adjusted counts and the unseen-mass estimate, the
+    * smoothing backbone under Katz backoff and the sanity readout for
+    * any corpus LM ([[kneserNey]] is the bigram cousin; this is the
+    * unigram "how much probability belongs to words we have never
+    * seen"):
+    *
+    *   N_r = |{w : c(w) = r}|,   r* = (r+1)·N_{r+1}/N_r,
+    *   P₀ = N₁/N   (total tokens N).
+    *
+    * Only the low-count region (`r ≤ maxR`, default 30) is reported —
+    * beyond it N_r is sparse and the raw counts are already reliable
+    * (the standard Katz cutoff); r* is NULL when N_{r+1} = 0 (the
+    * estimator is undefined there, not zero).
+    *
+    * Determinism contract: everything is exact integers until the two
+    * final divisions (r*, P₀), each ONE fixed-order double rounded to
+    * 6dp — no logs, no smoothing regression, nothing engine-varying.
+    *
+    * Scale shape: one token-count aggregate (map-side combined,
+    * vocab-sized), one count-of-counts aggregate over the vocab frame
+    * (grid-sized — distinct r values), a self-join on r+1 over the
+    * ≤maxR rows and two broadcast 1-row totals. Returns one row per
+    * observed r ≤ maxR: `(r, n_r, n_r_next, r_star, p_unseen)`
+    * (p_unseen repeated per row, the benford chi2_total pattern). */
+  def goodTuring(
+      df: DataFrame,
+      textCol: String,
+      maxR: Int = 30,
+      ngram: Int = 1): DataFrame = {
+    require(maxR >= 1, "maxR must be at least 1")
+    require(ngram >= 1, "ngram must be at least 1")
+    val toks = TextFunctions.wsTokens(lower(col(textCol)))
+    // the unit is the word n-gram MULTISET (counts matter — shingleSet
+    // would dedup per doc and corrupt the frequency table); a doc
+    // shorter than n contributes nothing (explode of the empty array)
+    val units = if (ngram == 1) explode(toks)
+      else explode(when(size(toks) >= ngram,
+        transform(sequence(lit(1), size(toks) - (ngram - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(ngram)))))
+        .otherwise(array().cast("array<string>")))
+    val counts = Lineage.cutLocal(df
+      .select(units.as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c")))
+    val cof = Lineage.cutLocal(
+      counts.groupBy(col("__c").as("r")).agg(count(lit(1)).as("n_r")))
+    val totals = broadcast(counts.agg(sum("__c").as("__N")))
+    val n1 = broadcast(cof.filter(col("r") === 1L)
+      .agg(coalesce(sum("n_r"), lit(0L)).as("__n1")))
+    val next = cof.select((col("r") - 1L).as("r"), col("n_r").as("__nr1"))
+    cof.filter(col("r") <= maxR)
+      .join(next, Seq("r"), "left")
+      .crossJoin(totals)
+      .crossJoin(n1)
+      .select(col("r"), col("n_r"),
+        coalesce(col("__nr1"), lit(0L)).as("n_r_next"),
+        when(col("__nr1").isNotNull, round(
+          ((col("r") + 1L) * col("__nr1")).cast("double") /
+            col("n_r").cast("double"), 6)).as("r_star"),
+        round(col("__n1").cast("double") / col("__N").cast("double"), 6)
+          .as("p_unseen"))
+      .orderBy("r")
+  }
 }

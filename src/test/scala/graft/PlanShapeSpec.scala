@@ -647,6 +647,27 @@ class PlanShapeSpec extends AnyFunSuite {
       wins.map(w => w.partitionSpec.mkString("[", ",", "]")).mkString(", "))
   }
 
+  test("aq92 HITS: no cartesian; score-frame joins are key-equi and the " +
+      "top-k windows are side-partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("aq92_hits")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      nodes.map(_.nodeName).mkString(", "))
+    val wins = nodes.collect { case w: WindowExec => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      wins.map(_.partitionSpec.mkString("[", ",", "]")).mkString(", "))
+  }
+
+  test("tq32 burstiness: the top-N is TakeOrdered, never a global sort") {
+    val df = SparkEntry.queries("tq32_burstiness")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
   test("aq76 target encoding: no cartesian — the 1-row global mean broadcasts") {
     val df = SparkEntry.queries("aq76_target_encoding")(spark, sf)
     df.collect()

@@ -229,6 +229,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(oneBatch.values.toSet == Set(3L, 7L, 5L)) // 3 beats 10/20
   }
 
+  test("incrementalNearDup pair table equals one-shot banded candidates " +
+      "for any batch split") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (20L, "the quick brown fox jumps over the lazy dog today"),
+      (7L, "a completely unrelated document about spark plans here"),
+      (5L, "another unique text with its own distinct shingles okay"))
+      .toDF("doc_id", "text")
+    // one-shot baseline: banded candidates over the whole corpus
+    val baseline = Dedup.bucketPairs(
+      Dedup.portableBandKeys(
+        Dedup.portableSigs(docs, "doc_id", "text", 3, 8), 2, 4),
+      Seq("band", "band_key"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(baseline == Set((3L, 10L), (3L, 20L), (10L, 20L)),
+      baseline.toString)
+    def run(nFiles: Int): Set[(Long, Long)] = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-incneardup").toString
+      docs.repartition(nFiles).write.mode("overwrite").parquet(s"$tmp/in")
+      val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+      graft.operators.Dedup.incrementalNearDup(
+        graft.streaming.StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "doc_id", "text", store, "sigs", "pairs", s"$tmp/ckpt")
+        .awaitTermination()
+      store.read("pairs").as[(Long, Long)].collect().toSet
+    }
+    assert(run(1) == baseline)
+    assert(run(4) == baseline)
+  }
+
+  test("captureRecapture: Chapman estimate and union coverage") {
+    // |A|=3, |B|=2, overlap 1: N-hat = 4*3/2 - 1 = 5, coverage 4/5
+    val a = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val b = Seq((1L, 2L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.captureRecapture(a, b)
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(got == Seq((3L, 2L, 1L, 5.0, Some(0.8))), got.toString)
+    // disjoint detectors: m=0 still defined (the Chapman +1s)
+    val disj = Dedup.captureRecapture(a,
+      Seq((7L, 8L)).toDF("id_a", "id_b"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    assert(disj == ((3L, 1L, 0L, 7.0, Some(0.571429))), disj.toString)
+  }
+
   test("duplicateClusters labels components with min id and sizes") {
     // chain 1-2-3 (transitive, NOT a clique) + isolated pair 10-11
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.SparkTestSession
 
 class FeaturesSpec extends AnyFunSuite {
@@ -52,5 +53,26 @@ class FeaturesSpec extends AnyFunSuite {
       (2L, Some("a"), 2L, Some(2.0)),
       // the NULL-key row is NOT dropped: n_key 0, global mean 15/3
       (3L, None, 0L, Some(5.0))), got.toString)
+  }
+
+  test("woeIv: hand-computed WoE, IV total, one-sided bucket NULLs") {
+    // X: 3 pos / 1 neg, Y: 1 pos / 3 neg (G = N = 4):
+    // WoE_X = ln(3) = 1.098612, WoE_Y = -1.098612;
+    // IV = 0.5*1.098612 + 0.5*1.098612 = 1.098612
+    val df = (Seq.fill(3)(("X", true)) ++ Seq(("X", false)) ++
+      Seq(("Y", true)) ++ Seq.fill(3)(("Y", false))).toDF("b", "y")
+    val got = Features.woeIv(df, "b", col("y"))
+      .as[(String, Long, Long, Option[Double], Double)].collect().toSeq
+    assert(got == Seq(
+      ("X", 3L, 1L, Some(1.098612), 1.098612),
+      ("Y", 1L, 3L, Some(-1.098612), 1.098612)), got.toString)
+    // a one-sided bucket has undefined WoE and adds nothing to IV
+    val withZ = (Seq.fill(3)(("X", true)) ++ Seq(("X", false)) ++
+      Seq(("Y", true)) ++ Seq.fill(3)(("Y", false)) ++
+      Seq.fill(2)(("Z", true))).toDF("b", "y")
+    val z = Features.woeIv(withZ, "b", col("y"))
+      .as[(String, Long, Long, Option[Double], Double)].collect().toSeq
+    assert(z.find(_._1 == "Z").get._4.isEmpty, z.toString)
+    assert(z.map(_._5).distinct.size == 1 && !z.head._5.isNaN, z.toString)
   }
 }

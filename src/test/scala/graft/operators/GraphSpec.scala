@@ -113,4 +113,22 @@ class GraphSpec extends AnyFunSuite {
     assert(one == Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 1L)),
       one.toString)
   }
+
+  test("hits: hand-traced 2-iteration hub/authority trajectory") {
+    // edges 1->10, 1->11, 2->10. Round 1: a = (10: 2/3, 11: 1/3),
+    // h = (1: 0.6, 2: 0.4). Round 2: a_raw = (10: 1.0, 11: 0.6),
+    // t = 1.6 -> a = (10: 0.625, 11: 0.375); h_raw = (1: 1.0,
+    // 2: 0.625), t = 1.625 -> h = (1: 1/1.625, 2: 0.625/1.625)
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val got = Graph.hits(edges, iterations = 2)
+      .as[(String, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("authority", 10L, 0.625), ("authority", 11L, 0.375),
+      ("hub", 1L, 0.615384615385), ("hub", 2L, 0.384615384615)),
+      got.toString)
+    // L1 mass: each side sums to ~1 after normalization
+    val mass = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(mass.values.forall(v => math.abs(v - 1.0) < 1e-9), mass.toString)
+  }
 }

@@ -207,6 +207,29 @@ class PackingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("curriculumSchedule equals the window row_number over " +
+      "(bucket, hash, id); buckets cap") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    val rows = rnd.shuffle((1L to 120L).map(i => (i, i * 7 % 600)).toList)
+    val df = rows.toDF("id", "diff").repartition(7)
+    val got = Packing.curriculumSchedule(df, "id", "diff",
+        bucketWidth = 64L, maxBucket = 7L, salt = "c")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // reference: the plain window formulation of the same order
+    val expected = df.select(col("id"),
+        least(expr("cast(diff as bigint) div 64"), lit(7L)).as("bucket"),
+        md5(concat(lit("c"), col("id").cast("string")).cast("binary"))
+          .as("h"))
+      .withColumn("position", row_number().over(
+        Window.orderBy("bucket", "h", "id")).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).max == 7L) // 599 div 64 = 9 capped to 7
+  }
+
   test("interleaveSchedule: weights govern every prefix of the stream") {
     val df = (for (g <- Seq("hi", "lo"); i <- 1 to 50) yield (g, i.toLong))
       .toDF("src", "id")

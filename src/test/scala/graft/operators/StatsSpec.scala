@@ -228,6 +228,100 @@ class StatsSpec extends AnyFunSuite {
       got.head._6 == Some(0.57735), got.toString)
   }
 
+  test("twoProportion: hand-computed pooled z and continuity correction") {
+    // A: 4/10, B: 2/10 -> pooled 0.3, se = sqrt(0.3*0.7*0.2),
+    // z = 0.2/se = 0.9759; corrected |d| = 0.2 - 0.1 -> z_c = 0.488
+    val rows = Seq.fill(4)(("g", true, true)) ++
+      Seq.fill(6)(("g", true, false)) ++
+      Seq.fill(2)(("g", false, true)) ++ Seq.fill(8)(("g", false, false))
+    val got = Stats.twoProportion(rows.toDF("g", "arm", "conv"),
+      converted = col("conv"), armA = col("arm"), groupCols = Seq("g"))
+      .as[(String, Long, Long, Long, Long, Double, Double,
+        Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(("g", 10L, 10L, 4L, 2L, 0.4, 0.2,
+      Some(0.9759), Some(0.488))), got.toString)
+    // an all-converted frame has zero pooled variance: NULL z
+    val flat = Stats.twoProportion(
+      Seq(("g", true, true), ("g", false, true)).toDF("g", "arm", "conv"),
+      col("conv"), col("arm"), Seq("g"))
+      .as[(String, Long, Long, Long, Long, Double, Double,
+        Option[Double], Option[Double])].collect().head
+    assert(flat._8.isEmpty && flat._9.isEmpty, flat.toString)
+  }
+
+  test("cmhTest: hand-computed stratified chi2 and pooled odds ratio") {
+    // stratum s1: a=4 b=1 c=2 d=3 -> E=3, dev=1, V=600/900, ad/n=1.2,
+    // bc/n=0.2; s2: a=3 b=3 c=1 d=3 -> E=2.4, dev=0.6, V=576/900,
+    // ad/n=0.9, bc/n=0.3. chi2 = (1.6-0.5)^2 / 1.3066666667 = 0.92602,
+    // OR_MH = 2.1/0.5 = 4.2
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val df = (stratum("s1", 4, 1, 2, 3) ++ stratum("s2", 3, 3, 1, 3))
+      .toDF("s", "exp", "out")
+    val got = Stats.cmhTest(df, "s", col("exp"), col("out"))
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq((2L, 20L, Some(0.92602), Some(4.2))), got.toString)
+    // a 1-row stratum (V undefined) is excluded, not a crash
+    val tiny = Stats.cmhTest(
+      (stratum("s1", 4, 1, 2, 3) ++ Seq(("s3", true, true)))
+        .toDF("s", "exp", "out"), "s", col("exp"), col("out"))
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    assert(tiny._1 == 1L && tiny._2 == 10L, tiny.toString)
+  }
+
+  test("brownForsythe: hand-computed median-centered F; degenerate NULLs") {
+    // A = {1,3} median 2 -> z {1,1}; B = {2,6,10} median 6 -> z {4,0,4}
+    // zbar_A=1, zbar_B=8/3, grand 2; SSB = 2*1 + 3*(2/3)^2 = 10/3,
+    // SSW = 0 + (32 - 64/3) = 32/3; F = 3 * (10/32) = 0.9375
+    val df = Seq(("A", 1.0), ("A", 3.0), ("B", 2.0), ("B", 6.0),
+      ("B", 10.0)).toDF("g", "v")
+    val got = Stats.brownForsythe(df, "g", "v")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq((2L, 5L, Some(0.9375))), got.toString)
+    // one group: k < 2 -> NULL F, counts survive
+    val one = Stats.brownForsythe(
+      Seq(("A", 1.0), ("A", 3.0)).toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(one == Seq((1L, 2L, None)), one.toString)
+    // identical spreads WITH within-group variation: SSB = 0 -> F = 0
+    val flat = Stats.brownForsythe(
+      Seq(("A", 0.0), ("A", 2.0), ("A", 4.0),
+        ("B", 10.0), ("B", 12.0), ("B", 14.0)).toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(flat == Seq((2L, 6L, Some(0.0))), flat.toString)
+    // zero within-group variation (every z equal): F is 0/0 -> NULL
+    val zeroW = Stats.brownForsythe(
+      Seq(("A", 0.0), ("A", 2.0), ("B", 10.0), ("B", 12.0))
+        .toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(zeroW == Seq((2L, 4L, None)), zeroW.toString)
+  }
+
+  test("ewmaChart: integer fold, hand-computed limit, flag pattern") {
+    // alpha = 1/2: ewma of 0,4,0,8 = 0,2,1,4.5 (exact micro-units);
+    // mu = 3, var = (80 - 36)/3, sigma = sqrt(44/3); lSigma = 0.5 ->
+    // limit = 0.5*sqrt(1/3)*sigma = 1.105542; devs 3,1,2,1.5 ->
+    // flags T,F,T,T
+    val s = Seq(("a", 1L, 0.0), ("a", 2L, 4.0), ("a", 3L, 0.0),
+      ("a", 4L, 8.0)).toDF("k", "t", "y")
+    val got = Stats.ewmaChart(s, "k", "t", "y", 1L, 2L, lSigma = 0.5)
+      .as[(String, Long, Double, Double, Double, Option[Double], Option[Boolean])]
+      .collect().toSeq
+    assert(got.map(_._4) == Seq(0.0, 2.0, 1.0, 4.5), got.toString)
+    assert(got.map(_._5) == Seq(3.0, 1.0, 2.0, 1.5), got.toString)
+    assert(got.forall(_._6 == Some(1.105542)), got.toString)
+    assert(got.map(_._7) == Seq(Some(true), Some(false), Some(true),
+      Some(true)), got.toString)
+    // single-point series: no variance -> NULL limit, NULL flag
+    val single = Stats.ewmaChart(
+      Seq(("z", 1L, 5.0)).toDF("k", "t", "y"), "k", "t", "y", 1L, 2L)
+      .as[(String, Long, Double, Double, Double, Option[Double], Option[Boolean])]
+      .collect().head
+    assert(single._4 == 5.0 && single._6.isEmpty && single._7.isEmpty,
+      single.toString)
+  }
+
   test("invNorm: known quantiles, symmetry, tail branches") {
     assert(math.abs(Stats.invNorm(0.975) - 1.9599639845) < 1e-8)
     assert(math.abs(Stats.invNorm(0.5)) < 1e-12)

@@ -473,4 +473,63 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().toSeq
     assert(got == again)
   }
+
+  test("burstiness: hand-computed Fano factors, absent docs count as zero") {
+    // D=3 docs. 'a': counts (2,1,0) -> C=3, S2=5, mean=1,
+    // fano = (5/3 - 1)/1 = 0.666667; 'b': (1,1,1) -> fano 0 (even)
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.burstiness(docs, "doc_id", "text")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, 3L, 0.666667),
+      ("b", 3L, 3L, 0.0)), got.toString)
+    // topN cuts on (count desc, token)
+    val cut = TextAnalysis.burstiness(docs, "doc_id", "text", topN = 1)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(cut.map(_._1) == Seq("a"), cut.toString)
+  }
+
+  test("entropyRate: templated vs varied bigrams, hand-computed entropies") {
+    // g1 "a b a b": bigrams (a,b)x2, (b,a) -> H(W2|W1) = 0 (every w1
+    // fully determines w2); H(W1) = (2/3)ln(3/2) + (1/3)ln3 = 0.636514
+    // g2 "a b a c": (a,b),(b,a),(a,c) -> H_cond = (2/3)ln2 = 0.462098,
+    // same margin -> ratio 0.725982
+    val docs = Seq(("g1", "a b a b"), ("g2", "a b a c"))
+      .toDF("src", "text")
+    val got = TextAnalysis.entropyRate(docs, "src", "text")
+      .as[(String, Long, Double, Double, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("g1", 3L, 0.0, 0.636514, Some(0.0)),
+      ("g2", 3L, 0.462098, 0.636514, Some(0.725982))), got.toString)
+    // a one-token group has no bigrams and is absent
+    val tiny = TextAnalysis.entropyRate(
+      Seq(("g", "solo")).toDF("src", "text"), "src", "text")
+    assert(tiny.count() == 0)
+  }
+
+  test("goodTuring: count-of-counts, Turing r*, unseen mass, Katz cutoff") {
+    // counts: a=3, b=2, c=2, d=1 -> N=8, N1=1, N2=2, N3=1
+    val docs = Seq("a a a b b c", "c d").toDF("text")
+    val got = TextAnalysis.goodTuring(docs, "text")
+      .as[(Long, Long, Long, Option[Double], Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, Some(4.0), 0.125),   // r* = 2*2/1
+      (2L, 2L, 1L, Some(1.5), 0.125),   // r* = 3*1/2
+      (3L, 1L, 0L, None, 0.125)),       // N4 = 0 -> undefined, not 0
+      got.toString)
+    // the maxR cutoff drops the sparse high-count region
+    val cut = TextAnalysis.goodTuring(docs, "text", maxR = 2)
+      .as[(Long, Long, Long, Option[Double], Double)].collect().toSeq
+    assert(cut.map(_._1) == Seq(1L, 2L), cut.toString)
+    // n-gram units are the MULTISET of sliding windows: "a b a b"
+    // gives bigrams {a b, b a, a b} -> counts 2 and 1; docs shorter
+    // than n contribute nothing
+    val bi = TextAnalysis.goodTuring(
+      Seq("a b a b", "x").toDF("text"), "text", ngram = 2)
+      .as[(Long, Long, Long, Option[Double], Double)].collect().toSeq
+    assert(bi == Seq(
+      (1L, 1L, 1L, Some(2.0), 0.333333),   // r* = 2*1/1
+      (2L, 1L, 0L, None, 0.333333)), bi.toString)
+  }
 }
