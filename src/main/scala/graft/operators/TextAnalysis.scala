@@ -1183,14 +1183,19 @@ object TextAnalysis {
       groupCol: String,
       textCol: String): DataFrame = {
     val toks = TextFunctions.wsTokens(lower(col(textCol)))
-    val pairs = explode(when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"))))
-      .otherwise(expr("cast(array() as array<struct<w1:string,w2:string>>)")))
+    // the bigramNll zip idiom: two slices + arrays_zip + explode — one
+    // vectorized pass, no per-element element_at lambda (the HOF
+    // formulation measured ~7× slower on the same corpus)
     val cells = Lineage.cutLocal(df
-      .select(col(groupCol).as("__g"), pairs.as("__p"))
-      .groupBy(col("__g"), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+      .select(col(groupCol).as("__g"), toks.as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col("__g"),
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1).as("__vs"),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1).as("__ws"))
+      .select(col("__g"), explode(arrays_zip(col("__vs"), col("__ws")))
+        .as("__p"))
+      .groupBy(col("__g"), col("__p.__vs").as("__w1"),
+        col("__p.__ws").as("__w2"))
       .agg(count(lit(1)).as("__c12")))
     val m1 = Lineage.cutLocal(
       cells.groupBy("__g", "__w1").agg(sum("__c12").as("__c1")))
@@ -1256,15 +1261,24 @@ object TextAnalysis {
     val toks = TextFunctions.wsTokens(lower(col(textCol)))
     // the unit is the word n-gram MULTISET (counts matter — shingleSet
     // would dedup per doc and corrupt the frequency table); a doc
-    // shorter than n contributes nothing (explode of the empty array)
-    val units = if (ngram == 1) explode(toks)
-      else explode(when(size(toks) >= ngram,
-        transform(sequence(lit(1), size(toks) - (ngram - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(ngram)))))
-        .otherwise(array().cast("array<string>")))
-    val counts = Lineage.cutLocal(df
-      .select(units.as("__tok"))
-      .groupBy("__tok").agg(count(lit(1)).as("__c")))
+    // shorter than n contributes nothing. Grams come from n shifted
+    // slices zipped together (the bigramNll idiom — one vectorized
+    // pass; the per-element transform/element_at HOF measured ~7×
+    // slower on the same corpus).
+    val gramRows = if (ngram == 1) df.select(explode(toks).as("__tok"))
+      else {
+        val sliced = df.select(toks.as("__tk"))
+          .filter(size(col("__tk")) >= ngram)
+          .select((0 until ngram).map(j =>
+            slice(col("__tk"), lit(j + 1),
+              size(col("__tk")) - (ngram - 1)).as(s"__s$j")): _*)
+        val zipped = arrays_zip((0 until ngram).map(j => col(s"__s$j")): _*)
+        sliced.select(explode(zipped).as("__p"))
+          .select(concat_ws(" ",
+            (0 until ngram).map(j => col(s"__p.__s$j")): _*).as("__tok"))
+      }
+    val counts = Lineage.cutLocal(
+      gramRows.groupBy("__tok").agg(count(lit(1)).as("__c")))
     val cof = Lineage.cutLocal(
       counts.groupBy(col("__c").as("r")).agg(count(lit(1)).as("n_r")))
     val totals = broadcast(counts.agg(sum("__c").as("__N")))
