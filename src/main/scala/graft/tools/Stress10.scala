@@ -143,6 +143,94 @@ object Stress10 {
       "x (window -> prefix-sum on the 10x jittered grid)")
   }
 
+  /** Decade stress for the round-10 operator family. Replication
+    * strategy per operator matches what grows in production: HITS gets
+    * DISJOINT graph copies (per-round work linear in edges);
+    * entropy-rate replicas multiply bigram COUNTS, not vocabulary (the
+    * bigram-LM reasoning — cell frame constant, scan linear);
+    * burstiness replicas shift doc ids (D grows, per-token cell rows
+    * grow linearly); incremental near-dup uses the dq22 marker-token
+    * trick (replicas dissimilar → registry and pairs linear);
+    * curriculum is a prefix-sum rank (linear by construction). Run
+    * alone: `runMain graft.tools.Stress10 r10`. */
+  private def r10Stress(
+      spark: org.apache.spark.sql.SparkSession, sf: String): Unit = {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    def dup(k: Int): DataFrame = (0 until k).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        col("text"))).reduce(_ union _)
+
+    // HITS over disjoint copies of the customer->supplier graph
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = Tables.load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      .localCheckpoint()
+    def graphDup(k: Int): DataFrame = (0 until k).map { i =>
+      val off = lit(i * 100000000L)
+      pairs.select((col("c") + off).as("src"), (col("s") + off).as("dst"))
+    }.reduce(_ union _)
+    val h1 = time("hits_1x")(operators.Graph.hits(graphDup(1), 3).count())
+    val h10 = time("hits_10x")(operators.Graph.hits(graphDup(10), 3).count())
+    slope("hits", h1, h10)
+
+    // entropy rate: replicas multiply counts, the cell frame is fixed
+    def srcDup(k: Int): DataFrame = (0 until k).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        col("text"),
+        (col("doc_id") % 20).cast("string").as("source")))
+      .reduce(_ union _)
+    val e1 = time("entropy_rate_1x")(operators.TextAnalysis.entropyRate(
+      srcDup(1), "source", "text").count())
+    val e10 = time("entropy_rate_10x")(operators.TextAnalysis.entropyRate(
+      srcDup(10), "source", "text").count())
+    slope("entropy_rate", e1, e10)
+
+    // burstiness: 10x docs, same token space
+    val b1 = time("burstiness_1x")(operators.TextAnalysis.burstiness(
+      dup(1), "doc_id", "text").count())
+    val b10 = time("burstiness_10x")(operators.TextAnalysis.burstiness(
+      dup(10), "doc_id", "text").count())
+    slope("burstiness", b1, b10)
+
+    // incremental near-dup: marker-token replicas keep copies
+    // dissimilar, so registry and pair volume grow linearly
+    def auditDocs(k: Int): DataFrame = (0 until k).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        regexp_replace(col("text"), "\\s+", s" x$i ").as("text")))
+      .reduce(_ unionByName _)
+    val tmpRoot = java.nio.file.Files
+      .createTempDirectory("graft-stress-r10").toString
+    def incNd(k: Int, tag: String): Long = {
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "8")
+      try {
+        val tmp = s"$tmpRoot/ind_$tag"
+        auditDocs(k).repartition(3).write.mode("overwrite")
+          .parquet(s"$tmp/in")
+        val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+        operators.Dedup.incrementalNearDup(
+          graft.streaming.StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+          "doc_id", "text", store, "sigs", "pairs", s"$tmp/ckpt")
+          .awaitTermination()
+        store.read("pairs").count()
+      } finally spark.conf.set(key, old)
+    }
+    val i1 = time("inc_neardup_1x")(incNd(1, "1x"))
+    val i10 = time("inc_neardup_10x")(incNd(10, "10x"))
+    slope("inc_neardup", i1, i10)
+
+    // curriculum: range-partitioned prefix-sum rank — linear
+    def toks(k: Int): DataFrame = dup(k).select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+    val c1 = time("curriculum_1x")(operators.Packing.curriculumSchedule(
+      toks(1), "doc_id", "nt", 64L, 7L, "c").count())
+    val c10 = time("curriculum_10x")(operators.Packing.curriculumSchedule(
+      toks(10), "doc_id", "nt", 64L, 7L, "c").count())
+    slope("curriculum", c1, c10)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-stress10")
@@ -151,6 +239,11 @@ object Stress10 {
     if (args.contains("jitter")) {
       // grid-growth stress alone (the full decade sweep is ~30 min)
       jitterStress(spark, sf)
+      spark.stop()
+      return
+    }
+    if (args.contains("r10")) {
+      r10Stress(spark, sf)
       spark.stop()
       return
     }
@@ -480,6 +573,7 @@ object Stress10 {
     slope("lsh_recall", dq22a, dq22b)
 
     jitterStress(spark, sf)
+    r10Stress(spark, sf)
 
     spark.stop()
   }
