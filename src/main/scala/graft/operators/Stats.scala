@@ -1804,6 +1804,63 @@ object Stats {
       .select("n", "k_x", "k_y", "h_x", "h_y", "mi_nats", "nmi")
   }
 
+  /** Cohen's d / Hedges' g standardized effect size per group — the
+    * magnitude readout that [[abTest]]'s z deliberately is not (a z
+    * says "real"; d says "big enough to care about" — at 100 TB every
+    * difference is significant and ONLY effect size ranks launches):
+    *
+    *   d = (m₁ − m₂) / s_pooled,
+    *   s²_pooled = ((n₁−1)s₁² + (n₂−1)s₂²) / (n₁+n₂−2),
+    *   g = d·(1 − 3/(4(n₁+n₂) − 9))   (the small-sample bias factor).
+    *
+    * Determinism contract: the abTest exact-decimal sufficient
+    * statistics (Σv as decimal(18,4), Σv² rounded to 8dp
+    * decimal(28,8)); means, variances, d and g are fixed-order double
+    * expressions rounded to 6dp. Arms under 2 observations or zero
+    * pooled variance report NULL d and g.
+    *
+    * Scale shape: ONE conditional aggregate over the group keys with
+    * map-side partials (the abTest shape). Returns one row per group:
+    * `(group..., n_a, n_b, mean_a, mean_b, cohens_d, hedges_g)`. */
+  def effectSize(
+      df: DataFrame,
+      metricCol: String,
+      armA: Column,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = col(metricCol)
+    val dec = v.cast("decimal(18,4)")
+    val sq = round(v * v, 8).cast("decimal(28,8)")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(when(armA, v)).as("n_a"),
+        count(when(!armA, v)).as("n_b"),
+        sum(when(armA, dec)).as("__sv_a"),
+        sum(when(!armA, dec)).as("__sv_b"),
+        sum(when(armA, sq)).as("__ss_a"),
+        sum(when(!armA, sq)).as("__ss_b"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    // means show for ANY non-empty arm (abTest parity); only the
+    // variances need n >= 2 — both denominators NULL-guarded at the
+    // source (the cuped CSE lesson)
+    val ma = col("__sv_a").cast("double") / when(col("n_a") > 0L, na)
+    val mb = col("__sv_b").cast("double") / when(col("n_b") > 0L, nb)
+    val (naS, nbS) = (when(col("n_a") >= 2L, na), when(col("n_b") >= 2L, nb))
+    val va = (col("__ss_a").cast("double") - na * ma * ma) / (naS - 1.0)
+    val vb = (col("__ss_b").cast("double") - nb * mb * mb) / (nbS - 1.0)
+    val sp2 = ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+    val d = (ma - mb) / sqrt(when(sp2 > 0.0, sp2))
+    val corr = lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9.0)
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("n_a"), col("n_b"),
+        round(ma, 6).as("mean_a"),
+        round(mb, 6).as("mean_b"),
+        round(d, 6).as("cohens_d"),
+        round(d * corr, 6).as("hedges_g")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
   /** Two-proportion z-test with Yates continuity correction — the
     * conversion-rate comparison that [[abTest]]'s Welch z is NOT
     * (Welch treats the metric as continuous; a 0/1 conversion wants

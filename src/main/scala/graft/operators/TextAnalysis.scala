@@ -1110,6 +1110,80 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978) — V(N) ≈ K·N^β over
+    * a fixed grid of corpus checkpoints: how fast does the vocabulary
+    * grow as the corpus grows? β ≈ 0.4–0.6 is natural text; β near 0
+    * is a closed/templated vocabulary; β near 1 is id-like noise
+    * tokens. The tokenizer-sizing companion to [[vocabCoverage]]
+    * (coverage sizes a vocab for TODAY's corpus; Heaps extrapolates
+    * what the next 10× of data will add).
+    *
+    * Checkpoints are id-prefix cuts c_k = ⌊maxId·k/P⌋ — a token's
+    * FIRST-seen doc id decides when it enters the vocabulary, so
+    * V(c) = |{w : firstSeen(w) ≤ c}| needs no ordered scan, just one
+    * min-aggregate and a P-way broadcast fanout. The fit is the
+    * zipfProfile least-squares discipline over the ≤P (ln N, ln V)
+    * points (10dp-rounded coordinates, exact decimal sums, closed-form
+    * slope; the intercept derives from the ROUNDED β and is reported
+    * as ln K — no engine-varying exp in the readout).
+    *
+    * Scale shape: one token explode + min-aggregate (vocab-sized), one
+    * doc-length projection, two broadcast non-equi fanouts against the
+    * P-row checkpoint frame (map-side partials into P cells), a P-row
+    * fit. Returns one row per checkpoint:
+    * `(checkpoint, n_tokens, vocab, beta, log_k)` with the fit
+    * repeated per row (the benford pattern). */
+  def heapsFit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 2, "need at least 2 checkpoints")
+    val toks = TextFunctions.wsTokens(lower(col(textCol)))
+    val docLens = Lineage.cutLocal(df.select(
+      col(idCol).cast("long").as("__id"), size(toks).cast("long").as("__nt")))
+    val firstSeen = Lineage.cutLocal(df
+      .select(col(idCol).cast("long").as("__id"), explode(toks).as("__tok"))
+      .groupBy("__tok").agg(min("__id").as("__first")))
+    val cps = Lineage.cutLocal(docLens.agg(max("__id").as("__mx"))
+      .select(explode(expr(
+        s"transform(sequence(1, $checkpoints), k -> (__mx * k) div $checkpoints)"))
+        .as("checkpoint"))
+      .dropDuplicates("checkpoint"))
+    val nAt = docLens.join(broadcast(cps), col("__id") <= col("checkpoint"))
+      .groupBy("checkpoint").agg(sum("__nt").as("n_tokens"))
+    val vAt = firstSeen.join(broadcast(cps), col("__first") <= col("checkpoint"))
+      .groupBy("checkpoint").agg(count(lit(1)).as("vocab"))
+    val pts = nAt.join(vAt, Seq("checkpoint"))
+      .filter(col("n_tokens") > 0L && col("vocab") > 0L)
+      .select(col("checkpoint"), col("n_tokens"), col("vocab"),
+        round(log(col("n_tokens").cast("double")), 10).as("__x"),
+        round(log(col("vocab").cast("double")), 10).as("__y"))
+      .transform(Lineage.cutLocal)
+    val dec = (c: Column) => round(c, 10).cast("decimal(28,10)")
+    val sums = pts.agg(
+      count(lit(1)).cast("double").as("__n"),
+      round(sum(dec(col("__x"))).cast("double"), 8).as("__sx"),
+      round(sum(dec(col("__y"))).cast("double"), 8).as("__sy"),
+      round(sum(dec(col("__x") * col("__y"))).cast("double"), 8).as("__sxy"),
+      round(sum(dec(col("__x") * col("__x"))).cast("double"), 8).as("__sxx"))
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    // fewer than 2 points has no slope — and with ONE nonzero point
+    // the rounded sums leave den a hair off exact zero, so the count
+    // guard is explicit, not inferred from den
+    val fit = sums.select(
+      round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+        when(col("__n") < 2.0 || den === 0.0, lit(null)).otherwise(den),
+        6).as("beta"),
+      col("__n"), col("__sx"), col("__sy"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("checkpoint"), col("n_tokens"), col("vocab"),
+        col("beta"),
+        round((col("__sy") - col("beta") * col("__sx")) / col("__n"), 6)
+          .as("log_k"))
+      .orderBy("checkpoint")
+  }
+
   /** Token burstiness — the Fano factor (variance-to-mean ratio) of
     * each token's per-document counts over the WHOLE corpus (absent
     * docs count as zero): function words spread evenly (Fano ≈ 1,

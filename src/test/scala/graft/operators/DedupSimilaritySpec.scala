@@ -263,6 +263,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(run(4) == baseline)
   }
 
+  test("minhashEstimateAudit: exact duplicates estimate perfectly; " +
+      "bias bounded by MAE") {
+    // 3 identical docs: every candidate pair has est = 1 and J = 1
+    val dups = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (9L, "a completely different document about spark physical plans"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashEstimateAudit(dups, "doc_id", "text")
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(got == ((3L, Some(0.0), Some(0.0))), got.toString)
+    // a near-dup corpus: MAE in [0,1] and |bias| <= MAE
+    val near = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val n = Dedup.minhashEstimateAudit(near, "doc_id", "text")
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(n._1 > 0 && n._2.get >= 0.0 && n._2.get <= 1.0 &&
+      math.abs(n._3.get) <= n._2.get + 1e-9, n.toString)
+  }
+
   test("captureRecapture: Chapman estimate and union coverage") {
     // |A|=3, |B|=2, overlap 1: N-hat = 4*3/2 - 1 = 5, coverage 4/5
     val a = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")

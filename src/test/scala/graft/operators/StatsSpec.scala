@@ -228,6 +228,28 @@ class StatsSpec extends AnyFunSuite {
       got.head._6 == Some(0.57735), got.toString)
   }
 
+  test("effectSize: hand-computed pooled d and Hedges correction") {
+    // A = {1,2,3} (mean 2, var 1), B = {4,6} (mean 5, var 2):
+    // sp2 = 4/3, d = -3/sqrt(4/3) = -2.598076,
+    // g = d * (1 - 3/11) = -1.88951
+    val df = Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 4.0), (false, 6.0)).map { case (a, v) => ("g", a, v) }
+      .toDF("g", "arm", "v")
+    val got = Stats.effectSize(df, "v", col("arm"), Seq("g"))
+      .as[(String, Long, Long, Double, Double,
+        Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(("g", 3L, 2L, 2.0, 5.0,
+      Some(-2.598076), Some(-1.88951))), got.toString)
+    // a 1-observation arm: means survive, d/g NULL
+    val thin = Stats.effectSize(
+      Seq(("g", true, 1.0), ("g", false, 2.0), ("g", false, 3.0))
+        .toDF("g", "arm", "v"), "v", col("arm"), Seq("g"))
+      .as[(String, Long, Long, Double, Double,
+        Option[Double], Option[Double])].collect().head
+    assert(thin._4 == 1.0 && thin._5 == 2.5 &&
+      thin._6.isEmpty && thin._7.isEmpty, thin.toString)
+  }
+
   test("twoProportion: hand-computed pooled z and continuity correction") {
     // A: 4/10, B: 2/10 -> pooled 0.3, se = sqrt(0.3*0.7*0.2),
     // z = 0.2/se = 0.9759; corrected |d| = 0.2 - 0.1 -> z_c = 0.488

@@ -474,6 +474,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == again)
   }
 
+  test("heapsFit: first-seen vocabulary growth and the 2-point fit") {
+    // checkpoints at ids 2 and 4: N(2)=4,V(2)=3; N(4)=7,V(4)=4 ->
+    // beta = slope of (ln4,ln3)-(ln7,ln4) via the least-squares
+    // pipeline = 0.514071, log_k = 0.385958
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.heapsFit(docs, "doc_id", "text",
+        checkpoints = 2)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      (2L, 4L, 3L, Some(0.514071), Some(0.385958)),
+      (4L, 7L, 4L, Some(0.514071), Some(0.385958))), got.toString)
+    // a single populated checkpoint cannot support a slope: explicit
+    // NULL fit (rounded sums leave the denominator a hair off zero,
+    // so the guard is on the point count, not den)
+    val one = TextAnalysis.heapsFit(
+      Seq((5L, "a b c")).toDF("doc_id", "text"), "doc_id", "text",
+      checkpoints = 3)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(one == Seq((5L, 3L, 3L, None, None)), one.toString)
+  }
+
   test("burstiness: hand-computed Fano factors, absent docs count as zero") {
     // D=3 docs. 'a': counts (2,1,0) -> C=3, S2=5, mean=1,
     // fano = (5/3 - 1)/1 = 0.666667; 'b': (1,1,1) -> fano 0 (even)
