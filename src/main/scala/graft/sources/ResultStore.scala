@@ -519,28 +519,77 @@ class ResultStore(spark: SparkSession, root: String) {
     * materialization is the touched-file list, bounded by the file
     * count like every manifest operation. Write the initial table
     * range-partitioned on the key (`repartitionByRange`) so file key
-    * ranges are disjoint and a narrow update batch touches few files. */
+    * ranges are disjoint and a narrow update batch touches few files;
+    * rewritten files are re-range-partitioned on the key so ranges
+    * STAY disjoint across incremental commits. Returns how many prior
+    * data files were rewritten vs hard-linked unchanged — the
+    * per-commit cost readout an incremental caller asserts on. */
   def mergePruned(
       schema: String,
       source: DataFrame,
       keyCol: String,
-      deleteWhen: Option[org.apache.spark.sql.Column] = None): Unit = {
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): PrunedCommit = {
     def notMarked(df: DataFrame) =
       deleteWhen.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
-    def fullRewrite(): Unit = {
-      val stored = read(schema)
-      val survivors = stored.join(source.select(keyCol), Seq(keyCol), "left_anti")
-      commitWithStats(schema,
-        survivors.unionByName(notMarked(source), allowMissingColumns = true),
-        keyCol)
+    prunedCore(schema, source, keyCol,
+      initial = notMarked(source),
+      combine = (storedTouched, src) => storedTouched
+        .join(src.select(keyCol), Seq(keyCol), "left_anti")
+        .unionByName(notMarked(src), allowMissingColumns = true),
+      allowWidening = true)
+  }
+
+  /** Copy-on-write upsert through the file-pruned path. */
+  def upsertPruned(schema: String, df: DataFrame, keyCol: String): PrunedCommit =
+    mergePruned(schema, df, keyCol, deleteWhen = None)
+
+  /** Set-union INSERT through the file-pruned path: the committed
+    * table becomes `stored ∪ source` with full-row duplicates removed
+    * — the idempotent-insert shape an at-least-once incremental
+    * registry needs (a replayed batch re-inserts rows that are
+    * already present and the table is unchanged). Unlike
+    * [[mergePruned]], stored rows sharing a key with a source row
+    * SURVIVE — nothing is deleted, ever. Pruning is sound because a
+    * stored row equal to a source row necessarily lies in a file whose `keyCol`
+    * range contains that key (it IS that key), i.e. a touched file;
+    * dedup therefore only needs touched-file rows + source. The first
+    * commit takes `source` verbatim — the caller controls layout
+    * (range-partition it on `keyCol`) and initial distinctness. */
+  def insertDistinctPruned(
+      schema: String, source: DataFrame, keyCol: String): PrunedCommit =
+    prunedCore(schema, source, keyCol,
+      initial = source,
+      combine = (storedTouched, src) => storedTouched.unionByName(src).distinct(),
+      allowWidening = false)
+
+  private def prunedCore(
+      schema: String,
+      source: DataFrame,
+      keyCol: String,
+      initial: => DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame,
+      allowWidening: Boolean): PrunedCommit = {
+    def fullRewrite(): PrunedCommit = {
+      val prevFiles = currentVersion(schema)
+        .map(v => dataFiles(versionDir(schema, v)).length).getOrElse(0)
+      commitWithStats(schema, combine(read(schema), source), keyCol)
+      PrunedCommit(rewrittenFiles = prevFiles, carriedFiles = 0)
     }
-    if (!exists0(schema)) { commitWithStats(schema, notMarked(source), keyCol); return }
+    if (!exists0(schema)) {
+      commitWithStats(schema, initial, keyCol)
+      return PrunedCommit(rewrittenFiles = 0, carriedFiles = 0)
+    }
     // schema evolution (source adds columns) would leave the carried-
     // forward files narrower than the rewritten ones — a mixed-schema
     // version directory plain parquet reads resolve arbitrarily. A
     // widening merge therefore rewrites everything once; subsequent
     // same-shape merges prune again.
     val widens = (source.columns.toSet -- read(schema).columns.toSet).nonEmpty
+    if (widens && !allowWidening)
+      throw new IllegalArgumentException(
+        s"insertDistinctPruned('$schema'): source adds columns " +
+          s"${(source.columns.toSet -- read(schema).columns.toSet).mkString(", ")} " +
+          "— set-union insert requires an identical schema")
     val prev = currentVersion(schema).get
     readStats(schema, prev, keyCol) match {
       case None => fullRewrite()
@@ -571,10 +620,13 @@ class ResultStore(spark: SparkSession, root: String) {
           else
             spark.read.schema(read(schema).schema)
               .parquet(touchedFiles.map(_.getPath).toIndexedSeq: _*)
-        val survivors =
-          storedTouched.join(source.select(keyCol), Seq(keyCol), "left_anti")
-        val merged =
-          survivors.unionByName(notMarked(source), allowMissingColumns = true)
+        // re-range-partition the rewrite so the new files' key ranges
+        // stay disjoint from each other AND from the carried files —
+        // without this, one wide-range rewrite file would be touched
+        // by every subsequent commit and pruning would decay to a
+        // full rewrite
+        val merged = combine(storedTouched, source)
+          .repartitionByRange(math.max(1, touchedFiles.length), col(keyCol))
 
         val version = nextVersion(schema)
         val newDir = versionDir(schema, version)
@@ -605,12 +657,41 @@ class ResultStore(spark: SparkSession, root: String) {
           committedMeta(schema)) // table-properties carry
         beforeSwapHook()
         flipPointer(schema, version, keepPrevious = Some(prev))
+        PrunedCommit(rewrittenFiles = touchedFiles.length,
+          carriedFiles = untouchedFiles.length)
     }
   }
 
-  /** Copy-on-write upsert through the file-pruned path. */
-  def upsertPruned(schema: String, df: DataFrame, keyCol: String): Unit =
-    mergePruned(schema, df, keyCol, deleteWhen = None)
+  /** Read ONLY the stored rows whose `keyCol` value appears in `keys` —
+    * the point-lookup side of an incremental merge ("what does the
+    * registry already say about THIS batch's keys"). With a key-range
+    * sidecar the scan opens only the files whose range can contain a
+    * requested key — O(touched files), not O(table) — then a left-semi
+    * join keeps exactly the requested keys. Without a sidecar
+    * (foreign commit / different merge key) it degrades to one full
+    * scan with the semi-join; the next pruned commit re-establishes
+    * the sidecar. `keys` is evaluated twice (file pruning + the
+    * semi-join) — hand it a localCheckpointed frame. */
+  def readForKeys(schema: String, keys: DataFrame, keyCol: String): DataFrame = {
+    val stored = read(schema)
+    val pruned = readStats(schema, currentVersion(schema).get, keyCol) match {
+      case None => stored
+      case Some(stats) =>
+        val keyType = stored.schema(keyCol).dataType
+        val ranges = broadcast(stats.select(col("file"),
+          col("kmin").cast(keyType).as("__lo"),
+          col("kmax").cast(keyType).as("__hi")))
+        val touched = keys.select(col(keyCol).as("__sk"))
+          .join(ranges, col("__sk") >= col("__lo") && col("__sk") <= col("__hi"))
+          .select("file").distinct().collect().map(_.getString(0)).toSet
+        val files = dataFiles(versionDir(schema, currentVersion(schema).get))
+          .filter(f => touched.contains(f.getName))
+        if (files.isEmpty) stored.limit(0)
+        else spark.read.schema(stored.schema)
+          .parquet(files.map(_.getPath).toIndexedSeq: _*)
+    }
+    pruned.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+  }
 
   /** OPTIMIZE-style bin-pack compaction (the small-file problem is the
     * canonical lake-maintenance operation — every append-heavy table
@@ -731,4 +812,14 @@ class ResultStore(spark: SparkSession, root: String) {
         merge(schema, batch, keyCol, deleteWhen)
       }
       .start()
+}
+
+/** Outcome of a file-pruned commit: how many of the prior generation's
+  * data files were rewritten vs hard-linked unchanged into the new
+  * version. An incremental pipeline's scale invariant is
+  * `rewrittenFiles` tracking the BATCH's key footprint while
+  * `carriedFiles` grows with the registry — if rewritten grows with
+  * the table, pruning has decayed and total write volume is quadratic. */
+case class PrunedCommit(rewrittenFiles: Int, carriedFiles: Int) {
+  def totalFiles: Int = rewrittenFiles + carriedFiles
 }

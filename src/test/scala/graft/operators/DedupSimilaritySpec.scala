@@ -263,6 +263,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(run(4) == baseline)
   }
 
+  test("incrementalDedup commits are batch-sized, not registry-sized") {
+    // the quadratic-write trap: a 2-doc micro-batch against a 64-doc
+    // registry must rewrite ~2 registry files, not all of them. Batch
+    // order is pinned by file mtime (FileStreamSource processes older
+    // files first): the big file seeds an 8-file registry, then five
+    // 2-doc batches trickle in.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incflat").toString
+    val big = (1L to 64L).map(i => (i, s"seed document number $i with words"))
+      .toDF("doc_id", "text")
+    big.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    Thread.sleep(1200) // distinct mtime second → deterministic order
+    for (b <- 1 to 5) {
+      (0 to 1).map(j => (1000L + b * 10 + j, s"late doc $b $j unique text"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      Thread.sleep(1100)
+    }
+    val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+    val commits = scala.collection.mutable.ArrayBuffer
+      .empty[graft.sources.PrunedCommit]
+    graft.operators.Dedup.incrementalDedup(
+      graft.streaming.StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+      "doc_id", "text", store, "reg", s"$tmp/ckpt",
+      onCommit = (_, c) => commits.synchronized { commits += c })
+      .awaitTermination()
+    assert(store.count("reg") == 74)
+    val trickle = commits.filter(_.totalFiles >= 8) // post-seed commits
+    assert(trickle.size >= 5, commits.mkString(", "))
+    trickle.foreach { c =>
+      assert(c.rewrittenFiles <= 2,
+        s"2-key batch rewrote ${c.rewrittenFiles} files: $commits")
+      assert(c.carriedFiles >= 6, commits.mkString(", "))
+    }
+  }
+
   test("minhashEstimateAudit: exact duplicates estimate perfectly; " +
       "bias bounded by MAE") {
     // 3 identical docs: every candidate pair has est = 1 and J = 1

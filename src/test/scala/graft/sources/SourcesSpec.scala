@@ -359,6 +359,71 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.count("c") == 50)
   }
 
+  test("insertDistinctPruned: set-union, replay is a no-op, nothing deleted") {
+    val store = new ResultStore(spark, tmpDir())
+    val base = (1L to 100L).map(k => KV(k, "v" + k)).toDF()
+      .repartitionByRange(4, col("k"))
+    store.insertDistinctPruned("u", base, "k")
+    // same key, DIFFERENT row → both survive (no delete-by-key)
+    val batch = Seq(KV(10L, "other"), KV(10L, "v10"), KV(500L, "new")).toDF()
+    val c1 = store.insertDistinctPruned("u", batch, "k")
+    assert(store.count("u") == 102) // v10 dupe dropped, other+new added
+    assert(c1.rewrittenFiles <= 2 && c1.carriedFiles >= 3, c1.toString)
+    // at-least-once replay: identical batch leaves the table unchanged
+    val before = store.read("u").collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    store.insertDistinctPruned("u", batch, "k")
+    val after = store.read("u").collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    assert(before == after)
+    // widening source is rejected (set-union needs identical schema)
+    intercept[IllegalArgumentException](store.insertDistinctPruned("u",
+      Seq((1L, "x", 2.0)).toDF("k", "v", "w"), "k"))
+  }
+
+  test("readForKeys returns exactly the stored rows for the requested keys") {
+    val store = new ResultStore(spark, tmpDir())
+    store.upsertPruned("rk",
+      (1L to 200L).map(k => KV(k, "v" + k)).toDF()
+        .repartitionByRange(4, col("k")), "k")
+    val got = store.readForKeys("rk",
+      Seq(7L, 42L, 9999L).toDF("k"), "k").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got == Map(7L -> "v7", 42L -> "v42")) // absent key → no row
+    // no sidecar (foreign overwrite) still answers correctly
+    store.overwrite("rk", Seq(KV(1, "o1"), KV(2, "o2")).toDF())
+    val got2 = store.readForKeys("rk", Seq(2L, 3L).toDF("k"), "k").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got2 == Map(2L -> "o2"))
+  }
+
+  test("pruned commits stay batch-sized while the registry grows") {
+    // the quadratic-write trap: N incremental batches must not each
+    // rewrite the whole registry. 32-file registry, 5-key batches →
+    // every commit rewrites at most 5 files (one per key range hit,
+    // plus inserts landing in existing ranges), carries the rest.
+    val store = new ResultStore(spark, tmpDir())
+    store.upsertPruned("reg",
+      (1L to 10000L).map(k => KV(k, "v" + k)).toDF()
+        .repartitionByRange(32, col("k")), "k")
+    var rows = 10000L
+    for (b <- 1 to 6) {
+      val upd = Seq(KV(b * 700L, "upd"), KV(b * 1300L, "upd"),
+        KV(b * 999L, "upd"), KV(100000L + b, "ins"), KV(200000L + b, "ins"))
+        .toDF().as[KV].toDF()
+      val c = store.upsertPruned("reg", upd, "k")
+      // O(batch keys), with a small slack for range-boundary overlap
+      // between insert files accreted by earlier batches — NEVER the
+      // 32-file registry
+      assert(c.rewrittenFiles <= 2 * 5,
+        s"batch $b rewrote ${c.rewrittenFiles} files — pruning decayed")
+      assert(c.carriedFiles >= c.totalFiles - 2 * 5,
+        s"batch $b carried only ${c.carriedFiles}/${c.totalFiles}")
+      rows += 2 // 3 updates in place, 2 inserts
+      assert(store.count("reg") == rows)
+    }
+  }
+
   test("result store: delete by predicate") {
     val store = new ResultStore(spark, tmpDir())
     store.insert("d", Seq(KV(1, "a"), KV(2, "b"), KV(3, "ab")).toDF())
