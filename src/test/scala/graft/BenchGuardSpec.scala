@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench noise guard (Bench.guardedMedian family) — born from the
+  * round-10 driver bench, where a loaded window poisoned aq5_json's
+  * warmup AND both timed runs (6.32 s recorded vs 0.47 s steady, 19×).
+  * The guard arbitrates any fresh median >3× the committed artifact
+  * with one re-measurement round and keeps the min of medians: noise
+  * spikes are discarded, real regressions stay visible. */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("synthetic slow run: noise spike re-measures back to steady state") {
+    // committed 0.47s, loaded-window fresh median 6.32s (the aq5_json
+    // shape); the injected re-measurement lands at steady state
+    var remeasured = 0
+    val got = Bench.guardedMedian(6.32, Some(0.47), () => {
+      remeasured += 1; 0.51
+    })
+    assert(remeasured == 1)
+    assert(got == 0.51)
+  }
+
+  test("real regression survives the guard") {
+    // code got genuinely 5× slower: the re-measurement is slow too and
+    // the regression is REPORTED, not laundered away
+    val got = Bench.guardedMedian(2.5, Some(0.5), () => 2.4)
+    assert(got == 2.4) // min of two honest slow medians
+  }
+
+  test("no re-measure inside 3×, for new queries, or vs a 0 committed") {
+    var called = false
+    val boom = () => { called = true; 0.0 }
+    assert(Bench.guardedMedian(1.4, Some(0.5), boom) == 1.4) // 2.8× ok
+    assert(Bench.guardedMedian(9.9, None, boom) == 9.9)      // fresh query
+    assert(Bench.guardedMedian(9.9, Some(0.0), boom) == 9.9) // degenerate
+    assert(!called)
+  }
+
+  test("committedQueries parses the artifact line, skipping err rows") {
+    val line = """{"metric":"total","value":12.3,"unit":"sec",""" +
+      """"queries":{"q1_agg":0.47,"aq5_json":1.2e-1,"st2_broken":"err",""" +
+      """"dq7_x":2.0},"first_run":{"q1_agg":0.5},"sf":"/x"}"""
+    val got = Bench.committedQueries(line)
+    assert(got == Map("q1_agg" -> 0.47, "aq5_json" -> 0.12, "dq7_x" -> 2.0))
+    assert(Bench.committedQueries("not json").isEmpty)
+    assert(Bench.committedQueries("").isEmpty)
+  }
+
+  test("the committed artifact itself parses and covers the registry") {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("bench_results.json"))
+    val got = Bench.committedQueries(text)
+    // every parsed value is a sane wall time; coverage vs the registry
+    // is RepoHygieneSpec's assertion — here we pin that the guard's
+    // parser sees the same artifact the driver writes
+    assert(got.nonEmpty)
+    assert(got.values.forall(v => v > 0.0 && v < 600.0))
+    assert(got.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
