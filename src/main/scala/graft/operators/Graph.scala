@@ -39,6 +39,13 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  // iterative trajectories run their rounds inside Lineage.withoutAqe
+  // (see its scaladoc for the measured job-count rationale); round
+  // frames EAGER-cut so their jobs land inside the window
+  private def withoutAqe[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T =
+    Lineage.withoutAqe(spark)(body)
+
   /** PageRank over a directed edge list `(src, dst)` (long node ids,
     * parallel edges count once per occurrence — pre-`distinct` if edge
     * multiplicity should not weight the walk). Returns `(node, rank)`
@@ -61,6 +68,7 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    withoutAqe(edges.sparkSession) {
 
     // ONE edge-sized materialization: the raw edge list, laid out on
     // src (often derived from an expensive upstream join — cutting here
@@ -91,7 +99,8 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(sum(round(col("rank") / col("__outdeg"), 12)
           .cast("decimal(38,12)")).as("__contrib"))
-      ranks = Lineage.cutLazy(
+      // EAGER cut: the round's jobs must run inside the AQE-off window
+      ranks = Lineage.cut(
         nodes.join(contrib, Seq("node"), "left")
           .withColumn("rank",
             round(lit(1.0 - damping) / col("__n") +
@@ -100,6 +109,7 @@ object Graph {
           .drop("__contrib"))
     }
     ranks.select("node", "rank")
+    }
   }
 
   /** [[pageRankKeyed]] over PRE-AGGREGATED parallel-edge weights
@@ -425,37 +435,43 @@ object Graph {
     * Returns `(side, node, score)` with side ∈ {hub, authority}. */
   def hits(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
+    withoutAqe(edges.sparkSession) {
     val linksS = Lineage.cutLocal(
       edges.select(col("src"), col("dst")).repartition(col("src")))
     val linksD = Lineage.cutLocal(linksS.repartition(col("dst")))
     val dec = "decimal(38,12)"
+    // each round's raw-sum frame is localCheckpointed ONCE and shared
+    // by its two consumers — the 1-row L1-total broadcast and the
+    // normalized projection feeding the next side's aggregate (the r10
+    // shape recomputed each raw aggregate for its broadcast total).
+    // The normalized frame EAGER-cuts so the round's jobs run inside
+    // the AQE-off window.
+    def normalized(raw: DataFrame): DataFrame = {
+      val cut = Lineage.cutLocal(raw)
+      Lineage.cut(
+        cut.crossJoin(broadcast(cut.agg(sum("__raw").as("__t"))))
+          .select(col("node"),
+            round(col("__raw").cast("double") / col("__t").cast("double"),
+              12).as("score")))
+    }
     var hubs: DataFrame = Lineage.cutLocal(
       linksS.select(col("src").as("node")).distinct())
       .withColumn("score", lit(1.0))
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
-      val araw = linksS
+      auths = normalized(linksS
         .join(hubs.select(col("node").as("src"), col("score")), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(round(col("score"), 12).cast(dec)).as("__raw"))
-      auths = Lineage.cutLazy(araw
-        .crossJoin(broadcast(araw.agg(sum("__raw").as("__t"))))
-        .select(col("node"),
-          round(col("__raw").cast("double") / col("__t").cast("double"),
-            12).as("score")))
-      val hraw = linksD
+        .agg(sum(round(col("score"), 12).cast(dec)).as("__raw")))
+      hubs = normalized(linksD
         .join(auths.select(col("node").as("dst"), col("score")), "dst")
         .groupBy(col("src").as("node"))
-        .agg(sum(round(col("score"), 12).cast(dec)).as("__raw"))
-      hubs = Lineage.cutLazy(hraw
-        .crossJoin(broadcast(hraw.agg(sum("__raw").as("__t"))))
-        .select(col("node"),
-          round(col("__raw").cast("double") / col("__t").cast("double"),
-            12).as("score")))
+        .agg(sum(round(col("score"), 12).cast(dec)).as("__raw")))
     }
     hubs.select(lit("hub").as("side"), col("node"), col("score"))
       .unionByName(auths.select(
         lit("authority").as("side"), col("node"), col("score")))
+    }
   }
 
   /** GENERATED DuckDB oracle for the aq92 gate: [[hits]] over the

@@ -53,4 +53,23 @@ private[graft] object Lineage {
     * the plan, and it deliberately does NOT upgrade to a reliable
     * checkpoint (see the object doc for why). */
   def cutLocal(df: DataFrame): DataFrame = df.localCheckpoint(false)
+
+  /** Run `body` with adaptive query execution OFF and restore the
+    * session flag afterwards (unset stays unset). AQE materializes
+    * every exchange as its own query-stage JOB — the right call for
+    * one big shuffle whose runtime stats steer a re-plan, pure
+    * scheduling tax for a burst of small actions over tiny frames
+    * (iterative score rounds, store-commit manifest jobs: aq92 HITS
+    * measured 48 jobs with AQE vs 18 scoped-off, wall time followed).
+    * Anything lazy must MATERIALIZE inside the window or its jobs run
+    * later under the caller's conf. Session-conf mutation is
+    * single-driver-scoped, like withStreamPartitions: the gate and
+    * bench run queries sequentially. */
+  def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally before.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }

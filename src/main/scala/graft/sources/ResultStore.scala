@@ -482,31 +482,42 @@ class ResultStore(spark: SparkSession, root: String) {
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(statsPath(schema, version))
 
-  /** The sidecar for `version`, if present AND keyed by `keyCol`;
-    * None means "no pruning possible" (foreign commit, append, or a
+  /** The sidecar rows for `version`, collected in ONE job as
+    * `(file, kmin, kmax)`, if present AND keyed by `keyCol`; None
+    * means "no pruning possible" (foreign commit, append, or a
     * different merge key) and the caller falls back to a full rewrite
-    * — which re-establishes the sidecar. */
-  private def readStats(schema: String, version: String, keyCol: String)
-      : Option[DataFrame] = {
+    * — which re-establishes the sidecar. A single collect: the
+    * manifest is file-count-sized and every consumer (range lookup,
+    * carried-file stats, touched-set probe) derives from the same
+    * array instead of re-scanning the sidecar per use — an
+    * incremental pipeline commits every micro-batch, so manifest jobs
+    * are a per-batch fixed cost worth keeping at one. */
+  private def readStatsRows(schema: String, version: String, keyCol: String)
+      : Option[Array[(String, Option[String], Option[String])]] = {
     val p = new java.io.File(statsPath(schema, version))
     if (!p.isDirectory) None
     else {
-      val df = spark.read.parquet(p.getPath)
-      val keys = df.select("key_col").distinct().collect().map(_.getString(0))
-      if (keys.toSeq == Seq(keyCol)) Some(df) else None
+      val rows = spark.read.parquet(p.getPath)
+        .select("file", "kmin", "kmax", "key_col").collect()
+      if (rows.nonEmpty && rows.forall(_.getString(3) == keyCol))
+        Some(rows.map(r =>
+          (r.getString(0), Option(r.getString(1)), Option(r.getString(2)))))
+      else None
     }
   }
 
   /** Commit `df` as the new table AND write its key-range sidecar, so
     * the next mergePruned can prune. */
   private def commitWithStats(
-      schema: String, df: DataFrame, keyCol: String): Unit = {
+      schema: String, df: DataFrame, keyCol: String,
+      meta: Map[String, String] = Map.empty): Unit = {
     val version = nextVersion(schema)
     val previous = currentVersion(schema)
     val dir = versionDir(schema, version)
+    val effective = if (meta.nonEmpty) meta else committedMeta(schema)
     df.write.mode(SaveMode.Overwrite).parquet(dir.getPath)
     writeStats(computeStats(dir.getPath, keyCol, df.schema), schema, version)
-    writeMeta(dir, committedMeta(schema)) // table-properties carry
+    writeMeta(dir, effective) // table-properties carry (commit()'s rule)
     beforeSwapHook()
     flipPointer(schema, version, keepPrevious = previous)
   }
@@ -528,7 +539,8 @@ class ResultStore(spark: SparkSession, root: String) {
       schema: String,
       source: DataFrame,
       keyCol: String,
-      deleteWhen: Option[org.apache.spark.sql.Column] = None): PrunedCommit = {
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      meta: Map[String, String] = Map.empty): PrunedCommit = {
     def notMarked(df: DataFrame) =
       deleteWhen.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
     prunedCore(schema, source, keyCol,
@@ -536,12 +548,19 @@ class ResultStore(spark: SparkSession, root: String) {
       combine = (storedTouched, src) => storedTouched
         .join(src.select(keyCol), Seq(keyCol), "left_anti")
         .unionByName(notMarked(src), allowMissingColumns = true),
-      allowWidening = true)
+      allowWidening = true, meta = meta)
   }
 
-  /** Copy-on-write upsert through the file-pruned path. */
-  def upsertPruned(schema: String, df: DataFrame, keyCol: String): PrunedCommit =
-    mergePruned(schema, df, keyCol, deleteWhen = None)
+  /** Copy-on-write upsert through the file-pruned path. Like every
+    * mutation, an empty `meta` INHERITS the committed metadata and a
+    * non-empty one replaces it atomically with the data — the hook
+    * non-idempotent incremental sinks use to ride (stream_id,
+    * batch_id) replay markers on batch-sized commits
+    * ([[graft.operators.Materialized.applyBatchOnce]]'s contract,
+    * without forcing a full-table overwrite). */
+  def upsertPruned(schema: String, df: DataFrame, keyCol: String,
+      meta: Map[String, String] = Map.empty): PrunedCommit =
+    mergePruned(schema, df, keyCol, deleteWhen = None, meta = meta)
 
   /** Set-union INSERT through the file-pruned path: the committed
     * table becomes `stored ∪ source` with full-row duplicates removed
@@ -556,11 +575,12 @@ class ResultStore(spark: SparkSession, root: String) {
     * commit takes `source` verbatim — the caller controls layout
     * (range-partition it on `keyCol`) and initial distinctness. */
   def insertDistinctPruned(
-      schema: String, source: DataFrame, keyCol: String): PrunedCommit =
+      schema: String, source: DataFrame, keyCol: String,
+      meta: Map[String, String] = Map.empty): PrunedCommit =
     prunedCore(schema, source, keyCol,
       initial = source,
       combine = (storedTouched, src) => storedTouched.unionByName(src).distinct(),
-      allowWidening = false)
+      allowWidening = false, meta = meta)
 
   private def prunedCore(
       schema: String,
@@ -568,15 +588,16 @@ class ResultStore(spark: SparkSession, root: String) {
       keyCol: String,
       initial: => DataFrame,
       combine: (DataFrame, DataFrame) => DataFrame,
-      allowWidening: Boolean): PrunedCommit = {
+      allowWidening: Boolean,
+      meta: Map[String, String] = Map.empty): PrunedCommit = {
     def fullRewrite(): PrunedCommit = {
       val prevFiles = currentVersion(schema)
         .map(v => dataFiles(versionDir(schema, v)).length).getOrElse(0)
-      commitWithStats(schema, combine(read(schema), source), keyCol)
+      commitWithStats(schema, combine(read(schema), source), keyCol, meta)
       PrunedCommit(rewrittenFiles = prevFiles, carriedFiles = 0)
     }
     if (!exists0(schema)) {
-      commitWithStats(schema, initial, keyCol)
+      commitWithStats(schema, initial, keyCol, meta)
       return PrunedCommit(rewrittenFiles = 0, carriedFiles = 0)
     }
     // schema evolution (source adds columns) would leave the carried-
@@ -591,21 +612,22 @@ class ResultStore(spark: SparkSession, root: String) {
           s"${(source.columns.toSet -- read(schema).columns.toSet).mkString(", ")} " +
           "— set-union insert requires an identical schema")
     val prev = currentVersion(schema).get
-    readStats(schema, prev, keyCol) match {
+    readStatsRows(schema, prev, keyCol) match {
       case None => fullRewrite()
       case Some(_) if widens => fullRewrite()
-      case Some(stats) =>
+      case Some(statRows) => graft.operators.Lineage.withoutAqe(spark) {
+        import spark.implicits._
         val keyType = read(schema).schema(keyCol).dataType
-        val ranges = broadcast(stats.select(col("file"),
-          col("kmin").cast(keyType).as("__lo"),
-          col("kmax").cast(keyType).as("__hi")))
+        val ranges = broadcast(statRows.toSeq.toDF("file", "__kmin", "__kmax")
+          .select(col("file"),
+            col("__kmin").cast(keyType).as("__lo"),
+            col("__kmax").cast(keyType).as("__hi")))
         val touched = source.select(col(keyCol).as("__sk"))
           .join(ranges, col("__sk") >= col("__lo") && col("__sk") <= col("__hi"))
           .select("file").distinct().collect().map(_.getString(0)).toSet
         val prevDir = versionDir(schema, prev)
-        val oldByFile = stats.select("file", "kmin", "kmax").collect()
-          .map(r => r.getString(0) ->
-            (Option(r.getString(1)), Option(r.getString(2)))).toMap
+        val oldByFile = statRows
+          .map(t => t._1 -> (t._2, t._3)).toMap
         // a data file with no stats row holds zero rows (stats derive
         // from the rows themselves — an empty part file contributes
         // none): rewriting it is free and keeps the manifest total
@@ -654,11 +676,12 @@ class ResultStore(spark: SparkSession, root: String) {
             .withColumn("key_col", lit(keyCol)),
           schema, version)
         writeMeta(versionDir(schema, version),
-          committedMeta(schema)) // table-properties carry
+          if (meta.nonEmpty) meta else committedMeta(schema))
         beforeSwapHook()
         flipPointer(schema, version, keepPrevious = Some(prev))
         PrunedCommit(rewrittenFiles = touchedFiles.length,
           carriedFiles = untouchedFiles.length)
+      }
     }
   }
 
@@ -674,21 +697,25 @@ class ResultStore(spark: SparkSession, root: String) {
     * semi-join) — hand it a localCheckpointed frame. */
   def readForKeys(schema: String, keys: DataFrame, keyCol: String): DataFrame = {
     val stored = read(schema)
-    val pruned = readStats(schema, currentVersion(schema).get, keyCol) match {
+    val version = currentVersion(schema).get
+    val pruned = readStatsRows(schema, version, keyCol) match {
       case None => stored
-      case Some(stats) =>
+      case Some(statRows) => graft.operators.Lineage.withoutAqe(spark) {
+        import spark.implicits._
         val keyType = stored.schema(keyCol).dataType
-        val ranges = broadcast(stats.select(col("file"),
-          col("kmin").cast(keyType).as("__lo"),
-          col("kmax").cast(keyType).as("__hi")))
+        val ranges = broadcast(statRows.toSeq.toDF("file", "__kmin", "__kmax")
+          .select(col("file"),
+            col("__kmin").cast(keyType).as("__lo"),
+            col("__kmax").cast(keyType).as("__hi")))
         val touched = keys.select(col(keyCol).as("__sk"))
           .join(ranges, col("__sk") >= col("__lo") && col("__sk") <= col("__hi"))
           .select("file").distinct().collect().map(_.getString(0)).toSet
-        val files = dataFiles(versionDir(schema, currentVersion(schema).get))
+        val files = dataFiles(versionDir(schema, version))
           .filter(f => touched.contains(f.getName))
         if (files.isEmpty) stored.limit(0)
         else spark.read.schema(stored.schema)
           .parquet(files.map(_.getPath).toIndexedSeq: _*)
+      }
     }
     pruned.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
   }

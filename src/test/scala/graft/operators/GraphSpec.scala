@@ -131,4 +131,37 @@ class GraphSpec extends AnyFunSuite {
     val mass = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     assert(mass.values.forall(v => math.abs(v - 1.0) < 1e-9), mass.toString)
   }
+
+  test("iterative trajectories: bounded job count, AQE flag restored") {
+    // AQE turns every exchange into its own query-stage job — pure
+    // scheduling tax on |V|-row score frames (aq92 measured 48 jobs
+    // with AQE vs 18 after the scoped-off window; wall time followed).
+    // Pin an upper bound so a regression back to per-stage jobs fails
+    // loudly, and prove the session flag is restored (even the set
+    // case: the operator must not clobber a caller's explicit choice).
+    val sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val edges = (1L to 200L).map(i => (i % 20, i % 31)).toDF("src", "dst")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      Graph.hits(edges, iterations = 3).count()
+      var last = -1
+      var cur = jobs.get
+      while (cur != last) { Thread.sleep(400); last = cur; cur = jobs.get }
+      // 3 rounds × (2 aggregate/broadcast actions + 2 eager cuts) +
+      // setup + the final count — anything near the AQE-on regime
+      // (~45+) means the scoped-off window regressed
+      assert(cur <= 25, s"hits(3) ran $cur jobs — scheduling regressed")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    } finally {
+      sc.removeSparkListener(listener)
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
 }
