@@ -9710,4 +9710,508 @@ ORDER BY query_id"""
         col("bucket"), col("position"))
       .orderBy("position")
   }
+
+  // ---------------------------------------------------------------------
+  // dq25_minhash_estimate — MinHash ESTIMATOR bias audit
+  // (Dedup.minhashEstimateAudit): for every banded candidate pair,
+  // signature-estimate Ĵ = matches/8 vs exact shingle Jaccard; MAE and
+  // signed bias are the k-sizing readout. Everything past the signature
+  // pass is candidate-sized; the oracle replays the portable hash
+  // family bit-for-bit and the error sums ride 6dp decimals.
+  register(
+    "dq25_minhash_estimate",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), sh AS MATERIALIZED (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3
+      |), hx AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(shingle), 1, 8))::bigint % 2147483647 AS x
+      |  FROM sh
+      |), sig AS MATERIALIZED (
+      |  SELECT doc_id, i,
+      |         min((((2 * i + 1) * 1597334677 % 2147483647) * x +
+      |              (i * 40503 + 7) % 2147483647) % 2147483647) AS m
+      |  FROM hx, unnest(range(8)) t(i)
+      |  GROUP BY 1, 2
+      |), band AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |         string_agg(m::varchar, ',' ORDER BY i) AS key
+      |  FROM sig GROUP BY 1, 2
+      |), cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM band a JOIN band b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      |), est AS (
+      |  SELECT c.id_a, c.id_b,
+      |         count(CASE WHEN sa.m = sb.m THEN 1 END)::double / 8.0 AS est
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.id_a
+      |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      |  GROUP BY 1, 2
+      |), sizes AS MATERIALIZED (
+      |  SELECT doc_id, count(*)::bigint AS n FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT c.id_a, c.id_b, count(*)::bigint AS iv
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2
+      |), per AS (
+      |  SELECT
+      |    round(abs(e.est - round(coalesce(i.iv, 0)::double /
+      |      (na.n + nb.n - coalesce(i.iv, 0))::double, 6)), 6)
+      |      ::decimal(18,6) AS ae,
+      |    round(e.est - round(coalesce(i.iv, 0)::double /
+      |      (na.n + nb.n - coalesce(i.iv, 0))::double, 6), 6)
+      |      ::decimal(18,6) AS er
+      |  FROM est e
+      |  LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+      |  JOIN sizes na ON na.doc_id = e.id_a
+      |  JOIN sizes nb ON nb.doc_id = e.id_b
+      |)
+      |SELECT count(*)::bigint AS n_cand,
+      |  CASE WHEN count(*) > 0 THEN
+      |    round(sum(ae)::double / count(*)::double, 6) END AS mae,
+      |  CASE WHEN count(*) > 0 THEN
+      |    round(sum(er)::double / count(*)::double, 6) END AS bias
+      |FROM per""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.minhashEstimateAudit(
+      t(s, dir, "documents"), "doc_id", "text")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq96_effect_size — standardized effect size per event type
+  // (Stats.effectSize): pooled-SD Cohen's d + Hedges' small-sample
+  // correction, arms by user parity. ONE conditional aggregate over
+  // the group key; sufficient statistics ride exact decimals.
+  register(
+    "aq96_effect_size",
+    """WITH s AS (
+      |  SELECT event_type,
+      |    count(CASE WHEN user_id % 2 = 0 THEN value END)::bigint AS n_a,
+      |    count(CASE WHEN user_id % 2 = 1 THEN value END)::bigint AS n_b,
+      |    sum(CASE WHEN user_id % 2 = 0
+      |        THEN value::decimal(18,4) END) AS sv_a,
+      |    sum(CASE WHEN user_id % 2 = 1
+      |        THEN value::decimal(18,4) END) AS sv_b,
+      |    sum(CASE WHEN user_id % 2 = 0
+      |        THEN round(value * value, 8)::decimal(28,8) END) AS ss_a,
+      |    sum(CASE WHEN user_id % 2 = 1
+      |        THEN round(value * value, 8)::decimal(28,8) END) AS ss_b
+      |  FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT *,
+      |    sv_a::double / (CASE WHEN n_a > 0 THEN n_a::double END) AS ma,
+      |    sv_b::double / (CASE WHEN n_b > 0 THEN n_b::double END) AS mb
+      |  FROM s
+      |), v AS (
+      |  SELECT *,
+      |    (ss_a::double - n_a::double * ma * ma) /
+      |      ((CASE WHEN n_a >= 2 THEN n_a::double END) - 1.0) AS va,
+      |    (ss_b::double - n_b::double * mb * mb) /
+      |      ((CASE WHEN n_b >= 2 THEN n_b::double END) - 1.0) AS vb
+      |  FROM m
+      |), p AS (
+      |  SELECT *,
+      |    ((n_a::double - 1.0) * va + (n_b::double - 1.0) * vb) /
+      |      (n_a::double + n_b::double - 2.0) AS sp2
+      |  FROM v
+      |)
+      |SELECT event_type, n_a, n_b,
+      |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+      |  round((ma - mb) / sqrt(CASE WHEN sp2 > 0.0 THEN sp2 END), 6)
+      |    AS cohens_d,
+      |  round((ma - mb) / sqrt(CASE WHEN sp2 > 0.0 THEN sp2 END) *
+      |        (1.0 - 3.0 / (4.0 * (n_a::double + n_b::double) - 9.0)), 6)
+      |    AS hedges_g
+      |FROM p ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.effectSize(
+      t(s, dir, "events"), "value",
+      armA = col("user_id") % 2 === 0, groupCols = Seq("event_type"))
+  }
+
+  // ---------------------------------------------------------------------
+  // tq33_heaps — Heaps'-law vocabulary-growth fit
+  // (TextAnalysis.heapsFit): cumulative corpus checkpoints by doc id,
+  // first-seen vocabulary counts, log-log least-squares slope beta.
+  // One token pass + checkpoint-sized frames; the 10-point fit rides
+  // 10dp-rounded decimal sums.
+  register(
+    "tq33_heaps",
+    """WITH tk AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), dl AS MATERIALIZED (
+      |  SELECT doc_id, len(tk)::bigint AS nt FROM tk
+      |), fs AS MATERIALIZED (
+      |  SELECT t, min(doc_id) AS first
+      |  FROM (SELECT doc_id, unnest(tk) AS t FROM tk) GROUP BY 1
+      |), cps AS MATERIALIZED (
+      |  SELECT DISTINCT (mx * k) // 10 AS checkpoint
+      |  FROM (SELECT max(doc_id) AS mx FROM dl), unnest(range(1, 11)) u(k)
+      |), pts AS MATERIALIZED (
+      |  SELECT c.checkpoint,
+      |    (SELECT sum(nt)::bigint FROM dl WHERE doc_id <= c.checkpoint)
+      |      AS n_tokens,
+      |    (SELECT count(*)::bigint FROM fs WHERE first <= c.checkpoint)
+      |      AS vocab
+      |  FROM cps c
+      |  WHERE (SELECT sum(nt) FROM dl WHERE doc_id <= c.checkpoint) > 0
+      |    AND (SELECT count(*) FROM fs WHERE first <= c.checkpoint) > 0
+      |), xy AS MATERIALIZED (
+      |  SELECT checkpoint, n_tokens, vocab,
+      |    round(ln(n_tokens::double), 10) AS x,
+      |    round(ln(vocab::double), 10) AS y
+      |  FROM pts
+      |), sums AS (
+      |  SELECT count(*)::double AS n,
+      |    round(sum(round(x, 10)::decimal(28,10))::double, 8) AS sx,
+      |    round(sum(round(y, 10)::decimal(28,10))::double, 8) AS sy,
+      |    round(sum(round(x * y, 10)::decimal(28,10))::double, 8) AS sxy,
+      |    round(sum(round(x * x, 10)::decimal(28,10))::double, 8) AS sxx
+      |  FROM xy
+      |), fit AS (
+      |  SELECT
+      |    round((n * sxy - sx * sy) /
+      |      (CASE WHEN n < 2.0 OR n * sxx - sx * sx = 0.0 THEN NULL
+      |            ELSE n * sxx - sx * sx END), 6) AS beta,
+      |    n, sx, sy
+      |  FROM sums
+      |)
+      |SELECT p.checkpoint, p.n_tokens, p.vocab, f.beta,
+      |  round((f.sy - f.beta * f.sx) / f.n, 6) AS log_k
+      |FROM xy p CROSS JOIN fit f
+      |ORDER BY p.checkpoint""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.heapsFit(
+      t(s, dir, "documents"), "doc_id", "text")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq97_mcnemar — McNemar's paired test (Stats.mcnemar): did the SAME
+  // users flip activity between the first and second half of the
+  // window, per event type. Only discordant cells carry signal; exact
+  // integer b/c from one conditional aggregate; NULL-guarded
+  // denominator. Epoch-day 19738 = 2024-01-16 (the aq80 split).
+  register(
+    "aq97_mcnemar",
+    """WITH u AS (
+      |  SELECT event_type, user_id,
+      |    max(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+      |        THEN 1 ELSE 0 END) = 1 AS x,
+      |    max(CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+      |        THEN 1 ELSE 0 END) = 1 AS y
+      |  FROM events GROUP BY 1, 2
+      |), s AS (
+      |  SELECT event_type,
+      |    count(*)::bigint AS n_pairs,
+      |    count(CASE WHEN x AND NOT y THEN 1 END)::bigint AS b,
+      |    count(CASE WHEN NOT x AND y THEN 1 END)::bigint AS c
+      |  FROM u GROUP BY 1
+      |)
+      |SELECT event_type, n_pairs, b, c,
+      |  round((b::double - c::double) * (b::double - c::double) /
+      |    (CASE WHEN b + c > 0 THEN b::double + c::double END), 6) AS chi2,
+      |  round(greatest(abs(b::double - c::double) - 1.0, 0.0) *
+      |        greatest(abs(b::double - c::double) - 1.0, 0.0) /
+      |    (CASE WHEN b + c > 0 THEN b::double + c::double END), 6)
+      |    AS chi2_corrected
+      |FROM s ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val day = expr("unix_micros(ts) div 86400000000")
+    val units = t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg((max(when(day < 19738L, 1).otherwise(0)) === 1).as("x"),
+        (max(when(day >= 19738L, 1).otherwise(0)) === 1).as("y"))
+    graft.operators.Stats.mcnemar(
+      units, Seq("event_type"), col("x"), col("y"))
+  }
+
+  // ---------------------------------------------------------------------
+  // aq99_trend_test — Cochran–Armitage trend: does the fill rate move
+  // monotonically with the order-priority dose (1-URGENT..5-LOW), per
+  // order year (Stats.cochranArmitage). All sufficient statistics are
+  // exact BIGINT sums from ONE conditional aggregate — no per-level
+  // frame, no pivot; the z readout is one pinned double expression.
+  register(
+    "aq99_trend_test",
+    """WITH s AS (
+      |  SELECT year(o_orderdate)::bigint AS yr,
+      |    count(*)::bigint AS n,
+      |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END)::bigint AS r,
+      |    sum(CASE WHEN o_orderstatus = 'F'
+      |        THEN substr(o_orderpriority, 1, 1)::bigint
+      |        ELSE 0 END)::bigint AS t,
+      |    sum(substr(o_orderpriority, 1, 1)::bigint)::bigint AS s1,
+      |    sum(substr(o_orderpriority, 1, 1)::bigint *
+      |        substr(o_orderpriority, 1, 1)::bigint)::bigint AS s2
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT yr, n, r,
+      |  round((t::double - (r::double / n::double) * s1::double) /
+      |    sqrt(CASE WHEN (r::double / n::double) *
+      |        (1.0 - r::double / n::double) *
+      |        (s2::double - s1::double * s1::double / n::double) > 0.0
+      |      THEN (r::double / n::double) *
+      |        (1.0 - r::double / n::double) *
+      |        (s2::double - s1::double * s1::double / n::double) END),
+      |    6) AS z_trend
+      |FROM s ORDER BY yr""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.cochranArmitage(
+      t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderpriority"), col("o_orderstatus")),
+      Seq("yr"),
+      scoreCol = substring(col("o_orderpriority"), 1, 1),
+      successCol = col("o_orderstatus") === "F")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq98_gini — Gini concentration of order value per priority class
+  // (Stats.gini): ranks from groupedRank's range-partitioned prefix
+  // discipline (no per-group global window), rank-value products as
+  // exact decimals; Σ i·vᵢ is tie-invariant so no unique tie-break is
+  // needed.
+  register(
+    "aq98_gini",
+    """WITH v AS (
+      |  SELECT o_orderpriority, o_totalprice AS v,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice, o_orderkey) AS rk
+      |  FROM orders
+      |), s AS (
+      |  SELECT o_orderpriority, count(*)::bigint AS n,
+      |    sum(v::decimal(18,4)) AS sv,
+      |    sum((rk::decimal(18,0) * v::decimal(18,4))::decimal(38,4)) AS siv
+      |  FROM v GROUP BY 1
+      |)
+      |SELECT o_orderpriority, n,
+      |  round((2.0 * siv::double - (n::double + 1.0) * sv::double) /
+      |    (CASE WHEN sv::double > 0.0
+      |          THEN n::double * sv::double END), 6) AS gini
+      |FROM s ORDER BY o_orderpriority""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.gini(
+      t(s, dir, "orders").select(col("o_orderpriority"), col("o_totalprice")),
+      "o_orderpriority", "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------------
+  // sq21_centroid_drift — per-label embedding-centroid cosine against
+  // the GLOBAL centroid (Similarity.centroidDrift): one data pass to
+  // (label, dim) decimal sums, global sums REUSE the per-label frame,
+  // dot/norm addends 10dp-decimal-summed dim-order-independent.
+  register(
+    "sq21_centroid_drift",
+    """WITH cells AS MATERIALIZED (
+      |  SELECT label, generate_subscripts(embedding, 1) AS d,
+      |    round(unnest(embedding)::double, 6)::decimal(18,6) AS v
+      |  FROM embeddings WHERE embedding IS NOT NULL
+      |), per AS MATERIALIZED (
+      |  SELECT label, d, sum(v) AS s, count(*)::bigint AS n
+      |  FROM cells GROUP BY 1, 2
+      |), g AS MATERIALIZED (
+      |  SELECT d, sum(s) AS gs, sum(n)::bigint AS gn FROM per GROUP BY 1
+      |), dims AS (
+      |  SELECT p.label, p.n,
+      |    round((p.s::double / p.n::double) *
+      |          (g.gs::double / g.gn::double), 10)::decimal(28,10) AS dot,
+      |    round((p.s::double / p.n::double) *
+      |          (p.s::double / p.n::double), 10)::decimal(28,10) AS na,
+      |    round((g.gs::double / g.gn::double) *
+      |          (g.gs::double / g.gn::double), 10)::decimal(28,10) AS ng
+      |  FROM per p JOIN g ON p.d = g.d
+      |), a AS (
+      |  SELECT label, max(n)::bigint AS n_vecs,
+      |    sum(dot) AS sdot, sum(na) AS sna, sum(ng) AS sng
+      |  FROM dims GROUP BY 1
+      |)
+      |SELECT label, n_vecs,
+      |  round(sdot::double /
+      |    (sqrt(CASE WHEN sna::double > 0.0 THEN sna::double END) *
+      |     sqrt(CASE WHEN sng::double > 0.0 THEN sng::double END)), 6)
+      |    AS cos_global
+      |FROM a ORDER BY label""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Similarity.centroidDrift(
+      t(s, dir, "embeddings"), "label", "embedding")
+  }
+
+  // ---------------------------------------------------------------------
+  // st16_incremental_stats — continuous-ingestion per-source statistics
+  // registry (streaming.Registries.incrementalSourceStats): each
+  // micro-batch's delta aggregate merges ADDITIVELY into the persisted
+  // (source → n_docs/n_tokens/n_chars) table through batch-sized
+  // pruned commits, with a (stream_id, batch_id) replay marker riding
+  // the commit metadata (additive merges are not idempotent). The
+  // final registry equals the one-shot batch aggregate for any batch
+  // split — which is exactly what the oracle computes.
+  register(
+    "st16_incremental_stats",
+    """SELECT source AS key, count(*)::bigint AS n_docs,
+      |  sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> len(x) > 0)))::bigint AS n_tokens,
+      |  sum(len(text))::bigint AS n_chars
+      |FROM documents GROUP BY 1 ORDER BY key""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    val tmp = scratchDir("st16")
+    t(s, dir, "documents").select("source", "text")
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    val stream = graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1)
+    graft.streaming.Registries.incrementalSourceStats(
+      stream, "source", "text", store, "stats", "st16", s"$tmp/ckpt")
+      .awaitTermination()
+    store.read("stats").orderBy("key")
+  }}
+
+  // ---------------------------------------------------------------------
+  // aq100_psi — Population Stability Index of the value distribution,
+  // first half vs second half per event type (Stats.psi): fixed
+  // width-50 bucket grid, Laplace-smoothed shares so zero-count sides
+  // are finite with NO epsilon convention, 10dp-decimal term sums.
+  // The 0.1/0.25 action-threshold drift magnitude beside
+  // driftByWindow's significance chi².
+  register(
+    "aq100_psi",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    least(floor(value / 50.0), 19.0)::bigint AS b,
+      |    epoch_us(ts) // 86400000000 < 19738 AS is_ref
+      |  FROM events
+      |), cells AS (
+      |  SELECT event_type, b,
+      |    count(CASE WHEN is_ref THEN 1 END)::bigint AS cr,
+      |    count(CASE WHEN NOT is_ref THEN 1 END)::bigint AS cc
+      |  FROM e GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT event_type, sum(cr)::bigint AS n_ref,
+      |    sum(cc)::bigint AS n_cur, count(*)::bigint AS n_buckets
+      |  FROM cells GROUP BY 1
+      |), terms AS (
+      |  SELECT c.event_type, t.n_ref, t.n_cur, t.n_buckets,
+      |    round(((c.cc + 1)::double / (t.n_cur + t.n_buckets)::double -
+      |           (c.cr + 1)::double / (t.n_ref + t.n_buckets)::double) *
+      |          ln(((c.cc + 1)::double / (t.n_cur + t.n_buckets)::double) /
+      |             ((c.cr + 1)::double / (t.n_ref + t.n_buckets)::double)),
+      |          10)::decimal(28,10) AS term
+      |  FROM cells c JOIN tot t USING (event_type)
+      |)
+      |SELECT event_type, n_ref, n_cur, n_buckets,
+      |  round(sum(term)::double, 6) AS psi
+      |FROM terms GROUP BY 1, 2, 3, 4
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.psi(
+      t(s, dir, "events"),
+      Seq("event_type"),
+      bucketCol = least(floor(col("value") / 50.0), lit(19L)).cast("long"),
+      isRef = expr("unix_micros(ts) div 86400000000") < 19738L)
+  }
+
+  // ---------------------------------------------------------------------
+  // tq34_lang_kappa — Cohen's kappa between the declared lang column
+  // and the stopword-vote detector (Stats.cohenKappa over tq24's
+  // confusion cells): the single-number "is the metadata trustworthy"
+  // readout — chance-corrected, so a corpus dominated by one language
+  // can't fake agreement the way raw accuracy does.
+  register(
+    "tq34_lang_kappa",
+    """WITH t AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |         list_distinct(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, labeled_lang,
+      |         len(list_filter(toks, x -> list_contains(['der','die','das','und','in','den','von','zu','mit','ist'], x))) AS s_de,
+      |         len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','that','it'], x))) AS s_en,
+      |         len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','una','los','es'], x))) AS s_es,
+      |         len(list_filter(toks, x -> list_contains(['le','la','de','et','un','une','les','en','est','que'], x))) AS s_fr,
+      |         len(list_filter(toks, x -> list_contains(['de','shi','bu','le','zai','ren','you','wo','ta','zhe'], x))) AS s_zh
+      |  FROM t
+      |), d AS (
+      |  SELECT labeled_lang,
+      |         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+      |              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+      |              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+      |              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+      |              ELSE 'zh' END AS detected_lang
+      |  FROM s
+      |), cells AS MATERIALIZED (
+      |  SELECT labeled_lang AS a, detected_lang AS b, count(*)::bigint AS n
+      |  FROM d GROUP BY 1, 2
+      |), ra AS (SELECT a, sum(n)::bigint AS ra FROM cells GROUP BY 1
+      |), cb AS (SELECT b, sum(n)::bigint AS cb FROM cells GROUP BY 1
+      |), x AS (
+      |  SELECT sum((ra.ra::decimal(19,0) * cb.cb::decimal(19,0))
+      |    ::decimal(38,0)) AS pe_sum
+      |  FROM ra JOIN cb ON ra.a = cb.b
+      |), a2 AS (
+      |  SELECT sum(n)::bigint AS n,
+      |    sum(CASE WHEN a = b THEN n ELSE 0 END)::bigint AS diag
+      |  FROM cells
+      |)
+      |SELECT n,
+      |  round(diag::double / n::double, 6) AS p_observed,
+      |  round(coalesce(pe_sum::double, 0.0) /
+      |        (n::double * n::double), 6) AS p_expected,
+      |  round((diag::double / n::double -
+      |         coalesce(pe_sum::double, 0.0) / (n::double * n::double)) /
+      |        (CASE WHEN coalesce(pe_sum::double, 0.0) /
+      |                   (n::double * n::double) < 1.0
+      |              THEN 1.0 - coalesce(pe_sum::double, 0.0) /
+      |                   (n::double * n::double) END), 6) AS kappa
+      |FROM a2 CROSS JOIN x""".stripMargin
+  ) { (s, dir) =>
+    val cells = graft.operators.TextAnalysis.langIdByVote(
+        t(s, dir, "documents").withColumnRenamed("lang", "labeled_lang"),
+        "doc_id", "text", carryCols = Seq("labeled_lang"))
+      .groupBy("labeled_lang", "detected_lang")
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Stats.cohenKappa(
+      cells, "labeled_lang", "detected_lang", "n")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq101_theil — Theil T inequality of order value per priority class
+  // (Stats.theil): the entropy-based concentration beside aq98's Gini,
+  // with NO rank pass (one μ aggregate + one per-row 10dp-decimal
+  // term) — at 100 TB that's the difference between a range shuffle
+  // and none, and T decomposes additively for mixture audits.
+  register(
+    "aq101_theil",
+    """WITH v AS (
+      |  SELECT o_orderpriority, o_totalprice::double AS v FROM orders
+      |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0.0
+      |), m AS (
+      |  SELECT o_orderpriority, count(*)::bigint AS n,
+      |         sum(v::decimal(18,4)) AS sv
+      |  FROM v GROUP BY 1
+      |), t AS (
+      |  SELECT v.o_orderpriority, m.n,
+      |    round((v.v / (m.sv::double / m.n::double)) *
+      |          ln(v.v / (m.sv::double / m.n::double)), 10)
+      |      ::decimal(28,10) AS term
+      |  FROM v JOIN m USING (o_orderpriority)
+      |)
+      |SELECT o_orderpriority, n,
+      |  round(sum(term)::double / n::double, 6) AS theil_t
+      |FROM t GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.theil(
+      t(s, dir, "orders").select(col("o_orderpriority"), col("o_totalprice")),
+      "o_orderpriority", "o_totalprice")
+  }
 }

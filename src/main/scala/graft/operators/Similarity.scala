@@ -1123,8 +1123,11 @@ object Similarity {
       topK: Int = 100): DataFrame = {
     require(minSupport >= 1 && maxPerUser >= 2 && topK >= 1,
       "minSupport >= 1, maxPerUser >= 2, topK >= 1")
-    val b = baskets
-      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
+    // the distinct basket frame feeds BOTH the heavy-user degree probe
+    // and the main pass — checkpoint it once or the upstream join +
+    // distinct runs twice (measured ~2x the query's scan cost)
+    val b = Lineage.cutLocal(baskets
+      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct())
     val kept = Lineage.cutLocal(b
       .join(b.groupBy("u").agg(count(lit(1)).as("__nu"))
         .filter(col("__nu") <= maxPerUser).select("u"),
@@ -1149,5 +1152,61 @@ object Similarity {
           .as("cosine"))
       .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
       .limit(topK)
+  }
+
+  /** Per-group embedding-centroid drift — "does each label/source/
+    * shard occupy the same region of embedding space as the corpus":
+    * cosine of every group's mean vector against the GLOBAL mean
+    * vector. Low cosine = the group is directionally displaced — the
+    * embedding-space analog of [[graft.operators.TextAnalysis
+    * .tokenKlDivergence]]'s lexical drift, and the standard cheap
+    * monitor for "did this source's content shift under me" before
+    * re-clustering 100 TB.
+    *
+    * Determinism contract: components round to 6dp and sum as
+    * decimal(18,6) per (group, dim) — exact, order-independent; the
+    * global per-dim sums REUSE the group sums (one aggregate
+    * hierarchy, no second data pass); dot/norm addends round to 10dp
+    * decimal(28,10) before the dim sum (fixed-order-free), and the
+    * final cosine is one pinned double expression rounded to 6dp.
+    * Zero-norm centroids report NULL via the denominator guard.
+    *
+    * Scale shape: ONE pass over the data (posexplode + (group, dim)
+    * aggregate); everything after is groups×dims-sized, with the
+    * global frame broadcast into the dim join. */
+  def centroidDrift(
+      emb: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame = {
+    val cells = emb
+      .filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .select(col("__g"), col("__d"),
+        round(col("__x").cast("double"), 6).cast("decimal(18,6)").as("__v"))
+    val per = Lineage.cutLocal(cells.groupBy("__g", "__d")
+      .agg(sum("__v").as("__s"), count(lit(1)).as("__n")))
+    val global = broadcast(per.groupBy("__d")
+      .agg(sum("__s").as("__gs"), sum("__n").as("__gn")))
+    val m = col("__s").cast("double") / col("__n").cast("double")
+    val gm = col("__gs").cast("double") / col("__gn").cast("double")
+    val dec10 = (x: Column) => round(x, 10).cast("decimal(28,10)")
+    val dims = per.join(global, Seq("__d"))
+      .select(col("__g"), col("__n"),
+        dec10(m * gm).as("__dot"),
+        dec10(m * m).as("__na"),
+        dec10(gm * gm).as("__ng"))
+    val agg = dims.groupBy("__g").agg(
+      max("__n").as("n_vecs"), // every dim of a group counts the same rows
+      sum("__dot").as("__sdot"),
+      sum("__na").as("__sna"),
+      sum("__ng").as("__sng"))
+    agg.select(col("__g").as(groupCol), col("n_vecs"),
+      round(col("__sdot").cast("double") /
+        (sqrt(when(col("__sna").cast("double") > 0.0,
+          col("__sna").cast("double"))) *
+         sqrt(when(col("__sng").cast("double") > 0.0,
+           col("__sng").cast("double")))), 6).as("cos_global"))
+      .orderBy(groupCol)
   }
 }

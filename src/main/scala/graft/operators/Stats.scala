@@ -205,6 +205,33 @@ object Stats {
         .as("var_reduction"))
   }
 
+  /** Opt-in hot-key guard for the recursive-fold family
+    * ([[holtSmoothing]] / [[holtWinters]] / [[ewmaChart]]): each
+    * series rides `collect_list` into ONE task — correct (a
+    * sequential recursion is inherently per-series) and bounded by
+    * the time grid in every gate query, but an adversarial key
+    * distribution would serialize silently. Set
+    * `spark.graft.fold.maxSeriesLength=N` to fail loudly WITH the
+    * offending key instead (off by default — the
+    * `Packing.assertUniqueIfEnabled` pattern). The raise_error is
+    * embedded INTO the consumed `__pts` column — a guard in a side
+    * column would be pruned away (the sequencePatterns lesson). */
+  private def guardFoldSeries(df: DataFrame, keyCol: String): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.fold.maxSeriesLength")
+      .map(_.toInt).fold(df) { m =>
+        df.withColumn("__pts",
+          when(size(col("__pts")) > m,
+            raise_error(concat(
+              lit("recursive-fold series exceeds " +
+                s"spark.graft.fold.maxSeriesLength=$m: key="),
+              col(keyCol).cast("string"),
+              lit(", length="), size(col("__pts")).cast("string"),
+              lit(" — a hot key serializes into one task; re-key or " +
+                "coarsen the series"))))
+            .otherwise(col("__pts")))
+      }
+
+
   /** Holt double exponential smoothing (Holt 1957) per series — the
     * forecasting baseline beside the DETECTORS (CUSUM, Tukey fences,
     * rate anomalies): level/trend recursions over an ordered series,
@@ -266,6 +293,7 @@ object Stats {
       .agg(sort_array(collect_list(struct(
         col(tCol).cast("long").as("t"),
         col(yCol).cast("double").as("y")))).as("__pts"))
+      .transform(guardFoldSeries(_, keyCol))
       .select(col(keyCol), explode(expr(
         s"""aggregate(
            |  transform(__pts, q -> named_struct(
@@ -342,6 +370,7 @@ object Stats {
       .agg(sort_array(collect_list(struct(
         col(tCol).cast("long").as("t"),
         col(yCol).cast("double").as("y")))).as("__pts"))
+      .transform(guardFoldSeries(_, keyCol))
       .select(col(keyCol), explode(expr(
         s"""aggregate(
            |  transform(__pts, q -> named_struct(
@@ -441,6 +470,7 @@ object Stats {
       .agg(sort_array(collect_list(struct(
         col(tCol).cast("long").as("t"),
         col(yCol).cast("double").as("y")))).as("__pts"))
+      .transform(guardFoldSeries(_, keyCol))
       .select(col(keyCol), explode(expr(
         s"""aggregate(
            |  transform(__pts, q -> named_struct(
@@ -2051,5 +2081,258 @@ object Stats {
           (col("__kt") - 1L).cast("double")) *
           (col("__ssbt").cast("double") / col("__sswt").cast("double")), 6))
         .as("f_stat"))
+  }
+
+  /** McNemar's test for PAIRED binary outcomes (McNemar 1947) — "did
+    * the same units flip between condition X and condition Y": the
+    * within-subject companion to [[twoProportion]]'s independent-arm
+    * z. Only the DISCORDANT cells carry signal — b = X-only,
+    * c = Y-only — and the statistic is χ² = (b−c)²/(b+c) with the
+    * Edwards continuity variant (max(|b−c|−1, 0))²/(b+c). The
+    * canonical retention/repeat-behavior readout ("users active early
+    * but not late vs late but not early") over any paired per-unit
+    * bool frame.
+    *
+    * Determinism contract: b and c are exact integer counts from ONE
+    * conditional aggregate; both statistics are single divisions of
+    * exact integers rounded to 6dp; b + c = 0 reports NULL (no
+    * discordance, no test) — the guard lives in the DENOMINATOR (the
+    * cuped CSE lesson).
+    *
+    * Scale shape: one group-keyed conditional aggregate over the
+    * caller's unit frame; output is groups-sized. */
+  def mcnemar(
+      units: DataFrame,
+      groupCols: Seq[String],
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val agg = units.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      count(when(xCol && !yCol, 1L)).as("b"),
+      count(when(!xCol && yCol, 1L)).as("c"))
+    val bd = col("b").cast("double")
+    val cd = col("c").cast("double")
+    val den = when(col("b") + col("c") > 0L, bd + cd)
+    val adj = greatest(abs(bd - cd) - 1.0, lit(0.0))
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("n_pairs"), col("b"), col("c"),
+        round((bd - cd) * (bd - cd) / den, 6).as("chi2"),
+        round(adj * adj / den, 6).as("chi2_corrected")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955) — "does
+    * success probability MOVE MONOTONICALLY with an ordered dose":
+    * the ordered-category refinement of [[chi2Independence]] (which
+    * ignores level order). Scores are the caller's integer dose
+    * levels; the statistic is
+    *
+    *   z = (T − p̄·S₁) / √(p̄(1−p̄)(S₂ − S₁²/N))
+    *
+    * with T = Σ s·[success], S₁ = Σ s, S₂ = Σ s², all EXACT BIGINT
+    * sums from one conditional aggregate — no per-level frame, no
+    * pivot. The classic does-quality-decay-with-bucket screen.
+    *
+    * Determinism contract: every sufficient statistic is an exact
+    * integer; the double readout evaluates in ONE pinned order shared
+    * with the oracle; degenerate variance (all same dose, or p̄ ∈
+    * {0,1}) reports NULL via the denominator guard.
+    *
+    * Scale shape: one group-keyed aggregate; output is groups-sized. */
+  def cochranArmitage(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: Column,
+      successCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val s = scoreCol.cast("long")
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      count(when(successCol, 1L)).as("r"),
+      sum(when(successCol, s).otherwise(lit(0L))).as("__t"),
+      sum(s).as("__s1"),
+      sum(s * s).as("__s2"))
+    val nd = col("n").cast("double")
+    val p = col("r").cast("double") / nd
+    val num = col("__t").cast("double") - p * col("__s1").cast("double")
+    val varr = p * (lit(1.0) - p) *
+      (col("__s2").cast("double") -
+        col("__s1").cast("double") * col("__s1").cast("double") / nd)
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("n"), col("r"),
+        round(num / sqrt(when(varr > 0.0, varr)), 6).as("z_trend")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Gini concentration coefficient per group — "how concentrated is
+    * the value mass" (spend per priority class, tokens per source):
+    *
+    *   G = (2·Σᵢ i·vᵢ − (n+1)·Σᵢ vᵢ) / (n·Σᵢ vᵢ),  v ascending
+    *
+    * over non-negative values. The ranks come from
+    * [[graft.operators.Packing.groupedRank]] — range partition +
+    * local row_number + broadcast prefix offsets — NEVER a
+    * per-group global window (a group is data-sized; one task must
+    * not sort it). Σ i·vᵢ is TIE-INVARIANT: equal values occupy a
+    * fixed rank block whatever their internal order, so the sum —
+    * and G — is well-defined without a unique tie-break even when
+    * range boundaries split a run of equal values.
+    *
+    * Determinism contract: values ride decimal(18,4), rank products
+    * decimal(37,4) — exact, order-independent sums; G is one pinned
+    * double expression rounded to 6dp; an empty or zero-mass group
+    * reports NULL via the denominator guard.
+    *
+    * Scale shape: one range shuffle for the ranks (groupedRank's
+    * two-phase prefix discipline), one group aggregate. */
+  def gini(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val vals = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    val ranked = graft.operators.Packing.groupedRank(
+      vals, groupCol, "__v", carryCols = Nil)
+    val dec = col("__v").cast("decimal(18,4)")
+    val agg = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(dec).as("__sv"),
+      sum((col("rank").cast("decimal(18,0)") * dec)
+        .cast("decimal(38,4)")).as("__siv"))
+    val nd = col("n").cast("double")
+    val sv = col("__sv").cast("double")
+    val den = when(sv > 0.0, nd * sv)
+    agg.select(col(groupCol), col("n"),
+      round((lit(2.0) * col("__siv").cast("double") - (nd + 1.0) * sv) / den, 6)
+        .as("gini"))
+      .orderBy(groupCol)
+  }
+
+  /** Population Stability Index (the credit-risk drift standard) —
+    * "has this metric's DISTRIBUTION moved between a reference and a
+    * current period": PSI = Σ_buckets (p_cur − p_ref)·ln(p_cur/p_ref)
+    * over a caller-bucketed value grid. The monitoring companion to
+    * [[driftByWindow]]'s chi² (which tests significance; PSI is the
+    * magnitude convention with the 0.1/0.25 action thresholds). Rule
+    * of thumb the operator exists to serve: re-examine a feature at
+    * PSI > 0.1, retrain past 0.25.
+    *
+    * Determinism contract: bucket cells are exact integer counts from
+    * ONE conditional aggregate over the (group, bucket) grid;
+    * Laplace-smoothed shares p = (c+1)/(n+k) (k = the group's
+    * observed-bucket count) make every term finite and well-defined
+    * with zero-count sides — no epsilon convention to drift between
+    * engines; each term rounds to 10dp decimal(28,10) before the
+    * bucket-order-independent sum; PSI reads out at 6dp.
+    *
+    * Scale shape: one grouped aggregate to the bucket grid, one
+    * groups-sized join back, one grouped sum. */
+  def psi(
+      df: DataFrame,
+      groupCols: Seq[String],
+      bucketCol: Column,
+      isRef: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val cells = df.groupBy(groupCols.map(col) :+ bucketCol.as("__b"): _*)
+      .agg(count(when(isRef, 1L)).as("__cr"),
+        count(when(!isRef, 1L)).as("__cc"))
+    val tot = cells.groupBy(groupCols.map(col): _*).agg(
+      sum("__cr").as("n_ref"), sum("__cc").as("n_cur"),
+      count(lit(1)).as("n_buckets"))
+    val pr = (col("__cr") + 1L).cast("double") /
+      (col("n_ref") + col("n_buckets")).cast("double")
+    val pc = (col("__cc") + 1L).cast("double") /
+      (col("n_cur") + col("n_buckets")).cast("double")
+    val term = round((pc - pr) * log(pc / pr), 10).cast("decimal(28,10)")
+    cells.join(tot, groupCols)
+      .select(groupCols.map(col) :+ col("n_ref") :+ col("n_cur") :+
+        col("n_buckets") :+ term.as("__term"): _*)
+      .groupBy((groupCols.map(col) :+ col("n_ref") :+ col("n_cur") :+
+        col("n_buckets")): _*)
+      .agg(round(sum("__term").cast("double"), 6).as("psi"))
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Cohen's kappa over a PRE-AGGREGATED confusion frame
+    * `(aCol, bCol, nCol)` — chance-corrected agreement between two
+    * labelers/detectors (declared metadata vs a content detector, two
+    * dedup detectors, human vs model labels): κ = (p_o − p_e)/(1 − p_e)
+    * with p_o the diagonal share and p_e the chance agreement from the
+    * margins. The single-number summary on top of a confusion matrix
+    * (tq24's lang-confusion cells are the canonical feed).
+    *
+    * Determinism contract: diagonal and margin sums are exact BIGINTs;
+    * the margin cross-products ride decimal(38,0) (≤ N², exact); p_o,
+    * p_e and κ are pinned double expressions rounded at 6dp;
+    * degenerate p_e = 1 (single label on both sides) reports NULL via
+    * the denominator guard.
+    *
+    * Scale shape: the cells frame is label-alphabet-sized — margins,
+    * the diagonal and the cross-product all derive from it without
+    * touching data again. */
+  def cohenKappa(
+      cells: DataFrame,
+      aCol: String,
+      bCol: String,
+      nCol: String): DataFrame = {
+    val base = Lineage.cutLocal(cells.select(
+      col(aCol).as("__a"), col(bCol).as("__b"),
+      col(nCol).cast("long").as("__o")))
+    val ra = base.groupBy("__a").agg(sum("__o").as("__ra"))
+    val cb = base.groupBy("__b").agg(sum("__o").as("__cb"))
+    val cross = ra.join(cb, col("__a") === col("__b"))
+      .agg(sum((col("__ra").cast("decimal(19,0)") *
+        col("__cb").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .as("__pe_sum"))
+    val agg = base.agg(
+      sum("__o").as("n"),
+      sum(when(col("__a") === col("__b"), col("__o")).otherwise(0L))
+        .as("__diag"))
+    val nd = col("n").cast("double")
+    val po = col("__diag").cast("double") / nd
+    val pe = coalesce(col("__pe_sum").cast("double"), lit(0.0)) / (nd * nd)
+    agg.crossJoin(broadcast(cross))
+      .select(col("n"),
+        round(po, 6).as("p_observed"),
+        round(pe, 6).as("p_expected"),
+        round((po - pe) / when(pe < 1.0, lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** Theil T inequality index per group — the entropy-based
+    * concentration measure beside [[gini]]: T = (1/n)·Σ (x/μ)·ln(x/μ)
+    * over positive values; 0 = perfectly even, ln(n) = one holder.
+    * Unlike Gini it needs NO rank pass — one aggregate for μ, one
+    * per-row term, one sum — which at 100 TB is the difference between
+    * a range shuffle and none; it is also additively decomposable
+    * (between + within), which is why mixture audits prefer it.
+    *
+    * Determinism contract: μ comes from an exact decimal(18,4) sum;
+    * each row term rounds to 10dp decimal(28,10) before the
+    * order-independent sum; the readout is one division rounded at
+    * 6dp. Non-positive values are excluded (T is defined on x > 0);
+    * an empty group reports no row, a zero-variance group reports 0. */
+  def theil(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val vals = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0.0)
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    val mu = vals.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__v").cast("decimal(18,4)")).as("__sv"))
+    val m = col("__sv").cast("double") / col("n").cast("double")
+    val term = round((col("__v") / m) * log(col("__v") / m), 10)
+      .cast("decimal(28,10)")
+    vals.join(broadcast(mu), Seq(groupCol))
+      .select(col(groupCol), col("n"), term.as("__term"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(round(sum("__term").cast("double") / col("n").cast("double"), 6)
+        .as("theil_t"))
+      .orderBy(groupCol)
   }
 }

@@ -660,6 +660,35 @@ class PlanShapeSpec extends AnyFunSuite {
       wins.map(_.partitionSpec.mkString("[", ",", "]")).mkString(", "))
   }
 
+  test("aq98 gini: ranks ride partition-scoped windows, never a " +
+      "per-group global sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("aq98_gini")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    val wins = nodes.collect { case w: WindowExec => w }
+    // groupedRank's local row_number windows key on (partition id,
+    // group) — a window keyed on the group alone would sort a whole
+    // (data-sized) group in one task
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.size >= 2),
+      wins.map(_.partitionSpec.mkString("[", ",", "]")).mkString(", "))
+  }
+
+  test("sq21 centroid drift: one data pass — the global frame " +
+      "broadcasts, no cartesian, no second scan") {
+    val df = SparkEntry.queries("sq21_centroid_drift")(spark, sf)
+    df.collect()
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      nodes.map(_.nodeName).mkString(", "))
+    // global per-dim sums derive from the checkpointed per-group frame
+    // (an RDD scan), so the embeddings parquet is scanned exactly once
+    val scans = nodes.count(n =>
+      n.nodeName.contains("Scan parquet") || (n.nodeName == "BatchScan"))
+    assert(scans <= 1, s"$scans parquet scans: " +
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
   test("tq32 burstiness: the top-N is TakeOrdered, never a global sort") {
     val df = SparkEntry.queries("tq32_burstiness")(spark, sf)
     df.collect()

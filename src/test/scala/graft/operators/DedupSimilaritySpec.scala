@@ -263,6 +263,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(run(4) == baseline)
   }
 
+  test("centroidDrift: hand-computed per-label cosine to the global mean") {
+    // label a: [1,0],[1,0] -> mean [1,0]; label b: [0,1] -> [0,1];
+    // global mean [2/3,1/3]: cos(a) = 2/sqrt(5), cos(b) = 1/sqrt(5)
+    val df = Seq(
+      (1L, "a", Array(1.0f, 0.0f)), (2L, "a", Array(1.0f, 0.0f)),
+      (3L, "b", Array(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidDrift(df, "label", "embedding")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, Some(0.894427)), ("b", 1L, Some(0.447214))), got.toString)
+    // a zero vector alone: zero-norm centroid -> NULL cosine
+    val z = Similarity.centroidDrift(
+      Seq((1L, "z", Array(0.0f, 0.0f))).toDF("vec_id", "label", "embedding"),
+      "label", "embedding")
+      .as[(String, Long, Option[Double])].collect().head
+    assert(z == (("z", 1L, None)), z.toString)
+  }
+
   test("incrementalDedup commits are batch-sized, not registry-sized") {
     // the quadratic-write trap: a 2-doc micro-batch against a 64-doc
     // registry must rewrite ~2 registry files, not all of them. Batch

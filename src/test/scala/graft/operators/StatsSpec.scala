@@ -250,6 +250,134 @@ class StatsSpec extends AnyFunSuite {
       thin._6.isEmpty && thin._7.isEmpty, thin.toString)
   }
 
+  test("mcnemar: hand-computed discordant cells, NULL when concordant") {
+    // 10 pairs: b = 3 (x only), c = 1 (y only), 4 both, 2 neither:
+    // chi2 = (3-1)^2/4 = 1.0; corrected = (|2|-1)^2/4 = 0.25
+    val rows = Seq.fill(3)((true, false)) ++ Seq((false, true)) ++
+      Seq.fill(4)((true, true)) ++ Seq.fill(2)((false, false))
+    val got = Stats.mcnemar(
+      rows.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y"),
+      Seq("g"), col("x"), col("y"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(got == (("g", 10L, 3L, 1L, Some(1.0), Some(0.25))), got.toString)
+    // fully concordant: b + c = 0 -> NULL statistics, not a crash
+    val conc = Stats.mcnemar(
+      Seq(("g", true, true), ("g", false, false)).toDF("g", "x", "y"),
+      Seq("g"), col("x"), col("y"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(conc._5.isEmpty && conc._6.isEmpty, conc.toString)
+  }
+
+  test("cochranArmitage: hand-computed trend z, degenerate-dose NULL") {
+    // doses 1,2,3 with (n=4, r=1),(4,2),(4,3): N=12, R=6, T=14,
+    // S1=24, S2=56; num = 14-12 = 2, var = .25*(56-48) = 2,
+    // z = 2/sqrt(2) = 1.414214
+    val rows = (1 to 4).map(i => (1, i <= 1)) ++
+      (1 to 4).map(i => (2, i <= 2)) ++ (1 to 4).map(i => (3, i <= 3))
+    val got = Stats.cochranArmitage(
+      rows.map { case (d, s) => ("g", d, s) }.toDF("g", "d", "s"),
+      Seq("g"), scoreCol = col("d"), successCol = col("s"))
+      .as[(String, Long, Long, Option[Double])].collect().head
+    assert(got == (("g", 12L, 6L, Some(1.414214))), got.toString)
+    // single dose level: variance 0 -> NULL z
+    val flat = Stats.cochranArmitage(
+      Seq(("g", 2, true), ("g", 2, false)).toDF("g", "d", "s"),
+      Seq("g"), col("d"), col("s"))
+      .as[(String, Long, Long, Option[Double])].collect().head
+    assert(flat._4.isEmpty, flat.toString)
+  }
+
+  test("gini: uniform 0, max concentration (n-1)/n, zero-mass NULL") {
+    val df = Seq(
+      ("u", 1.0), ("u", 1.0), ("u", 1.0), ("u", 1.0), // uniform -> 0
+      ("c", 0.0), ("c", 0.0), ("c", 0.0), ("c", 4.0), // one holder
+      ("z", 0.0), ("z", 0.0)) // zero mass -> NULL
+      .toDF("g", "v")
+    val got = Stats.gini(df, "g", "v")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("c", 4L, Some(0.75)), ("u", 4L, Some(0.0)), ("z", 2L, None)),
+      got.toString)
+  }
+
+  test("psi: zero on identical distributions, positive and finite on " +
+      "shift, swap-symmetric") {
+    def rows(ref: Seq[Long], cur: Seq[Long]) =
+      (ref.map(b => ("g", b, true)) ++ cur.map(b => ("g", b, false)))
+        .toDF("g", "b", "r")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.psi(df, Seq("g"), col("b"), col("r"))
+        .as[(String, Long, Long, Long, Option[Double])].collect().head
+    // identical → every term is (0)·ln(1) = 0 exactly
+    val same = run(rows(Seq(0, 0, 1, 1), Seq(0, 0, 1, 1)))
+    assert(same == (("g", 4L, 4L, 2L, Some(0.0))), same.toString)
+    // shifted mass → positive PSI; a cur-only bucket stays FINITE
+    // (Laplace smoothing — no epsilon convention, no NaN)
+    val moved = run(rows(Seq(0, 0, 0, 0), Seq(0, 1, 1, 2)))
+    assert(moved._5.exists(_ > 0.1), moved.toString)
+    // PSI is symmetric in (ref, cur): both factors negate together
+    val ab = run(rows(Seq(0, 0, 1), Seq(0, 1, 1)))
+    val ba = run(rows(Seq(0, 1, 1), Seq(0, 0, 1)))
+    assert(ab._5 == ba._5, s"$ab vs $ba")
+  }
+
+  test("cohenKappa: perfect 1, symmetric disagreement -1, degenerate NULL") {
+    def run(cells: Seq[(String, String, Long)]) =
+      Stats.cohenKappa(cells.toDF("a", "b", "n"), "a", "b", "n")
+        .as[(Long, Double, Double, Option[Double])].collect().head
+    val perfect = run(Seq(("x", "x", 3L), ("y", "y", 7L)))
+    assert(perfect._2 == 1.0 && perfect._4 == Some(1.0), perfect.toString)
+    // all off-diagonal with symmetric margins: po=0, pe=0.5 → κ = −1
+    val opposite = run(Seq(("x", "y", 1L), ("y", "x", 1L)))
+    assert(opposite == ((2L, 0.0, 0.5, Some(-1.0))), opposite.toString)
+    // one label on both sides: pe = 1 → NULL, not a division crash
+    val degen = run(Seq(("x", "x", 5L)))
+    assert(degen._4.isEmpty, degen.toString)
+  }
+
+  test("theil: uniform 0, hand-computed 2-value split, x<=0 excluded") {
+    val df = Seq(
+      ("u", 2.0), ("u", 2.0), ("u", 2.0), ("u", 2.0),
+      ("h", 1.0), ("h", 3.0),
+      ("z", 0.0), ("z", -1.0))
+      .toDF("g", "v")
+    val got = Stats.theil(df, "g", "v")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    // h: μ=2, T = ((0.5·ln0.5) + (1.5·ln1.5))/2 = 0.130812
+    assert(got == Seq(("h", 2L, Some(0.130812)), ("u", 4L, Some(0.0))),
+      got.toString)
+  }
+
+  test("fold hot-key guard fires with key context, off by default") {
+    val s = (1 to 5).map(i => ("hotkey", i.toLong, i.toDouble))
+      .toDF("k", "t", "y")
+    // off by default: nothing set, the 5-point series folds fine
+    assert(Stats.ewmaChart(s, "k", "t", "y", 1, 5).count() == 5)
+    spark.conf.set("spark.graft.fold.maxSeriesLength", "3")
+    try {
+      def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+        .takeWhile(_ != null).map(x => String.valueOf(x.getMessage))
+        .mkString(" | ")
+      val e = intercept[Throwable](
+        Stats.ewmaChart(s, "k", "t", "y", 1, 5).collect())
+      assert(chain(e).contains("maxSeriesLength=3") &&
+        chain(e).contains("key=hotkey"), chain(e))
+      // the whole family shares the guard
+      val e2 = intercept[Throwable](
+        Stats.holtSmoothing(s, "k", "t", "y", 1, 2, 1, 2).collect())
+      assert(chain(e2).contains("maxSeriesLength=3"), chain(e2))
+      val e3 = intercept[Throwable](
+        Stats.holtWinters(s, "k", "t", "y", period = 2,
+          1, 2, 1, 2, 1, 2).collect())
+      assert(chain(e3).contains("maxSeriesLength=3"), chain(e3))
+      // a series within the bound passes with the flag on
+      spark.conf.set("spark.graft.fold.maxSeriesLength", "10")
+      assert(Stats.ewmaChart(s, "k", "t", "y", 1, 5).count() == 5)
+    } finally spark.conf.unset("spark.graft.fold.maxSeriesLength")
+  }
+
   test("twoProportion: hand-computed pooled z and continuity correction") {
     // A: 4/10, B: 2/10 -> pooled 0.3, se = sqrt(0.3*0.7*0.2),
     // z = 0.2/se = 0.9759; corrected |d| = 0.2 - 0.1 -> z_c = 0.488

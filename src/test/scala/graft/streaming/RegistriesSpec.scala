@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** The additive per-key statistics registry
+  * ([[Registries.incrementalSourceStats]]): batch-split invariance
+  * (the registry equals a one-shot aggregate for any split) and the
+  * (stream_id, batch_id) replay guard — addition is NOT idempotent,
+  * so unlike the dedup registries the exactly-once marker is the
+  * correctness mechanism, not a nicety. */
+class RegistriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "web", "alpha beta gamma"),
+    (2L, "web", "delta"),
+    (3L, "book", "one two"),
+    (4L, "book", "three four five six"),
+    (5L, "wiki", "solo"))
+    .toDF("doc_id", "source", "text")
+
+  private def expected = Map(
+    "web" -> (2L, 4L, 21L), "book" -> (2L, 6L, 26L), "wiki" -> (1L, 1L, 4L))
+
+  private def readReg(store: graft.sources.ResultStore) =
+    store.read("stats").collect().map(r => r.getAs[String]("key") ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chars")))).toMap
+
+  test("registry equals the one-shot aggregate for any batch split") {
+    def run(nFiles: Int): Map[String, (Long, Long, Long)] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-incstats")
+        .toString
+      docs.repartition(nFiles).write.mode("overwrite").parquet(s"$tmp/in")
+      val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+      Registries.incrementalSourceStats(
+        StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "source", "text", store, "stats", "s1", s"$tmp/ckpt")
+        .awaitTermination()
+      readReg(store)
+    }
+    assert(run(1) == expected)
+    assert(run(4) == expected)
+  }
+
+  test("replay guard: same stream_id skips, new stream_id re-applies") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incstats")
+      .toString
+    docs.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
+    val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+    def drain(streamId: String, ckpt: String): Unit =
+      Registries.incrementalSourceStats(
+        StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "source", "text", store, "stats", streamId, s"$tmp/$ckpt")
+        .awaitTermination()
+    drain("s1", "ckpt1")
+    assert(readReg(store) == expected)
+    // a FRESH checkpoint replays every batch under the SAME stream id:
+    // the commit marker must absorb all of them (at-least-once replay)
+    drain("s1", "ckpt2")
+    assert(readReg(store) == expected)
+    assert(store.committedMeta("stats").get("stream_id").contains("s1"))
+    // a NEW stream id is a new logical stream: batches apply again
+    // (Delta's txnAppId scoping — proves the guard keys on BOTH ids)
+    drain("s2", "ckpt3")
+    assert(readReg(store).view.mapValues(_._1).toMap ==
+      expected.view.mapValues(_._1 * 2).toMap)
+  }
+}
