@@ -10214,4 +10214,147 @@ ORDER BY query_id"""
       t(s, dir, "orders").select(col("o_orderpriority"), col("o_totalprice")),
       "o_orderpriority", "o_totalprice")
   }
+
+  // ---------------------------------------------------------------------
+  // aq102_kendall — Kendall τ-b between hour-of-day and value bucket
+  // per event type (Stats.kendallTau): concordance over the VALUE-CELL
+  // grid (24×10 cells), tie-corrected, exact decimal(38,0) pair
+  // products — the grid²-bounded shape; continuous metrics belong to
+  // spearman's prefix-sum ranks.
+  register(
+    "aq102_kendall",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 3600000000) % 24 AS x,
+      |    least(floor(value / 50.0), 19.0)::bigint AS y
+      |  FROM events
+      |), cells AS MATERIALIZED (
+      |  SELECT event_type, x, y, count(*)::bigint AS n
+      |  FROM e GROUP BY 1, 2, 3
+      |), pq AS (
+      |  SELECT a.event_type,
+      |    sum(CASE WHEN a.y < b.y
+      |        THEN a.n::hugeint * b.n::hugeint ELSE 0::hugeint END) AS p,
+      |    sum(CASE WHEN a.y > b.y
+      |        THEN a.n::hugeint * b.n::hugeint ELSE 0::hugeint END) AS q
+      |  FROM cells a JOIN cells b
+      |    ON a.event_type = b.event_type AND a.x < b.x
+      |  GROUP BY 1
+      |), t1 AS (
+      |  SELECT event_type, sum((c * (c - 1)) // 2) AS t1 FROM (
+      |    SELECT event_type, x, sum(n)::hugeint AS c
+      |    FROM cells GROUP BY 1, 2) GROUP BY 1
+      |), t2 AS (
+      |  SELECT event_type, sum((c * (c - 1)) // 2) AS t2 FROM (
+      |    SELECT event_type, y, sum(n)::hugeint AS c
+      |    FROM cells GROUP BY 1, 2) GROUP BY 1
+      |), tot AS (
+      |  SELECT event_type, sum(n)::bigint AS n FROM cells GROUP BY 1
+      |)
+      |SELECT tot.event_type AS group_key, tot.n,
+      |  round((coalesce(pq.p, 0::hugeint) -
+      |         coalesce(pq.q, 0::hugeint))::double /
+      |    sqrt(CASE WHEN (tot.n::hugeint * (tot.n - 1)::hugeint) // 2
+      |                   - t1.t1 > 0
+      |               AND (tot.n::hugeint * (tot.n - 1)::hugeint) // 2
+      |                   - t2.t2 > 0
+      |          THEN ((tot.n::hugeint * (tot.n - 1)::hugeint) // 2
+      |                - t1.t1)::double *
+      |               ((tot.n::hugeint * (tot.n - 1)::hugeint) // 2
+      |                - t2.t2)::double END), 6) AS tau_b
+      |FROM tot
+      |LEFT JOIN pq ON pq.event_type = tot.event_type
+      |JOIN t1 ON t1.event_type = tot.event_type
+      |JOIN t2 ON t2.event_type = tot.event_type
+      |ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.kendallTau(
+      t(s, dir, "events").select(col("event_type"),
+        (expr("unix_micros(ts) div 3600000000") % 24L).as("x"),
+        least(floor(col("value") / 50.0), lit(19L)).cast("long").as("y")),
+      "event_type", "x", "y")
+  }
+
+  // ---------------------------------------------------------------------
+  // sq22_assoc_rules — directed association rules over customer baskets
+  // (Similarity.associationRules): confidence + lift with the kept-user
+  // base rate as a broadcast 1-row aggregate; sq20's basket machinery,
+  // direction-unioned only on the support-filtered pair frame.
+  register(
+    "sq22_assoc_rules",
+    """WITH b AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), kept AS MATERIALIZED (
+      |  SELECT b.u, b.i FROM b
+      |  JOIN (SELECT u FROM b GROUP BY u HAVING count(*) <= 200) k
+      |    ON b.u = k.u
+      |), users AS (
+      |  SELECT count(DISTINCT u)::bigint AS uu FROM kept
+      |), deg AS MATERIALIZED (
+      |  SELECT i AS item, count(*)::bigint AS n FROM kept GROUP BY 1
+      |), joint AS MATERIALIZED (
+      |  SELECT a.i AS lo, b2.i AS hi, count(*)::bigint AS n_both
+      |  FROM kept a JOIN kept b2 ON a.u = b2.u AND a.i < b2.i
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 5
+      |), directed AS (
+      |  SELECT lo AS antecedent, hi AS consequent, n_both FROM joint
+      |  UNION ALL
+      |  SELECT hi, lo, n_both FROM joint
+      |)
+      |SELECT d.antecedent, d.consequent, d.n_both,
+      |  da.n AS n_a, db.n AS n_b,
+      |  round(d.n_both::double / da.n::double, 6) AS confidence,
+      |  round(d.n_both::double * u.uu::double /
+      |        (da.n::double * db.n::double), 6) AS lift
+      |FROM directed d
+      |JOIN deg da ON da.item = d.antecedent
+      |JOIN deg db ON db.item = d.consequent
+      |CROSS JOIN users u
+      |ORDER BY lift DESC, confidence DESC, antecedent, consequent
+      |LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    val baskets = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    graft.operators.Similarity.associationRules(
+      baskets, "cust", "part",
+      minSupport = 5L, maxPerUser = 200, topK = 100)
+  }
+
+  // ---------------------------------------------------------------------
+  // q49_deep_history — deep VERSION-AS-OF time travel: four committed
+  // generations of a snapshot table retained via
+  // spark.graft.store.retainVersions, each read back by generation and
+  // aggregated (ResultStore.versions + readVersion). The oracle
+  // recomputes every generation's state directly — proving each
+  // retained directory holds exactly the table as of that commit.
+  register(
+    "q49_deep_history",
+    """SELECT g AS gen, count(*)::bigint AS n,
+      |  round(sum(c_acctbal::decimal(18,4) + g)::double, 2) AS total
+      |FROM customer
+      |CROSS JOIN (SELECT unnest(range(1, 5))::bigint AS g)
+      |WHERE c_custkey % 4 < g
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val tmp = scratchDir("q49")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    s.conf.set("spark.graft.store.retainVersions", "4")
+    try {
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      for (g <- 1 to 4)
+        store.overwrite("snap",
+          cust.filter(col("c_custkey") % 4 < g)
+            .withColumn("bal",
+              col("c_acctbal").cast("decimal(18,4)") + lit(g)))
+      store.versions("snap").reverse.zipWithIndex.map { case (v, i) =>
+        store.readVersion("snap", v).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("bal")).cast("double"), 2).as("total"))
+          .select(lit(i + 1L).as("gen"), col("n"), col("total"))
+      }.reduce(_ unionByName _).orderBy("gen")
+    } finally s.conf.unset("spark.graft.store.retainVersions")
+  }
 }

@@ -1209,4 +1209,72 @@ object Similarity {
            col("__sng").cast("double")))), 6).as("cos_global"))
       .orderBy(groupCol)
   }
+
+  /** Market-basket association rules over the co-occurrence machinery
+    * ([[coOccurrenceSimilarity]]'s basket frame): for every DIRECTED
+    * item pair a→b with joint support ≥ `minSupport`,
+    *
+    *   confidence(a→b) = n_ab / n_a,
+    *   lift(a→b)       = n_ab·U / (n_a·n_b)
+    *
+    * over U kept users — the "customers who bought X also bought Y"
+    * readout with the base-rate correction (lift > 1 = genuinely
+    * associated, not just popular). Heavy users cut at `maxPerUser`
+    * (the DIMSUM bound), top-`topK` by (lift, confidence, pair).
+    *
+    * Determinism contract: n_a, n_b, n_ab, U are exact integer
+    * counts; confidence and lift are pinned double expressions
+    * rounded at 6dp; U rides as a broadcast 1-row aggregate — no
+    * driver-side count.
+    *
+    * Scale shape: identical to [[coOccurrenceSimilarity]] — one
+    * distinct, one semi-join cap, one pair self-join keyed on the
+    * user, degree frames broadcast; the direction union doubles only
+    * the PAIR frame (already support-filtered). */
+  def associationRules(
+      baskets: DataFrame,
+      userCol: String,
+      itemCol: String,
+      minSupport: Long = 5L,
+      maxPerUser: Int = 200,
+      topK: Int = 100): DataFrame = {
+    require(minSupport >= 1 && maxPerUser >= 2 && topK >= 1,
+      "minSupport >= 1, maxPerUser >= 2, topK >= 1")
+    val b = Lineage.cutLocal(baskets
+      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct())
+    val kept = Lineage.cutLocal(b
+      .join(b.groupBy("u").agg(count(lit(1)).as("__nu"))
+        .filter(col("__nu") <= maxPerUser).select("u"),
+        Seq("u"), "left_semi"))
+    val users = broadcast(
+      kept.select("u").distinct().agg(count(lit(1)).as("__users")))
+    val deg = kept.groupBy(col("i").as("item")).agg(count(lit(1)).as("n"))
+    val joint = kept.as("a")
+      .join(kept.as("b"),
+        col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("__lo"), col("b.i").as("__hi"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    val directed = joint
+      .select(col("__lo").as("antecedent"), col("__hi").as("consequent"),
+        col("n_both"))
+      .unionByName(joint.select(col("__hi").as("antecedent"),
+        col("__lo").as("consequent"), col("n_both")))
+    directed
+      .join(broadcast(deg.select(col("item").as("antecedent"),
+        col("n").as("n_a"))), Seq("antecedent"))
+      .join(broadcast(deg.select(col("item").as("consequent"),
+        col("n").as("n_b"))), Seq("consequent"))
+      .crossJoin(users)
+      .select(col("antecedent"), col("consequent"),
+        col("n_both"), col("n_a"), col("n_b"),
+        round(col("n_both").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_both").cast("double") * col("__users").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("confidence").desc,
+        col("antecedent"), col("consequent"))
+      .limit(topK)
+  }
 }

@@ -2335,4 +2335,65 @@ object Stats {
         .as("theil_t"))
       .orderBy(groupCol)
   }
+
+  /** Kendall's τ-b rank correlation per group, tie-corrected — the
+    * concordance companion to [[spearman]]: P−Q over the geometric
+    * mean of tie-adjusted pair counts. CONTRACT: computed on the
+    * (x, y) VALUE-CELL grid, so x and y must be discrete or
+    * caller-bucketed (hours, priority levels, score buckets) — the
+    * concordance join is grid²-bounded, which is the scalable shape;
+    * a continuous metric makes the grid data-sized and belongs to
+    * [[spearman]] (whose prefix-sum ranks avoid any pairwise pass).
+    *
+    * Determinism contract: cell counts, concordant/discordant pair
+    * products, and all tie terms are exact decimal(38,0) integers;
+    * τ-b is one pinned double expression rounded at 6dp; degenerate
+    * groups (all ties on either axis) report NULL via the guard.
+    *
+    * Scale shape: one grouped aggregate to the cell grid, one
+    * grid-bounded self-join (never row-pairs), dimension-sized
+    * readouts. */
+  def kendallTau(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = Lineage.cutLocal(df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__n")))
+    val pq = cells.as("a")
+      .join(cells.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__x") < col("b.__x"))
+      .groupBy(col("a.__g").as("__g"))
+      .agg(
+        sum(when(col("a.__y") < col("b.__y"),
+          (col("a.__n").cast(dec) * col("b.__n").cast(dec)).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__p"),
+        sum(when(col("a.__y") > col("b.__y"),
+          (col("a.__n").cast(dec) * col("b.__n").cast(dec)).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__q"))
+    def tiePairs(vc: String, out: String): DataFrame = cells
+      .groupBy(col("__g"), col(vc)).agg(sum("__n").as("__c"))
+      .groupBy("__g")
+      .agg((sum((col("__c").cast(dec) * (col("__c") - 1L).cast(dec))
+        .cast(dec)) / 2L).cast(dec).as(out))
+    val tot = cells.groupBy("__g").agg(sum("__n").as("n"))
+    val n0 = ((col("n").cast(dec) * (col("n") - 1L).cast(dec)).cast(dec) /
+      2L).cast(dec)
+    tot
+      .join(pq, Seq("__g"), "left")
+      .join(tiePairs("__x", "__t1"), Seq("__g"))
+      .join(tiePairs("__y", "__t2"), Seq("__g"))
+      .select(col("__g").as("group_key"), col("n"), {
+        val dx = (n0 - col("__t1")).cast("double")
+        val dy = (n0 - col("__t2")).cast("double")
+        round((coalesce(col("__p"), lit(0).cast(dec)) -
+          coalesce(col("__q"), lit(0).cast(dec))).cast("double") /
+          sqrt(when(dx > 0.0 && dy > 0.0, dx * dy)), 6).as("tau_b")
+      })
+      .orderBy("group_key")
+  }
 }

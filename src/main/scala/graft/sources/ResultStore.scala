@@ -123,8 +123,30 @@ class ResultStore(spark: SparkSession, root: String) {
       }
     }.getOrElse(Map.empty)
 
+  /** How many committed generations each flip retains (newest-first).
+    * Default 2 — the current generation plus the immediately-previous
+    * one (the lazy-reader guarantee). Raise
+    * `spark.graft.store.retainVersions` for DEEP time travel: every
+    * retained generation stays readable via [[readVersion]], giving
+    * the Delta/Iceberg `VERSION AS OF` workflow (audits, incremental
+    * diffing, blame) at the cost of the extra generations' disk —
+    * hard links make append/pruned generations share unchanged data
+    * files, so retention typically costs deltas, not copies. */
+  private def retainVersions: Int = math.max(2, spark.conf
+    .getOption("spark.graft.store.retainVersions").map(_.toInt)
+    .getOrElse(2))
+
   /** Atomic pointer flip (write `_CURRENT.tmp`, ATOMIC_MOVE over
-    * `_CURRENT`), then GC of superseded versions. */
+    * `_CURRENT`), then GC down to the retained history. History
+    * membership rides a `_COMMITTED` marker written right after the
+    * flip — name ordering alone cannot tell a committed generation
+    * from a STRAND (a crash between write and flip leaves a
+    * never-committed directory whose number can sit BELOW the retry's
+    * version), so retention counts only marked directories; strands
+    * are collected on the next flip exactly as before. A crash
+    * between the flip and its own marker degrades that one generation
+    * to the old keep-one-commit contract (`keepPrevious` still
+    * carries it) — the safe direction. */
   private def flipPointer(
       schema: String, version: String, keepPrevious: Option[String]): Unit = {
     val tmp = new java.io.File(schemaDir(schema), "_CURRENT.tmp").toPath
@@ -133,7 +155,16 @@ class ResultStore(spark: SparkSession, root: String) {
     java.nio.file.Files.move(tmp, pointerFile(schema).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    gc(schema, keep = Set(version) ++ keepPrevious)
+    val marker = new java.io.File(versionDir(schema, version), "_COMMITTED")
+    if (!marker.exists())
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    val retained = Option(
+      schemaDir(schema).list((_, n) => n.matches("v\\d{8}")))
+      .getOrElse(Array.empty[String])
+      .filter(v => new java.io.File(versionDir(schema, v), "_COMMITTED")
+        .exists())
+      .sorted.reverse.take(retainVersions).toSet
+    gc(schema, keep = retained ++ keepPrevious + version)
   }
 
   /** Best-effort removal of superseded version directories. The
@@ -178,10 +209,11 @@ class ResultStore(spark: SparkSession, root: String) {
       .getOrElse(0)
 
   /** On-disk generations readable right now, newest first. The GC
-    * contract bounds this to the current generation plus the retained
-    * previous one — the same one-generation time travel a lazy reader
-    * relies on (a Delta/Iceberg-style deep history is the documented
-    * swap point, not re-implemented here). */
+    * contract keeps the newest `spark.graft.store.retainVersions`
+    * committed generations (default 2: current + previous, the lazy-
+    * reader guarantee); raising it gives deep `VERSION AS OF` time
+    * travel through [[readVersion]] — the Delta/Iceberg history
+    * workflow, with hard-linked generations sharing unchanged files. */
   def versions(schema: String): Seq[String] =
     Option(schemaDir(schema).list((_, n) => n.matches("v\\d{8}")))
       .getOrElse(Array.empty[String]).toSeq.sorted.reverse
@@ -646,9 +678,23 @@ class ResultStore(spark: SparkSession, root: String) {
         // stay disjoint from each other AND from the carried files —
         // without this, one wide-range rewrite file would be touched
         // by every subsequent commit and pruning would decay to a
-        // full rewrite
+        // full rewrite. The partition count also SPLITS files that
+        // outgrew the target size: with uniform keys a batch of B keys
+        // touches ~min(B, files) files, so per-batch write cost is
+        // B × rows-per-file — bounded ONLY if rows-per-file is bounded,
+        // i.e. the file count must grow with the registry (the
+        // Delta/Iceberg file-sizing discipline). Without the split the
+        // initial file count is frozen forever and a mature registry's
+        // every batch degrades to a near-full rewrite.
+        val targetBytes = spark.conf
+          .getOption("spark.graft.store.targetFileBytes")
+          .map(_.toLong).getOrElse(128L << 20)
+        val outParts = math.max(
+          math.max(1, touchedFiles.length),
+          math.ceil(
+            touchedFiles.map(_.length()).sum.toDouble / targetBytes).toInt)
         val merged = combine(storedTouched, source)
-          .repartitionByRange(math.max(1, touchedFiles.length), col(keyCol))
+          .repartitionByRange(outParts, col(keyCol))
 
         val version = nextVersion(schema)
         val newDir = versionDir(schema, version)

@@ -231,6 +231,129 @@ object Stress10 {
     slope("curriculum", c1, c10)
   }
 
+  /** Round-11 family: rank-free vs rank-based inequality, fixed-grid
+    * concordance/drift, centroid drift, association rules — plus the
+    * pruned-registry COMMIT-FLATNESS trace (the r11 scale fix's Done
+    * criterion: batch N's rewritten-file count tracks the batch's
+    * keys, not the registry size). */
+  private def r11Stress(
+      spark: org.apache.spark.sql.SparkSession, sf: String): Unit = {
+    val orders = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .localCheckpoint()
+    // value-jittered replicas: the GINI rank grid must grow with data
+    // (the aq77 lesson — copy replicas only fatten ties)
+    def ordJit(k: Int): DataFrame = (0 until k).map(i =>
+      orders.select(
+        (col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+        col("o_orderpriority"),
+        (col("o_totalprice") + lit(i * 1e-4)).as("o_totalprice")))
+      .reduce(_ unionByName _)
+    val g1 = time("gini_jit_1x")(operators.Stats.gini(
+      ordJit(1), "o_orderpriority", "o_totalprice").count())
+    val g10 = time("gini_jit_10x")(operators.Stats.gini(
+      ordJit(10), "o_orderpriority", "o_totalprice").count())
+    slope("gini", g1, g10)
+    val th1 = time("theil_jit_1x")(operators.Stats.theil(
+      ordJit(1), "o_orderpriority", "o_totalprice").count())
+    val th10 = time("theil_jit_10x")(operators.Stats.theil(
+      ordJit(10), "o_orderpriority", "o_totalprice").count())
+    slope("theil", th1, th10)
+
+    // kendall + psi: the grids are FIXED by design (hour × bucket);
+    // replicas fatten cells and the pair products stay grid-bounded
+    val ev = Tables.load(spark, sf, "events").select(
+      col("event_type"),
+      (expr("unix_micros(ts) div 3600000000") % 24L).as("x"),
+      least(floor(col("value") / 50.0), lit(19L)).cast("long").as("y"),
+      (expr("unix_micros(ts) div 86400000000") < 19738L).as("is_ref"))
+      .localCheckpoint()
+    def evDup(k: Int): DataFrame =
+      (0 until k).map(_ => ev).reduce(_ unionByName _)
+    val k1 = time("kendall_1x")(operators.Stats.kendallTau(
+      evDup(1), "event_type", "x", "y").count())
+    val k10 = time("kendall_10x")(operators.Stats.kendallTau(
+      evDup(10), "event_type", "x", "y").count())
+    slope("kendall", k1, k10)
+    val p1 = time("psi_1x")(operators.Stats.psi(
+      evDup(1), Seq("event_type"), col("y"), col("is_ref")).count())
+    val p10 = time("psi_10x")(operators.Stats.psi(
+      evDup(10), Seq("event_type"), col("y"), col("is_ref")).count())
+    slope("psi", p1, p10)
+
+    // centroid drift: label-offset replicas grow the (label, dim) frame
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label").localCheckpoint()
+    def embDup(k: Int): DataFrame = (0 until k).map(i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        col("embedding"), (col("label") + lit(i * 100)).as("label")))
+      .reduce(_ unionByName _)
+    val cd1 = time("centroid_drift_1x")(operators.Similarity.centroidDrift(
+      embDup(1), "label", "embedding").count())
+    val cd10 = time("centroid_drift_10x")(operators.Similarity.centroidDrift(
+      embDup(10), "label", "embedding").count())
+    slope("centroid_drift", cd1, cd10)
+
+    // association rules: disjoint user spaces — pairs grow linearly
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    val ord2 = Tables.load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    val baskets = li.join(ord2, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .localCheckpoint()
+    def bDup(k: Int): DataFrame = (0 until k).map(i =>
+      baskets.select((col("u") + lit(i * 100000000L)).as("u"), col("i")))
+      .reduce(_ unionByName _)
+    val a1 = time("assoc_rules_1x")(operators.Similarity.associationRules(
+      bDup(1), "u", "i").count())
+    val a10 = time("assoc_rules_10x")(operators.Similarity.associationRules(
+      bDup(10), "u", "i").count())
+    slope("assoc_rules", a1, a10)
+
+    // pruned-registry commit flatness: one 4000-doc seed batch fixes a
+    // 32-file registry, then ten 5-doc batches trickle in — each
+    // trickle commit must rewrite O(batch-keys) files while the
+    // registry holds 4000+ fingerprints (the r11 scale fix's readout;
+    // with UNIFORM keys touched ≈ min(batchKeys, files), so the file
+    // count must exceed the batch's key count — which the
+    // targetFileBytes split maintains as a registry matures)
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-stress-r11").toString
+      import spark.implicits._
+      (1L to 4000L).map(i => (i, s"seed doc number $i with unique words"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      Thread.sleep(1100)
+      for (b <- 1 to 10) {
+        (0 until 5).map(j => (100000L + b * 100 + j,
+          s"late doc $b $j own text")).toDF("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+        Thread.sleep(1100)
+      }
+      val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+      val commits = scala.collection.mutable.ArrayBuffer
+        .empty[graft.sources.PrunedCommit]
+      operators.Dedup.incrementalDedup(
+        graft.streaming.StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "doc_id", "text", store, "reg", s"$tmp/ckpt",
+        registryPartitions = 32,
+        onCommit = (_, c) => commits.synchronized { commits += c })
+        .awaitTermination()
+      commits.zipWithIndex.foreach { case (c, i) =>
+        println(s"STRESS10 commit_flatness batch=$i " +
+          s"rewritten=${c.rewrittenFiles} carried=${c.carriedFiles}")
+      }
+      val trickle = commits.filter(_.totalFiles >= 32)
+      println(f"STRESS10 commit_flatness trickle_max_rewritten=" +
+        s"${if (trickle.isEmpty) -1 else trickle.map(_.rewrittenFiles).max}" +
+        s" of ${if (trickle.isEmpty) -1 else trickle.head.totalFiles}+ files" +
+        s" (registry 4000+ keys, 5-key batches)")
+    } finally spark.conf.set(key, old)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-stress10")
@@ -244,6 +367,11 @@ object Stress10 {
     }
     if (args.contains("r10")) {
       r10Stress(spark, sf)
+      spark.stop()
+      return
+    }
+    if (args.contains("r11")) {
+      r11Stress(spark, sf)
       spark.stop()
       return
     }

@@ -282,6 +282,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(z == (("z", 1L, None)), z.toString)
   }
 
+  test("associationRules: hand-computed confidence/lift, both directions") {
+    // A in 4 baskets, B in 2, together in 2, U = 5:
+    // conf(A→B) = 0.5, conf(B→A) = 1.0, lift = 2·5/(4·2) = 1.25
+    val baskets = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (4L, "A"), (5L, "C"))
+      .toDF("u", "i")
+    val got = Similarity.associationRules(
+      baskets, "u", "i", minSupport = 1L, maxPerUser = 10, topK = 10)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    // lift ties → confidence DESC breaks: B→A (conf 1.0) leads
+    assert(got == Seq(
+      ("B", "A", 2L, 2L, 4L, 1.0, 1.25),
+      ("A", "B", 2L, 4L, 2L, 0.5, 1.25)), got.toString)
+    // minSupport prunes: threshold 3 leaves nothing
+    assert(Similarity.associationRules(
+      baskets, "u", "i", minSupport = 3L).count() == 0)
+  }
+
   test("incrementalDedup commits are batch-sized, not registry-sized") {
     // the quadratic-write trap: a 2-doc micro-batch against a 64-doc
     // registry must rewrite ~2 registry files, not all of them. Batch

@@ -350,6 +350,19 @@ class StatsSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("kendallTau: perfect ±1, tie-balanced 0, degenerate NULL") {
+    def run(pts: Seq[(Long, Long)]) =
+      Stats.kendallTau(pts.map { case (x, y) => ("g", x, y) }
+        .toDF("g", "x", "y"), "g", "x", "y")
+        .as[(String, Long, Option[Double])].collect().head
+    assert(run(Seq((1L, 1L), (2L, 2L), (3L, 3L)))._3 == Some(1.0))
+    assert(run(Seq((1L, 3L), (2L, 2L), (3L, 1L)))._3 == Some(-1.0))
+    // P = Q = 1 with ties on both axes → exactly 0
+    assert(run(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))._3 == Some(0.0))
+    // all x tied: no orderable pairs → NULL, not a division crash
+    assert(run(Seq((1L, 1L), (1L, 2L), (1L, 3L)))._3.isEmpty)
+  }
+
   test("fold hot-key guard fires with key context, off by default") {
     val s = (1 to 5).map(i => ("hotkey", i.toLong, i.toDouble))
       .toDF("k", "t", "y")

@@ -397,6 +397,64 @@ class SourcesSpec extends AnyFunSuite {
     assert(got2 == Map(2L -> "o2"))
   }
 
+  test("deep time travel: retainVersions keeps a readable history") {
+    spark.conf.set("spark.graft.store.retainVersions", "4")
+    try {
+      val store = new ResultStore(spark, tmpDir())
+      for (g <- 1 to 6)
+        store.overwrite("h", Seq(KV(g.toLong, s"gen$g")).toDF())
+      // 6 commits, newest 4 retained and each one readable (VERSION AS OF)
+      val vs = store.versions("h")
+      assert(vs.size == 4, vs.toString)
+      val gens = vs.map(v => store.readVersion("h", v).collect()
+        .map(_.getAs[String]("v")).toSeq)
+      assert(gens == Seq(Seq("gen6"), Seq("gen5"), Seq("gen4"), Seq("gen3")),
+        gens.toString)
+      // rollback still restores the previous generation
+      assert(store.rollback("h").isDefined)
+      assert(store.read("h").collect().head.getAs[String]("v") == "gen5")
+      // dropping back to the default trims history on later commits
+      // (the rollback's undone generation survives one extra flip)
+      spark.conf.unset("spark.graft.store.retainVersions")
+      store.overwrite("h", Seq(KV(8L, "gen7")).toDF())
+      store.overwrite("h", Seq(KV(9L, "gen8")).toDF())
+      assert(store.versions("h").size == 2, store.versions("h").toString)
+      assert(store.read("h").collect().head.getAs[String]("v") == "gen8")
+    } finally spark.conf.unset("spark.graft.store.retainVersions")
+  }
+
+  test("pruned rewrites split outgrown files so file count tracks size") {
+    // with uniform keys a batch touches ~min(batchKeys, files) files,
+    // so per-batch write cost is batchKeys × rows-per-file — bounded
+    // only if files SPLIT as they outgrow the target size (frozen
+    // file counts degrade a mature registry to near-full rewrites)
+    spark.conf.set("spark.graft.store.targetFileBytes", "2048")
+    try {
+      val root = tmpDir()
+      val store = new ResultStore(spark, root)
+      store.upsertPruned("s",
+        (1L to 2000L by 20L).map(k => KV(k, "v" + k)).toDF()
+          .repartitionByRange(2, col("k")), "k")
+      var maxFiles = 2
+      for (b <- 1 to 6) {
+        // 100 new keys inside the existing ranges → files grow
+        val ins = (1L to 2000L by 20L).map(k => KV(k + b, s"b$b-$k")).toDF()
+        val c = store.upsertPruned("s", ins, "k")
+        maxFiles = math.max(maxFiles, c.totalFiles)
+      }
+      val dataDir = new java.io.File(s"$root/s/" + store.versions("s").last)
+      val nFiles = Option(dataDir.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+      assert(nFiles > 2, s"files never split: $nFiles")
+      // pruning still works at the grown file count: a single-key
+      // upsert rewrites O(1) files and carries the rest
+      val c = store.upsertPruned("s", Seq(KV(101L, "X")).toDF(), "k")
+      assert(c.rewrittenFiles <= 2 && c.carriedFiles >= nFiles - 2,
+        c.toString)
+    } finally spark.conf.unset("spark.graft.store.targetFileBytes")
+  }
+
   test("pruned commits stay batch-sized while the registry grows") {
     // the quadratic-write trap: N incremental batches must not each
     // rewrite the whole registry. 32-file registry, 5-key batches →
