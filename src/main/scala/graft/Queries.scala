@@ -10357,4 +10357,48 @@ ORDER BY query_id"""
       }.reduce(_ unionByName _).orderBy("gen")
     } finally s.conf.unset("spark.graft.store.retainVersions")
   }
+
+  // ---------------------------------------------------------------------
+  // pq8_waterfill — water-filling token-budget allocation across
+  // sources (Sampling.waterFillBudget): every source fills to a common
+  // level capped by what it has, closed-form boundary over the sorted
+  // caps — the max-min-fair mixture plan before taste-weighting. The
+  // sort window runs over the 20-source caps frame, dimension-sized.
+  register(
+    "pq8_waterfill",
+    """WITH caps AS (
+      |  SELECT source,
+      |    sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        x -> len(x) > 0)))::bigint AS cap
+      |  FROM documents GROUP BY 1
+      |), idx AS (
+      |  SELECT source, cap,
+      |    row_number() OVER (ORDER BY cap, source)::bigint AS i,
+      |    sum(cap) OVER (ORDER BY cap, source
+      |      ROWS UNBOUNDED PRECEDING)::bigint AS p,
+      |    count(*) OVER ()::bigint AS n
+      |  FROM caps
+      |), lev AS (
+      |  SELECT *,
+      |    (26000.0 - (p - cap)::double) / (n - i + 1)::double AS lvl
+      |  FROM idx
+      |), star AS (
+      |  SELECT min(CASE WHEN lvl <= cap::double THEN i END) AS istar
+      |  FROM lev
+      |), starlvl AS (
+      |  SELECT s.istar, l.lvl AS lstar
+      |  FROM star s LEFT JOIN lev l ON l.i = s.istar
+      |)
+      |SELECT lev.source, lev.cap,
+      |  round(CASE WHEN sl.istar IS NULL OR lev.i < sl.istar
+      |        THEN lev.cap::double ELSE sl.lstar END, 6) AS allocated,
+      |  (sl.istar IS NULL OR lev.i < sl.istar) AS saturated
+      |FROM lev CROSS JOIN starlvl sl
+      |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Sampling.waterFillBudget(
+      t(s, dir, "documents").select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("nt")),
+      "source", "nt", budget = 26000L)
+  }
 }

@@ -396,4 +396,69 @@ object Sampling {
           (col("bucket") + 1).cast("int")), 4).as("calibrated"))
       .orderBy(idCol)
   }
+
+  /** Water-filling token-budget allocation across groups — "how many
+    * tokens should each source contribute to a B-token training mix":
+    * every group is filled to a common water level L, capped by what
+    * it actually has, with L solving Σ min(cap_g, L) = B. Small
+    * sources contribute everything they have (saturated); large ones
+    * are cut to the level — the max-min-fair allocation a mixture
+    * plan starts from before taste-weighting
+    * ([[mixtureResample]]/[[temperatureResample]] then realize a plan
+    * at the row level).
+    *
+    * Closed form, no iteration: with caps sorted ascending, the
+    * boundary is the FIRST index i where
+    * (B − Σ_{j<i} cap_j)/(n − i + 1) ≤ cap_i; everything below i
+    * saturates, everything at/above gets that level. B ≥ Σ cap makes
+    * every group saturated (level undefined — reported NULL).
+    *
+    * Determinism contract: caps and prefix sums are exact BIGINTs;
+    * the level is one pinned double division; allocations round at
+    * 6dp; the sort ties on (cap, group) so the boundary index is
+    * unique.
+    *
+    * Scale shape: one grouped aggregate to the caps frame; the sort
+    * window runs over the GROUPS frame — dimension-sized (sources,
+    * domains), never data-sized. Output one row per group:
+    * `(group, cap, allocated, saturated)`. */
+  def waterFillBudget(
+      df: DataFrame,
+      groupCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val caps = df.groupBy(col(groupCol))
+      .agg(sum(col(tokensCol).cast("long")).as("cap"))
+    // dimension-sized frame: |groups| rows — the global window is the
+    // point (sorting 20 sources in one task is the cheapest plan)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap"), col(groupCol))
+    val idx = caps
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__p", sum("cap").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val tot = broadcast(idx.agg(count(lit(1)).as("__n")))
+    val lev = idx.crossJoin(tot).withColumn("__lvl",
+      (lit(budget).cast("double") -
+        (col("__p") - col("cap")).cast("double")) /
+        (col("__n") - col("__i") + 1L).cast("double"))
+    // the unique boundary row, carried as a 1-row broadcast (NULL
+    // level when the budget covers every cap — nothing is cut)
+    val star = broadcast(
+      lev.agg(min(when(col("__lvl") <= col("cap").cast("double"),
+        col("__i"))).as("__istar")).join(
+        lev.select(col("__i").as("__li"), col("__lvl").as("__lstar")),
+        col("__istar") === col("__li"), "left")
+        .select(col("__istar"), col("__lstar")))
+    lev.crossJoin(star)
+      .select(col(groupCol), col("cap"),
+        round(when(col("__istar").isNull || col("__i") < col("__istar"),
+          col("cap").cast("double")).otherwise(col("__lstar")), 6)
+          .as("allocated"),
+        (col("__istar").isNull || col("__i") < col("__istar"))
+          .as("saturated"))
+      .orderBy(groupCol)
+  }
 }

@@ -281,4 +281,22 @@ class AsOfSamplingSpec extends AnyFunSuite {
     // 10 and 11 tie on weight; id breaks the tie; 12 truncated
     assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L))
   }
+
+  test("waterFillBudget: all-saturated, mixed boundary, all-level") {
+    def run(b: Long) = Sampling.waterFillBudget(
+      Seq(("a", 10L), ("b", 30L), ("c", 100L)).toDF("source", "nt"),
+      "source", "nt", budget = b)
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    // budget covers every cap: everyone saturated, nothing cut
+    assert(run(200L) == Seq(("a", 10L, 10.0, true), ("b", 30L, 30.0, true),
+      ("c", 100L, 100.0, true)))
+    // mixed: a and b saturate, c is cut to the level (90-40)/1 = 50
+    assert(run(90L) == Seq(("a", 10L, 10.0, true), ("b", 30L, 30.0, true),
+      ("c", 100L, 50.0, false)))
+    // tiny budget: nobody saturates, common level 21/3 = 7
+    assert(run(21L) == Seq(("a", 10L, 7.0, false), ("b", 30L, 7.0, false),
+      ("c", 100L, 7.0, false)))
+    // conservation: allocations sum to the budget when it binds
+    assert(run(90L).map(_._3).sum == 90.0)
+  }
 }
