@@ -10401,4 +10401,76 @@ ORDER BY query_id"""
         graft.functions.TextFunctions.tokenCount(col("text")).as("nt")),
       "source", "nt", budget = 26000L)
   }
+
+  // ---------------------------------------------------------------------
+  // tq35_chao1 — Chao1 vocabulary-richness estimate per source
+  // (TextAnalysis.chao1): V + n₁(n₁−1)/(2(n₂+1)) from exact
+  // singleton/doubleton counts — bounds the TOTAL vocabulary where
+  // Good–Turing prices the next token and Heaps extrapolates the
+  // trend; the crawl-budget readout.
+  register(
+    "tq35_chao1",
+    """WITH tk AS (
+      |  SELECT source, unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0)) AS t
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT source, t, count(*)::bigint AS c FROM tk GROUP BY 1, 2
+      |), s AS (
+      |  SELECT source, count(*)::bigint AS vocab,
+      |    count(CASE WHEN c = 1 THEN 1 END)::bigint AS n1,
+      |    count(CASE WHEN c = 2 THEN 1 END)::bigint AS n2
+      |  FROM cnt GROUP BY 1
+      |)
+      |SELECT source, vocab, n1, n2,
+      |  round(vocab::double + n1::double * (n1 - 1)::double /
+      |        (2.0 * (n2 + 1)::double), 6) AS chao1
+      |FROM s ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.chao1(
+      t(s, dir, "documents"), "source", "text")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq103_neyman — Neyman-optimal sample allocation across event types
+  // (Stats.neymanAllocation): a 1000-unit labeling budget split
+  // ∝ Nₕ·Sₕ — the minimum-variance stratified design; weights ride
+  // 10dp decimals so the cross-strata total is order-independent.
+  register(
+    "aq103_neyman",
+    """WITH s AS (
+      |  SELECT event_type,
+      |    count(CASE WHEN value IS NOT NULL THEN 1 END)::bigint AS n,
+      |    sum(value::decimal(18,4)) AS sv,
+      |    sum(round(value * value, 8)::decimal(28,8)) AS ss
+      |  FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT *,
+      |    sv::double / (CASE WHEN n > 0 THEN n::double END) AS mu
+      |  FROM s
+      |), v AS (
+      |  SELECT *,
+      |    (ss::double - n::double * mu * mu) /
+      |      ((CASE WHEN n >= 2 THEN n::double END) - 1.0) AS varr
+      |  FROM m
+      |), w AS (
+      |  SELECT *,
+      |    coalesce(round(n::double *
+      |      sqrt(CASE WHEN varr > 0.0 THEN varr END), 10)
+      |      ::decimal(28,10), 0::decimal(28,10)) AS wgt
+      |  FROM v
+      |), tot AS (SELECT sum(wgt) AS wt FROM w)
+      |SELECT event_type, n,
+      |  round(coalesce(sqrt(CASE WHEN varr > 0.0 THEN varr END), 0.0), 6)
+      |    AS stddev,
+      |  round(1000.0 * wgt::double /
+      |    (CASE WHEN wt::double > 0.0 THEN wt::double END), 6)
+      |    AS allocated
+      |FROM w CROSS JOIN tot
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.neymanAllocation(
+      t(s, dir, "events"), Seq("event_type"), "value", budget = 1000L)
+  }
 }

@@ -2396,4 +2396,54 @@ object Stats {
       })
       .orderBy("group_key")
   }
+
+  /** Neyman-optimal sample allocation across strata (Neyman 1934) —
+    * "given a labeling/eval budget of n units, how many should each
+    * stratum get": aₕ = n·NₕSₕ / Σ NₕSₕ, proportional to stratum size
+    * × stratum standard deviation, which minimizes the variance of
+    * the stratified mean at fixed n. The planning step BEFORE
+    * [[graft.operators.Sampling.capPerGroup]]/hash-sampling realize
+    * the draw — equal allocation over-samples homogeneous strata,
+    * proportional allocation over-samples low-variance big ones.
+    *
+    * Determinism contract: counts and Σv/Σv² ride exact decimals
+    * (the abTest discipline); each stratum weight NₕSₕ rounds to
+    * 10dp decimal(28,10) before the group-order-independent total;
+    * shares and allocations are pinned double expressions rounded at
+    * 6dp. Degenerate strata (n < 2 or zero variance) carry weight 0
+    * and allocation 0 — they need no sample to know their mean.
+    *
+    * Scale shape: one grouped aggregate to the strata frame
+    * (dimension-sized), one broadcast total, one readout. */
+  def neymanAllocation(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      budget: Long): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(budget > 0, "budget must be positive")
+    val v = col(valueCol)
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(when(v.isNotNull, 1L)).as("n"),
+      sum(v.cast("decimal(18,4)")).as("__sv"),
+      sum(round(v * v, 8).cast("decimal(28,8)")).as("__ss"))
+    val nd = col("n").cast("double")
+    val m = col("__sv").cast("double") / when(col("n") > 0L, nd)
+    val varr = (col("__ss").cast("double") - nd * m * m) /
+      (when(col("n") >= 2L, nd) - 1.0)
+    val sd = sqrt(when(varr > 0.0, varr))
+    val weighted = agg.withColumn("__w",
+      coalesce(round(nd * sd, 10).cast("decimal(28,10)"),
+        lit(0).cast("decimal(28,10)")))
+    val tot = broadcast(weighted.agg(sum("__w").as("__wt")))
+    weighted.crossJoin(tot)
+      .select(groupCols.map(col) ++ Seq(
+        col("n"),
+        round(coalesce(sd, lit(0.0)), 6).as("stddev"),
+        round(lit(budget).cast("double") *
+          col("__w").cast("double") /
+          when(col("__wt").cast("double") > 0.0,
+            col("__wt").cast("double")), 6).as("allocated")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
 }

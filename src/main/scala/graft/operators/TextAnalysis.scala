@@ -1372,4 +1372,43 @@ object TextAnalysis {
           .as("p_unseen"))
       .orderBy("r")
   }
+
+  /** Chao1 species-richness estimate per group (Chao 1984) — "how much
+    * vocabulary haven't we seen yet": observed distinct tokens plus
+    * the singleton/doubleton correction
+    *
+    *   Ĉ = V + n₁(n₁−1) / (2(n₂+1))
+    *
+    * (the bias-corrected form — defined even with zero doubletons).
+    * The coverage companion to [[goodTuring]]'s unseen-mass P₀ and
+    * [[heapsFit]]'s growth exponent: Good–Turing prices the NEXT
+    * token, Heaps extrapolates the trend, Chao1 bounds the TOTAL —
+    * "is this source's vocabulary nearly exhausted or barely
+    * sampled", per source, before committing crawl budget.
+    *
+    * Determinism contract: V, n₁, n₂ are exact integer counts from
+    * one (group, token) aggregate; the estimate is one pinned double
+    * expression rounded at 6dp.
+    *
+    * Scale shape: one token pass to the (group, token) count frame,
+    * one grouped readout — nothing pairwise, nothing collected. */
+  def chao1(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("__g"),
+        explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__t"))
+      .groupBy("__g", "__t").agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("__g").as(groupCol)).agg(
+      count(lit(1)).as("vocab"),
+      count(when(col("__c") === 1L, 1L)).as("n1"),
+      count(when(col("__c") === 2L, 1L)).as("n2"))
+      .select(col(groupCol), col("vocab"), col("n1"), col("n2"),
+        round(col("vocab").cast("double") +
+          col("n1").cast("double") * (col("n1") - 1L).cast("double") /
+            (lit(2.0) * (col("n2") + 1L).cast("double")), 6)
+          .as("chao1"))
+      .orderBy(groupCol)
+  }
 }

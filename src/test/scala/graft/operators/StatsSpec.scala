@@ -363,6 +363,27 @@ class StatsSpec extends AnyFunSuite {
     assert(run(Seq((1L, 1L), (1L, 2L), (1L, 3L)))._3.isEmpty)
   }
 
+  test("neymanAllocation: weight = n*sd, degenerate strata get zero") {
+    val df = Seq(
+      ("A", 1.0), ("A", 2.0), ("A", 3.0), // n=3, sd=1 -> w=3
+      ("B", 4.0), ("B", 4.0), ("B", 4.0), ("B", 4.0), // sd=0 -> w=0
+      ("C", 0.0), ("C", 2.0)) // n=2, sd=sqrt(2) -> w=2.8284271247
+      .toDF("g", "v")
+    val got = Stats.neymanAllocation(df, Seq("g"), "v", budget = 1000L)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    def r6(x: Double) =
+      java.math.BigDecimal.valueOf(x).setScale(6,
+        java.math.RoundingMode.HALF_UP).doubleValue()
+    val wC = 2.8284271247
+    assert(got == Seq(
+      ("A", 3L, 1.0, r6(1000.0 * 3.0 / (3.0 + wC))),
+      ("B", 4L, 0.0, 0.0),
+      ("C", 2L, r6(math.sqrt(2.0)), r6(1000.0 * wC / (3.0 + wC)))),
+      got.toString)
+    // allocations conserve the budget (degenerate strata need none)
+    assert(math.abs(got.map(_._4).sum - 1000.0) < 1e-4)
+  }
+
   test("fold hot-key guard fires with key context, off by default") {
     val s = (1 to 5).map(i => ("hotkey", i.toLong, i.toDouble))
       .toDF("k", "t", "y")

@@ -556,4 +556,16 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, 1L, 1L, Some(2.0), 0.333333),   // r* = 2*1/1
       (2L, 1L, 0L, None, 0.333333)), bi.toString)
   }
+
+  test("chao1: hand-computed richness, zero-doubleton form defined") {
+    val docs = Seq(
+      ("g", "a a b c"),     // counts a:2 b:1 c:1 -> V=3 n1=2 n2=1
+      ("h", "x y"))         // V=2 n1=2 n2=0 -> 2 + 2*1/2 = 3.0
+      .toDF("source", "text")
+    val got = TextAnalysis.chao1(docs, "source", "text")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("g", 3L, 2L, 1L, 3.5),   // 3 + 2*1/(2*(1+1))
+      ("h", 2L, 2L, 0L, 3.0)), got.toString)
+  }
 }
