@@ -10473,4 +10473,71 @@ ORDER BY query_id"""
     graft.operators.Stats.neymanAllocation(
       t(s, dir, "events"), Seq("event_type"), "value", budget = 1000L)
   }
+
+  // ---------------------------------------------------------------------
+  // tq36_source_overlap — pairwise vocabulary Jaccard between sources
+  // (TextAnalysis.vocabOverlap): distinct token sets meet in ONE
+  // token-keyed self-join — the cross-source dedup planning readout,
+  // set-based where KL/JS weight by frequency. Top-40 pairs by overlap.
+  register(
+    "tq36_source_overlap",
+    """WITH tk AS MATERIALIZED (
+      |  SELECT DISTINCT source AS g, unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0)) AS t
+      |  FROM documents
+      |), sizes AS (
+      |  SELECT g, count(*)::bigint AS n FROM tk GROUP BY 1
+      |), inter AS (
+      |  SELECT a.g AS group_a, b.g AS group_b, count(*)::bigint AS n_shared
+      |  FROM tk a JOIN tk b ON a.t = b.t AND a.g < b.g
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.group_a, i.group_b, sa.n AS n_a, sb.n AS n_b, i.n_shared,
+      |  round(i.n_shared::double /
+      |        (sa.n + sb.n - i.n_shared)::double, 6) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON sa.g = i.group_a
+      |JOIN sizes sb ON sb.g = i.group_b
+      |ORDER BY jaccard DESC, group_a, group_b
+      |LIMIT 40""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.vocabOverlap(
+      t(s, dir, "documents"), "source", "text")
+      .orderBy(col("jaccard").desc, col("group_a"), col("group_b"))
+      .limit(40)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq104_ess — effective sample size / design effect of a weighted
+  // sample per event type (Sampling.effectiveSampleSize): Kish's
+  // (Σw)²/Σw² over value-proportional weights — "how many independent
+  // units is this re-weighted sample actually worth", the honesty
+  // check after mixture/temperature re-weighting.
+  register(
+    "aq104_ess",
+    """WITH w AS (
+      |  SELECT event_type, value AS wt FROM events
+      |  WHERE value IS NOT NULL AND value > 0.0
+      |), s AS (
+      |  SELECT event_type, count(*)::bigint AS n,
+      |    sum(wt::decimal(18,6)) AS sw,
+      |    sum(round(wt * wt, 8)::decimal(28,8)) AS sww
+      |  FROM w GROUP BY 1
+      |)
+      |SELECT event_type, n,
+      |  round(sw::double * sw::double /
+      |    (CASE WHEN sww::double > 0.0 THEN sww::double END), 6) AS ess,
+      |  round(n::double / (CASE WHEN sw::double * sw::double /
+      |    (CASE WHEN sww::double > 0.0 THEN sww::double END) > 0.0
+      |    THEN sw::double * sw::double /
+      |      (CASE WHEN sww::double > 0.0 THEN sww::double END) END), 6)
+      |    AS deff
+      |FROM s ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Sampling.effectiveSampleSize(
+      t(s, dir, "events").select(col("event_type"),
+        col("value").as("wt")),
+      "event_type", "wt")
+  }
 }

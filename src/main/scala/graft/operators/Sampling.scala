@@ -461,4 +461,40 @@ object Sampling {
           .as("saturated"))
       .orderBy(groupCol)
   }
+
+  /** Effective sample size and design effect of a WEIGHTED sample per
+    * group (Kish 1965): ESS = (Σw)²/Σw², deff = n/ESS — "after
+    * temperature/mixture re-weighting, how many independent units is
+    * this sample actually worth". The honesty check on every weighted
+    * pipeline: a 10M-row sample with deff 40 measures like 250k rows,
+    * and the allocation planners ([[waterFillBudget]],
+    * [[graft.operators.Stats.neymanAllocation]]) should be fed ESS,
+    * not raw counts.
+    *
+    * Determinism contract: Σw and Σw² ride exact decimals (weights
+    * cast to decimal(18,6); squares round to 8dp decimal(28,8) before
+    * the order-independent sum); ESS and deff are pinned double
+    * expressions rounded at 6dp; a zero-weight group reports NULL via
+    * the denominator guard.
+    *
+    * Scale shape: one grouped aggregate; output is groups-sized. */
+  def effectiveSampleSize(
+      df: DataFrame,
+      groupCol: String,
+      weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("double")
+    val agg = df
+      .filter(w.isNotNull && w > 0.0)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(w.cast("decimal(18,6)")).as("__sw"),
+        sum(round(w * w, 8).cast("decimal(28,8)")).as("__sww"))
+    val sw = col("__sw").cast("double")
+    val sww = col("__sww").cast("double")
+    val ess = sw * sw / when(sww > 0.0, sww)
+    agg.select(col(groupCol), col("n"),
+      round(ess, 6).as("ess"),
+      round(col("n").cast("double") / when(ess > 0.0, ess), 6).as("deff"))
+      .orderBy(groupCol)
+  }
 }

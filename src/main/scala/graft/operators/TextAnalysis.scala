@@ -1411,4 +1411,49 @@ object TextAnalysis {
           .as("chao1"))
       .orderBy(groupCol)
   }
+
+  /** Pairwise vocabulary overlap between groups — "which sources share
+    * a lexicon": Jaccard of the groups' DISTINCT token sets, from ONE
+    * token-keyed self-join (tokens appearing in both groups meet on
+    * the token key; the output is group-pair-sized). The planning
+    * readout before cross-source dedup — high-overlap pairs are where
+    * near-dup candidates concentrate — and the set-based complement
+    * to [[tokenKlDivergence]]/[[jensenShannon]]'s distributional
+    * drift (which weight by frequency; this asks only who SHARES
+    * words).
+    *
+    * Determinism contract: set sizes and intersections are exact
+    * integer counts; Jaccard is one division rounded at 6dp; pairs
+    * are emitted once with group_a < group_b.
+    *
+    * Scale shape: one token pass to the distinct (group, token)
+    * frame, one token-keyed equi-join (group-count-bounded fan-out
+    * per token), one pair aggregate. */
+  def vocabOverlap(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = Lineage.cutLocal(df
+      .select(col(groupCol).cast("string").as("__g"),
+        explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__t"))
+      .distinct())
+    val sizes = broadcast(toks.groupBy(col("__g").as("__sg"))
+      .agg(count(lit(1)).as("__n")))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("__sg").as("group_a"), col("__n").as("n_a")),
+        Seq("group_a"))
+      .join(sizes.select(col("__sg").as("group_b"), col("__n").as("n_b")),
+        Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("group_a", "group_b")
+  }
 }

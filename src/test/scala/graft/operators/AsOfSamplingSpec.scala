@@ -299,4 +299,16 @@ class AsOfSamplingSpec extends AnyFunSuite {
     // conservation: allocations sum to the budget when it binds
     assert(run(90L).map(_._3).sum == 90.0)
   }
+
+  test("effectiveSampleSize: uniform weights lossless, skew shrinks ESS") {
+    val df = Seq(
+      ("u", 1.0), ("u", 1.0), ("u", 1.0), ("u", 1.0), // ESS = n
+      ("s", 3.0), ("s", 1.0),                          // (4²)/10 = 1.6
+      ("z", 0.0), ("z", -2.0))                         // excluded
+      .toDF("g", "w")
+    val got = Sampling.effectiveSampleSize(df, "g", "w")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("s", 2L, 1.6, 1.25), ("u", 4L, 4.0, 1.0)),
+      got.toString)
+  }
 }

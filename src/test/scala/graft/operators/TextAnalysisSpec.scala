@@ -568,4 +568,14 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("g", 3L, 2L, 1L, 3.5),   // 3 + 2*1/(2*(1+1))
       ("h", 2L, 2L, 0L, 3.0)), got.toString)
   }
+
+  test("vocabOverlap: hand-computed Jaccard; zero-overlap pairs absent") {
+    val docs = Seq(
+      ("a", "x y z"), ("b", "y z w"), ("c", "q"))
+      .toDF("source", "text")
+    val got = TextAnalysis.vocabOverlap(docs, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // a∩b = {y,z}: J = 2/(3+3-2) = 0.5; c shares nothing -> no row
+    assert(got == Seq(("a", "b", 3L, 3L, 2L, 0.5)), got.toString)
+  }
 }
