@@ -23,10 +23,19 @@ object Bench {
   /** The driver's BENCH_r10 carried a 19× pure-noise row (aq5_json
     * 6.32 s vs 0.47 s steady): a loaded window can poison the warmup
     * AND all timed runs, so even a median of 3 needs arbitration
-    * against the committed steady state. A fresh median more than 3×
-    * the committed value triggers one re-measurement round. */
+    * against the committed steady state. A fresh median more than
+    * 1.5× the committed value triggers one re-measurement round.
+    * 1.5×, not 3×: r11 measured 1.9–2.8× noise rows (sq20 6.00 vs
+    * 3.79 steady, sq22 7.04 vs 4.47, dq5 2.19 vs 1.27) slipping
+    * UNDER a 3× trigger and INFLATING the next round's committed
+    * baseline — each inflated row then weakens its own guard
+    * multiplicatively. The tighter trigger costs at most one extra
+    * measurement round for rows in the 1.5–3× band (bounded, and the
+    * min-of-medians keeps real regressions visible); sub-noise-floor
+    * queries (<0.3 s) are exempt, where 1.5× is sub-100 ms jitter. */
   def needsRemeasure(fresh: Double, committed: Option[Double]): Boolean =
-    committed.exists(c => c > 0.0 && fresh > 3.0 * c)
+    committed.exists(c => c > 0.0 &&
+      (if (c < 0.3) fresh > 3.0 * c else fresh > 1.5 * c))
 
   /** Noise-guard arbitration: re-measure once and report the MIN of
     * the two medians — a noise spike re-measures at steady state and

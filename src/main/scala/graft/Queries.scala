@@ -9884,12 +9884,12 @@ ORDER BY query_id"""
       |  SELECT
       |    round((n * sxy - sx * sy) /
       |      (CASE WHEN n < 2.0 OR n * sxx - sx * sx = 0.0 THEN NULL
-      |            ELSE n * sxx - sx * sx END), 6) AS beta,
+      |            ELSE n * sxx - sx * sx END), 6) + 0.0 AS beta,
       |    n, sx, sy
       |  FROM sums
       |)
       |SELECT p.checkpoint, p.n_tokens, p.vocab, f.beta,
-      |  round((f.sy - f.beta * f.sx) / f.n, 6) AS log_k
+      |  round((f.sy - f.beta * f.sx) / f.n, 6) + 0.0 AS log_k
       |FROM xy p CROSS JOIN fit f
       |ORDER BY p.checkpoint""".stripMargin
   ) { (s, dir) =>
@@ -10522,7 +10522,7 @@ ORDER BY query_id"""
       |), s AS (
       |  SELECT event_type, count(*)::bigint AS n,
       |    sum(wt::decimal(18,6)) AS sw,
-      |    sum(round(wt * wt, 8)::decimal(28,8)) AS sww
+      |    sum(round(wt * wt, 12)::decimal(38,12)) AS sww
       |  FROM w GROUP BY 1
       |)
       |SELECT event_type, n,

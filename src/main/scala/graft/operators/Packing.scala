@@ -277,15 +277,24 @@ object Packing {
     * corpus SOURCES (tens to hundreds), not data-sized.
     *
     * Precondition: `orderCol` unique within each group (same contract
-    * as globalRank). */
+    * as globalRank) — UNLESS the caller's readout is tie-invariant
+    * (any run of equal values still occupies one contiguous rank
+    * block, in partition-dependent internal order), in which case it
+    * passes `tieInvariant = true` to skip the opt-in uniqueness
+    * assertion (e.g. [[graft.operators.Stats.gini]], whose Σ i·v sum
+    * is proven tie-invariant in its scaladoc). */
   def groupedRank(
       df: DataFrame,
       groupCol: String,
       orderCol: String,
       carryCols: Seq[String],
-      numParts: Option[Int] = None): DataFrame = {
+      numParts: Option[Int] = None,
+      tieInvariant: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    assertUniqueIfEnabled(df, Seq(col(groupCol), col(orderCol)), "groupedRank")
+    if (!tieInvariant) {
+      assertUniqueIfEnabled(df, Seq(col(groupCol), col(orderCol)),
+        "groupedRank")
+    }
     val parts = numParts.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val sorted = df
       .select((groupCol +: orderCol +: carryCols).map(col): _*)
@@ -302,12 +311,20 @@ object Packing {
     val offsets = counts.groupBy(_._2).iterator.flatMap { case (g, rows) =>
       rows.sortBy(_._1).scanLeft((0, g, 0L, 0L)) {
         case ((_, _, acc, n0), (pid, _, n)) => (pid, g, acc + n0, n)
-      }.drop(1).map { case (pid, grp, acc, _) => (pid, grp, acc) }
+      }.drop(1).map { case (pid, grp, acc, _) =>
+        org.apache.spark.sql.Row(pid, grp, acc)
+      }
     }.toSeq
-    import spark.implicits._
-    val offsetDf = offsets.map { case (pid, g, off) =>
-      (pid, g.asInstanceOf[String], off)
-    }.toDF("__pid", groupCol, "__offset")
+    // schema-generic offset frame (groups are not always strings —
+    // same discipline as groupedPrefixSum)
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "__pid", org.apache.spark.sql.types.IntegerType, nullable = false),
+      sorted.schema(groupCol),
+      org.apache.spark.sql.types.StructField(
+        "__offset", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets, 1), offSchema)
 
     val w = Window.partitionBy("__pid", groupCol).orderBy(orderCol)
     sorted

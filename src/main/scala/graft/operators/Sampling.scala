@@ -472,8 +472,10 @@ object Sampling {
     * not raw counts.
     *
     * Determinism contract: Σw and Σw² ride exact decimals (weights
-    * cast to decimal(18,6); squares round to 8dp decimal(28,8) before
-    * the order-independent sum); ESS and deff are pinned double
+    * cast to decimal(18,6); squares round to 12dp decimal(38,12)
+    * before the order-independent sum — 8dp would underflow weights
+    * below ~1e-4 to zero and a uniformly-tiny-weight group would
+    * report NULL instead of ESS = n); ESS and deff are pinned double
     * expressions rounded at 6dp; a zero-weight group reports NULL via
     * the denominator guard.
     *
@@ -488,7 +490,7 @@ object Sampling {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sum(w.cast("decimal(18,6)")).as("__sw"),
-        sum(round(w * w, 8).cast("decimal(28,8)")).as("__sww"))
+        sum(round(w * w, 12).cast("decimal(38,12)")).as("__sww"))
     val sw = col("__sw").cast("double")
     val sww = col("__sww").cast("double")
     val ess = sw * sw / when(sww > 0.0, sww)

@@ -2195,8 +2195,11 @@ object Stats {
     val vals = df
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    // tieInvariant: equal values are NORMAL gini input and the Σ i·v
+    // readout is proven tie-invariant above — the opt-in uniqueness
+    // assert must not abort valid runs
     val ranked = graft.operators.Packing.groupedRank(
-      vals, groupCol, "__v", carryCols = Nil)
+      vals, groupCol, "__v", carryCols = Nil, tieInvariant = true)
     val dec = col("__v").cast("decimal(18,4)")
     val agg = ranked.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),
@@ -2395,6 +2398,140 @@ object Stats {
           sqrt(when(dx > 0.0 && dy > 0.0, dx * dy)), 6).as("tau_b")
       })
       .orderBy("group_key")
+  }
+
+  /** Ordinal concordance readouts — Goodman–Kruskal gamma (1954) and
+    * Somers' D(y|x) (1962) — off the same value-cell grid as
+    * [[kendallTau]]: γ = (P−Q)/(P+Q) ignores ties entirely (the
+    * "among pairs that order at all, how consistently" readout);
+    * D(y|x) = (P−Q)/(n₀−Tx) penalizes ties on the DEPENDENT side
+    * only — the credit-scoring concordance standard (for a binary y
+    * it equals 2·AUC−1, the Gini coefficient of the ROC). Together
+    * with τ-b they are the three tie conventions over one set of
+    * sufficient statistics, so they share one plan.
+    *
+    * Determinism contract: P, Q, n₀ and Tx are exact integers (pair
+    * products ride decimal(38,0), the kendallTau discipline); the two
+    * readouts are single divisions rounded at 6dp; a group with no
+    * orderable pairs (P+Q = 0) or all-tied x reports NULL via the
+    * denominator guards.
+    *
+    * Scale shape: one grouped aggregate to the cell grid, one
+    * grid-bounded self-join (never row-pairs), dimension-sized
+    * readouts — [[kendallTau]]'s shape exactly. */
+  def concordance(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = Lineage.cutLocal(df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__n")))
+    val pq = cells.as("a")
+      .join(cells.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__x") < col("b.__x"))
+      .groupBy(col("a.__g").as("__g"))
+      .agg(
+        sum(when(col("a.__y") < col("b.__y"),
+          (col("a.__n").cast(dec) * col("b.__n").cast(dec)).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__p"),
+        sum(when(col("a.__y") > col("b.__y"),
+          (col("a.__n").cast(dec) * col("b.__n").cast(dec)).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__q"))
+    val tx = cells
+      .groupBy(col("__g"), col("__x")).agg(sum("__n").as("__c"))
+      .groupBy("__g")
+      .agg((sum((col("__c").cast(dec) * (col("__c") - 1L).cast(dec))
+        .cast(dec)) / 2L).cast(dec).as("__tx"))
+    val tot = cells.groupBy("__g").agg(sum("__n").as("n"))
+    val n0 = ((col("n").cast(dec) * (col("n") - 1L).cast(dec)).cast(dec) /
+      2L).cast(dec)
+    val p = coalesce(col("__p"), lit(0).cast(dec))
+    val q = coalesce(col("__q"), lit(0).cast(dec))
+    tot
+      .join(pq, Seq("__g"), "left")
+      .join(tx, Seq("__g"))
+      .select(col("__g").as("group_key"), col("n"),
+        round((p - q).cast("double") /
+          when((p + q).cast("double") > 0.0, (p + q).cast("double")), 6)
+          .as("gamma"),
+        round((p - q).cast("double") /
+          when((n0 - col("__tx")).cast("double") > 0.0,
+            (n0 - col("__tx")).cast("double")), 6).as("somers_d"))
+      .orderBy("group_key")
+  }
+
+  /** Welch's one-way ANOVA (Welch 1951) — "do the group means differ"
+    * without the equal-variance assumption classical ANOVA needs (and
+    * corpus sources never satisfy): weights wₕ = nₕ/sₕ², the weighted
+    * grand mean m* = Σwₕmₕ/W, and
+    *
+    *   F = [Σwₕ(mₕ−m*)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ],
+    *   Λ = Σ(1−wₕ/W)²/(nₕ−1),  df₂ = (k²−1)/(3Λ).
+    *
+    * The parametric companion to [[kruskalWallis]] (ranks) and
+    * [[brownForsythe]] (spread): one tests location on values, one on
+    * ranks, one tests scale. Groups with n < 2 or zero variance carry
+    * no weight-able variance and are EXCLUDED from k (documented
+    * Welch convention — their sₕ² = 0 would send wₕ → ∞).
+    *
+    * Determinism contract: per-group n/Σv/Σv² ride exact decimals
+    * (the abTest discipline); every cross-group sum rounds its
+    * per-group addend to 10dp decimal(28,10) first (group order
+    * differs between engines); F and df₂ are pinned double readouts
+    * at 6dp, NULL when k < 2 via the guards. Returns ONE row
+    * `(k, n, f_stat, df2)`.
+    *
+    * Scale shape: one grouped aggregate to the strata frame
+    * (dimension-sized), two strata-frame aggregates, one readout. */
+  def welchAnova(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val g = df
+      .filter(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(v.cast("decimal(18,4)")).as("__sv"),
+        sum(round(v * v, 8).cast("decimal(28,8)")).as("__ss"))
+    val nd = col("__n").cast("double")
+    val m = col("__sv").cast("double") / nd
+    val s2 = (col("__ss").cast("double") - nd * m * m) / (nd - 1.0)
+    val dec10 = (c: Column) => round(c, 10).cast("decimal(28,10)")
+    // keep only weight-able groups: n >= 2 and positive variance
+    val strata = Lineage.cutLocal(g
+      .filter(col("__n") >= 2L)
+      .select(col("__n"), m.as("__m"), s2.as("__s2"))
+      .filter(col("__s2") > 0.0)
+      .withColumn("__w", col("__n").cast("double") / col("__s2")))
+    val w1 = broadcast(strata.agg(
+      count(lit(1)).as("k"), sum("__n").as("n"),
+      sum(dec10(col("__w"))).as("__sw"),
+      sum(dec10(col("__w") * col("__m"))).as("__swm")))
+    val mstar = (col("__swm").cast("double") / col("__sw").cast("double"))
+      .as("__mstar")
+    val w2 = strata.crossJoin(w1.select(col("__sw"), mstar))
+      .select(
+        dec10(col("__w") * (col("__m") - col("__mstar")) *
+          (col("__m") - col("__mstar"))).as("__num"),
+        dec10(((lit(1.0) - col("__w") / col("__sw").cast("double")) *
+          (lit(1.0) - col("__w") / col("__sw").cast("double"))) /
+          (col("__n").cast("double") - 1.0)).as("__lam"))
+      .agg(sum("__num").as("__a"), sum("__lam").as("__l"))
+    val kd = col("k").cast("double")
+    val lam = col("__l").cast("double")
+    w1.select(col("k"), col("n")).crossJoin(broadcast(w2))
+      .select(col("k"), col("n"),
+        when(col("k") >= 2L,
+          round((col("__a").cast("double") / (kd - 1.0)) /
+            (lit(1.0) + lit(2.0) * (kd - 2.0) / (kd * kd - 1.0) * lam),
+            6)).as("f_stat"),
+        when(col("k") >= 2L && lam > 0.0,
+          round((kd * kd - 1.0) / (lit(3.0) * lam), 6)).as("df2"))
   }
 
   /** Neyman-optimal sample allocation across strata (Neyman 1934) —

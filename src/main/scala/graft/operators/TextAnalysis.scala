@@ -1171,15 +1171,18 @@ object TextAnalysis {
     // fewer than 2 points has no slope — and with ONE nonzero point
     // the rounded sums leave den a hair off exact zero, so the count
     // guard is explicit, not inferred from den
+    // Readout.pin, not bare round: on a constant-vocab corpus the true
+    // slope is zero and the numerator lands at a tiny NEGATIVE — the
+    // engines then disagree on the rounded zero's sign (see Readout).
     val fit = sums.select(
-      round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+      Readout.pin((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
         when(col("__n") < 2.0 || den === 0.0, lit(null)).otherwise(den),
         6).as("beta"),
       col("__n"), col("__sx"), col("__sy"))
     pts.crossJoin(broadcast(fit))
       .select(col("checkpoint"), col("n_tokens"), col("vocab"),
         col("beta"),
-        round((col("__sy") - col("beta") * col("__sx")) / col("__n"), 6)
+        Readout.pin((col("__sy") - col("beta") * col("__sx")) / col("__n"), 6)
           .as("log_k"))
       .orderBy("checkpoint")
   }
@@ -1455,5 +1458,95 @@ object TextAnalysis {
           (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
           .as("jaccard"))
       .orderBy("group_a", "group_b")
+  }
+
+  /** Standardized type-token ratio (STTR, Johnson 1944) per group —
+    * lexical diversity that raw TTR can't give across documents of
+    * different lengths (TTR falls with length by Heaps' law, so a
+    * long doc always looks "less diverse"): each document is cut into
+    * fixed `chunk`-token windows, the trailing partial window is
+    * dropped, TTR = distinct/chunk is computed per window, and the
+    * group readout is the MEAN window TTR — length-comparable across
+    * sources, the repetitive-template detector that complements
+    * [[wordEntropy]] (frequency-weighted) with a coverage-weighted
+    * view.
+    *
+    * Determinism contract: per-window distinct counts are exact;
+    * each window TTR = distinct/chunk is one division rounded to 6dp
+    * decimal(18,6) BEFORE the window-order-independent group sum (the
+    * tq8 discipline); the mean reads out at 6dp. Groups with no full
+    * window are absent (nothing to standardize over).
+    *
+    * Scale shape: one positional token pass, one (doc, window)
+    * distinct aggregate, one group readout — windows derive from the
+    * in-doc position, so nothing global orders anything. */
+  def sttr(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      chunk: Int = 100): DataFrame = {
+    require(chunk >= 2, "chunk must be at least 2")
+    val toks = df.select(col(groupCol).as("__g"), col(idCol).as("__doc"),
+      posexplode(TextFunctions.wsTokens(lower(col(textCol))))
+        .as(Seq("__pos", "__w")))
+    val wins = toks
+      .withColumn("__win", (col("__pos") / chunk).cast("long"))
+      .groupBy("__g", "__doc", "__win")
+      .agg(count(lit(1)).as("__nt"),
+        countDistinct(col("__w")).as("__dt"))
+      .filter(col("__nt") === chunk.toLong) // full windows only
+    wins.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(round(col("__dt").cast("double") / chunk.toDouble, 6)
+          .cast("decimal(18,6)")).as("__st"))
+      .select(col(groupCol), col("n_windows"),
+        round(col("__st").cast("double") /
+          col("n_windows").cast("double"), 6).as("sttr"))
+      .orderBy(groupCol)
+  }
+
+  /** Simpson diversity of the token distribution per group — the
+    * unbiased concentration index λ = Σc(c−1) / (N(N−1)) ("the
+    * probability two tokens drawn WITHOUT replacement are the same
+    * type", Simpson 1949; Herfindahl's ecology twin) and its inverse
+    * 1/λ, the EFFECTIVE vocabulary size — "this source uses 40k
+    * distinct words but concentrates like a 900-word vocabulary".
+    * Entropy ([[wordEntropy]]) weights the long tail logarithmically;
+    * Simpson is dominated by the head — boilerplate and template
+    * saturation move it first, which is why it's the concentration
+    * alarm in a source scorecard.
+    *
+    * Determinism contract: Σc(c−1) rides decimal(38,0) (exact,
+    * order-independent) and N is an exact count, so λ is ONE double
+    * division rounded at 6dp; 1/λ guards λ > 0 (an all-singleton
+    * sample has λ = 0 — unbounded effective vocabulary, NULL).
+    *
+    * Scale shape: one token pass to the (group, token) count frame,
+    * one grouped readout — [[chao1]]'s shape exactly. */
+  def simpsonDiversity(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df
+      .select(col(groupCol).as("__g"),
+        explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__t"))
+      .groupBy("__g", "__t").agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("__g").as(groupCol)).agg(
+      count(lit(1)).as("vocab"),
+      sum("__c").as("n_tokens"),
+      sum((col("__c").cast(dec) * (col("__c") - 1L).cast(dec)).cast(dec))
+        .as("__rep"))
+      .filter(col("n_tokens") >= 2L)
+      .select(col(groupCol), col("vocab"), col("n_tokens"), {
+        val lam = col("__rep").cast("double") /
+          (col("n_tokens").cast(dec) *
+            (col("n_tokens") - 1L).cast(dec)).cast("double")
+        round(lam, 6).as("simpson")
+      })
+      .withColumn("effective_vocab",
+        round(lit(1.0) / when(col("simpson") > 0.0, col("simpson")), 6))
+      .orderBy(groupCol)
   }
 }

@@ -675,10 +675,18 @@ class ResultStore(spark: SparkSession, root: String) {
             spark.read.schema(read(schema).schema)
               .parquet(touchedFiles.map(_.getPath).toIndexedSeq: _*)
         // re-range-partition the rewrite so the new files' key ranges
-        // stay disjoint from each other AND from the carried files —
-        // without this, one wide-range rewrite file would be touched
-        // by every subsequent commit and pruning would decay to a
-        // full rewrite. The partition count also SPLITS files that
+        // stay disjoint from each other and MOSTLY from the carried
+        // files — a batch mixing keys inside touched ranges with keys
+        // beyond every existing range produces rewrite files spanning
+        // the gap, so small overlap with carried files can accrete;
+        // that degrades pruning efficiency (an overlapped carried file
+        // counts as touched next commit), never correctness, and
+        // per-commit cost stays O(batch-footprint) because the overlap
+        // is bounded by the batch's own key range (SourcesSpec pins
+        // the flatness with slack). Without the re-partition at all,
+        // one wide-range rewrite file would be touched by every
+        // subsequent commit and pruning would decay to a full
+        // rewrite. The partition count also SPLITS files that
         // outgrew the target size: with uniform keys a batch of B keys
         // touches ~min(B, files) files, so per-batch write cost is
         // B × rows-per-file — bounded ONLY if rows-per-file is bounded,
@@ -740,12 +748,18 @@ class ResultStore(spark: SparkSession, root: String) {
     * (foreign commit / different merge key) it degrades to one full
     * scan with the semi-join; the next pruned commit re-establishes
     * the sidecar. `keys` is evaluated twice (file pruning + the
-    * semi-join) — hand it a localCheckpointed frame. */
-  def readForKeys(schema: String, keys: DataFrame, keyCol: String): DataFrame = {
+    * semi-join) — hand it a localCheckpointed frame. `onFiles` gets
+    * the `(opened, total)` data-file counts — the read-side analogue
+    * of [[PrunedCommit]], so callers (and specs) can pin that a
+    * point-lookup's scan tracks the KEY footprint, not table size;
+    * `(total, total)` on the no-sidecar fallback. */
+  def readForKeys(schema: String, keys: DataFrame, keyCol: String,
+      onFiles: (Int, Int) => Unit = (_, _) => ()): DataFrame = {
     val stored = read(schema)
     val version = currentVersion(schema).get
+    val total = dataFiles(versionDir(schema, version)).length
     val pruned = readStatsRows(schema, version, keyCol) match {
-      case None => stored
+      case None => onFiles(total, total); stored
       case Some(statRows) => graft.operators.Lineage.withoutAqe(spark) {
         import spark.implicits._
         val keyType = stored.schema(keyCol).dataType
@@ -758,6 +772,7 @@ class ResultStore(spark: SparkSession, root: String) {
           .select("file").distinct().collect().map(_.getString(0)).toSet
         val files = dataFiles(versionDir(schema, version))
           .filter(f => touched.contains(f.getName))
+        onFiles(files.length, total)
         if (files.isEmpty) stored.limit(0)
         else spark.read.schema(stored.schema)
           .parquet(files.map(_.getPath).toIndexedSeq: _*)

@@ -14,11 +14,18 @@ import graft.operators.Lineage
   * source caps, and quality dashboards all start from this table.
   *
   * An additive merge is NOT replay-idempotent, so unlike the dedup
-  * registries each commit carries a `(stream_id, batch_id)` marker in
-  * the store's atomic commit metadata and a replayed micro-batch is
-  * skipped ([[graft.operators.Materialized.applyBatchOnce]]'s
-  * contract, riding the FILE-PRUNED commit instead of a full-table
-  * overwrite). Commit cost is bounded by the batch's key footprint:
+  * registries each commit carries a PER-STREAM latest-batch map in
+  * the store's atomic commit metadata (`txn.<stream_id> → batch_id`,
+  * the Delta `txnAppId`/`txnVersion` shape) and a replayed
+  * micro-batch is skipped ([[graft.operators.Materialized
+  * .applyBatchOnce]]'s contract, riding the FILE-PRUNED commit
+  * instead of a full-table overwrite). A MAP, not a single last
+  * pair: two streams interleaving on one schema would otherwise
+  * erase each other's marker, and the first stream's replayed batch
+  * would apply its additive delta TWICE. Every commit carries all
+  * existing `txn.*` entries forward ([[graft.sources.ResultStore
+  * .committedMeta]] returns only the committed generation's map).
+  * Commit cost is bounded by the batch's key footprint:
   * the registry lives range-partitioned on the key, the batch's
   * delta aggregate reads back only its own keys' stored rows
   * (`readForKeys`) and the sum commits through `upsertPruned`.
@@ -50,8 +57,7 @@ object Registries {
         // (Lineage.withoutAqe's measured rationale)
         Lineage.withoutAqe(batch.sparkSession) {
         val meta = store.committedMeta(schema)
-        val replayed = meta.get("batch_id").map(_.toLong)
-          .filter(_ => meta.get("stream_id").contains(streamId))
+        val replayed = meta.get(s"txn.$streamId").map(_.toLong)
           .exists(_ >= batchId)
         if (!replayed) {
           val delta = Lineage.cutLocal(batch
@@ -75,9 +81,11 @@ object Registries {
                   sum("n_docs").as("n_docs"),
                   sum("n_tokens").as("n_tokens"),
                   sum("n_chars").as("n_chars"))
-          val stats = store.upsertPruned(schema, src, "key",
-            meta = Map("stream_id" -> streamId,
-              "batch_id" -> batchId.toString))
+          // carry every stream's marker forward — the commit's meta
+          // REPLACES the generation's map wholesale
+          val txns = meta.filter(_._1.startsWith("txn.")) +
+            (s"txn.$streamId" -> batchId.toString)
+          val stats = store.upsertPruned(schema, src, "key", meta = txns)
           onCommit(schema, stats)
         }
         }

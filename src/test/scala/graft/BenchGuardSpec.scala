@@ -5,9 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The bench noise guard (Bench.guardedMedian family) — born from the
   * round-10 driver bench, where a loaded window poisoned aq5_json's
   * warmup AND both timed runs (6.32 s recorded vs 0.47 s steady, 19×).
-  * The guard arbitrates any fresh median >3× the committed artifact
-  * with one re-measurement round and keeps the min of medians: noise
-  * spikes are discarded, real regressions stay visible. */
+  * The guard arbitrates any fresh median >1.5× the committed artifact
+  * (>3× below the 0.3 s noise floor) with one re-measurement round
+  * and keeps the min of medians: noise spikes are discarded, real
+  * regressions stay visible. The r11 lesson set the 1.5×: 1.9–2.8×
+  * noise rows slipped under a 3× trigger and inflated the committed
+  * baseline, weakening their own next-round guard. */
 class BenchGuardSpec extends AnyFunSuite {
 
   test("synthetic slow run: noise spike re-measures back to steady state") {
@@ -28,12 +31,28 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(got == 2.4) // min of two honest slow medians
   }
 
-  test("no re-measure inside 3×, for new queries, or vs a 0 committed") {
+  test("no re-measure inside 1.5×, for new queries, or vs a 0 committed") {
     var called = false
     val boom = () => { called = true; 0.0 }
-    assert(Bench.guardedMedian(1.4, Some(0.5), boom) == 1.4) // 2.8× ok
+    assert(Bench.guardedMedian(0.7, Some(0.5), boom) == 0.7) // 1.4× ok
     assert(Bench.guardedMedian(9.9, None, boom) == 9.9)      // fresh query
     assert(Bench.guardedMedian(9.9, Some(0.0), boom) == 9.9) // degenerate
+    assert(!called)
+  }
+
+  test("the 1.5-3x band re-measures (the r11 slip), tiny queries don't") {
+    // sq22's r11 shape: committed 4.47 steady, loaded fresh 7.04
+    // (1.6×) — under the old 3× trigger this wrote through and
+    // inflated the baseline; now it arbitrates
+    var remeasured = 0
+    val got = Bench.guardedMedian(7.04, Some(4.47), () => {
+      remeasured += 1; 4.5
+    })
+    assert(remeasured == 1 && got == 4.5)
+    // below the 0.3s noise floor 1.5× is sub-100ms jitter: 3× applies
+    var called = false
+    assert(Bench.guardedMedian(0.25, Some(0.13),
+      () => { called = true; 0.0 }) == 0.25) // 1.9× but tiny
     assert(!called)
   }
 

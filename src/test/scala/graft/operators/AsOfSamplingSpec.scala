@@ -311,4 +311,17 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assert(got == Seq(("s", 2L, 1.6, 1.25), ("u", 4L, 4.0, 1.0)),
       got.toString)
   }
+
+  test("effectiveSampleSize: uniformly tiny weights still report " +
+      "ESS = n, not NULL") {
+    // weights of 1e-5 square to 1e-10 — an 8dp square sum would
+    // underflow to zero and report NULL; the 12dp decimal(38,12)
+    // scale keeps Σw² exact here
+    val df = Seq(
+      ("t", 1e-5), ("t", 1e-5), ("t", 1e-5), ("t", 1e-5))
+      .toDF("g", "w")
+    val got = Sampling.effectiveSampleSize(df, "g", "w")
+      .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(("t", 4L, Some(4.0), Some(1.0))), got.toString)
+  }
 }

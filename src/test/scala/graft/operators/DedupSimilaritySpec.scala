@@ -337,6 +337,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalNearDup candidate reads are batch-sized, not " +
+      "registry-sized") {
+    // the quadratic-READ trap (the write-side twin is pinned above):
+    // a 2-doc micro-batch's candidate lookup against a 64-doc sig
+    // registry must open only the files its own band keys can touch
+    // (≤ 2 docs × 2 bands = 4), never the whole band_key-ranged
+    // registry. Batch order pinned by file mtime as in the dedup spec.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndflat").toString
+    val big = (1L to 64L).map(i =>
+      (i, s"seed document number $i with some unique words $i here"))
+      .toDF("doc_id", "text")
+    big.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    Thread.sleep(1200)
+    for (b <- 1 to 5) {
+      (0 to 1).map(j => (1000L + b * 10 + j, s"late doc $b $j unique text"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      Thread.sleep(1100)
+    }
+    val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+    val reads = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    graft.operators.Dedup.incrementalNearDup(
+      graft.streaming.StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+      "doc_id", "text", store, "sigs", "pairs", s"$tmp/ckpt",
+      onPrunedRead = (o, t) => reads.synchronized { reads += ((o, t)) })
+      .awaitTermination()
+    // five post-seed batches, each a pruned point lookup
+    assert(reads.size == 5, reads.mkString(", "))
+    reads.foreach { case (opened, total) =>
+      assert(total >= 8, reads.mkString(", ")) // registry stayed wide
+      assert(opened <= 4, // bounded by the BATCH's band-key count
+        s"2-doc batch opened $opened of $total sig files: $reads")
+    }
+  }
+
   test("minhashEstimateAudit: exact duplicates estimate perfectly; " +
       "bias bounded by MAE") {
     // 3 identical docs: every candidate pair has est = 1 and J = 1

@@ -302,6 +302,29 @@ class StatsSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("gini: non-string group column and opt-in uniqueness assert " +
+      "both survive tied values") {
+    // LONG group ids (groupedRank's offset frame must be type-generic,
+    // not g.asInstanceOf[String]) + the tie-heavy value profile gini
+    // is FOR, with the uniqueness assert switched on: the tieInvariant
+    // bypass must keep valid runs alive
+    val df = Seq(
+      (7L, 1.0), (7L, 1.0), (7L, 1.0), (7L, 1.0),
+      (9L, 0.0), (9L, 0.0), (9L, 0.0), (9L, 4.0))
+      .toDF("src", "v")
+    val prev = spark.conf.getOption("spark.graft.rank.assertUnique")
+    spark.conf.set("spark.graft.rank.assertUnique", "true")
+    try {
+      val got = Stats.gini(df, "src", "v")
+        .as[(Long, Long, Option[Double])].collect().toSeq
+      assert(got == Seq((7L, 4L, Some(0.0)), (9L, 4L, Some(0.75))),
+        got.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.rank.assertUnique", v)
+      case None => spark.conf.unset("spark.graft.rank.assertUnique")
+    }
+  }
+
   test("psi: zero on identical distributions, positive and finite on " +
       "shift, swap-symmetric") {
     def rows(ref: Seq[Long], cur: Seq[Long]) =

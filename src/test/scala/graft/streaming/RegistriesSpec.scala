@@ -6,9 +6,9 @@ import graft.SparkTestSession
 /** The additive per-key statistics registry
   * ([[Registries.incrementalSourceStats]]): batch-split invariance
   * (the registry equals a one-shot aggregate for any split) and the
-  * (stream_id, batch_id) replay guard — addition is NOT idempotent,
-  * so unlike the dedup registries the exactly-once marker is the
-  * correctness mechanism, not a nicety. */
+  * per-stream `txn.<stream_id> → batch_id` replay guard — addition is
+  * NOT idempotent, so unlike the dedup registries the exactly-once
+  * marker is the correctness mechanism, not a nicety. */
 class RegistriesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -61,10 +61,19 @@ class RegistriesSpec extends AnyFunSuite {
     // the commit marker must absorb all of them (at-least-once replay)
     drain("s1", "ckpt2")
     assert(readReg(store) == expected)
-    assert(store.committedMeta("stats").get("stream_id").contains("s1"))
+    assert(store.committedMeta("stats").get("txn.s1").isDefined)
     // a NEW stream id is a new logical stream: batches apply again
     // (Delta's txnAppId scoping — proves the guard keys on BOTH ids)
     drain("s2", "ckpt3")
+    assert(readReg(store).view.mapValues(_._1).toMap ==
+      expected.view.mapValues(_._1 * 2).toMap)
+    // INTERLEAVED replay: s2's commits must not erase s1's marker —
+    // the meta is a per-stream MAP, so s1 replaying after s2 wrote is
+    // still skipped (a single last-(stream,batch) pair would
+    // double-apply here)
+    assert(store.committedMeta("stats").get("txn.s1").isDefined)
+    assert(store.committedMeta("stats").get("txn.s2").isDefined)
+    drain("s1", "ckpt4")
     assert(readReg(store).view.mapValues(_._1).toMap ==
       expected.view.mapValues(_._1 * 2).toMap)
   }

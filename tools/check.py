@@ -9,7 +9,29 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
+
+
+def signbit_mismatch(got: pd.DataFrame, want: pd.DataFrame):
+    """Signed-zero divergence the driver's hash catches but pandas
+    equality does not (-0.0 == 0.0): for every float column, any cell
+    where both sides are zero-valued but the sign bits differ.
+    Returns [(column, n_cells)]. (CORRECTNESS_r11: tq33_heaps — Spark
+    round() -> BigDecimal -> +0.0, DuckDB rounds sign-preservingly
+    -> -0.0.)"""
+    bad = []
+    for c in got.columns:
+        if not pd.api.types.is_float_dtype(got[c].dtype):
+            continue
+        g = got[c].to_numpy(dtype="float64", na_value=np.nan)
+        w = want[c].to_numpy(dtype="float64", na_value=np.nan)
+        zeros = (g == 0.0) & (w == 0.0)
+        n = int(np.count_nonzero(zeros &
+                                 (np.signbit(g) != np.signbit(w))))
+        if n:
+            bad.append((c, n))
+    return bad
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
@@ -64,6 +86,11 @@ def main(sf_dir, out_dir):
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)
+            zbad = signbit_mismatch(got, want)
+            if zbad:
+                print(f"FAIL {qname}: signed-zero mismatch {zbad} "
+                      f"(spark vs oracle sign bit on zero cells)")
+                n_fail += 1; continue
             print(f"PASS {qname} ({len(got)} rows)"); n_pass += 1
         except AssertionError as e:
             print(f"FAIL {qname}: {str(e).splitlines()[-1] if str(e) else e}")
