@@ -159,6 +159,20 @@ class GraphSpec extends AnyFunSuite {
       // (~45+) means the scoped-off window regressed
       assert(cur <= 25, s"hits(3) ran $cur jobs — scheduling regressed")
       assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+      // pageRank keeps its window too — A/B'd at sf0.1 (r12): wrapped
+      // 12 jobs / 3.16-3.26 s steady vs unwrapped 36 jobs /
+      // 3.85-4.12 s. Unlike kCore (whose rounds shrink a genuinely
+      // edge-sized frame and AQE coalescing won), aq44's 587k-edge
+      // contrib join is small enough per round that scheduling tax
+      // dominates — the boundary metric is per-round BYTES MOVED vs
+      // job overhead, not the frame's nominal kind. Pin it like hits.
+      jobs.set(0)
+      Graph.pageRank(edges, iterations = 3).count()
+      last = -1
+      cur = jobs.get
+      while (cur != last) { Thread.sleep(400); last = cur; cur = jobs.get }
+      assert(cur <= 20, s"pageRank(3) ran $cur jobs — scheduling regressed")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     } finally {
       sc.removeSparkListener(listener)
       spark.conf.unset("spark.sql.adaptive.enabled")
