@@ -162,7 +162,8 @@ object Bench {
         if (failed) 0.0
         else guardedMedian(median(times), committed.get(name), () => {
           System.err.println(f"[bench] $name median ${median(times)}%.2fs " +
-            f"> 3x committed ${committed(name)}%.2fs — re-measuring")
+            f"over the guard vs committed ${committed(name)}%.2fs — " +
+            "re-measuring")
           median(timedRuns())
         })
       (name,

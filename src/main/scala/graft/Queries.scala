@@ -10540,4 +10540,382 @@ ORDER BY query_id"""
         col("value").as("wt")),
       "event_type", "wt")
   }
+
+  // ---------------------------------------------------------------------
+  // aq105_concordance — Goodman–Kruskal gamma + Somers' D(y|x) over the
+  // aq102 hour×value-bucket grid (Stats.concordance): the two remaining
+  // tie conventions on kendallTau's exact P/Q/Tx sufficient statistics
+  // (γ ignores ties; D penalizes dependent-side ties — 2·AUC−1 for a
+  // binary y). Same grid²-bounded shape, one shared plan family.
+  register(
+    "aq105_concordance",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 3600000000) % 24 AS x,
+      |    least(floor(value / 50.0), 19.0)::bigint AS y
+      |  FROM events
+      |), cells AS MATERIALIZED (
+      |  SELECT event_type, x, y, count(*)::bigint AS n
+      |  FROM e GROUP BY 1, 2, 3
+      |), pq AS (
+      |  SELECT a.event_type,
+      |    sum(CASE WHEN a.y < b.y
+      |        THEN a.n::hugeint * b.n::hugeint ELSE 0::hugeint END) AS p,
+      |    sum(CASE WHEN a.y > b.y
+      |        THEN a.n::hugeint * b.n::hugeint ELSE 0::hugeint END) AS q
+      |  FROM cells a JOIN cells b
+      |    ON a.event_type = b.event_type AND a.x < b.x
+      |  GROUP BY 1
+      |), tx AS (
+      |  SELECT event_type, sum((c * (c - 1)) // 2) AS tx FROM (
+      |    SELECT event_type, x, sum(n)::hugeint AS c
+      |    FROM cells GROUP BY 1, 2) GROUP BY 1
+      |), tot AS (
+      |  SELECT event_type, sum(n)::bigint AS n FROM cells GROUP BY 1
+      |)
+      |SELECT tot.event_type AS group_key, tot.n,
+      |  round((coalesce(pq.p, 0::hugeint) -
+      |         coalesce(pq.q, 0::hugeint))::double /
+      |    (CASE WHEN (coalesce(pq.p, 0::hugeint) +
+      |                coalesce(pq.q, 0::hugeint))::double > 0.0
+      |          THEN (coalesce(pq.p, 0::hugeint) +
+      |                coalesce(pq.q, 0::hugeint))::double END), 6) AS gamma,
+      |  round((coalesce(pq.p, 0::hugeint) -
+      |         coalesce(pq.q, 0::hugeint))::double /
+      |    (CASE WHEN ((tot.n::hugeint * (tot.n - 1)::hugeint) // 2
+      |                - tx.tx)::double > 0.0
+      |          THEN ((tot.n::hugeint * (tot.n - 1)::hugeint) // 2
+      |                - tx.tx)::double END), 6) AS somers_d
+      |FROM tot
+      |LEFT JOIN pq ON pq.event_type = tot.event_type
+      |JOIN tx ON tx.event_type = tot.event_type
+      |ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.concordance(
+      t(s, dir, "events").select(col("event_type"),
+        (expr("unix_micros(ts) div 3600000000") % 24L).as("x"),
+        least(floor(col("value") / 50.0), lit(19L)).cast("long").as("y")),
+      "event_type", "x", "y")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq106_welch_anova — Welch's unequal-variance one-way ANOVA across
+  // event types (Stats.welchAnova): do the mean values differ, without
+  // classical ANOVA's homoscedasticity assumption. Per-group exact
+  // decimal sufficient statistics, 10dp-decimal cross-group sums
+  // (group order differs between engines), pinned double readouts.
+  register(
+    "aq106_welch_anova",
+    """WITH g AS (
+      |  SELECT event_type, count(*)::bigint AS n,
+      |    sum(value::decimal(18,4)) AS sv,
+      |    sum(round(value * value, 8)::decimal(28,8)) AS ss
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |), s AS (
+      |  SELECT n, sv::double / n::double AS m,
+      |    (ss::double - n::double * (sv::double / n::double) *
+      |      (sv::double / n::double)) / (n::double - 1.0) AS s2
+      |  FROM g WHERE n >= 2
+      |), st AS MATERIALIZED (
+      |  SELECT n, m, s2, n::double / s2 AS w FROM s WHERE s2 > 0.0
+      |), w1 AS MATERIALIZED (
+      |  SELECT count(*)::bigint AS k, sum(n)::bigint AS n,
+      |    sum(round(w, 10)::decimal(28,10)) AS sw,
+      |    sum(round(w * m, 10)::decimal(28,10)) AS swm
+      |  FROM st
+      |), w2 AS (
+      |  SELECT
+      |    sum(round(w * (m - (SELECT swm::double / sw::double FROM w1)) *
+      |        (m - (SELECT swm::double / sw::double FROM w1)), 10)
+      |        ::decimal(28,10)) AS a,
+      |    sum(round(((1.0 - w / (SELECT sw::double FROM w1)) *
+      |        (1.0 - w / (SELECT sw::double FROM w1))) /
+      |        (n::double - 1.0), 10)::decimal(28,10)) AS l
+      |  FROM st
+      |)
+      |SELECT w1.k, w1.n,
+      |  CASE WHEN w1.k >= 2 THEN
+      |    round((w2.a::double / (w1.k::double - 1.0)) /
+      |      (1.0 + 2.0 * (w1.k::double - 2.0) /
+      |        (w1.k::double * w1.k::double - 1.0) * w2.l::double), 6)
+      |  END AS f_stat,
+      |  CASE WHEN w1.k >= 2 AND w2.l::double > 0.0 THEN
+      |    round((w1.k::double * w1.k::double - 1.0) /
+      |      (3.0 * w2.l::double), 6)
+      |  END AS df2
+      |FROM w1, w2""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.welchAnova(t(s, dir, "events"),
+      "event_type", "value")
+  }
+
+  // ---------------------------------------------------------------------
+  // tq37_sttr — standardized type-token ratio per source
+  // (TextAnalysis.sttr): lexical diversity over fixed 25-token windows
+  // (the corpus caps at 99-token docs), trailing partials dropped,
+  // per-window TTRs rounded to 6dp decimal before the order-independent
+  // group mean. The length-comparable diversity readout raw TTR isn't.
+  register(
+    "tq37_sttr",
+    """WITH t AS (
+      |  SELECT source, doc_id, list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), toks AS (
+      |  SELECT source, doc_id, unnest(tk) AS w,
+      |         generate_subscripts(tk, 1) - 1 AS pos
+      |  FROM t
+      |), wins AS (
+      |  SELECT source, doc_id, pos // 25 AS win,
+      |         count(*)::bigint AS nt,
+      |         count(DISTINCT w)::bigint AS dt
+      |  FROM toks GROUP BY 1, 2, 3
+      |)
+      |SELECT source, count(*)::bigint AS n_windows,
+      |  round(sum(round(dt::double / 25.0, 6)::decimal(18,6))::double /
+      |        count(*)::double, 6) AS sttr
+      |FROM wins WHERE nt = 25
+      |GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.sttr(
+      t(s, dir, "documents"), "doc_id", "source", "text", chunk = 25)
+  }
+
+  // ---------------------------------------------------------------------
+  // tq38_simpson — Simpson token concentration per source
+  // (TextAnalysis.simpsonDiversity): unbiased λ = Σc(c−1)/(N(N−1)) and
+  // the effective vocabulary 1/λ — the head-weighted concentration
+  // alarm beside word entropy's tail-weighted view. Exact hugeint
+  // repeat counts, one double division.
+  register(
+    "tq38_simpson",
+    """WITH tk AS (
+      |  SELECT source, unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0)) AS t
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, t, count(*)::bigint AS c FROM tk GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT source, count(*)::bigint AS vocab,
+      |    sum(c)::bigint AS n_tokens,
+      |    sum(c::hugeint * (c - 1)::hugeint) AS rep
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT source, vocab, n_tokens, simpson,
+      |  round(1.0 / (CASE WHEN simpson > 0.0 THEN simpson END), 6)
+      |    AS effective_vocab
+      |FROM (
+      |  SELECT source, vocab, n_tokens,
+      |    round(rep::double /
+      |      (n_tokens::hugeint * (n_tokens - 1)::hugeint)::double, 6)
+      |      AS simpson
+      |  FROM agg WHERE n_tokens >= 2
+      |) ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.simpsonDiversity(
+      t(s, dir, "documents"), "source", "text")
+  }
+
+  // ---------------------------------------------------------------------
+  // dq26_prefix_boilerplate — shared-first-8-tokens document clusters
+  // (Dedup.prefixClusters): the cheapest template detector there is —
+  // one slice per doc, no signatures — catching mail-merge/header
+  // families whose bodies diverge enough to defeat similarity
+  // thresholds. Literal token-string keys, exact counts, pinned order.
+  register(
+    "dq26_prefix_boilerplate",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0) AS tk
+      |  FROM documents
+      |)
+      |SELECT array_to_string(tk[1:8], ' ') AS prefix,
+      |  count(*)::bigint AS n_docs, min(doc_id)::bigint AS min_doc
+      |FROM t WHERE len(tk) >= 8
+      |GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY n_docs DESC, prefix LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.prefixClusters(
+      t(s, dir, "documents"), "doc_id", "text",
+      k = 8, minDocs = 2L, topK = 100)
+  }
+
+  // ---------------------------------------------------------------------
+  // sq23_kcenter — greedy k-center coreset over the embeddings
+  // (Similarity.kCenterCoreset): 6 farthest-point rounds from the
+  // min-id seed, each one corpus pass against a broadcast center; the
+  // generated oracle unrolls the trajectory (the aq44/sq11 discipline)
+  // on the same 1 − round(cos, 4) distances and smallest-id ties.
+  register(
+    "sq23_kcenter",
+    graft.operators.Similarity.kCenterOracleSql(k = 6)
+  ) { (s, dir) =>
+    graft.operators.Similarity.kCenterCoreset(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
+  }
+
+  // ---------------------------------------------------------------------
+  // st17_incremental_histogram — continuous-ingestion per-type value
+  // histogram registry (streaming.Registries.incrementalHistogram):
+  // fixed width-50 grid capped at bucket 19 (the aq100/aq102 grid), 3
+  // micro-batches merged additively through batch-pruned commits under
+  // the per-stream txn replay map. Fixed cells are mergeable forever —
+  // the final registry equals the one-shot aggregate for any split,
+  // which is what the oracle computes.
+  register(
+    "st17_incremental_histogram",
+    """SELECT event_type AS key,
+      |  least(greatest(floor(value / 50.0), 0.0), 19.0)::bigint AS bucket,
+      |  count(*)::bigint AS n
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY key, bucket""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    val tmp = scratchDir("st17")
+    t(s, dir, "events").select("event_type", "value")
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    val stream = graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1)
+    graft.streaming.Registries.incrementalHistogram(
+      stream, "event_type", "value", 50.0, store, "hist", "st17",
+      s"$tmp/ckpt", maxBucket = 19L)
+      .awaitTermination()
+    store.read("hist").orderBy("key", "bucket")
+  }}
+
+  // ---------------------------------------------------------------------
+  // aq107_jonckheere — Jonckheere–Terpstra ordered-trend test: does the
+  // value distribution shift monotonically across the hours of the day,
+  // per event type (Stats.jonckheereTerpstra). Summed cross-group
+  // Mann–Whitney over the hour×value-bucket grid, ×4-scaled exact
+  // integers, tie-corrected Hollander–Wolfe variance, one pinned z.
+  register(
+    "aq107_jonckheere",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 3600000000) % 24 AS o,
+      |    least(floor(value / 50.0), 19.0)::bigint AS v
+      |  FROM events
+      |), cells AS MATERIALIZED (
+      |  SELECT event_type, o, v, count(*)::bigint AS n
+      |  FROM e GROUP BY 1, 2, 3
+      |), jt AS (
+      |  SELECT a.event_type,
+      |    sum(CASE WHEN a.v < b.v
+      |          THEN a.n::hugeint * b.n::hugeint * 4
+      |        WHEN a.v = b.v
+      |          THEN a.n::hugeint * b.n::hugeint * 2
+      |        ELSE 0::hugeint END) AS jt4
+      |  FROM cells a JOIN cells b
+      |    ON a.event_type = b.event_type AND a.o < b.o
+      |  GROUP BY 1
+      |), grp AS (
+      |  SELECT event_type, count(*)::bigint AS n_groups,
+      |    sum(c)::bigint AS n,
+      |    sum(c::hugeint * c::hugeint) AS sq,
+      |    sum(c::hugeint * (c - 1)::hugeint * (2 * c + 5)::hugeint) AS ga,
+      |    sum(c::hugeint * (c - 1)::hugeint * (c - 2)::hugeint) AS gb,
+      |    sum(c::hugeint * (c - 1)::hugeint) AS gc
+      |  FROM (SELECT event_type, o, sum(n)::bigint AS c
+      |        FROM cells GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), tie AS (
+      |  SELECT event_type,
+      |    sum(t::hugeint * (t - 1)::hugeint * (2 * t + 5)::hugeint) AS ta,
+      |    sum(t::hugeint * (t - 1)::hugeint * (t - 2)::hugeint) AS tb,
+      |    sum(t::hugeint * (t - 1)::hugeint) AS tc
+      |  FROM (SELECT event_type, v, sum(n)::bigint AS t
+      |        FROM cells GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), rd AS (
+      |  SELECT g.event_type, g.n, g.n_groups,
+      |    coalesce(j.jt4, 0::hugeint) AS jt4h,
+      |    (g.n::hugeint * g.n::hugeint - g.sq) AS ejt4h,
+      |    16.0 * (
+      |      (g.n::hugeint * (g.n - 1)::hugeint * (2 * g.n + 5)::hugeint
+      |        - g.ga - t.ta)::double / 72.0 +
+      |      (g.gb * t.tb)::double /
+      |        (CASE WHEN g.n::double * (g.n::double - 1.0) *
+      |                   (g.n::double - 2.0) > 0.0
+      |              THEN 36.0 * (g.n::double * (g.n::double - 1.0) *
+      |                   (g.n::double - 2.0)) END) +
+      |      (g.gc * t.tc)::double /
+      |        (CASE WHEN g.n::double * (g.n::double - 1.0) > 0.0
+      |              THEN 8.0 * (g.n::double * (g.n::double - 1.0)) END))
+      |      AS var16
+      |  FROM grp g
+      |  LEFT JOIN jt j USING (event_type)
+      |  JOIN tie t USING (event_type)
+      |)
+      |SELECT event_type AS group_key, n, n_groups,
+      |  jt4h::bigint AS jt4, ejt4h::bigint AS ejt4,
+      |  CASE WHEN n >= 3 THEN
+      |    round((jt4h - ejt4h)::double /
+      |      sqrt(CASE WHEN var16 > 0.0 THEN var16 END), 6)
+      |  END AS z
+      |FROM rd ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.jonckheereTerpstra(
+      t(s, dir, "events").select(col("event_type"),
+        (expr("unix_micros(ts) div 3600000000") % 24L).as("o"),
+        least(floor(col("value") / 50.0), lit(19L)).cast("long").as("v")),
+      "event_type", "o", "v")
+  }
+
+  // ---------------------------------------------------------------------
+  // q50_store_clone — zero-copy SHALLOW CLONE (ResultStore.cloneSchema):
+  // the customer table commits pruned, clones by hard-link (O(files)
+  // metadata, no bytes copied), the clone takes an upsert, and both
+  // tables read back — the clone diverged, the source untouched. The
+  // oracle recomputes both states from the base table directly.
+  register(
+    "q50_store_clone",
+    """WITH base AS (
+      |  SELECT c_custkey, c_acctbal::decimal(18,4) AS bal FROM customer
+      |), mut AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey <= 50 THEN bal + 1000 ELSE bal END AS bal
+      |  FROM base
+      |)
+      |SELECT 'dst' AS tbl, count(*)::bigint AS n,
+      |  round(sum(bal)::double, 2) AS total FROM mut
+      |UNION ALL
+      |SELECT 'src', count(*)::bigint, round(sum(bal)::double, 2) FROM base
+      |ORDER BY tbl""".stripMargin
+  ) { (s, dir) =>
+    val tmp = scratchDir("q50")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_acctbal").cast("decimal(18,4)").as("bal"))
+    store.upsertPruned("src",
+      cust.repartitionByRange(4, col("c_custkey")), "c_custkey")
+    store.cloneSchema("src", "dst")
+    store.upsertPruned("dst",
+      cust.filter(col("c_custkey") <= 50L)
+        .withColumn("bal", col("bal") + lit(1000L)),
+      "c_custkey")
+    Seq("dst", "src").map { tbl =>
+      store.read(tbl).agg(
+        count(lit(1)).as("n"),
+        round(sum(col("bal")).cast("double"), 2).as("total"))
+        .select(lit(tbl).as("tbl"), col("n"), col("total"))
+    }.reduce(_ unionByName _).orderBy("tbl")
+  }
+
+  // ---------------------------------------------------------------------
+  // sq24_kcenter_cover — nearest-center coverage of the sq23 coreset
+  // (Similarity.kCenterAssign): every embedding assigned to its closest
+  // of the 6 greedy centers, per-center population / worst-case radius /
+  // 6dp-decimal mean distance. One corpus pass against the broadcast
+  // codebook; the generated oracle replays trajectory + assignment.
+  register(
+    "sq24_kcenter_cover",
+    graft.operators.Similarity.kCenterAssignOracleSql(k = 6)
+  ) { (s, dir) =>
+    graft.operators.Similarity.kCenterAssign(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
+  }
 }

@@ -46,6 +46,50 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Shared-PREFIX document clusters — boilerplate/template detection
+    * by the cheapest structural signal there is: documents opening
+    * with the same first `k` tokens (license headers, scraped nav
+    * chrome, form letters) group on one prefix key. Near-dup LSH
+    * finds these too, but pays signatures for it; the prefix key is
+    * one slice per document and catches the template family even
+    * when the BODIES diverge enough to defeat similarity thresholds
+    * (a mail-merge corpus shares its first 40 tokens and nothing
+    * else). The curation readout feeding a strip-or-drop decision.
+    *
+    * Returns clusters of `minDocs`+ members:
+    * `(prefix, n_docs, min_doc)` ordered by (n_docs desc, prefix),
+    * top `topK`.
+    *
+    * Determinism contract: the key is the literal token string (no
+    * hashing to disagree on), counts exact, order pinned with the
+    * prefix as tiebreak, TakeOrdered cap.
+    *
+    * Scale shape: one slice per document (no explode — the prefix
+    * derives from `slice(split(...))`), one groupBy on the prefix
+    * key, TakeOrderedAndProject for the cap. Docs shorter than `k`
+    * tokens carry no full prefix and are excluded (a short doc IS
+    * its own prefix — grouping those would report length buckets,
+    * not templates). */
+  def prefixClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minDocs: Long = 2L,
+      topK: Int = 100): DataFrame = {
+    require(k >= 1, "prefix length must be at least 1")
+    val toks = TextFunctions.wsTokens(lower(col(textCol)))
+    df.select(col(idCol).as("__id"), toks.as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .select(array_join(slice(col("__tk"), 1, k), " ").as("prefix"),
+        col("__id"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"), min("__id").as("min_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("prefix"))
+      .limit(topK)
+  }
+
   /** Word-shingle set (distinct n-grams, lower-cased). Native kernel —
     * one compiled pass per document (the composable HOF version costs
     * ~2ms/doc interpreted; see TextKernelExpressions). */

@@ -1020,6 +1020,137 @@ object Similarity {
       .limit(topK)
   }
 
+  /** GENERATED DuckDB oracle for [[kCenterCoreset]]: the greedy
+    * farthest-point trajectory unrolled round by round — `m_r` replays
+    * round r's running min-distance column exactly (same
+    * 1 − round(cos, 4) distances, same −1 selected-point sentinel,
+    * same smallest-id tie-break), so every selection is bit-identical,
+    * not approximately equal. */
+  def kCenterOracleSql(k: Int): String = {
+    val rows = (2 to k).map(r =>
+      s"UNION ALL SELECT $r AS rnd, vec_id, mind AS dist FROM c$r")
+      .mkString("\n")
+    s"""|${kCenterRoundsSql(k)}
+        |SELECT 1 AS rnd, (SELECT vec_id FROM s1) AS vec_id,
+        |       NULL::double AS dist
+        |$rows
+        |ORDER BY rnd""".stripMargin
+  }
+
+  /** GENERATED DuckDB oracle for [[kCenterAssign]]: the
+    * [[kCenterOracleSql]] trajectory plus the nearest-center
+    * assignment tail (same 1 − round(cos, 4) distances, smallest
+    * center id on ties, per-point 6dp-decimal distance sum). */
+  def kCenterAssignOracleSql(k: Int): String = {
+    val centers = ((1 to k).map(r =>
+      s"SELECT vec_id AS center_id, v, nrm FROM s$r"))
+      .mkString("\n  UNION ALL ")
+    s"""|${kCenterRoundsSql(k)}
+        |, centers AS (
+        |  $centers
+        |), asg AS (
+        |  SELECT p.vec_id, c.center_id,
+        |    ${kcDist("p", "c")} AS d,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY ${kcDist("p", "c")}, c.center_id) AS rk
+        |  FROM n p, centers c
+        |)
+        |SELECT center_id, count(*)::bigint AS n_assigned,
+        |  max(d) AS max_dist,
+        |  round(sum(round(d, 6)::decimal(18,6))::double /
+        |        count(*)::double, 6) AS mean_dist
+        |FROM asg WHERE rk = 1
+        |GROUP BY 1 ORDER BY center_id""".stripMargin
+  }
+
+  private def kcDist(a: String, b: String): String =
+    s"1.0 - round(list_sum(list_transform(list_zip($a.v, $b.v), " +
+      s"p -> p[1] * p[2])) / ($a.nrm * $b.nrm), 4)"
+
+  /** The shared WITH-chain for the k-center oracles: normalized
+    * vectors, min-id seed `s1`, and greedy rounds `m_r`/`c_r`/`s_r`
+    * replaying [[kCenterCoreset]]'s trajectory exactly. */
+  private def kCenterRoundsSql(k: Int): String = {
+    require(k >= 1, "k must be at least 1")
+    val rounds = (2 to k).map { r =>
+      val prevM = if (r == 2) "" else s", m${r - 1} pm"
+      val mind =
+        if (r == 2) kcDist("p", s"s${r - 1}")
+        else s"least(pm.mind, ${kcDist("p", s"s${r - 1}")})"
+      val prevJoin =
+        if (r == 2) ""
+        else s" AND pm.vec_id = p.vec_id"
+      s"""|, m$r AS (
+          |  SELECT p.vec_id,
+          |    CASE WHEN p.vec_id = s${r - 1}.vec_id THEN -1.0
+          |         ELSE $mind END AS mind
+          |  FROM n p, s${r - 1}$prevM
+          |  WHERE TRUE$prevJoin
+          |), c$r AS (
+          |  SELECT vec_id, mind FROM m$r ORDER BY mind DESC, vec_id LIMIT 1
+          |), s$r AS (
+          |  SELECT n.vec_id, n.v, n.nrm FROM n JOIN c$r USING (vec_id)
+          |)""".stripMargin
+    }.mkString("\n")
+    s"""|WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+        |  FROM embeddings
+        |), n AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), s1 AS (
+        |  SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 1
+        |)
+        |$rounds""".stripMargin
+  }
+
+  /** Nearest-center assignment over a [[kCenterCoreset]] skeleton —
+    * the coverage readout that makes the coreset actionable: every
+    * point assigned to its nearest of the k centers (distance
+    * 1 − round(cos, 4), ties to the smallest center id), aggregated
+    * to per-center population, worst-case radius, and mean distance.
+    * `max(max_dist)` over the output is the k-center objective the
+    * greedy traversal 2-approximates; fat `n_assigned` tails tell the
+    * curation pipeline where one exemplar stands in for too much
+    * corpus.
+    *
+    * Determinism contract: the trajectory is [[kCenterCoreset]]'s;
+    * assignment distances are the same pinned doubles; per-point
+    * distances round to 6dp decimal before the order-independent
+    * mean sum; max is order-free.
+    *
+    * Scale shape: ONE corpus pass against the broadcast k-row center
+    * frame (the coreset is a codebook), one (point → min) aggregate
+    * by center — no pairwise joins, nothing driver-side beyond the
+    * k centers. */
+  def kCenterAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val coreset = kCenterCoreset(corpus, idCol, vecCol, k)
+    val centers = broadcast(
+      coreset.select(col("vec_id").as("__cid"))
+        .join(corpus.select(col(idCol).cast("long").as("__cid"),
+          col(vecCol).as("__cv")), Seq("__cid")))
+    val d = lit(1.0) - round(cosine(col("__v"), col("__cv")), 4)
+    val best = corpus
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .crossJoin(centers)
+      .groupBy("__id")
+      .agg(min(struct(d.as("d"), col("__cid"))).as("__best"))
+      .select(col("__best.__cid").as("center_id"),
+        col("__best.d").as("__d"))
+    best.groupBy("center_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        max("__d").as("max_dist"),
+        round(sum(round(col("__d"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_dist"))
+      .orderBy("center_id")
+  }
+
   /** GENERATED DuckDB oracle for [[mmrRerank]] over the embeddings
     * table with queries `vec_id < nQueries`: one CTE pair per greedy
     * round replays the exact trajectory (same 4dp cosine inputs, same
@@ -1276,5 +1407,82 @@ object Similarity {
       .orderBy(col("lift").desc, col("confidence").desc,
         col("antecedent"), col("consequent"))
       .limit(topK)
+  }
+
+  /** Greedy k-center coreset over an embedding column — farthest-point
+    * traversal (Gonzalez 1985, the 2-approximation to the k-center
+    * cover): seed with the lowest id, then k−1 times pick the point
+    * FARTHEST from everything selected so far (cosine distance
+    * 1 − cos). The geometry-coverage answer to "which k exemplars
+    * span this corpus" — where [[diversitySample]] spreads a SAMPLE
+    * across IVF cells and [[mmrRerank]] diversifies one query's
+    * candidates, this picks the global skeleton (eval-set seeds,
+    * annotation batches, cluster initializations that cover the
+    * tails instead of the modes).
+    *
+    * Determinism contract: distances are 1 − round(cos, 4) (the
+    * sq1/semanticDedup 4dp discipline — one IEEE subtract on an
+    * engine-identical operand); the running minimum is a `least` fold
+    * of such values; argmax ties break to the SMALLEST id. The whole
+    * trajectory is therefore exactly replayable, round by round, in
+    * the oracle.
+    *
+    * Scale shape: each round is ONE pass over the corpus against a
+    * broadcast 1-row center (no pairwise joins anywhere), the running
+    * min-distance column rides the frame (lazily cut per round), and
+    * the driver holds exactly the k selected rows — a codebook, the
+    * audited collect class. Returns `(rnd, vec_id, dist)`, k rows,
+    * where dist is the selected point's min distance to all EARLIER
+    * centers (NULL for the seed). */
+  def kCenterCoreset(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    val pts0 = Lineage.cutLocal(
+      corpus.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v")))
+    val seed = pts0.orderBy("__id").limit(1)
+      .select(col("__id"), col("__v")).collect().head
+    var selected = List[(Int, Long, Option[Double])]((1, seed.getLong(0), None))
+    var centerVec: Any = seed.get(1)
+    var pts = pts0.withColumn("__mind", lit(null).cast("double"))
+    val vecType = pts0.schema("__v").dataType
+    for (rnd <- 2 to k) {
+      val center = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(selected.head._2, centerVec)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__cid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("__cv", vecType)))))
+      val d = lit(1.0) - round(cosine(col("__v"), col("__cv")), 4)
+      // selected points sink to -1 (below every true distance, which
+      // is >= 0) so an exact-duplicate corpus can tie at 0 without the
+      // argmax ever re-picking an already-selected center; k beyond
+      // the distinct-point count degenerates visibly (dist -1 rows)
+      pts = Lineage.cutLazy(
+        pts.crossJoin(center)
+          .withColumn("__mind",
+            when(col("__id") === col("__cid"), lit(-1.0))
+              .otherwise(least(coalesce(col("__mind"), d), d)))
+          .drop("__cid", "__cv"))
+      // farthest point, ties to the smallest id — one 1-row argmax
+      val far = pts
+        .agg(max(struct(col("__mind"), (-col("__id")).as("__nid"))))
+        .collect().head.getStruct(0)
+      val (fid, fd) = (-far.getLong(1), far.getDouble(0))
+      val frow = pts.filter(col("__id") === fid)
+        .select(col("__v")).collect().head
+      selected = (rnd, fid, Some(fd)) :: selected
+      centerVec = frow.get(0)
+    }
+    import spark.implicits._
+    spark.createDataset(selected.reverse)
+      .toDF("rnd", "vec_id", "dist")
+      .orderBy("rnd")
   }
 }

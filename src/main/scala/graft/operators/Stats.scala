@@ -2464,6 +2464,101 @@ object Stats {
       .orderBy("group_key")
   }
 
+  /** Jonckheere–Terpstra trend test (Jonckheere 1954) — "does the
+    * value distribution shift MONOTONICALLY across ordered groups"
+    * (hours of day, dose levels, document-age buckets): the sum of
+    * Mann–Whitney U statistics over every ordered group pair, against
+    * its null mean, with the tie-corrected large-sample variance
+    * (Hollander & Wolfe 1999). Strictly sharper than per-pair MW or
+    * unordered Kruskal–Wallis when the alternative IS ordered — the
+    * trend companion to [[mannKendall]] (which orders by time, not by
+    * group).
+    *
+    * Everything integer rides a ×4 scaling so tied cross-group pairs
+    * (worth ½) stay exact: `jt4` = 4·JT, `ejt4` = 4·E[JT] = n²−Σn_g².
+    *
+    * Determinism contract: jt4/ejt4 and every variance ingredient
+    * (Σn_g(n_g−1)(2n_g+5) over groups, Σt(t−1)(2t+5) over value-tie
+    * runs, the B/C products) are exact decimal(38,0) integers; z is
+    * ONE fixed-order double expression over them rounded at 6dp, NULL
+    * when the variance degenerates (all one group, all values tied,
+    * or n < 3).
+    *
+    * Scale shape: one grouped aggregate to the (group, ord, value)
+    * cell grid, one grid²-bounded ordered-pair join (never row
+    * pairs), two cell-frame aggregates for the tie terms,
+    * dimension-sized readouts — the [[kendallTau]] family shape. */
+  def jonckheereTerpstra(
+      df: DataFrame,
+      groupCol: String,
+      ordCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = Lineage.cutLocal(df
+      .filter(col(ordCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(ordCol).as("__o"),
+        col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__n")))
+    val jt = cells.as("a")
+      .join(cells.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__o") < col("b.__o"))
+      .groupBy(col("a.__g").as("__g"))
+      .agg(sum(
+        when(col("a.__v") < col("b.__v"),
+          (col("a.__n").cast(dec) * col("b.__n").cast(dec) * 4L).cast(dec))
+          .when(col("a.__v") === col("b.__v"),
+            (col("a.__n").cast(dec) * col("b.__n").cast(dec) * 2L)
+              .cast(dec))
+          .otherwise(lit(0).cast(dec))).as("jt4"))
+    def polys(c: Column) = Seq(
+      (c * (c - 1L) * (c * 2L + 5L)).cast(dec),  // x(x-1)(2x+5)
+      (c * (c - 1L) * (c - 2L)).cast(dec),       // x(x-1)(x-2)
+      (c * (c - 1L)).cast(dec))                  // x(x-1)
+    val groups = cells
+      .groupBy("__g", "__o").agg(sum("__n").as("__c"))
+      .groupBy("__g").agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("__c")).as("n"),
+        sum(col("__c").cast(dec) * col("__c").cast(dec)).cast(dec)
+          .as("__sq"),
+        sum(polys(col("__c").cast(dec))(0)).as("__ga"),
+        sum(polys(col("__c").cast(dec))(1)).as("__gb"),
+        sum(polys(col("__c").cast(dec))(2)).as("__gc"))
+    val ties = cells
+      .groupBy("__g", "__v").agg(sum("__n").as("__t"))
+      .groupBy("__g").agg(
+        sum(polys(col("__t").cast(dec))(0)).as("__ta"),
+        sum(polys(col("__t").cast(dec))(1)).as("__tb"),
+        sum(polys(col("__t").cast(dec))(2)).as("__tc"))
+    val nD = col("n").cast(dec)
+    val a = (nD * (nD - 1L) * (nD * 2L + 5L)).cast(dec) -
+      col("__ga") - col("__ta")
+    val ejt4 = (nD * nD).cast(dec) - col("__sq")
+    val nd = col("n").cast("double")
+    val d3 = nd * (nd - 1.0) * (nd - 2.0)
+    val d1 = nd * (nd - 1.0)
+    // NULL-guard the denominators themselves (ANSI: double /0 throws,
+    // /NULL is silent — the cuped lesson): n < 3 groups degrade to a
+    // NULL variance, never a DIVIDE_BY_ZERO
+    val var16 = lit(16.0) * (
+      a.cast("double") / 72.0 +
+      (col("__gb").cast(dec) * col("__tb").cast(dec)).cast("double") /
+        when(d3 > 0.0, lit(36.0) * d3) +
+      (col("__gc").cast(dec) * col("__tc").cast(dec)).cast("double") /
+        when(d1 > 0.0, lit(8.0) * d1))
+    groups
+      .join(jt, Seq("__g"), "left")
+      .join(ties, Seq("__g"))
+      .select(col("__g").as("group_key"), col("n"), col("n_groups"),
+        coalesce(col("jt4"), lit(0).cast(dec)).cast("long").as("jt4"),
+        ejt4.cast("long").as("ejt4"),
+        when(col("n") >= 3L,
+          round((coalesce(col("jt4"), lit(0).cast(dec)) - ejt4)
+            .cast("double") /
+            sqrt(when(var16 > 0.0, var16)), 6)).as("z"))
+      .orderBy("group_key")
+  }
+
   /** Welch's one-way ANOVA (Welch 1951) — "do the group means differ"
     * without the equal-variance assumption classical ANOVA needs (and
     * corpus sources never satisfy): weights wₕ = nₕ/sₕ², the weighted

@@ -739,6 +739,48 @@ class ResultStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Zero-copy SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW
+    * CLONE` / Iceberg snapshot-ref workflow): publish `dst` as a new
+    * schema whose first generation HARD-LINKS the source's committed
+    * data files, key-range sidecar, and metadata — O(files) metadata
+    * work, zero bytes copied, and the clone reads bit-identically to
+    * the source at clone time. The two tables then diverge freely:
+    * every commit machinery works on the clone (its first mutation
+    * rewrites into its OWN new generation; links mean the shared
+    * files survive either table's GC because each directory entry is
+    * an independent reference). The standard lake workflow this
+    * enables: clone → experiment/backfill on the clone → validate →
+    * swap or drop, without touching production bytes.
+    *
+    * Fails if `dst` already exists (a clone is a create, not an
+    * overwrite — the caller decides about replacing tables). */
+  def cloneSchema(src: String, dst: String): Unit = {
+    val srcVersion = currentVersion(src).getOrElse(
+      throw new NoSuchElementException(s"No committed data for '$src'"))
+    require(!exists0(dst), s"clone target '$dst' already exists")
+    val from = versionDir(src, srcVersion)
+    val version = nextVersion(dst)
+    val to = versionDir(dst, version)
+    to.mkdirs()
+    dataFiles(from).foreach { f =>
+      java.nio.file.Files.createLink(
+        new java.io.File(to, f.getName).toPath, f.toPath)
+    }
+    // the key-range sidecar is a parquet DIRECTORY: link its files so
+    // the clone's first pruned merge can prune immediately
+    val stats = new java.io.File(from, "_stats")
+    if (stats.isDirectory) {
+      val toStats = new java.io.File(to, "_stats")
+      toStats.mkdirs()
+      Option(stats.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile)
+        .foreach(f => java.nio.file.Files.createLink(
+          new java.io.File(toStats, f.getName).toPath, f.toPath))
+    }
+    writeMeta(to, committedMeta(src))
+    flipPointer(dst, version, keepPrevious = None)
+  }
+
   /** Read ONLY the stored rows whose `keyCol` value appears in `keys` —
     * the point-lookup side of an incremental merge ("what does the
     * registry already say about THIS batch's keys"). With a key-range

@@ -49,6 +49,82 @@ object Registries {
       registryPartitions: Int = 8,
       onCommit: (String, graft.sources.PrunedCommit) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
+    additiveRegistry(stream, store, schema, streamId, checkpoint,
+      registryPartitions, onCommit,
+      deltaOf = batch => batch
+        .select(col(keyCol).as("key"),
+          graft.functions.TextFunctions.tokenCount(col(textCol))
+            .as("__tk"),
+          length(col(textCol)).cast("long").as("__ch"))
+        .groupBy("key").agg(
+          count(lit(1)).as("n_docs"),
+          sum("__tk").as("n_tokens"),
+          sum("__ch").as("n_chars")),
+      groupCols = Seq("key"),
+      statCols = Seq("n_docs", "n_tokens", "n_chars"))
+
+  /** Per-key value HISTOGRAM registry on a fixed bucket grid:
+    * `key → (bucket, n)` counts merged additively per micro-batch —
+    * the distribution-shaped sibling of [[incrementalSourceStats]]'s
+    * scalar sums, feeding quantile dashboards and drift monitors
+    * ([[graft.operators.Stats.psi]] consumes exactly this cell shape)
+    * without re-scanning the corpus. The grid is FIXED
+    * (⌊v/width⌋ capped at `maxBucket`, the curriculumSchedule
+    * rationale): a data-derived quantile grid would need a rank pass
+    * and would drift between batches, breaking additivity — fixed
+    * cells are mergeable forever.
+    *
+    * Same machinery end to end: per-stream `txn.` replay map, pruned
+    * point-read of the batch's keys, file-pruned upsert. Bucket cells
+    * ride WITH their key (the merge groups on (key, bucket)), so the
+    * registry stays laid out and pruned on `key` alone. */
+  def incrementalHistogram(
+      stream: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      width: Double,
+      store: graft.sources.ResultStore,
+      schema: String,
+      streamId: String,
+      checkpoint: String,
+      maxBucket: Long = 63L,
+      registryPartitions: Int = 8,
+      onCommit: (String, graft.sources.PrunedCommit) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(width > 0.0, "bucket width must be positive")
+    require(maxBucket >= 0L, "maxBucket must be non-negative")
+    additiveRegistry(stream, store, schema, streamId, checkpoint,
+      registryPartitions, onCommit,
+      deltaOf = batch => batch
+        .filter(col(valueCol).isNotNull)
+        .select(col(keyCol).as("key"),
+          least(greatest(floor(col(valueCol).cast("double") / width)
+            .cast("long"), lit(0L)), lit(maxBucket)).as("bucket"))
+        .groupBy("key", "bucket").agg(count(lit(1)).as("n")),
+      groupCols = Seq("key", "bucket"),
+      statCols = Seq("n"))
+  }
+
+  /** The shared additive-registry micro-batch skeleton: per-stream
+    * `txn.<stream_id>` replay map (carried forward wholesale on every
+    * commit), batch delta aggregate, key-pruned read-back of ONLY the
+    * batch's stored rows, additive re-aggregate, file-pruned upsert.
+    * `groupCols` must start with "key" — the registry's layout,
+    * pruning, and upsert key. */
+  private def additiveRegistry(
+      stream: DataFrame,
+      store: graft.sources.ResultStore,
+      schema: String,
+      streamId: String,
+      checkpoint: String,
+      registryPartitions: Int,
+      onCommit: (String, graft.sources.PrunedCommit) => Unit,
+      deltaOf: DataFrame => DataFrame,
+      groupCols: Seq[String],
+      statCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(groupCols.headOption.contains("key"),
+      "groupCols must lead with the registry key")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -60,15 +136,7 @@ object Registries {
         val replayed = meta.get(s"txn.$streamId").map(_.toLong)
           .exists(_ >= batchId)
         if (!replayed) {
-          val delta = Lineage.cutLocal(batch
-            .select(col(keyCol).as("key"),
-              graft.functions.TextFunctions.tokenCount(col(textCol))
-                .as("__tk"),
-              length(col(textCol)).cast("long").as("__ch"))
-            .groupBy("key").agg(
-              count(lit(1)).as("n_docs"),
-              sum("__tk").as("n_tokens"),
-              sum("__ch").as("n_chars")))
+          val delta = Lineage.cutLocal(deltaOf(batch))
           val src =
             if (!store.hasSchema(schema))
               delta.repartitionByRange(registryPartitions, col("key"))
@@ -77,10 +145,9 @@ object Registries {
               // batch's keys — both sides batch-sized
               store.readForKeys(schema, delta, "key")
                 .unionByName(delta)
-                .groupBy("key").agg(
-                  sum("n_docs").as("n_docs"),
-                  sum("n_tokens").as("n_tokens"),
-                  sum("n_chars").as("n_chars"))
+                .groupBy(groupCols.map(col): _*)
+                .agg(sum(statCols.head).as(statCols.head),
+                  statCols.tail.map(c => sum(c).as(c)): _*)
           // carry every stream's marker forward — the commit's meta
           // REPLACES the generation's map wholesale
           val txns = meta.filter(_._1.startsWith("txn.")) +
@@ -91,4 +158,5 @@ object Registries {
         }
       }
       .start()
+  }
 }

@@ -396,6 +396,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
       math.abs(n._3.get) <= n._2.get + 1e-9, n.toString)
   }
 
+  test("prefixClusters: shared first-k tokens group; short docs and " +
+      "singletons excluded") {
+    val docs = Seq(
+      (9L, "The quick fox jumped over"),
+      (2L, "the  quick fox ran away"),   // case/whitespace normalize in
+      (5L, "the quick fox"),             // exactly k tokens counts
+      (3L, "completely different text here"), // singleton: dropped
+      (4L, "too short"))                 // < k tokens: excluded
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixClusters(docs, "doc_id", "text", k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("the quick fox", 3L, 2L)), got.toString)
+  }
+
+  test("kCenterCoreset: min-id seed, farthest-point rounds, selected " +
+      "points never re-picked") {
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),    // orthogonal to seed: d = 1.0
+      (3L, Array(1.0f, 1.0f)),    // cos 0.7071 to both: d = 0.2929
+      (4L, Array(1.0f, 0.01f)))   // near-dup of the seed: d ~ 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(pts, "vec_id", "embedding", k = 3)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1, 1L), (2, 2L), (3, 3L)),
+      got.toString)
+    assert(got.head._3.isEmpty, got.toString)
+    assert(math.abs(got(1)._3.get - 1.0) < 1e-9, got.toString)
+    assert(math.abs(got(2)._3.get - 0.2929) < 1e-9, got.toString)
+    // k = corpus size on a corpus with an exact duplicate: every point
+    // selected once, no center repeats (the -1 sentinel's job)
+    val dup = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val all = Similarity.kCenterCoreset(dup, "vec_id", "embedding", k = 3)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(all.map(_._2).toSet == Set(1L, 2L, 3L), all.toString)
+  }
+
+  test("kCenterAssign: nearest-center coverage, ties to smallest " +
+      "center id") {
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f)),    // d 0.2929 to BOTH centers: tie -> 1
+      (4L, Array(1.0f, 0.01f)))   // rounds to d 0 vs center 1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterAssign(pts, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 3L), (2L, 1L)),
+      got.toString)
+    assert(math.abs(got.head._3 - 0.2929) < 1e-9, got.toString) // max
+    assert(got.head._4 == 0.097633, got.toString)               // mean
+    assert(got(1)._3 == 0.0 && got(1)._4 == 0.0, got.toString)
+  }
+
   test("captureRecapture: Chapman estimate and union coverage") {
     // |A|=3, |B|=2, overlap 1: N-hat = 4*3/2 - 1 = 5, coverage 4/5
     val a = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")

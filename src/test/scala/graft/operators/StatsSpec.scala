@@ -386,6 +386,67 @@ class StatsSpec extends AnyFunSuite {
     assert(run(Seq((1L, 1L), (1L, 2L), (1L, 3L)))._3.isEmpty)
   }
 
+  test("concordance: gamma ignores ties, Somers' D penalizes " +
+      "dependent-side ties, degenerate NULLs") {
+    def run(pts: Seq[(Long, Long)]) =
+      Stats.concordance(pts.map { case (x, y) => ("g", x, y) }
+        .toDF("g", "x", "y"), "g", "x", "y")
+        .as[(String, Long, Option[Double], Option[Double])].collect().head
+    // perfect orders
+    assert(run(Seq((1L, 1L), (2L, 2L), (3L, 3L))) ==
+      (("g", 3L, Some(1.0), Some(1.0))))
+    assert(run(Seq((1L, 3L), (2L, 2L), (3L, 1L))) ==
+      (("g", 3L, Some(-1.0), Some(-1.0))))
+    // x-tie: P=1 Q=0, gamma 1; n0=3 Tx=1 -> D = 1/2
+    assert(run(Seq((1L, 1L), (1L, 2L), (2L, 2L))) ==
+      (("g", 3L, Some(1.0), Some(0.5))))
+    // all pairs tied on y: P+Q=0 -> gamma NULL; D = 0/(n0-Tx) = 0
+    assert(run(Seq((1L, 5L), (2L, 5L), (3L, 5L))) ==
+      (("g", 3L, None, Some(0.0))))
+    // all x tied: no orderable pairs AND n0 = Tx -> both NULL
+    assert(run(Seq((1L, 1L), (1L, 2L))) == (("g", 2L, None, None)))
+  }
+
+  test("jonckheereTerpstra: hand-computed z, direction, degenerate NULLs") {
+    def run(pts: Seq[(Long, Double)]) =
+      Stats.jonckheereTerpstra(pts.map { case (o, v) => ("g", o, v) }
+        .toDF("g", "o", "v"), "g", "o", "v")
+        .as[(String, Long, Long, Long, Long, Option[Double])]
+        .collect().head
+    // o1=[1,2] < o2=[3,4]: JT=4 (jt4=16), E=2 (ejt4=8), Var=120/72,
+    // z = 2/sqrt(5/3) = 1.549193
+    assert(run(Seq((1L, 1.0), (1L, 2.0), (2L, 3.0), (2L, 4.0))) ==
+      (("g", 4L, 2L, 16L, 8L, Some(1.549193))))
+    // reversed: same magnitude, negative
+    assert(run(Seq((1L, 3.0), (1L, 4.0), (2L, 1.0), (2L, 2.0))) ==
+      (("g", 4L, 2L, 0L, 8L, Some(-1.549193))))
+    // everything tied: numerator 0 AND variance exactly 0 -> NULL
+    assert(run(Seq((1L, 5.0), (1L, 5.0), (2L, 5.0), (2L, 5.0))) ==
+      (("g", 4L, 2L, 8L, 8L, None)))
+    // one ordered group: no pairs at all -> NULL
+    assert(run(Seq((1L, 1.0), (1L, 2.0), (1L, 3.0))) ==
+      (("g", 3L, 1L, 0L, 0L, None)))
+  }
+
+  test("welchAnova: hand-computed F/df2; zero-variance strata excluded") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),  // n=3 m=2 s2=1   w=3
+      ("b", 4.0), ("b", 6.0))              // n=2 m=5 s2=2   w=1
+      .toDF("g", "v")
+    val got = Stats.welchAnova(df, "g", "v")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    // W=4, m*=2.75, A=[3(.75)^2 + (2.25)^2]/1 = 6.75, k=2 -> B=1;
+    // lam=(.25)^2/2+(.75)^2/1=0.59375, df2=3/(3*0.59375)
+    assert(got == ((2L, 5L, Some(6.75), Some(1.684211))), got.toString)
+    // a constant stratum carries no weight-able variance: k drops to 1
+    // and the readouts are NULL, not a crash
+    val deg = Stats.welchAnova(
+      Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+        ("z", 7.0), ("z", 7.0), ("z", 7.0)).toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    assert(deg == ((1L, 3L, None, None)), deg.toString)
+  }
+
   test("neymanAllocation: weight = n*sd, degenerate strata get zero") {
     val df = Seq(
       ("A", 1.0), ("A", 2.0), ("A", 3.0), // n=3, sd=1 -> w=3

@@ -578,4 +578,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     // a∩b = {y,z}: J = 2/(3+3-2) = 0.5; c shares nothing -> no row
     assert(got == Seq(("a", "b", 3L, 3L, 2L, 0.5)), got.toString)
   }
+
+  test("sttr: full windows only, mean of per-window TTRs") {
+    val docs = Seq(
+      (1L, "s1", "a b a b a b"),  // windows [a b a] [b a b]: TTR 2/3 each
+      (2L, "s1", "x y z w"),      // [x y z]: TTR 1.0; trailing w dropped
+      (3L, "s2", "p q"))          // no full window: source absent
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sttr(docs, "doc_id", "source", "text", chunk = 3)
+      .as[(String, Long, Double)].collect().toSeq
+    // (0.666667 + 0.666667 + 1.0) / 3
+    assert(got == Seq(("s1", 3L, 0.777778)), got.toString)
+  }
+
+  test("simpsonDiversity: hand-computed lambda, all-singleton NULL " +
+      "inverse, sub-2-token groups absent") {
+    val docs = Seq(
+      ("s", "a a a b"),  // a:3 b:1 -> rep 6, N(N-1) 12 -> 0.5, eff 2.0
+      ("t", "a b"),      // all singletons -> 0.0, eff NULL
+      ("u", "a"))        // 1 token: absent
+      .toDF("source", "text")
+    val got = TextAnalysis.simpsonDiversity(docs, "source", "text")
+      .as[(String, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("s", 2L, 4L, 0.5, Some(2.0)),
+      ("t", 2L, 2L, 0.0, None)), got.toString)
+  }
 }

@@ -397,6 +397,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(got2 == Map(2L -> "o2"))
   }
 
+  test("cloneSchema: zero-copy clone reads identically, diverges " +
+      "independently, carries the pruning sidecar") {
+    val store = new ResultStore(spark, tmpDir())
+    store.upsertPruned("src",
+      (1L to 100L).map(k => KV(k, "v" + k)).toDF()
+        .repartitionByRange(4, col("k")), "k")
+    store.cloneSchema("src", "dst")
+    // clone reads bit-identically at clone time
+    assert(store.read("dst").collect().map(r => r.getLong(0)).sorted
+      .sameElements(store.read("src").collect().map(r => r.getLong(0))
+        .sorted))
+    // the sidecar hard-linked over: the clone's FIRST pruned merge
+    // already prunes (carried files > 0 against a 4-file table)
+    val c = store.upsertPruned("dst", Seq(KV(1L, "x")).toDF(), "k")
+    assert(c.carriedFiles >= 2, c.toString)
+    // divergence is one-way: dst mutated, src untouched
+    assert(store.read("dst").filter(col("v") === "x").count() == 1L)
+    assert(store.read("src").filter(col("v") === "x").count() == 0L)
+    assert(store.count("src") == 100L)
+    // a clone is a create, not an overwrite
+    intercept[IllegalArgumentException](store.cloneSchema("src", "dst"))
+  }
+
   test("deep time travel: retainVersions keeps a readable history") {
     spark.conf.set("spark.graft.store.retainVersions", "4")
     try {

@@ -77,4 +77,34 @@ class RegistriesSpec extends AnyFunSuite {
     assert(readReg(store).view.mapValues(_._1).toMap ==
       expected.view.mapValues(_._1 * 2).toMap)
   }
+
+  test("incrementalHistogram: fixed-grid cells equal the one-shot " +
+      "aggregate for any batch split; clamp and cap") {
+    // width 10, maxBucket 3: 5->b0, 15->b1, 25->b2, 95->b3 (capped),
+    // -5 -> b0 (clamped), NULL dropped
+    val rows = Seq(
+      ("web", Some(5.0)), ("web", Some(15.0)), ("web", Some(15.0)),
+      ("web", Some(95.0)), ("web", Some(-5.0)), ("web", None),
+      ("book", Some(25.0)))
+      .toDF("source", "value")
+    val expected = Map(
+      ("web", 0L) -> 2L, ("web", 1L) -> 2L, ("web", 3L) -> 1L,
+      ("book", 2L) -> 1L)
+    def run(nFiles: Int): Map[(String, Long), Long] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-inchist")
+        .toString
+      rows.repartition(nFiles).write.mode("overwrite").parquet(s"$tmp/in")
+      val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+      Registries.incrementalHistogram(
+        StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "source", "value", 10.0, store, "hist", "s1", s"$tmp/ckpt",
+        maxBucket = 3L)
+        .awaitTermination()
+      store.read("hist").collect().map(r =>
+        (r.getAs[String]("key"), r.getAs[Long]("bucket")) ->
+          r.getAs[Long]("n")).toMap
+    }
+    assert(run(1) == expected)
+    assert(run(3) == expected)
+  }
 }
