@@ -354,6 +354,76 @@ object Stress10 {
     } finally spark.conf.set(key, old)
   }
 
+  /** Decade stress for the r12 additions: the two new grid²-bounded
+    * rank statistics (fixed hour×bucket grids — copy replicas fatten
+    * cells, pair volume stays grid-bounded), the strata-frame Welch
+    * ANOVA, the two token-pass text profiles, the slice-only prefix
+    * clusters, and the k-pass k-center pair (replica ids offset so the
+    * corpus genuinely grows). */
+  private def r12Stress(
+      spark: org.apache.spark.sql.SparkSession, sf: String): Unit = {
+    val ev = Tables.load(spark, sf, "events").select(
+      col("event_type"),
+      (expr("unix_micros(ts) div 3600000000") % 24L).as("x"),
+      least(floor(col("value") / 50.0), lit(19L)).cast("long").as("y"),
+      col("value"))
+      .localCheckpoint()
+    def evDup(k: Int): DataFrame =
+      (0 until k).map(_ => ev).reduce(_ unionByName _)
+    val j1 = time("jonckheere_1x")(operators.Stats.jonckheereTerpstra(
+      evDup(1), "event_type", "x", "y").count())
+    val j10 = time("jonckheere_10x")(operators.Stats.jonckheereTerpstra(
+      evDup(10), "event_type", "x", "y").count())
+    slope("jonckheere", j1, j10)
+    val c1 = time("concordance_1x")(operators.Stats.concordance(
+      evDup(1), "event_type", "x", "y").count())
+    val c10 = time("concordance_10x")(operators.Stats.concordance(
+      evDup(10), "event_type", "x", "y").count())
+    slope("concordance", c1, c10)
+    val w1 = time("welch_1x")(operators.Stats.welchAnova(
+      evDup(1), "event_type", "value").count())
+    val w10 = time("welch_10x")(operators.Stats.welchAnova(
+      evDup(10), "event_type", "value").count())
+    slope("welch_anova", w1, w10)
+
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").localCheckpoint()
+    def dDup(k: Int): DataFrame = (0 until k).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        col("source"), col("text"))).reduce(_ unionByName _)
+    val s1 = time("sttr_1x")(operators.TextAnalysis.sttr(
+      dDup(1), "doc_id", "source", "text", chunk = 25).count())
+    val s10 = time("sttr_10x")(operators.TextAnalysis.sttr(
+      dDup(10), "doc_id", "source", "text", chunk = 25).count())
+    slope("sttr", s1, s10)
+    val si1 = time("simpson_1x")(operators.TextAnalysis.simpsonDiversity(
+      dDup(1), "source", "text").count())
+    val si10 = time("simpson_10x")(operators.TextAnalysis.simpsonDiversity(
+      dDup(10), "source", "text").count())
+    slope("simpson", si1, si10)
+    val pf1 = time("prefix_clusters_1x")(operators.Dedup.prefixClusters(
+      dDup(1), "doc_id", "text").count())
+    val pf10 = time("prefix_clusters_10x")(operators.Dedup.prefixClusters(
+      dDup(10), "doc_id", "text").count())
+    slope("prefix_clusters", pf1, pf10)
+
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint()
+    def eDup(k: Int): DataFrame = (0 until k).map(i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        col("embedding"))).reduce(_ unionByName _)
+    val kc1 = time("kcenter_1x")(operators.Similarity.kCenterCoreset(
+      eDup(1), "vec_id", "embedding", 6).count())
+    val kc10 = time("kcenter_10x")(operators.Similarity.kCenterCoreset(
+      eDup(10), "vec_id", "embedding", 6).count())
+    slope("kcenter", kc1, kc10)
+    val ka1 = time("kcenter_assign_1x")(operators.Similarity.kCenterAssign(
+      eDup(1), "vec_id", "embedding", 6).count())
+    val ka10 = time("kcenter_assign_10x")(operators.Similarity.kCenterAssign(
+      eDup(10), "vec_id", "embedding", 6).count())
+    slope("kcenter_assign", ka1, ka10)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-stress10")
@@ -372,6 +442,11 @@ object Stress10 {
     }
     if (args.contains("r11")) {
       r11Stress(spark, sf)
+      spark.stop()
+      return
+    }
+    if (args.contains("r12")) {
+      r12Stress(spark, sf)
       spark.stop()
       return
     }
