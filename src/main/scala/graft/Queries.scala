@@ -10918,4 +10918,125 @@ ORDER BY query_id"""
     graft.operators.Similarity.kCenterAssign(
       t(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
   }
+
+  // ---------------------------------------------------------------------
+  // sq25_rrf_fusion — Reciprocal Rank Fusion (Cormack et al. 2009) of
+  // the exact-cosine and int8-quantized rankings, top-20 each fused to
+  // top-10 per query (Similarity.rrfFuse): the score-free hybrid merge
+  // standard — ranks are comparable where raw scores aren't. Both input
+  // rankings are the deterministic sq1/sq4 machineries, so the fused
+  // list is exactly oracle-able end to end.
+  register(
+    "sq25_rrf_fusion",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS MATERIALIZED (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), brute AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+      |                   p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) DESC,
+      |                 c.vec_id) AS rank
+      |    FROM n q JOIN n c ON q.vec_id != c.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rank <= 20
+      |), s AS (
+      |  SELECT vec_id, v, nrm,
+      |         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+      |              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+      |              ELSE 1.0 END AS sc
+      |  FROM n
+      |), qq AS (
+      |  SELECT vec_id, nrm, sc,
+      |         list_transform(v, x -> floor(x * sc + 0.5)::bigint) AS qv
+      |  FROM s
+      |), quant AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY round(list_sum(list_transform(list_zip(q.qv, c.qv),
+      |                   p -> p[1] * p[2]))::double
+      |                 / (q.sc * c.sc * q.nrm * c.nrm), 4) DESC,
+      |                 c.vec_id) AS rank
+      |    FROM qq q JOIN qq c ON q.vec_id != c.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rank <= 20
+      |)
+      |SELECT query_id, neighbor_id, rrf_score, rank FROM (
+      |  SELECT query_id, neighbor_id, rrf_score,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY rrf_score DESC, neighbor_id) AS rank
+      |  FROM (
+      |    SELECT coalesce(a.query_id, b.query_id) AS query_id,
+      |           coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+      |           round(coalesce(1.0 / (60.0 + a.rank), 0.0) +
+      |                 coalesce(1.0 / (60.0 + b.rank), 0.0), 6) AS rrf_score
+      |    FROM brute a
+      |    FULL OUTER JOIN quant b
+      |      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      |  )
+      |) WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    graft.operators.Similarity.rrfFuse(
+      graft.operators.Similarity.bruteForceTopK(
+        emb, q, "vec_id", "embedding", k = 20),
+      graft.operators.Similarity.quantizedTopK(
+        emb, q, "vec_id", "embedding", k = 20),
+      k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq108_poisson_rate — two-window Poisson RATE comparison per event
+  // type (Stats.poissonRateTest): conditional-binomial z on the
+  // first-half vs second-half event counts with exposures from the
+  // data's day span (split at epoch-day 19738, the aq80 boundary). The
+  // count-data sibling of aq95's two-proportion test — rates per unit
+  // TIME under unequal windows, the ingestion/error-rate monitor shape.
+  register(
+    "aq108_poisson_rate",
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |), expo AS (
+      |  SELECT (19738 - min(day))::bigint AS t1,
+      |         (max(day) + 1 - 19738)::bigint AS t2
+      |  FROM d
+      |), c AS (
+      |  SELECT event_type,
+      |    count(CASE WHEN day < 19738 THEN 1 END)::bigint AS k1,
+      |    count(CASE WHEN day >= 19738 THEN 1 END)::bigint AS k2
+      |  FROM d GROUP BY 1
+      |)
+      |SELECT event_type, k1, k2,
+      |  CASE WHEN t1 > 0 AND t2 > 0
+      |    THEN round(k1::double / t1::double, 6) END AS rate1,
+      |  CASE WHEN t1 > 0 AND t2 > 0
+      |    THEN round(k2::double / t2::double, 6) END AS rate2,
+      |  CASE WHEN t1 > 0 AND t2 > 0 AND (k1 + k2)::double > 0.0
+      |    THEN round(
+      |      (k1::double - (k1 + k2)::double *
+      |        (t1::double / (t1::double + t2::double))) /
+      |      sqrt(CASE WHEN (k1 + k2)::double *
+      |          (t1::double / (t1::double + t2::double)) *
+      |          (1.0 - t1::double / (t1::double + t2::double)) > 0.0
+      |        THEN (k1 + k2)::double *
+      |          (t1::double / (t1::double + t2::double)) *
+      |          (1.0 - t1::double / (t1::double + t2::double)) END), 6)
+      |  END AS z
+      |FROM c CROSS JOIN expo
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.poissonRateTest(
+      t(s, dir, "events").select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day")),
+      "event_type", "day", splitDay = 19738L)
+  }
 }

@@ -1409,6 +1409,48 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) — merge
+    * two per-query rankings by Σ 1/(rrfK + rank), the score-free
+    * fusion standard hybrid retrieval converged on: ranks are
+    * comparable where raw scores (BM25 vs cosine vs int8 dots) never
+    * are, the 1/(60+r) tail keeps deep results from dominating, and a
+    * doc missing from one list simply contributes nothing. Takes two
+    * `(query_id, neighbor_id, rank)` frames (any of the ANN/lexical
+    * rankers here produce that shape) and returns the fused top-k per
+    * query.
+    *
+    * Determinism contract: the score is a TWO-term fixed-order double
+    * sum of exact-integer reciprocals, rounded at 6dp; the fused rank
+    * breaks ties on the smaller neighbor id.
+    *
+    * Scale shape: one (query, doc)-keyed full-outer join of two
+    * already-top-k-bounded frames (both sides |queries|·k rows — the
+    * expensive ranking work happened upstream), one per-query window
+    * on the fused candidates. */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && rrfK >= 0, "need k >= 1, rrfK >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val aa = a.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("__ra"))
+    val bb = b.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("__rb"))
+    val fused = aa.join(bb, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("__rb")), lit(0.0)),
+        6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    fused
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rrf_score", "rank")
+  }
+
   /** Greedy k-center coreset over an embedding column — farthest-point
     * traversal (Gonzalez 1985, the 2-approximation to the k-center
     * cover): seed with the lowest id, then k−1 times pick the point

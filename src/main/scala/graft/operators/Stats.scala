@@ -2464,6 +2464,55 @@ object Stats {
       .orderBy("group_key")
   }
 
+  /** Two-sample Poisson rate test via binomial conditioning — "did
+    * this group's EVENT RATE change between two exposure windows":
+    * given K = k₁+k₂ total events, under equal rates k₁ is
+    * Binomial(K, p) with p = t₁/(t₁+t₂) set by the EXPOSURES alone
+    * (Przyborowski & Wilenski 1940 — the uniformly-standard exact
+    * conditioning; the large-sample z below is its normal
+    * approximation). The count-data companion to
+    * [[twoProportionTest]]: proportions compare per-UNIT shares,
+    * this compares per-TIME rates under unequal window lengths —
+    * ingestion-rate and error-rate monitoring's native shape.
+    *
+    * Determinism contract: k₁/k₂/t₁/t₂ are exact integers (exposures
+    * derive from the data's min/max day and the split day — one
+    * broadcast 1-row aggregate); rates and z are pinned double
+    * expressions rounded at 6dp; degenerate inputs (either window
+    * empty of exposure, or K = 0) report NULL z via the guards.
+    *
+    * Scale shape: one conditional grouped aggregate + a broadcast
+    * exposure row — dimension-sized output, nothing pairwise. */
+  def poissonRateTest(
+      df: DataFrame,
+      groupCol: String,
+      dayCol: String,
+      splitDay: Long): DataFrame = {
+    val d = col(dayCol)
+    val counts = df
+      .filter(d.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(when(d < splitDay, 1L)).as("k1"),
+        count(when(d >= splitDay, 1L)).as("k2"))
+    val expo = broadcast(df.filter(d.isNotNull).agg(
+      (lit(splitDay) - min(d)).cast("long").as("__t1"),
+      (max(d) + 1L - lit(splitDay)).cast("long").as("__t2")))
+    val t1 = col("__t1").cast("double")
+    val t2 = col("__t2").cast("double")
+    val kk = (col("k1") + col("k2")).cast("double")
+    val p = t1 / (t1 + t2)
+    val ok = col("__t1") > 0L && col("__t2") > 0L
+    counts.crossJoin(expo)
+      .select(col(groupCol), col("k1"), col("k2"),
+        when(ok, round(col("k1").cast("double") / t1, 6)).as("rate1"),
+        when(ok, round(col("k2").cast("double") / t2, 6)).as("rate2"),
+        when(ok && kk > 0.0,
+          round((col("k1").cast("double") - kk * p) /
+            sqrt(when(kk * p * (lit(1.0) - p) > 0.0,
+              kk * p * (lit(1.0) - p))), 6)).as("z"))
+      .orderBy(groupCol)
+  }
+
   /** Jonckheere–Terpstra trend test (Jonckheere 1954) — "does the
     * value distribution shift MONOTONICALLY across ordered groups"
     * (hours of day, dose levels, document-age buckets): the sum of

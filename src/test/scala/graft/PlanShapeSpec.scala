@@ -356,6 +356,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("dq26 prefix clusters: TakeOrderedAndProject cap, no global sort") {
+    val p = plan("dq26_prefix_boilerplate")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sq24 k-center assignment: broadcast codebook, no shuffle join") {
+    // the per-point nearest-center pass must be a broadcast nested-loop
+    // against the k-row codebook — a shuffle join here would move the
+    // corpus on a join key that doesn't exist
+    val p = plan("sq24_kcenter_cover")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q34 incremental refresh: delta id-sets broadcast into anti/semi joins") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
       ShuffledHashJoinExec, SortMergeJoinExec}

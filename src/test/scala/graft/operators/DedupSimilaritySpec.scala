@@ -436,6 +436,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(all.map(_._2).toSet == Set(1L, 2L, 3L), all.toString)
   }
 
+  test("rrfFuse: hand-computed reciprocal-rank scores, missing side " +
+      "contributes zero, ties to smaller id") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF(
+      "query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF(
+      "query_id", "neighbor_id", "rank")
+    // rrfK = 0 for readable numbers: 11 -> 1/2+1/1 = 1.5, 10 -> 1.0,
+    // 12 -> 0.5
+    val got = Similarity.rrfFuse(a, b, k = 3, rrfK = 0)
+      .orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got == Seq((1L, 11L, 1.5, 1), (1L, 10L, 1.0, 2),
+      (1L, 12L, 0.5, 3)), got.toString)
+    // equal fused scores break to the SMALLER neighbor id
+    val t1 = Seq((1L, 20L, 1), (1L, 21L, 2)).toDF(
+      "query_id", "neighbor_id", "rank")
+    val t2 = Seq((1L, 21L, 1), (1L, 20L, 2)).toDF(
+      "query_id", "neighbor_id", "rank")
+    val tie = Similarity.rrfFuse(t1, t2, k = 2, rrfK = 0)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(tie.map(_._2) == Seq(20L, 21L), tie.toString)
+  }
+
   test("kCenterAssign: nearest-center coverage, ties to smallest " +
       "center id") {
     val pts = Seq(

@@ -407,6 +407,23 @@ class StatsSpec extends AnyFunSuite {
     assert(run(Seq((1L, 1L), (1L, 2L))) == (("g", 2L, None, None)))
   }
 
+  test("poissonRateTest: hand-computed conditional z, empty-window NULL") {
+    // days 0..19, split at 10: t1 = t2 = 10, p = 0.5;
+    // k1 = 2, k2 = 10 -> z = (2 - 6)/sqrt(3) = -2.309401
+    val df = (Seq(0L, 5L) ++ (10L to 19L)).map(("g", _)).toDF("g", "d")
+    val got = Stats.poissonRateTest(df, "g", "d", splitDay = 10L)
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(got == (("g", 2L, 10L, Some(0.2), Some(1.0),
+      Some(-2.309401))), got.toString)
+    // all data on one side of the split: that window has no exposure
+    val oneSided = Stats.poissonRateTest(
+      (10L to 15L).map(("g", _)).toDF("g", "d"), "g", "d", splitDay = 10L)
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(oneSided._2 == 0L && oneSided._6.isEmpty, oneSided.toString)
+  }
+
   test("jonckheereTerpstra: hand-computed z, direction, degenerate NULLs") {
     def run(pts: Seq[(Long, Double)]) =
       Stats.jonckheereTerpstra(pts.map { case (o, v) => ("g", o, v) }
