@@ -11039,4 +11039,64 @@ ORDER BY query_id"""
         expr("unix_micros(ts) div 86400000000").as("day")),
       "event_type", "day", splitDay = 19738L)
   }
+
+  // ---------------------------------------------------------------------
+  // aq109_pettitt — Pettitt changepoint test per event type
+  // (Stats.pettitt): the single most likely distribution break in each
+  // type's value series, located by the rank-CUSUM max — two
+  // range-partitioned prefix sums (value-order tie-averaged ranks,
+  // time-order running Σ2R), exact integers end to end, one pinned
+  // p-value. The order key packs (µs timestamp, event id) into one
+  // decimal so it is unique per group (the prefix-sum contract).
+  register(
+    "aq109_pettitt",
+    """WITH r AS (
+      |  SELECT event_type,
+      |    epoch_us(ts)::hugeint * 10000000000000000000::hugeint +
+      |      event_id::hugeint AS o,
+      |    value AS v
+      |  FROM events WHERE value IS NOT NULL
+      |), grid AS MATERIALIZED (
+      |  SELECT event_type, v, count(*)::bigint AS tc FROM r GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT event_type, v,
+      |    2 * (sum(tc) OVER (PARTITION BY event_type ORDER BY v) - tc)
+      |      + tc + 1 AS r2
+      |  FROM grid
+      |), tr AS MATERIALIZED (
+      |  SELECT r.event_type, r.o, k.r2::bigint AS r2
+      |  FROM r JOIN rk k ON r.event_type = k.event_type AND r.v = k.v
+      |), pre AS (
+      |  SELECT event_type,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY o) AS t,
+      |    sum(r2) OVER (PARTITION BY event_type ORDER BY o) AS s2
+      |  FROM tr
+      |), nn AS (
+      |  SELECT event_type, count(*)::bigint AS n FROM tr GROUP BY 1
+      |), uu AS (
+      |  SELECT p.event_type, nn.n,
+      |    abs(p.s2 - p.t::hugeint * (nn.n + 1)::hugeint)::bigint AS au,
+      |    p.t::bigint AS t
+      |  FROM pre p JOIN nn USING (event_type)
+      |), best AS (
+      |  SELECT event_type, n, au AS k_stat, t AS change_rank,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY au DESC, t) AS rn
+      |  FROM uu
+      |)
+      |SELECT event_type AS group_key, n, k_stat, change_rank,
+      |  round(least(1.0, 2.0 * exp(
+      |    -6.0 * k_stat::double * k_stat::double /
+      |    (n::double * n::double * n::double + n::double * n::double))),
+      |    6) AS p_value
+      |FROM best WHERE rn = 1 ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.pettitt(
+      t(s, dir, "events").select(col("event_type"),
+        (expr("cast(unix_micros(ts) as decimal(19,0))") *
+          expr("cast('10000000000000000000' as decimal(20,0))") +
+          col("event_id").cast("decimal(38,0)")).as("o"),
+        col("value").as("v")),
+      "event_type", "o", "v")
+  }
 }

@@ -2464,6 +2464,71 @@ object Stats {
       .orderBy("group_key")
   }
 
+  /** Pettitt changepoint test (Pettitt 1979) — "did this series'
+    * distribution SHIFT at some unknown point, and where": the
+    * rank-based CUSUM U_t = Σ_{i≤t}Σ_{j>t} sgn(Xᵢ−Xⱼ), maximized
+    * over every split point t, with the standard approximate p-value
+    * 2·exp(−6K²/(n³+n²)). Nonparametric where [[cusum]] tracks a
+    * known reference mean — this finds the single most likely break
+    * with no distributional assumption, the data-quality question
+    * behind "when did this source's quality regime change".
+    *
+    * Computed via the rank identity U_t = 2Σ_{i≤t}Rᵢ − t(n+1)
+    * (average ranks on ties — Rᵢ over the whole group), so the whole
+    * test is two prefix sums: value-order (the tie-averaged rank
+    * grid, [[spearman]]'s machinery) and time-order (the running
+    * Σ2Rᵢ). `ordCol` must be unique within each group (pack a unique
+    * id behind the timestamp — the [[graft.operators.Packing
+    * .groupedPrefixSum]] contract).
+    *
+    * Determinism contract: 2·avg-ranks, prefix sums, t(n+1), K and
+    * the argmax are exact integers; ties on |U_t| break to the
+    * EARLIEST split; the p-value is one pinned double expression
+    * rounded at 6dp and capped at 1.
+    *
+    * Scale shape: one grid aggregate + two RANGE-PARTITIONED prefix
+    * sums (never a per-group single-task sort — the no-partition
+    * window trap), one data-sized grid join, one grouped argmax.
+    * Returns `(group_key, n, k_stat, change_rank, p_value)` —
+    * change_rank is the 1-based time index t* of the maximizing
+    * split. */
+  def pettitt(
+      df: DataFrame,
+      groupCol: String,
+      ordCol: String,
+      valueCol: String): DataFrame = {
+    val rows = Lineage.cutLocal(df
+      .filter(col(ordCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(ordCol).as("__o"),
+        col(valueCol).as("__v")))
+    // tie-averaged rank grid, ×2 so ties stay integer (spearman's)
+    val grid = rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__tc"))
+    val r2 = Packing.groupedPrefixSum(grid, "__g", "__v", "__tc", "__cum")
+      .select(col("__g"), col("__v"),
+        (lit(2L) * (col("__cum") - col("__tc")) + col("__tc") + 1L)
+          .as("__r2"))
+    val withRank = rows.join(r2, Seq("__g", "__v"))
+    val t = Packing.groupedRank(withRank, "__g", "__o",
+      carryCols = Seq("__r2"))
+    val s2 = Packing.groupedPrefixSum(t, "__g", "__o", "__r2", "__s2")
+    val nPer = s2.groupBy("__g").agg(count(lit(1)).as("n"))
+    val u = s2.join(broadcast(nPer), Seq("__g"))
+      .withColumn("__u", col("__s2") - col("rank") * (col("n") + 1L))
+    val agg = u.groupBy(col("__g"), col("n"))
+      .agg(max(struct(abs(col("__u")).as("k"), (-col("rank")).as("__nr")))
+        .as("__best"))
+    val nd = col("n").cast("double")
+    val kd = col("__best.k").cast("double")
+    agg.select(col("__g").as("group_key"), col("n"),
+      col("__best.k").as("k_stat"),
+      (-col("__best.__nr")).as("change_rank"),
+      round(least(lit(1.0),
+        lit(2.0) * exp(lit(-6.0) * kd * kd / (nd * nd * nd + nd * nd))),
+        6).as("p_value"))
+      .orderBy("group_key")
+  }
+
   /** Two-sample Poisson rate test via binomial conditioning — "did
     * this group's EVENT RATE change between two exposure windows":
     * given K = k₁+k₂ total events, under equal rates k₁ is

@@ -386,6 +386,28 @@ object Stress10 {
       evDup(10), "event_type", "value").count())
     slope("welch_anova", w1, w10)
 
+    // pettitt rides two range-partitioned prefix sums over a
+    // data-sized order key: replicas get disjoint ord ranges AND
+    // value jitter so both the time axis and the rank grid grow
+    val evP = Tables.load(spark, sf, "events").select(
+      col("event_type"),
+      expr("cast(unix_micros(ts) as decimal(19,0))").as("ots"),
+      col("event_id"), col("value"))
+      .localCheckpoint()
+    def evPDup(k: Int): DataFrame = (0 until k).map(i =>
+      evP.select(col("event_type"),
+        (col("ots") *
+          expr("cast('10000000000000000000' as decimal(20,0))") +
+          (col("event_id") + lit(i * 100000000L)).cast("decimal(38,0)"))
+          .as("o"),
+        (col("value") + lit(i * 1e-4)).as("v")))
+      .reduce(_ unionByName _)
+    val pe1 = time("pettitt_jit_1x")(operators.Stats.pettitt(
+      evPDup(1), "event_type", "o", "v").count())
+    val pe10 = time("pettitt_jit_10x")(operators.Stats.pettitt(
+      evPDup(10), "event_type", "o", "v").count())
+    slope("pettitt", pe1, pe10)
+
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "source", "text").localCheckpoint()
     def dDup(k: Int): DataFrame = (0 until k).map(i =>

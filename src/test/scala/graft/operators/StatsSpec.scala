@@ -407,6 +407,26 @@ class StatsSpec extends AnyFunSuite {
     assert(run(Seq((1L, 1L), (1L, 2L))) == (("g", 2L, None, None)))
   }
 
+  test("pettitt: level shift found at the true break, constant series " +
+      "K=0 p=1") {
+    // [1,1,1,5,5,5]: U_t = [-3,-6,-9,-6,-3,0], K = 9 at t = 3
+    val df = (1L to 6L).map(t => ("g", t, if (t <= 3) 1.0 else 5.0))
+      .toDF("g", "t", "v")
+    val got = Stats.pettitt(df, "g", "t", "v")
+      .as[(String, Long, Long, Long, Double)].collect().head
+    val p6 = java.math.BigDecimal.valueOf(
+      2.0 * math.exp(-6.0 * 81.0 / (216.0 + 36.0)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got == (("g", 6L, 9L, 3L, p6)), got.toString)
+    // a constant series has no break anywhere: K = 0, p capped at 1,
+    // argmax ties resolve to the EARLIEST split
+    val flat = Stats.pettitt(
+      (1L to 5L).map(t => ("g", t, 2.0)).toDF("g", "t", "v"),
+      "g", "t", "v")
+      .as[(String, Long, Long, Long, Double)].collect().head
+    assert(flat == (("g", 5L, 0L, 1L, 1.0)), flat.toString)
+  }
+
   test("poissonRateTest: hand-computed conditional z, empty-window NULL") {
     // days 0..19, split at 10: t1 = t2 = 10, p = 0.5;
     // k1 = 2, k2 = 10 -> z = (2 - 6)/sqrt(3) = -2.309401
