@@ -11099,4 +11099,51 @@ ORDER BY query_id"""
         col("value").as("v")),
       "event_type", "o", "v")
   }
+
+  // ---------------------------------------------------------------------
+  // aq110_hist_quantiles — quantile readout over the st17 fixed-grid
+  // histogram cells (Stats.histogramQuantiles): p50/p90/p99 per event
+  // type by linear interpolation inside the covering bucket — how a
+  // dashboard reads the incremental registry without touching the
+  // corpus; error bounded by the bucket width by construction.
+  register(
+    "aq110_hist_quantiles",
+    """WITH cells AS (
+      |  SELECT event_type AS key,
+      |    least(greatest(floor(value / 50.0), 0.0), 19.0)::bigint
+      |      AS bucket,
+      |    count(*)::bigint AS n
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT key, bucket, n,
+      |    sum(n) OVER (PARTITION BY key ORDER BY bucket) AS cum,
+      |    sum(n) OVER (PARTITION BY key) AS tot
+      |  FROM cells
+      |), ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+      |cov AS (
+      |  SELECT key, p, bucket, cum, n, r,
+      |    row_number() OVER (PARTITION BY key, p ORDER BY bucket) AS rn
+      |  FROM (
+      |    SELECT c.key, ps.p, c.bucket, c.cum, c.n,
+      |      least(c.tot, greatest(1, ceil(ps.p * c.tot::double)::bigint))
+      |        AS r
+      |    FROM cum c CROSS JOIN ps
+      |  ) WHERE cum >= r
+      |)
+      |SELECT key, p, bucket,
+      |  round(bucket::double * 50.0 +
+      |        50.0 * (r - (cum - n))::double / n::double, 6)
+      |    AS quantile_est
+      |FROM cov WHERE rn = 1 ORDER BY key, p""".stripMargin
+  ) { (s, dir) =>
+    val cells = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("key"),
+        least(greatest(floor(col("value") / 50.0).cast("long"), lit(0L)),
+          lit(19L)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Stats.histogramQuantiles(
+      cells, "key", "bucket", "n", width = 50.0,
+      probs = Seq(0.5, 0.9, 0.99))
+  }
 }

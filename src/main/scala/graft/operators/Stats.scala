@@ -2464,6 +2464,66 @@ object Stats {
       .orderBy("group_key")
   }
 
+  /** Quantile readout over a FIXED-GRID histogram — the consumer that
+    * makes [[graft.streaming.Registries.incrementalHistogram]]'s
+    * mergeable cells actionable: per key, the p-quantile estimate by
+    * linear interpolation inside the covering bucket
+    * (est = bucket·width + width·(r − cumBefore)/count,
+    * r = clamp(⌈p·N⌉, 1, N)). This is how a quantile dashboard reads
+    * a 100 TB corpus without touching it — the registry holds
+    * |keys|·|buckets| rows, merged additively forever, and the
+    * quantile error is bounded by the bucket width by construction.
+    *
+    * Determinism contract: N, cumulative counts, and the rank r are
+    * exact integers (⌈p·N⌉ on a double product of a literal p — both
+    * engines compute the identical double); the covering bucket is
+    * the FIRST with cum ≥ r; the estimate is one fixed-order double
+    * expression rounded at 6dp.
+    *
+    * Scale shape: one per-key window over the bucket GRID (≤ the
+    * histogram's maxBucket+1 rows per key — bounded, never
+    * data-sized), one broadcast probs frame, one covering-bucket
+    * argmin. Input is `(key, bucket, n)` cells; returns
+    * `(key, p, bucket, quantile_est)`. */
+  def histogramQuantiles(
+      cells: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      nCol: String,
+      width: Double,
+      probs: Seq[Double]): DataFrame = {
+    require(width > 0.0, "bucket width must be positive")
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      "probs must lie in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("__k")).orderBy(col("__b"))
+    val cum = cells
+      .select(col(keyCol).as("__k"), col(bucketCol).as("__b"),
+        col(nCol).cast("long").as("__n"))
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__tot", sum(col("__n")).over(
+        Window.partitionBy(col("__k"))))
+    val ps = broadcast(probs.toDF("p"))
+    val r = least(col("__tot"),
+      greatest(lit(1L), ceil(col("p") * col("__tot").cast("double"))))
+    val covering = cum.crossJoin(ps)
+      .withColumn("__r", r)
+      .filter(col("__cum") >= col("__r"))
+      .groupBy(col("__k"), col("p"))
+      .agg(min(struct(col("__b"), col("__cum"), col("__n"), col("__r")))
+        .as("__c"))
+    covering.select(col("__k").as(keyCol), col("p"),
+      col("__c.__b").as(bucketCol),
+      round(col("__c.__b").cast("double") * width +
+        lit(width) *
+          (col("__c.__r") - (col("__c.__cum") - col("__c.__n")))
+            .cast("double") / col("__c.__n").cast("double"), 6)
+        .as("quantile_est"))
+      .orderBy(keyCol, "p")
+  }
+
   /** Pettitt changepoint test (Pettitt 1979) — "did this series'
     * distribution SHIFT at some unknown point, and where": the
     * rank-based CUSUM U_t = Σ_{i≤t}Σ_{j>t} sgn(Xᵢ−Xⱼ), maximized

@@ -407,6 +407,22 @@ class StatsSpec extends AnyFunSuite {
     assert(run(Seq((1L, 1L), (1L, 2L))) == (("g", 2L, None, None)))
   }
 
+  test("histogramQuantiles: interpolated estimates, rank clamped into " +
+      "[1, N]") {
+    // width 10: b0 n=4, b1 n=4, b2 n=2 (N = 10)
+    val cells = Seq(("k", 0L, 4L), ("k", 1L, 4L), ("k", 2L, 2L))
+      .toDF("key", "bucket", "n")
+    val got = Stats.histogramQuantiles(cells, "key", "bucket", "n",
+      width = 10.0, probs = Seq(0.01, 0.5, 0.9, 0.99))
+      .as[(String, Double, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("k", 0.01, 0L, 2.5),   // r clamps up to 1 -> 0 + 10*(1-0)/4
+      ("k", 0.5, 1L, 12.5),   // r=5 -> 10 + 10*(5-4)/4
+      ("k", 0.9, 2L, 25.0),   // r=9 -> 20 + 10*(9-8)/2
+      ("k", 0.99, 2L, 30.0)), // r=10 -> 20 + 10*(10-8)/2
+      got.toString)
+  }
+
   test("pettitt: level shift found at the true break, constant series " +
       "K=0 p=1") {
     // [1,1,1,5,5,5]: U_t = [-3,-6,-9,-6,-3,0], K = 9 at t = 3
