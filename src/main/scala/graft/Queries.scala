@@ -11146,4 +11146,50 @@ ORDER BY query_id"""
       cells, "key", "bucket", "n", width = 50.0,
       probs = Seq(0.5, 0.9, 0.99))
   }
+
+  // ---------------------------------------------------------------------
+  // sq26_cosine_histogram — within-cell cosine-similarity distribution
+  // over the seed-IVF pair space (Similarity.cosineHistogram): the
+  // threshold-choosing audit before semantic dedup — where does the
+  // similarity mass sit. Cell-bounded pairs (never N²), 4dp kernel
+  // cosines, fixed 0.05 buckets, exact counts.
+  register(
+    "sq26_cosine_histogram",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS MATERIALIZED (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), seeds AS (
+      |  SELECT vec_id AS cell_id, v AS sv, nrm AS snrm
+      |  FROM n ORDER BY vec_id LIMIT 16
+      |), scored AS (
+      |  SELECT n.vec_id, s.cell_id,
+      |         round(list_sum(list_transform(list_zip(n.v, s.sv),
+      |               p -> p[1] * p[2])) / (n.nrm * s.snrm), 4) AS sim
+      |  FROM n CROSS JOIN seeds s
+      |), cells AS MATERIALIZED (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |           row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY sim DESC, cell_id) AS rk
+      |    FROM scored) WHERE rk = 1
+      |), pairs AS (
+      |  SELECT floor(round(list_sum(list_transform(list_zip(na.v, nb.v),
+      |           p -> p[1] * p[2])) / (na.nrm * nb.nrm), 4) / 0.05)
+      |           ::bigint AS bucket
+      |  FROM cells ca
+      |  JOIN cells cb ON ca.cell_id = cb.cell_id AND ca.vec_id < cb.vec_id
+      |  JOIN n na ON na.vec_id = ca.vec_id
+      |  JOIN n nb ON nb.vec_id = cb.vec_id
+      |)
+      |SELECT bucket, count(*)::bigint AS n_pairs,
+      |       round(bucket::double * 0.05, 6) AS lo
+      |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Similarity.cosineHistogram(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      numCells = 16, width = 0.05)
+  }
 }

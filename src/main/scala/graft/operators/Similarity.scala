@@ -1409,6 +1409,43 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Cosine-similarity histogram over the IVF-cell-bounded pair space —
+    * the threshold-choosing readout for [[semanticDedup]]: before
+    * committing to "drop above 0.92", look at where the within-cell
+    * similarity mass actually sits (a bimodal histogram separates
+    * near-dups from neighbors; a smooth one says the threshold will
+    * slice arbitrarily). The embedding-space analogue of
+    * [[graft.operators.Dedup.jaccardHistogram]]'s LSH-candidate view.
+    *
+    * Determinism contract: cosines are the 4dp kernel values, buckets
+    * are ⌊cos/width⌋ (floor toward −∞ on both engines), counts exact;
+    * `lo` is the bucket's lower edge at 6dp.
+    *
+    * Scale shape: the pair space is confined to IVF cells (Σ|cell|²,
+    * never N² — [[semanticDedup]]'s bound, same skew caveat), one
+    * equi-join on `cell_id`, one grid-sized aggregate (≤ 2/width + 1
+    * buckets). */
+  def cosineHistogram(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      width: Double = 0.05): DataFrame = {
+    require(numCells >= 1 && width > 0.0, "need numCells >= 1, width > 0")
+    val idx = Lineage.cutLocal(ivfIndex(corpus, idCol, vecCol, numCells))
+    val a = idx.select(col(idCol).as("aid"), col(vecCol).as("av"),
+      col("cell_id"))
+    val b = idx.select(col(idCol).as("bid"), col(vecCol).as("bv"),
+      col("cell_id"))
+    a.join(b, "cell_id")
+      .filter(col("aid") < col("bid"))
+      .select(floor(round(cosine(col("av"), col("bv")), 4) / width)
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("lo", round(col("bucket").cast("double") * width, 6))
+      .orderBy("bucket")
+  }
+
   /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) — merge
     * two per-query rankings by Σ 1/(rrfK + rank), the score-free
     * fusion standard hybrid retrieval converged on: ranks are

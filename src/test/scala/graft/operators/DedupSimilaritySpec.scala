@@ -436,6 +436,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(all.map(_._2).toSet == Set(1L, 2L, 3L), all.toString)
   }
 
+  test("cosineHistogram: pairs bucket on 4dp cosine, counts exact") {
+    // one cell (numCells = 1): 3 pairs — (1,2) cos 1.0, (1,3)/(2,3)
+    // cos 0.0; width 0.5 -> buckets 2 and 0
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosineHistogram(pts, "vec_id", "embedding",
+      numCells = 1, width = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 2L, 0.0), (2L, 1L, 1.0)), got.toString)
+  }
+
   test("rrfFuse: hand-computed reciprocal-rank scores, missing side " +
       "contributes zero, ties to smaller id") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF(
