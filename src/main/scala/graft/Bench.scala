@@ -37,16 +37,30 @@ object Bench {
     committed.exists(c => c > 0.0 &&
       (if (c < 0.3) fresh > 3.0 * c else fresh > 1.5 * c))
 
-  /** Noise-guard arbitration: re-measure once and report the MIN of
-    * the two medians — a noise spike re-measures at steady state and
-    * the spike is discarded; a real regression re-measures slow and
-    * stays visible. */
-  def guardedMedian(
-      fresh: Double,
-      committed: Option[Double],
-      remeasure: () => Double): Double =
-    if (needsRemeasure(fresh, committed)) math.min(fresh, remeasure())
-    else fresh
+  /** Second-pass arbitration over the COMPLETED sweep. The r12 driver
+    * bench proved the same-window re-measure insufficient: one
+    * sustained loaded window poisoned an alphabetically contiguous
+    * band (aq45–aq56, committed up to 7.6× steady — aq55 2.28 s vs
+    * 0.30 s RepeatBench run3) because the inline re-measure ran INSIDE
+    * the window that produced the spike; min-of-two-poisoned-medians
+    * is still poisoned. Temporal separation is the fix: the sweep only
+    * RECORDS guard triggers, and every triggered query is re-measured
+    * here, after the full sweep has ended — minutes later, a different
+    * time window — keeping the min of the two medians. `remeasure` is
+    * invoked only after `fresh` is complete in full, which is the
+    * property the same-window guard lacked. A genuine regression
+    * re-measures slow in the second window too and stays visible. */
+  def arbitrateSecondPass(
+      fresh: Seq[(String, Double)],
+      committed: Map[String, Double],
+      remeasure: String => Double): Map[String, Double] = {
+    val triggered = fresh.collect {
+      case (n, m) if needsRemeasure(m, committed.get(n)) => n
+    }.toSet
+    fresh.map { case (n, m) =>
+      n -> (if (triggered(n)) math.min(m, remeasure(n)) else m)
+    }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,8 +137,27 @@ object Bench {
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", outFile))))
       catch { case _: Throwable => Map.empty }
-    val results = selected.map { case (name, fn) =>
+    // one timed-median measurement of a query: N runs, per-run state
+    // release, failures flagged (the timed loop is the arbiter of
+    // "err" — see below)
+    def measure(name: String,
+                fn: (org.apache.spark.sql.SparkSession, String) =>
+                  org.apache.spark.sql.DataFrame): (Seq[Double], Boolean) = {
       var failed = false
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: " +
+            String.valueOf(t.getMessage).linesIterator.take(1).mkString)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseRunState()
+        dt
+      }
+      (times, failed)
+    }
+    val sweep = selected.map { case (name, fn) =>
       // a warmup failure is LOGGED but does not mark the query failed:
       // transient box noise in the untimed run must not discard N valid
       // timed measurements — the timed loop is the arbiter of "err".
@@ -143,33 +176,33 @@ object Bench {
         releaseRunState()
         if (ok) Some(dt) else None
       }
-      def timedRuns(): Seq[Double] = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case t: Throwable =>
-          failed = true
-          System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: " +
-            String.valueOf(t.getMessage).linesIterator.take(1).mkString)
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        releaseRunState()
-        dt
-      }
-      val times = timedRuns()
-      // noise guard: a fresh median >3× the committed steady state is
-      // re-measured once (min of medians) so a loaded window cannot
-      // write a phantom regression into the round artifact
-      val med =
-        if (failed) 0.0
-        else guardedMedian(median(times), committed.get(name), () => {
-          System.err.println(f"[bench] $name median ${median(times)}%.2fs " +
-            f"over the guard vs committed ${committed(name)}%.2fs — " +
-            "re-measuring")
-          median(timedRuns())
-        })
+      val (times, failed) = measure(name, fn)
       (name,
-        if (failed) None else Some(med),
+        if (failed) None else Some(median(times)),
         if (failed) None else Some(times.head),
         if (failed) None else warm)
+    }
+    // noise guard, second pass: the sweep only RECORDS guard triggers
+    // (fresh median >1.5× committed, >3× below the 0.3 s floor); every
+    // triggered query is re-measured HERE, after the entire sweep has
+    // completed — a different time window, which is what the r12
+    // same-window re-measure lacked (one sustained loaded window wrote
+    // a contiguous 4–8× band straight through the inline guard).
+    val fnByName = selected.toMap
+    val freshMedians = sweep.flatMap { case (n, m, _, _) => m.map(n -> _) }
+    val arbitrated = arbitrateSecondPass(freshMedians, committed, name => {
+      val fresh = freshMedians.toMap.apply(name)
+      System.err.println(f"[bench] $name sweep median $fresh%.2fs over " +
+        f"the guard vs committed ${committed(name)}%.2fs — second-pass " +
+        "re-measure")
+      val (times2, failed2) = measure(name, fnByName(name))
+      // a second-pass failure keeps the sweep value: the sweep's timed
+      // loop already proved the query runs, so a crash here is box
+      // trouble, not code
+      if (failed2) fresh else median(times2)
+    })
+    val results = sweep.map { case (n, m, f, w) =>
+      (n, m.map(v => arbitrated.getOrElse(n, v)), f, w)
     }
     def jsonMap(kv: Seq[(String, Option[Double])], absent: String): String =
       kv.map { case (k, v) =>
