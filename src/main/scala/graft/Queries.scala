@@ -10906,6 +10906,52 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // q51_concurrent_writers — multi-writer optimistic commit
+  // (ResultStore.transact / upsertContended): two LIVE writer threads
+  // race six upserts against one table through the marker-CAS commit
+  // (atomic CREATE_NEW of a per-slot `_TXN-v<N>` claim — the
+  // conditional-put analog of Delta's `_delta_log/N.json` race); claim
+  // losses re-read the winner's generation and rebase. Writer A
+  // rewrites even supplier keys (+100), writer B odd keys (−50), in
+  // three chunks each — disjoint keys make the sequences commutative,
+  // so ANY interleaving must converge to the serial table the oracle
+  // computes directly from the source.
+  register(
+    "q51_concurrent_writers",
+    """SELECT (s_suppkey % 2)::bigint AS parity, count(*)::bigint AS n,
+      |  round(sum(CASE WHEN s_suppkey % 2 = 0
+      |                 THEN s_acctbal::decimal(18,4) + 100
+      |                 ELSE s_acctbal::decimal(18,4) - 50 END)::double, 2)
+      |    AS bal
+      |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val tmp = scratchDir("q51")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        col("s_acctbal").cast("decimal(18,4)").as("bal"))
+    store.upsertContended("t", sup, "s_suppkey")
+    def chunks(parity: Int, delta: Int) = (0 until 3).map { i =>
+      sup.filter(col("s_suppkey") % 6 === lit((parity + 2 * i).toLong))
+        .withColumn("bal",
+          (col("bal") + lit(delta)).cast("decimal(18,4)"))
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = Seq(chunks(0, 100), chunks(1, -50)).map { seq =>
+      new Thread(() =>
+        try seq.foreach(df => store.upsertContended("t", df, "s_suppkey"))
+        catch { case th: Throwable => errs.add(th) })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join(300000))
+    if (!errs.isEmpty) throw errs.peek()
+    store.read("t")
+      .groupBy((col("s_suppkey") % 2).as("parity"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("bal")).cast("double"), 2).as("bal"))
+      .orderBy("parity")
+  }
+
+  // ---------------------------------------------------------------------
   // sq24_kcenter_cover — nearest-center coverage of the sq23 coreset
   // (Similarity.kCenterAssign): every embedding assigned to its closest
   // of the 6 greedy centers, per-center population / worst-case radius /

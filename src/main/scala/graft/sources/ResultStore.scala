@@ -404,6 +404,157 @@ class ResultStore(spark: SparkSession, root: String) {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Multi-writer optimistic commit — the lock-FREE concurrency path.
+  // overwriteIf above serializes racing committers under an exclusive
+  // `_LOCK` file lock, which works on one filesystem but is exactly
+  // the primitive object stores lack. This path is the file-system
+  // analog of Delta's `_delta_log/N.json` put-if-absent race instead:
+  // the unit of contention is an atomic CREATE_NEW of a per-version
+  // claim marker (`_TXN-v<N>`), the conditional put every object store
+  // offers. A writer may only commit version current+1; losing the
+  // claim means someone committed (or is committing) that slot, so the
+  // loser re-reads the new current, REBASES — re-derives its update
+  // against the winner's generation — and retries with backoff. The
+  // reference takes concurrent clients against its Postgres/Redis
+  // stores (nexus/backends/stores/postgres_store.py, redis_store.py)
+  // where MVCC does this server-side; the lake analog is optimistic
+  // concurrency on the pointer.
+
+  /** Lease on an unflipped claim marker. A crash between marker
+    * creation and pointer flip strands the marker; claimants finding a
+    * marker older than the lease (or at/below the committed pointer —
+    * dead by definition, the winner flips BEFORE deleting its marker)
+    * sweep it and re-claim the slot. The lease assumes an expired
+    * claimant is dead: a paused-then-resumed writer is fenced by the
+    * post-claim pointer re-check below, which narrows (not eliminates)
+    * the double-claim window — a real object-store deployment swaps
+    * CREATE_NEW for its native conditional put and drops the lease
+    * entirely (the documented Delta/Iceberg boundary). */
+  private def txnLeaseMs: Long = spark.conf
+    .getOption("spark.graft.store.txnLeaseMs").map(_.toLong)
+    .getOrElse(60000L)
+
+  private def markerFile(schema: String, version: String) =
+    new java.io.File(schemaDir(schema), s"_TXN-$version")
+
+  /** Attempt to claim commit slot `version` on top of `base`.
+    * Sweeps dead markers first (committed-past or lease-expired), then
+    * races the CREATE_NEW. A successful create re-checks the pointer:
+    * the winner of a slot deletes its marker only AFTER flipping, so
+    * create succeeding on a RECYCLED slot name (pointer already moved)
+    * means this writer is a full generation behind — release and lose. */
+  private def tryClaim(
+      schema: String, version: String, base: Option[String]): Boolean = {
+    val cur0 = currentVersion(schema)
+    Option(schemaDir(schema).listFiles((_, n) => n.startsWith("_TXN-v")))
+      .getOrElse(Array.empty).foreach { f =>
+        val v = f.getName.stripPrefix("_TXN-")
+        val dead = cur0.exists(_ >= v) ||
+          (System.currentTimeMillis() - f.lastModified()) > txnLeaseMs
+        if (dead) f.delete()
+      }
+    try {
+      java.nio.file.Files.write(markerFile(schema, version).toPath,
+        Array.empty[Byte], java.nio.file.StandardOpenOption.CREATE_NEW)
+      if (currentVersion(schema) == base) true
+      else { markerFile(schema, version).delete(); false }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
+
+  /** Multi-writer transactional commit: derive the table's next
+    * contents from its pinned committed generation, claim the next
+    * commit slot via marker CAS, and flip. On claim loss the update is
+    * RE-DERIVED against the winner's generation (`derive` runs again
+    * with the fresh snapshot — lost updates are impossible, which mere
+    * last-writer-wins retry would not give), with exponential backoff
+    * between attempts. `derive(None)` means the schema has no
+    * committed data yet. Returns the committed version.
+    *
+    * The expensive data write lands in a unique staging directory
+    * BEFORE the claim (racing writers never touch each other's files
+    * and the claim window stays milliseconds, like Delta writing data
+    * files before the log record); the claimed slot then takes one
+    * rename + meta write + pointer flip. A crash between claim and
+    * flip strands the marker and possibly the version directory: the
+    * next claimant sweeps both after [[txnLeaseMs]] — the recovery
+    * path — and the crashed writer's staging never becomes visible.
+    * Throws [[java.util.ConcurrentModificationException]] when
+    * `maxAttempts` claim losses pile up (pathological contention). */
+  def transact(schema: String, maxAttempts: Int = 12)(
+      derive: Option[DataFrame] => DataFrame): String = {
+    schemaDir(schema).mkdirs()
+    // one optimistic attempt: Some(version) on success, None on a lost
+    // race (claim lost, or the pinned base generation aged out of
+    // retention mid-derive under a burst of competing commits —
+    // retention keeps 2 committed dirs, so two foreign commits inside
+    // one attempt window GC the base; that is a race, not an error)
+    def attemptOnce(): Option[String] = {
+      val base = currentVersion(schema)
+      val claimed = f"v${base.map(_.drop(1).toLong).getOrElse(0L) + 1}%08d"
+      val staging = new java.io.File(schemaDir(schema),
+        s".staged-${java.util.UUID.randomUUID()}")
+      try {
+        try {
+          derive(base.map(readVersion(schema, _)))
+            .write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+        } catch {
+          case t: Throwable =>
+            if (base.exists(v => !versionDir(schema, v).isDirectory))
+              return None // rebase against the survivors
+            throw t
+        }
+        if (!tryClaim(schema, claimed, base)) return None
+        // committing: from here the slot is ours. The marker is
+        // deleted ONLY on success — an exception (crash) leaves it
+        // for the lease sweep, which is the recovery contract.
+        val target = versionDir(schema, claimed)
+        if (target.exists()) rmTree(target) // expired claimant's strand
+        java.nio.file.Files.move(staging.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        writeMeta(target, committedMeta(schema))
+        beforeSwapHook()
+        flipPointer(schema, claimed, keepPrevious = base)
+        markerFile(schema, claimed).delete()
+        Some(claimed)
+      } finally {
+        if (staging.exists()) rmTree(staging)
+      }
+    }
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      attemptOnce() match {
+        case Some(v) => return v
+        case None =>
+          // lost the slot: back off (bounded exponential + jitter so
+          // two lockstep writers desynchronize), then rebase and retry
+          Thread.sleep(math.min(25L << math.min(attempt, 5), 400L) +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(25L))
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"schema '$schema': lost $maxAttempts commit races")
+  }
+
+  /** [[upsert]] through [[transact]]: safe under concurrent writers —
+    * each attempt re-merges against the generation it will commit on
+    * top of, so an interleaved sequence of upserts from N writers
+    * converges to the same table as any serial order of the same
+    * upserts whenever the upserts' key sets make them commutative
+    * (disjoint keys, or per-key last-writer semantics accepted). */
+  def upsertContended(
+      schema: String, df: DataFrame, keyCol: String,
+      maxAttempts: Int = 12): String =
+    transact(schema, maxAttempts) {
+      case None => df
+      case Some(cur) =>
+        cur.join(df.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(df, allowMissingColumns = true)
+    }
+
   def read(schema: String): DataFrame = spark.read.parquet(dataPath(schema))
 
   def exists(schema: String, keyCol: String, key: Any): Boolean =

@@ -1136,4 +1136,111 @@ class SourcesSpec extends AnyFunSuite {
     // committed generation untouched
     assert(store.read("t").collect().map(_.getAs[Long]("k")).toSeq == Seq(1L))
   }
+
+  // ---------------------------------------------------------------
+  // transact — the lock-free marker-CAS multi-writer commit path
+
+  private def tableState(store: ResultStore, schema: String): Map[Long, String] =
+    store.read(schema).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+
+  test("transact interleavings: A-then-B, B-then-A, and two live threads " +
+    "all converge to the serial result") {
+    val base = Seq(KV(1, "z"), KV(2, "z"), KV(3, "z"), KV(4, "z"))
+    val aSeq = Seq(Seq(KV(2, "a1")), Seq(KV(4, "a2")))
+    val bSeq = Seq(Seq(KV(1, "b1")), Seq(KV(3, "b2")))
+    val serial = Map(1L -> "b1", 2L -> "a1", 3L -> "b2", 4L -> "a2")
+    def fresh(): (ResultStore, String) = {
+      val root = tmpDir()
+      val s = new ResultStore(spark, root)
+      s.upsertContended("t", base.toDF(), "k")
+      (s, root)
+    }
+    // interleaving 1: A1 B1 A2 B2
+    val (s1, _) = fresh()
+    Seq(aSeq(0), bSeq(0), aSeq(1), bSeq(1)).foreach(rows =>
+      s1.upsertContended("t", rows.toDF(), "k"))
+    assert(tableState(s1, "t") == serial)
+    // interleaving 2: B1 A1 B2 A2
+    val (s2, _) = fresh()
+    Seq(bSeq(0), aSeq(0), bSeq(1), aSeq(1)).foreach(rows =>
+      s2.upsertContended("t", rows.toDF(), "k"))
+    assert(tableState(s2, "t") == serial)
+    // live contention: two threads race the same store root — every
+    // commit goes through the marker CAS, losses rebase and retry
+    val (s3, root3) = fresh()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(aSeq, bSeq).map { seq =>
+      new Thread(() =>
+        try seq.foreach(rows => s3.upsertContended("t", rows.toDF(), "k"))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    assert(tableState(s3, "t") == serial)
+    // no stranded markers or staging after the dust settles
+    val leftovers = new java.io.File(s"$root3/t").listFiles()
+      .filter(f => f.getName.startsWith("_TXN-") ||
+        f.getName.startsWith(".staged-"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+  }
+
+  test("transact claim loss REBASES: the second derivation sees the " +
+    "winner's generation, no lost update") {
+    val root = tmpDir()
+    val store = new ResultStore(spark, root)
+    val racer = new ResultStore(spark, root)
+    store.upsertContended("t", Seq(KV(1, "base")).toDF(), "k")
+    var calls = 0
+    var sawRacerRow = false
+    store.transact("t") { cur =>
+      calls += 1
+      // a foreign commit lands between our snapshot and our claim: the
+      // claim's post-create pointer re-check must refuse the slot
+      if (calls == 1) racer.upsert("t", Seq(KV(2, "racer")).toDF(), "k")
+      val snapshot = cur.get
+      if (calls == 2)
+        sawRacerRow = snapshot.collect().exists(_.getAs[Long]("k") == 2L)
+      snapshot.unionByName(Seq(KV(3, "mine")).toDF())
+    }
+    assert(calls == 2, "first attempt must lose and re-derive")
+    assert(sawRacerRow, "rebase must run against the winner's generation")
+    assert(tableState(store, "t") ==
+      Map(1L -> "base", 2L -> "racer", 3L -> "mine"))
+  }
+
+  test("transact crash between marker claim and pointer flip: table " +
+    "intact, live lease blocks the slot, expiry sweeps and recovers") {
+    val root = tmpDir()
+    val store = new ResultStore(spark, root)
+    store.upsertContended("t", Seq(KV(1, "a")).toDF(), "k")
+    val crashy = new ResultStore(spark, root) {
+      override protected def beforeSwapHook(): Unit =
+        throw new RuntimeException("crash between claim and flip")
+    }
+    intercept[RuntimeException](
+      crashy.upsertContended("t", Seq(KV(2, "b")).toDF(), "k"))
+    // the committed table is untouched and the dead claim is stranded
+    assert(tableState(store, "t") == Map(1L -> "a"))
+    def markers() = new java.io.File(s"$root/t").list()
+      .filter(_.startsWith("_TXN-v")).toSeq
+    assert(markers() == Seq("_TXN-v00000002"))
+    // within the lease the slot is honored (the claimant might be alive
+    // mid-commit): a competing writer exhausts its attempts
+    intercept[java.util.ConcurrentModificationException](
+      store.upsertContended("t", Seq(KV(3, "c")).toDF(), "k",
+        maxAttempts = 2))
+    assert(tableState(store, "t") == Map(1L -> "a"))
+    // lease expired: the sweep clears marker AND strand dir, recovery
+    // commits normally
+    spark.conf.set("spark.graft.store.txnLeaseMs", "0")
+    try {
+      store.upsertContended("t", Seq(KV(2, "b2")).toDF(), "k")
+      assert(tableState(store, "t") == Map(1L -> "a", 2L -> "b2"))
+      assert(markers().isEmpty, "recovered commit must clear its marker")
+    } finally spark.conf.unset("spark.graft.store.txnLeaseMs")
+    val stranded = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.startsWith(".staged-"))
+    assert(stranded.isEmpty, stranded.mkString(", "))
+  }
 }
