@@ -11179,7 +11179,8 @@ ORDER BY query_id"""
       |SELECT key, p, bucket,
       |  round(bucket::double * 50.0 +
       |        50.0 * (r - (cum - n))::double / n::double, 6)
-      |    AS quantile_est
+      |    AS quantile_est,
+      |  bucket >= 19 AS capped
       |FROM cov WHERE rn = 1 ORDER BY key, p""".stripMargin
   ) { (s, dir) =>
     val cells = t(s, dir, "events")
@@ -11190,7 +11191,7 @@ ORDER BY query_id"""
       .agg(count(lit(1)).as("n"))
     graft.operators.Stats.histogramQuantiles(
       cells, "key", "bucket", "n", width = 50.0,
-      probs = Seq(0.5, 0.9, 0.99))
+      probs = Seq(0.5, 0.9, 0.99), capBucket = Some(19L))
   }
 
   // ---------------------------------------------------------------------

@@ -701,7 +701,17 @@ object Dedup {
     * deterministic from content, so the previous replace-by-doc
     * semantics equal set-union and a replayed doc re-inserts
     * identical rows, leaving the table unchanged; nothing is ever
-    * deleted). `onCommit` gets each commit's (schema, PrunedCommit)
+    * deleted).
+    *
+    * PRECONDITION — content is immutable per doc id: the set-union
+    * equivalence above holds only because re-seeing an id means
+    * re-seeing the same text. Re-ingesting an id with CHANGED content
+    * accumulates the old content's band rows forever and keeps
+    * producing candidate pairs against text that no longer exists. A
+    * corpus with mutable ids must either mint a new id per revision
+    * (the usual content-addressed choice) or run a periodic compaction
+    * that rewrites the sig table keeping only each id's latest
+    * generation of band rows. `onCommit` gets each commit's (schema, PrunedCommit)
     * readout; `onPrunedRead` gets the candidate lookup's
     * (opened, total) file counts — the spec hook pinning that reads
     * track the batch, not the registry. */

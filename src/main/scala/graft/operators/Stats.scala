@@ -2491,7 +2491,8 @@ object Stats {
       bucketCol: String,
       nCol: String,
       width: Double,
-      probs: Seq[Double]): DataFrame = {
+      probs: Seq[Double],
+      capBucket: Option[Long] = None): DataFrame = {
     require(width > 0.0, "bucket width must be positive")
     require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
       "probs must lie in (0, 1]")
@@ -2520,7 +2521,16 @@ object Stats {
         lit(width) *
           (col("__c.__r") - (col("__c.__cum") - col("__c.__n")))
             .cast("double") / col("__c.__n").cast("double"), 6)
-        .as("quantile_est"))
+        .as("quantile_est"),
+      // cap caveat made visible: the histogram's top bucket holds ALL
+      // mass at or above cap·width (incrementalHistogram clamps there),
+      // so a quantile covered by it interpolates inside
+      // [cap·width, (cap+1)·width] and can understate a heavy tail by
+      // an unbounded amount — the estimate is only a LOWER BOUND.
+      // Callers that know the grid's cap pass it and get the flag;
+      // without one every estimate is a genuine interior bucket.
+      capBucket.map(c => (col("__c.__b") >= c).as("capped"))
+        .getOrElse(lit(false).as("capped")))
       .orderBy(keyCol, "p")
   }
 

@@ -110,7 +110,18 @@ object Registries {
     * commit), batch delta aggregate, key-pruned read-back of ONLY the
     * batch's stored rows, additive re-aggregate, file-pruned upsert.
     * `groupCols` must start with "key" — the registry's layout,
-    * pruning, and upsert key. */
+    * pruning, and upsert key.
+    *
+    * Concurrency contract: commits to one schema must be SERIALIZED
+    * across streams. The txn map is read at batch start and written
+    * wholesale at commit (read-modify-write), so two streams
+    * committing truly concurrently to one schema could erase each
+    * other's marker. Spark already serializes the batches of a single
+    * stream; multiple streams may interleave on one schema (each
+    * commit carries all `txn.*` entries forward) but must not commit
+    * at the same instant — a deployment that needs that takes the
+    * [[graft.sources.ResultStore.transact]] marker-CAS path, where a
+    * racing commit loses the slot and rebases instead. */
   private def additiveRegistry(
       stream: DataFrame,
       store: graft.sources.ResultStore,
@@ -133,8 +144,16 @@ object Registries {
         // (Lineage.withoutAqe's measured rationale)
         Lineage.withoutAqe(batch.sparkSession) {
         val meta = store.committedMeta(schema)
-        val replayed = meta.get(s"txn.$streamId").map(_.toLong)
-          .exists(_ >= batchId)
+        // replay guard: the per-stream `txn.<id>` map, FALLING BACK to
+        // the pre-r12 single (stream_id, batch_id) pair — a registry
+        // whose last commit predates the map upgrade replays its last
+        // micro-batch after a restart and must still be caught, or the
+        // additive delta double-applies; the first post-upgrade commit
+        // writes the map form and the legacy pair goes dormant
+        val lastCommitted = meta.get(s"txn.$streamId")
+          .orElse(if (meta.get("stream_id").contains(streamId))
+            meta.get("batch_id") else None)
+        val replayed = lastCommitted.map(_.toLong).exists(_ >= batchId)
         if (!replayed) {
           val delta = Lineage.cutLocal(deltaOf(batch))
           val src =
@@ -149,8 +168,14 @@ object Registries {
                 .agg(sum(statCols.head).as(statCols.head),
                   statCols.tail.map(c => sum(c).as(c)): _*)
           // carry every stream's marker forward — the commit's meta
-          // REPLACES the generation's map wholesale
-          val txns = meta.filter(_._1.startsWith("txn.")) +
+          // REPLACES the generation's map wholesale. A legacy pair is
+          // UPGRADED into the map here (lowest precedence): dropping
+          // it would disarm the old stream's guard on its next replay
+          val legacy = (meta.get("stream_id"), meta.get("batch_id")) match {
+            case (Some(sid), Some(b)) => Map(s"txn.$sid" -> b)
+            case _ => Map.empty[String, String]
+          }
+          val txns = legacy ++ meta.filter(_._1.startsWith("txn.")) +
             (s"txn.$streamId" -> batchId.toString)
           val stats = store.upsertPruned(schema, src, "key", meta = txns)
           onCommit(schema, stats)

@@ -413,14 +413,21 @@ class StatsSpec extends AnyFunSuite {
     val cells = Seq(("k", 0L, 4L), ("k", 1L, 4L), ("k", 2L, 2L))
       .toDF("key", "bucket", "n")
     val got = Stats.histogramQuantiles(cells, "key", "bucket", "n",
-      width = 10.0, probs = Seq(0.01, 0.5, 0.9, 0.99))
-      .as[(String, Double, Long, Double)].collect().toSeq
+      width = 10.0, probs = Seq(0.01, 0.5, 0.9, 0.99),
+      capBucket = Some(2L))
+      .as[(String, Double, Long, Double, Boolean)].collect().toSeq
     assert(got == Seq(
-      ("k", 0.01, 0L, 2.5),   // r clamps up to 1 -> 0 + 10*(1-0)/4
-      ("k", 0.5, 1L, 12.5),   // r=5 -> 10 + 10*(5-4)/4
-      ("k", 0.9, 2L, 25.0),   // r=9 -> 20 + 10*(9-8)/2
-      ("k", 0.99, 2L, 30.0)), // r=10 -> 20 + 10*(10-8)/2
+      ("k", 0.01, 0L, 2.5, false),  // r clamps up to 1 -> 0 + 10*(1-0)/4
+      ("k", 0.5, 1L, 12.5, false),  // r=5 -> 10 + 10*(5-4)/4
+      ("k", 0.9, 2L, 25.0, true),   // r=9 -> 20 + 10*(9-8)/2, cap bucket
+      ("k", 0.99, 2L, 30.0, true)), // r=10 -> LOWER BOUND: clamped mass
       got.toString)
+    // without a declared cap no estimate is flagged (every bucket is a
+    // genuine interior bucket to this reader)
+    val uncapped = Stats.histogramQuantiles(cells, "key", "bucket", "n",
+      width = 10.0, probs = Seq(0.99))
+      .as[(String, Double, Long, Double, Boolean)].collect().toSeq
+    assert(uncapped == Seq(("k", 0.99, 2L, 30.0, false)))
   }
 
   test("pettitt: level shift found at the true break, constant series " +

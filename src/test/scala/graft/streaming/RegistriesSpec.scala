@@ -78,6 +78,43 @@ class RegistriesSpec extends AnyFunSuite {
       expected.view.mapValues(_._1 * 2).toMap)
   }
 
+  test("legacy (stream_id, batch_id) meta still guards replay and is " +
+    "upgraded into the txn map on the next commit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incstats")
+      .toString
+    docs.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
+    val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+    def drain(streamId: String, ckpt: String): Unit =
+      Registries.incrementalSourceStats(
+        StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "source", "text", store, "stats", streamId, s"$tmp/$ckpt")
+        .awaitTermination()
+    drain("s1", "ckpt1")
+    assert(readReg(store) == expected)
+    // simulate a registry whose last commit PREDATES the per-stream
+    // map: rewrite the meta to the pre-r12 single-pair form (two input
+    // files -> last batch id 1)
+    store.overwriteWithMeta("stats", store.read("stats"),
+      Map("stream_id" -> "s1", "batch_id" -> "1"))
+    assert(store.committedMeta("stats").get("txn.s1").isEmpty)
+    // a fresh checkpoint replays every batch under the same stream id:
+    // the LEGACY pair must catch all of them or the additive delta
+    // double-applies
+    drain("s1", "ckpt2")
+    assert(readReg(store) == expected)
+    // another stream's first post-upgrade commit must CARRY the legacy
+    // guard forward as txn.s1, not drop it
+    drain("s2", "ckpt3")
+    assert(readReg(store).view.mapValues(_._1).toMap ==
+      expected.view.mapValues(_._1 * 2).toMap)
+    assert(store.committedMeta("stats").get("txn.s1").contains("1"))
+    assert(store.committedMeta("stats").get("txn.s2").isDefined)
+    // and s1 replaying AFTER the upgrade commit is still skipped
+    drain("s1", "ckpt4")
+    assert(readReg(store).view.mapValues(_._1).toMap ==
+      expected.view.mapValues(_._1 * 2).toMap)
+  }
+
   test("incrementalHistogram: fixed-grid cells equal the one-shot " +
       "aggregate for any batch split; clamp and cap") {
     // width 10, maxBucket 3: 5->b0, 15->b1, 25->b2, 95->b3 (capped),
