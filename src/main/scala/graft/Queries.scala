@@ -10786,6 +10786,60 @@ ORDER BY query_id"""
   }}
 
   // ---------------------------------------------------------------------
+  // st18_quantile_dashboard — the st17 registry COMPOSED with its
+  // consumer (Stats.histogramQuantiles): three micro-batches build the
+  // per-type fixed-grid histogram incrementally, then the quantile
+  // dashboard reads p50/p90/p99 off the registry cells — the end-to-end
+  // "continuously ingest, never re-aggregate, still answer quantiles"
+  // path. The registry equals the one-shot aggregate for any batch
+  // split (st17's invariant), so the composed readout equals aq110's
+  // one-shot interpolation SQL exactly, capped-bucket flag included.
+  register(
+    "st18_quantile_dashboard",
+    """WITH cells AS (
+      |  SELECT event_type AS key,
+      |    least(greatest(floor(value / 50.0), 0.0), 19.0)::bigint
+      |      AS bucket,
+      |    count(*)::bigint AS n
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT key, bucket, n,
+      |    sum(n) OVER (PARTITION BY key ORDER BY bucket) AS cum,
+      |    sum(n) OVER (PARTITION BY key) AS tot
+      |  FROM cells
+      |), ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+      |cov AS (
+      |  SELECT key, p, bucket, cum, n, r,
+      |    row_number() OVER (PARTITION BY key, p ORDER BY bucket) AS rn
+      |  FROM (
+      |    SELECT c.key, ps.p, c.bucket, c.cum, c.n,
+      |      least(c.tot, greatest(1, ceil(ps.p * c.tot::double)::bigint))
+      |        AS r
+      |    FROM cum c CROSS JOIN ps
+      |  ) WHERE cum >= r
+      |)
+      |SELECT key, p, bucket,
+      |  round(bucket::double * 50.0 +
+      |        50.0 * (r - (cum - n))::double / n::double, 6)
+      |    AS quantile_est,
+      |  bucket >= 19 AS capped
+      |FROM cov WHERE rn = 1 ORDER BY key, p""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    val tmp = scratchDir("st18")
+    t(s, dir, "events").select("event_type", "value")
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    val stream = graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1)
+    graft.streaming.Registries.incrementalHistogram(
+      stream, "event_type", "value", 50.0, store, "hist", "st18",
+      s"$tmp/ckpt", maxBucket = 19L)
+      .awaitTermination()
+    graft.operators.Stats.histogramQuantiles(
+      store.read("hist"), "key", "bucket", "n", width = 50.0,
+      probs = Seq(0.5, 0.9, 0.99), capBucket = Some(19L))
+  }}
+
+  // ---------------------------------------------------------------------
   // aq107_jonckheere — Jonckheere–Terpstra ordered-trend test: does the
   // value distribution shift monotonically across the hours of the day,
   // per event type (Stats.jonckheereTerpstra). Summed cross-group
