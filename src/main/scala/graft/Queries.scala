@@ -915,7 +915,7 @@ object Queries {
       |)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
-      |             / (a.nrm * b.nrm), 4) AS cosine
+      |             / (a.nrm * b.nrm), 4) + 0.0 AS cosine
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
       |            / (a.nrm * b.nrm), 4) >= 0.9
@@ -1397,7 +1397,7 @@ object Queries {
       |)
       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |       round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
-      |             / (q.nrm * c.nrm), 4) AS cosine,
+      |             / (q.nrm * c.nrm), 4) + 0.0 AS cosine,
       |       row_number() OVER (
       |         PARTITION BY q.vec_id
       |         ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
@@ -1505,8 +1505,8 @@ object Queries {
       |      ORDER BY c DESC, id_b) AS rk FROM x)
       |  WHERE rk = 1
       |)
-      |SELECT f.id_a, f.id_b, f.c AS cosine,
-      |       round(f.c / ((ka.avg_a + kb.avg_b) / 2), 6) AS margin
+      |SELECT f.id_a, f.id_b, f.c + 0.0 AS cosine,
+      |       round(f.c / ((ka.avg_a + kb.avg_b) / 2), 6) + 0.0 AS margin
       |FROM fwd f JOIN ka USING (id_a) JOIN kb USING (id_b)
       |WHERE (ka.avg_a + kb.avg_b) > 0
       |  AND f.c / ((ka.avg_a + kb.avg_b) / 2) > 1.0
@@ -1637,7 +1637,7 @@ object Queries {
       |), scored AS (
       |  SELECT l.query_id, l.neighbor_id, l.shared,
       |         round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
-      |               / (q.nrm * c.nrm), 4) AS cosine
+      |               / (q.nrm * c.nrm), 4) + 0.0 AS cosine
       |  FROM lex l
       |  JOIN e q ON l.query_id = q.vec_id
       |  JOIN e c ON l.neighbor_id = c.vec_id
@@ -1692,7 +1692,7 @@ object Queries {
       |  SELECT l.doc_id, l.lex_score,
       |         round(list_sum(list_transform(list_zip(e.ev, qv.v), p -> p[1] * p[2]))
       |               / (sqrt(list_sum(list_transform(e.ev, x -> x * x)))
-      |                  * sqrt(list_sum(list_transform(qv.v, x -> x * x)))), 4) AS cosine
+      |                  * sqrt(list_sum(list_transform(qv.v, x -> x * x)))), 4) + 0.0 AS cosine
       |  FROM lex l
       |  JOIN (SELECT vec_id, list_transform(embedding, x -> x::double) AS ev
       |        FROM embeddings) e
@@ -1737,7 +1737,7 @@ object Queries {
       |)
       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |       round(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2]))::double
-      |             / (q.sc * c.sc * q.nrm * c.nrm), 4) AS qcosine,
+      |             / (q.sc * c.sc * q.nrm * c.nrm), 4) + 0.0 AS qcosine,
       |       row_number() OVER (
       |         PARTITION BY q.vec_id
       |         ORDER BY round(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2]))::double
@@ -1829,7 +1829,7 @@ object Queries {
       |), ranked AS (
       |  SELECT query_id, neighbor_id,
       |         round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
-      |               / (q.nrm * c.nrm), 4) AS cosine
+      |               / (q.nrm * c.nrm), 4) + 0.0 AS cosine
       |  FROM cand
       |  JOIN n q ON cand.query_id = q.vec_id
       |  JOIN n c ON cand.neighbor_id = c.vec_id
@@ -2637,7 +2637,7 @@ object Queries {
       |)
       |SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
       |       round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
-      |             / (q.nrm * c.nrm), 4) AS cosine,
+      |             / (q.nrm * c.nrm), 4) + 0.0 AS cosine,
       |       row_number() OVER (
       |         PARTITION BY q.media_id
       |         ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
@@ -3921,7 +3921,7 @@ object Queries {
       |  FROM ranked GROUP BY 1
       |)
       |SELECT s.grp AS source,
-      |       round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0.0), 6) AS zipf_slope,
+      |       round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0.0), 6) + 0.0 AS zipf_slope,
       |       t.n_types, t.n_tokens,
       |       round(t.n_types::double / t.n_tokens, 6) AS ttr
       |FROM sums s JOIN ttr t USING (grp)
@@ -4069,7 +4069,7 @@ object Queries {
       |cq AS (SELECT tok, count(*) AS cq FROM tq GROUP BY 1),
       |np AS (SELECT sum(c) AS np FROM cp),
       |nq AS (SELECT sum(cq) AS nq FROM cq)
-      |SELECT round(sum(round((c::double / np) * ln((c::double * nq) / (cq::double * np)), 10)::decimal(28,10))::double, 6) AS kl_nats,
+      |SELECT round(sum(round((c::double / np) * ln((c::double * nq) / (cq::double * np)), 10)::decimal(28,10))::double, 6) + 0.0 AS kl_nats,
       |       min(np)::bigint AS n_tokens_p,
       |       min(nq)::bigint AS n_tokens_q,
       |       count(*) AS shared_vocab
@@ -5244,7 +5244,7 @@ object Queries {
       |), ranked AS (
       |  SELECT c.query_id, c.neighbor_id,
       |         round(list_sum(list_transform(list_zip(q.v, nv.v),
-      |                 p -> p[1] * p[2])) / (q.nrm * nv.nrm), 4) AS cosine
+      |                 p -> p[1] * p[2])) / (q.nrm * nv.nrm), 4) + 0.0 AS cosine
       |  FROM cand c
       |  JOIN q ON c.query_id = q.query_id
       |  JOIN n nv ON c.neighbor_id = nv.vec_id
@@ -5470,7 +5470,7 @@ ORDER BY query_id"""
       |       round(s1::double / h, 4) AS mean_n,
       |       round((n::double - s1::double / h) /
       |             sqrt((s2::double - s1::double * (s1::double / h)) / (h - 1)),
-      |             4) AS z
+      |             4) + 0.0 AS z
       |FROM hourly JOIN m USING (event_type)
       |WHERE h >= 2
       |  AND (s2::double - s1::double * (s1::double / h)) / (h - 1) > 0
@@ -5637,10 +5637,10 @@ ORDER BY query_id"""
       |)
       |SELECT doc_id, n_words, n_sentences, n_syllables,
       |       round(206.835 - 1.015 * (n_words::double / n_sentences)
-      |             - 84.6 * (n_syllables::double / n_words), 4) AS flesch,
+      |             - 84.6 * (n_syllables::double / n_words), 4) + 0.0 AS flesch,
       |       round(0.39 * (n_words::double / n_sentences)
       |             + 11.8 * (n_syllables::double / n_words) - 15.59, 4)
-      |         AS fk_grade
+      | + 0.0         AS fk_grade
       |FROM sig
       |WHERE n_words > 0
       |ORDER BY doc_id""".stripMargin
@@ -5675,7 +5675,7 @@ ORDER BY query_id"""
       |       round(ln((b.c_xy::double * (SELECT nu FROM nu)
       |                 * (SELECT nu FROM nu))
       |                / ((SELECT nb FROM nb) * u1.c::double
-      |                   * u2.c::double)), 6) AS pmi
+      |                   * u2.c::double)), 6) + 0.0 AS pmi
       |FROM bi b
       |JOIN uni u1 ON b.w1 = u1.word
       |JOIN uni u2 ON b.w2 = u2.word
@@ -6238,13 +6238,13 @@ ORDER BY query_id"""
     "aq55_tukey_outliers",
     """WITH q AS (
       |  SELECT event_type,
-      |         quantile_cont(value, 0.25) AS q1,
-      |         quantile_cont(value, 0.75) AS q3
+      |         quantile_cont(value, 0.25) + 0.0 AS q1,
+      |         quantile_cont(value, 0.75) + 0.0 AS q3
       |  FROM events WHERE value IS NOT NULL GROUP BY 1
       |)
       |SELECT e.event_type, count(*)::bigint AS n,
-      |       round(min(q.q1), 4) AS q1,
-      |       round(min(q.q3), 4) AS q3,
+      |       round(min(q.q1), 4) + 0.0 AS q1,
+      |       round(min(q.q3), 4) + 0.0 AS q3,
       |       count(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
       |                    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
       |                  THEN 1 END)::bigint AS n_outliers,
@@ -6292,11 +6292,11 @@ ORDER BY query_id"""
       |  FROM s
       |)
       |SELECT event_type, n_a, n_b,
-      |       round(ma, 6) AS mean_a,
-      |       round(mb, 6) AS mean_b,
+      |       round(ma, 6) + 0.0 AS mean_a,
+      |       round(mb, 6) + 0.0 AS mean_b,
       |       CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0 THEN
       |         round((ma - mb) / sqrt(va + vb), 4)
-      |       END AS welch_z
+      |       END + 0.0 AS welch_z
       |FROM m
       |ORDER BY event_type""".stripMargin
   ) { (s, dir) =>
@@ -7165,11 +7165,11 @@ ORDER BY query_id"""
       |         CASE WHEN (n * sxx - sx * sx) <> 0 THEN
       |           round((n * sxy - sx * sy)::double
       |                 / (n * sxx - sx * sx)::double, 6)
-      |         END AS slope
+      |         END + 0.0 AS slope
       |  FROM s
       |)
       |SELECT n AS n_ranked, slope,
-      |       round((sy::double - slope * sx::double) / n, 6) AS intercept
+      |       round((sy::double - slope * sx::double) / n, 6) + 0.0 AS intercept
       |FROM sl""".stripMargin
   ) { (s, dir) =>
     graft.operators.TextAnalysis.zipfFit(
@@ -7303,7 +7303,7 @@ ORDER BY query_id"""
       |              THEN round((n * sxy - sx * sy)::double
       |                   / (sqrt((n * sxx - sx * sx)::double)
       |                      * sqrt((n * syy - sy * sy)::double)), 6)
-      |         END AS r
+      |         END + 0.0 AS r
       |  FROM st
       |), pk AS (
       |  SELECT key, (max(struct_pack(r := r, nl := -lag))).r AS pr,
@@ -7891,7 +7891,7 @@ ORDER BY query_id"""
       |              WHEN coalesce(s_stat, 0) < 0 THEN
       |                round((coalesce(s_stat, 0) + 1)::double /
       |                      sqrt((n*(n-1)*(2*n+5) - t3)::double / 18.0), 6)
-      |              ELSE 0.0 END AS z
+      |              ELSE 0.0 END + 0.0 AS z
       |  FROM tt LEFT JOIN p ON tt.key = p.key
       |)
       |SELECT key, n, s_stat, z,
@@ -7916,13 +7916,13 @@ ORDER BY query_id"""
     s"""WITH $dailySeriesSql, sl AS (
       |  SELECT i.key, count(*)::bigint AS n_pairs,
       |         round(quantile_cont((j.y - i.y)::double /
-      |                             (j.t - i.t)::double, 0.5), 6) AS slope
+      |                             (j.t - i.t)::double, 0.5), 6) + 0.0 AS slope
       |  FROM s i JOIN s j ON i.key = j.key AND i.t < j.t
       |  GROUP BY 1
       |)
       |SELECT sl.key AS key, sl.n_pairs, sl.slope,
       |       round(quantile_cont(s.y::double - sl.slope * s.t::double,
-      |                           0.5), 6) AS intercept
+      |                           0.5), 6) + 0.0 AS intercept
       |FROM s JOIN sl ON s.key = sl.key
       |GROUP BY 1, 2, 3
       |ORDER BY key""".stripMargin
@@ -7967,7 +7967,7 @@ ORDER BY query_id"""
       |         sqrt((n_a::hugeint * n_b::hugeint)::double / 12.0 *
       |           (((n_a + n_b)::double + 1.0) - t3::double /
       |             ((n_a + n_b)::double * ((n_a + n_b)::double - 1.0)))), 6)
-      |       END END AS z
+      |       END END + 0.0 AS z
       |FROM a""".stripMargin
   ) { (s, dir) =>
     graft.operators.Stats.mannWhitney(
@@ -8091,7 +8091,7 @@ ORDER BY query_id"""
       |           ((n::hugeint * n * n - n) - ty.tt) - 3 * sd)::double /
       |          (2.0 * sqrt(((n::hugeint * n * n - n) - tx.tt)::double *
       |                      ((n::hugeint * n * n - n) - ty.tt)::double)), 6)
-      |  END AS rho
+      |  END + 0.0 AS rho
       |FROM j JOIN tx ON j.g = tx.g JOIN ty ON j.g = ty.g
       |ORDER BY group_key""".stripMargin
   ) { (s, dir) =>
@@ -8370,7 +8370,7 @@ ORDER BY query_id"""
       |       count(*)::bigint AS n_union,
       |       count(CASE WHEN ca > 0 AND cb > 0 THEN 1 END)::bigint
       |         AS n_common,
-      |       round((sum(tp) + sum(tq))::double / 2.0, 6) AS jsd_nats
+      |       round((sum(tp) + sum(tq))::double / 2.0, 6) + 0.0 AS jsd_nats
       |FROM terms
       |GROUP BY 1, 2
       |ORDER BY group_a, group_b""".stripMargin
@@ -8412,7 +8412,7 @@ ORDER BY query_id"""
       |  SELECT event_type AS key,
       |         CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0 THEN
       |           round((ma - mb) / sqrt(va + vb), 4)
-      |         END AS z
+      |         END + 0.0 AS z
       |  FROM mm
       |), ${graft.operators.Stats.bhOracleTail(m = 5, alpha = 0.05)}""".stripMargin
   ) { (s, dir) =>
@@ -8490,19 +8490,19 @@ ORDER BY query_id"""
       |)
       |SELECT n_a, n_b,
       |  CASE WHEN n_a >= 2 AND n_b >= 2 AND thden > 0.0 THEN th
-      |  END AS theta,
+      |  END + 0.0 AS theta,
       |  CASE WHEN n_a >= 2 AND n_b >= 2 AND thden > 0.0 THEN
-      |    round(yma - th * (xma - xmp), 6) END AS mean_adj_a,
+      |    round(yma - th * (xma - xmp), 6) END + 0.0 AS mean_adj_a,
       |  CASE WHEN n_a >= 2 AND n_b >= 2 AND thden > 0.0 THEN
-      |    round(ymb - th * (xmb - xmp), 6) END AS mean_adj_b,
+      |    round(ymb - th * (xmb - xmp), 6) END + 0.0 AS mean_adj_b,
       |  CASE WHEN n_a >= 2 AND n_b >= 2 AND thden > 0.0 AND
       |            vadj_a / n_a + vadj_b / n_b > 0.0 THEN
       |    round((yma - ymb - th * (xma - xmb)) /
-      |          sqrt(vadj_a / n_a + vadj_b / n_b), 4) END AS z_adj,
+      |          sqrt(vadj_a / n_a + vadj_b / n_b), 4) END + 0.0 AS z_adj,
       |  CASE WHEN n_a >= 2 AND n_b >= 2 AND thden > 0.0 AND
       |            vy_a + vy_b > 0.0 THEN
       |    round(1.0 - (vadj_a + vadj_b) / (vy_a + vy_b), 6)
-      |  END AS var_reduction
+      |  END + 0.0 AS var_reduction
       |FROM m4""".stripMargin
   ) { (s, dir) =>
     val units = t(s, dir, "events")
@@ -8659,7 +8659,7 @@ ORDER BY query_id"""
       |)
       |SELECT segment, n_pos, n_neg, auc,
       |       CASE WHEN auc IS NOT NULL
-      |       THEN round(2.0 * auc - 1.0, 6) END AS gini
+      |       THEN round(2.0 * auc - 1.0, 6) END + 0.0 AS gini
       |FROM readout ORDER BY segment""".stripMargin
   ) { (s, dir) =>
     graft.operators.Stats.auc(
@@ -8851,16 +8851,16 @@ ORDER BY query_id"""
       |), r AS (
       |  SELECT *,
       |    round((round(mr_tp, 6) - round(mr_tq, 6)) -
-      |          (round(mr_cp, 6) - round(mr_cq, 6)), 6) AS did,
+      |          (round(mr_cp, 6) - round(mr_cq, 6)), 6) + 0.0 AS did,
       |    sqrt(vr_tp / n_t_post + vr_tq / n_t_pre +
       |         vr_cp / n_c_post + vr_cq / n_c_pre) AS se_raw
       |  FROM v2
       |)
       |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
-      |  round(mr_tq, 6) AS mean_t_pre, round(mr_tp, 6) AS mean_t_post,
-      |  round(mr_cq, 6) AS mean_c_pre, round(mr_cp, 6) AS mean_c_post,
+      |  round(mr_tq, 6) + 0.0 AS mean_t_pre, round(mr_tp, 6) + 0.0 AS mean_t_post,
+      |  round(mr_cq, 6) + 0.0 AS mean_c_pre, round(mr_cp, 6) + 0.0 AS mean_c_post,
       |  did, round(se_raw, 6) AS se,
-      |  round(did / (CASE WHEN se_raw > 0.0 THEN se_raw END), 4) AS z
+      |  round(did / (CASE WHEN se_raw > 0.0 THEN se_raw END), 4) + 0.0 AS z
       |FROM r""".stripMargin
   ) { (s, dir) =>
     val ev = t(s, dir, "events")
@@ -8953,7 +8953,7 @@ ORDER BY query_id"""
       |), mi AS (
       |  SELECT round(sum(round((nxy::double / n) *
       |           ln((nxy::double * n) / (nx::double * ny)),
-      |           10)::decimal(28,10))::double, 6) AS mi_nats
+      |           10)::decimal(28,10))::double, 6) + 0.0 AS mi_nats
       |  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn
       |), k AS (
       |  SELECT sum(nxy)::bigint AS n, count(DISTINCT x)::bigint AS k_x,
@@ -8962,7 +8962,7 @@ ORDER BY query_id"""
       |)
       |SELECT k.n, k.k_x, k.k_y, hx.h_x, hy.h_y, mi.mi_nats,
       |  round(mi.mi_nats / (CASE WHEN sqrt(hx.h_x * hy.h_y) > 0.0
-      |        THEN sqrt(hx.h_x * hy.h_y) END), 6) AS nmi
+      |        THEN sqrt(hx.h_x * hy.h_y) END), 6) + 0.0 AS nmi
       |FROM k CROSS JOIN hx CROSS JOIN hy CROSS JOIN mi""".stripMargin
   ) { (s, dir) =>
     val ev = t(s, dir, "events")
@@ -9060,12 +9060,12 @@ ORDER BY query_id"""
       |  FROM v2
       |)
       |SELECT event_type, n_a, n_b,
-      |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+      |  round(ma, 6) + 0.0 AS mean_a, round(mb, 6) + 0.0 AS mean_b,
       |  round(se, 6) AS se,
       |  round(${graft.operators.Stats.mdeZSum(0.05, 0.8)} * se, 6)
       |    AS mde_abs,
       |  round(${graft.operators.Stats.mdeZSum(0.05, 0.8)} * se /
-      |        (CASE WHEN mp > 0.0 THEN mp END), 6) AS mde_rel,
+      |        (CASE WHEN mp > 0.0 THEN mp END), 6) + 0.0 AS mde_rel,
       |  ceil(${graft.operators.Stats.mdeZSum(0.05, 0.8)} *
       |       ${graft.operators.Stats.mdeZSum(0.05, 0.8)} * (va + vb) /
       |       1.0)::bigint AS n_required
@@ -9516,7 +9516,7 @@ ORDER BY query_id"""
       |  round((s2::double / d::double -
       |         (n_total::double / d::double) *
       |         (n_total::double / d::double)) /
-      |        (n_total::double / d::double), 6) AS fano
+      |        (n_total::double / d::double), 6) + 0.0 AS fano
       |FROM per CROSS JOIN d
       |ORDER BY n_total DESC, token
       |LIMIT 100""".stripMargin
@@ -9662,8 +9662,8 @@ ORDER BY query_id"""
       |)
       |SELECT segment, n_a, n_b, conv_a, conv_b,
       |  round(p1, 6) AS p_a, round(p2, 6) AS p_b,
-      |  round((p1 - p2) / se, 4) AS z,
-      |  round(sgn * dabs / se, 4) AS z_corrected
+      |  round((p1 - p2) / se, 4) + 0.0 AS z,
+      |  round(sgn * dabs / se, 4) + 0.0 AS z_corrected
       |FROM m2 ORDER BY segment""".stripMargin
   ) { (s, dir) =>
     val users = t(s, dir, "events")
@@ -9825,12 +9825,12 @@ ORDER BY query_id"""
       |  FROM v
       |)
       |SELECT event_type, n_a, n_b,
-      |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+      |  round(ma, 6) + 0.0 AS mean_a, round(mb, 6) + 0.0 AS mean_b,
       |  round((ma - mb) / sqrt(CASE WHEN sp2 > 0.0 THEN sp2 END), 6)
-      |    AS cohens_d,
+      | + 0.0    AS cohens_d,
       |  round((ma - mb) / sqrt(CASE WHEN sp2 > 0.0 THEN sp2 END) *
       |        (1.0 - 3.0 / (4.0 * (n_a::double + n_b::double) - 9.0)), 6)
-      |    AS hedges_g
+      | + 0.0    AS hedges_g
       |FROM p ORDER BY event_type""".stripMargin
   ) { (s, dir) =>
     graft.operators.Stats.effectSize(
@@ -9965,7 +9965,7 @@ ORDER BY query_id"""
       |      THEN (r::double / n::double) *
       |        (1.0 - r::double / n::double) *
       |        (s2::double - s1::double * s1::double / n::double) END),
-      |    6) AS z_trend
+      |    6) + 0.0 AS z_trend
       |FROM s ORDER BY yr""".stripMargin
   ) { (s, dir) =>
     graft.operators.Stats.cochranArmitage(
@@ -10041,7 +10041,7 @@ ORDER BY query_id"""
       |  round(sdot::double /
       |    (sqrt(CASE WHEN sna::double > 0.0 THEN sna::double END) *
       |     sqrt(CASE WHEN sng::double > 0.0 THEN sng::double END)), 6)
-      |    AS cos_global
+      | + 0.0    AS cos_global
       |FROM a ORDER BY label""".stripMargin
   ) { (s, dir) =>
     graft.operators.Similarity.centroidDrift(
@@ -10172,7 +10172,7 @@ ORDER BY query_id"""
       |        (CASE WHEN coalesce(pe_sum::double, 0.0) /
       |                   (n::double * n::double) < 1.0
       |              THEN 1.0 - coalesce(pe_sum::double, 0.0) /
-      |                   (n::double * n::double) END), 6) AS kappa
+      |                   (n::double * n::double) END), 6) + 0.0 AS kappa
       |FROM a2 CROSS JOIN x""".stripMargin
   ) { (s, dir) =>
     val cells = graft.operators.TextAnalysis.langIdByVote(
@@ -10207,7 +10207,7 @@ ORDER BY query_id"""
       |  FROM v JOIN m USING (o_orderpriority)
       |)
       |SELECT o_orderpriority, n,
-      |  round(sum(term)::double / n::double, 6) AS theil_t
+      |  round(sum(term)::double / n::double, 6) + 0.0 AS theil_t
       |FROM t GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin
   ) { (s, dir) =>
     graft.operators.Stats.theil(
@@ -10261,7 +10261,7 @@ ORDER BY query_id"""
       |          THEN ((tot.n::hugeint * (tot.n - 1)::hugeint) // 2
       |                - t1.t1)::double *
       |               ((tot.n::hugeint * (tot.n - 1)::hugeint) // 2
-      |                - t2.t2)::double END), 6) AS tau_b
+      |                - t2.t2)::double END), 6) + 0.0 AS tau_b
       |FROM tot
       |LEFT JOIN pq ON pq.event_type = tot.event_type
       |JOIN t1 ON t1.event_type = tot.event_type
@@ -10579,13 +10579,13 @@ ORDER BY query_id"""
       |    (CASE WHEN (coalesce(pq.p, 0::hugeint) +
       |                coalesce(pq.q, 0::hugeint))::double > 0.0
       |          THEN (coalesce(pq.p, 0::hugeint) +
-      |                coalesce(pq.q, 0::hugeint))::double END), 6) AS gamma,
+      |                coalesce(pq.q, 0::hugeint))::double END), 6) + 0.0 AS gamma,
       |  round((coalesce(pq.p, 0::hugeint) -
       |         coalesce(pq.q, 0::hugeint))::double /
       |    (CASE WHEN ((tot.n::hugeint * (tot.n - 1)::hugeint) // 2
       |                - tx.tx)::double > 0.0
       |          THEN ((tot.n::hugeint * (tot.n - 1)::hugeint) // 2
-      |                - tx.tx)::double END), 6) AS somers_d
+      |                - tx.tx)::double END), 6) + 0.0 AS somers_d
       |FROM tot
       |LEFT JOIN pq ON pq.event_type = tot.event_type
       |JOIN tx ON tx.event_type = tot.event_type
@@ -10840,6 +10840,308 @@ ORDER BY query_id"""
   }}
 
   // ---------------------------------------------------------------------
+  // aq111_durbin_watson — lag-1 residual autocorrelation per event type
+  // over the time-ordered value series (Stats.durbinWatson): the mean
+  // cancels in consecutive differences, so numerator AND denominator
+  // are exact micro-unit integers; ranks ride groupedRank (range
+  // partition + broadcast offsets — never a per-group single-task
+  // sort), the lag is an equi-join on (group, rank).
+  register(
+    "aq111_durbin_watson",
+    """WITH base AS (
+      |  SELECT event_type AS g, epoch_us(ts) AS ts_us, event_id,
+      |    (round(value, 4)::decimal(18,4) * 10000)::bigint AS vu
+      |  FROM events WHERE value IS NOT NULL
+      |), rk AS (
+      |  SELECT g, vu,
+      |    row_number() OVER (PARTITION BY g ORDER BY ts_us, event_id) AS r
+      |  FROM base
+      |), d AS (
+      |  SELECT a.g,
+      |    sum((a.vu - b.vu)::hugeint * (a.vu - b.vu)::hugeint) AS sd2
+      |  FROM rk a JOIN rk b ON a.g = b.g AND a.r = b.r + 1
+      |  GROUP BY 1
+      |), s AS (
+      |  SELECT g, count(*)::bigint AS n, sum(vu::hugeint) AS svu,
+      |    sum(vu::hugeint * vu::hugeint) AS svu2
+      |  FROM base GROUP BY 1
+      |)
+      |SELECT g AS group_key, n,
+      |  CASE WHEN n >= 2 THEN
+      |    round((n::hugeint * coalesce(d.sd2, 0::hugeint))::double /
+      |      (CASE WHEN (n::hugeint * svu2 - svu * svu)::double > 0.0
+      |            THEN (n::hugeint * svu2 - svu * svu)::double END), 6)
+      |      + 0.0
+      |  END AS dw
+      |FROM s LEFT JOIN d USING (g) ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.durbinWatson(
+      t(s, dir, "events").select(col("event_type"),
+        (expr("cast(unix_micros(ts) as decimal(19,0))") *
+          expr("cast('10000000000000000000' as decimal(20,0))") +
+          col("event_id").cast("decimal(38,0)")).as("o"),
+        col("value").as("v")),
+      "event_type", "o", "v")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq112_runs_test — Wald-Wolfowitz runs test per event type: values
+  // dichotomize against the group median (exact ties dropped), runs
+  // count in time order through the same groupedRank + lag-join shape
+  // as aq111, z against the exact run-count moments.
+  register(
+    "aq112_runs_test",
+    """WITH base AS (
+      |  SELECT event_type AS g, epoch_us(ts) AS ts_us, event_id,
+      |    value::double AS v
+      |  FROM events WHERE value IS NOT NULL
+      |), med AS (
+      |  SELECT g, quantile_cont(v, 0.5) AS m FROM base GROUP BY 1
+      |), signed AS (
+      |  SELECT b.g, b.ts_us, b.event_id,
+      |    CASE WHEN b.v > med.m THEN 1 ELSE 0 END AS s
+      |  FROM base b JOIN med USING (g) WHERE b.v != med.m
+      |), rk AS (
+      |  SELECT g, s,
+      |    row_number() OVER (PARTITION BY g ORDER BY ts_us, event_id) AS r
+      |  FROM signed
+      |), fl AS (
+      |  SELECT a.g,
+      |    sum(CASE WHEN a.s != b.s THEN 1 ELSE 0 END)::bigint AS flips
+      |  FROM rk a JOIN rk b ON a.g = b.g AND a.r = b.r + 1
+      |  GROUP BY 1
+      |), sides AS (
+      |  SELECT g, sum(s)::bigint AS n1, sum(1 - s)::bigint AS n2
+      |  FROM rk GROUP BY 1
+      |)
+      |SELECT g AS group_key, n1, n2,
+      |  (coalesce(flips, 0) + 1)::bigint AS runs,
+      |  CASE WHEN n1 >= 1 AND n2 >= 1 AND n1 + n2 >= 2 THEN
+      |    round(((coalesce(flips, 0) + 1)::double -
+      |           (2.0 * n1::double * n2::double /
+      |             (n1::double + n2::double) + 1.0)) /
+      |      sqrt(CASE WHEN (2.0 * n1::double * n2::double *
+      |             (2.0 * n1::double * n2::double -
+      |               (n1::double + n2::double))) /
+      |             ((n1::double + n2::double) * (n1::double + n2::double) *
+      |               (n1::double + n2::double - 1.0)) > 0.0
+      |        THEN (2.0 * n1::double * n2::double *
+      |             (2.0 * n1::double * n2::double -
+      |               (n1::double + n2::double))) /
+      |             ((n1::double + n2::double) * (n1::double + n2::double) *
+      |               (n1::double + n2::double - 1.0)) END), 6) + 0.0
+      |  END AS z
+      |FROM sides LEFT JOIN fl USING (g) ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.runsTest(
+      t(s, dir, "events").select(col("event_type"),
+        (expr("cast(unix_micros(ts) as decimal(19,0))") *
+          expr("cast('10000000000000000000' as decimal(20,0))") +
+          col("event_id").cast("decimal(38,0)")).as("o"),
+        col("value").as("v")),
+      "event_type", "o", "v")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq113_cochran_q — Cochran's Q over the customer x order-priority
+  // incidence grid (Stats.cochranQ): do the three priority classes
+  // reach the same share of customers. All sufficient statistics exact
+  // integers; subjects cross the driver only as sums.
+  register(
+    "aq113_cochran_q",
+    """WITH inc AS (
+      |  SELECT DISTINCT o_custkey AS s, o_orderpriority AS t
+      |  FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      |), kk AS (SELECT count(DISTINCT t)::bigint AS k FROM inc),
+      |ct AS (
+      |  SELECT sum(c::hugeint) AS sc, sum(c::hugeint * c::hugeint) AS sc2
+      |  FROM (SELECT t, count(*)::bigint AS c FROM inc GROUP BY 1)
+      |), rs AS (
+      |  SELECT count(*)::bigint AS n_subjects, sum(r::hugeint) AS sr,
+      |    sum(r::hugeint * r::hugeint) AS sr2
+      |  FROM (SELECT s, count(*)::bigint AS r FROM inc GROUP BY 1)
+      |)
+      |SELECT k, n_subjects,
+      |  round(((k - 1)::hugeint * (k::hugeint * sc2 - sc * sc))::double /
+      |    (CASE WHEN (k::hugeint * sr - sr2)::double > 0.0
+      |          THEN (k::hugeint * sr - sr2)::double END), 6) + 0.0
+      |    AS q_stat,
+      |  (k - 1)::bigint AS df
+      |FROM kk, ct, rs""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.cochranQ(
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority")
+          .isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          lit(true).as("hit")),
+      "o_custkey", "o_orderpriority", "hit")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq114_grubbs — Grubbs' max-outlier test per order priority over
+  // order totals (Stats.grubbs): max deviation on exact micro-unit
+  // integers (max|n*vu - Sum vu| avoids the double mean), argmax value
+  // alongside, one pinned double G.
+  register(
+    "aq114_grubbs",
+    """WITH base AS (
+      |  SELECT o_orderpriority AS g,
+      |    (round(o_totalprice, 4)::decimal(18,4) * 10000)::bigint AS vu
+      |  FROM orders WHERE o_totalprice IS NOT NULL
+      |), s AS (
+      |  SELECT g, count(*)::bigint AS n, sum(vu::hugeint) AS svu,
+      |    sum(vu::hugeint * vu::hugeint) AS svu2
+      |  FROM base GROUP BY 1
+      |), dv AS (
+      |  SELECT g, ad, vu, row_number() OVER (
+      |    PARTITION BY g ORDER BY ad DESC, vu DESC) AS rn
+      |  FROM (
+      |    SELECT b.g, abs(s.n::hugeint * b.vu::hugeint - s.svu) AS ad,
+      |      b.vu
+      |    FROM base b JOIN s USING (g))
+      |)
+      |SELECT s.g AS group_key, s.n,
+      |  CASE WHEN s.n >= 3 THEN
+      |    round(dv.ad::double /
+      |      (s.n::double * sqrt((CASE WHEN
+      |        (s.n::hugeint * svu2 - svu * svu)::double > 0.0 THEN
+      |        (s.n::hugeint * svu2 - svu * svu)::double END) /
+      |        (s.n::double * (s.n::double - 1.0)))), 6) + 0.0
+      |  END AS g_stat,
+      |  round(dv.vu::double / 10000.0, 4) + 0.0 AS outlier_value
+      |FROM s JOIN dv ON s.g = dv.g AND dv.rn = 1
+      |ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.grubbs(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        col("o_totalprice")),
+      "o_orderpriority", "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------------
+  // dq27_suffix_boilerplate — trailing-token boilerplate clusters
+  // (Dedup.suffixClusters), dq26's mirror for footers/signatures: one
+  // slice per doc, no explode, TakeOrdered cap.
+  register(
+    "dq27_suffix_boilerplate",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0) AS tk
+      |  FROM documents
+      |)
+      |SELECT array_to_string(tk[len(tk)-7:len(tk)], ' ') AS suffix,
+      |  count(*)::bigint AS n_docs, min(doc_id)::bigint AS min_doc
+      |FROM t WHERE len(tk) >= 8
+      |GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY n_docs DESC, suffix LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.suffixClusters(
+      t(s, dir, "documents"), "doc_id", "text",
+      k = 8, minDocs = 2L, topK = 100)
+  }
+
+  // ---------------------------------------------------------------------
+  // tq39_dup_ngrams — duplicated-3-gram repetition profile per doc
+  // (TextAnalysis.dupNgramStats): the C4/RefinedWeb repetitious-content
+  // gate — what fraction of a doc's positional 3-gram occurrences
+  // belong to a 3-gram repeated within the doc.
+  register(
+    "tq39_dup_ngrams",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))
+      |    AS gr
+      |  FROM toks WHERE len(tk) >= 3
+      |), c AS (
+      |  SELECT doc_id, gr, count(*)::bigint AS c FROM g GROUP BY 1, 2
+      |), p AS (
+      |  SELECT doc_id, sum(c)::bigint AS n_grams,
+      |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::bigint
+      |      AS n_dup_occurrences
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT doc_id, n_grams, n_dup_occurrences,
+      |  round(n_dup_occurrences::double / n_grams::double, 6) + 0.0
+      |    AS dup_ratio
+      |FROM p ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.dupNgramStats(
+      t(s, dir, "documents"), "doc_id", "text", n = 3)
+  }
+
+  // ---------------------------------------------------------------------
+  // sq27_mutual_knn — mutual k-NN pairs over the deterministic seed-IVF
+  // index (Similarity.mutualKnn): a pair survives only if each point is
+  // in the other's top-5 — the pre-clustering edge set, cell-bounded
+  // on both directions; the oracle replays sq2's IVF with the corpus
+  // as its own query set and self-joins the top-k list.
+  register(
+    "sq27_mutual_knn",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), seeds AS (
+      |  SELECT vec_id AS cell_id, v AS sv, nrm AS snrm
+      |  FROM n ORDER BY vec_id LIMIT 16
+      |), scored AS (
+      |  SELECT n.vec_id, s.cell_id,
+      |         round(list_sum(list_transform(list_zip(n.v, s.sv), p -> p[1] * p[2]))
+      |               / (n.nrm * s.snrm), 4) AS sim
+      |  FROM n CROSS JOIN seeds s
+      |), assigned AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rk
+      |  FROM scored
+      |), cells AS MATERIALIZED (
+      |  SELECT vec_id, cell_id FROM assigned WHERE rk = 1
+      |), probes AS (
+      |  SELECT q.vec_id AS query_id, s.cell_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_sum(list_transform(list_zip(q.v, s.sv), p -> p[1] * p[2]))
+      |                          / (q.nrm * s.snrm), 4) DESC, s.cell_id) AS pr
+      |  FROM n q CROSS JOIN seeds s
+      |), cand AS (
+      |  SELECT p.query_id, c.vec_id AS neighbor_id
+      |  FROM probes p JOIN cells c USING (cell_id)
+      |  WHERE p.pr <= 4 AND c.vec_id != p.query_id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+      |               / (q.nrm * c.nrm), 4) + 0.0 AS cosine
+      |  FROM cand
+      |  JOIN n q ON cand.query_id = q.vec_id
+      |  JOIN n c ON cand.neighbor_id = c.vec_id
+      |), topk AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM ranked
+      |  QUALIFY rank <= 5
+      |)
+      |SELECT a.query_id AS id_a, a.neighbor_id AS id_b, a.cosine,
+      |       a.rank AS rank_ab, b.rank AS rank_ba
+      |FROM topk a JOIN topk b
+      |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+      | AND a.query_id < a.neighbor_id
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Similarity.mutualKnn(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      numCells = 16, nProbe = 4, k = 5)
+  }
+
+  // ---------------------------------------------------------------------
   // aq107_jonckheere — Jonckheere–Terpstra ordered-trend test: does the
   // value distribution shift monotonically across the hours of the day,
   // per event type (Stats.jonckheereTerpstra). Summed cross-group
@@ -10908,7 +11210,7 @@ ORDER BY query_id"""
       |  CASE WHEN n >= 3 THEN
       |    round((jt4h - ejt4h)::double /
       |      sqrt(CASE WHEN var16 > 0.0 THEN var16 END), 6)
-      |  END AS z
+      |  END + 0.0 AS z
       |FROM rd ORDER BY group_key""".stripMargin
   ) { (s, dir) =>
     graft.operators.Stats.jonckheereTerpstra(
@@ -11130,7 +11432,7 @@ ORDER BY query_id"""
       |        THEN (k1 + k2)::double *
       |          (t1::double / (t1::double + t2::double)) *
       |          (1.0 - t1::double / (t1::double + t2::double)) END), 6)
-      |  END AS z
+      |  END + 0.0 AS z
       |FROM c CROSS JOIN expo
       |ORDER BY event_type""".stripMargin
   ) { (s, dir) =>

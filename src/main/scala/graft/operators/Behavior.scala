@@ -137,7 +137,13 @@ object Behavior {
     val center = s"(($p) + $z2 / (${dbl("2.0")} * $n))"
     val margin = s"($z * sqrt((($p) * (${dbl("1.0")} - ($p))) / $n" +
       s" + $z2 / (${dbl("4.0")} * $n * $n)))"
-    s"round(($center $sign $margin) / (${dbl("1.0")} + $z2 / $n), 6)"
+    // `+ 0.0` pins the signed zero (Readout.pin's rule, in SQL text):
+    // a lower bound whose true value is a tiny negative rounds to
+    // -0.0 in DuckDB but +0.0 through Spark's BigDecimal round —
+    // hash-distinct. The same text runs on both engines, so the pin
+    // lands on both at once.
+    s"round(($center $sign $margin) / (${dbl("1.0")} + $z2 / $n), 6)" +
+      s" + ${dbl("0.0")}"
   }
 
   /** Per-transition funnel conversion rates with Wilson 95% intervals
@@ -491,7 +497,7 @@ object Behavior {
       .filter(col("__h") >= 2 && variance > 0)
       .select(col(keyCol), col("hour_us"), col("n"),
         round(mean, 4).as("mean_n"),
-        round((col("n").cast("double") - mean) / sqrt(variance), 4).as("z"))
+        Readout.pin((col("n").cast("double") - mean) / sqrt(variance), 4).as("z"))
       .filter(abs(col("z")) >= zThresh)
       .orderBy(keyCol, "hour_us")
   }

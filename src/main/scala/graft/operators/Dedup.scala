@@ -90,6 +90,34 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Shared trailing-token boilerplate clusters — [[prefixClusters]]'
+    * mirror for the OTHER place template rot lands: footers,
+    * signatures, license blobs, "read more" tails. One
+    * `slice(split(..), -k)` per doc (no explode), the same
+    * count-group-cap shape; `suffix` is the last `k` tokens joined.
+    * Reference scope: nshaibu/event_pipeline has no text surface —
+    * this is the training-data-curation extension (C4-style
+    * boilerplate discovery). */
+  def suffixClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minDocs: Long = 2L,
+      topK: Int = 100): DataFrame = {
+    require(k >= 1, "suffix length must be at least 1")
+    val toks = TextFunctions.wsTokens(lower(col(textCol)))
+    df.select(col(idCol).as("__id"), toks.as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .select(array_join(slice(col("__tk"), -k, k), " ").as("suffix"),
+        col("__id"))
+      .groupBy("suffix")
+      .agg(count(lit(1)).as("n_docs"), min("__id").as("min_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("suffix"))
+      .limit(topK)
+  }
+
   /** Word-shingle set (distinct n-grams, lower-cased). Native kernel —
     * one compiled pass per document (the composable HOF version costs
     * ~2ms/doc interpreted; see TextKernelExpressions). */

@@ -51,7 +51,8 @@ object Similarity {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        round(float_dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+        graft.operators.Readout.pin(
+          float_dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -87,7 +88,7 @@ object Similarity {
         float_norm(col(vecCol)).as(s"${pre}n"))
     val q = broadcast(side(queries, "query_id", "q"))
     val c = side(corpus, "neighbor_id", "c")
-    val score = round(
+    val score = Readout.pin(
       int_dot(col("qqv"), col("cqv")) /
         (col("qsc") * col("csc") * col("qn") * col("cn")), 4)
     val w = Window.partitionBy("query_id")
@@ -183,7 +184,8 @@ object Similarity {
       .join(sigs.select(col("id").as("id_b"), col("v").as("vb"),
         col("nrm").as("nb")), "id_b")
       .withColumn("cosine",
-        round(float_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+        Readout.pin(
+          float_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -204,7 +206,8 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
-        round(float_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+        Readout.pin(
+          float_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -323,7 +326,7 @@ object Similarity {
       col("cosine").desc, col("neighbor_id"))
     probes.join(indexed.withColumnRenamed(idCol, "neighbor_id"), "cell_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(
+      .withColumn("cosine", Readout.pin(
         float_dot(col("qv"), col(vecCol)) /
           (col("qn") * float_norm(col(vecCol))), 4))
       .withColumn("rank", row_number().over(wRank))
@@ -412,7 +415,7 @@ object Similarity {
     val reranked = broadcast(lex)
       .join(embeddings.select(col(vecId).as("doc_id"), col(vecCol).as("__v")),
         "doc_id")
-      .withColumn("cosine", round(
+      .withColumn("cosine", Readout.pin(
         float_dot(col("__v"), typedLit(queryVec)) /
           (float_norm(col("__v")) * lit(qn)), 4))
     val w = Window.orderBy(col("cosine").desc, col("doc_id"))
@@ -524,7 +527,7 @@ object Similarity {
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv")),
         "neighbor_id")
       .join(qVecs, "query_id")
-      .withColumn("cosine", round(
+      .withColumn("cosine", Readout.pin(
         float_dot(col("__qv"), col("__nv")) /
           (col("__qn") * float_norm(col("__nv"))), 4))
       .withColumn("rank", row_number().over(wRank))
@@ -637,7 +640,7 @@ object Similarity {
     // for the intermediate and could plan a full-corpus SMJ
     broadcast(broadcast(candidates).join(vec("query_id"), "query_id"))
       .join(vec("neighbor_id"), "neighbor_id")
-      .withColumn("cosine", round(
+      .withColumn("cosine", Readout.pin(
         float_dot(col("__v_query_id"), col("__v_neighbor_id")) /
           (col("__n_query_id") * col("__n_neighbor_id")), 4))
       .withColumn("rank", row_number().over(wCos))
@@ -732,7 +735,7 @@ object Similarity {
       col("cosine").desc, col("neighbor_id"))
     probes.join(index.withColumnRenamed(idCol, "neighbor_id"), "cell_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col(vecCol)), 4))
+      .withColumn("cosine", Readout.pin(cosine(col("qv"), col(vecCol)), 4))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
@@ -826,7 +829,7 @@ object Similarity {
     }
     selected
       .select(col("query_id"), col("rank"), col("sel_id").as("vec_id"),
-        round(col("score"), 6).as("score"))
+        Readout.pin(col("score"), 6).as("score"))
       .orderBy("query_id", "rank")
   }
 
@@ -907,7 +910,7 @@ object Similarity {
     val a = broadcast(side(sideA, "id_a"))
     val b = side(sideB, "id_b")
     val cross = Lineage.cutLocal(a.crossJoin(b)
-      .withColumn("c", round(
+      .withColumn("c", Readout.pin(
         float_dot(col("__v_id_a"), col("__v_id_b")) /
           (col("__n_id_a") * col("__n_id_b")), 4))
       .select("id_a", "id_b", "c"))
@@ -937,7 +940,7 @@ object Similarity {
       .filter((col("__avg_a") + col("__avg_b")) > lit(0.0))
       .filter(margin > lit(marginThreshold))
       .select(col("id_a"), col("id_b"), col("c").as("cosine"),
-        round(margin, 6).as("margin"))
+        Readout.pin(margin, 6).as("margin"))
       .orderBy(col("margin").desc, col("id_a"))
   }
 
@@ -1219,7 +1222,7 @@ object Similarity {
         |)
         |$rounds
         |SELECT query_id, rank, sel_id AS vec_id,
-        |       round(score, 6) AS score
+        |       round(score, 6) + 0.0 AS score
         |FROM sel$k
         |ORDER BY query_id, rank""".stripMargin
   }
@@ -1333,7 +1336,7 @@ object Similarity {
       sum("__na").as("__sna"),
       sum("__ng").as("__sng"))
     agg.select(col("__g").as(groupCol), col("n_vecs"),
-      round(col("__sdot").cast("double") /
+      Readout.pin(col("__sdot").cast("double") /
         (sqrt(when(col("__sna").cast("double") > 0.0,
           col("__sna").cast("double"))) *
          sqrt(when(col("__sng").cast("double") > 0.0,
@@ -1563,5 +1566,40 @@ object Similarity {
     spark.createDataset(selected.reverse)
       .toDF("rnd", "vec_id", "dist")
       .orderBy("rnd")
+  }
+
+  /** Mutual k-NN pairs over the deterministic IVF index — the standard
+    * pre-clustering / manifold edge set: a pair survives only if EACH
+    * point ranks inside the OTHER's top-k. One-directional top-k lists
+    * keep hub points (a centroid-ish vector lands in everyone's list);
+    * the mutual filter is the cheap symmetric cleanup that makes the
+    * graph useful for community detection and UMAP-style layouts.
+    *
+    * Computed as [[ivfTopK]] with the corpus as its own query set
+    * (cell-bounded Σ|cell·probe| pairs, never N²), then a self-join of
+    * the top-k list against its transpose — both sides are k-bounded
+    * per node. Returns `(id_a, id_b, cosine, rank_ab, rank_ba)` with
+    * id_a < id_b, ordered by (id_a, id_b). */
+  def mutualKnn(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int = 16,
+      nProbe: Int = 4,
+      k: Int = 5): DataFrame = {
+    val index = ivfIndex(corpus, idCol, vecCol, numCells)
+    val topk = Lineage.cutLocal(
+      ivfTopK(index, corpus, idCol, vecCol, numCells, nProbe, k)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank")))
+    topk.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cosine"), col("rank").as("rank_ab"))
+      .join(topk
+        .filter(col("query_id") > col("neighbor_id"))
+        .select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"),
+          col("rank").as("rank_ba")),
+        Seq("id_a", "id_b"))
+      .orderBy("id_a", "id_b")
   }
 }

@@ -52,8 +52,8 @@ object Stats {
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        round(first(col("__q1")), 4).as("q1"),
-        round(first(col("__q3")), 4).as("q3"),
+        Readout.pin(first(col("__q1")), 4).as("q1"),
+        Readout.pin(first(col("__q3")), 4).as("q3"),
         count(when(v < lo || v > hi, 1)).as("n_outliers"))
       .withColumn("outlier_rate",
         round(col("n_outliers").cast("double") / col("n"), 6))
@@ -97,10 +97,10 @@ object Stats {
     agg.select(
       groupCols.map(col) ++ Seq(
         na, nb,
-        round(ma, 6).as("mean_a"),
-        round(mb, 6).as("mean_b"),
+        Readout.pin(ma, 6).as("mean_a"),
+        Readout.pin(mb, 6).as("mean_b"),
         when(na >= 2 && nb >= 2 && va + vb > 0.0,
-          round((ma - mb) / sqrt(va + vb), 4)).as("welch_z")): _*)
+          Readout.pin((ma - mb) / sqrt(va + vb), 4)).as("welch_z")): _*)
       .orderBy(groupCols.map(col): _*)
   }
 
@@ -174,7 +174,7 @@ object Stats {
     val (sxyP, sxxP) = ((col("__sxy_a") + col("__sxy_b")).cast("double"),
       (col("__sxx_a") + col("__sxx_b")).cast("double"))
     val thDen = nP * sxxP - sxP * sxP
-    val th = round((nP * sxyP - sxP * syP) /
+    val th = Readout.pin((nP * sxyP - sxP * syP) /
       when(thDen > 0.0, thDen), 6)
     val (xma, xmb) = (d("__sx_a") / naS, d("__sx_b") / nbS)
     val (yma, ymb) = (d("__sy_a") / naS, d("__sy_b") / nbS)
@@ -196,12 +196,12 @@ object Stats {
     val ok = na >= 2L && nb >= 2L && thDen > 0.0
     agg.select(na, nb,
       when(ok, th).as("theta"),
-      when(ok, round(yma - th * (xma - xmP), 6)).as("mean_adj_a"),
-      when(ok, round(ymb - th * (xmb - xmP), 6)).as("mean_adj_b"),
+      when(ok, Readout.pin(yma - th * (xma - xmP), 6)).as("mean_adj_a"),
+      when(ok, Readout.pin(ymb - th * (xmb - xmP), 6)).as("mean_adj_b"),
       when(ok && sq > 0.0,
-        round(diff / sqrt(when(sq > 0.0, sq)), 4)).as("z_adj"),
+        Readout.pin(diff / sqrt(when(sq > 0.0, sq)), 4)).as("z_adj"),
       when(ok && vyS > 0.0,
-        round(lit(1.0) - (vadjA + vadjB) / when(vyS > 0.0, vyS), 6))
+        Readout.pin(lit(1.0) - (vadjA + vadjB) / when(vyS > 0.0, vyS), 6))
         .as("var_reduction"))
   }
 
@@ -588,7 +588,7 @@ object Stats {
         .cast("double"))
     val sweep = Lineage.cutLocal(stats.select(col("key"), col("lag"),
       col("n"),
-      when(den > 0.0, round(num / den, 6)).as("r")))
+      when(den > 0.0, Readout.pin(num / den, 6)).as("r")))
     // per-key peak via a broadcast argmax frame (max over the struct
     // orders by r then by the NEGATED lag -> smallest lag wins ties)
     val peaks = sweep.filter(col("r").isNotNull)
@@ -708,8 +708,8 @@ object Stats {
     val sd = sqrt(var18.cast("double") / 18.0)
     val sStat = coalesce(col("__s"), lit(0L))
     val z = when(var18 <= 0L, lit(null))
-      .when(sStat > 0L, round((sStat - 1L).cast("double") / sd, 6))
-      .when(sStat < 0L, round((sStat + 1L).cast("double") / sd, 6))
+      .when(sStat > 0L, Readout.pin((sStat - 1L).cast("double") / sd, 6))
+      .when(sStat < 0L, Readout.pin((sStat + 1L).cast("double") / sd, 6))
       .otherwise(lit(0.0))
     ties.join(s, Seq("key"), "left")
       .withColumn("z", z)
@@ -759,14 +759,14 @@ object Stats {
           ((col("j.t") - col("i.t")) * 1000000L).cast("double")).as("__m"))
       .groupBy("key")
       .agg(count(lit(1)).as("n_pairs"),
-        round(expr("percentile(__m, 0.5)"), 6).as("slope"))
+        Readout.pin(expr("percentile(__m, 0.5)"), 6).as("slope"))
     val intercept = base.join(broadcast(med), Seq("key"))
       .select(col("key"),
         (col("y").cast("double") / 1000000.0 -
           col("slope") * col("t").cast("double"))
           .as("__r"))
       .groupBy("key")
-      .agg(round(expr("percentile(__r, 0.5)"), 6).as("intercept"))
+      .agg(Readout.pin(expr("percentile(__r, 0.5)"), 6).as("intercept"))
     med.join(intercept, Seq("key"))
       .select("key", "n_pairs", "slope", "intercept")
       .orderBy("key")
@@ -835,7 +835,7 @@ object Stats {
             val sigma = sqrt(prod.cast("double") / 12.0 *
               ((n + 1.0) - col("__t3").cast("double") /
                 (n * (n - 1.0))))
-            when(sigma > 0.0, round(
+            when(sigma > 0.0, Readout.pin(
               ((col("u2") - prod).cast("double") / 2.0) / sigma, 6))
           }).as("z"))
   }
@@ -1271,7 +1271,7 @@ object Stats {
       .select(col("__g").as("group_key"), col("n"), {
         val ax = (a - col("__tx")).cast(dec)
         val ay = (a - col("__ty")).cast(dec)
-        when(ax > 0 && ay > 0, round(
+        when(ax > 0 && ay > 0, Readout.pin(
           (ax + ay - lit(3).cast(dec) * col("__sd")).cast("double") /
             (lit(2.0) * sqrt(ax.cast("double") * ay.cast("double"))), 6))
           .as("rho")
@@ -1336,7 +1336,7 @@ object Stats {
     agg
       .withColumn("auc", round(num / den, 6))
       .withColumn("gini",
-        when(col("auc").isNotNull, round(lit(2.0) * col("auc") - 1.0, 6)))
+        when(col("auc").isNotNull, Readout.pin(lit(2.0) * col("auc") - 1.0, 6)))
       .select(groupCols.map(col) ++
         Seq(np, nn, col("auc"), col("gini")): _*)
       .orderBy(groupCols.map(col): _*)
@@ -1600,11 +1600,11 @@ object Stats {
     // denominator itself, never just the surrounding when)
     def mr(s: String) =
       col(s"__sv_$s").cast("double") / when(n(s) > 0L, n(s))
-    def m6(s: String) = round(mr(s), 6)
+    def m6(s: String) = Readout.pin(mr(s), 6)
     def vr(s: String) =
       (col(s"__ss_$s").cast("double") - n(s) * mr(s) * mr(s)) /
         when(n(s) >= 2L, n(s) - 1)
-    val didc = round((m6("t_post") - m6("t_pre")) -
+    val didc = Readout.pin((m6("t_post") - m6("t_pre")) -
       (m6("c_post") - m6("c_pre")), 6)
     val seSq = vr("t_post") / n("t_post") + vr("t_pre") / n("t_pre") +
       vr("c_post") / n("c_post") + vr("c_pre") / n("c_pre")
@@ -1614,7 +1614,7 @@ object Stats {
       m6("c_pre").as("mean_c_pre"), m6("c_post").as("mean_c_post"),
       didc.as("did"),
       round(sqrt(seSq), 6).as("se"),
-      round(didc / when(sqrt(seSq) > 0.0, sqrt(seSq)), 4).as("z"))
+      Readout.pin(didc / when(sqrt(seSq) > 0.0, sqrt(seSq)), 4).as("z"))
   }
 
   /** Φ⁻¹(1−α/2) + Φ⁻¹(power) — the two-sided z-sum for
@@ -1679,11 +1679,11 @@ object Stats {
       when(na + nb > 0L, na + nb)
     agg.select(groupCols.map(col) ++ Seq(
       na, nb,
-      round(ma, 6).as("mean_a"),
-      round(mb, 6).as("mean_b"),
+      Readout.pin(ma, 6).as("mean_a"),
+      Readout.pin(mb, 6).as("mean_b"),
       round(se, 6).as("se"),
       round(lit(zSum) * se, 6).as("mde_abs"),
-      round(lit(zSum) * se / when(mp > 0.0, mp), 6).as("mde_rel"),
+      Readout.pin(lit(zSum) * se / when(mp > 0.0, mp), 6).as("mde_rel"),
       ceil(lit(zSum) * lit(zSum) * (va + vb) /
         lit(targetEffect * targetEffect)).cast("long")
         .as("n_required")): _*)
@@ -1812,7 +1812,7 @@ object Stats {
       m.crossJoin(nF)
         .select(dec10((col(cnt).cast("double") / col("__n")) *
           log(col("__n").cast("double") / col(cnt))).as("__t"))
-        .agg(round(sum(col("__t")).cast("double"), 6).as(out))
+        .agg(Readout.pin(sum(col("__t")).cast("double"), 6).as(out))
     val miF = cells
       .join(broadcast(mx), Seq("__x"))
       .join(broadcast(my), Seq("__y"))
@@ -1820,7 +1820,7 @@ object Stats {
       .select(dec10((col("__nxy").cast("double") / col("__n")) *
         log((col("__nxy").cast("double") * col("__n")) /
           (col("__nx").cast("double") * col("__ny")))).as("__t"))
-      .agg(round(sum(col("__t")).cast("double"), 6).as("mi_nats"))
+      .agg(Readout.pin(sum(col("__t")).cast("double"), 6).as("mi_nats"))
     val kF = cells.agg(
       sum("__nxy").as("n"),
       count_distinct(col("__x")).as("k_x"),
@@ -1828,7 +1828,7 @@ object Stats {
     kF.crossJoin(broadcast(entropy(mx, "__nx", "h_x")))
       .crossJoin(broadcast(entropy(my, "__ny", "h_y")))
       .crossJoin(broadcast(miF))
-      .withColumn("nmi", round(col("mi_nats") /
+      .withColumn("nmi", Readout.pin(col("mi_nats") /
         when(sqrt(col("h_x") * col("h_y")) > 0.0,
           sqrt(col("h_x") * col("h_y"))), 6))
       .select("n", "k_x", "k_y", "h_x", "h_y", "mi_nats", "nmi")
@@ -1884,10 +1884,10 @@ object Stats {
     agg.select(
       groupCols.map(col) ++ Seq(
         col("n_a"), col("n_b"),
-        round(ma, 6).as("mean_a"),
-        round(mb, 6).as("mean_b"),
-        round(d, 6).as("cohens_d"),
-        round(d * corr, 6).as("hedges_g")): _*)
+        Readout.pin(ma, 6).as("mean_a"),
+        Readout.pin(mb, 6).as("mean_b"),
+        Readout.pin(d, 6).as("cohens_d"),
+        Readout.pin(d * corr, 6).as("hedges_g")): _*)
       .orderBy(groupCols.map(col): _*)
   }
 
@@ -1939,8 +1939,8 @@ object Stats {
       groupCols.map(col) ++ Seq(
         col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
         round(p1, 6).as("p_a"), round(p2, 6).as("p_b"),
-        round((p1 - p2) / se, 4).as("z"),
-        round(sign * dAbs / se, 4).as("z_corrected")): _*)
+        Readout.pin((p1 - p2) / se, 4).as("z"),
+        Readout.pin(sign * dAbs / se, 4).as("z_corrected")): _*)
       .orderBy(groupCols.map(col): _*)
   }
 
@@ -2163,7 +2163,7 @@ object Stats {
     agg.select(
       groupCols.map(col) ++ Seq(
         col("n"), col("r"),
-        round(num / sqrt(when(varr > 0.0, varr)), 6).as("z_trend")): _*)
+        Readout.pin(num / sqrt(when(varr > 0.0, varr)), 6).as("z_trend")): _*)
       .orderBy(groupCols.map(col): _*)
   }
 
@@ -2302,7 +2302,7 @@ object Stats {
       .select(col("n"),
         round(po, 6).as("p_observed"),
         round(pe, 6).as("p_expected"),
-        round((po - pe) / when(pe < 1.0, lit(1.0) - pe), 6).as("kappa"))
+        Readout.pin((po - pe) / when(pe < 1.0, lit(1.0) - pe), 6).as("kappa"))
   }
 
   /** Theil T inequality index per group — the entropy-based
@@ -2334,7 +2334,7 @@ object Stats {
     vals.join(broadcast(mu), Seq(groupCol))
       .select(col(groupCol), col("n"), term.as("__term"))
       .groupBy(col(groupCol), col("n"))
-      .agg(round(sum("__term").cast("double") / col("n").cast("double"), 6)
+      .agg(Readout.pin(sum("__term").cast("double") / col("n").cast("double"), 6)
         .as("theil_t"))
       .orderBy(groupCol)
   }
@@ -2393,7 +2393,7 @@ object Stats {
       .select(col("__g").as("group_key"), col("n"), {
         val dx = (n0 - col("__t1")).cast("double")
         val dy = (n0 - col("__t2")).cast("double")
-        round((coalesce(col("__p"), lit(0).cast(dec)) -
+        Readout.pin((coalesce(col("__p"), lit(0).cast(dec)) -
           coalesce(col("__q"), lit(0).cast(dec))).cast("double") /
           sqrt(when(dx > 0.0 && dy > 0.0, dx * dy)), 6).as("tau_b")
       })
@@ -2455,10 +2455,10 @@ object Stats {
       .join(pq, Seq("__g"), "left")
       .join(tx, Seq("__g"))
       .select(col("__g").as("group_key"), col("n"),
-        round((p - q).cast("double") /
+        Readout.pin((p - q).cast("double") /
           when((p + q).cast("double") > 0.0, (p + q).cast("double")), 6)
           .as("gamma"),
-        round((p - q).cast("double") /
+        Readout.pin((p - q).cast("double") /
           when((n0 - col("__tx")).cast("double") > 0.0,
             (n0 - col("__tx")).cast("double")), 6).as("somers_d"))
       .orderBy("group_key")
@@ -2642,7 +2642,7 @@ object Stats {
         when(ok, round(col("k1").cast("double") / t1, 6)).as("rate1"),
         when(ok, round(col("k2").cast("double") / t2, 6)).as("rate2"),
         when(ok && kk > 0.0,
-          round((col("k1").cast("double") - kk * p) /
+          Readout.pin((col("k1").cast("double") - kk * p) /
             sqrt(when(kk * p * (lit(1.0) - p) > 0.0,
               kk * p * (lit(1.0) - p))), 6)).as("z"))
       .orderBy(groupCol)
@@ -2737,7 +2737,7 @@ object Stats {
         coalesce(col("jt4"), lit(0).cast(dec)).cast("long").as("jt4"),
         ejt4.cast("long").as("ejt4"),
         when(col("n") >= 3L,
-          round((coalesce(col("jt4"), lit(0).cast(dec)) - ejt4)
+          Readout.pin((coalesce(col("jt4"), lit(0).cast(dec)) - ejt4)
             .cast("double") /
             sqrt(when(var16 > 0.0, var16)), 6)).as("z"))
       .orderBy("group_key")
@@ -2861,5 +2861,223 @@ object Stats {
           when(col("__wt").cast("double") > 0.0,
             col("__wt").cast("double")), 6).as("allocated")): _*)
       .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Durbin–Watson lag-1 autocorrelation statistic per group —
+    * "are this series' residuals independent, or does each value echo
+    * the previous one": d = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t², e = v −
+    * group mean. d ≈ 2 means independent, → 0 positive
+    * autocorrelation, → 4 negative — the standard post-regression /
+    * drift-monitoring residual check.
+    *
+    * Determinism contract: values ride 4dp micro-unit BIGINTs; the
+    * mean CANCELS in consecutive differences, so the numerator is
+    * Σ(Δvu)² on exact integers, and the denominator uses the identity
+    * n·Σe² = n·Σvu² − (Σvu)² — also exact. One pinned double division
+    * at the readout; NULL on a constant series (zero variance) or
+    * n < 2.
+    *
+    * Scale shape: NO per-group global window — the time ranks come
+    * from [[graft.operators.Packing.groupedRank]] (range partition +
+    * local row_number + broadcast offsets), and the lag pairing is an
+    * equi-join on (group, rank) = (group, rank+1). `ordCol` must be
+    * unique within each group (the groupedRank contract — pack a
+    * unique id behind the timestamp). Returns
+    * `(group_key, n, dw)`. */
+  def durbinWatson(
+      df: DataFrame,
+      groupCol: String,
+      ordCol: String,
+      valueCol: String): DataFrame = {
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(ordCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(ordCol).as("__o"),
+        (round(col(valueCol).cast("double"), 4).cast("decimal(18,4)") *
+          10000).cast("long").as("__vu"))
+    val ranked = Lineage.cutLocal(
+      graft.operators.Packing.groupedRank(rows, "__g", "__o", Seq("__vu")))
+    val lagged = ranked.select(col("__g"), col("rank"), col("__vu"))
+      .join(ranked.select(col("__g"), (col("rank") + 1L).as("rank"),
+        col("__vu").as("__prev")), Seq("__g", "rank"))
+    val num = lagged.groupBy(col("__g")).agg(
+      sum(((col("__vu") - col("__prev")).cast("decimal(19,0)") *
+        (col("__vu") - col("__prev")).cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("__sd2"))
+    val base = rows.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__vu").cast("decimal(38,0)")).as("__svu"),
+      sum((col("__vu").cast("decimal(19,0)") *
+        col("__vu").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .as("__svu2"))
+    val den = (col("n").cast("decimal(38,0)") * col("__svu2") -
+      col("__svu") * col("__svu")).cast("double")
+    base.join(num, Seq("__g"), "left")
+      .select(col("__g").as("group_key"), col("n"),
+        when(col("n") >= 2L, Readout.pin(
+          (col("n").cast("decimal(38,0)") *
+            coalesce(col("__sd2"), lit(0).cast("decimal(38,0)")))
+            .cast("double") / when(den > 0.0, den), 6)).as("dw"))
+      .orderBy("group_key")
+  }
+
+  /** Wald–Wolfowitz runs test per group — "is this sequence random, or
+    * do above/below-median values clump": the series dichotomizes
+    * against its group median (exact-tie rows dropped, the standard
+    * treatment), R = number of sign runs in time order, compared to
+    * E[R] = 2·n1·n2/n + 1 with the exact variance. A clumping source
+    * (regime-switching quality, batched ingestion) shows R far below
+    * E[R] — the nonparametric drift smell test beside [[cusum]] and
+    * [[pettitt]].
+    *
+    * Determinism contract: medians are `percentile` doubles (Spark ==
+    * DuckDB bit-for-bit on interpolation), run/side counts exact
+    * integers through the same groupedRank + (g, rank)-join shape as
+    * [[durbinWatson]] (re-ranked AFTER the tie drop, so runs count
+    * over the surviving sequence); z is one pinned double, NULL when
+    * either side is empty or the variance is 0.
+    *
+    * Returns `(group_key, n1, n2, runs, z)`. */
+  def runsTest(
+      df: DataFrame,
+      groupCol: String,
+      ordCol: String,
+      valueCol: String): DataFrame = {
+    val vals = df
+      .filter(col(valueCol).isNotNull && col(ordCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(ordCol).as("__o"),
+        col(valueCol).cast("double").as("__v"))
+    val med = vals.groupBy("__g")
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    val signed = vals.join(broadcast(med), Seq("__g"))
+      .filter(col("__v") =!= col("__med"))
+      .select(col("__g"), col("__o"),
+        when(col("__v") > col("__med"), 1L).otherwise(0L).as("__s"))
+    val ranked = Lineage.cutLocal(
+      graft.operators.Packing.groupedRank(signed, "__g", "__o",
+        Seq("__s")))
+    val flips = ranked.select(col("__g"), col("rank"), col("__s"))
+      .join(ranked.select(col("__g"), (col("rank") + 1L).as("rank"),
+        col("__s").as("__ps")), Seq("__g", "rank"))
+      .groupBy("__g")
+      .agg(sum(when(col("__s") =!= col("__ps"), 1L).otherwise(0L))
+        .as("__flips"))
+    val sides = ranked.groupBy("__g").agg(
+      sum(col("__s")).as("n1"),
+      sum(lit(1L) - col("__s")).as("n2"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd = n1d + n2d
+    val eR = lit(2.0) * n1d * n2d / nd + 1.0
+    val varR = (lit(2.0) * n1d * n2d * (lit(2.0) * n1d * n2d - nd)) /
+      (nd * nd * (nd - 1.0))
+    sides.join(flips, Seq("__g"), "left")
+      .select(col("__g").as("group_key"), col("n1"), col("n2"),
+        (coalesce(col("__flips"), lit(0L)) + 1L).as("runs"),
+        when(col("n1") >= 1L && col("n2") >= 1L && (col("n1") + col("n2")) >= 2L,
+          Readout.pin(
+            ((coalesce(col("__flips"), lit(0L)) + 1L).cast("double") - eR) /
+              sqrt(when(varR > 0.0, varR)), 6)).as("z"))
+      .orderBy("group_key")
+  }
+
+  /** Cochran's Q — "do these k binary treatments have the same success
+    * rate across subjects" (the k-treatment generalization of McNemar,
+    * [[mcnemar]]): Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²),
+    * C_j = per-treatment success totals, R_i = per-subject success
+    * totals, over the complete subject×treatment incidence grid
+    * (absent cells are failures). χ²(k−1) under H0.
+    *
+    * Determinism contract: every sufficient statistic is an exact
+    * integer (decimal(38,0) squares); Q is one pinned double division,
+    * NULL when the denominator is 0 (all-success/all-failure rows
+    * carry no information).
+    *
+    * Scale shape: two aggregates over the incidence frame (by subject,
+    * by treatment) — subjects are data-sized but only their SUMS
+    * cross the driver boundary (single-row readout), treatments are
+    * dimension-sized. Returns one row
+    * `(k, n_subjects, q_stat, df)`. */
+  def cochranQ(
+      df: DataFrame,
+      subjectCol: String,
+      treatmentCol: String,
+      successCol: String): DataFrame = {
+    val inc = df.select(col(subjectCol).as("__s"),
+      col(treatmentCol).as("__t"),
+      when(col(successCol).cast("boolean"), 1L).otherwise(0L).as("__x"))
+      .groupBy("__s", "__t")
+      .agg(max(col("__x")).as("__x"))
+    val k = inc.agg(countDistinct(col("__t")).as("k"))
+    val byTreat = inc.groupBy("__t").agg(sum("__x").as("__c"))
+      .agg(sum(col("__c").cast("decimal(38,0)")).as("__sc"),
+        sum((col("__c").cast("decimal(19,0)") *
+          col("__c").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__sc2"))
+    val bySubj = inc.groupBy("__s").agg(sum("__x").as("__r"))
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(col("__r").cast("decimal(38,0)")).as("__sr"),
+        sum((col("__r").cast("decimal(19,0)") *
+          col("__r").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__sr2"))
+    val kd = col("k").cast("decimal(38,0)")
+    val num = (kd - 1).cast("decimal(38,0)") *
+      (kd * col("__sc2") - col("__sc") * col("__sc"))
+    val den = (kd * col("__sr") - col("__sr2")).cast("double")
+    k.crossJoin(byTreat).crossJoin(bySubj)
+      .select(col("k"), col("n_subjects"),
+        Readout.pin(num.cast("double") / when(den > 0.0, den), 6)
+          .as("q_stat"),
+        (col("k") - 1L).as("df"))
+  }
+
+  /** Grubbs' test per group — "is this group's most extreme value a
+    * statistical outlier": G = max|v − x̄| / s, with the offending
+    * value alongside. The single-point complement to
+    * [[tukeyOutliers]]' fence counting — a data-quality triage readout
+    * ("which source produced THE spike").
+    *
+    * Determinism contract: the max deviation rides exact micro-unit
+    * integers (max|n·vu − Σvu| — scaling by n avoids the double mean),
+    * the argmax value breaks ties to the LARGER value via a struct
+    * max; G is one pinned double expression, NULL for n < 3 or zero
+    * variance.
+    *
+    * Scale shape: one grouped aggregate, no window, no collect.
+    * Returns `(group_key, n, g_stat, outlier_value)`. */
+  def grubbs(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        (round(col(valueCol).cast("double"), 4).cast("decimal(18,4)") *
+          10000).cast("long").as("__vu"))
+    val agg = rows.groupBy("__g").agg(
+      count(lit(1)).as("n"),
+      sum(col("__vu").cast("decimal(38,0)")).as("__svu"),
+      sum((col("__vu").cast("decimal(19,0)") *
+        col("__vu").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .as("__svu2"))
+    val dev = rows.join(agg.select(col("__g"), col("n"), col("__svu")),
+      Seq("__g"))
+      .select(col("__g"),
+        struct(
+          abs((col("n").cast("decimal(38,0)") * col("__vu")
+            .cast("decimal(38,0)") - col("__svu")).cast("decimal(38,0)"))
+            .as("__ad"),
+          col("__vu")).as("__p"))
+      .groupBy("__g").agg(max(col("__p")).as("__m"))
+    val nd = col("n").cast("double")
+    val varScaled = (col("n").cast("decimal(38,0)") * col("__svu2") -
+      col("__svu") * col("__svu")).cast("double")
+    agg.join(dev, Seq("__g"))
+      .select(col("__g").as("group_key"), col("n"),
+        when(col("n") >= 3L, Readout.pin(
+          col("__m.__ad").cast("double") /
+            (nd * sqrt(when(varScaled > 0.0, varScaled) /
+              (nd * (nd - 1.0)))), 6)).as("g_stat"),
+        Readout.pin(col("__m.__vu").cast("double") / 10000.0, 4)
+          .as("outlier_value"))
+      .orderBy("group_key")
   }
 }

@@ -333,7 +333,7 @@ object TextAnalysis {
           .cast("decimal(28,10)").as("__term"),
         col("c"), col("np"), col("nq"))
       .agg(
-        round(sum(col("__term")).cast("double"), 6).as("kl_nats"),
+        Readout.pin(sum(col("__term")).cast("double"), 6).as("kl_nats"),
         first(col("np")).as("n_tokens_p"),
         first(col("nq")).as("n_tokens_q"),
         count(lit(1)).as("shared_vocab"))
@@ -408,7 +408,7 @@ object TextAnalysis {
       .groupBy("group_a", "group_b")
       .agg(count(lit(1)).as("n_union"),
         count(when(col("__ca") > 0L && col("__cb") > 0L, 1)).as("n_common"),
-        round((sum(col("__tp")) + sum(col("__tq"))).cast("double") / 2.0, 6)
+        Readout.pin((sum(col("__tp")) + sum(col("__tq"))).cast("double") / 2.0, 6)
           .as("jsd_nats"))
       .orderBy("group_a", "group_b")
   }
@@ -470,7 +470,7 @@ object TextAnalysis {
     val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
     sums
       .select(col("__grp"),
-        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+        Readout.pin((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
           when(den === 0.0, lit(null)).otherwise(den), 6)
           .as("zipf_slope"))
       .join(broadcast(ttr), "__grp")
@@ -832,9 +832,9 @@ object TextAnalysis {
       .filter(col("n_words") > 0)
       .select(col(idCol), col("n_words"), col("n_sentences"),
         col("n_syllables"),
-        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+        Readout.pin(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
           .as("flesch"),
-        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+        Readout.pin(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
           .as("fk_grade"))
       .orderBy(idCol)
   }
@@ -924,7 +924,7 @@ object TextAnalysis {
       .join(uni.select(col("w").as("w1"), col("c").as("__cx")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("__cy")), "w2")
       .crossJoin(nu).crossJoin(nb)
-      .withColumn("pmi", round(log(
+      .withColumn("pmi", Readout.pin(log(
         (col("c_xy").cast("double") * col("__nu") * col("__nu")) /
           (col("__nb") * col("__cx").cast("double") *
             col("__cy").cast("double"))), 6))
@@ -976,12 +976,12 @@ object TextAnalysis {
     agg
       .withColumn("slope",
         when((col("n") * col("sxx") - col("sx") * col("sx")) =!= 0,
-          round((col("n") * col("sxy") - col("sx") * col("sy"))
+          Readout.pin((col("n") * col("sxy") - col("sx") * col("sy"))
             .cast("double") /
             (col("n") * col("sxx") - col("sx") * col("sx"))
               .cast("double"), 6)))
       .select(col("n").as("n_ranked"), col("slope"),
-        round((col("sy").cast("double") -
+        Readout.pin((col("sy").cast("double") -
           col("slope") * col("sx").cast("double")) / col("n"), 6)
           .as("intercept"))
   }
@@ -1224,7 +1224,7 @@ object TextAnalysis {
     val mean = col("n_total").cast("double") / col("__d").cast("double")
     perTok.crossJoin(d)
       .select(col("token"), col("n_docs"), col("n_total"),
-        round((col("__s2").cast("double") / col("__d").cast("double") -
+        Readout.pin((col("__s2").cast("double") / col("__d").cast("double") -
           mean * mean) / mean, 6).as("fano"))
       .orderBy(col("n_total").desc, col("token"))
       .limit(topN)
@@ -1548,5 +1548,47 @@ object TextAnalysis {
       .withColumn("effective_vocab",
         round(lit(1.0) / when(col("simpson") > 0.0, col("simpson")), 6))
       .orderBy(groupCol)
+  }
+
+  /** Duplicated-n-gram repetition profile per document — the
+    * C4/RefinedWeb "repetitious content" family: of a document's
+    * positional n-gram OCCURRENCES, what fraction belong to an n-gram
+    * that occurs at least twice IN THE SAME DOCUMENT. Machine-looped
+    * text (keyword stuffing, template spam) scores near 1, natural
+    * prose near 0 — a core crawl-quality gate beside the ratio
+    * profile in [[qualityProfile]].
+    *
+    * Determinism contract: counts are exact integers from one
+    * positional n-gram pass (NON-distinct, unlike the dedup shingle
+    * set); the ratio is one pinned double per doc.
+    *
+    * Scale shape: one explode + two grouped aggregates keyed by
+    * (doc, gram) then doc — everything partitions by document, no
+    * window, no driver state. Returns
+    * `(id, n_grams, n_dup_occurrences, dup_ratio)` for docs with at
+    * least one n-gram. */
+  def dupNgramStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "n-gram size must be positive")
+    val toks = graft.functions.TextFunctions.wsTokens(lower(col(textCol)))
+    val grams = df
+      .select(col(idCol).as("__id"), toks.as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col("__id"), explode(
+        transform(sequence(lit(0), size(col("__tk")) - n),
+          i => array_join(slice(col("__tk"), i + 1, lit(n)), " ")))
+        .as("__gr"))
+    grams.groupBy("__id", "__gr").agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id").as(idCol))
+      .agg(sum("__c").as("n_grams"),
+        sum(when(col("__c") >= 2L, col("__c")).otherwise(0L))
+          .as("n_dup_occurrences"))
+      .select(col(idCol), col("n_grams"), col("n_dup_occurrences"),
+        Readout.pin(col("n_dup_occurrences").cast("double") /
+          col("n_grams").cast("double"), 6).as("dup_ratio"))
+      .orderBy(idCol)
   }
 }

@@ -446,6 +446,102 @@ object Stress10 {
     slope("kcenter_assign", ka1, ka10)
   }
 
+  /** 30× spot stress for the FIVE slowest bench-tail queries (dq22,
+    * dq23, aq84, aq92, st15) — the decade sweeps stop at 10×; this
+    * names any knee past it. Text replicas interleave a replica token
+    * into every shingle so replicas are DISTINCT corpora: copy
+    * replicas would build size-k identical-doc clusters and the pair
+    * space (candidates AND exact truth) would grow k² — measuring
+    * duplicate-cluster blowup, not corpus growth. Entity replicas
+    * offset ids (disjoint subgraphs / hash draws); values jitter by
+    * one 4dp micro-unit where a value grid matters. */
+  private def r13TailStress(
+      spark: org.apache.spark.sql.SparkSession, sf: String): Unit = {
+    def slope30(name: String, t1: Double, t30: Double): Unit =
+      println(f"STRESS10 SLOPE $name ${t30 / math.max(t1, 0.05)}%.1f x " +
+        "(30x data)")
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    def docJit(k: Int): DataFrame = (0 until k).map(i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), " ", s" r$i ").as("text")))
+      .reduce(_ unionByName _)
+
+    // dq22: banded-LSH candidates vs exact truth
+    val lr1 = time("lsh_recall_1x")(operators.Dedup.lshRecallAudit(
+      docJit(1), "doc_id", "text", 3, 8, 2, 0.8).count())
+    val lr30 = time("lsh_recall_30x")(operators.Dedup.lshRecallAudit(
+      docJit(30), "doc_id", "text", 3, 8, 2, 0.8).count())
+    slope30("lsh_recall", lr1, lr30)
+
+    // dq23: the one-pass (numHashes, bands) sweep over the same corpus
+    val sw1 = time("lsh_sweep_1x")(operators.Dedup.lshParameterSweep(
+      docJit(1), "doc_id", "text").count())
+    val sw30 = time("lsh_sweep_30x")(operators.Dedup.lshParameterSweep(
+      docJit(30), "doc_id", "text").count())
+    slope30("lsh_sweep", sw1, sw30)
+
+    // aq84: B=64 Poisson bootstrap — replicas mint new ids (new md5
+    // draws) and jitter values one micro-unit
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "event_type", "value").localCheckpoint()
+    def evJit(k: Int): DataFrame = (0 until k).map(i =>
+      ev.select((col("event_id") + lit(i * 1000000000L)).as("event_id"),
+        col("event_type"),
+        (col("value") + lit(i * 1e-4)).as("value")))
+      .reduce(_ unionByName _)
+    val pb1 = time("poisson_bootstrap_1x")(operators.Stats.poissonBootstrap(
+      evJit(1), "event_id", "value", Seq("event_type")).count())
+    val pb30 = time("poisson_bootstrap_30x")(operators.Stats.poissonBootstrap(
+      evJit(30), "event_id", "value", Seq("event_type")).count())
+    slope30("poisson_bootstrap", pb1, pb30)
+
+    // aq92: HITS over id-offset replicas — 30 disjoint copies of the
+    // purchase graph, the shape a sharded corpus has
+    val edges = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct().localCheckpoint()
+    def edgeDup(k: Int): DataFrame = (0 until k).map(i =>
+      edges.select((col("src") + lit(i * 100000000L)).as("src"),
+        (col("dst") + lit(i * 100000000L)).as("dst")))
+      .reduce(_ unionByName _)
+    val h1 = time("hits_1x")(operators.Graph.hits(
+      edgeDup(1), iterations = 3).count())
+    val h30 = time("hits_30x")(operators.Graph.hits(
+      edgeDup(30), iterations = 3).count())
+    slope30("hits", h1, h30)
+
+    // st15: the incremental near-dup registry ingesting the corpus in
+    // 3 micro-batches — the WHOLE drain (sign, in-batch pairs,
+    // registry lookup, two pruned commits per batch) is the timed unit
+    def nearDupDrain(k: Int): Long = {
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "8")
+      try {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-stress-r13").toString
+        val d = docJit(k).localCheckpoint()
+        (0 until 3).foreach { b =>
+          d.filter(col("doc_id") % 3 === b).coalesce(1)
+            .write.mode("append").parquet(s"$tmp/in")
+          Thread.sleep(1100)
+        }
+        val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+        operators.Dedup.incrementalNearDup(
+          graft.streaming.StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+          "doc_id", "text", store, "sig", "pairs", s"$tmp/ckpt")
+          .awaitTermination()
+        store.read("pairs").count()
+      } finally spark.conf.set(key, old)
+    }
+    val nd1 = time("neardup_ingest_1x")(nearDupDrain(1))
+    val nd30 = time("neardup_ingest_30x")(nearDupDrain(30))
+    slope30("neardup_ingest", nd1, nd30)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-stress10")
@@ -469,6 +565,11 @@ object Stress10 {
     }
     if (args.contains("r12")) {
       r12Stress(spark, sf)
+      spark.stop()
+      return
+    }
+    if (args.contains("r13tail")) {
+      r13TailStress(spark, sf)
       spark.stop()
       return
     }
