@@ -1487,4 +1487,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)),
       e.toString)
   }
+
+  test("suffixClusters: shared trailing tokens group, short docs drop") {
+    val docs = Seq((1L, "a b c d"), (2L, "x y c d"), (3L, "q c d"),
+      (4L, "c"), (5L, "solo text here")).toDF("doc_id", "text")
+    val got = Dedup.suffixClusters(docs, "doc_id", "text", k = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("c d", 3L, 1L)), got.toString)
+  }
+
+  test("mutualKnn: pairs are exactly the symmetric subset of the " +
+    "directional top-k") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)),
+      (4L, Array(0.1f, 0.9f)), (5L, Array(0.7f, 0.7f)),
+      (6L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val k = 2
+    val index = Similarity.ivfIndex(vecs, "vec_id", "embedding",
+      numCells = 3)
+    val topk = Similarity.ivfTopK(index, vecs, "vec_id",
+      "embedding", numCells = 3, nProbe = 3, k = k)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val dir = topk.map(t => (t._1, t._2) -> t._3).toMap
+    val expected = dir.keySet.filter { case (a, b) =>
+      a < b && dir.contains((b, a))
+    }.toSeq.sorted.map { case (a, b) =>
+      (a, b, dir((a, b)), dir((b, a)))
+    }
+    val got = Similarity.mutualKnn(vecs, "vec_id", "embedding",
+      numCells = 3, nProbe = 3, k = k)
+      .select("id_a", "id_b", "rank_ab", "rank_ba")
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.nonEmpty, "fixture must produce at least one mutual pair")
+  }
 }

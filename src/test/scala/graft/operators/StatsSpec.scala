@@ -939,4 +939,61 @@ class StatsSpec extends AnyFunSuite {
         e.getCause.getMessage.contains("outside [0, 1]"),
       e.getMessage)
   }
+
+  test("durbinWatson: hand d = 0.6 on a monotone ramp, constant NULL") {
+    // [1,2,3,4]: diffs 1e4 x3 -> num 4*3e8; den 4*30e8 - (1e5)^2 = 2e9
+    val df = (1L to 4L).map(t => ("g", t, t.toDouble)).toDF("g", "t", "v")
+    val got = Stats.durbinWatson(df, "g", "t", "v")
+      .as[(String, Long, Option[Double])].collect().head
+    assert(got == (("g", 4L, Some(0.6))), got.toString)
+    val flat = Stats.durbinWatson(
+      (1L to 4L).map(t => ("g", t, 2.0)).toDF("g", "t", "v"), "g", "t", "v")
+      .as[(String, Long, Option[Double])].collect().head
+    assert(flat == (("g", 4L, None)), flat.toString) // zero variance
+  }
+
+  test("runsTest: perfectly alternating series z, median ties dropped") {
+    // [1,2,1,2]: median 1.5, signs 0101 -> runs 4, n1 = n2 = 2,
+    // E[R] = 3, Var = 2/3 -> z = 1/sqrt(2/3) = 1.224745
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 1.0),
+      ("g", 4L, 2.0)).toDF("g", "t", "v")
+    val got = Stats.runsTest(df, "g", "t", "v")
+      .as[(String, Long, Long, Long, Option[Double])].collect().head
+    assert(got == (("g", 2L, 2L, 4L, Some(1.224745))), got.toString)
+    // exact-median rows drop: [1,2,3] median 2 -> sequence [0,1]
+    val odd = Stats.runsTest(
+      Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0))
+        .toDF("g", "t", "v"), "g", "t", "v")
+      .as[(String, Long, Long, Long, Option[Double])].collect().head
+    assert(odd._2 == 1L && odd._3 == 1L && odd._4 == 2L, odd.toString)
+  }
+
+  test("cochranQ: textbook k=2 grid gives Q = 1, all-zero subjects " +
+    "change nothing") {
+    // s1:{a}, s2:{a,b} -> C = [2,1], R = [1,2] -> Q = (2*5-9)/(6-5) = 1
+    val df = Seq((1L, "a", true), (2L, "a", true), (2L, "b", true),
+      (3L, "a", false)).toDF("s", "t", "hit")
+    val got = Stats.cochranQ(df, "s", "t", "hit")
+      .as[(Long, Long, Option[Double], Long)].collect().head
+    // n_subjects counts subjects PRESENT in the input (3 here — the
+    // all-failure subject appears); Q is provably invariant to
+    // all-zero rows (they contribute 0 to every sufficient statistic),
+    // which is exactly what this fixture pins
+    assert(got == ((2L, 3L, Some(1.0), 1L)), got.toString)
+    val noZero = Stats.cochranQ(df.filter(col("hit")), "s", "t", "hit")
+      .as[(Long, Long, Option[Double], Long)].collect().head
+    assert(noZero._3 == Some(1.0), noZero.toString)
+  }
+
+  test("grubbs: hand G = 1.5 with the offending value, n < 3 NULL") {
+    // [1,1,1,5]: s = 2, max|v - mean| = 3 -> G = 1.5, outlier 5.0
+    val df = Seq(("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 5.0))
+      .toDF("g", "v")
+    val got = Stats.grubbs(df, "g", "v")
+      .as[(String, Long, Option[Double], Double)].collect().head
+    assert(got == (("g", 4L, Some(1.5), 5.0)), got.toString)
+    val tiny = Stats.grubbs(Seq(("g", 1.0), ("g", 2.0)).toDF("g", "v"),
+      "g", "v").as[(String, Long, Option[Double], Double)].collect().head
+    assert(tiny._3.isEmpty, tiny.toString)
+  }
 }

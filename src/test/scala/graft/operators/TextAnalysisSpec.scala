@@ -604,4 +604,14 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("s", 2L, 4L, 0.5, Some(2.0)),
       ("t", 2L, 2L, 0.0, None)), got.toString)
   }
+
+  test("dupNgramStats: repeated 3-grams count all their occurrences") {
+    // "a b a b a": grams (a b a)(b a b)(a b a) -> 3 grams, 2 dup occs
+    val docs = Seq((1L, "a b a b a"), (2L, "w x y z"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 0.666667), (2L, 2L, 0L, 0.0)),
+      got.toString) // doc 3 too short for a 3-gram
+  }
 }
