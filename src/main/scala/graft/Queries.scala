@@ -11145,6 +11145,133 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq115_friedman — Friedman rank test: do the five order priorities
+  // differ in yearly revenue when ranked WITHIN each year
+  // (Stats.friedman over the year x priority block grid): exact
+  // decimal cell sums, x2-scaled average ranks, tie-corrected chi2_F,
+  // complete blocks only.
+  register(
+    "aq115_friedman",
+    """WITH cells AS MATERIALIZED (
+      |  SELECT year(o_orderdate) AS b, o_orderpriority AS t,
+      |    sum(o_totalprice::decimal(18,4)) AS v
+      |  FROM orders GROUP BY 1, 2
+      |), kk AS (SELECT count(DISTINCT t)::bigint AS k FROM cells),
+      |complete AS MATERIALIZED (
+      |  SELECT c.b, c.t, c.v FROM cells c
+      |  JOIN (SELECT b, count(*)::bigint AS bk FROM cells GROUP BY 1) z
+      |    ON c.b = z.b
+      |  CROSS JOIN kk WHERE z.bk = kk.k
+      |), r2 AS (
+      |  SELECT x.b, x.t,
+      |    (2 * sum(CASE WHEN y.v < x.v THEN 1 ELSE 0 END) +
+      |     sum(CASE WHEN y.v = x.v THEN 1 ELSE 0 END) + 1)::bigint AS r2
+      |  FROM complete x JOIN complete y ON x.b = y.b
+      |  GROUP BY 1, 2
+      |), pt AS (
+      |  SELECT sum(s2::hugeint * s2::hugeint) AS sr2q
+      |  FROM (SELECT t, sum(r2)::hugeint AS s2 FROM r2 GROUP BY 1)
+      |), nb AS (SELECT count(DISTINCT b)::bigint AS n_blocks FROM complete),
+      |tm AS (
+      |  SELECT coalesce(sum(tc::hugeint * tc::hugeint * tc::hugeint -
+      |    tc::hugeint), 0::hugeint) AS tm
+      |  FROM (SELECT b, v, count(*)::bigint AS tc FROM complete
+      |        GROUP BY 1, 2)
+      |)
+      |SELECT k, n_blocks,
+      |  CASE WHEN k >= 2 AND n_blocks >= 1 THEN
+      |    round((12.0 * (sr2q::double / 4.0) /
+      |        (n_blocks::double * k::double * (k::double + 1.0)) -
+      |       3.0 * n_blocks::double * (k::double + 1.0)) /
+      |      (CASE WHEN 1.0 - tm::double / (n_blocks::double *
+      |          (k::double * k::double * k::double - k::double)) > 0.0
+      |       THEN 1.0 - tm::double / (n_blocks::double *
+      |          (k::double * k::double * k::double - k::double)) END),
+      |      6) + 0.0
+      |  END AS chi2_f,
+      |  (k - 1)::bigint AS df
+      |FROM kk, nb, pt, tm""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.friedman(
+      t(s, dir, "orders").select(year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority"), col("o_totalprice")),
+      "yr", "o_orderpriority", "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq116_label_prop — bounded-round MIN-label propagation over the
+  // line-adjacency parts graph (Graph.minLabelPropagate): 3 synchronous
+  // sweeps, each node takes the minimum label in its closed
+  // neighborhood — approximate connected components / community seeds,
+  // exactly unrolled in the oracle (the pageRank/kCore trajectory
+  // discipline). Top-50 communities by size.
+  register(
+    "aq116_label_prop",
+    """WITH li AS MATERIALIZED (
+      |  SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+      |  WHERE l_quantity >= 45),
+      |e AS MATERIALIZED (
+      |  SELECT least(x.l_partkey, y.l_partkey) AS a,
+      |         greatest(x.l_partkey, y.l_partkey) AS b
+      |  FROM li x JOIN li y
+      |    ON x.l_orderkey = y.l_orderkey
+      |   AND x.l_linenumber + 1 = y.l_linenumber
+      |  WHERE x.l_partkey != y.l_partkey
+      |  GROUP BY 1, 2
+      |), nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+      |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+      |l1 AS MATERIALIZED (
+      |  SELECT node, min(lbl) AS lbl FROM (
+      |    SELECT e.b AS node, l.lbl FROM l0 l JOIN e ON l.node = e.a
+      |    UNION ALL
+      |    SELECT e.a AS node, l.lbl FROM l0 l JOIN e ON l.node = e.b
+      |    UNION ALL
+      |    SELECT node, lbl FROM l0
+      |  ) GROUP BY 1
+      |),
+      |l2 AS MATERIALIZED (
+      |  SELECT node, min(lbl) AS lbl FROM (
+      |    SELECT e.b AS node, l.lbl FROM l1 l JOIN e ON l.node = e.a
+      |    UNION ALL
+      |    SELECT e.a AS node, l.lbl FROM l1 l JOIN e ON l.node = e.b
+      |    UNION ALL
+      |    SELECT node, lbl FROM l1
+      |  ) GROUP BY 1
+      |),
+      |l3 AS MATERIALIZED (
+      |  SELECT node, min(lbl) AS lbl FROM (
+      |    SELECT e.b AS node, l.lbl FROM l2 l JOIN e ON l.node = e.a
+      |    UNION ALL
+      |    SELECT e.a AS node, l.lbl FROM l2 l JOIN e ON l.node = e.b
+      |    UNION ALL
+      |    SELECT node, lbl FROM l2
+      |  ) GROUP BY 1
+      |),
+      |final AS (SELECT node, lbl FROM l3)
+      |SELECT lbl::bigint AS community, count(*)::bigint AS n_nodes
+      |FROM final GROUP BY 1
+      |ORDER BY n_nodes DESC, community LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    // adjacent line numbers, not the co-order clique: the clique graph
+    // is one giant component within 3 hops (a 1-row readout proves
+    // nothing) — the line-adjacency chains leave a real component
+    // structure for the bounded sweep to find
+    // high-quantity lines only: at full density the repeated-part
+    // stitching still collapses the graph to one component — the
+    // filtered graph has mean degree ~1.3, a real component structure
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val edges = li.as("x").join(li.as("y"),
+      col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_linenumber") + 1 === col("y.l_linenumber") &&
+        col("x.l_partkey") =!= col("y.l_partkey"))
+      .select(least(col("x.l_partkey"), col("y.l_partkey")).as("src"),
+        greatest(col("x.l_partkey"), col("y.l_partkey")).as("dst"))
+    graft.operators.Graph.minLabelPropagate(edges, rounds = 3, topK = 50)
+  }
+
+  // ---------------------------------------------------------------------
   // aq107_jonckheere — Jonckheere–Terpstra ordered-trend test: does the
   // value distribution shift monotonically across the hours of the day,
   // per event type (Stats.jonckheereTerpstra). Summed cross-group

@@ -519,4 +519,46 @@ object Graph {
         |FROM ranked WHERE rk <= $topK
         |ORDER BY side, score DESC, node""".stripMargin
   }
+
+  /** Bounded-round MIN-label propagation — approximate connected
+    * components / community seeds in a FIXED number of synchronous
+    * rounds: every node starts as its own label, each round every node
+    * takes the minimum label in its closed neighborhood. After r
+    * rounds a node carries the smallest id within graph distance r —
+    * exact components once r reaches the component diameter, a
+    * deterministic community-seed assignment before that. The bounded
+    * unroll is what makes it exactly oracle-able (the pageRank/kCore
+    * trajectory discipline) and is the shape production LP jobs run
+    * anyway (fixed sweep count, convergence check per sweep).
+    *
+    * Scale shape: per round, two edge-sized equi-joins + one min
+    * aggregate, localCheckpointed (the iterative-lineage rule); no
+    * global window, no driver state. Returns the top-`topK`
+    * communities `(community, n_nodes)` by size. */
+  def minLabelPropagate(
+      edges: DataFrame,
+      rounds: Int,
+      topK: Int = 50): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e = graft.operators.Lineage.cutLocal(
+      edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b")).distinct())
+    val nodes = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node"))).distinct()
+    var labels = graft.operators.Lineage.cutLocal(
+      nodes.withColumn("lbl", col("node")))
+    for (_ <- 1 to rounds) {
+      val pulled = labels.join(e, col("node") === col("a"))
+        .select(col("b").as("node"), col("lbl"))
+        .unionByName(labels.join(e, col("node") === col("b"))
+          .select(col("a").as("node"), col("lbl")))
+        .unionByName(labels.select("node", "lbl"))
+      labels = graft.operators.Lineage.cutLocal(
+        pulled.groupBy("node").agg(min("lbl").as("lbl")))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(topK)
+  }
 }

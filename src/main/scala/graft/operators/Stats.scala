@@ -3080,4 +3080,69 @@ object Stats {
           .as("outlier_value"))
       .orderBy("group_key")
   }
+
+  /** Friedman rank test — "do k treatments differ when measured on the
+    * same blocks" (the rank-based repeated-measures ANOVA; the
+    * k-treatment sibling of the paired [[wilcoxonSignedRank]] family
+    * and the block-designed counterpart of [[kruskalWallis]]):
+    * treatments are ranked WITHIN each complete block, χ²_F compares
+    * per-treatment rank sums to their null mean, with the standard
+    * tie-correction factor C = 1 − ΣT/(n·(k³−k)).
+    *
+    * Determinism contract: cell values aggregate as exact
+    * decimal(18,4) sums and rank by exact decimal comparison; ranks
+    * ride the ×2-scaled average-rank integers (the aq72-aq79 rank
+    * discipline), tie masses Σ(t³−t) are exact; χ²_F is ONE pinned
+    * double expression, NULL when k < 2, no complete block exists, or
+    * every block is fully tied (C ≤ 0). Incomplete blocks (a missing
+    * treatment cell) are dropped — Friedman is defined on complete
+    * blocks.
+    *
+    * Scale shape: one (block, treatment) aggregate, a k²-bounded
+    * within-block self-join for ranks (k is dimension-sized), exact
+    * integer sums to a single-row readout. Returns
+    * `(k, n_blocks, chi2_f, df)`. */
+  def friedman(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      valueCol: String): DataFrame = {
+    val cells = Lineage.cutLocal(df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"), col(treatCol).as("__t"))
+      .agg(sum(col(valueCol).cast("decimal(18,4)")).as("__v")))
+    val kf = broadcast(cells.agg(countDistinct(col("__t")).as("k")))
+    val complete = Lineage.cutLocal(cells
+      .join(broadcast(cells.groupBy("__b")
+        .agg(count(lit(1)).as("__bk")).crossJoin(kf)
+        .filter(col("__bk") === col("k")).select("__b")), Seq("__b")))
+    // x2-scaled average rank within the block: 2*cntLess + cntEqIncl + 1
+    val r2 = complete.as("x").join(complete.as("y"), col("x.__b") === col("y.__b"))
+      .groupBy(col("x.__b").as("__b"), col("x.__t").as("__t"))
+      .agg((lit(2L) * sum(when(col("y.__v") < col("x.__v"), 1L).otherwise(0L)) +
+        sum(when(col("y.__v") === col("x.__v"), 1L).otherwise(0L)) + 1L)
+        .as("__r2"))
+    val perTreat = r2.groupBy("__t")
+      .agg(sum(col("__r2").cast("decimal(38,0)")).as("__s2"))
+      .agg(count(lit(1)).as("__kt"),
+        sum((col("__s2") * col("__s2")).cast("decimal(38,0)")).as("__sr2q"))
+    val blocks = complete.groupBy("__b").agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("n_blocks"))
+    val ties = complete.groupBy("__b", "__v").agg(count(lit(1)).as("__tc"))
+      .agg(coalesce(sum((col("__tc").cast("decimal(19,0)") *
+        col("__tc").cast("decimal(19,0)") * col("__tc").cast("decimal(19,0)") -
+        col("__tc").cast("decimal(19,0)")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("__tm"))
+    val kd = col("k").cast("double")
+    val nd = col("n_blocks").cast("double")
+    val c = lit(1.0) - col("__tm").cast("double") /
+      (nd * (kd * kd * kd - kd))
+    val raw = lit(12.0) * (col("__sr2q").cast("double") / 4.0) /
+      (nd * kd * (kd + 1.0)) - lit(3.0) * nd * (kd + 1.0)
+    kf.crossJoin(blocks).crossJoin(perTreat).crossJoin(ties)
+      .select(col("k"), col("n_blocks"),
+        when(col("k") >= 2L && col("n_blocks") >= 1L,
+          Readout.pin(raw / when(c > 0.0, c), 6)).as("chi2_f"),
+        (col("k") - 1L).as("df"))
+  }
 }

@@ -178,4 +178,18 @@ class GraphSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
+
+  test("minLabelPropagate: bounded sweeps carry the min label exactly " +
+    "r hops") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    // one sweep: each node sees distance-1 labels only
+    val r1 = Graph.minLabelPropagate(edges, rounds = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(r1 == Seq((1L, 2L), (5L, 2L), (2L, 1L), (3L, 1L)), r1.toString)
+    // three sweeps cover the whole 4-chain
+    val r3 = Graph.minLabelPropagate(edges, rounds = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(r3 == Seq((1L, 4L), (5L, 2L)), r3.toString)
+  }
 }

@@ -996,4 +996,23 @@ class StatsSpec extends AnyFunSuite {
       "g", "v").as[(String, Long, Option[Double], Double)].collect().head
     assert(tiny._3.isEmpty, tiny.toString)
   }
+
+  test("friedman: textbook chi2 = 4 on two concordant blocks, " +
+    "incomplete blocks drop") {
+    // blocks with ranks [1,2,3] twice: R = [2,4,6] -> chi2 = 4, df 2
+    val df = Seq(
+      ("b1", "x", 1.0), ("b1", "y", 2.0), ("b1", "z", 3.0),
+      ("b2", "x", 1.0), ("b2", "y", 5.0), ("b2", "z", 9.0),
+      ("b3", "x", 7.0) // incomplete: must not contribute
+    ).toDF("b", "t", "v")
+    val got = Stats.friedman(df, "b", "t", "v")
+      .as[(Long, Long, Option[Double], Long)].collect().head
+    assert(got == ((3L, 2L, Some(4.0), 2L)), got.toString)
+    // fully tied blocks: C = 0 -> NULL
+    val tied = Stats.friedman(Seq(
+      ("b", "x", 1.0), ("b", "y", 1.0), ("b", "z", 1.0))
+      .toDF("b", "t", "v"), "b", "t", "v")
+      .as[(Long, Long, Option[Double], Long)].collect().head
+    assert(tied._3.isEmpty, tied.toString)
+  }
 }
