@@ -11272,6 +11272,90 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // q52_version_diff — row-level CHANGE FEED between two committed
+  // store generations (ResultStore.diffVersions, the Delta
+  // table_changes / CDF-read analog): supplier commits, an even-key
+  // +100 upsert commits on top, and the diff reads back exactly the
+  // delete+insert pairs of the touched keys — unchanged rows cancel
+  // under multiset exceptAll. The oracle derives both sides from the
+  // source table directly.
+  register(
+    "q52_version_diff",
+    """SELECT 'delete' AS op, count(*)::bigint AS n,
+      |  round(sum(s_acctbal::decimal(18,4))::double, 2) AS bal
+      |FROM supplier WHERE s_suppkey % 2 = 0
+      |UNION ALL
+      |SELECT 'insert', count(*)::bigint,
+      |  round(sum(s_acctbal::decimal(18,4) + 100)::double, 2)
+      |FROM supplier WHERE s_suppkey % 2 = 0
+      |ORDER BY op""".stripMargin
+  ) { (s, dir) =>
+    val tmp = scratchDir("q52")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        col("s_acctbal").cast("decimal(18,4)").as("bal"))
+    store.upsertPruned("t",
+      sup.repartitionByRange(4, col("s_suppkey")), "s_suppkey")
+    val v1 = store.committedVersion("t").get
+    store.upsertPruned("t",
+      sup.filter(col("s_suppkey") % 2 === 0L)
+        .withColumn("bal", (col("bal") + lit(100L)).cast("decimal(18,4)")),
+      "s_suppkey")
+    val v2 = store.committedVersion("t").get
+    store.diffVersions("t", v1, v2)
+      .groupBy("op")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("bal")).cast("double"), 2).as("bal"))
+      .orderBy("op")
+  }
+
+  // ---------------------------------------------------------------------
+  // mm12_media_dedup — duplicate-media audit over the binary payloads
+  // (exact content-hash groups): per kind, how many duplicate groups,
+  // how many redundant files, and the bytes a dedup pass would
+  // reclaim — the storage-savings readout every media-curation run
+  // starts from. Hash-groupBy on the binary column; no decode needed.
+  register(
+    "mm12_media_dedup",
+    """WITH crawl AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 9999999, text FROM documents WHERE doc_id < 100
+      |), m AS (
+      |  SELECT ['image','audio','video'][(doc_id % 3)::int + 1] AS kind,
+      |    md5(text) AS h, octet_length(encode(text))::bigint AS sz
+      |  FROM crawl
+      |), g AS (
+      |  SELECT kind, h, count(*)::bigint AS c, max(sz) AS sz
+      |  FROM m GROUP BY 1, 2
+      |)
+      |SELECT kind, count(*)::bigint AS n_dup_groups,
+      |  sum(c - 1)::bigint AS n_dup_files,
+      |  sum((c - 1) * sz)::bigint AS wasted_bytes
+      |FROM g WHERE c >= 2 GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    // a re-crawled shard (the first 100 docs ingested twice under new,
+    // kind-preserving %3-aligned ids) guarantees duplicate groups at every SF — the synthetic
+    // corpus has no natural byte-exact dups at the small gates
+    val docs = t(s, dir, "documents")
+    val crawl = docs.unionByName(
+      docs.filter(col("doc_id") < 100L)
+        .withColumn("doc_id", col("doc_id") + lit(9999999L)))
+    graft.multimodal.Multimodal.mediaFromDocuments(crawl)
+      .select(col("kind"), md5(col("bytes")).as("h"),
+        length(col("bytes")).cast("long").as("sz"))
+      .groupBy("kind", "h")
+      .agg(count(lit(1)).as("c"), max("sz").as("sz"))
+      .filter(col("c") >= 2L)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_dup_groups"),
+        sum(col("c") - 1L).as("n_dup_files"),
+        sum((col("c") - 1L) * col("sz")).as("wasted_bytes"))
+      .orderBy("kind")
+  }
+
+  // ---------------------------------------------------------------------
   // aq107_jonckheere — Jonckheere–Terpstra ordered-trend test: does the
   // value distribution shift monotonically across the hours of the day,
   // per event type (Stats.jonckheereTerpstra). Summed cross-group

@@ -555,6 +555,25 @@ class ResultStore(spark: SparkSession, root: String) {
           .unionByName(df, allowMissingColumns = true)
     }
 
+  /** Row-level CHANGE FEED between two committed generations — the
+    * Delta `table_changes` / CDF-read analog for the versioned store:
+    * full-row multiset comparison, rows only in `to` emit op "insert",
+    * rows only in `from` emit op "delete" (an update is its
+    * delete+insert pair — the caller joins on its key if it wants
+    * merged update rows). Multiset (`exceptAll`) semantics: duplicate
+    * rows diff by count, exactly like a CDC log would replay them.
+    * Both scans are PINNED to their version directories, so the diff
+    * is stable under concurrent commits (within retention — pair this
+    * with `spark.graft.store.retainVersions` / `_COMMITTED` markers
+    * for deep history). Scale shape: two version scans + one
+    * hash-aggregate-based except; no window, no collect. */
+  def diffVersions(schema: String, from: String, to: String): DataFrame = {
+    val a = readVersion(schema, from)
+    val b = readVersion(schema, to)
+    b.exceptAll(a).withColumn("op", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("delete")))
+  }
+
   def read(schema: String): DataFrame = spark.read.parquet(dataPath(schema))
 
   def exists(schema: String, keyCol: String, key: Any): Boolean =

@@ -1243,4 +1243,24 @@ class SourcesSpec extends AnyFunSuite {
       .filter(_.getName.startsWith(".staged-"))
     assert(stranded.isEmpty, stranded.mkString(", "))
   }
+
+  test("diffVersions: multiset change feed — unchanged rows cancel, " +
+    "updates are delete+insert pairs, duplicates diff by count") {
+    val store = new ResultStore(spark, tmpDir())
+    store.upsert("t", Seq(KV(1, "a"), KV(2, "b"), KV(3, "c"),
+      KV(3, "c")).toDF(), "k") // k=3 twice: multiset content
+    val v1 = store.committedVersion("t").get
+    // update k=2, delete one of the k=3 duplicates, insert k=4
+    store.overwrite("t", Seq(KV(1, "a"), KV(2, "B"), KV(3, "c"),
+      KV(4, "d")).toDF())
+    val v2 = store.committedVersion("t").get
+    val got = store.diffVersions("t", v1, v2)
+      .select("op", "k", "v").as[(String, Long, String)]
+      .collect().toSet
+    assert(got == Set(
+      ("delete", 2L, "b"), ("delete", 3L, "c"), // ONE of the dup pair
+      ("insert", 2L, "B"), ("insert", 4L, "d")), got.toString)
+    // identical generations diff to empty
+    assert(store.diffVersions("t", v2, v2).isEmpty)
+  }
 }
