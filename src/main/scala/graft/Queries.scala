@@ -11356,6 +11356,51 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq117_relative_risk — relative risk + Katz log-normal 95% CI per
+  // event type (Stats.relativeRisk): even-user cohort exposed, "big
+  // event" (value >= 100) as the outcome; exact 2x2 cells, pinned
+  // ratio and bounds with oracle-identical division order.
+  register(
+    "aq117_relative_risk",
+    """WITH cells AS (
+      |  SELECT event_type AS group_key,
+      |    count(CASE WHEN user_id % 2 = 0 AND value >= 100 THEN 1 END)
+      |      ::bigint AS a,
+      |    count(CASE WHEN user_id % 2 = 0 AND NOT value >= 100 THEN 1 END)
+      |      ::bigint AS b,
+      |    count(CASE WHEN user_id % 2 != 0 AND value >= 100 THEN 1 END)
+      |      ::bigint AS c,
+      |    count(CASE WHEN user_id % 2 != 0 AND NOT value >= 100 THEN 1 END)
+      |      ::bigint AS d
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |)
+      |SELECT group_key, a, b, c, d,
+      |  CASE WHEN a > 0 AND c > 0 AND a + b > 0 AND c + d > 0 THEN
+      |    round((a::double / (a::double + b::double)) /
+      |          (c::double / (c::double + d::double)), 6) + 0.0 END AS rr,
+      |  CASE WHEN a > 0 AND c > 0 AND a + b > 0 AND c + d > 0 THEN
+      |    round(exp(ln((a::double / (a::double + b::double)) /
+      |                 (c::double / (c::double + d::double))) -
+      |      1.96 * sqrt(1.0 / a::double - 1.0 / (a::double + b::double) +
+      |                  1.0 / c::double - 1.0 / (c::double + d::double))),
+      |      6) + 0.0 END AS rr_lo,
+      |  CASE WHEN a > 0 AND c > 0 AND a + b > 0 AND c + d > 0 THEN
+      |    round(exp(ln((a::double / (a::double + b::double)) /
+      |                 (c::double / (c::double + d::double))) +
+      |      1.96 * sqrt(1.0 / a::double - 1.0 / (a::double + b::double) +
+      |                  1.0 / c::double - 1.0 / (c::double + d::double))),
+      |      6) + 0.0 END AS rr_hi
+      |FROM cells ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.relativeRisk(
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("user_id") % 2 === 0L).as("exposed"),
+          (col("value") >= 100.0).as("big")),
+      "event_type", "exposed", "big")
+  }
+
+  // ---------------------------------------------------------------------
   // aq107_jonckheere — Jonckheere–Terpstra ordered-trend test: does the
   // value distribution shift monotonically across the hours of the day,
   // per event type (Stats.jonckheereTerpstra). Summed cross-group

@@ -3145,4 +3145,44 @@ object Stats {
           Readout.pin(raw / when(c > 0.0, c), 6)).as("chi2_f"),
         (col("k") - 1L).as("df"))
   }
+
+  /** Relative risk with the Katz log-normal 95% CI — the 2×2 cohort
+    * readout ([[twoProportion]] reports the difference z; this reports
+    * the RATIO with its interval, the form dose/exposure questions are
+    * asked in): RR = (a/(a+b)) / (c/(c+d)) over the exposed/unexposed
+    * × event/no-event counts, CI = exp(ln RR ± 1.96·√(1/a − 1/(a+b) +
+    * 1/c − 1/(c+d))).
+    *
+    * Determinism contract: the four cells are exact integers; RR and
+    * both bounds are pinned single double expressions with the
+    * division order written identically in the oracle. NULL when
+    * either margin is empty or a log/CI cell (a or c) is zero.
+    *
+    * Scale shape: one grouped aggregate of four conditional counts.
+    * Returns `(group_key, a, b, c, d, rr, rr_lo, rr_hi)`. */
+  def relativeRisk(
+      df: DataFrame,
+      groupCol: String,
+      exposedCol: String,
+      eventCol: String): DataFrame = {
+    val ex = col(exposedCol).cast("boolean")
+    val ev = col(eventCol).cast("boolean")
+    val agg = df.groupBy(col(groupCol).as("group_key")).agg(
+      count(when(ex && ev, 1L)).as("a"),
+      count(when(ex && !ev, 1L)).as("b"),
+      count(when(!ex && ev, 1L)).as("c"),
+      count(when(!ex && !ev, 1L)).as("d"))
+    val (a, b, c, d) = (col("a").cast("double"), col("b").cast("double"),
+      col("c").cast("double"), col("d").cast("double"))
+    val ok = col("a") > 0L && col("c") > 0L &&
+      (col("a") + col("b")) > 0L && (col("c") + col("d")) > 0L
+    val rr = (a / (a + b)) / (c / (c + d))
+    val se = sqrt(lit(1.0) / a - lit(1.0) / (a + b) +
+      lit(1.0) / c - lit(1.0) / (c + d))
+    agg.select(col("group_key"), col("a"), col("b"), col("c"), col("d"),
+      when(ok, Readout.pin(rr, 6)).as("rr"),
+      when(ok, Readout.pin(exp(log(rr) - lit(1.96) * se), 6)).as("rr_lo"),
+      when(ok, Readout.pin(exp(log(rr) + lit(1.96) * se), 6)).as("rr_hi"))
+      .orderBy("group_key")
+  }
 }

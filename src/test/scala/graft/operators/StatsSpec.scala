@@ -1015,4 +1015,32 @@ class StatsSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double], Long)].collect().head
     assert(tied._3.isEmpty, tied.toString)
   }
+
+  test("relativeRisk: hand 2x2 RR = 2 with Katz CI, zero cells NULL") {
+    // exposed: 10 events / 30 total; unexposed: 5 / 30 -> RR = 2
+    val rows =
+      (1 to 10).map(_ => ("g", true, true)) ++
+      (1 to 20).map(_ => ("g", true, false)) ++
+      (1 to 5).map(_ => ("g", false, true)) ++
+      (1 to 25).map(_ => ("g", false, false))
+    val got = Stats.relativeRisk(rows.toDF("g", "ex", "ev"),
+      "g", "ex", "ev")
+      .as[(String, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert((got._1, got._2, got._3, got._4, got._5) ==
+      (("g", 10L, 20L, 5L, 25L)))
+    assert(got._6 == Some(2.0), got.toString)
+    // se = sqrt(1/10 - 1/30 + 1/5 - 1/30) = sqrt(7/30)
+    val se = math.sqrt(7.0 / 30.0)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got._7 == Some(r6(math.exp(math.log(2.0) - 1.96 * se))))
+    assert(got._8 == Some(r6(math.exp(math.log(2.0) + 1.96 * se))))
+    // a = 0: ratio undefined -> NULLs, counts still reported
+    val zero = Stats.relativeRisk(Seq(("g", true, false),
+      ("g", false, true)).toDF("g", "ex", "ev"), "g", "ex", "ev")
+      .as[(String, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(zero._6.isEmpty && zero._7.isEmpty && zero._8.isEmpty)
+  }
 }
