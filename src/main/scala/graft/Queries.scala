@@ -11854,4 +11854,1013 @@ ORDER BY query_id"""
       t(s, dir, "embeddings"), "vec_id", "embedding",
       numCells = 16, width = 0.05)
   }
+
+  // ---------------------------------------------------------------------
+  // aq118_cliffs_delta — Cliff's ordinal effect size per event type
+  // (Stats.cliffsDelta): even-user cohort vs odd-user cohort on the
+  // event value; exact decimal pair counts over the per-group value
+  // grid, one pinned delta per group. The magnitude readout beside
+  // aq74's Mann–Whitney significance.
+  register(
+    "aq118_cliffs_delta",
+    """WITH pv AS (
+      |  SELECT event_type AS group_key, value AS v,
+      |    count(CASE WHEN user_id % 2 = 0 THEN 1 END)::bigint AS na,
+      |    count(CASE WHEN user_id % 2 != 0 THEN 1 END)::bigint AS nb
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+      |), c AS (
+      |  SELECT group_key, na, nb,
+      |    coalesce(sum(nb) OVER (PARTITION BY group_key ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0)::bigint AS cb
+      |  FROM pv
+      |)
+      |SELECT group_key, sum(na)::bigint AS n_a, sum(nb)::bigint AS n_b,
+      |  CASE WHEN sum(na) > 0 AND sum(nb) > 0 THEN
+      |    round((sum(na::hugeint * cb::hugeint)::double -
+      |      (sum(na)::hugeint * sum(nb)::hugeint -
+      |       sum(na::hugeint * (cb + nb)::hugeint))::double) /
+      |      (sum(na)::hugeint * sum(nb)::hugeint)::double, 6) + 0.0
+      |  END AS delta
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.cliffsDelta(
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), (col("user_id") % 2 === 0L).as("ca"),
+          col("value")),
+      "event_type", "ca", "value")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq119_jarque_bera — Jarque–Bera normality gate per event type
+  // (Stats.jarqueBera): skewness, excess kurtosis and JB from exact
+  // integer-cent power sums; one grouped aggregate, map-side partials.
+  register(
+    "aq119_jarque_bera",
+    """WITH q AS (
+      |  SELECT event_type AS group_key,
+      |    floor(value * 100.0)::hugeint AS vi
+      |  FROM events WHERE value IS NOT NULL
+      |), s AS (
+      |  SELECT group_key, count(*)::bigint AS n,
+      |    sum(vi) AS s1, sum(vi * vi) AS s2,
+      |    sum(vi * vi * vi) AS s3, sum(vi * vi * vi * vi) AS s4
+      |  FROM q GROUP BY 1
+      |), m AS (
+      |  SELECT group_key, n,
+      |    s1::double / n::double AS mu, s2::double / n::double AS r2,
+      |    s3::double / n::double AS r3, s4::double / n::double AS r4
+      |  FROM s
+      |), cm AS (
+      |  SELECT group_key, n,
+      |    r2 - mu * mu AS m2,
+      |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+      |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 -
+      |      3.0 * mu * mu * mu * mu AS m4
+      |  FROM m
+      |), g AS (
+      |  SELECT group_key, n, m2,
+      |    m3 / sqrt(m2 * m2 * m2) AS g1,
+      |    m4 / (m2 * m2) - 3.0 AS g2
+      |  FROM cm
+      |)
+      |SELECT group_key, n,
+      |  CASE WHEN n >= 2 AND m2 > 0.0
+      |    THEN round(g1, 6) + 0.0 END AS skewness,
+      |  CASE WHEN n >= 2 AND m2 > 0.0
+      |    THEN round(g2, 6) + 0.0 END AS kurtosis,
+      |  CASE WHEN n >= 2 AND m2 > 0.0 THEN
+      |    round(n::double / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6) + 0.0
+      |  END AS jb
+      |FROM g ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.jarqueBera(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      "event_type", "value")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq120_bartlett — Bartlett variance-homogeneity test across order
+  // priorities on o_totalprice (Stats.bartlett): per-group variances
+  // from exact integer-cent sums, cross-group terms rounded then
+  // decimal-summed (order-free), one pinned T.
+  register(
+    "aq120_bartlett",
+    """WITH q AS (
+      |  SELECT o_orderpriority AS g,
+      |    floor(o_totalprice::double * 100.0)::hugeint AS vi
+      |  FROM orders
+      |), s AS (
+      |  SELECT g, count(*)::bigint AS n, sum(vi) AS s1, sum(vi * vi) AS s2
+      |  FROM q GROUP BY 1 HAVING count(*) >= 2
+      |), v AS (
+      |  SELECT n,
+      |    (n::double * s2::double - s1::double * s1::double) /
+      |      (n::double * (n::double - 1.0)) / 10000.0 AS var
+      |  FROM s
+      |), t AS (
+      |  SELECT count(*)::bigint AS k, sum(n)::bigint AS n,
+      |    sum(round((n::double - 1.0) * var, 6)::decimal(38,6)) AS ssws,
+      |    sum(round((n::double - 1.0) * ln(var), 8)::decimal(38,8)) AS lnws,
+      |    sum(round(1.0 / (n::double - 1.0), 10)::decimal(38,10)) AS invs
+      |  FROM v WHERE var > 0.0
+      |)
+      |SELECT k, n,
+      |  CASE WHEN k >= 2 AND ssws::double / (n - k)::double > 0.0 THEN
+      |    round(((n - k)::double * ln(ssws::double / (n - k)::double) -
+      |        lnws::double) /
+      |      (1.0 + (invs::double - 1.0 / (n - k)::double) /
+      |        (3.0 * (k::double - 1.0))), 6) + 0.0
+      |  END AS t_stat,
+      |  (k - 1)::bigint AS df
+      |FROM t""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.bartlett(
+      t(s, dir, "orders"), "o_orderpriority", "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq121_page_trend — Page's ordered-trend test on the aq115 Friedman
+  // layout (Stats.pageTrend): does yearly revenue INCREASE across the
+  // priority tiers in their natural order; ×2-scaled exact mid-ranks,
+  // L from exact integers, one pinned z.
+  register(
+    "aq121_page_trend",
+    """WITH cells AS MATERIALIZED (
+      |  SELECT year(o_orderdate) AS b, o_orderpriority AS t,
+      |    sum(o_totalprice::decimal(18,4)) AS v
+      |  FROM orders GROUP BY 1, 2
+      |), kk AS (SELECT count(DISTINCT t)::bigint AS k FROM cells),
+      |complete AS MATERIALIZED (
+      |  SELECT c.b, c.t, c.v FROM cells c
+      |  JOIN (SELECT b, count(*)::bigint AS bk FROM cells GROUP BY 1) z
+      |    ON c.b = z.b
+      |  CROSS JOIN kk WHERE z.bk = kk.k
+      |), r2 AS (
+      |  SELECT x.b, x.t,
+      |    (2 * sum(CASE WHEN y.v < x.v THEN 1 ELSE 0 END) +
+      |     sum(CASE WHEN y.v = x.v THEN 1 ELSE 0 END) + 1)::bigint AS r2
+      |  FROM complete x JOIN complete y ON x.b = y.b
+      |  GROUP BY 1, 2
+      |), ord AS (
+      |  SELECT t, dense_rank() OVER (ORDER BY t)::bigint AS j
+      |  FROM (SELECT DISTINCT t FROM complete)
+      |), l2 AS (
+      |  SELECT coalesce(sum(j::hugeint * r2.r2::hugeint),
+      |    0::hugeint) AS l2
+      |  FROM r2 JOIN ord USING (t)
+      |), nb AS (
+      |  SELECT count(DISTINCT b)::bigint AS n_blocks FROM complete)
+      |SELECT k, n_blocks,
+      |  CASE WHEN n_blocks >= 1
+      |    THEN round(l2::double / 2.0, 1) END AS l_stat,
+      |  CASE WHEN k >= 2 AND n_blocks >= 1 THEN
+      |    round((l2::double / 2.0 -
+      |        n_blocks::double * k::double * (k::double + 1.0) *
+      |          (k::double + 1.0) / 4.0) /
+      |      sqrt(n_blocks::double * k::double * k::double *
+      |        (k::double + 1.0) * (k::double * k::double - 1.0) / 144.0),
+      |      6) + 0.0
+      |  END AS z
+      |FROM kk, nb, l2""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.pageTrend(
+      t(s, dir, "orders").select(year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority"), col("o_totalprice")),
+      "yr", "o_orderpriority", "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq122_odds_ratio — odds ratio + Woolf 95% CI per event type
+  // (Stats.oddsRatio): the margin-free 2×2 companion to aq117's
+  // relative risk, same cohort/outcome cells.
+  register(
+    "aq122_odds_ratio",
+    """WITH cells AS (
+      |  SELECT event_type AS group_key,
+      |    count(CASE WHEN user_id % 2 = 0 AND value >= 100 THEN 1 END)
+      |      ::bigint AS a,
+      |    count(CASE WHEN user_id % 2 = 0 AND NOT value >= 100 THEN 1 END)
+      |      ::bigint AS b,
+      |    count(CASE WHEN user_id % 2 != 0 AND value >= 100 THEN 1 END)
+      |      ::bigint AS c,
+      |    count(CASE WHEN user_id % 2 != 0 AND NOT value >= 100 THEN 1 END)
+      |      ::bigint AS d
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |)
+      |SELECT group_key, a, b, c, d,
+      |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+      |    round((a::double * d::double) / (b::double * c::double), 6) + 0.0
+      |  END AS odds_ratio,
+      |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+      |    round(exp(ln((a::double * d::double) / (b::double * c::double)) -
+      |      1.96 * sqrt(1.0 / a::double + 1.0 / b::double +
+      |                  1.0 / c::double + 1.0 / d::double)), 6) + 0.0
+      |  END AS or_lo,
+      |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+      |    round(exp(ln((a::double * d::double) / (b::double * c::double)) +
+      |      1.96 * sqrt(1.0 / a::double + 1.0 / b::double +
+      |                  1.0 / c::double + 1.0 / d::double)), 6) + 0.0
+      |  END AS or_hi
+      |FROM cells ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.oddsRatio(
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("user_id") % 2 === 0L).as("exposed"),
+          (col("value") >= 100.0).as("big")),
+      "event_type", "exposed", "big")
+  }
+
+  // ---------------------------------------------------------------------
+  // tq40_hellinger — pairwise Hellinger distance between per-source
+  // unigram distributions (TextAnalysis.hellinger): the bounded metric
+  // companion to tq29's JSD; 10dp √(p·q) addends decimal-summed over
+  // the SHARED vocab (inner align), 1−BC clamped before the √.
+  register(
+    "tq40_hellinger",
+    """WITH tk AS (
+      |  SELECT source AS g,
+      |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                            x -> x != '')) AS tok
+      |  FROM documents WHERE source IS NOT NULL
+      |), cnt AS (
+      |  SELECT g, tok, count(*)::bigint AS c FROM tk GROUP BY 1, 2
+      |), tot AS (SELECT g, sum(c)::bigint AS n FROM cnt GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+      |  FROM tot a JOIN tot b ON a.g < b.g
+      |), terms AS (
+      |  SELECT p.ga, p.gb,
+      |    round(sqrt((l.c::double / p.na) * (r.c::double / p.nb)),
+      |      10)::decimal(28,10) AS t
+      |  FROM pairs p
+      |  JOIN cnt l ON l.g = p.ga
+      |  JOIN cnt r ON r.g = p.gb AND r.tok = l.tok
+      |)
+      |SELECT p.ga AS group_a, p.gb AS group_b,
+      |  coalesce(ag.nc, 0)::bigint AS n_common,
+      |  round(coalesce(ag.bc, 0.0), 6) + 0.0 AS bc,
+      |  round(sqrt(CASE WHEN 1.0 - coalesce(ag.bc, 0.0) > 0.0
+      |    THEN 1.0 - coalesce(ag.bc, 0.0) ELSE 0.0 END), 6) + 0.0
+      |    AS hellinger
+      |FROM pairs p LEFT JOIN (
+      |  SELECT ga, gb, count(*)::bigint AS nc, sum(t)::double AS bc
+      |  FROM terms GROUP BY 1, 2) ag ON ag.ga = p.ga AND ag.gb = p.gb
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.hellinger(
+      t(s, dir, "documents"), "source", "text")
+  }
+
+  // ---------------------------------------------------------------------
+  // tq41_emd — pairwise 1-D earth mover's distance between per-source
+  // document-LENGTH distributions (TextAnalysis.emd1d): the
+  // value-axis-aware distribution distance (how far the mass moved, in
+  // tokens); exact cross-multiplied CDF gaps — no per-term float
+  // rounding anywhere, one pinned division per pair.
+  register(
+    "tq41_emd",
+    """WITH d AS (
+      |  SELECT source AS g,
+      |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        x -> x != ''))::bigint AS v
+      |  FROM documents WHERE source IS NOT NULL
+      |), cnt AS (
+      |  SELECT g, v, count(*)::bigint AS c FROM d GROUP BY 1, 2
+      |), tot AS (SELECT g, sum(c)::bigint AS n FROM cnt GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+      |  FROM tot a JOIN tot b ON a.g < b.g
+      |), u AS (
+      |  SELECT p.ga, p.gb, p.na, p.nb, c.v
+      |  FROM pairs p JOIN cnt c ON c.g = p.ga OR c.g = p.gb
+      |  GROUP BY 1, 2, 3, 4, 5
+      |), al AS (
+      |  SELECT u.ga, u.gb, u.na, u.nb, u.v,
+      |    coalesce(l.c, 0)::bigint AS ca, coalesce(r.c, 0)::bigint AS cb
+      |  FROM u
+      |  LEFT JOIN cnt l ON l.g = u.ga AND l.v = u.v
+      |  LEFT JOIN cnt r ON r.g = u.gb AND r.v = u.v
+      |), cum AS (
+      |  SELECT ga, gb, na, nb, v,
+      |    sum(ca) OVER (PARTITION BY ga, gb ORDER BY v) AS cuma,
+      |    sum(cb) OVER (PARTITION BY ga, gb ORDER BY v) AS cumb,
+      |    lead(v) OVER (PARTITION BY ga, gb ORDER BY v) AS nxt
+      |  FROM al
+      |)
+      |SELECT ga AS group_a, gb AS group_b,
+      |  max(na)::bigint AS n_a, max(nb)::bigint AS n_b,
+      |  round(sum(CASE WHEN nxt IS NOT NULL THEN
+      |      abs(cuma::hugeint * nb::hugeint - cumb::hugeint * na::hugeint)
+      |        * (nxt - v)::hugeint
+      |    ELSE 0::hugeint END)::double /
+      |    (max(na)::hugeint * max(nb)::hugeint)::double, 6) + 0.0 AS emd
+      |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.emd1d(
+      t(s, dir, "documents")
+        .select(col("source"),
+          size(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
+            .cast("long").as("len")),
+      "source", "len")
+  }
+
+  /** Shared DuckDB replay of the deterministic seed-IVF self-query
+    * (Similarity.ivfIndex + ivfTopK with the corpus as its own query
+    * set): CTE chain ending in `topk(query_id, neighbor_id, cosine,
+    * rank)` — the skeleton under sq27/sq28/sq29. 16 seed cells. */
+  private def ivfTopkCte(k: Int, nProbe: Int): String =
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), seeds AS (
+      |  SELECT vec_id AS cell_id, v AS sv, nrm AS snrm
+      |  FROM n ORDER BY vec_id LIMIT 16
+      |), scored AS (
+      |  SELECT n.vec_id, s.cell_id,
+      |         round(list_sum(list_transform(list_zip(n.v, s.sv),
+      |               p -> p[1] * p[2])) / (n.nrm * s.snrm), 4) AS sim
+      |  FROM n CROSS JOIN seeds s
+      |), assigned AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY sim DESC, cell_id) AS rk
+      |  FROM scored
+      |), cells AS MATERIALIZED (
+      |  SELECT vec_id, cell_id FROM assigned WHERE rk = 1
+      |), probes AS (
+      |  SELECT q.vec_id AS query_id, s.cell_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_sum(list_transform(list_zip(q.v, s.sv),
+      |                          p -> p[1] * p[2])) / (q.nrm * s.snrm), 4)
+      |                    DESC, s.cell_id) AS pr
+      |  FROM n q CROSS JOIN seeds s
+      |), cand AS (
+      |  SELECT p.query_id, c.vec_id AS neighbor_id
+      |  FROM probes p JOIN cells c USING (cell_id)
+      |  WHERE p.pr <= $nProbe AND c.vec_id != p.query_id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_sum(list_transform(list_zip(q.v, c.v),
+      |               p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) + 0.0 AS cosine
+      |  FROM cand
+      |  JOIN n q ON cand.query_id = q.vec_id
+      |  JOIN n c ON cand.neighbor_id = c.vec_id
+      |), topk AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM ranked
+      |  QUALIFY rank <= $k
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sq28_lid — local intrinsic dimensionality per vector from its 8
+  // IVF-bounded nearest neighbors (Similarity.lidScores): the per-point
+  // complexity score data-pruning recipes rank by; 10dp ln-ratio
+  // addends decimal-summed, zero distances excluded, one pinned MLE.
+  register(
+    "sq28_lid",
+    ivfTopkCte(k = 8, nProbe = 4) + """,
+      |d AS (SELECT query_id, 1.0 - cosine AS d FROM topk),
+      |dk AS (SELECT query_id, max(d) AS dk FROM d GROUP BY 1),
+      |t AS (
+      |  SELECT d.query_id, round(ln(d.d / dk.dk), 10)::decimal(28,10) AS t
+      |  FROM d JOIN dk USING (query_id)
+      |  WHERE d.d > 0.0 AND dk.dk > 0.0
+      |)
+      |SELECT query_id AS vec_id, count(*)::bigint AS k_eff,
+      |  CASE WHEN sum(t)::double < 0.0 THEN
+      |    round(-(count(*)::double) / sum(t)::double, 6) + 0.0 END AS lid
+      |FROM t GROUP BY 1 ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Similarity.lidScores(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      numCells = 16, nProbe = 4, k = 8)
+  }
+
+  // ---------------------------------------------------------------------
+  // sq29_hubness — corpus hubness profile under 5-NN
+  // (Similarity.hubnessProfile): the k-occurrence distribution N_k with
+  // its skewness and the hub/antihub census — the "are a few vectors in
+  // everyone's neighbor list" audit behind every kNN-based stage; exact
+  // integer power sums, one pinned skewness.
+  register(
+    "sq29_hubness",
+    ivfTopkCte(k = 5, nProbe = 4) + """,
+      |occ AS (
+      |  SELECT neighbor_id AS id, count(*)::bigint AS nk
+      |  FROM topk GROUP BY 1
+      |), nk AS (
+      |  SELECT e.vec_id, coalesce(o.nk, 0)::bigint AS nk
+      |  FROM e LEFT JOIN occ o ON o.id = e.vec_id
+      |), s AS (
+      |  SELECT count(*)::bigint AS n,
+      |    sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END)::bigint AS n_antihubs,
+      |    sum(CASE WHEN nk >= 10 THEN 1 ELSE 0 END)::bigint AS n_hubs,
+      |    sum(nk::hugeint) AS s1, sum(nk::hugeint * nk::hugeint) AS s2,
+      |    sum(nk::hugeint * nk::hugeint * nk::hugeint) AS s3
+      |  FROM nk
+      |), m AS (
+      |  SELECT n, n_antihubs, n_hubs,
+      |    s1::double / n::double AS mu, s2::double / n::double AS r2,
+      |    s3::double / n::double AS r3
+      |  FROM s
+      |)
+      |SELECT n, 5::bigint AS k, n_antihubs, n_hubs,
+      |  round(mu, 6) + 0.0 AS mean_nk,
+      |  CASE WHEN n >= 2 AND r2 - mu * mu > 0.0 THEN
+      |    round((r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu) /
+      |      sqrt((r2 - mu * mu) * (r2 - mu * mu) * (r2 - mu * mu)),
+      |      6) + 0.0
+      |  END AS skew_nk
+      |FROM m""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Similarity.hubnessProfile(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      numCells = 16, nProbe = 4, k = 5)
+  }
+
+  // ---------------------------------------------------------------------
+  // st19_token_registry — continuous-ingestion vocabulary count
+  // registry (streaming.Registries.incrementalTokenCounts): 3
+  // micro-batches of documents tokenize and merge additively into the
+  // token→count table through batch-pruned commits under the
+  // per-stream txn replay map; the heavy-hitter readout is an exact
+  // TakeOrdered over the registry. The final registry equals the
+  // one-shot token count for any batch split — the oracle.
+  register(
+    "st19_token_registry",
+    """WITH tk AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+      |    '\s+'), x -> x != '')) AS token
+      |  FROM documents
+      |)
+      |SELECT token, count(*)::bigint AS n
+      |FROM tk GROUP BY 1
+      |ORDER BY n DESC, token LIMIT 25""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    val tmp = scratchDir("st19")
+    t(s, dir, "documents").select("text")
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    val stream = graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1)
+    graft.streaming.Registries.incrementalTokenCounts(
+      stream, "text", store, "tok", "st19", s"$tmp/ckpt")
+      .awaitTermination()
+    store.read("tok")
+      .orderBy(col("n").desc, col("key"))
+      .limit(25)
+      .select(col("key").as("token"), col("n"))
+  }}
+
+  // ---------------------------------------------------------------------
+  // q53_restore — RESTORE VERSION AS OF (ResultStore.restoreVersion):
+  // three committed generations of a priced-parts table, then a
+  // forward-moving restore to generation 1 — the restored state gets
+  // its OWN new version (hard-linked, zero copy) while the undone
+  // intermediate generations stay readable within retention. The
+  // readout proves both: the current table equals generation 1's
+  // state, and generation 3 is still intact behind it. The oracle
+  // recomputes both states from the part table directly.
+  register(
+    "q53_restore",
+    """WITH base AS (
+      |  SELECT p_partkey, p_retailprice::decimal(18,4) AS price FROM part
+      |), g3 AS (
+      |  SELECT p_partkey,
+      |    CASE WHEN p_partkey <= 80 THEN price + 100 ELSE price END AS price
+      |  FROM base
+      |)
+      |SELECT 'pre_restore' AS state, count(*)::bigint AS n,
+      |  round(sum(price)::double, 2) AS total FROM g3
+      |UNION ALL
+      |SELECT 'restored', count(*)::bigint, round(sum(price)::double, 2)
+      |FROM base
+      |ORDER BY state""".stripMargin
+  ) { (s, dir) =>
+    val tmp = scratchDir("q53")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    s.conf.set("spark.graft.store.retainVersions", "4")
+    try {
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("decimal(18,4)").as("price"))
+      store.upsertPruned("tbl",
+        parts.repartitionByRange(4, col("p_partkey")), "p_partkey")
+      store.upsertPruned("tbl",
+        parts.filter(col("p_partkey") <= 40L)
+          .withColumn("price", col("price") + lit(10L)), "p_partkey")
+      store.upsertPruned("tbl",
+        parts.filter(col("p_partkey") <= 80L)
+          .withColumn("price", col("price") + lit(100L)), "p_partkey")
+      val gens = store.versions("tbl").sorted // oldest first
+      val preRestore = store.readVersion("tbl", gens.last)
+      store.restoreVersion("tbl", gens.head)
+      // generation 3 must survive the restore (readable history) and
+      // the CURRENT table must equal generation 1's state
+      preRestore.agg(count(lit(1)).as("n"),
+          round(sum(col("price")).cast("double"), 2).as("total"))
+        .select(lit("pre_restore").as("state"), col("n"), col("total"))
+        .unionByName(store.read("tbl")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("price")).cast("double"), 2).as("total"))
+          .select(lit("restored").as("state"), col("n"), col("total")))
+        .orderBy("state")
+    } finally s.conf.unset("spark.graft.store.retainVersions")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq123_ljung_box — Ljung–Box portmanteau whiteness test per event
+  // type over the time-ordered value series (Stats.ljungBox, lags
+  // 1..3): the whole-spectrum companion to aq111's lag-1 readout. The
+  // mean never materializes — r_j is an exact-integer ratio via the
+  // n²-scaled identity; ranks ride groupedRank, each lag is one
+  // (group, rank+j) equi-join.
+  register(
+    "aq123_ljung_box",
+    """WITH base AS (
+      |  SELECT event_type AS g, epoch_us(ts) AS ts_us, event_id,
+      |    (round(value, 4)::decimal(18,4) * 10000)::bigint AS vu
+      |  FROM events WHERE value IS NOT NULL
+      |), rk AS (
+      |  SELECT g, vu,
+      |    row_number() OVER (PARTITION BY g ORDER BY ts_us, event_id) AS r
+      |  FROM base
+      |), s AS (
+      |  SELECT g, count(*)::bigint AS n, sum(vu::hugeint) AS s1,
+      |    sum(vu::hugeint * vu::hugeint) AS s2
+      |  FROM rk GROUP BY 1
+      |), tr AS (
+      |  SELECT rk.g,
+      |    sum(CASE WHEN r <= 1 THEN vu::hugeint ELSE 0::hugeint END) AS h1,
+      |    sum(CASE WHEN r <= 2 THEN vu::hugeint ELSE 0::hugeint END) AS h2,
+      |    sum(CASE WHEN r <= 3 THEN vu::hugeint ELSE 0::hugeint END) AS h3,
+      |    sum(CASE WHEN r > s.n - 1 THEN vu::hugeint
+      |        ELSE 0::hugeint END) AS t1,
+      |    sum(CASE WHEN r > s.n - 2 THEN vu::hugeint
+      |        ELSE 0::hugeint END) AS t2,
+      |    sum(CASE WHEN r > s.n - 3 THEN vu::hugeint
+      |        ELSE 0::hugeint END) AS t3
+      |  FROM rk JOIN s ON rk.g = s.g GROUP BY 1
+      |), x1 AS (
+      |  SELECT a.g, sum(a.vu::hugeint * b.vu::hugeint) AS x
+      |  FROM rk a JOIN rk b ON a.g = b.g AND b.r = a.r + 1 GROUP BY 1
+      |), x2 AS (
+      |  SELECT a.g, sum(a.vu::hugeint * b.vu::hugeint) AS x
+      |  FROM rk a JOIN rk b ON a.g = b.g AND b.r = a.r + 2 GROUP BY 1
+      |), x3 AS (
+      |  SELECT a.g, sum(a.vu::hugeint * b.vu::hugeint) AS x
+      |  FROM rk a JOIN rk b ON a.g = b.g AND b.r = a.r + 3 GROUP BY 1
+      |), rr AS (
+      |  SELECT s.g, s.n,
+      |    (s.n::hugeint * (s.n::hugeint * s.s2 - s.s1 * s.s1)) AS den,
+      |    (s.n::hugeint * s.n::hugeint * coalesce(x1.x, 0::hugeint) -
+      |     s.n::hugeint * s.s1 * ((s.s1 - tr.t1) + (s.s1 - tr.h1)) +
+      |     (s.n - 1)::hugeint * s.s1 * s.s1) AS num1,
+      |    (s.n::hugeint * s.n::hugeint * coalesce(x2.x, 0::hugeint) -
+      |     s.n::hugeint * s.s1 * ((s.s1 - tr.t2) + (s.s1 - tr.h2)) +
+      |     (s.n - 2)::hugeint * s.s1 * s.s1) AS num2,
+      |    (s.n::hugeint * s.n::hugeint * coalesce(x3.x, 0::hugeint) -
+      |     s.n::hugeint * s.s1 * ((s.s1 - tr.t3) + (s.s1 - tr.h3)) +
+      |     (s.n - 3)::hugeint * s.s1 * s.s1) AS num3
+      |  FROM s JOIN tr ON s.g = tr.g
+      |  LEFT JOIN x1 ON s.g = x1.g
+      |  LEFT JOIN x2 ON s.g = x2.g
+      |  LEFT JOIN x3 ON s.g = x3.g
+      |), rv AS (
+      |  SELECT g, n,
+      |    CASE WHEN n > 1 AND den::double > 0.0
+      |      THEN num1::double / den::double END AS r1,
+      |    CASE WHEN n > 2 AND den::double > 0.0
+      |      THEN num2::double / den::double END AS r2,
+      |    CASE WHEN n > 3 AND den::double > 0.0
+      |      THEN num3::double / den::double END AS r3,
+      |    den FROM rr
+      |)
+      |SELECT g AS group_key, n,
+      |  CASE WHEN r1 IS NOT NULL THEN round(r1, 6) + 0.0 END AS r1,
+      |  CASE WHEN r2 IS NOT NULL THEN round(r2, 6) + 0.0 END AS r2,
+      |  CASE WHEN r3 IS NOT NULL THEN round(r3, 6) + 0.0 END AS r3,
+      |  CASE WHEN n > 3 AND den::double > 0.0 THEN
+      |    round(n::double * (n::double + 2.0) *
+      |      (r1 * r1 / (n::double - 1.0) + r2 * r2 / (n::double - 2.0) +
+      |       r3 * r3 / (n::double - 3.0)), 6) + 0.0
+      |  END AS lb,
+      |  3::bigint AS df
+      |FROM rv ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.ljungBox(
+      t(s, dir, "events").select(col("event_type"),
+        (expr("cast(unix_micros(ts) as decimal(19,0))") *
+          expr("cast('10000000000000000000' as decimal(20,0))") +
+          col("event_id").cast("decimal(38,0)")).as("o"),
+        col("value").as("v")),
+      "event_type", "o", "v", maxLag = 3)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq124_cronbach — Cronbach's alpha over the year × priority revenue
+  // grid (Stats.cronbachAlpha): do the five priority tiers move
+  // together across years (one underlying demand trait) or
+  // independently; exact 10⁻⁴-unit cell scores, 6dp decimal-summed
+  // per-item variances, complete subjects only.
+  register(
+    "aq124_cronbach",
+    """WITH cells AS MATERIALIZED (
+      |  SELECT year(o_orderdate) AS s, o_orderpriority AS i,
+      |    (sum(o_totalprice::decimal(18,4)) * 10000)::hugeint AS c
+      |  FROM orders GROUP BY 1, 2
+      |), kk AS (SELECT count(DISTINCT i)::bigint AS k FROM cells),
+      |complete AS MATERIALIZED (
+      |  SELECT c.s, c.i, c.c FROM cells c
+      |  JOIN (SELECT s, count(*)::bigint AS sk FROM cells GROUP BY 1) z
+      |    ON c.s = z.s
+      |  CROSS JOIN kk WHERE z.sk = kk.k
+      |), nf AS (
+      |  SELECT count(DISTINCT s)::bigint AS n_subjects FROM complete),
+      |iv AS (
+      |  SELECT sum(round((n::double * s2::double - s1::double * s1::double)
+      |      / (n::double * (n::double - 1.0)), 6)::decimal(38,6)) AS svi
+      |  FROM (SELECT i, count(*)::bigint AS n, sum(c) AS s1,
+      |          sum(c * c) AS s2
+      |        FROM complete GROUP BY 1)
+      |), tv AS (
+      |  SELECT count(*)::bigint AS nt, sum(t) AS t1, sum(t * t) AS t2
+      |  FROM (SELECT s, sum(c) AS t FROM complete GROUP BY 1)
+      |)
+      |SELECT k, n_subjects,
+      |  CASE WHEN k >= 2 AND n_subjects >= 2 AND
+      |    (nt::double * t2::double - t1::double * t1::double) /
+      |      (nt::double * (nt::double - 1.0)) > 0.0 THEN
+      |    round(k::double / (k::double - 1.0) * (1.0 - svi::double /
+      |      ((nt::double * t2::double - t1::double * t1::double) /
+      |       (nt::double * (nt::double - 1.0)))), 6) + 0.0
+      |  END AS alpha
+      |FROM kk, nf, tv, iv""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.cronbachAlpha(
+      t(s, dir, "orders").select(year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority"), col("o_totalprice")),
+      "yr", "o_orderpriority", "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq125_mood_median — Mood's median test of event value across event
+  // types (Stats.moodMedian): the outlier-proof location test — above/
+  // below the POOLED median (exact ties dropped), then the aq75 χ²
+  // machinery on the group × side table.
+  register(
+    "aq125_mood_median",
+    """WITH base AS (
+      |  SELECT event_type AS g, value::double AS v FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |), med AS (SELECT quantile_cont(v, 0.5) AS m FROM base),
+      |cells AS (
+      |  SELECT g AS r,
+      |    CASE WHEN v > (SELECT m FROM med) THEN 'above'
+      |         WHEN v < (SELECT m FROM med) THEN 'below' END AS c,
+      |    count(*)::bigint AS o
+      |  FROM base
+      |  WHERE v != (SELECT m FROM med)
+      |  GROUP BY 1, 2
+      |), rt AS (SELECT r, sum(o)::bigint AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT c, sum(o)::bigint AS ct FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(o)::bigint AS n, count(DISTINCT r)::bigint AS nr,
+      |               count(DISTINCT c)::bigint AS nc FROM cells),
+      |terms AS (
+      |  SELECT n, nr, nc,
+      |         round((coalesce(o, 0)::double - (rt * ct)::double / n::double) *
+      |               (coalesce(o, 0)::double - (rt * ct)::double / n::double) /
+      |               ((rt * ct)::double / n::double), 6)::decimal(18,6) AS term
+      |  FROM rt CROSS JOIN ct LEFT JOIN cells USING (r, c) CROSS JOIN tot
+      |)
+      |SELECT n, nr AS n_rows, nc AS n_cols,
+      |       ((nr - 1) * (nc - 1))::bigint AS dof,
+      |       sum(term)::double AS chi2,
+      |       CASE WHEN (nr - 1) * (nc - 1) > 0 THEN
+      |         round(sqrt(sum(term)::double /
+      |           (n::double * least(nr - 1, nc - 1)::double)), 6)
+      |       END AS cramers_v
+      |FROM terms
+      |GROUP BY n, nr, nc""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.moodMedian(
+      t(s, dir, "events").select(col("event_type"), col("value")),
+      "event_type", "value")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq126_tost — TOST equivalence of the even/odd user cohorts on the
+  // event value, margin δ = 5 (Stats.tostEquivalence): the A/A-check
+  // readout — absence of significance is not equivalence, two one-sided
+  // tests are; abTest sufficient statistics, one driver z-critical
+  // literal shared with the oracle.
+  register(
+    "aq126_tost",
+    s"""WITH s AS (
+      |  SELECT event_type,
+      |    count(CASE WHEN user_id % 2 = 0 THEN value END)::bigint AS n_a,
+      |    count(CASE WHEN user_id % 2 = 1 THEN value END)::bigint AS n_b,
+      |    sum(CASE WHEN user_id % 2 = 0
+      |        THEN CAST(value AS DECIMAL(18,4)) END) AS sv_a,
+      |    sum(CASE WHEN user_id % 2 = 1
+      |        THEN CAST(value AS DECIMAL(18,4)) END) AS sv_b,
+      |    sum(CASE WHEN user_id % 2 = 0
+      |        THEN round(value * value, 8)::decimal(28,8) END) AS ss_a,
+      |    sum(CASE WHEN user_id % 2 = 1
+      |        THEN round(value * value, 8)::decimal(28,8) END) AS ss_b
+      |  FROM events GROUP BY 1
+      |), mm AS (
+      |  SELECT event_type, n_a, n_b,
+      |    sv_a::double / n_a AS ma, sv_b::double / n_b AS mb,
+      |    (ss_a::double - n_a * (sv_a::double / n_a)
+      |        * (sv_a::double / n_a)) / (n_a - 1) / n_a AS va,
+      |    (ss_b::double - n_b * (sv_b::double / n_b)
+      |        * (sv_b::double / n_b)) / (n_b - 1) / n_b AS vb
+      |  FROM s
+      |), z AS (
+      |  SELECT event_type AS group_key, n_a, n_b,
+      |    round(ma - mb, 6) + 0.0 AS diff,
+      |    CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0.0 THEN
+      |      round(((ma - mb) + 5.0) / sqrt(va + vb), 4) + 0.0 END AS z_lo,
+      |    CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0.0 THEN
+      |      round((5.0 - (ma - mb)) / sqrt(va + vb), 4) + 0.0 END AS z_hi
+      |  FROM mm
+      |)
+      |SELECT group_key, n_a, n_b, diff, z_lo, z_hi,
+      |  CASE WHEN z_lo IS NOT NULL THEN
+      |    z_lo > ${graft.operators.Stats.tostZCrit} AND
+      |    z_hi > ${graft.operators.Stats.tostZCrit}
+      |  END AS equivalent
+      |FROM z ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.tostEquivalence(
+      t(s, dir, "events").withColumnRenamed("event_type", "group_key"),
+      "value", col("user_id") % 2 === 0L, Seq("group_key"), margin = 5.0)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq127_horvitz_thompson — Horvitz–Thompson token-total estimation
+  // per source over the aq18 quality-weighted draw
+  // (Sampling.horvitzThompson): Σ y/π over the kept rows + the Poisson
+  // variance, reported beside the exact totals — the live audit of
+  // "could the sample have replaced the full scan".
+  register(
+    "aq127_horvitz_thompson",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         length(text)::double AS n_chars,
+      |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+      |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, source, n_chars, n_punct, n_digit, len(toks) AS y,
+      |         CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','that','it'], x)))::double / len(toks) END AS stop_ratio,
+      |         CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE list_sum(list_transform(toks, x -> len(x)::double)) / len(toks) END AS mtl
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id, source, y,
+      |         round(greatest(0.0, least(1.0,
+      |           0.4 * least(stop_ratio * 5, 1.0)
+      |           + 0.3 * (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.0 END)
+      |           + 0.3 * (1.0 - least(((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END)
+      |                                + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_digit / n_chars END)) * 5, 1.0)))), 4) AS pi
+      |  FROM m
+      |), kept AS (
+      |  SELECT source, count(*)::bigint AS n_kept,
+      |    sum(round(y::double / pi, 6)::decimal(28,6)) AS ht,
+      |    sum(round((1.0 - pi) / (pi * pi) * y::double * y::double,
+      |        6)::decimal(28,6)) AS hv
+      |  FROM q
+      |  WHERE (('0x' || substr(md5('htsamp' || doc_id::varchar), 1, 8))::bigint
+      |          % 1000000)::double / 1e6 < pi
+      |  GROUP BY 1
+      |), tot AS (
+      |  SELECT source, count(*)::bigint AS n_total,
+      |    sum(y::decimal(18,4)) AS at FROM q GROUP BY 1
+      |)
+      |SELECT t.source AS source, n_total,
+      |  coalesce(n_kept, 0)::bigint AS n_kept,
+      |  round(at::double, 2) AS actual_total,
+      |  CASE WHEN n_kept > 0 THEN round(ht::double, 2) + 0.0 END AS ht_total,
+      |  CASE WHEN n_kept > 0 THEN
+      |    round(sqrt(greatest(hv::double, 0.0)), 2) + 0.0 END AS ht_se
+      |FROM tot t LEFT JOIN kept k ON t.source = k.source
+      |ORDER BY t.source""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.TextFunctions.{qualityScore, tokenCount}
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      tokenCount(col("text")).as("y"),
+      round(qualityScore(col("text")), 4).as("pi"))
+    graft.operators.Sampling.horvitzThompson(
+      scored, "source", "doc_id", "htsamp", col("pi"), "y")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq128_seasonal_mk — seasonal Mann–Kendall per event type over the
+  // daily series with day-of-week seasons (Stats.seasonalMannKendall):
+  // plain MK reads the weekly cycle as noise; pairs compare only
+  // within a season and the per-season S/variances add.
+  register(
+    "aq128_seasonal_mk",
+    """WITH s AS (
+      |  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS t,
+      |         (epoch_us(ts) // 86400000000) % 7 AS season,
+      |         count(*)::bigint AS y
+      |  FROM events GROUP BY 1, 2, 3
+      |), p AS (
+      |  SELECT i.key,
+      |         sum(CASE WHEN j.y > i.y THEN 1
+      |                  WHEN j.y < i.y THEN -1 ELSE 0 END)::bigint AS s_stat
+      |  FROM s i JOIN s j
+      |    ON i.key = j.key AND i.season = j.season AND i.t < j.t
+      |  GROUP BY 1
+      |), ps AS (
+      |  SELECT key, season, sum(tc)::bigint AS ns,
+      |         sum(tc::hugeint * (tc - 1)::hugeint *
+      |             (2 * tc + 5)::hugeint) AS tt
+      |  FROM (SELECT key, season, y, count(*)::bigint AS tc
+      |        FROM s GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT key, sum(ns)::bigint AS n, count(*)::bigint AS n_seasons,
+      |         sum(ns::hugeint * (ns - 1)::hugeint * (2 * ns + 5)::hugeint
+      |             - tt) AS var18
+      |  FROM ps GROUP BY 1
+      |), zt AS (
+      |  SELECT agg.key AS key, n, n_seasons,
+      |         coalesce(s_stat, 0)::bigint AS s_stat,
+      |         CASE WHEN var18 <= 0 THEN NULL
+      |              WHEN coalesce(s_stat, 0) > 0 THEN
+      |                round((coalesce(s_stat, 0) - 1)::double /
+      |                      sqrt(var18::double / 18.0), 6)
+      |              WHEN coalesce(s_stat, 0) < 0 THEN
+      |                round((coalesce(s_stat, 0) + 1)::double /
+      |                      sqrt(var18::double / 18.0), 6)
+      |              ELSE 0.0 END + 0.0 AS z
+      |  FROM agg LEFT JOIN p ON agg.key = p.key
+      |)
+      |SELECT key, n, n_seasons, s_stat, z,
+      |       CASE WHEN z IS NULL THEN NULL
+      |            WHEN z > 1.96 THEN 'increasing'
+      |            WHEN z < -1.96 THEN 'decreasing'
+      |            ELSE 'none' END AS trend
+      |FROM zt
+      |ORDER BY key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.seasonalMannKendall(
+      t(s, dir, "events")
+        .select(col("event_type").as("key"),
+          expr("unix_micros(ts) div 86400000000").as("t"),
+          expr("(unix_micros(ts) div 86400000000) % 7").as("season"))
+        .groupBy("key", "t", "season").agg(count(lit(1)).as("y")),
+      "key", "season", "t", "y")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq129_cohens_h — Cohen's h proportion effect size per event type
+  // (Stats.cohensH): the arcsine-stabilized magnitude beside aq95's
+  // two-proportion z, same cohort/outcome cells as aq117/aq122.
+  register(
+    "aq129_cohens_h",
+    """WITH cells AS (
+      |  SELECT event_type AS group_key,
+      |    count(CASE WHEN user_id % 2 = 0 THEN 1 END)::bigint AS n_a,
+      |    count(CASE WHEN user_id % 2 != 0 THEN 1 END)::bigint AS n_b,
+      |    count(CASE WHEN user_id % 2 = 0 AND value >= 100 THEN 1 END)
+      |      ::bigint AS ka,
+      |    count(CASE WHEN user_id % 2 != 0 AND value >= 100 THEN 1 END)
+      |      ::bigint AS kb
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |)
+      |SELECT group_key, n_a, n_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    round(ka::double / n_a::double, 6) + 0.0 END AS p_a,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    round(kb::double / n_b::double, 6) + 0.0 END AS p_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    round(2.0 * asin(sqrt(ka::double / n_a::double)) -
+      |          2.0 * asin(sqrt(kb::double / n_b::double)), 6) + 0.0
+      |  END AS h
+      |FROM cells ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.cohensH(
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("user_id") % 2 === 0L).as("ca"),
+          (col("value") >= 100.0).as("big")),
+      "event_type", "ca", "big")
+  }
+
+  // ---------------------------------------------------------------------
+  // sq31_ndcg — NDCG@5 of the seed-IVF ranking against the exact one
+  // (Similarity.ndcgAtK over sq16's two deterministic rankings): the
+  // graded index-quality number — getting the TOP exact neighbors
+  // right and early is worth more than recall's flat count; shared
+  // ln2 / IDCG driver literals in both plans.
+  register(
+    "sq31_ndcg",
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), brute AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+      |                   p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) DESC,
+      |                 c.vec_id) AS rank
+      |    FROM n q JOIN n c ON q.vec_id != c.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rank <= 5
+      |), seeds AS (
+      |  SELECT vec_id AS cell_id, v AS sv, nrm AS snrm
+      |  FROM n ORDER BY vec_id LIMIT 16
+      |), cells AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT n.vec_id, s.cell_id,
+      |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |             round(list_sum(list_transform(list_zip(n.v, s.sv),
+      |                   p -> p[1] * p[2])) / (n.nrm * s.snrm), 4) DESC,
+      |                 s.cell_id) AS rk
+      |    FROM n CROSS JOIN seeds s)
+      |  WHERE rk = 1
+      |), probes AS (
+      |  SELECT q.vec_id AS query_id, s.cell_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_sum(list_transform(list_zip(q.v, s.sv),
+      |                 p -> p[1] * p[2])) / (q.nrm * s.snrm), 4) DESC,
+      |               s.cell_id) AS pr
+      |  FROM n q CROSS JOIN seeds s
+      |  WHERE q.vec_id < 10
+      |), ivf AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT cand.query_id, cand.neighbor_id,
+      |           row_number() OVER (PARTITION BY cand.query_id
+      |             ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+      |                   p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) DESC,
+      |                 cand.neighbor_id) AS rank
+      |    FROM (
+      |      SELECT p.query_id, cl.vec_id AS neighbor_id
+      |      FROM probes p JOIN cells cl USING (cell_id)
+      |      WHERE p.pr <= 4 AND cl.vec_id != p.query_id) cand
+      |    JOIN n q ON cand.query_id = q.vec_id
+      |    JOIN n c ON cand.neighbor_id = c.vec_id)
+      |  WHERE rank <= 5
+      |), terms AS (
+      |  SELECT i.query_id,
+      |    round(coalesce(6 - b.rank, 0)::double /
+      |      (ln(i.rank + 1.0) / ${graft.operators.Similarity.Ln2}),
+      |      8)::decimal(28,8) AS t,
+      |    CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM ivf i LEFT JOIN brute b
+      |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+      |), agg AS (
+      |  SELECT query_id, sum(hit)::bigint AS n_hits, sum(t) AS dcg
+      |  FROM terms GROUP BY 1
+      |)
+      |SELECT q.query_id,
+      |  coalesce(a.n_hits, 0)::bigint AS n_hits,
+      |  round(coalesce(a.dcg, 0::decimal(28,8))::double /
+      |    ${graft.operators.Similarity.idcgAtK(5)}, 6) + 0.0 AS ndcg
+      |FROM (SELECT DISTINCT query_id FROM brute) q
+      |LEFT JOIN agg a USING (query_id)
+      |ORDER BY query_id""".stripMargin
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val index = graft.operators.Similarity.ivfIndex(
+      emb, "vec_id", "embedding", numCells = 16)
+    val ann = graft.operators.Similarity.ivfTopK(index, queries,
+      "vec_id", "embedding", numCells = 16, nProbe = 4, k = 5)
+    val exact = graft.operators.Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5)
+    graft.operators.Similarity.ndcgAtK(ann, exact, k = 5)
+  }
+
+  // ---------------------------------------------------------------------
+  // sq30_davies_bouldin — Davies–Bouldin cluster-validity index over
+  // the SAME deterministic Lloyd trajectory as aq33/sq14
+  // (Clustering.daviesBouldin): per-cell scatter vs worst-neighbor
+  // separation; the oracle reuses the unrolled rounds with the
+  // scatter/separation tail.
+  register(
+    "sq30_davies_bouldin",
+    graft.operators.Clustering.dbOracleSql(8, 2)
+  ) { (s, dir) =>
+    graft.operators.Clustering.daviesBouldin(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+  }
 }

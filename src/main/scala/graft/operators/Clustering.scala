@@ -150,6 +150,108 @@ object Clustering {
       .orderBy("cell_id")
   }
 
+  /** Davies–Bouldin index (Davies & Bouldin 1979) over the SAME
+    * deterministic trajectory as [[kmeansCellStats]] — the
+    * scatter-vs-separation cluster-validity readout ([[cellQuality]]
+    * measures cohesion per cell; DB asks the harder "is each cluster
+    * also FAR from its most confusable neighbor"):
+    *
+    *   S_i = avg distance of members to centroid i (1 − cosine),
+    *   M_ij = 1 − cos(c_i, c_j),   R_ij = (S_i + S_j) / M_ij,
+    *   DB = (1/k)·Σ_i max_{j≠i} R_ij   — lower is better.
+    *
+    * Determinism contract: member distances are exact 4dp decimals
+    * (1 − the pinned assignment cosine, decimal-summed — the
+    * [[cellQuality]] discipline) with S_i rounded to 6dp; centroid
+    * distances are driver-computed on the k×dim codebook with the
+    * SAME sequential dot/norm order and 4dp rounding the oracle's
+    * list_sum replay uses; per-cell maxima round to 8dp and
+    * decimal-sum (cell order differs between engines). Coincident
+    * centroids (M ≤ 0 at 4dp) are excluded pairwise — their R is
+    * unbounded by construction; a cell left with no valid pair drops
+    * from the average. Empty cells have no S and drop too (standard).
+    *
+    * Scale shape: the fit is [[lloydFit]] (bounded aggregates); the
+    * readout adds one map-side argmax projection, a k-ary aggregate,
+    * and k²-sized broadcast frames — nothing else moves. Returns ONE
+    * row `(n_cells, db_index)`. */
+  def daviesBouldin(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (base, cents) = lloydFit(corpus, idCol, vecCol, k, iters)
+    val scat = Lineage.cutLocal(base
+      .select(Similarity.cosineArgmaxCellWithSim(col("v"), cents).as("b"))
+      .select(col("b.cell_id").as("cell_id"), col("b.sim").as("sim"))
+      .groupBy("cell_id")
+      .agg(round(sum((lit(1.0) - col("sim")).cast("decimal(18,4)"))
+        .cast("double") / count(lit(1)), 6).as("__s")))
+    // centroid-pair distances on the driver codebook — the same
+    // sequential dot/norm/round order as the oracle's list_sum replay
+    def norm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val ms = for {
+      (ci, vi) <- cents; (cj, vj) <- cents if ci < cj
+    } yield (ci, cj, 1.0 - BigDecimal(dot(vi, vj) / (norm(vi) * norm(vj)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val m = broadcast(ms.toDF("__ci", "__cj", "__m"))
+    scat.as("x").join(scat.as("y"),
+        col("x.cell_id") =!= col("y.cell_id"))
+      .join(m,
+        least(col("x.cell_id"), col("y.cell_id")) === col("__ci") &&
+          greatest(col("x.cell_id"), col("y.cell_id")) === col("__cj"))
+      .filter(col("__m") > 0.0)
+      .groupBy(col("x.cell_id").as("__cell"))
+      .agg(max((col("x.__s") + col("y.__s")) / col("__m")).as("__d"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(round(col("__d"), 8).cast("decimal(28,8)")).as("__ds"))
+      .select(col("n_cells"),
+        when(col("n_cells") > 0L,
+          Readout.pin(col("__ds").cast("double") /
+            col("n_cells").cast("double"), 6)).as("db_index"))
+  }
+
+  /** DuckDB replay of [[daviesBouldin]] — same unrolled trajectory,
+    * the scatter/separation tail. */
+  def dbOracleSql(k: Int, iters: Int): String =
+    trajectorySql(k, iters) + s""",
+      |scat AS (
+      |  SELECT cell_id, count(*)::bigint AS n,
+      |    round(sum((1.0 - sim)::decimal(18,4))::double / count(*), 6)
+      |      AS s
+      |  FROM af GROUP BY 1
+      |), cm AS (
+      |  SELECT a.cell_id AS ci, b.cell_id AS cj,
+      |    1.0 - round(list_sum(list_transform(list_zip(a.cv, b.cv),
+      |          p -> p[1] * p[2])) / (a.cn * b.cn), 4) AS m
+      |  FROM c$iters a JOIN c$iters b ON a.cell_id < b.cell_id
+      |), r AS (
+      |  SELECT x.cell_id, max((x.s + y.s) / cm.m) AS d
+      |  FROM scat x JOIN scat y ON x.cell_id != y.cell_id
+      |  JOIN cm ON cm.ci = least(x.cell_id, y.cell_id)
+      |         AND cm.cj = greatest(x.cell_id, y.cell_id)
+      |  WHERE cm.m > 0.0
+      |  GROUP BY 1
+      |)
+      |SELECT count(*)::bigint AS n_cells,
+      |  CASE WHEN count(*) > 0 THEN
+      |    round(sum(round(d, 8)::decimal(28,8))::double /
+      |      count(*)::double, 6) + 0.0
+      |  END AS db_index
+      |FROM r""".stripMargin
+
   /** DuckDB replay of [[kmeansCellStats]] — `iters` unrolled Lloyd
     * rounds over the embeddings table. Generated next to the engine
     * code so the two stay one edit apart. */

@@ -499,4 +499,57 @@ object Sampling {
       round(col("n").cast("double") / when(ess > 0.0, ess), 6).as("deff"))
       .orderBy(groupCol)
   }
+
+  /** Horvitz–Thompson estimation (Horvitz & Thompson 1952) over the
+    * [[weightedSample]] draw — the estimator that makes a weighted
+    * sample USABLE: having kept row i with probability πᵢ, the
+    * unbiased total of any metric is Σ yᵢ/πᵢ over the kept rows, with
+    * the Poisson-sampling variance Σ (1−πᵢ)/πᵢ²·yᵢ². Reported beside
+    * the EXACT population total, so the gate doubles as a live audit
+    * of the estimator's error ("could I have skipped the full scan").
+    *
+    * Determinism contract: the draw is the salted-hash
+    * [[weightedSample]] (exactly reproducible, exactly oracle-able);
+    * πᵢ is the caller's weight column (round it — 4dp quality scores
+    * are the aq18 shape); each yᵢ/πᵢ and variance term rounds to 6dp
+    * and sums as DECIMAL (kept-row order differs between engines —
+    * the tq8 discipline); estimate and se pin at the readout. Rows
+    * with πᵢ ≤ 0 are never kept (hash/10⁶ < 0 is false), so no
+    * division guard is needed beyond the draw itself.
+    *
+    * Scale shape: one filtered grouped aggregate for the kept rows +
+    * one grouped aggregate for the exact totals (both map-side
+    * partials), joined on the |groups| frame. Returns
+    * `(group, n_total, n_kept, actual_total, ht_total, ht_se)`. */
+  def horvitzThompson(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      salt: String,
+      weight: Column,
+      valueCol: String): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val kept = df
+      .filter(hashBucket(col(idCol), salt, 1000000).cast("double") /
+        1e6 < weight)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(round(y / weight, 6).cast("decimal(28,6)")).as("__ht"),
+        sum(round((lit(1.0) - weight) / (weight * weight) * y * y, 6)
+          .cast("decimal(28,6)")).as("__hv"))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col(valueCol).cast("decimal(18,4)")).as("__at"))
+      .join(kept, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(col("__at").cast("double"), 2).as("actual_total"),
+        when(col("n_kept") > 0L,
+          Readout.pin(col("__ht").cast("double"), 2)).as("ht_total"),
+        when(col("n_kept") > 0L,
+          Readout.pin(sqrt(greatest(col("__hv").cast("double"),
+            lit(0.0))), 2)).as("ht_se"))
+      .orderBy(groupCol)
+  }
 }

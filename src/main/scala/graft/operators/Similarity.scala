@@ -1602,4 +1602,165 @@ object Similarity {
         Seq("id_a", "id_b"))
       .orderBy("id_a", "id_b")
   }
+
+  /** ln 2 as a shared driver literal — [[ndcgAtK]]'s log₂ is written
+    * `ln(x) / LN2` in BOTH engines (DuckDB's native log2 and a JVM
+    * log(base) could differ in the last ulp; one shared constant
+    * cannot). */
+  val Ln2: Double = 0.6931471805599453
+
+  /** Ideal DCG@k when relevance grades are k..1 — the [[ndcgAtK]]
+    * normalizer, computed once on the driver (fixed i = 1..k order)
+    * and embedded as the SAME literal in the Spark plan and the
+    * generated oracle. */
+  def idcgAtK(k: Int): Double =
+    (1 to k).map(i => (k + 1 - i).toDouble /
+      (math.log(i + 1.0) / Ln2)).sum
+
+  /** NDCG@k of an approximate ranking against the exact one — the
+    * graded companion to [[recallAtK]] (recall treats all k exact
+    * neighbors alike; NDCG pays more for getting the TOP ones right
+    * and for ranking them early — the standard retrieval-quality
+    * number an index tuning loop optimizes):
+    *
+    *   rel(d) = k+1 − exact_rank(d)  (0 if outside the exact top-k),
+    *   DCG = Σᵢ rel(dᵢ)/log₂(i+1) over the approximate ranking,
+    *   NDCG = DCG / IDCG@k  (IDCG = the exact ranking's own DCG).
+    *
+    * Determinism contract: grades are exact integers from the two
+    * deterministic rankings; each DCG term is one fixed-order double
+    * (ln(i+1)/[[Ln2]] with the shared literal) rounded to 8dp and
+    * DECIMAL-summed (rank-row order differs between engines); IDCG is
+    * one driver literal ([[idcgAtK]]) shared with the oracle; NDCG
+    * pins at the readout. Queries the index returned nothing for
+    * score 0 (kept via the exact side's query set, as in recallAtK).
+    *
+    * Scale shape: one (query, neighbor) equi-join of two |Q|·k-row
+    * frames + a |Q|-ary aggregate — bounded by the rankings, never
+    * the corpus. Returns `(query_id, n_hits, ndcg)`. */
+  def ndcgAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val e = Lineage.cutLocal(exact.select(col("query_id"),
+      col("neighbor_id"), col("rank")))
+    val rels = e.select(col("query_id"), col("neighbor_id"),
+      (lit(k + 1L) - col("rank")).as("__rel"))
+    val scored = ann.select("query_id", "neighbor_id", "rank")
+      .join(rels, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("__rel"), lit(0L)).cast("double") /
+          (log(col("rank").cast("double") + 1.0) / lit(Ln2)), 8)
+          .cast("decimal(28,8)").as("__t"),
+        when(col("__rel").isNotNull, 1L).otherwise(0L).as("__hit"))
+      .groupBy("query_id")
+      .agg(sum(col("__hit")).as("n_hits"), sum(col("__t")).as("__dcg"))
+    e.select("query_id").distinct()
+      .join(scored, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        Readout.pin(coalesce(col("__dcg"), lit(0).cast("decimal(28,8)"))
+          .cast("double") / lit(idcgAtK(k)), 6).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  /** Local intrinsic dimensionality (Levina & Bickel 2004 / Amsaleg
+    * et al. 2015 MLE) per vector from its k nearest neighbors — the
+    * per-POINT complexity score data-pruning recipes rank by (low-LID
+    * points sit on simple local manifolds and are redundant; high-LID
+    * points carry structure — and pathologically high LID flags noise):
+    *
+    *   LID(x) = −k / Σ_{i=1..k} ln(d_i / d_k),  d_i = 1 − cos(x, nᵢ).
+    *
+    * Determinism contract: distances derive from the 4dp-pinned
+    * [[ivfTopK]] cosines; each ln ratio rounds to 10dp and sums as
+    * DECIMAL (neighbor order differs between engines); LID is one
+    * pinned division. Zero distances (exact duplicates, cos = 1 at
+    * 4dp) are excluded from the sum — their ln is −∞ and the MLE
+    * degenerates; `k_eff` reports how many neighbors actually
+    * contributed, and a vector whose contributing sum is 0 (all
+    * neighbors at exactly d_k) reports NULL.
+    *
+    * Scale shape: one IVF index pass + the cell-bounded [[ivfTopK]]
+    * self-query (never all-pairs), then a per-query k-ary aggregate.
+    * Returns `(vec_id, k_eff, lid)` per vector. */
+  def lidScores(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int = 16,
+      nProbe: Int = 4,
+      k: Int = 8): DataFrame = {
+    val index = ivfIndex(corpus, idCol, vecCol, numCells)
+    val topk = ivfTopK(index, corpus, idCol, vecCol, numCells, nProbe, k)
+      .select(col("query_id"), (lit(1.0) - col("cosine")).as("__d"))
+    val withMax = topk.groupBy("query_id")
+      .agg(max(col("__d")).as("__dk"))
+    topk.join(withMax, Seq("query_id"))
+      .filter(col("__d") > 0.0 && col("__dk") > 0.0)
+      .select(col("query_id"),
+        round(log(col("__d") / col("__dk")), 10)
+          .cast("decimal(28,10)").as("__t"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_eff"), sum(col("__t")).as("__s"))
+      .select(col("query_id").as("vec_id"), col("k_eff"),
+        when(col("__s").cast("double") < 0.0,
+          Readout.pin(-col("k_eff").cast("double") /
+            col("__s").cast("double"), 6)).as("lid"))
+      .orderBy("vec_id")
+  }
+
+  /** Hubness profile (Radovanović et al. 2010) of the corpus under
+    * k-NN — the k-occurrence distribution N_k(x) = "how many points
+    * count x among their k nearest": in high-dimensional embedding
+    * spaces a few hubs appear in everyone's neighbor lists while
+    * antihubs appear in none, silently skewing every kNN-based dedup/
+    * sampling/retrieval stage. The readout is the standard skewness of
+    * N_k plus the hub/antihub census.
+    *
+    * Determinism contract: N_k values are exact integers (every vector
+    * kept, absent ones at 0 via the left join); the three power sums
+    * are exact decimal(38,0); skewness is one fixed-order double
+    * expression of them ([[Stats.jarqueBera]]'s moment recipe), pinned
+    * to 6dp. NULL on zero variance.
+    *
+    * Scale shape: the cell-bounded [[ivfTopK]] self-query, one
+    * |corpus|-key count (map-side partials), a left join back to the
+    * id column (no vectors move), one 1-row readout. Returns ONE row
+    * `(n, k, n_antihubs, n_hubs, mean_nk, skew_nk)` where hubs are
+    * N_k ≥ 2k. */
+  def hubnessProfile(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int = 16,
+      nProbe: Int = 4,
+      k: Int = 5): DataFrame = {
+    val dec = "decimal(38,0)"
+    val index = ivfIndex(corpus, idCol, vecCol, numCells)
+    val occ = ivfTopK(index, corpus, idCol, vecCol, numCells, nProbe, k)
+      .groupBy(col("neighbor_id").as("__id"))
+      .agg(count(lit(1)).as("__nk"))
+    val nk = corpus.select(col(idCol).as("__id"))
+      .join(occ, Seq("__id"), "left")
+      .withColumn("__nk", coalesce(col("__nk"), lit(0L)))
+    val agg = nk.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__nk") === 0L, 1L).otherwise(0L)).as("n_antihubs"),
+      sum(when(col("__nk") >= 2L * k, 1L).otherwise(0L)).as("n_hubs"),
+      sum(col("__nk").cast(dec)).as("__s1"),
+      sum((col("__nk").cast(dec) * col("__nk").cast(dec)).cast(dec))
+        .as("__s2"),
+      sum((col("__nk").cast(dec) * col("__nk").cast(dec) *
+        col("__nk").cast(dec)).cast(dec)).as("__s3"))
+    val n = col("n").cast("double")
+    val mu = col("__s1").cast("double") / n
+    val r2 = col("__s2").cast("double") / n
+    val r3 = col("__s3").cast("double") / n
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    agg.select(col("n"), lit(k).cast("long").as("k"),
+      col("n_antihubs"), col("n_hubs"),
+      Readout.pin(mu, 6).as("mean_nk"),
+      when(col("n") >= 2L && m2 > 0.0,
+        Readout.pin(m3 / sqrt(m2 * m2 * m2), 6)).as("skew_nk"))
+  }
 }

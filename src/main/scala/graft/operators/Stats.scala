@@ -3185,4 +3185,649 @@ object Stats {
       when(ok, Readout.pin(exp(log(rr) + lit(1.96) * se), 6)).as("rr_hi"))
       .orderBy("group_key")
   }
+
+  /** Odds ratio with the Woolf (1955) log-normal 95% CI — the 2×2
+    * companion to [[relativeRisk]] for case-control shaped questions
+    * (RR needs cohort denominators; OR = (a·d)/(b·c) is margin-free
+    * and is what logistic coefficients exponentiate to):
+    * CI = exp(ln OR ± 1.96·√(1/a + 1/b + 1/c + 1/d)).
+    *
+    * Determinism contract: the four cells are exact integers; OR and
+    * both bounds are pinned single double expressions with the
+    * multiplication/division order written identically in the oracle.
+    * NULL when ANY cell is zero (every cell sits in a Woolf
+    * denominator — the usual Haldane +0.5 correction is a different
+    * estimator, not silently substituted here).
+    *
+    * Scale shape: one grouped aggregate of four conditional counts —
+    * map-side partials, |groups| rows, nothing else moves.
+    * Returns `(group_key, a, b, c, d, odds_ratio, or_lo, or_hi)`. */
+  def oddsRatio(
+      df: DataFrame,
+      groupCol: String,
+      exposedCol: String,
+      eventCol: String): DataFrame = {
+    val ex = col(exposedCol).cast("boolean")
+    val ev = col(eventCol).cast("boolean")
+    val agg = df.groupBy(col(groupCol).as("group_key")).agg(
+      count(when(ex && ev, 1L)).as("a"),
+      count(when(ex && !ev, 1L)).as("b"),
+      count(when(!ex && ev, 1L)).as("c"),
+      count(when(!ex && !ev, 1L)).as("d"))
+    val (a, b, c, d) = (col("a").cast("double"), col("b").cast("double"),
+      col("c").cast("double"), col("d").cast("double"))
+    val ok = col("a") > 0L && col("b") > 0L &&
+      col("c") > 0L && col("d") > 0L
+    val or = (a * d) / (b * c)
+    val se = sqrt(lit(1.0) / a + lit(1.0) / b +
+      lit(1.0) / c + lit(1.0) / d)
+    agg.select(col("group_key"), col("a"), col("b"), col("c"), col("d"),
+      when(ok, Readout.pin(or, 6)).as("odds_ratio"),
+      when(ok, Readout.pin(exp(log(or) - lit(1.96) * se), 6)).as("or_lo"),
+      when(ok, Readout.pin(exp(log(or) + lit(1.96) * se), 6)).as("or_hi"))
+      .orderBy("group_key")
+  }
+
+  /** Cliff's delta (Cliff 1993) — the ordinal effect size the
+    * Mann–Whitney z hides: δ = (#{a>b} − #{a<b}) / (n_a·n_b) ∈ [−1, 1],
+    * per group. Reads directly as "probability a random A exceeds a
+    * random B, minus the reverse" — the magnitude readout to pair with
+    * [[mannWhitney]]'s significance.
+    *
+    * Determinism contract: both pair counts are EXACT integers carried
+    * as decimal(38,0) (n_a·n_b can pass 2⁶³ at 100 TB); δ is one
+    * division of exact integers pinned to 6dp. A group missing either
+    * cohort reports NULL δ.
+    *
+    * Scale shape: the [[mannWhitney]] shape per group — one (group,
+    * value) aggregate with map-side partials, then a cumulative count
+    * over each group's measurement GRID (per-group ordered window,
+    * partitioned by group — never a global sort), one |groups|-row
+    * readout. Returns `(group_key, n_a, n_b, delta)`. */
+  def cliffsDelta(
+      df: DataFrame,
+      groupCol: String,
+      cohortCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val inA = col(cohortCol).cast("boolean")
+    val perValue = df
+      .filter(col(valueCol).isNotNull && col(cohortCol).isNotNull)
+      .groupBy(col(groupCol).as("group_key"), col(valueCol).as("__v"))
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("__na"),
+        sum(when(!inA, 1L).otherwise(0L)).as("__nb"))
+    val below = Window.partitionBy("group_key").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perValue
+      .withColumn("__cb", coalesce(sum(col("__nb")).over(below), lit(0L)))
+      .groupBy("group_key")
+      .agg(
+        sum(col("__na")).as("n_a"),
+        sum(col("__nb")).as("n_b"),
+        sum((col("__na").cast(dec) * col("__cb").cast(dec)).cast(dec))
+          .as("__gt"),
+        sum((col("__na").cast(dec) *
+          (col("__cb") + col("__nb")).cast(dec)).cast(dec)).as("__le"))
+      .select(col("group_key"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          Readout.pin(
+            (col("__gt").cast("double") -
+              (col("n_a").cast(dec) * col("n_b").cast(dec) -
+                col("__le")).cast("double")) /
+              (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double"),
+            6)).as("delta"))
+      .orderBy("group_key")
+  }
+
+  /** Jarque–Bera normality test (Jarque & Bera 1980) per group —
+    * skewness g₁, excess kurtosis g₂, and JB = n/6·(g₁² + g₂²/4): the
+    * one-pass "is this metric even close to normal" gate to run BEFORE
+    * trusting any t/z readout on it.
+    *
+    * Determinism contract: values quantize to integer cents
+    * (floor(v·100) — floor, not round: engines disagree on half-away
+    * vs half-even for doubles) and the four power sums Σvᵢ..Σvᵢ⁴ are
+    * EXACT decimal(38,0) integers (cents ≤ 10⁶ keep Σv⁴ under 10³⁸ at
+    * 10¹² rows/group); every moment is then ONE fixed-order double
+    * expression of those exact sums, pinned to 6dp. Groups with n < 2
+    * or zero variance report NULL.
+    *
+    * Scale shape: one grouped aggregate with map-side partials —
+    * |groups| rows out, no second pass (central moments come from raw
+    * power sums algebraically, not from a mean-subtracting re-scan).
+    * Returns `(group_key, n, skewness, kurtosis, jb)`. */
+  def jarqueBera(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = floor(col(valueCol).cast("double") * lit(100.0)).cast(dec)
+    val agg = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("group_key"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v).as("__s1"),
+        sum((v * v).cast(dec)).as("__s2"),
+        sum((v * v * v).cast(dec)).as("__s3"),
+        sum((v * v * v * v).cast(dec)).as("__s4"))
+    val n = col("n").cast("double")
+    val m = col("__s1").cast("double") / n
+    val r2 = col("__s2").cast("double") / n
+    val r3 = col("__s3").cast("double") / n
+    val r4 = col("__s4").cast("double") / n
+    val m2 = r2 - m * m
+    val m3 = r3 - lit(3.0) * m * r2 + lit(2.0) * m * m * m
+    val m4 = r4 - lit(4.0) * m * r3 + lit(6.0) * m * m * r2 -
+      lit(3.0) * m * m * m * m
+    val g1 = m3 / sqrt(m2 * m2 * m2)
+    val g2 = m4 / (m2 * m2) - lit(3.0)
+    val ok = col("n") >= 2L && m2 > 0.0
+    agg.select(col("group_key"), col("n"),
+      when(ok, Readout.pin(g1, 6)).as("skewness"),
+      when(ok, Readout.pin(g2, 6)).as("kurtosis"),
+      when(ok, Readout.pin(
+        n / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6)).as("jb"))
+      .orderBy("group_key")
+  }
+
+  /** Bartlett's test of variance homogeneity (Bartlett 1937) across k
+    * groups — the precondition check classical ANOVA assumes and
+    * [[welchAnova]] exists to avoid; reporting it makes the
+    * equal-variance assumption AUDITABLE instead of silent:
+    *
+    *   T = ((N−k)·ln S²_p − Σ(nᵢ−1)·ln S²ᵢ) / C,
+    *   C = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1)),  df = k−1.
+    *
+    * Determinism contract: per-group variances come from exact
+    * integer-cent power sums (the [[jarqueBera]] quantization) as
+    * fixed-order double expressions; the three cross-group sums
+    * (Σ(nᵢ−1)S²ᵢ for the pooled variance, Σ(nᵢ−1)ln S²ᵢ, Σ1/(nᵢ−1))
+    * round each group's term to 8/10dp and sum as DECIMAL —
+    * order-independent, since group order differs between engines
+    * (the brier-decomposition discipline). Groups with n < 2 or zero
+    * variance are excluded from the test (standard practice — their
+    * ln S²ᵢ is undefined); T is NULL when fewer than 2 groups remain.
+    *
+    * Scale shape: one grouped aggregate (map-side partials) to the
+    * |groups|-row frame, then a 1-row readout. Returns ONE row
+    * `(k, n, t_stat, df)`. */
+  def bartlett(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = floor(col(valueCol).cast("double") * lit(100.0)).cast(dec)
+    val per = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s1"),
+        sum((v * v).cast(dec)).as("__s2"))
+      .filter(col("__n") >= 2L)
+    val nd = col("__n").cast("double")
+    // sample variance in VALUE units (cents² / 1e4), exact-int core
+    val varI = (nd * col("__s2").cast("double") -
+      col("__s1").cast("double") * col("__s1").cast("double")) /
+      (nd * (nd - 1.0)) / lit(10000.0)
+    val terms = per
+      .withColumn("__var", varI)
+      .filter(col("__var") > 0.0)
+      .select(col("__n"),
+        round((nd - 1.0) * col("__var"), 6)
+          .cast("decimal(38,6)").as("__ssw"),
+        round((nd - 1.0) * log(col("__var")), 8)
+          .cast("decimal(38,8)").as("__lnw"),
+        round(lit(1.0) / (nd - 1.0), 10)
+          .cast("decimal(38,10)").as("__inv"))
+      .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(col("__ssw")).as("__ssws"), sum(col("__lnw")).as("__lnws"),
+        sum(col("__inv")).as("__invs"))
+    val kd = col("k").cast("double")
+    val nk = (col("n") - col("k")).cast("double")
+    val sp2 = col("__ssws").cast("double") / nk
+    val cC = lit(1.0) +
+      (col("__invs").cast("double") - lit(1.0) / nk) / (lit(3.0) * (kd - 1.0))
+    terms.select(col("k"), col("n"),
+      when(col("k") >= 2L && sp2 > 0.0,
+        Readout.pin((nk * log(sp2) - col("__lnws").cast("double")) / cC, 6))
+        .as("t_stat"),
+      (col("k") - 1L).as("df"))
+  }
+
+  /** Page's trend test (Page 1963) for ordered alternatives on the
+    * [[friedman]] layout — Friedman asks "do the k treatments differ
+    * at all"; Page asks the sharper "do they INCREASE in a hypothesized
+    * order" (dose levels, priority tiers, time buckets):
+    *
+    *   L = Σⱼ j·Rⱼ  (j = the treatment's hypothesized rank, Rⱼ its
+    *   within-block rank sum),  E[L] = N·k(k+1)²/4,
+    *   Var[L] = N·k²(k+1)(k²−1)/144,  z = (L − E[L]) / √Var[L].
+    *
+    * Determinism contract: ranks are the ×2-scaled mid-rank counting
+    * trick ([[friedman]]'s — no window, no tie-break), so 2L is an
+    * EXACT decimal(38,0) integer; z is one fixed-order double
+    * expression, pinned to 6dp. Mid-ranks under ties keep E[L] exact
+    * and make the no-ties variance conservative (the standard
+    * treatment — documented, not corrected). Incomplete blocks are
+    * excluded (as in [[friedman]]); k < 2 or no complete blocks
+    * report NULL.
+    *
+    * The treatment order j comes from `orderExpr` evaluated per
+    * treatment (dense rank over the k-sized treatment dimension — a
+    * broadcast frame, never a data-sized sort).
+    *
+    * Scale shape: identical to [[friedman]] — per-block cell
+    * aggregate, block-grid self-join bounded by k per block, k-row
+    * and 1-row readouts. Returns ONE row `(k, n_blocks, l_stat, z)`. */
+  def pageTrend(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val cells = Lineage.cutLocal(df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"), col(treatCol).as("__t"))
+      .agg(sum(col(valueCol).cast("decimal(18,4)")).as("__v")))
+    val kf = broadcast(cells.agg(countDistinct(col("__t")).as("k")))
+    val complete = Lineage.cutLocal(cells
+      .join(broadcast(cells.groupBy("__b")
+        .agg(count(lit(1)).as("__bk")).crossJoin(kf)
+        .filter(col("__bk") === col("k")).select("__b")), Seq("__b")))
+    val r2 = complete.as("x")
+      .join(complete.as("y"), col("x.__b") === col("y.__b"))
+      .groupBy(col("x.__b").as("__b"), col("x.__t").as("__t"))
+      .agg((lit(2L) * sum(when(col("y.__v") < col("x.__v"), 1L)
+        .otherwise(0L)) +
+        sum(when(col("y.__v") === col("x.__v"), 1L).otherwise(0L)) + 1L)
+        .as("__r2"))
+    // j = the treatment's hypothesized position: dense rank over the
+    // k-sized treatment dimension (ascending natural order of the key)
+    val order = broadcast(complete.select("__t").distinct()
+      .withColumn("__j",
+        dense_rank().over(Window.orderBy("__t")).cast("long")))
+    val l2 = r2.join(order, Seq("__t"))
+      .agg(coalesce(sum((col("__j").cast(dec) * col("__r2").cast(dec))
+        .cast(dec)), lit(0).cast(dec)).as("__l2"))
+    val blocks = complete.groupBy("__b").agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_blocks"))
+    val kd = col("k").cast("double")
+    val nd = col("n_blocks").cast("double")
+    val lD = col("__l2").cast("double") / 2.0
+    val eL = nd * kd * (kd + 1.0) * (kd + 1.0) / 4.0
+    val varL = nd * kd * kd * (kd + 1.0) * (kd * kd - 1.0) / 144.0
+    kf.crossJoin(blocks).crossJoin(l2)
+      .select(col("k"), col("n_blocks"),
+        when(col("n_blocks") >= 1L, round(lD, 1)).as("l_stat"),
+        when(col("k") >= 2L && col("n_blocks") >= 1L,
+          Readout.pin((lD - eL) / sqrt(varL), 6)).as("z"))
+  }
+
+  /** The one-sided z critical value TOST tests against (α = 0.05) —
+    * a DRIVER-side Acklam literal shared by the Spark plan and the
+    * generated oracle (the [[bhSelect]] threshold discipline: the
+    * data path compares against the SAME constant in both engines). */
+  def tostZCrit: Double =
+    BigDecimal(invNorm(0.95)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** TOST equivalence test (Schuirmann 1987, two one-sided tests) —
+    * [[abTest]] asks "is there a difference"; THIS asks the question
+    * an A/A check, a migration, or a cheaper-variant rollout actually
+    * needs: "is the difference provably SMALLER than a margin δ".
+    * Absence of significance is not equivalence — TOST is:
+    *
+    *   z_lo = (Δ + δ) / se,   z_hi = (δ − Δ) / se,
+    *   equivalent ⇔ min(z_lo, z_hi) > z₀.₉₅  (both one-sided tests
+    *   reject at α = 0.05),   Δ = mean_a − mean_b, Welch se.
+    *
+    * Determinism contract: the [[abTest]] sufficient statistics
+    * (exact decimal sums, Σv² at scale 8); Δ and both z pinned with
+    * the operation order written identically in the oracle; the
+    * critical value is ONE driver literal ([[tostZCrit]]) embedded in
+    * both plans. Degenerate groups (an arm under 2, zero variance)
+    * report NULL z and NULL verdict.
+    *
+    * Scale shape: one grouped aggregate — map-side partials, |groups|
+    * rows. Returns `(group_key..., n_a, n_b, diff, z_lo, z_hi,
+    * equivalent)`. */
+  def tostEquivalence(
+      df: DataFrame,
+      metricCol: String,
+      armA: Column,
+      groupCols: Seq[String],
+      margin: Double): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(margin > 0.0, "equivalence margin must be positive")
+    val v = col(metricCol)
+    val dec = v.cast("decimal(18,4)")
+    val sq = round(v * v, 8).cast("decimal(28,8)")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(when(armA, v)).as("n_a"),
+        count(when(!armA, v)).as("n_b"),
+        sum(when(armA, dec)).as("__sv_a"),
+        sum(when(!armA, dec)).as("__sv_b"),
+        sum(when(armA, sq)).as("__ss_a"),
+        sum(when(!armA, sq)).as("__ss_b"))
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val ma = col("__sv_a").cast("double") / na
+    val mb = col("__sv_b").cast("double") / nb
+    val va = (col("__ss_a").cast("double") - na * ma * ma) / (na - 1) / na
+    val vb = (col("__ss_b").cast("double") - nb * mb * mb) / (nb - 1) / nb
+    val ok = na >= 2 && nb >= 2 && va + vb > 0.0
+    val se = sqrt(va + vb)
+    val zLo = ((ma - mb) + lit(margin)) / se
+    val zHi = (lit(margin) - (ma - mb)) / se
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        na, nb,
+        Readout.pin(ma - mb, 6).as("diff"),
+        when(ok, Readout.pin(zLo, 4)).as("z_lo"),
+        when(ok, Readout.pin(zHi, 4)).as("z_hi"),
+        when(ok, Readout.pin(zLo, 4) > lit(tostZCrit) &&
+          Readout.pin(zHi, 4) > lit(tostZCrit)).as("equivalent")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Cronbach's alpha (Cronbach 1951) over a subject × item score
+    * grid — internal-consistency reliability: do the k items measure
+    * one underlying trait (per-rater quality scores, per-heuristic
+    * doc signals), or is the composite score noise:
+    *
+    *   α = k/(k−1) · (1 − Σᵢ S²ᵢ / S²_total),
+    *
+    * with S²ᵢ the per-item variance over subjects and S²_total the
+    * variance of each subject's item-sum. Only COMPLETE subjects
+    * (all k items present) enter — a missing cell would silently
+    * shrink that subject's total.
+    *
+    * Determinism contract: cell scores are exact decimal sums scaled
+    * to integer 10⁻⁴-units (decimal(38,0) — the friedman cell
+    * discipline); per-item and total variances are fixed-order double
+    * expressions of exact sums; the k per-item variances round to 6dp
+    * and DECIMAL-sum (item order differs between engines — the
+    * bartlett discipline); α is one pinned expression. NULL when
+    * k < 2, fewer than 2 complete subjects, or S²_total = 0.
+    *
+    * Scale shape: one (subject, item) cell aggregate (map-side
+    * partials), the friedman complete-block machinery (k-sized
+    * broadcast), then k-ary and |subjects|-ary aggregates — nothing
+    * row-sized moves after the first pass. Returns ONE row
+    * `(k, n_subjects, alpha)`. */
+  def cronbachAlpha(
+      df: DataFrame,
+      subjectCol: String,
+      itemCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = Lineage.cutLocal(df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(subjectCol).as("__s"), col(itemCol).as("__i"))
+      .agg((sum(col(valueCol).cast("decimal(18,4)")) * 10000)
+        .cast(dec).as("__c")))
+    val kf = broadcast(cells.agg(countDistinct(col("__i")).as("k")))
+    val complete = Lineage.cutLocal(cells
+      .join(broadcast(cells.groupBy("__s")
+        .agg(count(lit(1)).as("__sk")).crossJoin(kf)
+        .filter(col("__sk") === col("k")).select("__s")), Seq("__s")))
+    val nf = broadcast(complete.select("__s").distinct()
+      .agg(count(lit(1)).as("n_subjects")))
+    def sampleVar(n: Column, s1: Column, s2: Column) =
+      (n.cast("double") * s2.cast("double") -
+        s1.cast("double") * s1.cast("double")) /
+        (n.cast("double") * (n.cast("double") - 1.0))
+    val itemVars = complete.groupBy("__i")
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s1"),
+        sum((col("__c") * col("__c")).cast(dec)).as("__s2"))
+      .select(round(sampleVar(col("__n"), col("__s1"), col("__s2")), 6)
+        .cast("decimal(38,6)").as("__vi"))
+      .agg(sum(col("__vi")).as("__svi"))
+    val totals = complete.groupBy("__s")
+      .agg(sum(col("__c")).as("__t"))
+      .agg(count(lit(1)).as("__nt"), sum(col("__t")).as("__t1"),
+        sum((col("__t") * col("__t")).cast(dec)).as("__t2"))
+    val vt = sampleVar(col("__nt"), col("__t1"), col("__t2"))
+    val kd = col("k").cast("double")
+    kf.crossJoin(nf).crossJoin(broadcast(itemVars)).crossJoin(totals)
+      .select(col("k"), col("n_subjects"),
+        when(col("k") >= 2L && col("n_subjects") >= 2L && vt > 0.0,
+          Readout.pin(kd / (kd - 1.0) *
+            (lit(1.0) - col("__svi").cast("double") / vt), 6)).as("alpha"))
+  }
+
+  /** Mood's median test — the coarsest, most outlier-proof k-group
+    * location test ([[kruskalWallis]] uses full rank information;
+    * Mood only asks "is each group above or below the POOLED
+    * median", which survives any monotone contamination): a χ² of
+    * independence on the group × {above, below} table, exact-tie
+    * rows dropped (the standard treatment, as in [[runsTest]]).
+    *
+    * Determinism contract: the pooled median is a `percentile` double
+    * (Spark == DuckDB quantile_cont bit-for-bit on interpolation —
+    * the aq51 precedent); everything after is [[chi2Independence]]'s
+    * exact counts and decimal-summed cell terms.
+    *
+    * Scale shape: one broadcast 1-row median aggregate, then the
+    * chi2Independence shape (one (group, side) count pass, grid
+    * joins). Returns ONE row `(n, n_rows, n_cols, dof, chi2,
+    * cramers_v)`. */
+  def moodMedian(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull &&
+      col(groupCol).isNotNull)
+    val med = broadcast(rows.agg(
+      expr(s"percentile($valueCol, 0.5)").as("__med")))
+    val sides = rows.crossJoin(med)
+      .withColumn("__side",
+        when(col(valueCol) > col("__med"), "above")
+          .when(col(valueCol) < col("__med"), "below"))
+      .filter(col("__side").isNotNull)
+    chi2Independence(sides, groupCol, "__side")
+  }
+
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) per group — "is
+    * this series white noise, or does ANY autocorrelation up to lag m
+    * survive": the whole-spectrum companion to [[durbinWatson]]'s
+    * lag-1 readout,
+    *
+    *   r_j = Σ(v_t−v̄)(v_{t+j}−v̄) / Σ(v_t−v̄)²,
+    *   LB  = n(n+2) · Σ_{j=1..m} r_j²/(n−j)   (~χ²_m under H₀).
+    *
+    * Determinism contract: the mean never materializes — multiplying
+    * r_j through by n² makes numerator and denominator EXACT
+    * decimal(38,0) integers of micro-unit sums
+    * (n²·Σv_t·v_{t+j} − n·S·(A_j+B_j) + (n−j)·S², with A_j/B_j the
+    * exact head/tail-trimmed sums; the [[durbinWatson]] quantization);
+    * each r_j is one exact-integer division and LB is a fixed-order
+    * expansion over j. Headroom: |v|·10⁴ ≤ 10⁷ keeps n²·Σv² under
+    * 10³⁸ to n ≈ 10⁹ rows per group — beyond that, pre-aggregate the
+    * series (the registry path) before testing. NULL r_j when n ≤ j;
+    * NULL LB when n ≤ m or the variance is 0.
+    *
+    * Scale shape: ranks ride groupedRank (range partition + broadcast
+    * offsets — never a per-group single-task sort); each lag is one
+    * (group, rank+j) equi-join of the ranked frame against itself
+    * (m small and fixed); everything aggregates to |groups| rows.
+    * Returns `(group_key, n, r1..r_m, lb, df)`. */
+  def ljungBox(
+      df: DataFrame,
+      groupCol: String,
+      ordCol: String,
+      valueCol: String,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 6, "maxLag in [1, 6]")
+    val dec = "decimal(38,0)"
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(ordCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(ordCol).as("__o"),
+        (round(col(valueCol).cast("double"), 4).cast("decimal(18,4)") *
+          10000).cast("long").as("__vu"))
+    val ranked = Lineage.cutLocal(
+      graft.operators.Packing.groupedRank(rows, "__g", "__o", Seq("__vu"))
+        .select(col("__g"), col("rank"), col("__vu")))
+    val base = ranked.groupBy("__g").agg(
+      count(lit(1)).as("n"),
+      sum(col("__vu").cast(dec)).as("__s1"),
+      sum((col("__vu").cast(dec) * col("__vu").cast(dec)).cast(dec))
+        .as("__s2"))
+    // head/tail-trimmed sums per lag, with n joined back onto the rows
+    val withN = ranked.join(base.select(col("__g"), col("n")), Seq("__g"))
+    val trimCols = (1 to maxLag).flatMap { j =>
+      Seq(
+        sum(when(col("rank") <= j, col("__vu").cast(dec))
+          .otherwise(lit(0).cast(dec))).as(s"__head$j"),
+        sum(when(col("rank") > col("n") - j, col("__vu").cast(dec))
+          .otherwise(lit(0).cast(dec))).as(s"__tail$j"))
+    }
+    val trims = withN.groupBy("__g").agg(trimCols.head, trimCols.tail: _*)
+    // one equi-join per lag: Σ v_t · v_{t+j}
+    val crosses = (1 to maxLag).map { j =>
+      ranked.select(col("__g"), (col("rank") + j).as("rank"),
+          col("__vu").as("__prev"))
+        .join(ranked, Seq("__g", "rank"))
+        .groupBy("__g")
+        .agg(coalesce(sum((col("__vu").cast(dec) *
+          col("__prev").cast(dec)).cast(dec)),
+          lit(0).cast(dec)).as(s"__x$j"))
+    }
+    val joined = crosses.foldLeft(base.join(trims, Seq("__g")))(
+      (acc, c) => acc.join(c, Seq("__g"), "left"))
+    val n = col("n").cast(dec)
+    val nD = col("n").cast("double")
+    val den = (n * (n * col("__s2") - col("__s1") * col("__s1"))
+      .cast(dec)).cast(dec)
+    def rj(j: Int): Column = {
+      val aj = (col("__s1") - col(s"__tail$j")).cast(dec)
+      val bj = (col("__s1") - col(s"__head$j")).cast(dec)
+      val num = ((n * n).cast(dec) * coalesce(col(s"__x$j"),
+        lit(0).cast(dec)) -
+        (n * col("__s1")).cast(dec) * (aj + bj).cast(dec) +
+        ((n - lit(j).cast(dec)).cast(dec) *
+          (col("__s1") * col("__s1")).cast(dec)).cast(dec)).cast(dec)
+      when(col("n") > j && den.cast("double") > 0.0,
+        num.cast("double") / den.cast("double"))
+    }
+    val lb = nD * (nD + 2.0) * (1 to maxLag)
+      .map(j => rj(j) * rj(j) / (nD - j.toDouble))
+      .reduce(_ + _)
+    joined.select(
+      Seq(col("__g").as("group_key"), col("n")) ++
+        (1 to maxLag).map(j =>
+          when(col("n") > j && den.cast("double") > 0.0,
+            Readout.pin(rj(j), 6)).as(s"r$j")) ++
+        Seq(
+          when(col("n") > maxLag && den.cast("double") > 0.0,
+            Readout.pin(lb, 6)).as("lb"),
+          lit(maxLag).cast("long").as("df")): _*)
+      .orderBy("group_key")
+  }
+
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack 1984) — the
+    * [[mannKendall]] that survives seasonality: a strong weekly/daily
+    * cycle reads as noise (or worse, as trend) to plain MK, so pairs
+    * are compared only WITHIN each season (Mondays with Mondays) and
+    * the per-season S and tie-corrected variances ADD:
+    *
+    *   S = Σ_s S_s,   Var = Σ_s Var_s,   z with the ±1 continuity
+    *   correction on the summed S.
+    *
+    * Determinism contract: the [[mannKendall]] 10⁻⁶-unit metric
+    * quantization; S and every variance numerator are exact integers —
+    * the variance products carry as decimal(38,0) (a 10⁹-point season
+    * overflows the long n³ term plain MK tolerates at gate scale);
+    * z is one pinned fixed-order double. Zero summed variance → NULL.
+    *
+    * Scale shape: the pair join gains the season key (pairs bounded
+    * by Σ_s n_s² per group — strictly FEWER than plain MK's n²), tie
+    * masses aggregate per (group, season) then per group. Returns
+    * `(key, n, n_seasons, s_stat, z, trend)`. */
+  def seasonalMannKendall(
+      series: DataFrame,
+      keyCol: String,
+      seasonCol: String,
+      tCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = Lineage.cutLocal(series.select(col(keyCol).as("key"),
+      col(seasonCol).as("season"),
+      col(tCol).cast("long").as("t"),
+      (col(yCol).cast("decimal(24,6)") * 1000000).cast("long").as("y")))
+    val s = base.as("i").join(base.as("j"),
+        col("i.key") === col("j.key") &&
+          col("i.season") === col("j.season") && col("i.t") < col("j.t"))
+      .groupBy(col("i.key").as("key"))
+      .agg(sum(when(col("j.y") > col("i.y"), 1L)
+        .when(col("j.y") < col("i.y"), -1L).otherwise(0L)).as("__s"))
+    val perSeason = base.groupBy("key", "season", "y")
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy("key", "season")
+      .agg(sum(col("__tc")).as("__ns"),
+        sum((col("__tc").cast(dec) * (col("__tc") - 1L).cast(dec) *
+          (lit(2L) * col("__tc") + 5L).cast(dec)).cast(dec)).as("__tt"))
+    val agg = perSeason
+      .select(col("key"), col("__ns"),
+        ((col("__ns").cast(dec) * (col("__ns") - 1L).cast(dec) *
+          (lit(2L) * col("__ns") + 5L).cast(dec)).cast(dec) -
+          col("__tt")).as("__v18"))
+      .groupBy("key")
+      .agg(sum(col("__ns")).as("n"), count(lit(1)).as("n_seasons"),
+        sum(col("__v18")).as("__var18"))
+    val sd = sqrt(col("__var18").cast("double") / 18.0)
+    val sStat = coalesce(col("__s"), lit(0L))
+    val z = when(col("__var18") <= 0L, lit(null))
+      .when(sStat > 0L, Readout.pin((sStat - 1L).cast("double") / sd, 6))
+      .when(sStat < 0L, Readout.pin((sStat + 1L).cast("double") / sd, 6))
+      .otherwise(lit(0.0))
+    agg.join(s, Seq("key"), "left")
+      .withColumn("z", z)
+      .select(col("key"), col("n"), col("n_seasons"), sStat.as("s_stat"),
+        col("z"),
+        when(col("z").isNull, lit(null))
+          .when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("none")).as("trend"))
+      .orderBy("key")
+  }
+
+  /** Cohen's h (Cohen 1988) — the effect size for two PROPORTIONS
+    * ([[twoProportion]] reports the z; h reports the MAGNITUDE on the
+    * arcsine-stabilized scale where a given h means the same thing at
+    * any base rate — the number power calculators actually take):
+    *
+    *   h = 2·arcsin(√p₁) − 2·arcsin(√p₂).
+    *
+    * Determinism contract: the proportions are exact-integer ratios;
+    * h is one fixed-order double expression (asin/sqrt are IEEE-
+    * correctly-rounded on both engines' libm for these magnitudes,
+    * the exp/ln acceptance) pinned to 6dp. Empty cohorts → NULL.
+    *
+    * Scale shape: one grouped aggregate of four conditional counts.
+    * Returns `(group_key, n_a, n_b, p_a, p_b, h)`. */
+  def cohensH(
+      df: DataFrame,
+      groupCol: String,
+      cohortCol: String,
+      eventCol: String): DataFrame = {
+    val inA = col(cohortCol).cast("boolean")
+    val ev = col(eventCol).cast("boolean")
+    val agg = df.groupBy(col(groupCol).as("group_key")).agg(
+      count(when(inA, 1L)).as("n_a"),
+      count(when(!inA, 1L)).as("n_b"),
+      count(when(inA && ev, 1L)).as("__ka"),
+      count(when(!inA && ev, 1L)).as("__kb"))
+    val pa = col("__ka").cast("double") / col("n_a").cast("double")
+    val pb = col("__kb").cast("double") / col("n_b").cast("double")
+    val ok = col("n_a") > 0L && col("n_b") > 0L
+    agg.select(col("group_key"), col("n_a"), col("n_b"),
+      when(ok, Readout.pin(pa, 6)).as("p_a"),
+      when(ok, Readout.pin(pb, 6)).as("p_b"),
+      when(ok, Readout.pin(
+        lit(2.0) * asin(sqrt(pa)) - lit(2.0) * asin(sqrt(pb)), 6))
+        .as("h"))
+      .orderBy("group_key")
+  }
 }

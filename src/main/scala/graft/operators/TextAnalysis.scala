@@ -1591,4 +1591,145 @@ object TextAnalysis {
           col("n_grams").cast("double"), 6).as("dup_ratio"))
       .orderBy(idCol)
   }
+
+  /** Pairwise Hellinger distance between group unigram distributions —
+    * the BOUNDED, metric companion to [[jensenShannon]] (JSD is a
+    * divergence; Hellinger is a true metric in [0, 1], the form
+    * mixture-design optimizers want as an actual distance):
+    *
+    *   BC(P, Q) = Σ √(p·q)   (the Bhattacharyya coefficient),
+    *   H(P, Q)  = √(1 − BC),
+    *
+    * 0 for identical distributions, 1 for disjoint support. Only
+    * SHARED tokens contribute to BC (√(p·q) = 0 when either side is
+    * 0), so the align join is INNER — strictly cheaper than JSD's
+    * full-outer over the union vocab; pairs with NO shared tokens are
+    * restored from the broadcast pair frame afterwards (BC = 0,
+    * H = 1) so disjoint sources stay visible in the matrix.
+    *
+    * Determinism contract: each √(p·q) addend rounds to 10dp and sums
+    * as DECIMAL (token order differs between engines — the KL/JSD
+    * discipline); per-term rounding can push BC a hair past 1 on
+    * near-identical distributions, so 1 − BC clamps at 0 on BOTH
+    * sides before the √ (never an engine NaN).
+    *
+    * Scale shape: the [[jensenShannon]] shape minus the full-outer —
+    * one (group, token) count pass (vocab-sized, lineage-cut),
+    * broadcast |groups|² pairs, an inner token align per pair, one
+    * pair aggregate. Returns
+    * `(group_a, group_b, n_common, bc, hellinger)` per pair. */
+  def hellinger(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val cnt = Lineage.cutLocal(df
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(TextFunctions.wsTokens(lower(col(textCol)))).as("__tok"))
+      .groupBy("__g", "__tok").agg(count(lit(1)).as("__c")))
+    val totals = cnt.groupBy("__g").agg(sum("__c").as("__n"))
+    val pairs = broadcast(totals.select(col("__g").as("group_a"),
+        col("__n").as("__na"))
+      .crossJoin(totals.select(col("__g").as("group_b"),
+        col("__n").as("__nb")))
+      .filter(col("group_a") < col("group_b")))
+    val term = sqrt((col("__ca").cast("double") / col("__na")) *
+      (col("__cb").cast("double") / col("__nb")))
+    val shared = pairs
+      .join(cnt.select(col("__g").as("group_a"), col("__tok"),
+        col("__c").as("__ca")), Seq("group_a"))
+      .join(cnt.select(col("__g").as("group_b"), col("__tok"),
+        col("__c").as("__cb")), Seq("group_b", "__tok"))
+      .select(col("group_a"), col("group_b"),
+        round(term, 10).cast("decimal(28,10)").as("__t"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("__nc"), sum(col("__t")).as("__bcs"))
+    val bc = coalesce(col("__bcs").cast("double"), lit(0.0))
+    pairs.select("group_a", "group_b")
+      .join(shared, Seq("group_a", "group_b"), "left")
+      .select(col("group_a"), col("group_b"),
+        coalesce(col("__nc"), lit(0L)).as("n_common"),
+        Readout.pin(bc, 6).as("bc"),
+        Readout.pin(
+          sqrt(when(lit(1.0) - bc > 0.0, lit(1.0) - bc).otherwise(0.0)),
+          6).as("hellinger"))
+      .orderBy("group_a", "group_b")
+  }
+
+  /** Pairwise 1-D earth mover's distance (Wasserstein-1) between group
+    * distributions of a discrete numeric signal (document length,
+    * score grid) — the distribution distance that knows the VALUE
+    * AXIS: JSD/Hellinger see "different bins"; EMD sees HOW FAR the
+    * mass moved, in the signal's own units (the Ramdas et al. 2017
+    * univariate form):
+    *
+    *   EMD(P, Q) = ∫ |F_P(v) − F_Q(v)| dv
+    *             = Σ_v |F_P(v) − F_Q(v)| · (next(v) − v).
+    *
+    * Determinism contract: the CDF gap is carried as the EXACT integer
+    * |cumA·n_b − cumB·n_a| (cross-multiplied cumulative counts — the
+    * [[Stats.ksTest]] trick; the common denominator never
+    * materializes as a float), each gap×width term is an exact
+    * decimal(38,0) product, and the single division by n_a·n_b
+    * happens once at the readout, pinned to 6dp. No per-term float
+    * rounding anywhere.
+    *
+    * Scale shape: one (group, value) count pass (grid-sized — the
+    * measurement grid, never row count), broadcast |groups|² pairs, a
+    * full-outer value align per pair (both CDFs must step at every
+    * union grid point), a per-PAIR ordered window over the grid
+    * (partitioned by pair — never a global sort), one pair aggregate.
+    * Returns `(group_a, group_b, n_a, n_b, emd)` per pair. */
+  def emd1d(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val cnt = Lineage.cutLocal(df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c")))
+    val totals = cnt.groupBy("__g").agg(sum("__c").as("__n"))
+    val pairs = broadcast(totals.select(col("__g").as("group_a"),
+        col("__n").as("__na"))
+      .crossJoin(totals.select(col("__g").as("group_b"),
+        col("__n").as("__nb")))
+      .filter(col("group_a") < col("group_b")))
+    val left = pairs
+      .join(cnt.select(col("__g").as("group_a"), col("__v"),
+        col("__c").as("__ca")), Seq("group_a"))
+      .select("group_a", "group_b", "__v", "__ca")
+    val right = pairs
+      .join(cnt.select(col("__g").as("group_b"), col("__v"),
+        col("__c").as("__cb")), Seq("group_b"))
+      .select("group_a", "group_b", "__v", "__cb")
+    val aligned = left
+      .join(right, Seq("group_a", "group_b", "__v"), "full_outer")
+      .join(pairs, Seq("group_a", "group_b"))
+      .withColumn("__ca", coalesce(col("__ca"), lit(0L)))
+      .withColumn("__cb", coalesce(col("__cb"), lit(0L)))
+    val w = Window.partitionBy("group_a", "group_b").orderBy("__v")
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    aligned
+      .withColumn("__cuma", sum(col("__ca")).over(cum))
+      .withColumn("__cumb", sum(col("__cb")).over(cum))
+      .withColumn("__next", lead(col("__v"), 1).over(w))
+      .select(col("group_a"), col("group_b"), col("__na"), col("__nb"),
+        when(col("__next").isNotNull,
+          (abs(col("__cuma").cast(dec) * col("__nb").cast(dec) -
+            col("__cumb").cast(dec) * col("__na").cast(dec)) *
+            (col("__next") - col("__v")).cast(dec)).cast(dec))
+          .otherwise(lit(0).cast(dec)).as("__t"))
+      .groupBy("group_a", "group_b")
+      .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        sum(col("__t")).as("__s"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          Readout.pin(col("__s").cast("double") /
+            (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double"),
+            6)).as("emd"))
+      .orderBy("group_a", "group_b")
+  }
 }

@@ -248,6 +248,51 @@ class ResultStore(spark: SparkSession, root: String) {
     Some(target)
   }
 
+  /** RESTORE VERSION AS OF (the Delta RESTORE semantics): re-commit a
+    * retained older generation's state as a NEW generation. Unlike
+    * [[rollback]] (a pointer flip backwards), history moves FORWARD —
+    * the restored state gets its own version number, the intermediate
+    * generations stay readable within retention, and the restore
+    * itself shows up in [[versions]] like any other commit (audit
+    * trail intact, and a restore is undoable by restoring again).
+    * Data files and the key-range sidecar are HARD-LINKED from the
+    * source generation (O(files) metadata ops, zero copy or re-read —
+    * the [[cloneSchema]] mechanics within one schema); `_META` carries
+    * over so consumers see the restored state's own metadata. Returns
+    * the new version id. */
+  def restoreVersion(schema: String, version: String): String = {
+    val from = versionDir(schema, version)
+    require(from.isDirectory, s"no such version '$version' for '$schema'")
+    val previous = currentVersion(schema)
+    val next = nextVersion(schema)
+    val to = versionDir(schema, next)
+    to.mkdirs()
+    dataFiles(from).foreach { f =>
+      java.nio.file.Files.createLink(
+        new java.io.File(to, f.getName).toPath, f.toPath)
+    }
+    val statsF = new java.io.File(from, "_STATS")
+    if (statsF.isFile)
+      java.nio.file.Files.createLink(
+        new java.io.File(to, "_STATS").toPath, statsF.toPath)
+    val legacyStats = new java.io.File(from, "_stats")
+    if (legacyStats.isDirectory) {
+      val toStats = new java.io.File(to, "_stats")
+      toStats.mkdirs()
+      Option(legacyStats.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile)
+        .foreach(f => java.nio.file.Files.createLink(
+          new java.io.File(toStats, f.getName).toPath, f.toPath))
+    }
+    val metaF = new java.io.File(from, "_META")
+    if (metaF.isFile)
+      java.nio.file.Files.createLink(
+        new java.io.File(to, "_META").toPath, metaF.toPath)
+    beforeSwapHook()
+    flipPointer(schema, next, keepPrevious = previous)
+    next
+  }
+
   /** Append rows — through the SAME versioned commit as rewrites, so
     * the class-level atomicity claim holds for appends too: the new
     * rows land in a fresh version directory, the previous version's

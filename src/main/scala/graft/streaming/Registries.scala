@@ -105,6 +105,39 @@ object Registries {
       statCols = Seq("n"))
   }
 
+  /** Vocabulary count registry: `token → n`, merged additively per
+    * micro-batch — the heavy-hitter/vocabulary side of the registry
+    * family ([[incrementalSourceStats]] keys on the source,
+    * [[incrementalHistogram]] on (key, bucket); THIS keys on the token
+    * itself). A continuously-ingesting corpus reads its top-k tokens,
+    * stopword candidates, and vocabulary growth off this table instead
+    * of re-tokenizing 100 TB; exact counts, so the top-k readout is a
+    * TakeOrdered over the registry — no sketch error to argue about.
+    *
+    * Same machinery end to end: per-stream `txn.` replay map, pruned
+    * point-read of the batch's OWN tokens (the registry lives
+    * range-partitioned on the token, so a batch touches only the files
+    * its vocabulary lands in), file-pruned upsert. The registry is
+    * vocabulary-sized — Heaps' law keeps that sublinear in the corpus. */
+  def incrementalTokenCounts(
+      stream: DataFrame,
+      textCol: String,
+      store: graft.sources.ResultStore,
+      schema: String,
+      streamId: String,
+      checkpoint: String,
+      registryPartitions: Int = 8,
+      onCommit: (String, graft.sources.PrunedCommit) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    additiveRegistry(stream, store, schema, streamId, checkpoint,
+      registryPartitions, onCommit,
+      deltaOf = batch => batch
+        .select(explode(graft.functions.TextFunctions
+          .wsTokens(lower(col(textCol)))).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("n")),
+      groupCols = Seq("key"),
+      statCols = Seq("n"))
+
   /** The shared additive-registry micro-batch skeleton: per-stream
     * `txn.<stream_id>` replay map (carried forward wholesale on every
     * commit), batch delta aggregate, key-pruned read-back of ONLY the

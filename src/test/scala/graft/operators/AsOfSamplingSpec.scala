@@ -324,4 +324,31 @@ class AsOfSamplingSpec extends AnyFunSuite {
       .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
     assert(got == Seq(("t", 4L, Some(4.0), Some(1.0))), got.toString)
   }
+
+  test("horvitzThompson: certainty sampling reproduces the exact total " +
+      "with zero variance; partial weights match a driver replay") {
+    // π = 1 keeps everything: HT total == actual total, se = 0
+    val full = (1L to 5L).map(i => ("s", i, i.toDouble * 10))
+      .toDF("g", "id", "y")
+    val sure = Sampling.horvitzThompson(full, "g", "id", "ht-spec",
+        lit(1.0), "y")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().head
+    assert(sure == (("s", 5L, 5L, 150.0, Some(150.0), Some(0.0))),
+      sure.toString)
+    // π = 0.5: the kept set is the salted-hash draw — replay it
+    // driver-side and check the estimate is exactly Σ y/π over it
+    val part = Sampling.horvitzThompson(full, "g", "id", "ht-spec",
+        lit(0.5), "y")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().head
+    val keptIds = full
+      .filter(Sampling.hashBucket(col("id"), "ht-spec", 1000000)
+        .cast("double") / 1e6 < 0.5)
+      .select("id").as[Long].collect().toSet
+    val expTotal = keptIds.toSeq.map(i => i * 10.0 / 0.5).sum
+    assert(part._3 == keptIds.size.toLong)
+    assert(part._5 == Some(BigDecimal(expTotal).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toDouble), part.toString)
+  }
 }

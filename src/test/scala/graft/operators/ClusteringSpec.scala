@@ -89,4 +89,28 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got == Seq((1, 1L, 0.0, 0.25), (2, 2L, 0.0, 0.45)),
       got.toString)
   }
+
+  test("daviesBouldin: zero-scatter orthogonal clusters score 0; " +
+      "looser clusters score higher") {
+    // two clusters of exact copies on orthogonal axes: every member
+    // sits ON its centroid (scatter 0) and M = 1 − cos = 1 → DB = 0
+    val tight = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), // seeds
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(1.0f, 0.0f)), (5L, Seq(0.0f, 1.0f))).toDF("vec_id", "v")
+    val got = Clustering.daviesBouldin(tight, "vec_id", "v",
+        k = 2, iters = 1)
+      .as[(Long, Option[Double])].collect().head
+    assert(got == ((2L, Some(0.0))), got.toString)
+    // spread members off their centroids: scatter > 0 → DB > 0
+    val loose = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)),
+      (4L, Seq(0.95f, 0.05f)), (5L, Seq(0.05f, 0.95f)))
+      .toDF("vec_id", "v")
+    val l = Clustering.daviesBouldin(loose, "vec_id", "v",
+        k = 2, iters = 1)
+      .as[(Long, Option[Double])].collect().head
+    assert(l._1 == 2L && l._2.exists(_ > 0.0), l.toString)
+  }
 }

@@ -1522,4 +1522,75 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
     assert(got.nonEmpty, "fixture must produce at least one mutual pair")
   }
+
+  test("ndcgAtK: hand DCG over a swapped ranking; absent queries 0") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // exact top-2 for q1 = [a, b]; the index returns [b, c]:
+    // rel(b) = 2+1−2 = 1 at position 1 → DCG = 1/log2(2) = 1,
+    // NDCG = 1 / (2 + 1/log2(3)); q2 exists only on the exact side
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1),
+      (2L, 12L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val ann = Seq((1L, 11L, 1), (1L, 12L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.ndcgAtK(ann, exact, k = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    val idcg = 2.0 + 1.0 / (math.log(3.0) / Similarity.Ln2)
+    assert(got == Seq((1L, 1L, r6(1.0 / idcg)), (2L, 0L, 0.0)),
+      got.toString)
+    // a perfect ranking scores exactly 1
+    val perfect = Similarity.ndcgAtK(
+      exact.filter(col("query_id") === 1L), exact
+        .filter(col("query_id") === 1L), k = 2)
+      .as[(Long, Long, Double)].collect().head
+    assert(perfect == ((1L, 2L, 1.0)), perfect.toString)
+  }
+
+  test("lidScores: hand-computed 2-NN MLE; exact duplicates excluded") {
+    // one cell (numCells=1): query (1,0) sees n1 at cos 0.9950 and n2
+    // at cos 0.7071 → LID = −2 / round10(ln(d1/dk)) (the dk term's
+    // ln(1) contributes an exact 0)
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0.1f)),
+      (3L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.lidScores(vecs, "vec_id", "embedding",
+      numCells = 1, nProbe = 1, k = 2)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val t = BigDecimal(math.log((1.0 - 0.9950) / (1.0 - 0.7071)))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = BigDecimal(-2.0 / t)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((2L, Some(exp))), s"got ${got(1L)} want $exp")
+    // an exact duplicate pair: its zero distance must drop from the
+    // sum, not produce ln(0)
+    val dup = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val d = Similarity.lidScores(dup, "vec_id", "embedding",
+      numCells = 1, nProbe = 1, k = 2)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // query 1: d(2)=0 excluded, d(3)=1−0 = dk → ln(1)=0 → sum 0 → NULL
+    assert(d(1L)._1 == 1L && d(1L)._2.isEmpty, d.toString)
+  }
+
+  test("hubnessProfile: planted star hub right-skews N_k; " +
+      "counts reconcile") {
+    // 4D star: four orthogonal spokes each at cos 0.5 to the central
+    // hub and cos 0 to each other → under 1-NN every spoke picks the
+    // hub, the hub picks the lowest spoke. N_1 = [1,0,0,0,4]:
+    // mean 1, antihubs 3, hub (N_k ≥ 2k) 1, skew = 4.8/2.4^1.5 > 1
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f)),
+      (5L, Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Similarity.hubnessProfile(vecs, "vec_id", "embedding",
+      numCells = 1, nProbe = 1, k = 1)
+      .as[(Long, Long, Long, Long, Double, Option[Double])]
+      .collect().head
+    val (n, k, anti, hubs, mean, skew) = got
+    assert((n, k, anti, hubs, mean) == ((5L, 1L, 3L, 1L, 1.0)),
+      got.toString)
+    assert(skew.exists(_ > 1.0),
+      s"planted hub must right-skew N_k: $got")
+  }
 }

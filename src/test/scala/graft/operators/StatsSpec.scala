@@ -1043,4 +1043,231 @@ class StatsSpec extends AnyFunSuite {
         Option[Double], Option[Double])].collect().head
     assert(zero._6.isEmpty && zero._7.isEmpty && zero._8.isEmpty)
   }
+
+  test("oddsRatio: hand-computed OR and Woolf CI, zero cell yields NULL") {
+    // a=2, b=1, c=1, d=2 → OR = 4; se = sqrt(1/2+1+1+1/2) = sqrt(3)
+    val d = Seq(
+      ("g", true, true), ("g", true, true), ("g", true, false),
+      ("g", false, true), ("g", false, false), ("g", false, false))
+      .toDF("g", "ex", "ev")
+    val got = Stats.oddsRatio(d, "g", "ex", "ev")
+      .as[(String, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert((got._2, got._3, got._4, got._5) == ((2L, 1L, 1L, 2L)))
+    assert(got._6 == Some(4.0))
+    assert(got._7 == Some(0.134186) && got._8 == Some(119.2371), got)
+    // any zero cell → NULL (Woolf has every cell in a denominator)
+    val z = Stats.oddsRatio(Seq(("g", true, true), ("g", false, true),
+      ("g", false, false)).toDF("g", "ex", "ev"), "g", "ex", "ev")
+      .as[(String, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(z._6.isEmpty && z._7.isEmpty && z._8.isEmpty)
+  }
+
+  test("cliffsDelta: hand-computed pair counts; missing cohort NULL") {
+    // A = [1,2,3], B = [2,0]: gt=4, lt=1, ties=1 → δ = (4−1)/6 = 0.5
+    val d = Seq(("g", true, 1.0), ("g", true, 2.0), ("g", true, 3.0),
+      ("g", false, 2.0), ("g", false, 0.0),
+      ("h", true, 5.0))
+      .toDF("g", "ca", "v")
+    val got = Stats.cliffsDelta(d, "g", "ca", "v")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(("g", 3L, 2L, Some(0.5)), ("h", 1L, 0L, None)))
+    // identical distributions → δ = 0 exactly (and pinned to +0.0)
+    val sym = Stats.cliffsDelta(
+      Seq(("g", true, 1.0), ("g", false, 1.0), ("g", true, 2.0),
+        ("g", false, 2.0)).toDF("g", "ca", "v"), "g", "ca", "v")
+      .as[(String, Long, Long, Option[Double])].collect().head
+    assert(sym._4 == Some(0.0) &&
+      !(1.0 / sym._4.get).isNegInfinity)
+  }
+
+  test("jarqueBera: symmetric sample → zero skew, hand kurtosis; " +
+      "degenerate groups NULL") {
+    // [1,2,3,4] → cents 100..400: g1 = 0, g2 = −1.36, JB = 0.308267
+    val d = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0),
+      ("one", 5.0), ("flat", 2.0), ("flat", 2.0))
+    val got = Stats.jarqueBera(d.toDF("g", "v"), "g", "v")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("g") == ((4L, Some(0.0), Some(-1.36), Some(0.308267))))
+    assert(got("one") == ((1L, None, None, None)))  // n < 2
+    assert(got("flat") == ((2L, None, None, None))) // zero variance
+  }
+
+  test("bartlett: equal variances → T = 0; zero-variance group " +
+      "excluded from k") {
+    // g1 = [1,2,3], g2 = [4,5,6]: both var 1 → Sp² = 1, T = 0 exactly;
+    // c = [7,7] has var 0 and must drop from the test, not poison it
+    val d = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 4.0), ("g2", 5.0), ("g2", 6.0), ("c", 7.0), ("c", 7.0))
+      .toDF("g", "v")
+    val got = Stats.bartlett(d, "g", "v")
+      .as[(Long, Long, Option[Double], Long)].collect().head
+    assert(got == ((2L, 6L, Some(0.0), 1L)), got)
+    // a single surviving group → NULL statistic
+    val one = Stats.bartlett(Seq(("g", 1.0), ("g", 2.0)).toDF("g", "v"),
+      "g", "v").as[(Long, Long, Option[Double], Long)].collect().head
+    assert(one._1 == 1L && one._3.isEmpty)
+  }
+
+  test("pageTrend: perfect monotone trend hits max L, z = 2; " +
+      "incomplete blocks excluded") {
+    // two blocks, three ordered treatments, values increasing with the
+    // treatment key in both blocks: L = 1·2+2·4+3·6 = 28 (the maximum),
+    // E[L] = 24, Var[L] = 4 → z = 2. Block b3 misses treatment t3 and
+    // must not count.
+    val d = Seq(("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 4.0), ("b2", "t2", 5.0), ("b2", "t3", 6.0),
+      ("b3", "t1", 9.0), ("b3", "t2", 1.0))
+      .toDF("b", "t", "v")
+    val got = Stats.pageTrend(d, "b", "t", "v")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    assert(got == ((3L, 2L, Some(28.0), Some(2.0))), got)
+    // reversed order → minimum L = 1·6+2·4+3·2 = 20, z = −2
+    val rev = Stats.pageTrend(
+      Seq(("b1", "t1", 3.0), ("b1", "t2", 2.0), ("b1", "t3", 1.0),
+        ("b2", "t1", 6.0), ("b2", "t2", 5.0), ("b2", "t3", 4.0))
+        .toDF("b", "t", "v"), "b", "t", "v")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    assert(rev == ((3L, 2L, Some(20.0), Some(-2.0))), rev)
+  }
+
+  test("tostEquivalence: hand-computed one-sided z pair; the verdict " +
+      "flips with the margin") {
+    // A = [1,2,3] (m=2, va=1/3), B = [2,4] (m=3, vb=1): diff = −1,
+    // se = sqrt(4/3). δ=2 → z_lo = 0.866 < z_crit → NOT equivalent;
+    // δ=5 → z_lo = 3.4641, z_hi = 5.1962 → equivalent
+    val d = Seq(("g", true, 1.0), ("g", true, 2.0), ("g", true, 3.0),
+      ("g", false, 2.0), ("g", false, 4.0)).toDF("grp", "is_a", "v")
+    def run(m: Double) = Stats.tostEquivalence(
+        d, "v", col("is_a"), Seq("grp"), margin = m)
+      .as[(String, Long, Long, Double, Option[Double], Option[Double],
+        Option[Boolean])].collect().head
+    val narrow = run(2.0)
+    assert((narrow._2, narrow._3, narrow._4) == ((3L, 2L, -1.0)))
+    assert(narrow._5 == Some(0.866) && narrow._6 == Some(2.5981),
+      narrow.toString)
+    assert(narrow._7 == Some(false))
+    val wide = run(5.0)
+    assert(wide._5 == Some(3.4641) && wide._6 == Some(5.1962),
+      wide.toString)
+    assert(wide._7 == Some(true))
+    // a one-row arm → NULL z and NULL verdict
+    val thin = Stats.tostEquivalence(
+      Seq(("g", true, 1.0), ("g", true, 2.0), ("g", false, 3.0))
+        .toDF("grp", "is_a", "v"),
+      "v", col("is_a"), Seq("grp"), margin = 2.0)
+      .as[(String, Long, Long, Double, Option[Double], Option[Double],
+        Option[Boolean])].collect().head
+    assert(thin._5.isEmpty && thin._7.isEmpty)
+  }
+
+  test("cronbachAlpha: parallel items score 1; incomplete subjects drop") {
+    // items move identically across subjects → α = 1 exactly
+    val d = Seq((1L, "i1", 1.0), (1L, "i2", 1.0),
+      (2L, "i1", 2.0), (2L, "i2", 2.0),
+      (3L, "i1", 9.0)) // subject 3 misses i2 → excluded
+      .toDF("s", "i", "v")
+    val got = Stats.cronbachAlpha(d, "s", "i", "v")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((2L, 2L, Some(1.0))), got.toString)
+    // uncorrelated-ish items: α < 1; zero total variance → NULL
+    val flat = Stats.cronbachAlpha(
+      Seq((1L, "i1", 1.0), (1L, "i2", 2.0),
+        (2L, "i1", 2.0), (2L, "i2", 1.0)).toDF("s", "i", "v"),
+      "s", "i", "v")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(flat._3.isEmpty, // totals both 3 → S²_total = 0
+      flat.toString)
+  }
+
+  test("moodMedian: perfect separation maxes chi2 and V") {
+    // a = [1,2] below the pooled median 2.5, b = [3,4] above →
+    // chi2 = 4 (every cell deviates by 1 from E = 1), V = 1
+    val d = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val got = Stats.moodMedian(d, "g", "v")
+      .as[(Long, Long, Long, Long, Double, Option[Double])]
+      .collect().head
+    assert(got == ((4L, 2L, 2L, 1L, 4.0, Some(1.0))), got.toString)
+    // exact ties at the median drop: [1,2,3] per group → median 2
+    // rows with v = 2 vanish from the table
+    val ties = Stats.moodMedian(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v"),
+      "g", "v")
+      .as[(Long, Long, Long, Long, Double, Option[Double])]
+      .collect().head
+    assert(got._1 == 4L && ties._1 == 2L, ties.toString)
+  }
+
+  test("ljungBox: alternating series hits the hand ACF and LB = 16; " +
+      "degenerate groups NULL") {
+    // v = [1,−1,1,−1,1,−1]: mean 0 → r1 = −5/6, r2 = 2/3, r3 = −1/2,
+    // LB = 6·8·(r1²/5 + r2²/4 + r3²/3) = 16
+    val d = (1 to 6).map(t => ("g", t.toLong,
+      if (t % 2 == 1) 1.0 else -1.0)) ++
+      Seq(("flat", 1L, 2.0), ("flat", 2L, 2.0), ("flat", 3L, 2.0),
+        ("flat", 4L, 2.0)) ++
+      (1 to 3).map(t => ("short", t.toLong, t.toDouble))
+    val got = Stats.ljungBox(d.toDF("g", "t", "v"), "g", "t", "v",
+        maxLag = 3)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got("g") == ((6L, Some(-0.833333), Some(0.666667),
+      Some(-0.5), Some(16.0), 3L)), got("g").toString)
+    // constant series: zero variance → every readout NULL
+    assert(got("flat") == ((4L, None, None, None, None, 3L)))
+    // n = 3: r3 needs n > 3 → NULL, and so does LB
+    val s = got("short")
+    assert(s._1 == 3L && s._2.isDefined && s._3.isDefined &&
+      s._4.isEmpty && s._5.isEmpty, s.toString)
+  }
+
+  test("seasonalMannKendall: within-season trends add; hand z") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // two seasons, four points each, strictly increasing within each:
+    // S = 6+6 = 12, Var = 2·(4·3·13) = 312, z = (12−1)/√(312/18)
+    val d = (for {
+      season <- Seq(0L, 1L); i <- 1 to 4
+    } yield ("g", season, season + 2L * i, (10 * season + i).toDouble))
+      .toDF("key", "season", "t", "y")
+    val got = Stats.seasonalMannKendall(d, "key", "season", "t", "y")
+      .as[(String, Long, Long, Long, Option[Double], Option[String])]
+      .collect().head
+    val expZ = r6(11.0 / math.sqrt(312.0 / 18.0))
+    assert(got == (("g", 8L, 2L, 12L, Some(expZ), Some("increasing"))),
+      got.toString)
+    // up-then-down within every season: the +1 and −1 pairs cancel
+    // (S = 0, trend none) while the tie pair exercises the correction
+    val wiggle = Seq(1.0, 2.0, 1.0)
+    val cyc = (for {
+      season <- 0L to 1L; i <- 0 to 2
+    } yield ("c", season, season + 7L * i, wiggle(i) + 10 * season))
+      .toDF("key", "season", "t", "y")
+    val c = Stats.seasonalMannKendall(cyc, "key", "season", "t", "y")
+      .as[(String, Long, Long, Long, Option[Double], Option[String])]
+      .collect().head
+    assert(c._4 == 0L && c._5 == Some(0.0) && c._6 == Some("none"),
+      c.toString)
+  }
+
+  test("cohensH: extreme proportions give h = π, equal give +0") {
+    val d = Seq(("g", true, true), ("g", true, true),
+      ("g", false, false), ("g", false, false),
+      ("e", true, true), ("e", true, false),
+      ("e", false, true), ("e", false, false))
+      .toDF("g", "ca", "ev")
+    val got = Stats.cohensH(d, "g", "ca", "ev")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect()
+      .map(r => r._1 -> ((r._4, r._5, r._6))).toMap
+    assert(got("g") == ((Some(1.0), Some(0.0), Some(3.141593))),
+      got("g").toString)
+    val e = got("e")
+    assert(e._3 == Some(0.0) && !(1.0 / e._3.get).isNegInfinity,
+      e.toString)
+  }
 }

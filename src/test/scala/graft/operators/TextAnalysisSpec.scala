@@ -614,4 +614,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3L, 2L, 0.666667), (2L, 2L, 0L, 0.0)),
       got.toString) // doc 3 too short for a 3-gram
   }
+
+  test("hellinger: identical distributions 0, disjoint pair kept at 1") {
+    // p = q = (2/3, 1/3): BC = 2/3 + 1/3 = 1 (exact in 10dp decimals)
+    // → H = 0; source c shares nothing with a or b → restored rows
+    // with BC = 0, H = 1
+    val docs = Seq(("a", "x x y"), ("b", "x x y"), ("c", "zz"))
+      .toDF("source", "text")
+    val got = TextAnalysis.hellinger(docs, "source", "text")
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 1.0, 0.0),
+      ("a", "c", 0L, 0.0, 1.0),
+      ("b", "c", 0L, 0.0, 1.0)), got.toString)
+  }
+
+  test("emd1d: unit shift moves unit mass; identical distributions 0") {
+    // A lengths [1,1,3], B = [2,2,4]: every point of B is A shifted by
+    // one → EMD = 1 exactly; C equals A → EMD(A, C) = 0
+    val d = Seq(("a", 1L), ("a", 1L), ("a", 3L),
+      ("b", 2L), ("b", 2L), ("b", 4L),
+      ("c", 1L), ("c", 1L), ("c", 3L)).toDF("g", "len")
+    val got = TextAnalysis.emd1d(d, "g", "len")
+      .as[(String, String, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, 3L, Some(1.0)),
+      ("a", "c", 3L, 3L, Some(0.0)),
+      ("b", "c", 3L, 3L, Some(1.0))), got.toString)
+  }
 }

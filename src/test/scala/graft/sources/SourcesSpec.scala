@@ -1263,4 +1263,56 @@ class SourcesSpec extends AnyFunSuite {
     // identical generations diff to empty
     assert(store.diffVersions("t", v2, v2).isEmpty)
   }
+
+  test("restoreVersion: forward-moving restore — new generation, " +
+      "history intact, meta carried, undoable") {
+    val store = new ResultStore(spark, tmpDir())
+    spark.conf.set("spark.graft.store.retainVersions", "5")
+    try {
+      store.overwriteWithMeta("t", Seq(KV(1, "a"), KV(2, "b")).toDF(),
+        Map("gen" -> "1"))
+      store.overwriteWithMeta("t", Seq(KV(1, "A"), KV(3, "c")).toDF(),
+        Map("gen" -> "2"))
+      store.overwriteWithMeta("t", Seq(KV(9, "z")).toDF(),
+        Map("gen" -> "3"))
+      val gens = store.versions("t").sorted
+      assert(gens.size == 3)
+      val v4 = store.restoreVersion("t", gens.head)
+      // a NEW generation, not a pointer flip backwards
+      assert(v4 > gens.last && store.committedVersion("t").contains(v4))
+      assert(store.versions("t").size == 4)
+      // current state == generation 1's state, meta carried with it
+      assert(store.read("t").as[KV].collect().sortBy(_.k).toSeq ==
+        Seq(KV(1, "a"), KV(2, "b")))
+      assert(store.committedMeta("t").get("gen").contains("1"))
+      // the undone generation 3 stays readable behind it
+      assert(store.readVersion("t", gens.last).as[KV].collect().toSeq ==
+        Seq(KV(9, "z")))
+      // restoring the pre-restore current is the undo
+      store.restoreVersion("t", gens.last)
+      assert(store.read("t").as[KV].collect().toSeq == Seq(KV(9, "z")))
+      assert(store.committedMeta("t").get("gen").contains("3"))
+      // a missing version refuses
+      intercept[IllegalArgumentException](
+        store.restoreVersion("t", "v99999999"))
+    } finally spark.conf.unset("spark.graft.store.retainVersions")
+  }
+
+  test("restoreVersion crash before the flip leaves the table intact") {
+    val root = tmpDir()
+    val store = new ResultStore(spark, root)
+    store.overwrite("t", Seq(KV(1, "a")).toDF())
+    store.overwrite("t", Seq(KV(2, "b")).toDF())
+    val old = store.versions("t").sorted.head
+    val crashy = new ResultStore(spark, root) {
+      override protected def beforeSwapHook(): Unit =
+        throw new RuntimeException("crash before swap")
+    }
+    intercept[RuntimeException](crashy.restoreVersion("t", old))
+    // still on generation 2, fully readable; a healthy retry succeeds
+    val clean = new ResultStore(spark, root)
+    assert(clean.read("t").as[KV].collect().toSeq == Seq(KV(2, "b")))
+    clean.restoreVersion("t", old)
+    assert(clean.read("t").as[KV].collect().toSeq == Seq(KV(1, "a")))
+  }
 }

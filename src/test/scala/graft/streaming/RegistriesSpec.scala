@@ -144,4 +144,36 @@ class RegistriesSpec extends AnyFunSuite {
     assert(run(1) == expected)
     assert(run(3) == expected)
   }
+
+  test("incrementalTokenCounts: vocabulary counts equal the one-shot " +
+      "tokenization for any batch split; replay skipped") {
+    // lower() folds Case; whitespace runs collapse
+    val rows = Seq(Tuple1("Alpha beta  alpha"), Tuple1("beta gamma"),
+      Tuple1("ALPHA")).toDF("text")
+    val expected = Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L)
+    def run(nFiles: Int): (graft.sources.ResultStore, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-inctok")
+        .toString
+      rows.repartition(nFiles).write.mode("overwrite").parquet(s"$tmp/in")
+      val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+      Registries.incrementalTokenCounts(
+        StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "text", store, "tok", "s1", s"$tmp/ckpt")
+        .awaitTermination()
+      (store, tmp)
+    }
+    def reg(store: graft.sources.ResultStore) =
+      store.read("tok").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
+    assert(reg(run(1)._1) == expected)
+    val (store, tmp) = run(3)
+    assert(reg(store) == expected)
+    // a fresh checkpoint replays every batch under the same stream id:
+    // the txn map must absorb them (addition is not idempotent)
+    Registries.incrementalTokenCounts(
+      StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+      "text", store, "tok", "s1", s"$tmp/ckpt2")
+      .awaitTermination()
+    assert(reg(store) == expected)
+  }
 }

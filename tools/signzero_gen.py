@@ -151,6 +151,14 @@ OVER = [
  ('round(col("__mon"), 2).cast("double").as("monetary")', ("nonneg","monetary decimal readout")),
  ('round(phi_scaled /', ("oracle-sql","DuckDB oracle: Shapley credit share of nonnegs")),
  ('round(coalesce(try_element_at(acc, -1).survival, 1.0d)', ("oracle-sql","DuckDB oracle: survival in [0,1]")),
+ ('round((nd - 1.0) * col("__var"), 6)', ("nonneg","(n-1)>=1 times var>0 (filtered); rounds into decimal carrier")),
+ ('round((nd - 1.0) * log(col("__var")), 8)', ("decimal-carrier","Bartlett ln-variance term rounds into decimal(38,8); decimal zero is unsigned")),
+ ('round(lit(1.0) / (nd - 1.0), 10)', ("nonneg","1/(n-1) with n>=2 (filtered)")),
+ ('when(col("n_blocks") >= 1L, round(lD, 1)).as("l_stat")', ("nonneg","Page L = sum of positive j*rank products, > 0 when emitted")),
+ ('round(log(col("__d") / col("__dk")), 10)', ("decimal-carrier","LID ln ratio rounds into decimal(28,10); d=dk gives exact ln(1)=+0")),
+ ('round(term, 10).cast("decimal(28,10)").as("__t"))', ("nonneg","Hellinger sqrt of product of positive shares; decimal carrier")),
+ ('.select(round(sampleVar(', ("nonneg","sample variance >= 0 (Cauchy-Schwarz on exact integer sums); decimal carrier")),
+ ('round(coalesce(col("__rel"), lit(0L)).cast("double") /', ("nonneg","NDCG term: nonneg grade over positive log; decimal carrier")),
  ('round(', ("nonneg","Kneser-Ney probability (greatest(c-d,0) + backoff, all nonneg)")),
 ]
 
