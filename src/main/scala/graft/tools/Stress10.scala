@@ -542,6 +542,127 @@ object Stress10 {
     slope30("neardup_ingest", nd1, nd30)
   }
 
+  /** Decade stress for the r13 additions. Replica axes are chosen per
+    * operator's honest scale dimension: value-grid statistics get
+    * value-jittered replicas (the grid itself grows), the pair-grid
+    * text distances get token-jittered replicas (vocab grows — copy
+    * replicas would leave the aligned grid fixed and measure nothing),
+    * seasonal MK replicates KEYS (its pair join is calendar-bounded
+    * per key — series length doesn't grow with corpus size, keys do),
+    * Page's test replicates BLOCKS, and the IVF-backed LID/hubness
+    * scale `numCells` with the corpus (the deployment contract:
+    * cells ∝ N keeps per-cell size constant; fixing 16 cells at 10×
+    * data would measure within-cell quadratic blowup the operator
+    * documents away). */
+  private def r13bStress(
+      spark: org.apache.spark.sql.SparkSession, sf: String): Unit = {
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "event_type", "user_id", "value")
+      .filter(col("value").isNotNull).localCheckpoint()
+    def evJit(k: Int): DataFrame = (0 until k).map(i =>
+      ev.select(col("event_type"),
+        (col("user_id") + lit(i.toLong)).as("user_id"),
+        (col("value") + lit(i * 1e-4)).as("value"),
+        (col("event_id") + lit(i * 1000000000L)).as("event_id")))
+      .reduce(_ unionByName _)
+    def cd(k: Int) = operators.Stats.cliffsDelta(
+      evJit(k).select(col("event_type"),
+        (col("user_id") % 2 === 0L).as("ca"), col("value")),
+      "event_type", "ca", "value").count()
+    val cd1 = time("cliffs_1x")(cd(1))
+    val cd10 = time("cliffs_10x")(cd(10))
+    slope("cliffs_delta", cd1, cd10)
+
+    def lb(k: Int) = operators.Stats.ljungBox(
+      evJit(k).select(col("event_type"),
+        col("event_id").cast("decimal(38,0)").as("o"), col("value")),
+      "event_type", "o", "value", maxLag = 3).count()
+    val lb1 = time("ljung_1x")(lb(1))
+    val lb10 = time("ljung_10x")(lb(10))
+    slope("ljung_box", lb1, lb10)
+
+    // seasonal MK: keys are the scale axis (series are calendar-bounded)
+    val daily = Tables.load(spark, sf, "events")
+      .select(col("event_type").as("key"),
+        expr("unix_micros(ts) div 86400000000").as("t"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("season"))
+      .groupBy("key", "t", "season").agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    def keyDup(k: Int): DataFrame = (0 until k).map(i =>
+      daily.select(concat(col("key"), lit(s"_$i")).as("key"),
+        col("t"), col("season"), col("y"))).reduce(_ unionByName _)
+    val mk1 = time("seasonal_mk_1x")(operators.Stats.seasonalMannKendall(
+      keyDup(1), "key", "season", "t", "y").count())
+    val mk10 = time("seasonal_mk_10x")(operators.Stats.seasonalMannKendall(
+      keyDup(10), "key", "season", "t", "y").count())
+    slope("seasonal_mk", mk1, mk10)
+
+    // Page: blocks are the scale axis (k treatments stay fixed)
+    val orders = Tables.load(spark, sf, "orders")
+      .select(year(col("o_orderdate")).as("yr"), col("o_orderpriority"),
+        col("o_totalprice")).localCheckpoint()
+    def blockDup(k: Int): DataFrame = (0 until k).map(i =>
+      orders.select((col("yr") + lit(i * 100)).as("yr"),
+        col("o_orderpriority"),
+        (col("o_totalprice") + lit(i * 1e-2)).as("o_totalprice")))
+      .reduce(_ unionByName _)
+    val pg1 = time("page_1x")(operators.Stats.pageTrend(
+      blockDup(1), "yr", "o_orderpriority", "o_totalprice").count())
+    val pg10 = time("page_10x")(operators.Stats.pageTrend(
+      blockDup(10), "yr", "o_orderpriority", "o_totalprice").count())
+    slope("page_trend", pg1, pg10)
+
+    // Hellinger/EMD: token-jittered replicas grow the shared vocab /
+    // length grid with the corpus
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").localCheckpoint()
+    def docJit(k: Int): DataFrame = (0 until k).map(i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("source"),
+        regexp_replace(col("text"), " ", s" r$i ").as("text")))
+      .reduce(_ unionByName _)
+    val hl1 = time("hellinger_1x")(operators.TextAnalysis.hellinger(
+      docJit(1), "source", "text").count())
+    val hl10 = time("hellinger_10x")(operators.TextAnalysis.hellinger(
+      docJit(10), "source", "text").count())
+    slope("hellinger", hl1, hl10)
+    def emdLen(k: Int) = operators.TextAnalysis.emd1d(
+      docJit(k).select(col("source"),
+        size(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
+          .cast("long").as("len")),
+      "source", "len").count()
+    val em1 = time("emd_1x")(emdLen(1))
+    val em10 = time("emd_10x")(emdLen(10))
+    slope("emd", em1, em10)
+
+    // LID / hubness: numCells scales with the corpus (cells ∝ N), and
+    // replicas JITTER the vectors — copy replicas are exact duplicates
+    // whose zero distances LID correctly refuses to fit (0 rows at
+    // 10×), which would measure the degenerate path, not growth
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint()
+    def eDup(k: Int): DataFrame = (0 until k).map(i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, x -> cast(x + ${i * 0.001} as float))")
+          .as("embedding"))).reduce(_ unionByName _)
+    val ld1 = time("lid_1x")(operators.Similarity.lidScores(
+      eDup(1), "vec_id", "embedding", numCells = 16).count())
+    val ld10 = time("lid_10x")(operators.Similarity.lidScores(
+      eDup(10), "vec_id", "embedding", numCells = 160).count())
+    slope("lid", ld1, ld10)
+    val hb1 = time("hubness_1x")(operators.Similarity.hubnessProfile(
+      eDup(1), "vec_id", "embedding", numCells = 16).count())
+    val hb10 = time("hubness_10x")(operators.Similarity.hubnessProfile(
+      eDup(10), "vec_id", "embedding", numCells = 160).count())
+    slope("hubness", hb1, hb10)
+
+    val db1 = time("davies_bouldin_1x")(operators.Clustering.daviesBouldin(
+      eDup(1), "vec_id", "embedding", k = 8, iters = 2).count())
+    val db10 = time("davies_bouldin_10x")(operators.Clustering.daviesBouldin(
+      eDup(10), "vec_id", "embedding", k = 8, iters = 2).count())
+    slope("davies_bouldin", db1, db10)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-stress10")
@@ -570,6 +691,11 @@ object Stress10 {
     }
     if (args.contains("r13tail")) {
       r13TailStress(spark, sf)
+      spark.stop()
+      return
+    }
+    if (args.contains("r13b")) {
+      r13bStress(spark, sf)
       spark.stop()
       return
     }
