@@ -12166,6 +12166,74 @@ ORDER BY query_id"""
       "source", "len")
   }
 
+  // ---------------------------------------------------------------------
+  // tq42_bpe_fertility — tokenizer fertility per source under the
+  // corpus-learned 6-merge BPE (Bpe.fertility): tokens emitted per
+  // word — the tokenizer-efficiency number mixture design weighs; the
+  // oracle replays learn-then-segment end-to-end per source.
+  register(
+    "tq42_bpe_fertility",
+    graft.operators.Bpe.fertilityOracleSql(6)
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val merges = graft.operators.Bpe.learnMerges(docs, "text", 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.fertility(docs, "source", "text", merges)
+  }
+
+  // ---------------------------------------------------------------------
+  // tq43_perplexity_gate — CCNet-style per-source head/middle/tail
+  // partition of the bigram-LM score (TextAnalysis.perplexityBuckets):
+  // p25/p75 cuts per source (exactly-representable fractions) over
+  // tq15's pinned nll; the canonical "keep the head, sample the
+  // middle, drop the tail" curation gate.
+  register(
+    "tq43_perplexity_gate",
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents
+      |), pr AS (
+      |  SELECT doc_id, toks[i] AS v, toks[i+1] AS w, count(*)::bigint AS k
+      |  FROM tk, unnest(range(1, len(toks))) t(i)
+      |  WHERE len(toks) >= 2
+      |  GROUP BY 1, 2, 3
+      |), c2 AS (
+      |  SELECT v, w, sum(k)::bigint AS c2 FROM pr GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT v, sum(c2)::bigint AS c1 FROM c2 GROUP BY 1
+      |), vs AS (
+      |  SELECT count(DISTINCT t.tok)::double AS vsz
+      |  FROM tk, unnest(toks) t(tok)
+      |), nll AS (
+      |  SELECT doc_id,
+      |         round(sum(round(-ln((c2.c2 + 0.5) /
+      |                 (c1.c1 + 0.5 * vs.vsz)), 6)::decimal(18,6) * k)
+      |               ::double / sum(k), 4) AS nll
+      |  FROM pr JOIN c2 USING (v, w) JOIN c1 USING (v) CROSS JOIN vs
+      |  GROUP BY doc_id
+      |), sc AS (
+      |  SELECT d.source AS g, n.nll
+      |  FROM nll n JOIN documents d USING (doc_id)
+      |), th AS (
+      |  SELECT g, quantile_cont(nll, 0.25) AS p25,
+      |         quantile_cont(nll, 0.75) AS p75
+      |  FROM sc GROUP BY 1
+      |)
+      |SELECT sc.g AS source,
+      |  CASE WHEN nll <= p25 THEN 'head'
+      |       WHEN nll <= p75 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  count(*)::bigint AS n_docs,
+      |  round(sum(nll::decimal(18,4))::double / count(*), 6) + 0.0
+      |    AS mean_nll
+      |FROM sc JOIN th USING (g)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TextAnalysis.perplexityBuckets(
+      t(s, dir, "documents"), "doc_id", "source", "text")
+  }
+
   /** Shared DuckDB replay of the deterministic seed-IVF self-query
     * (Similarity.ivfIndex + ivfTopK with the corpus as its own query
     * set): CTE chain ending in `topk(query_id, neighbor_id, cosine,

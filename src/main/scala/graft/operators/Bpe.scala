@@ -256,6 +256,56 @@ object Bpe {
     oracleChain(k) + union + "ORDER BY iter"
   }
 
+  /** Tokenizer fertility per group — BPE tokens emitted per word
+    * (the tokenizer-efficiency number mixture design weighs: a source
+    * whose text fragments into 2.5 tokens/word costs 2.5× the context
+    * budget of one at 1.1, and fertility is THE standard per-language
+    * tokenizer-fit readout). Same machinery as [[tokenCounts]] —
+    * segmentation runs once per DISTINCT (group, word) via the native
+    * [[bpeSegmentCount]] kernel; fertility is one pinned division of
+    * exact longs. Returns `(group, n_words, n_tokens, fertility)`. */
+  def fertility(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val perGroup = df.select(col(groupCol).as("__g"),
+        explode(graft.functions.TextFunctions
+          .wsTokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("__g"), col("w"))
+      .agg(count(lit(1)).as("__k"))
+      .transform(Lineage.cutLocal)
+    val lens = perGroup.select("w").distinct()
+      .select(col("w"),
+        bpeSegmentCount(col("w"), merges).cast("long").as("__len"))
+    perGroup.join(lens, "w")
+      .groupBy(col("__g"))
+      .agg(sum(col("__k")).as("n_words"),
+        sum(col("__k") * col("__len")).as("n_tokens"))
+      .select(col("__g").as(groupCol), col("n_words"), col("n_tokens"),
+        Readout.pin(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB replay of [[fertility]] — the same learned chain, joined
+    * per-source. */
+  def fertilityOracleSql(k: Int): String =
+    oracleChain(k) + s""",
+      |dw AS (
+      |  SELECT source, lower(t.tok) AS w
+      |  FROM documents, unnest(regexp_split_to_array(text, '\\s+')) t(tok)
+      |  WHERE regexp_matches(lower(t.tok), '^[a-z]+$$')
+      |)
+      |SELECT source, count(*)::bigint AS n_words,
+      |       sum(len(w$k.sym))::bigint AS n_tokens,
+      |       round(sum(len(w$k.sym))::double / count(*)::double, 6) + 0.0
+      |         AS fertility
+      |FROM dw JOIN w$k USING (w)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** DuckDB replay of learn-then-tokenize ([[tokenCounts]] fed by
     * [[learnMerges]]): the same chain, then per-document token counts
     * via a join of each doc's words against the final symbol table. */

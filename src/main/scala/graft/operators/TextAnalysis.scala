@@ -179,6 +179,48 @@ object TextAnalysis {
           .as("nll"))
   }
 
+  /** CCNet-style perplexity gate (Wenzek et al. 2020) — per-source
+    * head/middle/tail partition of the [[bigramNll]] LM score: the
+    * canonical web-corpus curation move is "keep the head, sample the
+    * middle, drop the tail", cut at PER-SOURCE quantiles so a noisy
+    * source's best documents still survive against a clean source's
+    * average. Cuts at p25/p75 (exactly-representable fractions — no
+    * quantile-literal parity risk between engines).
+    *
+    * Determinism contract: the per-doc score is [[bigramNll]]'s
+    * 4dp-pinned nll; thresholds are `percentile` doubles (== DuckDB
+    * quantile_cont, the aq51 precedent) over those pinned scores;
+    * bucket mean nll is a decimal(18,4) sum divided once, pinned.
+    * Documents under 2 tokens have no bigram score and are excluded
+    * (the [[bigramNll]] domain).
+    *
+    * Scale shape: the bigramNll passes, then one |groups|-row
+    * broadcast threshold frame joined back onto the |docs|-row score
+    * frame and a (group, bucket) aggregate — nothing new is
+    * corpus-sized. Returns `(group, bucket, n_docs, mean_nll)`. */
+  def perplexityBuckets(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val scored = Lineage.cutLocal(
+      bigramNll(df, idCol, textCol)
+        .join(df.select(col(idCol), col(groupCol).as("__g")), Seq(idCol)))
+    val th = broadcast(scored.groupBy("__g").agg(
+      expr("percentile(nll, 0.25)").as("__p25"),
+      expr("percentile(nll, 0.75)").as("__p75")))
+    scored.join(th, Seq("__g"))
+      .withColumn("__b",
+        when(col("nll") <= col("__p25"), "head")
+          .when(col("nll") <= col("__p75"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("__g").as(groupCol), col("__b").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        Readout.pin(sum(col("nll").cast("decimal(18,4)"))
+          .cast("double") / count(lit(1)), 6).as("mean_nll"))
+      .orderBy(groupCol, "bucket")
+  }
+
   /** Interpolated Kneser–Ney smoothed bigram model (Kneser & Ney 1995;
     * Chen & Goodman 1999) — the smoothing that actually wins LM
     * benchmarks, beside [[bigramNll]]'s add-α baseline: instead of

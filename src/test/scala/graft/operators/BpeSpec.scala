@@ -73,4 +73,15 @@ class BpeSpec extends AnyFunSuite {
     assert((got(0).getString(1), got(0).getString(2), got(0).getLong(3)) ==
       ("a", "b", 3L))
   }
+
+  test("fertility: hand-checked tokens-per-word under a fixed merge") {
+    import spark.implicits._
+    // merge (a,a): "aa" → 1 token, "ab" → [a, b] = 2, "b" → 1
+    val d = Seq(("s1", "aa aa ab"), ("s2", "b"))
+      .toDF("source", "text")
+    val got = Bpe.fertility(d, "source", "text", Seq(("a", "a")))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("s1", 3L, 4L, 1.333333), ("s2", 1L, 1L, 1.0)),
+      got.toString)
+  }
 }

@@ -629,6 +629,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("b", "c", 0L, 0.0, 1.0)), got.toString)
   }
 
+  test("perplexityBuckets: quartile cuts partition 1/2/1 on four " +
+      "distinct scores; short docs excluded") {
+    // four docs with pairwise-distinct bigram NLLs in one source:
+    // p25 lands inside (x1, x2) → head = 1 doc, p75 inside (x3, x4)
+    // → middle = 2, tail = 1; the 1-token doc has no bigram and drops
+    val d = Seq(
+      (1L, "s", "a a a a a a a a"),
+      (2L, "s", "a a b a a b"),
+      (3L, "s", "c d c e"),
+      (4L, "s", "f g h i j"),
+      (5L, "s", "solo")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.perplexityBuckets(d, "doc_id", "source", "text")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._2, r._3)) ==
+      Seq(("head", 1L), ("middle", 2L), ("tail", 1L)), got.toString)
+    assert(got.map(_._3).sum == 4L)
+  }
+
   test("emd1d: unit shift moves unit mass; identical distributions 0") {
     // A lengths [1,1,3], B = [2,2,4]: every point of B is A shifted by
     // one → EMD = 1 exactly; C equals A → EMD(A, C) = 0
