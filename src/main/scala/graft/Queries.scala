@@ -12167,6 +12167,154 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq130_partial_corr — first-order partial correlation per event
+  // type (Stats.partialCorrelation): value vs hour-of-day with
+  // day-of-week held constant — the spurious-correlation check; nine
+  // exact decimal moment sums, n-multiplied Pearson form, partial from
+  // the unrounded r's, one pin.
+  register(
+    "aq130_partial_corr",
+    """WITH b AS (
+      |  SELECT event_type AS group_key,
+      |    value::decimal(18,4) AS x,
+      |    ((epoch_us(ts) // 3600000000) % 24)::decimal(18,4) AS y,
+      |    ((epoch_us(ts) // 86400000000) % 7)::decimal(18,4) AS z
+      |  FROM events WHERE value IS NOT NULL
+      |), m AS (
+      |  SELECT group_key, count(*)::bigint AS n,
+      |    sum(x)::double AS sx, sum(y)::double AS sy, sum(z)::double AS sz,
+      |    sum(x * x)::double AS sxx, sum(y * y)::double AS syy,
+      |    sum(z * z)::double AS szz, sum(x * y)::double AS sxy,
+      |    sum(x * z)::double AS sxz, sum(y * z)::double AS syz
+      |  FROM b GROUP BY 1
+      |), r AS (
+      |  SELECT group_key, n,
+      |    (n * sxy - sx * sy) /
+      |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+      |    (n * sxz - sx * sz) /
+      |      sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+      |    (n * syz - sy * sz) /
+      |      sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz,
+      |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+      |    n * szz - sz * sz AS vz
+      |  FROM m
+      |)
+      |SELECT group_key, n,
+      |  CASE WHEN n >= 3 AND vx > 0.0 AND vy > 0.0 AND vz > 0.0
+      |    THEN round(rxy, 6) + 0.0 END AS r_xy,
+      |  CASE WHEN n >= 3 AND vx > 0.0 AND vy > 0.0 AND vz > 0.0
+      |    THEN round(rxz, 6) + 0.0 END AS r_xz,
+      |  CASE WHEN n >= 3 AND vx > 0.0 AND vy > 0.0 AND vz > 0.0
+      |    THEN round(ryz, 6) + 0.0 END AS r_yz,
+      |  CASE WHEN n >= 3 AND vx > 0.0 AND vy > 0.0 AND vz > 0.0 AND
+      |    (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0 THEN
+      |    round((rxy - rxz * ryz) /
+      |      sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) + 0.0
+      |  END AS r_xy_z
+      |FROM r ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.partialCorrelation(
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").as("x"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("y"),
+          expr("(unix_micros(ts) div 86400000000) % 7").as("z")),
+      "event_type", "x", "y", "z")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq131_icc — intraclass correlation ICC(1,1) of order totals within
+  // customers (Stats.icc): how much of the spend variance lives
+  // BETWEEN customers vs within — the continuous reliability readout
+  // beside aq124's alpha; per-subject terms 6dp-rounded then
+  // decimal-summed, unbalanced k0.
+  register(
+    "aq131_icc",
+    """WITH per AS (
+      |  SELECT o_custkey AS s, count(*)::bigint AS n,
+      |    sum((o_totalprice::decimal(18,4) * 10000)::hugeint) AS s1,
+      |    sum((o_totalprice::decimal(18,4) * 10000)::hugeint *
+      |        (o_totalprice::decimal(18,4) * 10000)::hugeint) AS s2
+      |  FROM orders GROUP BY 1
+      |), t AS (
+      |  SELECT count(*)::bigint AS k, sum(n)::bigint AS n,
+      |    sum(s1) AS st, sum(n::hugeint * n::hugeint) AS nn,
+      |    sum(round((s2::double - s1::double * s1::double / n::double)
+      |        / 1e8, 2)::decimal(38,2)) AS ssw,
+      |    sum(round((s1::double * s1::double / n::double) / 1e8,
+      |        2)::decimal(38,2)) AS sbt
+      |  FROM per
+      |), f AS (
+      |  SELECT k, n,
+      |    (sbt::double - (st::double * st::double / n::double) / 1e8) /
+      |      (k::double - 1.0) AS msb,
+      |    ssw::double / (n::double - k::double) AS msw,
+      |    (n::double - nn::double / n::double) / (k::double - 1.0) AS k0
+      |  FROM t
+      |)
+      |SELECT k AS k_subjects, n,
+      |  CASE WHEN k >= 2 AND n > k THEN round(msb, 2) + 0.0 END
+      |    AS ms_between,
+      |  CASE WHEN k >= 2 AND n > k THEN round(msw, 2) + 0.0 END
+      |    AS ms_within,
+      |  CASE WHEN k >= 2 AND n > k AND msb + (k0 - 1.0) * msw > 0.0 THEN
+      |    round((msb - msw) / (msb + (k0 - 1.0) * msw), 6) + 0.0
+      |  END AS icc
+      |FROM f""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.icc(
+      t(s, dir, "orders"), "o_custkey", "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq132_assortativity — degree assortativity of the co-ordered-parts
+  // graph (Graph.assortativity): do popular parts co-occur with
+  // popular parts; Pearson over endpoint degrees with both
+  // orientations, exact decimal moment sums, one pinned r.
+  register(
+    "aq132_assortativity",
+    """WITH li AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2
+      |), deg AS MATERIALIZED (
+      |  SELECT n, count(*)::bigint AS d FROM (
+      |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+      |), nn AS (SELECT count(*)::bigint AS n_nodes FROM deg),
+      |ec AS (SELECT count(*)::bigint AS n_edges FROM e),
+      |bi AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      |s AS (
+      |  SELECT count(*)::bigint AS m,
+      |    sum(da.d::hugeint) AS sx, sum(db.d::hugeint) AS sy,
+      |    sum(da.d::hugeint * da.d::hugeint) AS sxx,
+      |    sum(db.d::hugeint * db.d::hugeint) AS syy,
+      |    sum(da.d::hugeint * db.d::hugeint) AS sxy
+      |  FROM bi JOIN deg da ON bi.a = da.n JOIN deg db ON bi.b = db.n
+      |)
+      |SELECT n_nodes, n_edges,
+      |  CASE WHEN m > 0 AND
+      |    (m::double * sxx::double - sx::double * sx::double) > 0.0 AND
+      |    (m::double * syy::double - sy::double * sy::double) > 0.0 THEN
+      |    round((m::double * sxy::double - sx::double * sy::double) /
+      |      sqrt((m::double * sxx::double - sx::double * sx::double) *
+      |           (m::double * syy::double - sy::double * sy::double)),
+      |      6) + 0.0
+      |  END AS assortativity
+      |FROM s, nn, ec""".stripMargin
+  ) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    graft.operators.Graph.assortativity(edges)
+  }
+
+  // ---------------------------------------------------------------------
   // tq42_bpe_fertility — tokenizer fertility per source under the
   // corpus-learned 6-merge BPE (Bpe.fertility): tokens emitted per
   // word — the tokenizer-efficiency number mixture design weighs; the

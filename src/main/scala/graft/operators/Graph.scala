@@ -561,4 +561,56 @@ object Graph {
       .orderBy(col("n_nodes").desc, col("community"))
       .limit(topK)
   }
+
+  /** Degree assortativity (Newman 2002) of an undirected edge set —
+    * ONE number for "do hubs link to hubs (r > 0) or to leaves
+    * (r < 0)": the Pearson correlation of endpoint degrees over the
+    * edge list with each edge counted in both orientations (the
+    * standard symmetrization). Social graphs run assortative,
+    * web/dependency graphs disassortative — a mixing shift is a
+    * structural drift signal beside the triangle/k-core profiles.
+    *
+    * Determinism contract: degrees are exact integers; the ten moment
+    * sums are exact decimal(38,0) (degree² × 2E rows — a 10⁹-edge hub
+    * graph overflows a long); r is one fixed-order double in the
+    * n-multiplied form, pinned to 6dp. NULL on zero degree variance
+    * (a regular graph has no mixing to correlate).
+    *
+    * Scale shape: one degree aggregate, two broadcast-or-shuffle
+    * equi-joins of the edge list against the |V|-row degree table, a
+    * 1-row readout. `edges` must hold each undirected edge ONCE as
+    * (a, b); orientation is symmetrized internally. Returns ONE row
+    * `(n_nodes, n_edges, assortativity)`. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = Lineage.cutLocal(edges.select(col("a"), col("b")))
+    val deg = Lineage.cutLocal(
+      e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d")))
+    val nodes = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    val edgeCount = broadcast(e.agg(count(lit(1)).as("n_edges")))
+    val both = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val sums = both
+      .join(deg.select(col("n").as("a"), col("d").as("__da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), Seq("b"))
+      .agg(count(lit(1)).as("__m"),
+        sum(col("__da").cast(dec)).as("__sx"),
+        sum(col("__db").cast(dec)).as("__sy"),
+        sum((col("__da").cast(dec) * col("__da").cast(dec)).cast(dec))
+          .as("__sxx"),
+        sum((col("__db").cast(dec) * col("__db").cast(dec)).cast(dec))
+          .as("__syy"),
+        sum((col("__da").cast(dec) * col("__db").cast(dec)).cast(dec))
+          .as("__sxy"))
+    val m = col("__m").cast("double")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val varX = m * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val varY = m * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    val r = (m * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))) /
+      sqrt(varX * varY)
+    sums.crossJoin(nodes).crossJoin(edgeCount)
+      .select(col("n_nodes"), col("n_edges"),
+        when(col("__m") > 0L && varX > 0.0 && varY > 0.0,
+          Readout.pin(r, 6)).as("assortativity"))
+  }
 }

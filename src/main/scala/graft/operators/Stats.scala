@@ -3793,6 +3793,134 @@ object Stats {
       .orderBy("key")
   }
 
+  /** Partial correlation (first-order) per group — the correlation
+    * between x and y with a confounder z HELD CONSTANT: the
+    * spurious-correlation check every observational metric readout
+    * needs (x and y both trend with time-of-day; are they related
+    * beyond that?):
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)).
+    *
+    * Determinism contract: all nine moment sums are EXACT decimal
+    * sums of decimal(18,4)-quantized values (the aq8 discipline);
+    * each pairwise r is one fixed-order double expression in the
+    * n-multiplied form (n·Σxy − ΣxΣy over the √ product — no /n
+    * ordering surface); the partial r derives from the three UNROUNDED
+    * r's and pins once. NULL when any variance or the partial
+    * denominator is ≤ 0 (a |r| of exactly 1 makes the partial
+    * undefined). Returns
+    * `(group_key, n, r_xy, r_xz, r_yz, r_xy_z)`. */
+  def partialCorrelation(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      zCol: String): DataFrame = {
+    val xd = col(xCol).cast("decimal(18,4)")
+    val yd = col(yCol).cast("decimal(18,4)")
+    val zd = col(zCol).cast("decimal(18,4)")
+    val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .groupBy(col(groupCol).as("group_key"))
+      .agg(count(lit(1)).as("n"),
+        sum(xd).cast("double").as("sx"),
+        sum(yd).cast("double").as("sy"),
+        sum(zd).cast("double").as("sz"),
+        sum(xd * xd).cast("double").as("sxx"),
+        sum(yd * yd).cast("double").as("syy"),
+        sum(zd * zd).cast("double").as("szz"),
+        sum(xd * yd).cast("double").as("sxy"),
+        sum(xd * zd).cast("double").as("sxz"),
+        sum(yd * zd).cast("double").as("syz"))
+    val n = col("n").cast("double")
+    def varN(s: Column, ss: Column) = n * ss - s * s
+    def r(sab: Column, sa: Column, sb: Column,
+        saa: Column, sbb: Column) =
+      (n * sab - sa * sb) / sqrt(varN(sa, saa) * varN(sb, sbb))
+    val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    val okBase = col("n") >= 3L &&
+      varN(col("sx"), col("sxx")) > 0.0 &&
+      varN(col("sy"), col("syy")) > 0.0 &&
+      varN(col("sz"), col("szz")) > 0.0
+    val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    agg.select(col("group_key"), col("n"),
+      when(okBase, Readout.pin(rxy, 6)).as("r_xy"),
+      when(okBase, Readout.pin(rxz, 6)).as("r_xz"),
+      when(okBase, Readout.pin(ryz, 6)).as("r_yz"),
+      when(okBase && den > 0.0,
+        Readout.pin((rxy - rxz * ryz) / sqrt(den), 6)).as("r_xy_z"))
+      .orderBy("group_key")
+  }
+
+  /** Intraclass correlation ICC(1,1) (one-way random effects) — "how
+    * much of the metric's variance lives BETWEEN subjects vs within
+    * them": the continuous-data reliability companion to
+    * [[cronbachAlpha]] (repeated orders per customer, repeated scores
+    * per document), and the number that decides whether per-subject
+    * aggregation is even meaningful:
+    *
+    *   ICC = (MS_B − MS_W) / (MS_B + (k₀−1)·MS_W),
+    *   k₀ = (N − Σnᵢ²/N) / (k−1)   (unbalanced-design group size).
+    *
+    * Determinism contract: per-subject counts and 10⁻⁴-unit sums are
+    * exact; each subject's SSW/SSB contribution is a fixed-order
+    * double rounded and DECIMAL-summed across subjects (order differs
+    * between engines — the bartlett discipline) at 2dp, NOT the usual
+    * 6: the terms are mean-SQUARES of a money-scaled metric (~10¹⁰),
+    * and rounding a double to 6dp above ~10⁹ needs x·10⁶ > 2⁵³ — the
+    * engines' rounding paths diverge there, so the grid must stay
+    * within the exact-integer range (10¹⁰·10² ≪ 2⁵³). Same reasoning
+    * pins ms_between/ms_within at 2dp; the unitless ICC pins at 6dp.
+    * Σnᵢ² is an exact decimal. NULL when k < 2, N ≤ k (no
+    * within-variance df), or the denominator is 0.
+    *
+    * Scale shape: one (subject) aggregate from per-row map-side
+    * partials, one 1-row readout — subjects never cross the driver.
+    * Returns ONE row `(k_subjects, n, ms_between, ms_within, icc)`. */
+  def icc(
+      df: DataFrame,
+      subjectCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = (col(valueCol).cast("decimal(18,4)") * 10000).cast(dec)
+    val per = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(subjectCol).as("__s"))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s1"),
+        sum((v * v).cast(dec)).as("__s2"))
+    val nd = col("__n").cast("double")
+    // per-subject sums in VALUE units (micro-units² / 1e8)
+    val ssw = (col("__s2").cast("double") -
+      col("__s1").cast("double") * col("__s1").cast("double") / nd) /
+      lit(1e8)
+    val sbTerm = (col("__s1").cast("double") *
+      col("__s1").cast("double") / nd) / lit(1e8)
+    val agg = per.agg(
+      count(lit(1)).as("k"), sum(col("__n")).as("n"),
+      sum(col("__s1")).as("__st"),
+      sum((col("__n").cast(dec) * col("__n").cast(dec)).cast(dec))
+        .as("__nn"),
+      sum(round(ssw, 2).cast("decimal(38,2)")).as("__ssw"),
+      sum(round(sbTerm, 2).cast("decimal(38,2)")).as("__sbt"))
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    val ssb = col("__sbt").cast("double") -
+      (col("__st").cast("double") * col("__st").cast("double") / nD) /
+      lit(1e8)
+    val msb = ssb / (kD - 1.0)
+    val msw = col("__ssw").cast("double") / (nD - kD)
+    val k0 = (nD - col("__nn").cast("double") / nD) / (kD - 1.0)
+    val ok = col("k") >= 2L && col("n") > col("k")
+    val den = msb + (k0 - 1.0) * msw
+    agg.select(col("k").as("k_subjects"), col("n"),
+      when(ok, Readout.pin(msb, 2)).as("ms_between"),
+      when(ok, Readout.pin(msw, 2)).as("ms_within"),
+      when(ok && den > 0.0, Readout.pin((msb - msw) / den, 6))
+        .as("icc"))
+  }
+
   /** Cohen's h (Cohen 1988) — the effect size for two PROPORTIONS
     * ([[twoProportion]] reports the z; h reports the MAGNITUDE on the
     * arcsine-stabilized scale where a given h means the same thing at

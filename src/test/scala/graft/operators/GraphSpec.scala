@@ -192,4 +192,19 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(r3 == Seq((1L, 4L), (5L, 2L)), r3.toString)
   }
+
+  test("assortativity: a star is perfectly disassortative, a regular " +
+      "graph has no mixing to correlate") {
+    // star 1—{2,3,4}: every edge joins deg 3 to deg 1 → r = −1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = Graph.assortativity(star)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((4L, 3L, Some(-1.0))), got.toString)
+    // 4-cycle: all degrees 2 → zero degree variance → NULL
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("a", "b")
+    val reg = Graph.assortativity(cycle)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(reg == ((4L, 4L, None)), reg.toString)
+  }
 }

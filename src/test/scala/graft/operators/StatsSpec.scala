@@ -1254,6 +1254,46 @@ class StatsSpec extends AnyFunSuite {
       c.toString)
   }
 
+  test("partialCorrelation: hand moments; perfect confounder NULLs " +
+      "the partial") {
+    // x=[1,2,3,4], y=[2,4,5,4], z=[1,1,2,2] → r_xy=0.718185,
+    // r_xz=0.894427, r_yz=0.688247, r_xy·z=0.316228
+    val d = Seq(("g", 1.0, 2.0, 1.0), ("g", 2.0, 4.0, 1.0),
+      ("g", 3.0, 5.0, 2.0), ("g", 4.0, 4.0, 2.0))
+      .toDF("g", "x", "y", "z")
+    val got = Stats.partialCorrelation(d, "g", "x", "y", "z")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(got == (("g", 4L, Some(0.718185), Some(0.894427),
+      Some(0.688247), Some(0.316228))), got.toString)
+    // z == x: r_xz = 1 → the partial's denominator hits 0 → NULL,
+    // the pairwise r's stay reported
+    val conf = Stats.partialCorrelation(
+      Seq(("g", 1.0, 2.0, 1.0), ("g", 2.0, 4.0, 2.0),
+        ("g", 3.0, 5.0, 3.0)).toDF("g", "x", "y", "z"),
+      "g", "x", "y", "z")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(conf._4 == Some(1.0) && conf._6.isEmpty, conf.toString)
+  }
+
+  test("icc: perfectly separated subjects score 1 with zero within-MS") {
+    // a = [1,1], b = [5,5]: MSW = 0 → ICC = 1; MSB = 16 by hand
+    val d = Seq(("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0))
+      .toDF("s", "v")
+    val got = Stats.icc(d, "s", "v")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got == ((2L, 4L, Some(16.0), Some(0.0), Some(1.0))),
+      got.toString)
+    // one subject → NULL everything that needs between-variance df
+    val one = Stats.icc(Seq(("a", 1.0), ("a", 2.0)).toDF("s", "v"),
+      "s", "v")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(one._1 == 1L && one._5.isEmpty, one.toString)
+  }
+
   test("cohensH: extreme proportions give h = π, equal give +0") {
     val d = Seq(("g", true, true), ("g", true, true),
       ("g", false, false), ("g", false, false),
