@@ -12315,6 +12315,106 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq133_weighted_kappa — quadratic-weighted Cohen's kappa on the
+  // spend-decile agreement grid (Stats.weightedKappa): do users stay
+  // in their value decile between the two halves of the window; the
+  // (k−1)² weight denominator cancels, so BOTH sums are exact decimal
+  // integers and κ_w is one pinned division.
+  register(
+    "aq133_weighted_kappa",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 < 19738 AS h, value
+      |  FROM events WHERE value IS NOT NULL
+      |), ub AS (
+      |  SELECT user_id, h,
+      |    least(floor((sum(value::decimal(18,4))::double / count(*))
+      |      / 50.0), 9.0)::bigint AS b
+      |  FROM e GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT x.b AS a, y.b AS b, count(*)::bigint AS o
+      |  FROM ub x JOIN ub y
+      |    ON x.user_id = y.user_id AND x.h AND NOT y.h
+      |  GROUP BY 1, 2
+      |), obs AS (
+      |  SELECT sum(o)::bigint AS n,
+      |    sum(((a - b) * (a - b))::hugeint * o::hugeint) AS dosum
+      |  FROM cells
+      |), ra AS (SELECT a, sum(o)::bigint AS ra FROM cells GROUP BY 1),
+      |cb AS (SELECT b, sum(o)::bigint AS cb FROM cells GROUP BY 1),
+      |expd AS (
+      |  SELECT sum(((ra.a - cb.b) * (ra.a - cb.b))::hugeint *
+      |    (ra.ra::hugeint * cb.cb::hugeint)) AS de
+      |  FROM ra CROSS JOIN cb
+      |)
+      |SELECT n,
+      |  CASE WHEN de > 0 THEN
+      |    round(1.0 - (n::hugeint * dosum)::double / de::double, 6) + 0.0
+      |  END AS kappa_w
+      |FROM obs, expd""".stripMargin
+  ) { (s, dir) =>
+    val e = t(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("user_id"),
+        (expr("unix_micros(ts) div 86400000000") < 19738L).as("h"),
+        col("value"))
+    val ub = e.groupBy("user_id", "h")
+      .agg(least(floor((sum(col("value").cast("decimal(18,4)"))
+        .cast("double") / count(lit(1))) / 50.0), lit(9.0))
+        .cast("long").as("b"))
+    val cells = ub.filter(col("h")).select(col("user_id"), col("b").as("a"))
+      .join(ub.filter(!col("h")).select(col("user_id"), col("b")),
+        Seq("user_id"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    graft.operators.Stats.weightedKappa(cells, "a", "b", "o")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq134_krippendorff — Krippendorff's alpha (nominal) over repeated
+  // priority "ratings" of each part (Stats.krippendorffAlpha): any
+  // number of ratings per unit, missing welcome — the labeling-
+  // pipeline reliability standard beside aq86's fixed-rater Fleiss;
+  // exact pair counts, per-unit terms 8dp decimal-summed.
+  register(
+    "aq134_krippendorff",
+    """WITH r AS (
+      |  SELECT l_partkey AS u, o_orderpriority AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), cells AS (
+      |  SELECT u, c, count(*)::bigint AS n FROM r GROUP BY 1, 2
+      |), units AS (
+      |  SELECT u, sum(n)::bigint AS m, sum(n::hugeint * n::hugeint) AS sq
+      |  FROM cells GROUP BY 1 HAVING sum(n) >= 2
+      |), obs AS (
+      |  SELECT count(*)::bigint AS n_units, sum(m)::bigint AS n_ratings,
+      |    sum(round((m::hugeint * m::hugeint - sq)::double /
+      |        (m::double - 1.0), 8)::decimal(28,8)) AS dos
+      |  FROM units
+      |), cats AS (
+      |  SELECT sum(nc::hugeint * nc::hugeint) AS nc2 FROM (
+      |    SELECT c, sum(n)::bigint AS nc
+      |    FROM cells JOIN units USING (u) GROUP BY 1)
+      |)
+      |SELECT n_units, n_ratings,
+      |  round(dos::double / n_ratings::double, 6) + 0.0 AS d_o,
+      |  round((n_ratings::hugeint * n_ratings::hugeint - nc2)::double /
+      |    (n_ratings::double * (n_ratings::double - 1.0)), 6) + 0.0
+      |    AS d_e,
+      |  CASE WHEN (n_ratings::hugeint * n_ratings::hugeint - nc2)::double /
+      |    (n_ratings::double * (n_ratings::double - 1.0)) > 0.0 THEN
+      |    round(1.0 - (dos::double / n_ratings::double) /
+      |      ((n_ratings::hugeint * n_ratings::hugeint - nc2)::double /
+      |       (n_ratings::double * (n_ratings::double - 1.0))), 6) + 0.0
+      |  END AS alpha
+      |FROM obs, cats""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.krippendorffAlpha(
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("u"), col("o_orderpriority").as("c")),
+      "u", "c")
+  }
+
+  // ---------------------------------------------------------------------
   // tq42_bpe_fertility — tokenizer fertility per source under the
   // corpus-learned 6-merge BPE (Bpe.fertility): tokens emitted per
   // word — the tokenizer-efficiency number mixture design weighs; the

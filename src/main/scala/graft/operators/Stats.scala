@@ -2305,6 +2305,109 @@ object Stats {
         Readout.pin((po - pe) / when(pe < 1.0, lit(1.0) - pe), 6).as("kappa"))
   }
 
+  /** Weighted Cohen's kappa (Cohen 1968) over an ORDINAL confusion
+    * grid — [[cohenKappa]] scores a near-miss (bucket 3 vs 4) as harshly
+    * as a gross one (0 vs 9); the weighted form discounts disagreement
+    * by (a−b)², which is what ordinal labels (quality tiers, spend
+    * deciles, severity grades) actually need:
+    *
+    *   κ_w = 1 − Σ(a−b)²·o_ab·n / Σ(a−b)²·r_a·c_b.
+    *
+    * The usual 1 − d²/(k−1)² weights cancel their (k−1)² through the
+    * ratio, so BOTH sums here are EXACT decimal(38,0) integers and
+    * κ_w is ONE pinned division — no per-cell float anywhere (a
+    * determinism luxury the additive po/pe form doesn't have).
+    * Categories must be integral; NULL when the expected disagreement
+    * is 0 (all mass on one category pair).
+    *
+    * Scale shape: the [[cohenKappa]] shape — cells in, margins as
+    * aggregates of the cell frame, one grid²-bounded margin cross and
+    * two 1-row readouts. Returns ONE row `(n, kappa_w)`. */
+  def weightedKappa(
+      cells: DataFrame,
+      aCol: String,
+      bCol: String,
+      nCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = Lineage.cutLocal(cells.select(
+      col(aCol).cast("long").as("__a"), col(bCol).cast("long").as("__b"),
+      col(nCol).cast("long").as("__o")))
+    val d2 = (col("__a") - col("__b")) * (col("__a") - col("__b"))
+    val obs = base.agg(
+      sum(col("__o")).as("n"),
+      sum((d2.cast(dec) * col("__o").cast(dec)).cast(dec)).as("__do"))
+    val ra = base.groupBy("__a").agg(sum("__o").as("__ra"))
+    val cb = base.groupBy("__b").agg(sum("__o").as("__cb"))
+    val exp = ra.crossJoin(cb)
+      .agg(sum((d2.cast(dec) * (col("__ra").cast(dec) *
+        col("__cb").cast(dec)).cast(dec)).cast(dec)).as("__de"))
+    obs.crossJoin(broadcast(exp))
+      .select(col("n"),
+        when(col("__de") > 0L,
+          Readout.pin(lit(1.0) -
+            (col("n").cast(dec) * col("__do")).cast("double") /
+            col("__de").cast("double"), 6)).as("kappa_w"))
+  }
+
+  /** Krippendorff's alpha, nominal data (Krippendorff 2004) — the
+    * annotation-reliability standard that [[cohenKappa]] (exactly 2
+    * raters, no missing) and [[Profile.fleissKappa]] (fixed rater
+    * count) can't cover: ANY number of raters per unit, missing
+    * ratings welcome — which is what real labeling pipelines produce:
+    *
+    *   D_o = (1/N)·Σ_u [Σ_c n_uc(m_u − n_uc)]/(m_u − 1),
+    *   D_e = (1/(N(N−1)))·Σ_c n_c(N − n_c),
+    *   α = 1 − D_o/D_e.
+    *
+    * Determinism contract: all pair counts are exact integers; each
+    * unit's D_o term is a fixed-order double rounded to 8dp and
+    * DECIMAL-summed (unit order differs between engines — the
+    * bartlett discipline; terms are ≤ m_u, so the 8dp grid is far
+    * inside double exactness); D_e is exact-integer until one double
+    * division; α pins once. Units with fewer than 2 ratings carry no
+    * disagreement information and are excluded entirely (the
+    * canonical treatment). NULL when D_e = 0.
+    *
+    * Scale shape: one (unit, category) count pass (map-side
+    * partials), per-unit and per-category aggregates of that frame,
+    * two 1-row readouts — nothing row-sized after the first pass.
+    * Returns ONE row `(n_units, n_ratings, d_o, d_e, alpha)`. */
+  def krippendorffAlpha(
+      ratings: DataFrame,
+      unitCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = Lineage.cutLocal(ratings
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(valueCol).as("__c"))
+      .agg(count(lit(1)).as("__n")))
+    val units = Lineage.cutLocal(cells.groupBy("__u")
+      .agg(sum(col("__n")).as("__m"),
+        sum((col("__n").cast(dec) * col("__n").cast(dec)).cast(dec))
+          .as("__sq"))
+      .filter(col("__m") >= 2L))
+    // Σ_c n_uc(m_u − n_uc) = m_u² − Σ n_uc²  (exact integers)
+    val doTerm = ((col("__m").cast(dec) * col("__m").cast(dec))
+      .cast(dec) - col("__sq")).cast("double") /
+      (col("__m").cast("double") - 1.0)
+    val obs = units.agg(
+      count(lit(1)).as("n_units"), sum(col("__m")).as("n_ratings"),
+      sum(round(doTerm, 8).cast("decimal(28,8)")).as("__dos"))
+    val cats = cells.join(units.select("__u"), Seq("__u"), "left_semi")
+      .groupBy("__c").agg(sum(col("__n")).as("__nc"))
+      .agg(sum((col("__nc").cast(dec) * col("__nc").cast(dec))
+        .cast(dec)).as("__nc2"))
+    val nD = col("n_ratings").cast("double")
+    val dO = col("__dos").cast("double") / nD
+    val dE = ((col("n_ratings").cast(dec) * col("n_ratings").cast(dec))
+      .cast(dec) - col("__nc2")).cast("double") / (nD * (nD - 1.0))
+    obs.crossJoin(broadcast(cats))
+      .select(col("n_units"), col("n_ratings"),
+        Readout.pin(dO, 6).as("d_o"),
+        Readout.pin(dE, 6).as("d_e"),
+        when(dE > 0.0, Readout.pin(lit(1.0) - dO / dE, 6)).as("alpha"))
+  }
+
   /** Theil T inequality index per group — the entropy-based
     * concentration measure beside [[gini]]: T = (1/n)·Σ (x/μ)·ln(x/μ)
     * over positive values; 0 = perfectly even, ln(n) = one holder.

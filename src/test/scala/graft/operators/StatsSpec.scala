@@ -1294,6 +1294,43 @@ class StatsSpec extends AnyFunSuite {
     assert(one._1 == 1L && one._5.isEmpty, one.toString)
   }
 
+  test("weightedKappa: hand-computed quadratic-weight ratio; perfect " +
+      "agreement scores 1") {
+    // cells (0,0)=2, (0,2)=1, (2,2)=2: Do = 4, margins give De = 52,
+    // κ_w = 1 − 5·4/52 = 0.615385
+    val cells = Seq((0L, 0L, 2L), (0L, 2L, 1L), (2L, 2L, 2L))
+      .toDF("a", "b", "o")
+    val got = Stats.weightedKappa(cells, "a", "b", "o")
+      .as[(Long, Option[Double])].collect().head
+    assert(got == ((5L, Some(0.615385))), got.toString)
+    val perfect = Stats.weightedKappa(
+      Seq((0L, 0L, 3L), (1L, 1L, 2L)).toDF("a", "b", "o"), "a", "b", "o")
+      .as[(Long, Option[Double])].collect().head
+    assert(perfect == ((5L, Some(1.0))), perfect.toString)
+    // all mass on one (a, b) pair: expected disagreement 0 → NULL
+    val degen = Stats.weightedKappa(
+      Seq((1L, 1L, 4L)).toDF("a", "b", "o"), "a", "b", "o")
+      .as[(Long, Option[Double])].collect().head
+    assert(degen._2.isEmpty, degen.toString)
+  }
+
+  test("krippendorffAlpha: textbook units; singletons excluded") {
+    // u1=[a,a], u2=[a,b], u3=[b,b], u4=[a] (dropped):
+    // Do = (0+2+0)/6 = 1/3, De = (36−18)/30 = 0.6, α = 0.444444
+    val r = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (4L, "a")).toDF("u", "c")
+    val got = Stats.krippendorffAlpha(r, "u", "c")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(got == ((3L, 6L, 0.333333, 0.6, Some(0.444444))),
+      got.toString)
+    // unanimous ratings: Do = 0 → α = 1
+    val unan = Stats.krippendorffAlpha(
+      Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("u", "c"),
+      "u", "c")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(unan._5 == Some(1.0), unan.toString)
+  }
+
   test("cohensH: extreme proportions give h = π, equal give +0") {
     val d = Seq(("g", true, true), ("g", true, true),
       ("g", false, false), ("g", false, false),
