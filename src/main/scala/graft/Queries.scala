@@ -12315,6 +12315,71 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // st20_pmi_dashboard — TWO additive registries composed into a live
+  // collocation dashboard (Registries.incrementalTokenCounts +
+  // incrementalBigramCounts): 3 micro-batches build token and bigram
+  // count registries, then PMI reads off the two tables — continuously
+  // ingest, never re-tokenize, still answer collocations. Both
+  // registries equal their one-shot aggregates for any batch split, so
+  // the composed readout equals the one-shot PMI SQL exactly.
+  register(
+    "st20_pmi_dashboard",
+    """WITH tk AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |         x -> x != '') AS tk
+      |  FROM documents
+      |), uni AS (
+      |  SELECT t.tok AS word, count(*)::bigint AS c
+      |  FROM tk, unnest(tk) t(tok) GROUP BY 1
+      |), bi AS (
+      |  SELECT tk[i] AS v, tk[i+1] AS w, count(*)::bigint AS c_xy
+      |  FROM tk, unnest(range(1, len(tk))) t(i)
+      |  WHERE len(tk) >= 2 GROUP BY 1, 2
+      |), nu AS (SELECT sum(c)::double AS nu FROM uni),
+      |nb AS (SELECT sum(c_xy)::double AS nb FROM bi)
+      |SELECT b.v, b.w, b.c_xy,
+      |       round(ln((b.c_xy::double * (SELECT nu FROM nu)
+      |                 * (SELECT nu FROM nu))
+      |                / ((SELECT nb FROM nb) * u1.c::double
+      |                   * u2.c::double)), 6) + 0.0 AS pmi
+      |FROM bi b
+      |JOIN uni u1 ON b.v = u1.word
+      |JOIN uni u2 ON b.w = u2.word
+      |WHERE b.c_xy >= 5
+      |ORDER BY pmi DESC, v, w
+      |LIMIT 20""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    val tmp = scratchDir("st20")
+    t(s, dir, "documents").select("text")
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    graft.streaming.Registries.incrementalTokenCounts(
+      graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1),
+      "text", store, "tok", "st20t", s"$tmp/ckpt_t")
+      .awaitTermination()
+    graft.streaming.Registries.incrementalBigramCounts(
+      graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1),
+      "text", store, "big", "st20b", s"$tmp/ckpt_b")
+      .awaitTermination()
+    val tok = store.read("tok")
+    val big = store.read("big")
+    val nu = broadcast(tok.agg(sum(col("n")).cast("double").as("__nu")))
+    val nb = broadcast(big.agg(sum(col("n")).cast("double").as("__nb")))
+    big.filter(col("n") >= 5L)
+      .select(col("v"), col("w"), col("n").as("c_xy"))
+      .join(tok.select(col("key").as("v"), col("n").as("__c1")), Seq("v"))
+      .join(tok.select(col("key").as("w"), col("n").as("__c2")), Seq("w"))
+      .crossJoin(nu).crossJoin(nb)
+      .select(col("v"), col("w"), col("c_xy"),
+        graft.operators.Readout.pin(
+          log((col("c_xy").cast("double") * col("__nu") * col("__nu")) /
+            (col("__nb") * col("__c1").cast("double") *
+              col("__c2").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("v"), col("w"))
+      .limit(20)
+  }}
+
+  // ---------------------------------------------------------------------
   // aq133_weighted_kappa — quadratic-weighted Cohen's kappa on the
   // spend-decile agreement grid (Stats.weightedKappa): do users stay
   // in their value decile between the two halves of the window; the

@@ -138,6 +138,44 @@ object Registries {
       groupCols = Seq("key"),
       statCols = Seq("n"))
 
+  /** Adjacent-bigram count registry: `"v w" → (v, w, n)`, merged
+    * additively per micro-batch — the collocation side of the
+    * vocabulary registry ([[incrementalTokenCounts]]); together the
+    * two answer PMI/collocation dashboards off the registries instead
+    * of re-tokenizing the corpus (the st20 composition). The v/w
+    * components ride WITH the key (functionally dependent, the
+    * histogram-bucket pattern) so the PMI join needs no string
+    * splitting; the registry stays laid out and pruned on the bigram
+    * key alone, bounded by distinct bigrams. */
+  def incrementalBigramCounts(
+      stream: DataFrame,
+      textCol: String,
+      store: graft.sources.ResultStore,
+      schema: String,
+      streamId: String,
+      checkpoint: String,
+      registryPartitions: Int = 8,
+      onCommit: (String, graft.sources.PrunedCommit) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    additiveRegistry(stream, store, schema, streamId, checkpoint,
+      registryPartitions, onCommit,
+      deltaOf = batch => {
+        val tk = graft.functions.TextFunctions
+          .wsTokens(lower(col(textCol)))
+        batch.select(tk.as("__tk"))
+          .filter(size(col("__tk")) >= 2)
+          .select(
+            slice(col("__tk"), lit(1), size(col("__tk")) - 1).as("__vs"),
+            slice(col("__tk"), lit(2), size(col("__tk")) - 1).as("__ws"))
+          .select(explode(arrays_zip(col("__vs"), col("__ws"))).as("__p"))
+          .select(col("__p.__vs").as("v"), col("__p.__ws").as("w"))
+          .select(concat(col("v"), lit(" "), col("w")).as("key"),
+            col("v"), col("w"))
+          .groupBy("key", "v", "w").agg(count(lit(1)).as("n"))
+      },
+      groupCols = Seq("key", "v", "w"),
+      statCols = Seq("n"))
+
   /** The shared additive-registry micro-batch skeleton: per-stream
     * `txn.<stream_id>` replay map (carried forward wholesale on every
     * commit), batch delta aggregate, key-pruned read-back of ONLY the

@@ -176,4 +176,27 @@ class RegistriesSpec extends AnyFunSuite {
       .awaitTermination()
     assert(reg(store) == expected)
   }
+
+  test("incrementalBigramCounts: adjacent pairs equal the one-shot " +
+      "aggregate for any batch split; components ride the key") {
+    val rows = Seq(Tuple1("a b a"), Tuple1("b a"), Tuple1("solo"))
+      .toDF("text")
+    val expected = Map("a b" -> (("a", "b", 1L)),
+      "b a" -> (("b", "a", 2L)))
+    def run(nFiles: Int): Map[String, (String, String, Long)] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-incbig")
+        .toString
+      rows.repartition(nFiles).write.mode("overwrite").parquet(s"$tmp/in")
+      val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+      Registries.incrementalBigramCounts(
+        StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "text", store, "big", "s1", s"$tmp/ckpt")
+        .awaitTermination()
+      store.read("big").collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[String]("v"), r.getAs[String]("w"),
+          r.getAs[Long]("n")))).toMap
+    }
+    assert(run(1) == expected)
+    assert(run(3) == expected)
+  }
 }
