@@ -12315,6 +12315,65 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // mm13_static_videos — duplicate-frame / static-video audit over the
+  // REAL codec (Multimodal.staticVideoAudit): 10 synthetic videos of
+  // 12 PNG frames; every third video freezes (constant pattern, zero
+  // within-scene drift) and must flag is_static, the rest keep 12
+  // distinct grids. Exact integer luma grids — "duplicate" is
+  // bit-identical at grid resolution; the oracle replays the
+  // closed-form pixel pattern through the same box filter and counts
+  // distinct cell lists.
+  register(
+    "mm13_static_videos",
+    """WITH img AS (
+      |  SELECT doc_id // 12 AS vid, doc_id % 12 AS f,
+      |         CASE WHEN (doc_id // 12) % 3 = 0 THEN (doc_id // 12) * 31
+      |              ELSE (doc_id // 12) * 31 + ((doc_id % 12) // 4) * 11
+      |         END AS pat,
+      |         CASE WHEN (doc_id // 12) % 3 = 0 THEN 0
+      |              ELSE (doc_id % 12) % 4 END AS off
+      |  FROM documents WHERE doc_id < 120
+      |), px AS (
+      |  SELECT vid, f, x.range AS x, y.range AS y,
+      |         (pat * 7 + x.range * 7 + y.range * 5 + off) % 256 AS g
+      |  FROM img, range(32) x, range(16) y
+      |), cells AS (
+      |  SELECT vid, f, (y // 2)::int AS cy, (x // 4)::int AS cx,
+      |         sum(g) // 8 AS gray
+      |  FROM px GROUP BY 1, 2, 3, 4
+      |), grids AS (
+      |  SELECT vid, f, list(gray ORDER BY cy, cx) AS grid
+      |  FROM cells GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT vid, count(*)::bigint AS n_frames,
+      |         count(DISTINCT grid)::bigint AS n_distinct
+      |  FROM grids GROUP BY 1
+      |)
+      |SELECT vid AS video_id, n_frames, n_distinct,
+      |       round(1.0 - n_distinct::double / n_frames::double, 6) + 0.0
+      |         AS dup_ratio,
+      |       n_distinct = 1 AND n_frames > 1 AS is_static
+      |FROM agg ORDER BY video_id""".stripMargin
+  ) { (s, dir) =>
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 120)
+      .select(col("doc_id").as("media_id"))
+    val pat = expr("""CASE WHEN (media_id DIV 12) % 3 = 0
+      |THEN (media_id DIV 12) * 31
+      |ELSE (media_id DIV 12) * 31 + ((media_id % 12) DIV 4) * 11
+      |END""".stripMargin.replace("\n", " "))
+    val off = expr("CASE WHEN (media_id DIV 12) % 3 = 0 THEN 0 " +
+      "ELSE (media_id % 12) % 4 END")
+    val media = graft.multimodal.Multimodal.stripeImages(
+      ids, "media_id", 32, 16,
+      pattern = Some(pat), offset = Some(off),
+      ySlope = 5, xSlope = Some(lit(7L)))
+    graft.multimodal.Multimodal.staticVideoAudit(
+      media.select(expr("media_id DIV 12").as("video_id"),
+        expr("cast(media_id % 12 as int)").as("frame_no"), col("bytes")),
+      gridW = 8, gridH = 8)
+  }
+
+  // ---------------------------------------------------------------------
   // st20_pmi_dashboard — TWO additive registries composed into a live
   // collocation dashboard (Registries.incrementalTokenCounts +
   // incrementalBigramCounts): 3 micro-batches build token and bigram

@@ -691,6 +691,39 @@ object Multimodal {
       .orderBy("video_id", "frame_no")
   }
 
+  /** Static/duplicate-frame video audit over decoded frame sequences —
+    * the cheapest video-quality gate there is: a clip whose frames are
+    * (near-)all identical is a still image wearing a video container
+    * (slideshows, corrupted encodes, placeholder loops) and carries no
+    * temporal signal worth training on. Frames are compared by their
+    * EXACT luma grids ([[frameGrids]] — integer box-filtered cells),
+    * so "duplicate" means bit-identical content at grid resolution and
+    * the verdict replays in any engine; [[sceneCuts]] answers the
+    * complementary "where does it change" question.
+    *
+    * Scale shape: decode is a per-row partition kernel; the only
+    * shuffle groups on (video, grid) then video — both bounded by
+    * clip length. Returns `(video_id, n_frames, n_distinct,
+    * dup_ratio, is_static)`. */
+  def staticVideoAudit(
+      frames: DataFrame,
+      gridW: Int = 8,
+      gridH: Int = 8): DataFrame = {
+    frameGrids(frames, gridW, gridH).toDF()
+      .groupBy("video_id", "grid")
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("video_id")
+      .agg(sum(col("__n")).as("n_frames"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("video_id"), col("n_frames"), col("n_distinct"),
+        graft.operators.Readout.pin(
+          lit(1.0) - col("n_distinct").cast("double") /
+            col("n_frames").cast("double"), 6).as("dup_ratio"),
+        (col("n_distinct") === 1L && col("n_frames") > 1L)
+          .as("is_static"))
+      .orderBy("video_id")
+  }
+
   /** Frame sampling for video rows: every `stride`-th fixed-size chunk of
     * the payload becomes a frame (flatMap — one row in, many out). */
   def sampleFrames(

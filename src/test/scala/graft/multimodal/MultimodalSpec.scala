@@ -247,6 +247,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 4, "frame 0 of each video is unscored")
   }
 
+  test("staticVideoAudit: a frozen clip flags static, a cutty clip " +
+      "keeps its distinct grids, singleton frames never flag") {
+    // video 1: three identical frames → static; video 2: three
+    // distinct patterns → 0 dup; video 3: one frame → not static
+    val frames = Seq(
+      (1L, 0, 10L, 0L), (1L, 1, 10L, 0L), (1L, 2, 10L, 0L),
+      (2L, 0, 10L, 0L), (2L, 1, 90L, 0L), (2L, 2, 200L, 0L),
+      (3L, 0, 50L, 0L))
+      .toDF("video_id", "frame_no", "pat", "off")
+    val withBytes = Multimodal.stripeImages(
+        frames.select(
+          (col("video_id") * 100 + col("frame_no")).as("media_id"),
+          col("pat"), col("off")),
+        "media_id", 32, 16,
+        pattern = Some(col("pat")), offset = Some(col("off")),
+        ySlope = 5, xSlope = Some(lit(7L)))
+      .select((col("media_id") / 100).cast("long").as("video_id"),
+        (col("media_id") % 100).cast("int").as("frame_no"), col("bytes"))
+    val out = Multimodal.staticVideoAudit(withBytes)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, 0.666667, true)), out(1L).toString)
+    assert(out(2L) == ((3L, 3L, 0.0, false)), out(2L).toString)
+    assert(out(3L) == ((1L, 1L, 0.0, false)), out(3L).toString)
+  }
+
   test("silenceTrim: boundaries, all-silent clips, muted encode e2e") {
     // direct frame table: energies [0,5,9,0] at thr 5 → voiced 1..2
     val frames = Seq(
