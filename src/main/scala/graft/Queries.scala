@@ -12315,6 +12315,110 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // q54_expectations — declarative data-expectations audit
+  // (Profile.expectations): the dbt-tests / Delta-CHECK report — four
+  // named row-local predicates swept in one aggregate each, NULL
+  // evaluations counted as violations; the pass/fail table a pipeline
+  // gates promotion on (aq42 covers the referential rules).
+  register(
+    "q54_expectations",
+    """SELECT 'events_value_not_null' AS rule, count(*)::bigint AS n_checked,
+      |  count(CASE WHEN value IS NULL THEN 1 END)::bigint AS n_violations,
+      |  count(CASE WHEN value IS NULL THEN 1 END) = 0 AS ok
+      |FROM events
+      |UNION ALL
+      |SELECT 'lineitem_qty_range', count(*)::bigint,
+      |  count(CASE WHEN l_quantity IS NULL OR
+      |    NOT (l_quantity BETWEEN 1 AND 50) THEN 1 END)::bigint,
+      |  count(CASE WHEN l_quantity IS NULL OR
+      |    NOT (l_quantity BETWEEN 1 AND 50) THEN 1 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders_price_positive', count(*)::bigint,
+      |  count(CASE WHEN o_totalprice IS NULL OR NOT (o_totalprice > 0)
+      |    THEN 1 END)::bigint,
+      |  count(CASE WHEN o_totalprice IS NULL OR NOT (o_totalprice > 0)
+      |    THEN 1 END) = 0
+      |FROM orders
+      |UNION ALL
+      |SELECT 'part_size_accepted', count(*)::bigint,
+      |  count(CASE WHEN p_size IS NULL OR NOT (p_size BETWEEN 1 AND 50)
+      |    THEN 1 END)::bigint,
+      |  count(CASE WHEN p_size IS NULL OR NOT (p_size BETWEEN 1 AND 50)
+      |    THEN 1 END) = 0
+      |FROM part
+      |ORDER BY rule""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Profile.Expectation
+    graft.operators.Profile.expectations(Seq(
+      Expectation("events_value_not_null", t(s, dir, "events"),
+        col("value").isNull),
+      Expectation("lineitem_qty_range", t(s, dir, "lineitem"),
+        !col("l_quantity").between(1, 50)),
+      Expectation("orders_price_positive", t(s, dir, "orders"),
+        !(col("o_totalprice") > 0)),
+      Expectation("part_size_accepted", t(s, dir, "part"),
+        !col("p_size").between(1, 50))))
+  }
+
+  // ---------------------------------------------------------------------
+  // aq135_smd_balance — standardized-mean-difference covariate balance
+  // table between the even/odd user cohorts (Stats.smdBalance): the
+  // propensity-score audit that decides whether any difference-in-
+  // means readout on this split is trustworthy; |SMD| ≤ 0.1 verdict,
+  // abTest exact sums with SAMPLE variances.
+  register(
+    "aq135_smd_balance",
+    """WITH b AS (
+      |  SELECT user_id % 2 = 0 AS arm, value,
+      |    ((epoch_us(ts) // 3600000000) % 24)::double AS hour,
+      |    ((epoch_us(ts) // 86400000000) % 7)::double AS dow
+      |  FROM events
+      |), arms AS (
+      |  SELECT 'dow' AS covariate, dow AS v, arm FROM b
+      |  UNION ALL SELECT 'hour', hour, arm FROM b
+      |  UNION ALL SELECT 'value', value, arm FROM b
+      |), s AS (
+      |  SELECT covariate,
+      |    count(CASE WHEN arm THEN v END)::bigint AS n_a,
+      |    count(CASE WHEN NOT arm THEN v END)::bigint AS n_b,
+      |    sum(CASE WHEN arm THEN v::decimal(18,4) END) AS sva,
+      |    sum(CASE WHEN NOT arm THEN v::decimal(18,4) END) AS svb,
+      |    sum(CASE WHEN arm
+      |        THEN round(v * v, 8)::decimal(28,8) END) AS ssa,
+      |    sum(CASE WHEN NOT arm
+      |        THEN round(v * v, 8)::decimal(28,8) END) AS ssb
+      |  FROM arms GROUP BY 1
+      |), m AS (
+      |  SELECT covariate, n_a, n_b,
+      |    sva::double / n_a AS ma, svb::double / n_b AS mb,
+      |    (ssa::double - n_a * (sva::double / n_a) * (sva::double / n_a))
+      |      / (n_a - 1) AS va,
+      |    (ssb::double - n_b * (svb::double / n_b) * (svb::double / n_b))
+      |      / (n_b - 1) AS vb
+      |  FROM s
+      |)
+      |SELECT covariate, n_a, n_b,
+      |  round(ma, 6) + 0.0 AS mean_a, round(mb, 6) + 0.0 AS mean_b,
+      |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va + vb) / 2.0 > 0.0 THEN
+      |    round((ma - mb) / sqrt((va + vb) / 2.0), 6) + 0.0 END AS smd,
+      |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va + vb) / 2.0 > 0.0 THEN
+      |    round(abs((ma - mb) / sqrt((va + vb) / 2.0)), 6) + 0.0 <= 0.1
+      |  END AS balanced
+      |FROM m ORDER BY covariate""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.smdBalance(
+      t(s, dir, "events").select(
+        (col("user_id") % 2 === 0L).as("__arm"),
+        col("value"),
+        expr("cast((unix_micros(ts) div 3600000000) % 24 as double)")
+          .as("hour"),
+        expr("cast((unix_micros(ts) div 86400000000) % 7 as double)")
+          .as("dow")),
+      col("__arm"), Seq("dow", "hour", "value"))
+  }
+
+  // ---------------------------------------------------------------------
   // mm13_static_videos — duplicate-frame / static-video audit over the
   // REAL codec (Multimodal.staticVideoAudit): 10 synthetic videos of
   // 12 PNG frames; every third video freezes (constant pattern, zero

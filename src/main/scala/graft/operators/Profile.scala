@@ -136,6 +136,36 @@ object Profile {
     rows.reduce(_.unionByName(_)).orderBy("relation")
   }
 
+  /** One declared data expectation: a named row-level predicate that
+    * should hold on every row of `df` (the dbt-test / Delta-constraint
+    * shape). `violation` marks the BAD rows; NULL evaluations count as
+    * violations too unless the predicate handles them — expectations
+    * are about what provably holds. */
+  final case class Expectation(
+      name: String,
+      df: DataFrame,
+      violation: org.apache.spark.sql.Column)
+
+  /** Declarative expectations audit — the dbt-tests / Delta CHECK
+    * report: every named predicate sweeps its table in ONE aggregate
+    * (map-side partials, no joins unless the caller's predicate frame
+    * embeds one) and the result is the |rules|-row pass/fail table a
+    * pipeline gates promotion on. [[integrityAudit]] covers the
+    * referential rules; THIS covers everything row-local (not-null,
+    * ranges, accepted values, format). Returns
+    * `(rule, n_checked, n_violations, ok)` per expectation. */
+  def expectations(checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty)
+    checks.map { c =>
+      c.df.agg(
+        count(lit(1)).as("n_checked"),
+        count(when(coalesce(c.violation, lit(true)), lit(1)))
+          .as("n_violations"))
+        .select(lit(c.name).as("rule"), col("n_checked"),
+          col("n_violations"), (col("n_violations") === 0L).as("ok"))
+    }.reduce(_.unionByName(_)).orderBy("rule")
+  }
+
   /** DuckDB replay: one UNION ALL arm per check, same left-join + agg
     * shape. `rels` carries (name, childTable, childKey, parentTable,
     * parentKey). */

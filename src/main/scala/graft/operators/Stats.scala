@@ -2305,6 +2305,56 @@ object Stats {
         Readout.pin((po - pe) / when(pe < 1.0, lit(1.0) - pe), 6).as("kappa"))
   }
 
+  /** Standardized mean difference balance table (the propensity-score
+    * / causal-inference covariate audit): for each covariate,
+    * SMD = (m_a − m_b) / √((s²_a + s²_b)/2) between the two cohorts —
+    * the scale-free imbalance number a difference-in-means readout
+    * ([[abTest]], [[cuped]], aq85's DiD) is only trustworthy when
+    * small; |SMD| ≤ 0.1 is the conventional "balanced" line reported
+    * as the verdict column.
+    *
+    * Determinism contract: the [[abTest]] exact decimal sufficient
+    * statistics per covariate; SAMPLE variances (not the SE form —
+    * SMD standardizes by spread, not precision); every readout one
+    * pinned fixed-order expression. Degenerate arms (n < 2 or zero
+    * pooled variance) report NULL smd and NULL verdict.
+    *
+    * Scale shape: one grouped aggregate per covariate (map-side
+    * partials, |covariates| passes over the projection — each scans
+    * only its own column), unioned to the |covariates|-row table.
+    * Returns `(covariate, n_a, n_b, mean_a, mean_b, smd, balanced)`. */
+  def smdBalance(
+      df: DataFrame,
+      armA: Column,
+      covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty, "need at least one covariate")
+    covariates.map { c =>
+      val v = col(c)
+      val dec = v.cast("decimal(18,4)")
+      val sq = round(v * v, 8).cast("decimal(28,8)")
+      val agg = df.agg(
+        count(when(armA, v)).as("n_a"),
+        count(when(!armA, v)).as("n_b"),
+        sum(when(armA, dec)).as("__sv_a"),
+        sum(when(!armA, dec)).as("__sv_b"),
+        sum(when(armA, sq)).as("__ss_a"),
+        sum(when(!armA, sq)).as("__ss_b"))
+      val (na, nb) = (col("n_a"), col("n_b"))
+      val ma = col("__sv_a").cast("double") / na
+      val mb = col("__sv_b").cast("double") / nb
+      val va = (col("__ss_a").cast("double") - na * ma * ma) / (na - 1)
+      val vb = (col("__ss_b").cast("double") - nb * mb * mb) / (nb - 1)
+      val pooled = (va + vb) / 2.0
+      val ok = na >= 2 && nb >= 2 && pooled > 0.0
+      val smd = (ma - mb) / sqrt(pooled)
+      agg.select(lit(c).as("covariate"), na, nb,
+        Readout.pin(ma, 6).as("mean_a"),
+        Readout.pin(mb, 6).as("mean_b"),
+        when(ok, Readout.pin(smd, 6)).as("smd"),
+        when(ok, Readout.pin(abs(smd), 6) <= 0.1).as("balanced"))
+    }.reduce(_.unionByName(_)).orderBy("covariate")
+  }
+
   /** Weighted Cohen's kappa (Cohen 1968) over an ORDINAL confusion
     * grid — [[cohenKappa]] scores a near-miss (bucket 3 vs 4) as harshly
     * as a gross one (0 vs 9); the weighted form discounts disagreement

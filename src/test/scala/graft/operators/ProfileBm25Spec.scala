@@ -273,4 +273,18 @@ class ProfileBm25Spec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("expected 3"),
       e.getMessage)
   }
+
+  test("expectations: NULL evaluations count as violations; clean " +
+      "rules report ok") {
+    import Profile.Expectation
+    val d = Seq(Some(1.0), Some(2.0), None, Some(99.0)).toDF("v")
+    val got = Profile.expectations(Seq(
+      Expectation("v_in_range", d, !col("v").between(1.0, 10.0)),
+      Expectation("v_exists", d, lit(false))))
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    // NULL BETWEEN → NULL violation → coalesced to a violation; 99
+    // violates outright → 2 of 4
+    assert(got == Seq(("v_exists", 4L, 0L, true),
+      ("v_in_range", 4L, 2L, false)), got.toString)
+  }
 }

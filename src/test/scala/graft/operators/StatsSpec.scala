@@ -1331,6 +1331,29 @@ class StatsSpec extends AnyFunSuite {
     assert(unan._5 == Some(1.0), unan.toString)
   }
 
+  test("smdBalance: hand pooled-SD difference; imbalance verdict flips") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // x: A=[1,2,3] (var 1), B=[2,4] (var 2) → smd = −1/√1.5;
+    // y identical across arms → smd 0, balanced
+    val d = Seq((true, 1.0, 5.0), (true, 2.0, 5.0), (true, 3.0, 5.0),
+      (false, 2.0, 5.0), (false, 4.0, 5.0)).toDF("arm", "x", "y")
+    val got = Stats.smdBalance(d, col("arm"), Seq("x", "y"))
+      .as[(String, Long, Long, Double, Double, Option[Double],
+        Option[Boolean])].collect()
+      .map(r => r._1 -> ((r._6, r._7))).toMap
+    assert(got("x") == ((Some(r6(-1.0 / math.sqrt(1.5))), Some(false))),
+      got("x").toString)
+    // y has zero pooled variance → NULL smd, NULL verdict
+    assert(got("y") == ((None, None)), got("y").toString)
+    val bal = Stats.smdBalance(
+      Seq((true, 1.0), (true, 2.0), (false, 1.0), (false, 2.0))
+        .toDF("arm", "x"), col("arm"), Seq("x"))
+      .as[(String, Long, Long, Double, Double, Option[Double],
+        Option[Boolean])].collect().head
+    assert(bal._6 == Some(0.0) && bal._7 == Some(true), bal.toString)
+  }
+
   test("cohensH: extreme proportions give h = π, equal give +0") {
     val d = Seq(("g", true, true), ("g", true, true),
       ("g", false, false), ("g", false, false),
