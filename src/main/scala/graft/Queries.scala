@@ -12315,6 +12315,80 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq136_hill_tail — Hill tail-index of the event value per type
+  // (Stats.hillTailIndex, k=50): how heavy is the tail — α ≤ 2 means
+  // infinite variance and every mean-based readout on the metric is
+  // fiction; top-(k+1) order stats with id tie-break, 10dp ln-ratio
+  // decimal addends, one pinned α.
+  register(
+    "aq136_hill_tail",
+    """WITH b AS (
+      |  SELECT event_type AS g, value::double AS v, event_id
+      |  FROM events WHERE value IS NOT NULL AND value > 0.0
+      |), rk AS (
+      |  SELECT g, v,
+      |    row_number() OVER (PARTITION BY g ORDER BY v DESC, event_id)
+      |      AS r
+      |  FROM b
+      |), thr AS (SELECT g, v AS xk FROM rk WHERE r = 51),
+      |t AS (
+      |  SELECT rk.g, thr.xk,
+      |    round(ln(rk.v / thr.xk), 10)::decimal(28,10) AS t
+      |  FROM rk JOIN thr ON rk.g = thr.g
+      |  WHERE rk.r <= 50
+      |)
+      |SELECT g AS group_key, 50::bigint AS k,
+      |  round(max(xk), 4) AS threshold,
+      |  CASE WHEN count(*) = 50 AND max(xk) > 0.0 AND sum(t)::double > 0.0
+      |    THEN round(50.0 / sum(t)::double, 6) + 0.0 END AS alpha
+      |FROM t GROUP BY 1 ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.hillTailIndex(
+      t(s, dir, "events"), "event_type", "value", "event_id", k = 50)
+  }
+
+  // ---------------------------------------------------------------------
+  // st21_stream_quarantine — streaming expectations with quarantine
+  // routing (StreamRunner.quarantineStream): the DLT
+  // expect-or-quarantine shape — 3 micro-batches split on a
+  // 30-token minimum-length predicate (~25% violate), valid rows to
+  // the clean table, violators
+  // preserved in the quarantine table; both sides idempotent
+  // set-union commits (replay-safe with no txn marker). The final
+  // split equals the one-shot predicate partition.
+  register(
+    "st21_stream_quarantine",
+    """SELECT 'clean' AS bucket, count(*)::bigint AS n_docs
+      |FROM documents
+      |WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '')) >= 30
+      |UNION ALL
+      |SELECT 'quarantined', count(*)::bigint
+      |FROM documents
+      |WHERE NOT (len(list_filter(regexp_split_to_array(lower(text),
+      |      '\s+'), x -> x != '')) >= 30)
+      |ORDER BY bucket""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    val tmp = scratchDir("st21")
+    t(s, dir, "documents").select("doc_id", "text")
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    graft.streaming.StreamRunner.quarantineStream(
+      graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1),
+      violation = !(size(graft.functions.TextFunctions
+        .wsTokens(lower(col("text")))) >= 30),
+      "doc_id", store, "clean", "quarantine", s"$tmp/ckpt")
+      .awaitTermination()
+    // an all-valid (or all-bad) corpus legitimately never creates the
+    // other table — absent schema reads as zero, not as an error
+    import s.implicits._
+    def cnt(schema: String): Long =
+      if (store.hasSchema(schema)) store.count(schema) else 0L
+    Seq(("clean", cnt("clean")), ("quarantined", cnt("quarantine")))
+      .toDF("bucket", "n_docs").orderBy("bucket")
+  }}
+
+  // ---------------------------------------------------------------------
   // q54_expectations — declarative data-expectations audit
   // (Profile.expectations): the dbt-tests / Delta-CHECK report — four
   // named row-local predicates swept in one aggregate each, NULL

@@ -2305,6 +2305,61 @@ object Stats {
         Readout.pin((po - pe) / when(pe < 1.0, lit(1.0) - pe), 6).as("kappa"))
   }
 
+  /** Hill tail-index estimator (Hill 1975) per group — "how heavy is
+    * this metric's tail": α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top
+    * k+1 order statistics. α ≤ 2 means infinite variance — means and
+    * z-tests on such a metric are fiction, the readout that tells you
+    * to switch to [[mannWhitney]]/[[theilSen]]/quantiles; it is also
+    * the pre-flight check before trusting [[tukeyOutliers]] fences.
+    *
+    * Determinism contract: the top-(k+1) selection orders by the raw
+    * value with an id tie-break (exact); each ln ratio rounds to 10dp
+    * and DECIMAL-sums (order stats arrive in engine order); α̂ is one
+    * pinned division. Groups with fewer than k+1 positive values, a
+    * non-positive threshold, or a zero sum (all top values tied)
+    * report NULL.
+    *
+    * Scale shape: the per-group top-(k+1) is a rank window over the
+    * group partition filtered to k+1 rows — at 100 TB swap in a
+    * per-partition TakeOrdered tree (Spark's sort-based window already
+    * short-circuits with the rank filter pushed); everything after is
+    * (k+1)·|groups| rows. Returns `(group_key, k, threshold, alpha)`. */
+  def hillTailIndex(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 2, "need k >= 2 tail points")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__g")
+      .orderBy(col("__v").desc, col("__id"))
+    val top = Lineage.cutLocal(df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0.0)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"), col(idCol).as("__id"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k + 1))
+    val thr = top.filter(col("__r") === k + 1)
+      .select(col("__g"), col("__v").as("__xk"))
+    top.filter(col("__r") <= k)
+      .join(thr, Seq("__g"))
+      .select(col("__g"),
+        col("__xk"),
+        round(log(col("__v") / col("__xk")), 10)
+          .cast("decimal(28,10)").as("__t"))
+      .groupBy("__g")
+      .agg(first(col("__xk")).as("__thr"), count(lit(1)).as("__n"),
+        sum(col("__t")).as("__s"))
+      .select(col("__g").as("group_key"), lit(k).cast("long").as("k"),
+        round(col("__thr"), 4).as("threshold"),
+        when(col("__n") === k.toLong && col("__thr") > 0.0 &&
+            col("__s").cast("double") > 0.0,
+          Readout.pin(lit(k.toDouble) / col("__s").cast("double"), 6))
+          .as("alpha"))
+      .orderBy("group_key")
+  }
+
   /** Standardized mean difference balance table (the propensity-score
     * / causal-inference covariate audit): for each covariate,
     * SMD = (m_a − m_b) / √((s²_a + s²_b)/2) between the two cohorts —

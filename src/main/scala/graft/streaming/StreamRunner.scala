@@ -105,6 +105,51 @@ object StreamRunner {
   /** Interval trigger (APScheduler `interval` analog). */
   def intervalTrigger(seconds: Long): Trigger =
     Trigger.ProcessingTime(s"$seconds seconds")
+
+  /** Streaming expectations with quarantine routing — the DLT
+    * `expect_or_quarantine` shape: each micro-batch splits on the
+    * violation predicate (NULL evaluations are violations, the
+    * [[graft.operators.Profile.expectations]] contract), valid rows
+    * land in the clean table and violators in the quarantine table
+    * WITH the batch preserved — nothing is silently dropped, failed
+    * rows stay inspectable and replayable into the pipeline after a
+    * fix. Both sides commit through the idempotent set-union insert
+    * ([[graft.sources.ResultStore.insertDistinctPruned]]), so an
+    * at-least-once replayed micro-batch re-inserts identical rows and
+    * neither table changes — no txn marker needed. Empty sides skip
+    * their commit (an all-valid batch must not churn the quarantine
+    * table's versions).
+    *
+    * Scale shape per batch: one predicate split (two filtered scans of
+    * the batch), two batch-footprint pruned commits keyed on
+    * `keyCol`. */
+  def quarantineStream(
+      stream: DataFrame,
+      violation: org.apache.spark.sql.Column,
+      keyCol: String,
+      store: graft.sources.ResultStore,
+      cleanSchema: String,
+      quarantineSchema: String,
+      checkpoint: String,
+      registryPartitions: Int = 4): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Lineage.withoutAqe(batch.sparkSession) {
+          val bad = coalesce(violation, lit(true))
+          def commit(schema: String, df: DataFrame): Unit = {
+            val cut = graft.operators.Lineage.cutLocal(df)
+            if (cut.take(1).nonEmpty)
+              store.insertDistinctPruned(schema,
+                cut.repartitionByRange(registryPartitions, col(keyCol)),
+                keyCol)
+          }
+          commit(cleanSchema, batch.filter(!bad))
+          commit(quarantineSchema, batch.filter(bad))
+        }
+      }
+      .start()
 }
 
 /** Thin driver-side scheduler for the reference's cron/interval/date

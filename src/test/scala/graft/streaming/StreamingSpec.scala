@@ -192,4 +192,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.committedMeta("mv") ==
       Map("stream_id" -> "crash-spec", "batch_id" -> "1"))
   }
+
+  test("quarantineStream: split equals the one-shot partition for any " +
+      "batch split; rows preserved; replay idempotent; NULL violates") {
+    val rows = Seq((1L, "ok alpha"), (2L, "bad"), (3L, "ok beta"),
+      (4L, null.asInstanceOf[String]), (5L, "ok gamma"))
+      .toDF("doc_id", "text")
+    // violation: fewer than 2 tokens — doc 2 fails, doc 4's NULL text
+    // makes the predicate NULL and must count as a violation
+    def viol = !(size(graft.functions.TextFunctions
+      .wsTokens(lower(col("text")))) >= 2)
+    def run(nFiles: Int): (graft.sources.ResultStore, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-quar")
+        .toString
+      rows.repartition(nFiles).write.mode("overwrite").parquet(s"$tmp/in")
+      val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+      StreamRunner.quarantineStream(
+        StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        viol, "doc_id", store, "clean", "quar", s"$tmp/ckpt")
+        .awaitTermination()
+      (store, tmp)
+    }
+    def ids(store: graft.sources.ResultStore, schema: String) =
+      if (store.hasSchema(schema))
+        store.read(schema).select("doc_id").as[Long].collect().toSet
+      else Set.empty[Long]
+    for (n <- Seq(1, 3)) {
+      val (store, tmp) = run(n)
+      assert(ids(store, "clean") == Set(1L, 3L, 5L), s"split $n")
+      assert(ids(store, "quar") == Set(2L, 4L), s"split $n")
+      // quarantined rows keep their full payload (inspectable)
+      assert(store.read("quar").filter(col("doc_id") === 2L)
+        .select("text").as[String].head() == "bad")
+      // a fresh checkpoint replays every batch: set-union idempotence
+      // must leave both tables unchanged
+      StreamRunner.quarantineStream(
+        StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        viol, "doc_id", store, "clean", "quar", s"$tmp/ckpt2")
+        .awaitTermination()
+      assert(store.count("clean") == 3L && store.count("quar") == 2L)
+    }
+    // an all-valid corpus never creates the quarantine table
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quar").toString
+    Seq((1L, "a b c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+    StreamRunner.quarantineStream(
+      StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+      viol, "doc_id", store, "clean", "quar", s"$tmp/ckpt")
+      .awaitTermination()
+    assert(store.hasSchema("clean") && !store.hasSchema("quar"))
+  }
 }
