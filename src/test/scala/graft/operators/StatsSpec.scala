@@ -1354,6 +1354,27 @@ class StatsSpec extends AnyFunSuite {
     assert(bal._6 == Some(0.0) && bal._7 == Some(true), bal.toString)
   }
 
+  test("hillTailIndex: hand geometric-tail alpha; thin groups NULL") {
+    // top-3 of [1/2, 1/4, 1/8, ...]: Σ ln ratios = ln4 + ln2 = 3ln2
+    // → α̂ = 2/(3 ln 2) = 0.961797 at k = 2
+    val d = (1 to 6).map(i => ("g", math.pow(2.0, -i), i.toLong)) ++
+      Seq(("thin", 1.0, 1L), ("thin", 0.5, 2L))
+    val got = Stats.hillTailIndex(d.toDF("g", "v", "id"),
+        "g", "v", "id", k = 2)
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("g") == ((2L, 0.125, Some(0.961797))), got("g").toString)
+    // "thin" has only 2 positive values: no (k+1)-th order stat → no
+    // threshold row, the group drops entirely
+    assert(!got.contains("thin"), got.toString)
+    // all-tied top values: Σ ln(1) = 0 → NULL alpha, threshold kept
+    val tied = Stats.hillTailIndex(
+      (1 to 5).map(i => ("t", 7.0, i.toLong)).toDF("g", "v", "id"),
+      "g", "v", "id", k = 2)
+      .as[(String, Long, Double, Option[Double])].collect().head
+    assert(tied._3 == 7.0 && tied._4.isEmpty, tied.toString)
+  }
+
   test("cohensH: extreme proportions give h = π, equal give +0") {
     val d = Seq(("g", true, true), ("g", true, true),
       ("g", false, false), ("g", false, false),
