@@ -12315,6 +12315,152 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq137_logrank — log-rank test of time-to-first-purchase between
+  // the even/odd user cohorts (Behavior.logRank): the censoring-exact
+  // survival comparison beside aq57's curve; exact at-risk/event
+  // counts over the KM descending window, E/V terms decimal-summed
+  // over the event-time grid, one pinned chi2.
+  register(
+    "aq137_logrank",
+    """WITH pu AS (
+      |  SELECT user_id % 2 = 0 AS a,
+      |    coalesce(min(CASE WHEN event_type = 'purchase'
+      |        THEN epoch_us(ts) // 86400000000 END),
+      |      max(epoch_us(ts) // 86400000000))
+      |      - min(epoch_us(ts) // 86400000000) AS t,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN epoch_us(ts) // 86400000000 END) IS NOT NULL AS death
+      |  FROM events GROUP BY user_id
+      |), pd AS (
+      |  SELECT t,
+      |    sum(CASE WHEN a THEN 1 ELSE 0 END)::bigint AS e1,
+      |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::bigint AS e2,
+      |    sum(CASE WHEN a AND death THEN 1 ELSE 0 END)::bigint AS d1,
+      |    sum(CASE WHEN NOT a AND death THEN 1 ELSE 0 END)::bigint AS d2
+      |  FROM pu GROUP BY 1
+      |), rk AS (
+      |  SELECT t, d1, d2,
+      |    sum(e1) OVER (ORDER BY t DESC) AS n1,
+      |    sum(e2) OVER (ORDER BY t DESC) AS n2
+      |  FROM pd
+      |), st AS (
+      |  SELECT d1, d2, n1, n2, n1 + n2 AS nt, d1 + d2 AS dt
+      |  FROM rk WHERE d1 + d2 > 0
+      |), agg AS (
+      |  SELECT count(*)::bigint AS n_times, sum(d1)::bigint AS o1,
+      |    sum(round(dt::double * n1::double / nt::double,
+      |        8)::decimal(28,8)) AS e1s,
+      |    sum(CASE WHEN nt > 1 THEN
+      |      round(dt::double * (n1::double / nt::double) *
+      |        (n2::double / nt::double) * (nt::double - dt::double) /
+      |        (nt::double - 1.0), 10)::decimal(28,10)
+      |      ELSE 0::decimal(28,10) END) AS vs
+      |  FROM st
+      |)
+      |SELECT n_times, o1, round(e1s::double, 6) + 0.0 AS e1,
+      |  CASE WHEN vs::double > 0.0 THEN
+      |    round((o1::double - e1s::double) * (o1::double - e1s::double)
+      |      / vs::double, 6) + 0.0
+      |  END AS chi2
+      |FROM agg""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Behavior.logRank(
+      t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type")),
+      "user_id", "ts_us",
+      eventPred = col("event_type") === "purchase",
+      armOf = col("user_id") % 2 === 0L)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq138_forecast_accuracy — MAPE/sMAPE/MASE scorecard over the aq59
+  // Holt forecasts (Stats.forecastAccuracy): is the forecaster earning
+  // its keep (MASE < 1 beats the naive lag-1); per-row terms
+  // decimal-summed, ratios pinned. The oracle replays aq59's exact
+  // integer recursion and appends the accuracy tail.
+  register(
+    "aq138_forecast_accuracy",
+    """WITH RECURSIVE s AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS t,
+      |         count(*)::bigint AS n
+      |  FROM events GROUP BY 1, 2
+      |), o AS (
+      |  SELECT event_type, t, n::double AS y,
+      |         floor(n::double * 1000000.0)::bigint AS yu,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn
+      |  FROM s
+      |), h AS (
+      |  SELECT event_type, t, y, yu,
+      |         yu AS lu, 0::bigint AS bu, NULL::bigint AS fu, rn
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.event_type, x.t, x.y, x.yu,
+      |         ((1 * x.yu + 1 * (h.lu + h.bu))
+      |          - ((((1 * x.yu + 1 * (h.lu + h.bu)) % 2) + 2) % 2)) // 2,
+      |         ((1 * (((1 * x.yu + 1 * (h.lu + h.bu))
+      |                 - ((((1 * x.yu + 1 * (h.lu + h.bu)) % 2) + 2) % 2))
+      |                // 2 - h.lu) + 3 * h.bu)
+      |          - ((((1 * (((1 * x.yu + 1 * (h.lu + h.bu))
+      |                 - ((((1 * x.yu + 1 * (h.lu + h.bu)) % 2) + 2) % 2))
+      |                // 2 - h.lu) + 3 * h.bu) % 4) + 4) % 4)) // 4,
+      |         h.lu + h.bu,
+      |         x.rn
+      |  FROM o x JOIN h
+      |    ON x.event_type = h.event_type AND x.rn = h.rn + 1
+      |), f AS (
+      |  SELECT event_type, rn, t, y, yu, fu,
+      |         (yu - fu) / 1000000.0 AS residual,
+      |         fu / 1000000.0 AS forecast
+      |  FROM h
+      |), prev AS (
+      |  SELECT a.event_type, a.y, b.y AS py
+      |  FROM o a JOIN o b
+      |    ON a.event_type = b.event_type AND a.rn = b.rn + 1
+      |), acc AS (
+      |  SELECT event_type,
+      |    count(CASE WHEN fu IS NOT NULL THEN 1 END)::bigint AS n_scored,
+      |    sum(CASE WHEN fu IS NOT NULL THEN
+      |      round(abs(residual), 6)::decimal(28,6) END) AS sae,
+      |    sum(CASE WHEN fu IS NOT NULL AND y > 0.0 THEN
+      |      round(abs(residual) / y, 8)::decimal(28,8) END) AS sape,
+      |    count(CASE WHEN fu IS NOT NULL AND y > 0.0 THEN 1 END)::bigint
+      |      AS nape,
+      |    sum(CASE WHEN fu IS NOT NULL AND abs(forecast) + abs(y) > 0.0
+      |      THEN round(2.0 * abs(forecast - y) /
+      |        (abs(forecast) + abs(y)), 8)::decimal(28,8) END) AS ssm,
+      |    count(CASE WHEN fu IS NOT NULL AND abs(forecast) + abs(y) > 0.0
+      |      THEN 1 END)::bigint AS nsm
+      |  FROM f GROUP BY 1
+      |), nav AS (
+      |  SELECT event_type, count(*)::bigint AS nd,
+      |    sum(round(abs(y - py), 6)::decimal(28,6)) AS snv
+      |  FROM prev GROUP BY 1
+      |)
+      |SELECT acc.event_type AS key, n_scored,
+      |  CASE WHEN nape > 0 THEN
+      |    round(sape::double / nape, 6) + 0.0 END AS mape,
+      |  CASE WHEN nsm > 0 THEN
+      |    round(ssm::double / nsm, 6) + 0.0 END AS smape,
+      |  CASE WHEN n_scored > 0 AND nd > 0 AND snv::double / nd > 0.0 THEN
+      |    round((sae::double / n_scored) / (snv::double / nd), 6) + 0.0
+      |  END AS mase
+      |FROM acc JOIN nav USING (event_type)
+      |ORDER BY key""".stripMargin
+  ) { (s, dir) =>
+    val hourly = t(s, dir, "events")
+      .select(col("event_type"),
+        expr(graft.operators.Behavior.floorDivExpr(
+          "unix_micros(ts)", 3600000000L)).as("t"))
+      .groupBy("event_type", "t")
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Stats.forecastAccuracy(
+      graft.operators.Stats.holtSmoothing(
+        hourly, "event_type", "t", "n",
+        alphaNum = 1L, alphaDen = 2L, betaNum = 1L, betaDen = 4L),
+      "event_type")
+  }
+
+  // ---------------------------------------------------------------------
   // aq136_hill_tail — Hill tail-index of the event value per type
   // (Stats.hillTailIndex, k=50): how heavy is the tail — α ≤ 2 means
   // infinite variance and every mean-based readout on the metric is

@@ -1330,6 +1330,78 @@ ORDER BY channel"""
     * |durations|×|users| join), and the fold runs over one collected
     * |durations|-bounded array inside an `aggregate` HOF — no driver
     * loop, no UDF. */
+  /** Log-rank test (Mantel 1966) — the significance companion to
+    * [[kaplanMeier]]: two cohorts' whole SURVIVAL CURVES compared,
+    * censoring handled exactly (a difference-in-conversion-rates
+    * readout silently drops the censored users; the log-rank counts
+    * them at risk until they leave):
+    *
+    *   O₁ = Σ_t d₁t,   E₁ = Σ_t dt·n₁t/nt,
+    *   V = Σ_t dt·(n₁t/nt)·(n₂t/nt)·(nt−dt)/(nt−1),
+    *   χ² = (O₁ − E₁)²/V   (~χ²₁ under H₀).
+    *
+    * `armOf` assigns the cohort from the USER key (evaluated after
+    * the per-user collapse, so membership is stable by construction).
+    *
+    * Determinism contract: per-user durations/deaths and all
+    * at-risk/event counts are exact integers (the kaplanMeier
+    * machinery, cohort-split); each E/V term is a fixed-order double
+    * rounded (8/10dp) into a DECIMAL sum over the event-time grid
+    * (time order differs between engines); χ² pins once. NULL when
+    * V = 0 (no comparable event times).
+    *
+    * Scale shape: one per-user aggregate, one per-duration aggregate,
+    * the KM descending cumulative window over the DAYS-bounded
+    * duration grid, a 1-row readout. Returns ONE row
+    * `(n_times, o1, e1, chi2)`. */
+  def logRank(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      eventPred: Column,
+      armOf: Column): DataFrame = {
+    val day = floorDivExpr(tsCol, 86400000000L)
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(expr(day)).as("__birth"),
+        max(expr(day)).as("__last"),
+        min(when(eventPred, expr(day))).as("__ev"))
+      .select(armOf.as("__a"),
+        (coalesce(col("__ev"), col("__last")) - col("__birth")).as("t"),
+        col("__ev").isNotNull.as("__death"))
+    val perDur = perUser.groupBy("t").agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("__e1"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("__e2"),
+      sum(when(col("__a") && col("__death"), 1L).otherwise(0L)).as("d1"),
+      sum(when(!col("__a") && col("__death"), 1L).otherwise(0L)).as("d2"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = perDur
+      .withColumn("n1", sum(col("__e1")).over(wRisk))
+      .withColumn("n2", sum(col("__e2")).over(wRisk))
+      .filter(col("d1") + col("d2") > 0L)
+      .select(col("d1"), col("d2"), col("n1"), col("n2"),
+        (col("n1") + col("n2")).as("nt"),
+        (col("d1") + col("d2")).as("dt"))
+    def d(c: Column) = c.cast("double")
+    val e1t = d(col("dt")) * d(col("n1")) / d(col("nt"))
+    val vt = d(col("dt")) * (d(col("n1")) / d(col("nt"))) *
+      (d(col("n2")) / d(col("nt"))) *
+      (d(col("nt")) - d(col("dt"))) / (d(col("nt")) - 1.0)
+    val agg = st.agg(
+      count(lit(1)).as("n_times"), sum(col("d1")).as("o1"),
+      sum(round(e1t, 8).cast("decimal(28,8)")).as("__e1s"),
+      sum(when(col("nt") > 1L, round(vt, 10).cast("decimal(28,10)"))
+        .otherwise(lit(0).cast("decimal(28,10)"))).as("__vs"))
+    agg.select(col("n_times"), col("o1"),
+      Readout.pin(col("__e1s").cast("double"), 6).as("e1"),
+      when(col("__vs").cast("double") > 0.0,
+        Readout.pin((col("o1").cast("double") -
+          col("__e1s").cast("double")) *
+          (col("o1").cast("double") - col("__e1s").cast("double")) /
+          col("__vs").cast("double"), 6)).as("chi2"))
+  }
+
   def kaplanMeier(
       events: DataFrame,
       userCol: String,

@@ -2305,6 +2305,60 @@ object Stats {
         Readout.pin((po - pe) / when(pe < 1.0, lit(1.0) - pe), 6).as("kappa"))
   }
 
+  /** Forecast-accuracy scorecard over a [[holtSmoothing]] (or any
+    * forecast/actual) frame — MAPE, sMAPE and MASE per series: the
+    * readout that decides whether the forecaster is EARNING its keep
+    * (MASE < 1 beats the naive lag-1 forecast; MAPE/sMAPE are the
+    * percentage forms dashboards quote). Input needs `(key, t, y,
+    * forecast, residual)` — exactly holtSmoothing's output.
+    *
+    * Determinism contract: every per-row term rounds (6/8dp) into a
+    * DECIMAL sum (row order differs between engines); ratios divide
+    * once, pinned. MAPE skips zero actuals, sMAPE skips zero
+    * denominators, MASE is NULL when the naive MAE is 0 (a constant
+    * series makes every scale-free comparison meaningless).
+    *
+    * Scale shape: one lag window per series (bounded by series length
+    * — the same invariant the holt fold itself relies on) + one
+    * |keys|-ary aggregate. Returns
+    * `(key, n_scored, mape, smape, mase)`. */
+  def forecastAccuracy(
+      scored: DataFrame,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy("t")
+    val f = col("forecast")
+    val hasF = f.isNotNull
+    val withPrev = scored.withColumn("__py", lag(col("y"), 1).over(w))
+    val agg = withPrev.groupBy(col(keyCol).as("key")).agg(
+      count(when(hasF, 1L)).as("n_scored"),
+      sum(when(hasF, round(abs(col("residual")), 6)
+        .cast("decimal(28,6)"))).as("__sae"),
+      sum(when(hasF && col("y") > 0.0,
+        round(abs(col("residual")) / col("y"), 8)
+          .cast("decimal(28,8)"))).as("__sape"),
+      count(when(hasF && col("y") > 0.0, 1L)).as("__nape"),
+      sum(when(hasF && abs(f) + abs(col("y")) > 0.0,
+        round(lit(2.0) * abs(f - col("y")) /
+          (abs(f) + abs(col("y"))), 8).cast("decimal(28,8)")))
+        .as("__ssm"),
+      count(when(hasF && abs(f) + abs(col("y")) > 0.0, 1L)).as("__nsm"),
+      sum(when(col("__py").isNotNull,
+        round(abs(col("y") - col("__py")), 6).cast("decimal(28,6)")))
+        .as("__snv"),
+      count(when(col("__py").isNotNull, 1L)).as("__nd"))
+    val mae = col("__sae").cast("double") / col("n_scored")
+    val naive = col("__snv").cast("double") / col("__nd")
+    agg.select(col("key"), col("n_scored"),
+      when(col("__nape") > 0L, Readout.pin(
+        col("__sape").cast("double") / col("__nape"), 6)).as("mape"),
+      when(col("__nsm") > 0L, Readout.pin(
+        col("__ssm").cast("double") / col("__nsm"), 6)).as("smape"),
+      when(col("n_scored") > 0L && col("__nd") > 0L && naive > 0.0,
+        Readout.pin(mae / naive, 6)).as("mase"))
+      .orderBy("key")
+  }
+
   /** Hill tail-index estimator (Hill 1975) per group — "how heavy is
     * this metric's tail": α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top
     * k+1 order statistics. α ≤ 2 means infinite variance — means and

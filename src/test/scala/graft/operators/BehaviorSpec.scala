@@ -556,4 +556,35 @@ class BehaviorSpec extends AnyFunSuite {
       .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
     assert(msgs.contains("separator"), msgs)
   }
+
+  test("logRank: mirrored cohorts score exactly 0; one-sided deaths " +
+      "hit the hand chi2") {
+    val day = 86400000000L
+    // A = {1: dies day 1→2, 2: censored day 5}; B mirrors exactly →
+    // at the one event time O1 = E1 → chi2 = +0
+    val sym = Seq(
+      (1L, 0L, "visit"), (1L, 2 * day, "purchase"),
+      (2L, 0L, "visit"), (2L, 5 * day, "visit"),
+      (3L, 0L, "visit"), (3L, 2 * day, "purchase"),
+      (4L, 0L, "visit"), (4L, 5 * day, "visit"))
+      .toDF("user_id", "ts_us", "event_type")
+    val got = Behavior.logRank(sym, "user_id", "ts_us",
+        col("event_type") === "purchase",
+        armOf = col("user_id") <= 2L)
+      .as[(Long, Long, Double, Option[Double])].collect().head
+    assert(got == ((1L, 1L, 1.0, Some(0.0))), got.toString)
+    // every A dies at day 1, every B survives to day 5:
+    // e1 = 2·2/4 = 1, v = 2·(1/2)(1/2)·2/3 → chi2 = 1/0.3333333333 → 3
+    val asym = Seq(
+      (1L, 0L, "visit"), (1L, 1 * day, "purchase"),
+      (3L, 0L, "visit"), (3L, 1 * day, "purchase"),
+      (2L, 0L, "visit"), (2L, 5 * day, "visit"),
+      (4L, 0L, "visit"), (4L, 5 * day, "visit"))
+      .toDF("user_id", "ts_us", "event_type")
+    val a = Behavior.logRank(asym, "user_id", "ts_us",
+        col("event_type") === "purchase",
+        armOf = col("user_id") % 2 === 1L)
+      .as[(Long, Long, Double, Option[Double])].collect().head
+    assert(a == ((1L, 2L, 1.0, Some(3.0))), a.toString)
+  }
 }

@@ -1375,6 +1375,29 @@ class StatsSpec extends AnyFunSuite {
     assert(tied._3 == 7.0 && tied._4.isEmpty, tied.toString)
   }
 
+  test("forecastAccuracy: hand MAPE/sMAPE/MASE over the holt fixture") {
+    // y = [4, 8, 6] under α=1/2, β=1/4: forecasts [–, 4, 6.5],
+    // residuals [–, 4, −0.5] → MAPE (0.5 + 0.0833…)/2 = 0.291667,
+    // sMAPE (8/12 + 0.08)/2 = 0.373333, MASE 2.25/3 = 0.75
+    val series = Seq(("k", 1L, 4.0), ("k", 2L, 8.0), ("k", 3L, 6.0))
+      .toDF("key", "t", "y")
+    val got = Stats.forecastAccuracy(
+      Stats.holtSmoothing(series, "key", "t", "y", 1L, 2L, 1L, 4L),
+      "key")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got == (("k", 2L, Some(0.291667), Some(0.373333),
+      Some(0.75))), got.toString)
+    // a constant series: zero naive MAE → MASE NULL, MAPE 0
+    val flat = Stats.forecastAccuracy(
+      Stats.holtSmoothing(Seq(("c", 1L, 5.0), ("c", 2L, 5.0),
+        ("c", 3L, 5.0)).toDF("key", "t", "y"), "key", "t", "y",
+        1L, 2L, 1L, 4L), "key")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(flat._3 == Some(0.0) && flat._5.isEmpty, flat.toString)
+  }
+
   test("cohensH: extreme proportions give h = π, equal give +0") {
     val d = Seq(("g", true, true), ("g", true, true),
       ("g", false, false), ("g", false, false),
