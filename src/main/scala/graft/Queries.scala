@@ -12315,6 +12315,115 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // q55_erasure — right-to-be-forgotten workflow over the store: a raw
+  // event table (keyed by event_id) and its per-type aggregate
+  // registry both forget a user set in one pass — the raw rows delete
+  // through the file-pruned MERGE's DELETE arm, the registry absorbs
+  // the NEGATIVE delta computed from the raw table BEFORE the delete
+  // (never a full registry rebuild). The oracle recomputes the
+  // registry from the surviving events only — it matches only if both
+  // tables actually forgot.
+  register(
+    "q55_erasure",
+    """SELECT event_type, count(*)::bigint AS n,
+      |  round(sum(coalesce(value, 0)::decimal(18,4))::double, 2) AS total
+      |FROM events
+      |WHERE user_id % 97 != 0
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val tmp = scratchDir("q55")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+    store.upsertPruned("raw",
+      ev.repartitionByRange(4, col("event_id")), "event_id")
+    store.upsertPruned("stats",
+      ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("total")),
+      "event_type")
+    // the erasure: negative delta first (from the still-present rows),
+    // then the row-level delete through the pruned MERGE
+    val erased = store.read("raw").filter(col("user_id") % 97 === 0L)
+    val delta = erased.groupBy("event_type")
+      .agg(count(lit(1)).as("__dn"),
+        sum(col("value").cast("decimal(18,4)")).as("__dt"))
+    val corrected = store.read("stats").join(delta, Seq("event_type"))
+      .select(col("event_type"), (col("n") - col("__dn")).as("n"),
+        (col("total") - col("__dt")).as("total"))
+    store.upsertPruned("stats", corrected, "event_type")
+    store.mergePruned("raw", erased.select("event_id"), "event_id",
+      deleteWhen = Some(lit(true)))
+    store.read("stats")
+      .select(col("event_type"), col("n"),
+        round(col("total").cast("double"), 2).as("total"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // sq32_dim_truncation — Matryoshka-style truncation quality
+  // (Similarity.recallAtK over two brute rankings): how much ANN
+  // recall survives keeping only the first 8 of 32 embedding dims —
+  // the memory/quality dial every vector store turns; both rankings
+  // deterministic, so the recall numbers are exact.
+  register(
+    "sq32_dim_truncation",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), tr AS (
+      |  SELECT vec_id, v[1:8] AS v,
+      |         sqrt(list_sum(list_transform(v[1:8], x -> x * x))) AS nrm
+      |  FROM e
+      |), brute AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+      |                   p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) DESC,
+      |                 c.vec_id) AS rank
+      |    FROM n q JOIN n c ON q.vec_id != c.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rank <= 5
+      |), trunc AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+      |                   p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) DESC,
+      |                 c.vec_id) AS rank
+      |    FROM tr q JOIN tr c ON q.vec_id != c.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rank <= 5
+      |), hits AS (
+      |  SELECT b.query_id, count(*)::bigint AS n_hits
+      |  FROM brute b JOIN trunc i
+      |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      |  GROUP BY 1
+      |)
+      |SELECT q.query_id,
+      |       coalesce(h.n_hits, 0)::bigint AS n_hits,
+      |       round(coalesce(h.n_hits, 0) / 5.0::double, 4) AS recall
+      |FROM (SELECT DISTINCT query_id FROM brute) q
+      |LEFT JOIN hits h USING (query_id)
+      |ORDER BY query_id""".stripMargin
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val sliced = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 8).as("embedding"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val qSliced = sliced.filter(col("vec_id") < 10)
+    val exact = graft.operators.Similarity.bruteForceTopK(
+      emb, queries, "vec_id", "embedding", k = 5)
+    val trunc = graft.operators.Similarity.bruteForceTopK(
+      sliced, qSliced, "vec_id", "embedding", k = 5)
+    graft.operators.Similarity.recallAtK(trunc, exact, k = 5)
+  }
+
+  // ---------------------------------------------------------------------
   // aq137_logrank — log-rank test of time-to-first-purchase between
   // the even/odd user cohorts (Behavior.logRank): the censoring-exact
   // survival comparison beside aq57's curve; exact at-risk/event

@@ -1298,6 +1298,36 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.store.retainVersions")
   }
 
+  test("erasure workflow: pruned DELETE forgets the keys, the registry " +
+      "absorbs the negative delta without a rebuild") {
+    val store = new ResultStore(spark, tmpDir())
+    val raw = Seq((1L, 10L, "a", 2.0), (2L, 10L, "a", 3.0),
+      (3L, 20L, "a", 5.0), (4L, 20L, "b", 7.0), (5L, 30L, "b", 11.0))
+      .toDF("event_id", "user_id", "typ", "v")
+    store.upsertPruned("raw",
+      raw.repartitionByRange(2, col("event_id")), "event_id")
+    store.upsertPruned("stats",
+      raw.groupBy("typ").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,4)")).as("total")), "typ")
+    // forget user 20 (keys 3 and 4, touching both types)
+    val erased = store.read("raw").filter(col("user_id") === 20L)
+    val delta = erased.groupBy("typ").agg(count(lit(1)).as("__dn"),
+      sum(col("v").cast("decimal(18,4)")).as("__dt"))
+    store.upsertPruned("stats",
+      store.read("stats").join(delta, Seq("typ"))
+        .select(col("typ"), (col("n") - col("__dn")).as("n"),
+          (col("total") - col("__dt")).as("total")), "typ")
+    store.mergePruned("raw", erased.select("event_id"), "event_id",
+      deleteWhen = Some(lit(true)))
+    assert(store.read("raw").select("event_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 5L))
+    val stats = store.read("stats").select("typ", "n", "total")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue()))).toMap
+    assert(stats("a") == ((2L, 5.0)) && stats("b") == ((1L, 11.0)),
+      stats.toString)
+  }
+
   test("restoreVersion crash before the flip leaves the table intact") {
     val root = tmpDir()
     val store = new ResultStore(spark, root)
