@@ -843,4 +843,60 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!nodes.exists(_.nodeName.contains("Window")),
       nodes.map(_.nodeName).mkString(", "))
   }
+
+  private def partitionedWindowsOnly(name: String): Unit = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val windows = deepNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"$name: expected windowed plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"$name has a global single-partition window:\n" +
+        windows.map(_.toString).mkString("\n"))
+  }
+
+  test("aq118 cliffs delta: the value-grid window is per-group, " +
+      "never global") {
+    partitionedWindowsOnly("aq118_cliffs_delta")
+  }
+
+  test("tq41 emd: per-pair grid windows only, no cartesian product") {
+    partitionedWindowsOnly("tq41_emd")
+    assert(!plan("tq41_emd").contains("CartesianProduct"))
+  }
+
+  test("aq136 hill tail: no global window anywhere in the plan") {
+    // the ranked frame is lineage-cut (localCheckpoint), so its window
+    // runs in an earlier job — pin the WINDOWED FRAGMENT directly by
+    // rebuilding it uncut: the order-statistic window must partition
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("__g").orderBy(col("__v").desc, col("__id"))
+    val frag = graft.Tables.load(spark, sf, "events")
+      .filter(col("value").isNotNull && col("value") > 0.0)
+      .select(col("event_type").as("__g"),
+        col("value").cast("double").as("__v"),
+        col("event_id").as("__id"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= 51)
+    frag.collect()
+    val windows = deepNodes(frag.queryExecution.executedPlan)
+      .collect { case x: WindowExec => x }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      windows.map(_.toString).mkString("\n"))
+  }
+
+  test("aq123 ljung-box: equi-joins only, windows partitioned") {
+    val p = plan("aq123_ljung_box")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      p)
+  }
+
+  test("sq28 lid rides the cell-bounded IVF probe — no true cartesian") {
+    // the centroid probe is a broadcast loop over the 16-row codebook
+    // (fine); a CartesianProduct node would mean an all-pairs fallback
+    assert(!plan("sq28_lid").contains("CartesianProduct"))
+  }
 }
