@@ -12315,6 +12315,73 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq139_wilcoxon — Wilcoxon signed-rank per event type on each
+  // user's mean-value shift between the window halves
+  // (Stats.wilcoxonSignedRank): the PAIRED nonparametric — every user
+  // is their own control; ×2-scaled exact mid-ranks over the |d|
+  // grid, ×48-scaled exact variance, one pinned z.
+  register(
+    "aq139_wilcoxon",
+    """WITH e AS (
+      |  SELECT event_type AS g, user_id,
+      |    epoch_us(ts) // 86400000000 < 19738 AS h, value
+      |  FROM events WHERE value IS NOT NULL
+      |), um AS (
+      |  SELECT g, user_id, h,
+      |    sum(value::decimal(18,4))::double / count(*) AS m
+      |  FROM e GROUP BY 1, 2, 3
+      |), pr AS (
+      |  SELECT a.g, (b.m - a.m) AS d
+      |  FROM um a JOIN um b ON a.g = b.g AND a.user_id = b.user_id
+      |    AND a.h AND NOT b.h
+      |), du AS (
+      |  SELECT g, (round(d, 6)::decimal(18,6) * 1000000)::bigint AS du
+      |  FROM pr
+      |), cells AS (
+      |  SELECT g, abs(du) AS a, count(*)::bigint AS t,
+      |    sum(CASE WHEN du > 0 THEN 1 ELSE 0 END)::bigint AS p
+      |  FROM du WHERE du != 0 GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT g, a, t, p,
+      |    coalesce(sum(t) OVER (PARTITION BY g ORDER BY a
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0)::bigint AS cb
+      |  FROM cells
+      |), agg AS (
+      |  SELECT g, sum(t)::bigint AS n,
+      |    sum(p::hugeint * (2 * cb + t + 1)::hugeint) AS w2,
+      |    sum(t::hugeint * t::hugeint * t::hugeint - t::hugeint) AS tt
+      |  FROM rk GROUP BY 1
+      |)
+      |SELECT g AS group_key, n,
+      |  round(w2::double / 2.0, 1) AS w_plus,
+      |  CASE WHEN n >= 1 AND
+      |    (8::hugeint * n::hugeint * (n + 1)::hugeint *
+      |     (2 * n + 1)::hugeint - 4::hugeint * tt)::double > 0.0 THEN
+      |    round((w2::double - n::double * (n::double + 1.0) / 2.0) /
+      |      sqrt((8::hugeint * n::hugeint * (n + 1)::hugeint *
+      |        (2 * n + 1)::hugeint - 4::hugeint * tt)::double / 48.0),
+      |      6) + 0.0
+      |  END AS z
+      |FROM agg ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    val e = t(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type").as("g"), col("user_id"),
+        (expr("unix_micros(ts) div 86400000000") < 19738L).as("h"),
+        col("value"))
+    val um = e.groupBy("g", "user_id", "h")
+      .agg((sum(col("value").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("m"))
+    val pr = um.filter(col("h"))
+      .select(col("g"), col("user_id"), col("m").as("__m1"))
+      .join(um.filter(!col("h"))
+        .select(col("g"), col("user_id"), col("m").as("__m2")),
+        Seq("g", "user_id"))
+      .select(col("g"), (col("__m2") - col("__m1")).as("d"))
+    graft.operators.Stats.wilcoxonSignedRank(pr, "g", "d")
+  }
+
+  // ---------------------------------------------------------------------
   // q55_erasure — right-to-be-forgotten workflow over the store: a raw
   // event table (keyed by event_id) and its per-type aggregate
   // registry both forget a user set in one pass — the raw rows delete

@@ -2305,6 +2305,71 @@ object Stats {
         Readout.pin((po - pe) / when(pe < 1.0, lit(1.0) - pe), 6).as("kappa"))
   }
 
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) per group — the PAIRED
+    * nonparametric: each unit measured twice (before/after, split
+    * halves), did the distribution of within-unit differences shift?
+    * [[mannWhitney]] compares two independent cohorts; THIS uses each
+    * unit as its own control, which is why it finds shifts the
+    * unpaired test drowns in between-unit variance:
+    *
+    *   W⁺ = Σ rank(|dᵢ|) over positive dᵢ  (zeros dropped, mid-ranks),
+    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+    *
+    * Determinism contract: differences quantize to 10⁻⁶ via a decimal
+    * cast (engine-portable HALF_UP); ranks are the ×2-scaled mid-rank
+    * counting trick over the per-group |d| GRID (the [[friedman]]
+    * discipline — no tie-break needed, no row-sized window), so 2W⁺
+    * and the ×48-scaled variance are EXACT decimal integers; z is one
+    * pinned division. NULL when no nonzero pairs or zero variance.
+    *
+    * Scale shape: one per-unit aggregate, one per-(group, |d|) grid
+    * aggregate (map-side partials), a per-group grid window, a
+    * |groups|-row readout. Returns `(group_key, n, w_plus, z)`. */
+  def wilcoxonSignedRank(
+      pairs: DataFrame,
+      groupCol: String,
+      diffCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val du = (round(col(diffCol).cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000).cast("long")
+    val cells = pairs
+      .filter(col(diffCol).isNotNull)
+      .select(col(groupCol).as("__g"), du.as("__du"))
+      .filter(col("__du") =!= 0L)
+      .groupBy(col("__g"), abs(col("__du")).as("__a"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__du") > 0L, 1L).otherwise(0L)).as("__p"))
+    val below = Window.partitionBy("__g").orderBy("__a")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = cells
+      .withColumn("__cb", coalesce(sum(col("__t")).over(below), lit(0L)))
+      .groupBy("__g")
+      .agg(
+        sum(col("__t")).as("n"),
+        // 2·W+ = Σ_pos (2·below + t + 1) summed per positive diff
+        sum((col("__p").cast(dec) *
+          (lit(2L) * col("__cb") + col("__t") + 1L).cast(dec)).cast(dec))
+          .as("__w2"),
+        sum((col("__t").cast(dec) * col("__t").cast(dec) *
+          col("__t").cast(dec) - col("__t").cast(dec)).cast(dec))
+          .as("__tt"))
+    val n = col("n").cast(dec)
+    val nD = col("n").cast("double")
+    // ×48-scaled exact variance of 2W+: 8·n(n+1)(2n+1) − 4·Σ(t³−t)
+    // (Var(2W+) = 4·Var(W+); ·48 keeps it integral)
+    val v48 = (lit(8L).cast(dec) * n * (n + lit(1L).cast(dec)) *
+      (lit(2L).cast(dec) * n + lit(1L).cast(dec)) -
+      lit(4L).cast(dec) * col("__tt")).cast(dec)
+    val e2 = nD * (nD + 1.0) / 2.0
+    agg.select(col("__g").as("group_key"), col("n"),
+      round(col("__w2").cast("double") / 2.0, 1).as("w_plus"),
+      when(col("n") >= 1L && v48.cast("double") > 0.0,
+        Readout.pin((col("__w2").cast("double") - e2) /
+          sqrt(v48.cast("double") / 48.0), 6)).as("z"))
+      .orderBy("group_key")
+  }
+
   /** Forecast-accuracy scorecard over a [[holtSmoothing]] (or any
     * forecast/actual) frame — MAPE, sMAPE and MASE per series: the
     * readout that decides whether the forecaster is EARNING its keep

@@ -1398,6 +1398,26 @@ class StatsSpec extends AnyFunSuite {
     assert(flat._3 == Some(0.0) && flat._5.isEmpty, flat.toString)
   }
 
+  test("wilcoxonSignedRank: textbook W+, mid-rank ties, zeros drop") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // diffs [1,−2,3,−4,5] (plus a dropped 0): W+ = 1+3+5 = 9,
+    // z = (9 − 7.5)/√13.75
+    val d = Seq(("g", 1.0), ("g", -2.0), ("g", 3.0), ("g", -4.0),
+      ("g", 5.0), ("g", 0.0)).toDF("g", "d")
+    val got = Stats.wilcoxonSignedRank(d, "g", "d")
+      .as[(String, Long, Double, Option[Double])].collect().head
+    assert(got == (("g", 5L, 9.0, Some(r6(1.5 / math.sqrt(13.75))))),
+      got.toString)
+    // all-tied magnitudes [1, 1, −1]: mid-rank 2 each → W+ = 4,
+    // Var(2W+) = (8·3·4·7 − 4·24)/48 = 12 → z = 2/√12
+    val ties = Stats.wilcoxonSignedRank(
+      Seq(("t", 1.0), ("t", 1.0), ("t", -1.0)).toDF("g", "d"), "g", "d")
+      .as[(String, Long, Double, Option[Double])].collect().head
+    assert(ties == (("t", 3L, 4.0, Some(r6(2.0 / math.sqrt(12.0))))),
+      ties.toString)
+  }
+
   test("cohensH: extreme proportions give h = π, equal give +0") {
     val d = Seq(("g", true, true), ("g", true, true),
       ("g", false, false), ("g", false, false),

@@ -157,6 +157,7 @@ OVER = [
  ('when(col("n_blocks") >= 1L, round(lD, 1)).as("l_stat")', ("nonneg","Page L = sum of positive j*rank products, > 0 when emitted")),
  ('round(log(col("__d") / col("__dk")), 10)', ("decimal-carrier","LID ln ratio rounds into decimal(28,10); d=dk gives exact ln(1)=+0")),
  ('round(term, 10).cast("decimal(28,10)").as("__t"))', ("nonneg","Hellinger sqrt of product of positive shares; decimal carrier")),
+ ('val du = (round(col(diffCol).cast("double"), 6)', ("decimal-carrier","Wilcoxon diff quantizes into decimal(18,6); decimal zero is unsigned and du=0 rows drop")),
  ('sum(when(hasF, round(abs(col("residual")), 6)', ("nonneg","abs residual; decimal carrier")),
  ('.select(round(sampleVar(', ("nonneg","sample variance >= 0 (Cauchy-Schwarz on exact integer sums); decimal carrier")),
  ('round(coalesce(col("__rel"), lit(0L)).cast("double") /', ("nonneg","NDCG term: nonneg grade over positive log; decimal carrier")),
