@@ -12382,6 +12382,50 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq140_sign_test — paired sign test on the same split-half user
+  // shifts as aq139 (Stats.signTest): the assumption-free floor under
+  // the signed-rank — S+ ~ Bin(n, 1/2), exact counts, one pinned z;
+  // disagreement between the two IS the asymmetry finding.
+  register(
+    "aq140_sign_test",
+    """WITH e AS (
+      |  SELECT event_type AS g, user_id,
+      |    epoch_us(ts) // 86400000000 < 19738 AS h, value
+      |  FROM events WHERE value IS NOT NULL
+      |), um AS (
+      |  SELECT g, user_id, h,
+      |    sum(value::decimal(18,4))::double / count(*) AS m
+      |  FROM e GROUP BY 1, 2, 3
+      |), pr AS (
+      |  SELECT a.g, (b.m - a.m) AS d
+      |  FROM um a JOIN um b ON a.g = b.g AND a.user_id = b.user_id
+      |    AND a.h AND NOT b.h
+      |), f AS (SELECT g, d FROM pr WHERE d != 0.0)
+      |SELECT g AS group_key, count(*)::bigint AS n,
+      |  sum(CASE WHEN d > 0.0 THEN 1 ELSE 0 END)::bigint AS s_plus,
+      |  CASE WHEN count(*) > 0 THEN
+      |    round((2.0 * sum(CASE WHEN d > 0.0 THEN 1 ELSE 0 END) -
+      |      count(*)) / sqrt(count(*)::double), 6) + 0.0
+      |  END AS z
+      |FROM f GROUP BY 1 ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    val e = t(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type").as("g"), col("user_id"),
+        (expr("unix_micros(ts) div 86400000000") < 19738L).as("h"),
+        col("value"))
+    val um = e.groupBy("g", "user_id", "h")
+      .agg((sum(col("value").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("m"))
+    val pr = um.filter(col("h"))
+      .select(col("g"), col("user_id"), col("m").as("__m1"))
+      .join(um.filter(!col("h"))
+        .select(col("g"), col("user_id"), col("m").as("__m2")),
+        Seq("g", "user_id"))
+      .select(col("g"), (col("__m2") - col("__m1")).as("d"))
+    graft.operators.Stats.signTest(pr, "g", "d")
+  }
+
+  // ---------------------------------------------------------------------
   // q55_erasure — right-to-be-forgotten workflow over the store: a raw
   // event table (keyed by event_id) and its per-type aggregate
   // registry both forget a user set in one pass — the raw rows delete

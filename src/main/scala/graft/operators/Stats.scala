@@ -2370,6 +2370,36 @@ object Stats {
       .orderBy("group_key")
   }
 
+  /** Paired sign test per group — the assumption-free floor under
+    * [[wilcoxonSignedRank]] (signed-rank assumes the difference
+    * distribution is symmetric; the sign test assumes NOTHING beyond
+    * independent pairs): S⁺ ~ Bin(n, ½) under H₀,
+    * z = (2S⁺ − n)/√n. Report both — when they disagree, the
+    * asymmetry itself is the finding. Zero differences drop (the
+    * canonical treatment, as in the signed-rank).
+    *
+    * Determinism contract: counts are exact integers; z is one pinned
+    * fixed-order double. NULL on n = 0.
+    *
+    * Scale shape: one grouped aggregate — map-side partials, |groups|
+    * rows. Returns `(group_key, n, s_plus, z)`. */
+  def signTest(
+      pairs: DataFrame,
+      groupCol: String,
+      diffCol: String): DataFrame = {
+    val d = col(diffCol).cast("double")
+    val agg = pairs
+      .filter(col(diffCol).isNotNull && d =!= 0.0)
+      .groupBy(col(groupCol).as("group_key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(d > 0.0, 1L).otherwise(0L)).as("s_plus"))
+    agg.select(col("group_key"), col("n"), col("s_plus"),
+      when(col("n") > 0L, Readout.pin(
+        (lit(2.0) * col("s_plus") - col("n")) /
+          sqrt(col("n").cast("double")), 6)).as("z"))
+      .orderBy("group_key")
+  }
+
   /** Forecast-accuracy scorecard over a [[holtSmoothing]] (or any
     * forecast/actual) frame — MAPE, sMAPE and MASE per series: the
     * readout that decides whether the forecaster is EARNING its keep

@@ -1418,6 +1418,25 @@ class StatsSpec extends AnyFunSuite {
       ties.toString)
   }
 
+  test("signTest: exact binomial counts, zeros drop, balanced is +0") {
+    // diffs [2, −1, 3, 0]: n = 3 (the 0 drops), S+ = 2,
+    // z = (4 − 3)/√3
+    val d = Seq(("g", 2.0), ("g", -1.0), ("g", 3.0), ("g", 0.0))
+      .toDF("g", "d")
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val got = Stats.signTest(d, "g", "d")
+      .as[(String, Long, Long, Option[Double])].collect().head
+    assert(got == (("g", 3L, 2L, Some(r6(1.0 / math.sqrt(3.0))))),
+      got.toString)
+    // perfectly balanced signs → z exactly +0
+    val bal = Stats.signTest(
+      Seq(("b", 1.0), ("b", -1.0)).toDF("g", "d"), "g", "d")
+      .as[(String, Long, Long, Option[Double])].collect().head
+    assert(bal._4 == Some(0.0) && !(1.0 / bal._4.get).isNegInfinity,
+      bal.toString)
+  }
+
   test("cohensH: extreme proportions give h = π, equal give +0") {
     val d = Seq(("g", true, true), ("g", true, true),
       ("g", false, false), ("g", false, false),
