@@ -1330,6 +1330,51 @@ ORDER BY channel"""
     * |durations|×|users| join), and the fold runs over one collected
     * |durations|-bounded array inside an `aggregate` HOF — no driver
     * loop, no UDF. */
+  def kaplanMeier(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      eventPred: Column): DataFrame = {
+    val day = floorDivExpr(tsCol, 86400000000L)
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(expr(day)).as("__birth"),
+        max(expr(day)).as("__last"),
+        min(when(eventPred, expr(day))).as("__ev"))
+      .select(
+        (coalesce(col("__ev"), col("__last")) - col("__birth")).as("t"),
+        col("__ev").isNotNull.as("__death"))
+    // per-duration exit counts; cumulative from the longest duration
+    // down gives the at-risk count without a durations×users join
+    val perDur = perUser.groupBy("t")
+      .agg(count(lit(1)).as("__ended"),
+        sum(when(col("__death"), 1L).otherwise(0L)).as("d"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val steps = perDur
+      .withColumn("n", sum(col("__ended")).over(wRisk))
+      .filter(col("d") > 0)
+      .select("t", "d", "n")
+    // fold to the survival curve: ordered (t,d,n) steps accumulate
+    // s' = round(s · (1 − d/n), 6) through one |days|-bounded array
+    steps
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("n"))))
+        .as("__steps"))
+      .select(explode(expr(
+        """aggregate(
+          |  __steps,
+          |  cast(array() as array<struct<t:bigint,d:bigint,n:bigint,survival:double>>),
+          |  (acc, x) -> array_append(acc, named_struct(
+          |    't', x.t, 'd', x.d, 'n', x.n,
+          |    'survival',
+          |    round(coalesce(try_element_at(acc, -1).survival, 1.0d)
+          |          * (1.0d - cast(x.d as double) / cast(x.n as double)), 6)))
+          |)""".stripMargin)).as("__r"))
+      .select(col("__r.t").as("t"), col("__r.d").as("d"),
+        col("__r.n").as("n"), col("__r.survival").as("survival"))
+      .orderBy("t")
+  }
+
   /** Log-rank test (Mantel 1966) — the significance companion to
     * [[kaplanMeier]]: two cohorts' whole SURVIVAL CURVES compared,
     * censoring handled exactly (a difference-in-conversion-rates
@@ -1402,48 +1447,4 @@ ORDER BY channel"""
           col("__vs").cast("double"), 6)).as("chi2"))
   }
 
-  def kaplanMeier(
-      events: DataFrame,
-      userCol: String,
-      tsCol: String,
-      eventPred: Column): DataFrame = {
-    val day = floorDivExpr(tsCol, 86400000000L)
-    val perUser = events
-      .groupBy(col(userCol))
-      .agg(min(expr(day)).as("__birth"),
-        max(expr(day)).as("__last"),
-        min(when(eventPred, expr(day))).as("__ev"))
-      .select(
-        (coalesce(col("__ev"), col("__last")) - col("__birth")).as("t"),
-        col("__ev").isNotNull.as("__death"))
-    // per-duration exit counts; cumulative from the longest duration
-    // down gives the at-risk count without a durations×users join
-    val perDur = perUser.groupBy("t")
-      .agg(count(lit(1)).as("__ended"),
-        sum(when(col("__death"), 1L).otherwise(0L)).as("d"))
-    val wRisk = Window.orderBy(col("t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val steps = perDur
-      .withColumn("n", sum(col("__ended")).over(wRisk))
-      .filter(col("d") > 0)
-      .select("t", "d", "n")
-    // fold to the survival curve: ordered (t,d,n) steps accumulate
-    // s' = round(s · (1 − d/n), 6) through one |days|-bounded array
-    steps
-      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("n"))))
-        .as("__steps"))
-      .select(explode(expr(
-        """aggregate(
-          |  __steps,
-          |  cast(array() as array<struct<t:bigint,d:bigint,n:bigint,survival:double>>),
-          |  (acc, x) -> array_append(acc, named_struct(
-          |    't', x.t, 'd', x.d, 'n', x.n,
-          |    'survival',
-          |    round(coalesce(try_element_at(acc, -1).survival, 1.0d)
-          |          * (1.0d - cast(x.d as double) / cast(x.n as double)), 6)))
-          |)""".stripMargin)).as("__r"))
-      .select(col("__r.t").as("t"), col("__r.d").as("d"),
-        col("__r.n").as("n"), col("__r.survival").as("survival"))
-      .orderBy("t")
-  }
 }
