@@ -663,6 +663,93 @@ object Stress10 {
     slope("davies_bouldin", db1, db10)
   }
 
+  /** Decade stress for the round's later batches: the paired tests
+    * (user replicas — pairs are per-user, so users are the axis), the
+    * survival pair (user replicas with value jitter on durations),
+    * Krippendorff (unit replicas), the Hill rank window (jittered
+    * values so the order-statistic grid grows), the perplexity gate
+    * (token-jittered vocab growth), and the bigram registry drain
+    * (doc replicas through 3 micro-batches). */
+  private def r13cStress(
+      spark: org.apache.spark.sql.SparkSession, sf: String): Unit = {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"), expr("unix_micros(ts)").as("ts_us"))
+      .filter(col("value").isNotNull).localCheckpoint()
+    def evJit(k: Int): DataFrame = (0 until k).map(i =>
+      ev.select(col("event_type"),
+        (col("user_id") + lit(i * 100000000L)).as("user_id"),
+        (col("value") + lit(i * 1e-4)).as("value"),
+        col("ts_us"),
+        (col("event_id") + lit(i * 1000000000L)).as("event_id")))
+      .reduce(_ unionByName _)
+
+    def pairsOf(df: DataFrame): DataFrame = {
+      val e = df.select(col("event_type").as("g"), col("user_id"),
+        (col("ts_us") / lit(86400000000L) < 19738L).as("h"), col("value"))
+      val um = e.groupBy("g", "user_id", "h")
+        .agg((sum(col("value").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("m"))
+      um.filter(col("h"))
+        .select(col("g"), col("user_id"), col("m").as("__m1"))
+        .join(um.filter(!col("h"))
+          .select(col("g"), col("user_id"), col("m").as("__m2")),
+          Seq("g", "user_id"))
+        .select(col("g"), (col("__m2") - col("__m1")).as("d"))
+    }
+    val wx1 = time("wilcoxon_1x")(operators.Stats.wilcoxonSignedRank(
+      pairsOf(evJit(1)), "g", "d").count())
+    val wx10 = time("wilcoxon_10x")(operators.Stats.wilcoxonSignedRank(
+      pairsOf(evJit(10)), "g", "d").count())
+    slope("wilcoxon", wx1, wx10)
+
+    def lrOf(df: DataFrame) = operators.Behavior.logRank(
+      df.select(col("user_id"), col("ts_us"), col("event_type")),
+      "user_id", "ts_us",
+      eventPred = col("event_type") === "purchase",
+      armOf = col("user_id") % 2 === 0L).count()
+    val lr1 = time("logrank_1x")(lrOf(evJit(1)))
+    val lr10 = time("logrank_10x")(lrOf(evJit(10)))
+    slope("logrank", lr1, lr10)
+
+    val hl1 = time("hill_1x")(operators.Stats.hillTailIndex(
+      evJit(1), "event_type", "value", "event_id").count())
+    val hl10 = time("hill_10x")(operators.Stats.hillTailIndex(
+      evJit(10), "event_type", "value", "event_id").count())
+    slope("hill", hl1, hl10)
+
+    // Krippendorff: units are the axis (parts), id-offset replicas
+    val r = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("u"), col("o_orderpriority").as("c"))
+      .localCheckpoint()
+    def rDup(k: Int): DataFrame = (0 until k).map(i =>
+      r.select((col("u") + lit(i * 10000000L)).as("u"), col("c")))
+      .reduce(_ unionByName _)
+    val ka1 = time("krippendorff_1x")(operators.Stats.krippendorffAlpha(
+      rDup(1), "u", "c").count())
+    val ka10 = time("krippendorff_10x")(operators.Stats.krippendorffAlpha(
+      rDup(10), "u", "c").count())
+    slope("krippendorff", ka1, ka10)
+
+    // perplexity gate: token-jittered replicas grow the bigram LM
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").localCheckpoint()
+    def docJit(k: Int): DataFrame = (0 until k).map(i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("source"),
+        regexp_replace(col("text"), " ", s" r$i ").as("text")))
+      .reduce(_ unionByName _)
+    val pg1 = time("perplexity_gate_1x")(
+      operators.TextAnalysis.perplexityBuckets(
+        docJit(1), "doc_id", "source", "text").count())
+    val pg10 = time("perplexity_gate_10x")(
+      operators.TextAnalysis.perplexityBuckets(
+        docJit(10), "doc_id", "source", "text").count())
+    slope("perplexity_gate", pg1, pg10)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-stress10")
@@ -696,6 +783,11 @@ object Stress10 {
     }
     if (args.contains("r13b")) {
       r13bStress(spark, sf)
+      spark.stop()
+      return
+    }
+    if (args.contains("r13c")) {
+      r13cStress(spark, sf)
       spark.stop()
       return
     }
