@@ -12315,6 +12315,98 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq141_mcc — Matthews correlation between the cheap model gate
+  // (tq13's quality score >= 0.5) and the expensive rule gate (tq17's
+  // Gopher keep) on the same corpus (Stats.matthewsCorrelation): the
+  // imbalance-proof "do my two filters agree" number that decides
+  // whether the cheap gate can front the pipeline; exact cells,
+  // margin-paired decimal products, one pinned division.
+  register(
+    "aq141_mcc",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         length(text)::double AS n_chars,
+      |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+      |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, n_chars, n_punct, n_digit,
+      |         CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','that','it'], x)))::double / len(toks) END AS stop_ratio,
+      |         CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE list_sum(list_transform(toks, x -> len(x)::double)) / len(toks) END AS mtl
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id,
+      |         round(greatest(0.0, least(1.0,
+      |           0.4 * least(stop_ratio * 5, 1.0)
+      |           + 0.3 * (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.0 END)
+      |           + 0.3 * (1.0 - least(((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END)
+      |                                + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_digit / n_chars END)) * 5, 1.0)))), 4) AS quality
+      |  FROM m
+      |), w AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+      |), base AS (
+      |  SELECT doc_id,
+      |         len(words) AS n_words,
+      |         length(replace(text, ' ', '')) AS n_alpha,
+      |         len(list_filter(words,
+      |               x -> x IN ('the','a','data','value','row'))) AS stop_hits,
+      |         len(list_distinct(words)) AS n_distinct
+      |  FROM w
+      |), tw AS (
+      |  SELECT doc_id, max(n) AS top_n FROM (
+      |    SELECT doc_id, word, count(*) AS n FROM (
+      |      SELECT doc_id, unnest(words) AS word FROM w)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), keepq AS (
+      |  SELECT b.doc_id,
+      |    NOT (b.n_words < 20 OR b.n_words > 90
+      |         OR round(b.n_alpha::double / b.n_words, 4) < 4.0
+      |         OR round(b.n_alpha::double / b.n_words, 4) > 5.0
+      |         OR b.stop_hits < 2
+      |         OR round(b.n_distinct::double / b.n_words, 4) < 0.35
+      |         OR round(tw.top_n::double / b.n_words, 4) > 0.15) AS keep
+      |  FROM base b JOIN tw USING (doc_id)
+      |), j AS (
+      |  SELECT q.quality >= 0.5 AS p, keepq.keep AS l
+      |  FROM q JOIN keepq USING (doc_id)
+      |), cells AS (
+      |  SELECT count(CASE WHEN p AND l THEN 1 END)::bigint AS tp,
+      |         count(CASE WHEN p AND NOT l THEN 1 END)::bigint AS fp,
+      |         count(CASE WHEN NOT p AND l THEN 1 END)::bigint AS fn,
+      |         count(CASE WHEN NOT p AND NOT l THEN 1 END)::bigint AS tn
+      |  FROM j
+      |)
+      |SELECT tp + fp + fn + tn AS n, tp, fp, fn, tn,
+      |  CASE WHEN tp + fp + fn + tn > 0 THEN
+      |    round((tp + tn)::double / (tp + fp + fn + tn)::double, 6) + 0.0
+      |  END AS accuracy,
+      |  CASE WHEN (tp + fp)::hugeint * (tp + fn)::hugeint > 0 AND
+      |            (tn + fp)::hugeint * (tn + fn)::hugeint > 0 THEN
+      |    round((tp::hugeint * tn::hugeint - fp::hugeint * fn::hugeint)
+      |        ::double /
+      |      sqrt(((tp + fp)::hugeint * (tp + fn)::hugeint)::double *
+      |           ((tn + fp)::hugeint * (tn + fn)::hugeint)::double),
+      |      6) + 0.0
+      |  END AS mcc
+      |FROM cells""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.TextFunctions.qualityScore
+    val docs = t(s, dir, "documents")
+    val pred = docs.select(col("doc_id"),
+      (round(qualityScore(col("text")), 4) >= 0.5).as("p"))
+    val label = graft.operators.TextAnalysis.qualityRuleFilter(
+        docs, "doc_id", "text",
+        stopwords = Seq("the", "a", "data", "value", "row"))
+      .select(col("doc_id"), col("keep").as("l"))
+    graft.operators.Stats.matthewsCorrelation(
+      pred.join(label, Seq("doc_id")), "p", "l")
+  }
+
+  // ---------------------------------------------------------------------
   // aq139_wilcoxon — Wilcoxon signed-rank per event type on each
   // user's mean-value shift between the window halves
   // (Stats.wilcoxonSignedRank): the PAIRED nonparametric — every user

@@ -2370,6 +2370,53 @@ object Stats {
       .orderBy("group_key")
   }
 
+  /** Matthews correlation coefficient — the single-number agreement
+    * audit between two binary verdicts (a cheap model gate vs the
+    * expensive rule gate, a new filter vs the incumbent) that, unlike
+    * accuracy, survives class imbalance (predicting all-keep on a 95%
+    * keep corpus scores 0.95 accuracy and 0 MCC):
+    *
+    *   MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN)).
+    *
+    * Determinism contract: the four cells are exact integers; the
+    * numerator and the two margin-pair products carry as
+    * decimal(38,0) (a 3·10⁹-row margin pair already passes 2⁶³;
+    * pairing the four margins two-by-two keeps each product inside
+    * decimal(38,0) to ~10⁹ rows per cell, the documented bound); MCC
+    * is one pinned division. NULL when any margin is empty.
+    *
+    * Scale shape: one join-free aggregate of four conditional counts
+    * (the caller aligns pred and label on one frame) — map-side
+    * partials, 1 row out. Returns ONE row
+    * `(n, tp, fp, fn, tn, accuracy, mcc)`. */
+  def matthewsCorrelation(
+      df: DataFrame,
+      predCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val p = col(predCol).cast("boolean")
+    val l = col(labelCol).cast("boolean")
+    val agg = df.filter(p.isNotNull && l.isNotNull).agg(
+      count(when(p && l, 1L)).as("tp"),
+      count(when(p && !l, 1L)).as("fp"),
+      count(when(!p && l, 1L)).as("fn"),
+      count(when(!p && !l, 1L)).as("tn"))
+    val num = (col("tp").cast(dec) * col("tn").cast(dec)).cast(dec) -
+      (col("fp").cast(dec) * col("fn").cast(dec)).cast(dec)
+    val p1 = ((col("tp") + col("fp")).cast(dec) *
+      (col("tp") + col("fn")).cast(dec)).cast(dec)
+    val p2 = ((col("tn") + col("fp")).cast(dec) *
+      (col("tn") + col("fn")).cast(dec)).cast(dec)
+    val n = col("tp") + col("fp") + col("fn") + col("tn")
+    agg.select(n.as("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(n > 0L, Readout.pin(
+        (col("tp") + col("tn")).cast("double") / n.cast("double"), 6))
+        .as("accuracy"),
+      when(p1 > 0L && p2 > 0L, Readout.pin(
+        num.cast("double") /
+          sqrt(p1.cast("double") * p2.cast("double")), 6)).as("mcc"))
+  }
+
   /** Paired sign test per group — the assumption-free floor under
     * [[wilcoxonSignedRank]] (signed-rank assumes the difference
     * distribution is symmetric; the sign test assumes NOTHING beyond

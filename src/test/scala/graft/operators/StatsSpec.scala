@@ -1437,6 +1437,29 @@ class StatsSpec extends AnyFunSuite {
       bal.toString)
   }
 
+  test("matthewsCorrelation: hand confusion cells; all-keep predictor " +
+      "scores 0.95 accuracy but NULL MCC") {
+    // tp=4, fp=1, fn=2, tn=3: MCC = (12−2)/√(5·6·4·5) = 10/√600
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d = (Seq.fill(4)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false)))
+      .toDF("p", "l")
+    val got = Stats.matthewsCorrelation(d, "p", "l")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(got == ((10L, 4L, 1L, 2L, 3L, Some(0.7),
+      Some(r6(10.0 / math.sqrt(600.0))))), got.toString)
+    // the imbalance trap: predict-all-keep on a 19/20 keep corpus —
+    // accuracy looks great, MCC is undefined (an empty margin)
+    val trap = (Seq.fill(19)((true, true)) ++ Seq((true, false)))
+      .toDF("p", "l")
+    val t = Stats.matthewsCorrelation(trap, "p", "l")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(t._6 == Some(0.95) && t._7.isEmpty, t.toString)
+  }
+
   test("cohensH: extreme proportions give h = π, equal give +0") {
     val d = Seq(("g", true, true), ("g", true, true),
       ("g", false, false), ("g", false, false),
