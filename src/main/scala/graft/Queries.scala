@@ -12314,16 +12314,10 @@ ORDER BY query_id"""
     graft.operators.Graph.assortativity(edges)
   }
 
-  // ---------------------------------------------------------------------
-  // aq141_mcc — Matthews correlation between the cheap model gate
-  // (tq13's quality score >= 0.5) and the expensive rule gate (tq17's
-  // Gopher keep) on the same corpus (Stats.matthewsCorrelation): the
-  // imbalance-proof "do my two filters agree" number that decides
-  // whether the cheap gate can front the pipeline; exact cells,
-  // margin-paired decimal products, one pinned division.
-  register(
-    "aq141_mcc",
-    """WITH t AS (
+  /** The shared cheap-model-vs-Gopher-gate confusion cells (CTE chain
+    * ending in `cells(tp, fp, fn, tn)`) — the oracle head under both
+    * aq141 and aq142, kept one edit apart. */
+  private val AQ141_CELLS_SQL: String = """WITH t AS (
       |  SELECT doc_id,
       |         length(text)::double AS n_chars,
       |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
@@ -12379,7 +12373,54 @@ ORDER BY query_id"""
       |         count(CASE WHEN NOT p AND l THEN 1 END)::bigint AS fn,
       |         count(CASE WHEN NOT p AND NOT l THEN 1 END)::bigint AS tn
       |  FROM j
-      |)
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // aq142_gate_report — precision/recall/F1/Youden J of the cheap
+  // model gate against the Gopher rule gate (Stats.binaryGateReport):
+  // aq141's MCC says how well the gates agree; this says in which
+  // DIRECTION they disagree — under-keeping and over-keeping need
+  // different fixes. Same cells, decomposed readouts, F1 from the
+  // exact cells (never from rounded P and R).
+  register(
+    "aq142_gate_report",
+    AQ141_CELLS_SQL + """
+      |SELECT tp + fp + fn + tn AS n, tp, fp, fn, tn,
+      |  CASE WHEN tp + fp > 0 THEN
+      |    round(tp::double / (tp + fp)::double, 6) + 0.0 END AS precision,
+      |  CASE WHEN tp + fn > 0 THEN
+      |    round(tp::double / (tp + fn)::double, 6) + 0.0 END AS recall,
+      |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+      |    round((2 * tp)::double / (2 * tp + fp + fn)::double, 6) + 0.0
+      |  END AS f1,
+      |  CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+      |    round(tp::double / (tp + fn)::double +
+      |          tn::double / (tn + fp)::double - 1.0, 6) + 0.0
+      |  END AS youden_j
+      |FROM cells""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.TextFunctions.qualityScore
+    val docs = t(s, dir, "documents")
+    val pred = docs.select(col("doc_id"),
+      (round(qualityScore(col("text")), 4) >= 0.5).as("p"))
+    val label = graft.operators.TextAnalysis.qualityRuleFilter(
+        docs, "doc_id", "text",
+        stopwords = Seq("the", "a", "data", "value", "row"))
+      .select(col("doc_id"), col("keep").as("l"))
+    graft.operators.Stats.binaryGateReport(
+      pred.join(label, Seq("doc_id")), "p", "l")
+  }
+
+  // ---------------------------------------------------------------------
+  // aq141_mcc — Matthews correlation between the cheap model gate
+  // (tq13's quality score >= 0.5) and the expensive rule gate (tq17's
+  // Gopher keep) on the same corpus (Stats.matthewsCorrelation): the
+  // imbalance-proof "do my two filters agree" number that decides
+  // whether the cheap gate can front the pipeline; exact cells,
+  // margin-paired decimal products, one pinned division.
+  register(
+    "aq141_mcc",
+    AQ141_CELLS_SQL + """
       |SELECT tp + fp + fn + tn AS n, tp, fp, fn, tn,
       |  CASE WHEN tp + fp + fn + tn > 0 THEN
       |    round((tp + tn)::double / (tp + fp + fn + tn)::double, 6) + 0.0

@@ -2417,6 +2417,47 @@ object Stats {
           sqrt(p1.cast("double") * p2.cast("double")), 6)).as("mcc"))
   }
 
+  /** Binary-gate quality report — precision/recall/F1/Youden's J of a
+    * predicted verdict against a reference one: the decomposed view
+    * beside [[matthewsCorrelation]]'s single number (MCC says HOW WELL
+    * the gates agree; this says in WHICH DIRECTION they disagree —
+    * a cheap filter that under-keeps needs a different fix than one
+    * that over-keeps).
+    *
+    * Determinism contract: exact cells; every ratio is one pinned
+    * fixed-order expression; F1 derives from the exact cells directly
+    * (2TP/(2TP+FP+FN) — never from the rounded P and R); NULL where
+    * the defining margin is empty.
+    *
+    * Scale shape: one aggregate of four conditional counts — 1 row.
+    * Returns `(n, tp, fp, fn, tn, precision, recall, f1, youden_j)`. */
+  def binaryGateReport(
+      df: DataFrame,
+      predCol: String,
+      labelCol: String): DataFrame = {
+    val p = col(predCol).cast("boolean")
+    val l = col(labelCol).cast("boolean")
+    val agg = df.filter(p.isNotNull && l.isNotNull).agg(
+      count(when(p && l, 1L)).as("tp"),
+      count(when(p && !l, 1L)).as("fp"),
+      count(when(!p && l, 1L)).as("fn"),
+      count(when(!p && !l, 1L)).as("tn"))
+    def d(c: Column) = c.cast("double")
+    val n = col("tp") + col("fp") + col("fn") + col("tn")
+    val prec = d(col("tp")) / d(col("tp") + col("fp"))
+    val rec = d(col("tp")) / d(col("tp") + col("fn"))
+    val spec = d(col("tn")) / d(col("tn") + col("fp"))
+    agg.select(n.as("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") > 0L, Readout.pin(prec, 6))
+        .as("precision"),
+      when(col("tp") + col("fn") > 0L, Readout.pin(rec, 6)).as("recall"),
+      when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+        Readout.pin(d(lit(2L) * col("tp")) /
+          d(lit(2L) * col("tp") + col("fp") + col("fn")), 6)).as("f1"),
+      when(col("tp") + col("fn") > 0L && col("tn") + col("fp") > 0L,
+        Readout.pin(rec + spec - lit(1.0), 6)).as("youden_j"))
+  }
+
   /** Paired sign test per group — the assumption-free floor under
     * [[wilcoxonSignedRank]] (signed-rank assumes the difference
     * distribution is symmetric; the sign test assumes NOTHING beyond

@@ -1460,6 +1460,30 @@ class StatsSpec extends AnyFunSuite {
     assert(t._6 == Some(0.95) && t._7.isEmpty, t.toString)
   }
 
+  test("binaryGateReport: hand P/R/F1/J; F1 from exact cells") {
+    // tp=4, fp=1, fn=2, tn=3: P = 0.8, R = 2/3, F1 = 8/11,
+    // J = 2/3 + 3/4 − 1
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d = (Seq.fill(4)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false)))
+      .toDF("p", "l")
+    val got = Stats.binaryGateReport(d, "p", "l")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(got == ((10L, 4L, 1L, 2L, 3L, Some(0.8), Some(r6(2.0 / 3.0)),
+      Some(r6(8.0 / 11.0)), Some(r6(2.0 / 3.0 + 3.0 / 4.0 - 1.0)))),
+      got.toString)
+    // never-keep predictor: precision undefined (empty margin), the
+    // rest defined
+    val never = Seq((false, true), (false, false)).toDF("p", "l")
+    val n = Stats.binaryGateReport(never, "p", "l")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(n._6.isEmpty && n._7 == Some(0.0) && n._9 == Some(0.0),
+      n.toString)
+  }
+
   test("cohensH: extreme proportions give h = π, equal give +0") {
     val d = Seq(("g", true, true), ("g", true, true),
       ("g", false, false), ("g", false, false),
