@@ -12595,7 +12595,12 @@ ORDER BY query_id"""
     val corrected = store.read("stats").join(delta, Seq("event_type"))
       .select(col("event_type"), (col("n") - col("__dn")).as("n"),
         (col("total") - col("__dt")).as("total"))
-    store.upsertPruned("stats", corrected, "event_type")
+    // DELETE arm on the correction: an event_type entirely owned by
+    // forgotten users corrects to n = 0 and must VANISH from the
+    // registry (the survivors-only oracle emits no row for it), not
+    // linger as a stale zero row
+    store.mergePruned("stats", corrected, "event_type",
+      deleteWhen = Some(col("n") === 0L))
     store.mergePruned("raw", erased.select("event_id"), "event_id",
       deleteWhen = Some(lit(true)))
     store.read("stats")
@@ -13883,7 +13888,9 @@ ORDER BY query_id"""
   // (Similarity.ndcgAtK over sq16's two deterministic rankings): the
   // graded index-quality number — getting the TOP exact neighbors
   // right and early is worth more than recall's flat count; shared
-  // ln2 / IDCG driver literals in both plans.
+  // ln2 driver literal in both plans, IDCG computed per query from
+  // the exact side's own grade list (short exact lists still
+  // normalize to 1.0 on a perfect ranking).
   register(
     "sq31_ndcg",
     s"""WITH e AS (
@@ -13947,14 +13954,20 @@ ORDER BY query_id"""
       |), agg AS (
       |  SELECT query_id, sum(hit)::bigint AS n_hits, sum(t) AS dcg
       |  FROM terms GROUP BY 1
+      |), ideal AS (
+      |  SELECT query_id,
+      |    sum(round((6 - rank)::double /
+      |      (ln(rank + 1.0) / ${graft.operators.Similarity.Ln2}),
+      |      8)::decimal(28,8)) AS idcg
+      |  FROM brute GROUP BY 1
       |)
-      |SELECT q.query_id,
+      |SELECT i.query_id,
       |  coalesce(a.n_hits, 0)::bigint AS n_hits,
       |  round(coalesce(a.dcg, 0::decimal(28,8))::double /
-      |    ${graft.operators.Similarity.idcgAtK(5)}, 6) + 0.0 AS ndcg
-      |FROM (SELECT DISTINCT query_id FROM brute) q
+      |    i.idcg::double, 6) + 0.0 AS ndcg
+      |FROM ideal i
       |LEFT JOIN agg a USING (query_id)
-      |ORDER BY query_id""".stripMargin
+      |ORDER BY i.query_id""".stripMargin
   ) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)

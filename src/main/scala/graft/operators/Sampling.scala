@@ -511,11 +511,15 @@ object Sampling {
     * Determinism contract: the draw is the salted-hash
     * [[weightedSample]] (exactly reproducible, exactly oracle-able);
     * πᵢ is the caller's weight column (round it — 4dp quality scores
-    * are the aq18 shape); each yᵢ/πᵢ and variance term rounds to 6dp
-    * and sums as DECIMAL (kept-row order differs between engines —
-    * the tq8 discipline); estimate and se pin at the readout. Rows
-    * with πᵢ ≤ 0 are never kept (hash/10⁶ < 0 is false), so no
-    * division guard is needed beyond the draw itself.
+    * are the aq18 shape) CAPPED at 1: a weight above 1 is a certainty
+    * inclusion (always kept, contributes yᵢ/1 with zero variance) —
+    * without the cap its (1−π)/π² variance term would go NEGATIVE and
+    * silently understate ht_se for the whole group. Each yᵢ/πᵢ and
+    * variance term rounds to 6dp and sums as DECIMAL (kept-row order
+    * differs between engines — the tq8 discipline); estimate and se
+    * pin at the readout. Rows with πᵢ ≤ 0 are never kept
+    * (hash/10⁶ < 0 is false), so no division guard is needed beyond
+    * the draw itself.
     *
     * Scale shape: one filtered grouped aggregate for the kept rows +
     * one grouped aggregate for the exact totals (both map-side
@@ -529,14 +533,19 @@ object Sampling {
       weight: Column,
       valueCol: String): DataFrame = {
     val y = col(valueCol).cast("double")
+    // π capped at 1: the filter below keeps every weight ≥ 1 row
+    // anyway (hash/10⁶ < 1 always), so its true inclusion probability
+    // IS 1 — estimating with the raw >1 weight would bias the total
+    // low and make the variance term negative
+    val p = least(weight.cast("double"), lit(1.0))
     val kept = df
       .filter(hashBucket(col(idCol), salt, 1000000).cast("double") /
         1e6 < weight)
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n_kept"),
-        sum(round(y / weight, 6).cast("decimal(28,6)")).as("__ht"),
-        sum(round((lit(1.0) - weight) / (weight * weight) * y * y, 6)
+        sum(round(y / p, 6).cast("decimal(28,6)")).as("__ht"),
+        sum(round((lit(1.0) - p) / (p * p) * y * y, 6)
           .cast("decimal(28,6)")).as("__hv"))
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_total"),

@@ -1609,10 +1609,12 @@ object Similarity {
     * cannot). */
   val Ln2: Double = 0.6931471805599453
 
-  /** Ideal DCG@k when relevance grades are k..1 — the [[ndcgAtK]]
-    * normalizer, computed once on the driver (fixed i = 1..k order)
-    * and embedded as the SAME literal in the Spark plan and the
-    * generated oracle. */
+  /** Ideal DCG@k when relevance grades are k..1 and the exact list is
+    * FULL (k rows) — the fixed-order driver sum kept for callers that
+    * want the constant; [[ndcgAtK]] itself normalizes by the PER-QUERY
+    * ideal computed from the exact side's actual grade list, so a
+    * query whose exact top-k is short (corpus smaller than k+1, or a
+    * filtered exact frame) can still score 1.0 on a perfect ranking. */
   def idcgAtK(k: Int): Double =
     (1 to k).map(i => (k + 1 - i).toDouble /
       (math.log(i + 1.0) / Ln2)).sum
@@ -1625,15 +1627,19 @@ object Similarity {
     *
     *   rel(d) = k+1 − exact_rank(d)  (0 if outside the exact top-k),
     *   DCG = Σᵢ rel(dᵢ)/log₂(i+1) over the approximate ranking,
-    *   NDCG = DCG / IDCG@k  (IDCG = the exact ranking's own DCG).
+    *   NDCG = DCG / IDCG  (IDCG = the exact ranking's own DCG,
+    *   computed PER QUERY from the exact side's actual grade list —
+    *   a short exact list, corpus smaller than k+1 or a filtered
+    *   exact frame, still normalizes to 1.0 on a perfect ranking).
     *
     * Determinism contract: grades are exact integers from the two
-    * deterministic rankings; each DCG term is one fixed-order double
-    * (ln(i+1)/[[Ln2]] with the shared literal) rounded to 8dp and
-    * DECIMAL-summed (rank-row order differs between engines); IDCG is
-    * one driver literal ([[idcgAtK]]) shared with the oracle; NDCG
-    * pins at the readout. Queries the index returned nothing for
-    * score 0 (kept via the exact side's query set, as in recallAtK).
+    * deterministic rankings; each DCG and IDCG term is one
+    * fixed-order double (ln(i+1)/[[Ln2]] with the shared literal)
+    * rounded to 8dp and DECIMAL-summed (rank-row order differs
+    * between engines); NDCG pins at the readout. The exact side
+    * always has a rank-1 row per query, so IDCG > 0 and no division
+    * guard is needed. Queries the index returned nothing for score 0
+    * (kept via the exact side's query set, as in recallAtK).
     *
     * Scale shape: one (query, neighbor) equi-join of two |Q|·k-row
     * frames + a |Q|-ary aggregate — bounded by the rankings, never
@@ -1653,12 +1659,22 @@ object Similarity {
         when(col("__rel").isNotNull, 1L).otherwise(0L).as("__hit"))
       .groupBy("query_id")
       .agg(sum(col("__hit")).as("n_hits"), sum(col("__t")).as("__dcg"))
-    e.select("query_id").distinct()
+    // per-query ideal: the exact ranking scored against itself (same
+    // 8dp term rounding + decimal sum as the DCG, so a perfect
+    // approximate ranking divides to exactly 1 before the pin)
+    val ideal = e
+      .select(col("query_id"),
+        round((lit(k + 1L) - col("rank")).cast("double") /
+          (log(col("rank").cast("double") + 1.0) / lit(Ln2)), 8)
+          .cast("decimal(28,8)").as("__it"))
+      .groupBy("query_id")
+      .agg(sum(col("__it")).as("__idcg"))
+    ideal
       .join(scored, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         Readout.pin(coalesce(col("__dcg"), lit(0).cast("decimal(28,8)"))
-          .cast("double") / lit(idcgAtK(k)), 6).as("ndcg"))
+          .cast("double") / col("__idcg").cast("double"), 6).as("ndcg"))
       .orderBy("query_id")
   }
 

@@ -263,6 +263,15 @@ class ResultStore(spark: SparkSession, root: String) {
   def restoreVersion(schema: String, version: String): String = {
     val from = versionDir(schema, version)
     require(from.isDirectory, s"no such version '$version' for '$schema'")
+    // only COMMITTED generations are restorable: a stranded
+    // never-committed directory (crash between write and pointer
+    // flip) may be partial and must not be promoted to current. The
+    // pointer's own target counts as committed even if the crash hit
+    // between the flip and its marker (flipPointer's safe direction).
+    require(new java.io.File(from, "_COMMITTED").exists() ||
+      currentVersion(schema).contains(version),
+      s"version '$version' of '$schema' was never committed " +
+        "(no _COMMITTED marker) — refusing to restore a strand")
     val previous = currentVersion(schema)
     val next = nextVersion(schema)
     val to = versionDir(schema, next)

@@ -686,7 +686,9 @@ object Stress10 {
 
     def pairsOf(df: DataFrame): DataFrame = {
       val e = df.select(col("event_type").as("g"), col("user_id"),
-        (col("ts_us") / lit(86400000000L) < 19738L).as("h"), col("value"))
+        // integer div, matching aq139/aq140's window split exactly —
+        // double division would classify boundary-day rows differently
+        (expr("ts_us div 86400000000") < 19738L).as("h"), col("value"))
       val um = e.groupBy("g", "user_id", "h")
         .agg((sum(col("value").cast("decimal(18,4)")).cast("double") /
           count(lit(1))).as("m"))

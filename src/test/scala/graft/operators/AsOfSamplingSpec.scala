@@ -350,5 +350,14 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assert(part._3 == keptIds.size.toLong)
     assert(part._5 == Some(BigDecimal(expTotal).setScale(2,
       BigDecimal.RoundingMode.HALF_UP).toDouble), part.toString)
+    // π > 1 is a certainty inclusion: capped at 1, so the estimate
+    // reproduces the exact total with zero variance — never a
+    // negative variance term leaking into ht_se
+    val over = Sampling.horvitzThompson(full, "g", "id", "ht-spec",
+        lit(2.0), "y")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().head
+    assert(over == (("s", 5L, 5L, 150.0, Some(150.0), Some(0.0))),
+      over.toString)
   }
 }

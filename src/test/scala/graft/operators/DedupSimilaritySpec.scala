@@ -1526,16 +1526,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("ndcgAtK: hand DCG over a swapped ranking; absent queries 0") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r8(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
     // exact top-2 for q1 = [a, b]; the index returns [b, c]:
     // rel(b) = 2+1−2 = 1 at position 1 → DCG = 1/log2(2) = 1,
-    // NDCG = 1 / (2 + 1/log2(3)); q2 exists only on the exact side
+    // NDCG = 1 / IDCG with the per-query IDCG assembled from the
+    // SAME 8dp-rounded terms the engine sums (2/log2(2), 1/log2(3));
+    // q2 exists only on the exact side
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1),
       (2L, 12L, 2)).toDF("query_id", "neighbor_id", "rank")
     val ann = Seq((1L, 11L, 1), (1L, 12L, 2))
       .toDF("query_id", "neighbor_id", "rank")
     val got = Similarity.ndcgAtK(ann, exact, k = 2)
       .as[(Long, Long, Double)].collect().toSeq
-    val idcg = 2.0 + 1.0 / (math.log(3.0) / Similarity.Ln2)
+    val idcg = r8(2.0) + r8(1.0 / (math.log(3.0) / Similarity.Ln2))
     assert(got == Seq((1L, 1L, r6(1.0 / idcg)), (2L, 0L, 0.0)),
       got.toString)
     // a perfect ranking scores exactly 1
@@ -1544,6 +1548,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
         .filter(col("query_id") === 1L), k = 2)
       .as[(Long, Long, Double)].collect().head
     assert(perfect == ((1L, 2L, 1.0)), perfect.toString)
+    // a SHORT exact list (corpus smaller than k+1) normalizes by its
+    // own ideal, so a perfect ranking still scores exactly 1 — the
+    // case a full-k driver constant silently understates
+    val short = Seq((7L, 10L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val shortGot = Similarity.ndcgAtK(short, short, k = 2)
+      .as[(Long, Long, Double)].collect().head
+    assert(shortGot == ((7L, 1L, 1.0)), shortGot.toString)
   }
 
   test("lidScores: hand-computed 2-NN MLE; exact duplicates excluded") {

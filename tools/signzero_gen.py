@@ -161,6 +161,17 @@ OVER = [
  ('sum(when(hasF, round(abs(col("residual")), 6)', ("nonneg","abs residual; decimal carrier")),
  ('.select(round(sampleVar(', ("nonneg","sample variance >= 0 (Cauchy-Schwarz on exact integer sums); decimal carrier")),
  ('round(coalesce(col("__rel"), lit(0L)).cast("double") /', ("nonneg","NDCG term: nonneg grade over positive log; decimal carrier")),
+ ('round(term, 6).cast("decimal(18,6)").as("__term"))', ("decimal-carrier","chi-square cell term rounds into decimal(18,6); decimal zero is unsigned")),
+ ('round(col("__w2").cast("double") / 2.0, 1).as("w_plus")', ("nonneg","Wilcoxon W+ = exact nonneg integer (2W+) / 2")),
+ ('round(abs(col("residual")) / col("y"), 8)', ("decimal-carrier","MAPE term: abs residual over y (summed only under the y>0 guard), rounds into decimal(28,8)")),
+ ('round(lit(2.0) * abs(f - col("y")) /', ("decimal-carrier","sMAPE term: 2|f-y| over |f|+|y| (summed only under the >0 guard), rounds into decimal(28,8)")),
+ ('round(abs(col("y") - col("__py")), 6).cast("decimal(28,6)")', ("decimal-carrier","naive-MAE term: abs lag-1 difference rounds into decimal(28,6)")),
+ ('round(log(col("__v") / col("__xk")), 10)', ("decimal-carrier","Hill ln(x_i/x_(k+1)) with x_i >= x_(k+1) > 0 rounds into decimal(28,10); ln(1) = +0 exact")),
+ ('round(col("__thr"), 4).as("threshold")', ("nonneg","Hill threshold = (k+1)-th order statistic of values filtered > 0")),
+ ('round(col("__x").cast("double"), 6).cast("decimal(18,6)").as("__v"))', ("decimal-carrier","embedding coordinate rounds into decimal(18,6); decimal zero is unsigned")),
+ ('round((lit(k + 1L) - col("rank")).cast("double") /', ("decimal-carrier","per-query IDCG term: nonneg grade (k+1-rank >= 1 on the exact side) over positive log, rounds into decimal(28,8)")),
+ ('round(p * log(p), 10).cast("decimal(28,10)").as("__e"))', ("decimal-carrier","entropy term p*ln(p) rounds into decimal(28,10)")),
+ ('round(sum(col(valueCol).cast("decimal(18,4)")), 2)', ("decimal-carrier","decimal round of a decimal sum; decimal zero is unsigned")),
  ('round(', ("nonneg","Kneser-Ney probability (greatest(c-d,0) + backoff, all nonneg)")),
 ]
 
