@@ -13059,10 +13059,12 @@ ORDER BY query_id"""
   // st20_pmi_dashboard — TWO additive registries composed into a live
   // collocation dashboard (Registries.incrementalTokenCounts +
   // incrementalBigramCounts): 3 micro-batches build token and bigram
-  // count registries, then PMI reads off the two tables — continuously
-  // ingest, never re-tokenize, still answer collocations. Both
-  // registries equal their one-shot aggregates for any batch split, so
-  // the composed readout equals the one-shot PMI SQL exactly.
+  // count registries through merge-on-read segment appends (O(batch)
+  // written bytes per commit), then PMI reads off the two merged
+  // tables — continuously ingest, never re-tokenize, still answer
+  // collocations. Both registries equal their one-shot aggregates for
+  // any batch split or segment state, so the composed readout equals
+  // the one-shot PMI SQL exactly.
   register(
     "st20_pmi_dashboard",
     """WITH tk AS (
@@ -13102,8 +13104,10 @@ ORDER BY query_id"""
       graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1),
       "text", store, "big", "st20b", s"$tmp/ckpt_b")
       .awaitTermination()
-    val tok = store.read("tok")
-    val big = store.read("big")
+    // merge-on-read: each registry is base + live segments under one
+    // groupBy-sum — the PMI composition still never re-tokenizes
+    val tok = graft.streaming.Registries.readTokenCounts(store, "tok")
+    val big = graft.streaming.Registries.readBigramCounts(store, "big")
     val nu = broadcast(tok.agg(sum(col("n")).cast("double").as("__nu")))
     val nb = broadcast(big.agg(sum(col("n")).cast("double").as("__nb")))
     big.filter(col("n") >= 5L)
@@ -13410,11 +13414,13 @@ ORDER BY query_id"""
   // ---------------------------------------------------------------------
   // st19_token_registry — continuous-ingestion vocabulary count
   // registry (streaming.Registries.incrementalTokenCounts): 3
-  // micro-batches of documents tokenize and merge additively into the
-  // token→count table through batch-pruned commits under the
-  // per-stream txn replay map; the heavy-hitter readout is an exact
-  // TakeOrdered over the registry. The final registry equals the
-  // one-shot token count for any batch split — the oracle.
+  // micro-batches of documents tokenize and land as merge-on-read
+  // SEGMENTS (O(batch) written bytes per commit — a batch's
+  // vocabulary spans the whole key space, so a pruned rewrite would
+  // be registry-sized) under the per-stream txn replay map; the
+  // heavy-hitter readout is an exact TakeOrdered over the merged
+  // registry. The final registry equals the one-shot token count for
+  // any batch split or segment state — the oracle.
   register(
     "st19_token_registry",
     """WITH tk AS (
@@ -13434,7 +13440,9 @@ ORDER BY query_id"""
     graft.streaming.Registries.incrementalTokenCounts(
       stream, "text", store, "tok", "st19", s"$tmp/ckpt")
       .awaitTermination()
-    store.read("tok")
+    // merge-on-read: base + live segments union under one groupBy-sum
+    // (exact for any segment/compaction state), then the TakeOrdered
+    graft.streaming.Registries.readTokenCounts(store, "tok")
       .orderBy(col("n").desc, col("key"))
       .limit(25)
       .select(col("key").as("token"), col("n"))

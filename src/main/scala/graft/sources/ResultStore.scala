@@ -341,6 +341,60 @@ class ResultStore(spark: SparkSession, root: String) {
       case None => commit(schema, df)
     }
 
+  /** LSM-style merge-on-read segment append — the commit shape whose
+    * cost is bounded by the BATCH, never the table: `df` (a batch's
+    * delta) lands as its own files in a fresh generation, every prior
+    * data file hard-links in unchanged (O(files) metadata ops, zero
+    * rewrite), and the pointer flips atomically. The table's logical
+    * contents become the multiset UNION of base + all segments, so a
+    * reader must apply the table's merge function (for an additive
+    * registry: groupBy(key).sum — [[graft.streaming.Registries
+    * .readMerged]]); a periodic compaction rolls segments back into
+    * one merged base (the Delta/Iceberg merge-on-read + OPTIMIZE
+    * cycle). This exists because a PRUNED upsert's cost is
+    * proportional to TOUCHED files — right when a batch's keys are
+    * clustered, wrong for uniform key spaces (token/bigram
+    * vocabularies), where touched ≈ all files and every batch rewrites
+    * ~the whole registry.
+    *
+    * `meta` behaves like every mutation's: empty INHERITS the
+    * committed generation's metadata, non-empty replaces it — the
+    * hook streaming sinks use to ride the `txn.` replay map on an
+    * append-sized commit. The key-range sidecar deliberately does NOT
+    * carry over (the new files aren't in it; a stale manifest would
+    * make key-pruned point reads MISS segment rows) — the next
+    * compaction/pruned commit re-establishes it. Returns the
+    * per-commit write receipt the batch-bounded-cost spec pins. */
+  def appendSegment(schema: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty): SegmentCommit =
+    currentVersion(schema) match {
+      case Some(prev) =>
+        val version = nextVersion(schema)
+        val newDir = new java.io.File(schemaDir(schema), version)
+        val effective = if (meta.nonEmpty) meta else committedMeta(schema)
+        df.write.mode(SaveMode.Overwrite).parquet(newDir.getPath)
+        val fresh = dataFiles(newDir)
+        val (newFiles, newBytes) = (fresh.length, fresh.map(_.length()).sum)
+        val prevDir = new java.io.File(schemaDir(schema), prev)
+        val carried = dataFiles(prevDir).map { f =>
+          val target0 = new java.io.File(newDir, f.getName)
+          val target =
+            if (target0.exists()) new java.io.File(newDir, "prev-" + f.getName)
+            else target0
+          java.nio.file.Files.createLink(target.toPath, f.toPath)
+        }.length
+        writeMeta(newDir, effective)
+        beforeSwapHook()
+        flipPointer(schema, version, keepPrevious = Some(prev))
+        SegmentCommit(newFiles, newBytes, carried)
+      case None =>
+        commit(schema, df, meta)
+        val v = currentVersion(schema).get
+        val fresh = dataFiles(versionDir(schema, v))
+        SegmentCommit(fresh.length, fresh.map(_.length()).sum,
+          carriedFiles = 0)
+    }
+
   def overwrite(schema: String, df: DataFrame): Unit = commit(schema, df)
 
   /** [[overwrite]] carrying commit metadata (e.g. the last applied
@@ -905,6 +959,17 @@ class ResultStore(spark: SparkSession, root: String) {
     flipPointer(schema, version, keepPrevious = previous)
   }
 
+  /** [[overwriteWithMeta]] that ALSO writes the key-range sidecar —
+    * the compaction commit of a merge-on-read registry
+    * ([[graft.streaming.Registries]]): the merged base replaces the
+    * table atomically and the next pruned merge / key-pruned point
+    * read can prune immediately instead of paying one full rewrite to
+    * re-establish the manifest. Write `df` range-partitioned on
+    * `keyCol` so file ranges are disjoint. */
+  def overwriteWithStats(schema: String, df: DataFrame, keyCol: String,
+      meta: Map[String, String] = Map.empty): Unit =
+    commitWithStats(schema, df, keyCol, meta)
+
   /** MERGE INTO with file pruning: same semantics and same atomicity
     * as [[merge]], table-rewrite cost proportional to the touched key
     * ranges. Prune logic is scale-shaped: the manifest (one row per
@@ -1307,3 +1372,12 @@ class ResultStore(spark: SparkSession, root: String) {
 case class PrunedCommit(rewrittenFiles: Int, carriedFiles: Int) {
   def totalFiles: Int = rewrittenFiles + carriedFiles
 }
+
+/** Write receipt of a merge-on-read segment append
+  * ([[ResultStore.appendSegment]]): `newFiles`/`newBytes` are the
+  * batch delta's own footprint — the ONLY bytes written — while
+  * `carriedFiles` (the whole prior generation, hard-linked) grows
+  * with the table. The scale invariant an incremental registry pins:
+  * newBytes tracks the BATCH, so per-commit cost stays O(batch) even
+  * when the batch's keys span the entire key space. */
+case class SegmentCommit(newFiles: Int, newBytes: Long, carriedFiles: Int)

@@ -18,26 +18,91 @@ import graft.operators.Lineage
   * the store's atomic commit metadata (`txn.<stream_id> → batch_id`,
   * the Delta `txnAppId`/`txnVersion` shape) and a replayed
   * micro-batch is skipped ([[graft.operators.Materialized
-  * .applyBatchOnce]]'s contract, riding the FILE-PRUNED commit
-  * instead of a full-table overwrite). A MAP, not a single last
+  * .applyBatchOnce]]'s contract). A MAP, not a single last
   * pair: two streams interleaving on one schema would otherwise
   * erase each other's marker, and the first stream's replayed batch
   * would apply its additive delta TWICE. Every commit carries all
   * existing `txn.*` entries forward ([[graft.sources.ResultStore
   * .committedMeta]] returns only the committed generation's map).
-  * Commit cost is bounded by the batch's key footprint:
-  * the registry lives range-partitioned on the key, the batch's
-  * delta aggregate reads back only its own keys' stored rows
-  * (`readForKeys`) and the sum commits through `upsertPruned`.
+  *
+  * TWO write paths, chosen by the registry's KEY GEOMETRY:
+  *
+  *  - '''Pruned upsert''' (source stats, histograms): the batch's
+  *    keys are FEW (sources, (source, bucket) cells), so the
+  *    read-back of the batch's stored rows + file-pruned rewrite
+  *    touches a handful of the range-partitioned files — per-commit
+  *    cost O(touched files), which tracks the batch.
+  *  - '''Merge-on-read segments''' (token/bigram vocabularies): the
+  *    batch's keys are UNIFORM over the whole key space, so "touched
+  *    files" ≈ ALL files and a pruned upsert degrades to rewriting
+  *    ~the whole registry per micro-batch — registry-sized write
+  *    cost, the scale-killer for continuous ingest. Instead the
+  *    batch's delta aggregate APPENDS as its own segment
+  *    ([[graft.sources.ResultStore.appendSegment]], O(batch) written
+  *    bytes, prior files hard-linked), readers merge with a final
+  *    groupBy-sum ([[readMerged]]), and every
+  *    `spark.graft.registry.compactSegments` commits (default 8) a
+  *    COMPACTION rolls base + segments into one merged base — the
+  *    Delta/Iceberg merge-on-read + OPTIMIZE cycle. Amortized write
+  *    cost per batch: O(batch + registry/compactEvery).
   *
   * Invariant (what makes it oracle-able): addition is associative and
-  * commutative and every row contributes exactly once, so the final
+  * commutative and every row contributes exactly once, so the merged
   * registry equals the one-shot batch aggregate of the whole corpus
-  * for ANY batch split, arrival order, or at-least-once replay. */
+  * for ANY batch split, arrival order, at-least-once replay, or
+  * segment/compaction state. */
 object Registries {
 
+  /** Commit-metadata key tracking the live segment count of a
+    * merge-on-read registry (reset to 0 by compaction). Rides the
+    * same atomic flip as the data and the `txn.` map. */
+  val SegmentsKey = "graft.segments"
+
+  /** What a segmented registry commit did — the per-batch receipt
+    * [[incrementalTokenCounts]]/[[incrementalBigramCounts]] hand to
+    * `onCommit`, and the handle the batch-bounded-write-cost spec
+    * pins. */
+  sealed trait RegistryCommit
+  /** The batch's delta landed as a segment: `receipt.newBytes` is the
+    * ONLY data written (the batch's footprint); the whole prior
+    * generation hard-linked. */
+  final case class SegmentAppended(receipt: graft.sources.SegmentCommit)
+    extends RegistryCommit
+  /** Base + `segmentsRolled` segments merged into a fresh base
+    * (registry-sized write, amortized over compactEvery batches). */
+  final case class Compacted(segmentsRolled: Int) extends RegistryCommit
+
+  /** Merge-on-read readout of a segmented additive registry: base +
+    * segments union under one groupBy-sum — the read-side half of the
+    * [[graft.sources.ResultStore.appendSegment]] contract. Exact for
+    * any segment state (addition is associative/commutative); on a
+    * freshly-compacted registry the groupBy degenerates to identity.
+    * One shuffle of the registry (vocabulary-sized, Heaps-sublinear
+    * in the corpus), same as any registry scan. */
+  def readMerged(
+      store: graft.sources.ResultStore,
+      schema: String,
+      groupCols: Seq[String],
+      statCols: Seq[String]): DataFrame =
+    store.read(schema)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(statCols.head).as(statCols.head),
+        statCols.tail.map(c => sum(c).as(c)): _*)
+
+  /** [[readMerged]] for a [[incrementalTokenCounts]] registry:
+    * `(key, n)`. */
+  def readTokenCounts(store: graft.sources.ResultStore, schema: String)
+      : DataFrame = readMerged(store, schema, Seq("key"), Seq("n"))
+
+  /** [[readMerged]] for a [[incrementalBigramCounts]] registry:
+    * `(key, v, w, n)`. */
+  def readBigramCounts(store: graft.sources.ResultStore, schema: String)
+      : DataFrame = readMerged(store, schema, Seq("key", "v", "w"), Seq("n"))
+
   /** Per-source corpus statistics registry: `keyCol → (n_docs,
-    * n_tokens, n_chars)`, merged additively per micro-batch. */
+    * n_tokens, n_chars)`, merged additively per micro-batch through
+    * the PRUNED path (keys = sources: few, clustered — touched files
+    * track the batch). */
   def incrementalSourceStats(
       stream: DataFrame,
       keyCol: String,
@@ -49,7 +114,7 @@ object Registries {
       registryPartitions: Int = 8,
       onCommit: (String, graft.sources.PrunedCommit) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
-    additiveRegistry(stream, store, schema, streamId, checkpoint,
+    additivePruned(stream, store, schema, streamId, checkpoint,
       registryPartitions, onCommit,
       deltaOf = batch => batch
         .select(col(keyCol).as("key"),
@@ -74,10 +139,11 @@ object Registries {
     * and would drift between batches, breaking additivity — fixed
     * cells are mergeable forever.
     *
-    * Same machinery end to end: per-stream `txn.` replay map, pruned
-    * point-read of the batch's keys, file-pruned upsert. Bucket cells
-    * ride WITH their key (the merge groups on (key, bucket)), so the
-    * registry stays laid out and pruned on `key` alone. */
+    * Pruned path (keys = few grid cells, clustered); per-stream
+    * `txn.` replay map, pruned point-read of the batch's keys,
+    * file-pruned upsert. Bucket cells ride WITH their key (the merge
+    * groups on (key, bucket)), so the registry stays laid out and
+    * pruned on `key` alone. */
   def incrementalHistogram(
       stream: DataFrame,
       keyCol: String,
@@ -93,7 +159,7 @@ object Registries {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(width > 0.0, "bucket width must be positive")
     require(maxBucket >= 0L, "maxBucket must be non-negative")
-    additiveRegistry(stream, store, schema, streamId, checkpoint,
+    additivePruned(stream, store, schema, streamId, checkpoint,
       registryPartitions, onCommit,
       deltaOf = batch => batch
         .filter(col(valueCol).isNotNull)
@@ -112,13 +178,15 @@ object Registries {
     * itself). A continuously-ingesting corpus reads its top-k tokens,
     * stopword candidates, and vocabulary growth off this table instead
     * of re-tokenizing 100 TB; exact counts, so the top-k readout is a
-    * TakeOrdered over the registry — no sketch error to argue about.
+    * TakeOrdered over [[readTokenCounts]] — no sketch error to argue
+    * about.
     *
-    * Same machinery end to end: per-stream `txn.` replay map, pruned
-    * point-read of the batch's OWN tokens (the registry lives
-    * range-partitioned on the token, so a batch touches only the files
-    * its vocabulary lands in), file-pruned upsert. The registry is
-    * vocabulary-sized — Heaps' law keeps that sublinear in the corpus. */
+    * SEGMENTED write path: a batch's vocabulary is uniform over the
+    * token key space (touched files ≈ all files under range
+    * partitioning), so the delta appends as a merge-on-read segment —
+    * per-commit written bytes O(batch), compaction every
+    * `spark.graft.registry.compactSegments` commits. Read through
+    * [[readTokenCounts]]. */
   def incrementalTokenCounts(
       stream: DataFrame,
       textCol: String,
@@ -127,9 +195,9 @@ object Registries {
       streamId: String,
       checkpoint: String,
       registryPartitions: Int = 8,
-      onCommit: (String, graft.sources.PrunedCommit) => Unit = (_, _) => ())
+      onCommit: (String, RegistryCommit) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
-    additiveRegistry(stream, store, schema, streamId, checkpoint,
+    additiveSegmented(stream, store, schema, streamId, checkpoint,
       registryPartitions, onCommit,
       deltaOf = batch => batch
         .select(explode(graft.functions.TextFunctions
@@ -145,8 +213,10 @@ object Registries {
     * of re-tokenizing the corpus (the st20 composition). The v/w
     * components ride WITH the key (functionally dependent, the
     * histogram-bucket pattern) so the PMI join needs no string
-    * splitting; the registry stays laid out and pruned on the bigram
-    * key alone, bounded by distinct bigrams. */
+    * splitting; bounded by distinct bigrams.
+    *
+    * SEGMENTED write path (bigram keys are even more uniform than
+    * tokens); read through [[readBigramCounts]]. */
   def incrementalBigramCounts(
       stream: DataFrame,
       textCol: String,
@@ -155,9 +225,9 @@ object Registries {
       streamId: String,
       checkpoint: String,
       registryPartitions: Int = 8,
-      onCommit: (String, graft.sources.PrunedCommit) => Unit = (_, _) => ())
+      onCommit: (String, RegistryCommit) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
-    additiveRegistry(stream, store, schema, streamId, checkpoint,
+    additiveSegmented(stream, store, schema, streamId, checkpoint,
       registryPartitions, onCommit,
       deltaOf = batch => {
         val tk = graft.functions.TextFunctions
@@ -176,12 +246,13 @@ object Registries {
       groupCols = Seq("key", "v", "w"),
       statCols = Seq("n"))
 
-  /** The shared additive-registry micro-batch skeleton: per-stream
-    * `txn.<stream_id>` replay map (carried forward wholesale on every
-    * commit), batch delta aggregate, key-pruned read-back of ONLY the
-    * batch's stored rows, additive re-aggregate, file-pruned upsert.
-    * `groupCols` must start with "key" — the registry's layout,
-    * pruning, and upsert key.
+  /** The pruned-upsert additive skeleton: per-stream `txn.<stream_id>`
+    * replay map (carried forward wholesale on every commit), batch
+    * delta aggregate, key-pruned read-back of ONLY the batch's stored
+    * rows, additive re-aggregate, file-pruned upsert. `groupCols`
+    * must start with "key" — the registry's layout, pruning, and
+    * upsert key. For few/clustered key spaces only — see the class
+    * doc and [[additiveSegmented]].
     *
     * Concurrency contract: commits to one schema must be SERIALIZED
     * across streams. The txn map is read at batch start and written
@@ -193,7 +264,7 @@ object Registries {
     * at the same instant — a deployment that needs that takes the
     * [[graft.sources.ResultStore.transact]] marker-CAS path, where a
     * racing commit loses the slot and rebases instead. */
-  private def additiveRegistry(
+  private def additivePruned(
       stream: DataFrame,
       store: graft.sources.ResultStore,
       schema: String,
@@ -204,9 +275,89 @@ object Registries {
       deltaOf: DataFrame => DataFrame,
       groupCols: Seq[String],
       statCols: Seq[String])
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(groupCols.headOption.contains("key"),
-      "groupCols must lead with the registry key")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    additiveCore(stream, store, schema, streamId, checkpoint) {
+      (batch, txns, _) =>
+        val delta = Lineage.cutLocal(deltaOf(batch))
+        val src =
+          if (!store.hasSchema(schema))
+            delta.repartitionByRange(registryPartitions, col("key"))
+          else
+            // additive merge against ONLY the stored rows for this
+            // batch's keys — both sides batch-sized
+            store.readForKeys(schema, delta, "key")
+              .unionByName(delta)
+              .groupBy(groupCols.map(col): _*)
+              .agg(sum(statCols.head).as(statCols.head),
+                statCols.tail.map(c => sum(c).as(c)): _*)
+        val stats = store.upsertPruned(schema, src, "key", meta = txns)
+        onCommit(schema, stats)
+    }
+
+  /** The merge-on-read segmented additive skeleton: same replay map,
+    * but the batch's delta aggregate APPENDS as its own segment
+    * (O(batch) written bytes — no read-back, no rewrite) and every
+    * `spark.graft.registry.compactSegments` commits (default 8) the
+    * base + segments + current delta roll into one merged base.
+    * Readers go through [[readMerged]]. The live segment count rides
+    * the commit metadata ([[SegmentsKey]]) through the same atomic
+    * flip as the data and the txn map, so a crash between commits
+    * can never desynchronize it. Same serialized-streams concurrency
+    * contract as [[additivePruned]]. */
+  private def additiveSegmented(
+      stream: DataFrame,
+      store: graft.sources.ResultStore,
+      schema: String,
+      streamId: String,
+      checkpoint: String,
+      registryPartitions: Int,
+      onCommit: (String, RegistryCommit) => Unit,
+      deltaOf: DataFrame => DataFrame,
+      groupCols: Seq[String],
+      statCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    additiveCore(stream, store, schema, streamId, checkpoint) {
+      (batch, txns, meta) =>
+        val compactEvery = math.max(2, batch.sparkSession.conf
+          .getOption("spark.graft.registry.compactSegments")
+          .map(_.toInt).getOrElse(8))
+        val delta = Lineage.cutLocal(deltaOf(batch))
+          .repartitionByRange(registryPartitions, col("key"))
+        val segs = meta.get(SegmentsKey).map(_.toInt).getOrElse(0)
+        if (store.hasSchema(schema) && segs + 1 >= compactEvery) {
+          // compaction commit: merge base + segments + this delta into
+          // a fresh range-partitioned base WITH a key-range sidecar
+          // (ad-hoc point reads prune again until the next segment
+          // lands). Registry-sized, amortized over compactEvery.
+          val merged = store.read(schema).unionByName(delta)
+            .groupBy(groupCols.map(col): _*)
+            .agg(sum(statCols.head).as(statCols.head),
+              statCols.tail.map(c => sum(c).as(c)): _*)
+            .repartitionByRange(registryPartitions, col("key"))
+          store.overwriteWithStats(schema, merged, "key",
+            txns + (SegmentsKey -> "0"))
+          onCommit(schema, Compacted(segmentsRolled = segs))
+        } else {
+          val next = if (store.hasSchema(schema)) segs + 1 else 0
+          val receipt = store.appendSegment(schema, delta,
+            txns + (SegmentsKey -> next.toString))
+          onCommit(schema, SegmentAppended(receipt))
+        }
+    }
+
+  /** Shared micro-batch frame: AQE off for the burst, replay guard
+    * via the per-stream `txn.` map (with the pre-r12 single-pair
+    * fallback and its upgrade-on-next-commit), then `commitDelta(
+    * batch, txnsMeta, committedMeta)` does the mode-specific write. */
+  private def additiveCore(
+      stream: DataFrame,
+      store: graft.sources.ResultStore,
+      schema: String,
+      streamId: String,
+      checkpoint: String)(
+      commitDelta: (DataFrame, Map[String, String], Map[String, String])
+        => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -226,18 +377,6 @@ object Registries {
             meta.get("batch_id") else None)
         val replayed = lastCommitted.map(_.toLong).exists(_ >= batchId)
         if (!replayed) {
-          val delta = Lineage.cutLocal(deltaOf(batch))
-          val src =
-            if (!store.hasSchema(schema))
-              delta.repartitionByRange(registryPartitions, col("key"))
-            else
-              // additive merge against ONLY the stored rows for this
-              // batch's keys — both sides batch-sized
-              store.readForKeys(schema, delta, "key")
-                .unionByName(delta)
-                .groupBy(groupCols.map(col): _*)
-                .agg(sum(statCols.head).as(statCols.head),
-                  statCols.tail.map(c => sum(c).as(c)): _*)
           // carry every stream's marker forward — the commit's meta
           // REPLACES the generation's map wholesale. A legacy pair is
           // UPGRADED into the map here (lowest precedence): dropping
@@ -248,11 +387,9 @@ object Registries {
           }
           val txns = legacy ++ meta.filter(_._1.startsWith("txn.")) +
             (s"txn.$streamId" -> batchId.toString)
-          val stats = store.upsertPruned(schema, src, "key", meta = txns)
-          onCommit(schema, stats)
+          commitDelta(batch, txns, meta)
         }
         }
       }
       .start()
-  }
 }

@@ -163,7 +163,7 @@ class RegistriesSpec extends AnyFunSuite {
       (store, tmp)
     }
     def reg(store: graft.sources.ResultStore) =
-      store.read("tok").collect()
+      Registries.readTokenCounts(store, "tok").collect()
         .map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
     assert(reg(run(1)._1) == expected)
     val (store, tmp) = run(3)
@@ -175,6 +175,110 @@ class RegistriesSpec extends AnyFunSuite {
       "text", store, "tok", "s1", s"$tmp/ckpt2")
       .awaitTermination()
     assert(reg(store) == expected)
+  }
+
+  /** One parquet FILE per doc with pinned ascending mtimes, so
+    * `maxFilesPerTrigger = 1` yields exactly one micro-batch per doc
+    * in order — the new specs assert per-BATCH commit receipts, which
+    * a round-robin repartition write (empty/doubled files) breaks. */
+  private def writeDocFiles(tmp: String, texts: Seq[String]): Unit = {
+    val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val stage = new java.io.File(s"$tmp/stage$i")
+      Seq(Tuple1(t)).toDF("text").coalesce(1)
+        .write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, f"d$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+  }
+
+  test("segmented write path: per-commit written bytes track the BATCH " +
+      "footprint, not the registry — wide-vocabulary batches append, " +
+      "never rewrite") {
+    // every batch's vocabulary spans the WHOLE key space (the uniform-
+    // keys geometry that makes a pruned rewrite registry-sized): 40
+    // distinct tokens per doc, one doc per batch
+    val tmp = java.nio.file.Files.createTempDirectory("graft-seg").toString
+    writeDocFiles(tmp, (0 until 6).map(b =>
+      (0 until 40).map(t => f"tok$t%02d w$b").mkString(" ")))
+    val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+    val commits = scala.collection.mutable.ArrayBuffer
+      .empty[Registries.RegistryCommit]
+    Registries.incrementalTokenCounts(
+      StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+      "text", store, "tok", "s1", s"$tmp/ckpt",
+      registryPartitions = 2,
+      onCommit = (_, c) => commits.synchronized { commits += c })
+      .awaitTermination()
+    // default compactSegments = 8 > 6 batches: every commit appended
+    val receipts = commits.toList.map {
+      case Registries.SegmentAppended(r) => r
+      case c => fail(s"expected only segment appends, got $c")
+    }
+    assert(receipts.length == 6)
+    // the first commit creates the base (nothing to carry); every
+    // later commit hard-links the ENTIRE prior generation and writes
+    // only its own delta files
+    assert(receipts.head.carriedFiles == 0)
+    receipts.tail.zipWithIndex.foreach { case (r, i) =>
+      assert(r.newFiles <= 2, r.toString)
+      // carried = base files + all prior segments' files
+      assert(r.carriedFiles ==
+        receipts.take(i + 1).map(_.newFiles).sum, r.toString)
+    }
+    // written bytes per commit stay flat while the registry grows:
+    // the LAST append writes no more than ~1.5x the first (same-sized
+    // batch), though the registry is 6x the batch by then — the exact
+    // bound a pruned rewrite would break (it would rewrite all files)
+    assert(receipts.last.newBytes <= (receipts.head.newBytes * 3) / 2,
+      receipts.map(_.newBytes).toString)
+    // and the merged readout equals the one-shot aggregate
+    val got = Registries.readTokenCounts(store, "tok").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
+    assert(got.size == 40 + 6 && got.values.count(_ == 6L) == 40, got.size)
+  }
+
+  test("segmented compaction: rolls base + segments into one generation, " +
+      "stays exact, and a replayed batch after compaction is skipped") {
+    val expected = Map("a" -> 4L, "b" -> 2L, "c" -> 2L, "d" -> 2L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-segc").toString
+    writeDocFiles(tmp, Seq("a b a", "b c", "c a", "d", "a d"))
+    val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+    val commits = scala.collection.mutable.ArrayBuffer
+      .empty[Registries.RegistryCommit]
+    spark.conf.set("spark.graft.registry.compactSegments", "2")
+    try {
+      Registries.incrementalTokenCounts(
+        StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "text", store, "tok", "s1", s"$tmp/ckpt",
+        registryPartitions = 2,
+        onCommit = (_, c) => commits.synchronized { commits += c })
+        .awaitTermination()
+      // 5 batches at compactEvery=2: base (segs 0), append (segs 1),
+      // compact (segs 0), append (segs 1), compact (segs 0)
+      assert(commits.toList.map {
+        case _: Registries.SegmentAppended => "seg"
+        case _: Registries.Compacted => "cmp"
+      } == List("seg", "seg", "cmp", "seg", "cmp"), commits.toString)
+      def reg() = Registries.readTokenCounts(store, "tok").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
+      assert(reg() == expected)
+      // the segment counter committed atomically with the data
+      assert(store.committedMeta("tok").get(Registries.SegmentsKey)
+        .contains("0"))
+      // at-least-once replay AFTER a compaction: a fresh checkpoint
+      // replays every batch; the txn map (carried through compaction
+      // commits) must absorb them all or deltas double-apply
+      Registries.incrementalTokenCounts(
+        StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "text", store, "tok", "s1", s"$tmp/ckpt2",
+        registryPartitions = 2)
+        .awaitTermination()
+      assert(reg() == expected)
+    } finally spark.conf.unset("spark.graft.registry.compactSegments")
   }
 
   test("incrementalBigramCounts: adjacent pairs equal the one-shot " +
@@ -192,9 +296,10 @@ class RegistriesSpec extends AnyFunSuite {
         StreamRunner.parquetStream(spark, s"$tmp/in", 1),
         "text", store, "big", "s1", s"$tmp/ckpt")
         .awaitTermination()
-      store.read("big").collect().map(r => r.getAs[String]("key") ->
-        ((r.getAs[String]("v"), r.getAs[String]("w"),
-          r.getAs[Long]("n")))).toMap
+      Registries.readBigramCounts(store, "big").collect()
+        .map(r => r.getAs[String]("key") ->
+          ((r.getAs[String]("v"), r.getAs[String]("w"),
+            r.getAs[Long]("n")))).toMap
     }
     assert(run(1) == expected)
     assert(run(3) == expected)
