@@ -518,9 +518,12 @@ class ResultStore(spark: SparkSession, root: String) {
   // `_LOCK` file lock, which works on one filesystem but is exactly
   // the primitive object stores lack. This path is the file-system
   // analog of Delta's `_delta_log/N.json` put-if-absent race instead:
-  // the unit of contention is an atomic CREATE_NEW of a per-version
-  // claim marker (`_TXN-v<N>`), the conditional put every object store
-  // offers. A writer may only commit version current+1; losing the
+  // the unit of contention is a CONDITIONAL PUT of a per-version claim
+  // marker (`_TXN-v<N>`), extracted behind [[CommitPrimitive]] so an
+  // object-store deployment swaps in S3 If-None-Match / GCS
+  // generation-match verbatim (the filesystem default uses atomic
+  // CREATE_NEW + a lease sweep + a fencing-token verify before the
+  // flip). A writer may only commit version current+1; losing the
   // claim means someone committed (or is committing) that slot, so the
   // loser re-reads the new current, REBASES — re-derives its update
   // against the winner's generation — and retries with backoff. The
@@ -532,45 +535,25 @@ class ResultStore(spark: SparkSession, root: String) {
   /** Lease on an unflipped claim marker. A crash between marker
     * creation and pointer flip strands the marker; claimants finding a
     * marker older than the lease (or at/below the committed pointer —
-    * dead by definition, the winner flips BEFORE deleting its marker)
-    * sweep it and re-claim the slot. The lease assumes an expired
-    * claimant is dead: a paused-then-resumed writer is fenced by the
-    * post-claim pointer re-check below, which narrows (not eliminates)
-    * the double-claim window — a real object-store deployment swaps
-    * CREATE_NEW for its native conditional put and drops the lease
-    * entirely (the documented Delta/Iceberg boundary). */
+    * dead by definition, the winner flips BEFORE releasing its marker)
+    * sweep it and re-claim the slot. A paused-then-resumed claimant
+    * that was swept is FENCED by the token check
+    * ([[CommitPrimitive.verifyClaim]]) right before its pointer flip:
+    * the marker is gone or carries the new owner's token, so it
+    * abandons the commit and rebases — no lost update, no double
+    * commit. A real object-store deployment swaps the whole primitive
+    * for its native conditional put via [[commitPrimitive]] and drops
+    * the lease entirely (the documented Delta/Iceberg boundary — see
+    * [[CommitPrimitive]]). */
   private def txnLeaseMs: Long = spark.conf
     .getOption("spark.graft.store.txnLeaseMs").map(_.toLong)
     .getOrElse(60000L)
 
-  private def markerFile(schema: String, version: String) =
-    new java.io.File(schemaDir(schema), s"_TXN-$version")
-
-  /** Attempt to claim commit slot `version` on top of `base`.
-    * Sweeps dead markers first (committed-past or lease-expired), then
-    * races the CREATE_NEW. A successful create re-checks the pointer:
-    * the winner of a slot deletes its marker only AFTER flipping, so
-    * create succeeding on a RECYCLED slot name (pointer already moved)
-    * means this writer is a full generation behind — release and lose. */
-  private def tryClaim(
-      schema: String, version: String, base: Option[String]): Boolean = {
-    val cur0 = currentVersion(schema)
-    Option(schemaDir(schema).listFiles((_, n) => n.startsWith("_TXN-v")))
-      .getOrElse(Array.empty).foreach { f =>
-        val v = f.getName.stripPrefix("_TXN-")
-        val dead = cur0.exists(_ >= v) ||
-          (System.currentTimeMillis() - f.lastModified()) > txnLeaseMs
-        if (dead) f.delete()
-      }
-    try {
-      java.nio.file.Files.write(markerFile(schema, version).toPath,
-        Array.empty[Byte], java.nio.file.StandardOpenOption.CREATE_NEW)
-      if (currentVersion(schema) == base) true
-      else { markerFile(schema, version).delete(); false }
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    }
-  }
+  /** The conditional-put implementation [[transact]] commits through.
+    * Override to swap in an object store's native conditional write
+    * (S3 If-None-Match, GCS generation-match — [[CommitPrimitive]]'s
+    * doc), or to instrument the claim protocol in a spec. */
+  protected def commitPrimitive: CommitPrimitive = FilesystemCommitPrimitive
 
   /** Multi-writer transactional commit: derive the table's next
     * contents from its pinned committed generation, claim the next
@@ -614,18 +597,30 @@ class ResultStore(spark: SparkSession, root: String) {
               return None // rebase against the survivors
             throw t
         }
-        if (!tryClaim(schema, claimed, base)) return None
-        // committing: from here the slot is ours. The marker is
-        // deleted ONLY on success — an exception (crash) leaves it
-        // for the lease sweep, which is the recovery contract.
+        val token = commitPrimitive.tryClaim(schemaDir(schema), claimed,
+          base, () => currentVersion(schema), txnLeaseMs) match {
+          case Some(t) => t
+          case None => return None
+        }
+        // committing: from here the slot is ours unless we stall past
+        // the lease. The marker is released ONLY on success — an
+        // exception (crash) leaves it for the lease sweep, which is
+        // the recovery contract.
         val target = versionDir(schema, claimed)
         if (target.exists()) rmTree(target) // expired claimant's strand
         java.nio.file.Files.move(staging.toPath, target.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         writeMeta(target, committedMeta(schema))
         beforeSwapHook()
+        // FENCE: if this writer paused past the lease anywhere above,
+        // a sweeper re-claimed the slot (marker gone or foreign token)
+        // — publishing now would double-commit over the new owner.
+        // Abandon; our moved target dir is the strand the owner's own
+        // rmTree already handled or the next claimant sweeps.
+        if (!commitPrimitive.verifyClaim(schemaDir(schema), claimed, token))
+          return None
         flipPointer(schema, claimed, keepPrevious = base)
-        markerFile(schema, claimed).delete()
+        commitPrimitive.release(schemaDir(schema), claimed, token)
         Some(claimed)
       } finally {
         if (staging.exists()) rmTree(staging)

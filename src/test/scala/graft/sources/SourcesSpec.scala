@@ -1244,6 +1244,59 @@ class SourcesSpec extends AnyFunSuite {
     assert(stranded.isEmpty, stranded.mkString(", "))
   }
 
+  test("transact fencing: a lease-expired-but-ALIVE claimant is fenced " +
+    "at the token verify — loses, rebases, no lost update, no double " +
+    "commit") {
+    val root = tmpDir()
+    val plain = new ResultStore(spark, root)
+    plain.upsertContended("t", Seq(KV(1, "base")).toDF(), "k")
+    val claimed = new java.util.concurrent.CountDownLatch(1)
+    val resume = new java.util.concurrent.CountDownLatch(1)
+    @volatile var attempts = 0
+    // writer A: pauses after its claim + staged move, RIGHT BEFORE the
+    // fencing verify (beforeSwapHook sits exactly there in transact) —
+    // the paused-then-resumed zombie the lease alone cannot fence
+    val pausing = new ResultStore(spark, root) {
+      override protected def beforeSwapHook(): Unit =
+        if (attempts == 1) {
+          claimed.countDown()
+          resume.await(120, java.util.concurrent.TimeUnit.SECONDS)
+          ()
+        }
+    }
+    spark.conf.set("spark.graft.store.txnLeaseMs", "500")
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val a = new Thread(() =>
+        try pausing.transact("t") { cur =>
+          attempts += 1
+          cur.get.unionByName(Seq(KV(2, "a")).toDF())
+        } catch { case t: Throwable => errs.add(t) })
+      a.start()
+      assert(claimed.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "writer A never reached its claim")
+      Thread.sleep(600) // A's lease expires while it is paused, alive
+      // writer B sweeps A's expired marker, claims the SAME slot, and
+      // commits — the scenario where a lease-only protocol lets the
+      // resumed A publish over B
+      plain.upsertContended("t", Seq(KV(3, "b")).toDF(), "k")
+      resume.countDown() // A resumes: token verify fails -> rebase
+      a.join(120000)
+      assert(errs.isEmpty, errs.toArray.mkString("; "))
+      assert(attempts == 2,
+        s"A must be fenced on attempt 1 and rebase, got $attempts")
+      // B's update SURVIVED (no lost update) and A's landed on top of
+      // B's generation (the rebase saw row 3)
+      assert(tableState(plain, "t") ==
+        Map(1L -> "base", 2L -> "a", 3L -> "b"))
+      // nothing stranded: markers released, staging cleaned
+      val leftovers = new java.io.File(s"$root/t").listFiles()
+        .filter(f => f.getName.startsWith("_TXN-") ||
+          f.getName.startsWith(".staged-"))
+      assert(leftovers.isEmpty, leftovers.mkString(", "))
+    } finally spark.conf.unset("spark.graft.store.txnLeaseMs")
+  }
+
   test("diffVersions: multiset change feed — unchanged rows cancel, " +
     "updates are delete+insert pairs, duplicates diff by count") {
     val store = new ResultStore(spark, tmpDir())
