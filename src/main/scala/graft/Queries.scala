@@ -12855,11 +12855,12 @@ ORDER BY query_id"""
   // st21_stream_quarantine — streaming expectations with quarantine
   // routing (StreamRunner.quarantineStream): the DLT
   // expect-or-quarantine shape — 3 micro-batches split on a
-  // 30-token minimum-length predicate (~25% violate), valid rows to
-  // the clean table, violators
-  // preserved in the quarantine table; both sides idempotent
-  // set-union commits (replay-safe with no txn marker). The final
-  // split equals the one-shot predicate partition.
+  // 30-token minimum-length predicate (~25% violate); BOTH arms land
+  // in one routed table (an __arm column) and therefore ONE atomic
+  // generation flip per batch — no torn-batch window, half the
+  // commit constants of a two-table design; idempotent set-union
+  // commit (replay-safe with no txn marker). The final split equals
+  // the one-shot predicate partition.
   register(
     "st21_stream_quarantine",
     """SELECT 'clean' AS bucket, count(*)::bigint AS n_docs
@@ -12881,15 +12882,18 @@ ORDER BY query_id"""
       graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1),
       violation = !(size(graft.functions.TextFunctions
         .wsTokens(lower(col("text")))) >= 30),
-      "doc_id", store, "clean", "quarantine", s"$tmp/ckpt")
+      "doc_id", store, "routed", s"$tmp/ckpt")
       .awaitTermination()
-    // an all-valid (or all-bad) corpus legitimately never creates the
-    // other table — absent schema reads as zero, not as an error
+    // an all-valid (or all-bad) corpus legitimately leaves one arm
+    // empty — the left join reads it as zero, not as a missing row
     import s.implicits._
-    def cnt(schema: String): Long =
-      if (store.hasSchema(schema)) store.count(schema) else 0L
-    Seq(("clean", cnt("clean")), ("quarantined", cnt("quarantine")))
-      .toDF("bucket", "n_docs").orderBy("bucket")
+    val counts = store.read("routed")
+      .groupBy(col(graft.streaming.StreamRunner.ArmCol).as("bucket"))
+      .agg(count(lit(1)).as("__n"))
+    Seq("clean", "quarantined").toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("__n"), lit(0L)).as("n_docs"))
+      .orderBy("bucket")
   }}
 
   // ---------------------------------------------------------------------

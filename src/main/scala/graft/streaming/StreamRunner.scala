@@ -106,30 +106,55 @@ object StreamRunner {
   def intervalTrigger(seconds: Long): Trigger =
     Trigger.ProcessingTime(s"$seconds seconds")
 
+  /** Routing column [[quarantineStream]] adds to its single table:
+    * every stored row carries which arm the predicate sent it to. */
+  val ArmCol = "__arm"
+  val CleanArm = "clean"
+  val QuarantineArm = "quarantined"
+
+  /** The valid rows of a [[quarantineStream]] table, arm column
+    * dropped — the downstream-facing "clean table" view. */
+  def cleanRows(store: graft.sources.ResultStore, schema: String)
+      : DataFrame =
+    store.read(schema).filter(col(ArmCol) === CleanArm).drop(ArmCol)
+
+  /** The violating rows of a [[quarantineStream]] table WITH their
+    * full payload, arm column dropped — inspectable and replayable
+    * into the pipeline after a fix. */
+  def quarantinedRows(store: graft.sources.ResultStore, schema: String)
+      : DataFrame =
+    store.read(schema).filter(col(ArmCol) === QuarantineArm).drop(ArmCol)
+
   /** Streaming expectations with quarantine routing — the DLT
     * `expect_or_quarantine` shape: each micro-batch splits on the
     * violation predicate (NULL evaluations are violations, the
     * [[graft.operators.Profile.expectations]] contract), valid rows
-    * land in the clean table and violators in the quarantine table
+    * route to the [[CleanArm]] and violators to the [[QuarantineArm]]
     * WITH the batch preserved — nothing is silently dropped, failed
-    * rows stay inspectable and replayable into the pipeline after a
-    * fix. Both sides commit through the idempotent set-union insert
-    * ([[graft.sources.ResultStore.insertDistinctPruned]]), so an
-    * at-least-once replayed micro-batch re-inserts identical rows and
-    * neither table changes — no txn marker needed. Empty sides skip
-    * their commit (an all-valid batch must not churn the quarantine
-    * table's versions).
+    * rows stay inspectable and replayable after a fix ([[cleanRows]] /
+    * [[quarantinedRows]] are the two views).
     *
-    * Scale shape per batch: one predicate split (two filtered scans of
-    * the batch), two batch-footprint pruned commits keyed on
-    * `keyCol`. */
+    * Both arms land in ONE table ([[ArmCol]] carries the routing) and
+    * therefore ONE generation flip per micro-batch: the split is
+    * atomic — no crash window where the clean arm committed but the
+    * quarantine arm didn't (the torn-batch hazard of a two-table
+    * design), and the per-batch commit machinery (manifest, sidecar,
+    * pointer flip) is paid once instead of twice. The commit is the
+    * idempotent set-union insert ([[graft.sources.ResultStore
+    * .insertDistinctPruned]]): the predicate is deterministic, so an
+    * at-least-once replayed micro-batch re-inserts identical
+    * (row, arm) tuples and the table is unchanged — no txn marker
+    * needed. Empty batches skip the commit.
+    *
+    * Scale shape per batch: one predicate evaluation fused into the
+    * batch scan (a `when`, not two filtered passes), one
+    * batch-footprint pruned commit keyed on `keyCol`. */
   def quarantineStream(
       stream: DataFrame,
       violation: org.apache.spark.sql.Column,
       keyCol: String,
       store: graft.sources.ResultStore,
-      cleanSchema: String,
-      quarantineSchema: String,
+      schema: String,
       checkpoint: String,
       registryPartitions: Int = 4): StreamingQuery =
     stream.writeStream
@@ -138,15 +163,15 @@ object StreamRunner {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Lineage.withoutAqe(batch.sparkSession) {
           val bad = coalesce(violation, lit(true))
-          def commit(schema: String, df: DataFrame): Unit = {
-            val cut = graft.operators.Lineage.cutLocal(df)
-            if (cut.take(1).nonEmpty)
-              store.insertDistinctPruned(schema,
-                cut.repartitionByRange(registryPartitions, col(keyCol)),
-                keyCol)
+          val routed = graft.operators.Lineage.cutLocal(
+            batch.withColumn(ArmCol,
+              when(bad, lit(QuarantineArm)).otherwise(lit(CleanArm))))
+          if (routed.take(1).nonEmpty) {
+            store.insertDistinctPruned(schema,
+              routed.repartitionByRange(registryPartitions, col(keyCol)),
+              keyCol)
+            ()
           }
-          commit(cleanSchema, batch.filter(!bad))
-          commit(quarantineSchema, batch.filter(bad))
         }
       }
       .start()

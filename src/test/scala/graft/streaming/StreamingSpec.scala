@@ -194,7 +194,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("quarantineStream: split equals the one-shot partition for any " +
-      "batch split; rows preserved; replay idempotent; NULL violates") {
+      "batch split; rows preserved; replay idempotent; NULL violates; " +
+      "ONE commit per batch carries both arms") {
     val rows = Seq((1L, "ok alpha"), (2L, "bad"), (3L, "ok beta"),
       (4L, null.asInstanceOf[String]), (5L, "ok gamma"))
       .toDF("doc_id", "text")
@@ -209,38 +210,50 @@ class StreamingSpec extends AnyFunSuite {
       val store = new graft.sources.ResultStore(spark, s"$tmp/store")
       StreamRunner.quarantineStream(
         StreamRunner.parquetStream(spark, s"$tmp/in", 1),
-        viol, "doc_id", store, "clean", "quar", s"$tmp/ckpt")
+        viol, "doc_id", store, "routed", s"$tmp/ckpt")
         .awaitTermination()
       (store, tmp)
     }
-    def ids(store: graft.sources.ResultStore, schema: String) =
-      if (store.hasSchema(schema))
-        store.read(schema).select("doc_id").as[Long].collect().toSet
-      else Set.empty[Long]
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
     for (n <- Seq(1, 3)) {
       val (store, tmp) = run(n)
-      assert(ids(store, "clean") == Set(1L, 3L, 5L), s"split $n")
-      assert(ids(store, "quar") == Set(2L, 4L), s"split $n")
-      // quarantined rows keep their full payload (inspectable)
-      assert(store.read("quar").filter(col("doc_id") === 2L)
+      assert(ids(StreamRunner.cleanRows(store, "routed")) ==
+        Set(1L, 3L, 5L), s"split $n")
+      assert(ids(StreamRunner.quarantinedRows(store, "routed")) ==
+        Set(2L, 4L), s"split $n")
+      // quarantined rows keep their full payload (inspectable), and
+      // the views drop the routing column
+      assert(StreamRunner.quarantinedRows(store, "routed")
+        .filter(col("doc_id") === 2L)
         .select("text").as[String].head() == "bad")
+      assert(!StreamRunner.cleanRows(store, "routed").columns
+        .contains(StreamRunner.ArmCol))
+      // BOTH arms committed through ONE generation flip per batch:
+      // version numbers are monotonic one-per-commit, so the committed
+      // version number ≤ the batch count proves no batch paid two
+      // commits (the two-table design's doubled constants), and a torn
+      // batch can never show one arm's rows without the other's
+      assert(store.committedVersion("routed").get.drop(1).toLong <= n,
+        store.committedVersion("routed").toString)
       // a fresh checkpoint replays every batch: set-union idempotence
-      // must leave both tables unchanged
+      // must leave the table unchanged
       StreamRunner.quarantineStream(
         StreamRunner.parquetStream(spark, s"$tmp/in", 1),
-        viol, "doc_id", store, "clean", "quar", s"$tmp/ckpt2")
+        viol, "doc_id", store, "routed", s"$tmp/ckpt2")
         .awaitTermination()
-      assert(store.count("clean") == 3L && store.count("quar") == 2L)
+      assert(store.count("routed") == 5L)
     }
-    // an all-valid corpus never creates the quarantine table
+    // an all-valid corpus: the quarantine VIEW is empty, not an error
     val tmp = java.nio.file.Files.createTempDirectory("graft-quar").toString
     Seq((1L, "a b c")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/in")
     val store = new graft.sources.ResultStore(spark, s"$tmp/store")
     StreamRunner.quarantineStream(
       StreamRunner.parquetStream(spark, s"$tmp/in", 1),
-      viol, "doc_id", store, "clean", "quar", s"$tmp/ckpt")
+      viol, "doc_id", store, "routed", s"$tmp/ckpt")
       .awaitTermination()
-    assert(store.hasSchema("clean") && !store.hasSchema("quar"))
+    assert(ids(StreamRunner.cleanRows(store, "routed")) == Set(1L))
+    assert(StreamRunner.quarantinedRows(store, "routed").isEmpty)
   }
 }
