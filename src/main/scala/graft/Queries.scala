@@ -10324,27 +10324,31 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
-  // q49_deep_history — deep VERSION-AS-OF time travel: four committed
+  // q49_deep_history — deep VERSION-AS-OF time travel: SIX committed
   // generations of a snapshot table retained via
   // spark.graft.store.retainVersions, each read back by generation and
   // aggregated (ResultStore.versions + readVersion). The oracle
   // recomputes every generation's state directly — proving each
-  // retained directory holds exactly the table as of that commit.
+  // retained directory holds exactly the table as of that commit
+  // (the audit window diffVersions/restoreVersion serve; the age
+  // floor spark.graft.store.retainMinAgeMs additionally shields young
+  // generations from commit bursts — SourcesSpec pins that GC
+  // contract).
   register(
     "q49_deep_history",
     """SELECT g AS gen, count(*)::bigint AS n,
       |  round(sum(c_acctbal::decimal(18,4) + g)::double, 2) AS total
       |FROM customer
-      |CROSS JOIN (SELECT unnest(range(1, 5))::bigint AS g)
+      |CROSS JOIN (SELECT unnest(range(1, 7))::bigint AS g)
       |WHERE c_custkey % 4 < g
       |GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (s, dir) =>
     val tmp = scratchDir("q49")
     val store = new graft.sources.ResultStore(s, s"$tmp/store")
-    s.conf.set("spark.graft.store.retainVersions", "4")
+    s.conf.set("spark.graft.store.retainVersions", "6")
     try {
       val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
-      for (g <- 1 to 4)
+      for (g <- 1 to 6)
         store.overwrite("snap",
           cust.filter(col("c_custkey") % 4 < g)
             .withColumn("bal",

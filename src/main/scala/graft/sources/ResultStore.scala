@@ -136,6 +136,21 @@ class ResultStore(spark: SparkSession, root: String) {
     .getOption("spark.graft.store.retainVersions").map(_.toInt)
     .getOrElse(2))
 
+  /** Age floor on GC (the Delta `deletedFileRetentionDuration` shape):
+    * a committed generation YOUNGER than
+    * `spark.graft.store.retainMinAgeMs` survives every flip even past
+    * the count horizon — the guarantee long-running readers and
+    * auditors actually need ("nothing committed in the last N hours
+    * disappears under me"), where a pure count horizon can churn
+    * through N generations in seconds under a rapid commit burst.
+    * Age is the `_COMMITTED` marker's mtime (stamped at flip time).
+    * Default 0: count-only, the pre-existing behavior. Retention is
+    * the UNION of both horizons — age only ever extends it, the safe
+    * direction. */
+  private def retainMinAgeMs: Long = spark.conf
+    .getOption("spark.graft.store.retainMinAgeMs").map(_.toLong)
+    .getOrElse(0L)
+
   /** Atomic pointer flip (write `_CURRENT.tmp`, ATOMIC_MOVE over
     * `_CURRENT`), then GC down to the retained history. History
     * membership rides a `_COMMITTED` marker written right after the
@@ -158,12 +173,21 @@ class ResultStore(spark: SparkSession, root: String) {
     val marker = new java.io.File(versionDir(schema, version), "_COMMITTED")
     if (!marker.exists())
       java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
-    val retained = Option(
+    val minAge = retainMinAgeMs
+    val now = System.currentTimeMillis()
+    val committed = Option(
       schemaDir(schema).list((_, n) => n.matches("v\\d{8}")))
       .getOrElse(Array.empty[String])
       .filter(v => new java.io.File(versionDir(schema, v), "_COMMITTED")
         .exists())
-      .sorted.reverse.take(retainVersions).toSet
+    // union of the count horizon and the age floor (generations whose
+    // commit marker is younger than retainMinAgeMs survive regardless
+    // of how many commits landed since)
+    val retained = committed.sorted.reverse.take(retainVersions).toSet ++
+      (if (minAge <= 0L) Set.empty[String]
+       else committed.filter(v => now -
+         new java.io.File(versionDir(schema, v), "_COMMITTED")
+           .lastModified() < minAge).toSet)
     gc(schema, keep = retained ++ keepPrevious + version)
   }
 

@@ -1297,6 +1297,59 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.store.txnLeaseMs")
   }
 
+  test("deep retention horizon: pinned generation reads survive commits " +
+    "inside the horizon; age floor keeps young generations beyond the " +
+    "count; past both horizons GC reclaims") {
+    // COUNT horizon: retain 4 — a reader pinned to generation 1 must
+    // scan intact files while 3 more commits land on top of it
+    val store = new ResultStore(spark, tmpDir())
+    spark.conf.set("spark.graft.store.retainVersions", "4")
+    try {
+      store.overwrite("t", Seq(KV(1, "g1")).toDF())
+      val g1 = store.committedVersion("t").get
+      val pinned = store.readVersion("t", g1) // lazy handle, pinned scan
+      for (i <- 2 to 4) store.overwrite("t", Seq(KV(1, s"g$i")).toDF())
+      assert(pinned.select("v").as[String].collect().toSeq == Seq("g1"),
+        "pinned read inside the horizon must see its generation intact")
+      assert(store.versions("t").length == 4)
+      // every retained generation serves VERSION AS OF + the change feed
+      val walked = store.versions("t").reverse.map(v =>
+        store.readVersion("t", v).select("v").as[String].head())
+      assert(walked == Seq("g1", "g2", "g3", "g4"))
+      assert(store.diffVersions("t", g1, store.committedVersion("t").get)
+        .count() == 2L) // delete g1 row + insert g4 row
+      // one more commit pushes g1 past the count horizon: reclaimed
+      store.overwrite("t", Seq(KV(1, "g5")).toDF())
+      assert(!store.versions("t").contains(g1))
+      assert(store.versions("t").length == 4)
+    } finally spark.conf.unset("spark.graft.store.retainVersions")
+    // AGE floor: count horizon stays at the default 2, but a 1-hour
+    // minimum age keeps every young generation through a rapid burst
+    // of commits — the churn case where count alone would reclaim a
+    // seconds-old generation under a live reader
+    val s2 = new ResultStore(spark, tmpDir())
+    spark.conf.set("spark.graft.store.retainMinAgeMs", "3600000")
+    try {
+      for (i <- 1 to 5) s2.overwrite("t", Seq(KV(1, s"g$i")).toDF())
+      assert(s2.versions("t").length == 5,
+        s"age floor must retain the whole young burst: ${s2.versions("t")}")
+      assert(s2.versions("t").reverse.map(v =>
+        s2.readVersion("t", v).select("v").as[String].head()) ==
+        Seq("g1", "g2", "g3", "g4", "g5"))
+    } finally spark.conf.unset("spark.graft.store.retainMinAgeMs")
+    // age floor EXPIRED (epsilon age): behavior degrades to the count
+    // horizon exactly — no unbounded disk growth once readers age out
+    val s3 = new ResultStore(spark, tmpDir())
+    spark.conf.set("spark.graft.store.retainMinAgeMs", "1")
+    try {
+      for (i <- 1 to 5) {
+        s3.overwrite("t", Seq(KV(1, s"g$i")).toDF())
+        Thread.sleep(5)
+      }
+      assert(s3.versions("t").length == 2, s3.versions("t").toString)
+    } finally spark.conf.unset("spark.graft.store.retainMinAgeMs")
+  }
+
   test("diffVersions: multiset change feed — unchanged rows cancel, " +
     "updates are delete+insert pairs, duplicates diff by count") {
     val store = new ResultStore(spark, tmpDir())
