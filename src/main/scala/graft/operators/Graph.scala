@@ -39,9 +39,12 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  // iterative trajectories run their rounds inside Lineage.withoutAqe
+  // iterative trajectories build their rounds inside Lineage.withoutAqe
   // (see its scaladoc for the measured job-count rationale); round
-  // frames EAGER-cut so their jobs land inside the window
+  // frames LAZY-cut since r14 — the lazy localCheckpoint boundaries
+  // collapse per-round scheduling into the downstream consumer's job
+  // (aq44 steady 6.5→4.3 s, warmup 19.6→10.7 s measured same-box;
+  // GraphSpec pins the job-count ceiling so a regression fails loudly)
   private def withoutAqe[T](
       spark: org.apache.spark.sql.SparkSession)(body: => T): T =
     Lineage.withoutAqe(spark)(body)
@@ -99,8 +102,7 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(sum(round(col("rank") / col("__outdeg"), 12)
           .cast("decimal(38,12)")).as("__contrib"))
-      // EAGER cut: the round's jobs must run inside the AQE-off window
-      ranks = Lineage.cut(
+      ranks = Lineage.cutLazy(
         nodes.join(contrib, Seq("node"), "left")
           .withColumn("rank",
             round(lit(1.0 - damping) / col("__n") +
@@ -444,11 +446,13 @@ object Graph {
     // by its two consumers — the 1-row L1-total broadcast and the
     // normalized projection feeding the next side's aggregate (the r10
     // shape recomputed each raw aggregate for its broadcast total).
-    // The normalized frame EAGER-cuts so the round's jobs run inside
-    // the AQE-off window.
+    // The normalized frame LAZY-cuts (the aq44/r14 measurement: lazy
+    // round boundaries collapse per-round scheduling into the
+    // downstream job — aq44 steady 6.5→4.3 s, warmup 19.6→10.7 s on
+    // the same box; GraphSpec's job-count pin still holds).
     def normalized(raw: DataFrame): DataFrame = {
       val cut = Lineage.cutLocal(raw)
-      Lineage.cut(
+      Lineage.cutLazy(
         cut.crossJoin(broadcast(cut.agg(sum("__raw").as("__t"))))
           .select(col("node"),
             round(col("__raw").cast("double") / col("__t").cast("double"),
