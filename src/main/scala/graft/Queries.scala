@@ -13457,6 +13457,44 @@ ORDER BY query_id"""
   }}
 
   // ---------------------------------------------------------------------
+  // st22_registry_compaction — the merge-on-read registry's COMPACTION
+  // path exercised at the oracle gate (st19's 3 batches stay under the
+  // default 8-segment threshold, so its gate never rolls a base):
+  // compactSegments=2 forces base → append → compact across the same 3
+  // micro-batches, and the vocabulary-profile readout (vocab size,
+  // total tokens, heaviest count, hapax count) proves the rolled base
+  // + live segment still equal the one-shot corpus aggregate exactly.
+  register(
+    "st22_registry_compaction",
+    """WITH tk AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+      |    '\s+'), x -> x != '')) AS token
+      |  FROM documents
+      |), c AS (SELECT token, count(*)::bigint AS n FROM tk GROUP BY 1)
+      |SELECT count(*)::bigint AS vocab, sum(n)::bigint AS total_tokens,
+      |  max(n)::bigint AS max_n,
+      |  count(CASE WHEN n = 1 THEN 1 END)::bigint AS hapax
+      |FROM c""".stripMargin
+  ) { (s, dir) => withStreamPartitions(s, 8) {
+    val tmp = scratchDir("st22")
+    t(s, dir, "documents").select("text")
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val store = new graft.sources.ResultStore(s, s"$tmp/store")
+    s.conf.set("spark.graft.registry.compactSegments", "2")
+    try {
+      graft.streaming.Registries.incrementalTokenCounts(
+        graft.streaming.StreamRunner.parquetStream(s, s"$tmp/in", 1),
+        "text", store, "tok", "st22", s"$tmp/ckpt")
+        .awaitTermination()
+    } finally s.conf.unset("spark.graft.registry.compactSegments")
+    graft.streaming.Registries.readTokenCounts(store, "tok")
+      .agg(count(lit(1)).as("vocab"),
+        sum("n").as("total_tokens"),
+        max("n").as("max_n"),
+        count(when(col("n") === 1L, 1L)).as("hapax"))
+  }}
+
+  // ---------------------------------------------------------------------
   // q53_restore — RESTORE VERSION AS OF (ResultStore.restoreVersion):
   // three committed generations of a priced-parts table, then a
   // forward-moving restore to generation 1 — the restored state gets
