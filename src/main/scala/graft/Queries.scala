@@ -12677,6 +12677,148 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // sq33_late_interaction — ColBERT-style late-interaction retrieval
+  // (Similarity.lateInteraction): documents are BAGS of token vectors
+  // (4 consecutive embeddings per doc), score(q,d) = Σ_qt max_dt
+  // cos(qt,dt) — exact term-level matches survive where mean pooling
+  // washes them out. 3 query docs against the corpus, top-5 each;
+  // 4dp-pinned cosines, exact per-token max, decimal token-max sum,
+  // pinned score — the whole ranking replays bit-exactly in SQL. The
+  // pooled-ANN shortlist variant (lateInteractionTopK, the production
+  // serve shape) is spec-pinned against this exact scorer.
+  register(
+    "sq33_late_interaction",
+    """WITH t AS (
+      |  SELECT vec_id // 4 AS doc_id, vec_id AS tok,
+      |         list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT doc_id, tok, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM t
+      |), q AS (SELECT doc_id, tok, v, nrm FROM n WHERE doc_id < 3),
+      |mx AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id, q.tok AS qt,
+      |         max(round(list_sum(list_transform(list_zip(q.v, c.v),
+      |               p -> p[1] * p[2])) / (q.nrm * c.nrm), 4)) AS m
+      |  FROM q JOIN n c ON c.doc_id != q.doc_id
+      |  GROUP BY 1, 2, 3
+      |), sc AS (
+      |  SELECT query_id, doc_id,
+      |         round(sum(m::decimal(18,4))::double, 4) + 0.0 AS score
+      |  FROM mx GROUP BY 1, 2
+      |)
+      |SELECT query_id, doc_id, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank FROM sc)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, dir) =>
+    val toks = t(s, dir, "embeddings")
+      .select(expr("vec_id div 4").as("doc_id"),
+        col("vec_id").as("tok"), col("embedding"))
+    graft.operators.Similarity.lateInteraction(
+      toks, toks.filter(col("doc_id") < 3),
+      "doc_id", "doc_id", "tok", "embedding", k = 5)
+  }
+
+  // ---------------------------------------------------------------------
+  // sq34_late_interaction_ann — the production ColBERT serve shape
+  // (Similarity.lateInteractionTopK): mean-pool each token bag
+  // (decimal-exact sums, one double division), shortlist 10 candidate
+  // docs per query through the deterministic seed-IVF on the pooled
+  // vectors (16 cells, 4 probes — cell-bounded, never corpus×queries),
+  // then exact maxsim re-rank of ONLY the shortlist pairs. The oracle
+  // replays the whole trajectory — pooling, seed assignment, probes,
+  // shortlist, re-rank — so the final ranking compares bit-exactly.
+  register(
+    "sq34_late_interaction_ann",
+    """WITH t AS (
+      |  SELECT vec_id // 4 AS doc_id, vec_id AS tok,
+      |         list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT doc_id, tok, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM t
+      |), qtok AS (SELECT doc_id, tok, v, nrm FROM n WHERE doc_id < 3),
+      |dims AS (
+      |  SELECT vec_id // 4 AS doc_id,
+      |         generate_subscripts(embedding, 1) AS dim,
+      |         unnest(embedding) AS x
+      |  FROM embeddings
+      |), pooledf AS (
+      |  SELECT doc_id, dim,
+      |         (sum(x::decimal(27,9))::double / count(*))::float AS m
+      |  FROM dims GROUP BY 1, 2
+      |), pn AS (
+      |  SELECT doc_id, pv,
+      |         sqrt(list_sum(list_transform(pv, x -> x * x))) AS pnrm
+      |  FROM (SELECT doc_id, list(m::double ORDER BY dim) AS pv
+      |        FROM pooledf GROUP BY 1)
+      |), seeds AS (
+      |  SELECT doc_id AS cell_id, pv AS sv, pnrm AS snrm
+      |  FROM pn ORDER BY doc_id LIMIT 16
+      |), cells AS (
+      |  SELECT doc_id, cell_id FROM (
+      |    SELECT pn.doc_id, s.cell_id,
+      |           row_number() OVER (PARTITION BY pn.doc_id ORDER BY
+      |             round(list_sum(list_transform(list_zip(pn.pv, s.sv),
+      |                   p -> p[1] * p[2])) / (pn.pnrm * s.snrm), 4) DESC,
+      |                 s.cell_id) AS rk
+      |    FROM pn CROSS JOIN seeds s)
+      |  WHERE rk = 1
+      |), probes AS (
+      |  SELECT q.doc_id AS query_id, s.cell_id,
+      |         row_number() OVER (PARTITION BY q.doc_id
+      |           ORDER BY round(list_sum(list_transform(list_zip(q.pv, s.sv),
+      |                 p -> p[1] * p[2])) / (q.pnrm * s.snrm), 4) DESC,
+      |               s.cell_id) AS pr
+      |  FROM pn q CROSS JOIN seeds s
+      |  WHERE q.doc_id < 3
+      |), shortlist AS (
+      |  SELECT query_id, doc_id FROM (
+      |    SELECT cand.query_id, cand.doc_id,
+      |           row_number() OVER (PARTITION BY cand.query_id
+      |             ORDER BY round(list_sum(list_transform(list_zip(q.pv, c.pv),
+      |                   p -> p[1] * p[2])) / (q.pnrm * c.pnrm), 4) DESC,
+      |                 cand.doc_id) AS rank
+      |    FROM (
+      |      SELECT DISTINCT p.query_id, cl.doc_id
+      |      FROM probes p JOIN cells cl USING (cell_id)
+      |      WHERE p.pr <= 4 AND cl.doc_id != p.query_id) cand
+      |    JOIN pn q ON cand.query_id = q.doc_id
+      |    JOIN pn c ON cand.doc_id = c.doc_id)
+      |  WHERE rank <= 10
+      |), mx AS (
+      |  SELECT s.query_id, s.doc_id, q.tok AS qt,
+      |         max(round(list_sum(list_transform(list_zip(q.v, c.v),
+      |               p -> p[1] * p[2])) / (q.nrm * c.nrm), 4)) AS m
+      |  FROM shortlist s
+      |  JOIN qtok q ON q.doc_id = s.query_id
+      |  JOIN n c ON c.doc_id = s.doc_id
+      |  GROUP BY 1, 2, 3
+      |), sc AS (
+      |  SELECT query_id, doc_id,
+      |         round(sum(m::decimal(18,4))::double, 4) + 0.0 AS score
+      |  FROM mx GROUP BY 1, 2
+      |)
+      |SELECT query_id, doc_id, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank FROM sc)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, dir) =>
+    val toks = t(s, dir, "embeddings")
+      .select(expr("vec_id div 4").as("doc_id"),
+        col("vec_id").as("tok"), col("embedding"))
+    graft.operators.Similarity.lateInteractionTopK(
+      toks, toks.filter(col("doc_id") < 3),
+      "doc_id", "doc_id", "tok", "embedding",
+      numCells = 16, nProbe = 4, shortlist = 10, k = 5)
+  }
+
+  // ---------------------------------------------------------------------
   // aq137_logrank — log-rank test of time-to-first-purchase between
   // the even/odd user cohorts (Behavior.logRank): the censoring-exact
   // survival comparison beside aq57's curve; exact at-risk/event

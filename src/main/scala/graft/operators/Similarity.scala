@@ -1678,6 +1678,143 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Element-wise mean pooling of a MULTI-VECTOR group into one
+    * `array<float>` — the single-vector stand-in a pooled ANN index
+    * is built over ([[lateInteractionTopK]]'s shortlist side; also the
+    * classic sentence-embedding-from-token-embeddings shape).
+    * Decimal-exact per dimension (floats widen losslessly to
+    * decimal(27,9); the sum is order-independent where a double mean
+    * would drift in the last ulp across partition orders), then ONE
+    * double division — never a decimal division, whose precision/scale
+    * promotion rules differ between engines — cast back to float. One
+    * posexplode + one grouped aggregate + one per-group sort of
+    * DIM-sized arrays. */
+  def meanPooledVectors(
+      tokens: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    tokens
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy(col(idCol), col("__d"))
+      .agg((sum(col("__x").cast("decimal(27,9)")).cast("double") /
+        count(lit(1))).cast("float").as("__m"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__d"), col("__m"))))
+        .as("__dm"))
+      .select(col(idCol),
+        expr("transform(__dm, p -> p.__m)").as(vecCol))
+
+  /** Late-interaction retrieval (the ColBERT scoring shape — Khattab &
+    * Zaharia, SIGIR 2020) over multi-vector documents: each document
+    * and query is a BAG of token vectors, and
+    *
+    *   score(q, d) = Σ_{qt ∈ q} max_{dt ∈ d} cos(qt, dt)
+    *
+    * — every query token finds its best-matching document token, so
+    * exact term-level matches survive pooling that a single mean
+    * vector washes out. This is the EXACT scorer: use it as the gate
+    * baseline and as the re-rank head over [[lateInteractionTopK]]'s
+    * pooled-ANN shortlist (the production serve shape).
+    *
+    * Determinism contract: per-(qt, dt) cosines pin at 4dp (float_dot/
+    * float_norm, the sq1 convention); the per-query-token max is exact
+    * selection over pinned values; token maxes are exact decimal(18,4)
+    * and sum order-independently; the score is one pinned readout;
+    * ranks tie-break to the smaller doc id. A query doc never matches
+    * itself (query ids share the doc id space in the self-retrieval
+    * gate).
+    *
+    * Scale shape: query tokens BROADCAST (|Q|·tokens rows — queries
+    * are few by contract), corpus token rows stream through one
+    * broadcast join; the (query_id, doc_id, qt) max and the
+    * (query_id, doc_id) sum are two grouped aggregates with map-side
+    * partials. Never all-pairs over documents: at 100 TB the corpus
+    * side is a SHORTLIST (see [[lateInteractionTopK]]), and even the
+    * exhaustive form moves each corpus token once.
+    * Returns `(query_id, doc_id, score, rank)`. */
+  def lateInteraction(
+      docTokens: DataFrame,
+      queryTokens: DataFrame,
+      docCol: String,
+      queryCol: String,
+      tokCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import graft.functions.VectorExpressions.{float_dot, float_norm}
+    val q = broadcast(queryTokens.select(
+      col(queryCol).as("query_id"), col(tokCol).as("__qt"),
+      col(vecCol).as("__qv"), float_norm(col(vecCol)).as("__qn")))
+    val c = docTokens.select(col(docCol).as("doc_id"),
+      col(vecCol).as("__cv"), float_norm(col(vecCol)).as("__cn"))
+    rankMaxSim(c.join(q, col("doc_id") =!= col("query_id")), k)
+  }
+
+  /** Shared maxsim scoring tail: grid rows carry `(query_id, doc_id,
+    * __qt, __qv, __qn, __cv, __cn)`; pin cosines, per-token max,
+    * decimal sum, rank. */
+  private def rankMaxSim(grid: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.float_dot
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    grid
+      .withColumn("__cos", Readout.pin(
+        float_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")),
+        4))
+      .groupBy("query_id", "doc_id", "__qt")
+      .agg(max(col("__cos")).as("__m"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__m").cast("decimal(18,4)")).as("__s"))
+      .withColumn("score", Readout.pin(col("__s").cast("double"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+
+  /** [[lateInteraction]] behind a pooled-ANN SHORTLIST — the
+    * production ColBERT serve shape: mean-pool each side's token bag
+    * ([[meanPooledVectors]], decimal-exact), shortlist `shortlist`
+    * candidate documents per query through the deterministic IVF index
+    * (cell-bounded Σ|cell·probe| pairs, never corpus×queries), then
+    * re-rank ONLY the shortlist pairs with the exact maxsim scorer.
+    * Recall caveat is the IVF one (see [[ivfIndexKMeans]]'s measured
+    * regime notes) compounded by pooling: a document whose pooled
+    * vector leaves the probed cells never reaches the re-ranker —
+    * exactly the dial `numCells`/`nProbe`/`shortlist` trade against
+    * cost, and what a recall gate ([[recallAtK]] vs the exact scorer)
+    * should monitor. Returns `(query_id, doc_id, score, rank)`. */
+  def lateInteractionTopK(
+      docTokens: DataFrame,
+      queryTokens: DataFrame,
+      docCol: String,
+      queryCol: String,
+      tokCol: String,
+      vecCol: String,
+      numCells: Int,
+      nProbe: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must cover the final k")
+    import graft.functions.VectorExpressions.{float_dot, float_norm}
+    val pooledDocs = Lineage.cutLocal(
+      meanPooledVectors(docTokens, docCol, vecCol)
+        .withColumnRenamed(docCol, "vec_id"))
+    val pooledQueries = meanPooledVectors(queryTokens, queryCol, vecCol)
+      .withColumnRenamed(queryCol, "vec_id")
+    val index = ivfIndex(pooledDocs, "vec_id", vecCol, numCells)
+    val cands = ivfTopK(index, pooledQueries, "vec_id", vecCol,
+      numCells, nProbe, k = shortlist)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+    val q = broadcast(queryTokens.select(
+      col(queryCol).as("query_id"), col(tokCol).as("__qt"),
+      col(vecCol).as("__qv"), float_norm(col(vecCol)).as("__qn")))
+    val c = docTokens.select(col(docCol).as("doc_id"),
+      col(vecCol).as("__cv"), float_norm(col(vecCol)).as("__cn"))
+    rankMaxSim(c.join(broadcast(cands), Seq("doc_id"))
+      .join(q, Seq("query_id")), k)
+  }
+
   /** Local intrinsic dimensionality (Levina & Bickel 2004 / Amsaleg
     * et al. 2015 MLE) per vector from its k nearest neighbors — the
     * per-POINT complexity score data-pruning recipes rank by (low-LID

@@ -1557,6 +1557,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(shortGot == ((7L, 1L, 1.0)), shortGot.toString)
   }
 
+  test("lateInteraction: hand maxsim over 2-dim token bags; shortlist " +
+      "variant equals the exact scorer when the shortlist covers all; " +
+      "decimal-exact mean pooling") {
+    // d0 (the query) has tokens along both axes; d1 matches only the
+    // x-axis token (maxsim 1.0 + 0.0); d2's diagonal token partially
+    // matches BOTH query tokens (0.6 + 0.8 = 1.4) — late interaction
+    // ranks d2 over d1, which a pooled-mean cosine would NOT
+    val toks = Seq(
+      (0L, 1L, Array(1f, 0f)), (0L, 2L, Array(0f, 1f)),
+      (1L, 3L, Array(1f, 0f)),
+      (2L, 4L, Array(0.6f, 0.8f)))
+      .toDF("doc_id", "tok", "vec")
+    val q = toks.filter(col("doc_id") === 0L)
+    val got = Similarity.lateInteraction(
+      toks, q, "doc_id", "doc_id", "tok", "vec", k = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got == Seq((0L, 2L, 1.4, 1), (0L, 1L, 1.0, 2)), got.toString)
+    // shortlist variant with full coverage (1 cell, probe 1, shortlist
+    // = corpus) reproduces the exact ranking bit-for-bit
+    val ann = Similarity.lateInteractionTopK(
+      toks, q, "doc_id", "doc_id", "tok", "vec",
+      numCells = 1, nProbe = 1, shortlist = 3, k = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(ann == got, s"ann $ann vs exact $got")
+    // mean pooling is decimal-exact per dimension
+    val pooled = Similarity.meanPooledVectors(
+      Seq((7L, Array(1f, 3f)), (7L, Array(3f, 1f))).toDF("doc_id", "vec"),
+      "doc_id", "vec")
+      .as[(Long, Array[Float])].collect().head
+    assert(pooled._1 == 7L && pooled._2.toSeq == Seq(2f, 2f),
+      pooled._2.toSeq.toString)
+  }
+
   test("lidScores: hand-computed 2-NN MLE; exact duplicates excluded") {
     // one cell (numCells=1): query (1,0) sees n1 at cos 0.9950 and n2
     // at cos 0.7071 → LID = −2 / round10(ln(d1/dk)) (the dk term's
