@@ -12819,6 +12819,63 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // sq35_knn_shapley — exact KNN-Shapley data valuation (Similarity
+  // .knnShapley, Jia et al. VLDB 2019): the Shapley value of every
+  // training vector for each of 5 query points under the 5-NN
+  // surrogate, via the closed-form rank recursion unrolled into one
+  // suffix window sum of 12dp-decimal increments — the principled
+  // "which examples help or actively hurt" score a data-pruning
+  // pipeline ranks by. Top-10 most valuable per query; the whole
+  // recursion replays bit-exactly in SQL.
+  register(
+    "sq35_knn_shapley",
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), q AS (SELECT * FROM n WHERE vec_id < 5),
+      |g AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |         CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS m,
+      |         round(list_sum(list_transform(list_zip(q.v, c.v),
+      |               p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) AS cos
+      |  FROM q JOIN n c ON c.vec_id != q.vec_id
+      |), r AS (
+      |  SELECT query_id, vec_id, m,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cos DESC, vec_id) AS rk,
+      |         count(*) OVER (PARTITION BY query_id) AS nn
+      |  FROM g
+      |), inc AS (
+      |  SELECT query_id, vec_id, rk,
+      |    round(CASE WHEN lead(m) OVER w IS NULL THEN m::double / nn
+      |      ELSE (m - lead(m) OVER w)::double *
+      |           least(5.0, rk::double) / (5.0 * rk) END,
+      |      12)::decimal(28,12) AS e
+      |  FROM r WINDOW w AS (PARTITION BY query_id ORDER BY rk)
+      |), s AS (
+      |  SELECT query_id, vec_id,
+      |    round(sum(e) OVER (PARTITION BY query_id ORDER BY rk
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::double, 6)
+      |      + 0.0 AS shapley
+      |  FROM inc
+      |)
+      |SELECT query_id, vec_id, shapley, vrank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY shapley DESC, vec_id) AS vrank FROM s)
+      |WHERE vrank <= 10
+      |ORDER BY query_id, vrank""".stripMargin
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Similarity.knnShapley(
+      emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", "label", k = 5, top = 10)
+  }
+
+  // ---------------------------------------------------------------------
   // aq137_logrank — log-rank test of time-to-first-purchase between
   // the even/odd user cohorts (Behavior.logRank): the censoring-exact
   // survival comparison beside aq57's curve; exact at-risk/event

@@ -1815,6 +1815,89 @@ object Similarity {
       .join(q, Seq("query_id")), k)
   }
 
+  /** KNN-Shapley data valuation (Jia et al., VLDB 2019 — exact, not
+    * sampled): the Shapley value of each TRAINING point for a test
+    * query under the K-NN surrogate utility, via the closed-form
+    * rank recursion
+    *
+    *   s_(N)  = 1[y_(N) = y_q] / N
+    *   s_(j)  = s_(j+1) + (1[y_(j)=y_q] − 1[y_(j+1)=y_q])
+    *            · min(K, j) / (K · j)
+    *
+    * over points sorted by distance (rank 1 = nearest). The per-point
+    * value tells a data-curation pipeline WHICH examples help or hurt
+    * a query population — the principled version of "prune low-value
+    * data" (negative-value points actively mislead their neighbors'
+    * labels). The efficiency identity Σⱼ s(j) = (1/K)·Σ_{i≤K}
+    * 1[y_(i)=y_q] (the full-set utility) holds exactly and is the
+    * cheap audit.
+    *
+    * Determinism contract: ranks order by the 4dp-pinned cosine
+    * (descending = ascending distance) with an id tie-break; the
+    * recursion unrolls into a SUFFIX SUM of per-rank increments, each
+    * an exact integer difference times min(K,j)/(K·j) rounded to 12dp
+    * decimal(28,12) — the window sum is then order-independent — and
+    * each value pins at 6dp. Returns the top-`top` most valuable
+    * training points per query:
+    * `(query_id, vec_id, shapley, vrank)`.
+    *
+    * Scale shape: queries broadcast; ONE pass of the corpus through
+    * the broadcast grid, one per-query rank window (N-row partitions —
+    * at 100 TB cap N by pre-shortlisting with [[ivfTopK]]: ranks past
+    * the first few hundred contribute O(1/j) ≈ 0 and the recursion
+    * truncates cleanly), one lead + one suffix window sum, one top-k
+    * filter. */
+  def knnShapley(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      top: Int = 10): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.{float_dot, float_norm}
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      float_norm(col(vecCol)).as("__qn"), col(labelCol).as("__qy")))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
+      float_norm(col(vecCol)).as("__cn"), col(labelCol).as("__cy"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("vec_id"))
+    val wLead = Window.partitionBy("query_id").orderBy(col("__r"))
+    val wSuffix = Window.partitionBy("query_id").orderBy(col("__r"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wValue = Window.partitionBy("query_id")
+      .orderBy(col("shapley").desc, col("vec_id"))
+    val kd = k.toDouble
+    val wAll = Window.partitionBy("query_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = c.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("__cos", Readout.pin(
+        float_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")),
+        4))
+      .withColumn("__m",
+        when(col("__cy") === col("__qy"), 1L).otherwise(0L))
+      .withColumn("__r", row_number().over(wRank))
+    // per-rank increment: interior ranks carry the recursion step, the
+    // farthest rank carries the base term m_N / N. N rides the same
+    // partition as the rank windows (no aggregate + join round trip).
+    ranked
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__mn", lead(col("__m"), 1).over(wLead))
+      .withColumn("__e", round(
+        when(col("__mn").isNull, col("__m").cast("double") / col("__n"))
+          .otherwise((col("__m") - col("__mn")).cast("double") *
+            least(lit(kd), col("__r").cast("double")) /
+            (lit(kd) * col("__r"))), 12).cast("decimal(28,12)"))
+      .withColumn("shapley", Readout.pin(
+        sum(col("__e")).over(wSuffix).cast("double"), 6))
+      .withColumn("vrank", row_number().over(wValue))
+      .filter(col("vrank") <= top)
+      .select("query_id", "vec_id", "shapley", "vrank")
+  }
+
   /** Local intrinsic dimensionality (Levina & Bickel 2004 / Amsaleg
     * et al. 2015 MLE) per vector from its k nearest neighbors — the
     * per-POINT complexity score data-pruning recipes rank by (low-LID

@@ -1590,6 +1590,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       pooled._2.toSeq.toString)
   }
 
+  test("knnShapley: hand recursion over 3 ranked points; efficiency " +
+      "identity sums to the full-set utility") {
+    // q=(1,0) label 1; ranked by cosine: t1 (match, cos 1.0),
+    // t2 (mismatch, cos 0.8), t3 (match, cos 0.0). K=2, N=3:
+    //   e3 = m3/N = 1/3, e2 = (0-1)·min(2,2)/(2·2) = -0.5,
+    //   e1 = (1-0)·min(2,1)/(2·1) = 0.5
+    //   s1 = 1/3 - 0.5 + 0.5 = 1/3, s2 = 1/3 - 0.5 = -1/6, s3 = 1/3
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 1), (2L, Array(0.8f, 0.6f), 0),
+      (3L, Array(0f, 1f), 1), (0L, Array(1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnShapley(
+      corpus.filter(col("vec_id") =!= 0L),
+      corpus.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", "label", k = 2, top = 3)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 0.333333, 1), (0L, 3L, 0.333333, 2),
+      (0L, 2L, -0.166667, 3)), got.toString)
+    // efficiency: Σ s = full-set utility = fraction of the top-K that
+    // match = 1/2 (t1 matches, t2 does not) — up to the 6dp readout
+    // pins (3 terms × half-ulp)
+    assert(math.abs(got.map(_._3).sum - 0.5) < 2e-6)
+  }
+
   test("lidScores: hand-computed 2-NN MLE; exact duplicates excluded") {
     // one cell (numCells=1): query (1,0) sees n1 at cos 0.9950 and n2
     // at cos 0.7071 → LID = −2 / round10(ln(d1/dk)) (the dk term's
