@@ -6156,6 +6156,89 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq143_l_diversity — l-diversity release audit (Profile.lDiversity):
+  // one notch above tq23's k-anonymity — a large-enough group whose
+  // LANGUAGE is uniform still leaks it (the homogeneity attack). Per
+  // (source, length-band) quasi-identifier group: distinct-l (≥ 3
+  // distinct languages) AND entropy-l (entropy ≥ ln 3 — skew that
+  // distinct-l misses); 10dp decimal-summed entropy terms, pinned
+  // readout, shared rounded ln(3) literal in both engines.
+  register(
+    "aq143_l_diversity",
+    s"""WITH cells AS (
+      |  SELECT source, (n_chars // 200)::bigint AS len_band, lang,
+      |         count(*)::bigint AS c
+      |  FROM documents GROUP BY 1, 2, 3
+      |), g AS (
+      |  SELECT source, len_band, lang, c,
+      |         sum(c) OVER (PARTITION BY source, len_band) AS n
+      |  FROM cells
+      |), e AS (
+      |  SELECT source, len_band, c, n,
+      |    round(-(c::double / n) * ln(c::double / n),
+      |      10)::decimal(28,10) AS t
+      |  FROM g
+      |)
+      |SELECT source, len_band, max(n)::bigint AS n,
+      |  count(*)::bigint AS n_sensitive,
+      |  round(sum(t)::double, 6) + 0.0 AS entropy_nats,
+      |  count(*) >= 3 AS distinct_ok,
+      |  round(sum(t)::double, 6) + 0.0 >= ${BigDecimal(math.log(3.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)} AS entropy_ok
+      |FROM e GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Profile.lDiversity(
+      t(s, dir, "documents")
+        .select(col("source"), expr("n_chars div 200").as("len_band"),
+          col("lang")),
+      Seq("source", "len_band"), "lang", l = 3)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq144_t_closeness — t-closeness release audit (Profile.tCloseness):
+  // the notch above aq143 — a diverse group that DIVERGES from the
+  // corpus-wide language mix still identifies its members' language
+  // with high confidence. Total-variation distance between each
+  // (source, length-band) group's language distribution and the global
+  // one (absent languages keep their global mass — the zero arm);
+  // 10dp decimal-summed terms, one double halving, t = 0.2 verdict.
+  register(
+    "aq144_t_closeness",
+    """WITH cells AS (
+      |  SELECT source, (n_chars // 200)::bigint AS len_band, lang,
+      |         count(*)::bigint AS c
+      |  FROM documents GROUP BY 1, 2, 3
+      |), grp AS (
+      |  SELECT source, (n_chars // 200)::bigint AS len_band,
+      |         count(*)::bigint AS n
+      |  FROM documents GROUP BY 1, 2
+      |), pop AS (
+      |  SELECT lang, count(*)::bigint AS gc,
+      |         (SELECT count(*) FROM documents)::double AS gn
+      |  FROM documents GROUP BY 1
+      |), grid AS (
+      |  SELECT g.source, g.len_band, g.n,
+      |    round(abs(coalesce(c.c, 0)::double / g.n
+      |        - gl.gc::double / gl.gn), 10)::decimal(28,10) AS term
+      |  FROM grp g CROSS JOIN pop gl
+      |  LEFT JOIN cells c ON c.source = g.source
+      |    AND c.len_band = g.len_band AND c.lang = gl.lang
+      |)
+      |SELECT source, len_band, n,
+      |  round(sum(term)::double / 2.0, 6) + 0.0 AS tvd,
+      |  round(sum(term)::double / 2.0, 6) + 0.0 <= 0.2 AS ok
+      |FROM grid GROUP BY 1, 2, 3
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Profile.tCloseness(
+      t(s, dir, "documents")
+        .select(col("source"), expr("n_chars div 200").as("len_band"),
+          col("lang")),
+      Seq("source", "len_band"), "lang", t = 0.2)
+  }
+
+  // ---------------------------------------------------------------------
   // aq51_funnel_lags — time-to-convert percentiles per funnel
   // transition (Behavior.funnelLagPercentiles): exact interpolated
   // p50/p90 of the per-user step lag — the tail readout aq27's mean

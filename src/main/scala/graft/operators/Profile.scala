@@ -208,6 +208,111 @@ object Profile {
       .orderBy(qidCols.map(col): _*)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the release
+    * gate one notch above [[kAnonymityRisk]]: k-anonymity bounds
+    * group SIZE, but a group whose sensitive attribute is uniform
+    * still leaks it (the homogeneity attack). Per quasi-identifier
+    * group this reports BOTH standard instantiations: distinct
+    * l-diversity (≥ l distinct sensitive values) and entropy
+    * l-diversity (entropy of the sensitive distribution ≥ ln l — a
+    * group of 99% one value + 1% noise passes distinct-l and fails
+    * here).
+    *
+    * Determinism contract: counts are exact; each entropy term
+    * −p·ln p (p = exact-count ratio, one fixed-order double) rounds
+    * to 10dp and DECIMAL-sums (value order differs between engines);
+    * the entropy readout pins at 6dp; the verdict booleans compare
+    * against ln(l) rounded identically.
+    *
+    * Scale shape: one (QI, sensitive) count aggregate + one QI-level
+    * roll-up — map-side partials, output |QI groups| rows. Returns
+    * `(qi..., n, n_sensitive, entropy_nats, distinct_ok,
+    * entropy_ok)`. */
+  def lDiversity(
+      df: DataFrame,
+      qidCols: Seq[String],
+      sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(qidCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2, "l < 2 makes every group trivially diverse")
+    val qi = qidCols.map(col)
+    val cells = df
+      .groupBy(qi :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val withP = cells
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(qidCols.map(col): _*)))
+      .withColumn("__p", col("__c").cast("double") / col("__n"))
+      .withColumn("__e",
+        round(-col("__p") * log(col("__p")), 10).cast("decimal(28,10)"))
+    val lnL = math.log(l.toDouble)
+    withP
+      .groupBy(qi: _*)
+      .agg(max(col("__n")).as("n"),
+        count(lit(1)).as("n_sensitive"),
+        Readout.pin(sum(col("__e")).cast("double"), 6)
+          .as("entropy_nats"))
+      .withColumn("distinct_ok", col("n_sensitive") >= l.toLong)
+      .withColumn("entropy_ok", col("entropy_nats") >= lit(
+        java.math.BigDecimal.valueOf(lnL)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+      .orderBy(qi: _*)
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the notch
+    * above [[lDiversity]]: a group can be diverse yet still leak by
+    * DIVERGING from the population (a group that is 80% one language
+    * in a 10%-language corpus identifies its members' language with
+    * high confidence even at l = 5). Per quasi-identifier group this
+    * reports the total-variation distance between the group's
+    * sensitive-value distribution and the GLOBAL one —
+    * ½ Σ_v |p_g(v) − p(v)|, the canonical categorical instantiation
+    * of the paper's EMD — with the ok verdict at threshold `t`.
+    *
+    * Determinism contract: both distributions are exact-count ratios;
+    * each |p_g − p| term is one fixed-order double rounded to 10dp
+    * and DECIMAL-summed; the ×½ readout pins at 6dp. Values ABSENT
+    * from a group still contribute their global mass (the left join's
+    * zero arm) — dropping them would understate the distance exactly
+    * for the most skewed groups.
+    *
+    * Scale shape: one (QI, sensitive) count + one global sensitive
+    * count (broadcast, |values| rows); the (QI group × value) grid is
+    * dimension-sized. Returns `(qi..., n, tvd, ok)`. */
+  def tCloseness(
+      df: DataFrame,
+      qidCols: Seq[String],
+      sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(qidCols.nonEmpty, "need at least one quasi-identifier")
+    require(t > 0.0 && t < 1.0, "t must be in (0, 1)")
+    val qi = qidCols.map(col)
+    val cells = df
+      .groupBy(qi :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = broadcast(df
+      .groupBy(col(sensitiveCol).as("__s"))
+      .agg(count(lit(1)).as("__gc"))
+      .crossJoin(broadcast(
+        df.agg(count(lit(1)).cast("double").as("__gn")))))
+    val groups = df.groupBy(qi: _*).agg(count(lit(1)).as("n"))
+    // full (group × value) grid: absent values keep their global mass
+    groups
+      .crossJoin(global)
+      .join(cells, qidCols :+ "__s", "left")
+      .withColumn("__term", round(
+        abs(coalesce(col("__c"), lit(0L)).cast("double") / col("n") -
+          col("__gc").cast("double") / col("__gn")), 10)
+        .cast("decimal(28,10)"))
+      .groupBy(qi :+ col("n"): _*)
+      // decimal sum exact, ONE double halving (never a decimal
+      // division — engine promotion rules differ), pinned readout
+      .agg(Readout.pin(
+        sum(col("__term")).cast("double") / 2.0, 6).as("tvd"))
+      .withColumn("ok", col("tvd") <= t)
+      .orderBy(qi: _*)
+  }
+
   /** Equi-width histogram of a numeric column — the distribution
     * companion to [[profile]]'s scalar ranges (and the shape a query
     * optimizer's column statistics store): `nBins` equal-width buckets

@@ -91,6 +91,56 @@ class ProfileBm25Spec extends AnyFunSuite {
     assert(c.length == 1 && c(0).getLong(0) == 0L && c(0).getLong(3) == 2L)
   }
 
+  test("lDiversity: homogeneity fails distinct-l; skew passes distinct-l " +
+      "but fails entropy-l") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // g1: uniform over 3 languages — passes both at l=3.
+    // g2: ONE language (homogeneity attack) — fails both.
+    // g3: 3 languages but 98/1/1 — distinct-l passes, entropy-l fails
+    //     (entropy ≈ 0.112 < ln 3 ≈ 1.0986): the case distinct-l misses
+    val rows =
+      (1 to 4).flatMap(_ => Seq(("g1", "en"), ("g1", "fr"), ("g1", "de"))) ++
+      (1 to 12).map(_ => ("g2", "en")) ++
+      ((1 to 98).map(_ => ("g3", "en")) :+ ("g3", "fr") :+ ("g3", "de"))
+    val got = Profile.lDiversity(rows.toDF("grp", "lang"),
+      Seq("grp"), "lang", l = 3)
+      .as[(String, Long, Long, Double, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("g1") == (("g1", 12L, 3L, r6(math.log(3.0)), true, true)),
+      got("g1").toString)
+    assert(got("g2") == (("g2", 12L, 1L, 0.0, false, false)),
+      got("g2").toString)
+    val g3 = got("g3")
+    assert(g3._3 == 3L && g3._5 && !g3._6 && g3._4 < 0.2, g3.toString)
+  }
+
+  test("tCloseness: a group diverging from the population flags even " +
+      "when diverse; absent values contribute their global mass") {
+    // population: 50% en / 50% fr across two groups.
+    // g1 mirrors it (tvd 0) — ok. g2 is all-en (tvd = 0.5) — flagged;
+    // its missing fr must contribute the global 0.5, or tvd reads 0.25
+    val rows = (1 to 10).map(_ => ("g1", "en")) ++
+      (1 to 10).map(_ => ("g1", "fr")) ++
+      (1 to 10).map(_ => ("g2", "en")) ++
+      (1 to 10).map(_ => ("g2", "fr")) ++
+      (1 to 20).map(_ => ("g3", "en"))
+    // population: en 40/60, fr 20/60 ... compute directly instead:
+    val got = Profile.tCloseness(rows.toDF("grp", "lang"),
+      Seq("grp"), "lang", t = 0.2)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // global: en 40/60 = 2/3, fr 20/60 = 1/3.
+    // g1 = g2 = (10/20, 10/20): tvd = (|1/2-2/3| + |1/2-1/3|)/2 = 1/6
+    // g3 = all en: tvd = (|1-2/3| + |0-1/3|)/2 = 1/3 — the absent-fr
+    // arm carries 1/3; dropping it would halve the distance
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("g1") == (("g1", 20L, r6(1.0 / 6), true)), got("g1").toString)
+    assert(got("g2") == (("g2", 20L, r6(1.0 / 6), true)), got("g2").toString)
+    assert(got("g3") == (("g3", 20L, r6(1.0 / 3), false)), got("g3").toString)
+  }
+
   test("kAnonymityRisk: only sub-k groups surface; k-anonymous is empty") {
     val d = (Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) :+
       (("b", "x"))).toDF("lang", "src")
