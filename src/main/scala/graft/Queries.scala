@@ -6239,6 +6239,88 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // aq145_pass_at_k — the Codex-paper unbiased pass@k estimator
+  // (Stats.passAtK): per task (user cohort), from n sampled attempts
+  // with c successes, pass@5 = 1 − Π(n−c−i)/(n−i) — the eval-pipeline
+  // number behind every code-model report, in its unbiased product
+  // form (never 1−(1−c/n)^k). The k factors unroll left-to-right
+  // identically in both engines; tasks with n < k are excluded.
+  register(
+    "aq145_pass_at_k",
+    """WITH s AS (
+      |  SELECT user_id % 500 AS task,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ok
+      |  FROM events
+      |), a AS (
+      |  SELECT task, count(*)::bigint AS n, sum(ok)::bigint AS c
+      |  FROM s GROUP BY 1
+      |)
+      |SELECT task, n, c,
+      |  round(c::double / n::double, 6) + 0.0 AS pass_at_1,
+      |  round(1.0 -
+      |    greatest(n::double - c::double - 0.0, 0.0) / (n::double - 0.0) *
+      |    (greatest(n::double - c::double - 1.0, 0.0) / (n::double - 1.0)) *
+      |    (greatest(n::double - c::double - 2.0, 0.0) / (n::double - 2.0)) *
+      |    (greatest(n::double - c::double - 3.0, 0.0) / (n::double - 3.0)) *
+      |    (greatest(n::double - c::double - 4.0, 0.0) / (n::double - 4.0)),
+      |    6) + 0.0 AS pass_at_k
+      |FROM a WHERE n >= 5 ORDER BY task""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Stats.passAtK(
+      t(s, dir, "events")
+        .select((col("user_id") % 500L).as("task"),
+          (col("event_type") === "purchase").as("ok")),
+      "task", "ok", k = 5)
+  }
+
+  // ---------------------------------------------------------------------
+  // aq146_conformal — split-conformal calibration per event type
+  // (Stats.conformalThreshold): q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+  // calibration score (α = 1/10, the rank in EXACT integer
+  // arithmetic — never a float ceil), reported beside the empirical
+  // coverage of q̂ on the held-out split — the distribution-free
+  // prediction-set gate an eval pipeline wraps around model scores,
+  // audited live on fresh data.
+  register(
+    "aq146_conformal",
+    """WITH e AS (
+      |  SELECT event_type AS g, event_id, round(value, 4)::double AS s
+      |  FROM events WHERE value IS NOT NULL
+      |), cal AS (
+      |  SELECT g, event_id, s,
+      |    row_number() OVER (PARTITION BY g ORDER BY s, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY g) AS n
+      |  FROM e WHERE event_id % 2 = 0
+      |), req AS (
+      |  SELECT g, rn, s, n, ((n + 1) * 9 + 9) // 10 AS need FROM cal
+      |), th AS (
+      |  SELECT g, max(n)::bigint AS n_cal, max(need)::bigint AS r,
+      |         max(CASE WHEN rn = need THEN s END) AS q_hat
+      |  FROM req GROUP BY 1
+      |), tst AS (
+      |  SELECT e.g, count(*)::bigint AS n_test,
+      |         count(CASE WHEN e.s <= th.q_hat THEN 1 END)::bigint AS nc
+      |  FROM e JOIN th ON e.g = th.g
+      |  WHERE e.event_id % 2 = 1
+      |  GROUP BY 1
+      |)
+      |SELECT th.g AS group_key, n_cal, r, q_hat,
+      |  coalesce(n_test, 0)::bigint AS n_test,
+      |  CASE WHEN q_hat IS NOT NULL AND n_test > 0 THEN
+      |    round(nc::double / n_test, 6) + 0.0 END AS coverage
+      |FROM th LEFT JOIN tst ON th.g = tst.g
+      |ORDER BY group_key""".stripMargin
+  ) { (s, dir) =>
+    val e = t(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 4).cast("double").as("score"))
+    graft.operators.Stats.conformalThreshold(
+      e.filter(col("event_id") % 2 === 0L),
+      e.filter(col("event_id") % 2 === 1L),
+      "event_type", "score", "event_id", alphaNum = 1, alphaDen = 10)
+  }
+
+  // ---------------------------------------------------------------------
   // aq51_funnel_lags — time-to-convert percentiles per funnel
   // transition (Behavior.funnelLagPercentiles): exact interpolated
   // p50/p90 of the per-user step lag — the tail readout aq27's mean

@@ -4403,4 +4403,117 @@ object Stats {
         .as("h"))
       .orderBy("group_key")
   }
+
+  /** pass@k estimator (Chen et al. 2021, the Codex paper's unbiased
+    * form) per task: from n samples of which c are correct,
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k)
+    *          = 1 − Π_{i=0..k−1} (n−c−i)/(n−i)
+    *
+    * — the standard "would at least one of k draws succeed"
+    * number every code/eval pipeline reports, computed as the
+    * UNBIASED product form (never the naive 1−(1−c/n)^k, which is
+    * biased for small n). Tasks with n < k are excluded (the
+    * estimator is undefined there — surface them separately, don't
+    * fake a number); n−c < k (fewer failures than draws) gives an
+    * exact 1 via the clamped zero factor.
+    *
+    * Determinism contract: n and c are exact counts; the k-term
+    * product is UNROLLED at k fixed factors evaluated left-to-right —
+    * the same IEEE double sequence in any engine (the oracle writes
+    * the same factor chain) — and pass@k pins at 6dp; pass@1 = c/n
+    * pins beside it.
+    *
+    * Scale shape: one grouped count aggregate (map-side partials) +
+    * a scalar k-factor expression; output |tasks| rows. Returns
+    * `(task, n, c, pass_at_1, pass_at_k)`. */
+  def passAtK(
+      df: DataFrame,
+      taskCol: String,
+      correctCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val agg = df.groupBy(col(taskCol).as("task")).agg(
+      count(lit(1)).as("n"),
+      count(when(col(correctCol).cast("boolean"), 1L)).as("c"))
+    val nd = col("n").cast("double")
+    val cd = col("c").cast("double")
+    val prod = (0 until k).foldLeft(lit(1.0)) { (acc, i) =>
+      acc * (greatest(nd - cd - i.toDouble, lit(0.0)) / (nd - i.toDouble))
+    }
+    agg.filter(col("n") >= k.toLong)
+      .select(col("task"), col("n"), col("c"),
+        Readout.pin(cd / nd, 6).as("pass_at_1"),
+        Readout.pin(lit(1.0) - prod, 6).as("pass_at_k"))
+      .orderBy("task")
+  }
+
+  /** Split-conformal calibration (Vovk et al.; Angelopoulos & Bates
+    * 2023 tutorial form) per group: from n CALIBRATION nonconformity
+    * scores, the threshold is the ⌈(n+1)(1−α)⌉-th smallest score —
+    * predictions whose score is ≤ q̂ form a set with ≥ 1−α coverage
+    * guarantee, distribution-free. Reported beside the EMPIRICAL
+    * coverage of q̂ on a held-out test split, so the gate doubles as
+    * a live audit of the guarantee (the eval-pipeline shape: gate
+    * model outputs at q̂, verify coverage on fresh data). Groups
+    * where the rank exceeds n (n too small for the α) report a NULL
+    * threshold and coverage — the honest "not enough calibration
+    * data" signal.
+    *
+    * Determinism contract: the rank r = ⌈(n+1)(1−α)⌉ is computed in
+    * exact integer arithmetic from α expressed as a RATIONAL
+    * (`alphaNum`/`alphaDen`, e.g. 1/10): r = n+1 − ⌊(n+1)·aN/aD⌋
+    * when (n+1)·aN mod aD == 0 else n+1 − ⌊…⌋ … — equivalently
+    * ⌈(n+1)(aD−aN)/aD⌉ = ((n+1)·(aD−aN) + aD − 1) div aD — never a
+    * float ceil whose boundary could differ; the r-th smallest score
+    * orders by (score, id) so duplicate scores pick deterministically;
+    * scores are the caller's (pre-round them); coverage = exact
+    * test-side counts, pinned.
+    *
+    * Scale shape: one rank window over the calibration partition
+    * (per-group), one broadcast of the |groups|-sized threshold
+    * frame, one test-side aggregate. Returns
+    * `(group_key, n_cal, r, q_hat, n_test, coverage)`. */
+  def conformalThreshold(
+      calibration: DataFrame,
+      test: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      alphaNum: Int,
+      alphaDen: Int): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      "alpha must be a rational in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("group_key")
+      .orderBy(col("__s"), col("__id"))
+    val cal = calibration.select(col(groupCol).as("group_key"),
+      col(scoreCol).as("__s"), col(idCol).as("__id"))
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy("group_key").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    // r = ceil((n+1)(1-α)) in exact integers: ((n+1)(aD−aN) + aD−1) div aD
+    // (SQL `div` — Column `/` on longs is DOUBLE division)
+    val need = expr(s"((__n + 1) * ${(alphaDen - alphaNum).toLong} + " +
+      s"${(alphaDen - 1).toLong}) div ${alphaDen.toLong}")
+    val thresholds = cal
+      .withColumn("__need", need)
+      .groupBy("group_key")
+      .agg(max(col("__n")).as("n_cal"),
+        max(col("__need")).as("r"),
+        max(when(col("__r") === col("__need"), col("__s"))).as("q_hat"))
+    val cover = test.select(col(groupCol).as("group_key"),
+      col(scoreCol).as("__ts"))
+      .join(broadcast(thresholds), Seq("group_key"))
+      .groupBy("group_key")
+      .agg(count(lit(1)).as("n_test"),
+        count(when(col("__ts") <= col("q_hat"), 1L)).as("__nc"))
+    thresholds.join(cover, Seq("group_key"), "left")
+      .select(col("group_key"), col("n_cal"), col("r"), col("q_hat"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        when(col("q_hat").isNotNull && col("n_test") > 0L, Readout.pin(
+          col("__nc").cast("double") / col("n_test"), 6)).as("coverage"))
+      .orderBy("group_key")
+  }
 }

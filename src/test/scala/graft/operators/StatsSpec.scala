@@ -1500,4 +1500,41 @@ class StatsSpec extends AnyFunSuite {
     assert(e._3 == Some(0.0) && !(1.0 / e._3.get).isNegInfinity,
       e.toString)
   }
+
+  test("passAtK: unbiased product form — hand C(n-c,k)/C(n,k); " +
+      "fewer-failures-than-k gives exact 1; n < k excluded") {
+    // A: n=6 c=2 k=3 -> 1 - C(4,3)/C(6,3) = 1 - 4/20 = 0.8
+    // B: n=3 c=0 -> 1 - C(3,3)/C(3,3) = 0
+    // C: n=2 < k -> excluded (undefined, never faked)
+    // D: n=3 c=1 -> n-c=2 < k -> clamped zero factor -> exactly 1
+    val rows =
+      Seq.fill(2)(("A", true)) ++ Seq.fill(4)(("A", false)) ++
+      Seq.fill(3)(("B", false)) ++ Seq.fill(2)(("C", true)) ++
+      (("D", true) +: Seq.fill(2)(("D", false)))
+    val got = Stats.passAtK(rows.toDF("task", "ok"), "task", "ok", k = 3)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", 6L, 2L, 0.333333, 0.8),
+      ("B", 3L, 0L, 0.0, 0.0),
+      ("D", 3L, 1L, 0.333333, 1.0)), got.toString)
+  }
+
+  test("conformalThreshold: exact-integer rank, deterministic order " +
+      "statistic, live coverage audit; too-small calibration is NULL") {
+    // g: 7 calibration scores 1..7 at alpha = 1/4:
+    //   r = ceil(8 * 3/4) = 6 -> q_hat = 6.0; test 1..8 -> 6/8 covered
+    // h: 2 calibration scores at alpha = 1/4: r = ceil(3 * 3/4) = 3 > n
+    //   -> NULL threshold and coverage (not enough calibration data)
+    val cal = ((1 to 7).map(i => ("g", i.toDouble, i.toLong)) ++
+      Seq(("h", 1.0, 1L), ("h", 2.0, 2L))).toDF("g", "s", "id")
+    val test_ = ((1 to 8).map(i => ("g", i.toDouble, 100L + i)) ++
+      Seq(("h", 1.0, 201L))).toDF("g", "s", "id")
+    val got = Stats.conformalThreshold(cal, test_, "g", "s", "id",
+      alphaNum = 1, alphaDen = 4)
+      .as[(String, Long, Long, Option[Double], Long, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("g", 7L, 6L, Some(6.0), 8L, Some(0.75)),
+      ("h", 2L, 3L, None, 1L, None)), got.toString)
+  }
 }
