@@ -6321,6 +6321,49 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // dq28_lsh_planner — the (bands, rows) design table behind dq2's LSH
+  // parameters (Dedup.lshPlanner): for every factorization of 16
+  // permutations, the banding S-curve P(s) = 1−(1−s^r)^b integrated on
+  // a 100-midpoint grid against the 0.8 target — curve threshold s*,
+  // false-positive area (collisions below target, verification cost),
+  // false-negative area (true pairs missed), total error. Powers chain
+  // through 10dp rounds so both engines' pow sees identical inputs.
+  register(
+    "dq28_lsh_planner",
+    """WITH pairs(b, r) AS (
+      |  SELECT * FROM (VALUES (1,16),(2,8),(4,4),(8,2),(16,1))
+      |), grid AS (
+      |  SELECT unnest(generate_series(0, 99)) AS i
+      |), cells AS (
+      |  SELECT b, r, (i + 0.5) / 100.0 AS s FROM pairs CROSS JOIN grid
+      |), p AS (
+      |  SELECT b, r, s,
+      |    round(pow(1.0 - round(pow(s, r), 10), b), 10) AS x2
+      |  FROM cells
+      |), agg AS (
+      |  SELECT b, r,
+      |    sum(CASE WHEN s < 0.8
+      |        THEN round((1.0 - x2) / 100.0, 12)::decimal(28,12)
+      |        ELSE 0::decimal(28,12) END) AS fp,
+      |    sum(CASE WHEN s >= 0.8
+      |        THEN round(x2 / 100.0, 12)::decimal(28,12)
+      |        ELSE 0::decimal(28,12) END) AS fn
+      |  FROM p GROUP BY 1, 2
+      |)
+      |SELECT b::bigint AS bands, r::bigint AS rows_per_band,
+      |  round(pow(1.0 / b, 1.0 / r), 6) + 0.0 AS s_star,
+      |  round(fp::double, 6) + 0.0 AS fp_area,
+      |  round(fn::double, 6) + 0.0 AS fn_area,
+      |  round((fp + fn)::double, 6) + 0.0 AS total_err
+      |FROM agg ORDER BY bands""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.lshPlanner(s, nPerm = 16, threshold = 0.8)
+      .select(col("bands").cast("long").as("bands"),
+        col("rows_per_band").cast("long").as("rows_per_band"),
+        col("s_star"), col("fp_area"), col("fn_area"), col("total_err"))
+  }
+
+  // ---------------------------------------------------------------------
   // aq51_funnel_lags — time-to-convert percentiles per funnel
   // transition (Behavior.funnelLagPercentiles): exact interpolated
   // p50/p90 of the per-user step lag — the tail readout aq27's mean

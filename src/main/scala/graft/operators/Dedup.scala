@@ -1785,4 +1785,67 @@ object Dedup {
       .distinct()
       .orderBy("id_a", "id_b")
   }
+
+  /** LSH parameter planner — the design dial behind
+    * [[minhashLshPairs]]'s (bands, rows) choice, evaluated instead of
+    * folklore'd: for every factorization b·r = `nPerm`, the banding
+    * collision curve P(s) = 1 − (1 − s^r)^b is integrated on a fixed
+    * `gridSteps`-midpoint grid against the target `threshold` t,
+    * reporting the curve's own threshold s* = (1/b)^(1/r), the
+    * false-positive area (∫₀ᵗ P — pairs BELOW the target that still
+    * collide and cost verification), the false-negative area
+    * (∫ₜ¹ (1−P) — true pairs the index misses), and their sum — the
+    * number a pipeline minimizes when it picks the banding. More
+    * bands ⇒ s* slides left (recall up, candidate cost up); the table
+    * makes the trade explicit.
+    *
+    * Determinism contract: every power chains through 10dp rounds
+    * (x₁ = round(s^r, 10), x₂ = round((1−x₁)^b, 10)) so both engines
+    * feed pow bit-identical inputs and the ≤1-ulp libm/JVM pow
+    * divergence is quenched at each step; per-cell areas round to
+    * 12dp and DECIMAL-sum (grid order differs); readouts pin at 6dp.
+    *
+    * Scale shape: |divisors(nPerm)| × gridSteps rows — dimension-
+    * sized, broadcast-everything. Returns `(bands, rows_per_band,
+    * s_star, fp_area, fn_area, total_err)` ordered by bands. */
+  def lshPlanner(
+      spark: org.apache.spark.sql.SparkSession,
+      nPerm: Int,
+      threshold: Double,
+      gridSteps: Int = 100): DataFrame = {
+    require(nPerm >= 1, "need at least one permutation")
+    require(threshold > 0.0 && threshold < 1.0, "threshold in (0, 1)")
+    require(gridSteps >= 10, "grid too coarse to mean anything")
+    import spark.implicits._
+    val pairs = (1 to nPerm).filter(nPerm % _ == 0)
+      .map(b => (b, nPerm / b)).toDF("bands", "rows_per_band")
+    val stepsD = gridSteps.toDouble
+    val grid = broadcast(spark.range(gridSteps.toLong)
+      .select(((col("id") + 0.5) / stepsD).as("__s")))
+    val x1 = round(pow(col("__s"), col("rows_per_band")), 10)
+    val x2 = round(pow(lit(1.0) - x1, col("bands")), 10)
+    val zero = lit(0).cast("decimal(28,12)")
+    pairs.crossJoin(grid)
+      .withColumn("__x2", x2)
+      .withColumn("__fp", when(col("__s") < threshold,
+        round((lit(1.0) - col("__x2")) / stepsD, 12)
+          .cast("decimal(28,12)")).otherwise(zero))
+      .withColumn("__fn", when(col("__s") >= threshold,
+        round(col("__x2") / stepsD, 12).cast("decimal(28,12)"))
+        .otherwise(zero))
+      .groupBy("bands", "rows_per_band")
+      .agg(sum(col("__fp")).as("__fpa"), sum(col("__fn")).as("__fna"))
+      .select(col("bands"), col("rows_per_band"),
+        graft.operators.Readout.pin(
+          pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")),
+          6).as("s_star"),
+        graft.operators.Readout.pin(col("__fpa").cast("double"), 6)
+          .as("fp_area"),
+        graft.operators.Readout.pin(col("__fna").cast("double"), 6)
+          .as("fn_area"),
+        graft.operators.Readout.pin(
+          (col("__fpa") + col("__fna")).cast("double"), 6)
+          .as("total_err"))
+      .orderBy("bands")
+  }
 }

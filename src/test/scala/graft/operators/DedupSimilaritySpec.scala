@@ -1615,6 +1615,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(got.map(_._3).sum - 0.5) < 2e-6)
   }
 
+  test("lshPlanner: closed-form s*, monotone threshold in bands, " +
+      "degenerate designs lose to banded ones") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val got = Dedup.lshPlanner(spark, nPerm = 16, threshold = 0.8)
+      .as[(Int, Int, Double, Double, Double, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)))
+    val byBands = got.map(t => t._1 -> t).toMap
+    // s* = (1/b)^(1/r): 1 band = AND-only (s* = 1), 16 bands = OR-only
+    // (s* = 1/16), and the curve threshold falls monotonically
+    assert(byBands(1)._3 == 1.0 && byBands(16)._3 == 0.0625)
+    assert(byBands(4)._3 == r6(math.pow(0.25, 0.25)), byBands(4).toString)
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+    // the planner's verdict at t = 0.8: (2 bands, 8 rows) — s* 0.917,
+    // nearest the target from above — minimizes total error, beating
+    // AND-only (fn-heavy, misses true pairs) and OR-only (fp-heavy,
+    // verifies nearly everything); error shape: fp grows and fn
+    // shrinks monotonically with bands
+    assert(got.minBy(_._6)._1 == 2, got.toString)
+    assert(got.map(_._4) == got.map(_._4).sorted, "fp monotone in bands")
+    assert(got.map(_._5) == got.map(_._5).sorted.reverse,
+      "fn anti-monotone in bands")
+  }
+
   test("lidScores: hand-computed 2-NN MLE; exact duplicates excluded") {
     // one cell (numCells=1): query (1,0) sees n1 at cos 0.9950 and n2
     // at cos 0.7071 → LID = −2 / round10(ln(d1/dk)) (the dk term's
