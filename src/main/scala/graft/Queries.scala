@@ -796,6 +796,33 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // dq29_source_copy_matrix — which sources copy from which
+  // (Dedup.crossSourceDupMatrix): every verified near-dup pair
+  // (exact Jaccard >= 0.8, the dq2/dq3 machinery) attributed to its
+  // undirected source pair — the provenance audit behind mixture
+  // decisions (heavy cross-source overlap double-counts that mass;
+  // the diagonal is within-source duplication). Pair counts + mean
+  // verified Jaccard per cell, decimal-summed.
+  register(
+    "dq29_source_copy_matrix",
+    s"""WITH ${jaccardPairsCtes(0.8)},
+      |m AS (
+      |  SELECT least(a.source, b.source) AS source_a,
+      |         greatest(a.source, b.source) AS source_b, d.jaccard
+      |  FROM dup d
+      |  JOIN documents a ON d.id_a = a.doc_id
+      |  JOIN documents b ON d.id_b = b.doc_id
+      |)
+      |SELECT source_a, source_b, count(*)::bigint AS n_pairs,
+      |  round(sum(jaccard::decimal(18,4))::double / count(*), 6) + 0.0
+      |    AS mean_jaccard
+      |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.crossSourceDupMatrix(
+      t(s, dir, "documents"), "doc_id", "text", "source",
+      shingleN = 3, threshold = 0.8)
+  }
+
   // dq3_ngram_jaccard — the exact inverted-index similarity join itself,
   // tighter threshold.
   register("dq3_ngram_jaccard", jaccardOracle(0.9)) { (s, dir) =>

@@ -1848,4 +1848,49 @@ object Dedup {
           .as("total_err"))
       .orderBy("bands")
   }
+
+  /** Cross-source duplication MATRIX — which sources copy from which:
+    * the provenance audit behind any mixture decision (a source pair
+    * with heavy near-dup overlap double-counts its mass in the
+    * mixture, and the smaller side is usually the scrape). Exact
+    * near-dup pairs from [[ngramJaccardPairs]] (the verified-exact
+    * join every dq-gate oracles against), each pair attributed to its
+    * UNDIRECTED source pair (least/greatest normalization), with the
+    * pair count and the mean verified Jaccard per cell. The diagonal
+    * (same-source pairs) stays in the matrix — within-source
+    * duplication is its own finding.
+    *
+    * Determinism contract: jaccards are the 4dp-verified values;
+    * the mean is a decimal(18,4) sum over them divided once, pinned
+    * at 6dp.
+    *
+    * Scale shape: the pair frame is the near-dup set (small by
+    * definition of the threshold); two id-equi-joins against the
+    * (id, source) projection and one |source-pairs|-ary aggregate.
+    * Returns `(source_a, source_b, n_pairs, mean_jaccard)`. */
+  def crossSourceDupMatrix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleN, threshold)
+    val src = Lineage.cutLocal(
+      df.select(col(idCol).as("__id"), col(srcCol).as("__src")))
+    pairs
+      .join(src.select(col("__id").as("id_a"), col("__src").as("__sa")),
+        "id_a")
+      .join(src.select(col("__id").as("id_b"), col("__src").as("__sb")),
+        "id_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jaccard").cast("decimal(18,4)")).as("__sj"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        Readout.pin(col("__sj").cast("double") / col("n_pairs"), 6)
+          .as("mean_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 }

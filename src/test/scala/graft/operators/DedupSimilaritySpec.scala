@@ -1615,6 +1615,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(got.map(_._3).sum - 0.5) < 2e-6)
   }
 
+  test("crossSourceDupMatrix: undirected source cells, diagonal kept, " +
+      "decimal-exact mean jaccard") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s1"),
+      (3L, "x y z w", "s2"), (4L, "x y z w", "s1"),
+      (5L, "p q r t", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(
+      docs, "doc_id", "text", "source", shingleN = 3, threshold = 0.8)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // (1,2) within s1 (the diagonal); (3,4) crosses s2->s1 and must
+    // normalize to the undirected (s1, s2) cell
+    assert(got == Seq(("s1", "s1", 1L, 1.0), ("s1", "s2", 1L, 1.0)),
+      got.toString)
+  }
+
   test("lshPlanner: closed-form s*, monotone threshold in bands, " +
       "degenerate designs lose to banded ones") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
