@@ -812,6 +812,46 @@ object Stress10 {
     slope("token_registry_drain_4x_batches", t3, t12)
   }
 
+  /** Round-14b stress: the retrieval/valuation additions. The
+    * late-interaction SERVE path (pooled seed-IVF shortlist + maxsim
+    * re-rank) must ride the cell-bounded probe — cells scale with the
+    * corpus (16 → 160, the deployment contract) and replicas are
+    * embedding-jittered so pooled vectors stay distinct; the exact
+    * KNN-Shapley's per-query cost is the N-row rank window (linear by
+    * construction — the documented scale path caps N with an ivfTopK
+    * shortlist), so its decade slope should sit at/below linear. */
+  private def r14bStress(
+      spark: org.apache.spark.sql.SparkSession, sf: String): Unit = {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label").localCheckpoint()
+    def eDup(k: Int): DataFrame = (0 until k).map(i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, x -> cast(x + ${i * 0.001} as float))")
+          .as("embedding"),
+        col("label"))).reduce(_ unionByName _)
+    def toks(k: Int): DataFrame = eDup(k)
+      .select(expr("vec_id div 4").as("doc_id"),
+        col("vec_id").as("tok"), col("embedding"))
+    def queries(k: Int): DataFrame =
+      toks(k).filter(col("doc_id") < 3)
+    val li1 = time("late_interaction_ann_1x")(
+      operators.Similarity.lateInteractionTopK(
+        toks(1), queries(1), "doc_id", "doc_id", "tok", "embedding",
+        numCells = 16, nProbe = 4, shortlist = 10, k = 5).count())
+    val li10 = time("late_interaction_ann_10x")(
+      operators.Similarity.lateInteractionTopK(
+        toks(10), queries(10), "doc_id", "doc_id", "tok", "embedding",
+        numCells = 160, nProbe = 4, shortlist = 10, k = 5).count())
+    slope("late_interaction_ann", li1, li10)
+    val ks1 = time("knn_shapley_1x")(operators.Similarity.knnShapley(
+      eDup(1), emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", "label", k = 5).count())
+    val ks10 = time("knn_shapley_10x")(operators.Similarity.knnShapley(
+      eDup(10), emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", "label", k = 5).count())
+    slope("knn_shapley", ks1, ks10)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-stress10")
@@ -855,6 +895,11 @@ object Stress10 {
     }
     if (args.contains("r14")) {
       r14Stress(spark, sf)
+      spark.stop()
+      return
+    }
+    if (args.contains("r14b")) {
+      r14bStress(spark, sf)
       spark.stop()
       return
     }

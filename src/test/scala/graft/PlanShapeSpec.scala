@@ -899,4 +899,33 @@ class PlanShapeSpec extends AnyFunSuite {
     // (fine); a CartesianProduct node would mean an all-pairs fallback
     assert(!plan("sq28_lid").contains("CartesianProduct"))
   }
+
+  test("sq33/sq35 late-interaction + knn-shapley: the query side rides a " +
+      "BROADCAST loop (queries are few by contract), never a " +
+      "CartesianProduct fallback") {
+    for (q <- Seq("sq33_late_interaction", "sq35_knn_shapley")) {
+      val pl = plan(q)
+      assert(pl.contains("BroadcastNestedLoopJoin"), s"$q:\n$pl")
+      assert(!pl.contains("CartesianProduct"), s"$q:\n$pl")
+    }
+  }
+
+  test("sq34 late-interaction serve path: shortlist re-rank joins are " +
+      "broadcast equi-joins, no cartesian") {
+    val pl = plan("sq34_late_interaction_ann")
+    assert(!pl.contains("CartesianProduct"), pl)
+    assert(pl.contains("BroadcastHashJoin"), pl)
+  }
+
+  test("aq144 t-closeness: the (group x value) grid is a broadcast loop " +
+      "over the dimension-sized population frame") {
+    val pl = plan("aq144_t_closeness")
+    assert(!pl.contains("CartesianProduct"), pl)
+  }
+
+  test("aq145/aq146 eval gates: single-aggregate / windowed shapes, " +
+      "windows partitioned, no cartesian") {
+    assert(!plan("aq145_pass_at_k").contains("CartesianProduct"))
+    partitionedWindowsOnly("aq146_conformal")
+  }
 }
