@@ -10642,6 +10642,37 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // pq9_fim_export — fill-in-the-middle example construction
+  // (Packing.fimSplit, the Bavarian et al. FIM recipe): each doc's
+  // token stream cut at RATIONAL fractions (prefix 2/5, middle to
+  // 7/10 — integer arithmetic, never a float boundary) and
+  // re-serialized PSM (<PRE> p <SUF> s <MID> m); the gate compares the
+  // exact segment counts and the md5 content witness per doc — the
+  // export verified end-to-end without shipping text through the hash.
+  register(
+    "pq9_fim_export",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> len(x) > 0) AS tk
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, tk, len(tk)::bigint AS n,
+      |    (len(tk) * 2) // 5 AS np, (len(tk) * 7) // 10 AS ne
+      |  FROM t WHERE len(tk) >= 1
+      |)
+      |SELECT doc_id, n AS n_tokens, np::bigint AS n_prefix,
+      |  (ne - np)::bigint AS n_middle, (n - ne)::bigint AS n_suffix,
+      |  md5('<PRE>' || array_to_string(tk[1:np], ' ') ||
+      |      '<SUF>' || array_to_string(tk[ne+1:n], ' ') ||
+      |      '<MID>' || array_to_string(tk[np+1:ne], ' ')) AS fim_md5
+      |FROM c ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Packing.fimSplit(
+      t(s, dir, "documents"), "doc_id", "text")
+  }
+
+  // ---------------------------------------------------------------------
   // tq35_chao1 — Chao1 vocabulary-richness estimate per source
   // (TextAnalysis.chao1): V + n₁(n₁−1)/(2(n₂+1)) from exact
   // singleton/doubleton counts — bounds the TOTAL vocabulary where

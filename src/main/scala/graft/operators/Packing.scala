@@ -544,4 +544,59 @@ object Packing {
       e = s"((($e | ($e << $shift)) & $mask))"
     e
   }
+
+  /** Fill-in-the-middle example construction (Bavarian et al. 2022,
+    * the FIM recipe code models train on): each document's token
+    * stream splits into prefix / middle / suffix at RATIONAL
+    * fractions (integer arithmetic on the token count — never a float
+    * boundary that could round differently), and the training example
+    * is re-serialized in PSM order
+    * `<PRE> prefix <SUF> suffix <MID> middle` so the model learns to
+    * infill. Emits the exact segment token counts and an md5 of the
+    * serialized example — the content witness an export pipeline
+    * verifies end-to-end without shipping the text through the gate.
+    *
+    * Fractions: prefix = ⌊n·pNum/pDen⌋ tokens, middle the next
+    * ⌊n·mEndNum/mEndDen⌋ − prefix tokens (mEnd is the CUMULATIVE cut),
+    * suffix the rest; empty segments serialize as empty strings
+    * (short docs degrade gracefully). Docs with zero tokens drop.
+    *
+    * Scale shape: one map-side projection per doc (tokenize, two
+    * integer cuts, three joins + one hash) — no shuffle at all until
+    * the caller aggregates. Returns `(id, n_tokens, n_prefix,
+    * n_middle, n_suffix, fim_md5)`. */
+  def fimSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pNum: Int = 2, pDen: Int = 5,
+      mEndNum: Int = 7, mEndDen: Int = 10): DataFrame = {
+    require(pNum > 0 && pNum < pDen, "prefix fraction in (0, 1)")
+    require(mEndNum > 0 && mEndNum <= mEndDen, "middle-end cut in (0, 1]")
+    require(pNum.toLong * mEndDen < mEndNum.toLong * pDen,
+      "middle-end cut must sit past the prefix cut")
+    val tk = graft.functions.TextFunctions.wsTokens(col(textCol))
+    df.select(col(idCol), tk.as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .filter(col("__n") >= 1L)
+      .withColumn("__np", expr(s"(__n * $pNum) div $pDen"))
+      .withColumn("__ne", expr(s"(__n * $mEndNum) div $mEndDen"))
+      .select(col(idCol),
+        col("__n").as("n_tokens"),
+        col("__np").as("n_prefix"),
+        (col("__ne") - col("__np")).as("n_middle"),
+        (col("__n") - col("__ne")).as("n_suffix"),
+        md5(concat(
+          lit("<PRE>"),
+          array_join(slice(col("__tk"), lit(1), col("__np").cast("int")),
+            " "),
+          lit("<SUF>"),
+          array_join(slice(col("__tk"), col("__ne").cast("int") + 1,
+            (col("__n") - col("__ne")).cast("int")), " "),
+          lit("<MID>"),
+          array_join(slice(col("__tk"), col("__np").cast("int") + 1,
+            (col("__ne") - col("__np")).cast("int")), " ")))
+          .as("fim_md5"))
+      .orderBy(idCol)
+  }
 }

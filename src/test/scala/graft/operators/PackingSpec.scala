@@ -286,4 +286,21 @@ class PackingSpec extends AnyFunSuite {
       .map(r => r._3 / (1L << 30)).toSet
     assert(qs == Set(0L, 1L, 2L, 3L))
   }
+
+  test("fimSplit: rational cuts, PSM serialization witness, degenerate " +
+      "short docs") {
+    import java.security.MessageDigest
+    def md5(x: String) = MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens: np=4, ne=7
+      (2L, "x"),                   // 1 token: everything in the suffix
+      (3L, "   "))                 // 0 tokens: dropped
+      .toDF("doc_id", "text")
+    val got = Packing.fimSplit(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, 4L, 3L, 3L, md5("<PRE>a b c d<SUF>h i j<MID>e f g")),
+      (2L, 1L, 0L, 0L, 1L, md5("<PRE><SUF>x<MID>"))), got.toString)
+  }
 }
