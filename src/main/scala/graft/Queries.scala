@@ -1012,6 +1012,54 @@ object Queries {
     Dedup.duplicateClustersStar(pairs).orderBy("doc_id")
   }
 
+  // dq30_dedup_savings — the capacity-planning readout behind the whole
+  // dedup family (Dedup.dedupSavings): keep-one-per-cluster over the
+  // dq10 components, per-source documents and TOKENS reclaimed — the
+  // number that justifies running dedup at all, and where the
+  // duplication lives. Keeper = smallest id (deterministic policy);
+  // singletons are their own cluster. Oracle: the dq6/dq10
+  // recursive-CTE closure + token counts.
+  register(
+    "dq30_dedup_savings",
+    s"""WITH RECURSIVE ${jaccardPairsCtes(0.8)},
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM dup
+      |  UNION ALL SELECT id_b, id_a FROM dup
+      |), reach AS (
+      |  SELECT src AS id, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+      |), comp AS (
+      |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+      |), tok AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |      x -> len(x) > 0))::bigint AS nt
+      |  FROM documents
+      |), assigned AS (
+      |  SELECT t.doc_id, t.source, t.nt,
+      |         coalesce(c.cluster_id, t.doc_id) AS cid
+      |  FROM tok t LEFT JOIN comp c ON t.doc_id = c.id
+      |), keep AS (
+      |  SELECT cid, min(doc_id) AS keeper FROM assigned GROUP BY 1
+      |)
+      |SELECT a.source, count(*)::bigint AS n_docs,
+      |  sum(a.nt)::bigint AS n_tokens,
+      |  count(CASE WHEN a.doc_id != k.keeper THEN 1 END)::bigint
+      |    AS n_dropped,
+      |  sum(CASE WHEN a.doc_id != k.keeper THEN a.nt ELSE 0 END)::bigint
+      |    AS tokens_dropped,
+      |  CASE WHEN sum(a.nt) > 0 THEN
+      |    round(sum(CASE WHEN a.doc_id != k.keeper THEN a.nt
+      |        ELSE 0 END)::double * 100.0 / sum(a.nt)::double, 4) + 0.0
+      |  END AS savings_pct
+      |FROM assigned a JOIN keep k ON a.cid = k.cid
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.dedupSavings(
+      t(s, dir, "documents"), "doc_id", "text", "source")
+  }
+
   // dq8_containment — directional near-containment (|A∩B|/|A| >= 0.9):
   // the excerpt-of-larger-doc duplicates symmetric Jaccard misses.
   register(

@@ -1893,4 +1893,51 @@ object Dedup {
           .as("mean_jaccard"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Dedup savings report — the capacity-planning readout behind the
+    * whole dedup family: if near-dup clusters (LSH candidates,
+    * exact-verified, star-contracted components) keep ONE canonical
+    * doc each (smallest id), how many documents and TOKENS does each
+    * source actually reclaim? The number that justifies (or kills)
+    * running dedup at all, and the per-source skew shows WHERE the
+    * duplication lives. Singletons are their own cluster; the keeper
+    * is the cluster's smallest id, so the policy is deterministic and
+    * the report exact.
+    *
+    * Scale shape: the cluster frame is the near-dup membership (small
+    * by the threshold's definition) left-joined onto the (id, source,
+    * token-count) projection; one keeper aggregate on the cluster key;
+    * one |sources|-ary roll-up. Returns `(source, n_docs, n_tokens,
+    * n_dropped, tokens_dropped, savings_pct)`. */
+  def dedupSavings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, shingleN, numHashes,
+      bands, threshold)
+    val clusters = duplicateClustersStar(pairs)
+      .select(col("doc_id").as("__id"), col("cluster_id"))
+    val docs = df.select(col(idCol).as("__id"), col(srcCol).as("source"),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+        .as("__nt"))
+    val withC = docs.join(clusters, Seq("__id"), "left")
+      .withColumn("__cid", coalesce(col("cluster_id"), col("__id")))
+    val keepers = withC.groupBy("__cid").agg(min(col("__id")).as("__keep"))
+    withC.join(keepers, "__cid")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nt").as("n_tokens"),
+        count(when(col("__id") =!= col("__keep"), 1L)).as("n_dropped"),
+        sum(when(col("__id") =!= col("__keep"), col("__nt"))
+          .otherwise(0L)).as("tokens_dropped"))
+      .withColumn("savings_pct", when(col("n_tokens") > 0L, Readout.pin(
+        col("tokens_dropped").cast("double") * 100.0 /
+          col("n_tokens").cast("double"), 4)))
+      .orderBy("source")
+  }
 }

@@ -1631,6 +1631,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("dedupSavings: keep-one-per-cluster tokens reclaimed per source; " +
+      "cross-source cluster charges the non-keeper's source; " +
+      "singletons free") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s1"),
+      (3L, "x y z w", "s2"), (4L, "x y z w", "s1"),
+      (5L, "p q r t", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dedupSavings(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    // s1 holds {1,2,4}: 2 loses to keeper 1, 4 loses to the cross-
+    // source keeper 3 — 8 of 12 tokens reclaimed; s2 holds {3,5}:
+    // both keepers, nothing reclaimed
+    assert(got == Seq(
+      ("s1", 3L, 12L, 2L, 8L, Some(66.6667)),
+      ("s2", 2L, 8L, 0L, 0L, Some(0.0))), got.toString)
+  }
+
   test("lshPlanner: closed-form s*, monotone threshold in bands, " +
       "degenerate designs lose to banded ones") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
