@@ -170,6 +170,7 @@ OVER = [
  ('round(col("__thr"), 4).as("threshold")', ("nonneg","Hill threshold = (k+1)-th order statistic of values filtered > 0")),
  ('round(col("__x").cast("double"), 6).cast("decimal(18,6)").as("__v"))', ("decimal-carrier","embedding coordinate rounds into decimal(18,6); decimal zero is unsigned")),
  ('round((lit(k + 1L) - col("rank")).cast("double") /', ("decimal-carrier","per-query IDCG term: nonneg grade (k+1-rank >= 1 on the exact side) over positive log, rounds into decimal(28,8)")),
+ ('.withColumn("__e", round(', ("decimal-carrier","KNN-Shapley per-rank increment (signed by construction) rounds into decimal(28,12); decimal zero is unsigned")),
  ('round(p * log(p), 10).cast("decimal(28,10)").as("__e"))', ("decimal-carrier","entropy term p*ln(p) rounds into decimal(28,10)")),
  ('round(sum(col(valueCol).cast("decimal(18,4)")), 2)', ("decimal-carrier","decimal round of a decimal sum; decimal zero is unsigned")),
  ('round(', ("nonneg","Kneser-Ney probability (greatest(c-d,0) + backoff, all nonneg)")),
