@@ -1060,6 +1060,53 @@ object Queries {
       t(s, dir, "documents"), "doc_id", "text", "source")
   }
 
+  // dq31_cluster_split — leakage-FREE train/test split
+  // (Dedup.clusterAwareSplit): the fix for what dq9 detects — the
+  // split unit is the near-dup CLUSTER, so near-duplicates can never
+  // straddle the boundary; the gate computes the cross-split verified
+  // pair count in-query (zero by construction, proven not asserted)
+  // beside each split's document/token mass.
+  register(
+    "dq31_cluster_split",
+    s"""WITH RECURSIVE ${jaccardPairsCtes(0.8)},
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM dup
+      |  UNION ALL SELECT id_b, id_a FROM dup
+      |), reach AS (
+      |  SELECT src AS id, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+      |), comp AS (
+      |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+      |), tok AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |      x -> len(x) > 0))::bigint AS nt
+      |  FROM documents
+      |), lab AS (
+      |  SELECT t.doc_id, t.nt,
+      |    CASE WHEN ('0x' || substr(md5('split14' ||
+      |        coalesce(c.cluster_id, t.doc_id)::varchar), 1, 8))::bigint
+      |        % 100 < 80
+      |      THEN 'train' ELSE 'test' END AS split
+      |  FROM tok t LEFT JOIN comp c ON t.doc_id = c.id
+      |), crossp AS (
+      |  SELECT count(*)::bigint AS cross_dup_pairs
+      |  FROM dup d
+      |  JOIN lab a ON d.id_a = a.doc_id
+      |  JOIN lab b ON d.id_b = b.doc_id
+      |  WHERE a.split != b.split
+      |)
+      |SELECT split, count(*)::bigint AS n_docs,
+      |  sum(nt)::bigint AS n_tokens,
+      |  (SELECT cross_dup_pairs FROM crossp) AS cross_dup_pairs
+      |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.clusterAwareSplit(
+      t(s, dir, "documents"), "doc_id", "text",
+      salt = "split14", trainPct = 80)
+  }
+
   // dq8_containment — directional near-containment (|A∩B|/|A| >= 0.9):
   // the excerpt-of-larger-doc duplicates symmetric Jaccard misses.
   register(

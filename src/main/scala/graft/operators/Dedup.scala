@@ -1940,4 +1940,57 @@ object Dedup {
           col("n_tokens").cast("double"), 4)))
       .orderBy("source")
   }
+
+  /** Cluster-aware train/test split — the FIX for what
+    * [[graft.Queries]]' dq9 leakage gate detects: a per-document hash
+    * split puts near-duplicates on both sides of the boundary
+    * (train/test contamination, the eval-inflation bug), so the split
+    * unit here is the near-dup CLUSTER — every document in a
+    * component (star-contracted, singletons their own cluster) gets
+    * the cluster's deterministic hash label, and cross-split
+    * near-dup pairs are ZERO by construction. The report COMPUTES
+    * that count anyway (trust, then verify in the same query) beside
+    * each split's document and token mass.
+    *
+    * Scale shape: dq10's cluster machinery + one hash label + one
+    * |splits|-ary roll-up; the cross-pair check joins the (small)
+    * verified pair set against the labels twice. Returns
+    * `(split, n_docs, n_tokens, cross_dup_pairs)`. */
+  def clusterAwareSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      salt: String,
+      trainPct: Int,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct in (0, 100)")
+    val pairs = Lineage.cutLocal(minhashLshPairs(df, idCol, textCol,
+      shingleN, numHashes, bands, threshold))
+    val clusters = duplicateClustersStar(pairs)
+      .select(col("doc_id").as("__id"), col("cluster_id"))
+    val labeled = Lineage.cutLocal(df
+      .select(col(idCol).as("__id"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+          .as("__nt"))
+      .join(clusters, Seq("__id"), "left")
+      .withColumn("__cid", coalesce(col("cluster_id"), col("__id")))
+      .withColumn("split",
+        when(graft.operators.Sampling.hashBucket(
+          col("__cid"), salt, 100) < trainPct, "train")
+          .otherwise("test")))
+    val cross = pairs
+      .join(labeled.select(col("__id").as("id_a"),
+        col("split").as("__sa")), "id_a")
+      .join(labeled.select(col("__id").as("id_b"),
+        col("split").as("__sb")), "id_b")
+      .filter(col("__sa") =!= col("__sb"))
+      .agg(count(lit(1)).as("cross_dup_pairs"))
+    labeled.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+      .crossJoin(broadcast(cross))
+      .orderBy("split")
+  }
 }

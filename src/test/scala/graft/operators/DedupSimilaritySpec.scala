@@ -1650,6 +1650,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       ("s2", 2L, 8L, 0L, 0L, Some(0.0))), got.toString)
   }
 
+  test("clusterAwareSplit: near-dup clusters never straddle the " +
+      "boundary; a per-doc split on the same fixture would") {
+    // two near-dup families + singletons; family members MUST share a
+    // split whatever the hash does, and the in-query cross-pair count
+    // must read zero
+    val docs = Seq(
+      (1L, "a b c d", "s"), (2L, "a b c d", "s"),
+      (3L, "x y z w", "s"), (4L, "x y z w", "s"),
+      (5L, "p q r t", "s"), (6L, "m n o u", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.clusterAwareSplit(docs, "doc_id", "text",
+      salt = "spec", trainPct = 50)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._4).forall(_ == 0L), got.toString)
+    assert(got.map(_._2).sum == 6L && got.map(_._3).sum == 24L,
+      got.toString)
+    // the per-doc hash DOES split family {1,2} on this salt — the
+    // exact contamination the cluster unit prevents (guards the
+    // fixture against a salt where the comparison would be vacuous)
+    val perDoc = docs.select(
+      graft.operators.Sampling.hashBucket(col("doc_id"), "spec", 100)
+        .as("b")).as[Int].collect()
+    assert((perDoc(0) < 50) != (perDoc(1) < 50),
+      s"fixture salt no longer separates docs 1/2: ${perDoc.toSeq}")
+  }
+
   test("lshPlanner: closed-form s*, monotone threshold in bands, " +
       "degenerate designs lose to banded ones") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
