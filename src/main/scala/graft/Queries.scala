@@ -13449,15 +13449,21 @@ ORDER BY query_id"""
       "doc_id", store, "routed", s"$tmp/ckpt")
       .awaitTermination()
     // an all-valid (or all-bad) corpus legitimately leaves one arm
-    // empty — the left join reads it as zero, not as a missing row
+    // empty — the left join reads it as zero, not as a missing row;
+    // an EMPTY corpus never creates the schema at all (every batch
+    // skipped), which must read as two zero rows, not an error
     import s.implicits._
-    val counts = store.read("routed")
-      .groupBy(col(graft.streaming.StreamRunner.ArmCol).as("bucket"))
-      .agg(count(lit(1)).as("__n"))
-    Seq("clean", "quarantined").toDF("bucket")
-      .join(counts, Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("__n"), lit(0L)).as("n_docs"))
-      .orderBy("bucket")
+    val zero = Seq("clean", "quarantined").toDF("bucket")
+    if (!store.hasSchema("routed"))
+      zero.select(col("bucket"), lit(0L).as("n_docs")).orderBy("bucket")
+    else {
+      val counts = store.read("routed")
+        .groupBy(col(graft.streaming.StreamRunner.ArmCol).as("bucket"))
+        .agg(count(lit(1)).as("__n"))
+      zero.join(counts, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("__n"), lit(0L)).as("n_docs"))
+        .orderBy("bucket")
+    }
   }}
 
   // ---------------------------------------------------------------------

@@ -290,16 +290,19 @@ object Profile {
     val cells = df
       .groupBy(qi :+ col(sensitiveCol).as("__s"): _*)
       .agg(count(lit(1)).as("__c"))
-    val global = broadcast(df
-      .groupBy(col(sensitiveCol).as("__s"))
-      .agg(count(lit(1)).as("__gc"))
+    // global distribution and group sizes both derive FROM the cells
+    // frame (sum of exact cell counts == count(*)) — two dimension-
+    // sized aggregates instead of two more full-table scans
+    val cellsCut = Lineage.cutLocal(cells)
+    val global = broadcast(cellsCut
+      .groupBy("__s").agg(sum(col("__c")).as("__gc"))
       .crossJoin(broadcast(
-        df.agg(count(lit(1)).cast("double").as("__gn")))))
-    val groups = df.groupBy(qi: _*).agg(count(lit(1)).as("n"))
+        cellsCut.agg(sum(col("__c")).cast("double").as("__gn")))))
+    val groups = cellsCut.groupBy(qi: _*).agg(sum(col("__c")).as("n"))
     // full (group × value) grid: absent values keep their global mass
     groups
       .crossJoin(global)
-      .join(cells, qidCols :+ "__s", "left")
+      .join(cellsCut, qidCols :+ "__s", "left")
       .withColumn("__term", round(
         abs(coalesce(col("__c"), lit(0L)).cast("double") / col("n") -
           col("__gc").cast("double") / col("__gn")), 10)

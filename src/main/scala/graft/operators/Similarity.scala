@@ -1609,16 +1609,6 @@ object Similarity {
     * cannot). */
   val Ln2: Double = 0.6931471805599453
 
-  /** Ideal DCG@k when relevance grades are k..1 and the exact list is
-    * FULL (k rows) — the fixed-order driver sum kept for callers that
-    * want the constant; [[ndcgAtK]] itself normalizes by the PER-QUERY
-    * ideal computed from the exact side's actual grade list, so a
-    * query whose exact top-k is short (corpus smaller than k+1, or a
-    * filtered exact frame) can still score 1.0 on a perfect ranking. */
-  def idcgAtK(k: Int): Double =
-    (1 to k).map(i => (k + 1 - i).toDouble /
-      (math.log(i + 1.0) / Ln2)).sum
-
   /** NDCG@k of an approximate ranking against the exact one — the
     * graded companion to [[recallAtK]] (recall treats all k exact
     * neighbors alike; NDCG pays more for getting the TOP ones right

@@ -81,6 +81,13 @@ object FilesystemCommitPrimitive extends CommitPrimitive {
   private def marker(schemaDir: java.io.File, version: String) =
     new java.io.File(schemaDir, s"_TXN-$version")
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+    ()
+  }
+
   override def tryClaim(
       schemaDir: java.io.File,
       version: String,
@@ -91,9 +98,17 @@ object FilesystemCommitPrimitive extends CommitPrimitive {
     Option(schemaDir.listFiles((_, n) => n.startsWith("_TXN-v")))
       .getOrElse(Array.empty).foreach { f =>
         val v = f.getName.stripPrefix("_TXN-")
-        val dead = cur0.exists(_ >= v) ||
+        val committedPast = cur0.exists(_ >= v)
+        val expired =
           (System.currentTimeMillis() - f.lastModified()) > leaseMs
-        if (dead) f.delete()
+        // a lease-expired claimant ABOVE the pointer left a strand
+        // version directory too (crash between move and flip): sweep
+        // it here, in the claim phase — the COMMIT phase must never
+        // delete an existing target (a resumed zombie would be
+        // deleting the new owner's live generation; see transact)
+        if (!committedPast && expired)
+          rmTree(new java.io.File(schemaDir, v))
+        if (committedPast || expired) { f.delete(); () }
       }
     val token = java.util.UUID.randomUUID().toString
     try {

@@ -629,23 +629,42 @@ class ResultStore(spark: SparkSession, root: String) {
         // committing: from here the slot is ours unless we stall past
         // the lease. The marker is released ONLY on success — an
         // exception (crash) leaves it for the lease sweep, which is
-        // the recovery contract.
+        // the recovery contract. The commit phase NEVER deletes an
+        // existing target directory: expired claimants' strands are
+        // swept in the CLAIM phase (CommitPrimitive.tryClaim), so a
+        // target that exists here means our slot was swept out from
+        // under us and re-taken — deleting it would destroy the new
+        // owner's (possibly already-committed) generation. The move
+        // throws on an existing target; that and any IO failure while
+        // fenced convert to a lost race, not a crash.
         val target = versionDir(schema, claimed)
-        if (target.exists()) rmTree(target) // expired claimant's strand
-        java.nio.file.Files.move(staging.toPath, target.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        writeMeta(target, committedMeta(schema))
-        beforeSwapHook()
-        // FENCE: if this writer paused past the lease anywhere above,
-        // a sweeper re-claimed the slot (marker gone or foreign token)
-        // — publishing now would double-commit over the new owner.
-        // Abandon; our moved target dir is the strand the owner's own
-        // rmTree already handled or the next claimant sweeps.
-        if (!commitPrimitive.verifyClaim(schemaDir(schema), claimed, token))
-          return None
-        flipPointer(schema, claimed, keepPrevious = base)
-        commitPrimitive.release(schemaDir(schema), claimed, token)
-        Some(claimed)
+        try {
+          java.nio.file.Files.move(staging.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          writeMeta(target, committedMeta(schema))
+          beforeSwapHook()
+          // FENCE: if this writer paused past the lease anywhere
+          // above, a sweeper re-claimed the slot (marker gone or
+          // foreign token) — publishing now would double-commit over
+          // the new owner. Abandon; the moved dir is a strand the
+          // next claim-phase sweep collects.
+          if (!commitPrimitive.verifyClaim(schemaDir(schema), claimed,
+              token))
+            return None
+          flipPointer(schema, claimed, keepPrevious = base)
+          commitPrimitive.release(schemaDir(schema), claimed, token)
+          Some(claimed)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => None
+          case _: java.nio.file.DirectoryNotEmptyException => None
+          case e: java.io.IOException =>
+            // a zombie's mutation failing BECAUSE it was fenced
+            // (swept mid-commit) is a lost race; a genuine IO fault
+            // while still holding the claim must surface
+            if (!commitPrimitive.verifyClaim(schemaDir(schema), claimed,
+                token)) None
+            else throw e
+        }
       } finally {
         if (staging.exists()) rmTree(staging)
       }

@@ -275,7 +275,9 @@ object Registries {
       deltaOf: DataFrame => DataFrame,
       groupCols: Seq[String],
       statCols: Seq[String])
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(groupCols.headOption.contains("key"),
+      "groupCols must lead with the registry key")
     additiveCore(stream, store, schema, streamId, checkpoint) {
       (batch, txns, _) =>
         val delta = Lineage.cutLocal(deltaOf(batch))
@@ -293,6 +295,7 @@ object Registries {
         val stats = store.upsertPruned(schema, src, "key", meta = txns)
         onCommit(schema, stats)
     }
+  }
 
   /** The merge-on-read segmented additive skeleton: same replay map,
     * but the batch's delta aggregate APPENDS as its own segment
@@ -315,7 +318,9 @@ object Registries {
       deltaOf: DataFrame => DataFrame,
       groupCols: Seq[String],
       statCols: Seq[String])
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(groupCols.headOption.contains("key"),
+      "groupCols must lead with the registry key")
     additiveCore(stream, store, schema, streamId, checkpoint) {
       (batch, txns, meta) =>
         val compactEvery = math.max(2, batch.sparkSession.conf
@@ -344,6 +349,7 @@ object Registries {
           onCommit(schema, SegmentAppended(receipt))
         }
     }
+  }
 
   /** Shared micro-batch frame: AQE off for the burst, replay guard
     * via the per-stream `txn.` map (with the pre-r12 single-pair

@@ -1297,6 +1297,63 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.store.txnLeaseMs")
   }
 
+  test("transact zombie NEVER deletes the new owner's generation: a " +
+    "claimant resuming after its slot was swept and COMMITTED converts " +
+    "to a lost race, winner's data intact") {
+    val root = tmpDir()
+    val plain = new ResultStore(spark, root)
+    plain.upsertContended("t", Seq(KV(1, "base")).toDF(), "k")
+    val claimed = new java.util.concurrent.CountDownLatch(1)
+    val resume = new java.util.concurrent.CountDownLatch(1)
+    val paused = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // writer A pauses INSIDE its successful claim, BEFORE any slot-dir
+    // mutation — the window where the old code's rmTree(target) would
+    // have destroyed whatever the sweeping winner later put there
+    val pausing = new ResultStore(spark, root) {
+      override protected def commitPrimitive: CommitPrimitive =
+        new CommitPrimitive {
+          def tryClaim(d: java.io.File, v: String, b: Option[String],
+              cur: () => Option[String], lease: Long): Option[String] = {
+            val r = FilesystemCommitPrimitive.tryClaim(d, v, b, cur, lease)
+            if (r.isDefined && paused.compareAndSet(false, true)) {
+              claimed.countDown()
+              resume.await(120, java.util.concurrent.TimeUnit.SECONDS)
+              ()
+            }
+            r
+          }
+          def verifyClaim(d: java.io.File, v: String, t: String) =
+            FilesystemCommitPrimitive.verifyClaim(d, v, t)
+          def release(d: java.io.File, v: String, t: String) =
+            FilesystemCommitPrimitive.release(d, v, t)
+        }
+    }
+    spark.conf.set("spark.graft.store.txnLeaseMs", "500")
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val a = new Thread(() =>
+        try pausing.transact("t") { cur =>
+          cur.get.unionByName(Seq(KV(2, "a")).toDF())
+        } catch { case t: Throwable => errs.add(t) })
+      a.start()
+      assert(claimed.await(120, java.util.concurrent.TimeUnit.SECONDS))
+      Thread.sleep(600) // A's lease expires while it holds the claim
+      // B sweeps A's marker, claims the SAME slot, commits, and FLIPS:
+      // the slot's directory is now the live committed generation
+      plain.upsertContended("t", Seq(KV(3, "b")).toDF(), "k")
+      val bGen = plain.committedVersion("t").get
+      resume.countDown()
+      a.join(120000)
+      assert(errs.isEmpty, errs.toArray.mkString("; "))
+      // B's generation was never touched: still committed OR retained,
+      // its rows intact, and A's update landed on top via rebase
+      assert(tableState(plain, "t") ==
+        Map(1L -> "base", 2L -> "a", 3L -> "b"))
+      assert(plain.readVersion("t", bGen).count() == 2L,
+        "winner's generation directory must survive the zombie")
+    } finally spark.conf.unset("spark.graft.store.txnLeaseMs")
+  }
+
   test("deep retention horizon: pinned generation reads survive commits " +
     "inside the horizon; age floor keeps young generations beyond the " +
     "count; past both horizons GC reclaims") {
