@@ -15,15 +15,18 @@ package graft.sources
   *    of a per-slot marker file carrying a per-claim fencing TOKEN,
   *    plus a lease sweep for crashed claimants. Correct on any
   *    filesystem with atomic create (local, NFSv4, HDFS).
-  *  - An object-store deployment implements this trait with the
-  *    store's native conditional write and DROPS the lease entirely:
+  *  - [[ConditionalPutCommitPrimitive]]: a TRUE conditional put
+  *    (atomic compare-and-insert) with NO lease and NO time-based
+  *    sweep — the in-process model of what an object-store deployment
+  *    implements with the store's native conditional write:
   *    S3 `PutObject If-None-Match: *` (no sweep needed — a crashed
   *    claimant's marker is deleted by lifecycle policy or by the
   *    winner of the NEXT slot observing the pointer has moved past
-  *    it), GCS `x-goods-if-generation-match: 0`, Azure
+  *    it), GCS `x-goog-if-generation-match: 0`, Azure
   *    `If-None-Match: *`. With a true conditional put, `verifyClaim`
-  *    can re-read the object and compare the token — same contract,
-  *    no time-based assumption anywhere.
+  *    re-reads the slot and compares the token — same contract,
+  *    no time-based assumption anywhere. Selected per session via
+  *    `spark.graft.store.commitPrimitive = conditional-put`.
   *
   * Fencing contract (what closes the double-claim window the lease
   * alone leaves open): `tryClaim` returns a TOKEN unique to this
@@ -35,9 +38,13 @@ package graft.sources
   * The residual window is the verify→flip instruction gap itself
   * (microseconds, vs the lease's tens of seconds): entering it
   * requires a writer to pause past the LEASE between two adjacent
-  * filesystem calls after already proving liveness at the verify — an
-  * object-store conditional put on the pointer itself is the
-  * principled fix and slots in through this trait. */
+  * filesystem calls after already proving liveness at the verify — a
+  * true conditional put closes it STRUCTURALLY, because with no lease
+  * nothing ever sweeps a live claim, so a claim that passes the verify
+  * cannot change hands before the flip ([[ConditionalPutCommitPrimitive]]
+  * proves the trait contract is sufficient without any time-based
+  * assumption; SourcesSpec drives the same claim-pause-sweep-resume
+  * races through both implementations). */
 trait CommitPrimitive {
 
   /** Attempt to claim commit slot `version` on top of committed
@@ -105,9 +112,23 @@ object FilesystemCommitPrimitive extends CommitPrimitive {
         // version directory too (crash between move and flip): sweep
         // it here, in the claim phase — the COMMIT phase must never
         // delete an existing target (a resumed zombie would be
-        // deleting the new owner's live generation; see transact)
-        if (!committedPast && expired)
-          rmTree(new java.io.File(schemaDir, v))
+        // deleting the new owner's live generation; see transact).
+        // "Not committed" must NOT be decided from the cur0 snapshot
+        // alone: a lease-expired-but-alive claimant can pass its
+        // verify and FLIP this slot in after cur0 was read, making
+        // the strand the live committed generation. Check the
+        // generation's own _COMMITTED marker (stamped at flip time)
+        // and re-read the pointer immediately before deleting — the
+        // remaining exposure collapses back to the verify→flip
+        // instruction gap the trait doc acknowledges, not a whole
+        // snapshot-to-sweep window.
+        if (!committedPast && expired) {
+          val gen = new java.io.File(schemaDir, v)
+          val committedMeanwhile =
+            new java.io.File(gen, "_COMMITTED").exists() ||
+              currentVersion().exists(_ >= v)
+          if (!committedMeanwhile) rmTree(gen)
+        }
         if (committedPast || expired) { f.delete(); () }
       }
     val token = java.util.UUID.randomUUID().toString
@@ -129,8 +150,114 @@ object FilesystemCommitPrimitive extends CommitPrimitive {
       java.nio.charset.StandardCharsets.UTF_8) == token
     catch { case _: java.io.IOException => false }
 
+  /** Token-checked delete. NOT atomic on a plain filesystem (verify,
+    * then delete): between the two calls a sweeper can delete this
+    * marker and a new claimant re-create it, and the delete then
+    * removes the NEW owner's claim. Consequence bound: the new owner
+    * fails its own verify at the flip and rebases — claim churn, never
+    * a lost update or double commit (the pointer flip is still fenced).
+    * An atomic-rename repair would open a worse window (the marker
+    * name transiently free invites a THIRD claim, and the rename-back
+    * can clobber it), so the window is documented instead;
+    * [[ConditionalPutCommitPrimitive.release]] is genuinely atomic
+    * (compare-and-remove), which is the upgrade path. */
   override def release(
       schemaDir: java.io.File, version: String, token: String): Unit =
     if (verifyClaim(schemaDir, version, token))
       marker(schemaDir, version).delete()
+}
+
+/** [[CommitPrimitive]] over a TRUE conditional put — an in-process
+  * atomic compare-and-insert, modeling exactly what S3
+  * `If-None-Match: *` / GCS `x-goog-if-generation-match: 0` / a
+  * server-side-MVCC store (the reference's Postgres/Redis backends,
+  * `nexus/backends/stores/postgres_store.py`) give a multi-writer
+  * commit: first PUT of a slot wins, verification re-reads the slot,
+  * release is an atomic token-checked remove.
+  *
+  * NO lease, NO time-based sweep — the property that closes the
+  * filesystem impl's verify→flip window structurally: a claim above
+  * the committed pointer is never touched by another writer, so a
+  * claimant that passes [[verifyClaim]] cannot lose the slot before
+  * its flip. Dead claims are collected by the pointer itself: a slot
+  * at/below the committed pointer can never flip (winners move the
+  * pointer BEFORE releasing), so claimants drop such entries on their
+  * way in — the in-process analog of "the winner of the next slot
+  * observes the pointer moved past the stale object". A claimant that
+  * CRASHES while holding an above-pointer claim blocks that slot until
+  * [[expire]] (the lifecycle-policy / operator-action analog; a real
+  * S3 deployment sets an object-lifecycle age far above any pause a
+  * live writer intends to survive) — racing writers see bounded claim
+  * losses and surface [[java.util.ConcurrentModificationException]]
+  * from transact, never silent divergence.
+  *
+  * Claims are JVM-global (keyed by the schema dir's canonical path +
+  * slot), shared across [[ResultStore]] instances over the same root —
+  * the single-authority shape of the object store being modeled.
+  * Selected via `spark.graft.store.commitPrimitive = conditional-put`. */
+object ConditionalPutCommitPrimitive extends CommitPrimitive {
+
+  private val claims =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def key(schemaDir: java.io.File, version: String): String =
+    schemaDir.getCanonicalPath + "#" + version
+
+  override def tryClaim(
+      schemaDir: java.io.File,
+      version: String,
+      base: Option[String],
+      currentVersion: () => Option[String],
+      leaseMs: Long): Option[String] = {
+    val cur0 = currentVersion()
+    // dead-claim collection: slots at/below the committed pointer are
+    // unwinnable by definition. This is the ONLY sweeping that exists
+    // here — live above-pointer claims are untouchable (no lease).
+    val prefix = schemaDir.getCanonicalPath + "#"
+    claims.keySet.removeIf(k =>
+      k.startsWith(prefix) && cur0.exists(_ >= k.stripPrefix(prefix)))
+    val token = java.util.UUID.randomUUID().toString
+    if (claims.putIfAbsent(key(schemaDir, version), token) == null) {
+      // same post-claim pointer re-check as the filesystem impl: a
+      // create succeeding on a RECYCLED slot name means this writer
+      // is a full generation behind
+      if (currentVersion() == base) Some(token)
+      else { release(schemaDir, version, token); None }
+    } else None
+  }
+
+  override def verifyClaim(
+      schemaDir: java.io.File, version: String, token: String): Boolean =
+    token == claims.get(key(schemaDir, version))
+
+  /** Atomic token-checked remove — the release the filesystem impl
+    * can only approximate (its verify-then-delete window is documented
+    * there). A stale releaser whose slot was re-claimed removes
+    * nothing. */
+  override def release(
+      schemaDir: java.io.File, version: String, token: String): Unit = {
+    claims.remove(key(schemaDir, version), token)
+    ()
+  }
+
+  /** Lifecycle-policy / operator-action analog: unconditionally drop a
+    * CRASHED claimant's claim and its strand generation directory (if
+    * the slot never committed), freeing the slot. The deployment
+    * contract is that this fires only at ages far beyond any pause a
+    * live writer intends to survive — the race spec uses it to model
+    * crash recovery, never to model sweeping a live writer. */
+  def expire(schemaDir: java.io.File, version: String): Unit = {
+    val gen = new java.io.File(schemaDir, version)
+    if (!new java.io.File(gen, "_COMMITTED").exists() && gen.isDirectory) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+        ()
+      }
+      rm(gen)
+    }
+    claims.remove(key(schemaDir, version))
+    ()
+  }
 }

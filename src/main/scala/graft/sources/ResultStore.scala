@@ -573,11 +573,18 @@ class ResultStore(spark: SparkSession, root: String) {
     .getOption("spark.graft.store.txnLeaseMs").map(_.toLong)
     .getOrElse(60000L)
 
-  /** The conditional-put implementation [[transact]] commits through.
-    * Override to swap in an object store's native conditional write
-    * (S3 If-None-Match, GCS generation-match — [[CommitPrimitive]]'s
-    * doc), or to instrument the claim protocol in a spec. */
-  protected def commitPrimitive: CommitPrimitive = FilesystemCommitPrimitive
+  /** The conditional-put implementation [[transact]] commits through:
+    * [[FilesystemCommitPrimitive]] (atomic CREATE_NEW + lease sweep +
+    * fencing token) by default, [[ConditionalPutCommitPrimitive]] (a
+    * true compare-and-insert, no lease — the object-store model) when
+    * `spark.graft.store.commitPrimitive = conditional-put`. Override
+    * to swap in an object store's native conditional write (S3
+    * If-None-Match, GCS generation-match — [[CommitPrimitive]]'s doc),
+    * or to instrument the claim protocol in a spec. */
+  protected def commitPrimitive: CommitPrimitive =
+    if (spark.conf.getOption("spark.graft.store.commitPrimitive")
+        .contains("conditional-put")) ConditionalPutCommitPrimitive
+    else FilesystemCommitPrimitive
 
   /** Multi-writer transactional commit: derive the table's next
     * contents from its pinned committed generation, claim the next

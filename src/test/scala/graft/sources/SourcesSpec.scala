@@ -1508,4 +1508,182 @@ class SourcesSpec extends AnyFunSuite {
     clean.restoreVersion("t", old)
     assert(clean.read("t").as[KV].collect().toSeq == Seq(KV(1, "a")))
   }
+
+  // ---------------------------------------------------------------
+  // ConditionalPutCommitPrimitive — the true-conditional-put impl:
+  // the same claim-pause-sweep-resume races as the filesystem specs
+  // above, proving (a) the trait contract is sufficient WITHOUT a
+  // lease, and (b) the verify→flip window the filesystem impl
+  // documents is structurally closed here.
+
+  private def withConditionalPut[T](body: => T): T = {
+    spark.conf.set("spark.graft.store.commitPrimitive", "conditional-put")
+    try body
+    finally spark.conf.unset("spark.graft.store.commitPrimitive")
+  }
+
+  test("conditional-put: a live claimant paused past ANY lease is " +
+    "never swept — it commits on its first attempt (verify→flip " +
+    "window closed), the contender is refused while the claim lives") {
+    withConditionalPut {
+      val root = tmpDir()
+      val plain = new ResultStore(spark, root)
+      plain.upsertContended("t", Seq(KV(1, "base")).toDF(), "k")
+      val claimedL = new java.util.concurrent.CountDownLatch(1)
+      val resume = new java.util.concurrent.CountDownLatch(1)
+      @volatile var attempts = 0
+      // A pauses right before the fencing verify (beforeSwapHook sits
+      // exactly there in transact) — the same interleaving that FENCES
+      // a lease-expired claimant on the filesystem impl
+      val pausing = new ResultStore(spark, root) {
+        override protected def beforeSwapHook(): Unit =
+          if (attempts == 1) {
+            claimedL.countDown()
+            resume.await(120, java.util.concurrent.TimeUnit.SECONDS)
+            ()
+          }
+      }
+      // a 1 ms "lease": the conditional-put impl must IGNORE it —
+      // liveness is structural, not time-based
+      spark.conf.set("spark.graft.store.txnLeaseMs", "1")
+      try {
+        val errs =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val a = new Thread(() =>
+          try pausing.transact("t") { cur =>
+            attempts += 1
+            cur.get.unionByName(Seq(KV(2, "a")).toDF())
+          } catch { case t: Throwable => errs.add(t) })
+        a.start()
+        assert(claimedL.await(120, java.util.concurrent.TimeUnit.SECONDS),
+          "writer A never reached its claim")
+        Thread.sleep(50) // any time-based lease is long expired now
+        // B cannot take A's live claim: bounded attempts are refused
+        // (on the filesystem impl this exact interleaving has B WIN
+        // and A fenced — the documented contract difference)
+        intercept[java.util.ConcurrentModificationException](
+          plain.upsertContended("t", Seq(KV(3, "b")).toDF(), "k",
+            maxAttempts = 2))
+        resume.countDown()
+        a.join(120000)
+        assert(errs.isEmpty, errs.toArray.mkString("; "))
+        assert(attempts == 1,
+          s"nothing can fence a live conditional-put claimant; A must " +
+            s"commit on attempt 1, took $attempts")
+        assert(tableState(plain, "t") == Map(1L -> "base", 2L -> "a"))
+        // with A's flip past the slot, B's retry claims cleanly
+        plain.upsertContended("t", Seq(KV(3, "b")).toDF(), "k")
+        assert(tableState(plain, "t") ==
+          Map(1L -> "base", 2L -> "a", 3L -> "b"))
+      } finally spark.conf.unset("spark.graft.store.txnLeaseMs")
+    }
+  }
+
+  test("conditional-put: a CRASHED claim blocks its slot until the " +
+    "lifecycle expire (no silent sweep), then recovery commits; the " +
+    "strand never becomes visible") {
+    withConditionalPut {
+      val root = tmpDir()
+      val store = new ResultStore(spark, root)
+      store.upsertContended("t", Seq(KV(1, "a")).toDF(), "k")
+      val crashy = new ResultStore(spark, root) {
+        override protected def beforeSwapHook(): Unit =
+          throw new RuntimeException("crash between claim and flip")
+      }
+      intercept[RuntimeException](
+        crashy.upsertContended("t", Seq(KV(2, "b")).toDF(), "k"))
+      assert(tableState(store, "t") == Map(1L -> "a"))
+      // the dead claim holds the slot — a competitor's bounded
+      // attempts surface loudly instead of silently diverging
+      intercept[java.util.ConcurrentModificationException](
+        store.upsertContended("t", Seq(KV(3, "c")).toDF(), "k",
+          maxAttempts = 2))
+      assert(tableState(store, "t") == Map(1L -> "a"))
+      // lifecycle policy / operator action frees slot + strand dir
+      ConditionalPutCommitPrimitive.expire(
+        new java.io.File(s"$root/t"), "v00000002")
+      store.upsertContended("t", Seq(KV(2, "b2")).toDF(), "k")
+      assert(tableState(store, "t") == Map(1L -> "a", 2L -> "b2"))
+      val stranded = new java.io.File(s"$root/t").listFiles()
+        .filter(_.getName.startsWith(".staged-"))
+      assert(stranded.isEmpty, stranded.mkString(", "))
+    }
+  }
+
+  test("conditional-put: two live threads over one root converge to " +
+    "the serial result, no stranded claims") {
+    withConditionalPut {
+      val root = tmpDir()
+      val store = new ResultStore(spark, root)
+      store.upsertContended("t",
+        Seq(KV(1, "z"), KV(2, "z"), KV(3, "z"), KV(4, "z")).toDF(), "k")
+      val aSeq = Seq(Seq(KV(2, "a1")), Seq(KV(4, "a2")))
+      val bSeq = Seq(Seq(KV(1, "b1")), Seq(KV(3, "b2")))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(aSeq, bSeq).map { seq =>
+        new Thread(() =>
+          try seq.foreach(rows => store.upsertContended("t", rows.toDF(), "k"))
+          catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      assert(errs.isEmpty, errs.toArray.mkString("; "))
+      assert(tableState(store, "t") ==
+        Map(1L -> "b1", 2L -> "a1", 3L -> "b2", 4L -> "a2"))
+      val leftovers = new java.io.File(s"$root/t").listFiles()
+        .filter(f => f.getName.startsWith("_TXN-") ||
+          f.getName.startsWith(".staged-"))
+      assert(leftovers.isEmpty, leftovers.mkString(", "))
+    }
+  }
+
+  test("q40/q51 gate queries run green under BOTH commit primitives " +
+    "with identical results") {
+    val sf = "/root/testdata/sf0.001"
+    for (name <- Seq("q40_cas_commit", "q51_concurrent_writers")) {
+      val fn = graft.SparkEntry.queries(name)
+      val fsRows = fn(spark, sf).collect().map(_.toString).toSeq
+      val cpRows = withConditionalPut {
+        fn(spark, sf).collect().map(_.toString).toSeq
+      }
+      assert(fsRows == cpRows, s"$name diverged across commit primitives")
+      assert(fsRows.nonEmpty, s"$name returned no rows")
+    }
+  }
+
+  test("filesystem sweep: a strand directory that became the COMMITTED " +
+    "generation between the pointer snapshot and the sweep is never " +
+    "deleted (stale-snapshot rmTree hazard)") {
+    val root = tmpDir()
+    val store = new ResultStore(spark, root)
+    store.upsertContended("t", Seq(KV(1, "a")).toDF(), "k")
+    val dir = new java.io.File(s"$root/t")
+    // construct the hazard directly at the primitive: an expired
+    // foreign marker on v00000002 whose generation ALREADY committed
+    // (its _COMMITTED marker is stamped and the live pointer reaches
+    // it) while the sweeping claimant still holds the OLD pointer
+    // snapshot (base = v00000001). Before the r15 fix the sweep
+    // decided "not committed" from that stale snapshot and rmTree'd
+    // the winner's live generation.
+    store.upsertContended("t", Seq(KV(2, "b")).toDF(), "k") // commits v2
+    val marker = new java.io.File(dir, "_TXN-v00000002")
+    java.nio.file.Files.write(marker.toPath, "zombie-token".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    assert(marker.setLastModified(1000L)) // ancient — lease long gone
+    // sweep runs inside a claim whose cur0 SNAPSHOT (first pointer
+    // read) is the stale base v1 — the flip to v2 landed between that
+    // read and the sweep; later reads see the truth
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    val token = FilesystemCommitPrimitive.tryClaim(
+      dir, "v00000002", Some("v00000001"),
+      () => if (reads.incrementAndGet() == 1) Some("v00000001")
+            else Some("v00000002"),
+      leaseMs = 1L)
+    // the claim itself loses (post-create pointer re-check sees v2)
+    assert(token.isEmpty)
+    // but the committed generation SURVIVED the sweep
+    assert(new java.io.File(dir, "v00000002").isDirectory,
+      "sweep deleted the committed generation from a stale snapshot")
+    assert(tableState(store, "t") == Map(1L -> "a", 2L -> "b"))
+    assert(!marker.exists(), "the dead marker itself is swept")
+  }
 }
