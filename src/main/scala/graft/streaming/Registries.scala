@@ -328,7 +328,17 @@ object Registries {
           .map(_.toInt).getOrElse(8))
         val delta = Lineage.cutLocal(deltaOf(batch))
           .repartitionByRange(registryPartitions, col("key"))
-        val segs = meta.get(SegmentsKey).map(_.toInt).getOrElse(0)
+        // missing SegmentsKey on an EXISTING schema means an
+        // out-of-band commit (manual overwriteWithMeta, a pruned-path
+        // writer) replaced the metadata and dropped the counter —
+        // treating that as 0 would defer compaction by up to
+        // compactEvery batches EVERY time it happens, letting read
+        // cost grow unbounded while reads stay correct. Fail safe the
+        // other way: force a compaction, which re-establishes both the
+        // counter and the key-range sidecar in one registry-sized
+        // commit.
+        val segs = meta.get(SegmentsKey).map(_.toInt).getOrElse(
+          if (store.hasSchema(schema)) compactEvery else 0)
         if (store.hasSchema(schema) && segs + 1 >= compactEvery) {
           // compaction commit: merge base + segments + this delta into
           // a fresh range-partitioned base WITH a key-range sidecar

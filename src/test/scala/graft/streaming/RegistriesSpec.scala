@@ -281,6 +281,102 @@ class RegistriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.registry.compactSegments")
   }
 
+  test("segmented read amplification: files opened per read grow " +
+      "EXACTLY linearly in live segments (4/8/32) and the merged " +
+      "readout stays exact at 32 live segments") {
+    // drive appendSegment directly (the write primitive under
+    // additiveSegmented) so the segment count is an explicit axis —
+    // including the pathological 32 a mis-tuned compaction cadence
+    // would reach. Every delta is 40 keys in 2 files, so each segment
+    // must add exactly its own files to every later read: a re-link /
+    // duplication bug shows up as a superlinear file count, the
+    // quadratic this pin exists to catch.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ramp").toString
+    val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+    def delta() = (0 until 40).map(t => (f"tok$t%02d", 1L))
+      .toDF("key", "n").repartition(2)
+    store.overwriteWithStats("tok", delta(), "key")
+    def files() = store.read("tok").inputFiles.distinct.length
+    val opened = scala.collection.mutable.Map(0 -> files())
+    var segBytes = List.empty[Long]
+    (1 to 32).foreach { s =>
+      val receipt = store.appendSegment("tok", delta())
+      segBytes ::= receipt.newBytes
+      if (Set(4, 8, 32)(s)) opened(s) = files()
+    }
+    // exact linear growth: equal per-segment slope between every pair
+    // of checkpoints (4→8 adds 4 segments, 8→32 adds 24 = 6× as many)
+    assert((opened(8) - opened(4)) * 6 == opened(32) - opened(8),
+      opened.toString)
+    assert(opened(4) - opened(0) == (opened(8) - opened(4)),
+      opened.toString)
+    // written bytes per segment stay flat while the generation grows 33×
+    assert(segBytes.max <= (segBytes.min * 3) / 2, segBytes.toString)
+    // merged readout at 32 live segments: base + 32 deltas = 33 each
+    val got = Registries.readTokenCounts(store, "tok").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
+    assert(got.size == 40 && got.values.forall(_ == 33L), got.toString)
+  }
+
+  test("a lost SegmentsKey (out-of-band metadata-replacing commit) " +
+      "forces compaction on the next batch instead of deferring it — " +
+      "segment count cannot grow unbounded") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-segk").toString
+    writeDocFiles(tmp, Seq("a b", "b c", "c d"))
+    val store = new graft.sources.ResultStore(spark, s"$tmp/store")
+    val commits = scala.collection.mutable.ArrayBuffer
+      .empty[Registries.RegistryCommit]
+    spark.conf.set("spark.graft.registry.compactSegments", "8")
+    try {
+      Registries.incrementalTokenCounts(
+        StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "text", store, "tok", "s1", s"$tmp/ckpt",
+        registryPartitions = 2,
+        onCommit = (_, c) => commits.synchronized { commits += c })
+        .awaitTermination()
+      assert(commits.toList.forall {
+        case _: Registries.SegmentAppended => true
+        case _ => false
+      }, commits.toString)
+      // an out-of-band writer replaces the metadata wholesale and
+      // drops the counter (it keeps the txn map — its job is metadata
+      // surgery, not disarming the replay guard)
+      store.overwriteWithMeta("tok",
+        Registries.readTokenCounts(store, "tok"),
+        store.committedMeta("tok").filter(_._1.startsWith("txn.")))
+      assert(store.committedMeta("tok").get(Registries.SegmentsKey).isEmpty)
+      commits.clear()
+      // batch 4 arrives: the missing counter must force a COMPACTION
+      // (getOrElse(0) would instead append for up to compactEvery more
+      // batches, every lost counter deferring compaction again)
+      val extra = new java.io.File(s"$tmp/stage-extra")
+      Seq(Tuple1("d e")).toDF("text").coalesce(1)
+        .write.mode("overwrite").parquet(extra.getPath)
+      val part = extra.listFiles().find(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$tmp/in", "d003.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + 3 * 60000L)
+      Registries.incrementalTokenCounts(
+        StreamRunner.parquetStream(spark, s"$tmp/in", 1),
+        "text", store, "tok", "s1", s"$tmp/ckpt",
+        registryPartitions = 2,
+        onCommit = (_, c) => commits.synchronized { commits += c })
+        .awaitTermination()
+      assert(commits.toList.map {
+        case _: Registries.Compacted => "cmp"
+        case _: Registries.SegmentAppended => "seg"
+      } == List("cmp"), commits.toString)
+      // counter re-established through the compaction commit
+      assert(store.committedMeta("tok").get(Registries.SegmentsKey)
+        .contains("0"))
+      val got = Registries.readTokenCounts(store, "tok").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
+      assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 2L,
+        "e" -> 1L), got.toString)
+    } finally spark.conf.unset("spark.graft.registry.compactSegments")
+  }
+
   test("incrementalBigramCounts: adjacent pairs equal the one-shot " +
       "aggregate for any batch split; components ride the key") {
     val rows = Seq(Tuple1("a b a"), Tuple1("b a"), Tuple1("solo"))
