@@ -9302,14 +9302,14 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
-  // sq21_negative_sampling — word2vec unigram^(3/4) negative-sampling
+  // sq37_negative_sampling — word2vec unigram^(3/4) negative-sampling
   // table over the documents vocabulary
   // (TextAnalysis.negativeSamplingTable): libm-free √(c·√c) weights in
   // integer units, EXACT decimal cumulative bounds in token order,
   // 10000 md5-uniform draws mapped by ⌊h·Z/2³²⌋ integer targets —
   // no float comparison anywhere in either engine.
   register(
-    "sq21_negative_sampling",
+    "sq37_negative_sampling",
     """WITH cnt AS (
       |  SELECT tok AS t, count(*)::bigint AS c
       |  FROM (SELECT unnest(list_filter(
@@ -13234,6 +13234,135 @@ ORDER BY query_id"""
     graft.operators.Similarity.knnShapley(
       emb, emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", "label", k = 5, top = 10)
+  }
+
+  // ---------------------------------------------------------------------
+  // sq36_shapley_truncated — KNN-Shapley's 100-TB serve path
+  // (Similarity.knnShapleyTruncated): the sq35 recursion computed over
+  // the deterministic seed-IVF top-40 shortlist per query instead of
+  // the whole corpus. Truncation shifts every in-shortlist value by one
+  // per-query constant (the operator doc's factoring), so the ordering
+  // among shortlisted points is exact — what it can change is top-10
+  // MEMBERSHIP, and that is precisely what the gate output measures:
+  // each truncated top-10 row carries in_exact10, its membership in the
+  // exact (full-corpus) top-10. The oracle replays BOTH paths — the
+  // sq35 exact recursion and the sq2 IVF shortlist + truncated
+  // recursion — and joins them, so overlap is exact, not sampled.
+  register(
+    "sq36_shapley_truncated",
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), q AS (SELECT * FROM n WHERE vec_id < 5),
+      |g AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |         CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS m,
+      |         round(list_sum(list_transform(list_zip(q.v, c.v),
+      |               p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) AS cos
+      |  FROM q JOIN n c ON c.vec_id != q.vec_id
+      |), r AS (
+      |  SELECT query_id, vec_id, m,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cos DESC, vec_id) AS rk,
+      |         count(*) OVER (PARTITION BY query_id) AS nn
+      |  FROM g
+      |), inc AS (
+      |  SELECT query_id, vec_id, rk,
+      |    round(CASE WHEN lead(m) OVER w IS NULL THEN m::double / nn
+      |      ELSE (m - lead(m) OVER w)::double *
+      |           least(5.0, rk::double) / (5.0 * rk) END,
+      |      12)::decimal(28,12) AS e
+      |  FROM r WINDOW w AS (PARTITION BY query_id ORDER BY rk)
+      |), s AS (
+      |  SELECT query_id, vec_id,
+      |    round(sum(e) OVER (PARTITION BY query_id ORDER BY rk
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::double, 6)
+      |      + 0.0 AS shapley
+      |  FROM inc
+      |), exact10 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY shapley DESC, vec_id) AS vrank
+      |    FROM s)
+      |  WHERE vrank <= 10
+      |), seeds AS (
+      |  SELECT vec_id AS cell_id, v AS sv, nrm AS snrm
+      |  FROM n ORDER BY vec_id LIMIT 16
+      |), cells AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT n.vec_id, s.cell_id,
+      |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |             round(list_sum(list_transform(list_zip(n.v, s.sv),
+      |                   p -> p[1] * p[2])) / (n.nrm * s.snrm), 4) DESC,
+      |                 s.cell_id) AS rk
+      |    FROM n CROSS JOIN seeds s)
+      |  WHERE rk = 1
+      |), probes AS (
+      |  SELECT q.vec_id AS query_id, s.cell_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_sum(list_transform(list_zip(q.v, s.sv),
+      |                 p -> p[1] * p[2])) / (q.nrm * s.snrm), 4) DESC,
+      |               s.cell_id) AS pr
+      |  FROM q CROSS JOIN seeds s
+      |), short AS (
+      |  SELECT query_id, vec_id, m, rk, count(*) OVER (
+      |    PARTITION BY query_id) AS nn
+      |  FROM (
+      |    SELECT p.query_id, c.vec_id,
+      |           CASE WHEN cn.label = qn.label THEN 1 ELSE 0 END AS m,
+      |           row_number() OVER (PARTITION BY p.query_id ORDER BY
+      |             round(list_sum(list_transform(list_zip(qn.v, cn.v),
+      |                   p2 -> p2[1] * p2[2])) / (qn.nrm * cn.nrm), 4)
+      |               DESC, c.vec_id) AS rk
+      |    FROM probes p
+      |    JOIN cells c USING (cell_id)
+      |    JOIN n cn ON c.vec_id = cn.vec_id
+      |    JOIN q qn ON p.query_id = qn.vec_id
+      |    WHERE p.pr <= 4 AND c.vec_id != p.query_id)
+      |  WHERE rk <= 40
+      |), tinc AS (
+      |  SELECT query_id, vec_id, rk,
+      |    round(CASE WHEN lead(m) OVER w IS NULL THEN m::double / nn
+      |      ELSE (m - lead(m) OVER w)::double *
+      |           least(5.0, rk::double) / (5.0 * rk) END,
+      |      12)::decimal(28,12) AS e
+      |  FROM short WINDOW w AS (PARTITION BY query_id ORDER BY rk)
+      |), ts AS (
+      |  SELECT query_id, vec_id,
+      |    round(sum(e) OVER (PARTITION BY query_id ORDER BY rk
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::double, 6)
+      |      + 0.0 AS shapley
+      |  FROM tinc
+      |), trunc10 AS (
+      |  SELECT query_id, vec_id, shapley, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY shapley DESC, vec_id) AS vrank
+      |  FROM ts
+      |  QUALIFY vrank <= 10
+      |)
+      |SELECT t.query_id, t.vrank, t.vec_id, t.shapley,
+      |       CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END::bigint
+      |         AS in_exact10
+      |FROM trunc10 t
+      |LEFT JOIN exact10 x
+      |  ON t.query_id = x.query_id AND t.vec_id = x.vec_id
+      |ORDER BY t.query_id, t.vrank""".stripMargin
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 5)
+    val trunc = graft.operators.Similarity.knnShapleyTruncated(
+      emb, qs, "vec_id", "embedding", "label",
+      k = 5, numCells = 16, nProbe = 4, shortlist = 40, top = 10)
+    val exact = graft.operators.Similarity.knnShapley(
+        emb, qs, "vec_id", "embedding", "label", k = 5, top = 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("__in"))
+    trunc.join(exact, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("vrank"), col("vec_id"), col("shapley"),
+        coalesce(col("__in"), lit(0L)).as("in_exact10"))
+      .orderBy("query_id", "vrank")
   }
 
   // ---------------------------------------------------------------------

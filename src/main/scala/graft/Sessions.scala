@@ -20,6 +20,16 @@ object Sessions {
     // iterative operators checkpoint per round when a checkpoint dir is
     // configured; let the ContextCleaner delete superseded round files
     .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+    // the ContextCleaner only unregisters shuffles/broadcasts when a GC
+    // proves them unreachable, and its own GC kick defaults to every
+    // 30 MINUTES — a long-lived driver running hundreds of queries
+    // accumulates thousands of dead shuffle registrations and broadcast
+    // blocks between kicks, and every later multi-stage job pays for
+    // them (the r14 driver sweep measured aq44 at 8.6× its isolated
+    // steady; the gradient was monotone in session age). One minute
+    // bounds the backlog at ~a query's worth; the periodic System.gc()
+    // runs on the cleaner thread, off every query's timed path.
+    .config("spark.cleaner.periodicGC.interval", "1min")
 
   def local(cpus: String, appName: String): SparkSession = {
     val s = tune(SparkSession.builder()

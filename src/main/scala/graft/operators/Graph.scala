@@ -42,9 +42,17 @@ object Graph {
   // iterative trajectories build their rounds inside Lineage.withoutAqe
   // (see its scaladoc for the measured job-count rationale); round
   // frames LAZY-cut since r14 — the lazy localCheckpoint boundaries
-  // collapse per-round scheduling into the downstream consumer's job
+  // collapse per-round scheduling into ONE materialization job
   // (aq44 steady 6.5→4.3 s, warmup 19.6→10.7 s measured same-box;
-  // GraphSpec pins the job-count ceiling so a regression fails loudly)
+  // GraphSpec pins the job-count ceiling so a regression fails loudly).
+  // Since r15 that job is the RoundScope.finish eager cut INSIDE the
+  // AQE-off window — r14 returned the last lazy frame, so the whole
+  // trajectory actually materialized in the CALLER's consumer job,
+  // outside the window, under AQE, with every intermediate's blocks
+  // left for the GC-driven ContextCleaner; in the driver's 356-query
+  // sweep that accumulated state inflated aq44 to 8.6× its isolated
+  // steady (VERDICT r14). finish() also releases every round's blocks
+  // deterministically — a trajectory leaves ONE frame behind.
   private def withoutAqe[T](
       spark: org.apache.spark.sql.SparkSession)(body: => T): T =
     Lineage.withoutAqe(spark)(body)
@@ -72,21 +80,22 @@ object Graph {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     withoutAqe(edges.sparkSession) {
+    val scope = new Lineage.RoundScope
 
     // ONE edge-sized materialization: the raw edge list, laid out on
     // src (often derived from an expensive upstream join — cutting here
     // also stops that work repeating across the consumers below).
     // Degrees and the node set are |V|-sized and derive FROM the cut.
-    val links = Lineage.cutLocal(
+    val links = scope.local(
       edges.select(col("src"), col("dst"))
         .repartition(col("src")))
     // outdeg rides with the RANK frame (|V| rows), not the link frame:
     // the per-round heavy join then moves only rank+degree, and the
     // links build pays no edge-sized degree join
-    val deg = Lineage.cutLocal(
+    val deg = scope.local(
       links.groupBy("src").agg(count(lit(1)).as("__outdeg")))
 
-    val nodesBase = Lineage.cutLocal(
+    val nodesBase = scope.local(
       links.select(col("src").as("node"))
         .unionByName(links.select(col("dst").as("node"))).distinct())
     // N as a broadcast 1-row aggregate column — no driver-side count job
@@ -102,7 +111,7 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(sum(round(col("rank") / col("__outdeg"), 12)
           .cast("decimal(38,12)")).as("__contrib"))
-      ranks = Lineage.cutLazy(
+      ranks = scope.cutRound(
         nodes.join(contrib, Seq("node"), "left")
           .withColumn("rank",
             round(lit(1.0 - damping) / col("__n") +
@@ -110,7 +119,7 @@ object Graph {
                 coalesce(col("__contrib").cast("double"), lit(0.0)), 12))
           .drop("__contrib"))
     }
-    ranks.select("node", "rank")
+    scope.finish(ranks.select("node", "rank"))
     }
   }
 
@@ -129,12 +138,18 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
-    val links = Lineage.cutLocal(
+    // NO withoutAqe here (deliberate, the kCore boundary call): tq25's
+    // word graph moves genuinely edge-sized frames per round and AQE's
+    // coalescing wins — an r15 A/B measured the wrapped form at 2.8×
+    // (4.1 s vs 1.5 s committed) and reverted it. The scope's eager
+    // finish + deterministic round release still apply.
+    val scope = new Lineage.RoundScope
+    val links = scope.local(
       edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
         .repartition(col("src")))
-    val deg = Lineage.cutLocal(
+    val deg = scope.local(
       links.groupBy("src").agg(sum(col("w")).as("__outdeg")))
-    val nodesBase = Lineage.cutLocal(
+    val nodesBase = scope.local(
       links.select(col("src").as("node"))
         .unionByName(links.select(col("dst").as("node"))).distinct())
     val nodes = nodesBase.crossJoin(
@@ -153,7 +168,7 @@ object Graph {
           (round(col("rank") / col("__outdeg"), 12)
             .cast("decimal(14,12)") * col("w").cast("decimal(10,0)"))
             .cast("decimal(38,12)")).as("__contrib"))
-      ranks = Lineage.cutLazy(
+      ranks = scope.cutRound(
         nodes.join(contrib, Seq("node"), "left")
           .withColumn("rank",
             round(lit(1.0 - damping) / col("__n") +
@@ -161,7 +176,7 @@ object Graph {
                 coalesce(col("__contrib").cast("double"), lit(0.0)), 12))
           .drop("__contrib"))
     }
-    ranks.select("node", "rank")
+    scope.finish(ranks.select("node", "rank"))
   }
 
   /** The unrolled per-round CTE pairs shared by every pageRank-family
@@ -353,7 +368,12 @@ object Graph {
     require(k >= 1, "k must be positive")
     require(rounds >= 1 && rounds <= 12,
       "1..12 peel rounds (the oracle unrolls them)")
-    val e0 = Lineage.cutLocal(
+    // no withoutAqe here (deliberate, unchanged): kCore's rounds shrink
+    // a genuinely edge-sized frame and AQE's coalescing wins — but the
+    // round frames still release through the scope like every
+    // trajectory's
+    val scope = new Lineage.RoundScope
+    val e0 = scope.local(
       edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -367,16 +387,17 @@ object Graph {
       .groupBy("n").agg(count(lit(1)).as("d"))
     var alive: DataFrame = null // null = all nodes alive (round 1)
     for (_ <- 1 to rounds)
-      alive = Lineage.cutLocal(
+      alive = scope.local(
         degrees(if (alive == null) e0 else restrict(alive))
           .filter(col("d") >= k).select("n"))
     // survivors' degree is reported within the FINAL surviving
     // subgraph (may dip below k when `rounds` stopped short of the
     // fixed point — the bounded-rounds contract, mirrored in the
     // oracle's unrolled replay)
-    degrees(restrict(alive))
-      .select(col("n").as("node"), col("d").as("core_degree"))
-      .orderBy("node")
+    scope.finish(
+      degrees(restrict(alive))
+        .select(col("n").as("node"), col("d").as("core_degree"))
+        .orderBy("node"))
   }
 
   /** GENERATED DuckDB oracle for [[kCore]] over the lineitem co-order
@@ -438,27 +459,30 @@ object Graph {
   def hits(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
     withoutAqe(edges.sparkSession) {
-    val linksS = Lineage.cutLocal(
+    val scope = new Lineage.RoundScope
+    val linksS = scope.local(
       edges.select(col("src"), col("dst")).repartition(col("src")))
-    val linksD = Lineage.cutLocal(linksS.repartition(col("dst")))
+    val linksD = scope.local(linksS.repartition(col("dst")))
     val dec = "decimal(38,12)"
     // each round's raw-sum frame is localCheckpointed ONCE and shared
     // by its two consumers — the 1-row L1-total broadcast and the
     // normalized projection feeding the next side's aggregate (the r10
     // shape recomputed each raw aggregate for its broadcast total).
     // The normalized frame LAZY-cuts (the aq44/r14 measurement: lazy
-    // round boundaries collapse per-round scheduling into the
-    // downstream job — aq44 steady 6.5→4.3 s, warmup 19.6→10.7 s on
-    // the same box; GraphSpec's job-count pin still holds).
+    // round boundaries collapse per-round scheduling into ONE job —
+    // aq44 steady 6.5→4.3 s, warmup 19.6→10.7 s on the same box;
+    // GraphSpec's job-count pin still holds); scope.finish both
+    // materializes that job inside THIS AQE-off window and releases
+    // every round's blocks (the r15 sweep-degradation fix).
     def normalized(raw: DataFrame): DataFrame = {
-      val cut = Lineage.cutLocal(raw)
-      Lineage.cutLazy(
+      val cut = scope.local(raw)
+      scope.cutRound(
         cut.crossJoin(broadcast(cut.agg(sum("__raw").as("__t"))))
           .select(col("node"),
             round(col("__raw").cast("double") / col("__t").cast("double"),
               12).as("score")))
     }
-    var hubs: DataFrame = Lineage.cutLocal(
+    var hubs: DataFrame = scope.local(
       linksS.select(col("src").as("node")).distinct())
       .withColumn("score", lit(1.0))
     var auths: DataFrame = null
@@ -472,9 +496,10 @@ object Graph {
         .groupBy(col("src").as("node"))
         .agg(sum(round(col("score"), 12).cast(dec)).as("__raw")))
     }
-    hubs.select(lit("hub").as("side"), col("node"), col("score"))
-      .unionByName(auths.select(
-        lit("authority").as("side"), col("node"), col("score")))
+    scope.finish(
+      hubs.select(lit("hub").as("side"), col("node"), col("score"))
+        .unionByName(auths.select(
+          lit("authority").as("side"), col("node"), col("score"))))
     }
   }
 
@@ -544,12 +569,13 @@ object Graph {
       rounds: Int,
       topK: Int = 50): DataFrame = {
     require(rounds >= 1, "need at least one round")
-    val e = graft.operators.Lineage.cutLocal(
+    val scope = new Lineage.RoundScope
+    val e = scope.local(
       edges.select(col("src").cast("long").as("a"),
         col("dst").cast("long").as("b")).distinct())
     val nodes = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node"))).distinct()
-    var labels = graft.operators.Lineage.cutLocal(
+    var labels = scope.local(
       nodes.withColumn("lbl", col("node")))
     for (_ <- 1 to rounds) {
       val pulled = labels.join(e, col("node") === col("a"))
@@ -557,13 +583,14 @@ object Graph {
         .unionByName(labels.join(e, col("node") === col("b"))
           .select(col("a").as("node"), col("lbl")))
         .unionByName(labels.select("node", "lbl"))
-      labels = graft.operators.Lineage.cutLocal(
+      labels = scope.local(
         pulled.groupBy("node").agg(min("lbl").as("lbl")))
     }
-    labels.groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_nodes"))
-      .orderBy(col("n_nodes").desc, col("community"))
-      .limit(topK)
+    scope.finish(
+      labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(topK))
   }
 
   /** Degree assortativity (Newman 2002) of an undirected edge set —

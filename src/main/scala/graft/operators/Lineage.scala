@@ -54,6 +54,59 @@ private[graft] object Lineage {
     * checkpoint (see the object doc for why). */
   def cutLocal(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
+  /** Drop the materialized blocks behind a [[cut]]/[[cutLazy]]/
+    * [[cutLocal]] frame (a checkpointed Dataset is a [[org.apache.spark
+    * .sql.execution.LogicalRDD]] scan — unpersist its RDD). No-op on
+    * anything else, async (nothing races: the caller only releases
+    * frames whose LAST consumer has already materialized). Without
+    * this, checkpoint blocks wait for the GC-driven ContextCleaner —
+    * in a long-lived driver running hundreds of queries the stragglers
+    * accumulate and tax every later job (the r14 driver sweep measured
+    * aq44 at 8.6× its isolated steady from exactly this). */
+  def release(df: DataFrame): Unit = df.queryExecution.logical match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
+
+  /** Lifetime scope for an iterative trajectory's intermediate frames:
+    * per-round cuts and shared link frames register here, and
+    * [[RoundScope.finish]] (a) EAGERLY materializes the final frame —
+    * inside the operator's own conf window, so lazy round checkpoints
+    * can never leak into the caller's job under the caller's AQE
+    * setting, and the consumer's action is a plain checkpoint scan —
+    * then (b) releases every intermediate's blocks deterministically.
+    * A trajectory leaves exactly ONE frame's footprint behind instead
+    * of O(rounds); Bench/long-lived drivers stop accumulating dead
+    * round blocks across queries. */
+  final class RoundScope {
+    private val frames =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    /** [[Lineage.cutLocal]], tracked for release at [[finish]]. */
+    def local(df: DataFrame): DataFrame = track(Lineage.cutLocal(df))
+    /** [[Lineage.cutLazy]] for a per-round frame, tracked for release at
+      * [[finish]]. */
+    def cutRound(df: DataFrame): DataFrame = track(Lineage.cutLazy(df))
+    private def track(df: DataFrame): DataFrame = { frames += df; df }
+    /** Eager-cut `out` (reliable-aware — [[Lineage.cut]]), then release
+      * every tracked intermediate. The eager cut runs the whole
+      * deferred trajectory NOW, so releasing the rounds it consumed is
+      * safe by construction. */
+    def finish(out: DataFrame): DataFrame = {
+      val fin = Lineage.cut(out)
+      frames.foreach(Lineage.release)
+      frames.clear()
+      fin
+    }
+    /** [[finish]] for a trajectory whose result is already
+      * driver-materialized (per-round collects): nothing left to cut —
+      * just release every tracked frame's blocks. */
+    def releaseAll(): Unit = {
+      frames.foreach(Lineage.release)
+      frames.clear()
+    }
+  }
+
   /** Run `body` with adaptive query execution OFF and restore the
     * session flag afterwards (unset stays unset). AQE materializes
     * every exchange as its own query-stage JOB — the right call for

@@ -1524,7 +1524,12 @@ object Similarity {
     require(k >= 1, "k must be at least 1")
     val spark = corpus.sparkSession
     import org.apache.spark.sql.Row
-    val pts0 = Lineage.cutLocal(
+    // every round's pts frame collects in-loop (argmax + far-row fetch),
+    // so nothing escapes the window — but the round blocks would
+    // otherwise sit until the GC-driven ContextCleaner; the scope
+    // releases them when the trajectory's driver-side result is done
+    val scope = new Lineage.RoundScope
+    val pts0 = scope.local(
       corpus.select(col(idCol).cast("long").as("__id"),
         col(vecCol).as("__v")))
     val seed = pts0.orderBy("__id").limit(1)
@@ -1546,7 +1551,7 @@ object Similarity {
       // is >= 0) so an exact-duplicate corpus can tie at 0 without the
       // argmax ever re-picking an already-selected center; k beyond
       // the distinct-point count degenerates visibly (dist -1 rows)
-      pts = Lineage.cutLazy(
+      pts = scope.cutRound(
         pts.crossJoin(center)
           .withColumn("__mind",
             when(col("__id") === col("__cid"), lit(-1.0))
@@ -1562,6 +1567,7 @@ object Similarity {
       selected = (rnd, fid, Some(fd)) :: selected
       centerVec = frow.get(0)
     }
+    scope.releaseAll()
     import spark.implicits._
     spark.createDataset(selected.reverse)
       .toDF("rnd", "vec_id", "dist")
@@ -1899,6 +1905,92 @@ object Similarity {
       .withColumn("vrank", row_number().over(wValue))
       .filter(col("vrank") <= top)
       .select("query_id", "vec_id", "shapley", "vrank")
+  }
+
+  /** [[knnShapley]]'s 100-TB serve path: the same closed-form rank
+    * recursion computed over a PER-QUERY SHORTLIST — the [[ivfTopK]]
+    * top-`shortlist` neighbors — instead of the whole corpus. The
+    * recursion restricted to the shortlist is the exact Shapley value
+    * of the K-NN game over the shortlist as the training set (base
+    * term m_{N'}/N' at the shortlist's farthest rank), and its
+    * relationship to the full-corpus values is exact, not heuristic:
+    * for every in-shortlist rank j, the full recursion factors as
+    *
+    *   s_full(j) = s_trunc(j) + [s_full(N'+1) + inc(N') − m_{N'}/N']
+    *
+    * where the bracket does not depend on j — truncation shifts every
+    * in-shortlist value by ONE PER-QUERY CONSTANT, so the value
+    * ORDERING among shortlisted points is bit-identical to the exact
+    * ordering restricted to those points. What truncation can change
+    * is only membership: a point outside the shortlist cannot be
+    * returned (each such point's exact value is bounded by the tail
+    * increments, |s_full(j)| ≤ Σ_{i≥j} 1/i of alternating-label mass —
+    * ranks past a few hundred contribute O(1/j) ≈ 0). The sq36 gate
+    * measures exactly that membership effect (truncated vs exact
+    * top-`top` overlap), and the r15 stress pins runtime ∝ shortlist,
+    * not corpus, at fixed query count.
+    *
+    * Scale shape: candidate generation is cell-bounded ([[ivfIndex]] +
+    * [[ivfTopK]] — one corpus pass against broadcast centroids, never
+    * corpus×queries); the label join moves one corpus pass against the
+    * broadcast |Q|·N' candidate frame; every window after that runs on
+    * N'-row partitions. Returns `(query_id, vec_id, shapley, vrank)`
+    * with the same pins as [[knnShapley]]. */
+  def knnShapleyTruncated(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      numCells: Int,
+      nProbe: Int,
+      shortlist: Int,
+      top: Int = 10): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(shortlist >= k, "shortlist must cover at least k neighbors")
+    import org.apache.spark.sql.expressions.Window
+    val index = ivfIndex(corpus, idCol, vecCol, numCells)
+    // (query_id, neighbor_id, cosine, rank): rank is ivfTopK's
+    // (4dp-cosine DESC, id) ordering — the SAME ordering contract as
+    // knnShapley's wRank, so the shortlist ranks ARE the recursion's
+    // ranks 1..N'
+    val cands = ivfTopK(index, queries, idCol, vecCol,
+      numCells, nProbe, k = shortlist)
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(labelCol).as("__qy")))
+    val withLabels = corpus
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("__cy"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("__m",
+        when(col("__cy") === col("__qy"), 1L).otherwise(0L))
+      .withColumnRenamed("rank", "__r")
+    val wLead = Window.partitionBy("query_id").orderBy(col("__r"))
+    val wAll = Window.partitionBy("query_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrefix = Window.partitionBy("query_id").orderBy(col("__r"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wValue = Window.partitionBy("query_id")
+      .orderBy(col("shapley").desc, col("neighbor_id"))
+    val kd = k.toDouble
+    withLabels
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__mn", lead(col("__m"), 1).over(wLead))
+      .withColumn("__e", round(
+        when(col("__mn").isNull, col("__m").cast("double") / col("__n"))
+          .otherwise((col("__m") - col("__mn")).cast("double") *
+            least(lit(kd), col("__r").cast("double")) /
+            (lit(kd) * col("__r"))), 12).cast("decimal(28,12)"))
+      .withColumn("__tot", sum(col("__e")).over(wAll))
+      .withColumn("__pre", coalesce(sum(col("__e")).over(wPrefix),
+        lit(0).cast("decimal(38,12)")))
+      .withColumn("shapley", Readout.pin(
+        (col("__tot") - col("__pre")).cast("double"), 6))
+      .withColumn("vrank", row_number().over(wValue))
+      .filter(col("vrank") <= top)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        col("shapley"), col("vrank"))
   }
 
   /** Local intrinsic dimensionality (Levina & Bickel 2004 / Amsaleg

@@ -852,6 +852,106 @@ object Stress10 {
     slope("knn_shapley", ks1, ks10)
   }
 
+  /** r15 stress, part 1 — the SWEEP-TAIL gate for the aq44/aq92
+    * session-state fix (VERDICT r14 "What's wrong #1": aq44 isolated
+    * 3.84 s → 34.3 s inside the driver's 356-query sweep). Measures
+    * the two graph trajectories ISOLATED at session start, then runs
+    * ONE pass of every registered query (the full-sweep context, at
+    * sf0.01 so the axis is session state, not data volume), then
+    * measures them again LAST. Gate: post-sweep ≤ 1.5× isolated. */
+  private def r15SweepTailStress(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sfDir = "/root/testdata/sf0.01"
+    Tables.load(spark, sfDir, "region").groupBy("r_name").count().count()
+    // the bench's deterministic per-run release (cache, persisted
+    // RDDs, streaming memory sinks) — the stress must match the
+    // driver sweep's hygiene, or it measures leaked-by-the-harness
+    // state instead of leaked-by-the-operators state
+    def release(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.contains("_out_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+    }
+    def med3(name: String): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        release()
+        dt
+      }.sorted
+      ts(1)
+    }
+    val iso = Seq("aq44_pagerank", "aq92_hits").map(n => n -> med3(n))
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      try { fn(spark, sfDir).count() }
+      catch { case t: Throwable =>
+        println(s"STRESS10 r15 sweep $n FAILED ${t.getClass.getName}") }
+      release()
+    }
+    println(f"STRESS10 r15 full-sweep pass " +
+      f"${(System.nanoTime() - t0) / 1e9}%.0f s " +
+      f"(${graft.SparkEntry.queries.size} queries)")
+    val tail = Seq("aq44_pagerank", "aq92_hits").map(n => n -> med3(n))
+    iso.zip(tail).foreach { case ((n, i), (_, l)) =>
+      val ratio = l / math.max(i, 0.05)
+      println(f"STRESS10 r15 $n isolated $i%.2f s -> post-sweep " +
+        f"$l%.2f s (${ratio}%.2fx, gate <= 1.5x)")
+    }
+  }
+
+  /** r15 stress, part 2 — knnShapleyTruncated's scale contract. Both
+    * paths scan the corpus once (any retrieval must), so the axis that
+    * separates them is the SHAPLEY stage: exact ranks corpus×queries
+    * rows through per-query window partitions that grow with the
+    * corpus, truncated ranks shortlist-row partitions whatever the
+    * corpus. At the serve regime the path exists for — hundreds of
+    * queries — exact's window frame is |corpus|·|Q| rows and dominates;
+    * truncated's is 40·|Q|. Axes: 500 queries, corpus 4×/64× (fixed 64
+    * IVF cells — the index stays corpus-LINEAR), shortlist 40 vs 160
+    * at 64× (4× window work on the same scan — near-flat wall). A
+    * JIT/codegen warmup pass runs first. */
+  private def r15ShapleyStress(
+      spark: org.apache.spark.sql.SparkSession, sf: String): Unit = {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label").localCheckpoint()
+    def eDup(k: Int): DataFrame = (0 until k).map(i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, x -> cast(x + ${i * 0.001} as float))")
+          .as("embedding"),
+        col("label"))).reduce(_ unionByName _)
+    val q = emb.filter(col("vec_id") < 500)
+    def trunc(k: Int, shortlist: Int): Long =
+      operators.Similarity.knnShapleyTruncated(
+        eDup(k), q, "vec_id", "embedding", "label",
+        k = 5, numCells = 64, nProbe = 4, shortlist = shortlist)
+        .count()
+    // warmup: both plan families compile once, untimed
+    operators.Similarity.knnShapley(
+      eDup(1), q, "vec_id", "embedding", "label", k = 5).count()
+    trunc(1, 40)
+    val ex1 = time("knn_shapley_exact_4x")(operators.Similarity.knnShapley(
+      eDup(4), q, "vec_id", "embedding", "label", k = 5).count())
+    val ex8 = time("knn_shapley_exact_64x")(operators.Similarity.knnShapley(
+      eDup(64), q, "vec_id", "embedding", "label", k = 5).count())
+    val tr1 = time("knn_shapley_trunc40_4x")(trunc(4, 40))
+    val tr8 = time("knn_shapley_trunc40_64x")(trunc(64, 40))
+    val tr8w = time("knn_shapley_trunc160_64x")(trunc(64, 160))
+    slope("knn_shapley_exact_16xstep", ex1, ex8)
+    slope("knn_shapley_trunc_16xstep", tr1, tr8)
+    println(f"STRESS10 r15 exact vs truncated at 64x corpus, 500 " +
+      f"queries: ${ex8 / math.max(tr8, 0.05)}%.2fx (exact's window " +
+      "frame is corpus-bound, truncated's is shortlist-bound)")
+    println(f"STRESS10 r15 shortlist 40->160 at 64x corpus: " +
+      f"${tr8w / math.max(tr8, 0.05)}%.2fx wall (window work 4x, " +
+      "scan unchanged -> near-flat = shortlist-bound window, " +
+      "corpus-bound scan)")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-stress10")
@@ -900,6 +1000,16 @@ object Stress10 {
     }
     if (args.contains("r14b")) {
       r14bStress(spark, sf)
+      spark.stop()
+      return
+    }
+    if (args.contains("r15tail")) {
+      r15SweepTailStress(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("r15shapley")) {
+      r15ShapleyStress(spark, sf)
       spark.stop()
       return
     }

@@ -801,7 +801,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("sq21 negative sampling: the vocab table broadcasts against " +
     "the draw frame — every join is broadcast") {
-    val df = SparkEntry.queries("sq21_negative_sampling")(spark, sf)
+    val df = SparkEntry.queries("sq37_negative_sampling")(spark, sf)
     df.collect()
     val joins = deepNodes(df.queryExecution.executedPlan)
       .filter(_.nodeName.contains("Join"))
