@@ -13366,6 +13366,66 @@ ORDER BY query_id"""
   }
 
   // ---------------------------------------------------------------------
+  // sq38_source_valuation — per-SOURCE data valuation (Similarity
+  // .knnShapleyBySource): every (query, training-point) KNN-Shapley
+  // value attributed to the point's provenance (vec_id % 4 as the
+  // synthetic source) and rolled up — pair count, actively-harmful
+  // (negative-value) count, exact-decimal total, pinned mean. The
+  // mixture-decision number one level above sq35's per-point score;
+  // the oracle replays the full recursion and aggregates the same way.
+  register(
+    "sq38_source_valuation",
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |), q AS (SELECT * FROM n WHERE vec_id < 5),
+      |g AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |         CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS m,
+      |         round(list_sum(list_transform(list_zip(q.v, c.v),
+      |               p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) AS cos
+      |  FROM q JOIN n c ON c.vec_id != q.vec_id
+      |), r AS (
+      |  SELECT query_id, vec_id, m,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cos DESC, vec_id) AS rk,
+      |         count(*) OVER (PARTITION BY query_id) AS nn
+      |  FROM g
+      |), inc AS (
+      |  SELECT query_id, vec_id, rk,
+      |    round(CASE WHEN lead(m) OVER w IS NULL THEN m::double / nn
+      |      ELSE (m - lead(m) OVER w)::double *
+      |           least(5.0, rk::double) / (5.0 * rk) END,
+      |      12)::decimal(28,12) AS e
+      |  FROM r WINDOW w AS (PARTITION BY query_id ORDER BY rk)
+      |), s AS (
+      |  SELECT query_id, vec_id,
+      |    round(sum(e) OVER (PARTITION BY query_id ORDER BY rk
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::double, 6)
+      |      + 0.0 AS shapley
+      |  FROM inc
+      |)
+      |SELECT vec_id % 4 AS source, count(*)::bigint AS n_pairs,
+      |       sum(CASE WHEN shapley < 0 THEN 1 ELSE 0 END)::bigint
+      |         AS n_negative,
+      |       round(sum(shapley::decimal(18,6))::double, 6) + 0.0
+      |         AS total_value,
+      |       round(sum(shapley::decimal(18,6))::double / count(*), 6)
+      |         + 0.0 AS mean_value
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+      .withColumn("source", col("vec_id") % 4)
+    graft.operators.Similarity.knnShapleyBySource(
+      emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", "label", sourceCol = "source", k = 5)
+  }
+
+  // ---------------------------------------------------------------------
   // aq137_logrank — log-rank test of time-to-first-purchase between
   // the even/odd user cohorts (Behavior.logRank): the censoring-exact
   // survival comparison beside aq57's curve; exact at-risk/event

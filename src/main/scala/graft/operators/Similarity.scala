@@ -1854,14 +1854,38 @@ object Similarity {
       labelCol: String,
       k: Int,
       top: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wValue = Window.partitionBy("query_id")
+      .orderBy(col("shapley").desc, col("vec_id"))
+    shapleyFrame(corpus, queries, idCol, vecCol, labelCol, k)
+      .withColumn("vrank", row_number().over(wValue))
+      .filter(col("vrank") <= top)
+      .select("query_id", "vec_id", "shapley", "vrank")
+  }
+
+  /** The full per-(query, training-point) Shapley value frame shared
+    * by [[knnShapley]] (per-query top-k readout) and
+    * [[knnShapleyBySource]] (provenance rollup): `(query_id, vec_id,
+    * shapley)` plus any `carry` columns riding along from the corpus
+    * row. All pins documented on [[knnShapley]] apply. */
+  private def shapleyFrame(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(k >= 1, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorExpressions.{float_dot, float_norm}
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"),
       float_norm(col(vecCol)).as("__qn"), col(labelCol).as("__qy")))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
-      float_norm(col(vecCol)).as("__cn"), col(labelCol).as("__cy"))
+    val c = corpus.select(
+      (Seq(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
+        float_norm(col(vecCol)).as("__cn"), col(labelCol).as("__cy")) ++
+        carry.map(col)): _*)
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("vec_id"))
     val wLead = Window.partitionBy("query_id").orderBy(col("__r"))
@@ -1874,8 +1898,6 @@ object Similarity {
     // the suffix window — DuckDB computes it linearly)
     val wPrefix = Window.partitionBy("query_id").orderBy(col("__r"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wValue = Window.partitionBy("query_id")
-      .orderBy(col("shapley").desc, col("vec_id"))
     val kd = k.toDouble
     val wAll = Window.partitionBy("query_id")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1902,9 +1924,55 @@ object Similarity {
         lit(0).cast("decimal(38,12)")))
       .withColumn("shapley", Readout.pin(
         (col("__tot") - col("__pre")).cast("double"), 6))
-      .withColumn("vrank", row_number().over(wValue))
-      .filter(col("vrank") <= top)
-      .select("query_id", "vec_id", "shapley", "vrank")
+      .select((Seq("query_id", "vec_id", "shapley") ++ carry)
+        .map(col): _*)
+  }
+
+  /** Per-SOURCE data valuation — the MIXTURE-decision rollup of
+    * [[knnShapley]]: every (query, training-point) Shapley value is
+    * attributed to the training point's provenance (`sourceCol`, a
+    * corpus column) and aggregated, answering "which SOURCE helps or
+    * hurts this query population" — the number a curation pipeline
+    * up/down-weights corpora by, one level above the per-point score
+    * (and the valuation companion to the dq29 cross-source copy
+    * matrix). `n_negative` counts actively-harmful pairs (negative
+    * value: the point's label misleads its neighborhood for that
+    * query).
+    *
+    * Determinism contract: per-pair values are [[knnShapley]]'s
+    * 6dp-pinned doubles; the per-source total sums them as EXACT
+    * decimal(18,6) (order-independent), reads out via one pinned
+    * 6dp double; the mean is one fixed-order division of that exact
+    * total by the pair count, pinned at 6dp.
+    *
+    * Scale shape: [[shapleyFrame]]'s one corpus pass against the
+    * broadcast query grid, then ONE source-keyed aggregate with
+    * map-side partials — output is dimension-sized. At 100 TB swap
+    * the frame for the truncated serve path's shortlist (the sq36
+    * machinery) — per-source totals over the shortlist carry the same
+    * per-query-constant-shift caveat documented there. Returns
+    * `(source, n_pairs, n_negative, total_value, mean_value)`. */
+  def knnShapleyBySource(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      sourceCol: String,
+      k: Int): DataFrame = {
+    require(!Seq("query_id", "vec_id", "shapley").contains(sourceCol),
+      "sourceCol collides with a value-frame column")
+    shapleyFrame(corpus, queries, idCol, vecCol, labelCol, k,
+      carry = Seq(sourceCol))
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("shapley") < 0, 1L).otherwise(0L)).as("n_negative"),
+        sum(col("shapley").cast("decimal(18,6)")).as("__t"))
+      .select(col("source"), col("n_pairs"), col("n_negative"),
+        Readout.pin(col("__t").cast("double"), 6).as("total_value"),
+        Readout.pin(col("__t").cast("double") / col("n_pairs"), 6)
+          .as("mean_value"))
+      .orderBy("source")
   }
 
   /** [[knnShapley]]'s 100-TB serve path: the same closed-form rank
