@@ -193,6 +193,38 @@ class GraphSpec extends AnyFunSuite {
     assert(r3 == Seq((1L, 4L), (5L, 2L)), r3.toString)
   }
 
+  test("graph trajectories use reliable checkpoints when a checkpoint " +
+    "dir is set — identical results, files written, scope release safe") {
+    // the 100-TB mode: with a checkpoint dir configured every
+    // RoundScope cut (rounds AND the finish) must route through
+    // reliable checkpoints — results identical to local mode, and the
+    // scope's deterministic release of intermediates must not disturb
+    // a consumer of the returned (checkpointed) frame
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-gckpt").toString
+    val edges = (1L to 200L).map(i => (i % 20, i % 31)).toDF("src", "dst")
+    def run(): (Seq[(Long, Double)], Seq[(String, Long, Double)]) = (
+      Graph.pageRank(edges, iterations = 3)
+        .as[(Long, Double)].collect().toSeq.sortBy(_._1),
+      Graph.hits(edges, iterations = 2)
+        .as[(String, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    )
+    val before = run()
+    sc.setCheckpointDir(dir)
+    try {
+      val withReliable = run()
+      assert(withReliable == before)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable checkpoint files written")
+    } finally {
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("assortativity: a star is perfectly disassortative, a regular " +
       "graph has no mixing to correlate") {
     // star 1—{2,3,4}: every edge joins deg 3 to deg 1 → r = −1
