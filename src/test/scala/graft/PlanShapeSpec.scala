@@ -928,4 +928,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan("aq145_pass_at_k").contains("CartesianProduct"))
     partitionedWindowsOnly("aq146_conformal")
   }
+
+  test("sq36 truncated shapley: windows are per-query (shortlist-sized " +
+      "partitions), candidate/label joins never cartesian") {
+    partitionedWindowsOnly("sq36_shapley_truncated")
+    assert(!plan("sq36_shapley_truncated").contains("CartesianProduct"),
+      plan("sq36_shapley_truncated"))
+  }
+
+  test("sq38 source valuation: the source rollup has map-side partial " +
+      "aggregation and the query grid is a broadcast loop") {
+    val pl = plan("sq38_source_valuation")
+    assert(pl.contains("BroadcastNestedLoopJoin"), pl)
+    assert(!pl.contains("CartesianProduct"), pl)
+    // partial + final HashAggregate pair = map-side combine before the
+    // source-keyed exchange (dimension-sized shuffle, never pair-sized)
+    val df = SparkEntry.queries("sq38_source_valuation")(spark, sf)
+    df.collect()
+    val aggModes = deepNodes(df.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggModes.exists(_.contains("partial_")) ||
+      aggModes.size >= 2, aggModes.mkString("\n"))
+  }
 }
