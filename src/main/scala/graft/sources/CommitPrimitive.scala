@@ -261,3 +261,112 @@ object ConditionalPutCommitPrimitive extends CommitPrimitive {
     ()
   }
 }
+
+/** [[CommitPrimitive]] over an S3-COMPATIBLE HTTP endpoint — the
+  * networked form of [[ConditionalPutCommitPrimitive]], speaking the
+  * store's native conditional-write verbs:
+  *
+  *  - claim:  `PUT <endpoint>/<url-encoded schema root>/_TXN-<slot>`
+  *    with `If-None-Match: *` and the fencing token as the body —
+  *    exactly one racing PUT lands (S3 conditional write; GCS is the
+  *    same shape via `x-goog-if-generation-match: 0`); 412/409 means
+  *    the slot is held and the caller rebases.
+  *  - verify: `GET` the slot object and compare the body to the token.
+  *  - release: `DELETE` with `If-Match: <ETag of OUR claim PUT>` (the
+  *    S3 conditional delete) — atomic, a stale releaser can never
+  *    remove a foreign claim. A store lacking conditional DELETE falls
+  *    back to verify-then-delete with the churn bound documented on
+  *    [[FilesystemCommitPrimitive.release]].
+  *
+  * NO lease and NO sweeping, so the verify→flip window-closure
+  * argument of [[ConditionalPutCommitPrimitive]] holds verbatim; a
+  * CRASHED claimant's object frees via bucket lifecycle policy (the
+  * spec models it with an unconditional DELETE + strand removal).
+  * One instance per endpoint (connection pool + claim-ETag cache);
+  * selected via `spark.graft.store.commitPrimitive = <endpoint URL>`.
+  * The spec drives it against an in-process JDK HttpServer
+  * implementing the same conditional semantics. */
+final class HttpConditionalPutCommitPrimitive(
+    endpoint: String,
+    client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(10)).build())
+    extends CommitPrimitive {
+  import java.net.http.{HttpRequest, HttpResponse}
+
+  // ETag of OUR successful claim PUT, keyed by slot#token — what makes
+  // release a true conditional delete instead of verify-then-delete
+  private val claimTags =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def slotUri(schemaDir: java.io.File, version: String) =
+    java.net.URI.create(endpoint.stripSuffix("/") + "/" +
+      java.net.URLEncoder.encode(schemaDir.getCanonicalPath, "UTF-8") +
+      "/_TXN-" + version)
+
+  private def send(req: HttpRequest): HttpResponse[String] =
+    client.send(req, HttpResponse.BodyHandlers.ofString())
+
+  override def tryClaim(
+      schemaDir: java.io.File,
+      version: String,
+      base: Option[String],
+      currentVersion: () => Option[String],
+      leaseMs: Long): Option[String] = {
+    val slot = slotUri(schemaDir, version)
+    val token = java.util.UUID.randomUUID().toString
+    val resp = send(HttpRequest.newBuilder(slot)
+      .header("If-None-Match", "*")
+      .PUT(HttpRequest.BodyPublishers.ofString(token)).build())
+    resp.statusCode() match {
+      case 200 | 201 =>
+        resp.headers().firstValue("ETag").ifPresent(e =>
+          claimTags.put(slot.toString + "#" + token, e))
+        // same post-claim pointer re-check as every impl: a PUT landing
+        // on a RECYCLED slot name means this writer is a generation
+        // behind
+        if (currentVersion() == base) Some(token)
+        else { release(schemaDir, version, token); None }
+      case 412 | 409 => None // slot held — rebase
+      case s => throw new java.io.IOException(
+        s"claim PUT $slot -> HTTP $s")
+    }
+  }
+
+  override def verifyClaim(
+      schemaDir: java.io.File, version: String, token: String): Boolean = {
+    val resp = send(HttpRequest.newBuilder(slotUri(schemaDir, version))
+      .GET().build())
+    resp.statusCode() == 200 && resp.body() == token
+  }
+
+  override def release(
+      schemaDir: java.io.File, version: String, token: String): Unit = {
+    val slot = slotUri(schemaDir, version)
+    Option(claimTags.remove(slot.toString + "#" + token)) match {
+      case Some(etag) =>
+        send(HttpRequest.newBuilder(slot)
+          .header("If-Match", etag).DELETE().build())
+        () // 204 released; 412 foreign claim untouched; 404 already gone
+      case None =>
+        // no recorded ETag (resumed process): the documented
+        // verify-then-delete fallback — churn-bounded, never a lost
+        // update (see FilesystemCommitPrimitive.release)
+        if (verifyClaim(schemaDir, version, token)) {
+          send(HttpRequest.newBuilder(slot).DELETE().build())
+          ()
+        }
+    }
+  }
+}
+
+/** Per-endpoint cache of [[HttpConditionalPutCommitPrimitive]]
+  * instances — one connection pool and claim-ETag map per endpoint,
+  * shared by every [[ResultStore]] in the JVM. */
+object HttpConditionalPutCommitPrimitive {
+  private val byEndpoint = new java.util.concurrent.ConcurrentHashMap[
+    String, HttpConditionalPutCommitPrimitive]()
+  def forEndpoint(endpoint: String): HttpConditionalPutCommitPrimitive =
+    byEndpoint.computeIfAbsent(endpoint,
+      e => new HttpConditionalPutCommitPrimitive(e))
+}

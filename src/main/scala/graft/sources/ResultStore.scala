@@ -582,9 +582,13 @@ class ResultStore(spark: SparkSession, root: String) {
     * If-None-Match, GCS generation-match — [[CommitPrimitive]]'s doc),
     * or to instrument the claim protocol in a spec. */
   protected def commitPrimitive: CommitPrimitive =
-    if (spark.conf.getOption("spark.graft.store.commitPrimitive")
-        .contains("conditional-put")) ConditionalPutCommitPrimitive
-    else FilesystemCommitPrimitive
+    spark.conf.getOption("spark.graft.store.commitPrimitive") match {
+      case Some("conditional-put") => ConditionalPutCommitPrimitive
+      case Some(url) if url.startsWith("http://") ||
+          url.startsWith("https://") =>
+        HttpConditionalPutCommitPrimitive.forEndpoint(url)
+      case _ => FilesystemCommitPrimitive
+    }
 
   /** Multi-writer transactional commit: derive the table's next
     * contents from its pinned committed generation, claim the next
