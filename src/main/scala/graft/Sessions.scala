@@ -30,6 +30,24 @@ object Sessions {
     // bounds the backlog at ~a query's worth; the periodic System.gc()
     // runs on the cleaner thread, off every query's timed path.
     .config("spark.cleaner.periodicGC.interval", "1min")
+    // The app/SQL status stores retain finished-job roll-ups, per-task
+    // rows, and — per SQL execution — the full formatted plan string
+    // plus its metric graph, sized for a human browsing a UI (1000
+    // jobs / 1000 stages / 100k tasks / 1000 SQL executions). This
+    // library's iterative operators launch dozens of executions per
+    // query, so a long-lived driver fills those stores within a few
+    // queries and then holds them for the session: pure heap pressure
+    // (and, with async tracking, trimming that lags behind exactly the
+    // many-small-jobs bursts that overflow it) taxing repeat runs of
+    // multi-job queries — the r15 driver sweep measured aq44 at 4×
+    // its quiet steady with run3 > run1 > isolated. Nobody is
+    // browsing: keep minutes of history, not hours. The status APIs
+    // stay functional, just with a shorter horizon.
+    .config("spark.ui.retainedJobs", "100")
+    .config("spark.ui.retainedStages", "100")
+    .config("spark.ui.retainedTasks", "2000")
+    .config("spark.ui.retainedDeadExecutors", "10")
+    .config("spark.sql.ui.retainedExecutions", "25")
 
   def local(cpus: String, appName: String): SparkSession = {
     val s = tune(SparkSession.builder()

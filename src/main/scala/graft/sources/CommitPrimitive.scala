@@ -285,7 +285,39 @@ object ConditionalPutCommitPrimitive extends CommitPrimitive {
   * One instance per endpoint (connection pool + claim-ETag cache);
   * selected via `spark.graft.store.commitPrimitive = <endpoint URL>`.
   * The spec drives it against an in-process JDK HttpServer
-  * implementing the same conditional semantics. */
+  * implementing the same conditional semantics, including injected
+  * faults (5xx bursts, responses dropped after the mutation applied).
+  *
+  * Fault policy (what separates "models S3" from "survives S3"):
+  *
+  *  - Transport faults ([[java.io.IOException]]) and 5xx responses
+  *    get a bounded in-call retry with exponential backoff — a blip
+  *    must not crash `transact` past the 12-attempt rebase loop built
+  *    to absorb exactly these disturbances. PERSISTENT faults then
+  *    surface as the exception (store unavailable ≠ "slot taken" ≠
+  *    "fenced": a verify that answered false on a network fault would
+  *    silently strand the already-moved generation, so verify is
+  *    retry-then-THROW). [[InterruptedException]] propagates
+  *    immediately with the interrupt flag restored — cancellation is
+  *    not a fault to absorb.
+  *  - Lost 201: a claim PUT whose success response dies on the wire
+  *    is retried and 412s against the writer's OWN object. A 412 is
+  *    therefore never final until a GET proves the slot holds a
+  *    FOREIGN token — if it holds ours, the claim is won.
+  *  - Strand recovery: a claimant that crashed between its
+  *    generation-dir move and the pointer flip leaves the dir on the
+  *    data filesystem while bucket lifecycle collects only the claim
+  *    OBJECT. The next claimant of that slot — who, holding the claim
+  *    object, is the slot's sole live writer — sweeps the uncommitted
+  *    strand (same `_COMMITTED` + fresh-pointer re-check as
+  *    [[FilesystemCommitPrimitive]]'s claim-phase sweep) instead of
+  *    dying on `FileAlreadyExistsException` forever.
+  *  - `release` is best-effort cleanup of an already-decided commit:
+  *    a persistent fault there is swallowed, the claim object is left
+  *    for lifecycle collection, and the local tag entry is dropped
+  *    either way (claim tags are keyed per SLOT and cleared on every
+  *    release path, so the map is bounded by the claims this JVM
+  *    currently holds — fenced zombies and re-claims do not leak). */
 final class HttpConditionalPutCommitPrimitive(
     endpoint: String,
     client: java.net.http.HttpClient =
@@ -294,8 +326,10 @@ final class HttpConditionalPutCommitPrimitive(
     extends CommitPrimitive {
   import java.net.http.{HttpRequest, HttpResponse}
 
-  // ETag of OUR successful claim PUT, keyed by slot#token — what makes
-  // release a true conditional delete instead of verify-then-delete
+  // "<token> <ETag of OUR claim PUT>" keyed per SLOT — what makes
+  // release a true conditional delete instead of verify-then-delete.
+  // Per-slot (not slot#token) so a re-claim REPLACES a stale entry
+  // and release removes it on every outcome: bounded by live claims.
   private val claimTags =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -304,8 +338,67 @@ final class HttpConditionalPutCommitPrimitive(
       java.net.URLEncoder.encode(schemaDir.getCanonicalPath, "UTF-8") +
       "/_TXN-" + version)
 
-  private def send(req: HttpRequest): HttpResponse[String] =
-    client.send(req, HttpResponse.BodyHandlers.ofString())
+  /** Bounded-retry send: up to 4 attempts, 50/100/200 ms backoff, on
+    * transport faults and 5xx (the idempotent-verb contract: GET and
+    * DELETE-If-Match trivially; PUT-If-None-Match because a repeat of
+    * a LANDED put can only 412, which [[tryClaim]] resolves with a
+    * token-compare GET). Persistent 5xx returns the response for the
+    * caller's status dispatch; persistent transport faults rethrow. */
+  private def send(req: HttpRequest): HttpResponse[String] = {
+    var lastIo: java.io.IOException = null
+    var lastResp: HttpResponse[String] = null
+    var attempt = 0
+    while (attempt < 4) {
+      attempt += 1
+      try {
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() < 500) return resp
+        lastResp = resp
+      } catch {
+        case ie: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw ie
+        case io: java.io.IOException => lastIo = io
+      }
+      if (attempt < 4) Thread.sleep(50L << (attempt - 1))
+    }
+    if (lastResp != null) lastResp else throw lastIo
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+    ()
+  }
+
+  /** Post-win bookkeeping shared by the 201 and lost-201 paths: record
+    * the claim ETag, sweep a crashed predecessor's strand generation
+    * dir, and run the recycled-slot pointer re-check every impl does. */
+  private def claimWon(
+      schemaDir: java.io.File,
+      version: String,
+      base: Option[String],
+      currentVersion: () => Option[String],
+      slot: java.net.URI,
+      token: String,
+      etag: Option[String]): Option[String] = {
+    claimTags.put(slot.toString, token + " " + etag.getOrElse(""))
+    // strand recovery: we HOLD the claim object, so no live writer can
+    // be mid-commit on this slot — an existing UNCOMMITTED generation
+    // dir is a crashed predecessor's strand whose claim object bucket
+    // lifecycle already collected. Without this sweep every future
+    // attempt dies on Files.move(FileAlreadyExists) and the schema
+    // wedges until manual cleanup. Same _COMMITTED + fresh-pointer
+    // re-check as FilesystemCommitPrimitive immediately before rmTree.
+    val gen = new java.io.File(schemaDir, version)
+    if (gen.isDirectory &&
+        !new java.io.File(gen, "_COMMITTED").exists() &&
+        !currentVersion().exists(_ >= version))
+      rmTree(gen)
+    if (currentVersion() == base) Some(token)
+    else { release(schemaDir, version, token); None }
+  }
 
   override def tryClaim(
       schemaDir: java.io.File,
@@ -320,34 +413,63 @@ final class HttpConditionalPutCommitPrimitive(
       .PUT(HttpRequest.BodyPublishers.ofString(token)).build())
     resp.statusCode() match {
       case 200 | 201 =>
-        resp.headers().firstValue("ETag").ifPresent(e =>
-          claimTags.put(slot.toString + "#" + token, e))
-        // same post-claim pointer re-check as every impl: a PUT landing
-        // on a RECYCLED slot name means this writer is a generation
-        // behind
-        if (currentVersion() == base) Some(token)
-        else { release(schemaDir, version, token); None }
-      case 412 | 409 => None // slot held — rebase
+        claimWon(schemaDir, version, base, currentVersion, slot, token,
+          toScala(resp.headers().firstValue("ETag")))
+      case 412 | 409 =>
+        // never final on its face: OUR earlier PUT may have landed
+        // with the 201 lost on the wire, making the in-call re-PUT
+        // 412 against our own claim. Only a FOREIGN token refuses.
+        val got = send(HttpRequest.newBuilder(slot).GET().build())
+        if (got.statusCode() == 200 && got.body() == token)
+          claimWon(schemaDir, version, base, currentVersion, slot, token,
+            toScala(got.headers().firstValue("ETag")))
+        else None // held by another writer (or store flapping) — rebase
       case s => throw new java.io.IOException(
         s"claim PUT $slot -> HTTP $s")
     }
   }
 
+  private def toScala(o: java.util.Optional[String]): Option[String] =
+    if (o.isPresent) Some(o.get) else None
+
+  /** Retry-then-THROW on store trouble: answering false on a fault
+    * would be read as "fenced" by the committer and silently strand
+    * its already-moved generation. Only an authoritative 404 (claim
+    * gone) or a foreign token answers false. */
   override def verifyClaim(
       schemaDir: java.io.File, version: String, token: String): Boolean = {
     val resp = send(HttpRequest.newBuilder(slotUri(schemaDir, version))
       .GET().build())
-    resp.statusCode() == 200 && resp.body() == token
+    resp.statusCode() match {
+      case 200 => resp.body() == token
+      case 404 => false
+      case s => throw new java.io.IOException(
+        s"verify GET ${slotUri(schemaDir, version)} -> HTTP $s")
+    }
   }
 
+  /** Best-effort by design (see class doc): the commit outcome is
+    * already decided when release runs, so a persistent store fault is
+    * swallowed — the claim object is left for lifecycle collection
+    * (dead: at/below the pointer, or swept as a strand by the slot's
+    * next claimant) rather than failing a commit that succeeded. The
+    * local tag entry is dropped on every path. */
   override def release(
       schemaDir: java.io.File, version: String, token: String): Unit = {
     val slot = slotUri(schemaDir, version)
-    Option(claimTags.remove(slot.toString + "#" + token)) match {
-      case Some(etag) =>
-        send(HttpRequest.newBuilder(slot)
-          .header("If-Match", etag).DELETE().build())
-        () // 204 released; 412 foreign claim untouched; 404 already gone
+    val entry = Option(claimTags.get(slot.toString))
+      .filter(_.startsWith(token + " "))
+    try entry match {
+      case Some(v) =>
+        val etag = v.drop(token.length + 1)
+        if (etag.nonEmpty) {
+          send(HttpRequest.newBuilder(slot)
+            .header("If-Match", etag).DELETE().build())
+          () // 204 released; 412 foreign claim untouched; 404 gone
+        } else if (verifyClaim(schemaDir, version, token)) {
+          send(HttpRequest.newBuilder(slot).DELETE().build())
+          ()
+        }
       case None =>
         // no recorded ETag (resumed process): the documented
         // verify-then-delete fallback — churn-bounded, never a lost
@@ -356,6 +478,11 @@ final class HttpConditionalPutCommitPrimitive(
           send(HttpRequest.newBuilder(slot).DELETE().build())
           ()
         }
+    } catch {
+      case _: java.io.IOException => ()
+    } finally entry.foreach { v =>
+      claimTags.remove(slot.toString, v)
+      ()
     }
   }
 }

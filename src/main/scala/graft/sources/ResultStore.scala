@@ -583,7 +583,15 @@ class ResultStore(spark: SparkSession, root: String) {
     * or to instrument the claim protocol in a spec. */
   protected def commitPrimitive: CommitPrimitive =
     spark.conf.getOption("spark.graft.store.commitPrimitive") match {
-      case Some("conditional-put") => ConditionalPutCommitPrimitive
+      case Some("conditional-put") =>
+        // selectable in any deployment, but its claim authority is
+        // JVM-LOCAL: two drivers sharing this root get no claim
+        // exclusion (only the atomic Files.move backstop prevents
+        // divergence) and a crashed cross-process claimant wedges the
+        // slot with no lease sweep. Loud once-per-JVM warning instead
+        // of a silent misconfiguration hazard.
+        ResultStore.warnInProcessPrimitive()
+        ConditionalPutCommitPrimitive
       case Some(url) if url.startsWith("http://") ||
           url.startsWith("https://") =>
         HttpConditionalPutCommitPrimitive.forEndpoint(url)
@@ -658,23 +666,37 @@ class ResultStore(spark: SparkSession, root: String) {
           // above, a sweeper re-claimed the slot (marker gone or
           // foreign token) — publishing now would double-commit over
           // the new owner. Abandon; the moved dir is a strand the
-          // next claim-phase sweep collects.
+          // next claim-phase sweep collects. Release on the way out:
+          // release is token-checked in every impl (a fenced zombie
+          // can never remove the new owner's claim), and it clears
+          // this claimant's local claim bookkeeping (the HTTP impl's
+          // per-slot tag entry) instead of leaking it.
           if (!commitPrimitive.verifyClaim(schemaDir(schema), claimed,
-              token))
+              token)) {
+            commitPrimitive.release(schemaDir(schema), claimed, token)
             return None
+          }
           flipPointer(schema, claimed, keepPrevious = base)
           commitPrimitive.release(schemaDir(schema), claimed, token)
           Some(claimed)
         } catch {
-          case _: java.nio.file.FileAlreadyExistsException => None
-          case _: java.nio.file.DirectoryNotEmptyException => None
+          // lost-race exits release too — token-checked no-op when the
+          // slot changed hands, local-bookkeeping cleanup when not
+          case _: java.nio.file.FileAlreadyExistsException =>
+            commitPrimitive.release(schemaDir(schema), claimed, token)
+            None
+          case _: java.nio.file.DirectoryNotEmptyException =>
+            commitPrimitive.release(schemaDir(schema), claimed, token)
+            None
           case e: java.io.IOException =>
             // a zombie's mutation failing BECAUSE it was fenced
             // (swept mid-commit) is a lost race; a genuine IO fault
             // while still holding the claim must surface
             if (!commitPrimitive.verifyClaim(schemaDir(schema), claimed,
-                token)) None
-            else throw e
+                token)) {
+              commitPrimitive.release(schemaDir(schema), claimed, token)
+              None
+            } else throw e
         }
       } finally {
         if (staging.exists()) rmTree(staging)
@@ -1410,6 +1432,23 @@ class ResultStore(spark: SparkSession, root: String) {
         merge(schema, batch, keyCol, deleteWhen)
       }
       .start()
+}
+
+object ResultStore {
+  private val warnedInProcess =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Once-per-JVM warning for `commitPrimitive = conditional-put`:
+    * the in-process model is correct single-JVM commit authority and
+    * a spec vehicle, NOT a cross-process deployment — see the
+    * selection site and [[ConditionalPutCommitPrimitive]]'s doc. */
+  private[sources] def warnInProcessPrimitive(): Unit =
+    if (warnedInProcess.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(classOf[ResultStore]).warn(
+        "spark.graft.store.commitPrimitive=conditional-put claims are " +
+          "JVM-LOCAL: multiple driver processes sharing a store root " +
+          "get NO cross-process claim exclusion and a crashed foreign " +
+          "claimant cannot be swept. Use the filesystem default or an " +
+          "object-store endpoint URL for multi-process deployments.")
 }
 
 /** Outcome of a file-pruned commit: how many of the prior generation's

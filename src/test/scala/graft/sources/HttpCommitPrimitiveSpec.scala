@@ -21,10 +21,18 @@ class HttpCommitPrimitiveSpec extends AnyFunSuite {
   // KV is the shared top-level fixture case class (SourcesSpec.scala)
 
   /** body + ETag per object path; all mutation through atomic map ops
-    * (the server dispatches exchanges concurrently). */
+    * (the server dispatches exchanges concurrently). Fault injection:
+    * `failNext` 503s the next N requests WITHOUT applying them (a
+    * store brown-out); `dropPutResponseNext` APPLIES the next N
+    * successful conditional PUTs and then 503s — the "mutation landed,
+    * success response lost on the wire" fault that makes a naive
+    * retry 412 against the writer's own claim. */
   private final class Bucket {
     val objects =
       new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dropPutResponseNext =
+      new java.util.concurrent.atomic.AtomicInteger(0)
     def handler(ex: HttpExchange): Unit = {
       val path = ex.getRequestURI.getPath
       def reply(status: Int, body: String): Unit = {
@@ -34,6 +42,10 @@ class HttpCommitPrimitiveSpec extends AnyFunSuite {
         if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
         ex.close()
       }
+      if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+        reply(503, "injected brown-out")
+        return
+      }
       ex.getRequestMethod match {
         case "PUT" =>
           val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
@@ -42,8 +54,13 @@ class HttpCommitPrimitiveSpec extends AnyFunSuite {
           else {
             val etag = "\"" + java.util.UUID.randomUUID() + "\""
             if (objects.putIfAbsent(path, (body, etag)) == null) {
-              ex.getResponseHeaders.set("ETag", etag)
-              reply(200, "")
+              if (dropPutResponseNext
+                  .getAndUpdate(n => math.max(0, n - 1)) > 0)
+                reply(503, "injected lost-201")
+              else {
+                ex.getResponseHeaders.set("ETag", etag)
+                reply(200, "")
+              }
             } else reply(412, "")
           }
         case "GET" =>
@@ -160,8 +177,12 @@ class HttpCommitPrimitiveSpec extends AnyFunSuite {
         intercept[java.util.ConcurrentModificationException](
           store.upsertContended("t", Seq(KV(3, "c")).toDF(), "k",
             maxAttempts = 2))
-        // lifecycle policy: unconditional DELETE of the claim object,
-        // plus strand-directory removal (the bucket never holds data)
+        // lifecycle policy: unconditional DELETE of the claim OBJECT
+        // only — the strand generation dir stays on the data
+        // filesystem (the bucket never holds data). The next claimant
+        // of the slot must recover it itself: it holds the claim
+        // object, sweeps the uncommitted strand, and commits — the
+        // schema must NOT wedge on FileAlreadyExistsException.
         val slotKey = bucket.objects.keySet().iterator().next()
         assert(slotKey.endsWith("/_TXN-v00000002"), slotKey)
         val http = java.net.http.HttpClient.newHttpClient()
@@ -170,14 +191,8 @@ class HttpCommitPrimitiveSpec extends AnyFunSuite {
               slotKey)).DELETE().build(),
           java.net.http.HttpResponse.BodyHandlers.discarding())
         val strand = new java.io.File(s"$root/t/v00000002")
-        if (strand.isDirectory) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory)
-              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          rm(strand)
-        }
+        assert(strand.isDirectory,
+          "precondition: the crash must have stranded the version dir")
         store.upsertContended("t", Seq(KV(2, "b2")).toDF(), "k")
         assert(tableState(store, "t") == Map(1L -> "a", 2L -> "b2"))
         // tag-checked release: plant a foreign claim, then have a
@@ -222,6 +237,67 @@ class HttpCommitPrimitiveSpec extends AnyFunSuite {
           Map(1L -> "b1", 2L -> "a1", 3L -> "b2", 4L -> "a2"))
         assert(bucket.objects.isEmpty,
           "released claims must leave no objects: " + bucket.objects)
+      }
+    }
+  }
+
+  test("fault injection: a claim PUT whose success response is lost " +
+    "on the wire still wins the slot (the retry 412s against our own " +
+    "claim and the token-compare GET resolves it) — never a spurious " +
+    "rebase, never an abandoned claim") {
+    withBucket { (endpoint, bucket) =>
+      withHttpPrimitive(endpoint) {
+        val root = tmpDir()
+        val store = new ResultStore(spark, root)
+        store.upsertContended("t", Seq(KV(1, "a")).toDF(), "k")
+        @volatile var derives = 0
+        bucket.dropPutResponseNext.set(1)
+        store.transact("t") { cur =>
+          derives += 1
+          cur.get.unionByName(Seq(KV(2, "b")).toDF())
+        }
+        assert(derives == 1,
+          s"lost-201 must not cost a rebase (derives=$derives)")
+        assert(tableState(store, "t") == Map(1L -> "a", 2L -> "b"))
+        assert(bucket.objects.isEmpty,
+          "the recovered claim must still release: " + bucket.objects)
+      }
+    }
+  }
+
+  test("fault injection: transient 5xx brown-outs during claim / " +
+    "verify / release are absorbed by bounded retry — the commit " +
+    "lands without surfacing, and a PERSISTENT outage surfaces as " +
+    "IOException (store unavailable), never as a silent fenced/lost " +
+    "race") {
+    withBucket { (endpoint, bucket) =>
+      withHttpPrimitive(endpoint) {
+        val root = tmpDir()
+        val store = new ResultStore(spark, root)
+        store.upsertContended("t", Seq(KV(1, "a")).toDF(), "k")
+        // two-deep brown-out at the claim PUT: attempt 3 succeeds
+        bucket.failNext.set(2)
+        store.upsertContended("t", Seq(KV(2, "b")).toDF(), "k")
+        // brown-out landing exactly on the FENCING VERIFY (armed
+        // after the move, before the pointer flip): answering false
+        // there would silently strand the moved generation — the
+        // verify must retry through it and the commit must land
+        val verifyFaulted = new ResultStore(spark, root) {
+          override protected def beforeSwapHook(): Unit =
+            bucket.failNext.set(2)
+        }
+        verifyFaulted.upsertContended("t", Seq(KV(3, "c")).toDF(), "k")
+        assert(tableState(store, "t") ==
+          Map(1L -> "a", 2L -> "b", 3L -> "c"))
+        assert(bucket.objects.isEmpty, bucket.objects.toString)
+        // persistent outage: every attempt 503s — must surface as the
+        // store being down, not melt into a rebase loop or a fence
+        bucket.failNext.set(1000)
+        try {
+          intercept[java.io.IOException](
+            store.upsertContended("t", Seq(KV(4, "d")).toDF(), "k",
+              maxAttempts = 2))
+        } finally bucket.failNext.set(0)
       }
     }
   }
