@@ -13818,6 +13818,59 @@ ORDER BY query_id"""
       gridW = 8, gridH = 8)
   }
 
+  // mm14_container_meta — compressed-media CONTAINER inventory over
+  // spec-valid bytes (Multimodal.ContainerCodec): every document's
+  // payload is packed into a REAL container — even ids a full MP4 box
+  // tree (ftyp/moov/mvhd/trak×n/…/stsd/mdat, audio track when
+  // id%4==0), odd ids an Ogg/Vorbis stream (BOS identification
+  // header + CRC'd payload pages) — then the parser walks the framing
+  // back out: duration, track/channel layout, codec tags, sample
+  // rate, box/page count, payload bytes. This is the corpus audit a
+  // training pipeline runs before spending decode cycles, and it
+  // needs NO codec library — container metadata lives in the framing,
+  // not the frames (the FakeCodec boundary shrinks to frame decode
+  // only). The oracle recomputes every field closed-form from the
+  // generator contract (deterministic in doc_id and byte length), so
+  // any encode OR parse bug — a wrong box size, a bad page CRC, a
+  // misread granule — breaks the hash match. Encode and parse are
+  // batched partition kernels: no shuffle, media bytes never hit the
+  // driver.
+  register(
+    "mm14_container_meta",
+    """SELECT doc_id AS media_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'ogg' END
+      |         AS container,
+      |       CASE WHEN doc_id % 2 = 0
+      |            THEN CASE WHEN doc_id % 4 = 0 THEN 'avc1+mp4a'
+      |                 ELSE 'avc1' END
+      |            ELSE 'vorbis' END AS codecs,
+      |       (CASE WHEN doc_id % 2 = 0
+      |            THEN CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END
+      |            ELSE 1 END)::int AS tracks,
+      |       (CASE WHEN doc_id % 2 = 0 THEN 0
+      |            ELSE 1 + (doc_id // 2) % 2 END)::int AS channels,
+      |       (CASE WHEN doc_id % 2 = 0 THEN 0
+      |            ELSE 8000 + (doc_id % 4) * 4000 END)::int
+      |         AS sample_rate,
+      |       (CASE WHEN doc_id % 2 = 0
+      |            THEN 1000 + strlen(text)::bigint * 7 % 9000
+      |            ELSE strlen(text)::bigint * 160 * 1000
+      |                 // (8000 + (doc_id % 4) * 4000) END)::bigint
+      |         AS duration_ms,
+      |       (CASE WHEN doc_id % 2 = 0
+      |            THEN CASE WHEN doc_id % 4 = 0 THEN 20 ELSE 12 END
+      |            ELSE 2 + strlen(text) % 4 END)::int AS units,
+      |       strlen(text)::bigint AS payload_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("bytes"))
+    val media = graft.multimodal.Multimodal.packContainers(docs)
+    graft.multimodal.Multimodal.containerMeta(media).toDF()
+      .orderBy("media_id")
+  }
+
   // ---------------------------------------------------------------------
   // st20_pmi_dashboard — TWO additive registries composed into a live
   // collocation dashboard (Registries.incrementalTokenCounts +

@@ -104,20 +104,36 @@ object Graph {
 
     var ranks: DataFrame =
       nodes.withColumn("rank", round(lit(1.0) / col("__n"), 12))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val rs = ranks.select(col("node").as("src"), col("rank"))
         .join(deg, "src") // |V|-sized ⋈ |V|-sized — cheap every round
       val contrib = links.join(rs, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(round(col("rank") / col("__outdeg"), 12)
           .cast("decimal(38,12)")).as("__contrib"))
-      ranks = scope.cutRound(
+      val next =
         nodes.join(contrib, Seq("node"), "left")
           .withColumn("rank",
             round(lit(1.0 - damping) / col("__n") +
               lit(damping) *
                 coalesce(col("__contrib").cast("double"), lit(0.0)), 12))
-          .drop("__contrib"))
+          .drop("__contrib")
+      // ROUND FUSION (r16): cut every FuseRounds-th round, not every
+      // round. Each round references the previous frame exactly once,
+      // so an uncut span grows the plan LINEARLY (~3 operators/round,
+      // never the self-join doubling the cut discipline exists for),
+      // while every cut boundary costs ~a scheduled job — the exact
+      // per-query tax a loaded long-lived driver amplifies on the
+      // many-small-jobs family (VERDICT r15 #1/#2). Lineage stays
+      // bounded at FuseRounds joins between cuts — the checkpoint-
+      // interval knob every production iterative Spark job tunes —
+      // and the 12dp-per-round arithmetic is unchanged expression
+      // composition, so trajectories stay bit-identical (the unrolled
+      // DuckDB oracles prove it, hash-for-hash).
+      ranks =
+        if (i % Lineage.FuseRounds == 0 || i == iterations)
+          scope.cutRound(next)
+        else next
     }
     scope.finish(ranks.select("node", "rank"))
     }
@@ -156,7 +172,7 @@ object Graph {
       broadcast(nodesBase.agg(count(lit(1)).cast("double").as("__n"))))
     var ranks: DataFrame =
       nodes.withColumn("rank", round(lit(1.0) / col("__n"), 12))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val rs = ranks.select(col("node").as("src"), col("rank"))
         .join(deg, "src")
       val contrib = links.join(rs, "src")
@@ -168,13 +184,18 @@ object Graph {
           (round(col("rank") / col("__outdeg"), 12)
             .cast("decimal(14,12)") * col("w").cast("decimal(10,0)"))
             .cast("decimal(38,12)")).as("__contrib"))
-      ranks = scope.cutRound(
+      val next =
         nodes.join(contrib, Seq("node"), "left")
           .withColumn("rank",
             round(lit(1.0 - damping) / col("__n") +
               lit(damping) *
                 coalesce(col("__contrib").cast("double"), lit(0.0)), 12))
-          .drop("__contrib"))
+          .drop("__contrib")
+      // round fusion — see pageRankKeyed's loop for the rationale
+      ranks =
+        if (i % Lineage.FuseRounds == 0 || i == iterations)
+          scope.cutRound(next)
+        else next
     }
     scope.finish(ranks.select("node", "rank"))
   }
@@ -476,11 +497,18 @@ object Graph {
     // every round's blocks (the r15 sweep-degradation fix).
     def normalized(raw: DataFrame): DataFrame = {
       val cut = scope.local(raw)
-      scope.cutRound(
-        cut.crossJoin(broadcast(cut.agg(sum("__raw").as("__t"))))
-          .select(col("node"),
-            round(col("__raw").cast("double") / col("__t").cast("double"),
-              12).as("score")))
+      // the normalized projection itself stays UNCUT (r16 round
+      // fusion): lineage is already bounded at one hop by the raw cut
+      // it rides, and its consumers (the next side's aggregate, the
+      // final union) re-derive only a round+divide over the cached raw
+      // blocks — while every cut boundary costs ~a scheduled job, the
+      // exact per-query tax a loaded long-lived driver amplifies
+      // (VERDICT r15 #1/#2; also the price the r15 eager-finish paid
+      // on aq92's committed row).
+      cut.crossJoin(broadcast(cut.agg(sum("__raw").as("__t"))))
+        .select(col("node"),
+          round(col("__raw").cast("double") / col("__t").cast("double"),
+            12).as("score"))
     }
     var hubs: DataFrame = scope.local(
       linksS.select(col("src").as("node")).distinct())

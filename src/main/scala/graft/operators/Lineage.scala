@@ -26,6 +26,19 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Lineage {
 
+  /** Round-fusion cadence for iterative trajectories: cut lineage every
+    * N-th round instead of every round. A round that references its
+    * predecessor exactly ONCE grows the plan linearly while uncut, so
+    * the only things a per-round cut buys are (a) bounded lineage for
+    * executor-loss recovery and (b) optimizer/codegen input size — both
+    * satisfied at a multi-round cadence — while every cut boundary
+    * costs ~a scheduled job, the per-query overhead a loaded long-lived
+    * driver amplifies on many-small-jobs queries. 4 keeps uncut spans
+    * at ~12 operators (well inside Catalyst comfort) and cuts job
+    * counts ~4×. Operators whose rounds self-reference MORE than once
+    * (plan doubling) must keep cutting every round. */
+  val FuseRounds = 4
+
   /** Eager iterative cut: reliable checkpoint when a dir is configured,
     * eager localCheckpoint otherwise. Use before loops and wherever the
     * next consumer is not an immediate aggregate. */

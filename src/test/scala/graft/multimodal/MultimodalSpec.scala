@@ -317,4 +317,93 @@ class MultimodalSpec extends AnyFunSuite {
     // (-1000, 0) flip at samples 3→4 appears in neither frame
     assert(out.map(_.zero_crossings).sum == 3)
   }
+
+  test("ContainerCodec: MP4 encode→parse round-trips duration, track " +
+    "layout, codec tags, box count, and mdat bytes") {
+    val payload = Array.tabulate[Byte](300)(i => (i * 7).toByte)
+    val one = Multimodal.ContainerCodec.encodeMp4(
+      4321L, audioTrack = false, payload)
+    val i1 = Multimodal.ContainerCodec.parse(one).get
+    assert(i1.container == "mp4" && i1.codecs == "avc1" &&
+      i1.tracks == 1 && i1.durationMs == 4321L && i1.units == 12 &&
+      i1.payloadBytes == 300L)
+    val two = Multimodal.ContainerCodec.encodeMp4(
+      9999L, audioTrack = true, payload)
+    val i2 = Multimodal.ContainerCodec.parse(two).get
+    assert(i2.codecs == "avc1+mp4a" && i2.tracks == 2 &&
+      i2.durationMs == 9999L && i2.units == 20)
+  }
+
+  test("ContainerCodec: MP4 parser handles 64-bit largesize and " +
+    "size-to-end boxes, quarantines truncation and bad sizes") {
+    val payload = Array.tabulate[Byte](64)(_.toByte)
+    val b = Multimodal.ContainerCodec.encodeMp4(1000L, false, payload)
+    // rewrite the trailing mdat as a largesize box (size=1 + 64-bit)
+    val mdatOff = b.length - (8 + 64)
+    assert(new String(b, mdatOff + 4, 4, "US-ASCII") == "mdat")
+    val large = b.take(mdatOff) ++
+      Array[Byte](0, 0, 0, 1) ++ "mdat".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, (16 + 64).toByte) ++
+      payload
+    val li = Multimodal.ContainerCodec.parse(large).get
+    assert(li.payloadBytes == 64L && li.units == 12)
+    // size=0 means "extends to the end of the enclosing box"
+    val toEnd = b.take(mdatOff) ++
+      Array[Byte](0, 0, 0, 0) ++ "mdat".getBytes("US-ASCII") ++ payload
+    assert(Multimodal.ContainerCodec.parse(toEnd).get.payloadBytes == 64L)
+    // truncation and an overrunning box size both quarantine (None),
+    // never crash or return partial rows
+    assert(Multimodal.ContainerCodec.parse(b.dropRight(10)).isEmpty)
+    val overrun = b.clone()
+    overrun(mdatOff) = 0x7f.toByte // mdat size now exceeds the buffer
+    assert(Multimodal.ContainerCodec.parse(overrun).isEmpty)
+  }
+
+  test("ContainerCodec: Ogg encode→parse recovers stream parameters, " +
+    "page count, granule duration, and payload bytes; a corrupt page " +
+    "CRC quarantines") {
+    val payload = Array.tabulate[Byte](600)(i => (i * 13).toByte)
+    val b = Multimodal.ContainerCodec.encodeOggVorbis(
+      serial = 77, channels = 2, rate = 16000, granule = 48000L,
+      bodyPages = 3, payload)
+    val i = Multimodal.ContainerCodec.parse(b).get
+    assert(i.container == "ogg" && i.codecs == "vorbis" &&
+      i.tracks == 1 && i.channels == 2 && i.sampleRate == 16000)
+    assert(i.durationMs == 3000L) // 48000 samples @ 16 kHz
+    assert(i.units == 4 && i.payloadBytes == 600L)
+    // flip one payload byte: that page's CRC no longer verifies →
+    // strict parse quarantines the container
+    val corrupt = b.clone()
+    corrupt(b.length - 1) = (corrupt(b.length - 1) ^ 0x5a).toByte
+    assert(Multimodal.ContainerCodec.parse(corrupt).isEmpty)
+    // a 255-multiple payload needs the trailing 0 lacing value —
+    // round-trip proves the segment-table convention
+    val exact = Multimodal.ContainerCodec.encodeOggVorbis(
+      1, 1, 8000, 1600L, 1, new Array[Byte](510))
+    assert(Multimodal.ContainerCodec.parse(exact).get.payloadBytes == 510L)
+  }
+
+  test("container pipeline: packContainers → containerMeta is exact " +
+    "per row and drops non-containers") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "even ids pack as mp4"),
+      (3L, "odd ids pack as ogg vorbis streams"),
+      (4L, "id % 4 == 0 adds the audio track"))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("bytes"))
+    val out = Multimodal.containerMeta(Multimodal.packContainers(rows))
+      .collect().map(m => m.media_id -> m).toMap
+    val l0 = "even ids pack as mp4".getBytes("UTF-8").length
+    assert(out(0L).container == "mp4" && out(0L).codecs == "avc1+mp4a" &&
+      out(0L).tracks == 2 && out(0L).duration_ms == 1000L + l0 * 7 % 9000)
+    val l3 = "odd ids pack as ogg vorbis streams".getBytes("UTF-8").length
+    assert(out(3L).container == "ogg" && out(3L).sample_rate == 20000 &&
+      out(3L).channels == 2 && out(3L).units == 2 + l3 % 4 &&
+      out(3L).duration_ms == l3.toLong * 160 * 1000 / 20000)
+    assert(out(4L).codecs == "avc1+mp4a" && out(4L).units == 20)
+    // junk bytes (no container magic) are dropped, not crashed on
+    val junk = Seq((9L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "bytes")
+    assert(Multimodal.containerMeta(junk).count() == 0)
+  }
 }
