@@ -656,19 +656,26 @@ object Behavior {
       steps: Int): DataFrame = {
     var p: DataFrame = states.withColumn("p",
       when(col("state") === conversionType, 1.0).otherwise(0.0))
-    for (_ <- 1 to steps) {
+    for (i <- 1 to steps) {
       val reach = trans
         .join(p.select(col("state").as("to_type"), col("p")), "to_type")
         .groupBy(col("from_type").as("state"))
         .agg(sum(round(col("t_prob") * col("p"), 12)
           .cast("decimal(38,12)")).as("__r"))
-      p = Lineage.cutLocal(states
+      val next = states
         .join(reach, Seq("state"), "left")
         .withColumn("p",
           when(col("state") === conversionType, 1.0)
             .otherwise(round(coalesce(col("__r").cast("double"),
               lit(0.0)), 12)))
-        .drop("__r"))
+        .drop("__r")
+      // round fusion (see Lineage.FuseRounds): each step references the
+      // previous p exactly once over a |types|²-row matrix — cutting
+      // every step bought only a scheduled job per step, times every
+      // removal trajectory markovAttribution runs (aq54 measured 75
+      // jobs/run pre-fusion, the worst scheduling-sensitivity in the
+      // iterative band)
+      p = if (i % Lineage.FuseRounds == 0) Lineage.cutLocal(next) else next
     }
     p
   }
