@@ -118,22 +118,17 @@ object Graph {
               lit(damping) *
                 coalesce(col("__contrib").cast("double"), lit(0.0)), 12))
           .drop("__contrib")
-      // ROUND FUSION (r16): cut every FuseRounds-th round, not every
-      // round. Each round references the previous frame exactly once,
-      // so an uncut span grows the plan LINEARLY (~3 operators/round,
-      // never the self-join doubling the cut discipline exists for),
-      // while every cut boundary costs ~a scheduled job — the exact
-      // per-query tax a loaded long-lived driver amplifies on the
-      // many-small-jobs family (VERDICT r15 #1/#2). Lineage stays
-      // bounded at FuseRounds joins between cuts — the checkpoint-
-      // interval knob every production iterative Spark job tunes —
-      // and the 12dp-per-round arithmetic is unchanged expression
-      // composition, so trajectories stay bit-identical (the unrolled
-      // DuckDB oracles prove it, hash-for-hash).
-      ranks =
-        if (i % Lineage.FuseRounds == 0 || i == iterations)
-          scope.cutRound(next)
-        else next
+      // NO round fusion here (r16 A/B, deliberate): this loop runs
+      // inside withoutAqe, where the planner is STATS-BLIND — a cut
+      // round is a LogicalRDD whose default size estimate forces the
+      // per-round joins to shuffle joins, while an UNCUT span lets the
+      // static planner misestimate the |V|-row frames into per-round
+      // broadcast builds (driver collect + serialize each), and wall
+      // time follows: fuse=1/2/4 measured 4.44/4.78/5.82 s on aq44.
+      // Fusion belongs to AQE-ON trajectories (pageRankWeighted,
+      // valueIterate), where runtime stats re-plan each stage — see
+      // Lineage.FuseRounds.
+      ranks = scope.cutRound(next)
     }
     scope.finish(ranks.select("node", "rank"))
     }

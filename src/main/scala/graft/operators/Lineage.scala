@@ -26,18 +26,27 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Lineage {
 
-  /** Round-fusion cadence for iterative trajectories: cut lineage every
-    * N-th round instead of every round. A round that references its
-    * predecessor exactly ONCE grows the plan linearly while uncut, so
-    * the only things a per-round cut buys are (a) bounded lineage for
-    * executor-loss recovery and (b) optimizer/codegen input size — both
-    * satisfied at a multi-round cadence — while every cut boundary
-    * costs ~a scheduled job, the per-query overhead a loaded long-lived
-    * driver amplifies on many-small-jobs queries. 4 keeps uncut spans
-    * at ~12 operators (well inside Catalyst comfort) and cuts job
-    * counts ~4×. Operators whose rounds self-reference MORE than once
-    * (plan doubling) must keep cutting every round. */
-  val FuseRounds = 4
+  /** Round-fusion cadence for AQE-ON iterative trajectories: cut
+    * lineage every N-th round instead of every round. A round that
+    * references its predecessor exactly ONCE grows the plan linearly
+    * while uncut, so the only things a per-round cut buys are
+    * (a) bounded lineage for executor-loss recovery and (b) optimizer/
+    * codegen input size — both satisfied at a multi-round cadence —
+    * while every cut boundary costs per-round scheduling and an
+    * |rows|-sized materialization (aq54 measured 75 jobs/run with
+    * per-step cuts across its removal trajectories; aq53 1.79→1.43 s,
+    * tq25 1.74→1.52 s fused at 4). Two hard preconditions, both
+    * measured the expensive way:
+    *  - rounds must reference their predecessor exactly once — a
+    *    twice-referencing round (dq6's largeStar symmetrization)
+    *    DOUBLES the plan per uncut round;
+    *  - AQE must be ON over the span. Under `withoutAqe` the static
+    *    planner sizes an uncut span from source stats and misplans the
+    *    per-round joins into broadcast builds (driver collect each) —
+    *    aq44 measured 4.44/4.78/5.82 s at fuse 1/2/4 — while a cut
+    *    round's LogicalRDD default estimate keeps them shuffle joins.
+    *    AQE-off trajectories keep per-round cuts (pageRankKeyed). */
+  val FuseRounds: Int = 4
 
   /** Eager iterative cut: reliable checkpoint when a dir is configured,
     * eager localCheckpoint otherwise. Use before loops and wherever the
