@@ -680,14 +680,19 @@ class ResultStore(spark: SparkSession, root: String) {
           commitPrimitive.release(schemaDir(schema), claimed, token)
           Some(claimed)
         } catch {
-          // lost-race exits release too — token-checked no-op when the
-          // slot changed hands, local-bookkeeping cleanup when not
-          case _: java.nio.file.FileAlreadyExistsException =>
-            commitPrimitive.release(schemaDir(schema), claimed, token)
-            None
-          case _: java.nio.file.DirectoryNotEmptyException =>
-            commitPrimitive.release(schemaDir(schema), claimed, token)
-            None
+          // move-refused exits must NOT release: the claim may still
+          // be OURS (target existed for a foreign reason), and under
+          // the filesystem impl deleting our live marker would orphan
+          // the strand dir from the lease sweep — which iterates
+          // MARKERS — turning a lease-bounded self-healing state into
+          // an invisible permanent wedge. Holding the marker keeps
+          // recovery on the designed path: it expires, and the
+          // claim-phase sweep reaps marker and strand together. (The
+          // verify-failed exits below DO release — there the claim is
+          // provably gone or foreign, so release is a token-checked
+          // no-op that only clears local claim bookkeeping.)
+          case _: java.nio.file.FileAlreadyExistsException => None
+          case _: java.nio.file.DirectoryNotEmptyException => None
           case e: java.io.IOException =>
             // a zombie's mutation failing BECAUSE it was fenced
             // (swept mid-commit) is a lost race; a genuine IO fault
