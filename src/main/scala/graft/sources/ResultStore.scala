@@ -658,6 +658,18 @@ class ResultStore(spark: SparkSession, root: String) {
         // fenced convert to a lost race, not a crash.
         val target = versionDir(schema, claimed)
         try {
+          // a pre-existing target means the slot carries a strand (or
+          // was swept and re-taken): refuse the move WITHOUT touching
+          // it and WITHOUT releasing the claim — strand reaping
+          // belongs to the claim-phase lease sweep, which needs our
+          // marker parked on the slot to find the expired claim (see
+          // the catch below). The exception catches remain as the
+          // TOCTOU backstop, but cannot be relied on alone: on Linux,
+          // rename(2) onto a NON-EMPTY directory surfaces as a
+          // generic FileSystemException (ENOTEMPTY), not
+          // DirectoryNotEmptyException, and would otherwise read as a
+          // genuine IO fault and throw past the retry loop.
+          if (target.exists()) return None
           java.nio.file.Files.move(staging.toPath, target.toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           writeMeta(target, committedMeta(schema))

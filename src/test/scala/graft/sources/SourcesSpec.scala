@@ -1686,4 +1686,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(tableState(store, "t") == Map(1L -> "a", 2L -> "b"))
     assert(!marker.exists(), "the dead marker itself is swept")
   }
+
+  test("transact move-refused exit keeps the claim: a markerless " +
+    "strand at the next slot is reaped by THIS writer's own lease " +
+    "sweep — self-heals inside one transact call, never a permanent " +
+    "wedge") {
+    val root = tmpDir()
+    val store = new ResultStore(spark, root)
+    store.upsertContended("t", Seq(KV(1, "a")).toDF(), "k")
+    // a markerless UNCOMMITTED strand occupying the next slot — the
+    // state external interference (or a release-on-move-refused bug)
+    // would leave. It is invisible to the marker-iterating claim sweep
+    // until a claimant parks its own marker on the slot: releasing
+    // that marker on the move refusal would strip the slot of the only
+    // thing the sweep can see, looping claim→refuse→release to
+    // ConcurrentModificationException forever.
+    val strand = new java.io.File(s"$root/t/v00000002")
+    assert(strand.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(strand, "junk.txt").toPath, "not a commit")
+    spark.conf.set("spark.graft.store.txnLeaseMs", "200")
+    try {
+      // early attempts claim the slot and are refused at the move;
+      // HOLDING the marker across the refusals is what lets the
+      // claim-phase sweep find an expired claim, reap marker AND
+      // strand together, and commit — inside one retry budget
+      store.upsertContended("t", Seq(KV(2, "b")).toDF(), "k")
+      assert(tableState(store, "t") == Map(1L -> "a", 2L -> "b"))
+      assert(!new java.io.File(strand, "junk.txt").exists(),
+        "the strand contents must be reaped, not adopted into the " +
+          "committed generation")
+    } finally spark.conf.unset("spark.graft.store.txnLeaseMs")
+  }
 }
