@@ -13871,6 +13871,38 @@ ORDER BY query_id"""
       .orderBy("media_id")
   }
 
+  // mm15_mp3_meta — MPEG audio inventory over real frame syncs: every
+  // document packs as a spec-valid CBR MP3 (ID3v2.3 tag carrying the
+  // payload via a real syncsafe size, then MPEG-1 Layer III frames
+  // with table-correct lengths: 144·bitrate/44100, ISO 11172-3
+  // constants), and the parser walks the tag + frame-sync chain back
+  // out — bitrate/sample-rate/channel-mode from the header bits,
+  // duration from frames×1152 samples, payload from the tag size.
+  // With mm14's MP4 + Ogg this covers all three compressed container
+  // families the fake-codec boundary named; frame DECODE remains the
+  // only stub. Oracle closed-form from the generator contract, same
+  // round-trip property as mm14.
+  register(
+    "mm15_mp3_meta",
+    """SELECT doc_id AS media_id, 'mp3' AS container, 'mp3' AS codecs,
+      |       1::int AS tracks,
+      |       (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END)::int
+      |         AS channels,
+      |       44100::int AS sample_rate,
+      |       ((2 + strlen(text) % 7)::bigint * 1152 * 1000 // 44100)
+      |         ::bigint AS duration_ms,
+      |       (2 + strlen(text) % 7)::int AS units,
+      |       strlen(text)::bigint AS payload_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("bytes"))
+    graft.multimodal.Multimodal.containerMeta(
+      graft.multimodal.Multimodal.packMp3(docs)).toDF()
+      .orderBy("media_id")
+  }
+
   // ---------------------------------------------------------------------
   // st20_pmi_dashboard — TWO additive registries composed into a live
   // collocation dashboard (Registries.incrementalTokenCounts +

@@ -900,6 +900,84 @@ object Multimodal {
       out.toByteArray
     }
 
+    // ---- MPEG audio (MP3) writer ----
+    /** MPEG-1 Layer III bitrate table (kbps), indexed by the 4-bit
+      * header field — public ISO 11172-3 constants. */
+    private val mp3BitrateKbps = Array(
+      0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    private val mp3SampleRate = Array(44100, 48000, 32000, 0)
+
+    private def syncsafe(v: Int): Array[Byte] =
+      Array(((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+        ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+
+    /** Spec-valid CBR MP3: an ID3v2.3 tag carrying `tagBody` (a real
+      * syncsafe-sized tag — the payload vehicle, like mdat/Ogg body
+      * pages), then `frames` MPEG-1 Layer III frame headers with
+      * correct frame lengths (144·bitrate/sampleRate, zero padding)
+      * and deterministic frame bodies. */
+    def encodeMp3(
+        bitrateIdx: Int, srIdx: Int, mono: Boolean, frames: Int,
+        tagBody: Array[Byte]): Array[Byte] = {
+      require(bitrateIdx >= 1 && bitrateIdx <= 14, "bitrate index 1..14")
+      require(srIdx >= 0 && srIdx <= 2, "sample-rate index 0..2")
+      require(frames >= 1, "at least one frame")
+      require(tagBody.length < (1 << 28), "ID3v2 syncsafe size is 28-bit")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(ascii("ID3"))
+      out.write(Array[Byte](3, 0, 0))
+      out.write(syncsafe(tagBody.length))
+      out.write(tagBody)
+      val frameLen =
+        144 * (mp3BitrateKbps(bitrateIdx) * 1000) / mp3SampleRate(srIdx)
+      var i = 0
+      while (i < frames) {
+        // 0xFF 0xFB = sync + MPEG-1 + Layer III + no CRC
+        out.write(Array[Byte](0xff.toByte, 0xfb.toByte,
+          ((bitrateIdx << 4) | (srIdx << 2)).toByte,
+          (if (mono) 0xc0 else 0x00).toByte))
+        var j = 4
+        while (j < frameLen) { out.write((i * 31 + j * 7) & 0xff); j += 1 }
+        i += 1
+      }
+      out.toByteArray
+    }
+
+    private def parseMp3(b: Array[Byte]): Option[ContainerInfo] = {
+      // ID3v2 header: "ID3" + version(2) + flags(1) + syncsafe size(4)
+      if (b.length < 10) return None
+      val tagBytes = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      var off = 10 + tagBytes
+      if (off > b.length) return None
+      var frames = 0
+      var kbps = 0
+      var rate = 0
+      var channels = 0
+      while (off < b.length) {
+        if (off + 4 > b.length || (b(off) & 0xff) != 0xff ||
+            (b(off + 1) & 0xe0) != 0xe0) return None
+        val versionBits = (b(off + 1) >> 3) & 3
+        val layerBits = (b(off + 1) >> 1) & 3
+        if (versionBits != 3 || layerBits != 1) return None // MPEG-1 L3
+        val bIdx = (b(off + 2) >> 4) & 15
+        val sIdx = (b(off + 2) >> 2) & 3
+        val padding = (b(off + 2) >> 1) & 1
+        if (bIdx < 1 || bIdx > 14 || sIdx > 2) return None
+        kbps = mp3BitrateKbps(bIdx)
+        rate = mp3SampleRate(sIdx)
+        channels = if (((b(off + 3) >> 6) & 3) == 3) 1 else 2
+        val frameLen = 144 * (kbps * 1000) / rate + padding
+        if (frameLen < 4 || off + frameLen > b.length) return None
+        frames += 1
+        off += frameLen
+      }
+      if (frames == 0 || off != b.length) None
+      // MPEG-1 Layer III: 1152 samples per frame
+      else Some(ContainerInfo("mp3", "mp3", 1, channels, rate,
+        frames.toLong * 1152 * 1000 / rate, frames, tagBytes.toLong))
+    }
+
     // ---- parsers ----
     /** Dispatch on the container magic; None for anything that does
       * not parse CLEANLY end-to-end (quarantine, not crash). */
@@ -907,6 +985,8 @@ object Multimodal {
       val b = Option(bytes).getOrElse(Array.empty)
       if (b.length >= 12 && fourcc(b, 4) == "ftyp") parseMp4(b)
       else if (b.length >= 27 && fourcc(b, 0) == "OggS") parseOgg(b)
+      else if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        parseMp3(b)
       else None
     }
 
@@ -1060,6 +1140,32 @@ object Multimodal {
                   bodyPages = (1 + len % 4).toInt,
                   payload)
             (id, bytes)
+          }
+        }
+      }
+      .toDF("media_id", "bytes")
+  }
+
+  /** [[packContainers]] for MPEG audio: every row becomes a spec-valid
+    * CBR MP3 — bitrate 128/192/320 kbps by id%3, 44.1 kHz, mono on odd
+    * ids, 2 + |payload|%7 frames, the payload riding in a real ID3v2
+    * tag. Deterministic in (id, payload) for the closed-form oracle;
+    * the bytes satisfy a real MPEG frame-sync walk. */
+  def packMp3(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        mapBatches(it, KernelBatchSize) { batch =>
+          batch.iterator.map { case (id, payloadN) =>
+            val payload = Option(payloadN).getOrElse(Array.empty)
+            (id, ContainerCodec.encodeMp3(
+              bitrateIdx = Array(9, 11, 14)((id % 3).toInt),
+              srIdx = 0,
+              mono = id % 2 == 1,
+              frames = 2 + payload.length % 7,
+              tagBody = payload))
           }
         }
       }

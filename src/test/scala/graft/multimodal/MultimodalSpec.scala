@@ -383,6 +383,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ContainerCodec.parse(exact).get.payloadBytes == 510L)
   }
 
+  test("ContainerCodec: MP3 encode→parse recovers bitrate-derived " +
+    "frame walk, channel mode, tag size, and sample duration; " +
+    "truncated frames and broken syncs quarantine") {
+    val tag = Array.tabulate[Byte](200)(i => (i * 3).toByte)
+    val b = Multimodal.ContainerCodec.encodeMp3(
+      bitrateIdx = 9, srIdx = 0, mono = false, frames = 5, tagBody = tag)
+    val i = Multimodal.ContainerCodec.parse(b).get
+    assert(i.container == "mp3" && i.codecs == "mp3" && i.tracks == 1)
+    assert(i.channels == 2 && i.sampleRate == 44100)
+    assert(i.units == 5 && i.payloadBytes == 200L)
+    assert(i.durationMs == 5L * 1152 * 1000 / 44100) // 130 ms
+    // 128 kbps @ 44.1 kHz → 417-byte frames: total = 10 + 200 + 5·417
+    assert(b.length == 10 + 200 + 5 * 417)
+    val mono = Multimodal.ContainerCodec.encodeMp3(14, 0, mono = true,
+      frames = 2, tagBody = Array.empty)
+    val mi = Multimodal.ContainerCodec.parse(mono).get
+    assert(mi.channels == 1 && mi.units == 2)
+    // a truncated final frame and a corrupted sync both quarantine
+    assert(Multimodal.ContainerCodec.parse(b.dropRight(3)).isEmpty)
+    val bad = b.clone()
+    bad(10 + 200) = 0x00 // first frame's sync byte
+    assert(Multimodal.ContainerCodec.parse(bad).isEmpty)
+  }
+
   test("container pipeline: packContainers → containerMeta is exact " +
     "per row and drops non-containers") {
     import spark.implicits._
