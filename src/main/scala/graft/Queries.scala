@@ -5966,14 +5966,20 @@ ORDER BY query_id"""
   ) { (s, dir) =>
     val ords = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = graft.operators.Lineage.cutLocal(
-      li.join(ords, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("c"),
-          (col("l_suppkey") * 2 + 1).as("s"))
-        .distinct())
+    val joined = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    // iterPartitions must read the PRE-cut plan: after cutLocal the
+    // edge frame is a LogicalRDD whose stats are the origin join's
+    // inflated product estimate, which no-ops the adaptive width
+    val kIter = graft.operators.Lineage.iterPartitions(joined)
+    val pairs = graft.operators.Lineage.cutLocal(joined)
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    graft.operators.Lineage.withShufflePartitions(s, kIter) {
     graft.operators.Graph.pageRank(edges, iterations = 3, damping = 0.85)
+    }
       .select(
         when(col("node") % 2 === 0, "customer")
           .otherwise("supplier").as("node_type"),

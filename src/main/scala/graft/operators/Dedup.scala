@@ -147,7 +147,9 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
-    val docs = df
+    // Spread: the shingle+signature kernel otherwise runs inside a
+    // possibly single-task scan stage (guide §2.5 — see Spread)
+    val docs = Spread(df, col(idCol))
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .transform(Lineage.cutLocal)
@@ -198,7 +200,16 @@ object Dedup {
     // upstream (signature kernels, prefix ranking) exactly once, and
     // WindowExec spills its per-group buffer — a separate count
     // aggregate would recompute the whole upstream for the probe
-    val sized = rows.withColumn("__bn",
+    // CPU-width pin for the in-bucket expansion (r16): AQE's
+    // byte-based coalescing sizes the post-shuffle stage for shuffle
+    // overhead, but the pair explosion + downstream verification are
+    // CPU-bound per ROW — on small corpora the whole stage coalesced
+    // to 1-3 tasks. An explicit keyed repartition is exempt from
+    // coalescing and both the window and the groupBy below reuse it
+    // (same keys — no extra exchange); Spread.width no-ops at scale.
+    val rows2 = Spread.width(rows)
+      .fold(rows)(k => rows.repartition(k, bk: _*))
+    val sized = rows2.withColumn("__bn",
       count(lit(1)).over(Window.partitionBy(bk: _*)))
 
     val small = sized.filter(col("__bn") <= maxBucketInMemory)
@@ -224,7 +235,11 @@ object Dedup {
       candidates: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-    candidates
+    // same CPU-width pin as bucketPairs: the per-pair set intersection
+    // is the expensive part and must not run in a byte-coalesced
+    // 1-task stage; the id_a join reuses the exchange
+    Spread.width(docs).fold(candidates)(k =>
+      candidates.repartition(k, col("id_a")))
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(inter / uni, 4))
@@ -254,7 +269,7 @@ object Dedup {
     // when the result is dropped — a lazy operator can never unpersist
     // on its caller's behalf, and pinned cache entries would accumulate
     // across queries and micro-batches.
-    val docs = df.select(col(idCol).as("id"),
+    val docs = Spread(df, col(idCol)).select(col(idCol).as("id"),
       shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .transform(Lineage.cutLocal)
@@ -342,7 +357,7 @@ object Dedup {
     // The lineage cut stays: `fingerprints` is referenced by both
     // size() and explode() downstream, and without the cut the kernel
     // expression inlines into (and recomputes for) each reference.
-    df
+    Spread(df, col(idCol))
       .select(col(idCol).as("id"),
         graft.functions.TextKernelExpressions.winnow_fingerprints(
           col(textCol), shingleN, window, portable).as("fingerprints"))
@@ -430,7 +445,7 @@ object Dedup {
       maxPrefixDf: Option[Int] = None): DataFrame = {
     require(maxDist >= 0 && prefixLen > 0, "maxDist/prefixLen out of range")
     val t = lower(trim(col(textCol)))
-    var b = df.select(col(idCol).as("id"), t.as("__t"),
+    var b = Spread(df, col(idCol)).select(col(idCol).as("id"), t.as("__t"),
       length(t).as("__len"), substring(t, 1, prefixLen).as("__pfx"))
     maxPrefixDf.foreach { cap =>
       val w = org.apache.spark.sql.expressions.Window.partitionBy("__pfx")
@@ -541,7 +556,7 @@ object Dedup {
       threshold: Double = 0.9,
       maxShingleDf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = df.select(col(idCol).as("id"),
+    val docs = Spread(df, col(idCol)).select(col(idCol).as("id"),
       shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .transform(Lineage.cutLocal)
@@ -1020,7 +1035,7 @@ object Dedup {
     // per doc, immune to the CollapseProject×HOF re-tokenization trap
     // the former transform+slice+array_join chain sat next to
     // (NOTES_BUILD).
-    val grams = df.select(col(idCol).as("id"),
+    val grams = Spread(df, col(idCol)).select(col(idCol).as("id"),
       explode(graft.functions.TextKernelExpressions
         .word_ngrams_only(col(textCol), shingleN)).as("tok"))
     val tf = grams.groupBy("id", "tok").agg(count(lit(1)).as("__tf"))
@@ -1366,7 +1381,7 @@ object Dedup {
       numHashes: Int): DataFrame = {
     require(numHashes >= 1 && numHashes <= 64, "numHashes in [1, 64]")
     val p = 2147483647L
-    val docs = df
+    val docs = Spread(df, col(idCol))
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), transform(col("sh"), s =>
@@ -1759,7 +1774,7 @@ object Dedup {
       strCol: String): DataFrame = {
     // the empty string has no deletions — and Spark's sequence(1, 0)
     // yields [1, 0] (default step -1), so the empty case must branch
-    val vars = df
+    val vars = Spread(df, col(idCol))
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .select(col("id"), col("s"), explode(expr(
         "if(length(s) = 0, array(s), " +

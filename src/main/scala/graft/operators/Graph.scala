@@ -79,6 +79,14 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    // AQE is off for the whole trajectory, so nothing coalesces the
+    // per-round exchanges — pin the window's shuffle width to the
+    // input-derived count (Lineage.iterPartitions: 64 MB/partition
+    // from the edge frame's leaf bytes, clamped to the session width)
+    // instead of shuffling |V|-row round frames into `cpus` near-empty
+    // tasks per round
+    Lineage.withShufflePartitions(
+      edges.sparkSession, Lineage.iterPartitions(edges)) {
     withoutAqe(edges.sparkSession) {
     val scope = new Lineage.RoundScope
 
@@ -131,6 +139,7 @@ object Graph {
       ranks = scope.cutRound(next)
     }
     scope.finish(ranks.select("node", "rank"))
+    }
     }
   }
 
@@ -474,6 +483,10 @@ object Graph {
     * Returns `(side, node, score)` with side ∈ {hub, authority}. */
   def hits(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
+    // input-derived shuffle width for the AQE-off window — see
+    // pageRankKeyed (same per-round near-empty-task rationale)
+    Lineage.withShufflePartitions(
+      edges.sparkSession, Lineage.iterPartitions(edges)) {
     withoutAqe(edges.sparkSession) {
     val scope = new Lineage.RoundScope
     val linksS = scope.local(
@@ -523,6 +536,7 @@ object Graph {
       hubs.select(lit("hub").as("side"), col("node"), col("score"))
         .unionByName(auths.select(
           lit("authority").as("side"), col("node"), col("score"))))
+    }
     }
   }
 

@@ -129,6 +129,47 @@ private[graft] object Lineage {
     }
   }
 
+  /** Scale-adaptive shuffle-partition count for an AQE-OFF iterative
+    * trajectory (guide §2.2 — fewer, larger partitions): inside a
+    * `withoutAqe` window nothing coalesces tiny exchanges, so every
+    * per-round |V|-row frame shuffles into the SESSION's partition
+    * count — at local[32] that is 32 near-empty tasks per exchange per
+    * round, pure scheduling tax (the r16 Where probe measured aq44 at
+    * 373 tasks / 220 core-seconds and aq92 at 559 tasks for frames of
+    * a few MB). Like [[Spread]], the count derives from the plan's
+    * LEAF input bytes — the pre-execution statistic that is actually
+    * reliable — one partition per 4 MB of input (round joins are
+    * CPU-moderate hash join + aggregate work, so partitions stay small
+    * enough to use the cores: aq92 at 1 partition measured 9.6 s of
+    * fully SERIAL round work, at the session's 32 it measured 559
+    * near-empty tasks — both ends lose), clamped to the session's
+    * configured width so a cluster-scale edge frame keeps full
+    * parallelism and only provably-small inputs narrow. Unknown leaf
+    * statistics (a lineage-cut LogicalRDD reports its origin plan's
+    * join-inflated estimate, or the default) clamp to the session
+    * width, i.e. the helper degrades to a no-op, never a misplan. */
+  def iterPartitions(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (bytes <= 0) session
+    else BigInt(session).min((bytes / (4L << 20)) + 1).toInt.max(1)
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restoring the previous value afterwards. Same single-driver
+    * session-conf scoping caveat as [[withoutAqe]]: anything lazy must
+    * materialize inside the window. */
+  def withShufflePartitions[T](
+      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally before.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Run `body` with adaptive query execution OFF and restore the
     * session flag afterwards (unset stays unset). AQE materializes
     * every exchange as its own query-stage JOB — the right call for

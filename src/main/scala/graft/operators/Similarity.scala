@@ -46,8 +46,9 @@ object Similarity {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       float_norm(col(vecCol)).as("qn")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      float_norm(col(vecCol)).as("cn"))
+    val c = Spread(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        float_norm(col(vecCol)).as("cn"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
@@ -356,7 +357,10 @@ object Similarity {
     if (seeds.isEmpty)
       return corpus.select(col(idCol), col(vecCol),
         lit(null).cast("long").as("cell_id")).limit(0)
-    corpus.select(col(idCol), col(vecCol),
+    // Spread: the argmax-cell kernel (and every downstream cell-join
+    // cosine pass that inherits this frame's partitioning) otherwise
+    // runs inside a possibly single-task scan stage (guide §2.5)
+    Spread(corpus, col(idCol)).select(col(idCol), col(vecCol),
       cosineArgmaxCell(col(vecCol), seeds.toSeq).as("cell_id"))
   }
 
@@ -1227,6 +1231,42 @@ object Similarity {
         |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Shared basket build for [[coOccurrenceSimilarity]] /
+    * [[associationRules]]: one (user)-keyed aggregate collecting each
+    * kept user's SORTED distinct item array — the heavy-user cut is a
+    * size() filter on the collected array instead of a separate degree
+    * aggregate + semi-join (two shuffles of the basket frame saved),
+    * and the per-user pair space then explodes from the array with
+    * codegen generators instead of a two-sided self-join on `u` (one
+    * more basket-frame shuffle saved; the r16 rework, guide §2.3/§2.4
+    * "aggregate before you shuffle / remove shuffles outright").
+    * The collect_list buffer is bounded by `maxPerUser` only AFTER
+    * collection — safe at any scale because a single user's distinct
+    * items are collected on one reducer either way; users beyond ~10⁵
+    * items would need the bucketPairs spill path, far above any
+    * `maxPerUser` this operator is called with. */
+  private def keptBaskets(
+      baskets: DataFrame,
+      userCol: String,
+      itemCol: String,
+      maxPerUser: Int): DataFrame =
+    Lineage.cutLocal(baskets
+      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
+      .groupBy("u")
+      .agg(sort_array(collect_list(col("i"))).as("__xs"))
+      .filter(size(col("__xs")) <= maxPerUser))
+
+  /** Ordered within-basket pairs `(__a < __b)` from a [[keptBaskets]]
+    * frame — the double-generator expansion [[graft.operators.Dedup
+    * .bucketPairs]] uses, bit-identical to the old `a.u = b.u AND
+    * a.i < b.i` self-join because each `__xs` is sorted and distinct. */
+  private def basketPairs(kept: DataFrame): DataFrame =
+    kept.filter(size(col("__xs")) > 1)
+      .select(col("__xs"), posexplode(col("__xs")))
+      .select(col("col").as("__a"),
+        explode(slice(col("__xs"), col("pos") + 2, size(col("__xs"))))
+          .as("__b"))
+
   /** Item–item co-occurrence similarity over a (user, item) basket
     * frame — the collaborative-filtering kernel ("customers who bought
     * X also bought Y"): for item pairs sharing enough users,
@@ -1240,10 +1280,11 @@ object Similarity {
     *
     * Scale shape: the DIMSUM concern is the power user — a user with
     * 10⁵ items contributes 10¹⁰ pairs — so users above `maxPerUser`
-    * items are DROPPED before the self-join (the documented
+    * items are DROPPED before the pair expansion (the documented
     * heavy-user cut every production co-occurrence job applies; their
     * co-occurrence signal is near-zero information anyway). What
-    * remains is one per-user self-join bounded by maxPerUser², a
+    * remains is ONE user-keyed collect ([[keptBaskets]]), the
+    * generator pair expansion bounded by maxPerUser² per user, a
     * (pair)-keyed count with map-side partials, a broadcast |items|
     * degree join, and a TakeOrdered head — no global sort. Degrees
     * count only the KEPT users, so the cosine is internally
@@ -1257,21 +1298,11 @@ object Similarity {
       topK: Int = 100): DataFrame = {
     require(minSupport >= 1 && maxPerUser >= 2 && topK >= 1,
       "minSupport >= 1, maxPerUser >= 2, topK >= 1")
-    // the distinct basket frame feeds BOTH the heavy-user degree probe
-    // and the main pass — checkpoint it once or the upstream join +
-    // distinct runs twice (measured ~2x the query's scan cost)
-    val b = Lineage.cutLocal(baskets
-      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct())
-    val kept = Lineage.cutLocal(b
-      .join(b.groupBy("u").agg(count(lit(1)).as("__nu"))
-        .filter(col("__nu") <= maxPerUser).select("u"),
-        Seq("u"), "left_semi"))
-    val deg = kept.groupBy(col("i").as("item"))
-      .agg(count(lit(1)).as("n"))
-    val pairs = kept.as("a")
-      .join(kept.as("b"),
-        col("a.u") === col("b.u") && col("a.i") < col("b.i"))
-      .groupBy(col("a.i").as("item_a"), col("b.i").as("item_b"))
+    val kept = keptBaskets(baskets, userCol, itemCol, maxPerUser)
+    val deg = kept.select(explode(col("__xs")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+    val pairs = basketPairs(kept)
+      .groupBy(col("__a").as("item_a"), col("__b").as("item_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minSupport)
     pairs
@@ -1374,19 +1405,12 @@ object Similarity {
       topK: Int = 100): DataFrame = {
     require(minSupport >= 1 && maxPerUser >= 2 && topK >= 1,
       "minSupport >= 1, maxPerUser >= 2, topK >= 1")
-    val b = Lineage.cutLocal(baskets
-      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct())
-    val kept = Lineage.cutLocal(b
-      .join(b.groupBy("u").agg(count(lit(1)).as("__nu"))
-        .filter(col("__nu") <= maxPerUser).select("u"),
-        Seq("u"), "left_semi"))
-    val users = broadcast(
-      kept.select("u").distinct().agg(count(lit(1)).as("__users")))
-    val deg = kept.groupBy(col("i").as("item")).agg(count(lit(1)).as("n"))
-    val joint = kept.as("a")
-      .join(kept.as("b"),
-        col("a.u") === col("b.u") && col("a.i") < col("b.i"))
-      .groupBy(col("a.i").as("__lo"), col("b.i").as("__hi"))
+    val kept = keptBaskets(baskets, userCol, itemCol, maxPerUser)
+    val users = broadcast(kept.agg(count(lit(1)).as("__users")))
+    val deg = kept.select(explode(col("__xs")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+    val joint = basketPairs(kept)
+      .groupBy(col("__a").as("__lo"), col("__b").as("__hi"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minSupport)
     val directed = joint

@@ -1499,23 +1499,26 @@ object Stats {
     require(replicates >= 8 && replicates <= 256,
       "replicates in [8, 256] — B beyond ~100 buys almost nothing")
     val dec = "decimal(38,0)"
-    val base = df
+    // Spread with the replicate fan-out as weight: the ×B explode and
+    // its per-(row, replicate) md5 draw otherwise run inside a possibly
+    // single-task scan stage — measured 6.2 s of single-core compute on
+    // the sf0.1 bench at local[32] (guide §2.5; see Spread)
+    val base = Spread(df, replicates.toDouble, col(idCol))
       .filter(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+
         col(idCol).cast("string").as("__id") :+
         (round(col(valueCol), 4).cast("decimal(18,4)") * 10000)
           .cast("long").as("__vu"): _*)
-    val h = conv(substring(md5(concat(col("__id"), lit(":"),
-      col("__b").cast("string"))), 1, 8), 16, 10).cast("long")
-    val ts = poissonThresholds()
-    val w = ts.zipWithIndex.tail
-      .foldLeft(when(h < lit(ts.head), 0L)) {
-        case (c, (t, k)) => c.when(h < lit(t), k.toLong)
-      }
-      .otherwise(9L)
+    // the per-(row, replicate) draw runs as ONE compiled pass per row
+    // (StatKernelExpressions.PoissonWeights — digest and buffer reused
+    // across all B replicates, no hex round-trip), bit-identical to
+    // the previous conv(substring(md5(...),1,8),16,10)-vs-thresholds
+    // chain it replaced; posexplode's pos IS the replicate index
     val rep = base
-      .withColumn("__b", explode(sequence(lit(0), lit(replicates - 1))))
-      .withColumn("__w", w)
+      .select(groupCols.map(col) :+ col("__vu") :+
+        posexplode(graft.functions.StatKernelExpressions.poisson_weights(
+          col("__id"), replicates, poissonThresholds()))
+          .as(Seq("__b", "__w")): _*)
       .groupBy(groupCols.map(col) :+ col("__b"): _*)
       .agg(sum(col("__w")).as("__wn"),
         sum((col("__w") * col("__vu")).cast(dec)).as("__wsv"))

@@ -142,9 +142,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"as-of join plan has $shuffles shuffles")
   }
 
+  /** Pin an operator's OWN scale shape with the small-input Spread
+    * redistribution disabled: at cluster scale Spread is an exact
+    * no-op (leaf bytes ≥ its cap), so the shape under this switch is
+    * the 100 TB plan; Spread's small-input behavior is pinned
+    * separately in SpreadSpec. */
+  private def withoutSpread[T](body: => T): T = {
+    spark.conf.set("spark.graft.spread.smallInputBytes", "0")
+    try body
+    finally spark.conf.unset("spark.graft.spread.smallInputBytes")
+  }
+
   test("IVF seed-centroid assignment is a shuffle-free, window-free projection") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
+    withoutSpread {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     val df = graft.operators.Similarity.ivfIndex(emb, "vec_id", "embedding", 8)
     df.collect()
@@ -153,6 +165,7 @@ class PlanShapeSpec extends AnyFunSuite {
       nodes.map(_.nodeName).mkString(", "))
     assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
       nodes.map(_.nodeName).mkString(", "))
+    }
   }
 
   test("whole-stage codegen covers the q1 hot path") {
@@ -273,6 +286,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("aq33 k-means assignment is a shuffle-free projection per pass") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    withoutSpread {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     // same assignment kernel k-means runs per pass (shared with IVF)
     val assigned = graft.operators.Similarity.ivfIndex(
@@ -281,6 +295,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val nodes = deepNodes(assigned.queryExecution.executedPlan)
     assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
       nodes.map(_.nodeName).mkString(", "))
+    }
   }
 
   test("aq34 profile is one aggregation pass — a single scan of the table") {
@@ -337,6 +352,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("sq5 diversity sample shuffles once — on the cell quota window only") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
+    withoutSpread {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     val df = graft.operators.Similarity.diversitySample(
       emb, "vec_id", "embedding", numCells = 8, cap = 5, salt = "plan")
@@ -349,6 +365,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val windows = nodes.collect { case w: WindowExec => w }
     assert(windows.size == 1 && windows.forall(_.partitionSpec.nonEmpty),
       windows.map(_.toString).mkString("\n"))
+    }
   }
 
   test("tq12 vocab top-N is TakeOrderedAndProject — no global vocab sort") {

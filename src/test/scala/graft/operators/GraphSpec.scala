@@ -51,7 +51,10 @@ class GraphSpec extends AnyFunSuite {
     val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     val edges = und ++ und.map(_.swap)
     val r = run(edges)
-    assert(math.abs(r.values.sum - 1.0) < r.size * 1e-12)
+    // per-node ranks are 12dp-pinned (≤ 0.5e-12 rounding each); the
+    // map-iteration double sum adds order-dependent ulp noise on top,
+    // so the bound carries a 1e-15 fp-summation epsilon
+    assert(math.abs(r.values.sum - 1.0) < r.size * 1e-12 + 1e-15)
     // the degree-3 hub outranks the degree-1 leaf
     assert(r(3L) > r(4L))
   }
