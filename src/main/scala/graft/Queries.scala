@@ -29,6 +29,27 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Co-ordered-parts edge multiset `(a < b)` shared by the aq60/
+    * aq62/aq132 graph gates: one order-keyed collect + generator
+    * expansion — bit-identical (same pair MULTISET) to the
+    * `x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey`
+    * self-join it replaced, because each order's distinct part list
+    * is sorted before expansion (`collect_set` ≡ `distinct` +
+    * `collect_list` — and folds the dedup into the ONE order-keyed
+    * exchange); one basket-frame shuffle instead of two sides of a
+    * join plus a pre-dedup pass (the sq20/sq22 r16 rework applied to
+    * the graph edge builds). */
+  private[graft] def coOrderedPartPairs(li: DataFrame): DataFrame =
+    li
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
+      .filter(size(col("__ps")) > 1)
+      .select(col("__ps"), posexplode(col("__ps")))
+      .select(col("col").as("a"),
+        explode(slice(col("__ps"), col("pos") + 2, size(col("__ps"))))
+          .as("b"))
+
   /** Scratch space for queries that stage data (partitioned/bucketed
     * sinks, stream inputs): one root per JVM, deleted on exit so
     * repeated Verify/Bench runs don't accumulate table copies in /tmp. */
@@ -7335,12 +7356,8 @@ ORDER BY query_id"""
       |FROM deg LEFT JOIN pn ON pn.n = deg.n
       |ORDER BY node""".stripMargin
   ) { (s, dir) =>
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val edges = coOrderedPartPairs(t(s, dir, "lineitem"))
+      .select(col("a").as("src"), col("b").as("dst"))
     graft.operators.Graph.triangleStats(edges)
   }
 
@@ -7952,12 +7969,8 @@ ORDER BY query_id"""
     "aq62_kcore",
     graft.operators.Graph.kCoreOracleSql(k = 4, rounds = 4)
   ) { (s, dir) =>
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val edges = coOrderedPartPairs(t(s, dir, "lineitem"))
+      .select(col("a").as("src"), col("b").as("dst"))
     graft.operators.Graph.kCore(edges, k = 4, rounds = 4)
   }
 
@@ -12675,13 +12688,7 @@ ORDER BY query_id"""
       |  END AS assortativity
       |FROM s, nn, ec""".stripMargin
   ) { (s, dir) =>
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .distinct()
+    val edges = coOrderedPartPairs(t(s, dir, "lineitem")).distinct()
     graft.operators.Graph.assortativity(edges)
   }
 

@@ -1251,9 +1251,13 @@ object Similarity {
       itemCol: String,
       maxPerUser: Int): DataFrame =
     Lineage.cutLocal(baskets
-      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
+      .select(col(userCol).as("u"), col(itemCol).as("i"))
       .groupBy("u")
-      .agg(sort_array(collect_list(col("i"))).as("__xs"))
+      // collect_set ≡ distinct + collect_list (both drop nulls), and
+      // folds the per-user dedup into the ONE user-keyed exchange —
+      // the separate (u, i) distinct pass paid a full extra shuffle
+      // of the basket frame (guide §2.4)
+      .agg(sort_array(collect_set(col("i"))).as("__xs"))
       .filter(size(col("__xs")) <= maxPerUser))
 
   /** Ordered within-basket pairs `(__a < __b)` from a [[keptBaskets]]

@@ -93,6 +93,30 @@ class SpreadSpec extends AnyFunSuite {
     assert(joined.count() == 4 * 16)
   }
 
+  test("coOrderedPartPairs equals the orderkey self-join it replaced") {
+    // the graph-gate edge build (aq60/aq62/aq132): pair MULTISET must
+    // match the old x.l_orderkey = y.l_orderkey AND x.l_partkey <
+    // y.l_partkey self-join — including cross-order duplicate pairs
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L), (100L, 2L),
+      (200L, 2L), (200L, 3L),
+      (300L, 1L), (300L, 2L), (300L, 3L), (300L, 4L),
+      (400L, 7L)).toDF("l_orderkey", "l_partkey")
+    val d = li.distinct()
+    val oldPairs = d.as("x").join(d.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val newPairs = graft.Queries.coOrderedPartPairs(li)
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val mismatch = oldPairs.join(newPairs, Seq("a", "b"), "full_outer")
+      .filter(oldPairs("n").isNull || newPairs("n").isNull ||
+        oldPairs("n") =!= newPairs("n"))
+    assert(mismatch.count() == 0)
+    assert(newPairs.agg(sum("n")).as[Long].head() == 3L + 1L + 6L)
+  }
+
   test("basket pair expansion equals the u-keyed self-join it replaced") {
     val baskets = Seq(
       (1L, 10L), (1L, 11L), (1L, 12L), (1L, 10L),
