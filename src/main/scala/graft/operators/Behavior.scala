@@ -1141,6 +1141,13 @@ ORDER BY channel"""
     require(!refRow.isNullAt(0),
       "rfmSegments: events frame is empty (no reference day)")
     val refDay = refRow.getLong(0)
+    // rank-kernel width from the PRE-cut events frame (an upper bound
+    // on the per-user aggregate; post-cut LogicalRDD stats are
+    // unknown): the session width over a provably-small frame is
+    // hundreds of near-empty tasks across the three rank passes
+    // (aq56 measured 244 tasks for 0.2 MB of total shuffle); the
+    // clamp keeps the session width at scale
+    val parts = Some(Lineage.iterPartitions(events))
     val perUser = events.filter(col(typeCol) === purchaseType)
       .groupBy(col(userCol).as("user_id"))
       .agg((lit(refDay) - max(expr(day))).as("recency_days"),
@@ -1158,7 +1165,7 @@ ORDER BY channel"""
     def rk(metric: String, order: Column, name: String): DataFrame =
       Packing.globalRankBy(perUser.select(col("user_id"), col(metric)),
         Seq(order, col("user_id")), name,
-        uniqueCols = Seq(col("user_id")))
+        numParts = parts, uniqueCols = Seq(col("user_id")))
         .select("user_id", name)
     val ranked = perUser
       .join(rk("recency_days", col("recency_days").desc_nulls_last,

@@ -279,8 +279,13 @@ object Sampling {
       buckets: Int,
       salt: String,
       topK: Int): DataFrame = {
+    // the n-gram kernel + hash fuse into the doc scan — a single-file
+    // table runs them on ONE core (aq26 measured 8 single-task
+    // stages); Spread redistributes small scans before the kernel and
+    // is an exact no-op at scale (weight 2: uni+bigram row expansion)
     val grams = Lineage.cutLocal(
-      docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+      Spread(docs, 2.0, col(idCol))
+        .select(col(idCol).as("doc_id"), isTarget.as("is_t"),
           explode(graft.functions.TextKernelExpressions
             .word_ngrams(col(textCol), 2)).as("gram"))
         .select(col("doc_id"), col("is_t"),

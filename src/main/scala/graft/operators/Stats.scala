@@ -1233,6 +1233,11 @@ object Stats {
       xCol: String,
       yCol: String): DataFrame = {
     val dec = "decimal(38,0)"
+    // range-kernel width from the PRE-cut input (post-cut LogicalRDD
+    // stats are unknown/inflated): session width over a provably-small
+    // grid is near-empty-task tax (aq77 measured 215 tasks for 1.6 MB
+    // of shuffle); the clamp keeps the session width at scale
+    val parts = Some(Lineage.iterPartitions(df))
     val rows = Lineage.cutLocal(df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(groupCol).as("__g"), col(xCol).as("__x"),
@@ -1240,7 +1245,8 @@ object Stats {
     def rankFrame(vc: String): DataFrame = {
       val grid = rows.groupBy(col("__g"), col(vc).as("__v"))
         .agg(count(lit(1)).as("__tc"))
-      Packing.groupedPrefixSum(grid, "__g", "__v", "__tc", "__cum")
+      Packing.groupedPrefixSum(grid, "__g", "__v", "__tc", "__cum",
+          numParts = parts)
         // 2·avgRank = 2·(below + 1) + (tc − 1) = 2·below + tc + 1,
         // below = inclusive cumulative − own tie count
         .select(col("__g"), col("__v"),
@@ -3015,6 +3021,12 @@ object Stats {
       groupCol: String,
       ordCol: String,
       valueCol: String): DataFrame = {
+    // range-kernel width from the PRE-cut input (post-cut LogicalRDD
+    // stats are unknown/inflated — the aq44 discipline): the session
+    // width over a provably-small frame is hundreds of near-empty
+    // tasks per kernel stage (measured on aq109: 244 tasks for 8.8 MB
+    // of shuffle); at scale the clamp keeps the session width
+    val parts = Some(Lineage.iterPartitions(df))
     val rows = Lineage.cutLocal(df
       .filter(col(ordCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(ordCol).as("__o"),
@@ -3022,14 +3034,16 @@ object Stats {
     // tie-averaged rank grid, ×2 so ties stay integer (spearman's)
     val grid = rows.groupBy(col("__g"), col("__v"))
       .agg(count(lit(1)).as("__tc"))
-    val r2 = Packing.groupedPrefixSum(grid, "__g", "__v", "__tc", "__cum")
+    val r2 = Packing.groupedPrefixSum(grid, "__g", "__v", "__tc", "__cum",
+        numParts = parts)
       .select(col("__g"), col("__v"),
         (lit(2L) * (col("__cum") - col("__tc")) + col("__tc") + 1L)
           .as("__r2"))
     val withRank = rows.join(r2, Seq("__g", "__v"))
     val t = Packing.groupedRank(withRank, "__g", "__o",
-      carryCols = Seq("__r2"))
-    val s2 = Packing.groupedPrefixSum(t, "__g", "__o", "__r2", "__s2")
+      carryCols = Seq("__r2"), numParts = parts)
+    val s2 = Packing.groupedPrefixSum(t, "__g", "__o", "__r2", "__s2",
+      numParts = parts)
     val nPer = s2.groupBy("__g").agg(count(lit(1)).as("n"))
     val u = s2.join(broadcast(nPer), Seq("__g"))
       .withColumn("__u", col("__s2") - col("rank") * (col("n") + 1L))

@@ -450,6 +450,24 @@ class StatsSpec extends AnyFunSuite {
     assert(flat == (("g", 5L, 0L, 1L, 1.0)), flat.toString)
   }
 
+  test("pettitt/spearman: identical under any session shuffle width " +
+      "(the r16 derived range-kernel width)") {
+    // the derived width narrows the range kernels when the input is
+    // provably small — rank statistics must be width-independent
+    val df = (1L to 40L).flatMap(t => Seq(
+      ("a", t, (t * 7 % 11).toDouble), ("b", t, (t % 3).toDouble)))
+      .toDF("g", "t", "v")
+    val xy = df.withColumn("y", col("v") * -1 + col("t") % 5)
+    def at[T](n: Int)(body: => Array[T]): Array[T] =
+      Lineage.withShufflePartitions(spark, n)(body)
+    val p1 = at(1)(Stats.pettitt(df, "g", "t", "v").collect())
+    val p32 = at(32)(Stats.pettitt(df, "g", "t", "v").collect())
+    assert(p1.toSeq == p32.toSeq)
+    val s1 = at(1)(Stats.spearman(xy, "g", "v", "y").collect())
+    val s32 = at(32)(Stats.spearman(xy, "g", "v", "y").collect())
+    assert(s1.toSeq == s32.toSeq)
+  }
+
   test("poissonRateTest: hand-computed conditional z, empty-window NULL") {
     // days 0..19, split at 10: t1 = t2 = 10, p = 0.5;
     // k1 = 2, k2 = 10 -> z = (2 - 6)/sqrt(3) = -2.309401
