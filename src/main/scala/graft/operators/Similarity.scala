@@ -1251,13 +1251,16 @@ object Similarity {
       itemCol: String,
       maxPerUser: Int): DataFrame =
     Lineage.cutLocal(baskets
-      .select(col(userCol).as("u"), col(itemCol).as("i"))
+      // a one-pass sort_array(collect_set(i)) over the raw frame is
+      // value-identical and one exchange fewer, but measured 25%
+      // SLOWER at local[32] (sq22 run3 4.7 → 5.9 s A/B): map-side
+      // partial collect_set builds object-heavy per-user sets in
+      // every map partition, where distinct's partials are compact
+      // row dedup — the same buffer shape that would hurt at scale.
+      // Kept two-pass deliberately (r16 A/B, OPTIMIZATION_r16.md §8).
+      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
       .groupBy("u")
-      // collect_set ≡ distinct + collect_list (both drop nulls), and
-      // folds the per-user dedup into the ONE user-keyed exchange —
-      // the separate (u, i) distinct pass paid a full extra shuffle
-      // of the basket frame (guide §2.4)
-      .agg(sort_array(collect_set(col("i"))).as("__xs"))
+      .agg(sort_array(collect_list(col("i"))).as("__xs"))
       .filter(size(col("__xs")) <= maxPerUser))
 
   /** Ordered within-basket pairs `(__a < __b)` from a [[keptBaskets]]

@@ -39,8 +39,10 @@ object EdgePlanDump {
     // The sq20/sq22 kept-baskets build (Similarity.keptBaskets) sits
     // ABOVE a lineage cut, so the registered queries' plan files only
     // show the post-cut ExistingRDD. Both shapes inlined here verbatim
-    // (before = the wave-1 distinct + collect_list; after = the
-    // shipped collect_set body) over the real events basket frame.
+    // over the real basket frame: "shipped" = the two-pass distinct +
+    // collect_list (KEPT — the one-pass collect_set measured 25%
+    // slower at local[32], map-side set-buffer churn; r16 A/B in
+    // OPTIMIZATION_r16.md §8), "rejected" = that one-pass form.
     val ev = li
       .join(graft.Tables.load(spark, sfDir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
@@ -51,10 +53,32 @@ object EdgePlanDump {
     val bAfter = ev.groupBy("u")
       .agg(sort_array(collect_set(col("i"))).as("__xs"))
       .filter(size(col("__xs")) <= 1000)
-    println("========== kept_baskets BEFORE (distinct + collect_list) ==========")
+    println("========== kept_baskets SHIPPED (distinct + collect_list) ==========")
     println(bBefore.queryExecution.explainString(FormattedMode))
-    println("========== kept_baskets AFTER (collect_set) ==========")
+    println("========== kept_baskets REJECTED (one-pass collect_set) ==========")
     println(bAfter.queryExecution.explainString(FormattedMode))
+
+    // The rank-kernel width pins (pettitt/spearman/rfm): the kernels'
+    // repartitionByRange exchanges also sit below a lineage cut, so the
+    // registered queries' plans show only the post-cut ExistingRDD.
+    // This dumps the exchange the kernels build, at the session default
+    // width (before) and at the derived width (after), over the real
+    // events grid frame the aq109/aq77 kernels range-partition.
+    val grid = graft.Tables.load(spark, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("__g"), col("value").as("__v"))
+      .agg(count(lit(1)).as("__tc"))
+    val sessionW = spark.sessionState.conf.numShufflePartitions
+    val derivedW = graft.operators.Lineage.iterPartitions(
+      graft.Tables.load(spark, sfDir, "events"))
+    val kBefore = grid.repartitionByRange(sessionW, col("__g"), col("__v"))
+      .sortWithinPartitions("__g", "__v")
+    val kAfter = grid.repartitionByRange(derivedW, col("__g"), col("__v"))
+      .sortWithinPartitions("__g", "__v")
+    println(s"========== rank_kernel_exchange BEFORE (session width $sessionW) ==========")
+    println(kBefore.queryExecution.explainString(FormattedMode))
+    println(s"========== rank_kernel_exchange AFTER (derived width $derivedW) ==========")
+    println(kAfter.queryExecution.explainString(FormattedMode))
     spark.stop()
   }
 }

@@ -3,7 +3,8 @@ import graft.{Sessions, SparkEntry, Tables}
 object RepeatBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Sessions.local("8", "graft-repeat")
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-repeat")
     Tables.load(spark, sfDir, "region").groupBy("r_name").count().count()
     val names = args.toSeq
     for (name <- names; i <- 1 to 3) {
