@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's default LoggedOutput prefixes every forked-run stdout line with
+// "[info] " — which breaks any consumer that expects Bench's one-line
+// JSON contract at column 0 (a `json.loads` of the captured line fails
+// on the prefix). StdoutOutput passes the child's stdout through
+// verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

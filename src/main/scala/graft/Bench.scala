@@ -224,17 +224,29 @@ object Bench {
     def pct(p: Double): Double =
       if (sorted.isEmpty) 0.0
       else sorted(math.round((sorted.size - 1) * p).toInt)
+    // stdout gets the contract line in its COMPACT form: summary fields
+    // FIRST, then the per-query map, and no first_run/warmup maps — a
+    // truncated capture of the line then still yields the totals, and
+    // the whole line is ~3x shorter (~12 KB vs ~34 KB at 360 queries).
+    // The full record (all three maps) is persisted to bench_results.json
+    // below, unchanged in shape, so cross-round per-query history and the
+    // noise guard's committed reference lose nothing.
     val line =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""runs_per_query":$runs,""" +
+      s""""n_queries":${results.size},"n_err":$nErr,"median_sec":${pct(0.5)},""" +
+      s""""p90_sec":${pct(0.9)},"sf":"$sfDir","queries":$qs}"""
+    println(line)
+    // the driver's artifact keeps only a truncated stdout tail (BENCH_r05
+    // and r06 both lost every per-query timing to it) — persist the full
+    // record to a file so the per-query map survives the round
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""first_run":$firstRuns,"warmup_run":$warmRuns,""" +
       s""""runs_per_query":$runs,""" +
       s""""n_queries":${results.size},"n_err":$nErr,"median_sec":${pct(0.5)},""" +
       s""""p90_sec":${pct(0.9)},"sf":"$sfDir"}"""
-    println(line)
-    // the driver's artifact keeps only a truncated stdout tail (BENCH_r05
-    // and r06 both lost every per-query timing to it) — persist the full
-    // record to a file so the per-query map survives the round
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine)
     catch { case t: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${t.getMessage}")
     }
