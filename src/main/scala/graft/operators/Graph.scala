@@ -81,7 +81,7 @@ object Graph {
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     // AQE is off for the whole trajectory, so nothing coalesces the
     // per-round exchanges — pin the window's shuffle width to the
-    // input-derived count (Lineage.iterPartitions: 64 MB/partition
+    // input-derived count (Lineage.iterPartitions: 4 MB/partition
     // from the edge frame's leaf bytes, clamped to the session width)
     // instead of shuffling |V|-row round frames into `cpus` near-empty
     // tasks per round

@@ -1240,17 +1240,34 @@ object Similarity {
     * codegen generators instead of a two-sided self-join on `u` (one
     * more basket-frame shuffle saved; the r16 rework, guide §2.3/§2.4
     * "aggregate before you shuffle / remove shuffles outright").
-    * The collect_list buffer is bounded by `maxPerUser` only AFTER
-    * collection — safe at any scale because a single user's distinct
-    * items are collected on one reducer either way; users beyond ~10⁵
-    * items would need the bucketPairs spill path, far above any
-    * `maxPerUser` this operator is called with. */
+    * The heavy-user cut happens BEFORE any array is buffered: a
+    * window `count(*) over (partition by u)` on the distinct frame
+    * drops every row of an over-limit user first, so the collect_list
+    * aggregation buffer (non-spillable) never sees a pathological
+    * user — a 10⁷-distinct-item bot's rows are counted in the
+    * window's SPILLABLE row buffer and discarded, where a post-collect
+    * size() filter would have materialized the whole array on one
+    * reducer (guide §5). The window shares the groupBy(u) exchange
+    * (same partitioning key), so the cut costs a sort + one pass, not
+    * a shuffle — unlike the pre-r16 degree-aggregate + semi-join shape
+    * it replaces, which paid two extra basket-frame shuffles. */
   private def keptBaskets(
       baskets: DataFrame,
       userCol: String,
       itemCol: String,
       maxPerUser: Int): DataFrame =
-    Lineage.cutLocal(baskets
+    Lineage.cutLocal(keptBasketsPlan(baskets, userCol, itemCol, maxPerUser))
+
+  /** The pre-cut [[keptBaskets]] plan — `private[operators]` so the
+    * pre-collect heavy-user cut stays structurally pinned (the cut
+    * frame itself is a checkpoint scan that hides the build plan). */
+  private[operators] def keptBasketsPlan(
+      baskets: DataFrame,
+      userCol: String,
+      itemCol: String,
+      maxPerUser: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    (baskets
       // a one-pass sort_array(collect_set(i)) over the raw frame is
       // value-identical and one exchange fewer, but measured 25%
       // SLOWER at local[32] (sq22 run3 4.7 → 5.9 s A/B): map-side
@@ -1259,9 +1276,11 @@ object Similarity {
       // row dedup — the same buffer shape that would hurt at scale.
       // Kept two-pass deliberately (r16 A/B, OPTIMIZATION_r16.md §8).
       .select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("u")))
+      .filter(col("__n") <= maxPerUser)
       .groupBy("u")
-      .agg(sort_array(collect_list(col("i"))).as("__xs"))
-      .filter(size(col("__xs")) <= maxPerUser))
+      .agg(sort_array(collect_list(col("i"))).as("__xs")))
+  }
 
   /** Ordered within-basket pairs `(__a < __b)` from a [[keptBaskets]]
     * frame — the double-generator expansion [[graft.operators.Dedup
@@ -1306,8 +1325,14 @@ object Similarity {
     require(minSupport >= 1 && maxPerUser >= 2 && topK >= 1,
       "minSupport >= 1, maxPerUser >= 2, topK >= 1")
     val kept = keptBaskets(baskets, userCol, itemCol, maxPerUser)
-    val deg = kept.select(explode(col("__xs")).as("item"))
-      .groupBy("item").agg(count(lit(1)).as("n"))
+    // deg feeds TWO broadcast builds (n_a and n_b): without a cut the
+    // physical plan inlines the explode + aggregate subtree once per
+    // build and the whole item-incidence pass runs twice (the r16
+    // sq20 plan shows both copies). cutLocal computes it once; each
+    // broadcast then builds from the |items|-sized checkpoint scan.
+    val deg = Lineage.cutLocal(
+      kept.select(explode(col("__xs")).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("n")))
     val pairs = basketPairs(kept)
       .groupBy(col("__a").as("item_a"), col("__b").as("item_b"))
       .agg(count(lit(1)).as("n_both"))
@@ -1400,9 +1425,10 @@ object Similarity {
     * driver-side count.
     *
     * Scale shape: identical to [[coOccurrenceSimilarity]] — one
-    * distinct, one semi-join cap, one pair self-join keyed on the
-    * user, degree frames broadcast; the direction union doubles only
-    * the PAIR frame (already support-filtered). */
+    * basket collect with the pre-collect heavy-user cut, the generator
+    * pair expansion, one (pair)-keyed count, degree frames broadcast;
+    * the direction union doubles only the PAIR frame (already
+    * support-filtered and lineage-cut, so it computes once). */
   def associationRules(
       baskets: DataFrame,
       userCol: String,
@@ -1414,12 +1440,21 @@ object Similarity {
       "minSupport >= 1, maxPerUser >= 2, topK >= 1")
     val kept = keptBaskets(baskets, userCol, itemCol, maxPerUser)
     val users = broadcast(kept.agg(count(lit(1)).as("__users")))
-    val deg = kept.select(explode(col("__xs")).as("item"))
-      .groupBy("item").agg(count(lit(1)).as("n"))
-    val joint = basketPairs(kept)
+    // same double-build shape as coOccurrenceSimilarity: deg feeds two
+    // broadcasts — cut it so the incidence pass runs once
+    val deg = Lineage.cutLocal(
+      kept.select(explode(col("__xs")).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("n")))
+    // joint feeds BOTH arms of the direction union: uncut, the r16
+    // sq22 plan computed the ENTIRE pair expansion + pair-count
+    // aggregate (the query's dominant cost — the Σ C(n_u,2) pair
+    // exchange) twice, once per arm. cutLocal materializes the
+    // support-filtered joint frame (small: pairs with n_both ≥
+    // minSupport) once; the union arms re-project the checkpoint scan.
+    val joint = Lineage.cutLocal(basketPairs(kept)
       .groupBy(col("__a").as("__lo"), col("__b").as("__hi"))
       .agg(count(lit(1)).as("n_both"))
-      .filter(col("n_both") >= minSupport)
+      .filter(col("n_both") >= minSupport))
     val directed = joint
       .select(col("__lo").as("antecedent"), col("__hi").as("consequent"),
         col("n_both"))

@@ -1488,6 +1488,14 @@ object Stats {
     * expression of exact integers. Weight-starved replicates (total
     * weight 0) drop out of the rank frame.
     *
+    * `idCol` must be NON-NULL: the kernel returns a NULL weight
+    * vector for a null id and `posexplode` then drops the row from
+    * the replicate frame, while the generated oracle's CASE keeps it
+    * at weight 9 (`ELSE 9` — the old md5-chain's null fallthrough).
+    * No registered caller feeds nullable ids; a new caller with
+    * nullable ids must pre-filter or pre-coalesce them explicitly on
+    * BOTH sides.
+    *
     * Scale shape: explode ×B feeds ONE (group, replicate) aggregate
     * with map-side partials (shuffle rows = |groups|·B per map
     * partition, never data-sized), group-partitioned rank windows

@@ -117,6 +117,25 @@ class SpreadSpec extends AnyFunSuite {
     assert(newPairs.agg(sum("n")).as[Long].head() == 3L + 1L + 6L)
   }
 
+  test("heavy users are cut BEFORE the basket collect buffers any array") {
+    val baskets = ((1 to 30).map(i => (1L, i.toLong)) ++
+      Seq((2L, 1L), (2L, 2L))).toDF("u", "i")
+    val kept = Similarity.keptBasketsPlan(baskets, "u", "i", 10)
+    kept.collect()
+    // behaviorally: user 1 (30 distinct items > 10) never surfaces
+    assert(kept.select("u").as[Long].collect().toSeq == Seq(2L))
+    // structurally: the window-count Filter sits BELOW the
+    // collect_list aggregate (a descendant prints after its ancestor
+    // in the plan tree), so an over-limit user's rows are discarded
+    // in the window's spillable buffer before any array aggregation
+    // buffer (non-spillable) sees them
+    val s = kept.queryExecution.executedPlan.toString
+    val agg = s.indexOf("collect_list")
+    val cut = s.indexOf("__n")
+    assert(agg >= 0 && cut >= 0 && agg < cut,
+      s"expected the __n heavy-user Filter below the collect aggregate:\n$s")
+  }
+
   test("basket pair expansion equals the u-keyed self-join it replaced") {
     val baskets = Seq(
       (1L, 10L), (1L, 11L), (1L, 12L), (1L, 10L),
