@@ -1118,6 +1118,48 @@ class ResultStore(spark: SparkSession, root: String) {
       combine = (storedTouched, src) => storedTouched.unionByName(src).distinct(),
       allowWidening = false, meta = meta)
 
+  /** ADDITIVE merge through the file-pruned path: the committed table
+    * becomes `groupBy(groupCols).agg(sum(statCols))` over
+    * (touched-file rows ∪ delta) with untouched files carried forward
+    * — the one-pass form of "read back this batch's keys, re-aggregate
+    * additively, upsert". The two-pass form ([[readForKeys]] +
+    * union/re-aggregate + [[upsertPruned]]) reads every touched file
+    * TWICE and pays two touched-file collects + two extra action
+    * analyses per micro-batch — a real per-commit fixed cost for the
+    * streaming registries (graft.streaming.Registries), whose batches
+    * are small by design. Semantics are identical: rows in touched
+    * files whose key is absent from `delta` aggregate to themselves
+    * (sum over a singleton), exactly the rows the two-pass form
+    * carried through its anti-join; rows sharing the delta's keys
+    * merge additively, exactly the rows the two-pass form re-read and
+    * re-aggregated. `groupCols` must lead with `keyCol` and the delta
+    * must carry the table's exact schema (no widening).
+    *
+    * `registryPartitions` lays out the INITIAL commit
+    * (range-partitioned on the key, the pruning precondition); later
+    * commits re-range-partition through [[mergePruned]]'s shared
+    * file-sizing rule. */
+  def mergeAdditivePruned(
+      schema: String,
+      delta: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      statCols: Seq[String],
+      registryPartitions: Int,
+      meta: Map[String, String] = Map.empty): PrunedCommit = {
+    require(groupCols.headOption.contains(keyCol),
+      "groupCols must lead with the registry key")
+    def reagg(stored: DataFrame, d: DataFrame) =
+      stored.unionByName(d)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(statCols.head).as(statCols.head),
+          statCols.tail.map(c => sum(c).as(c)): _*)
+    prunedCore(schema, delta, keyCol,
+      initial = delta.repartitionByRange(registryPartitions, col(keyCol)),
+      combine = reagg,
+      allowWidening = false, meta = meta)
+  }
+
   private def prunedCore(
       schema: String,
       source: DataFrame,

@@ -248,11 +248,12 @@ object Registries {
 
   /** The pruned-upsert additive skeleton: per-stream `txn.<stream_id>`
     * replay map (carried forward wholesale on every commit), batch
-    * delta aggregate, key-pruned read-back of ONLY the batch's stored
-    * rows, additive re-aggregate, file-pruned upsert. `groupCols`
-    * must start with "key" — the registry's layout, pruning, and
-    * upsert key. For few/clustered key spaces only — see the class
-    * doc and [[additiveSegmented]].
+    * delta aggregate, then ONE file-pruned additive commit
+    * ([[graft.sources.ResultStore.mergeAdditivePruned]] — touched-file
+    * rows ∪ delta re-aggregated, untouched files carried forward).
+    * `groupCols` must start with "key" — the registry's layout,
+    * pruning, and upsert key. For few/clustered key spaces only — see
+    * the class doc and [[additiveSegmented]].
     *
     * Concurrency contract: commits to one schema must be SERIALIZED
     * across streams. The txn map is read at batch start and written
@@ -281,18 +282,16 @@ object Registries {
     additiveCore(stream, store, schema, streamId, checkpoint) {
       (batch, txns, _) =>
         val delta = Lineage.cutLocal(deltaOf(batch))
-        val src =
-          if (!store.hasSchema(schema))
-            delta.repartitionByRange(registryPartitions, col("key"))
-          else
-            // additive merge against ONLY the stored rows for this
-            // batch's keys — both sides batch-sized
-            store.readForKeys(schema, delta, "key")
-              .unionByName(delta)
-              .groupBy(groupCols.map(col): _*)
-              .agg(sum(statCols.head).as(statCols.head),
-                statCols.tail.map(c => sum(c).as(c)): _*)
-        val stats = store.upsertPruned(schema, src, "key", meta = txns)
+        // ONE pruned commit does the whole additive merge (touched
+        // rows ∪ delta re-aggregated, untouched files carried): the
+        // pre-r17 two-pass shape (readForKeys point-read + union +
+        // re-aggregate + upsertPruned) read every touched file twice
+        // and paid two touched-file collects + their plan analyses
+        // per micro-batch — a fixed per-commit driver cost that
+        // dominates small batches (the StWhere probe attributed the
+        // st16/17/18 wall to addBatch, not the engine's WALs).
+        val stats = store.mergeAdditivePruned(schema, delta, "key",
+          groupCols, statCols, registryPartitions, meta = txns)
         onCommit(schema, stats)
     }
   }
@@ -326,8 +325,16 @@ object Registries {
         val compactEvery = math.max(2, batch.sparkSession.conf
           .getOption("spark.graft.registry.compactSegments")
           .map(_.toInt).getOrElse(8))
+        // HASH-partitioned segment files, deliberately not range: a
+        // segment append writes no key-range sidecar (appendSegment's
+        // contract — a stale manifest would make point reads miss
+        // segment rows) and the next compaction re-range-partitions
+        // the merged base itself, so range layout here is bought with
+        // a per-batch RangePartitioner SAMPLING job over the delta
+        // that no reader ever exploits. Hash keeps the same file
+        // count without the extra pass.
         val delta = Lineage.cutLocal(deltaOf(batch))
-          .repartitionByRange(registryPartitions, col("key"))
+          .repartition(registryPartitions, col("key"))
         // missing SegmentsKey on an EXISTING schema means an
         // out-of-band commit (manual overwriteWithMeta, a pruned-path
         // writer) replaced the metadata and dropped the counter —

@@ -397,6 +397,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(got2 == Map(2L -> "o2"))
   }
 
+  test("mergeAdditivePruned equals the two-pass readForKeys + " +
+      "re-aggregate + upsertPruned shape it replaced, at its pruned cost") {
+    // same batch sequence through both shapes: clustered keys so the
+    // pruned path actually prunes, overlapping keys so the additive
+    // re-aggregate actually merges, disjoint new keys so the rewrite
+    // extends the key space
+    val batches = Seq(
+      (1L to 40L).map(k => (k, 1L, 10L)),
+      (20L to 60L).map(k => (k, 2L, 5L)),
+      (55L to 70L).map(k => (k, 1L, 1L)))
+      .map(_.toDF("key", "n_docs", "n_tokens"))
+    val groupCols = Seq("key")
+    val statCols = Seq("n_docs", "n_tokens")
+    val a = new ResultStore(spark, tmpDir())
+    val receipts = batches.map(b =>
+      a.mergeAdditivePruned("reg", b, "key", groupCols, statCols, 4))
+    val b2 = new ResultStore(spark, tmpDir())
+    batches.foreach { b =>
+      if (!b2.hasSchema("reg"))
+        b2.upsertPruned("reg", b.repartitionByRange(4, col("key")), "key")
+      else {
+        val merged = b2.readForKeys("reg", b, "key")
+          .unionByName(b)
+          .groupBy("key").agg(sum("n_docs").as("n_docs"),
+            sum("n_tokens").as("n_tokens"))
+        b2.upsertPruned("reg", merged, "key")
+      }
+    }
+    def tbl(s: ResultStore) = s.read("reg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(tbl(a) == tbl(b2))
+    // and the one-pass path still prunes: the third batch (55-70)
+    // must carry at least one file of the 1-40 range forward
+    assert(receipts.last.carriedFiles >= 1, receipts.toString)
+  }
+
   test("cloneSchema: zero-copy clone reads identically, diverges " +
       "independently, carries the pruning sidecar") {
     val store = new ResultStore(spark, tmpDir())
