@@ -200,6 +200,68 @@ object TextKernelExpressions {
       copy(child = c)
   }
 
+  // one digest instance per executor thread (the StatKernelExpressions
+  // discipline): getInstance("MD5") would otherwise run per shingle
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** ENGINE-PORTABLE MinHash signature over a shingle array — the
+    * compiled form of the audit family's md5-affine chain
+    * (graft.operators.Dedup.portableSigs): per shingle,
+    * x = (first 4 md5 digest bytes as unsigned 32-bit) mod p with
+    * p = 2³¹−1 (bit-identical to
+    * `conv(substring(md5(s),1,8),16,10) % p` — the first 8 hex digits
+    * ARE the first 4 bytes), and hash i is min over shingles of
+    * (aᵢ·x + bᵢ) mod p, aᵢ = (2i+1)·1597334677 mod p,
+    * bᵢ = (40503·i + 7) mod p. One digest per thread, one pass over
+    * the shingles with an inner k-loop — the composed HOF form pays an
+    * interpreted lambda per (shingle, hash) PLUS an md5 hex round-trip
+    * per shingle, and needed a lineage cut just to stop the md5 from
+    * re-running k times. Mirrors the HOF form's null shape: an empty
+    * shingle array yields an all-null signature (array_min of empty),
+    * null elements are skipped (array_min ignores nulls). */
+  case class PortableMinHash(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && k <= 64, "numHashes in [1, 64]")
+    private val P = 2147483647L
+    private val as = Array.tabulate(k)(i => (2L * i + 1L) * 1597334677L % P)
+    private val bs = Array.tabulate(k)(i => (40503L * i + 7L) % P)
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(k)(Long.MaxValue)
+      val md = md5.get()
+      var e = 0
+      var seen = false
+      while (e < n) {
+        if (!arr.isNullAt(e)) {
+          seen = true
+          val s = arr.getUTF8String(e)
+          md.reset()
+          md.update(s.getBytes)
+          val d = md.digest()
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          val x = h % P
+          var i = 0
+          while (i < k) {
+            val v = (as(i) * x + bs(i)) % P
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+        }
+        e += 1
+      }
+      if (!seen) new GenericArrayData(new Array[Any](k)) // k nulls
+      else new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): PortableMinHash =
+      copy(child = c)
+  }
+
   /** 64-bit SimHash of lower(text)'s whitespace tokens: per-bit vote of
     * each token's xxhash64 (seed 42, matching functions.xxhash64). */
   case class SimHash(child: Expression)
@@ -398,6 +460,10 @@ object TextKernelExpressions {
 
   def minhash_sig(shingles: Column, k: Int): Column =
     GraftSqlBridge.toColumn(MinHashSig(GraftSqlBridge.toExpression(shingles), k))
+
+  def portable_minhash(shingles: Column, k: Int): Column =
+    GraftSqlBridge.toColumn(
+      PortableMinHash(GraftSqlBridge.toExpression(shingles), k))
 
   def simhash(text: Column): Column =
     GraftSqlBridge.toColumn(SimHash(GraftSqlBridge.toExpression(text)))

@@ -1367,11 +1367,13 @@ object Dedup {
     * digits mod p (p = 2³¹−1); hash i is (aᵢ·x + bᵢ) mod p with
     * aᵢ = (2i+1)·1597334677 mod p, bᵢ = (40503·i + 7) mod p — all
     * products below 2⁶², exact in any BIGINT, so a SQL oracle replays
-    * the signatures bit-for-bit. The md5 base values are hoisted to
-    * ONE pass per shingle BEHIND a lineage cut — inlined into the
-    * k-hash lambda they would be recomputed k times per shingle (and
-    * CollapseProject would inline a mere alias right back into the
-    * lambda, the winnowing trap). Returns `(id, sig)` with `sig` the
+    * the signatures bit-for-bit. Since r17 the whole per-doc pass runs
+    * as ONE native kernel ([[graft.functions.TextKernelExpressions
+    * .PortableMinHash]], spec-pinned ≡ the composed HOF chain): the
+    * HOF form paid an interpreted lambda per (shingle, hash), an md5
+    * hex round-trip per shingle, and a lineage-cut materialization
+    * whose only job was stopping CollapseProject from re-inlining the
+    * md5 into the k-hash lambda. Returns `(id, sig)` with `sig` the
     * length-`numHashes` signature array. */
   private[operators] def portableSigs(
       df: DataFrame,
@@ -1380,19 +1382,11 @@ object Dedup {
       shingleN: Int,
       numHashes: Int): DataFrame = {
     require(numHashes >= 1 && numHashes <= 64, "numHashes in [1, 64]")
-    val p = 2147483647L
-    val docs = Spread(df, col(idCol))
+    Spread(df, col(idCol))
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), transform(col("sh"), s =>
-        conv(substring(md5(s), 1, 8), 16, 10).cast("long") % p).as("__xs"))
-      .transform(Lineage.cutLocal)
-    docs.select(col("id"),
-      transform(sequence(lit(0), lit(numHashes - 1)), i => {
-        val a = (i.cast("long") * 2L + 1L) * 1597334677L % p
-        val b = (i.cast("long") * 40503L + 7L) % p
-        array_min(transform(col("__xs"), x => (a * x + b) % p))
-      }).as("sig"))
+      .select(col("id"), graft.functions.TextKernelExpressions
+        .portable_minhash(col("sh"), numHashes).as("sig"))
   }
 
   /** Explode a [[portableSigs]] frame into `(id, band, band_key)`
