@@ -151,10 +151,18 @@ private[graft] object Lineage {
   def iterPartitions(df: DataFrame): Int = {
     val spark = df.sparkSession
     val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // bytes per round partition: parameterised (dev A/B + cluster
+    // tuning), 4 MB default — measured at both failure ends in r16
+    // (64 MB serialized aq92's round work; the session's 32 paid 559
+    // near-empty tasks) and re-measured against 1/2 MB in r17 (aq44
+    // flat-to-worse: the per-round frames are latency-bound at this
+    // SF, more tasks buy nothing).
+    val per = spark.conf.getOption("spark.graft.iterPartitionBytes")
+      .map(_.toLong).getOrElse(4L << 20)
     val bytes = df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum
     if (bytes <= 0) session
-    else BigInt(session).min((bytes / (4L << 20)) + 1).toInt.max(1)
+    else BigInt(session).min((bytes / per) + 1).toInt.max(1)
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
