@@ -812,15 +812,21 @@ object Dedup {
           else store.insertDistinctPruned(pairSchema, pairs, "id_a")
         onCommit(pairSchema, pairStats)
         val sigRows = sigs.select(col("id").as("doc_id"),
-          col("band"), col("band_key")).distinct()
+          col("band"), col("band_key"))
         // keyed and laid out on band_key — the READ side's join key —
         // so the candidate lookup above can file-prune; set-union
         // insert (see the commit-shape scaladoc for why replace-by-doc
-        // equals set-union here)
+        // equals set-union here). Only the INITIAL commit distincts
+        // explicitly (insertDistinctPruned takes the first source
+        // verbatim — the caller owns initial distinctness); every
+        // later commit's combine already set-union-dedups, so a
+        // per-batch distinct() would pay one extra exchange + agg per
+        // micro-batch for rows that are unique by construction anyway
+        // (one band row per (doc, band) out of the posexplode).
         val sigStats =
           if (!store.hasSchema(sigSchema))
             store.insertDistinctPruned(sigSchema,
-              sigRows.repartitionByRange(registryPartitions,
+              sigRows.distinct().repartitionByRange(registryPartitions,
                 col("band_key")),
               "band_key")
           else store.insertDistinctPruned(sigSchema, sigRows, "band_key")
@@ -1352,6 +1358,12 @@ object Dedup {
       s"duplicateClustersStar: contraction did not converge within " +
         s"$maxRounds rounds")
 
+    // labels feeds both the size aggregate and the membership join —
+    // the |2E| union + label aggregate computes twice. A cutLocal was
+    // MEASURED SLOWER at sf0.1 across the cluster consumers (r17 A/B,
+    // run3: dq31 2.29 → 2.55, dq10 1.68 → 2.14): edges is already a
+    // checkpoint scan, so the recompute is one cheap agg while the
+    // cut adds a materialization job per query. Left uncut.
     val labels = edges.select(col("u").as("id"), col("v").as("label"))
       .union(edges.select(col("v").as("id"), col("v").as("label")))
       .groupBy("id").agg(min(col("label")).as("label"))
@@ -1934,6 +1946,12 @@ object Dedup {
     val docs = df.select(col(idCol).as("__id"), col(srcCol).as("source"),
       graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
         .as("__nt"))
+    // withC feeds both the keeper aggregate and the final roll-up
+    // join — the subtree computes twice, like sq22's union arms did.
+    // A cutLocal here was MEASURED SLOWER at sf0.1 (r17 A/B, run3:
+    // dq30 2.73 → 3.21 s): unlike sq22's tiny support-filtered joint,
+    // withC is corpus-sized, so materializing it costs more than the
+    // scan+kernel+join recompute. Left uncut deliberately.
     val withC = docs.join(clusters, Seq("__id"), "left")
       .withColumn("__cid", coalesce(col("cluster_id"), col("__id")))
     val keepers = withC.groupBy("__cid").agg(min(col("__id")).as("__keep"))
