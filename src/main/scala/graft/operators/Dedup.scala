@@ -172,6 +172,25 @@ object Dedup {
     verifyJaccard(cand, docs, threshold)
   }
 
+  /** Row-expansion factor for [[Spread.width]] at the pair stages
+    * (bucketPairs' in-bucket expansion, verifyJaccard's per-pair set
+    * intersection). The r16 advisor flagged that weight 1.0 may
+    * under-partition the quadratic pair work on mid-size corpora
+    * (sf0.1's 594 KB documents derive k≈10 of 32 cores), suggesting a
+    * declared expansion weight like poissonBootstrap's B. MEASURED
+    * AND REJECTED at 4.0 (r17, interleaved stash A/B, run3 medians,
+    * two baseline windows BRACKETING the weighted run): dq6 1.92/1.89
+    * → 2.37, dq7 1.96/1.85 → 2.36, dq18 1.98/1.93 → 2.23, dq3
+    * 1.18/1.40 → 1.52 — consistently worse than BOTH baselines —
+    * against only noise-level gains on dq22/dq23/dq29. Unlike
+    * poissonBootstrap's exact ×B, the pair fan-out is bucket-density-
+    * dependent and at this scale the extra tasks are pure scheduling
+    * overhead over near-empty buckets; a corpus whose pair stage is
+    * genuinely CPU-starved is also big enough that k reaches the
+    * session cap at weight 1.0 (≥2 MB of leaf bytes) or the Spread
+    * no-op takes over (≥256 MB, hundreds of scan tasks). Kept 1.0. */
+  private val pairExpansionWeight = 1.0
+
   /** In-bucket pair expansion: one shuffle (groupBy on the bucket key)
     * instead of a two-sided self-join, and the upstream signature kernel
     * runs once instead of twice. Pairs are the ordered combinations of
@@ -207,7 +226,9 @@ object Dedup {
     // to 1-3 tasks. An explicit keyed repartition is exempt from
     // coalescing and both the window and the groupBy below reuse it
     // (same keys — no extra exchange); Spread.width no-ops at scale.
-    val rows2 = Spread.width(rows)
+    // pairExpansionWeight stays 1.0 — a heavier weight was measured
+    // and rejected (see its scaladoc for the r17 A/B numbers).
+    val rows2 = Spread.width(rows, pairExpansionWeight)
       .fold(rows)(k => rows.repartition(k, bk: _*))
     val sized = rows2.withColumn("__bn",
       count(lit(1)).over(Window.partitionBy(bk: _*)))
@@ -237,8 +258,10 @@ object Dedup {
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     // same CPU-width pin as bucketPairs: the per-pair set intersection
     // is the expensive part and must not run in a byte-coalesced
-    // 1-task stage; the id_a join reuses the exchange
-    Spread.width(docs).fold(candidates)(k =>
+    // 1-task stage; the id_a join reuses the exchange.
+    // pairExpansionWeight stays 1.0 (measured-and-rejected at 4.0 —
+    // see its scaladoc)
+    Spread.width(docs, pairExpansionWeight).fold(candidates)(k =>
       candidates.repartition(k, col("id_a")))
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
