@@ -79,6 +79,44 @@ object EdgePlanDump {
     println(kBefore.queryExecution.explainString(FormattedMode))
     println(s"========== rank_kernel_exchange AFTER (derived width $derivedW) ==========")
     println(kAfter.queryExecution.explainString(FormattedMode))
+
+    // The r17 portable-MinHash kernel (TextKernelExpressions
+    // .PortableMinHash) replaced a two-stage HOF chain inside
+    // Dedup.portableSigs, which sits below the audit queries' lineage
+    // cuts — invisible from the registered queries' plan files. Both
+    // shapes inlined verbatim over the real documents table: "before"
+    // is the r16 chain, printed as its two arms (the md5-hex
+    // projection that a localCheckpoint cut materialized — its only
+    // job was stopping CollapseProject from re-inlining the md5 into
+    // the k-hash lambda — then the k interpreted HOF lambdas over the
+    // cut's ExistingRDD scan); "after" mirrors the shipped
+    // portableSigs body: ONE compiled kernel over the live scan, no
+    // materialization anywhere.
+    val pp = 2147483647L
+    val kh = 8
+    val spreadDocs = graft.operators.Spread(
+        graft.Tables.load(spark, sfDir, "documents"), col("doc_id"))
+      .select(col("doc_id").as("id"),
+        graft.operators.Dedup.shingleSet(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val xsArm = spreadDocs.select(col("id"), transform(col("sh"), s =>
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long") % pp).as("__xs"))
+    val sigBefore = graft.operators.Lineage.cutLocal(xsArm)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(kh - 1)), i => {
+          val a = (i.cast("long") * 2L + 1L) * 1597334677L % pp
+          val b = (i.cast("long") * 40503L + 7L) % pp
+          array_min(transform(col("__xs"), x => (a * x + b) % pp))
+        }).as("sig"))
+    val sigAfter = spreadDocs.select(col("id"),
+      graft.functions.TextKernelExpressions
+        .portable_minhash(col("sh"), kh).as("sig"))
+    println("========== portable_sigs BEFORE arm 1 (md5-hex projection, materialized at the cut) ==========")
+    println(xsArm.queryExecution.explainString(FormattedMode))
+    println("========== portable_sigs BEFORE arm 2 (k interpreted HOF lambdas over the cut) ==========")
+    println(sigBefore.queryExecution.explainString(FormattedMode))
+    println("========== portable_sigs AFTER (one fused kernel over the live scan, no cut) ==========")
+    println(sigAfter.queryExecution.explainString(FormattedMode))
     spark.stop()
   }
 }
